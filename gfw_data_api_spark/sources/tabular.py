@@ -1,0 +1,220 @@
+"""Tabular (CSV/TSV/parquet) source handling.
+
+Covers SURVEY.md §2.2 rows E1 (scan + schema inference + declared-type
+overrides), E2 (partition layouts), E3 (idempotent append), E4 (point
+geometry derivation), E9 (physical clustering), E10 (unique-constraint
+dedup). Reference behavior: batch/scripts/create_tabular_schema.sh,
+load_tabular_data.sh, app/tasks/table_source_assets.py:21-370.
+
+Everything is declarative DataFrame code: Catalyst handles pushdown and
+pruning; partition layout (E2) maps to parquet ``partitionBy`` directories
+so partition pruning replaces Postgres partition elimination at scale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# delimiter vocabulary of the reference (app/models/enum/creation_options.py:26-31)
+DELIMITERS = {",": ",", "\t": "\t", "|": "|", ";": ";"}
+
+# PGType enum → Spark types (app/models/enum/pg_types.py:6-57)
+PG_TYPE_TO_SPARK: dict[str, T.DataType] = {
+    "bigint": T.LongType(),
+    "boolean": T.BooleanType(),
+    "character varying": T.StringType(),
+    "date": T.DateType(),
+    "double precision": T.DoubleType(),
+    "geometry": T.BinaryType(),  # WKB convention
+    "integer": T.IntegerType(),
+    "jsonb": T.StringType(),
+    "numeric": T.DecimalType(38, 10),
+    "smallint": T.ShortType(),
+    "text": T.StringType(),
+    "time": T.StringType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamp without time zone": T.TimestampNTZType(),
+    "uuid": T.StringType(),
+    "xml": T.StringType(),
+}
+
+
+@dataclass
+class FieldType:
+    """Declared schema override (creation_options.py:112-115)."""
+
+    name: str
+    data_type: str  # a PGType name
+
+
+@dataclass
+class Partitions:
+    """Partition layout (creation_options.py:73-110).
+
+    - hash: N hash buckets on a column → a derived bucket column
+    - list: named partitions, each a list of values
+    - range: named partitions with [start, end) bounds
+    """
+
+    partition_type: str  # "hash" | "list" | "range"
+    partition_column: str
+    partition_count: int | None = None  # hash
+    partition_schema: list[dict] = field(default_factory=list)  # list/range
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's testdata tables, normalizing types.
+
+    The synthetic ``events`` table stores TIMESTAMP(NANOS), which the JVM
+    parquet reader surfaces as nanosecond longs (see session.py); values are
+    microsecond-aligned, so the conversion below is lossless.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def read_tabular_source(
+    spark: SparkSession,
+    paths: list[str] | str,
+    delimiter: str = ",",
+    table_schema: list[FieldType] | None = None,
+    sample_rows: int = 100,
+) -> DataFrame:
+    """E1: scan CSV/TSV with inferred schema + declared type overrides.
+
+    The reference infers from the first ``sample_rows`` lines via csvsql
+    (batch/scripts/create_tabular_schema.sh); Spark's reader does the same
+    job via ``inferSchema``. Declared ``table_schema`` entries override the
+    inferred type per column, mirroring the sed rewrite of the generated DDL.
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("delimiter", DELIMITERS.get(delimiter, delimiter))
+        .option("inferSchema", True)
+        .option("samplingRatio", 1.0)
+        .option("nullValue", "")
+    )
+    df = reader.csv(paths)
+    for override in table_schema or []:
+        spark_type = PG_TYPE_TO_SPARK.get(override.data_type.lower())
+        if spark_type is None:
+            raise ValueError(f"unknown PG type: {override.data_type}")
+        if override.name in df.columns:
+            df = df.withColumn(override.name, F.col(override.name).cast(spark_type))
+    return df
+
+
+def add_point_geometry(
+    df: DataFrame,
+    latitude: str = "latitude",
+    longitude: str = "longitude",
+    geom_col: str = "geom",
+) -> DataFrame:
+    """E4: derive point geometry columns from lat/lng.
+
+    ``{geom}`` is WKB Point(lon, lat) EPSG:4326 (pure column math via a
+    binary-encoding expression) and ``{geom}_wm`` holds web-mercator
+    coordinates computed natively (x = R*λ, y = R*ln(tan(π/4 + φ/2))) —
+    reference: batch/scripts/_add_point_geometry_fields_sql.sh,
+    _fill_point_geometry_fields_sql.sh.
+    """
+    from gfw_data_api_spark.functions.geo_udfs import make_point_wkb
+
+    R = 6378137.0
+    lon, lat = F.col(longitude), F.col(latitude)
+    df = df.withColumn(geom_col, make_point_wkb(lon, lat))
+    df = df.withColumn(f"{geom_col}_wm_x", F.radians(lon) * F.lit(R))
+    df = df.withColumn(
+        f"{geom_col}_wm_y",
+        F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / F.lit(2.0))) * F.lit(R),
+    )
+    return df
+
+
+def _partition_expr(partitions: Partitions) -> F.Column:
+    col = F.col(partitions.partition_column)
+    if partitions.partition_type == "hash":
+        n = partitions.partition_count or 16
+        return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
+    if partitions.partition_type == "list":
+        expr = F.lit(None).cast("string")
+        branches = None
+        for spec in partitions.partition_schema:
+            cond = col.isin(list(spec["value_list"]))
+            branches = (
+                F.when(cond, F.lit(spec["partition_suffix"]))
+                if branches is None
+                else branches.when(cond, F.lit(spec["partition_suffix"]))
+            )
+        return branches.otherwise(F.lit("default")) if branches is not None else expr
+    if partitions.partition_type == "range":
+        branches = None
+        for spec in partitions.partition_schema:
+            cond = (col >= F.lit(spec["start_value"])) & (col < F.lit(spec["end_value"]))
+            branches = (
+                F.when(cond, F.lit(spec["partition_suffix"]))
+                if branches is None
+                else branches.when(cond, F.lit(spec["partition_suffix"]))
+            )
+        return branches.otherwise(F.lit("default")) if branches is not None else F.lit("default")
+    raise ValueError(f"unknown partition type: {partitions.partition_type}")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partitions: Partitions | None = None,
+    cluster_on: list[str] | None = None,
+    unique_on: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """E2 + E9 + E10: write a version's default asset as parquet.
+
+    - partitions → a physical ``_part`` directory column (list/range/hash),
+      giving Catalyst partition pruning (the Spark analog of PG partition
+      elimination, SURVEY.md §4.1).
+    - cluster_on → ``sortWithinPartitions`` before write (the CLUSTER analog;
+      parquet min/max column stats then act like a clustered btree for
+      file/row-group skipping).
+    - unique_on → ``dropDuplicates`` (≤1 unique constraint, E10).
+    """
+    if unique_on:
+        df = df.dropDuplicates(unique_on)
+    writer_df = df
+    partition_by: list[str] = []
+    if partitions is not None:
+        writer_df = df.withColumn("_part", _partition_expr(partitions))
+        partition_by = ["_part"]
+    if cluster_on:
+        if partition_by:
+            writer_df = writer_df.repartition(*[F.col(c) for c in partition_by])
+        writer_df = writer_df.sortWithinPartitions(*(partition_by + cluster_on))
+    writer = writer_df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_new_rows(
+    existing: DataFrame, incoming: DataFrame, unique_on: list[str]
+) -> DataFrame:
+    """E3: idempotent append — the Spark translation of the reference's
+    temp-table + ``INSERT ... ON CONFLICT DO NOTHING``
+    (batch/scripts/load_tabular_data.sh).
+
+    Returns only the incoming rows whose key is not already present.
+    ``left_anti`` is a shuffle-on-key join; at scale, bucketed layouts on
+    the unique key make it co-located and shuffle-free.
+    """
+    deduped = incoming.dropDuplicates(unique_on)
+    return deduped.join(existing.select(*unique_on).distinct(), on=unique_on, how="left_anti")

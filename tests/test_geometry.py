@@ -1,0 +1,105 @@
+"""Unit tests for the pure-Python geometry library."""
+
+import math
+
+import pytest
+
+from gfw_data_api_spark.functions import geometry as geo
+
+SQUARE = {
+    "type": "Polygon",
+    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+}
+FAR_SQUARE = {
+    "type": "Polygon",
+    "coordinates": [[[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]]],
+}
+
+
+def test_wkb_roundtrip_point():
+    g = {"type": "Point", "coordinates": [10.5, -33.25]}
+    assert geo.wkb_loads(geo.wkb_dumps(g)) == g
+
+
+def test_wkb_roundtrip_polygon():
+    assert geo.wkb_loads(geo.wkb_dumps(SQUARE)) == SQUARE
+
+
+def test_wkb_roundtrip_multipolygon():
+    g = {"type": "MultiPolygon", "coordinates": [SQUARE["coordinates"], FAR_SQUARE["coordinates"]]}
+    assert geo.wkb_loads(geo.wkb_dumps(g)) == g
+
+
+def test_bbox():
+    assert geo.bbox(SQUARE) == (0, 0, 1, 1)
+
+
+def test_point_in_polygon():
+    assert geo.point_in_polygon([0.5, 0.5], SQUARE["coordinates"])
+    assert not geo.point_in_polygon([1.5, 0.5], SQUARE["coordinates"])
+    # boundary counts as inside
+    assert geo.point_in_polygon([0.0, 0.5], SQUARE["coordinates"])
+
+
+def test_polygon_with_hole():
+    donut = [
+        [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+        [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]],
+    ]
+    assert geo.point_in_polygon([0.5, 0.5], donut)
+    assert not geo.point_in_polygon([2, 2], donut)
+
+
+def test_intersects_disjoint():
+    assert not geo.intersects(SQUARE, FAR_SQUARE)
+
+
+def test_intersects_overlap():
+    other = {"type": "Polygon", "coordinates": [[[0.5, 0.5], [2, 0.5], [2, 2], [0.5, 2], [0.5, 0.5]]]}
+    assert geo.intersects(SQUARE, other)
+
+
+def test_intersects_containment():
+    inner = {"type": "Polygon", "coordinates": [[[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6], [0.4, 0.4]]]}
+    assert geo.intersects(SQUARE, inner)
+    assert geo.intersects(inner, SQUARE)
+
+
+def test_intersects_point():
+    assert geo.intersects({"type": "Point", "coordinates": [0.5, 0.5]}, SQUARE)
+    assert not geo.intersects({"type": "Point", "coordinates": [2, 2]}, SQUARE)
+
+
+def test_geodesic_area_one_degree_at_equator():
+    # 1°x1° cell at the equator ≈ 12,364 km² on the sphere
+    area_km2 = geo.geodesic_area_sq_m(SQUARE) / 1e6
+    assert area_km2 == pytest.approx(12364, rel=0.01)
+
+
+def test_pixel_area_matches_ring_area():
+    cell = {
+        "type": "Polygon",
+        "coordinates": [[[10, 44.995], [10.01, 44.995], [10.01, 45.005], [10, 45.005], [10, 44.995]]],
+    }
+    assert geo.pixel_area_ha(45.0, 0.01) == pytest.approx(geo.geodesic_area_ha(cell), rel=1e-6)
+
+
+def test_web_mercator_known_point():
+    x, y = geo.web_mercator(0, 0)
+    assert x == pytest.approx(0, abs=1e-6) and y == pytest.approx(0, abs=1e-6)
+    x, _ = geo.web_mercator(180, 0)
+    assert x == pytest.approx(math.pi * geo.WEB_MERCATOR_R)
+
+
+def test_simplify_keeps_endpoints():
+    line = {"type": "LineString", "coordinates": [[0, 0], [1, 0.001], [2, 0]]}
+    out = geo.simplify(line, 0.01)
+    assert out["coordinates"] == [[0, 0], [2, 0]]
+
+
+def test_buffer_point_contains_center():
+    buf = geo.buffer_point(10, 45, 1000)
+    assert geo.point_in_polygon([10, 45], buf["coordinates"])
+    # ~1km radius → no vertex farther than ~0.02 degrees
+    for x, y in buf["coordinates"][0]:
+        assert abs(x - 10) < 0.02 and abs(y - 45) < 0.02

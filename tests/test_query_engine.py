@@ -1,0 +1,110 @@
+"""Guarded query execution against Spark (reference: the query-route tests
+in tests_v2/unit/app/routes/datasets/test_query.py — count/sum queries,
+forbidden constructs, spatial filter)."""
+
+import pytest
+
+from gfw_data_api_spark.operators.query import execute_on_dataframe, filter_by_geometry
+from gfw_data_api_spark.sources.tabular import load_table
+from gfw_data_api_spark.sql import QueryGuardError
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_count_star(spark, lineitem):
+    rows = execute_on_dataframe(
+        spark, lineitem, "SELECT count(*) AS count FROM data"
+    ).collect()
+    assert rows[0]["count"] == lineitem.count()
+
+
+def test_filter_group_order_limit(spark, lineitem):
+    sql = (
+        "SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS qty "
+        "FROM mytable WHERE l_quantity > 10 "
+        "GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 2"
+    )
+    rows = execute_on_dataframe(spark, lineitem, sql).collect()
+    assert len(rows) == 2
+    assert rows[0]["l_returnflag"] <= rows[1]["l_returnflag"]
+    assert all(r["cnt"] > 0 for r in rows)
+
+
+def test_pg_cast_translation(spark, lineitem):
+    sql = "SELECT l_orderkey::text AS ok, l_quantity::int AS qi FROM t LIMIT 1"
+    row = execute_on_dataframe(spark, lineitem, sql).collect()[0]
+    assert isinstance(row["ok"], str)
+    assert isinstance(row["qi"], int)
+
+
+def test_window_function(spark, lineitem):
+    sql = (
+        "SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn "
+        "FROM t LIMIT 5"
+    )
+    rows = execute_on_dataframe(spark, lineitem, sql).collect()
+    assert all(r["rn"] >= 1 for r in rows)
+
+
+def test_forbidden_function_rejected(spark, lineitem):
+    with pytest.raises(QueryGuardError):
+        execute_on_dataframe(spark, lineitem, "SELECT pg_ls_dir('/') FROM t")
+
+
+def test_join_rejected(spark, lineitem):
+    with pytest.raises(QueryGuardError):
+        execute_on_dataframe(spark, lineitem, "SELECT * FROM a JOIN b ON a.x = b.x")
+
+
+def test_spatial_filter_on_points(spark):
+    import pandas as pd
+
+    from gfw_data_api_spark.functions import geometry as geo
+
+    pts = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "geom": [
+                geo.wkb_dumps({"type": "Point", "coordinates": [0.5, 0.5]}),
+                geo.wkb_dumps({"type": "Point", "coordinates": [5.0, 5.0]}),
+                geo.wkb_dumps({"type": "Point", "coordinates": [0.9, 0.1]}),
+            ],
+            "gfw_bbox": [[0.5, 0.5, 0.5, 0.5], [5.0, 5.0, 5.0, 5.0], [0.9, 0.1, 0.9, 0.1]],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    square = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+    }
+    result = filter_by_geometry(df, square)
+    assert sorted(r["id"] for r in result.collect()) == [1, 3]
+
+
+def test_guarded_sql_with_geometry(spark):
+    """End-to-end: guarded query + geometry → filtered aggregation."""
+    import pandas as pd
+
+    from gfw_data_api_spark.functions import geometry as geo
+
+    pts = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "val": [10.0, 20.0, 30.0, 40.0],
+            "geom": [
+                geo.wkb_dumps({"type": "Point", "coordinates": [0.1, 0.1]}),
+                geo.wkb_dumps({"type": "Point", "coordinates": [0.2, 0.2]}),
+                geo.wkb_dumps({"type": "Point", "coordinates": [9.0, 9.0]}),
+                geo.wkb_dumps({"type": "Point", "coordinates": [0.3, 0.3]}),
+            ],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    square = {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}
+    rows = execute_on_dataframe(
+        spark, df, "SELECT sum(val) AS s, count(*) AS c FROM data", geometry=square
+    ).collect()
+    assert rows[0]["s"] == 70.0 and rows[0]["c"] == 3
