@@ -1,0 +1,643 @@
+"""The declared operator inventory: every SURVEY.md §2 row exercised as a
+concrete (Spark query, DuckDB oracle SQL) pair over the driver's testdata.
+
+Each entry is a :class:`QuerySpec`; ``__spark_entry__.py`` re-exports them
+in the driver contract shape. Cross-engine determinism rules used
+throughout (so order-insensitive value hashes match bit-for-bit):
+
+- money/metric sums go through DECIMAL (exact, order-independent), then
+  CAST to DOUBLE for a dtype both engines share;
+- derived ints are CAST to BIGINT (Spark's year()/length() return INT32,
+  DuckDB's BIGINT);
+- double→int conversions always use floor() first (DuckDB's CAST rounds,
+  Spark's truncates);
+- averages are written sum/count, never avg() (per-engine accumulation
+  orders differ on DOUBLE);
+- no raw TIMESTAMP columns in result sets — project dates as text.
+
+Queries tagged "guarded" run through the full guard+rewrite+Spark path
+(sql/guard.py → operators/query.py), proving the reference's query plane;
+join/dedup/similarity entries use the DataFrame API (the reference's
+internal operators, SURVEY.md §2.3, and the LLM-pipeline extensions §2.8).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.operators.query import execute_on_dataframe
+from gfw_data_api_spark.sources.tabular import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    survey_ref: str  # SURVEY.md §2 row(s) this exercises
+
+
+def _guarded(table: str, sql: str) -> SparkQuery:
+    """Run ``sql`` through the guarded single-table path against ``table``."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return execute_on_dataframe(spark, load_table(spark, sf_dir, table), sql)
+
+    return fn
+
+
+def _same(table: str, sql: str, survey_ref: str, name: str) -> QuerySpec:
+    """Guarded query whose text is valid, semantically identical DuckDB SQL."""
+    return QuerySpec(name=name, spark_fn=_guarded(table, sql), oracle=sql, survey_ref=survey_ref)
+
+
+# ---------------------------------------------------------------------------
+# Q-series: the guarded single-table SQL dialect (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+_SPECS: list[QuerySpec] = []
+
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT l_orderkey, l_linenumber, l_quantity, "
+        "l_extendedprice * (1 - l_discount) AS revenue "
+        "FROM lineitem WHERE l_orderkey < 100",
+        "Q1,Q2 scan+projection (query_helpers.py:349-381)",
+        "q01_scan_projection",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "part",
+        "SELECT p_partkey, p_name, p_size, "
+        "CASE WHEN p_size > 25 THEN 'big' WHEN p_size > 10 THEN 'mid' ELSE 'small' END AS size_class "
+        "FROM part "
+        "WHERE p_size BETWEEN 5 AND 45 AND p_retailprice IS NOT NULL "
+        "AND (p_type LIKE '%a%' OR p_size IN (7, 11, 13)) AND NOT p_size = 8",
+        "Q3 filter surface: BETWEEN/IN/LIKE/IS NULL/AND-OR-NOT/CASE",
+        "q02_filter_predicates",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT count(*) AS cnt, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(min(l_extendedprice) AS DOUBLE) AS min_price, "
+        "CAST(max(l_extendedprice) AS DOUBLE) AS max_price, "
+        "count(DISTINCT l_partkey) AS n_parts "
+        "FROM lineitem",
+        "Q5 global aggregation (test_query.py:65,88,677)",
+        "q03_agg_global",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus",
+        "Q5,Q6 grouped aggregation — TPC-H Q1 shape (datamart land.py:85)",
+        "q04_pricing_summary",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT l_partkey, count(*) AS cnt, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty "
+        "FROM lineitem GROUP BY l_partkey HAVING count(*) > 35",
+        "Q7 HAVING (allowed-through, query_helpers.py:341-347)",
+        "q05_having",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "Q8 DISTINCT",
+        "q06_distinct",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "orders",
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10",
+        "Q9 ORDER BY / LIMIT / OFFSET (query_helpers.py:424-429)",
+        "q07_order_limit_offset",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "orders",
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn, "
+        "CAST(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price "
+        "FROM orders",
+        "Q10 window functions (not in forbidden list → allowed)",
+        "q08_window",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "orders",
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(month(o_orderdate) AS BIGINT) AS o_month, count(*) AS cnt, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY 1, 2",
+        "Q11,R6 date functions (features.py:131-137)",
+        "q09_date_functions",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "customer",
+        "SELECT c_custkey, upper(c_name) AS name_upper, "
+        "CAST(length(c_name) AS BIGINT) AS name_len, "
+        "substr(c_mktsegment, 1, 3) AS seg3, md5(c_name) AS name_md5 "
+        "FROM customer WHERE lower(c_mktsegment) LIKE '%i%'",
+        "Q11 string functions + md5 (crud/geostore.py:120)",
+        "q10_string_functions",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "orders",
+        "SELECT o_orderkey, "
+        "CASE WHEN o_totalprice > 300000 THEN 'high' "
+        "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band "
+        "FROM orders WHERE o_orderstatus IN ('F', 'O')",
+        "Q3 CASE expression in projection",
+        "q11_case_expr",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT t.l_orderkey AS k, count(*) AS items, "
+        "CAST(max(t.l_linenumber) AS BIGINT) AS max_line "
+        "FROM lineitem AS t GROUP BY t.l_orderkey",
+        "Q1 alias preservation (test_query_helpers.py:190-197)",
+        "q12_alias_table",
+    )
+)
+
+
+def _q13_jsonb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        "SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS prop_k "
+        "FROM events WHERE event_type = 'click'"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q13_jsonb_extract",
+        spark_fn=_q13_jsonb,
+        oracle=(
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k "
+            "FROM events WHERE event_type = 'click'"
+        ),
+        survey_ref="Q11 jsonb access (pg_types.py jsonb → JSON path)",
+    )
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q14_pg_casts",
+        spark_fn=_guarded(
+            "orders",
+            "SELECT o_orderkey::text AS key_str, "
+            "(o_orderdate::date)::text AS order_day, "
+            "o_orderkey::bigint AS key_big "
+            "FROM orders WHERE o_orderkey < 200",
+        ),
+        oracle=(
+            "SELECT CAST(o_orderkey AS TEXT) AS key_str, "
+            "CAST(CAST(o_orderdate AS DATE) AS TEXT) AS order_day, "
+            "CAST(o_orderkey AS BIGINT) AS key_big "
+            "FROM orders WHERE o_orderkey < 200"
+        ),
+        survey_ref="Q11 ::type casts (sql/dialect.py translation)",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# I-series: internal relational operators (SURVEY §2.3 — these DO join)
+# ---------------------------------------------------------------------------
+
+
+def _i01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    grouped = (
+        region.join(nation, region.r_regionkey == nation.n_regionkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.count("n_nationkey").alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        )
+    )
+    return grouped
+
+
+_SPECS.append(
+    QuerySpec(
+        name="i01_group_join_agg",
+        spark_fn=_i01,
+        oracle=(
+            "SELECT r_name, count(n_nationkey) AS n_nations, "
+            "coalesce(string_agg(n_name, ',' ORDER BY n_name), '') AS nations "
+            "FROM region LEFT JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        survey_ref="I1 left join + grouped array agg (orm/queries/datasets.py:3-30)",
+    )
+)
+
+
+def _i02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="i02_three_way_join",
+        spark_fn=_i02,
+        oracle=(
+            "SELECT r_name, count(*) AS n_cust, "
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        survey_ref="I2 3-way registry join, broadcast dims (orm/queries/raster_assets.py:1-21)",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "customer",
+        "SELECT c_custkey, c_name, CAST(count(*) OVER () AS BIGINT) AS total_rows "
+        "FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20",
+        "I6 pagination: LIMIT size OFFSET (page-1)*size + count (utils/paginate.py:42-81)",
+        "i06_pagination",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "nation",
+        "SELECT n_nationkey, n_name, lower(n_name) AS name_normalized "
+        "FROM nation WHERE lower(n_name) LIKE 'nation#_1%' ESCAPE '#'",
+        "I4,I5 LIKE-pattern + normalized-name lookup (political/id_lookup.py:99-126)",
+        "i05_normalized_lookup",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# E-series: ingestion/ETL operators expressed over testdata (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def _e01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 CSV roundtrip: export a slice to CSV, re-ingest with schema
+    inference + declared overrides, aggregate — must equal the oracle run
+    directly over the parquet."""
+    import pandas as pd
+
+    from gfw_data_api_spark.sources.tabular import FieldType, read_tabular_source
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    pdf = pdf[pdf.l_orderkey <= 100][
+        ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    ]
+    tmp = tempfile.mkdtemp(prefix="gfw_e01_")
+    csv_path = os.path.join(tmp, "lineitem_slice.csv")
+    pdf.to_csv(csv_path, index=False)
+    df = read_tabular_source(
+        spark,
+        csv_path,
+        delimiter=",",
+        table_schema=[FieldType("l_quantity", "double precision")],
+    )
+    return df.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.count_distinct("l_returnflag").alias("n_flags"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e01_csv_inference_roundtrip",
+        spark_fn=_e01,
+        oracle=(
+            "SELECT count(*) AS cnt, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+            "count(DISTINCT l_returnflag) AS n_flags "
+            "FROM lineitem WHERE l_orderkey <= 100"
+        ),
+        survey_ref="E1 CSV scan + inference + type overrides (create_tabular_schema.sh)",
+    )
+)
+
+
+def _e03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 idempotent append: the anti-join that implements ON CONFLICT DO
+    NOTHING. Orders already having lineitems are 'conflicts'; the result is
+    the orders that would actually append."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    existing = lineitem.select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    return orders.join(existing, "o_orderkey", "left_anti").select("o_orderkey", "o_orderstatus")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e03_append_antijoin",
+        spark_fn=_e03,
+        oracle=(
+            "SELECT o_orderkey, o_orderstatus FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"
+        ),
+        survey_ref="E3 idempotent append anti-join (load_tabular_data.sh COPY+ON CONFLICT)",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "events",
+        "SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_events "
+        "FROM events GROUP BY user_id, event_type",
+        "E10 unique-constraint dedup key semantics (creation_options.py:59-71)",
+        "e10_groupwise_dedup",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "orders",
+        "SELECT CASE WHEN o_orderstatus = 'O' THEN 'open' "
+        "WHEN o_orderstatus = 'F' THEN 'finished' ELSE 'default' END AS part_key, "
+        "count(*) AS cnt FROM orders GROUP BY 1",
+        "E2 list-partition mapping (creation_options.py:73-110, create_partitions.py)",
+        "e02_partition_mapping",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# R-series: the raster zonal-statistics dialect over events-as-pixels
+# (SURVEY §2.4; the true tile engine lives in gfw_data_api_spark.raster)
+# ---------------------------------------------------------------------------
+
+_SPECS.append(
+    _same(
+        "events",
+        "SELECT event_type, "
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, "
+        "count(*) AS alert_count "
+        "FROM events GROUP BY event_type",
+        "R1,R2,R5 sum()/count(*) GROUP BY layer (analysis.py:112-147)",
+        "r01_zonal_sum_groupby",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "events",
+        "SELECT count(*) AS alert_count FROM events "
+        "WHERE value >= 100 AND event_type != 'error'",
+        "R4 threshold + meaning filters (analysis.py:115-133)",
+        "r04_threshold_filter",
+    )
+)
+
+
+def _r06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        "SELECT CAST(weekofyear(ts) AS BIGINT) AS iso_week, count(*) AS alert_count "
+        "FROM events GROUP BY 1"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="r06_isoweek",
+        spark_fn=_r06,
+        oracle="SELECT CAST(week(ts) AS BIGINT) AS iso_week, count(*) AS alert_count FROM events GROUP BY 1",
+        survey_ref="R6 isoweek(date_layer) (analysis.py:143-147)",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "events",
+        "SELECT CAST(floor((CAST(floor(value * 100) AS BIGINT) + 20000) / 10000) AS BIGINT) AS confidence, "
+        "(CAST(floor(value * 100) AS BIGINT) + 20000) % 10000 AS day_code, "
+        "count(*) AS n "
+        "FROM events GROUP BY 1, 2",
+        "R8 date_conf derived-layer calc: A % 10000, floor(A/10000) (queries.py:721-760)",
+        "r08_derived_layer_calc",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (SURVEY §7.8): text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+_SPECS.append(
+    QuerySpec(
+        name="t01_token_count",
+        spark_fn=_guarded(
+            "documents",
+            "SELECT doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens FROM documents",
+        ),
+        oracle=(
+            "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
+        survey_ref="text analysis: whitespace token counting",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "documents",
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_measured, "
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace, "
+        "CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the "
+        "FROM documents",
+        "text analysis: quality-score raw signals (length/space/stopword counts)",
+        "t02_quality_signals",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "documents",
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars "
+        "FROM documents GROUP BY lang",
+        "text analysis: language distribution profile",
+        "t03_lang_profile",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "documents",
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS copies "
+        "FROM documents GROUP BY 1",
+        "dedup: exact content-hash dedup (hash-groupBy)",
+        "d01_exact_dedup",
+    )
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="d02_prefix_fingerprint",
+        spark_fn=_guarded(
+            "documents",
+            "SELECT doc_id, md5(array_join(slice(split(trim(text), '\\\\s+'), 1, 5), ' ')) AS fingerprint "
+            "FROM documents",
+        ),
+        oracle=(
+            "SELECT doc_id, md5(array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')) AS fingerprint "
+            "FROM documents"
+        ),
+        survey_ref="dedup: document fingerprinting (first-k-token signature)",
+    )
+)
+
+
+def _cosine_cols(emb_col: F.Column, query: list[float]) -> tuple[F.Column, F.Column]:
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    cast = emb_col.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(cast, qlit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(cast, cast, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot, norm
+
+
+def _s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine similarity against vec_id=0 (the baseline
+    ANN path; LSH-bucketed variant in llmops.similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
+    dot, norm = _cosine_cols(F.col("embedding"), query)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s01_cosine_topk",
+        spark_fn=_s01,
+        oracle=(
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine "
+            "FROM embeddings e, q WHERE e.vec_id != 0 "
+            "ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        survey_ref="similarity search: brute-force cosine top-k over embeddings",
+    )
+)
+
+
+def _s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cast = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(cast, cast, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s02_embedding_norms",
+        spark_fn=_s02,
+        oracle=(
+            "SELECT vec_id, label, "
+            "round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm, "
+            "CAST(len(embedding) AS BIGINT) AS dim FROM embeddings"
+        ),
+        survey_ref="similarity plumbing: vector norms + dims as columns",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# public registry
+# ---------------------------------------------------------------------------
+
+SPECS: dict[str, QuerySpec] = {spec.name: spec for spec in _SPECS}
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark_fn for name, spec in SPECS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in SPECS.items() if spec.oracle is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary through the guarded engine."""
+    return SPECS["q04_pricing_summary"].spark_fn(spark, sf_dir)
