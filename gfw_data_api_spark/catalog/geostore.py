@@ -1,0 +1,105 @@
+"""Geostore: content-addressed geometry registry.
+
+Reference: app/crud/geostore.py:82-134 (create: ``gfw_geostore_id =
+md5(geojson)::uuid``, area, bbox), :32-39 (column set), :42-79 (lookup
+searches the geostore table *and* every vector table that inherits
+``public.geostore`` — batch/scripts/inherit_geostore.sh, E11).
+
+Here the inheritance is a lazily-unioned DataFrame over the registry's
+``geo_database_table`` assets plus the standalone geostore store — same
+observable behavior (any vector feature is addressable by geostore id)
+without Postgres table inheritance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.catalog.registry import Registry, RegistryError
+from gfw_data_api_spark.functions import geometry as geo
+
+GEOSTORE_COLUMNS = ["gfw_geostore_id", "gfw_geojson", "gfw_area__ha", "gfw_bbox"]
+
+
+def _hash_id(geojson: str) -> str:
+    digest = hashlib.md5(geojson.encode()).hexdigest()  # noqa: S324 (content address, parity)
+    return f"{digest[:8]}-{digest[8:12]}-{digest[12:16]}-{digest[16:20]}-{digest[20:]}"
+
+
+class Geostore:
+    def __init__(self, registry: Registry):
+        self.registry = registry
+        self.path = os.path.join(registry.root, "geostore.json")
+        self._store: dict[str, dict[str, Any]] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                self._store = json.load(fh)
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._store, fh)
+        os.replace(tmp, self.path)
+
+    def create(self, geometry: dict[str, Any]) -> dict[str, Any]:
+        """Register a geometry; id is the md5 of its canonical GeoJSON —
+        idempotent by construction (crud/geostore.py:82-134)."""
+        geojson = json.dumps(geometry, separators=(", ", ": "))
+        geostore_id = _hash_id(geojson)
+        if geostore_id not in self._store:
+            self._store[geostore_id] = {
+                "gfw_geostore_id": geostore_id,
+                "gfw_geojson": geojson,
+                "gfw_area__ha": geo.geodesic_area_ha(geometry)
+                if geometry["type"] in ("Polygon", "MultiPolygon")
+                else 0.0,
+                "gfw_bbox": list(geo.bbox(geometry)),
+            }
+            self._save()
+        return self._store[geostore_id]
+
+    def get(self, spark: SparkSession, geostore_id: str) -> dict[str, Any]:
+        """Lookup by id: the standalone store first, then every registered
+        vector version (the E11 inheritance union)."""
+        if geostore_id in self._store:
+            return self._store[geostore_id]
+        union = self.inherited_view(spark)
+        if union is not None:
+            rows = union.filter(F.col("gfw_geostore_id") == geostore_id).limit(1).collect()
+            if rows:
+                row = rows[0]
+                return {col: row[col] for col in GEOSTORE_COLUMNS}
+        raise RegistryError(f"Geostore {geostore_id} not found.", 404)
+
+    def inherited_view(self, spark: SparkSession) -> DataFrame | None:
+        """UNION of (id, geojson, area, bbox) across all geo tables."""
+        parts: list[DataFrame] = []
+        for dataset_entity in self.registry.datasets():
+            dataset = dataset_entity.dataset
+            for (d, v), version in list(self.registry._versions.items()):
+                if d != dataset or version.status != "saved":
+                    continue
+                try:
+                    asset = self.registry.get_default_asset(d, v)
+                except RegistryError:
+                    continue
+                if asset.asset_type != "geo_database_table":
+                    continue
+                df = spark.read.parquet(asset.asset_uri)
+                if all(col in df.columns for col in GEOSTORE_COLUMNS):
+                    parts.append(df.select(*GEOSTORE_COLUMNS))
+        if not parts:
+            return None
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
+
+    def geometry(self, spark: SparkSession, geostore_id: str) -> dict[str, Any]:
+        return json.loads(self.get(spark, geostore_id)["gfw_geojson"])

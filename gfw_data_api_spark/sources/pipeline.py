@@ -1,0 +1,140 @@
+"""Ingestion pipelines: source files → default asset → registry record.
+
+The reference runs these as AWS Batch job DAGs
+(app/tasks/table_source_assets.py:21-218, vector_source_assets.py:195-347,
+app/tasks/default_assets.py); on Spark the whole DAG collapses into one
+driver-side function per pipeline — Spark's scheduler replaces Batch
+(SURVEY.md §3.3). Status and change-log bookkeeping are kept for API
+parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gfw_data_api_spark.catalog.registry import Registry, default_asset_type
+from gfw_data_api_spark.sources import tabular, vector
+
+
+def ingest_tabular(
+    registry: Registry,
+    spark: SparkSession,
+    dataset: str,
+    version: str,
+    source_paths: list[str] | str,
+    delimiter: str = ",",
+    table_schema: list[tabular.FieldType] | None = None,
+    latitude: str | None = None,
+    longitude: str | None = None,
+    partitions: tabular.Partitions | None = None,
+    cluster_on: list[str] | None = None,
+    unique_on: list[str] | None = None,
+    is_mutable: bool = False,
+    make_latest: bool = True,
+) -> DataFrame:
+    """Table-source pipeline: E1 scan/infer → E4 point geometry → E2/E9/E10
+    layout → write parquet → register default asset + fields."""
+    registry.ensure_dataset(dataset)
+    registry.create_version(dataset, version, is_mutable=is_mutable)
+    has_lat_lng = latitude is not None and longitude is not None
+    asset = registry.create_asset(
+        dataset,
+        version,
+        default_asset_type("table", has_lat_lng),
+        is_default=True,
+        creation_options={
+            "source_paths": source_paths if isinstance(source_paths, list) else [source_paths],
+            "delimiter": delimiter,
+            "partitions": partitions.__dict__ if partitions else None,
+            "cluster": cluster_on,
+            "unique_constraint": unique_on,
+            "latitude": latitude,
+            "longitude": longitude,
+        },
+    )
+    try:
+        df = tabular.read_tabular_source(spark, source_paths, delimiter, table_schema)
+        if has_lat_lng:
+            df = tabular.add_point_geometry(df, latitude, longitude)
+        tabular.write_table(
+            df, asset.asset_uri, partitions=partitions, cluster_on=cluster_on, unique_on=unique_on
+        )
+        result = spark.read.parquet(asset.asset_uri)
+        registry.set_asset_fields(asset.asset_id, result)
+        registry.set_asset_status(asset.asset_id, "saved")
+        registry.set_version_status(dataset, version, "saved", "ingest complete")
+        if make_latest:
+            registry.set_latest(dataset, version)
+        return result
+    except Exception as exc:
+        registry.set_asset_status(asset.asset_id, "failed", str(exc))
+        registry.set_version_status(dataset, version, "failed", str(exc))
+        raise
+
+
+def append_tabular(
+    registry: Registry,
+    spark: SparkSession,
+    dataset: str,
+    version: str,
+    source_paths: list[str] | str,
+    delimiter: str = ",",
+) -> DataFrame:
+    """E3 idempotent append: only to mutable versions (E16 guard); new rows
+    anti-joined on the version's unique constraint before parquet append."""
+    registry.assert_appendable(dataset, version)
+    asset = registry.get_default_asset(dataset, version)
+    unique_on = asset.creation_options.get("unique_constraint")
+    existing = spark.read.parquet(asset.asset_uri)
+    incoming = tabular.read_tabular_source(spark, source_paths, delimiter)
+    options = asset.creation_options
+    if options.get("latitude") and options.get("longitude"):
+        incoming = tabular.add_point_geometry(incoming, options["latitude"], options["longitude"])
+    incoming = incoming.select(*[c for c in existing.columns if c in incoming.columns])
+    if unique_on:
+        incoming = tabular.append_new_rows(existing, incoming, unique_on)
+    incoming.write.mode("append").parquet(asset.asset_uri)
+    registry.set_version_status(dataset, version, "saved", "append complete")
+    return spark.read.parquet(asset.asset_uri)
+
+
+def ingest_vector(
+    registry: Registry,
+    spark: SparkSession,
+    dataset: str,
+    version: str,
+    source_path: str,
+    source_driver: str = "GeoJSONSeq",
+    make_latest: bool = True,
+) -> DataFrame:
+    """Vector-source pipeline: E6 scan → E5 GFW fields + E7 web-mercator →
+    write parquet → register geo default asset."""
+    registry.ensure_dataset(dataset)
+    registry.create_version(dataset, version)
+    asset = registry.create_asset(
+        dataset,
+        version,
+        default_asset_type("vector"),
+        is_default=True,
+        creation_options={"source_path": source_path, "source_driver": source_driver},
+    )
+    try:
+        if source_driver == "GeoJSONSeq":
+            df = vector.read_geojson_seq(spark, source_path)
+        elif source_driver == "GeoJSON":
+            df = vector.read_feature_collection(spark, source_path)
+        else:
+            raise ValueError(f"unsupported vector driver: {source_driver}")
+        df = vector.add_gfw_fields(df)
+        df.write.mode("overwrite").parquet(asset.asset_uri)
+        result = spark.read.parquet(asset.asset_uri)
+        registry.set_asset_fields(asset.asset_id, result)
+        registry.set_asset_status(asset.asset_id, "saved")
+        registry.set_version_status(dataset, version, "saved", "ingest complete")
+        if make_latest:
+            registry.set_latest(dataset, version)
+        return result
+    except Exception as exc:
+        registry.set_asset_status(asset.asset_id, "failed", str(exc))
+        registry.set_version_status(dataset, version, "failed", str(exc))
+        raise
