@@ -623,6 +623,162 @@ _SPECS.append(
 )
 
 
+def _d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_n=3, threshold=0.12
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d03_ngram_jaccard_pairs",
+        spark_fn=_d03,
+        oracle=(
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), "
+            "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.12"
+        ),
+        survey_ref="dedup: exact n-gram Jaccard pairs via inverted shingle index",
+    )
+)
+
+
+def _d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), num_hashes=64, bands=16
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d04_minhash_lsh_neardups",
+        spark_fn=_d04,
+        oracle=None,  # hash-family specific; verified against d03's exact pairs in tests
+        survey_ref="dedup: MinHash+LSH banded candidates (shingle→minhash→band→bucket-join)",
+    )
+)
+
+
+def _d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        load_table(spark, sf_dir, "documents"), max_hamming=8, bands=4
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d05_simhash_neardups",
+        spark_fn=_d05,
+        oracle=None,
+        survey_ref="dedup: SimHash near-dup pairs (bit-banded, bit_count verify)",
+    )
+)
+
+
+def _t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.text import language_id
+
+    df = language_id(load_table(spark, sf_dir, "documents"))
+    return df.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t04_language_id_confusion",
+        spark_fn=_t04,
+        oracle=None,  # heuristic classifier output; accuracy asserted in tests
+        survey_ref="text analysis: n-gram language-ID heuristic (confusion vs labels)",
+    )
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="t05_quality_ratios",
+        spark_fn=_guarded(
+            "documents",
+            "SELECT doc_id, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text) AS alpha_ratio, "
+            "CAST(length(regexp_replace(text, '[^ ]', '')) AS DOUBLE) / length(text) AS space_ratio "
+            "FROM documents WHERE length(text) > 0",
+        ),
+        oracle=(
+            "SELECT doc_id, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio, "
+            "CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text) AS space_ratio "
+            "FROM documents WHERE length(text) > 0"
+        ),
+        survey_ref="text analysis: quality-score character-class ratios",
+    )
+)
+
+
+def _s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.similarity import ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ann_topk(
+        emb.filter(F.col("vec_id") != 0),
+        [float(x) for x in query],
+        k=10,
+        planes=10,
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s03_ann_lsh_topk",
+        spark_fn=_s03,
+        oracle=None,  # approximate; recall vs brute force asserted in tests
+        survey_ref="similarity search: hyperplane-LSH ANN top-k (scale path)",
+    )
+)
+
+
+def _m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on synthetic payloads (text bytes as media)."""
+    from gfw_data_api_spark.llmops.multimodal import media_dedup_keys
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    keyed = media_dedup_keys(docs)
+    return keyed.select(
+        "doc_id",
+        F.col("media_key").alias("content_sha256"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m01_media_content_keys",
+        spark_fn=_m01,
+        oracle=(
+            "SELECT doc_id, sha256(text) AS content_sha256, "
+            "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents"
+        ),
+        survey_ref="multimodal: binary payload plumbing + exact media dedup keys",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

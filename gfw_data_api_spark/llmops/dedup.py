@@ -1,0 +1,243 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of running these on Spark at all):
+
+- Everything pre-verification is native column math / higher-order
+  functions: shingling, MinHash signatures, banding, SimHash bit packing
+  all run in whole-stage codegen. xxhash64 with per-function salt gives
+  the hash family.
+- Candidate generation is the standard band-bucket shuffle: explode B
+  band keys per doc → groupBy band key. At 100 TB that is B small rows
+  per doc, shuffled once on a high-cardinality key (no skew: bucket keys
+  are hashes).
+- Pair verification joins only within buckets — quadratic work is bounded
+  per bucket, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops.text import tokens_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: keep the smallest id per md5(text).
+
+    One hash-shuffle; at scale this is the cheapest possible dedup and the
+    reason it's the first pass before any near-dup method.
+    """
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("copies"))
+        .drop("_h")
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingles as an array column (native sliding window)."""
+    toks = tokens_col(text)
+    count = F.size(toks) - F.lit(n - 1)
+    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0], so short
+    # documents must short-circuit to an empty shingle set
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as ``(_id, _sig array<bigint>)``.
+
+    Formulation matters at scale: explode shingles once, hash each shingle
+    string once, then ``num_hashes`` static ``min(xxhash64(h, i))``
+    aggregations with map-side partial aggregation — one shuffle on the doc
+    id. (A nested higher-order-function version re-evaluates the shingle
+    expression per hash function: measured ~60× slower.) Documents with no
+    shingles disappear (no rows to aggregate), so they never collide."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
+    ).withColumn("_h", F.xxhash64("_s"))
+    aggs = [F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    return (
+        ex.groupBy("_id")
+        .agg(*aggs)
+        .select("_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash.
+
+    Returns (id_a, id_b, est_jaccard) for pairs sharing ≥1 band bucket,
+    with the signature-estimated Jaccard for thresholding. ``bands``
+    divides ``num_hashes``; rows-per-band r = H/B sets the S-curve.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("_band", "_bucket"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        pairs.join(sig.withColumnRenamed("_id", "id_a").withColumnRenamed("_sig", "_sig_a"), "id_a")
+        .join(sig.withColumnRenamed("_id", "id_b").withColumnRenamed("_sig", "_sig_b"), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(num_hashes)),
+        )
+        .select("id_a", "id_b", F.col("est_jaccard").cast("double"))
+    )
+    return est
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    explode(shingles) → self-join per shingle → |A∩B| per pair →
+    |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle hash (high
+    cardinality, no skew); work is proportional to true overlap, the
+    standard exact alternative to MinHash at moderate shingle counts.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
+    ).withColumn("_s", F.xxhash64("_s"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .withColumn("jaccard", (F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared"))).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash per document: explode tokens, per bit b sum ±1 by the
+    token-hash's bit b, pack the sign vector into one bigint.
+
+    One explode + one groupBy(id) with ``bits`` static sum aggregations —
+    map-side partial aggregation makes this a single cheap shuffle on the
+    doc id regardless of document length.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    counts = tok.groupBy("_id").agg(*aggs)
+    packed = F.lit(0).cast("bigint")
+    for b in range(bits):
+        bit_value = (1 << b) if b < 63 else -(2**63)  # two's-complement top bit
+        packed = packed.bitwiseXOR(
+            F.when(F.col(f"_b{b}") > 0, F.lit(bit_value).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return counts.select(F.col("_id").alias(id_col), packed.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into ``bands``
+    chunks (pigeonhole: hamming ≤ bands−1 ⇒ some chunk equal),
+    bucket-join, then verify the exact Hamming distance via bit_count."""
+    width = 64 // bands
+    sim = simhash(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
+    )
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("_sh"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"_c{b}")
+        for b in range(bands)
+    ]
+    banded = sim.select("_id", "_sh", F.posexplode(F.array(*chunk_cols)).alias("_band", "_chunk"))
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("_sha"),
+            F.col("b._sh").alias("_shb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Dot products are native ``zip_with``/``aggregate`` expressions; the
+  top-k is a single ``orderBy(...).limit(k)`` (Spark runs TakeOrdered —
+  per-partition heaps + a driver merge, no global sort shuffle).
+- ``hyperplane_lsh_buckets`` / ``ann_topk``: the scale path — random
+  hyperplane signs (seeded, deterministic) bucket vectors; a query probes
+  its own bucket (optionally hamming-1 neighbors) and scores only those
+  candidates. At 100 TB the bucket column is written with the table and
+  pruned at scan time.
+- ``embedding_near_dups``: cosine near-dup pairs within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_with_lit(emb: Column, vec: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(emb.cast("array<double>"), lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(emb: Column) -> Column:
+    cast = emb.cast("array<double>")
+    return F.sqrt(
+        F.aggregate(F.zip_with(cast, cast, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_to_query(emb: Column, query: list[float]) -> Column:
+    qnorm = math.sqrt(sum(float(x) ** 2 for x in query)) or 1.0
+    return _dot_with_lit(emb, query) / (norm_col(emb) * F.lit(qnorm))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    return (
+        df.select(id_col, cosine_to_query(F.col(emb_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim))
+
+
+def hyperplane_bucket_col(emb: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket key from ``planes`` random hyperplanes (bigint)."""
+    bits = [
+        F.when(_dot_with_lit(emb, plane.tolist()) >= 0, F.shiftleft(F.lit(1).cast("bigint"), i))
+        .otherwise(F.lit(0).cast("bigint"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseXOR(b)
+    return out
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the LSH bucket column (deterministic given seed)."""
+    if dim is None:
+        dim = len(df.select(emb_col).first()[0])
+    hp = _hyperplanes(dim, planes, seed)
+    return df.withColumn("lsh_bucket", hyperplane_bucket_col(F.col(emb_col), hp))
+
+
+def ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's bucket (and
+    hamming ≤ ``probe_hamming`` neighbor buckets)."""
+    hp = _hyperplanes(len(query), planes, seed)
+    qvec = np.asarray(query, dtype=np.float64)
+    qbits = int(sum(1 << i for i, plane in enumerate(hp) if float(plane @ qvec) >= 0))
+    probes = {qbits}
+    if probe_hamming >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(planes)}
+    if "lsh_bucket" not in df.columns:
+        df = hyperplane_lsh_buckets(df, emb_col, planes, len(query), seed)
+    candidates = df.filter(F.col("lsh_bucket").isin(list(probes)))
+    return (
+        candidates.select(id_col, cosine_to_query(F.col(emb_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs: bucket by hyperplane signs, pair within
+    buckets, verify exact cosine ≥ threshold. Bounded-quadratic per
+    bucket, like the MinHash band join."""
+    with_buckets = hyperplane_lsh_buckets(df, emb_col, planes, seed=seed).select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        "lsh_bucket",
+        norm_col(F.col(emb_col)).alias("_norm"),
+    )
+    pairs = (
+        with_buckets.alias("a")
+        .join(
+            with_buckets.alias("b"),
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("a._emb").cast("array<double>"),
+                        F.col("b._emb").cast("array<double>"),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("a._norm") * F.col("b._norm"))
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,195 @@
+"""LLM-pipeline operator tests: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")  # 1 of 16 tokens differs
+    rows = [
+        (1, base),
+        (2, near),
+        (3, "completely unrelated text about spark query engines and parquet files"),
+        (4, base),  # exact duplicate of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(dedup.shingles_col(F.col("text"), 2).alias("s")).collect()[0]
+    assert row["s"] == ["a b", "b c", "c d"]
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert by_pair[(1, 4)] == 1.0  # exact dup: identical signatures
+    assert (1, 2) in by_pair and by_pair[(1, 2)] > 0.5  # near dup
+    assert (1, 3) not in by_pair and (2, 3) not in by_pair  # unrelated
+
+
+def test_ngram_jaccard_exact_value(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.1).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert by_pair[(1, 4)] == 1.0
+
+    def shingle_set(s, n=3):
+        toks = s.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    a, b = shingle_set(base), shingle_set(near)
+    expected = len(a & b) / len(a | b)
+    assert by_pair[(1, 2)] == pytest.approx(expected)
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_dups(docs, max_hamming=10).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert by_pair[(1, 4)] == 0  # identical docs, identical simhash
+    assert (1, 2) in by_pair  # near dup within 10 bits
+    assert (1, 3) not in by_pair
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8))
+    vecs[10] = vecs[0] * 1.5  # same direction as 0 → cosine 1
+    vecs[11] = vecs[0] + rng.standard_normal(8) * 0.05  # near dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"), vecs
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    df, vecs = embeddings
+    query = vecs[0].tolist()
+    got = [r["vec_id"] for r in similarity.brute_force_topk(df, query, k=5).collect()]
+    cos = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    golden = list(np.lexsort((np.arange(len(cos)), -cos))[:5])
+    assert got == [int(g) for g in golden]
+    assert got[0] in (0, 10)  # exact-direction matches rank first
+
+
+def test_ann_topk_finds_near_neighbors(embeddings):
+    df, vecs = embeddings
+    query = vecs[0].tolist()
+    got = [r["vec_id"] for r in similarity.ann_topk(df, query, k=5, planes=8).collect()]
+    # the identical-direction and near-dup vectors must be retrieved
+    assert 0 in got and 10 in got
+
+
+def test_lsh_buckets_deterministic(embeddings):
+    df, _ = embeddings
+    a = similarity.hyperplane_lsh_buckets(df, planes=8, seed=7).collect()
+    b = similarity.hyperplane_lsh_buckets(df, planes=8, seed=7).collect()
+    assert {r["vec_id"]: r["lsh_bucket"] for r in a} == {r["vec_id"]: r["lsh_bucket"] for r in b}
+
+
+def test_embedding_near_dups(embeddings):
+    df, _ = embeddings
+    pairs = similarity.embedding_near_dups(df, threshold=0.98, planes=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 10) in found  # colinear pair
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world foo",), ("one",)], "text string")
+    counts = [r[0] for r in df.select(text.token_count(F.col("text"))).collect()]
+    assert counts == [3, 1]
+    bpe = df.select(text.bpe_ish_token_count(F.col("text"))).collect()[0][0]
+    assert bpe >= 3
+
+
+def test_quality_signals(spark):
+    rows = [
+        (1, "The cat and the dog played in the garden with a ball of yarn."),
+        (2, "@@@@ #### !!!! %%%% ^^^^ &&&&"),
+    ]
+    df = text.quality_signals(spark.createDataFrame(rows, "id int, text string"))
+    scores = {r["id"]: r["quality_score"] for r in df.collect()}
+    assert scores[1] > 0.6
+    assert scores[2] < 0.2
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog is in the house with a mouse"),
+        (2, "el perro y la casa que en los campos de la ciudad"),
+        (3, "der hund und die katze von dem haus mit einem ball"),
+        (4, "le chat et le chien dans la maison des champs une fois"),
+        (5, "这是一个中文句子 关于猫和狗"),
+    ]
+    df = text.language_id(spark.createDataFrame(rows, "id int, text string"))
+    preds = {r["id"]: r["lang_pred"] for r in df.collect()}
+    assert preds == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "zh"}
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], "id int, text string")
+    f1 = text.fingerprint(df).collect()[0]["fingerprint"]
+    f2 = text.fingerprint(df).collect()[0]["fingerprint"]
+    assert f1 == f2 and ":" in f1
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, bytearray(b"fake-image-bytes-1"), ("image", "png", 640, 480, None, None)),
+        (2, bytearray(b"fake-image-bytes-1"), ("image", "png", 640, 480, None, None)),
+        (3, bytearray(b"fake-video-bytes"), ("video", "mp4", 1920, 1080, 10_000, 300)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id int, payload binary, media_meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:int,n_frames:int>",
+    )
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "image", fake=False)
+
+
+def test_extract_features_deterministic(media_df):
+    out = multimodal.extract_features(media_df).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id[1]["features"]) == multimodal.FEATURE_DIM
+    # same payload → same features + same content hash
+    assert by_id[1]["features"] == by_id[2]["features"]
+    assert by_id[1]["content_sha256"] == by_id[2]["content_sha256"]
+    assert by_id[1]["content_sha256"] != by_id[3]["content_sha256"]
+
+
+def test_resize_rewrites_meta(media_df):
+    out = multimodal.resize_images(media_df, 224, 224).collect()[0]["media_meta"]
+    assert out["width"] == 224 and out["height"] == 224
+
+
+def test_sample_frames(media_df):
+    rows = {r["media_id"]: r["sampled_frames"] for r in multimodal.sample_frames(media_df, 100).collect()}
+    assert rows[3] == [0, 100, 200]
+    assert rows[1] == []
+
+
+def test_media_dedup_keys(media_df):
+    rows = multimodal.media_dedup_keys(media_df).collect()
+    expected = hashlib.sha256(b"fake-image-bytes-1").hexdigest()
+    by_id = {r["media_id"]: r["media_key"] for r in rows}
+    assert by_id[1] == expected == by_id[2]
