@@ -1,0 +1,160 @@
+"""Downloads / exports (SURVEY.md §2.2 E12-E14, §2.4 R12).
+
+Reference: app/routes/datasets/downloads.py (CSV/JSON downloads run the
+same guarded query path), queries.py:528-545 (CSV serialization with
+QUOTE_NONNUMERIC), batch/scripts/export_vector_data.sh (filtered vector
+export), app/utils/fields.py:9-38 (feature-info column selection),
+batch/python/export_1x1_grid.py (the 1×1° grid export spatial join).
+
+Everything distributed: exports are ``df.write`` jobs; the NDJSON feature
+serialization is native string/JSON column work, and the 1×1 grid export
+broadcasts the (small) grid-cell table — Catalyst turns the
+intersects-join into broadcast + bbox prefilter + exact UDF check.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from gfw_data_api_spark.functions import geometry as geo_mod
+
+
+@pandas_udf(T.BooleanType())
+def _cell_intersects(wkb: pd.Series, cx: pd.Series, cy: pd.Series) -> pd.Series:
+    out = []
+    for b, x, y in zip(wkb, cx, cy):
+        if b is None:
+            out.append(None)
+            continue
+        x, y = float(x), float(y)
+        cell = {
+            "type": "Polygon",
+            "coordinates": [[[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]]],
+        }
+        out.append(geo_mod.intersects(geo_mod.wkb_loads(bytes(b)), cell))
+    return pd.Series(out)
+
+from gfw_data_api_spark.catalog.registry import Registry
+from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+DELIMITERS = {",": ",", "\t": "\t", "|": "|", ";": ";"}
+
+
+def query_for_download(
+    spark: SparkSession,
+    registry: Registry,
+    dataset: str,
+    version: str,
+    sql: str,
+    geometry: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Shared download entry: guard + is_downloadable check."""
+    from gfw_data_api_spark.catalog.registry import RegistryError
+
+    if not registry.get_dataset(dataset).is_downloadable:
+        raise RegistryError(f"Dataset {dataset} is not downloadable.", 403)
+    version_entity = registry.get_version(dataset, version)
+    if not version_entity.is_downloadable:
+        raise RegistryError(f"Version {dataset}.{version} is not downloadable.", 403)
+    df = registry.load(spark, dataset, version)
+    return execute_on_dataframe(spark, df, sql, geometry=geometry)
+
+
+def rows_to_csv(df: DataFrame, delimiter: str = ",") -> str:
+    """In-memory CSV for API responses — QUOTE_NONNUMERIC like the
+    reference (queries.py:528-545). For large results use write_csv."""
+    buf = io.StringIO()
+    writer = csv.writer(buf, delimiter=DELIMITERS.get(delimiter, delimiter), quoting=csv.QUOTE_NONNUMERIC)
+    writer.writerow(df.columns)
+    for row in df.collect():
+        writer.writerow([row[c] for c in df.columns])
+    return buf.getvalue()
+
+
+def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
+    """Distributed CSV export (the scale path for E12/R12)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("delimiter", DELIMITERS.get(delimiter, delimiter))
+        .csv(path)
+    )
+
+
+def rows_to_json(df: DataFrame) -> list[dict]:
+    return [row.asDict(recursive=True) for row in df.collect()]
+
+
+def export_ndjson_features(
+    df: DataFrame,
+    path: str,
+    registry: Registry | None = None,
+    dataset: str | None = None,
+    version: str | None = None,
+) -> None:
+    """E12+E14: vector export as newline-delimited GeoJSON Features.
+
+    Feature JSON is assembled natively: properties via to_json(struct(...))
+    over the feature-info columns, geometry spliced in from the stored
+    ``gfw_geojson`` text — no Python serialization in the hot path.
+    """
+    columns = None
+    if registry is not None and dataset is not None and version is not None:
+        columns = [c for c in registry.feature_info_fields(dataset, version) if c in df.columns]
+    if not columns:
+        columns = [c for c in df.columns if not c.startswith(("geom", "gfw_geojson", "gfw_bbox"))]
+    line = F.concat(
+        F.lit('{"type": "Feature", "properties": '),
+        F.to_json(F.struct(*[F.col(c) for c in columns])),
+        F.lit(', "geometry": '),
+        F.coalesce(F.col("gfw_geojson"), F.lit("null")),
+        F.lit("}"),
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def export_grid_1x1(
+    spark: SparkSession,
+    df: DataFrame,
+    geom_col: str = "geom",
+    bbox_col: str = "gfw_bbox",
+) -> DataFrame:
+    """E13: tag features with the 1×1° grid cells they intersect.
+
+    The reference iterates ~280 10×10 tiles with async Postgres queries
+    (export_1x1_grid.py:309-451); here one Spark job: derive candidate
+    cells per feature from its bbox natively (explode of a sequence cross
+    product — no cross join at all), then confirm with the exact
+    intersects UDF. Output: one row per (feature, grid_id).
+    """
+    lon0 = F.floor(F.col(bbox_col)[0]).cast("int")
+    lon1 = F.floor(F.col(bbox_col)[2]).cast("int")
+    lat0 = F.floor(F.col(bbox_col)[1]).cast("int")
+    lat1 = F.floor(F.col(bbox_col)[3]).cast("int")
+    cells = F.flatten(
+        F.transform(
+            F.sequence(lon0, lon1),
+            lambda x: F.transform(F.sequence(lat0, lat1), lambda y: F.struct(x.alias("cx"), y.alias("cy"))),
+        )
+    )
+    exploded = df.withColumn("_cell", F.explode(cells))
+
+    grid_id = F.concat_ws(
+        "_",
+        F.concat(F.abs(F.col("_cell.cy") + 1).cast("string"), F.when(F.col("_cell.cy") + 1 >= 0, "N").otherwise("S")),
+        F.concat(F.abs(F.col("_cell.cx")).cast("string"), F.when(F.col("_cell.cx") >= 0, "E").otherwise("W")),
+    )
+    return (
+        exploded.filter(_cell_intersects(F.col(geom_col), F.col("_cell.cx"), F.col("_cell.cy")))
+        .withColumn("gfw_grid_1x1_id", grid_id)
+        .drop("_cell")
+    )

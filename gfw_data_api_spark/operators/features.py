@@ -1,0 +1,94 @@
+"""Feature lookup operators (SURVEY.md §2.3 I3/I4/I5/I7).
+
+Reference: app/routes/datasets/features.py:140-246 — a point+zoom lookup
+buffers the point by a zoom-dependent search radius (tippecanoe tile
+precision × 50) in an azimuthal-equidistant frame, then selects the
+``is_feature_info`` columns of features intersecting the buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gfw_data_api_spark.catalog.registry import Registry, RegistryError
+from gfw_data_api_spark.functions import geometry as geo
+from gfw_data_api_spark.operators.query import filter_by_geometry
+
+# Vector-tile precision per zoom level (tippecanoe), metres
+# (features.py:183-210)
+_ZOOM_PRECISION: dict[int, float] = {
+    0: 10000, 1: 5000, 2: 2500, 3: 1250, 4: 600, 5: 300, 6: 150, 7: 80,
+    8: 40, 9: 20, 10: 10, 11: 5, 12: 2, 13: 1, 14: 0.5, 15: 0.25,
+    16: 0.15, 17: 0.08, 18: 0.04, 19: 0.02, 20: 0.01, 21: 0.005, 22: 0.0025,
+}
+_SCALE_FACTOR = 50
+
+
+def buffer_distance_m(zoom: int) -> float:
+    """Search radius for a zoom level (features.py:176-218)."""
+    try:
+        return _ZOOM_PRECISION[zoom] * _SCALE_FACTOR
+    except KeyError:
+        raise RegistryError("Zoom level out of range", 400) from None
+
+
+def features_by_location(
+    spark: SparkSession,
+    registry: Registry,
+    dataset: str,
+    version: str,
+    lat: float,
+    lng: float,
+    zoom: int = 22,
+) -> DataFrame:
+    """I3: features intersecting the zoom-buffered point, projected to the
+    version's feature-info columns (E14 selection)."""
+    buffer_geom = geo.buffer_point(lng, lat, buffer_distance_m(zoom))
+    df = registry.load(spark, dataset, version)
+    columns = registry.feature_info_fields(dataset, version)
+    filtered = filter_by_geometry(df, buffer_geom)
+    return filtered.select(*columns) if columns else filtered
+
+
+def feature_by_id(
+    spark: SparkSession,
+    registry: Registry,
+    dataset: str,
+    version: str,
+    id_column: str,
+    feature_id,
+) -> DataFrame:
+    """I7-style exact-id lookup (e.g. wdpa_pid = :id)."""
+    from pyspark.sql import functions as F
+
+    df = registry.load(spark, dataset, version)
+    columns = registry.feature_info_fields(dataset, version)
+    out = df.filter(F.col(id_column) == F.lit(feature_id))
+    return out.select(*columns) if columns else out
+
+
+def admin_lookup(
+    spark: SparkSession,
+    registry: Registry,
+    dataset: str,
+    version: str,
+    level: int,
+    gid_pattern: str | None = None,
+    name: str | None = None,
+    name_column: str | None = None,
+) -> DataFrame:
+    """I4/I5: GADM-style boundary lookup — LIKE pattern on the gid column
+    with escaped-underscore revision suffix (crud/geostore.py:330-367), or
+    exact match on a unidecoded+lowered normalized name column
+    (political/id_lookup.py:58-126)."""
+    from pyspark.sql import functions as F
+
+    df = registry.load(spark, dataset, version)
+    out = df.filter(F.col("adm_level") == F.lit(str(level)))
+    if gid_pattern is not None:
+        # revision-agnostic: 'BRA.12_' + one revision char, underscore escaped
+        out = out.filter(F.col(f"gid_{level}").like(gid_pattern, escapeChar="\\"))
+    if name is not None:
+        column = name_column or (f"name_{level}_normalized" if level else "country_normalized")
+        out = out.filter(F.col(column) == F.lit(name.lower()))
+    return out

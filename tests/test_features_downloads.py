@@ -1,0 +1,147 @@
+"""Feature lookup, downloads/exports, and streaming append tests
+(reference: test_features.py, downloads routes, append flow)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.catalog import Registry, RegistryError
+from gfw_data_api_spark.operators import downloads, features
+from gfw_data_api_spark.sources.pipeline import ingest_tabular, ingest_vector
+
+
+@pytest.fixture(scope="module")
+def vector_registry(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("featdl")
+    registry = Registry(str(tmp / "catalog"))
+    path = str(tmp / "areas.geojsonl")
+    with open(path, "w") as fh:
+        for i in range(10):
+            x = float(i)
+            fh.write(
+                json.dumps(
+                    {
+                        "type": "Feature",
+                        "properties": {"fid": i, "name": f"area_{i}"},
+                        "geometry": {
+                            "type": "Polygon",
+                            "coordinates": [
+                                [[x, 0.0], [x + 0.4, 0.0], [x + 0.4, 0.4], [x, 0.4], [x, 0.0]]
+                            ],
+                        },
+                    }
+                )
+                + "\n"
+            )
+    ingest_vector(registry, spark, "areas", "v1", path)
+    return registry
+
+
+def test_features_by_location(spark, vector_registry):
+    # point inside feature 3's box
+    out = features.features_by_location(spark, vector_registry, "areas", "v1", 0.2, 3.2, zoom=18)
+    rows = out.collect()
+    assert [r["fid"] for r in rows] == [3]
+    # feature-info selection excludes geom columns
+    assert "geom" not in out.columns and "fid" in out.columns
+
+
+def test_features_by_location_zoom_radius(spark, vector_registry):
+    # zoom 0 → 500 km buffer → catches many features
+    out = features.features_by_location(spark, vector_registry, "areas", "v1", 0.2, 3.2, zoom=0)
+    assert out.count() > 3
+
+
+def test_bad_zoom_rejected(spark, vector_registry):
+    with pytest.raises(RegistryError):
+        features.features_by_location(spark, vector_registry, "areas", "v1", 0.2, 3.2, zoom=99)
+
+
+def test_feature_by_id(spark, vector_registry):
+    rows = features.feature_by_id(spark, vector_registry, "areas", "v1", "fid", 7).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "area_7"
+
+
+def test_download_csv_quoting(spark, vector_registry):
+    df = downloads.query_for_download(
+        spark, vector_registry, "areas", "v1",
+        "SELECT fid, name FROM data WHERE fid < 3",
+    )
+    text = downloads.rows_to_csv(df.orderBy("fid"))
+    lines = text.strip().splitlines()
+    assert lines[0] == '"fid","name"'
+    assert lines[1] == '0,"area_0"'  # QUOTE_NONNUMERIC: strings quoted, numbers not
+
+
+def test_download_not_downloadable(spark, vector_registry):
+    vector_registry.get_dataset("areas").is_downloadable = False
+    try:
+        with pytest.raises(RegistryError) as exc:
+            downloads.query_for_download(
+                spark, vector_registry, "areas", "v1", "SELECT fid FROM data"
+            )
+        assert exc.value.status_code == 403
+    finally:
+        vector_registry.get_dataset("areas").is_downloadable = True
+
+
+def test_export_ndjson_features(spark, vector_registry, tmp_path):
+    df = vector_registry.load(spark, "areas", "v1")
+    out_dir = str(tmp_path / "ndjson")
+    downloads.export_ndjson_features(df, out_dir, vector_registry, "areas", "v1")
+    lines = []
+    for name in os.listdir(out_dir):
+        if name.startswith("part-"):
+            with open(os.path.join(out_dir, name)) as fh:
+                lines += [json.loads(line) for line in fh if line.strip()]
+    assert len(lines) == 10
+    feat = next(line for line in lines if line["properties"]["fid"] == 0)
+    assert feat["type"] == "Feature"
+    assert feat["geometry"]["type"] == "Polygon"
+
+
+def test_export_grid_1x1(spark, vector_registry):
+    df = vector_registry.load(spark, "areas", "v1")
+    tagged = downloads.export_grid_1x1(spark, df)
+    rows = tagged.select("fid", "gfw_grid_1x1_id").collect()
+    by_fid = {r["fid"]: r["gfw_grid_1x1_id"] for r in rows}
+    # each 0.4° box sits inside exactly one 1×1 cell
+    assert len(rows) == 10
+    assert by_fid[0] == "1N_0E"
+    assert by_fid[3] == "1N_3E"
+
+
+def test_stream_append(spark, tmp_path):
+    import csv
+
+    from gfw_data_api_spark.streaming.append_stream import stream_append
+
+    registry = Registry(str(tmp_path / "catalog"))
+
+    def write_csv(path, start, rows):
+        with open(path, "w", newline="") as fh:
+            writer = csv.writer(fh)
+            writer.writerow(["alert_id", "frp"])
+            for i in range(start, start + rows):
+                writer.writerow([i, i * 0.5])
+
+    first = str(tmp_path / "load.csv")
+    write_csv(first, 0, 50)
+    ingest_tabular(
+        registry, spark, "nrt", "v1", first, unique_on=["alert_id"], is_mutable=True
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    write_csv(os.path.join(landing, "batch1.csv"), 25, 50)  # 25 dupes + 25 new
+    out = stream_append(registry, spark, "nrt", "v1", landing)
+    assert out.count() == 75
+    # re-run: checkpoint skips already-processed files → no growth
+    out2 = stream_append(registry, spark, "nrt", "v1", landing)
+    assert out2.count() == 75
+    # a new landing file gets picked up
+    write_csv(os.path.join(landing, "batch2.csv"), 70, 10)
+    out3 = stream_append(registry, spark, "nrt", "v1", landing)
+    assert out3.count() == 80
