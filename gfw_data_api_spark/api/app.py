@@ -1,0 +1,305 @@
+"""WSGI application exposing the engine with the reference's route shapes.
+
+Reference surface (SURVEY.md §3): app/main.py:111-199 registers the
+routers; this module reproduces the query-plane contracts:
+
+- ``GET  /datasets``                          — dataset list (I1 join)
+- ``GET  /dataset/{d}``                       — dataset + versions
+- ``GET  /dataset/{d}/{v}``                   — version metadata;
+  ``latest`` resolves via 308 redirect exactly like the reference's
+  middleware (app/middleware.py:25-77)
+- ``GET/POST /dataset/{d}/{v}/query/json``    — guarded SQL (table or
+  raster path dispatched on the default asset type, queries.py:487-503)
+- ``GET/POST /dataset/{d}/{v}/query/csv``     — same, CSV out
+  (QUOTE_NONNUMERIC, queries.py:528-545)
+- ``GET  /dataset/{d}/{v}/fields``            — field metadata
+- ``GET  /dataset/{d}/{v}/features?lat&lng&z``— features by location (I3)
+- ``GET  /dataset/{d}/{v}/download/csv|json`` — downloads with guards
+- ``POST /geostore`` / ``GET /geostore/{id}`` — content-addressed create
+- ``POST /analysis/zonal/{geostore_id}``      — zonal statistics (R1-R9)
+
+Responses use the reference's envelope ``{"data": ..., "status":
+"success"}``; errors are ``{"status": "failed", "message": ...}`` with
+the validation layer's status codes. The reference runs FastAPI; that
+package isn't available here, so this is dependency-free WSGI — the
+engine API underneath is identical either way.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+from urllib.parse import parse_qs
+
+from pyspark.sql import SparkSession
+
+from gfw_data_api_spark.catalog.geostore import Geostore
+from gfw_data_api_spark.catalog.registry import Registry, RegistryError
+from gfw_data_api_spark.operators import downloads, features
+from gfw_data_api_spark.operators.analysis import zonal_statistics
+from gfw_data_api_spark.operators.query import execute_on_dataframe
+from gfw_data_api_spark.raster.zonal import query_raster
+from gfw_data_api_spark.sql.guard import QueryGuardError
+
+_STATUS_TEXT = {
+    200: "200 OK",
+    308: "308 Permanent Redirect",
+    400: "400 Bad Request",
+    403: "403 Forbidden",
+    404: "404 Not Found",
+    405: "405 Method Not Allowed",
+    422: "422 Unprocessable Entity",
+    500: "500 Internal Server Error",
+}
+
+
+def _json_response(start_response, payload: Any, status: int = 200, headers=None):
+    body = json.dumps(payload, default=str).encode()
+    hdrs = [("Content-Type", "application/json"), ("Content-Length", str(len(body)))]
+    hdrs += headers or []
+    start_response(_STATUS_TEXT.get(status, f"{status} Status"), hdrs)
+    return [body]
+
+
+def _row_value(value):
+    import datetime
+
+    if isinstance(value, (bytes, bytearray)):
+        return value.hex()
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.isoformat()
+    return value
+
+
+def create_app(
+    spark: SparkSession, registry: Registry, geostore: Geostore | None = None
+) -> Callable:
+    geostore = geostore or Geostore(registry)
+
+    def resolve_geometry(params: dict, body: dict) -> dict | None:
+        if "geometry" in body:
+            return body["geometry"]
+        geostore_id = body.get("geostore_id") or (params.get("geostore_id") or [None])[0]
+        if geostore_id:
+            return geostore.geometry(spark, geostore_id)
+        return None
+
+    def run_query(dataset: str, version: str, sql: str, geometry: dict | None):
+        asset = registry.get_default_asset(dataset, version)
+        if asset.asset_type == "raster_tile_set":
+            if geometry is None:
+                raise QueryGuardError("Raster queries require a geometry.", 422)
+            return query_raster(spark, registry, dataset, version, sql, geometry)
+        df = registry.load(spark, dataset, version)
+        return execute_on_dataframe(spark, df, sql, geometry=geometry)
+
+    def app(environ, start_response):
+        method = environ["REQUEST_METHOD"]
+        path = environ.get("PATH_INFO", "/").rstrip("/")
+        params = parse_qs(environ.get("QUERY_STRING", ""))
+        body: dict = {}
+        if method in ("POST", "PUT"):
+            try:
+                length = int(environ.get("CONTENT_LENGTH") or 0)
+                raw = environ["wsgi.input"].read(length) if length else b""
+                body = json.loads(raw) if raw else {}
+            except (ValueError, KeyError):
+                return _json_response(
+                    start_response, {"status": "failed", "message": "Invalid JSON body."}, 400
+                )
+
+        try:
+            parts = [p for p in path.split("/") if p]
+
+            # /datasets
+            if parts == ["datasets"] and method == "GET":
+                data = [
+                    {
+                        "dataset": d.dataset,
+                        "is_downloadable": d.is_downloadable,
+                        "versions": [
+                            v.version
+                            for (ds, _), v in registry._versions.items()
+                            if ds == d.dataset
+                        ],
+                    }
+                    for d in registry.datasets()
+                ]
+                return _json_response(start_response, {"data": data, "status": "success"})
+
+            # /geostore
+            if parts == ["geostore"] and method == "POST":
+                entry = geostore.create(body["geometry"])
+                return _json_response(start_response, {"data": entry, "status": "success"})
+            if len(parts) == 2 and parts[0] == "geostore" and method == "GET":
+                entry = geostore.get(spark, parts[1])
+                return _json_response(start_response, {"data": entry, "status": "success"})
+
+            # /analysis/zonal/{geostore_id}
+            if len(parts) == 3 and parts[:2] == ["analysis", "zonal"] and method == "GET":
+                geometry = geostore.geometry(spark, parts[2])
+                dataset = params["dataset"][0]
+                version = registry.resolve_version(dataset, params.get("version", ["latest"])[0])
+                df = zonal_statistics(
+                    spark,
+                    registry,
+                    dataset,
+                    version,
+                    geometry,
+                    sum_layers=params.get("sum", ["area__ha"]),
+                    group_by=params.get("group_by", []),
+                    filters=params.get("filters", []),
+                    start_date=(params.get("start_date") or [None])[0],
+                    end_date=(params.get("end_date") or [None])[0],
+                )
+                data = [
+                    {k: _row_value(v) for k, v in row.asDict().items()} for row in df.collect()
+                ]
+                return _json_response(start_response, {"data": data, "status": "success"})
+
+            # /dataset/...
+            if parts and parts[0] == "dataset":
+                if len(parts) == 2:
+                    entity = registry.get_dataset(parts[1])
+                    if method == "PUT":
+                        pass  # dataset already exists → idempotent metadata echo
+                    versions = [
+                        v.version for (d, _), v in registry._versions.items() if d == parts[1]
+                    ]
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": {
+                                "dataset": entity.dataset,
+                                "is_downloadable": entity.is_downloadable,
+                                "versions": versions,
+                            },
+                            "status": "success",
+                        },
+                    )
+
+                dataset, version = parts[1], parts[2]
+                # `latest` → 308 redirect to the concrete version
+                # (app/middleware.py:25-77)
+                if version == "latest":
+                    concrete = registry.resolve_version(dataset, "latest")
+                    location = "/" + "/".join(["dataset", dataset, concrete] + parts[3:])
+                    query_string = environ.get("QUERY_STRING")
+                    if query_string:
+                        location += f"?{query_string}"
+                    return _json_response(
+                        start_response,
+                        {"status": "redirect", "location": location},
+                        308,
+                        headers=[("Location", location)],
+                    )
+
+                if len(parts) == 3 and method == "GET":
+                    entity = registry.get_version(dataset, version)
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": {
+                                "dataset": dataset,
+                                "version": entity.version,
+                                "is_latest": entity.is_latest,
+                                "is_mutable": entity.is_mutable,
+                                "status": entity.status,
+                            },
+                            "status": "success",
+                        },
+                    )
+
+                tail = parts[3:]
+                if tail == ["fields"]:
+                    asset = registry.get_default_asset(dataset, version)
+                    return _json_response(
+                        start_response, {"data": asset.fields, "status": "success"}
+                    )
+
+                if tail[:1] == ["query"]:
+                    fmt = tail[1] if len(tail) > 1 else "json"
+                    sql = body.get("sql") or (params.get("sql") or [None])[0]
+                    if not sql:
+                        raise QueryGuardError("Missing sql parameter.", 400)
+                    geometry = resolve_geometry(params, body)
+                    df = run_query(dataset, version, sql, geometry)
+                    if fmt == "csv":
+                        text = downloads.rows_to_csv(df)
+                        data = text.encode()
+                        start_response(
+                            "200 OK",
+                            [("Content-Type", "text/csv"), ("Content-Length", str(len(data)))],
+                        )
+                        return [data]
+                    data = [
+                        {k: _row_value(v) for k, v in row.asDict().items()}
+                        for row in df.collect()
+                    ]
+                    return _json_response(start_response, {"data": data, "status": "success"})
+
+                if tail[:1] == ["features"] and method == "GET":
+                    lat = float(params["lat"][0])
+                    lng = float(params["lng"][0])
+                    zoom = int((params.get("z") or ["22"])[0])
+                    df = features.features_by_location(
+                        spark, registry, dataset, version, lat, lng, zoom
+                    )
+                    data = [
+                        {k: _row_value(v) for k, v in row.asDict().items()}
+                        for row in df.collect()
+                    ]
+                    return _json_response(start_response, {"data": data, "status": "success"})
+
+                if tail[:1] == ["download"]:
+                    fmt = tail[1] if len(tail) > 1 else "csv"
+                    sql = body.get("sql") or (params.get("sql") or [None])[0] or "SELECT * FROM data"
+                    df = downloads.query_for_download(
+                        spark, registry, dataset, version, sql,
+                        geometry=resolve_geometry(params, body),
+                    )
+                    if fmt == "json":
+                        data = [
+                            {k: _row_value(v) for k, v in row.asDict().items()}
+                            for row in df.collect()
+                        ]
+                        return _json_response(
+                            start_response, {"data": data, "status": "success"}
+                        )
+                    text = downloads.rows_to_csv(df)
+                    raw = text.encode()
+                    start_response(
+                        "200 OK",
+                        [
+                            ("Content-Type", "text/csv"),
+                            ("Content-Disposition", f'attachment; filename="{dataset}_{version}.csv"'),
+                            ("Content-Length", str(len(raw))),
+                        ],
+                    )
+                    return [raw]
+
+            return _json_response(
+                start_response, {"status": "failed", "message": "Not found."}, 404
+            )
+        except (QueryGuardError, RegistryError) as exc:
+            return _json_response(
+                start_response,
+                {"status": "failed", "message": exc.detail},
+                exc.status_code,
+            )
+        except KeyError as exc:
+            return _json_response(
+                start_response,
+                {"status": "failed", "message": f"Missing parameter: {exc}"},
+                400,
+            )
+
+    return app
+
+
+def serve(app, host: str = "127.0.0.1", port: int = 8000):
+    """Run the app with the stdlib WSGI server (dev/testing)."""
+    from wsgiref.simple_server import make_server
+
+    with make_server(host, port, app) as server:
+        server.serve_forever()

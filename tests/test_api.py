@@ -1,0 +1,170 @@
+"""HTTP API tests — mirrors the reference's query-route behaviors
+(tests_v2/unit/app/routes/datasets/test_query.py: count query, forbidden
+400s, CSV output; middleware latest-redirect)."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from gfw_data_api_spark.api import create_app
+from gfw_data_api_spark.catalog import Registry
+from gfw_data_api_spark.catalog.geostore import Geostore
+from gfw_data_api_spark.raster.grid import Grid
+from gfw_data_api_spark.raster.ingest import ingest_raster_tiles
+from gfw_data_api_spark.sources.pipeline import ingest_tabular
+
+
+def call(app, method, path, query="", body=None):
+    """Minimal WSGI client."""
+    raw = json.dumps(body).encode() if body is not None else b""
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": query,
+        "CONTENT_LENGTH": str(len(raw)),
+        "wsgi.input": io.BytesIO(raw),
+    }
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = int(status.split()[0])
+        captured["headers"] = dict(headers)
+
+    chunks = app(environ, start_response)
+    payload = b"".join(chunks)
+    try:
+        captured["body"] = json.loads(payload)
+    except ValueError:
+        captured["body"] = payload.decode()
+    return captured
+
+
+@pytest.fixture(scope="module")
+def app(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("api")
+    registry = Registry(str(tmp / "catalog"))
+    import csv as csvmod
+
+    csv_path = str(tmp / "fires.csv")
+    with open(csv_path, "w", newline="") as fh:
+        writer = csvmod.writer(fh)
+        writer.writerow(["alert_id", "iso", "frp"])
+        for i in range(99):
+            writer.writerow([i, ["MOZ", "BOL"][i % 2], i * 0.5])
+    ingest_tabular(registry, spark, "nasa_viirs_fire_alerts", "v2024", csv_path)
+
+    grid = Grid(1.0, 50)
+    rng = np.random.default_rng(2)
+    ingest_raster_tiles(
+        registry, spark, "umd_tree_cover_loss", "v1", grid, "year",
+        {"01N_010E": rng.choice([0, 2004, 2014], (50, 50)).astype(np.float64)},
+    )
+    return create_app(spark, registry, Geostore(registry))
+
+
+def test_count_query_json(app):
+    out = call(
+        app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/query/json",
+        query="sql=SELECT%20count(*)%20AS%20count%20FROM%20data",
+    )
+    assert out["status"] == 200
+    assert out["body"] == {"data": [{"count": 99}], "status": "success"}
+
+
+def test_query_csv_quoting(app):
+    out = call(
+        app, "POST", "/dataset/nasa_viirs_fire_alerts/v2024/query/csv",
+        body={"sql": "SELECT iso, count(*) AS cnt FROM data GROUP BY iso ORDER BY iso"},
+    )
+    assert out["status"] == 200
+    lines = out["body"].strip().splitlines()
+    assert lines[0] == '"iso","cnt"'
+    assert lines[1] == '"BOL",49'
+
+
+def test_forbidden_function_400(app):
+    out = call(
+        app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/query/json",
+        query="sql=SELECT%20pg_ls_dir('/')%20FROM%20data",
+    )
+    assert out["status"] == 400
+    assert out["body"]["message"] == "Use of admin, system or private functions is not allowed."
+
+
+def test_latest_redirects_308(app):
+    out = call(
+        app, "GET", "/dataset/nasa_viirs_fire_alerts/latest/query/json",
+        query="sql=SELECT%20count(*)%20AS%20c%20FROM%20data",
+    )
+    assert out["status"] == 308
+    assert out["headers"]["Location"] == (
+        "/dataset/nasa_viirs_fire_alerts/v2024/query/json?sql=SELECT%20count(*)%20AS%20c%20FROM%20data"
+    )
+
+
+def test_raster_query_requires_geometry(app):
+    out = call(
+        app, "GET", "/dataset/umd_tree_cover_loss/v1/query/json",
+        query="sql=SELECT%20count(*)%20AS%20n%20FROM%20data",
+    )
+    assert out["status"] == 422
+
+
+def test_raster_query_with_geostore(app):
+    geom = {
+        "type": "Polygon",
+        "coordinates": [[[10.1, 0.1], [10.9, 0.1], [10.9, 0.9], [10.1, 0.9], [10.1, 0.1]]],
+    }
+    created = call(app, "POST", "/geostore", body={"geometry": geom})
+    assert created["status"] == 200
+    gid = created["body"]["data"]["gfw_geostore_id"]
+
+    out = call(
+        app, "POST", "/dataset/umd_tree_cover_loss/v1/query/json",
+        body={"sql": "SELECT count(*) AS n FROM data", "geostore_id": gid},
+    )
+    assert out["status"] == 200
+    assert out["body"]["data"][0]["n"] > 0
+
+
+def test_zonal_analysis_endpoint(app):
+    geom = {
+        "type": "Polygon",
+        "coordinates": [[[10.1, 0.1], [10.9, 0.1], [10.9, 0.9], [10.1, 0.9], [10.1, 0.1]]],
+    }
+    gid = call(app, "POST", "/geostore", body={"geometry": geom})["body"]["data"]["gfw_geostore_id"]
+    out = call(
+        app, "GET", f"/analysis/zonal/{gid}",
+        query="dataset=umd_tree_cover_loss&version=v1&sum=area__ha&group_by=umd_tree_cover_loss__year",
+    )
+    assert out["status"] == 200
+    assert len(out["body"]["data"]) == 2  # 2004, 2014
+
+
+def test_fields_endpoint(app):
+    out = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/fields")
+    assert out["status"] == 200
+    names = {f["name"] for f in out["body"]["data"]}
+    assert {"alert_id", "iso", "frp"} <= names
+
+
+def test_download_csv(app):
+    out = call(
+        app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/download/csv",
+        query="sql=SELECT%20alert_id%2C%20frp%20FROM%20data%20WHERE%20alert_id%20%3C%203%20ORDER%20BY%20alert_id",
+    )
+    assert out["status"] == 200
+    assert "attachment" in out["headers"]["Content-Disposition"]
+    assert out["body"].splitlines()[1] == "0,0.0"
+
+
+def test_unknown_route_404(app):
+    assert call(app, "GET", "/nope")["status"] == 404
+
+
+def test_datasets_listing(app):
+    out = call(app, "GET", "/datasets")
+    names = {d["dataset"] for d in out["body"]["data"]}
+    assert {"nasa_viirs_fire_alerts", "umd_tree_cover_loss"} <= names
