@@ -1,0 +1,146 @@
+"""Raster ETL transform tests (P2/P4/P7) + datamart precompute."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.catalog import Registry
+from gfw_data_api_spark.operators.datamart import compute_tree_cover_loss_by_driver
+from gfw_data_api_spark.raster.grid import Grid
+from gfw_data_api_spark.raster.ingest import ingest_raster_tiles
+from gfw_data_api_spark.raster.transform import band_algebra, downsample, histogram, raster_stats
+
+GRID = Grid(1.0, 100)
+N = 100
+TILE = "01N_010E"
+
+
+@pytest.fixture(scope="module")
+def registry(spark, tmp_path_factory):
+    return Registry(str(tmp_path_factory.mktemp("transform_cat")))
+
+
+@pytest.fixture(scope="module")
+def base_arrays(spark, registry):
+    rng = np.random.default_rng(21)
+    a = rng.uniform(1, 100, (N, N)).round(2)
+    b = rng.uniform(1, 10, (N, N)).round(2)
+    ingest_raster_tiles(registry, spark, "layer_a", "v1", GRID, "gross", {TILE: a}, no_data=None)
+    ingest_raster_tiles(registry, spark, "layer_b", "v1", GRID, "weight", {TILE: b}, no_data=None)
+    return a, b
+
+
+def test_band_algebra_two_bands(spark, registry, base_arrays):
+    a, b = base_arrays
+    uri_a = registry.get_default_asset("layer_a", "v1").asset_uri
+    uri_b = registry.get_default_asset("layer_b", "v1").asset_uri
+    out = band_algebra(
+        spark, registry, "derived_ab", "v1", GRID, "product",
+        calc="A * B + 1", input_uris={"A": uri_a, "B": uri_b}, no_data=None,
+    )
+    golden = a * b + 1
+    got = {r["pixel_id"]: r["value"] for r in out.collect()}
+    assert len(got) == N * N
+    flat = golden.reshape(-1)
+    for pid in (0, 1234, 9999):
+        assert got[pid] == pytest.approx(flat[pid], rel=1e-12)
+
+
+def test_downsample_average(spark, registry, base_arrays):
+    a, _ = base_arrays
+    uri = registry.get_default_asset("layer_a", "v1").asset_uri
+    df = spark.read.parquet(uri)
+    out = downsample(df, GRID, factor=4, method="average")
+    got = {r["pixel_id"]: r["value"] for r in out.collect()}
+    assert len(got) == (N // 4) ** 2
+    # golden: 4x4 block means
+    blocks = a.reshape(N // 4, 4, N // 4, 4).mean(axis=(1, 3))
+    flat = blocks.reshape(-1)
+    for pid in (0, 7, 300, 624):
+        assert got[pid] == pytest.approx(flat[pid], rel=1e-12)
+
+
+def test_downsample_max(spark, registry, base_arrays):
+    a, _ = base_arrays
+    uri = registry.get_default_asset("layer_a", "v1").asset_uri
+    out = downsample(spark.read.parquet(uri), GRID, factor=10, method="max")
+    got = {r["pixel_id"]: r["value"] for r in out.collect()}
+    blocks = a.reshape(N // 10, 10, N // 10, 10).max(axis=(1, 3))
+    assert got[0] == pytest.approx(blocks[0, 0])
+    assert len(got) == 100
+
+
+def test_raster_stats_and_histogram(spark, registry, base_arrays):
+    a, _ = base_arrays
+    uri = registry.get_default_asset("layer_a", "v1").asset_uri
+    df = spark.read.parquet(uri)
+    stats = raster_stats(df)
+    assert stats["n_pixels"] == N * N
+    assert stats["mean"] == pytest.approx(float(a.mean()), rel=1e-12)
+    assert stats["n_tiles"] == 1
+
+    hist = histogram(df, bins=5).collect()
+    counts = {r["bucket"]: r["count"] for r in hist}
+    golden, _ = np.histogram(a.reshape(-1), bins=5, range=(a.min(), a.max()))
+    for i in range(5):
+        assert counts[i] == int(golden[i])
+
+
+def test_datamart_tree_cover_loss_by_driver(spark, tmp_path_factory):
+    registry = Registry(str(tmp_path_factory.mktemp("dm_cat")))
+    rng = np.random.default_rng(4)
+    year = rng.choice([0, 2005, 2015], (N, N)).astype(np.float64)
+    threshold = rng.choice([10, 30, 75], (N, N)).astype(np.float64)
+    drivers = rng.choice([0, 1, 3, 5], (N, N)).astype(np.float64)
+    ingest_raster_tiles(registry, spark, "umd_tree_cover_loss", "v1", GRID, "year", {TILE: year})
+    ingest_raster_tiles(
+        registry, spark, "umd_tree_cover_density_2000", "v1", GRID, "threshold", {TILE: threshold}
+    )
+    ingest_raster_tiles(
+        registry, spark, "tsc_tree_cover_loss_drivers", "v1", GRID, "driver", {TILE: drivers},
+        no_data=None,
+        values_table={
+            "rows": [
+                {"value": 0, "meaning": "Unknown"},
+                {"value": 1, "meaning": "Commodity driven deforestation"},
+                {"value": 3, "meaning": "Shifting agriculture"},
+                {"value": 5, "meaning": "Wildfire"},
+            ],
+            "default_meaning": "Unknown",
+        },
+    )
+    from gfw_data_api_spark.raster.data_environment import clear_cache
+
+    clear_cache()
+    aoi = {
+        "type": "Polygon",
+        "coordinates": [[[10.0, 0.0], [11.0, 0.0], [11.0, 1.0], [10.0, 1.0], [10.0, 0.0]]],
+    }
+    resource = compute_tree_cover_loss_by_driver(spark, registry, aoi, canopy_cover=30)
+    assert resource["status"] == "saved"
+    result = resource["result"]
+    years = {r["umd_tree_cover_loss__year"] for r in result}
+    drivers_seen = {r["tree_cover_loss_driver"] for r in result}
+    assert years == {2005, 2015}
+    assert drivers_seen == {
+        "Unknown", "Commodity driven deforestation", "Shifting agriculture", "Wildfire"
+    }
+    # golden total area check for one cell of the result
+    from gfw_data_api_spark.functions.geometry import EARTH_RADIUS_M
+
+    lats = 1.0 - (np.arange(N) + 0.5) * GRID.pixel_size
+    half = GRID.pixel_size / 2
+    areas = np.abs(
+        EARTH_RADIUS_M**2 * np.radians(GRID.pixel_size)
+        * (np.sin(np.radians(lats + half)) - np.sin(np.radians(lats - half)))
+    )[:, None] / 1e4
+    areas = np.broadcast_to(areas, year.shape)
+    mask = (year == 2005) & (threshold >= 30) & (drivers == 1)
+    golden = float(areas[mask].sum())
+    got = next(
+        r["area_ha"]
+        for r in result
+        if r["umd_tree_cover_loss__year"] == 2005
+        and r["tree_cover_loss_driver"] == "Commodity driven deforestation"
+    )
+    assert got == pytest.approx(golden, rel=1e-9)
