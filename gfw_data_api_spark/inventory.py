@@ -110,7 +110,7 @@ _SPECS.append(
         "SELECT l_returnflag, l_linestatus, "
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
-        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, "
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, "
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
@@ -775,6 +775,92 @@ _SPECS.append(
             "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents"
         ),
         survey_ref="multimodal: binary payload plumbing + exact media dedup keys",
+    )
+)
+
+
+def _i08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: revenue by nation within a region —
+    the full internal-join surface with broadcast dimension tables."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="i08_multiway_join_revenue",
+        spark_fn=_i08,
+        oracle=(
+            "SELECT n_name, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        survey_ref="I1/I2 generalization: multiway registry-style join, broadcast dims",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "orders",
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_3, "
+        "CAST(lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS next_key "
+        "FROM orders",
+        "Q10 window frames: ROWS BETWEEN + lead",
+        "q15_window_frame",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "supplier",
+        "SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal "
+        "FROM supplier WHERE s_suppkey = 3",
+        "I7 exact-id lookup (wdpa_pid = :id, crud/geostore.py:281-299)",
+        "i07_exact_id_lookup",
+    )
+)
+
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt "
+        "FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' "
+        "AND TIMESTAMP '1996-12-31 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus HAVING count(*) > 100 "
+        "ORDER BY l_returnflag, l_linestatus LIMIT 10",
+        "Q3+Q6+Q7+Q9 combined: date BETWEEN (features.py:131-137) through ORDER/LIMIT",
+        "q16_date_between_pipeline",
     )
 )
 

@@ -70,7 +70,7 @@ def build_data_environment(
     from gfw_data_api_spark.raster import layers as L
 
     overrides = dict(version_overrides or {})
-    key = (grid.name, tuple(sorted(overrides.items())))
+    key = (registry.root, grid.name, tuple(sorted(overrides.items())))
     cached = _CACHE.get(key)
     if cached and time.time() - cached[0] < _CACHE_TTL:
         return cached[1]

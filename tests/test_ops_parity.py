@@ -1,0 +1,59 @@
+"""Operational parity: query watchdog (58s → 524) and pagination (I6)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.operators.pagination import paginate
+from gfw_data_api_spark.operators.watchdog import QueryTimeoutError, collect_with_timeout
+
+
+def test_fast_query_passes_watchdog(spark):
+    df = spark.range(1000).agg(F.sum("id").alias("s"))
+    rows = collect_with_timeout(spark, df, timeout_s=30.0)
+    assert rows[0]["s"] == 499500
+
+
+def test_slow_query_cancelled(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def slow(x):
+        time.sleep(5)
+        return x
+
+    df = spark.range(64).repartition(32).select(slow(F.col("id")).alias("v")).agg(F.sum("v"))
+    start = time.time()
+    with pytest.raises(QueryTimeoutError):
+        collect_with_timeout(spark, df, timeout_s=2.0)
+    # cancelled well before the ~10s the full job would take
+    assert time.time() - start < 9
+
+
+def test_pagination_envelope(spark, sf_dir):
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    total = customer.count()
+    page = paginate(customer, page=3, size=10, order_by=["c_custkey"], base_url="/datasets")
+    assert page.meta == {
+        "size": 10,
+        "page": 3,
+        "total_items": total,
+        "total_pages": -(-total // 10),
+    }
+    assert [r["c_custkey"] for r in page.data] == list(range(20, 30))
+    assert page.links["prev"] == "/datasets?page[number]=2&page[size]=10"
+    assert page.links["first"] == "/datasets?page[number]=1&page[size]=10"
+
+
+def test_pagination_bounds(spark, sf_dir):
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    last = paginate(customer, page=1, size=10_000, order_by=["c_custkey"])
+    assert last.links["next"] is None
+    with pytest.raises(ValueError):
+        paginate(customer, page=0)
