@@ -38,6 +38,11 @@ from gfw_data_api_spark.catalog.registry import Registry, RegistryError
 from gfw_data_api_spark.operators import downloads, features
 from gfw_data_api_spark.operators.analysis import zonal_statistics
 from gfw_data_api_spark.operators.query import execute_on_dataframe
+from gfw_data_api_spark.operators.watchdog import (
+    DEFAULT_QUERY_TIMEOUT_S,
+    QueryTimeoutError,
+    collect_with_timeout,
+)
 from gfw_data_api_spark.raster.zonal import query_raster
 from gfw_data_api_spark.sql.guard import QueryGuardError
 
@@ -50,6 +55,7 @@ _STATUS_TEXT = {
     405: "405 Method Not Allowed",
     422: "422 Unprocessable Entity",
     500: "500 Internal Server Error",
+    524: "524 A Timeout Occurred",
 }
 
 
@@ -224,8 +230,10 @@ def create_app(
                         raise QueryGuardError("Missing sql parameter.", 400)
                     geometry = resolve_geometry(params, body)
                     df = run_query(dataset, version, sql, geometry)
+                    # 58 s interactive limit -> 524, like the reference
+                    rows = collect_with_timeout(spark, df, DEFAULT_QUERY_TIMEOUT_S)
                     if fmt == "csv":
-                        text = downloads.rows_to_csv(df)
+                        text = downloads.rows_to_csv_rows(df.columns, rows)
                         data = text.encode()
                         start_response(
                             "200 OK",
@@ -233,8 +241,7 @@ def create_app(
                         )
                         return [data]
                     data = [
-                        {k: _row_value(v) for k, v in row.asDict().items()}
-                        for row in df.collect()
+                        {k: _row_value(v) for k, v in row.asDict().items()} for row in rows
                     ]
                     return _json_response(start_response, {"data": data, "status": "success"})
 
@@ -280,6 +287,10 @@ def create_app(
 
             return _json_response(
                 start_response, {"status": "failed", "message": "Not found."}, 404
+            )
+        except QueryTimeoutError as exc:
+            return _json_response(
+                start_response, {"status": "failed", "message": str(exc)}, 524
             )
         except (QueryGuardError, RegistryError) as exc:
             return _json_response(

@@ -80,6 +80,18 @@ def rows_to_csv(df: DataFrame, delimiter: str = ",") -> str:
     return buf.getvalue()
 
 
+def rows_to_csv_rows(columns: list[str], rows, delimiter: str = ",") -> str:
+    """CSV from already-collected rows (used with the query watchdog)."""
+    buf = io.StringIO()
+    writer = csv.writer(
+        buf, delimiter=DELIMITERS.get(delimiter, delimiter), quoting=csv.QUOTE_NONNUMERIC
+    )
+    writer.writerow(columns)
+    for row in rows:
+        writer.writerow([row[c] for c in columns])
+    return buf.getvalue()
+
+
 def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
     """Distributed CSV export (the scale path for E12/R12)."""
     (

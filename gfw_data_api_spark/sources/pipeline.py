@@ -26,6 +26,7 @@ def ingest_tabular(
     table_schema: list[tabular.FieldType] | None = None,
     latitude: str | None = None,
     longitude: str | None = None,
+    wkb_hex_geometry: str | None = None,
     partitions: tabular.Partitions | None = None,
     cluster_on: list[str] | None = None,
     unique_on: list[str] | None = None,
@@ -37,10 +38,11 @@ def ingest_tabular(
     registry.ensure_dataset(dataset)
     registry.create_version(dataset, version, is_mutable=is_mutable)
     has_lat_lng = latitude is not None and longitude is not None
+    is_geo = has_lat_lng or wkb_hex_geometry is not None
     asset = registry.create_asset(
         dataset,
         version,
-        default_asset_type("table", has_lat_lng),
+        default_asset_type("table", is_geo),
         is_default=True,
         creation_options={
             "source_paths": source_paths if isinstance(source_paths, list) else [source_paths],
@@ -50,12 +52,23 @@ def ingest_tabular(
             "unique_constraint": unique_on,
             "latitude": latitude,
             "longitude": longitude,
+            "wkb_hex_geometry": wkb_hex_geometry,
         },
     )
     try:
         df = tabular.read_tabular_source(spark, source_paths, delimiter, table_schema)
         if has_lat_lng:
             df = tabular.add_point_geometry(df, latitude, longitude)
+        if wkb_hex_geometry is not None:
+            # the reference's tabular geo fixtures carry WKB-hex text
+            # geometry columns (tests/fixtures/test.csv); decode + derive
+            # the GFW system columns like a vector source (E5)
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("geom", vector.wkb_from_hex(F.col(wkb_hex_geometry)))
+            if wkb_hex_geometry != "geom":
+                df = df.drop(wkb_hex_geometry)
+            df = vector.add_gfw_fields(df)
         tabular.write_table(
             df, asset.asset_uri, partitions=partitions, cluster_on=cluster_on, unique_on=unique_on
         )

@@ -203,3 +203,36 @@ def test_vector_spatial_query_end_to_end(spark, registry, tmp_path):
     ).collect()
     # polygons at x=0..5 intersect (x=5 touches at the corner)
     assert result[0]["cnt"] == 6
+
+
+def test_wkb_hex_geometry_ingest(spark, registry, tmp_path):
+    """The reference's tabular geo path: CSV with a WKB-hex geom column
+    (tests/fixtures/test.csv) becomes a geo_database_table with GFW
+    system columns."""
+    import csv
+
+    from gfw_data_api_spark.functions import geometry as geo
+
+    path = str(tmp_path / "geo.csv")
+    with open(path, "w", newline="") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(["fid", "geom"])
+        for i in range(5):
+            poly = {
+                "type": "Polygon",
+                "coordinates": [
+                    [[i, 0], [i + 0.3, 0], [i + 0.3, 0.3], [i, 0.3], [i, 0]]
+                ],
+            }
+            writer.writerow([i, geo.wkb_dumps(poly).hex()])
+
+    df = ingest_tabular(
+        registry, spark, "geo_csv", "v1", path, wkb_hex_geometry="geom"
+    )
+    assert df.count() == 5
+    assert registry.get_default_asset("geo_csv", "v1").asset_type == "geo_database_table"
+    row = df.filter(F.col("fid") == 2).collect()[0]
+    assert row["gfw_bbox"] == [2.0, 0.0, 2.3, 0.3]
+    assert row["gfw_area__ha"] > 0
+    decoded = geo.wkb_loads(bytes(row["geom"]))
+    assert decoded["type"] == "Polygon"
