@@ -147,10 +147,14 @@ def ngram_jaccard_pairs(
     cardinality, no skew); work is proportional to true overlap, the
     standard exact alternative to MinHash at moderate shingle counts.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
-    ).withColumn("_s", F.xxhash64("_s"))
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
+        )
+        .withColumn("_s", F.xxhash64("_s"))
+        .persist()  # feeds sizes + both join sides: 3 reuses of one explode
+    )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     inter = (
         sh.alias("a")

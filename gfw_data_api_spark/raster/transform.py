@@ -124,6 +124,53 @@ def downsample(
     )
 
 
+def apply_colormap(
+    df: DataFrame,
+    colormap: dict[float, tuple[int, int, int]],
+    kind: str = "discrete",
+) -> DataFrame:
+    """P6: symbology encode — map pixel values to RGB natively.
+
+    Reference: apply_colormap.py / raster_tile_cache symbology
+    (app/tasks/raster_tile_cache_assets/symbology.py:52-123). ``discrete``
+    matches exact values; ``gradient`` linearly interpolates between the
+    sorted breakpoints. Output adds r/g/b columns plus a packed
+    ``rgb_int`` — all column math, the visualization pipeline stays on
+    the JVM.
+    """
+    value = F.col("value")
+    breaks = sorted(colormap)
+    if kind == "discrete":
+        channels = []
+        for i in range(3):
+            expr = None
+            for v in breaks:
+                cond = value == F.lit(float(v))
+                band = F.lit(colormap[v][i])
+                expr = F.when(cond, band) if expr is None else expr.when(cond, band)
+            channels.append(expr.otherwise(F.lit(0)).cast("int"))
+    elif kind == "gradient":
+        channels = []
+        for i in range(3):
+            expr = F.lit(float(colormap[breaks[0]][i]))
+            for lo, hi in zip(breaks[:-1], breaks[1:]):
+                frac = (value - F.lit(float(lo))) / F.lit(float(hi - lo))
+                interp = F.lit(float(colormap[lo][i])) + frac * F.lit(
+                    float(colormap[hi][i] - colormap[lo][i])
+                )
+                expr = F.when((value >= float(lo)) & (value <= float(hi)), interp).otherwise(expr)
+            channels.append(F.round(expr).cast("int"))
+    else:
+        raise ValueError("colormap kind must be 'discrete' or 'gradient'")
+    r, g, b = channels
+    return (
+        df.withColumn("r", r)
+        .withColumn("g", g)
+        .withColumn("b", b)
+        .withColumn("rgb_int", (F.col("r") * 65536 + F.col("g") * 256 + F.col("b")).cast("int"))
+    )
+
+
 def raster_stats(df: DataFrame) -> dict:
     """P7/P8: global stats + extent inputs in a single pass."""
     row = df.agg(

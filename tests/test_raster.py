@@ -253,3 +253,18 @@ def test_sum_alert_count_rewrite(spark, raster_registry, fixture_arrays):
     ).collect()
     golden = int(((fixture_arrays["year"] != 0) & aoi_mask()).sum())
     assert rows[0]["alert__count"] == golden
+
+
+def test_avg_min_max_over_layers(spark, raster_registry, fixture_arrays):
+    """R3: any aggregate passes through to the zonal engine."""
+    rows = query_raster(
+        spark, raster_registry, "umd_tree_cover_loss", "v1",
+        "SELECT avg(umd_tree_cover_loss__year) AS avg_year, "
+        "min(umd_tree_cover_loss__year) AS min_year, "
+        "max(umd_tree_cover_loss__year) AS max_year FROM data", AOI,
+    ).collect()
+    year = fixture_arrays["year"]
+    valid = year[(year != 0) & aoi_mask()]
+    assert rows[0]["avg_year"] == pytest.approx(float(valid.mean()), rel=1e-12)
+    assert rows[0]["min_year"] == valid.min()
+    assert rows[0]["max_year"] == valid.max()

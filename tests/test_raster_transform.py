@@ -144,3 +144,98 @@ def test_datamart_tree_cover_loss_by_driver(spark, tmp_path_factory):
         and r["tree_cover_loss_driver"] == "Commodity driven deforestation"
     )
     assert got == pytest.approx(golden, rel=1e-9)
+
+
+def test_rasterize_vector_value_and_count(spark):
+    """P1: vector → grid with overlap order + count mode, vs NumPy golden."""
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.raster.rasterize import rasterize_vector
+
+    grid = Grid(1.0, 100)
+
+    def box(x0, y0, x1, y1):
+        return geo.wkb_dumps(
+            {"type": "Polygon", "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]}
+        )
+
+    rows = [
+        (1, 5.0, box(10.1, 0.1, 10.5, 0.5), [10.1, 0.1, 10.5, 0.5]),
+        (2, 9.0, box(10.3, 0.3, 10.7, 0.7), [10.3, 0.3, 10.7, 0.7]),  # overlaps feature 1
+    ]
+    df = spark.createDataFrame(
+        rows, "fid int, burn double, geom binary, gfw_bbox array<double>"
+    )
+
+    out = rasterize_vector(spark, df, grid, value_col="burn", order="asc")
+    vals = {r["pixel_id"]: r["value"] for r in out.collect()}
+    lons = 10.0 + (np.arange(100) + 0.5) * 0.01
+    lats = 1.0 - (np.arange(100) + 0.5) * 0.01
+    in1 = np.outer((lats > 0.1) & (lats < 0.5), (lons > 10.1) & (lons < 10.5))
+    in2 = np.outer((lats > 0.3) & (lats < 0.7), (lons > 10.3) & (lons < 10.7))
+    golden = np.zeros((100, 100))
+    golden[in1] = 5.0
+    golden[in2] = 9.0  # asc order: later (higher) burn overwrites
+    flat = golden.reshape(-1)
+    assert vals == {int(i): flat[i] for i in np.nonzero(flat)[0]}
+
+    # desc order: smaller value painted last wins in the overlap
+    out_desc = rasterize_vector(spark, df, grid, value_col="burn", order="desc")
+    vals_desc = {r["pixel_id"]: r["value"] for r in out_desc.collect()}
+    golden_desc = np.zeros((100, 100))
+    golden_desc[in2] = 9.0
+    golden_desc[in1] = 5.0
+    flat_desc = golden_desc.reshape(-1)
+    assert vals_desc == {int(i): flat_desc[i] for i in np.nonzero(flat_desc)[0]}
+
+    # count mode: overlap pixels count 2
+    out_count = rasterize_vector(spark, df, grid, method="count")
+    vals_count = {r["pixel_id"]: r["value"] for r in out_count.collect()}
+    golden_count = in1.astype(float) + in2.astype(float)
+    flat_count = golden_count.reshape(-1)
+    assert vals_count == {int(i): flat_count[i] for i in np.nonzero(flat_count)[0]}
+
+
+def test_rasterize_crosses_tile_boundary(spark):
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.raster.rasterize import rasterize_vector
+
+    grid = Grid(1.0, 100)
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                2.0,
+                geo.wkb_dumps(
+                    {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [[10.8, 0.8], [11.2, 0.8], [11.2, 1.2], [10.8, 1.2], [10.8, 0.8]]
+                        ],
+                    }
+                ),
+                [10.8, 0.8, 11.2, 1.2],
+            )
+        ],
+        "fid int, burn double, geom binary, gfw_bbox array<double>",
+    )
+    out = rasterize_vector(spark, df, grid, value_col="burn")
+    tiles = {r["tile_id"] for r in out.select("tile_id").distinct().collect()}
+    assert tiles == {"01N_010E", "01N_011E", "02N_010E", "02N_011E"}
+    # total burned pixels = 40x40 across the four tiles
+    assert out.count() == 1600
+
+
+def test_apply_colormap_discrete_and_gradient(spark):
+    from gfw_data_api_spark.raster.transform import apply_colormap
+
+    df = spark.createDataFrame(
+        [(1, 0, 2.0), (2, 1, 3.0), (3, 2, 4.0)], "tile int, pixel_id int, value double"
+    )
+    disc = apply_colormap(df, {2.0: (255, 0, 0), 3.0: (0, 255, 0), 4.0: (0, 0, 255)})
+    got = {r["value"]: (r["r"], r["g"], r["b"], r["rgb_int"]) for r in disc.collect()}
+    assert got[2.0] == (255, 0, 0, 255 * 65536)
+    assert got[4.0] == (0, 0, 255, 255)
+
+    grad = apply_colormap(df, {2.0: (0, 0, 0), 4.0: (200, 100, 50)}, kind="gradient")
+    got = {r["value"]: (r["r"], r["g"], r["b"]) for r in grad.collect()}
+    assert got[3.0] == (100, 50, 25)  # midpoint interpolation
