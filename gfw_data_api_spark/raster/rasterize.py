@@ -115,7 +115,7 @@ def rasterize_vector(
     ascending = order != "desc"
     count_mode = method == "count"
 
-    def rasterize_tile(key, pdf: pd.DataFrame):
+    def rasterize_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         lon_nw = tx * step
         lat_nw = ty * step + step

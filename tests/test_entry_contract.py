@@ -1,0 +1,39 @@
+"""Driver-contract smoke tests: entry()/queries()/oracle_sql() shape and
+executability at sf0.001 (the driver's t1 smoke)."""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns and "count_order" in df.columns
+
+
+def test_queries_and_oracles_aligned(spark):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(queries) >= 40
+    # every oracle key must have a query
+    assert set(oracles) <= set(queries)
+    # rows-only entries are the deliberate, documented ones
+    rows_only = set(queries) - set(oracles)
+    assert rows_only == {
+        "d04_minhash_lsh_neardups",
+        "d05_simhash_neardups",
+        "t04_language_id_confusion",
+        "s03_ann_lsh_topk",
+    }
+
+
+def test_all_queries_execute_at_smoke_scale(spark, sf_dir):
+    """Every declared query must at least build + execute at sf0.001."""
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            df.limit(5).collect()
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"
+    assert not failures, failures
