@@ -865,6 +865,68 @@ _SPECS.append(
 )
 
 
+def _st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.streaming.windows import tumbling_window_counts
+
+    events = load_table(spark, sf_dir, "events")
+    out = tumbling_window_counts(events, "1 hour", group_cols=["event_type"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st01_tumbling_window",
+        spark_fn=_st01,
+        oracle=(
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        survey_ref="streaming: event-time tumbling windows (batch/stream shared code)",
+    )
+)
+
+
+def _st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.streaming.windows import session_window_stats
+
+    events = load_table(spark, sf_dir, "events")
+    out = session_window_stats(events, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st02_session_windows",
+        spark_fn=_st02,
+        oracle=(
+            # gaps-and-islands replica of session_window semantics
+            "WITH o AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_sess FROM events), "
+            "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sess FROM o) "
+            "SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+            "FROM s GROUP BY user_id, sess"
+        ),
+        survey_ref="streaming: session windows (inactivity gap; F.session_window)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

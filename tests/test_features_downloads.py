@@ -145,3 +145,57 @@ def test_stream_append(spark, tmp_path):
     write_csv(os.path.join(landing, "batch2.csv"), 70, 10)
     out3 = stream_append(registry, spark, "nrt", "v1", landing)
     assert out3.count() == 80
+
+
+def test_tumbling_window_counts(spark, sf_dir):
+    from gfw_data_api_spark.sources.tabular import load_table
+    from gfw_data_api_spark.streaming.windows import tumbling_window_counts
+
+    events = load_table(spark, sf_dir, "events")
+    out = tumbling_window_counts(events, "1 hour", group_cols=["event_type"])
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    row = out.orderBy("window_start", "event_type").first()
+    assert row["window_end"] > row["window_start"]
+
+
+def test_session_window_stats(spark):
+    from gfw_data_api_spark.streaming.windows import session_window_stats
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),  # same session (10 min gap)
+        (1, "2024-01-01 01:00:00", 1.0),  # new session (50 min gap > 30)
+        (2, "2024-01-01 00:05:00", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = session_window_stats(df, gap="30 minutes").orderBy("user_id", "session_start")
+    got = [(r["user_id"], r["n_events"]) for r in out.collect()]
+    assert got == [(1, 2), (1, 1), (2, 1)]
+
+
+def test_streaming_source_runs_windows(spark, tmp_path, sf_dir):
+    """The same operator runs as a real Structured Streaming query."""
+    import os
+
+    from gfw_data_api_spark.sources.tabular import load_table
+    from gfw_data_api_spark.streaming.windows import tumbling_window_counts
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "stream_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = tumbling_window_counts(stream, "1 hour", watermark="2 hours")
+    sink = str(tmp_path / "sink")
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    assert os.path.exists(sink)
