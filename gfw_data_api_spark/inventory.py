@@ -927,6 +927,82 @@ _SPECS.append(
 )
 
 
+def _s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs with label blocking (the verification
+    stage LSH/IVF candidates feed into; blocked so the pair space stays
+    linear-ish, matching production near-dup pipelines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cast = F.col("embedding").cast("array<double>")
+    from gfw_data_api_spark.llmops.similarity import norm_col
+
+    base = emb.select(
+        F.col("vec_id").alias("_id"), F.col("label").alias("_label"),
+        cast.alias("_e"), norm_col(F.col("embedding")).alias("_n"),
+    )
+    pairs = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a._label") == F.col("b._label")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("a._e"), F.col("b._e"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("a._n") * F.col("b._n"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s04_blocked_cosine_pairs",
+        spark_fn=_s04,
+        oracle=(
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35"
+        ),
+        survey_ref="similarity: exact blocked cosine pair verification stage",
+    )
+)
+
+
+def _s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_ivf(emb, nlist=8, iters=3)
+    indexed = ivf.build_ivf_index(emb, centroids)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf.ivf_topk(indexed.filter(F.col("vec_id") != 0), centroids, query, k=10, nprobe=3)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s05_ivf_topk",
+        spark_fn=_s05,
+        oracle=None,  # approximate by design; recall asserted in tests
+        survey_ref="similarity: IVF-Flat ANN (k-means cells + nprobe search)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

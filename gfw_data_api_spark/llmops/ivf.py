@@ -1,0 +1,122 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second scale path for embedding search beside hyperplane LSH
+(similarity.py): a coarse k-means quantizer partitions vectors into
+``nlist`` cells; a query scores only the ``nprobe`` nearest cells'
+vectors. Standard IVF-Flat (as in FAISS), expressed Spark-first:
+
+- training: Lloyd's iterations as DataFrame jobs — assignment is a
+  native min-by-distance over broadcast centroids, the update is one
+  groupBy(avg) per iteration. Centroids stay tiny (nlist × dim) and
+  live driver-side between iterations.
+- index: the cell id is a stored column (like the LSH bucket); at scale
+  the table is partitioned by cell so a probe prunes at scan time.
+- search: candidate cells chosen driver-side (centroid math is
+  nlist × dim flops), then one filtered scan + TakeOrdered top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops.similarity import cosine_to_query
+
+
+def _sq_dist_to_lit(emb: Column, vec: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(emb.cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_cell(emb: Column, centroids: np.ndarray) -> Column:
+    """Index of the nearest centroid — a native least()-of-distances chain."""
+    distances = [_sq_dist_to_lit(emb, c.tolist()) for c in centroids]
+    best_idx = F.lit(0)
+    best_dist = distances[0]
+    for i, dist in enumerate(distances[1:], start=1):
+        closer = dist < best_dist
+        best_idx = F.when(closer, F.lit(i)).otherwise(best_idx)
+        best_dist = F.when(closer, dist).otherwise(best_dist)
+    return best_idx.cast("int")
+
+
+def train_ivf(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> np.ndarray:
+    """Lloyd's k-means over the embedding column; returns centroids.
+
+    Init: deterministic sample of ``nlist`` vectors. Each iteration is one
+    Spark job (assign natively, average per cell); empty cells keep their
+    previous centroid.
+    """
+    sample = np.asarray(
+        [
+            list(map(float, r[0]))
+            for r in df.select(emb_col).limit(sample_size).collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=nlist, replace=False)]
+
+    dim = centroids.shape[1]
+    for _ in range(iters):
+        assigned = df.select(
+            _assign_cell(F.col(emb_col), centroids).alias("_cell"),
+            F.col(emb_col).cast("array<double>").alias("_e"),
+        )
+        means = (
+            assigned.groupBy("_cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("_e")[i]) for i in range(dim)]
+                ).alias("_mean")
+            )
+            .collect()
+        )
+        updated = centroids.copy()
+        for row in means:
+            updated[row["_cell"]] = np.asarray(row["_mean"], dtype=np.float64)
+        if np.allclose(updated, centroids, atol=1e-9):
+            centroids = updated
+            break
+        centroids = updated
+    return centroids
+
+
+def build_ivf_index(
+    df: DataFrame, centroids: np.ndarray, emb_col: str = "embedding"
+) -> DataFrame:
+    """Attach the IVF cell column (store/partition by it at scale)."""
+    return df.withColumn("ivf_cell", _assign_cell(F.col(emb_col), centroids))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search the ``nprobe`` nearest cells for the top-k cosine matches."""
+    qvec = np.asarray(query, dtype=np.float64)
+    dists = ((centroids - qvec) ** 2).sum(axis=1)
+    probe_cells = [int(i) for i in np.argsort(dists)[:nprobe]]
+    candidates = indexed.filter(F.col("ivf_cell").isin(probe_cells))
+    return (
+        candidates.select(id_col, cosine_to_query(F.col(emb_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

@@ -24,6 +24,7 @@ def test_queries_and_oracles_aligned(spark):
         "d05_simhash_neardups",
         "t04_language_id_confusion",
         "s03_ann_lsh_topk",
+        "s05_ivf_topk",
     }
 
 

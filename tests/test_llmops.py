@@ -193,3 +193,35 @@ def test_media_dedup_keys(media_df):
     expected = hashlib.sha256(b"fake-image-bytes-1").hexdigest()
     by_id = {r["media_id"]: r["media_key"] for r in rows}
     assert by_id[1] == expected == by_id[2]
+
+
+def test_ivf_train_and_search(spark, sf_dir):
+    from gfw_data_api_spark.llmops import ivf, similarity
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_ivf(emb, nlist=8, iters=3)
+    assert centroids.shape[0] == 8
+    indexed = ivf.build_ivf_index(emb, centroids)
+    # every vector lands in a cell
+    assert indexed.filter(F.col("ivf_cell").isNull()).count() == 0
+    cells = indexed.groupBy("ivf_cell").count().collect()
+    assert len(cells) >= 4  # clustering is non-degenerate
+
+    query = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = [r["vec_id"] for r in ivf.ivf_topk(indexed, centroids, query, k=5, nprobe=3).collect()]
+    # the query's own vector is always retrieved (its cell is the nearest)
+    assert 0 in got
+    # decent recall vs brute force with nprobe=3 of 8 cells
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(emb, query, k=5).collect()]
+    assert len(set(got) & set(brute)) >= 2
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    from gfw_data_api_spark.llmops import ivf
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = ivf.train_ivf(emb, nlist=4, iters=2, seed=7)
+    c2 = ivf.train_ivf(emb, nlist=4, iters=2, seed=7)
+    assert np.allclose(c1, c2)
