@@ -18,31 +18,37 @@ vectors. Standard IVF-Flat (as in FAISS), expressed Spark-first:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from gfw_data_api_spark.llmops.similarity import cosine_to_query
 
 
-def _sq_dist_to_lit(emb: Column, vec: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(x)) for x in vec])
-    return F.aggregate(
-        F.zip_with(emb.cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign_cell(emb: Column, centroids: np.ndarray) -> Column:
-    """Index of the nearest centroid — a native least()-of-distances chain."""
-    distances = [_sq_dist_to_lit(emb, c.tolist()) for c in centroids]
-    best_idx = F.lit(0)
-    best_dist = distances[0]
-    for i, dist in enumerate(distances[1:], start=1):
-        closer = dist < best_dist
-        best_idx = F.when(closer, F.lit(i)).otherwise(best_idx)
-        best_dist = F.when(closer, dist).otherwise(best_dist)
-    return best_idx.cast("int")
+    """Index of the nearest centroid.
+
+    Arrow-batched NumPy argmin over a batch×nlist distance matrix — one
+    BLAS matmul per batch. (A native chain of nlist zip_with/aggregate
+    distance expressions was measured ~10× slower at nlist=8, dim=64:
+    dense linear algebra is the one hot path where the vectorized pandas
+    UDF beats codegen.)
+    """
+    c = centroids.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @pandas_udf(T.IntegerType())
+    def nearest(batch: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in batch])
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; ||x||^2 constant in argmin
+        scores = -2.0 * (x @ c.T) + c_sq
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return nearest(emb)
 
 
 def train_ivf(
