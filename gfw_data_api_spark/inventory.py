@@ -1003,6 +1003,20 @@ _SPECS.append(
 )
 
 
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT coalesce(l_returnflag, 'ALL') AS flag, "
+        "coalesce(l_linestatus, 'ALL') AS status, count(*) AS cnt, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+        "beyond-reference (SURVEY §2.7): ROLLUP grouping sets — absent in the "
+        "reference dialect, free on Catalyst",
+        "q17_rollup",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

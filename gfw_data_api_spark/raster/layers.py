@@ -87,6 +87,23 @@ def default_layer_name(dataset: str, pixel_meaning: str) -> str:
     return f"{dataset}__{pixel_meaning}"
 
 
+def encode_date(date_iso: str) -> int:
+    """Encode an ISO date as days since 2015-01-01 — the inverse of the
+    date layer's decode (reference encode_expression, queries.py:731-734;
+    round-trip tested like test_query.py:845-864)."""
+    import datetime
+
+    epoch = datetime.date.fromisoformat(DATE_CONF_EPOCH)
+    return (datetime.date.fromisoformat(date_iso) - epoch).days
+
+
+def decode_date(days: int) -> str:
+    import datetime
+
+    epoch = datetime.date.fromisoformat(DATE_CONF_EPOCH)
+    return (epoch + datetime.timedelta(days=int(days))).isoformat()
+
+
 CONF_ENCODING = RasterTable(
     rows=[
         RasterTableRow(2, "nominal"),

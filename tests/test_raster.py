@@ -268,3 +268,31 @@ def test_avg_min_max_over_layers(spark, raster_registry, fixture_arrays):
     assert rows[0]["avg_year"] == pytest.approx(float(valid.mean()), rel=1e-12)
     assert rows[0]["min_year"] == valid.min()
     assert rows[0]["max_year"] == valid.max()
+
+
+def test_date_encode_decode_roundtrip():
+    """Reference parity: encode/decode round-trip (test_query.py:845-864)."""
+    from gfw_data_api_spark.raster.layers import decode_date, encode_date
+
+    for date in ("2015-01-01", "2018-06-15", "2024-12-31"):
+        assert decode_date(encode_date(date)) == date
+    assert encode_date("2015-01-01") == 0
+    assert encode_date("2018-01-01") == 1096
+
+
+def test_spark_date_decode_matches_python(spark, raster_registry, fixture_arrays):
+    """The Spark-side date decoding equals the Python reference decode."""
+    from gfw_data_api_spark.raster.layers import decode_date
+
+    rows = query_raster(
+        spark, raster_registry, "my_first_dataset", "v1",
+        "SELECT my_first_dataset__date AS d, count(*) AS n FROM data GROUP BY 1", AOI,
+    ).collect()
+    dc = fixture_arrays["date_conf"]
+    valid = (dc != 0) & aoi_mask()
+    days = np.mod(dc[valid], 10000).astype(int)
+    golden = {}
+    for day in days:
+        key = decode_date(int(day))
+        golden[key] = golden.get(key, 0) + 1
+    assert {r["d"]: r["n"] for r in rows} == golden
