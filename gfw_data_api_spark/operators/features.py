@@ -86,8 +86,11 @@ def admin_lookup(
     df = registry.load(spark, dataset, version)
     out = df.filter(F.col("adm_level") == F.lit(str(level)))
     if gid_pattern is not None:
-        # revision-agnostic: 'BRA.12_' + one revision char, underscore escaped
-        out = out.filter(F.col(f"gid_{level}").like(gid_pattern, escapeChar="\\"))
+        # revision-agnostic: 'BRA.12\__' matches any revision suffix with
+        # the literal underscore escaped (crud/geostore.py:330-367).
+        # Column.like() takes no escape parameter — use the SQL form.
+        escaped = gid_pattern.replace("'", "''")
+        out = out.filter(F.expr(f"gid_{level} LIKE '{escaped}' ESCAPE '\\\\'"))
     if name is not None:
         column = name_column or (f"name_{level}_normalized" if level else "country_normalized")
         out = out.filter(F.col(column) == F.lit(name.lower()))

@@ -199,3 +199,71 @@ def test_streaming_source_runs_windows(spark, tmp_path, sf_dir):
     )
     query.awaitTermination()
     assert os.path.exists(sink)
+
+
+@pytest.fixture(scope="module")
+def gadm_registry(spark, tmp_path_factory):
+    """FIXTURES.md §3: GADM-style admin table with levels + normalized names."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("gadm")
+    registry = Registry(str(tmp / "catalog"))
+    rows = []
+    for c, country in enumerate(["BRA", "MOZ", "IDN"]):
+        rows.append(
+            {
+                "adm_level": "0",
+                "gid_0": country,
+                "gid_1": None,
+                "gid_2": None,
+                "country": country.title(),
+                "name_1": None,
+                "country_normalized": country.title().lower(),
+                "name_1_normalized": None,
+            }
+        )
+        for r in range(1, 4):
+            rows.append(
+                {
+                    "adm_level": "1",
+                    "gid_0": country,
+                    "gid_1": f"{country}.{r}_1",
+                    "gid_2": None,
+                    "country": country.title(),
+                    "name_1": f"Region {r}",
+                    "country_normalized": country.title().lower(),
+                    "name_1_normalized": f"region {r}",
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    registry.ensure_dataset("gadm")
+    registry.create_version("gadm", "v4")
+    asset = registry.create_asset("gadm", "v4", "database_table", is_default=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(asset.asset_uri)
+    registry.set_version_status("gadm", "v4", "saved")
+    registry.set_latest("gadm", "v4")
+    return registry
+
+
+def test_admin_lookup_gid_pattern(spark, gadm_registry):
+    """I4: escaped-underscore revision pattern matches any revision."""
+    rows = features.admin_lookup(
+        spark, gadm_registry, "gadm", "v4", level=1, gid_pattern="BRA.2\\__"
+    ).collect()
+    assert [r["gid_1"] for r in rows] == ["BRA.2_1"]
+
+
+def test_admin_lookup_normalized_name(spark, gadm_registry):
+    """I5: exact match on the unidecode+lower normalized column."""
+    rows = features.admin_lookup(
+        spark, gadm_registry, "gadm", "v4", level=1, name="Region 3",
+    ).collect()
+    assert len(rows) == 3  # one per country
+    assert all(r["name_1"] == "Region 3" for r in rows)
+
+
+def test_admin_lookup_level_0(spark, gadm_registry):
+    rows = features.admin_lookup(
+        spark, gadm_registry, "gadm", "v4", level=0, name="Bra"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["gid_0"] == "BRA"

@@ -236,3 +236,41 @@ def test_wkb_hex_geometry_ingest(spark, registry, tmp_path):
     assert row["gfw_area__ha"] > 0
     decoded = geo.wkb_loads(bytes(row["geom"]))
     assert decoded["type"] == "Polygon"
+
+
+def test_hash_and_range_partitions(spark, registry, tmp_path):
+    csv_path = str(tmp_path / "load1.csv")
+    _write_fixture_csv(csv_path)
+    # hash partitioning: N buckets
+    df = ingest_tabular(
+        registry, spark, "fire_alerts", "hashed", csv_path,
+        partitions=Partitions(partition_type="hash", partition_column="alert_id", partition_count=4),
+    )
+    asset = registry.get_default_asset("fire_alerts", "hashed")
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(asset.asset_uri, "_part=*"))
+    )
+    assert len(parts) == 4
+    assert spark.read.parquet(asset.asset_uri).count() == ROWS
+
+    # range partitioning on the date column
+    rparts = Partitions(
+        partition_type="range",
+        partition_column="alert_date",
+        partition_schema=[
+            {"partition_suffix": "early", "start_value": "2024-01-01", "end_value": "2024-01-15"},
+            {"partition_suffix": "late", "start_value": "2024-01-15", "end_value": "2024-02-01"},
+        ],
+    )
+    df2 = ingest_tabular(
+        registry, spark, "fire_alerts", "ranged", csv_path,
+        table_schema=[FieldType("alert_date", "text")],
+        partitions=rparts,
+    )
+    asset2 = registry.get_default_asset("fire_alerts", "ranged")
+    parts2 = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(asset2.asset_uri, "_part=*"))
+    )
+    assert parts2 == ["_part=early", "_part=late"]
+    early = spark.read.parquet(asset2.asset_uri).filter(F.col("_part") == "early")
+    assert early.count() == df2.filter(F.col("alert_date") < "2024-01-15").count()
