@@ -223,6 +223,37 @@ def create_app(
                         start_response, {"data": asset.fields, "status": "success"}
                     )
 
+                if tail[:2] == ["query", "batch"] and method == "POST":
+                    # R10: one SQL over N features, one Spark job
+                    # (queries.py:300-427 — synchronous here, no Step
+                    # Functions needed when the engine IS the cluster)
+                    from gfw_data_api_spark.raster.batch import batch_query
+
+                    feature_collection = body.get("feature_collection") or {}
+                    geometries = [
+                        feat.get("geometry") or {}
+                        for feat in feature_collection.get("features", [])
+                    ]
+                    result_df, failed = batch_query(
+                        spark, registry, dataset, version, body["sql"], geometries
+                    )
+                    per_feature: dict[int, list] = {}
+                    for row in result_df.collect():
+                        item = {k: _row_value(v) for k, v in row.asDict().items()}
+                        per_feature.setdefault(item.pop("feature_id"), []).append(item)
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": [
+                                {"feature_id": idx, "result": per_feature.get(idx, [])}
+                                for idx in range(len(geometries))
+                                if idx not in failed
+                            ],
+                            "failed_geometries": failed,
+                            "status": "success",
+                        },
+                    )
+
                 if tail[:1] == ["query"]:
                     fmt = tail[1] if len(tail) > 1 else "json"
                     sql = body.get("sql") or (params.get("sql") or [None])[0]

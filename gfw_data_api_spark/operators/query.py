@@ -52,6 +52,21 @@ def filter_by_geometry(
     return df.filter(st_intersects_wkb(F.col(geom_col), wkb_lit))
 
 
+_GEO_FNS_REGISTERED: set[int] = set()
+
+
+def _ensure_geo_functions(spark: SparkSession) -> None:
+    """Register the ST_* SQL surface once per session so user SQL that
+    spells out ``st_intersects(geom, st_setsrid(st_geomfromgeojson(...)))``
+    (the reference's own injected form) executes verbatim."""
+    key = id(spark)
+    if key not in _GEO_FNS_REGISTERED:
+        from gfw_data_api_spark.functions.geo_udfs import register_geo_sql_functions
+
+        register_geo_sql_functions(spark)
+        _GEO_FNS_REGISTERED.add(key)
+
+
 def execute_on_dataframe(
     spark: SparkSession,
     df: DataFrame,
@@ -63,6 +78,7 @@ def execute_on_dataframe(
 
     Raises QueryGuardError on any validation-matrix violation.
     """
+    _ensure_geo_functions(spark)
     validated: ValidatedQuery = validate_sql(sql)
     if geometry is not None:
         df = filter_by_geometry(df, geometry, geom_col=geom_col)

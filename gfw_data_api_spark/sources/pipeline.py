@@ -151,3 +151,43 @@ def ingest_vector(
         registry.set_asset_status(asset.asset_id, "failed", str(exc))
         registry.set_version_status(dataset, version, "failed", str(exc))
         raise
+
+
+def export_version(
+    registry: Registry,
+    spark: SparkSession,
+    dataset: str,
+    version: str,
+    fmt: str = "csv",
+    sql: str | None = None,
+    delimiter: str = ",",
+) -> "object":
+    """E12/E14 + asset registration: materialize an auxiliary export asset
+    (csv/tsv/ndjson) for a version — the reference registers these as
+    non-default assets beside the default table
+    (app/tasks/static_vector_file_assets.py).
+
+    Returns the created Asset. The export itself is a distributed write.
+    """
+    from gfw_data_api_spark.operators import downloads
+    from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+    if fmt not in ("csv", "tsv", "ndjson"):
+        raise ValueError(f"unsupported export format: {fmt}")
+    df = registry.load(spark, dataset, version)
+    if sql is not None:
+        df = execute_on_dataframe(spark, df, sql)
+    else:
+        columns = registry.feature_info_fields(dataset, version)
+        keep = [c for c in columns if c in df.columns]
+        if fmt == "ndjson" and "gfw_geojson" in df.columns:
+            keep = keep + ["gfw_geojson"]
+        if keep:
+            df = df.select(*keep)
+    asset = registry.create_asset(dataset, version, fmt)
+    if fmt == "ndjson":
+        downloads.export_ndjson_features(df, asset.asset_uri, registry, dataset, version)
+    else:
+        downloads.write_csv(df, asset.asset_uri, "\t" if fmt == "tsv" else delimiter)
+    registry.set_asset_status(asset.asset_id, "saved")
+    return asset

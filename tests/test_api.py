@@ -168,3 +168,26 @@ def test_datasets_listing(app):
     out = call(app, "GET", "/datasets")
     names = {d["dataset"] for d in out["body"]["data"]}
     assert {"nasa_viirs_fire_alerts", "umd_tree_cover_loss"} <= names
+
+
+def test_batch_query_endpoint(app):
+    fc = {
+        "features": [
+            {"type": "Feature", "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[10.1, 0.1], [10.4, 0.1], [10.4, 0.4], [10.1, 0.4], [10.1, 0.1]]]}},
+            {"type": "Feature", "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[10.5, 0.5], [10.9, 0.5], [10.9, 0.9], [10.5, 0.9], [10.5, 0.5]]]}},
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [10.5, 0.5]}},
+        ]
+    }
+    out = call(
+        app, "POST", "/dataset/umd_tree_cover_loss/v1/query/batch",
+        body={"sql": "SELECT count(*) AS n FROM data", "feature_collection": fc},
+    )
+    assert out["status"] == 200
+    payload = out["body"]
+    assert payload["failed_geometries"] == [2]
+    assert len(payload["data"]) == 2
+    assert all(f["result"][0]["n"] > 0 for f in payload["data"])

@@ -267,3 +267,23 @@ def test_admin_lookup_level_0(spark, gadm_registry):
         spark, gadm_registry, "gadm", "v4", level=0, name="Bra"
     ).collect()
     assert len(rows) == 1 and rows[0]["gid_0"] == "BRA"
+
+
+def test_export_version_registers_assets(spark, vector_registry):
+    import glob
+
+    from gfw_data_api_spark.sources.pipeline import export_version
+
+    asset = export_version(vector_registry, spark, "areas", "v1", fmt="ndjson")
+    assert asset.asset_type == "ndjson" and asset.status == "saved"
+    assert glob.glob(os.path.join(asset.asset_uri, "part-*"))
+    csv_asset = export_version(
+        vector_registry, spark, "areas", "v1", fmt="csv",
+        sql="SELECT fid, name FROM data WHERE fid < 5",
+    )
+    assert csv_asset.asset_type == "csv"
+    back = spark.read.option("header", True).csv(csv_asset.asset_uri)
+    assert back.count() == 5
+    # both registered as aux (non-default) assets of the version
+    types = {a.asset_type for a in vector_registry.assets_for("areas", "v1")}
+    assert {"geo_database_table", "ndjson", "csv"} <= types

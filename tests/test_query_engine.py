@@ -108,3 +108,46 @@ def test_guarded_sql_with_geometry(spark):
         spark, df, "SELECT sum(val) AS s, count(*) AS c FROM data", geometry=square
     ).collect()
     assert rows[0]["s"] == 70.0 and rows[0]["c"] == 3
+
+
+def test_sql_text_spatial_predicate(spark):
+    """User SQL spelling out the reference's injected ST_* form executes
+    verbatim (registered SQL UDFs + bbox-free exact path)."""
+    import pandas as pd
+
+    from gfw_data_api_spark.functions import geometry as geo
+
+    pts = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "geom": [
+                geo.wkb_dumps({"type": "Point", "coordinates": [0.5, 0.5]}),
+                geo.wkb_dumps({"type": "Point", "coordinates": [9.0, 9.0]}),
+            ],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    sql = (
+        "SELECT id FROM data WHERE st_intersects(geom, st_setsrid(st_geomfromgeojson("
+        "'{\"type\": \"Polygon\", \"coordinates\": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}'"
+        "), 4326))"
+    )
+    rows = execute_on_dataframe(spark, df, sql).collect()
+    assert [r["id"] for r in rows] == [1]
+
+
+def test_st_asgeojson_in_sql(spark):
+    import pandas as pd
+
+    from gfw_data_api_spark.functions import geometry as geo
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "geom": [geo.wkb_dumps({"type": "Point", "coordinates": [3.0, 4.0]})]})
+    )
+    rows = execute_on_dataframe(
+        spark, df, "SELECT st_asgeojson(geom) AS gj, st_area_ha(geom) AS a FROM data"
+    ).collect()
+    import json
+
+    assert json.loads(rows[0]["gj"]) == {"type": "Point", "coordinates": [3.0, 4.0]}
+    assert rows[0]["a"] == 0.0
