@@ -119,6 +119,8 @@ def create_app(
 
             # /datasets
             if parts == ["datasets"] and method == "GET":
+                page = int((params.get("page[number]") or ["1"])[0])
+                size = int((params.get("page[size]") or ["10"])[0])
                 data = [
                     {
                         "dataset": d.dataset,
@@ -131,7 +133,16 @@ def create_app(
                     }
                     for d in registry.datasets()
                 ]
-                return _json_response(start_response, {"data": data, "status": "success"})
+                total = len(data)
+                start = (page - 1) * size
+                return _json_response(
+                    start_response,
+                    {
+                        "data": data[start : start + size],
+                        "meta": {"size": size, "page": page, "total_items": total},
+                        "status": "success",
+                    },
+                )
 
             # /geostore
             if parts == ["geostore"] and method == "POST":
@@ -166,9 +177,14 @@ def create_app(
             # /dataset/...
             if parts and parts[0] == "dataset":
                 if len(parts) == 2:
-                    entity = registry.get_dataset(parts[1])
                     if method == "PUT":
-                        pass  # dataset already exists → idempotent metadata echo
+                        # create-or-echo (reference PUT /dataset/{d})
+                        entity = registry.ensure_dataset(parts[1])
+                        if "is_downloadable" in body:
+                            entity.is_downloadable = bool(body["is_downloadable"])
+                            registry.save()
+                    else:
+                        entity = registry.get_dataset(parts[1])
                     versions = [
                         v.version for (d, _), v in registry._versions.items() if d == parts[1]
                     ]
@@ -334,6 +350,12 @@ def create_app(
                 start_response,
                 {"status": "failed", "message": f"Missing parameter: {exc}"},
                 400,
+            )
+        except Exception as exc:  # noqa: BLE001 — JSEND 500, never a raw traceback
+            return _json_response(
+                start_response,
+                {"status": "error", "message": f"{type(exc).__name__}: {exc}"},
+                500,
             )
 
     return app

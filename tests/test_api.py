@@ -191,3 +191,23 @@ def test_batch_query_endpoint(app):
     assert payload["failed_geometries"] == [2]
     assert len(payload["data"]) == 2
     assert all(f["result"][0]["n"] > 0 for f in payload["data"])
+
+
+def test_put_creates_dataset(app):
+    out = call(app, "PUT", "/dataset/brand_new_ds", body={"is_downloadable": False})
+    assert out["status"] == 200
+    assert out["body"]["data"]["dataset"] == "brand_new_ds"
+    assert out["body"]["data"]["is_downloadable"] is False
+
+
+def test_datasets_listing_paginated(app):
+    out = call(app, "GET", "/datasets", query="page[size]=1&page[number]=1")
+    assert len(out["body"]["data"]) == 1
+    assert out["body"]["meta"]["page"] == 1
+
+
+def test_internal_errors_are_jsend_500(app):
+    # malformed body type triggers an unexpected error path, not a traceback
+    out = call(app, "POST", "/geostore", body={"geometry": "not-a-geometry"})
+    assert out["status"] in (400, 500)
+    assert out["body"]["status"] in ("failed", "error")
