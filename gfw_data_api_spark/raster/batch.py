@@ -149,10 +149,15 @@ def batch_query(
         bound = re.sub(r"(?i)^select\s", "SELECT feature_id, ", bound, count=1)
         if re.search(r"(?i)\bgroup\s+by\b", bound):
             bound = re.sub(r"(?i)\bgroup\s+by\b", "GROUP BY feature_id, ", bound, count=1)
-        else:
-            bound += " GROUP BY feature_id" if re.search(
-                r"(?i)\b(sum|count|avg|min|max)\s*\(", bound
-            ) else ""
+        elif re.search(r"(?i)\b(sum|count|avg|min|max)\s*\(", bound):
+            # a bare aggregate needs GROUP BY feature_id — inserted BEFORE
+            # any ORDER BY / LIMIT / OFFSET tail
+            tail = re.search(r"(?i)\b(ORDER\s+BY|LIMIT|OFFSET)\b", bound)
+            if tail:
+                pos = tail.start()
+                bound = bound[:pos] + "GROUP BY feature_id " + bound[pos:]
+            else:
+                bound += " GROUP BY feature_id"
         result = spark.sql(bound)
         result.schema
         return result, failed

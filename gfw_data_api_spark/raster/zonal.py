@@ -159,7 +159,16 @@ def _geometry_mask(df: DataFrame, geometry: dict[str, Any], grid: Grid, tiles: l
             for s1 in geo._segments(tile_poly)
             for s2 in geo._segments(geometry)
         )
-        (full if corners_inside and not crosses else partial).append(tile_id)
+        # a hole (or island boundary) lying wholly inside the tile never
+        # touches the tile edges — any geometry vertex interior to the
+        # tile disqualifies the full-tile shortcut
+        vertex_inside = any(
+            lon_nw < p[0] < lon_nw + grid.tile_deg
+            and lat_nw - grid.tile_deg < p[1] < lat_nw
+            for p in geo._iter_points(geometry)
+        )
+        is_full = corners_inside and not crosses and not vertex_inside
+        (full if is_full else partial).append(tile_id)
 
     in_bbox = (
         (F.col("longitude") >= F.lit(gbox[0]))

@@ -120,3 +120,17 @@ def test_batch_query_matches_single_queries(spark, registry):
         ).collect()
         for row in single:
             assert batch_rows[(idx, int(row["yr"]))] == pytest.approx(row["area"], rel=1e-12)
+
+
+def test_batch_query_aggregate_with_order_by(spark, registry):
+    """GROUP BY injection must land before an ORDER BY tail."""
+    features = [
+        {"type": "Polygon", "coordinates": [[[10.1, 0.1], [10.4, 0.1], [10.4, 0.4], [10.1, 0.4], [10.1, 0.1]]]},
+        {"type": "Polygon", "coordinates": [[[10.5, 0.5], [10.9, 0.5], [10.9, 0.9], [10.5, 0.9], [10.5, 0.5]]]},
+    ]
+    result, failed = batch_query(
+        spark, registry, "umd_tree_cover_loss", "v1",
+        "SELECT count(*) AS n FROM data ORDER BY n", features,
+    )
+    assert failed == []
+    assert {r["feature_id"] for r in result.collect()} == {0, 1}

@@ -296,3 +296,26 @@ def test_spark_date_decode_matches_python(spark, raster_registry, fixture_arrays
         key = decode_date(int(day))
         golden[key] = golden.get(key, 0) + 1
     assert {r["d"]: r["n"] for r in rows} == golden
+
+
+def test_aoi_with_hole_inside_full_tile(spark, raster_registry, fixture_arrays):
+    """A polygon hole entirely inside a tile must not be swallowed by the
+    full-tile masking shortcut."""
+    donut = {
+        "type": "Polygon",
+        "coordinates": [
+            # outer covers the whole tile and beyond
+            [[9.5, -0.5], [11.5, -0.5], [11.5, 1.5], [9.5, 1.5], [9.5, -0.5]],
+            # hole strictly inside the tile
+            [[10.4, 0.4], [10.6, 0.4], [10.6, 0.6], [10.4, 0.6], [10.4, 0.4]],
+        ],
+    }
+    rows = query_raster(
+        spark, raster_registry, "umd_tree_cover_loss", "v1",
+        "SELECT count(*) AS n FROM data", donut,
+    ).collect()
+    year = fixture_arrays["year"]
+    lats, lons = pixel_lats(), pixel_lons()
+    in_hole = np.outer((lats > 0.4) & (lats < 0.6), (lons > 10.4) & (lons < 10.6))
+    golden = int(((year != 0) & ~in_hole).sum())
+    assert rows[0]["n"] == golden
