@@ -83,10 +83,13 @@ def add_gfw_fields(df: DataFrame, geom_col: str = "geom") -> DataFrame:
 def _properties_schema(features: list[dict]) -> T.StructType:
     """Infer a property schema from sample features (the reference lets
     ogr2ogr infer; we sample like create_vector_schema.sh does)."""
-    fields: dict[str, T.DataType] = {}
+    fields: dict[str, T.DataType | None] = {}  # None = only nulls seen so far
     for feat in features:
         for key, value in (feat.get("properties") or {}).items():
-            current = fields.get(key)
+            if value is None:
+                # register the key but let a later non-null value type it
+                fields.setdefault(key, None)
+                continue
             if isinstance(value, bool):
                 inferred: T.DataType = T.BooleanType()
             elif isinstance(value, int):
@@ -95,16 +98,20 @@ def _properties_schema(features: list[dict]) -> T.StructType:
                 inferred = T.DoubleType()
             else:
                 inferred = T.StringType()
-            if current is None or (current != inferred and current != T.StringType()):
+            current = fields.get(key)
+            if current is None:
+                fields[key] = inferred
+            elif current != inferred and current != T.StringType():
                 # type conflict widens: int+float → double, anything+str → str
-                if current is None:
-                    fields[key] = inferred
-                elif {type(current), type(inferred)} == {T.LongType, T.DoubleType}:
+                if {type(current), type(inferred)} == {T.LongType, T.DoubleType}:
                     fields[key] = T.DoubleType()
                 else:
                     fields[key] = T.StringType()
     struct = T.StructType(
-        [T.StructField(name, dtype, True) for name, dtype in fields.items()]
+        [
+            T.StructField(name, dtype if dtype is not None else T.StringType(), True)
+            for name, dtype in fields.items()
+        ]
     )
     struct.add(T.StructField("geom", T.BinaryType(), True))
     return struct

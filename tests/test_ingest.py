@@ -274,3 +274,32 @@ def test_hash_and_range_partitions(spark, registry, tmp_path):
     assert parts2 == ["_part=early", "_part=late"]
     early = spark.read.parquet(asset2.asset_uri).filter(F.col("_part") == "early")
     assert early.count() == df2.filter(F.col("alert_date") < "2024-01-15").count()
+
+
+def test_vector_inference_null_properties(spark, registry, tmp_path):
+    """A null property in early features must not force the column to
+    string once later features carry typed values."""
+    import json
+
+    path = str(tmp_path / "nulls.geojsonl")
+    with open(path, "w") as fh:
+        rows = [
+            {"fid": 0, "score": None},
+            {"fid": 1, "score": 3.5},
+            {"fid": 2, "score": None},
+        ]
+        for props in rows:
+            fh.write(
+                json.dumps(
+                    {
+                        "type": "Feature",
+                        "properties": props,
+                        "geometry": {"type": "Point", "coordinates": [props["fid"], 0.0]},
+                    }
+                )
+                + "\n"
+            )
+    df = ingest_vector(registry, spark, "nullprops", "v1", path)
+    types = dict(df.dtypes)
+    assert types["score"] == "double"
+    assert df.filter(F.col("score").isNull()).count() == 2
