@@ -72,6 +72,23 @@ def write_tile_set(df: DataFrame, path: str) -> None:
     )
 
 
+def write_tile_set_bucketed(df: DataFrame, table_name: str, buckets: int = 16) -> None:
+    """Bucketed catalog-table layout for a tile set: every tile set of a
+    grid written with the same ``bucketBy(buckets, tile_id, pixel_id)``
+    spec joins co-partitioned — the layer join in the zonal path becomes
+    a zip with NO shuffle on either side (asserted in test_plans).
+
+    This is the 100 TB layout; the plain parquet layout (write_tile_set)
+    stays the default because bucketed tables need a catalog."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, "tile_id", "pixel_id")
+        .sortBy("tile_id", "pixel_id")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 # ---------------------------------------------------------------------------
 # coordinate / area column math (all native expressions)
 # ---------------------------------------------------------------------------

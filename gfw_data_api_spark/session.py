@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/gfw_spark_warehouse"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # The driver's synthetic events table stores TIMESTAMP(NANOS) which
         # the JVM parquet reader does not support natively; read as long and

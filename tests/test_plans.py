@@ -101,3 +101,35 @@ def test_topk_never_global_sorts(spark, sf_dir):
     df = brute_force_topk(emb, [float(x) for x in query], k=5)
     plan = plan_of(spark, df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_tile_sets_join_without_shuffle(spark):
+    """The cluster-scale layout: two tile sets bucketed on
+    (tile_id, pixel_id) join with no Exchange on either side."""
+    import numpy as np
+
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.pixels import tile_set_from_array, write_tile_set_bucketed
+
+    grid = Grid(1.0, 50)
+    rng = np.random.default_rng(3)
+    a = tile_set_from_array(spark, grid, "01N_010E", rng.uniform(1, 9, (50, 50)), no_data=None)
+    b = tile_set_from_array(spark, grid, "01N_010E", rng.uniform(1, 9, (50, 50)), no_data=None)
+    write_tile_set_bucketed(a, "bucketed_layer_a", buckets=4)
+    write_tile_set_bucketed(b, "bucketed_layer_b", buckets=4)
+    try:
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bucketed_layer_a").join(
+                spark.table("bucketed_layer_b"), ["tile_id", "pixel_id"]
+            )
+            plan = plan_of(spark, joined)
+            assert "Exchange" not in plan  # co-partitioned: no shuffle at all
+            assert joined.count() == 2500
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_layer_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed_layer_b")
