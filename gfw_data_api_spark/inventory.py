@@ -1017,6 +1017,35 @@ _SPECS.append(
 )
 
 
+def _d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=5, window=4, use_md5=True
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d06_winnowing_fingerprints",
+        spark_fn=_d06,
+        oracle=(
+            # same winnowing pipeline in SQL: k-gram md5-hashes, min over
+            # each 4-window (following rows), distinct per doc
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT doc_id, i AS pos, "
+            "CAST(concat('0x', substring(md5(array_to_string(t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h "
+            "FROM toks, unnest(range(1, greatest(len(t)-3, 1))) AS u(i)) "
+            "SELECT DISTINCT doc_id, "
+            "min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint "
+            "FROM grams"
+        ),
+        survey_ref="dedup: winnowing document fingerprints (rolling k-gram window minima)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

@@ -171,6 +171,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    k-gram rolling hashes, then the minimum hash of every ``window`` of
+    consecutive k-grams; the distinct set of window-minima fingerprints
+    the document, guaranteeing shared substrings of length ≥ k+window-1
+    produce a shared fingerprint.
+
+    Explode + a rows-between window min + distinct — one shuffle on the
+    doc id; matching documents share fingerprint rows for an inverted-
+    index join exactly like the shingle index.
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(shingles_col(F.col(text_col), k)).alias("_pos", "_g"),
+    )
+    if use_md5:
+        # md5-derived 60-bit hash: slower than xxhash64 but computable in
+        # external engines too (used by the DuckDB oracle pair)
+        gram_hash = F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("bigint")
+    else:
+        gram_hash = F.xxhash64("_g")
+    grams = grams.withColumn("_h", gram_hash)
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("_min", F.min("_h").over(w))
+        .select(F.col("_id").alias(id_col), F.col("_min").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

@@ -225,3 +225,22 @@ def test_ivf_deterministic(spark, sf_dir):
     c1 = ivf.train_ivf(emb, nlist=4, iters=2, seed=7)
     c2 = ivf.train_ivf(emb, nlist=4, iters=2, seed=7)
     assert np.allclose(c1, c2)
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """Docs sharing a ≥(k+window-1)-token run must share a fingerprint;
+    disjoint docs share none."""
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "one two three " + common + " four five"),
+        (2, "six seven " + common + " eight nine ten"),
+        (3, "totally different words everywhere here now and forever more again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = dedup.winnowing_fingerprints(df, k=5, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]  # shared run → shared fingerprints
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
