@@ -174,6 +174,24 @@ def create_app(
                 ]
                 return _json_response(start_response, {"data": data, "status": "success"})
 
+            # /datamart/tree_cover_loss_by_driver (app/tasks/datamart/land.py)
+            if parts == ["datamart", "tree_cover_loss_by_driver"] and method == "POST":
+                from gfw_data_api_spark.operators.datamart import (
+                    compute_tree_cover_loss_by_driver,
+                )
+
+                geometry = resolve_geometry(params, body)
+                if geometry is None:
+                    raise QueryGuardError("geostore_id or geometry required.", 400)
+                resource = compute_tree_cover_loss_by_driver(
+                    spark,
+                    registry,
+                    geometry,
+                    canopy_cover=int(body.get("canopy_cover", 30)),
+                    version_overrides=body.get("dataset_version"),
+                )
+                return _json_response(start_response, {"data": resource, "status": "success"})
+
             # /dataset/...
             if parts and parts[0] == "dataset":
                 if len(parts) == 2:

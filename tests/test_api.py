@@ -211,3 +211,47 @@ def test_internal_errors_are_jsend_500(app):
     out = call(app, "POST", "/geostore", body={"geometry": "not-a-geometry"})
     assert out["status"] in (400, 500)
     assert out["body"]["status"] in ("failed", "error")
+
+
+def test_datamart_endpoint(spark, tmp_path_factory):
+    """Datamart precompute through the API needs the full layer trio."""
+    from gfw_data_api_spark.raster.data_environment import clear_cache
+
+    registry = Registry(str(tmp_path_factory.mktemp("dm_api") / "catalog"))
+    grid = Grid(1.0, 50)
+    rng = np.random.default_rng(6)
+    n = 50
+    ingest_raster_tiles(
+        registry, spark, "umd_tree_cover_loss", "v1", grid, "year",
+        {"01N_010E": rng.choice([0, 2010, 2020], (n, n)).astype(np.float64)},
+    )
+    ingest_raster_tiles(
+        registry, spark, "umd_tree_cover_density_2000", "v1", grid, "threshold",
+        {"01N_010E": (rng.choice([10, 75], (n, n))).astype(np.float64)},
+    )
+    ingest_raster_tiles(
+        registry, spark, "tsc_tree_cover_loss_drivers", "v1", grid, "driver",
+        {"01N_010E": rng.choice([1, 5], (n, n)).astype(np.float64)}, no_data=None,
+        values_table={
+            "rows": [
+                {"value": 1, "meaning": "Commodity driven deforestation"},
+                {"value": 5, "meaning": "Wildfire"},
+            ],
+            "default_meaning": "Unknown",
+        },
+    )
+    clear_cache()
+    dm_app = create_app(spark, registry, Geostore(registry))
+    geom = {
+        "type": "Polygon",
+        "coordinates": [[[10.1, 0.1], [10.9, 0.1], [10.9, 0.9], [10.1, 0.9], [10.1, 0.1]]],
+    }
+    out = call(
+        dm_app, "POST", "/datamart/tree_cover_loss_by_driver",
+        body={"geometry": geom, "canopy_cover": 30},
+    )
+    assert out["status"] == 200
+    resource = out["body"]["data"]
+    assert resource["status"] == "saved"
+    drivers = {r["tree_cover_loss_driver"] for r in resource["result"]}
+    assert drivers == {"Commodity driven deforestation", "Wildfire"}
