@@ -182,15 +182,31 @@ def create_app(
 
                 geometry = resolve_geometry(params, body)
                 if geometry is None:
-                    raise QueryGuardError("geostore_id or geometry required.", 400)
+                    raise QueryGuardError("geostore_id or geometry required.", 422)
+                try:
+                    canopy_cover = int(body.get("canopy_cover", 30))
+                except (TypeError, ValueError):
+                    raise QueryGuardError("canopy_cover must be an integer.", 422) from None
                 resource = compute_tree_cover_loss_by_driver(
                     spark,
                     registry,
                     geometry,
-                    canopy_cover=int(body.get("canopy_cover", 30)),
+                    canopy_cover=canopy_cover,
                     version_overrides=body.get("dataset_version"),
                 )
                 return _json_response(start_response, {"data": resource, "status": "success"})
+
+            if (
+                len(parts) == 3
+                and parts[:2] == ["datamart", "tree_cover_loss_by_driver"]
+                and method == "GET"
+            ):
+                from gfw_data_api_spark.operators.datamart import get_resource
+
+                return _json_response(
+                    start_response,
+                    {"data": get_resource(registry, parts[2]), "status": "success"},
+                )
 
             # /dataset/...
             if parts and parts[0] == "dataset":

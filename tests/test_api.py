@@ -253,5 +253,29 @@ def test_datamart_endpoint(spark, tmp_path_factory):
     assert out["status"] == 200
     resource = out["body"]["data"]
     assert resource["status"] == "saved"
-    drivers = {r["tree_cover_loss_driver"] for r in resource["result"]}
+    yearly = resource["result"]["yearly_tree_cover_loss_by_driver"]
+    drivers = {r["drivers_type"] for r in yearly}
     assert drivers == {"Commodity driven deforestation", "Wildfire"}
+    totals = resource["result"]["tree_cover_loss_by_driver"]
+    # per-driver rollup equals the yearly sum, ordered by driver code
+    assert [t["drivers_type"] for t in totals] == [
+        "Commodity driven deforestation", "Wildfire"
+    ]
+    for t in totals:
+        yearly_sum = sum(
+            r["loss_area_ha"] for r in yearly if r["drivers_type"] == t["drivers_type"]
+        )
+        assert abs(t["loss_area_ha"] - yearly_sum) < 1e-9
+
+    # resource retrieval round-trip
+    got = call(dm_app, "GET", f"/datamart/tree_cover_loss_by_driver/{resource['resource_id']}")
+    assert got["status"] == 200 and got["body"]["data"]["resource_id"] == resource["resource_id"]
+    missing = call(dm_app, "GET", "/datamart/tree_cover_loss_by_driver/nope")
+    assert missing["status"] == 404
+
+    # invalid canopy_cover -> 422, not 500
+    bad = call(
+        dm_app, "POST", "/datamart/tree_cover_loss_by_driver",
+        body={"geometry": geom, "canopy_cover": "abc"},
+    )
+    assert bad["status"] == 422

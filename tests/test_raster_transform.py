@@ -118,13 +118,21 @@ def test_datamart_tree_cover_loss_by_driver(spark, tmp_path_factory):
     }
     resource = compute_tree_cover_loss_by_driver(spark, registry, aoi, canopy_cover=30)
     assert resource["status"] == "saved"
-    result = resource["result"]
-    years = {r["umd_tree_cover_loss__year"] for r in result}
-    drivers_seen = {r["tree_cover_loss_driver"] for r in result}
+    result = resource["result"]["yearly_tree_cover_loss_by_driver"]
+    years = {r["loss_year"] for r in result}
+    drivers_seen = {r["drivers_type"] for r in result}
     assert years == {2005, 2015}
     assert drivers_seen == {
         "Unknown", "Commodity driven deforestation", "Shifting agriculture", "Wildfire"
     }
+    # rows ordered by the reference driver value map
+    codes = [
+        {"Unknown": 0, "Commodity driven deforestation": 2, "Shifting agriculture": 3, "Wildfire": 5}[
+            r["drivers_type"]
+        ]
+        for r in result
+    ]
+    assert codes == sorted(codes)
     # golden total area check for one cell of the result
     from gfw_data_api_spark.functions.geometry import EARTH_RADIUS_M
 
@@ -138,10 +146,10 @@ def test_datamart_tree_cover_loss_by_driver(spark, tmp_path_factory):
     mask = (year == 2005) & (threshold >= 30) & (drivers == 1)
     golden = float(areas[mask].sum())
     got = next(
-        r["area_ha"]
+        r["loss_area_ha"]
         for r in result
-        if r["umd_tree_cover_loss__year"] == 2005
-        and r["tree_cover_loss_driver"] == "Commodity driven deforestation"
+        if r["loss_year"] == 2005
+        and r["drivers_type"] == "Commodity driven deforestation"
     )
     assert got == pytest.approx(golden, rel=1e-9)
 
@@ -239,3 +247,57 @@ def test_apply_colormap_discrete_and_gradient(spark):
     grad = apply_colormap(df, {2.0: (0, 0, 0), 4.0: (200, 100, 50)}, kind="gradient")
     got = {r["value"]: (r["r"], r["g"], r["b"]) for r in grad.collect()}
     assert got[3.0] == (100, 50, 25)  # midpoint interpolation
+
+
+def test_datamart_includes_emissions_when_layer_present(spark, tmp_path_factory):
+    from gfw_data_api_spark.raster.data_environment import clear_cache
+
+    registry = Registry(str(tmp_path_factory.mktemp("dm_em")))
+    rng = np.random.default_rng(8)
+    year = rng.choice([0, 2010], (N, N)).astype(np.float64)
+    threshold = (np.zeros((N, N)) + 75.0)
+    drivers = rng.choice([1, 5], (N, N)).astype(np.float64)
+    em_density = rng.uniform(0, 5, (N, N)).round(2)
+    ingest_raster_tiles(registry, spark, "umd_tree_cover_loss", "v1", GRID, "year", {TILE: year})
+    ingest_raster_tiles(
+        registry, spark, "umd_tree_cover_density_2000", "v1", GRID, "threshold", {TILE: threshold}
+    )
+    ingest_raster_tiles(
+        registry, spark, "tsc_tree_cover_loss_drivers", "v1", GRID, "driver", {TILE: drivers},
+        no_data=None,
+        values_table={
+            "rows": [
+                {"value": 1, "meaning": "Permanent agriculture"},
+                {"value": 5, "meaning": "Wildfire"},
+            ],
+            "default_meaning": "Unknown",
+        },
+    )
+    # density source → derived gross layer lands exactly at the reference
+    # emissions layer name gfw_forest_carbon_gross_emissions__Mg_CO2e
+    ingest_raster_tiles(
+        registry, spark, "gfw_forest_carbon_gross_emissions", "v1", GRID, "Mg_CO2e_ha-1",
+        {TILE: em_density}, no_data=None,
+    )
+    clear_cache()
+    aoi = {
+        "type": "Polygon",
+        "coordinates": [[[10.0, 0.0], [11.0, 0.0], [11.0, 1.0], [10.0, 1.0], [10.0, 0.0]]],
+    }
+    resource = compute_tree_cover_loss_by_driver(spark, registry, aoi, canopy_cover=30)
+    totals = resource["result"]["tree_cover_loss_by_driver"]
+    assert all(t["gross_carbon_emissions_Mg"] > 0 for t in totals)
+    # golden check for one driver
+    from gfw_data_api_spark.functions.geometry import EARTH_RADIUS_M
+
+    lats = 1.0 - (np.arange(N) + 0.5) * GRID.pixel_size
+    half = GRID.pixel_size / 2
+    areas = np.abs(
+        EARTH_RADIUS_M**2 * np.radians(GRID.pixel_size)
+        * (np.sin(np.radians(lats + half)) - np.sin(np.radians(lats - half)))
+    )[:, None] / 1e4
+    areas = np.broadcast_to(areas, year.shape)
+    mask = (year == 2010) & (drivers == 5)
+    golden = float((em_density * areas)[mask].sum())
+    got = next(t for t in totals if t["drivers_type"] == "Wildfire")
+    assert got["gross_carbon_emissions_Mg"] == pytest.approx(golden, rel=1e-9)
