@@ -22,7 +22,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from gfw_data_api_spark.sql.dialect import to_spark_sql
-from gfw_data_api_spark.sql.guard import ValidatedQuery, replace_from_clause, validate_sql
+from gfw_data_api_spark.sql.guard import ValidatedQuery, bind_from, validate_sql
 
 
 def filter_by_geometry(
@@ -52,19 +52,16 @@ def filter_by_geometry(
     return df.filter(st_intersects_wkb(F.col(geom_col), wkb_lit))
 
 
-_GEO_FNS_REGISTERED: set[int] = set()
-
-
 def _ensure_geo_functions(spark: SparkSession) -> None:
     """Register the ST_* SQL surface once per session so user SQL that
     spells out ``st_intersects(geom, st_setsrid(st_geomfromgeojson(...)))``
-    (the reference's own injected form) executes verbatim."""
-    key = id(spark)
-    if key not in _GEO_FNS_REGISTERED:
+    (the reference's own injected form) executes verbatim. The catalog is
+    the source of truth (an ``id(spark)`` cache could go stale if a
+    session is recycled at the same address)."""
+    if not spark.catalog.functionExists("st_intersects"):
         from gfw_data_api_spark.functions.geo_udfs import register_geo_sql_functions
 
         register_geo_sql_functions(spark)
-        _GEO_FNS_REGISTERED.add(key)
 
 
 def execute_on_dataframe(
@@ -86,8 +83,7 @@ def execute_on_dataframe(
     view = f"gfw_q_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
     try:
-        alias_sql = f" AS {validated.alias}" if validated.alias else ""
-        bound = replace_from_clause(f"{view}{alias_sql}", validated.sql)
+        bound = bind_from(validated, view)
         spark_sql = to_spark_sql(bound)
         result = spark.sql(spark_sql)
         # force analysis while the view exists; execution stays lazy

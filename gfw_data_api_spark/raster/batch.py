@@ -39,7 +39,7 @@ from gfw_data_api_spark.raster.grid import Grid
 from gfw_data_api_spark.raster.layers import default_layer_name
 from gfw_data_api_spark.raster.zonal import _referenced_layers, _rewrite_deprecated, assemble_pixels
 from gfw_data_api_spark.sql.dialect import to_spark_sql
-from gfw_data_api_spark.sql.guard import replace_from_clause, validate_sql
+from gfw_data_api_spark.sql.guard import bind_from, validate_sql
 
 MAX_BATCH_FEATURES = 100  # parity with the reference's fan-out cap
 
@@ -143,7 +143,7 @@ def batch_query(
     view = f"gfw_batch_{uuid.uuid4().hex}"
     tagged.createOrReplaceTempView(view)
     try:
-        bound = replace_from_clause(view, validated.sql)
+        bound = bind_from(validated, view)
         bound = to_spark_sql(bound)
         # inject feature_id into SELECT and GROUP BY
         bound = re.sub(r"(?i)^select\s", "SELECT feature_id, ", bound, count=1)

@@ -46,7 +46,7 @@ from gfw_data_api_spark.raster.layers import (
 )
 from gfw_data_api_spark.raster.pixels import with_pixel_coordinates
 from gfw_data_api_spark.sql.dialect import to_spark_sql
-from gfw_data_api_spark.sql.guard import QueryGuardError, replace_from_clause, validate_sql
+from gfw_data_api_spark.sql.guard import QueryGuardError, bind_from, validate_sql
 
 # default OTF area cap, hectares (app/settings/globals.py:157-160)
 GEOSTORE_SIZE_LIMIT_OTF = 1_000_000_000.0
@@ -70,9 +70,17 @@ def _check_geometry(geometry: dict[str, Any]) -> None:
 
 def _referenced_layers(sql: str, env: DataEnvironment) -> list[str]:
     """Column pruning: only layers whose names appear in the query text are
-    materialized into the pixel view."""
-    names = set(re.findall(r"[A-Za-z_][A-Za-z0-9_\-]*", sql))
-    return [name for name in env.layer_map() if name in names]
+    materialized into the pixel view.
+
+    Matched per layer with word-ish boundaries (a following ``-`` is a
+    boundary so ``layer-2000`` — unspaced subtraction — still references
+    ``layer``, while density names ending ``_ha-1`` match exactly)."""
+    out = []
+    for name in env.layer_map():
+        pattern = rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])"
+        if re.search(pattern, sql):
+            out.append(name)
+    return out
 
 
 def _rewrite_deprecated(sql: str) -> str:
@@ -133,39 +141,56 @@ def _decode_column(layer: DerivedLayer, col: Column) -> Column:
 
 
 def _geometry_mask(df: DataFrame, geometry: dict[str, Any], grid: Grid, tiles: list[str]) -> DataFrame:
-    """R9 rasterization mask over pixel centers, with a full-tile fast path."""
+    """R9 rasterization mask over pixel centers, with a full-tile fast path.
+
+    Tile classification is vectorized: geometry segments/vertices are
+    staged once as arrays, each tile prefilters by segment-bbox overlap
+    (NumPy), and the exact segment tests run only on the few candidates —
+    a country-scale MultiPolygon over hundreds of tiles stays near-linear
+    instead of O(tiles × vertices) Python loops."""
     gbox = geo.bbox(geometry)
+    segments = list(geo._segments(geometry))
+    if segments:
+        seg_arr = np.asarray(
+            [[s[0][0], s[0][1], s[1][0], s[1][1]] for s in segments], dtype=np.float64
+        )
+        seg_xmin = np.minimum(seg_arr[:, 0], seg_arr[:, 2])
+        seg_xmax = np.maximum(seg_arr[:, 0], seg_arr[:, 2])
+        seg_ymin = np.minimum(seg_arr[:, 1], seg_arr[:, 3])
+        seg_ymax = np.maximum(seg_arr[:, 1], seg_arr[:, 3])
+    verts = np.asarray(list(geo._iter_points(geometry)), dtype=np.float64)
+
     full, partial = [], []
     for tile_id in tiles:
         lat_nw, lon_nw = Grid.parse_tile_id(tile_id)
-        tile_poly = {
-            "type": "Polygon",
-            "coordinates": [
-                [
-                    [lon_nw, lat_nw - grid.tile_deg],
-                    [lon_nw + grid.tile_deg, lat_nw - grid.tile_deg],
-                    [lon_nw + grid.tile_deg, lat_nw],
-                    [lon_nw, lat_nw],
-                    [lon_nw, lat_nw - grid.tile_deg],
-                ]
-            ],
-        }
+        x0, x1 = lon_nw, lon_nw + grid.tile_deg
+        y0, y1 = lat_nw - grid.tile_deg, lat_nw
+        corners = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+        tile_edges = list(zip(corners, corners[1:] + corners[:1]))
+
         corners_inside = all(
             any(geo.point_in_polygon(c, poly) for poly in geo._polygons_of(geometry))
-            for c in tile_poly["coordinates"][0][:4]
+            for c in corners
         )
-        crosses = any(
-            geo._seg_intersect(s1[0], s1[1], s2[0], s2[1])
-            for s1 in geo._segments(tile_poly)
-            for s2 in geo._segments(geometry)
-        )
+        crosses = False
+        if corners_inside and segments:
+            candidates = np.nonzero(
+                (seg_xmin <= x1) & (seg_xmax >= x0) & (seg_ymin <= y1) & (seg_ymax >= y0)
+            )[0]
+            crosses = any(
+                geo._seg_intersect(e[0], e[1], segments[k][0], segments[k][1])
+                for k in candidates
+                for e in tile_edges
+            )
         # a hole (or island boundary) lying wholly inside the tile never
         # touches the tile edges — any geometry vertex interior to the
         # tile disqualifies the full-tile shortcut
-        vertex_inside = any(
-            lon_nw < p[0] < lon_nw + grid.tile_deg
-            and lat_nw - grid.tile_deg < p[1] < lat_nw
-            for p in geo._iter_points(geometry)
+        vertex_inside = bool(
+            corners_inside
+            and len(verts)
+            and np.any(
+                (verts[:, 0] > x0) & (verts[:, 0] < x1) & (verts[:, 1] > y0) & (verts[:, 1] < y1)
+            )
         )
         is_full = corners_inside and not crosses and not vertex_inside
         (full if is_full else partial).append(tile_id)
@@ -278,7 +303,7 @@ def query_raster(
     view = f"gfw_raster_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
     try:
-        bound = replace_from_clause(view, validated.sql)
+        bound = bind_from(validated, view)
         result = spark.sql(to_spark_sql(bound))
         result.schema
         return result

@@ -252,8 +252,19 @@ SQL_VALUE_FUNCTIONS: frozenset[str] = frozenset(
 
 FORBIDDEN_PREFIXES: tuple[str, ...] = ("pg_", "_", "postgis")
 
+# Spark-side dangerous builtins: the guarded SQL executes on Spark, not
+# Postgres, so the JVM escape hatches must be denied too (reflect /
+# java_method invoke arbitrary public static methods).
+SPARK_FORBIDDEN_FUNCTIONS: frozenset[str] = frozenset(
+    {"reflect", "java_method", "assert_true", "raise_error"}
+)
+
 
 def is_forbidden_function(name: str) -> bool:
     """True if a called function name is admin/system/private."""
     lowered = name.lower()
-    return lowered.startswith(FORBIDDEN_PREFIXES) or lowered in FORBIDDEN_FUNCTION_NAMES
+    return (
+        lowered.startswith(FORBIDDEN_PREFIXES)
+        or lowered in FORBIDDEN_FUNCTION_NAMES
+        or lowered in SPARK_FORBIDDEN_FUNCTIONS
+    )

@@ -80,6 +80,7 @@ class ValidatedQuery:
     from_table: str  # table reference exactly as written (may be qualified)
     alias: str | None
     alias_quoted: bool
+    from_span: tuple[int, int]  # text span of the table ref incl. any alias
     where_span: tuple[int, int] | None  # text span of the WHERE *expression*
     tail_start: int  # text offset where GROUP/ORDER/... tail begins (== len if none)
     where_has_top_level_or: bool
@@ -113,7 +114,11 @@ def validate_sql(sql: str) -> ValidatedQuery:
     if len(statements) != 1:
         raise QueryGuardError("Must use exactly one SQL statement.")
     tokens = statements[0]
-    cleaned = cleaned[: tokens[-1].end]
+    # trim surrounding semicolons/whitespace on BOTH sides; re-tokenize so
+    # every recorded span is an offset into the returned sql
+    if tokens[0].start > 0 or tokens[-1].end < len(cleaned):
+        cleaned = cleaned[tokens[0].start : tokens[-1].end]
+        tokens = tokenize(cleaned)
 
     first = tokens[0]
     if first.kind != "IDENT":
@@ -169,6 +174,7 @@ def validate_sql(sql: str) -> ValidatedQuery:
     from_table = ""
     alias: str | None = None
     alias_quoted = False
+    from_span = (tokens[i].start, tokens[i].end)
     if tokens[i].kind not in ("IDENT", "QIDENT"):
         structure_error = QueryGuardError("Unexpected FROM clause structure.")
     else:
@@ -185,6 +191,7 @@ def validate_sql(sql: str) -> ValidatedQuery:
             name_end = tokens[i + 1].end
             i += 2
         from_table = cleaned[name_start:name_end]
+        from_span = (name_start, name_end)
 
         if i < len(tokens) and tokens[i].kind == "PUNCT" and tokens[i].value == "(":
             # table function (RangeFunction) — not a plain RangeVar
@@ -196,6 +203,7 @@ def validate_sql(sql: str) -> ValidatedQuery:
                 if i < len(tokens) and tokens[i].kind in ("IDENT", "QIDENT"):
                     alias = tokens[i].value
                     alias_quoted = tokens[i].kind == "QIDENT"
+                    from_span = (name_start, tokens[i].end)
                     i += 1
                 else:
                     structure_error = QueryGuardError("Unexpected FROM clause structure.")
@@ -204,6 +212,7 @@ def validate_sql(sql: str) -> ValidatedQuery:
             elif kw not in _CLAUSE_BOUNDARY and kw not in _SET_OPS:
                 alias = tokens[i].value
                 alias_quoted = tokens[i].kind == "QIDENT"
+                from_span = (name_start, tokens[i].end)
                 i += 1
 
         if structure_error is None and i < len(tokens):
@@ -217,16 +226,19 @@ def validate_sql(sql: str) -> ValidatedQuery:
 
     # --- function denylist (checked before structure, per reference order) --
     for j, tok in enumerate(tokens):
-        if tok.kind != "IDENT" or tok.upper in _NOT_FUNCTIONS:
+        if tok.kind not in ("IDENT", "QIDENT") or (
+            tok.kind == "IDENT" and tok.upper in _NOT_FUNCTIONS
+        ):
             continue
         nxt = tokens[j + 1] if j + 1 < len(tokens) else None
         if nxt is not None and nxt.kind == "PUNCT" and nxt.value == "(":
-            # function call; for qualified names the last part is the name
+            # function call; quoted names count too (pglast normalizes
+            # "pg_read_file"(...) to the same FuncCall the reference blocks)
             if is_forbidden_function(tok.value):
                 raise QueryGuardError(
                     "Use of admin, system or private functions is not allowed."
                 )
-        elif tok.value.lower() in SQL_VALUE_FUNCTIONS:
+        elif tok.kind == "IDENT" and tok.value.lower() in SQL_VALUE_FUNCTIONS:
             prev = tokens[j - 1] if j > 0 else None
             # skip when used as a qualified-name part (x.user) or alias target
             if not (
@@ -267,10 +279,27 @@ def validate_sql(sql: str) -> ValidatedQuery:
         from_table=from_table,
         alias=alias,
         alias_quoted=alias_quoted,
+        from_span=from_span,
         where_span=where_span,
         tail_start=tail_start,
         where_has_top_level_or=where_has_or,
     )
+
+
+def bind_from(validated: ValidatedQuery, target: str, keep_alias: bool = True) -> str:
+    """Rebind the FROM target by token span — immune to 'from ...' text in
+    string literals or scalar subqueries (unlike the reference's regex,
+    kept only in :func:`replace_from_clause` for output parity). The
+    user's alias is re-emitted, backtick-quoted for Spark when the
+    original was a quoted identifier."""
+    start, end = validated.from_span
+    alias_sql = ""
+    if keep_alias and validated.alias:
+        if validated.alias_quoted:
+            alias_sql = " AS `" + validated.alias.replace("`", "``") + "`"
+        else:
+            alias_sql = f" AS {validated.alias}"
+    return validated.sql[:start] + target + alias_sql + validated.sql[end:]
 
 
 def quote_ident(ident: str) -> str:
@@ -280,11 +309,16 @@ def quote_ident(ident: str) -> str:
 
 def geometry_filter_sql(geometry: dict[str, Any] | str, geom_column: str = "geom") -> str:
     """The spatial predicate the reference ANDs into WHERE
-    (query_helpers.py:238-266); serialized lowercase like pglast RawStream."""
+    (query_helpers.py:238-266); serialized lowercase like pglast RawStream.
+
+    Single quotes in the serialized GeoJSON are doubled — a crafted
+    geometry must stay inside the string literal, not splice SQL after
+    validation already ran."""
     geojson = geometry if isinstance(geometry, str) else json.dumps(geometry)
+    escaped = geojson.replace("'", "''")
     return (
         f"st_intersects({geom_column}, "
-        f"st_setsrid(st_geomfromgeojson('{geojson}'), 4326))"
+        f"st_setsrid(st_geomfromgeojson('{escaped}'), 4326))"
     )
 
 

@@ -80,15 +80,18 @@ def tokenize(sql: str) -> list[Token]:
             tokens.append(Token("STRING", "".join(buf), i, j + 1))
             i = j + 1
             continue
-        if ch == '"':
+        if ch in ('"', "`"):
+            # double quotes: PG-style quoted identifier; backticks: the
+            # Spark form (appears after bind_from re-emits quoted aliases)
+            quote = ch
             j = i + 1
             buf = []
             while True:
                 if j >= n:
                     raise TokenizeError("unterminated quoted identifier", i)
-                if sql[j] == '"':
-                    if j + 1 < n and sql[j + 1] == '"':
-                        buf.append('"')
+                if sql[j] == quote:
+                    if j + 1 < n and sql[j + 1] == quote:
+                        buf.append(quote)
                         j += 2
                         continue
                     break
