@@ -1046,6 +1046,134 @@ _SPECS.append(
 )
 
 
+def _ts01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.timeseries import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases, views, on="ts", by=["user_id"], values=["view_event_id", "view_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        F.round(F.col("view_value"), 6).alias("view_value"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="ts01_asof_join",
+        spark_fn=_ts01,
+        oracle=(
+            # attribution: each purchase matched to the user's most recent
+            # at-or-before view (null when none) — DuckDB native ASOF
+            "SELECT p.event_id, p.user_id, v.event_id AS view_event_id, "
+            "round(v.value, 6) AS view_value "
+            "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'view') v "
+            "ON p.user_id = v.user_id AND p.ts >= v.ts"
+        ),
+        survey_ref="beyond-reference (SURVEY §2.7): as-of join — union-merge, one shuffle",
+    )
+)
+
+
+def _ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.timeseries import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    incidents = events.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 101 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("inc_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("inc_end"),
+    )
+    pairs = interval_join(
+        events.select("event_id", "ts", "value"),
+        incidents,
+        ts_col="ts",
+        start_col="inc_start",
+        end_col="inc_end",
+        bucket_s=3600,
+    )
+    return pairs.groupBy("incident_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="ts02_interval_join",
+        spark_fn=_ts02,
+        oracle=(
+            # overlapping 2h incident windows (no equi key) enriched with
+            # every contained event — DuckDB runs the range join natively
+            "WITH incidents AS (SELECT event_id AS incident_id, ts AS inc_start, "
+            "ts + INTERVAL 2 HOUR AS inc_end FROM events "
+            "WHERE event_type = 'error' AND event_id % 101 = 0) "
+            "SELECT i.incident_id, count(*) AS n_events, "
+            "CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+            "FROM incidents i JOIN events e "
+            "ON e.ts >= i.inc_start AND e.ts <= i.inc_end "
+            "GROUP BY i.incident_id"
+        ),
+        survey_ref="beyond-reference (SURVEY §2.7): interval/range join via time-grid equi-join",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q18_percentiles",
+        spark_fn=_guarded(
+            "lineitem",
+            "SELECT l_returnflag, "
+            "round(percentile(l_quantity, 0.25), 6) AS q25, "
+            "round(percentile(l_quantity, 0.5), 6) AS median_qty, "
+            "round(percentile(l_quantity, 0.75), 6) AS q75, "
+            "round(percentile(l_extendedprice, 0.9), 6) AS p90_price "
+            "FROM lineitem GROUP BY l_returnflag",
+        ),
+        oracle=(
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_quantity, 0.25), 6) AS q25, "
+            "round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, "
+            "round(quantile_cont(l_quantity, 0.75), 6) AS q75, "
+            "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        survey_ref="Q5/Q11: exact interpolated percentiles (PG percentile_cont "
+        "pass-through surface), grouped",
+    )
+)
+
+
+_SPECS.append(
+    _same(
+        "lineitem",
+        "SELECT coalesce(l_returnflag, 'ALL') AS flag, "
+        "coalesce(l_linestatus, 'ALL') AS status, "
+        "CAST(grouping(l_returnflag) AS BIGINT) AS g_flag, "
+        "CAST(grouping(l_linestatus) AS BIGINT) AS g_status, "
+        "count(*) AS cnt, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+        "beyond-reference (SURVEY §2.7): CUBE grouping sets + GROUPING() flags",
+        "q19_cube_grouping",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
