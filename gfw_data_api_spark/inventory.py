@@ -1174,6 +1174,60 @@ _SPECS.append(
 )
 
 
+def _st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.streaming.windows import sliding_window_counts
+
+    events = load_table(spark, sf_dir, "events")
+    out = sliding_window_counts(events, "1 hour", "15 minutes", group_cols=["event_type"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st03_sliding_window",
+        spark_fn=_st03,
+        oracle=(
+            # each event belongs to the 4 slide-aligned windows covering it
+            # (duration 1h = 4 × 15min slide); replicate with an explicit
+            # 0..3 hop explode off the slide-floor bucket
+            "SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE, "
+            "'%Y-%m-%d %H:%M:%S') AS window_start, "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+            "FROM events, unnest(range(0, 4)) AS t(k) "
+            "GROUP BY 1, 2"
+        ),
+        survey_ref="streaming: sliding/hopping windows (F.window with slide)",
+    )
+)
+
+
+def _d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # synthetic embeddings top out near cosine 0.55 (no planted dups), so
+    # the gate threshold sits below that to exercise non-empty output
+    out = embedding_near_dups(emb, threshold=0.35, planes=4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d07_embedding_neardups",
+        spark_fn=_d07,
+        oracle=None,  # LSH-bucketed candidate set is hash-family specific;
+        # exact-pair machinery is oracle-checked by s04_blocked_cosine_pairs
+        survey_ref="dedup: embedding-cosine near-dup pairs (LSH buckets + exact verify)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

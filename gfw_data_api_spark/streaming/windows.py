@@ -51,6 +51,40 @@ def tumbling_window_counts(
     )
 
 
+def sliding_window_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event-time sliding (hopping) windows: each event lands in
+    duration/slide overlapping windows. Spark materializes the overlap
+    inside the window operator (no user-side explode); state per window
+    is bounded by the watermark on a stream."""
+    stream = events
+    if events.isStreaming:
+        stream = events.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window_duration, slide_duration).alias("window")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        stream.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_window_stats(
     events: DataFrame,
     gap: str = "30 minutes",

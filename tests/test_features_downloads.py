@@ -159,6 +159,31 @@ def test_tumbling_window_counts(spark, sf_dir):
     assert row["window_end"] > row["window_start"]
 
 
+def test_sliding_window_counts(spark):
+    from gfw_data_api_spark.streaming.windows import sliding_window_counts
+
+    rows = [
+        (1, "2024-01-01 00:07:00", 1.0),  # windows starting 23:15..00:00
+        (2, "2024-01-01 00:20:00", 2.0),  # windows starting 23:30..00:15
+    ]
+    df = spark.createDataFrame(rows, "event_id int, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sliding_window_counts(df, "1 hour", "15 minutes")
+    got = sorted(
+        (str(r["window_start"]), r["n_events"], r["sum_value"]) for r in out.collect()
+    )
+    # each event appears in exactly duration/slide = 4 windows; the two
+    # events co-occur in the three windows covering both 00:07 and 00:20
+    assert got == [
+        ("2023-12-31 23:15:00", 1, 1.0),
+        ("2023-12-31 23:30:00", 2, 3.0),
+        ("2023-12-31 23:45:00", 2, 3.0),
+        ("2024-01-01 00:00:00", 2, 3.0),
+        ("2024-01-01 00:15:00", 1, 2.0),
+    ]
+
+
 def test_session_window_stats(spark):
     from gfw_data_api_spark.streaming.windows import session_window_stats
 
