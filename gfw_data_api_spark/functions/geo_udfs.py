@@ -101,6 +101,110 @@ def st_simplify(wkb: pd.Series, tolerance: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.BinaryType())
+def st_clip_box(
+    wkb: pd.Series, xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+) -> pd.Series:
+    """ST_Intersection(geom, ST_MakeEnvelope(...)) — axis-aligned clip,
+    the reference's per-tile export op (export_1x1_grid.py:309-381).
+    Null result = empty intersection."""
+    out = []
+    for b, x0, y0, x1, y1 in zip(wkb, xmin, ymin, xmax, ymax):
+        if b is None:
+            out.append(None)
+            continue
+        clipped = geo.clip_to_box(
+            geo.wkb_loads(bytes(b)), float(x0), float(y0), float(x1), float(y1)
+        )
+        out.append(None if clipped is None else geo.wkb_dumps(clipped))
+    return pd.Series(out)
+
+
+@pandas_udf(T.BinaryType())
+def st_snaptogrid(wkb: pd.Series, size: pd.Series) -> pd.Series:
+    out = []
+    for b, s in zip(wkb, size):
+        if b is None:
+            out.append(None)
+            continue
+        snapped = geo.snap_to_grid(geo.wkb_loads(bytes(b)), float(s))
+        out.append(None if snapped is None else geo.wkb_dumps(snapped))
+    return pd.Series(out)
+
+
+@pandas_udf(T.BooleanType())
+def st_within_wkb(geom_a: pd.Series, geom_b: pd.Series) -> pd.Series:
+    cache: dict[bytes, geo.Geom] = {}
+
+    def parse(b):
+        key = bytes(b)
+        if key not in cache:
+            cache[key] = geo.wkb_loads(key)
+        return cache[key]
+
+    return pd.Series(
+        [
+            None if a is None or b is None else geo.within(parse(a), parse(b))
+            for a, b in zip(geom_a, geom_b)
+        ]
+    )
+
+
+@pandas_udf(T.StringType())
+def st_geometrytype(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else geo.geometry_type(geo.wkb_loads(bytes(b))) for b in wkb]
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_envelope(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else geo.wkb_dumps(geo.envelope(geo.wkb_loads(bytes(b)))) for b in wkb]
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_multi(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else geo.wkb_dumps(geo.multi(geo.wkb_loads(bytes(b)))) for b in wkb]
+    )
+
+
+@pandas_udf(T.DoubleType())
+def st_x(wkb: pd.Series) -> pd.Series:
+    def x_of(b):
+        g = geo.wkb_loads(bytes(b))
+        return float(g["coordinates"][0]) if g["type"] == "Point" else None
+
+    return pd.Series([None if b is None else x_of(b) for b in wkb])
+
+
+@pandas_udf(T.DoubleType())
+def st_y(wkb: pd.Series) -> pd.Series:
+    def y_of(b):
+        g = geo.wkb_loads(bytes(b))
+        return float(g["coordinates"][1]) if g["type"] == "Point" else None
+
+    return pd.Series([None if b is None else y_of(b) for b in wkb])
+
+
+def _bbox_component(idx: int):
+    @pandas_udf(T.DoubleType())
+    def component(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else geo.bbox(geo.wkb_loads(bytes(b)))[idx] for b in wkb]
+        )
+
+    return component
+
+
+st_xmin = _bbox_component(0)
+st_ymin = _bbox_component(1)
+st_xmax = _bbox_component(2)
+st_ymax = _bbox_component(3)
+
+
 def mercator_x(lon: Column) -> Column:
     """Web-mercator x as a native column expression (no UDF)."""
     return F.radians(lon) * F.lit(geo.WEB_MERCATOR_R)
@@ -137,5 +241,18 @@ def register_geo_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_simplify", st_simplify)
     spark.udf.register("st_bbox", st_bbox)
     spark.udf.register("st_makepoint", make_point_wkb)
+    spark.udf.register("st_intersection", st_clip_box)  # box-clip form (E13)
+    spark.udf.register("st_snaptogrid", st_snaptogrid)
+    spark.udf.register("st_within", st_within_wkb)
+    spark.udf.register("st_geometrytype", st_geometrytype)
+    spark.udf.register("st_envelope", st_envelope)
+    spark.udf.register("st_multi", st_multi)
+    spark.udf.register("st_x", st_x)
+    spark.udf.register("st_y", st_y)
+    spark.udf.register("st_xmin", st_xmin)
+    spark.udf.register("st_ymin", st_ymin)
+    spark.udf.register("st_xmax", st_xmax)
+    spark.udf.register("st_ymax", st_ymax)
     # SRID bookkeeping is a no-op: everything is EPSG:4326 WKB
     spark.udf.register("st_setsrid", lambda b, srid: b, T.BinaryType())
+    spark.udf.register("st_force2d", lambda b: b, T.BinaryType())  # all 2D here

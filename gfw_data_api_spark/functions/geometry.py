@@ -404,3 +404,250 @@ def envelope(geom: Geom) -> Geom:
         "type": "Polygon",
         "coordinates": [[[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]],
     }
+
+
+def make_envelope(xmin: float, ymin: float, xmax: float, ymax: float) -> Geom:
+    """ST_MakeEnvelope analog (SRID is implicit 4326 everywhere here)."""
+    return {
+        "type": "Polygon",
+        "coordinates": [[[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]],
+    }
+
+
+def geometry_type(geom: Geom) -> str:
+    """ST_GeometryType analog: 'ST_Polygon', 'ST_MultiPolygon', …"""
+    return f"ST_{geom['type']}"
+
+
+def multi(geom: Geom) -> Geom:
+    """ST_Multi analog: promote single-part geometries to their Multi*."""
+    name = geom["type"]
+    if name in ("Point", "LineString", "Polygon"):
+        return {"type": f"Multi{name}", "coordinates": [geom["coordinates"]]}
+    return geom
+
+
+def snap_to_grid(geom: Geom, size: float) -> Geom | None:
+    """ST_SnapToGrid analog: round every coordinate to multiples of
+    ``size``, dropping consecutive duplicates and rings that collapse
+    below validity. Returns None when the whole geometry collapses."""
+
+    def snap_pt(p):
+        return [round(p[0] / size) * size, round(p[1] / size) * size]
+
+    def snap_line(pts, closed: bool):
+        out: list = []
+        for p in map(snap_pt, pts):
+            if not out or p != out[-1]:
+                out.append(p)
+        if closed:
+            if out and out[0] != out[-1]:
+                out.append(out[0])
+            return out if len(out) >= 4 else None
+        return out if len(out) >= 2 else None
+
+    name = geom["type"]
+    if name == "Point":
+        return {"type": name, "coordinates": snap_pt(geom["coordinates"])}
+    if name == "MultiPoint":
+        pts = []
+        for p in map(snap_pt, geom["coordinates"]):
+            if p not in pts:
+                pts.append(p)
+        return {"type": name, "coordinates": pts}
+    if name == "LineString":
+        line = snap_line(geom["coordinates"], closed=False)
+        return {"type": name, "coordinates": line} if line else None
+    if name == "MultiLineString":
+        lines = [ln for ln in (snap_line(c, False) for c in geom["coordinates"]) if ln]
+        return {"type": name, "coordinates": lines} if lines else None
+    if name == "Polygon":
+        rings = [r for r in (snap_line(c, True) for c in geom["coordinates"]) if r]
+        if not rings or snap_line(geom["coordinates"][0], True) is None:
+            return None
+        return {"type": name, "coordinates": rings}
+    if name == "MultiPolygon":
+        polys = []
+        for poly in geom["coordinates"]:
+            rings = [r for r in (snap_line(c, True) for c in poly) if r]
+            if rings and snap_line(poly[0], True) is not None:
+                polys.append(rings)
+        return {"type": name, "coordinates": polys} if polys else None
+    return geom
+
+
+def _clip_ring_to_box(ring, xmin, ymin, xmax, ymax):
+    """Sutherland–Hodgman: clip one ring against the 4 box half-planes."""
+    edges = (
+        (lambda p: p[0] >= xmin, lambda a, b: _edge_x(a, b, xmin)),
+        (lambda p: p[0] <= xmax, lambda a, b: _edge_x(a, b, xmax)),
+        (lambda p: p[1] >= ymin, lambda a, b: _edge_y(a, b, ymin)),
+        (lambda p: p[1] <= ymax, lambda a, b: _edge_y(a, b, ymax)),
+    )
+    pts = ring[:-1] if ring and ring[0] == ring[-1] else list(ring)
+    for inside, cross in edges:
+        if not pts:
+            return None
+        out = []
+        for i, cur in enumerate(pts):
+            prev = pts[i - 1]
+            cur_in, prev_in = inside(cur), inside(prev)
+            if cur_in:
+                if not prev_in:
+                    out.append(cross(prev, cur))
+                out.append(list(cur))
+            elif prev_in:
+                out.append(cross(prev, cur))
+        pts = out
+    if len(pts) < 3:
+        return None
+    # drop consecutive duplicates introduced by corner crossings
+    dedup = [p for i, p in enumerate(pts) if p != pts[i - 1]] if pts else pts
+    if len(dedup) < 3:
+        return None
+    return dedup + [dedup[0]]
+
+
+def _edge_x(a, b, x):
+    t = (x - a[0]) / (b[0] - a[0])
+    return [x, a[1] + t * (b[1] - a[1])]
+
+
+def _edge_y(a, b, y):
+    t = (y - a[1]) / (b[1] - a[1])
+    return [a[0] + t * (b[0] - a[0]), y]
+
+
+def _clip_segment_to_box(a, b, xmin, ymin, xmax, ymax):
+    """Liang–Barsky segment clip; returns (p0, p1) or None."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, a[0] - xmin),
+        (dx, xmax - a[0]),
+        (-dy, a[1] - ymin),
+        (dy, ymax - a[1]),
+    ):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    return (
+        [a[0] + t0 * dx, a[1] + t0 * dy],
+        [a[0] + t1 * dx, a[1] + t1 * dy],
+    )
+
+
+def clip_to_box(geom: Geom, xmin: float, ymin: float, xmax: float, ymax: float) -> Geom | None:
+    """ST_Intersection(geom, ST_MakeEnvelope(...)) analog — the exact
+    operation the reference's 1×1-grid export runs per tile
+    (batch/python/export_1x1_grid.py:309-381). Axis-aligned box clipping
+    only: Sutherland–Hodgman for polygon rings (holes clipped per-ring),
+    Liang–Barsky for lines, containment filter for points. Returns None
+    for an empty intersection."""
+    gx0, gy0, gx1, gy1 = bbox(geom)
+    if gx1 < xmin or gx0 > xmax or gy1 < ymin or gy0 > ymax:
+        return None
+    if gx0 >= xmin and gx1 <= xmax and gy0 >= ymin and gy1 <= ymax:
+        return geom  # fully inside: identity (fast path for interior tiles)
+
+    name = geom["type"]
+
+    def in_box(p):
+        return xmin <= p[0] <= xmax and ymin <= p[1] <= ymax
+
+    if name == "Point":
+        return geom if in_box(geom["coordinates"]) else None
+    if name == "MultiPoint":
+        pts = [p for p in geom["coordinates"] if in_box(p)]
+        return {"type": name, "coordinates": pts} if pts else None
+    if name in ("LineString", "MultiLineString"):
+        lines = geom["coordinates"] if name == "MultiLineString" else [geom["coordinates"]]
+        out_lines = []
+        for line in lines:
+            run: list = []
+            for a, b in zip(line[:-1], line[1:]):
+                seg = _clip_segment_to_box(a, b, xmin, ymin, xmax, ymax)
+                if seg is None:
+                    if len(run) >= 2:
+                        out_lines.append(run)
+                    run = []
+                    continue
+                if run and run[-1] == seg[0]:
+                    run.append(seg[1])
+                else:
+                    if len(run) >= 2:
+                        out_lines.append(run)
+                    run = list(seg)
+            if len(run) >= 2:
+                out_lines.append(run)
+        if not out_lines:
+            return None
+        if len(out_lines) == 1:
+            return {"type": "LineString", "coordinates": out_lines[0]}
+        return {"type": "MultiLineString", "coordinates": out_lines}
+    if name in ("Polygon", "MultiPolygon"):
+        polys = geom["coordinates"] if name == "MultiPolygon" else [geom["coordinates"]]
+        out_polys = []
+        for poly in polys:
+            outer = _clip_ring_to_box(poly[0], xmin, ymin, xmax, ymax)
+            if outer is None:
+                continue
+            rings = [outer]
+            for hole in poly[1:]:
+                clipped = _clip_ring_to_box(hole, xmin, ymin, xmax, ymax)
+                if clipped is not None:
+                    rings.append(clipped)
+            out_polys.append(rings)
+        if not out_polys:
+            return None
+        if len(out_polys) == 1:
+            return {"type": "Polygon", "coordinates": out_polys[0]}
+        return {"type": "MultiPolygon", "coordinates": out_polys}
+    if name == "GeometryCollection":
+        parts = [
+            c
+            for c in (clip_to_box(g, xmin, ymin, xmax, ymax) for g in geom["geometries"])
+            if c is not None
+        ]
+        return {"type": name, "geometries": parts} if parts else None
+    return None
+
+
+def within(a: Geom, b: Geom) -> bool:
+    """ST_Within analog for point/line/polygon `a` against polygon/multi
+    `b`: every vertex of `a` inside some polygon of `b` and no boundary
+    crossing."""
+    b_polys = list(_polygons_of(b))
+    if not b_polys:
+        return False
+    pts = list(_iter_points(a))
+    if not pts:
+        return False
+    for pt in pts:
+        if not any(point_in_polygon(pt, poly) for poly in b_polys):
+            return False
+    if a["type"] == "Point" or a["type"] == "MultiPoint":
+        return True
+    segs_b = list(_segments(b))
+    for s1 in _segments(a):
+        for s2 in segs_b:
+            if _seg_intersect(s1[0], s1[1], s2[0], s2[1]):
+                # touching the boundary from inside is still within;
+                # a true crossing means a vertex fell outside, caught above.
+                # Only collinear overlap/crossing through the edge interior
+                # can reach here with all vertices inside — treat midpoint
+                # escape as the decider.
+                mid = [(s1[0][0] + s1[1][0]) / 2.0, (s1[0][1] + s1[1][1]) / 2.0]
+                if not any(point_in_polygon(mid, poly) for poly in b_polys):
+                    return False
+    return True

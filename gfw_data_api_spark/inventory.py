@@ -46,18 +46,29 @@ class QuerySpec:
     survey_ref: str  # SURVEY.md §2 row(s) this exercises
 
 
-def _guarded(table: str, sql: str) -> SparkQuery:
-    """Run ``sql`` through the guarded single-table path against ``table``."""
+def _guarded(table: str, sql: str, fanout: bool | None = None) -> SparkQuery:
+    """Run ``sql`` through the guarded single-table path against ``table``.
+
+    ``fanout=True`` pre-repartitions the single-row-group testdata file so
+    compute-heavy queries (percentile state, CUBE's 4× Expand) use every
+    core — see sources.tabular._FANOUT_TABLES.
+    """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return execute_on_dataframe(spark, load_table(spark, sf_dir, table), sql)
+        return execute_on_dataframe(
+            spark, load_table(spark, sf_dir, table, fanout=fanout), sql
+        )
 
     return fn
 
 
-def _same(table: str, sql: str, survey_ref: str, name: str) -> QuerySpec:
+def _same(
+    table: str, sql: str, survey_ref: str, name: str, fanout: bool | None = None
+) -> QuerySpec:
     """Guarded query whose text is valid, semantically identical DuckDB SQL."""
-    return QuerySpec(name=name, spark_fn=_guarded(table, sql), oracle=sql, survey_ref=survey_ref)
+    return QuerySpec(
+        name=name, spark_fn=_guarded(table, sql, fanout), oracle=sql, survey_ref=survey_ref
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1143,6 +1154,7 @@ _SPECS.append(
             "round(percentile(l_quantity, 0.75), 6) AS q75, "
             "round(percentile(l_extendedprice, 0.9), 6) AS p90_price "
             "FROM lineitem GROUP BY l_returnflag",
+            fanout=True,
         ),
         oracle=(
             "SELECT l_returnflag, "
@@ -1170,6 +1182,7 @@ _SPECS.append(
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
         "beyond-reference (SURVEY §2.7): CUBE grouping sets + GROUPING() flags",
         "q19_cube_grouping",
+        fanout=True,
     )
 )
 

@@ -139,6 +139,9 @@ def export_grid_1x1(
     df: DataFrame,
     geom_col: str = "geom",
     bbox_col: str = "gfw_bbox",
+    clip: bool = False,
+    simplify_tol: float = 1e-4,
+    snap_size: float = 1e-9,
 ) -> DataFrame:
     """E13: tag features with the 1×1° grid cells they intersect.
 
@@ -147,6 +150,13 @@ def export_grid_1x1(
     cells per feature from its bbox natively (explode of a sequence cross
     product — no cross join at all), then confirm with the exact
     intersects UDF. Output: one row per (feature, grid_id).
+
+    ``clip=True`` adds ``geom_clipped``: the geometry cut to its cell,
+    simplified, and snapped — the reference's per-tile
+    ``ST_SnapToGrid(…(ST_SimplifyPreserveTopology(ST_Intersection(geom,
+    cell), 1e-4)), 1e-9)`` chain (export_1x1_grid.py:309-381; its ±1e-4
+    buffer pair is a validity scrub PostGIS needs that the box-clip
+    doesn't). One Arrow batch pass does clip+simplify+snap together.
     """
     lon0 = F.floor(F.col(bbox_col)[0]).cast("int")
     lon1 = F.floor(F.col(bbox_col)[2]).cast("int")
@@ -165,8 +175,39 @@ def export_grid_1x1(
         F.concat(F.abs(F.col("_cell.cy") + 1).cast("string"), F.when(F.col("_cell.cy") + 1 >= 0, "N").otherwise("S")),
         F.concat(F.abs(F.col("_cell.cx")).cast("string"), F.when(F.col("_cell.cx") >= 0, "E").otherwise("W")),
     )
-    return (
-        exploded.filter(_cell_intersects(F.col(geom_col), F.col("_cell.cx"), F.col("_cell.cy")))
-        .withColumn("gfw_grid_1x1_id", grid_id)
-        .drop("_cell")
-    )
+    tagged = exploded.filter(
+        _cell_intersects(F.col(geom_col), F.col("_cell.cx"), F.col("_cell.cy"))
+    ).withColumn("gfw_grid_1x1_id", grid_id)
+    if clip:
+        tagged = tagged.withColumn(
+            "geom_clipped",
+            _clip_simplify_snap(simplify_tol, snap_size)(
+                F.col(geom_col), F.col("_cell.cx"), F.col("_cell.cy")
+            ),
+        )
+    return tagged.drop("_cell")
+
+
+def _clip_simplify_snap(simplify_tol: float, snap_size: float):
+    """Pandas UDF factory: clip to the 1×1 cell at (cx, cy), then
+    simplify + snap — one Python crossing for the whole chain."""
+    from gfw_data_api_spark.functions import geometry as geo
+
+    @pandas_udf(T.BinaryType())
+    def fn(wkb: pd.Series, cx: pd.Series, cy: pd.Series) -> pd.Series:
+        out = []
+        for b, x, y in zip(wkb, cx, cy):
+            if b is None:
+                out.append(None)
+                continue
+            g = geo.clip_to_box(
+                geo.wkb_loads(bytes(b)), float(x), float(y), float(x) + 1.0, float(y) + 1.0
+            )
+            if g is not None and simplify_tol > 0:
+                g = geo.simplify(g, simplify_tol)
+            if g is not None and snap_size > 0:
+                g = geo.snap_to_grid(g, snap_size)
+            out.append(None if g is None else geo.wkb_dumps(g))
+        return pd.Series(out)
+
+    return fn

@@ -68,18 +68,39 @@ class Partitions:
     partition_schema: list[dict] = field(default_factory=list)  # list/range
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Tables whose operators are CPU-bound per row (shingling, hashing,
+# vector math, regex) rather than scan-bound. The driver's testdata ships
+# them as single-row-group parquet, which parquet cannot split — without a
+# fanout the whole map side of every text/vector operator runs as ONE
+# task. An explicit repartition(N) costs a tiny shuffle (<1 MB of docs)
+# and buys full-core parallelism; AQE never coalesces an explicit-N
+# repartition. Scan-bound tables (lineitem etc.) stay as-is: for a cheap
+# hash-agg the shuffle costs more than the single-task scan (measured
+# 0.12s → 0.48s on the sf0.1 pricing summary).
+_FANOUT_TABLES = {"documents", "embeddings"}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool | None = None
+) -> DataFrame:
     """Load one of the driver's testdata tables, normalizing types.
 
     The synthetic ``events`` table stores TIMESTAMP(NANOS), which the JVM
     parquet reader surfaces as nanosecond longs (see session.py); values are
     microsecond-aligned, so the conversion below is lossless.
+
+    ``fanout`` forces (True) or suppresses (False) the compute-table
+    repartition described on ``_FANOUT_TABLES``.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, NOT `/`: float division of ~1.7e18 ns exceeds a
         # double's 2^53 exact-integer range and corrupts the low microseconds
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if fanout is None:
+        fanout = name in _FANOUT_TABLES
+    if fanout:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

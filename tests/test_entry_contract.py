@@ -22,6 +22,7 @@ def test_queries_and_oracles_aligned(spark):
     assert rows_only == {
         "d04_minhash_lsh_neardups",
         "d05_simhash_neardups",
+        "d07_embedding_neardups",
         "t04_language_id_confusion",
         "s03_ann_lsh_topk",
         "s05_ivf_topk",

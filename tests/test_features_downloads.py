@@ -113,6 +113,58 @@ def test_export_grid_1x1(spark, vector_registry):
     assert by_fid[3] == "1N_3E"
 
 
+def test_export_grid_1x1_clipped(spark):
+    from gfw_data_api_spark.functions import geometry as geo
+
+    # a 2×1° rectangle straddling two cells: clip=True cuts it per cell
+    rect = {
+        "type": "Polygon",
+        "coordinates": [[[0.25, 0.25], [1.75, 0.25], [1.75, 0.75], [0.25, 0.75], [0.25, 0.25]]],
+    }
+    df = spark.createDataFrame(
+        [(1, bytearray(geo.wkb_dumps(rect)), list(geo.bbox(rect)))],
+        "fid int, geom binary, gfw_bbox array<double>",
+    )
+    out = downloads.export_grid_1x1(spark, df, clip=True, simplify_tol=0.0)
+    rows = {r["gfw_grid_1x1_id"]: bytes(r["geom_clipped"]) for r in out.collect()}
+    assert set(rows) == {"1N_0E", "1N_1E"}
+    left = geo.wkb_loads(rows["1N_0E"])
+    right = geo.wkb_loads(rows["1N_1E"])
+    assert geo.bbox(left) == (0.25, 0.25, 1.0, 0.75)
+    assert geo.bbox(right) == (1.0, 0.25, 1.75, 0.75)
+
+
+def test_registered_st_functions_sql(spark):
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.functions.geo_udfs import register_geo_sql_functions
+
+    register_geo_sql_functions(spark)
+    square = {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]],
+    }
+    spark.createDataFrame(
+        [(bytearray(geo.wkb_dumps(square)),)], "geom binary"
+    ).createOrReplaceTempView("_st_probe")
+    row = spark.sql(
+        "SELECT st_geometrytype(geom) AS t, "
+        "st_xmin(geom) AS x0, st_ymax(geom) AS y1, "
+        "st_within(st_makepoint(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), geom) AS w, "
+        "st_geometrytype(st_multi(geom)) AS mt, "
+        "st_geometrytype(st_envelope(geom)) AS et, "
+        "st_intersection(geom, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
+        "CAST(5.0 AS DOUBLE), CAST(5.0 AS DOUBLE)) AS clipped "
+        "FROM _st_probe"
+    ).collect()[0]
+    assert row["t"] == "ST_Polygon"
+    assert (row["x0"], row["y1"]) == (0.0, 2.0)
+    assert row["w"] is True
+    assert row["mt"] == "ST_MultiPolygon"
+    assert row["et"] == "ST_Polygon"
+    clipped = geo.wkb_loads(bytes(row["clipped"]))
+    assert geo.bbox(clipped) == (1.0, 0.0, 2.0, 2.0)
+
+
 def test_stream_append(spark, tmp_path):
     import csv
 

@@ -103,3 +103,100 @@ def test_buffer_point_contains_center():
     # ~1km radius → no vertex farther than ~0.02 degrees
     for x, y in buf["coordinates"][0]:
         assert abs(x - 10) < 0.02 and abs(y - 45) < 0.02
+
+
+# --------------------------------------------------------------------------
+# clip / snap / within / type helpers
+# --------------------------------------------------------------------------
+
+
+def test_clip_polygon_straddling_box():
+    out = geo.clip_to_box(SQUARE, 0.5, -1.0, 2.0, 2.0)
+    assert out["type"] == "Polygon"
+    assert geo.bbox(out) == (0.5, 0.0, 1.0, 1.0)
+    # area halves exactly for the axis cut
+    assert geo.geodesic_area_sq_m(out) == pytest.approx(
+        geo.geodesic_area_sq_m(SQUARE) / 2, rel=1e-6
+    )
+
+
+def test_clip_polygon_fully_inside_is_identity():
+    assert geo.clip_to_box(SQUARE, -5, -5, 5, 5) is SQUARE
+
+
+def test_clip_polygon_disjoint_is_none():
+    assert geo.clip_to_box(SQUARE, 10, 10, 11, 11) is None
+
+
+def test_clip_polygon_with_hole():
+    donut = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+            [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]],
+        ],
+    }
+    out = geo.clip_to_box(donut, -1, -1, 2, 2)
+    assert out["type"] == "Polygon"
+    assert len(out["coordinates"]) == 2  # hole survives the clip
+    assert geo.bbox(out) == (0, 0, 2, 2)
+    # clipped hole quarter [1,2]×[1,2] subtracts from the outer quarter
+    assert not geo.point_in_polygon([1.5, 1.5], out["coordinates"])
+    assert geo.point_in_polygon([0.5, 0.5], out["coordinates"])
+
+
+def test_clip_multipolygon_drops_outside_parts():
+    multi = {
+        "type": "MultiPolygon",
+        "coordinates": [SQUARE["coordinates"], FAR_SQUARE["coordinates"]],
+    }
+    out = geo.clip_to_box(multi, -1, -1, 2, 2)
+    assert out["type"] == "Polygon"  # single surviving part
+    assert geo.bbox(out) == (0, 0, 1, 1)
+
+
+def test_clip_linestring_reentry():
+    # leaves the box and comes back: two output runs
+    zig = {
+        "type": "LineString",
+        "coordinates": [[-1, 0.25], [0.5, 0.25], [1.5, 0.25], [1.5, 0.75], [0.5, 0.75]],
+    }
+    out = geo.clip_to_box(zig, 0, 0, 1, 1)
+    assert out["type"] == "MultiLineString"
+    assert len(out["coordinates"]) == 2
+
+
+def test_clip_points():
+    mp = {"type": "MultiPoint", "coordinates": [[0.5, 0.5], [9, 9]]}
+    out = geo.clip_to_box(mp, 0, 0, 1, 1)
+    assert out["coordinates"] == [[0.5, 0.5]]
+    assert geo.clip_to_box({"type": "Point", "coordinates": [9, 9]}, 0, 0, 1, 1) is None
+
+
+def test_snap_to_grid():
+    g = {"type": "Polygon", "coordinates": [[[0.04, 0.04], [1.04, 0.04], [1.04, 1.04], [0.04, 1.04], [0.04, 0.04]]]}
+    snapped = geo.snap_to_grid(g, 0.1)
+    assert snapped["coordinates"][0][0] == [0.0, 0.0]
+    # collapse: a sliver narrower than the grid vanishes
+    sliver = {"type": "Polygon", "coordinates": [[[0, 0], [0.01, 0], [0.01, 0.01], [0, 0.01], [0, 0]]]}
+    assert geo.snap_to_grid(sliver, 1.0) is None
+
+
+def test_within():
+    inner = {"type": "Polygon", "coordinates": [[[0.2, 0.2], [0.8, 0.2], [0.8, 0.8], [0.2, 0.8], [0.2, 0.2]]]}
+    assert geo.within(inner, SQUARE)
+    assert not geo.within(SQUARE, inner)
+    assert geo.within({"type": "Point", "coordinates": [0.5, 0.5]}, SQUARE)
+    assert not geo.within({"type": "Point", "coordinates": [5, 5]}, SQUARE)
+    # overlapping-but-not-contained
+    shifted = {"type": "Polygon", "coordinates": [[[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]]]}
+    assert not geo.within(shifted, SQUARE)
+
+
+def test_type_multi_envelope_helpers():
+    assert geo.geometry_type(SQUARE) == "ST_Polygon"
+    m = geo.multi(SQUARE)
+    assert m["type"] == "MultiPolygon"
+    assert geo.multi(m) is m
+    env = geo.make_envelope(0, 0, 2, 1)
+    assert geo.bbox(env) == (0, 0, 2, 1)
