@@ -59,11 +59,15 @@ def train_ivf(
     seed: int = 42,
     sample_size: int = 10_000,
 ) -> np.ndarray:
-    """Lloyd's k-means over the embedding column; returns centroids.
+    """Lloyd's k-means on a driver-side sample; returns centroids.
 
-    Init: deterministic sample of ``nlist`` vectors. Each iteration is one
-    Spark job (assign natively, average per cell); empty cells keep their
-    previous centroid.
+    The coarse quantizer is trained on ≤``sample_size`` vectors collected
+    once — the standard IVF recipe (FAISS trains its quantizer on a
+    sample, never the full corpus): at 100 TB the index ASSIGNMENT is the
+    distributed job (build_ivf_index — one pandas-UDF pass over every
+    vector), while nlist centroids only need enough sample to converge.
+    The earlier all-data distributed Lloyd spent its wall-clock
+    recompiling a fresh 1-job plan per iteration for identical math.
     """
     sample = np.asarray(
         [
@@ -75,24 +79,15 @@ def train_ivf(
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=nlist, replace=False)]
 
-    dim = centroids.shape[1]
+    sample_sq = (sample * sample).sum(axis=1)[:, None]
     for _ in range(iters):
-        assigned = df.select(
-            _assign_cell(F.col(emb_col), centroids).alias("_cell"),
-            F.col(emb_col).cast("array<double>").alias("_e"),
-        )
-        means = (
-            assigned.groupBy("_cell")
-            .agg(
-                F.array(
-                    *[F.avg(F.col("_e")[i]) for i in range(dim)]
-                ).alias("_mean")
-            )
-            .collect()
-        )
+        d2 = sample_sq - 2.0 * (sample @ centroids.T) + (centroids * centroids).sum(axis=1)
+        cells = np.argmin(d2, axis=1)
         updated = centroids.copy()
-        for row in means:
-            updated[row["_cell"]] = np.asarray(row["_mean"], dtype=np.float64)
+        for c in range(len(centroids)):
+            members = sample[cells == c]
+            if len(members):
+                updated[c] = members.mean(axis=0)  # empty cells keep previous
         if np.allclose(updated, centroids, atol=1e-9):
             centroids = updated
             break
