@@ -1241,6 +1241,36 @@ _SPECS.append(
 )
 
 
+def _t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=3)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t06_tfidf_top_terms",
+        spark_fn=_t06,
+        oracle=(
+            # integer-tf ranking keeps membership exact; only the reported
+            # score is float (rounded in both engines)
+            "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term != '' GROUP BY 1, 2), "
+            "docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "ranked AS (SELECT doc_id, term, tf, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rank FROM tf) "
+            "SELECT r.doc_id, r.term, r.tf, d.df, "
+            "round(r.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / d.df), 6) AS tfidf, "
+            "CAST(r.rank AS BIGINT) AS rank "
+            "FROM ranked r JOIN docfreq d USING (term) WHERE r.rank <= 3"
+        ),
+        survey_ref="text analysis: TF-IDF top terms per document (explode + "
+        "two hash aggs + broadcast df join + per-doc window)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

@@ -115,3 +115,43 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     return df.withColumn(
         "fingerprint", F.concat_ws(":", F.xxhash64(prefix).cast("string"), bucket.cast("string"))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """TF-IDF scores for each document's ``top_k`` most frequent terms.
+
+    Shape at scale: one explode + two hash aggregations (term frequency
+    per doc, document frequency per term), a broadcast-sized term-df
+    join, and a per-doc window for the top-k. N_docs is one count() job
+    (a scalar). Ranking is by INTEGER term frequency (ties by term), so
+    result membership is exact across engines; the float only appears in
+    the reported score.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))  # (doc,term) rows are distinct
+    w = Window.partitionBy("_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .join(docfreq, "term")
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

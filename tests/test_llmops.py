@@ -244,3 +244,32 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
     assert by_doc[1] & by_doc[2]  # shared run → shared fingerprints
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_tfidf_top_terms_golden(spark):
+    from gfw_data_api_spark.llmops.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana cherry"),
+            (2, "banana banana cherry"),
+            (3, "cherry date date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"]))
+    for v in by_doc.values():
+        v.sort()
+    # rank by tf desc then term asc; df counts docs containing the term
+    assert by_doc[1] == [(1, "apple", 3, 1), (2, "banana", 1, 2)]
+    assert by_doc[2] == [(1, "banana", 2, 2), (2, "cherry", 1, 3)]
+    assert by_doc[3] == [(1, "date", 4, 1), (2, "cherry", 1, 3)]
+    # idf: apple in 1 of 3 docs -> 3*ln(3); cherry in all 3 -> ln(1) = 0
+    import math
+
+    scores = {(r["doc_id"], r["term"]): r["tfidf"] for r in out}
+    assert scores[(1, "apple")] == pytest.approx(3 * math.log(3.0), abs=1e-6)
+    assert scores[(2, "cherry")] == 0.0

@@ -1,0 +1,197 @@
+"""GeoPackage + Shapefile readers (sources/vector_files.py): round-trip
+and hand-packed binary fixtures, partition-count independence, plan
+checks (distributed range fetch, no driver-side rows)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.functions import geometry as geo
+from gfw_data_api_spark.sources.vector_files import (
+    gpkg_layers,
+    read_geopackage,
+    read_shapefile,
+    write_geopackage,
+)
+
+SQUARES = [
+    {
+        "type": "Polygon",
+        "coordinates": [
+            [[x, 0.0], [x + 0.5, 0.0], [x + 0.5, 0.5], [x, 0.5], [x, 0.0]]
+        ],
+    }
+    for x in [0.0, 1.0, 2.0, 3.0, 4.0]
+]
+
+
+@pytest.fixture(scope="module")
+def gpkg_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gpkg") / "areas.gpkg")
+    df = spark.createDataFrame(
+        [
+            (i, f"area_{i}", float(i) * 1.5, bytearray(geo.wkb_dumps(g)))
+            for i, g in enumerate(SQUARES)
+        ],
+        "fid long, name string, score double, geom binary",
+    )
+    write_geopackage(df, path, layer="areas")
+    return path
+
+
+def test_gpkg_roundtrip(spark, gpkg_path):
+    assert gpkg_layers(gpkg_path) == ["areas"]
+    out = read_geopackage(spark, gpkg_path).orderBy("fid").collect()
+    assert len(out) == 5
+    assert [r["name"] for r in out] == [f"area_{i}" for i in range(5)]
+    assert out[2]["score"] == 3.0
+    g = geo.wkb_loads(bytes(out[1]["geom"]))
+    assert g == SQUARES[1]
+
+
+def test_gpkg_partitioning_invariance(spark, gpkg_path):
+    for parts in (1, 3, 16):
+        out = read_geopackage(spark, gpkg_path, target_partitions=parts)
+        assert out.count() == 5, f"target_partitions={parts}"
+
+
+def test_gpkg_envelope_flag_variants(spark, tmp_path):
+    """GeoPackageBinary with a 32-byte XY envelope must parse too."""
+    import sqlite3
+
+    path = str(tmp_path / "env.gpkg")
+    wkb = geo.wkb_dumps(SQUARES[0])
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, "
+        "geometry_type_name TEXT, srs_id INTEGER, z TINYINT, m TINYINT)"
+    )
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('t', 'geom', 'POLYGON', 4326, 0, 0)")
+    con.execute("CREATE TABLE t (fid INTEGER, geom BLOB)")
+    flags = 0b00000011  # envelope code 1 (XY), little-endian
+    blob = b"GP\x00" + bytes([flags]) + struct.pack("<i", 4326)
+    blob += struct.pack("<4d", 0.0, 0.5, 0.0, 0.5) + wkb
+    con.execute("INSERT INTO t VALUES (1, ?)", (blob,))
+    con.commit()
+    con.close()
+    out = read_geopackage(spark, path).collect()
+    assert geo.wkb_loads(bytes(out[0]["geom"])) == SQUARES[0]
+
+
+def _write_shapefile(base: str, polys: list[dict], names: list[str]) -> str:
+    """Hand-pack .shp/.shx/.dbf (polygon type) per the public spec."""
+    records = []
+    for g in polys:
+        rings = g["coordinates"]
+        parts, points = [], []
+        for ring in rings:
+            parts.append(len(points))
+            points.extend(ring)
+        xs = [p[0] for p in points]
+        ys = [p[1] for p in points]
+        body = struct.pack("<i", 5)
+        body += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        body += struct.pack("<2i", len(parts), len(points))
+        body += struct.pack(f"<{len(parts)}i", *parts)
+        body += struct.pack(f"<{2 * len(points)}d", *[c for p in points for c in p])
+        records.append(body)
+
+    shp_records = b""
+    shx_entries = b""
+    offset_words = 50  # header = 100 bytes
+    for i, body in enumerate(records):
+        content_words = len(body) // 2
+        shx_entries += struct.pack(">2i", offset_words, content_words)
+        shp_records += struct.pack(">2i", i + 1, content_words) + body
+        offset_words += 4 + content_words
+
+    all_pts = [p for g in polys for ring in g["coordinates"] for p in ring]
+    bbox = (
+        min(p[0] for p in all_pts),
+        min(p[1] for p in all_pts),
+        max(p[0] for p in all_pts),
+        max(p[1] for p in all_pts),
+    )
+
+    def header(total_len_bytes: int) -> bytes:
+        h = struct.pack(">i", 9994) + b"\x00" * 20
+        h += struct.pack(">i", total_len_bytes // 2)
+        h += struct.pack("<2i", 1000, 5)
+        h += struct.pack("<8d", *bbox, 0, 0, 0, 0)
+        return h
+
+    with open(base + ".shp", "wb") as fh:
+        fh.write(header(100 + len(shp_records)) + shp_records)
+    with open(base + ".shx", "wb") as fh:
+        fh.write(header(100 + len(shx_entries)) + shx_entries)
+
+    # dbf: one C(10) field "name", one N(8,0) field "rank"
+    n = len(polys)
+    fields = [("name", "C", 10, 0), ("rank", "N", 8, 0)]
+    record_len = 1 + 10 + 8
+    header_len = 32 + 32 * len(fields) + 1
+    dbf = bytearray()
+    dbf += struct.pack("<4B", 0x03, 24, 1, 1)
+    dbf += struct.pack("<IHH", n, header_len, record_len)
+    dbf += b"\x00" * 20
+    for fname, ftype, flen, fdec in fields:
+        desc = fname.encode().ljust(11, b"\x00") + ftype.encode()
+        desc += b"\x00" * 4 + bytes([flen, fdec]) + b"\x00" * 14
+        dbf += desc
+    dbf += b"\x0d"
+    for i in range(n):
+        dbf += b" " + names[i].encode().ljust(10) + str(i * 10).rjust(8).encode()
+    with open(base + ".dbf", "wb") as fh:
+        fh.write(bytes(dbf))
+    return base + ".shp"
+
+
+def test_shapefile_roundtrip(spark, tmp_path):
+    shp = _write_shapefile(
+        str(tmp_path / "areas"), SQUARES, [f"area_{i}" for i in range(5)]
+    )
+    out = read_shapefile(spark, shp).orderBy("rank").collect()
+    assert len(out) == 5
+    assert out[0]["name"] == "area_0" and out[4]["rank"] == 40
+    assert geo.wkb_loads(bytes(out[3]["geom"])) == SQUARES[3]
+
+
+def test_shapefile_polygon_with_hole(spark, tmp_path):
+    donut = {
+        "type": "Polygon",
+        "coordinates": [
+            # ESRI winding: outer CW, hole CCW
+            [[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]],
+            [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]],
+        ],
+    }
+    shp = _write_shapefile(str(tmp_path / "donut"), [donut], ["donut"])
+    out = read_shapefile(spark, shp).collect()
+    g = geo.wkb_loads(bytes(out[0]["geom"]))
+    assert g["type"] == "Polygon"
+    assert len(g["coordinates"]) == 2
+    assert not geo.point_in_polygon([2, 2], g["coordinates"])
+    assert geo.point_in_polygon([0.5, 0.5], g["coordinates"])
+
+
+def test_shapefile_partition_invariance(spark, tmp_path):
+    shp = _write_shapefile(
+        str(tmp_path / "parts"), SQUARES, [f"a{i}" for i in range(5)]
+    )
+    for parts in (1, 2, 8):
+        got = read_shapefile(spark, shp, target_partitions=parts)
+        assert got.count() == 5
+        assert got.agg(F.sum("rank")).collect()[0][0] == 100
+
+
+def test_readers_feed_ingest_pipeline(spark, gpkg_path):
+    """The reader output plugs into the standard gfw-fields derivation."""
+    from gfw_data_api_spark.sources.vector import add_gfw_fields
+
+    df = add_gfw_fields(read_geopackage(spark, gpkg_path))
+    row = df.filter(F.col("fid") == 0).collect()[0]
+    assert row["gfw_bbox"] == [0.0, 0.0, 0.5, 0.5]
+    assert row["gfw_area__ha"] > 0
