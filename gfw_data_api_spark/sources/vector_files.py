@@ -171,23 +171,28 @@ def _shp_record_geometry(buf: bytes) -> geo.Geom | None:
             if len(rings) == 1:
                 return {"type": "LineString", "coordinates": rings[0]}
             return {"type": "MultiLineString", "coordinates": rings}
-        # Polygon: ESRI stores outer rings clockwise, holes counter-
-        # clockwise; group holes with the preceding outer ring
-        polys: list[list] = []
-        for ring in rings:
-            area = sum(
-                (ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1])
-                for i in range(len(ring) - 1)
-            )
-            is_outer = area < 0  # shoelace: CW (ESRI outer) is negative
-            if is_outer or not polys:
-                polys.append([ring])
-            else:
-                polys[-1].append(ring)
-        if len(polys) == 1:
-            return {"type": "Polygon", "coordinates": polys[0]}
-        return {"type": "MultiPolygon", "coordinates": polys}
+        return _esri_rings_to_geom(rings)
     raise ValueError(f"unsupported shape type {shape_type}")
+
+
+def _esri_rings_to_geom(rings: list[list]) -> geo.Geom:
+    """ESRI ring convention (shared by Shapefile and ESRIJSON): outer
+    rings clockwise, holes counter-clockwise; holes attach to the
+    preceding outer ring."""
+    polys: list[list] = []
+    for ring in rings:
+        area = sum(
+            (ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1])
+            for i in range(len(ring) - 1)
+        )
+        is_outer = area < 0  # shoelace: CW (ESRI outer) is negative
+        if is_outer or not polys:
+            polys.append([ring])
+        else:
+            polys[-1].append(ring)
+    if len(polys) == 1:
+        return {"type": "Polygon", "coordinates": polys[0]}
+    return {"type": "MultiPolygon", "coordinates": polys}
 
 
 def _dbf_fields(path: str) -> tuple[list[tuple[str, str, int, int]], int, int, int]:
@@ -297,6 +302,76 @@ def read_shapefile(
                 yield pd.DataFrame(rows, columns=[f[0] for f in field_meta] + ["geom"])
 
     return ranges_df.mapInPandas(fetch, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# ESRIJSON
+# --------------------------------------------------------------------------
+
+
+def _esrijson_geometry(g: dict | None) -> geo.Geom | None:
+    if not g:
+        return None
+    if "x" in g and "y" in g:
+        return {"type": "Point", "coordinates": [g["x"], g["y"]]}
+    if "points" in g:
+        return {"type": "MultiPoint", "coordinates": [list(p) for p in g["points"]]}
+    if "paths" in g:
+        paths = [[list(p) for p in path] for path in g["paths"]]
+        if len(paths) == 1:
+            return {"type": "LineString", "coordinates": paths[0]}
+        return {"type": "MultiLineString", "coordinates": paths}
+    if "rings" in g:
+        return _esri_rings_to_geom([[list(p) for p in r] for r in g["rings"]])
+    return None
+
+
+def read_esrijson(spark: SparkSession, path: str) -> DataFrame:
+    """E6: ESRIJSON FeatureSet (ArcGIS REST export) → (attributes...,
+    geom WKB). Driver-side parse like read_feature_collection — ESRIJSON
+    arrives as single API responses, not bulk files; bulk loads use the
+    GeoJSONSeq / GPKG / Shapefile paths."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    features = doc.get("features", [])
+
+    def field_type(esri: str) -> T.DataType:
+        if esri in ("esriFieldTypeInteger", "esriFieldTypeSmallInteger", "esriFieldTypeOID"):
+            return T.LongType()
+        if esri in ("esriFieldTypeDouble", "esriFieldTypeSingle"):
+            return T.DoubleType()
+        return T.StringType()
+
+    declared = doc.get("fields") or []
+    if declared:
+        prop_fields = [(f["name"], field_type(f.get("type", ""))) for f in declared]
+    else:  # infer from the first feature's attributes
+        attrs = features[0].get("attributes", {}) if features else {}
+        prop_fields = [
+            (
+                k,
+                T.LongType()
+                if isinstance(v, int) and not isinstance(v, bool)
+                else T.DoubleType()
+                if isinstance(v, float)
+                else T.StringType(),
+            )
+            for k, v in attrs.items()
+        ]
+    schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in prop_fields]
+        + [T.StructField("geom", T.BinaryType(), True)]
+    )
+    rows = []
+    for feat in features:
+        attrs = feat.get("attributes") or {}
+        row = [attrs.get(n) for n, _ in prop_fields]
+        g = _esrijson_geometry(feat.get("geometry"))
+        row.append(bytearray(geo.wkb_dumps(g)) if g else None)
+        rows.append(row)
+    return spark.createDataFrame(rows, schema)
 
 
 # --------------------------------------------------------------------------

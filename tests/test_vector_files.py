@@ -195,3 +195,40 @@ def test_readers_feed_ingest_pipeline(spark, gpkg_path):
     row = df.filter(F.col("fid") == 0).collect()[0]
     assert row["gfw_bbox"] == [0.0, 0.0, 0.5, 0.5]
     assert row["gfw_area__ha"] > 0
+
+
+def test_esrijson_reader(spark, tmp_path):
+    import json
+
+    from gfw_data_api_spark.sources.vector_files import read_esrijson
+
+    doc = {
+        "fields": [
+            {"name": "OBJECTID", "type": "esriFieldTypeOID"},
+            {"name": "name", "type": "esriFieldTypeString"},
+            {"name": "area", "type": "esriFieldTypeDouble"},
+        ],
+        "features": [
+            {
+                "attributes": {"OBJECTID": 1, "name": "sq", "area": 0.25},
+                # ESRI winding: outer CW; hole CCW
+                "geometry": {"rings": [
+                    [[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]],
+                    [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]],
+                ]},
+            },
+            {
+                "attributes": {"OBJECTID": 2, "name": "pt", "area": 0.0},
+                "geometry": {"x": 7.5, "y": -1.25},
+            },
+        ],
+    }
+    path = str(tmp_path / "fs.json")
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    out = read_esrijson(spark, path).orderBy("OBJECTID").collect()
+    assert [r["name"] for r in out] == ["sq", "pt"]
+    g0 = geo.wkb_loads(bytes(out[0]["geom"]))
+    assert g0["type"] == "Polygon" and len(g0["coordinates"]) == 2
+    g1 = geo.wkb_loads(bytes(out[1]["geom"]))
+    assert g1 == {"type": "Point", "coordinates": [7.5, -1.25]}
