@@ -1241,6 +1241,58 @@ _SPECS.append(
 )
 
 
+_SPECS.append(
+    _same(
+        "events",
+        "SELECT event_type, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value, "
+        "CAST(min(value) AS DOUBLE) AS min_value, "
+        "CAST(max(value) AS DOUBLE) AS max_value, "
+        "count(*) AS n_pixels "
+        "FROM events WHERE value > 0 GROUP BY event_type",
+        "R3 avg/min/max layer aggregates over the zonal dialect surface "
+        "(lambda pass-through, SURVEY §2.4)",
+        "r03_zonal_avg_min_max",
+    )
+)
+
+
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.skew import salted_groupby
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_groupby(
+        li.filter(F.col("l_quantity") > 10),
+        keys=["l_returnflag"],
+        aggs={
+            "cnt": ("count", None),
+            "sum_qty": ("sum_decimal", "l_quantity"),
+            "min_tax": ("min", "l_tax"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_buckets=8,
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q20_salted_skew_agg",
+        spark_fn=_q20,
+        oracle=(
+            # the salted two-phase plan must be value-identical to the
+            # plain aggregation
+            "SELECT l_returnflag, count(*) AS cnt, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(min(l_tax) AS DOUBLE) AS min_tax, "
+            "CAST(max(l_extendedprice) AS DOUBLE) AS max_price "
+            "FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag"
+        ),
+        survey_ref="scale: salted two-phase aggregation for skewed keys "
+        "(3 distinct values over 600k rows is the pathological-skew shape)",
+    )
+)
+
+
 def _t06(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.llmops.text import tfidf_top_terms
 
@@ -1267,6 +1319,35 @@ _SPECS.append(
         ),
         survey_ref="text analysis: TF-IDF top terms per document (explode + "
         "two hash aggs + broadcast df join + per-doc window)",
+    )
+)
+
+
+def _st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.streaming.stateful import first_occurrence
+
+    events = load_table(spark, sf_dir, "events")
+    out = first_occurrence(events, key_col="user_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("first_ts_us"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st04_stream_first_occurrence",
+        spark_fn=_st04,
+        oracle=(
+            # the stateful operator's batch twin: first event per user
+            "SELECT user_id, event_id, event_type, epoch_us(ts) AS first_ts_us "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"
+        ),
+        survey_ref="streaming: custom stateful operator (applyInPandasWithState "
+        "first-occurrence dedup; bounded per-key state)",
     )
 )
 

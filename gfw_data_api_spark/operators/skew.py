@@ -1,0 +1,68 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join splitting handles JOIN skew automatically (session.py),
+but a groupBy on a low-cardinality / hot-key column still funnels every
+row of a hot key through one reducer before map-side partials kick in —
+and for high-cardinality aggregation states (collect-like, exact
+percentile buffers) partial aggregation alone may not save it. The
+classic fix is SALTING: append a random bucket to the key, aggregate
+(key, salt) partials in parallel, then combine the ≤``salt_buckets``
+partial rows per key. Implemented for the decomposable aggregates
+(count/sum/min/max): phase 1 shuffles on the salted key, phase 2
+combines B small rows per key — the hot key's work spreads over B
+reducers by construction, independent of AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# agg kind → (phase-1 partial over rows, phase-2 combine over partials)
+_DECOMPOSABLE = {
+    "count": (lambda c: F.count("*"), F.sum),
+    "sum": (lambda c: F.sum(c), F.sum),
+    # exact money/metric sums: accumulate in DECIMAL, emit DOUBLE
+    "sum_decimal": (
+        lambda c: F.sum(F.col(c).cast("decimal(18,2)")),
+        F.sum,
+    ),
+    "min": (lambda c: F.min(c), F.min),
+    "max": (lambda c: F.max(c), F.max),
+}
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation, value-identical to
+    ``df.groupBy(keys).agg(...)`` for decomposable aggregates.
+
+    ``aggs`` maps output column name → (kind, input column), with kind in
+    count | sum | sum_decimal | min | max (input ignored for count).
+    ``sum_decimal`` casts through DECIMAL(18,2) so the two-phase sum is
+    bit-identical regardless of combine order, then emits DOUBLE.
+    """
+    unknown = {kind for kind, _ in aggs.values()} - set(_DECOMPOSABLE)
+    if unknown:
+        raise ValueError(f"non-decomposable aggregate kinds: {sorted(unknown)}")
+
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial_cols = [
+        _DECOMPOSABLE[kind][0](col).alias(f"_p_{out}")
+        for out, (kind, col) in aggs.items()
+    ]
+    partials = salted.groupBy(*keys, "_salt").agg(*partial_cols)
+
+    final_cols = []
+    for out, (kind, _col) in aggs.items():
+        combined = _DECOMPOSABLE[kind][1](F.col(f"_p_{out}"))
+        if kind == "sum_decimal":
+            combined = combined.cast("double")
+        final_cols.append(combined.alias(out))
+    return partials.groupBy(*keys).agg(*final_cols)

@@ -171,3 +171,127 @@ def test_interval_join_rejects_column_collision(spark):
     iv = spark.createDataFrame([(1, _ts(0), _ts(1))], "event_id long, s timestamp, e timestamp")
     with pytest.raises(ValueError, match="collision"):
         interval_join(df, iv, ts_col="ts", start_col="s", end_col="e")
+
+
+# --------------------------------------------------------------------------
+# skew + stateful operators
+# --------------------------------------------------------------------------
+
+
+def test_salted_groupby_matches_plain(spark, sf_dir):
+    from gfw_data_api_spark.operators.skew import salted_groupby
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_groupby(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "cnt": ("count", None),
+            "sum_qty": ("sum_decimal", "l_quantity"),
+            "min_disc": ("min", "l_discount"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_buckets=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    got = {r["l_returnflag"]: r.asDict() for r in salted.collect()}
+    want = {r["l_returnflag"]: r.asDict() for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_groupby_rejects_nondecomposable(spark):
+    from gfw_data_api_spark.operators.skew import salted_groupby
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_groupby(df, ["a"], {"x": ("avg", "b")})
+
+
+def test_first_occurrence_batch(spark):
+    from gfw_data_api_spark.streaming.stateful import first_occurrence
+
+    rows = [
+        (1, 10, dt.datetime(2024, 1, 1, 0, 5)),
+        (2, 11, dt.datetime(2024, 1, 1, 0, 1)),  # earliest for user 1
+        (3, 11, dt.datetime(2024, 1, 1, 0, 2)),
+        (4, 12, dt.datetime(2024, 1, 1, 0, 3)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = first_occurrence(df, key_col="user_id")
+    got = {r["user_id"]: r["event_id"] for r in out.collect()}
+    assert got == {10: 1, 11: 2, 12: 4}
+
+
+def test_first_occurrence_stream_matches_batch(spark, sf_dir, tmp_path):
+    from gfw_data_api_spark.streaming.stateful import first_occurrence
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+
+    batch = {
+        (r["user_id"], r["event_id"])
+        for r in first_occurrence(static, key_col="user_id").collect()
+    }
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = first_occurrence(stream, key_col="user_id")
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["event_id"]) for r in spark.read.parquet(sink).collect()
+    }
+    assert streamed == batch
+
+
+def test_first_occurrence_stream_state_across_batches(spark, tmp_path):
+    """Second micro-batch must NOT re-emit keys seen in the first."""
+    import pyspark.sql.functions as SF
+    from gfw_data_api_spark.streaming.stateful import first_occurrence
+
+    src = str(tmp_path / "src")
+    df1 = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1, 0, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    df2 = spark.createDataFrame(
+        [(2, 10, dt.datetime(2024, 1, 1, 1, 0)), (3, 20, dt.datetime(2024, 1, 1, 1, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(df1.schema).parquet(src)
+        q = (
+            first_occurrence(stream, key_col="user_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    df2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = {(r["user_id"], r["event_id"]) for r in spark.read.parquet(sink).collect()}
+    # user 10's second event suppressed by checkpointed state; user 20 new
+    assert rows == {(10, 1), (20, 3)}
