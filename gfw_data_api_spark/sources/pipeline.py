@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gfw_data_api_spark.catalog.registry import Registry, default_asset_type
+from gfw_data_api_spark.catalog.registry import Registry, RegistryError, default_asset_type
 from gfw_data_api_spark.sources import tabular, vector
 
 
@@ -136,6 +136,18 @@ def ingest_vector(
             df = vector.read_geojson_seq(spark, source_path)
         elif source_driver == "GeoJSON":
             df = vector.read_feature_collection(spark, source_path)
+        elif source_driver == "GPKG":
+            from gfw_data_api_spark.sources.vector_files import read_geopackage
+
+            df = read_geopackage(spark, source_path)
+        elif source_driver == "ESRI Shapefile":
+            from gfw_data_api_spark.sources.vector_files import read_shapefile
+
+            df = read_shapefile(spark, source_path)
+        elif source_driver == "ESRIJSON":
+            from gfw_data_api_spark.sources.vector_files import read_esrijson
+
+            df = read_esrijson(spark, source_path)
         else:
             raise ValueError(f"unsupported vector driver: {source_driver}")
         df = vector.add_gfw_fields(df)
@@ -191,3 +203,77 @@ def export_version(
         downloads.write_csv(df, asset.asset_uri, "\t" if fmt == "tsv" else delimiter)
     registry.set_asset_status(asset.asset_id, "saved")
     return asset
+
+
+def create_tile_cache_asset(
+    registry: Registry,
+    spark: SparkSession,
+    dataset: str,
+    version: str,
+    min_zoom: int = 0,
+    max_zoom: int = 5,
+    max_features_per_tile: int | None = None,
+) -> "object":
+    """E15 as an asset job: build the MVT tile cache for a geo version and
+    register it as a ``static_vector_tile_cache`` asset (the reference's
+    app/tasks/static_vector_tile_cache_assets.py, tippecanoe replaced by
+    operators/tilecache.py)."""
+    from gfw_data_api_spark.operators.tilecache import build_tile_cache, write_tile_cache
+
+    df = registry.load(spark, dataset, version)
+    if "geom" not in df.columns or "gfw_bbox" not in df.columns:
+        raise RegistryError("tile cache requires a geo version (geom + gfw_bbox)", 400)
+    asset = registry.create_asset(
+        dataset,
+        version,
+        "static_vector_tile_cache",
+        creation_options={
+            "min_zoom": min_zoom,
+            "max_zoom": max_zoom,
+            "max_features_per_tile": max_features_per_tile,
+        },
+    )
+    try:
+        tiles = build_tile_cache(
+            spark,
+            df,
+            zooms=range(min_zoom, max_zoom + 1),
+            layer_name=dataset,
+            max_features_per_tile=max_features_per_tile,
+        )
+        write_tile_cache(tiles, asset.asset_uri)
+        registry.set_asset_status(asset.asset_id, "saved")
+        return asset
+    except Exception as exc:
+        registry.set_asset_status(asset.asset_id, "failed", str(exc))
+        raise
+
+
+def create_cog_asset(
+    registry: Registry,
+    spark: SparkSession,
+    dataset: str,
+    version: str,
+    tile_set_path: str,
+    grid: "object",
+    nodata: float | int = 0,
+    dtype: str = "float32",
+) -> "object":
+    """P5 as an asset job: assemble a COG from a version's pixel tile set
+    and register it (the reference's app/tasks/cog_assets.py)."""
+    import os as _os
+
+    from gfw_data_api_spark.raster.cog import cog_from_tile_set
+
+    asset = registry.create_asset(dataset, version, "cog")
+    try:
+        _os.makedirs(asset.asset_uri, exist_ok=True)
+        out = _os.path.join(asset.asset_uri, f"{dataset}_{version}.tif")
+        info = cog_from_tile_set(
+            spark, tile_set_path, grid, out, nodata=nodata, dtype=dtype
+        )
+        registry.set_asset_status(asset.asset_id, "saved", str(info))
+        return asset
+    except Exception as exc:
+        registry.set_asset_status(asset.asset_id, "failed", str(exc))
+        raise

@@ -232,3 +232,52 @@ def test_esrijson_reader(spark, tmp_path):
     assert g0["type"] == "Polygon" and len(g0["coordinates"]) == 2
     g1 = geo.wkb_loads(bytes(out[1]["geom"]))
     assert g1 == {"type": "Point", "coordinates": [7.5, -1.25]}
+
+
+def test_ingest_vector_gpkg_driver(spark, gpkg_path, tmp_path):
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.sources.pipeline import (
+        create_tile_cache_asset,
+        ingest_vector,
+    )
+
+    registry = Registry(str(tmp_path / "catalog"))
+    out = ingest_vector(registry, spark, "areas_gpkg", "v1", gpkg_path, "GPKG")
+    assert out.count() == 5
+    assert "gfw_bbox" in out.columns and "gfw_geostore_id" in out.columns
+    asset = registry.get_default_asset("areas_gpkg", "v1")
+    assert asset.asset_type == "geo_database_table"
+
+    # E15 asset job on top of the ingested version
+    cache_asset = create_tile_cache_asset(
+        registry, spark, "areas_gpkg", "v1", min_zoom=0, max_zoom=2
+    )
+    assert cache_asset.asset_type == "static_vector_tile_cache"
+    tiles = spark.read.parquet(cache_asset.asset_uri)
+    assert tiles.count() > 0
+
+
+def test_create_cog_asset(spark, tmp_path):
+    import numpy as np
+
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.raster.cog import read_cog
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.pixels import tile_set_from_array, write_tile_set
+    from gfw_data_api_spark.sources.pipeline import create_cog_asset
+
+    registry = Registry(str(tmp_path / "catalog"))
+    registry.ensure_dataset("rast")
+    registry.create_version("rast", "v1")
+    grid = Grid.parse("10/40")
+    arr = np.full((40, 40), 3.0, dtype="float32")
+    ts = str(tmp_path / "ts")
+    write_tile_set(tile_set_from_array(spark, grid, "10N_010E", arr, no_data=0), ts)
+    asset = create_cog_asset(registry, spark, "rast", "v1", ts, grid)
+    assert asset.asset_type == "cog"
+    import os
+
+    tifs = [f for f in os.listdir(asset.asset_uri) if f.endswith(".tif")]
+    assert len(tifs) == 1
+    levels = read_cog(os.path.join(asset.asset_uri, tifs[0]))
+    assert (levels[0]["array"] == 3.0).all()
