@@ -267,6 +267,72 @@ def create_app(
                     )
 
                 tail = parts[3:]
+                if tail == ["assets"]:
+                    # reference: app/routes/datasets/asset.py — GET lists a
+                    # version's assets, POST creates an auxiliary asset
+                    # (the asset JOB runs synchronously: the engine is the
+                    # cluster)
+                    if method == "GET":
+                        return _json_response(
+                            start_response,
+                            {
+                                "data": [
+                                    {
+                                        "asset_id": a.asset_id,
+                                        "asset_type": a.asset_type,
+                                        "asset_uri": a.asset_uri,
+                                        "is_default": a.is_default,
+                                        "status": a.status,
+                                    }
+                                    for a in registry.assets_for(dataset, version)
+                                ],
+                                "status": "success",
+                            },
+                        )
+                    if method == "POST":
+                        from gfw_data_api_spark.sources import pipeline as _pipeline
+
+                        asset_type = body.get("asset_type")
+                        options = body.get("creation_options") or {}
+                        if asset_type == "static_vector_tile_cache":
+                            asset = _pipeline.create_tile_cache_asset(
+                                registry,
+                                spark,
+                                dataset,
+                                version,
+                                min_zoom=int(options.get("min_zoom", 0)),
+                                max_zoom=int(options.get("max_zoom", 5)),
+                                max_features_per_tile=options.get(
+                                    "max_features_per_tile"
+                                ),
+                            )
+                        elif asset_type in ("csv", "tsv", "ndjson"):
+                            asset = _pipeline.export_version(
+                                registry, spark, dataset, version, fmt=asset_type
+                            )
+                        else:
+                            return _json_response(
+                                start_response,
+                                {
+                                    "status": "failed",
+                                    "message": f"unsupported asset_type {asset_type!r}",
+                                },
+                                400,
+                            )
+                        return _json_response(
+                            start_response,
+                            {
+                                "data": {
+                                    "asset_id": asset.asset_id,
+                                    "asset_type": asset.asset_type,
+                                    "asset_uri": asset.asset_uri,
+                                    "status": asset.status,
+                                },
+                                "status": "success",
+                            },
+                            202,
+                        )
+
                 if tail == ["fields"]:
                     asset = registry.get_default_asset(dataset, version)
                     return _json_response(

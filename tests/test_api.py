@@ -279,3 +279,30 @@ def test_datamart_endpoint(spark, tmp_path_factory):
         body={"geometry": geom, "canopy_cover": "abc"},
     )
     assert bad["status"] == 422
+
+
+def test_assets_list_and_create(app):
+    out = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/assets")
+    assert out["status"] == 200
+    types = {a["asset_type"] for a in out["body"]["data"]}
+    assert "database_table" in types
+    default = next(a for a in out["body"]["data"] if a["is_default"])
+    assert default["status"] == "saved"
+
+    created = call(
+        app, "POST", "/dataset/nasa_viirs_fire_alerts/v2024/assets",
+        body={"asset_type": "csv"},
+    )
+    assert created["status"] == 202
+    assert created["body"]["data"]["asset_type"] == "csv"
+
+    after = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/assets")
+    assert {a["asset_type"] for a in after["body"]["data"]} >= {"database_table", "csv"}
+
+
+def test_assets_create_unsupported_type_400(app):
+    out = call(
+        app, "POST", "/dataset/nasa_viirs_fire_alerts/v2024/assets",
+        body={"asset_type": "raster_tile_cache"},
+    )
+    assert out["status"] == 400
