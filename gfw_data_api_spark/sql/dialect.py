@@ -15,6 +15,8 @@ predicates execute verbatim.
 
 from __future__ import annotations
 
+import re
+
 from gfw_data_api_spark.sql.tokenizer import tokenize
 
 PG_TO_SPARK_TYPES: dict[str, str] = {
@@ -129,6 +131,53 @@ def translate_pg_casts(sql: str) -> str:
         sql = f"{sql[:start]}CAST({operand} AS {spark_type}){sql[end:]}"
 
 
+_FETCH_RE = re.compile(
+    r"(?:OFFSET\s+(\d+)\s+(?:ROWS?\s+)?)?"
+    r"FETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY",
+    re.IGNORECASE,
+)
+_OFFSET_ROWS_RE = re.compile(r"OFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE)
+
+
+def _outside_string_literals(sql: str, fn):
+    """Apply ``fn`` to the chunks of ``sql`` outside '...' literals."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        q = sql.find("'", i)
+        if q < 0:
+            out.append(fn(sql[i:]))
+            break
+        out.append(fn(sql[i:q]))
+        j = q + 1
+        while j < n:
+            if sql[j] == "'":
+                if j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        out.append(sql[q : j + 1])
+        i = j + 1
+    return "".join(out)
+
+
+def translate_fetch_first(sql: str) -> str:
+    """PG/ANSI ``[OFFSET m [ROWS]] FETCH FIRST n ROWS ONLY`` → Spark's
+    ``LIMIT n [OFFSET m]`` (Spark requires LIMIT before OFFSET; the
+    reference's FROM-rewrite explicitly preserves FETCH tails,
+    query_helpers.py:424-429, so the dialect must accept them)."""
+
+    def fix(chunk: str) -> str:
+        def repl(m):
+            off, count = m.group(1), m.group(2) or "1"
+            return f"LIMIT {count}" + (f" OFFSET {off}" if off else "")
+
+        chunk = _FETCH_RE.sub(repl, chunk)
+        return _OFFSET_ROWS_RE.sub(lambda m: f"OFFSET {m.group(1)}", chunk)
+
+    return _outside_string_literals(sql, fix)
+
+
 def to_spark_sql(sql: str) -> str:
-    """All PG→Spark surface translations (currently: casts)."""
-    return translate_pg_casts(sql)
+    """All PG→Spark surface translations."""
+    return translate_fetch_first(translate_pg_casts(sql))

@@ -151,3 +151,43 @@ def test_st_asgeojson_in_sql(spark):
 
     assert json.loads(rows[0]["gj"]) == {"type": "Point", "coordinates": [3.0, 4.0]}
     assert rows[0]["a"] == 0.0
+
+
+def test_fetch_first_translation_unit():
+    from gfw_data_api_spark.sql.dialect import translate_fetch_first
+
+    assert (
+        translate_fetch_first("SELECT a FROM t ORDER BY a FETCH FIRST 5 ROWS ONLY")
+        == "SELECT a FROM t ORDER BY a LIMIT 5"
+    )
+    assert (
+        translate_fetch_first("SELECT a FROM t OFFSET 10 FETCH NEXT 5 ROWS ONLY")
+        == "SELECT a FROM t LIMIT 5 OFFSET 10"
+    )
+    assert (
+        translate_fetch_first("SELECT a FROM t ORDER BY a FETCH FIRST ROW ONLY")
+        == "SELECT a FROM t ORDER BY a LIMIT 1"
+    )
+    assert (
+        translate_fetch_first("SELECT a FROM t OFFSET 3 ROWS")
+        == "SELECT a FROM t OFFSET 3"
+    )
+    # text inside string literals is untouched
+    sql = "SELECT 'FETCH FIRST 5 ROWS ONLY' AS s FROM t"
+    assert translate_fetch_first(sql) == sql
+
+
+def test_fetch_first_through_guarded_path(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    out = execute_on_dataframe(
+        spark,
+        df,
+        "SELECT o_orderkey FROM data ORDER BY o_orderkey "
+        "OFFSET 5 ROWS FETCH FIRST 3 ROWS ONLY",
+    )
+    keys = [r["o_orderkey"] for r in out.collect()]
+    want = [
+        r["o_orderkey"]
+        for r in df.orderBy("o_orderkey").limit(8).collect()
+    ][5:]
+    assert keys == want
