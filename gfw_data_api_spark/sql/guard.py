@@ -343,12 +343,16 @@ def inject_geometry_filter(validated: ValidatedQuery, geometry: dict[str, Any] |
 # Conservative FROM-target replacement (query_helpers.py:384-437): replace
 # only the table identifier (and optional alias) immediately after FROM,
 # stopping at common clause boundaries.
+_FROM_KEYWORDS = r"WHERE|JOIN|ON|GROUP|HAVING|ORDER|LIMIT|OFFSET|FETCH|WINDOW|UNION|FOR"
 _FROM_PATTERN = re.compile(
     r"from\s+"
     r'[\w\."]+'
-    r"(?:\s+(?:AS\s+)?\w+)?"
-    r"(?=\s*(?:WHERE|JOIN|ON|GROUP\b|HAVING\b|ORDER\b|LIMIT\b|OFFSET\b"
-    r"|FETCH\b|WINDOW\b|UNION\b|FOR\b|;|\)|$))",
+    # optional alias — must NOT be a clause keyword (else `FROM t WHERE
+    # on_ = 0` would swallow WHERE as the alias), and every keyword in
+    # the boundary lookahead needs \b (else ON prefix-matches a column
+    # like `on_`) — both found by the hypothesis fuzzer
+    rf"(?:\s+(?:AS\s+)?(?!(?:{_FROM_KEYWORDS})\b)\w+)?"
+    rf"(?=\s*(?:(?:{_FROM_KEYWORDS})\b|;|\)|$))",
     re.IGNORECASE,
 )
 

@@ -199,3 +199,17 @@ def test_st_functions_pass():
 def test_url_encoded_sql_is_unquoted():
     sql = "SELECT%20*%20FROM%20test_dataset.v2025"
     assert scrutinize_sql(DATASET, VERSION, None, sql) == "SELECT * FROM test_dataset.v2025"
+
+
+def test_from_rewrite_keyword_prefixed_columns():
+    """Regression (hypothesis-found): a WHERE column spelled like a clause
+    keyword prefix (`on_`, `where_x`) must not derail the FROM rewrite."""
+    from gfw_data_api_spark.sql.guard import scrutinize_sql
+
+    out = scrutinize_sql("ds", "v1", None, "SELECT a FROM t WHERE on_ = 0")
+    assert "FROM ds.v1" in out and "WHERE on_ = 0" in out
+    out2 = scrutinize_sql("ds", "v1", None, "SELECT a FROM t WHERE where_x > 1")
+    assert "FROM ds.v1" in out2 and "WHERE where_x > 1" in out2
+    # alias named like a keyword-prefixed identifier still works
+    out3 = scrutinize_sql("ds", "v1", None, "SELECT ont.a FROM t AS ont WHERE ont.a = 1")
+    assert "FROM ds.v1 AS ont" in out3
