@@ -1352,6 +1352,77 @@ _SPECS.append(
 )
 
 
+_SPECS.append(
+    _same(
+        "orders",
+        "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
+        "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+        "beyond-reference (SURVEY §2.7): explicit GROUPING SETS "
+        "(disjoint marginals in one pass)",
+        "q21_grouping_sets",
+    )
+)
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame API, not guarded SQL: the rank-then-filter needs a
+    # subquery, which the guarded dialect rejects by design (Q16)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("price"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q22_topk_per_group",
+        spark_fn=_q22,
+        oracle=(
+            "SELECT * FROM (SELECT l_partkey, l_orderkey, l_linenumber, "
+            "CAST(l_extendedprice AS DOUBLE) AS price, "
+            "CAST(row_number() OVER (PARTITION BY l_partkey "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rk "
+            "FROM lineitem WHERE l_partkey < 200) WHERE rk <= 3"
+        ),
+        survey_ref="Q10 composition: per-group top-k (rank window + filter — "
+        "the QUALIFY pattern; internal DataFrame op, Q16 blocks it as user SQL)",
+    )
+)
+
+
+def _a01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="a01_approx_count_distinct",
+        spark_fn=_a01,
+        oracle=None,  # HLL sketches differ per engine; relative-error
+        # bound vs the exact count asserted in tests
+        survey_ref="beyond-reference (SURVEY §2.7): approximate aggregates "
+        "(HyperLogLog++ distinct counts beside the exact)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ def test_queries_and_oracles_aligned(spark):
     # rows-only entries are the deliberate, documented ones
     rows_only = set(queries) - set(oracles)
     assert rows_only == {
+        "a01_approx_count_distinct",
         "d04_minhash_lsh_neardups",
         "d05_simhash_neardups",
         "d07_embedding_neardups",

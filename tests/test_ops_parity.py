@@ -58,3 +58,16 @@ def test_pagination_bounds(spark, sf_dir):
     assert last.links["next"] is None
     with pytest.raises(ValueError):
         paginate(customer, page=0)
+
+
+def test_approx_count_distinct_bounded_error(spark):
+    """a01 gate twin: HLL++ estimate within 5% of exact per group."""
+    from gfw_data_api_spark import inventory
+
+    rows = inventory.SPECS["a01_approx_count_distinct"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_parts"]
+        assert abs(r["approx_parts"] - exact) <= max(0.05 * exact, 2), r
