@@ -121,6 +121,49 @@ def st_clip_box(
 
 
 @pandas_udf(T.BinaryType())
+def st_intersection_envelope(geom_a: pd.Series, geom_b: pd.Series) -> pd.Series:
+    """PostGIS-shaped ST_Intersection(geom, geom) — the second geometry
+    must be an axis-aligned envelope (the reference's only use: clipping
+    to grid cells, export_1x1_grid.py:309-381). A non-rectangular second
+    argument raises rather than silently clipping to its bbox."""
+    cache: dict[bytes, tuple] = {}
+
+    def box_of(b):
+        key = bytes(b)
+        if key not in cache:
+            g = geo.wkb_loads(key)
+            bb = geo.bbox(g)
+            if g != geo.make_envelope(*bb):
+                raise NotImplementedError(
+                    "st_intersection supports an axis-aligned envelope as its "
+                    "second argument (use st_makeenvelope / st_envelope)"
+                )
+            cache[key] = bb
+        return cache[key]
+
+    out = []
+    for a, b in zip(geom_a, geom_b):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        clipped = geo.clip_to_box(geo.wkb_loads(bytes(a)), *box_of(b))
+        out.append(None if clipped is None else geo.wkb_dumps(clipped))
+    return pd.Series(out)
+
+
+@pandas_udf(T.BinaryType())
+def st_makeenvelope_wkb(
+    xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            geo.wkb_dumps(geo.make_envelope(float(x0), float(y0), float(x1), float(y1)))
+            for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax)
+        ]
+    )
+
+
+@pandas_udf(T.BinaryType())
 def st_snaptogrid(wkb: pd.Series, size: pd.Series) -> pd.Series:
     out = []
     for b, s in zip(wkb, size):
@@ -241,7 +284,9 @@ def register_geo_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_simplify", st_simplify)
     spark.udf.register("st_bbox", st_bbox)
     spark.udf.register("st_makepoint", make_point_wkb)
-    spark.udf.register("st_intersection", st_clip_box)  # box-clip form (E13)
+    spark.udf.register("st_intersection", st_intersection_envelope)  # PG arity
+    spark.udf.register("st_makeenvelope", st_makeenvelope_wkb)
+    spark.udf.register("st_clip_box", st_clip_box)  # flat-args variant (E13)
     spark.udf.register("st_snaptogrid", st_snaptogrid)
     spark.udf.register("st_within", st_within_wkb)
     spark.udf.register("st_geometrytype", st_geometrytype)

@@ -640,14 +640,44 @@ def within(a: Geom, b: Geom) -> bool:
         return True
     segs_b = list(_segments(b))
     for s1 in _segments(a):
-        for s2 in segs_b:
-            if _seg_intersect(s1[0], s1[1], s2[0], s2[1]):
-                # touching the boundary from inside is still within;
-                # a true crossing means a vertex fell outside, caught above.
-                # Only collinear overlap/crossing through the edge interior
-                # can reach here with all vertices inside — treat midpoint
-                # escape as the decider.
-                mid = [(s1[0][0] + s1[1][0]) / 2.0, (s1[0][1] + s1[1][1]) / 2.0]
-                if not any(point_in_polygon(mid, poly) for poly in b_polys):
-                    return False
+        crossing_ts = _segment_crossing_params(s1[0], s1[1], segs_b)
+        if not crossing_ts:
+            continue
+        # split the segment at every boundary crossing and test each
+        # piece's midpoint: touching the boundary from inside is still
+        # within, but any piece whose interior escapes b means not-within
+        # (a single midpoint test misses exits through concavities)
+        ts = sorted({0.0, 1.0, *crossing_ts})
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            tm = (t0 + t1) / 2.0
+            mid = [
+                s1[0][0] + tm * (s1[1][0] - s1[0][0]),
+                s1[0][1] + tm * (s1[1][1] - s1[0][1]),
+            ]
+            if not any(point_in_polygon(mid, poly) for poly in b_polys):
+                return False
     return True
+
+
+def _segment_crossing_params(p1, p2, segs) -> list[float]:
+    """Parameters t ∈ (0,1) where segment p1→p2 meets any of ``segs``."""
+    out: list[float] = []
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    for a, b in segs:
+        if not _seg_intersect(p1, p2, a, b):
+            continue
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        denom = dx * ey - dy * ex
+        if abs(denom) < 1e-18:
+            # collinear overlap: project the edge endpoints onto p1→p2
+            L2 = dx * dx + dy * dy
+            if L2 > 0:
+                for q in (a, b):
+                    t = ((q[0] - p1[0]) * dx + (q[1] - p1[1]) * dy) / L2
+                    if 0.0 < t < 1.0:
+                        out.append(t)
+            continue
+        t = ((a[0] - p1[0]) * ey - (a[1] - p1[1]) * ex) / denom
+        if 0.0 < t < 1.0:
+            out.append(t)
+    return out

@@ -84,6 +84,16 @@ def _geometry_commands(parts: list[list[tuple[int, int]]], closed: bool) -> list
     """MoveTo/LineTo/ClosePath command stream with zigzag deltas."""
     cmds: list[int] = []
     cx = cy = 0
+    if not closed and all(len(p) == 1 for p in parts):
+        # POINT geometry: MVT 2.1 requires a SINGLE MoveTo whose count is
+        # the number of points (k separate MoveTo commands are invalid to
+        # spec-conforming renderers)
+        pts = [p[0] for p in parts]
+        cmds.append((len(pts) << 3) | 1)
+        for x, y in pts:
+            cmds += [_zigzag(x - cx), _zigzag(y - cy)]
+            cx, cy = x, y
+        return cmds
     for part in parts:
         pts = part[:-1] if closed and len(part) > 1 and part[0] == part[-1] else part
         if len(pts) < (3 if closed else 2) and not (len(pts) == 1 and not closed):
@@ -325,10 +335,15 @@ def build_tile_cache(
 ) -> DataFrame:
     """Produce the (z, x, y, pbf) tile DataFrame for ``zooms``."""
     if property_cols is None:
+        # gfw_* system columns are excluded: gfw_geojson would embed the
+        # full geometry a second time as a string attribute in every tile
+        # the feature touches (the reference's tile caches ship
+        # is_feature_info fields only, app/utils/fields.py:9-38)
         property_cols = [
             f.name
             for f in df.schema.fields
             if f.name not in (geom_col, bbox_col)
+            and not f.name.startswith(("gfw_", "geom", "created_on", "updated_on"))
             and not isinstance(f.dataType, (T.BinaryType, T.ArrayType))
         ]
     pieces = []
@@ -348,7 +363,14 @@ def build_tile_cache(
                 F.explode(tiles).alias("_t"),
                 F.col(geom_col).alias("_g"),
                 F.struct(*[F.col(c) for c in property_cols]).alias("_props"),
-                *( [F.col(id_col).alias("_fid")] if id_col else [F.monotonically_increasing_id().alias("_fid")] ),
+                # content-derived fallback id: monotonically_increasing_id
+                # after an explode is neither per-feature nor stable across
+                # retries, which would break the deterministic density cap
+                *(
+                    [F.col(id_col).alias("_fid")]
+                    if id_col
+                    else [F.xxhash64(F.col(geom_col)).alias("_fid")]
+                ),
             ).select("z", F.col("_t.x").alias("x"), F.col("_t.y").alias("y"), "_g", "_props", "_fid")
         )
     exploded = pieces[0]

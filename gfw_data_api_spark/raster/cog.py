@@ -131,14 +131,11 @@ def write_cog(
         pos += 2 + 12 * n + 4
     data_base = pos  # out-of-line value area starts here
 
-    data_area = bytearray()
-    # reserve per-level tile offset/count arrays LAST so we can fill them
-    # after assigning tile-data offsets; record where they land
-    # First: geo payloads for IFD0 (deterministic order)
-    # (built inline by _entry during serialization below — but offsets of
-    # tile arrays must be known first, so lay them out now)
-    tile_array_slots = []  # (level, offsets_pos, counts_pos)
-    probe = len(data_area)
+    # lay out the out-of-line value area: per-level tile offset/count
+    # arrays first (their positions go into IFD entries), geo payloads
+    # after
+    tile_array_slots = []  # (offsets_pos, counts_pos) per level
+    probe = 0
     for i, (blobs, _, _) in enumerate(per_level):
         n_tiles = len(blobs)
         off_pos = data_base + probe
@@ -346,11 +343,19 @@ def cog_from_tile_set(
         pid = r["pixel_id"]
         tiles[t][pid // n, pid % n] = r["value"]
     corners = {t: grid.parse_tile_id(t) for t in tiles}
-    lats = sorted({c[0] for c in corners.values()}, reverse=True)  # north→south
-    lons = sorted({c[1] for c in corners.values()})
+    # full geographic ranges between the extreme tiles — a sparse tile set
+    # (ocean gaps etc.) must NOT compact, or tiles land at wrong coords
+    step = grid.tile_deg
+    lat_max = max(c[0] for c in corners.values())
+    lat_min = min(c[0] for c in corners.values())
+    lon_min = min(c[1] for c in corners.values())
+    lon_max = max(c[1] for c in corners.values())
+    lats = [lat_max - i * step for i in range(int(round((lat_max - lat_min) / step)) + 1)]
+    lons = [lon_min + i * step for i in range(int(round((lon_max - lon_min) / step)) + 1)]
     mosaic = np.full((n * len(lats), n * len(lons)), nodata, dtype=dtype)
     for t, (lat, lon) in corners.items():
-        yi, xi = lats.index(lat), lons.index(lon)
+        yi = int(round((lat_max - lat) / step))
+        xi = int(round((lon - lon_min) / step))
         mosaic[yi * n : (yi + 1) * n, xi * n : (xi + 1) * n] = tiles[t]
     info = write_cog(
         out_path,

@@ -272,21 +272,27 @@ def read_shapefile(
 
     n_parts = target_partitions or spark.sparkContext.defaultParallelism
     step = max(1, math.ceil(n_records / n_parts)) if n_records else 1
-    ranges = [(i, min(i + step, n_records)) for i in range(0, n_records, step)]
-    ranges_df = spark.createDataFrame(ranges or [(0, 0)], "lo long, hi long").repartition(
-        max(len(ranges), 1)
-    )
+    # each row carries ITS slice of the .shx index — capturing the whole
+    # offsets list in the closure would ship the full per-record index
+    # (8 bytes × N records) to every task
+    ranges = [
+        (i, min(i + step, n_records), [list(o) for o in offsets[i : min(i + step, n_records)]])
+        for i in range(0, n_records, step)
+    ]
+    ranges_df = spark.createDataFrame(
+        ranges or [(0, 0, [])], "lo long, hi long, index array<array<int>>"
+    ).repartition(max(len(ranges), 1))
 
     def fetch(batches):
         for pdf in batches:
-            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+            for lo, hi, index in zip(pdf["lo"], pdf["hi"], pdf["index"]):
                 lo, hi = int(lo), int(hi)
                 if hi <= lo:
                     continue
                 rows = []
                 with open(shp_path, "rb") as shp, open(dbf_path, "rb") as dbf:
                     for rec in range(lo, hi):
-                        off_words, len_words = offsets[rec]
+                        off_words, len_words = index[rec - lo]
                         shp.seek(off_words * 2 + 8)  # skip record header
                         body = shp.read(len_words * 2)
                         g = _shp_record_geometry(body)

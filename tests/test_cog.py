@@ -115,3 +115,27 @@ def test_cog_from_tile_set(spark, tmp_path):
     # georef: NW corner of the mosaic = 10N, 10E
     assert levels[0]["tiepoint"][3:5] == [10.0, 10.0]
     assert info["bytes"] > 0
+
+
+def test_cog_from_sparse_tile_set_preserves_gaps(spark, tmp_path):
+    """Non-adjacent tiles must keep their geographic gap (review finding:
+    compacting sorted-present coords placed tiles at wrong positions)."""
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.pixels import tile_set_from_array, write_tile_set
+
+    grid = Grid.parse("10/40")
+    t_w = np.full((40, 40), 1.0, dtype="float32")
+    t_e = np.full((40, 40), 2.0, dtype="float32")
+    # 10E and 30E: one missing 10-degree column between them
+    df = tile_set_from_array(spark, grid, "10N_010E", t_w, no_data=0).unionByName(
+        tile_set_from_array(spark, grid, "10N_030E", t_e, no_data=0)
+    )
+    ts = str(tmp_path / "ts")
+    write_tile_set(df, ts)
+    out = str(tmp_path / "sparse.tif")
+    cog_from_tile_set(spark, ts, grid, out, nodata=0, dtype="float32")
+    arr = read_cog(out)[0]["array"]
+    assert arr.shape == (40, 120)  # 3 tile columns incl. the gap
+    np.testing.assert_array_equal(arr[:, :40], t_w)
+    assert (arr[:, 40:80] == 0).all()  # the gap stays nodata
+    np.testing.assert_array_equal(arr[:, 80:], t_e)

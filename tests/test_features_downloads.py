@@ -152,8 +152,8 @@ def test_registered_st_functions_sql(spark):
         "st_within(st_makepoint(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), geom) AS w, "
         "st_geometrytype(st_multi(geom)) AS mt, "
         "st_geometrytype(st_envelope(geom)) AS et, "
-        "st_intersection(geom, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
-        "CAST(5.0 AS DOUBLE), CAST(5.0 AS DOUBLE)) AS clipped "
+        "st_intersection(geom, st_makeenvelope(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
+        "CAST(5.0 AS DOUBLE), CAST(5.0 AS DOUBLE))) AS clipped "
         "FROM _st_probe"
     ).collect()[0]
     assert row["t"] == "ST_Polygon"

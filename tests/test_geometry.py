@@ -200,3 +200,20 @@ def test_type_multi_envelope_helpers():
     assert geo.multi(m) is m
     env = geo.make_envelope(0, 0, 2, 1)
     assert geo.bbox(env) == (0, 0, 2, 1)
+
+
+def test_within_concavity_escape():
+    """Review finding: a segment exiting through a notch whose midpoint is
+    still inside must NOT count as within."""
+    notched = {
+        "type": "Polygon",
+        "coordinates": [[
+            [0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.7, 1.0],
+            [0.7, 0.5], [0.6, 0.5], [0.6, 1.0], [0.0, 1.0], [0.0, 0.0],
+        ]],
+    }
+    line = {"type": "LineString", "coordinates": [[0.1, 0.9], [0.9, 0.9]]}
+    assert not geo.within(line, notched)
+    # a line below the notch stays within
+    low = {"type": "LineString", "coordinates": [[0.1, 0.2], [0.9, 0.2]]}
+    assert geo.within(low, notched)

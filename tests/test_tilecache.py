@@ -125,3 +125,32 @@ def test_write_tile_cache_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert {r["z"] for r in back.select("z").collect()} == {0, 1}
+
+
+def test_multipoint_single_moveto():
+    """MVT 2.1: POINT geometry with k points = ONE MoveTo with count=k."""
+    mp = {"type": "MultiPoint", "coordinates": [[0.0, 0.0], [90.0, 0.0]]}
+    blob = encode_tile([(mp, {})], 0, 0, 0)
+    # inspect the raw command stream of the only feature
+    feat = decode_tile(blob)["features"][0]
+    assert feat["type"] == 1
+    assert len(feat["geometry"]) == 1 and len(feat["geometry"][0]) == 2
+    # raw check: exactly one MoveTo command integer, with count 2
+    import gfw_data_api_spark.operators.tilecache as tc
+
+    parts, gtype = tc._tile_local_parts(mp, 0, 0, 0)
+    cmds = tc._geometry_commands(parts, closed=False)
+    assert cmds[0] == (2 << 3) | 1  # single MoveTo, count=2
+    assert len(cmds) == 1 + 4  # command + 2 zigzag pairs, nothing else
+
+
+def test_default_properties_exclude_system_columns(spark):
+    g = {"type": "Point", "coordinates": [10.0, 10.0]}
+    df = spark.createDataFrame(
+        [(1, "a", bytearray(geo.wkb_dumps(g)), list(geo.bbox(g)), '{"x":1}')],
+        "fid long, name string, geom binary, gfw_bbox array<double>, gfw_geojson string",
+    )
+    tiles = build_tile_cache(spark, df, zooms=range(0, 1), id_col="fid").collect()
+    decoded = decode_tile(bytes(tiles[0]["pbf"]))
+    assert "gfw_geojson" not in decoded["keys"]
+    assert set(decoded["keys"]) == {"fid", "name"}
