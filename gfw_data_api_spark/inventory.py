@@ -1423,6 +1423,46 @@ _SPECS.append(
 )
 
 
+def _ca01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.streaming.continuous_agg import ContinuousAggregate
+
+    events = load_table(spark, sf_dir, "events")
+    store = tempfile.mkdtemp(prefix="gfw_ca01_")
+    ca = ContinuousAggregate(
+        os.path.join(store, "rollup"), "1 hour", keys=["event_type"]
+    )
+    # three incremental refreshes must equal one direct aggregation
+    for lo, hi in ((0, 3000), (3000, 7000), (7000, 1 << 60)):
+        ca.refresh(
+            spark, events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        )
+    return ca.read(spark).select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="ca01_continuous_aggregate",
+        spark_fn=_ca01,
+        oracle=(
+            # the incrementally-maintained rollup must match the direct
+            # one-shot aggregation bit-for-bit (DECIMAL partials merge
+            # exactly regardless of slice boundaries)
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, "
+            "event_type, count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        survey_ref="beyond-reference: continuous aggregate / hypertable rollup "
+        "(incremental refresh rewrites only affected partitions)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

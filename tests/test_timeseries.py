@@ -295,3 +295,59 @@ def test_first_occurrence_stream_state_across_batches(spark, tmp_path):
     rows = {(r["user_id"], r["event_id"]) for r in spark.read.parquet(sink).collect()}
     # user 10's second event suppressed by checkpointed state; user 20 new
     assert rows == {(10, 1), (20, 3)}
+
+
+def test_continuous_aggregate_incremental_equals_direct(spark, sf_dir, tmp_path):
+    from gfw_data_api_spark.streaming.continuous_agg import ContinuousAggregate
+
+    events = load_table(spark, sf_dir, "events")
+    ca = ContinuousAggregate(str(tmp_path / "rollup"), "1 hour", keys=["event_type"])
+    # refresh in three incremental slices (simulating appends)
+    for lo, hi in ((0, 2000), (2000, 4000), (4000, 10**9)):
+        batch = events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        ca.refresh(spark, batch)
+    got = {
+        (str(r["bucket_start"]), r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in ca.read(spark).collect()
+    }
+    direct = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+        )
+        .collect()
+    )
+    want = {
+        (str(r["w"]["start"]), r["event_type"]): (r["n"], round(r["s"], 4)) for r in direct
+    }
+    assert got == want
+
+
+def test_continuous_aggregate_touches_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from gfw_data_api_spark.streaming.continuous_agg import ContinuousAggregate
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+
+    ca = ContinuousAggregate(str(tmp_path / "r"), "1 hour", keys=["event_type"])
+    day1 = [(i, dt.datetime(2024, 1, 1, i % 24), "a", 1.0) for i in range(10)]
+    day2 = [(100 + i, dt.datetime(2024, 1, 2, i % 24), "a", 2.0) for i in range(10)]
+    assert ca.refresh(spark, ev(day1)) == ["2024-01-01"]
+    assert ca.refresh(spark, ev(day2)) == ["2024-01-02"]
+    # both partitions exist; re-refreshing day2 must not rewrite day1
+    p1 = os.path.join(str(tmp_path / "r"), "bucket_date=2024-01-01")
+    mtime_before = max(os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1))
+    assert ca.refresh(spark, ev([(200, dt.datetime(2024, 1, 2, 5), "a", 3.0)])) == ["2024-01-02"]
+    mtime_after = max(os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1))
+    assert mtime_after == mtime_before
+    # merged counts: day2 hour 5 has original rows + the late one
+    rows = {
+        (str(r["bucket_start"]), r["n_events"])
+        for r in ca.read(spark).filter(F.col("bucket_start") == "2024-01-02 05:00:00").collect()
+    }
+    assert rows == {("2024-01-02 05:00:00", 2)}
