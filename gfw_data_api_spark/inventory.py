@@ -1463,6 +1463,37 @@ _SPECS.append(
 )
 
 
+def _d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.decontaminate import contamination_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_matches(corpus, benchmark, shingle_n=5, min_shared=2)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d08_benchmark_decontamination",
+        spark_fn=_d08,
+        oracle=(
+            # same split + inverted 5-gram index, DuckDB-side
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+4], ' ') AS g "
+            "FROM toks, unnest(range(1, greatest(len(t)-3, 1))) AS u(i)), "
+            "pairs AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_shared "
+            "FROM (SELECT * FROM grams WHERE doc_id % 17 != 0) c "
+            "JOIN (SELECT * FROM grams WHERE doc_id % 17 = 0) b USING (g) "
+            "GROUP BY 1, 2) "
+            "SELECT corpus_id, bench_id, n_shared FROM pairs WHERE n_shared >= 2"
+        ),
+        survey_ref="LLM pipeline: benchmark decontamination (cross-set n-gram "
+        "overlap via the inverted shingle index)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

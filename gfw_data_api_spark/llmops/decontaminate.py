@@ -1,0 +1,68 @@
+"""Benchmark decontamination: flag corpus documents that share n-gram
+shingles with a benchmark/eval set — the standard training-data hygiene
+pass (the GPT-3/PaLM-style 13-gram overlap check), expressed as the same
+inverted-shingle-index join the exact-Jaccard dedup uses, but across two
+sets instead of self-joined.
+
+Scale shape: both sides explode to (doc, shingle-hash) rows once; the
+join key is the shingle hash (high cardinality, uniform); the benchmark
+side is tiny compared to the corpus, so after aggregation the flagged
+set broadcasts back for the final anti-join. Work is proportional to
+true n-gram overlap — a clean corpus costs one scan + one small shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops.dedup import shingles_col
+
+
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("_s"),
+    ).withColumn("_h", F.xxhash64("_s"))
+
+
+def contamination_matches(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(corpus_id, bench_id, n_shared) for pairs sharing ≥ ``min_shared``
+    distinct ``shingle_n``-gram shingles."""
+    c = _shingle_index(corpus, text_col, id_col, shingle_n)
+    b = _shingle_index(benchmark, text_col, id_col, shingle_n)
+    return (
+        c.alias("c")
+        .join(b.alias("b"), F.col("c._h") == F.col("b._h"))
+        .groupBy(
+            F.col("c._id").alias("corpus_id"), F.col("b._id").alias("bench_id")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Corpus minus contaminated documents (left_anti on the flagged set;
+    the flagged id list is benchmark-overlap-sized, so the anti-join
+    broadcasts)."""
+    flagged = (
+        contamination_matches(corpus, benchmark, text_col, id_col, shingle_n, min_shared)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

@@ -273,3 +273,28 @@ def test_tfidf_top_terms_golden(spark):
     scores = {(r["doc_id"], r["term"]): r["tfidf"] for r in out}
     assert scores[(1, "apple")] == pytest.approx(3 * math.log(3.0), abs=1e-6)
     assert scores[(2, "cherry")] == 0.0
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    from gfw_data_api_spark.llmops.decontaminate import (
+        contamination_matches,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "completely unrelated sentence about spark partitions and shuffles here"),
+            (3, "the quick brown cat naps all day long in the warm sun today"),
+        ],
+        "doc_id long, text string",
+    )
+    matches = contamination_matches(corpus, bench, shingle_n=5, min_shared=2)
+    got = {(r["corpus_id"], r["bench_id"]) for r in matches.collect()}
+    assert got == {(1, 100)}  # doc 3 shares <2 five-grams, doc 2 none
+    clean = decontaminate(corpus, bench, shingle_n=5, min_shared=2)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
