@@ -113,6 +113,41 @@ def _geometry_commands(parts: list[list[tuple[int, int]]], closed: bool) -> list
     return cmds
 
 
+def _ring_signed_area(ring: list[tuple[int, int]]) -> float:
+    """Shoelace signed area in tile coordinates (y down).
+
+    MVT 2.1 defines ring orientation by the surveyor's formula over tile
+    coordinates: exterior rings MUST have positive area (visually clockwise
+    in the y-down grid), interior rings negative.
+    """
+    pts = ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else ring
+    a = 0
+    for i in range(len(pts)):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % len(pts)]
+        a += x1 * y2 - x2 * y1
+    return a / 2.0
+
+
+def _orient_rings(
+    rings: list[list[tuple[int, int]]], exterior_flags: list[bool]
+) -> list[list[tuple[int, int]]]:
+    """Force exterior rings to positive signed area and holes to negative.
+
+    Source data keeps its native winding (ESRI formats are CW-outer in
+    lon/lat, which flips sign after the y-down projection), so winding must
+    be normalized HERE, post-projection — conforming renderers otherwise
+    treat a negative-area exterior as an interior ring.
+    """
+    out = []
+    for ring, is_exterior in zip(rings, exterior_flags):
+        a = _ring_signed_area(ring)
+        if (is_exterior and a < 0) or (not is_exterior and a > 0):
+            ring = ring[::-1]
+        out.append(ring)
+    return out
+
+
 def _tile_local_parts(g: geo.Geom, z: int, x: int, y: int):
     """Project geometry to integer tile coordinates (EXTENT grid, y down).
 
@@ -139,11 +174,17 @@ def _tile_local_parts(g: geo.Geom, z: int, x: int, y: int):
     if name == "MultiLineString":
         return [[px(*p) for p in line] for line in g["coordinates"]], 2
     if name == "Polygon":
-        return [[px(*p) for p in ring] for ring in g["coordinates"]], 3
+        rings = [[px(*p) for p in ring] for ring in g["coordinates"]]
+        flags = [i == 0 for i in range(len(rings))]
+        return _orient_rings(rings, flags), 3
     if name == "MultiPolygon":
-        return [
+        rings = [
             [px(*p) for p in ring] for poly in g["coordinates"] for ring in poly
-        ], 3
+        ]
+        flags = [
+            i == 0 for poly in g["coordinates"] for i in range(len(poly))
+        ]
+        return _orient_rings(rings, flags), 3
     raise ValueError(f"unsupported geometry {name}")
 
 

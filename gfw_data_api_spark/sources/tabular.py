@@ -92,6 +92,13 @@ def load_table(
     ``fanout`` forces (True) or suppresses (False) the compute-table
     repartition described on ``_FANOUT_TABLES``.
     """
+    # The gate harness may hand us a SparkSession that session.py did not
+    # build, so the confs the read path depends on must be set here at
+    # runtime (both are runtime-settable): nanosAsLong so the TIMESTAMP
+    # (NANOS) events table reads as long instead of crashing, and a UTC
+    # session TZ so window()/date_format results are host-TZ independent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, NOT `/`: float division of ~1.7e18 ns exceeds a

@@ -154,3 +154,27 @@ def test_default_properties_exclude_system_columns(spark):
     decoded = decode_tile(bytes(tiles[0]["pbf"]))
     assert "gfw_geojson" not in decoded["keys"]
     assert set(decoded["keys"]) == {"fid", "name"}
+
+
+def test_ring_winding_normalized():
+    """MVT 2.1: exteriors positive area (CW in y-down), holes negative —
+    regardless of source winding (ESRI inputs arrive CW-outer in lon/lat)."""
+    from gfw_data_api_spark.operators.tilecache import _ring_signed_area
+
+    ccw = [[-45.0, -30.0], [45.0, -30.0], [45.0, 30.0], [-45.0, 30.0], [-45.0, -30.0]]
+    cw = ccw[::-1]
+    hole_ccw = [[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0], [-10.0, 10.0], [-10.0, -10.0]]
+    for outer in (ccw, cw):
+        for hole in (hole_ccw, hole_ccw[::-1]):
+            g = {"type": "Polygon", "coordinates": [outer, hole]}
+            feat = decode_tile(encode_tile([(g, {})], 0, 0, 0))["features"][0]
+            areas = [_ring_signed_area(r) for r in feat["geometry"]]
+            assert areas[0] > 0, f"exterior not CW: {areas}"
+            assert areas[1] < 0, f"hole not CCW: {areas}"
+
+    mp = {
+        "type": "MultiPolygon",
+        "coordinates": [[cw], [[[100.0, 5.0], [110.0, 5.0], [110.0, 15.0], [100.0, 15.0], [100.0, 5.0]]]],
+    }
+    feat = decode_tile(encode_tile([(mp, {})], 0, 0, 0))["features"][0]
+    assert all(_ring_signed_area(r) > 0 for r in feat["geometry"])
