@@ -295,16 +295,53 @@ def create_app(
                         asset_type = body.get("asset_type")
                         options = body.get("creation_options") or {}
                         if asset_type == "static_vector_tile_cache":
+
+                            def _zoom(name: str, default: int) -> int:
+                                raw = options.get(name, default)
+                                # bool is an int subclass; reject explicitly
+                                if isinstance(raw, bool) or not isinstance(
+                                    raw, (int, str)
+                                ):
+                                    raise QueryGuardError(
+                                        f"{name} must be an integer.", 422
+                                    )
+                                try:
+                                    val = int(raw)
+                                except ValueError:
+                                    raise QueryGuardError(
+                                        f"{name} must be an integer.", 422
+                                    ) from None
+                                if not 0 <= val <= 22:
+                                    raise QueryGuardError(
+                                        f"{name} must be between 0 and 22.", 422
+                                    )
+                                return val
+
+                            min_zoom = _zoom("min_zoom", 0)
+                            max_zoom = _zoom("max_zoom", 5)
+                            if min_zoom > max_zoom:
+                                raise QueryGuardError(
+                                    "min_zoom must be <= max_zoom.", 422
+                                )
+                            max_feat = options.get("max_features_per_tile")
+                            if max_feat is not None and (
+                                isinstance(max_feat, bool)
+                                or not isinstance(max_feat, int)
+                                or max_feat < 1
+                            ):
+                                raise QueryGuardError(
+                                    "max_features_per_tile must be a positive "
+                                    "integer.",
+                                    422,
+                                )
                             asset = _pipeline.create_tile_cache_asset(
                                 registry,
                                 spark,
                                 dataset,
                                 version,
-                                min_zoom=int(options.get("min_zoom", 0)),
-                                max_zoom=int(options.get("max_zoom", 5)),
-                                max_features_per_tile=options.get(
-                                    "max_features_per_tile"
-                                ),
+                                min_zoom=min_zoom,
+                                max_zoom=max_zoom,
+                                max_features_per_tile=max_feat,
                             )
                         elif asset_type in ("csv", "tsv", "ndjson"):
                             asset = _pipeline.export_version(

@@ -38,13 +38,17 @@ def salted_groupby(
     aggs: dict[str, tuple[str, str | None]],
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Two-phase salted aggregation, value-identical to
-    ``df.groupBy(keys).agg(...)`` for decomposable aggregates.
+    """Two-phase salted aggregation matching ``df.groupBy(keys).agg(...)``.
 
     ``aggs`` maps output column name → (kind, input column), with kind in
     count | sum | sum_decimal | min | max (input ignored for count).
-    ``sum_decimal`` casts through DECIMAL(18,2) so the two-phase sum is
-    bit-identical regardless of combine order, then emits DOUBLE.
+
+    Exactness: count/min/max/sum-over-integers are value-identical to the
+    single-phase aggregation. Plain ``sum`` over FLOATS re-associates the
+    addition across salt buckets, so low bits can differ from single-phase
+    (and between runs with different ``salt_buckets``) — float addition is
+    not associative. For bit-identical float/money sums use ``sum_decimal``,
+    which accumulates in DECIMAL(18,2) (order-independent) and emits DOUBLE.
     """
     unknown = {kind for kind, _ in aggs.values()} - set(_DECOMPOSABLE)
     if unknown:

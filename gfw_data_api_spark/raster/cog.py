@@ -322,26 +322,43 @@ def cog_from_tile_set(
 ):
     """Assemble a COG from a long-format pixel tile set (pixels.py layout).
 
-    Reads the (tile_id, pixel_id, value) parquet, mosaics the rectangular
-    hull of tiles driver-side (a COG is one file — assembly is the same
-    single-process step as the reference's gdal_translate), and writes the
-    pyramid. Distributed work (rasterize, band algebra, pyramids for
-    QUERYING) stays in Spark; this is the export leg.
+    Reads the (tile_id, pixel_id, value) parquet, packs each tile to ONE
+    deflate-compressed blob on the executors (groupBy(tile_id) →
+    applyInPandas), and collects only the blobs — the driver never holds
+    per-pixel Rows, so memory there is O(tiles × compressed tile), not
+    O(pixels). Mosaicking + container write stay driver-side (a COG is
+    one file — same single-writer step as the reference's gdal_translate).
+    Distributed work (rasterize, band algebra, pyramids for QUERYING)
+    stays in Spark; this is the export leg.
     """
+    import pandas as pd
+
     from gfw_data_api_spark.raster.grid import Grid  # noqa: F401 (doc link)
 
     df = spark.read.parquet(tile_set_path).select("tile_id", "pixel_id", "value")
-    rows = df.collect()
-    if not rows:
-        raise ValueError("empty tile set")
     n = grid.pixels_per_side
-    tiles: dict[str, np.ndarray] = {}
-    for r in rows:
-        t = r["tile_id"]
-        if t not in tiles:
-            tiles[t] = np.full((n, n), nodata, dtype=dtype)
-        pid = r["pixel_id"]
-        tiles[t][pid // n, pid % n] = r["value"]
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.full((n, n), nodata, dtype=dtype)
+        pid = pdf["pixel_id"].to_numpy()
+        arr[pid // n, pid % n] = pdf["value"].to_numpy().astype(dtype)
+        return pd.DataFrame(
+            [{"tile_id": key[0], "blob": zlib.compress(arr.tobytes(), 6)}]
+        )
+
+    packed = (
+        df.groupBy("tile_id")
+        .applyInPandas(pack, "tile_id string, blob binary")
+        .collect()
+    )
+    if not packed:
+        raise ValueError("empty tile set")
+    tiles: dict[str, np.ndarray] = {
+        r["tile_id"]: np.frombuffer(zlib.decompress(bytes(r["blob"])), dtype=dtype)
+        .reshape(n, n)
+        .copy()
+        for r in packed
+    }
     corners = {t: grid.parse_tile_id(t) for t in tiles}
     # full geographic ranges between the extreme tiles — a sparse tile set
     # (ocean gaps etc.) must NOT compact, or tiles land at wrong coords

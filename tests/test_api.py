@@ -306,3 +306,23 @@ def test_assets_create_unsupported_type_400(app):
         body={"asset_type": "raster_tile_cache"},
     )
     assert out["status"] == 400
+
+
+def test_assets_create_bad_zoom_422(app):
+    """Non-numeric / out-of-range creation_options → 422 envelope, not 500."""
+    base = "/dataset/nasa_viirs_fire_alerts/v2024/assets"
+    for opts in (
+        {"min_zoom": "abc"},
+        {"max_zoom": [3]},
+        {"min_zoom": True},
+        {"min_zoom": 25},
+        {"min_zoom": 5, "max_zoom": 2},
+        {"max_features_per_tile": "many"},
+        {"max_features_per_tile": 0},
+    ):
+        out = call(
+            app, "POST", base,
+            body={"asset_type": "static_vector_tile_cache", "creation_options": opts},
+        )
+        assert out["status"] == 422, (opts, out["body"])
+        assert out["body"]["status"] == "failed"
