@@ -33,6 +33,7 @@ from urllib.parse import parse_qs
 
 from pyspark.sql import SparkSession
 
+from gfw_data_api_spark.api.auth import AuthConfig, AuthError
 from gfw_data_api_spark.catalog.geostore import Geostore
 from gfw_data_api_spark.catalog.registry import Registry, RegistryError
 from gfw_data_api_spark.operators import downloads, features
@@ -48,11 +49,15 @@ from gfw_data_api_spark.sql.guard import QueryGuardError
 
 _STATUS_TEXT = {
     200: "200 OK",
+    201: "201 Created",
+    202: "202 Accepted",
     308: "308 Permanent Redirect",
     400: "400 Bad Request",
+    401: "401 Unauthorized",
     403: "403 Forbidden",
     404: "404 Not Found",
     405: "405 Method Not Allowed",
+    409: "409 Conflict",
     422: "422 Unprocessable Entity",
     500: "500 Internal Server Error",
     524: "524 A Timeout Occurred",
@@ -78,9 +83,24 @@ def _row_value(value):
 
 
 def create_app(
-    spark: SparkSession, registry: Registry, geostore: Geostore | None = None
+    spark: SparkSession,
+    registry: Registry,
+    geostore: Geostore | None = None,
+    auth: AuthConfig | None = None,
 ) -> Callable:
+    """``auth=None`` runs the API open (no key/token checks, the default
+    for embedded/test use); passing an :class:`AuthConfig` enforces the
+    reference's contract — x-api-key on query/download routes (403
+    without), 401 on restricted datasets unless the bearer user is an
+    ADMIN of gfw/gfw-pro, and the /auth key-management routes."""
     geostore = geostore or Geostore(registry)
+
+    def check_query_auth(environ, params, dataset: str, version: str) -> None:
+        if auth is None:
+            return
+        if auth.require_api_key:
+            auth.check_api_key(environ, params)
+        auth.check_query_authorized(environ, dataset, version)
 
     def resolve_geometry(params: dict, body: dict) -> dict | None:
         if "geometry" in body:
@@ -143,6 +163,108 @@ def create_app(
                         "status": "success",
                     },
                 )
+
+            # /auth — key management (reference authentication.py routes)
+            if parts and parts[0] == "auth":
+                if auth is None:
+                    return _json_response(
+                        start_response,
+                        {"status": "failed", "message": "Not found."},
+                        404,
+                    )
+                from dataclasses import asdict as _asdict
+
+                sub = parts[1:]
+                if sub == ["token"] and method == "POST":
+                    token = auth.token_auth.login(
+                        body.get("username", ""), body.get("password", "")
+                    )
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": {"access_token": token, "token_type": "bearer"},
+                            "status": "success",
+                        },
+                    )
+                if sub == ["apikey"] and method == "POST":
+                    user = auth.get_user(environ)
+                    key = auth.key_store.create(
+                        user,
+                        alias=body.get("alias"),
+                        organization=body.get("organization", ""),
+                        email=body.get("email", user.email),
+                        domains=body.get("domains") or [],
+                        never_expires=bool(body.get("never_expires", False)),
+                    )
+                    return _json_response(
+                        start_response,
+                        {"data": _asdict(key), "status": "success"},
+                        201,
+                    )
+                if sub == ["apikeys"] and method == "GET":
+                    user = auth.get_user(environ)
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": [
+                                _asdict(k)
+                                for k in auth.key_store.for_user(user.id)
+                            ],
+                            "status": "success",
+                        },
+                    )
+                if len(sub) == 3 and sub[0] == "apikey" and sub[2] == "validate":
+                    user = auth.get_user(environ)
+                    if user.role != "ADMIN":
+                        raise AuthError("Unauthorized", 401)
+                    row = auth.key_store.get(sub[1])
+                    if row is None:
+                        raise AuthError(
+                            "The requested API key does not exist.", 404
+                        )
+                    from gfw_data_api_spark.api.auth import api_key_is_valid
+
+                    valid = api_key_is_valid(
+                        row.domains,
+                        row.expires_on,
+                        (params.get("origin") or [None])[0],
+                        (params.get("referrer") or [None])[0],
+                    )
+                    return _json_response(
+                        start_response,
+                        {"data": {"is_valid": valid}, "status": "success"},
+                    )
+                if len(sub) == 2 and sub[0] == "apikey" and method == "GET":
+                    user = auth.get_user(environ)
+                    row = auth.key_store.get(sub[1])
+                    if row is None:
+                        raise AuthError("The API Key does not exist.", 404)
+                    if user.role != "ADMIN" and row.user_id != user.id:
+                        raise AuthError(
+                            "API Key is not associated with current user.", 403
+                        )
+                    return _json_response(
+                        start_response,
+                        {"data": _asdict(row), "status": "success"},
+                    )
+                if len(sub) == 2 and sub[0] == "apikey" and method == "DELETE":
+                    user = auth.get_user(environ)
+                    row = auth.key_store.get(sub[1])
+                    if row is None:
+                        raise AuthError(
+                            "The requested API key does not exist.", 404
+                        )
+                    if user.role != "ADMIN" and row.user_id != user.id:
+                        raise AuthError(
+                            "The requested API key does not belong to the "
+                            "current user.",
+                            403,
+                        )
+                    auth.key_store.delete(sub[1])
+                    return _json_response(
+                        start_response,
+                        {"data": _asdict(row), "status": "success"},
+                    )
 
             # /geostore
             if parts == ["geostore"] and method == "POST":
@@ -377,6 +499,7 @@ def create_app(
                     )
 
                 if tail[:2] == ["query", "batch"] and method == "POST":
+                    check_query_auth(environ, params, dataset, version)
                     # R10: one SQL over N features, one Spark job
                     # (queries.py:300-427 — synchronous here, no Step
                     # Functions needed when the engine IS the cluster)
@@ -408,6 +531,7 @@ def create_app(
                     )
 
                 if tail[:1] == ["query"]:
+                    check_query_auth(environ, params, dataset, version)
                     fmt = tail[1] if len(tail) > 1 else "json"
                     sql = body.get("sql") or (params.get("sql") or [None])[0]
                     if not sql:
@@ -443,6 +567,7 @@ def create_app(
                     return _json_response(start_response, {"data": data, "status": "success"})
 
                 if tail[:1] == ["download"]:
+                    check_query_auth(environ, params, dataset, version)
                     fmt = tail[1] if len(tail) > 1 else "csv"
                     sql = body.get("sql") or (params.get("sql") or [None])[0] or "SELECT * FROM data"
                     df = downloads.query_for_download(
@@ -476,7 +601,7 @@ def create_app(
             return _json_response(
                 start_response, {"status": "failed", "message": str(exc)}, 524
             )
-        except (QueryGuardError, RegistryError) as exc:
+        except (QueryGuardError, RegistryError, AuthError) as exc:
             return _json_response(
                 start_response,
                 {"status": "failed", "message": exc.detail},
