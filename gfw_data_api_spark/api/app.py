@@ -28,6 +28,7 @@ engine API underneath is identical either way.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Callable
 from urllib.parse import parse_qs
 
@@ -37,6 +38,7 @@ from gfw_data_api_spark.api.auth import AuthConfig, AuthError
 from gfw_data_api_spark.catalog.geostore import Geostore
 from gfw_data_api_spark.catalog.registry import Registry, RegistryError
 from gfw_data_api_spark.operators import downloads, features
+from gfw_data_api_spark.operators.jobs import JobRegistry
 from gfw_data_api_spark.operators.analysis import zonal_statistics
 from gfw_data_api_spark.operators.query import execute_on_dataframe
 from gfw_data_api_spark.operators.watchdog import (
@@ -94,6 +96,7 @@ def create_app(
     without), 401 on restricted datasets unless the bearer user is an
     ADMIN of gfw/gfw-pro, and the /auth key-management routes."""
     geostore = geostore or Geostore(registry)
+    jobs = JobRegistry(os.path.join(registry.warehouse, "_jobs"))
 
     def check_query_auth(environ, params, dataset: str, version: str) -> None:
         if auth is None:
@@ -264,6 +267,35 @@ def create_app(
                     return _json_response(
                         start_response,
                         {"data": _asdict(row), "status": "success"},
+                    )
+
+            # /job/{id} — poll async analyses (app/routes/jobs/job.py:24)
+            if parts and parts[0] == "job" and method == "GET":
+                if len(parts) == 2:
+                    job = jobs.get(parts[1])
+                    if job is None:
+                        return _json_response(
+                            start_response,
+                            {"status": "failed", "message": "Job not found."},
+                            404,
+                        )
+                    from dataclasses import asdict as _job_asdict
+
+                    return _json_response(
+                        start_response,
+                        {"data": _job_asdict(job), "status": "success"},
+                    )
+                if len(parts) == 3 and parts[2] in ("download", "failed_geometries"):
+                    kind = "results" if parts[2] == "download" else "failed"
+                    data = jobs.read_result(parts[1], kind)
+                    if data is None:
+                        return _json_response(
+                            start_response,
+                            {"status": "failed", "message": "Job results not found."},
+                            404,
+                        )
+                    return _json_response(
+                        start_response, {"data": data, "status": "success"}
                     )
 
             # /geostore
@@ -492,6 +524,61 @@ def create_app(
                             202,
                         )
 
+                if tail == ["append"] and method == "POST":
+                    # reference: app/routes/datasets/versions.py:200-271 —
+                    # owner/ADMIN-gated append to an existing table version;
+                    # schema must match or be a subset of the original
+                    from gfw_data_api_spark.sources import pipeline as _pipeline
+
+                    if auth is not None:
+                        user = auth.get_user(environ)
+                        if user.role not in ("ADMIN", "MANAGER"):
+                            raise AuthError(
+                                "Unauthorized write access to a dataset/"
+                                "version/asset by a user who is not an admin "
+                                "or data manager",
+                                401,
+                            )
+                    source_uri = body.get("source_uri")
+                    if isinstance(source_uri, str):
+                        source_uri = [source_uri]
+                    if not isinstance(source_uri, list) or not source_uri:
+                        raise QueryGuardError(
+                            "source_uri must be a non-empty list.", 422
+                        )
+                    asset = registry.get_default_asset(dataset, version)
+                    req_driver = body.get("source_driver")
+                    orig_delim = asset.creation_options.get("delimiter", ",")
+                    if req_driver and req_driver not in ("csv", "tsv", "text"):
+                        raise QueryGuardError(
+                            "source_driver must match the original "
+                            "source_driver",
+                            400,
+                        )
+                    _pipeline.append_tabular(
+                        registry, spark, dataset, version, source_uri,
+                        delimiter=orig_delim,
+                    )
+                    # record the appended sources on the default asset,
+                    # like the reference's creation_options update
+                    asset.creation_options.setdefault("source_paths", [])
+                    asset.creation_options["source_paths"] += source_uri
+                    registry.save()
+                    entity = registry.get_version(dataset, version)
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": {
+                                "dataset": dataset,
+                                "version": entity.version,
+                                "is_latest": entity.is_latest,
+                                "is_mutable": entity.is_mutable,
+                                "status": entity.status,
+                            },
+                            "status": "success",
+                        },
+                    )
+
                 if tail == ["fields"]:
                     asset = registry.get_default_asset(dataset, version)
                     return _json_response(
@@ -500,34 +587,96 @@ def create_app(
 
                 if tail[:2] == ["query", "batch"] and method == "POST":
                     check_query_auth(environ, params, dataset, version)
-                    # R10: one SQL over N features, one Spark job
-                    # (queries.py:300-427 — synchronous here, no Step
-                    # Functions needed when the engine IS the cluster)
+                    # R10: 202 + job id, polled via /job/{id}
+                    # (queries.py:300-427 + app/routes/jobs/job.py:24).
+                    # Execution is ONE Spark job over the whole feature
+                    # list (raster/batch.py) in a daemon thread — the
+                    # Step Functions map collapses into one tile-pruned
+                    # plan, the scale-right shape.
                     from gfw_data_api_spark.raster.batch import batch_query
 
-                    feature_collection = body.get("feature_collection") or {}
-                    geometries = [
-                        feat.get("geometry") or {}
-                        for feat in feature_collection.get("features", [])
+                    asset = registry.get_default_asset(dataset, version)
+                    if asset.asset_type != "raster_tile_set":
+                        raise QueryGuardError(
+                            "Querying on lists is only available for raster "
+                            "tile sets.",
+                            400,
+                        )
+                    feature_collection = body.get("feature_collection")
+                    geostore_ids = body.get("geostore_ids")
+                    uri = body.get("uri")
+                    provided = [
+                        x for x in (feature_collection, geostore_ids, uri)
+                        if x is not None
                     ]
-                    result_df, failed = batch_query(
-                        spark, registry, dataset, version, body["sql"], geometries
-                    )
-                    per_feature: dict[int, list] = {}
-                    for row in result_df.collect():
-                        item = {k: _row_value(v) for k, v in row.asDict().items()}
-                        per_feature.setdefault(item.pop("feature_id"), []).append(item)
+                    if len(provided) != 1:
+                        raise QueryGuardError(
+                            "Must provide only one of valid feature "
+                            "collection, URI, or geostore_ids list.",
+                            400,
+                        )
+                    if feature_collection is not None:
+                        for feat in feature_collection.get("features", []):
+                            gtype = (feat.get("geometry") or {}).get("type")
+                            if gtype not in ("Polygon", "MultiPolygon"):
+                                raise QueryGuardError(
+                                    "Feature collection must only contain "
+                                    "Polygons or MultiPolygons for raster "
+                                    "analysis",
+                                    400,
+                                )
+                        geometries = [
+                            feat.get("geometry") or {}
+                            for feat in feature_collection.get("features", [])
+                        ]
+                    elif geostore_ids is not None:
+                        geometries = [
+                            geostore.geometry(spark, gid) for gid in geostore_ids
+                        ]
+                    else:
+                        with open(uri) as fh:
+                            fc = json.load(fh)
+                        geometries = [
+                            feat.get("geometry") or {}
+                            for feat in fc.get("features", [])
+                        ]
+                    sql = body["sql"]
+
+                    def run_batch(geoms=geometries, q=sql):
+                        result_df, failed = batch_query(
+                            spark, registry, dataset, version, q, geoms
+                        )
+                        per_feature: dict[int, list] = {}
+                        for row in result_df.collect():
+                            item = {
+                                k: _row_value(v) for k, v in row.asDict().items()
+                            }
+                            per_feature.setdefault(
+                                item.pop("feature_id"), []
+                            ).append(item)
+                        results = [
+                            {"feature_id": idx, "result": per_feature.get(idx, [])}
+                            for idx in range(len(geoms))
+                            if idx not in failed
+                        ]
+                        return results, failed
+
+                    job = jobs.submit(run_batch)
                     return _json_response(
                         start_response,
                         {
-                            "data": [
-                                {"feature_id": idx, "result": per_feature.get(idx, [])}
-                                for idx in range(len(geometries))
-                                if idx not in failed
-                            ],
-                            "failed_geometries": failed,
+                            "data": {
+                                "job_id": job.job_id,
+                                "job_link": job.job_link,
+                                "status": job.status,
+                                "message": job.message,
+                                "download_link": job.download_link,
+                                "failed_geometries_link": job.failed_geometries_link,
+                                "progress": job.progress,
+                            },
                             "status": "success",
                         },
+                        202,
                     )
 
                 if tail[:1] == ["query"]:

@@ -61,7 +61,9 @@ def app(spark, tmp_path_factory):
         registry, spark, "umd_tree_cover_loss", "v1", grid, "year",
         {"01N_010E": rng.choice([0, 2004, 2014], (50, 50)).astype(np.float64)},
     )
-    return create_app(spark, registry, Geostore(registry))
+    wsgi = create_app(spark, registry, Geostore(registry))
+    wsgi._registry = registry
+    return wsgi
 
 
 def test_count_query_json(app):
@@ -170,27 +172,107 @@ def test_datasets_listing(app):
     assert {"nasa_viirs_fire_alerts", "umd_tree_cover_loss"} <= names
 
 
-def test_batch_query_endpoint(app):
-    fc = {
-        "features": [
-            {"type": "Feature", "geometry": {
-                "type": "Polygon",
-                "coordinates": [[[10.1, 0.1], [10.4, 0.1], [10.4, 0.4], [10.1, 0.4], [10.1, 0.1]]]}},
-            {"type": "Feature", "geometry": {
-                "type": "Polygon",
-                "coordinates": [[[10.5, 0.5], [10.9, 0.5], [10.9, 0.9], [10.5, 0.9], [10.5, 0.5]]]}},
-            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [10.5, 0.5]}},
-        ]
-    }
+def _poll_job(app, job_link, deadline_s=120.0):
+    import time as _time
+
+    end = _time.monotonic() + deadline_s
+    while _time.monotonic() < end:
+        out = call(app, "GET", job_link)
+        assert out["status"] == 200
+        status = out["body"]["data"]["status"]
+        if status != "pending":
+            return out["body"]["data"]
+        _time.sleep(0.2)
+    raise AssertionError("job did not finish in time")
+
+
+POLY1 = {"type": "Polygon",
+         "coordinates": [[[10.1, 0.1], [10.4, 0.1], [10.4, 0.4], [10.1, 0.4], [10.1, 0.1]]]}
+POLY2 = {"type": "Polygon",
+         "coordinates": [[[10.5, 0.5], [10.9, 0.5], [10.9, 0.9], [10.5, 0.9], [10.5, 0.5]]]}
+
+
+def test_batch_query_job_contract(app):
+    """202 + job id, poll /job/{id}, fetch results (queries.py:300-427)."""
+    fc = {"features": [{"type": "Feature", "geometry": POLY1},
+                       {"type": "Feature", "geometry": POLY2}]}
     out = call(
         app, "POST", "/dataset/umd_tree_cover_loss/v1/query/batch",
         body={"sql": "SELECT count(*) AS n FROM data", "feature_collection": fc},
     )
-    assert out["status"] == 200
-    payload = out["body"]
-    assert payload["failed_geometries"] == [2]
-    assert len(payload["data"]) == 2
-    assert all(f["result"][0]["n"] > 0 for f in payload["data"])
+    assert out["status"] == 202
+    data = out["body"]["data"]
+    assert data["status"] == "pending" and data["progress"] == "0%"
+    job = _poll_job(app, data["job_link"])
+    assert job["status"] == "success"
+    assert job["progress"] == "100%"
+    assert job["failed_geometries_link"] is None
+    results = call(app, "GET", job["download_link"])
+    assert results["status"] == 200
+    payload = results["body"]["data"]
+    assert len(payload) == 2
+    assert all(f["result"][0]["n"] > 0 for f in payload)
+
+
+def test_batch_query_rejects_points_inline(app):
+    fc = {"features": [{"type": "Feature", "geometry": POLY1},
+                       {"type": "Feature",
+                        "geometry": {"type": "Point", "coordinates": [10.5, 0.5]}}]}
+    out = call(
+        app, "POST", "/dataset/umd_tree_cover_loss/v1/query/batch",
+        body={"sql": "SELECT count(*) AS n FROM data", "feature_collection": fc},
+    )
+    assert out["status"] == 400
+    assert "Polygons or MultiPolygons" in out["body"]["message"]
+
+
+def test_batch_query_uri_with_bad_geometry_partial(app, tmp_path):
+    """A bad geometry arriving via uri is reported in failed_geometries."""
+    fc = {"features": [
+        {"type": "Feature", "geometry": POLY1},
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 1.0]}},
+    ]}
+    uri = str(tmp_path / "features.geojson")
+    with open(uri, "w") as fh:
+        json.dump(fc, fh)
+    out = call(
+        app, "POST", "/dataset/umd_tree_cover_loss/v1/query/batch",
+        body={"sql": "SELECT count(*) AS n FROM data", "uri": uri},
+    )
+    assert out["status"] == 202
+    job = _poll_job(app, out["body"]["data"]["job_link"])
+    assert job["status"] == "partial_success"
+    failed = call(app, "GET", job["failed_geometries_link"])
+    assert failed["body"]["data"] == [1]
+
+
+def test_batch_query_requires_one_source(app):
+    out = call(
+        app, "POST", "/dataset/umd_tree_cover_loss/v1/query/batch",
+        body={"sql": "SELECT count(*) AS n FROM data"},
+    )
+    assert out["status"] == 400
+    both = call(
+        app, "POST", "/dataset/umd_tree_cover_loss/v1/query/batch",
+        body={"sql": "SELECT 1 AS x FROM data",
+              "feature_collection": {"features": []}, "geostore_ids": ["a"]},
+    )
+    assert both["status"] == 400
+
+
+def test_batch_query_on_table_dataset_400(app):
+    out = call(
+        app, "POST", "/dataset/nasa_viirs_fire_alerts/v2024/query/batch",
+        body={"sql": "SELECT count(*) AS n FROM data",
+              "feature_collection": {"features": []}},
+    )
+    assert out["status"] == 400
+    assert "raster tile sets" in out["body"]["message"]
+
+
+def test_unknown_job_404(app):
+    out = call(app, "GET", "/job/no-such-job")
+    assert out["status"] == 404
 
 
 def test_put_creates_dataset(app):
@@ -326,3 +408,54 @@ def test_assets_create_bad_zoom_422(app):
         )
         assert out["status"] == 422, (opts, out["body"])
         assert out["body"]["status"] == "failed"
+
+
+def test_append_route(app, spark, tmp_path_factory):
+    """POST /dataset/{d}/{v}/append — reference versions.py:200-271."""
+    from gfw_data_api_spark.sources.pipeline import ingest_tabular as _ingest
+
+    tmp = tmp_path_factory.mktemp("append_route")
+    registry = app._registry
+    base = str(tmp / "base.csv")
+    extra = str(tmp / "extra.csv")
+    import csv as csvmod2
+
+    with open(base, "w", newline="") as fh:
+        w = csvmod2.writer(fh)
+        w.writerow(["alert_id", "iso"])
+        for i in range(5):
+            w.writerow([i, "MOZ"])
+    with open(extra, "w", newline="") as fh:
+        w = csvmod2.writer(fh)
+        w.writerow(["alert_id", "iso"])
+        for i in range(3, 8):  # overlaps 3, 4 — idempotent append dedups
+            w.writerow([i, "BOL"])
+    _ingest(registry, spark, "appendable", "v1", base, unique_on=["alert_id"],
+            is_mutable=True)
+    _ingest(registry, spark, "frozen", "v1", base, is_mutable=False)
+
+    out = call(app, "POST", "/dataset/appendable/v1/append",
+               body={"source_uri": [extra]})
+    assert out["status"] == 200, out["body"]
+    assert out["body"]["data"]["status"] == "saved"
+    rows = call(app, "GET", "/dataset/appendable/v1/query/json",
+                query="sql=SELECT%20count(*)%20AS%20c%20FROM%20data")
+    assert rows["body"]["data"] == [{"c": 8}]  # 5 + 3 new, 2 dupes skipped
+
+    # appending the same file again adds nothing (idempotent)
+    call(app, "POST", "/dataset/appendable/v1/append", body={"source_uri": [extra]})
+    rows = call(app, "GET", "/dataset/appendable/v1/query/json",
+                query="sql=SELECT%20count(*)%20AS%20c%20FROM%20data")
+    assert rows["body"]["data"] == [{"c": 8}]
+
+    immutable = call(app, "POST", "/dataset/frozen/v1/append",
+                     body={"source_uri": [extra]})
+    assert immutable["status"] == 400
+    assert "not mutable" in immutable["body"]["message"]
+
+    missing = call(app, "POST", "/dataset/appendable/v1/append", body={})
+    assert missing["status"] == 422
+
+    bad_driver = call(app, "POST", "/dataset/appendable/v1/append",
+                      body={"source_uri": [extra], "source_driver": "shp"})
+    assert bad_driver["status"] == 400
