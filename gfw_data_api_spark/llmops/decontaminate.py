@@ -33,11 +33,30 @@ def contamination_matches(
     id_col: str = "doc_id",
     shingle_n: int = 5,
     min_shared: int = 2,
+    max_bench_frequency: int | None = 1000,
 ) -> DataFrame:
     """(corpus_id, bench_id, n_shared) for pairs sharing ≥ ``min_shared``
-    distinct ``shingle_n``-gram shingles."""
+    distinct ``shingle_n``-gram shingles.
+
+    ``max_bench_frequency`` drops shingles appearing in more than that
+    many BENCHMARK documents before the join: a boilerplate phrase
+    shared by the whole benchmark ("answer the following question")
+    would otherwise pair every matching corpus doc with every benchmark
+    doc — corpus_df × bench_df join rows per shingle. Benchmark-side df
+    is the right cap axis because the benchmark is the small side and a
+    shingle common across it is instruction boilerplate, not leaked
+    content. ``None`` disables."""
     c = _shingle_index(corpus, text_col, id_col, shingle_n)
     b = _shingle_index(benchmark, text_col, id_col, shingle_n)
+    if max_bench_frequency is not None:
+        hot = (
+            b.groupBy("_h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_bench_frequency)
+            .select("_h")
+        )
+        b = b.join(F.broadcast(hot), "_h", "left_anti")
+        c = c.join(F.broadcast(hot), "_h", "left_anti")
     return (
         c.alias("c")
         .join(b.alias("b"), F.col("c._h") == F.col("b._h"))
@@ -56,12 +75,16 @@ def decontaminate(
     id_col: str = "doc_id",
     shingle_n: int = 5,
     min_shared: int = 2,
+    max_bench_frequency: int | None = 1000,
 ) -> DataFrame:
     """Corpus minus contaminated documents (left_anti on the flagged set;
     the flagged id list is benchmark-overlap-sized, so the anti-join
     broadcasts)."""
     flagged = (
-        contamination_matches(corpus, benchmark, text_col, id_col, shingle_n, min_shared)
+        contamination_matches(
+            corpus, benchmark, text_col, id_col, shingle_n, min_shared,
+            max_bench_frequency,
+        )
         .select(F.col("corpus_id").alias(id_col))
         .distinct()
     )

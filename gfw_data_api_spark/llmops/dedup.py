@@ -137,13 +137,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_frequency: int | None = 5000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
     explode(shingles) → self-join per shingle → |A∩B| per pair →
-    |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle hash (high
-    cardinality, no skew); work is proportional to true overlap, the
-    standard exact alternative to MinHash at moderate shingle counts.
+    |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle
+    hash (high cardinality, no skew); work is proportional to true
+    overlap, the standard exact alternative to MinHash at moderate
+    shingle counts.
+
+    ``max_doc_frequency`` bounds the self-join: a shingle appearing in n
+    documents contributes n(n−1)/2 join rows, so one common phrase in a
+    corpus-scale dataset goes quadratic. Shingles with document
+    frequency above the cap are dropped from BOTH the intersection and
+    the union (they rank documents the way stopwords rank text — not at
+    all), making the result the exact Jaccard over the ≤cap-df shingle
+    vocabulary. ``None`` disables the cap (true exact Jaccard; only safe
+    when no shingle is hot).
     """
     sh = (
         df.select(
@@ -151,8 +162,19 @@ def ngram_jaccard_pairs(
             F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
         )
         .withColumn("_s", F.xxhash64("_s"))
-        .persist()  # feeds sizes + both join sides: 3 reuses of one explode
     )
+    if max_doc_frequency is not None:
+        hot = (
+            sh.groupBy("_s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_frequency)
+            .select("_s")
+        )
+        # hot-shingle list is small by construction (few shingles exceed
+        # a corpus-scale df cap) → broadcast anti-join, no extra shuffle
+        # of the full index
+        sh = sh.join(F.broadcast(hot), "_s", "left_anti")
+    sh = sh.persist()  # feeds sizes + both join sides: 3 reuses of one explode
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     inter = (
         sh.alias("a")

@@ -298,3 +298,71 @@ def test_decontamination_flags_planted_overlap(spark):
     assert got == {(1, 100)}  # doc 3 shares <2 five-grams, doc 2 none
     clean = decontaminate(corpus, bench, shingle_n=5, min_shared=2)
     assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark):
+    """A corpus-wide common phrase must not go quadratic: with the df cap,
+    hot shingles are dropped from intersection AND union, so unrelated
+    docs sharing only the hot phrase produce ZERO pairs."""
+    boiler = "click here to subscribe to our newsletter today please"
+    rows = [(i, f"unique document body number {i} alpha{i} beta{i} gamma{i} " + boiler)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, shingle_n=3, threshold=0.05, max_doc_frequency=100
+    )
+    assert capped.count() == 0  # only the planted phrase is shared
+
+    # candidate volume is bounded: the intersection join on the capped
+    # index can emit at most sum over kept shingles of df^2 pairs; with
+    # the hot phrase dropped, no shared shingles remain at all.  Without
+    # the cap the same corpus yields ~1000^2/2 * 8 shingle join rows —
+    # assert the capped plan prunes them by checking a sampled uncapped
+    # run on a subset still finds the phrase pairs (sanity: the cap, not
+    # the threshold, is what removed them).
+    subset = df.limit(40)
+    uncapped = dedup.ngram_jaccard_pairs(
+        subset, shingle_n=3, threshold=0.05, max_doc_frequency=None
+    )
+    assert uncapped.count() == 40 * 39 / 2  # every pair shares the phrase
+
+
+def test_ngram_jaccard_cap_above_df_is_exact(docs):
+    """Cap above every shingle's df → identical to the uncapped result."""
+    capped = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.1,
+                                       max_doc_frequency=5000)
+    uncapped = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.1,
+                                         max_doc_frequency=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_contamination_bench_df_cap(spark):
+    """Benchmark boilerplate shared by every bench doc must not pair the
+    whole corpus with the whole benchmark."""
+    from gfw_data_api_spark.llmops.decontaminate import contamination_matches
+
+    boiler = "answer the following question carefully and show your work"
+    bench = spark.createDataFrame(
+        [(i, boiler + f" real bench content item {i} question{i} topic{i}")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, f"corpus doc {i} with text " + (boiler if i == 0 else f"body{i} filler{i} words{i}"))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    # leaked doc: corpus doc 300 contains bench item 7 verbatim
+    leaked = spark.createDataFrame(
+        [(300, boiler + " real bench content item 7 question7 topic7")],
+        "doc_id long, text string",
+    )
+    corpus = corpus.unionByName(leaked)
+
+    hits = contamination_matches(
+        corpus, bench, shingle_n=3, min_shared=2, max_bench_frequency=10
+    ).collect()
+    # boilerplate-only matches are gone; the true leak survives via its
+    # non-boilerplate shingles
+    assert {(r["corpus_id"], r["bench_id"]) for r in hits} == {(300, 7)}
