@@ -1423,6 +1423,52 @@ _SPECS.append(
 )
 
 
+def _a02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.percentiles import grouped_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
+    approx = grouped_percentiles(
+        li,
+        ["l_returnflag"],
+        {
+            "p50_qty": ("l_quantity", 0.5),
+            "p90_price": ("l_extendedprice", 0.9),
+        },
+    )
+    exact = grouped_percentiles(
+        li,
+        ["l_returnflag"],
+        {
+            "x50_qty": ("l_quantity", 0.5),
+            "x90_price": ("l_extendedprice", 0.9),
+        },
+        exact=True,
+    )
+    return (
+        approx.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("p50_qty").cast("double"),
+            F.col("p90_price").cast("double"),
+            F.round("x50_qty", 6).cast("double").alias("x50_qty"),
+            F.round("x90_price", 6).cast("double").alias("x90_price"),
+        )
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="a02_approx_percentile",
+        spark_fn=_a02,
+        oracle=None,  # GK-sketch values are engine-specific; the
+        # rank-error bound vs the exact column is asserted in tests
+        survey_ref="beyond-reference (SURVEY §2.7): approx_percentile "
+        "sketch default beside the exact opt-in (operators/percentiles.py "
+        "— the 100 TB path for grouped quantiles)",
+    )
+)
+
+
 def _ca01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.streaming.continuous_agg import ContinuousAggregate
 
