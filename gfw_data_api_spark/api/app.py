@@ -109,8 +109,12 @@ def create_app(
         if "geometry" in body:
             return body["geometry"]
         geostore_id = body.get("geostore_id") or (params.get("geostore_id") or [None])[0]
+        origin = (
+            body.get("geostore_origin")
+            or (params.get("geostore_origin") or ["gfw"])[0]
+        )
         if geostore_id:
-            return geostore.geometry(spark, geostore_id)
+            return geostore.geometry(spark, geostore_id, origin)
         return None
 
     def run_query(dataset: str, version: str, sql: str, geometry: dict | None):

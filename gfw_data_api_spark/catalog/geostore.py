@@ -16,7 +16,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,9 +32,56 @@ def _hash_id(geojson: str) -> str:
     return f"{digest[:8]}-{digest[8:12]}-{digest[12:16]}-{digest[16:20]}-{digest[20:]}"
 
 
+# An external resolver takes a geostore id and returns the geostore
+# record ({gfw_geostore_id, gfw_geojson, gfw_area__ha, gfw_bbox}) or
+# None when that source doesn't know the id; any other exception is a
+# source error (reported as 500, not 404 — utils/geostore.py:56-86).
+ExternalResolver = Callable[[str], dict[str, Any] | None]
+
+
+def make_rw_resolver(base_url: str, timeout_s: float = 10.0) -> ExternalResolver:
+    """HTTP resolver against a ResourceWatch-style geostore service
+    (reference app/utils/rw_api.py:get_geostore). Real dispatch, stdlib
+    transport; inject a fake callable in tests."""
+
+    def resolve(geostore_id: str) -> dict[str, Any] | None:
+        import urllib.error
+        import urllib.request
+
+        url = f"{base_url.rstrip('/')}/v2/geostore/{geostore_id}"
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                payload = json.load(resp)
+        except urllib.error.HTTPError as exc:
+            if exc.code == 404:
+                return None
+            raise
+        attrs = payload["data"]["attributes"]
+        geojson = json.dumps(
+            attrs["geojson"]["features"][0]["geometry"],
+            separators=(", ", ": "),
+        )
+        return {
+            "gfw_geostore_id": geostore_id,
+            "gfw_geojson": geojson,
+            "gfw_area__ha": attrs.get("areaHa", 0.0),
+            "gfw_bbox": attrs.get("bbox"),
+        }
+
+    return resolve
+
+
 class Geostore:
-    def __init__(self, registry: Registry):
+    def __init__(
+        self,
+        registry: Registry,
+        external_resolvers: dict[str, ExternalResolver] | None = None,
+    ):
+        """``external_resolvers`` maps origin name (e.g. ``"rw"``) to a
+        resolver consulted when an id is not in the local registry —
+        the reference's multi-origin fallback (app/utils/geostore.py)."""
         self.registry = registry
+        self.external_resolvers = dict(external_resolvers or {})
         self.path = os.path.join(registry.root, "geostore.json")
         self._store: dict[str, dict[str, Any]] = {}
         if os.path.exists(self.path):
@@ -64,9 +111,9 @@ class Geostore:
             self._save()
         return self._store[geostore_id]
 
-    def get(self, spark: SparkSession, geostore_id: str) -> dict[str, Any]:
-        """Lookup by id: the standalone store first, then every registered
-        vector version (the E11 inheritance union)."""
+    def _local_lookup(
+        self, spark: SparkSession, geostore_id: str
+    ) -> dict[str, Any] | None:
         if geostore_id in self._store:
             return self._store[geostore_id]
         union = self.inherited_view(spark)
@@ -75,6 +122,36 @@ class Geostore:
             if rows:
                 row = rows[0]
                 return {col: row[col] for col in GEOSTORE_COLUMNS}
+        return None
+
+    def get(
+        self, spark: SparkSession, geostore_id: str, origin: str = "gfw"
+    ) -> dict[str, Any]:
+        """Lookup by id, client-chosen origin first, then every other
+        source (reference app/utils/geostore.py:42-86): the standalone
+        store + vector-version inheritance union is the "gfw" source;
+        registered external resolvers are the rest. 404 only after ALL
+        sources miss; a source ERROR (not a miss) surfaces as 500."""
+        sources: dict[str, Callable[[], dict[str, Any] | None]] = {
+            "gfw": lambda: self._local_lookup(spark, geostore_id),
+        }
+        for name, resolver in self.external_resolvers.items():
+            sources[name] = lambda r=resolver: r(geostore_id)
+        ordered = [origin] if origin in sources else []
+        ordered += [name for name in sources if name not in ordered]
+        errors: list[str] = []
+        for name in ordered:
+            try:
+                found = sources[name]()
+            except Exception as exc:  # noqa: BLE001 — source error ≠ miss
+                errors.append(f"{name}: {type(exc).__name__}: {exc}")
+                continue
+            if found is not None:
+                return found
+        if errors:
+            raise RegistryError(
+                "One or more geostore sources failed: " + "; ".join(errors), 500
+            )
         raise RegistryError(f"Geostore {geostore_id} not found.", 404)
 
     def inherited_view(self, spark: SparkSession) -> DataFrame | None:
@@ -101,5 +178,7 @@ class Geostore:
             out = out.unionByName(part)
         return out
 
-    def geometry(self, spark: SparkSession, geostore_id: str) -> dict[str, Any]:
-        return json.loads(self.get(spark, geostore_id)["gfw_geojson"])
+    def geometry(
+        self, spark: SparkSession, geostore_id: str, origin: str = "gfw"
+    ) -> dict[str, Any]:
+        return json.loads(self.get(spark, geostore_id, origin)["gfw_geojson"])

@@ -148,6 +148,13 @@ def ingest_vector(
             from gfw_data_api_spark.sources.vector_files import read_esrijson
 
             df = read_esrijson(spark, source_path)
+        elif source_driver == "FileGDB":
+            # accepted driver (reference creation_options.py:15-23);
+            # validates the .gdb then raises a clear conversion hint —
+            # the proprietary row codec is absent in this environment
+            from gfw_data_api_spark.sources.vector_files import read_file_gdb
+
+            df = read_file_gdb(spark, source_path)
         else:
             raise ValueError(f"unsupported vector driver: {source_driver}")
         df = vector.add_gfw_fields(df)

@@ -434,3 +434,58 @@ def write_geopackage(df: DataFrame, path: str, layer: str, geom_col: str = "geom
         con.commit()
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# ESRI FileGDB (reference driver enum creation_options.py:15-23)
+# ---------------------------------------------------------------------------
+
+
+class FileGDBUnsupportedError(NotImplementedError):
+    """Raised for a STRUCTURALLY VALID .gdb whose row data this
+    environment cannot decode."""
+
+
+def inspect_file_gdb(path: str) -> dict:
+    """Validate + describe an ESRI FileGDB directory.
+
+    A FileGDB is a directory of ``aXXXXXXXX.gdbtable`` files;
+    ``a00000001.gdbtable`` is the GDB_SystemCatalog that names the rest
+    (OpenFileGDB reverse-engineered layout). Returns
+    ``{"path", "n_tables", "table_files"}`` or raises ``ValueError``
+    when ``path`` is not a FileGDB at all.
+    """
+    import os as _os
+
+    if not _os.path.isdir(path):
+        raise ValueError(f"{path!r} is not a FileGDB: not a directory")
+    tables = sorted(
+        f for f in _os.listdir(path)
+        if f.startswith("a") and f.endswith(".gdbtable")
+    )
+    if "a00000001.gdbtable" not in tables:
+        raise ValueError(
+            f"{path!r} is not a FileGDB: missing the GDB_SystemCatalog "
+            "(a00000001.gdbtable)"
+        )
+    return {"path": path, "n_tables": len(tables), "table_files": tables}
+
+
+def read_file_gdb(spark, path: str, layer: str | None = None):
+    """E6 FileGDB driver: accepted, validated, and clearly rejected.
+
+    The .gdbtable row format is ESRI-proprietary (readable only through
+    reverse-engineered codecs like GDAL's OpenFileGDB, unavailable
+    here), so after validating the FileGDB structure this raises
+    ``FileGDBUnsupportedError`` telling the user exactly what to do —
+    matching the repo's policy for missing codecs (multimodal decode):
+    real plumbing, explicit stub at the codec boundary.
+    """
+    info = inspect_file_gdb(path)
+    raise FileGDBUnsupportedError(
+        f"{path!r} is a valid ESRI FileGDB ({info['n_tables']} internal "
+        "tables), but no OpenFileGDB codec is available in this "
+        "environment. Convert the source with "
+        "`ogr2ogr -f GeoJSONSeq out.geojsonl <src.gdb> [layer]` (or GPKG) "
+        "and ingest with source_driver='GeoJSONSeq' or 'GPKG'."
+    )

@@ -281,3 +281,39 @@ def test_create_cog_asset(spark, tmp_path):
     assert len(tifs) == 1
     levels = read_cog(os.path.join(asset.asset_uri, tifs[0]))
     assert (levels[0]["array"] == 3.0).all()
+
+
+def test_file_gdb_accepted_and_clearly_rejected(spark, tmp_path):
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.sources.pipeline import ingest_vector
+    from gfw_data_api_spark.sources.vector_files import (
+        FileGDBUnsupportedError,
+        inspect_file_gdb,
+    )
+
+    gdb = tmp_path / "sample.gdb"
+    gdb.mkdir()
+    for idx in (1, 2, 3):
+        (gdb / f"a{idx:08d}.gdbtable").write_bytes(b"\x00" * 16)
+
+    info = inspect_file_gdb(str(gdb))
+    assert info["n_tables"] == 3
+
+    # not-a-gdb paths get a different, equally clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a FileGDB"):
+        inspect_file_gdb(str(tmp_path / "missing.gdb"))
+    empty = tmp_path / "empty.gdb"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="GDB_SystemCatalog"):
+        inspect_file_gdb(str(empty))
+
+    # the ingest pipeline accepts the driver name and surfaces the
+    # conversion hint (ogr2ogr -> GeoJSONSeq/GPKG), not "unsupported"
+    registry = Registry(str(tmp_path / "cat"))
+    with _pytest.raises(FileGDBUnsupportedError, match="ogr2ogr"):
+        ingest_vector(registry, spark, "gdb_ds", "v1", str(gdb),
+                      source_driver="FileGDB")
+    # failure recorded on the version like any ingest error
+    assert registry.get_version("gdb_ds", "v1").status == "failed"
