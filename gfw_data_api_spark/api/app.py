@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 
 from gfw_data_api_spark.api.auth import AuthConfig, AuthError
 from gfw_data_api_spark.catalog.geostore import Geostore
+from gfw_data_api_spark.catalog.metadata import MetadataStore
 from gfw_data_api_spark.catalog.registry import Registry, RegistryError
 from gfw_data_api_spark.operators import downloads, features
 from gfw_data_api_spark.operators.jobs import JobRegistry
@@ -97,6 +98,7 @@ def create_app(
     ADMIN of gfw/gfw-pro, and the /auth key-management routes."""
     geostore = geostore or Geostore(registry)
     jobs = JobRegistry(os.path.join(registry.warehouse, "_jobs"))
+    metadata_store = MetadataStore(os.path.join(registry.root, "metadata.json"))
 
     def check_query_auth(environ, params, dataset: str, version: str) -> None:
         if auth is None:
@@ -131,7 +133,7 @@ def create_app(
         path = environ.get("PATH_INFO", "/").rstrip("/")
         params = parse_qs(environ.get("QUERY_STRING", ""))
         body: dict = {}
-        if method in ("POST", "PUT"):
+        if method in ("POST", "PUT", "PATCH"):
             try:
                 length = int(environ.get("CONTENT_LENGTH") or 0)
                 raw = environ["wsgi.input"].read(length) if length else b""
@@ -370,11 +372,36 @@ def create_app(
             if parts and parts[0] == "dataset":
                 if len(parts) == 2:
                     if method == "PUT":
-                        # create-or-echo (reference PUT /dataset/{d})
+                        # create-or-echo (reference PUT /dataset/{d});
+                        # metadata may ride along like DatasetCreateIn
                         entity = registry.ensure_dataset(parts[1])
                         if "is_downloadable" in body:
                             entity.is_downloadable = bool(body["is_downloadable"])
                             registry.save()
+                        if body.get("metadata"):
+                            metadata_store.update(
+                                "dataset", parts[1], body["metadata"]
+                            )
+                    elif method == "PATCH":
+                        # reference PATCH /dataset/{d}: partial metadata /
+                        # accessibility update, owner/manager gated
+                        if auth is not None:
+                            user = auth.get_user(environ)
+                            if user.role not in ("ADMIN", "MANAGER"):
+                                raise AuthError(
+                                    "Unauthorized write access to a dataset/"
+                                    "version/asset by a user who is not an "
+                                    "admin or data manager",
+                                    401,
+                                )
+                        entity = registry.get_dataset(parts[1])
+                        if "is_downloadable" in body:
+                            entity.is_downloadable = bool(body["is_downloadable"])
+                            registry.save()
+                        if body.get("metadata"):
+                            metadata_store.update(
+                                "dataset", parts[1], body["metadata"]
+                            )
                     else:
                         entity = registry.get_dataset(parts[1])
                     versions = [
@@ -387,6 +414,9 @@ def create_app(
                                 "dataset": entity.dataset,
                                 "is_downloadable": entity.is_downloadable,
                                 "versions": versions,
+                                "metadata": metadata_store.get_or_empty(
+                                    "dataset", parts[1]
+                                ),
                             },
                             "status": "success",
                         },
@@ -408,8 +438,22 @@ def create_app(
                         headers=[("Location", location)],
                     )
 
-                if len(parts) == 3 and method == "GET":
+                if len(parts) == 3 and method in ("GET", "PATCH"):
                     entity = registry.get_version(dataset, version)
+                    if method == "PATCH":
+                        if auth is not None:
+                            user = auth.get_user(environ)
+                            if user.role not in ("ADMIN", "MANAGER"):
+                                raise AuthError(
+                                    "Unauthorized write access to a dataset/"
+                                    "version/asset by a user who is not an "
+                                    "admin or data manager",
+                                    401,
+                                )
+                        if body.get("metadata"):
+                            metadata_store.update(
+                                "version", f"{dataset}/{version}", body["metadata"]
+                            )
                     return _json_response(
                         start_response,
                         {
@@ -419,6 +463,11 @@ def create_app(
                                 "is_latest": entity.is_latest,
                                 "is_mutable": entity.is_mutable,
                                 "status": entity.status,
+                                # dataset base + version non-null overrides
+                                # (crud/metadata.py:334-352 inheritance)
+                                "metadata": metadata_store.version_view(
+                                    dataset, version
+                                ),
                             },
                             "status": "success",
                         },
@@ -581,6 +630,39 @@ def create_app(
                             },
                             "status": "success",
                         },
+                    )
+
+                if (
+                    len(tail) == 3
+                    and tail[0] == "assets"
+                    and tail[2] == "metadata"
+                ):
+                    # reference app/routes/assets metadata routes, keyed
+                    # by asset id within the version
+                    asset_id = tail[1]
+                    if not any(
+                        a.asset_id == asset_id
+                        for a in registry.assets_for(dataset, version)
+                    ):
+                        return _json_response(
+                            start_response,
+                            {"status": "failed", "message": "Asset not found."},
+                            404,
+                        )
+                    if method == "PATCH":
+                        doc = metadata_store.update(
+                            "asset", asset_id, body.get("metadata") or body
+                        )
+                    elif method == "GET":
+                        doc = metadata_store.get("asset", asset_id)
+                    else:
+                        return _json_response(
+                            start_response,
+                            {"status": "failed", "message": "Method not allowed."},
+                            405,
+                        )
+                    return _json_response(
+                        start_response, {"data": doc, "status": "success"}
                     )
 
                 if tail == ["fields"]:

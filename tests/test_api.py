@@ -459,3 +459,47 @@ def test_append_route(app, spark, tmp_path_factory):
     bad_driver = call(app, "POST", "/dataset/appendable/v1/append",
                       body={"source_uri": [extra], "source_driver": "shp"})
     assert bad_driver["status"] == 400
+
+
+def test_metadata_crud(app):
+    """Dataset/version/asset metadata documents (crud/metadata.py)."""
+    md = {"title": "Fire alerts", "citation": "NASA VIIRS", "tags": ["fire"]}
+    out = call(app, "PATCH", "/dataset/nasa_viirs_fire_alerts", body={"metadata": md})
+    assert out["status"] == 200
+    assert out["body"]["data"]["metadata"]["title"] == "Fire alerts"
+
+    # partial update leaves other fields alone
+    call(app, "PATCH", "/dataset/nasa_viirs_fire_alerts",
+         body={"metadata": {"subtitle": "daily"}})
+    got = call(app, "GET", "/dataset/nasa_viirs_fire_alerts")
+    assert got["body"]["data"]["metadata"]["title"] == "Fire alerts"
+    assert got["body"]["data"]["metadata"]["subtitle"] == "daily"
+
+    # unknown fields are rejected with the 422 envelope
+    bad = call(app, "PATCH", "/dataset/nasa_viirs_fire_alerts",
+               body={"metadata": {"not_a_field": 1}})
+    assert bad["status"] == 422
+
+    # version metadata: dataset base + non-null version overrides
+    call(app, "PATCH", "/dataset/nasa_viirs_fire_alerts/v2024",
+         body={"metadata": {"title": "Fire alerts v2024", "last_update": "2024-06-01"}})
+    ver = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024")
+    vmd = ver["body"]["data"]["metadata"]
+    assert vmd["title"] == "Fire alerts v2024"  # override
+    assert vmd["citation"] == "NASA VIIRS"      # inherited
+    assert vmd["last_update"] == "2024-06-01"
+
+    # asset metadata keyed by asset id
+    assets = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/assets")
+    asset_id = assets["body"]["data"][0]["asset_id"]
+    base = f"/dataset/nasa_viirs_fire_alerts/v2024/assets/{asset_id}/metadata"
+    assert call(app, "GET", base)["status"] == 404  # none yet
+    set_ = call(app, "PATCH", base, body={"metadata": {"min_zoom": 0, "max_zoom": 9}})
+    assert set_["status"] == 200
+    got = call(app, "GET", base)
+    assert got["body"]["data"] == {"min_zoom": 0, "max_zoom": 9}
+    missing = call(
+        app, "GET",
+        "/dataset/nasa_viirs_fire_alerts/v2024/assets/not-an-asset/metadata",
+    )
+    assert missing["status"] == 404
