@@ -21,6 +21,7 @@ def test_queries_and_oracles_aligned(spark):
     rows_only = set(queries) - set(oracles)
     assert rows_only == {
         "a01_approx_count_distinct",
+        "a02_approx_percentile",
         "d04_minhash_lsh_neardups",
         "d05_simhash_neardups",
         "d07_embedding_neardups",
