@@ -940,36 +940,14 @@ _SPECS.append(
 
 def _s04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs with label blocking (the verification
-    stage LSH/IVF candidates feed into; blocked so the pair space stays
-    linear-ish, matching production near-dup pipelines)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cast = F.col("embedding").cast("array<double>")
-    from gfw_data_api_spark.llmops.similarity import norm_col
+    stage LSH/IVF candidates feed into). The pair space is quadratic in
+    the BLOCK — the operator enforces a max_block_size bound so an
+    unbounded block at corpus scale fails fast instead of launching a
+    5·10¹¹-pair join (see llmops/similarity.blocked_cosine_pairs)."""
+    from gfw_data_api_spark.llmops.similarity import blocked_cosine_pairs
 
-    base = emb.select(
-        F.col("vec_id").alias("_id"), F.col("label").alias("_label"),
-        cast.alias("_e"), norm_col(F.col("embedding")).alias("_n"),
-    )
-    pairs = (
-        base.alias("a")
-        .join(
-            base.alias("b"),
-            (F.col("a._label") == F.col("b._label")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            (
-                F.aggregate(
-                    F.zip_with(F.col("a._e"), F.col("b._e"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("a._n") * F.col("b._n"))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(emb, threshold=0.35)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -157,3 +157,67 @@ def embedding_near_dups(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    emb_col: str = "embedding",
+    threshold: float = 0.35,
+    max_block_size: int | None = 100_000,
+) -> DataFrame:
+    """Exact cosine pairs within blocks — the verification stage that
+    LSH/IVF candidate generation feeds (gate twin: inventory s04).
+
+    The pair space is quadratic IN THE BLOCK: a block of n vectors emits
+    n(n−1)/2 candidate rows, so a 10⁶-vector block is 5·10¹¹ pairs —
+    blocking only helps when blocks are bounded. ``max_block_size``
+    enforces that bound up front (one cheap groupBy) and raises with the
+    offending block names rather than launching an un-finishable join;
+    production paths over unbounded blocks should generate candidates
+    with LSH (hyperplane_lsh_buckets) or IVF first and use this only on
+    the candidate pairs. ``None`` skips the precheck.
+    """
+    if max_block_size is not None:
+        oversized = (
+            df.groupBy(block_col)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_block_size)
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            names = {r[block_col]: r["_n"] for r in oversized}
+            raise ValueError(
+                f"blocks exceed max_block_size={max_block_size}: {names} — "
+                "use LSH/IVF candidate generation for unbounded blocks"
+            )
+    cast = F.col(emb_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_block"),
+        cast.alias("_e"),
+        norm_col(F.col(emb_col)).alias("_n"),
+    )
+    return (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("a._e"), F.col("b._e"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("a._n") * F.col("b._n"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -366,3 +366,16 @@ def test_contamination_bench_df_cap(spark):
     # boilerplate-only matches are gone; the true leak survives via its
     # non-boilerplate shingles
     assert {(r["corpus_id"], r["bench_id"]) for r in hits} == {(300, 7)}
+
+
+def test_blocked_cosine_pairs_block_guard(spark):
+    from gfw_data_api_spark.llmops.similarity import blocked_cosine_pairs
+
+    rows = [(i, "big", [1.0, 0.0]) for i in range(50)] + [(100, "ok", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    with pytest.raises(ValueError, match="max_block_size"):
+        blocked_cosine_pairs(df, max_block_size=10).count()
+    # within bounds: identical vectors in a block pair at cosine 1
+    out = blocked_cosine_pairs(df, max_block_size=100).collect()
+    assert len(out) == 50 * 49 / 2
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)
