@@ -33,6 +33,7 @@ from typing import Any, Callable
 from urllib.parse import parse_qs
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from gfw_data_api_spark.api.auth import AuthConfig, AuthError
 from gfw_data_api_spark.catalog.geostore import Geostore
@@ -106,6 +107,29 @@ def create_app(
         if auth.require_api_key:
             auth.check_api_key(environ, params)
         auth.check_query_authorized(environ, dataset, version)
+
+    def check_manager(environ) -> None:
+        """Write-route gate: dataset owner semantics collapse to
+        MANAGER/ADMIN here (reference get_owner/get_manager)."""
+        if auth is None:
+            return
+        user = auth.get_user(environ)
+        if user.role not in ("ADMIN", "MANAGER"):
+            raise AuthError(
+                "Unauthorized write access to a dataset/version/asset by a "
+                "user who is not an admin or data manager",
+                401,
+            )
+
+    def asset_stats(asset) -> dict:
+        """Version/asset stats: raster → one-pass pixel stats (P7);
+        tabular/vector → row + field counts."""
+        df = spark.read.parquet(asset.asset_uri)
+        if asset.asset_type == "raster_tile_set":
+            from gfw_data_api_spark.raster.transform import raster_stats
+
+            return raster_stats(df)
+        return {"row_count": df.count(), "n_fields": len(asset.fields)}
 
     def resolve_geometry(params: dict, body: dict) -> dict | None:
         if "geometry" in body:
@@ -368,9 +392,93 @@ def create_app(
                     {"data": get_resource(registry, parts[2]), "status": "success"},
                 )
 
+            # /asset/{id}[/...] — asset introspection + lifecycle
+            # (reference app/routes/assets/asset.py)
+            if parts and parts[0] == "asset" and len(parts) >= 2:
+                asset = registry.get_asset(parts[1])
+                sub = parts[2:]
+                if not sub and method == "GET":
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": {
+                                "asset_id": asset.asset_id,
+                                "dataset": asset.dataset,
+                                "version": asset.version,
+                                "asset_type": asset.asset_type,
+                                "asset_uri": asset.asset_uri,
+                                "is_default": asset.is_default,
+                                "status": asset.status,
+                            },
+                            "status": "success",
+                        },
+                    )
+                if not sub and method == "DELETE":
+                    check_manager(environ)
+                    if asset.is_default:
+                        # reference blocks deleting default assets directly
+                        # (delete the version instead)
+                        raise RegistryError(
+                            "Deletion failed. You cannot delete a default "
+                            "asset. To delete a default asset you must "
+                            "delete the parent version.",
+                            409,
+                        )
+                    registry.delete_asset(asset.asset_id)
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": {"asset_id": asset.asset_id, "status": "deleted"},
+                            "status": "success",
+                        },
+                    )
+                if sub == ["change_log"] and method == "GET":
+                    return _json_response(
+                        start_response,
+                        {"data": asset.change_log, "status": "success"},
+                    )
+                if sub == ["creation_options"] and method == "GET":
+                    return _json_response(
+                        start_response,
+                        {"data": asset.creation_options, "status": "success"},
+                    )
+                if sub == ["extent"] and method == "GET":
+                    return _json_response(
+                        start_response,
+                        {"data": {"extent": asset.extent}, "status": "success"},
+                    )
+                if sub == ["fields"] and method == "GET":
+                    return _json_response(
+                        start_response,
+                        {"data": asset.fields, "status": "success"},
+                    )
+                if sub == ["stats"] and method == "GET":
+                    return _json_response(
+                        start_response,
+                        {"data": asset_stats(asset), "status": "success"},
+                    )
+                if sub == ["metadata"] and method == "GET":
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": metadata_store.get("asset", asset.asset_id),
+                            "status": "success",
+                        },
+                    )
+
             # /dataset/...
             if parts and parts[0] == "dataset":
                 if len(parts) == 2:
+                    if method == "DELETE":
+                        check_manager(environ)
+                        entity = registry.delete_dataset(parts[1])
+                        return _json_response(
+                            start_response,
+                            {
+                                "data": {"dataset": entity.dataset, "status": "deleted"},
+                                "status": "success",
+                            },
+                        )
                     if method == "PUT":
                         # create-or-echo (reference PUT /dataset/{d});
                         # metadata may ride along like DatasetCreateIn
@@ -436,6 +544,21 @@ def create_app(
                         {"status": "redirect", "location": location},
                         308,
                         headers=[("Location", location)],
+                    )
+
+                if len(parts) == 3 and method == "DELETE":
+                    check_manager(environ)
+                    entity = registry.delete_version(dataset, version)
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": {
+                                "dataset": dataset,
+                                "version": entity.version,
+                                "status": "deleted",
+                            },
+                            "status": "success",
+                        },
                     )
 
                 if len(parts) == 3 and method in ("GET", "PATCH"):
@@ -669,6 +792,78 @@ def create_app(
                     asset = registry.get_default_asset(dataset, version)
                     return _json_response(
                         start_response, {"data": asset.fields, "status": "success"}
+                    )
+
+                # version introspection (reference versions.py change_log /
+                # creation_options / extent / stats / metadata routes —
+                # all read the default asset)
+                if tail == ["change_log"] and method == "GET":
+                    entity = registry.get_version(dataset, version)
+                    return _json_response(
+                        start_response,
+                        {"data": entity.change_log, "status": "success"},
+                    )
+                if tail == ["creation_options"] and method == "GET":
+                    asset = registry.get_default_asset(dataset, version)
+                    return _json_response(
+                        start_response,
+                        {"data": asset.creation_options, "status": "success"},
+                    )
+                if tail == ["extent"] and method == "GET":
+                    asset = registry.get_default_asset(dataset, version)
+                    return _json_response(
+                        start_response,
+                        {"data": {"extent": asset.extent}, "status": "success"},
+                    )
+                if tail == ["stats"] and method == "GET":
+                    asset = registry.get_default_asset(dataset, version)
+                    return _json_response(
+                        start_response,
+                        {"data": asset_stats(asset), "status": "success"},
+                    )
+                if tail == ["metadata"] and method == "GET":
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": metadata_store.version_view(dataset, version),
+                            "status": "success",
+                        },
+                    )
+
+                # /dataset/{d}/{v}/geostore/{id}: geostore scoped to this
+                # version's own table (reference datasets/geostore.py)
+                if len(tail) == 2 and tail[0] == "geostore" and method == "GET":
+                    df = registry.load(spark, dataset, version)
+                    if "gfw_geostore_id" not in df.columns:
+                        return _json_response(
+                            start_response,
+                            {
+                                "status": "failed",
+                                "message": "Dataset has no geostore.",
+                            },
+                            404,
+                        )
+                    rows = (
+                        df.filter(F.col("gfw_geostore_id") == tail[1])
+                        .select(
+                            "gfw_geostore_id", "gfw_geojson",
+                            "gfw_area__ha", "gfw_bbox",
+                        )
+                        .limit(1)
+                        .collect()
+                    )
+                    if not rows:
+                        return _json_response(
+                            start_response,
+                            {
+                                "status": "failed",
+                                "message": f"Geostore {tail[1]} not found.",
+                            },
+                            404,
+                        )
+                    return _json_response(
+                        start_response,
+                        {"data": rows[0].asDict(), "status": "success"},
                     )
 
                 if tail[:2] == ["query", "batch"] and method == "POST":

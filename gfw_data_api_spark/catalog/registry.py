@@ -284,6 +284,58 @@ class Registry:
         asset.change_log.append({"date_time": _now(), "status": status, "message": message})
         self.save()
 
+    def get_asset(self, asset_id: str) -> Asset:
+        asset = self._assets.get(asset_id)
+        if asset is None:
+            raise RegistryError(f"Asset {asset_id} not found.", 404)
+        return asset
+
+    # -- deletion (reference dataset.py:157-186, versions.py:274-315) ----------
+
+    def delete_asset(self, asset_id: str, remove_files: bool = True) -> Asset:
+        """Delete one asset record and (optionally) its managed files."""
+        asset = self.get_asset(asset_id)
+        del self._assets[asset_id]
+        self.save()
+        if remove_files and asset.asset_uri.startswith(self.warehouse):
+            import shutil
+
+            shutil.rmtree(asset.asset_uri, ignore_errors=True)
+        return asset
+
+    def delete_version(self, dataset: str, version: str) -> Version:
+        """Delete a version + all its assets. A version tagged latest can
+        only be deleted when it is the dataset's only version
+        (versions.py:300-307 → 409)."""
+        v = self.get_version(dataset, version)
+        siblings = [key for key in self._versions if key[0] == dataset]
+        if v.is_latest and len(siblings) > 1:
+            raise RegistryError(
+                "Deletion failed. You can only delete a version tagged as "
+                "`latest` if no other version of the same dataset exists. "
+                "Change `latest` version, or delete all other versions first.",
+                409,
+            )
+        for asset in list(self.assets_for(dataset, version)):
+            self.delete_asset(asset.asset_id)
+        del self._versions[(dataset, version)]
+        self.save()
+        return v
+
+    def delete_dataset(self, dataset: str) -> Dataset:
+        """Delete a dataset; refuses while versions remain
+        (dataset.py:171-177 → 409)."""
+        entity = self.get_dataset(dataset)
+        if any(key[0] == dataset for key in self._versions):
+            raise RegistryError(
+                "There are versions registered with the dataset. Delete all "
+                "related versions prior to deleting a dataset",
+                409,
+            )
+        del self._datasets[dataset]
+        self.save()
+        return entity
+
     def feature_info_fields(self, dataset: str, version: str) -> list[str]:
         """E14: ordered feature-info column selection (app/utils/fields.py:9-38)."""
         asset = self.get_default_asset(dataset, version)

@@ -503,3 +503,90 @@ def test_metadata_crud(app):
         "/dataset/nasa_viirs_fire_alerts/v2024/assets/not-an-asset/metadata",
     )
     assert missing["status"] == 404
+
+
+def test_version_introspection_routes(app):
+    base = "/dataset/nasa_viirs_fire_alerts/v2024"
+    log = call(app, "GET", f"{base}/change_log")
+    assert log["status"] == 200
+    assert any(e["status"] == "saved" for e in log["body"]["data"])
+    opts = call(app, "GET", f"{base}/creation_options")
+    assert opts["status"] == 200
+    assert "source_paths" in opts["body"]["data"]
+    stats = call(app, "GET", f"{base}/stats")
+    assert stats["status"] == 200
+    assert stats["body"]["data"]["row_count"] == 99
+    ext = call(app, "GET", f"{base}/extent")
+    assert ext["status"] == 200
+    raster_stats = call(app, "GET", "/dataset/umd_tree_cover_loss/v1/stats")
+    assert raster_stats["status"] == 200
+    assert raster_stats["body"]["data"]["n_pixels"] > 0
+    md = call(app, "GET", f"{base}/metadata")
+    assert md["status"] == 200
+
+
+def test_asset_routes(app):
+    assets = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/assets")
+    asset_id = assets["body"]["data"][0]["asset_id"]
+    got = call(app, "GET", f"/asset/{asset_id}")
+    assert got["status"] == 200
+    assert got["body"]["data"]["dataset"] == "nasa_viirs_fire_alerts"
+    for sub in ("change_log", "creation_options", "fields", "extent", "stats"):
+        out = call(app, "GET", f"/asset/{asset_id}/{sub}")
+        assert out["status"] == 200, sub
+    # default asset cannot be deleted directly
+    denied = call(app, "DELETE", f"/asset/{asset_id}")
+    assert denied["status"] == 409
+    assert call(app, "GET", "/asset/no-such-asset")["status"] == 404
+
+
+def test_delete_lifecycle(app, spark, tmp_path_factory):
+    import csv as csvmod2
+
+    registry = app._registry
+    tmp = tmp_path_factory.mktemp("del")
+    p = str(tmp / "x.csv")
+    with open(p, "w", newline="") as fh:
+        w = csvmod2.writer(fh)
+        w.writerow(["id"]); w.writerow([1])
+    from gfw_data_api_spark.sources.pipeline import ingest_tabular as _ingest
+    _ingest(registry, spark, "doomed", "v1", p)
+    _ingest(registry, spark, "doomed", "v2", p)  # v2 becomes latest
+
+    # dataset with versions → 409
+    assert call(app, "DELETE", "/dataset/doomed")["status"] == 409
+    # latest version with siblings → 409
+    assert call(app, "DELETE", "/dataset/doomed/v2")["status"] == 409
+    # non-latest deletes fine
+    assert call(app, "DELETE", "/dataset/doomed/v1")["status"] == 200
+    # now v2 is the only version → deletable even though latest
+    assert call(app, "DELETE", "/dataset/doomed/v2")["status"] == 200
+    # empty dataset deletes; second delete 404
+    assert call(app, "DELETE", "/dataset/doomed")["status"] == 200
+    assert call(app, "DELETE", "/dataset/doomed")["status"] == 404
+
+
+def test_version_scoped_geostore(app, spark, tmp_path_factory):
+    import json as jsonmod
+
+    registry = app._registry
+    tmp = tmp_path_factory.mktemp("vgeo")
+    src = tmp / "f.geojsonl"
+    feats = []
+    for i, x in enumerate([0.0, 20.0]):
+        feats.append({"type": "Feature", "properties": {"fid": i},
+                      "geometry": {"type": "Polygon", "coordinates":
+                                   [[[x, 0.0], [x+1, 0.0], [x+1, 1.0], [x, 1.0], [x, 0.0]]]}})
+    src.write_text("\n".join(jsonmod.dumps(f) for f in feats))
+    from gfw_data_api_spark.sources.pipeline import ingest_vector as _ingest_v
+    df = _ingest_v(registry, spark, "vec_geo", "v1", str(src))
+    gid = df.select("gfw_geostore_id").first()[0]
+
+    hit = call(app, "GET", f"/dataset/vec_geo/v1/geostore/{gid}")
+    assert hit["status"] == 200
+    assert hit["body"]["data"]["gfw_geostore_id"] == gid
+    miss = call(app, "GET", "/dataset/vec_geo/v1/geostore/unknown-id")
+    assert miss["status"] == 404
+    # table dataset without geostore columns
+    no_geo = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/geostore/x")
+    assert no_geo["status"] == 404
