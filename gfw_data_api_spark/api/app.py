@@ -328,6 +328,56 @@ def create_app(
                         start_response, {"data": data, "status": "success"}
                     )
 
+            # /geostore/admin/... — admin-boundary geostores
+            # (reference app/routes/geostore/geostore.py:98-278)
+            if (
+                len(parts) >= 3
+                and parts[0] == "geostore"
+                and parts[1] == "admin"
+                and method == "GET"
+            ):
+                from gfw_data_api_spark.operators.features import (
+                    admin_boundary_list,
+                    admin_geostore,
+                )
+
+                provider = (params.get("source[provider]") or ["gadm"])[0]
+                adm_version = (params.get("source[version]") or ["4.1"])[0]
+                if provider.lower() != "gadm":
+                    raise QueryGuardError(
+                        "Invalid admin boundary source. Valid sources: "
+                        "['gadm']",
+                        400,
+                    )
+                adm_dataset = "gadm_administrative_boundaries"
+                adm_ver = (
+                    adm_version if adm_version.startswith("v") else f"v{adm_version}"
+                )
+                if parts[2] == "list":
+                    df = admin_boundary_list(spark, registry, adm_dataset, adm_ver)
+                    data = [r.asDict() for r in df.collect()]
+                    return _json_response(
+                        start_response, {"data": data, "status": "success"}
+                    )
+                ids = parts[2:]
+                simplify_raw = (params.get("simplify") or [None])[0]
+                doc = admin_geostore(
+                    spark,
+                    registry,
+                    adm_dataset,
+                    adm_ver,
+                    adm_level=len(ids) - 1,
+                    country_id=ids[0],
+                    region_id=ids[1] if len(ids) > 1 else None,
+                    subregion_id=ids[2] if len(ids) > 2 else None,
+                    simplify_tolerance=(
+                        float(simplify_raw) if simplify_raw is not None else None
+                    ),
+                )
+                return _json_response(
+                    start_response, {"data": doc, "status": "success"}
+                )
+
             # /geostore
             if parts == ["geostore"] and method == "POST":
                 entry = geostore.create(body["geometry"])
@@ -995,6 +1045,217 @@ def create_app(
                         for row in df.collect()
                     ]
                     return _json_response(start_response, {"data": data, "status": "success"})
+
+                if tail[:1] == ["download_by_aoi"]:
+                    # reference downloads.py:200-262 — AOI given as
+                    # aoi[type]=geostore|admin query params
+                    check_query_auth(environ, params, dataset, version)
+                    fmt = tail[1] if len(tail) > 1 else "csv"
+                    aoi_type = (params.get("aoi[type]") or [None])[0]
+                    if aoi_type == "geostore":
+                        gid = (params.get("aoi[geostore_id]") or [None])[0]
+                        if not gid:
+                            raise QueryGuardError(
+                                "aoi[geostore_id] required.", 422
+                            )
+                        geometry = geostore.geometry(spark, gid)
+                    elif aoi_type == "admin":
+                        from gfw_data_api_spark.operators.features import (
+                            admin_geostore,
+                        )
+
+                        country = (params.get("aoi[country]") or [None])[0]
+                        region = (params.get("aoi[region]") or [None])[0]
+                        subregion = (params.get("aoi[subregion]") or [None])[0]
+                        if not country:
+                            raise QueryGuardError("aoi[country] required.", 422)
+                        level = 0 + (region is not None) + (subregion is not None)
+                        doc = admin_geostore(
+                            spark, registry,
+                            "gadm_administrative_boundaries", "latest",
+                            adm_level=level, country_id=country,
+                            region_id=region, subregion_id=subregion,
+                        )
+                        geometry = doc["attributes"]["geojson"]["features"][0][
+                            "geometry"
+                        ]
+                    else:
+                        raise QueryGuardError(
+                            "aoi[type] must be geostore or admin.", 422
+                        )
+                    sql = (params.get("sql") or [None])[0] or "SELECT * FROM data"
+                    df = downloads.query_for_download(
+                        spark, registry, dataset, version, sql, geometry=geometry
+                    )
+                    if fmt == "json":
+                        data = [
+                            {k: _row_value(v) for k, v in row.asDict().items()}
+                            for row in df.collect()
+                        ]
+                        return _json_response(
+                            start_response, {"data": data, "status": "success"}
+                        )
+                    text = downloads.rows_to_csv(df)
+                    raw = text.encode()
+                    start_response(
+                        "200 OK",
+                        [
+                            ("Content-Type", "text/csv"),
+                            ("Content-Disposition",
+                             f'attachment; filename="{dataset}_{version}_aoi.csv"'),
+                            ("Content-Length", str(len(raw))),
+                        ],
+                    )
+                    return [raw]
+
+                if tail == ["download", "gpkg"] and method == "GET":
+                    # reference redirects to a pre-built GPKG asset; the
+                    # engine IS the cluster, so build-on-demand and serve
+                    check_query_auth(environ, params, dataset, version)
+                    import tempfile
+
+                    from gfw_data_api_spark.sources.vector_files import (
+                        write_geopackage,
+                    )
+
+                    df = downloads.query_for_download(
+                        spark, registry, dataset, version, "SELECT * FROM data"
+                    )
+                    if "geom" not in df.columns:
+                        return _json_response(
+                            start_response,
+                            {
+                                "status": "failed",
+                                "message": "This endpoint is not implemented "
+                                "for the given dataset.",
+                            },
+                            501,
+                        )
+                    keep = [
+                        f.name for f in df.schema.fields
+                        if f.name == "geom"
+                        or not f.name.startswith(("gfw_", "geom_"))
+                    ]
+                    with tempfile.NamedTemporaryFile(suffix=".gpkg") as tmp:
+                        write_geopackage(df.select(*keep), tmp.name, dataset)
+                        blob = open(tmp.name, "rb").read()
+                    start_response(
+                        "200 OK",
+                        [
+                            ("Content-Type", "application/geopackage+sqlite3"),
+                            ("Content-Disposition",
+                             f'attachment; filename="{dataset}_{version}.gpkg"'),
+                            ("Content-Length", str(len(blob))),
+                        ],
+                    )
+                    return [blob]
+
+                if tail == ["download", "geotiff"] and method == "GET":
+                    # reference downloads.py:265-293: one raster tile by
+                    # grid + tile_id + pixel_meaning; here the GeoTIFF is
+                    # assembled from the tile's pixel rows on demand
+                    check_query_auth(environ, params, dataset, version)
+                    import tempfile
+
+                    import numpy as _np
+
+                    from gfw_data_api_spark.raster.cog import write_cog
+                    from gfw_data_api_spark.raster.grid import Grid as _Grid
+
+                    grid_name = (params.get("grid") or [None])[0]
+                    tile_id = (params.get("tile_id") or [None])[0]
+                    pixel_meaning = (params.get("pixel_meaning") or [None])[0]
+                    if not (grid_name and tile_id and pixel_meaning):
+                        raise QueryGuardError(
+                            "grid, tile_id and pixel_meaning are required.", 422
+                        )
+                    match = None
+                    for a in registry.assets_for(dataset, version):
+                        if a.asset_type != "raster_tile_set":
+                            continue
+                        if (
+                            a.creation_options.get("grid") == grid_name
+                            and a.creation_options.get("pixel_meaning")
+                            == pixel_meaning
+                        ):
+                            match = a
+                            break
+                    if match is None:
+                        if not any(
+                            a.asset_type == "raster_tile_set"
+                            for a in registry.assets_for(dataset, version)
+                        ):
+                            return _json_response(
+                                start_response,
+                                {
+                                    "status": "failed",
+                                    "message": "This endpoint is not "
+                                    "implemented for the given dataset.",
+                                },
+                                501,
+                            )
+                        return _json_response(
+                            start_response,
+                            {
+                                "status": "failed",
+                                "message": "Dataset version does not have "
+                                f"raster tile asset with grid {grid_name}.",
+                            },
+                            404,
+                        )
+                    grid_obj = _Grid.parse(
+                        match.creation_options["grid"]
+                    )
+                    pix = (
+                        spark.read.parquet(match.asset_uri)
+                        .filter(F.col("tile_id") == tile_id)
+                        .select("pixel_id", "value")
+                        .collect()
+                    )
+                    if not pix:
+                        return _json_response(
+                            start_response,
+                            {
+                                "status": "failed",
+                                "message": f"Tile {tile_id} not found.",
+                            },
+                            404,
+                        )
+                    n = grid_obj.pixels_per_side
+                    arr = _np.zeros((n, n), dtype="float64")
+                    for r in pix:
+                        arr[r["pixel_id"] // n, r["pixel_id"] % n] = r["value"]
+                    lat, lon = grid_obj.parse_tile_id(tile_id)
+                    with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
+                        write_cog(
+                            tmp.name, arr, nw_lon=lon, nw_lat=lat,
+                            pixel_size=grid_obj.pixel_size, nodata=0,
+                        )
+                        blob = open(tmp.name, "rb").read()
+                    start_response(
+                        "200 OK",
+                        [
+                            ("Content-Type", "image/tiff"),
+                            ("Content-Disposition",
+                             f'attachment; filename="{dataset}_{tile_id}.tif"'),
+                            ("Content-Length", str(len(blob))),
+                        ],
+                    )
+                    return [blob]
+
+                if tail == ["download", "shp"] and method == "GET":
+                    # no shapefile writer in this engine — explicit 501,
+                    # matching the reference's asset-absent path
+                    check_query_auth(environ, params, dataset, version)
+                    return _json_response(
+                        start_response,
+                        {
+                            "status": "failed",
+                            "message": "This endpoint is not implemented "
+                            "for the given dataset.",
+                        },
+                        501,
+                    )
 
                 if tail[:1] == ["download"]:
                     check_query_auth(environ, params, dataset, version)

@@ -95,3 +95,130 @@ def admin_lookup(
         column = name_column or (f"name_{level}_normalized" if level else "country_normalized")
         out = out.filter(F.col(column) == F.lit(name.lower()))
     return out
+
+
+def admin_boundary_list(
+    spark: SparkSession, registry: Registry, dataset: str, version: str
+) -> DataFrame:
+    """GET /geostore/admin/list: national ids/names/geostore ids
+    (crud/geostore.py:137-178 — adm_level 0 rows ordered by gid_0)."""
+    from pyspark.sql import functions as F
+
+    df = registry.load(spark, dataset, version)
+    return (
+        df.filter(F.col("adm_level") == "0")
+        .select(
+            F.col("gfw_geostore_id").alias("geostoreId"),
+            F.col("gid_0").alias("iso"),
+            F.col("country").alias("name"),
+        )
+        .orderBy("iso")
+    )
+
+
+def admin_geostore(
+    spark: SparkSession,
+    registry: Registry,
+    dataset: str,
+    version: str,
+    adm_level: int,
+    country_id: str,
+    region_id: str | None = None,
+    subregion_id: str | None = None,
+    simplify_tolerance: float | None = None,
+) -> dict:
+    """GET /geostore/admin/{c}[/{r}[/{s}]] — one boundary as a geostore
+    document (crud/geostore.py:218-299 build_gadm_geostore).
+
+    Level 0 matches gid_0 exactly; deeper levels match
+    ``C.R[.S]\\__`` LIKE patterns (escaped literal underscore, then the
+    unescaped-wildcard revision suffix — crud/geostore.py:330-367).
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from gfw_data_api_spark.catalog.registry import RegistryError
+    from gfw_data_api_spark.functions import geometry as geo
+
+    df = registry.load(spark, dataset, version).filter(
+        F.col("adm_level") == str(adm_level)
+    )
+    if adm_level == 0:
+        df = df.filter(F.col("gid_0") == country_id)
+    else:
+        pattern = country_id
+        if region_id is None:
+            raise RegistryError("region_id required for adm_level >= 1.", 400)
+        pattern = f"{pattern}.{region_id}"
+        if adm_level >= 2:
+            if subregion_id is None:
+                raise RegistryError(
+                    "subregion_id required for adm_level >= 2.", 400
+                )
+            pattern = f"{pattern}.{subregion_id}"
+        pattern = pattern.replace("'", "''") + r"\__"
+        df = df.filter(
+            F.expr(f"gid_{adm_level} LIKE '{pattern}' ESCAPE '\\\\'")
+        )
+    name_col = "country" if adm_level == 0 else f"name_{adm_level}"
+    rows = (
+        df.select(
+            "gfw_geostore_id", "gfw_geojson", "gfw_area__ha", "gfw_bbox",
+            F.col(f"gid_{adm_level}").alias("level_id"),
+            F.col(name_col).alias("name"),
+        )
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise RegistryError(
+            f"Admin boundary not found in {dataset} version {version}", 404
+        )
+    row = rows[0]
+    geometry = _json.loads(row["gfw_geojson"])
+    if simplify_tolerance is not None:
+        geometry = geo.simplify(geometry, simplify_tolerance)
+        if geometry is None or not geometry.get("coordinates"):
+            raise RegistryError(
+                "GeoJSON is None, try reducing or eliminating "
+                "simplification.",
+                500,
+            )
+    # level ids per segment: "BRA.12_1" -> iso BRA, id1 12
+    plain = row["level_id"].split("_")[0]
+    segments = plain.split(".")
+    info: dict = {
+        "use": {},
+        "simplifyThresh": simplify_tolerance,
+        "gadm": version,
+        "name": row["name"],
+        "iso": segments[0],
+    }
+    if adm_level >= 1:
+        info["id1"] = int(segments[1])
+    if adm_level >= 2:
+        info["id2"] = int(segments[2])
+    return {
+        "type": "geoStore",
+        "id": row["gfw_geostore_id"],
+        "attributes": {
+            "geojson": {
+                "crs": {},
+                "type": "FeatureCollection",
+                "features": [
+                    {
+                        "properties": None,
+                        "type": "Feature",
+                        "geometry": geometry,
+                    }
+                ],
+            },
+            "hash": row["gfw_geostore_id"],
+            "provider": {},
+            "areaHa": float(row["gfw_area__ha"]),
+            "bbox": [float(v) for v in row["gfw_bbox"]],
+            "lock": False,
+            "info": info,
+        },
+    }

@@ -37,7 +37,10 @@ def call(app, method, path, query="", body=None):
     try:
         captured["body"] = json.loads(payload)
     except ValueError:
-        captured["body"] = payload.decode()
+        try:
+            captured["body"] = payload.decode()
+        except UnicodeDecodeError:
+            captured["body"] = payload  # binary download
     return captured
 
 
@@ -590,3 +593,201 @@ def test_version_scoped_geostore(app, spark, tmp_path_factory):
     # table dataset without geostore columns
     no_geo = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/geostore/x")
     assert no_geo["status"] == 404
+
+
+@pytest.fixture(scope="module")
+def gadm_app(app, spark):
+    """Register a synthetic GADM-style admin boundary table on the app."""
+    import json as jsonmod
+
+    from gfw_data_api_spark.functions import geometry as geo
+
+    registry = app._registry
+
+    def poly(x):
+        return {"type": "Polygon", "coordinates":
+                [[[x, 0.0], [x + 2, 0.0], [x + 2, 2.0], [x, 2.0], [x, 0.0]]]}
+
+    rows = []
+    for level, gid0, gid1, gid2, country, n1, n2, x in [
+        ("0", "BRA", None, None, "Brazil", None, None, 10.0),
+        ("0", "MOZ", None, None, "Mozambique", None, None, 30.0),
+        ("1", "BRA", "BRA.12_1", None, "Brazil", "Acre", None, 11.0),
+        ("2", "BRA", "BRA.12_1", "BRA.12.3_1", "Brazil", "Acre", "Bujari", 11.5),
+    ]:
+        g = poly(x)
+        gj = jsonmod.dumps(g)
+        rows.append((level, gid0, gid1, gid2, country, n1, n2,
+                     f"geo-{level}-{gid0}-{gid1}-{gid2}", gj,
+                     geo.geodesic_area_ha(g), list(geo.bbox(g))))
+    df = spark.createDataFrame(
+        rows,
+        "adm_level string, gid_0 string, gid_1 string, gid_2 string, "
+        "country string, name_1 string, name_2 string, gfw_geostore_id string, "
+        "gfw_geojson string, gfw_area__ha double, gfw_bbox array<double>",
+    )
+    registry.ensure_dataset("gadm_administrative_boundaries")
+    registry.create_version("gadm_administrative_boundaries", "v4.1")
+    asset = registry.create_asset(
+        "gadm_administrative_boundaries", "v4.1", "geo_database_table",
+        is_default=True,
+    )
+    df.write.mode("overwrite").parquet(asset.asset_uri)
+    registry.set_asset_fields(asset.asset_id, df)
+    registry.set_asset_status(asset.asset_id, "saved")
+    registry.set_version_status("gadm_administrative_boundaries", "v4.1",
+                                "saved", "test fixture")
+    registry.set_latest("gadm_administrative_boundaries", "v4.1")
+    return app
+
+
+def test_admin_geostore_list(gadm_app):
+    out = call(gadm_app, "GET", "/geostore/admin/list")
+    assert out["status"] == 200
+    assert [r["iso"] for r in out["body"]["data"]] == ["BRA", "MOZ"]
+    assert out["body"]["data"][0]["name"] == "Brazil"
+
+
+def test_admin_geostore_levels(gadm_app):
+    country = call(gadm_app, "GET", "/geostore/admin/BRA")
+    assert country["status"] == 200
+    attrs = country["body"]["data"]["attributes"]
+    assert attrs["info"]["iso"] == "BRA"
+    assert attrs["geojson"]["features"][0]["geometry"]["type"] == "Polygon"
+
+    region = call(gadm_app, "GET", "/geostore/admin/BRA/12")
+    assert region["status"] == 200
+    assert region["body"]["data"]["attributes"]["info"]["id1"] == 12
+    assert region["body"]["data"]["attributes"]["info"]["name"] == "Acre"
+
+    sub = call(gadm_app, "GET", "/geostore/admin/BRA/12/3")
+    assert sub["status"] == 200
+    assert sub["body"]["data"]["attributes"]["info"]["id2"] == 3
+
+    missing = call(gadm_app, "GET", "/geostore/admin/ZZZ")
+    assert missing["status"] == 404
+    bad_src = call(gadm_app, "GET", "/geostore/admin/BRA",
+                   query="source%5Bprovider%5D=esri")
+    assert bad_src["status"] == 400
+
+
+def test_admin_geostore_simplify(gadm_app):
+    out = call(gadm_app, "GET", "/geostore/admin/BRA", query="simplify=0.001")
+    assert out["status"] == 200
+    assert out["body"]["data"]["attributes"]["info"]["simplifyThresh"] == 0.001
+
+
+def test_download_geotiff_roundtrip(app):
+    from gfw_data_api_spark.raster.cog import read_cog
+
+    out = call(
+        app, "GET", "/dataset/umd_tree_cover_loss/v1/download/geotiff",
+        query="grid=1%2F50&tile_id=01N_010E&pixel_meaning=year",
+    )
+    assert out["status"] == 200
+    assert out["headers"]["Content-Type"] == "image/tiff"
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
+        raw = out["body"] if isinstance(out["body"], (bytes, bytearray)) else out["body"].encode("latin-1")
+        tmp.write(raw)
+        tmp.flush()
+        levels = read_cog(tmp.name)
+    assert levels[0]["array"].shape == (50, 50)
+
+    missing_tile = call(
+        app, "GET", "/dataset/umd_tree_cover_loss/v1/download/geotiff",
+        query="grid=1%2F50&tile_id=09N_099E&pixel_meaning=year",
+    )
+    assert missing_tile["status"] == 404
+    wrong_grid = call(
+        app, "GET", "/dataset/umd_tree_cover_loss/v1/download/geotiff",
+        query="grid=10%2F100&tile_id=01N_010E&pixel_meaning=year",
+    )
+    assert wrong_grid["status"] == 404
+    not_raster = call(
+        app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/download/geotiff",
+        query="grid=1%2F50&tile_id=01N_010E&pixel_meaning=year",
+    )
+    assert not_raster["status"] == 501
+
+
+def test_download_gpkg(gadm_app, spark, tmp_path):
+    import sqlite3
+
+    out = call(gadm_app, "GET",
+               "/dataset/gadm_administrative_boundaries/v4.1/download/gpkg")
+    # the GADM fixture has gfw_geojson but no geom binary column → 501
+    assert out["status"] == 501
+
+    # a vector dataset with a geom column works
+    import json as jsonmod
+    registry = gadm_app._registry
+    src = tmp_path / "v.geojsonl"
+    feats = [{"type": "Feature", "properties": {"fid": i},
+              "geometry": {"type": "Point", "coordinates": [float(i), 0.0]}}
+             for i in range(4)]
+    src.write_text("\n".join(jsonmod.dumps(f) for f in feats))
+    from gfw_data_api_spark.sources.pipeline import ingest_vector as _iv
+    _iv(registry, spark, "gpkg_vec", "v1", str(src))
+    out = call(gadm_app, "GET", "/dataset/gpkg_vec/v1/download/gpkg")
+    assert out["status"] == 200
+    blob = out["body"].encode("latin-1") if isinstance(out["body"], str) else out["body"]
+    gpkg_path = tmp_path / "out.gpkg"
+    gpkg_path.write_bytes(blob)
+    con = sqlite3.connect(gpkg_path)
+    n = con.execute("SELECT count(*) FROM gpkg_vec").fetchone()[0]
+    assert n == 4
+
+    shp = call(gadm_app, "GET", "/dataset/gpkg_vec/v1/download/shp")
+    assert shp["status"] == 501
+
+
+def test_download_by_aoi(gadm_app):
+    # admin AOI: BRA polygon covers lon 10-12; fire table has no geom →
+    # use the vector dataset from the gadm fixture via geostore AOI
+    out = call(
+        gadm_app, "GET",
+        "/dataset/nasa_viirs_fire_alerts/v2024/download_by_aoi/json",
+        query="aoi%5Btype%5D=bogus&sql=SELECT%20*%20FROM%20data",
+    )
+    assert out["status"] == 422
+
+    # self-contained vector dataset: one point inside BRA's 10-12 box,
+    # others outside
+    import json as jsonmod
+    import tempfile as tmpmod
+
+    registry = gadm_app._registry
+    spark_df_src = tmpmod.NamedTemporaryFile(
+        mode="w", suffix=".geojsonl", delete=False
+    )
+    feats = [{"type": "Feature", "properties": {"fid": i},
+              "geometry": {"type": "Point", "coordinates": [lon, 1.0]}}
+             for i, lon in enumerate([11.0, 50.0, 60.0])]
+    spark_df_src.write("\n".join(jsonmod.dumps(f) for f in feats))
+    spark_df_src.close()
+    from gfw_data_api_spark.sources.pipeline import ingest_vector as _iv
+    from pyspark.sql import SparkSession as _S
+
+    _iv(registry, _S.getActiveSession() or _S.builder.getOrCreate(),
+        "aoi_vec", "v1", spark_df_src.name)
+
+    geom = {"type": "Polygon",
+            "coordinates": [[[10.0, 0.0], [12.0, 0.0], [12.0, 2.0], [10.0, 2.0], [10.0, 0.0]]]}
+    gid = call(gadm_app, "POST", "/geostore", body={"geometry": geom})["body"]["data"]["gfw_geostore_id"]
+    out = call(
+        gadm_app, "GET", "/dataset/aoi_vec/v1/download_by_aoi/json",
+        query=f"aoi%5Btype%5D=geostore&aoi%5Bgeostore_id%5D={gid}"
+              "&sql=SELECT%20fid%20FROM%20data",
+    )
+    assert out["status"] == 200
+    assert [r["fid"] for r in out["body"]["data"]] == [0]
+
+    admin = call(
+        gadm_app, "GET", "/dataset/aoi_vec/v1/download_by_aoi/csv",
+        query="aoi%5Btype%5D=admin&aoi%5Bcountry%5D=BRA"
+              "&sql=SELECT%20fid%20FROM%20data",
+    )
+    assert admin["status"] == 200
+    assert admin["body"].splitlines()[1] == "0"
