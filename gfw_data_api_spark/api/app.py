@@ -328,6 +328,88 @@ def create_app(
                         start_response, {"data": data, "status": "success"}
                     )
 
+            # /political/id-lookup — admin IDs by (normalized) name
+            # (reference app/routes/political/id_lookup.py)
+            if parts == ["political", "id-lookup"] and method == "GET":
+                import unicodedata
+
+                def _norm(s: str) -> str:
+                    # unidecode analog: strip combining marks, lowercase
+                    decomposed = unicodedata.normalize("NFD", s)
+                    return "".join(
+                        ch for ch in decomposed if not unicodedata.combining(ch)
+                    ).lower()
+
+                country = (params.get("country") or [None])[0]
+                region = (params.get("region") or [None])[0]
+                subregion = (params.get("subregion") or [None])[0]
+                normalize = (params.get("normalize_search") or ["true"])[0].lower() != "false"
+                if not country:
+                    raise QueryGuardError("Country MUST be specified.", 400)
+                if subregion and not region:
+                    raise QueryGuardError(
+                        "If subregion is specified, region must be specified "
+                        "as well.",
+                        400,
+                    )
+                adm_level = 2 if subregion else (1 if region else 0)
+                df = registry.load(
+                    spark, "gadm_administrative_boundaries", "latest"
+                ).filter(F.col("adm_level") == str(adm_level))
+                name_fields = ["country", "name_1", "name_2"]
+                for field_name, value in zip(
+                    name_fields, (country, region, subregion)
+                ):
+                    if value is None:
+                        continue
+                    if normalize:
+                        normalized_col = f"{field_name}_normalized"
+                        col = (
+                            F.col(normalized_col)
+                            if normalized_col in df.columns
+                            else F.lower(F.col(field_name))
+                        )
+                        df = df.filter(col == _norm(value))
+                    else:
+                        df = df.filter(F.col(field_name) == value)
+                rows = df.select(
+                    "gid_0", "gid_1", "gid_2", *name_fields
+                ).collect()
+
+                def _level_id(level: int, gid: str | None):
+                    if gid is None:
+                        return None
+                    segments = gid.split("_")[0].split(".")
+                    return segments[level] if level < len(segments) else None
+
+                matches = []
+                for r in rows:
+                    match = {
+                        "country": {"id": _level_id(0, r["gid_0"]), "name": r["country"]},
+                        "region": {"id": None, "name": None},
+                        "subregion": {"id": None, "name": None},
+                    }
+                    if adm_level >= 1:
+                        match["region"] = {
+                            "id": _level_id(1, r["gid_1"]), "name": r["name_1"],
+                        }
+                    if adm_level >= 2:
+                        match["subregion"] = {
+                            "id": _level_id(2, r["gid_2"]), "name": r["name_2"],
+                        }
+                    matches.append(match)
+                return _json_response(
+                    start_response,
+                    {
+                        "data": {
+                            "adminSource": (params.get("admin_source") or ["GADM"])[0],
+                            "adminVersion": (params.get("admin_version") or ["4.1"])[0],
+                            "matches": matches,
+                        },
+                        "status": "success",
+                    },
+                )
+
             # /geostore/admin/... — admin-boundary geostores
             # (reference app/routes/geostore/geostore.py:98-278)
             if (
@@ -385,6 +467,36 @@ def create_app(
             if len(parts) == 2 and parts[0] == "geostore" and method == "GET":
                 entry = geostore.get(spark, parts[1])
                 return _json_response(start_response, {"data": entry, "status": "success"})
+
+            # /analysis/zonal (POST, inline geometry —
+            # reference analysis.py:75-92)
+            if parts == ["analysis", "zonal"] and method == "POST":
+                geometry = body.get("geometry")
+                if not geometry:
+                    raise QueryGuardError("geometry required.", 422)
+                dataset = body.get("dataset") or (params.get("dataset") or [None])[0]
+                version = registry.resolve_version(
+                    dataset, body.get("version", "latest")
+                )
+                df = zonal_statistics(
+                    spark,
+                    registry,
+                    dataset,
+                    version,
+                    geometry,
+                    sum_layers=body.get("sum", ["area__ha"]),
+                    group_by=body.get("group_by", []),
+                    filters=body.get("filters", []),
+                    start_date=body.get("start_date"),
+                    end_date=body.get("end_date"),
+                )
+                data = [
+                    {k: _row_value(v) for k, v in row.asDict().items()}
+                    for row in df.collect()
+                ]
+                return _json_response(
+                    start_response, {"data": data, "status": "success"}
+                )
 
             # /analysis/zonal/{geostore_id}
             if len(parts) == 3 and parts[:2] == ["analysis", "zonal"] and method == "GET":

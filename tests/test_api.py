@@ -791,3 +791,50 @@ def test_download_by_aoi(gadm_app):
     )
     assert admin["status"] == 200
     assert admin["body"].splitlines()[1] == "0"
+
+
+def test_political_id_lookup(gadm_app):
+    out = call(gadm_app, "GET", "/political/id-lookup", query="country=Brazil")
+    assert out["status"] == 200
+    data = out["body"]["data"]
+    assert data["matches"] == [{
+        "country": {"id": "BRA", "name": "Brazil"},
+        "region": {"id": None, "name": None},
+        "subregion": {"id": None, "name": None},
+    }]
+
+    # normalized: accents + case folded
+    accented = call(gadm_app, "GET", "/political/id-lookup", query="country=BRAZ%C3%8DL")
+    assert accented["status"] == 200
+    # 'Brazíl' normalizes to 'brazil' == lower('Brazil')
+    assert len(accented["body"]["data"]["matches"]) == 1
+
+    region = call(gadm_app, "GET", "/political/id-lookup",
+                  query="country=Brazil&region=Acre")
+    assert region["status"] == 200
+    m = region["body"]["data"]["matches"][0]
+    assert m["region"] == {"id": "12", "name": "Acre"}
+
+    sub = call(gadm_app, "GET", "/political/id-lookup",
+               query="country=Brazil&region=Acre&subregion=Bujari")
+    assert sub["body"]["data"]["matches"][0]["subregion"]["id"] == "3"
+
+    bad = call(gadm_app, "GET", "/political/id-lookup", query="subregion=X")
+    assert bad["status"] == 400
+    no_country = call(gadm_app, "GET", "/political/id-lookup")
+    assert no_country["status"] == 400
+
+
+def test_zonal_post_inline_geometry(app):
+    geom = {
+        "type": "Polygon",
+        "coordinates": [[[10.1, 0.1], [10.9, 0.1], [10.9, 0.9], [10.1, 0.9], [10.1, 0.1]]],
+    }
+    out = call(app, "POST", "/analysis/zonal",
+               body={"geometry": geom, "dataset": "umd_tree_cover_loss",
+                     "sum": ["area__ha"], "group_by": ["umd_tree_cover_loss__year"]})
+    assert out["status"] == 200
+    assert len(out["body"]["data"]) == 2
+    missing = call(app, "POST", "/analysis/zonal",
+                   body={"dataset": "umd_tree_cover_loss"})
+    assert missing["status"] == 422
