@@ -1447,6 +1447,103 @@ _SPECS.append(
 )
 
 
+def _t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t07_repetition_signals",
+        spark_fn=_t07,
+        oracle=(
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "w AS (SELECT doc_id, unnest(t) AS w FROM toks), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2), "
+            "ws AS (SELECT doc_id, max(c) AS top_word, sum(c) AS n_words FROM wc GROUP BY 1), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b FROM toks), "
+            "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), "
+            "bs AS (SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams FROM bc GROUP BY 1) "
+            "SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "round(top_word / n_words, 6) AS top_word_frac, "
+            "round(coalesce(top_bigram / n_bigrams, 0), 6) AS top_bigram_frac "
+            "FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id"
+        ),
+        survey_ref="LLM ops: Gopher-style repetition quality signals "
+        "(top-word / top-bigram token fractions; llmops/text.py)",
+    )
+)
+
+
+def _c01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="c01_token_chunks",
+        spark_fn=_c01,
+        oracle=(
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "starts AS (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks WHERE len(t) > 0) "
+            "SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, "
+            "CAST(len(t[s+1 : s+64]) AS BIGINT) AS chunk_tokens, "
+            "array_to_string(t[s+1 : s+64], ' ') AS chunk_text FROM starts"
+        ),
+        survey_ref="LLM ops: training-sequence chunking — overlapping token "
+        "windows, pure narrow ops (llmops/text.py chunk_documents)",
+    )
+)
+
+
+def _c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.clean import pii_counts, redact_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic synthetic PII (the corpus itself is clean): computed
+    # identically in the oracle so redaction is exercised for real
+    aug = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 at 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    return docs.select(
+        "doc_id", *pii_counts(aug), redact_col(aug).alias("redacted")
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="c02_pii_redaction",
+        spark_fn=_c02,
+        oracle=(
+            "WITH aug AS (SELECT doc_id, substr(text, 1, 80) || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 at 192.168.' || "
+            "CAST(doc_id % 256 AS VARCHAR) || '.1' AS a FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(a, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone, "
+            "CAST(len(regexp_extract_all(a, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, "
+            "regexp_replace(regexp_replace(regexp_replace(a, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted "
+            "FROM aug"
+        ),
+        survey_ref="LLM ops: PII scrubbing — RE2-compatible regex detect + "
+        "redact, pure codegen map stage (llmops/clean.py)",
+    )
+)
+
+
 def _ca01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.streaming.continuous_agg import ContinuousAggregate
 

@@ -1,0 +1,59 @@
+"""PII scrubbing for training corpora: detect + redact emails, phone
+numbers, and IPv4 addresses with native regexp expressions.
+
+The patterns are deliberately conservative and RE2-compatible (no
+backreferences/lookaround) so the same pattern string runs identically
+on Spark (Java regex) and DuckDB (RE2) — which is what lets the gate
+hash-compare redacted output across engines. Redaction is a chained
+``regexp_replace`` — JVM-side, codegen'd, no Python in the loop; at
+100 TB this is a pure map stage that pipelines with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+REDACTIONS = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+    ("ip", IPV4_RE, "<IP>"),
+]
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII class."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pattern, _ in REDACTIONS
+    ]
+
+
+def redact_col(text: Column) -> Column:
+    """Chained redaction. Order matters: emails first so alphanumeric
+    hosts are consumed whole before later passes see their dotted parts;
+    phones before IPs so dotted phone numbers (555.123.4567) redact as
+    phones. A numeric-host address (user@1.2.3.4) is not an email by
+    the TLD rule — its host redacts as an IP."""
+    out = text
+    for _, pattern, token in REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, per-class counts, redacted text) for every document."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *pii_counts(text),
+        redact_col(text).alias("redacted"),
+    )

@@ -155,3 +155,95 @@ def tfidf_top_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    the fraction of tokens taken by the single most frequent word and by
+    the most frequent bigram. Highly repetitive machine-generated text
+    scores near 1; natural text scores low.
+
+    One explode + two hash aggregations, shuffled on (doc, term) — term
+    cardinality per doc is bounded by doc length, so no skew beyond doc
+    size; scales as the token count, same as tokenization itself.
+    """
+    words = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col(F.col(text_col))).alias("_w")
+    )
+    word_counts = words.groupBy("_id", "_w").agg(F.count("*").alias("_c"))
+    word_stats = word_counts.groupBy("_id").agg(
+        F.max("_c").alias("_top_word"), F.sum("_c").alias("_n_words")
+    )
+
+    bigrams = df.select(
+        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_t")
+    ).select(
+        "_id",
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, greatest(size(_t) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', _t[i + 1]))"
+            )
+        ).alias("_b"),
+    )
+    bigram_counts = bigrams.groupBy("_id", "_b").agg(F.count("*").alias("_c"))
+    bigram_stats = bigram_counts.groupBy("_id").agg(
+        F.max("_c").alias("_top_bigram"), F.sum("_c").alias("_n_bigrams")
+    )
+    return (
+        word_stats.join(bigram_stats, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n_words").cast("bigint").alias("n_words"),
+            F.round(F.col("_top_word") / F.col("_n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("_top_bigram") / F.col("_n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence chunking: overlapping token windows of
+    ``window`` tokens every ``stride`` tokens (stride < window ⇒
+    window−stride tokens of overlap, the standard packing prep).
+
+    Pure native expressions — sequence() for starts, slice() per start,
+    posexplode for chunk ids — so chunking N tokens is O(N·window/stride)
+    with no Python in the loop and no shuffle at all (narrow op).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias(id_col), tokens_col(F.col(text_col)).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    starts = F.expr("sequence(0, greatest(_n - 1, 0), {stride})".format(stride=stride))
+    return (
+        toks.filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_t",
+            "_n",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .filter(F.col("_start") < F.col("_n"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.expr(f"slice(_t, _start + 1, {window})").alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_chunk").cast("bigint").alias("chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )

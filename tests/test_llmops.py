@@ -379,3 +379,65 @@ def test_blocked_cosine_pairs_block_guard(spark):
     out = blocked_cosine_pairs(df, max_block_size=100).collect()
     assert len(out) == 50 * 49 / 2
     assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)
+
+
+def test_scrub_pii_planted(spark):
+    from gfw_data_api_spark.llmops.clean import scrub_pii
+
+    rows = [
+        (1, "reach me at jane.doe+x@mail.example.org or 555-123-4567 ok"),
+        (2, "server at 10.0.0.1 and 192.168.1.254 no mail"),
+        (3, "mail user@1.2.3.4 tel 555.987.6543"),
+        (4, "clean text with nothing to hide"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "jane" not in out[1]["redacted"]
+    assert out[2]["n_ip"] == 2
+    assert out[2]["redacted"].count("<IP>") == 2
+    # numeric-host "email" is NOT an email (no alphabetic TLD) — the
+    # host is redacted as an IP; dotted phone redacts as phone, not IP
+    assert out[3]["n_email"] == 0 and out[3]["n_phone"] == 1 and out[3]["n_ip"] == 1
+    assert out[3]["redacted"] == "mail user@<IP> tel <PHONE>"
+    assert out[4]["redacted"] == rows[3][1]
+    assert out[4]["n_email"] == out[4]["n_phone"] == out[4]["n_ip"] == 0
+
+
+def test_repetition_signals_known_values(spark):
+    from gfw_data_api_spark.llmops.text import repetition_signals
+
+    rows = [
+        (1, "spam spam spam spam"),            # top word 4/4, top bigram 3/3
+        (2, "a b c d"),                         # all distinct: 1/4, 1/3
+        (3, "one"),                             # single word, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["top_word_frac"] == 1.0 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["top_word_frac"] == 0.25
+    assert out[2]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3]["n_words"] == 1 and out[3]["top_bigram_frac"] == 0.0
+
+
+def test_chunk_documents_boundaries(spark):
+    from gfw_data_api_spark.llmops.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    out = chunk_documents(df, window=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # starts 0, 48, 96 → lengths 64, 52, 4
+    assert [c["chunk_tokens"] for c in chunks] == [64, 52, 4]
+    assert chunks[0]["chunk_text"].split()[0] == "w0"
+    assert chunks[1]["chunk_text"].split()[0] == "w48"
+    # overlap: tokens 48-63 appear in both chunk 0 and chunk 1
+    assert set(chunks[0]["chunk_text"].split()[48:]) <= set(chunks[1]["chunk_text"].split())
+    assert by_doc[2][0]["chunk_tokens"] == 2
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=0)
