@@ -410,6 +410,36 @@ def create_app(
                     },
                 )
 
+            # /task/{task_id} — single task row (reference tasks/task.py:43;
+            # task ids here are "{asset_id}:{step}" change-log steps)
+            if (
+                len(parts) == 2
+                and parts[0] in ("task", "tasks")
+                and method == "GET"
+            ):
+                asset_id, _, step = parts[1].partition(":")
+                try:
+                    task_asset = registry.get_asset(asset_id)
+                    entry = task_asset.change_log[int(step)]
+                except (RegistryError, ValueError, IndexError):
+                    return _json_response(
+                        start_response,
+                        {"status": "failed", "message": "Task not found."},
+                        404,
+                    )
+                return _json_response(
+                    start_response,
+                    {
+                        "data": {
+                            "task_id": parts[1],
+                            "asset_id": asset_id,
+                            "change_log": [entry],
+                            "status": entry["status"],
+                        },
+                        "status": "success",
+                    },
+                )
+
             # /geostore/admin/... — admin-boundary geostores
             # (reference app/routes/geostore/geostore.py:98-278)
             if (
@@ -598,6 +628,25 @@ def create_app(
                     return _json_response(
                         start_response,
                         {"data": asset.change_log, "status": "success"},
+                    )
+                if sub == ["tasks"] and method == "GET":
+                    # reference assets/asset.py tasks route: one task row
+                    # per pipeline step. Pipelines here run synchronously
+                    # in Spark, so tasks are the change-log steps.
+                    return _json_response(
+                        start_response,
+                        {
+                            "data": [
+                                {
+                                    "task_id": f"{asset.asset_id}:{i}",
+                                    "asset_id": asset.asset_id,
+                                    "change_log": [entry],
+                                    "status": entry["status"],
+                                }
+                                for i, entry in enumerate(asset.change_log)
+                            ],
+                            "status": "success",
+                        },
                     )
                 if sub == ["creation_options"] and method == "GET":
                     return _json_response(

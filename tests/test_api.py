@@ -838,3 +838,17 @@ def test_zonal_post_inline_geometry(app):
     missing = call(app, "POST", "/analysis/zonal",
                    body={"dataset": "umd_tree_cover_loss"})
     assert missing["status"] == 422
+
+
+def test_asset_tasks_and_task_lookup(app):
+    assets = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/assets")
+    asset_id = assets["body"]["data"][0]["asset_id"]
+    tasks = call(app, "GET", f"/asset/{asset_id}/tasks")
+    assert tasks["status"] == 200
+    assert len(tasks["body"]["data"]) >= 1
+    task_id = tasks["body"]["data"][0]["task_id"]
+    one = call(app, "GET", f"/task/{task_id}")
+    assert one["status"] == 200
+    assert one["body"]["data"]["asset_id"] == asset_id
+    assert call(app, "GET", "/task/nope:0")["status"] == 404
+    assert call(app, "GET", f"/task/{asset_id}:999")["status"] == 404
