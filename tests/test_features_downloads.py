@@ -364,3 +364,57 @@ def test_export_version_registers_assets(spark, vector_registry):
     # both registered as aux (non-default) assets of the version
     types = {a.asset_type for a in vector_registry.assets_for("areas", "v1")}
     assert {"geo_database_table", "ndjson", "csv"} <= types
+
+
+def test_watermark_admits_late_drops_too_late(spark, tmp_path):
+    """Append-mode watermark semantics across micro-batches: a late event
+    inside the watermark is counted; an event later than the watermark
+    (its window already finalized) is dropped."""
+    import datetime as dt
+    import os
+
+    from gfw_data_api_spark.streaming.windows import tumbling_window_counts
+
+    def ev(h, m, value=1.0):
+        return (dt.datetime(2024, 1, 1, h, m), "k", value)
+
+    schema = "ts timestamp, key string, value double"
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_batch(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(src)
+        out = tumbling_window_counts(stream, "1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two events in the 01:00 window, one at 03:50 advancing the
+    # watermark to 02:50 → window [01:00, 02:00) finalizes and emits
+    run_batch([ev(1, 10), ev(1, 20), ev(3, 50)], "b1")
+    # batch 2: 03:20 is late but within the watermark (02:50) → counted;
+    # 01:30 is too late (its window already emitted) → dropped;
+    # 05:30 advances the watermark past 04:00 so window [03:00, 04:00)
+    # finalizes with BOTH the 03:50 and the late 03:20 events
+    run_batch([ev(3, 20), ev(1, 30), ev(5, 30)], "b2")
+
+    rows = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert rows[1] == 2  # batch-2's 01:30 did NOT re-open the window
+    assert rows[3] == 2  # late-but-in-watermark 03:20 was admitted
+    assert 5 not in rows  # unfinalized window not emitted in append mode

@@ -133,3 +133,44 @@ def test_bucketed_tile_sets_join_without_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_layer_a")
         spark.sql("DROP TABLE IF EXISTS bucketed_layer_b")
+
+
+def test_chunk_and_pii_are_narrow(spark, sf_dir):
+    """c01/c02 must not shuffle beyond the deliberate documents fanout."""
+    from gfw_data_api_spark.llmops.clean import scrub_pii
+    from gfw_data_api_spark.llmops.text import chunk_documents
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
+    for df in (chunk_documents(docs), scrub_pii(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_jaccard_df_cap_uses_broadcast_antijoin(spark, sf_dir):
+    """The hot-shingle filter must be a broadcast anti-join, never a
+    shuffled one (the hot list is small by construction)."""
+    from gfw_data_api_spark.llmops.dedup import ngram_jaccard_pairs
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        ngram_jaccard_pairs(docs, max_doc_frequency=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # and the anti-join must not fall back to a shuffle join
+    assert not re.search(r"SortMergeJoin.*LeftAnti", plan), plan
+
+
+def test_approx_percentile_partial_aggregation(spark, sf_dir):
+    """a02's sketch path must aggregate map-side (partial_approx_percentile
+    before the exchange) — the property that bounds reducer state."""
+    from gfw_data_api_spark.operators.percentiles import grouped_percentiles
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = grouped_percentiles(li, ["l_returnflag"], {"p50": ("l_quantity", 0.5)})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_percentile" in plan, plan
