@@ -91,12 +91,18 @@ def create_app(
     registry: Registry,
     geostore: Geostore | None = None,
     auth: AuthConfig | None = None,
+    allowed_source_prefixes: list[str] | None = None,
 ) -> Callable:
     """``auth=None`` runs the API open (no key/token checks, the default
     for embedded/test use); passing an :class:`AuthConfig` enforces the
     reference's contract — x-api-key on query/download routes (403
     without), 401 on restricted datasets unless the bearer user is an
-    ADMIN of gfw/gfw-pro, and the /auth key-management routes."""
+    ADMIN of gfw/gfw-pro, and the /auth key-management routes.
+
+    ``allowed_source_prefixes`` restricts client-supplied file paths
+    (append source_uri, batch-query uri) to the given prefixes — the
+    reference's _verify_source_file_access bucket allowlist. ``None``
+    (embedded/local mode) allows any path."""
     geostore = geostore or Geostore(registry)
     jobs = JobRegistry(os.path.join(registry.warehouse, "_jobs"))
     metadata_store = MetadataStore(os.path.join(registry.root, "metadata.json"))
@@ -119,6 +125,22 @@ def create_app(
                 "Unauthorized write access to a dataset/version/asset by a "
                 "user who is not an admin or data manager",
                 401,
+            )
+
+    def check_source_uris(paths) -> None:
+        """reference routes/datasets/__init__.py _verify_source_file_access
+        — 400 on paths outside the configured allowlist."""
+        if allowed_source_prefixes is None:
+            return
+        bad = [
+            p for p in paths
+            if not any(str(p).startswith(pref) for pref in allowed_source_prefixes)
+        ]
+        if bad:
+            raise QueryGuardError(
+                f"Cannot access all of the source files (non-existent or "
+                f"access denied). Invalid sources: {bad}",
+                400,
             )
 
     def asset_stats(asset) -> dict:
@@ -246,7 +268,12 @@ def create_app(
                             "status": "success",
                         },
                     )
-                if len(sub) == 3 and sub[0] == "apikey" and sub[2] == "validate":
+                if (
+                    len(sub) == 3
+                    and sub[0] == "apikey"
+                    and sub[2] == "validate"
+                    and method == "GET"
+                ):
                     user = auth.get_user(environ)
                     if user.role != "ADMIN":
                         raise AuthError("Unauthorized", 401)
@@ -299,7 +326,10 @@ def create_app(
                         {"data": _asdict(row), "status": "success"},
                     )
 
-            # /job/{id} — poll async analyses (app/routes/jobs/job.py:24)
+            # /job/{id} — poll async analyses (app/routes/jobs/job.py:24).
+            # Deliberately unauthenticated like the reference's job route:
+            # submission is gated, polling/results are capability-URLs
+            # (possession of the unguessable job UUID).
             if parts and parts[0] == "job" and method == "GET":
                 if len(parts) == 2:
                     job = jobs.get(parts[1])
@@ -333,12 +363,18 @@ def create_app(
             if parts == ["political", "id-lookup"] and method == "GET":
                 import unicodedata
 
+                # non-decomposable letters NFD can't strip (ø, đ, …) —
+                # both sides must fold them identically
+                _NODECOMP = str.maketrans("øØđĐßæÆœŒ", "oodds" + "aaoo")
+
                 def _norm(s: str) -> str:
-                    # unidecode analog: strip combining marks, lowercase
+                    # unidecode analog: strip combining marks, fold the
+                    # non-decomposables, lowercase
                     decomposed = unicodedata.normalize("NFD", s)
-                    return "".join(
+                    stripped = "".join(
                         ch for ch in decomposed if not unicodedata.combining(ch)
-                    ).lower()
+                    )
+                    return stripped.translate(_NODECOMP).lower()
 
                 country = (params.get("country") or [None])[0]
                 region = (params.get("region") or [None])[0]
@@ -356,6 +392,22 @@ def create_app(
                 df = registry.load(
                     spark, "gadm_administrative_boundaries", "latest"
                 ).filter(F.col("adm_level") == str(adm_level))
+                # accent map for the column-side fallback — must fold every
+                # character the query-side _norm folds, or accented stored
+                # names can never match. ß is excluded from the uppercase
+                # half ("ß".upper() is the two-char "SS").
+                _SRC_L = "áàâãäåçéèêëíìîïñóòôõöøúùûüýÿćčšžđæœß"
+                _DST_L = "aaaaaaceeeeiiiinoooooouuuuyyccszdaos"
+
+                def _fold(col):
+                    return F.lower(
+                        F.translate(
+                            col,
+                            _SRC_L + _SRC_L[:-1].upper(),
+                            _DST_L + _DST_L[:-1],
+                        )
+                    )
+
                 name_fields = ["country", "name_1", "name_2"]
                 for field_name, value in zip(
                     name_fields, (country, region, subregion)
@@ -367,7 +419,7 @@ def create_app(
                         col = (
                             F.col(normalized_col)
                             if normalized_col in df.columns
-                            else F.lower(F.col(field_name))
+                            else _fold(F.col(field_name))
                         )
                         df = df.filter(col == _norm(value))
                     else:
@@ -508,6 +560,8 @@ def create_app(
                 version = registry.resolve_version(
                     dataset, body.get("version", "latest")
                 )
+                # same read surface as /query — same key + restricted gate
+                check_query_auth(environ, params, dataset, version)
                 df = zonal_statistics(
                     spark,
                     registry,
@@ -533,6 +587,7 @@ def create_app(
                 geometry = geostore.geometry(spark, parts[2])
                 dataset = params["dataset"][0]
                 version = registry.resolve_version(dataset, params.get("version", ["latest"])[0])
+                check_query_auth(environ, params, dataset, version)
                 df = zonal_statistics(
                     spark,
                     registry,
@@ -693,6 +748,7 @@ def create_app(
                     if method == "PUT":
                         # create-or-echo (reference PUT /dataset/{d});
                         # metadata may ride along like DatasetCreateIn
+                        check_manager(environ)
                         entity = registry.ensure_dataset(parts[1])
                         if "is_downloadable" in body:
                             entity.is_downloadable = bool(body["is_downloadable"])
@@ -704,15 +760,7 @@ def create_app(
                     elif method == "PATCH":
                         # reference PATCH /dataset/{d}: partial metadata /
                         # accessibility update, owner/manager gated
-                        if auth is not None:
-                            user = auth.get_user(environ)
-                            if user.role not in ("ADMIN", "MANAGER"):
-                                raise AuthError(
-                                    "Unauthorized write access to a dataset/"
-                                    "version/asset by a user who is not an "
-                                    "admin or data manager",
-                                    401,
-                                )
+                        check_manager(environ)
                         entity = registry.get_dataset(parts[1])
                         if "is_downloadable" in body:
                             entity.is_downloadable = bool(body["is_downloadable"])
@@ -775,15 +823,7 @@ def create_app(
                 if len(parts) == 3 and method in ("GET", "PATCH"):
                     entity = registry.get_version(dataset, version)
                     if method == "PATCH":
-                        if auth is not None:
-                            user = auth.get_user(environ)
-                            if user.role not in ("ADMIN", "MANAGER"):
-                                raise AuthError(
-                                    "Unauthorized write access to a dataset/"
-                                    "version/asset by a user who is not an "
-                                    "admin or data manager",
-                                    401,
-                                )
+                        check_manager(environ)
                         if body.get("metadata"):
                             metadata_store.update(
                                 "version", f"{dataset}/{version}", body["metadata"]
@@ -831,6 +871,7 @@ def create_app(
                             },
                         )
                     if method == "POST":
+                        check_manager(environ)
                         from gfw_data_api_spark.sources import pipeline as _pipeline
 
                         asset_type = body.get("asset_type")
@@ -917,15 +958,7 @@ def create_app(
                     # schema must match or be a subset of the original
                     from gfw_data_api_spark.sources import pipeline as _pipeline
 
-                    if auth is not None:
-                        user = auth.get_user(environ)
-                        if user.role not in ("ADMIN", "MANAGER"):
-                            raise AuthError(
-                                "Unauthorized write access to a dataset/"
-                                "version/asset by a user who is not an admin "
-                                "or data manager",
-                                401,
-                            )
+                    check_manager(environ)
                     source_uri = body.get("source_uri")
                     if isinstance(source_uri, str):
                         source_uri = [source_uri]
@@ -933,10 +966,16 @@ def create_app(
                         raise QueryGuardError(
                             "source_uri must be a non-empty list.", 422
                         )
+                    check_source_uris(source_uri)
                     asset = registry.get_default_asset(dataset, version)
                     req_driver = body.get("source_driver")
                     orig_delim = asset.creation_options.get("delimiter", ",")
-                    if req_driver and req_driver not in ("csv", "tsv", "text"):
+                    # reference versions.py:236-244: the driver must EQUAL
+                    # the original unless it is "text" (datapump requests)
+                    orig_driver = asset.creation_options.get(
+                        "source_driver", "csv"
+                    )
+                    if req_driver and req_driver != "text" and req_driver != orig_driver:
                         raise QueryGuardError(
                             "source_driver must match the original "
                             "source_driver",
@@ -984,6 +1023,7 @@ def create_app(
                             404,
                         )
                     if method == "PATCH":
+                        check_manager(environ)
                         doc = metadata_store.update(
                             "asset", asset_id, body.get("metadata") or body
                         )
@@ -1126,6 +1166,7 @@ def create_app(
                             geostore.geometry(spark, gid) for gid in geostore_ids
                         ]
                     else:
+                        check_source_uris([uri])
                         with open(uri) as fh:
                             fc = json.load(fh)
                         geometries = [
@@ -1318,9 +1359,7 @@ def create_app(
                     check_query_auth(environ, params, dataset, version)
                     import tempfile
 
-                    import numpy as _np
-
-                    from gfw_data_api_spark.raster.cog import write_cog
+                    from gfw_data_api_spark.raster.cog import tile_array, write_cog
                     from gfw_data_api_spark.raster.grid import Grid as _Grid
 
                     grid_name = (params.get("grid") or [None])[0]
@@ -1382,10 +1421,13 @@ def create_app(
                             },
                             404,
                         )
-                    n = grid_obj.pixels_per_side
-                    arr = _np.zeros((n, n), dtype="float64")
-                    for r in pix:
-                        arr[r["pixel_id"] // n, r["pixel_id"] % n] = r["value"]
+                    arr = tile_array(
+                        [r["pixel_id"] for r in pix],
+                        [r["value"] for r in pix],
+                        grid_obj.pixels_per_side,
+                        nodata=0,
+                        dtype="float64",
+                    )
                     lat, lon = grid_obj.parse_tile_id(tile_id)
                     with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
                         write_cog(

@@ -311,6 +311,19 @@ def read_cog(path: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def tile_array(pixel_ids, values, n: int, nodata=0, dtype="float32") -> np.ndarray:
+    """Long-format (pixel_id, value) rows → the n×n tile array.
+
+    THE one place that knows the pixel layout (pixel_id = row·n + col);
+    shared by the COG assembly's executor-side pack and the per-tile
+    GeoTIFF download route.
+    """
+    arr = np.full((n, n), nodata, dtype=dtype)
+    pid = np.asarray(pixel_ids)
+    arr[pid // n, pid % n] = np.asarray(values).astype(dtype)
+    return arr
+
+
 def cog_from_tile_set(
     spark,
     tile_set_path: str,
@@ -339,9 +352,9 @@ def cog_from_tile_set(
     n = grid.pixels_per_side
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        arr = np.full((n, n), nodata, dtype=dtype)
-        pid = pdf["pixel_id"].to_numpy()
-        arr[pid // n, pid % n] = pdf["value"].to_numpy().astype(dtype)
+        arr = tile_array(
+            pdf["pixel_id"].to_numpy(), pdf["value"].to_numpy(), n, nodata, dtype
+        )
         return pd.DataFrame(
             [{"tile_id": key[0], "blob": zlib.compress(arr.tobytes(), 6)}]
         )

@@ -103,6 +103,21 @@ def append_tabular(
     options = asset.creation_options
     if options.get("latitude") and options.get("longitude"):
         incoming = tabular.add_point_geometry(incoming, options["latitude"], options["longitude"])
+    # "Schema of input file must match or be a subset of previous input
+    # files" (versions.py:214-216): columns outside the target schema or
+    # a source sharing NO columns are input errors, not silent drops —
+    # unchecked, a disjoint CSV appends zero-column part files that
+    # corrupt the asset directory for every later read.
+    extra = [c for c in incoming.columns if c not in existing.columns]
+    if extra:
+        raise RegistryError(
+            f"Append source has columns not in the target schema: {extra}.",
+            400,
+        )
+    if not incoming.columns or not any(c in existing.columns for c in incoming.columns):
+        raise RegistryError(
+            "Append source shares no columns with the target schema.", 400
+        )
     incoming = incoming.select(*[c for c in existing.columns if c in incoming.columns])
     if unique_on:
         incoming = tabular.append_new_rows(existing, incoming, unique_on)

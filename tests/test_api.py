@@ -611,6 +611,7 @@ def gadm_app(app, spark):
     rows = []
     for level, gid0, gid1, gid2, country, n1, n2, x in [
         ("0", "BRA", None, None, "Brazil", None, None, 10.0),
+        ("0", "CUW", None, None, "Cura\u00e7ao", None, None, 50.0),
         ("0", "MOZ", None, None, "Mozambique", None, None, 30.0),
         ("1", "BRA", "BRA.12_1", None, "Brazil", "Acre", None, 11.0),
         ("2", "BRA", "BRA.12_1", "BRA.12.3_1", "Brazil", "Acre", "Bujari", 11.5),
@@ -644,7 +645,7 @@ def gadm_app(app, spark):
 def test_admin_geostore_list(gadm_app):
     out = call(gadm_app, "GET", "/geostore/admin/list")
     assert out["status"] == 200
-    assert [r["iso"] for r in out["body"]["data"]] == ["BRA", "MOZ"]
+    assert [r["iso"] for r in out["body"]["data"]] == ["BRA", "CUW", "MOZ"]
     assert out["body"]["data"][0]["name"] == "Brazil"
 
 
@@ -852,3 +853,75 @@ def test_asset_tasks_and_task_lookup(app):
     assert one["body"]["data"]["asset_id"] == asset_id
     assert call(app, "GET", "/task/nope:0")["status"] == 404
     assert call(app, "GET", f"/task/{asset_id}:999")["status"] == 404
+
+
+def test_id_lookup_accented_fallback(gadm_app):
+    """Stored accented names must match both accented and plain queries
+    even without *_normalized columns (both sides fold identically)."""
+    for q in ("Cura%C3%A7ao", "curacao", "CURACAO"):
+        out = call(gadm_app, "GET", "/political/id-lookup", query=f"country={q}")
+        assert out["status"] == 200, q
+        matches = out["body"]["data"]["matches"]
+        assert len(matches) == 1, (q, matches)
+        assert matches[0]["country"]["id"] == "CUW"
+
+
+def test_append_schema_guards(app, spark, tmp_path):
+    import csv as csvmod2
+
+    registry = app._registry
+    base = str(tmp_path / "b.csv")
+    with open(base, "w", newline="") as fh:
+        w = csvmod2.writer(fh)
+        w.writerow(["id", "iso"]); w.writerow([1, "MOZ"])
+    from gfw_data_api_spark.sources.pipeline import ingest_tabular as _ingest
+    _ingest(registry, spark, "schema_guard", "v1", base, is_mutable=True)
+
+    disjoint = str(tmp_path / "d.csv")
+    with open(disjoint, "w", newline="") as fh:
+        w = csvmod2.writer(fh)
+        w.writerow(["other", "cols"]); w.writerow([1, 2])
+    out = call(app, "POST", "/dataset/schema_guard/v1/append",
+               body={"source_uri": [disjoint]})
+    assert out["status"] == 400
+    assert "columns" in out["body"]["message"]
+
+    extra = str(tmp_path / "e.csv")
+    with open(extra, "w", newline="") as fh:
+        w = csvmod2.writer(fh)
+        w.writerow(["id", "iso", "surprise"]); w.writerow([2, "BOL", "x"])
+    out = call(app, "POST", "/dataset/schema_guard/v1/append",
+               body={"source_uri": [extra]})
+    assert out["status"] == 400
+    assert "surprise" in out["body"]["message"]
+
+    # subset appends stay allowed
+    subset = str(tmp_path / "s.csv")
+    with open(subset, "w", newline="") as fh:
+        w = csvmod2.writer(fh)
+        w.writerow(["id"]); w.writerow([5])
+    out = call(app, "POST", "/dataset/schema_guard/v1/append",
+               body={"source_uri": [subset]})
+    assert out["status"] == 200
+
+    # driver must equal the original (csv); "text" passes (datapump)
+    mismatch = call(app, "POST", "/dataset/schema_guard/v1/append",
+                    body={"source_uri": [subset], "source_driver": "tsv"})
+    assert mismatch["status"] == 400
+    text_ok = call(app, "POST", "/dataset/schema_guard/v1/append",
+                   body={"source_uri": [subset], "source_driver": "text"})
+    assert text_ok["status"] == 200
+
+
+def test_source_uri_allowlist(app, spark, tmp_path_factory):
+    from gfw_data_api_spark.api.app import create_app as _ca
+
+    registry = app._registry
+    restricted = _ca(spark, registry,
+                     allowed_source_prefixes=["/data/lake/"])
+    restricted._registry = registry
+    out = call(restricted, "POST", "/dataset/umd_tree_cover_loss/v1/query/batch",
+               body={"sql": "SELECT count(*) AS n FROM data",
+                     "uri": "/etc/passwd"})
+    assert out["status"] == 400
+    assert "Invalid sources" in out["body"]["message"]

@@ -289,3 +289,37 @@ def test_open_mode_unchanged(spark, tmp_path_factory):
     out = call(app, "GET", "/dataset/d/v1/query/json", query=Q)
     assert out["status"] == 200
     assert call(app, "POST", "/auth/token", body={})["status"] == 404
+
+
+def test_write_routes_require_manager(authed):
+    """PUT dataset / POST assets / PATCH asset metadata / zonal analysis
+    are gated when auth is on (code-review regression)."""
+    app = authed["app"]
+    no_creds_cases = [
+        ("PUT", "/dataset/new_ds", {"is_downloadable": True}),
+        ("POST", "/dataset/open_data/v1/assets", {"asset_type": "csv"}),
+    ]
+    for method, path, body in no_creds_cases:
+        out = call(app, method, path, body=body)
+        assert out["status"] == 401, (method, path, out)
+    # non-manager token also rejected
+    plain = {"authorization": "Bearer " + authed["tokens"]["plain"]}
+    out = call(app, "PUT", "/dataset/new_ds", body={}, headers=plain)
+    assert out["status"] == 401
+
+
+def test_zonal_requires_api_key(authed):
+    geom = {"type": "Polygon",
+            "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]}
+    out = call(authed["app"], "POST", "/analysis/zonal",
+               body={"geometry": geom, "dataset": "open_data"})
+    assert out["status"] == 403
+    assert out["body"]["message"] == "No valid API Key found."
+
+
+def test_validate_route_pins_method(authed):
+    admin = {"authorization": "Bearer " + authed["tokens"]["admin"]}
+    key = authed["keys"]["open"]
+    out = call(authed["app"], "DELETE", f"/auth/apikey/{key}/validate",
+               headers=admin)
+    assert out["status"] != 200 or "is_valid" not in out.get("body", {}).get("data", {})
