@@ -1544,6 +1544,141 @@ _SPECS.append(
 )
 
 
+def _s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.quantize import quantization_report
+
+    return quantization_report(load_table(spark, sf_dir, "embeddings"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s06_int8_quantization",
+        spark_fn=_s06,
+        oracle=(
+            "WITH m AS (SELECT vec_id, "
+            "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax "
+            "FROM embeddings), "
+            "s AS (SELECT vec_id, CASE WHEN absmax = 0 THEN 1.0 ELSE absmax / 127 END AS scale FROM m), "
+            "q AS (SELECT e.vec_id, s.scale, "
+            "list_transform(e.embedding, x -> floor(CAST(x AS DOUBLE) / s.scale + 0.5)) AS qv, "
+            "e.embedding AS emb FROM embeddings e JOIN s ON e.vec_id = s.vec_id) "
+            "SELECT vec_id, round(scale, 6) AS scale, "
+            "CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS qnorm_sq, "
+            "round(list_max(list_transform(list_zip(emb, qv), "
+            "p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale))), 6) AS recon_err "
+            "FROM q"
+        ),
+        survey_ref="LLM ops: per-vector symmetric int8 embedding "
+        "quantization (FAISS-SQ8 recipe) — scale/||q||2/reconstruction "
+        "error, all native higher-order fns (llmops/quantize.py)",
+    )
+)
+
+
+def _u01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.clean import canonicalize_url_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic synthetic URLs (corpus has no url column); identical
+    # construction in the oracle so normalization is exercised for real
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/sub?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=tw#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("raw_url"),
+        canonicalize_url_col(url).alias("canonical_url"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="u01_url_canonicalization",
+        spark_fn=_u01,
+        oracle=(
+            "WITH u AS (SELECT doc_id, 'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.COM:443/Path' || CAST(doc_id % 3 AS VARCHAR) || '/sub?utm_source=feed&id=' || "
+            "CAST(doc_id AS VARCHAR) || '&ref=tw#frag' AS raw_url FROM documents), "
+            "c1 AS (SELECT doc_id, raw_url, "
+            "lower(regexp_extract(raw_url, '^([a-zA-Z]+://[^/?#]*)', 1)) || "
+            "regexp_replace(raw_url, '^[a-zA-Z]+://[^/?#]*', '') AS x FROM u), "
+            "c2 AS (SELECT doc_id, raw_url, regexp_replace(x, '#.*$', '') AS x FROM c1), "
+            "c3 AS (SELECT doc_id, raw_url, regexp_replace(x, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS x FROM c2), "
+            "c4 AS (SELECT doc_id, raw_url, "
+            "regexp_replace(regexp_replace(x, '^(http://[^/?#]*):80(/|\\?|$)', '\\1\\2'), "
+            "'^(https://[^/?#]*):443(/|\\?|$)', '\\1\\2') AS x FROM c3), "
+            "c5 AS (SELECT doc_id, raw_url, "
+            "regexp_replace(regexp_replace(regexp_replace(x, '\\?&+', '?', 'g'), "
+            "'[?&]+$', ''), '&&+', '&', 'g') AS x FROM c4) "
+            "SELECT doc_id, raw_url, "
+            "regexp_replace(x, '^([a-z]+://[^/?#]+)/$', '\\1') AS canonical_url FROM c5"
+        ),
+        survey_ref="LLM ops: URL canonicalization for web-corpus dedup "
+        "keys — lowercase host, strip fragment/tracking params/default "
+        "ports (llmops/clean.py canonicalize_url_col)",
+    )
+)
+
+
+def _p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return curate_corpus(
+        corpus,
+        benchmark,
+        keep_langs=("en", "de"),
+        min_tokens=10,
+        max_top_word_frac=0.2,
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="p01_curate_corpus",
+        spark_fn=_p01,
+        oracle=(
+            "WITH base AS (SELECT doc_id, text, lang, source, n_chars, "
+            "regexp_split_to_array(trim(text), '\\s+') AS t "
+            "FROM documents WHERE doc_id % 17 != 0), "
+            "tok AS (SELECT *, CAST(len(t) AS BIGINT) AS n_tokens FROM base "
+            "WHERE len(t) BETWEEN 10 AND 100000), "
+            "wc AS (SELECT doc_id, unnest(t) AS w FROM tok), "
+            "topw AS (SELECT doc_id, max(c) AS top FROM "
+            "(SELECT doc_id, w, count(*) AS c FROM wc GROUP BY 1, 2) GROUP BY 1), "
+            "q AS (SELECT tok.*, round(topw.top / tok.n_tokens, 6) AS top_word_frac "
+            "FROM tok JOIN topw USING (doc_id) "
+            "WHERE round(topw.top / tok.n_tokens, 6) <= 0.2 AND lang IN ('en', 'de')), "
+            "dedup AS (SELECT * EXCLUDE (rk) FROM "
+            "(SELECT q.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM q) "
+            "WHERE rk = 1), "
+            "bgrams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g FROM "
+            "(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+            "FROM documents WHERE doc_id % 17 = 0) b, "
+            "unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)), "
+            "cgrams AS (SELECT DISTINCT d.doc_id, array_to_string(d.t[i:i+4], ' ') AS g "
+            "FROM dedup d, unnest(range(1, greatest(len(d.t) - 3, 1))) AS u(i)), "
+            "flagged AS (SELECT cgrams.doc_id FROM cgrams JOIN bgrams USING (g) "
+            "GROUP BY cgrams.doc_id, bgrams.doc_id HAVING count(*) >= 2) "
+            "SELECT doc_id, text, lang, source, n_chars, n_tokens, top_word_frac "
+            "FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)"
+        ),
+        survey_ref="LLM pipeline FLAGSHIP: composed curation — token-count "
+        "+ repetition filters -> language filter -> exact dedup -> "
+        "benchmark decontamination, ONE lazy Catalyst plan "
+        "(llmops/curate.py)",
+    )
+)
+
+
 def _ca01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.streaming.continuous_agg import ContinuousAggregate
 

@@ -57,3 +57,52 @@ def scrub_pii(
         *pii_counts(text),
         redact_col(text).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus dedup prep)
+# ---------------------------------------------------------------------------
+
+# tracking params stripped by every major crawl-dedup pipeline
+_TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Normalize a URL for dedup keying, all native regexp ops:
+
+    1. lowercase scheme+host (path stays case-sensitive per RFC 3986),
+    2. drop the fragment,
+    3. strip tracking params (utm_*, fbclid, gclid, ref),
+    4. drop default ports (:80 http, :443 https),
+    5. collapse a now-empty query ("?", "?&") and trailing "&",
+    6. drop a bare trailing slash on the path.
+
+    RE2-compatible patterns throughout — the DuckDB oracle runs the
+    same strings.
+    """
+    # 1: lowercase everything before the first "/" after "//"
+    out = F.concat(
+        F.lower(F.regexp_extract(url, r"^([a-zA-Z]+://[^/?#]*)", 1)),
+        F.regexp_replace(url, r"^[a-zA-Z]+://[^/?#]*", ""),
+    )
+    out = F.regexp_replace(out, r"#.*$", "")                         # 2
+    out = F.regexp_replace(out, _TRACKING_PARAM_RE, "")              # 3
+    out = F.regexp_replace(out, r"^(http://[^/?#]*):80(/|\?|$)", r"$1$2")   # 4
+    out = F.regexp_replace(out, r"^(https://[^/?#]*):443(/|\?|$)", r"$1$2")
+    out = F.regexp_replace(out, r"\?&+", "?")                        # 5
+    out = F.regexp_replace(out, r"[?&]+$", "")
+    out = F.regexp_replace(out, r"&&+", "&")
+    out = F.regexp_replace(out, r"^([a-z]+://[^/?#]+)/$", r"$1")     # 6
+    return out
+
+
+def url_dedup_keys(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canonical_url) — groupBy(canonical_url) is the web-corpus
+    exact-URL dedup; the canonical form is also the right partitioning
+    key for per-site pipelines (host prefix groups a site's pages)."""
+    return df.select(
+        F.col(id_col),
+        canonicalize_url_col(F.col(url_col)).alias("canonical_url"),
+    )

@@ -441,3 +441,65 @@ def test_chunk_documents_boundaries(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, window=0)
+
+
+def test_curate_corpus_planted(spark):
+    from gfw_data_api_spark.llmops.curate import curate_corpus
+
+    good = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (1, good, "en"),                                  # survives
+        (2, good, "en"),                                  # exact dup of 1 → dropped
+        (3, "spam spam spam spam spam spam spam spam spam spam", "en"),  # repetitive
+        (4, good.replace("alpha", "zulu"), "fr"),          # wrong language
+        (5, "too short", "en"),                            # under min_tokens
+        (6, "secret bench question one two three four five six seven eight nine", "en"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bench = spark.createDataFrame(
+        [(100, "secret bench question one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    kept = curate_corpus(corpus, bench, min_tokens=10, keep_langs=("en",))
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1]
+    row = kept.collect()[0]
+    assert row["n_tokens"] == 12
+    assert row["top_word_frac"] == pytest.approx(1 / 12, abs=1e-6)
+
+
+def test_quantization_roundtrip_error_bound(spark):
+    from gfw_data_api_spark.llmops.quantize import (
+        quantization_report,
+        quantize_embeddings,
+    )
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert q[1]["qvec"] == [127, -63, 32, 0]  # floor(x/scale + .5)
+    assert q[2]["qvec"] == [0, 0, 0, 0] and q[2]["scale"] == 1.0
+    rep = {r["vec_id"]: r for r in quantization_report(df).collect()}
+    # reconstruction error bounded by scale/2
+    assert rep[1]["recon_err"] <= rep[1]["scale"] / 2 + 1e-9
+    assert rep[2]["recon_err"] == 0.0
+
+
+def test_url_canonicalization_cases(spark):
+    from gfw_data_api_spark.llmops.clean import url_dedup_keys
+
+    cases = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=7#frag",
+            "https://www.example.com/Path/?id=7"),
+        (2, "http://Site.org:80/a?b=1&utm_campaign=z",
+            "http://site.org/a?b=1"),
+        (3, "https://host.com/", "https://host.com"),
+        (4, "http://host.com/p?utm_medium=email", "http://host.com/p"),
+        (5, "https://h.com/x?a=1&ref=tw&b=2", "https://h.com/x?a=1&b=2"),
+        (6, "https://h.com:8443/x", "https://h.com:8443/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in url_dedup_keys(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
