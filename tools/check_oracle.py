@@ -5,7 +5,12 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB at sf0.01, then compares row count, column
 names, and values (column-name-sorted, row-sorted, exact where possible).
 
-Usage: python tools/check_oracle.py [name_prefix ...]
+Usage: python tools/check_oracle.py [--virgin] [name_prefix ...]
+
+``--virgin`` replicates the driver harness: a bare SparkSession built
+without any of session.py's confs, and with a deliberately non-UTC session
+timezone — every gate entry must pass there too (load_table sets the
+events-read confs and UTC at runtime; nothing may depend on the builder).
 """
 
 from __future__ import annotations
@@ -78,9 +83,23 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    prefixes = sys.argv[1:]
+    argv = sys.argv[1:]
+    virgin = "--virgin" in argv
+    prefixes = [a for a in argv if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
-    spark = get_spark(app_name="oracle-check")
+    if virgin:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-virgin")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.session.timeZone", "America/Chicago")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for table in TABLES:
         con.sql(
