@@ -1750,6 +1750,96 @@ _SPECS.append(
 )
 
 
+def _d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.components import dedup_clusters
+    from gfw_data_api_spark.llmops.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.12)
+    return dedup_clusters(docs, pairs)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d09_dedup_clusters",
+        spark_fn=_d09,
+        oracle=(
+            # d03's exact-Jaccard pair graph, resolved to components via
+            # recursive min-label reachability (graph is tiny at sf0.01;
+            # the Spark side uses the O(log n) alternating algorithm)
+            "WITH RECURSIVE "
+            "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), "
+            "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.12), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, lbl) AS (SELECT a, a FROM edges "
+            "UNION SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b), "
+            "comp AS (SELECT node, min(lbl) AS c FROM reach GROUP BY node) "
+            "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS component, "
+            "COALESCE(comp.c, d.doc_id) = d.doc_id AS keep "
+            "FROM documents d LEFT JOIN comp ON comp.node = d.doc_id"
+        ),
+        survey_ref="LLM pipeline: near-dup pair graph → dedup clusters "
+        "(alternating large-star/small-star connected components)",
+    )
+)
+
+
+def _t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, eval_fraction=0.1, seed=42).select("doc_id", "split")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t08_hash_split",
+        spark_fn=_t07,
+        oracle=(
+            # the md5-bucket split is engine-portable by design: DuckDB
+            # derives the identical per-document assignment
+            "SELECT doc_id, CASE WHEN "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'), 1, 15))::BIGINT "
+            "% 1000 < 100 THEN 'eval' ELSE 'train' END AS split FROM documents"
+        ),
+        survey_ref="LLM pipeline: reproducible hash-bucket train/eval split "
+        "(zero-shuffle, append-stable)",
+    )
+)
+
+
+def _t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1, seed=7
+    ).select("doc_id", "lang")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t09_stratified_sample",
+        spark_fn=_t08,
+        oracle=(
+            "SELECT doc_id, lang FROM documents WHERE "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || lang || chr(31) || '7'), 1, 15))::BIGINT "
+            "% 1000 < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END"
+        ),
+        survey_ref="LLM pipeline: deterministic per-stratum corpus downsampling "
+        "(single narrow filter at any scale)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

@@ -1,0 +1,109 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+Train/eval splits and per-stratum downsampling at corpus scale must be
+(a) reproducible run-to-run and machine-to-machine, (b) stable under
+re-partitioning and appends (a document's split must never depend on
+which executor saw it or what else is in the corpus), and (c) free —
+no shuffle, no sort, no sampling state. The standard trick delivers all
+three: bucket each row by a cryptographic hash of its id + seed and
+keep the buckets below the target fraction. ``df.sample()`` gives none
+of these guarantees (partition-order dependent), which is why
+hash-bucket sampling is the norm in large-scale corpus curation.
+
+The bucket hash is md5-derived (not xxhash64) so external engines
+compute bit-identical buckets: the DuckDB oracle pair reproduces every
+assignment exactly, and a downstream system in another stack can
+re-derive the same split.
+
+Everything here is a pure narrow filter/projection: zero shuffles at
+any scale, predicate applied right after the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "hash_split", "stratified_sample"]
+
+# Unit separator keeps ("1", "23") and ("12", "3") from colliding when
+# id and seed are concatenated.
+_SEP = "\x1f"
+
+
+def hash_bucket(col: Column, seed: int = 0, buckets: int = 1000) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from a column + seed.
+
+    First 15 hex chars of md5 (60 bits — fits a BIGINT exactly) mod
+    ``buckets``. Portable: DuckDB's
+    ``('0x' || substr(md5(x || chr(31) || seed), 1, 15))::BIGINT %
+    buckets`` yields the identical bucket.
+    """
+    payload = F.concat_ws(_SEP, col.cast("string"), F.lit(str(seed)))
+    h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    eval_fraction: float = 0.1,
+    seed: int = 0,
+    train_label: str = "train",
+    eval_label: str = "eval",
+) -> DataFrame:
+    """Assign every row a reproducible train/eval split label.
+
+    A row's label is a pure function of (id, seed): stable across runs,
+    partitionings, and appends — new documents never flip old ones
+    between splits (the property that keeps eval sets uncontaminated as
+    a corpus grows).
+    """
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError(f"eval_fraction must be in [0, 1], got {eval_fraction}")
+    bucket = hash_bucket(F.col(id_col), seed=seed, buckets=1000)
+    threshold = int(round(eval_fraction * 1000))
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(threshold), F.lit(eval_label)).otherwise(
+            F.lit(train_label)
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows.
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed
+    keep ``default_fraction``. This is the corpus-mixing primitive
+    (e.g. downsample boilerplate-heavy sources, upweight rare
+    languages by downsampling everything else) — applied as a single
+    narrow filter, so at 100 TB it is exactly one pass over the scan
+    with the predicate pushed to the parquet reader.
+
+    The bucket is salted with the stratum value so re-using a seed
+    across strata does not correlate their keep sets.
+    """
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    bucket = hash_bucket(
+        F.concat_ws(_SEP, F.col(id_col).cast("string"), F.col(strata_col)),
+        seed=seed,
+        buckets=1000,
+    )
+    threshold: Column = F.lit(int(round(default_fraction * 1000)))
+    for stratum, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(round(frac * 1000)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

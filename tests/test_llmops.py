@@ -503,3 +503,141 @@ def test_url_canonicalization_cases(spark):
     got = {r["doc_id"]: r["canonical_url"] for r in url_dedup_keys(df).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# connected components / dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def _union_find_reference(pairs):
+    """Simple driver-side union-find for cross-checking small graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(i, i + 1) for i in range(1, 12)],  # worst case for naive propagation: a chain
+        [(20, 21), (21, 22), (20, 22), (30, 31)],  # triangle + pair
+        [(5, 1), (5, 2), (5, 3), (5, 4)],  # star centered off-min
+        [(9, 2), (7, 2), (9, 4), (3, 8), (8, 1)],  # arbitrary tangles
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from gfw_data_api_spark.llmops.components import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        (r["node"], r["component"]) for r in connected_components(pairs).collect()
+    }
+    want = set(_union_find_reference(edges).items())
+    assert got == want
+
+
+def test_connected_components_empty(spark):
+    from gfw_data_api_spark.llmops.components import connected_components
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty).collect() == []
+
+
+def test_dedup_clusters_keeps_one_per_cluster(spark):
+    from gfw_data_api_spark.llmops.components import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id bigint"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    rows = {r["doc_id"]: (r["component"], r["keep"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        10: (10, True),
+        11: (10, False),
+        99: (99, True),  # singleton: its own canonical cluster
+    }
+    kept = [d for d, (_, keep) in rows.items() if keep]
+    assert sorted(kept) == [1, 10, 99]
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_partition_stable(spark):
+    from gfw_data_api_spark.llmops.sampling import hash_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, seed=3).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17), seed=3).collect()
+    }
+    assert a == b  # assignment is a pure function of (id, seed)
+    frac = sum(1 for v in a.values() if v == "eval") / len(a)
+    assert 0.07 < frac < 0.13  # ~10% by construction
+
+
+def test_hash_split_append_stable(spark):
+    from gfw_data_api_spark.llmops.sampling import hash_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, seed=9).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, seed=9).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growing the corpus never flips a split
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    from gfw_data_api_spark.llmops.sampling import hash_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, seed=1).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, seed=2).collect()}
+    assert a != b
+
+
+def test_stratified_sample_fractions(spark):
+    from gfw_data_api_spark.llmops.sampling import stratified_sample
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 6000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.0, seed=4
+    )
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("zh", 0) == 0  # default fraction drops unlisted strata
+    assert 0.4 < counts["en"] / 2000 < 0.6
+    assert 0.12 < counts["de"] / 2000 < 0.28
+
+
+def test_stratified_sample_validates_fractions(spark):
+    from gfw_data_api_spark.llmops.sampling import stratified_sample
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        stratified_sample(docs.withColumn("lang", F.lit("en")), "lang", {"en": 1.5})
