@@ -1121,6 +1121,48 @@ _SPECS.append(
 )
 
 
+def _ts03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.timeseries import resample_locf
+
+    events = load_table(spark, sf_dir, "events")
+    out = resample_locf(
+        events, ["event_type"], ts_col="ts", value_col="value",
+        order_col="event_id", unit="hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value",
+        "filled",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="ts03_resample_locf",
+        spark_fn=_ts03,
+        oracle=(
+            # hourly gap-fill + last-observation-carried-forward per type;
+            # values are raw doubles carried through untouched (hash-safe)
+            "WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS bucket, "
+            "arg_max(value, event_id) AS o FROM events GROUP BY 1, 2), "
+            "spans AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx "
+            "FROM obs GROUP BY 1), "
+            "grid AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket "
+            "FROM spans), "
+            "j AS (SELECT g.event_type, g.bucket, o.o FROM grid g "
+            "LEFT JOIN obs o ON o.event_type = g.event_type AND o.bucket = g.bucket) "
+            "SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts, "
+            "last_value(o IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value, "
+            "o IS NULL AS filled FROM j"
+        ),
+        survey_ref="beyond-reference (SURVEY §2.7): gap-fill resample + LOCF "
+        "(TimescaleDB time_bucket_gapfill/locf analog)",
+    )
+)
+
+
 _SPECS.append(
     QuerySpec(
         name="q18_percentiles",
@@ -1836,6 +1878,38 @@ _SPECS.append(
         ),
         survey_ref="LLM pipeline: deterministic per-stratum corpus downsampling "
         "(single narrow filter at any scale)",
+    )
+)
+
+
+def _t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).select(
+        "doc_id", "n_bigrams", "df_sum", "avg_bigram_df"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t10_bigram_lm",
+        spark_fn=_t10,
+        oracle=(
+            # corpus-trained bigram frequencies; integer sums + one final
+            # division keep the hash deterministic (avg_logprob, a float
+            # aggregation, is test-verified instead — see test_llmops)
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "occ AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg "
+            "FROM toks, unnest(range(1, len(t))) AS u(i)), "
+            "bgc AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "CAST(sum(c2) AS BIGINT) AS df_sum, "
+            "CAST(sum(c2) AS DOUBLE) / count(*) AS avg_bigram_df "
+            "FROM occ JOIN bgc USING (bg) GROUP BY doc_id"
+        ),
+        survey_ref="LLM pipeline: corpus-trained bigram LM quality scoring "
+        "(CCNet/Gopher-style typicality filter)",
     )
 )
 

@@ -247,3 +247,65 @@ def chunk_documents(
             F.array_join("_chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model scores per document — the
+    CCNet/Gopher-style "does this read like the rest of the corpus"
+    quality filter, self-trained (no external model).
+
+    Returns per document:
+
+    - ``n_bigrams``: token-bigram count (occurrences, not distinct);
+    - ``df_sum``: sum of corpus-wide frequencies of the document's
+      bigrams — exact integer, so the gate hash is deterministic;
+    - ``avg_bigram_df``: ``df_sum / n_bigrams`` (higher = more
+      corpus-typical; boilerplate scores high, gibberish low);
+    - ``avg_logprob``: mean MLE log-probability
+      ``ln(c(w1,w2)/c(w1·))`` of the document's bigrams under the
+      corpus model (classic LM filter score; float aggregation, so
+      test-verified rather than hash-gated).
+
+    Scale shape: one explode of bigram occurrences, a corpus-count
+    aggregation (map-side combine on the bigram key), one join of
+    occurrences↔counts on the bigram (high-cardinality hash key, no
+    skew beyond natural hot bigrams), one per-doc aggregation. All
+    native expressions.
+    """
+    from gfw_data_api_spark.llmops.dedup import shingles_col
+
+    occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_col(F.col(text_col), 2)).alias("_bg"),
+    ).persist()  # feeds the model build AND the scoring join
+    bg_counts = occ.groupBy("_bg").agg(F.count("*").alias("_c2"))
+    # unigram "context" counts (the MLE denominator: occurrences as
+    # bigram-left = every token but each document's last) aggregate FROM
+    # the bigram counts — vocab-sized input, not occurrence-sized
+    uni_counts = (
+        bg_counts.groupBy(
+            F.element_at(F.split("_bg", " ", 2), 1).alias("_w1")
+        ).agg(F.sum("_c2").alias("_c1"))
+    )
+    # one vocab-sized model table so the big occurrence relation joins once
+    model = bg_counts.withColumn(
+        "_w1", F.element_at(F.split("_bg", " ", 2), 1)
+    ).join(uni_counts, "_w1")
+    scored = occ.join(model, "_bg")
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_c2").alias("df_sum"),
+            F.sum(F.log(F.col("_c2") / F.col("_c1"))).alias("_lp_sum"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "df_sum",
+            (F.col("df_sum").cast("double") / F.col("n_bigrams")).alias("avg_bigram_df"),
+            (F.col("_lp_sum") / F.col("n_bigrams")).alias("avg_logprob"),
+        )
+    )

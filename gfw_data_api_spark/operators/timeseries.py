@@ -131,3 +131,63 @@ def interval_join(
     )
     joined = ev.join(iv, cond, how)
     return joined.select(*events.columns, *intervals.columns)
+
+
+def resample_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = None,
+    unit: str = "hour",
+) -> DataFrame:
+    """Densify a sparse series to a regular ``unit`` grid per key, filling
+    gaps by carrying the last observation forward (LOCF).
+
+    The gap-fill operator of time-series stores (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``; the reference has no analog —
+    SURVEY §2.7): monitoring-style queries need a row for every bucket
+    even when nothing was observed. Semantics:
+
+    - bucket = ``date_trunc(unit, ts)``; within a bucket the surviving
+      observation is the one with the greatest ``order_col`` (default:
+      the ts column itself — pass an id column to break timestamp ties
+      deterministically);
+    - each key's grid spans its own [first, last] observed bucket (no
+      rows invented outside a key's lifetime);
+    - buckets with no observation carry the most recent earlier value.
+
+    Scale shape: one groupBy (bucket collapse), one per-key span
+    aggregation whose grid explodes with native ``sequence()`` (rows
+    proportional to output, never materialized on the driver), one
+    shuffle join grid↔observations on (key, bucket), one window sort per
+    key for the carry-forward. All narrow/native — no UDFs, no driver
+    loops; each stage partitions on the key columns so a 100 TB series
+    spreads by key.
+    """
+    order = order_col or ts_col
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    obs = df.groupBy(*key_cols, bucket).agg(
+        F.max_by(F.col(value_col), F.col(order)).alias("_obs")
+    )
+    spans = obs.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_first"), F.max("bucket").alias("_last")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence("_first", "_last", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(obs, [*key_cols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *key_cols,
+        "bucket",
+        F.last("_obs", ignorenulls=True).over(w).alias(value_col),
+        F.col("_obs").isNull().alias("filled"),
+    )

@@ -641,3 +641,31 @@ def test_stratified_sample_validates_fractions(spark):
     docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         stratified_sample(docs.withColumn("lang", F.lit("en")), "lang", {"en": 1.5})
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    from gfw_data_api_spark.llmops.text import bigram_lm_scores
+
+    # corpus: "a b" x2 and "a c" → bigram counts: ab=2, ac=1; context a=3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert rows[1]["n_bigrams"] == 1 and rows[1]["df_sum"] == 2
+    assert rows[3]["df_sum"] == 1
+    assert rows[1]["avg_logprob"] == pytest.approx(math.log(2 / 3))
+    assert rows[3]["avg_logprob"] == pytest.approx(math.log(1 / 3))
+    # corpus-typical doc scores higher than the rare one
+    assert rows[1]["avg_bigram_df"] > rows[3]["avg_bigram_df"]
+
+
+def test_bigram_lm_short_docs_dropped(spark):
+    from gfw_data_api_spark.llmops.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"] for r in bigram_lm_scores(docs).collect()}
+    assert rows == {3}  # <2-token docs have no bigrams, hence no score

@@ -351,3 +351,36 @@ def test_continuous_aggregate_touches_only_affected_partitions(spark, tmp_path):
         for r in ca.read(spark).filter(F.col("bucket_start") == "2024-01-02 05:00:00").collect()
     }
     assert rows == {("2024-01-02 05:00:00", 2)}
+
+
+# ---------------------------------------------------------------------------
+# gap-fill resample + LOCF
+# ---------------------------------------------------------------------------
+
+
+def test_resample_locf_fills_gaps(spark):
+    from gfw_data_api_spark.operators.timeseries import resample_locf
+
+    rows = [
+        # key "a": observations in hours 0, 3 (gap 1-2); in-bucket tie at
+        # hour 0 resolved by order col (id 2 wins)
+        ("a", "2024-01-01 00:10:00", 1, 10.0),
+        ("a", "2024-01-01 00:50:00", 2, 11.0),
+        ("a", "2024-01-01 03:20:00", 3, 12.0),
+        # key "b": single observation → single-row grid
+        ("b", "2024-01-01 05:00:00", 4, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, id long, value double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "id", "value"
+    )
+    out = resample_locf(df, ["k"], ts_col="ts", value_col="value", order_col="id")
+    got = {
+        (r["k"], str(r["bucket"])): (r["value"], r["filled"]) for r in out.collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 00:00:00"): (11.0, False),  # max-order obs wins the bucket
+        ("a", "2024-01-01 01:00:00"): (11.0, True),   # carried forward
+        ("a", "2024-01-01 02:00:00"): (11.0, True),
+        ("a", "2024-01-01 03:00:00"): (12.0, False),
+        ("b", "2024-01-01 05:00:00"): (99.0, False),
+    }
