@@ -174,3 +174,59 @@ def test_approx_percentile_partial_aggregation(spark, sf_dir):
     df = grouped_percentiles(li, ["l_returnflag"], {"p50": ("l_quantity", 0.5)})
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_approx_percentile" in plan, plan
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """Hash-bucket sampling must stay a pure narrow filter: no Exchange
+    anywhere in the plan at any scale."""
+    from gfw_data_api_spark.llmops.sampling import hash_split, stratified_sample
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
+    plan = plan_of(spark, stratified_sample(docs, "lang", {"en": 0.5}))
+    assert "Exchange" not in plan
+    plan = plan_of(spark, hash_split(docs))
+    assert "Exchange" not in plan
+
+
+def test_resample_locf_no_nested_loop(spark, sf_dir):
+    """Grid↔observation join is an equi-join on (key, bucket): hash or
+    sort-merge, never BroadcastNestedLoop/Cartesian."""
+    from gfw_data_api_spark.operators.timeseries import resample_locf
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    df = resample_locf(events, ["event_type"], order_col="event_id")
+    plan = plan_of(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # bucket collapse is a partial-aggregated groupBy, not a window
+    assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_connected_components_star_rounds_are_hash_joins(spark):
+    """One star round = groupBy min + equi-join; the plan must never
+    degrade to a nested-loop join."""
+    from gfw_data_api_spark.llmops.components import _canon_edges, _large_star, _small_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    round_df = _small_star(_large_star(_canon_edges(pairs, "id_a", "id_b")))
+    plan = plan_of(spark, round_df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_joins_model_once(spark, sf_dir):
+    """The occurrence relation must join the vocab-sized model exactly
+    once (two joins of the exploded corpus was measurably slower)."""
+    from gfw_data_api_spark.llmops.text import bigram_lm_scores
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
+    plan = plan_of(spark, bigram_lm_scores(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    # occurrence explode (Generate) appears once per consumer; the join
+    # tree re-uses the persisted occ via InMemoryRelation
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
