@@ -1914,6 +1914,36 @@ _SPECS.append(
 )
 
 
+def _d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.clean import remove_repeated_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_segments(docs, segment_tokens=3, max_count=4)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d10_repeated_segment_removal",
+        spark_fn=_d10,
+        oracle=(
+            # 3-token non-overlapping segments; any segment seen >4 times
+            # corpus-wide is dropped from every document
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "segs AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS s "
+            "FROM toks, unnest(range(1, greatest(len(t), 1) + 1, 3)) AS u(i)), "
+            "counts AS (SELECT s, count(*) AS c FROM segs GROUP BY s), "
+            "kept AS (SELECT doc_id, i, s FROM segs JOIN counts USING (s) WHERE c <= 4), "
+            "built AS (SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS cleaned "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(built.cleaned, '') AS cleaned "
+            "FROM documents d LEFT JOIN built USING (doc_id)"
+        ),
+        survey_ref="LLM pipeline: corpus-level repeated-segment removal "
+        "(C4/MassiveText line-dedup pass, token-window segmentation)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

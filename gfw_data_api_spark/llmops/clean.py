@@ -106,3 +106,87 @@ def url_dedup_keys(
         F.col(id_col),
         canonicalize_url_col(F.col(url_col)).alias("canonical_url"),
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int | None = None,
+    delimiter: str = "\n",
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-segment removal — the C4/MassiveText "line
+    dedup" pass: segments whose exact text occurs more than
+    ``max_count`` times across the whole corpus are dropped from every
+    document (boilerplate navigation, cookie banners, license headers),
+    and each document is reassembled from its surviving segments in
+    order.
+
+    Segmentation: ``delimiter``-split lines by default, or fixed
+    non-overlapping ``segment_tokens``-token windows (for corpora with
+    no line structure); token mode reassembles with a single space.
+    Note this drops ALL copies of a hot segment (MassiveText semantics),
+    not all-but-one (C4): keeping "one canonical copy" of corpus-scale
+    boilerplate still poisons the survivor document.
+
+    Scale shape: one posexplode (narrow), one count aggregation on the
+    segment text (map-side combine absorbs hot segments), one anti-join
+    of segments↔hot-set on the same key, one per-doc reassembly
+    aggregation ordered by position. Documents losing every segment
+    come back as empty text (left join keeps the id).
+    """
+    if max_count < 1:
+        raise ValueError(f"max_count must be >= 1, got {max_count}")
+    if segment_tokens is not None:
+        if segment_tokens < 1:
+            raise ValueError(f"segment_tokens must be >= 1, got {segment_tokens}")
+        toks = df.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+        ).withColumn("_n", F.size("_t"))
+        segs = (
+            toks.select(
+                id_col,
+                "_t",
+                F.posexplode(
+                    F.expr(f"sequence(1, greatest(_n, 1), {segment_tokens})")
+                ).alias("_pos", "_start"),
+            )
+            .select(
+                id_col,
+                "_pos",
+                F.array_join(
+                    F.expr(f"slice(_t, _start, {segment_tokens})"), " "
+                ).alias("_seg"),
+            )
+        )
+        join_delim = " "
+    else:
+        # \Q..\E: treat the delimiter literally (split's pattern is regex)
+        segs = df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), "\\Q" + delimiter + "\\E", -1)
+            ).alias("_pos", "_seg"),
+        )
+        join_delim = delimiter
+    hot = (
+        segs.groupBy("_seg")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > max_count)
+        .select("_seg")
+    )
+    kept = segs.join(hot, "_seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                lambda x: x["_seg"],
+            ),
+            join_delim,
+        ).alias("cleaned")
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce("cleaned", F.lit("")).alias("cleaned")
+    )

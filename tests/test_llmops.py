@@ -669,3 +669,56 @@ def test_bigram_lm_short_docs_dropped(spark):
     )
     rows = {r["doc_id"] for r in bigram_lm_scores(docs).collect()}
     assert rows == {3}  # <2-token docs have no bigrams, hence no score
+
+
+def test_remove_repeated_segments_line_mode(spark):
+    from gfw_data_api_spark.llmops.clean import remove_repeated_segments
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique intro\n{boiler}\nreal content one"),
+            (2, f"{boiler}\nreal content two"),
+            (3, f"other text\n{boiler}"),
+            (4, boiler),  # document that is ONLY boilerplate
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["cleaned"] for r in remove_repeated_segments(docs).collect()}
+    assert out == {
+        1: "unique intro\nreal content one",
+        2: "real content two",
+        3: "other text",
+        4: "",  # every segment dropped, id survives with empty text
+    }
+
+
+def test_remove_repeated_segments_token_mode(spark):
+    from gfw_data_api_spark.llmops.clean import remove_repeated_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "a b c q r s"),
+            (3, "a b c"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # "a b c" occurs 3× > max_count=2 → dropped everywhere
+    out = {
+        r["doc_id"]: r["cleaned"]
+        for r in remove_repeated_segments(
+            docs, segment_tokens=3, max_count=2
+        ).collect()
+    }
+    assert out == {1: "x y z", 2: "q r s", 3: ""}
+
+
+def test_remove_repeated_segments_validates(spark):
+    from gfw_data_api_spark.llmops.clean import remove_repeated_segments
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        remove_repeated_segments(docs, max_count=0)
+    with pytest.raises(ValueError):
+        remove_repeated_segments(docs, segment_tokens=0)
