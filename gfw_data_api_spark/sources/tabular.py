@@ -100,10 +100,19 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer `div`, NOT `/`: float division of ~1.7e18 ns exceeds a
-        # double's 2^53 exact-integer range and corrupts the low microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) surfaced as ns longs under nanosAsLong.
+            # integer `div`, NOT `/`: float division of ~1.7e18 ns exceeds a
+            # double's 2^53 exact-integer range and corrupts the low micros
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ
+            # (inferTimestampNTZ). Under the UTC session TZ set above, the
+            # NTZ→LTZ cast is value-identical; downstream operators
+            # (unix_micros, window(), watermarks) expect plain TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     if fanout is None:
         fanout = name in _FANOUT_TABLES
     if fanout:
