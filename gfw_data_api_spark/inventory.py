@@ -1944,6 +1944,134 @@ _SPECS.append(
 )
 
 
+def _e04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_orderkey",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price",
+        "o_orderstatus AS status",
+    )
+    updates = orders.filter("o_orderkey % 7 = 0").selectExpr(
+        "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price",
+        "'U' AS status",
+    )
+    # decimal arithmetic keeps the merge exact; surface as DOUBLE for the
+    # cross-engine compare (2-decimal values are float-exact)
+    return merge_upsert(base, updates, "o_orderkey").selectExpr(
+        "o_orderkey", "CAST(price AS DOUBLE) AS price", "status"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e04_merge_upsert",
+        spark_fn=_e04,
+        oracle=(
+            # identical latest-wins reduction: updates (pri 1) beat base (pri 0)
+            "WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, "
+            "o_orderstatus AS status, 0 AS pri FROM orders), "
+            "upd AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price, "
+            "'U' AS status, 1 AS pri FROM orders WHERE o_orderkey % 7 = 0), "
+            "u AS (SELECT * FROM base UNION ALL SELECT * FROM upd), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) AS rn FROM u) "
+            "SELECT o_orderkey, CAST(price AS DOUBLE) AS price, status FROM r WHERE rn = 1"
+        ),
+        survey_ref="ETL: keyed merge/upsert (ON CONFLICT DO UPDATE analog; "
+        "operators/merge.py latest-wins window)",
+    )
+)
+
+
+def _t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.mixture import domain_mixture_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mixture_stats(docs, "source", "text")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t11_domain_mixture",
+        spark_fn=_t11,
+        oracle=(
+            "WITH tok AS (SELECT source AS domain, "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt FROM documents), "
+            "agg AS (SELECT domain, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens "
+            "FROM tok GROUP BY domain), "
+            "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS nd FROM agg) "
+            "SELECT domain, n_docs, n_tokens, "
+            "CAST(n_tokens AS DOUBLE) / total AS token_frac, "
+            "(CAST(total AS DOUBLE) / nd) / n_tokens AS sample_weight "
+            "FROM agg, tot"
+        ),
+        survey_ref="LLM pipeline: domain-mixture measurement + resampling "
+        "weights (The Pile / DoReMi recipe; llmops/mixture.py)",
+    )
+)
+
+
+def _w01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.importance import hashed_count_features
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    return hashed_count_features(
+        docs, F.col("lang") == "en", num_buckets=256
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="w01_importance_weights",
+        spark_fn=_w01,
+        oracle=(
+            # engine-exact integer core of the DSIR importance score: the
+            # md5-bucket assignment is reproduced bit-for-bit (cf. t08)
+            "WITH tok AS (SELECT doc_id, lang, "
+            "('0x' || substr(md5(t.tok), 1, 15))::BIGINT % 256 AS bucket "
+            "FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)), "
+            "raw AS (SELECT bucket, count(*) AS rc FROM tok GROUP BY bucket), "
+            "tgt AS (SELECT bucket, count(*) AS tc FROM tok WHERE lang = 'en' GROUP BY bucket), "
+            "j AS (SELECT tok.doc_id, raw.rc, COALESCE(tgt.tc, 0) AS tc "
+            "FROM tok JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket)) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "CAST(sum(tc) AS BIGINT) AS sum_target, CAST(sum(rc) AS BIGINT) AS sum_raw, "
+            "(CAST(1 AS DOUBLE) + CAST(sum(tc) AS BIGINT)) / (CAST(1 AS DOUBLE) + CAST(sum(rc) AS BIGINT)) AS target_ratio "
+            "FROM j GROUP BY doc_id"
+        ),
+        survey_ref="LLM pipeline: DSIR hashed-ngram importance weighting "
+        "(llmops/importance.py; log-ratio variant test-verified)",
+    )
+)
+
+
+def _b01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.bpe import char_pair_stats
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    return char_pair_stats(docs, "text", top_k=200)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="b01_bpe_pair_stats",
+        spark_fn=_b01,
+        oracle=(
+            # range(1, length) = positions 1..length-1 (start of each pair)
+            "WITH pairs AS (SELECT substr(text, CAST(g.i AS INTEGER), 2) AS pair "
+            "FROM documents, unnest(range(1, length(text))) AS g(i) "
+            "WHERE length(text) >= 2) "
+            "SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair "
+            "ORDER BY cnt DESC, pair ASC LIMIT 200"
+        ),
+        survey_ref="LLM pipeline: BPE merge-candidate pair counting "
+        "(tokenizer training inner loop; llmops/bpe.py)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

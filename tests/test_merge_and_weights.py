@@ -1,0 +1,174 @@
+"""Tests for merge_upsert, domain mixture stats, DSIR importance, and BPE
+pair counting (gate entries e04, t11, w01, b01)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops.bpe import char_pair_stats
+from gfw_data_api_spark.llmops.importance import (
+    hashed_count_features,
+    importance_scores,
+)
+from gfw_data_api_spark.llmops.mixture import domain_mixture_stats
+from gfw_data_api_spark.operators.merge import merge_upsert
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_insert_update_carryover(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k int, v string, n int"
+    )
+    out = {r.k: (r.v, r.n) for r in merge_upsert(base, updates, "k").collect()}
+    assert out == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_merge_order_by_version_wins(spark):
+    base = spark.createDataFrame([(1, "old", 5)], "k int, v string, ver int")
+    updates = spark.createDataFrame([(1, "stale", 3)], "k int, v string, ver int")
+    # base has the HIGHER version: it must survive a stale update
+    out = merge_upsert(base, updates, "k", order_by="ver").collect()
+    assert out[0].v == "old"
+    # exact version tie → the update wins
+    tie = spark.createDataFrame([(1, "fresh", 5)], "k int, v string, ver int")
+    out2 = merge_upsert(base, tie, "k", order_by="ver").collect()
+    assert out2[0].v == "fresh"
+
+
+def test_merge_composite_keys(spark):
+    base = spark.createDataFrame([(1, "x", 1.0), (1, "y", 2.0)], "a int, b string, v double")
+    updates = spark.createDataFrame([(1, "y", 9.0)], "a int, b string, v double")
+    out = {(r.a, r.b): r.v for r in merge_upsert(base, updates, ["a", "b"]).collect()}
+    assert out == {(1, "x"): 1.0, (1, "y"): 9.0}
+
+
+def test_merge_plan_single_shuffle(spark):
+    base = spark.range(100).withColumn("v", F.lit("b"))
+    updates = spark.range(10).withColumn("v", F.lit("u"))
+    plan = merge_upsert(base, updates, "id")._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the window partition; no join operator anywhere
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# domain_mixture_stats
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "one two three four", "web", "en"),
+        (2, "five six", "web", "en"),
+        (3, "a b c d e f", "code", "en"),
+        (4, "x y", "papers", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+
+
+def test_mixture_uniform_weights(corpus):
+    out = {r.domain: r for r in domain_mixture_stats(corpus, "source", "text").collect()}
+    # token masses: web=6, code=6, papers=2; total=14, 3 domains
+    assert out["web"].n_docs == 2 and out["web"].n_tokens == 6
+    assert out["code"].n_tokens == 6 and out["papers"].n_tokens == 2
+    assert math.isclose(out["web"].token_frac, 6 / 14)
+    # uniform target ⇒ weight = (total/nd)/n_tokens
+    assert math.isclose(out["papers"].sample_weight, (14 / 3) / 2)
+    # expected token mass after weighting is equal per domain
+    masses = [out[d].sample_weight * out[d].n_tokens for d in out]
+    assert all(math.isclose(m, masses[0]) for m in masses)
+
+
+def test_mixture_explicit_target(corpus):
+    out = {
+        r.domain: r
+        for r in domain_mixture_stats(
+            corpus, "source", "text", target={"web": 0.9, "code": 0.1}
+        ).collect()
+    }
+    assert math.isclose(out["web"].sample_weight, (14 * 0.9) / 6)
+    assert math.isclose(out["code"].sample_weight, (14 * 0.1) / 6)
+    # unlisted domain → zero weight (dropped from the target mixture)
+    assert out["papers"].sample_weight == 0.0
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_count_features_self_target_ratio_one(corpus):
+    # target == whole corpus ⇒ sum_target == sum_raw ⇒ ratio exactly 1
+    out = hashed_count_features(corpus, F.lit(True), num_buckets=64).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.sum_target == r.sum_raw
+        assert r.target_ratio == 1.0
+
+
+def test_hashed_count_features_subset_monotone(corpus):
+    out = {
+        r.doc_id: r
+        for r in hashed_count_features(
+            corpus, F.col("lang") == "en", num_buckets=64
+        ).collect()
+    }
+    for r in out.values():
+        assert 0 <= r.sum_target <= r.sum_raw
+        assert 0 < r.target_ratio <= 1.0
+    # the German doc shares no tokens with the target set: its buckets get
+    # target mass only via hash collisions, so its ratio is the smallest
+    assert out[4].target_ratio == min(r.target_ratio for r in out.values())
+
+
+def test_importance_scores_golden(spark):
+    # hand-checkable: 2 docs, bucket space large enough that the 3 distinct
+    # tokens land in distinct buckets (verified by the distinct count below)
+    df = spark.createDataFrame(
+        [(1, "aa aa", "tgt"), (2, "bb cc", "raw")], "doc_id long, text string, kind string"
+    )
+    B, alpha = 4096, 1.0
+    out = {
+        r.doc_id: r
+        for r in importance_scores(
+            df, F.col("kind") == "tgt", num_buckets=B, alpha=alpha
+        ).collect()
+    }
+    # distributions: raw totals 4 tokens (aa:2, bb:1, cc:1); target: aa:2
+    def lr(tc, rc, tt=2, rt=4):
+        return math.log((tc + alpha) / (tt + alpha * B)) - math.log(
+            (rc + alpha) / (rt + alpha * B)
+        )
+
+    assert math.isclose(out[1].log_importance, 2 * lr(2, 2), rel_tol=1e-12)
+    assert math.isclose(out[2].log_importance, lr(0, 1) + lr(0, 1), rel_tol=1e-12)
+    # in-domain doc scores higher than out-of-domain
+    assert out[1].log_importance > out[2].log_importance
+
+
+# ---------------------------------------------------------------------------
+# BPE pair stats
+# ---------------------------------------------------------------------------
+
+
+def test_char_pairs_counts(spark):
+    df = spark.createDataFrame([("abab",), ("z",), ("",)], "text string")
+    out = {r.pair: r.cnt for r in char_pair_stats(df, "text").collect()}
+    # "abab" → ab, ba, ab; single-char and empty docs contribute nothing
+    assert out == {"ab": 2, "ba": 1}
+
+
+def test_char_pairs_topk_tiebreak(spark):
+    df = spark.createDataFrame([("aa",), ("bb",), ("cc",)], "text string")
+    out = char_pair_stats(df, "text", top_k=2).collect()
+    # all counts tie at 1 → lexicographic pair order decides
+    assert [(r.pair, r.cnt) for r in out] == [("aa", 1), ("bb", 1)]
