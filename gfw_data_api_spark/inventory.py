@@ -2072,6 +2072,62 @@ _SPECS.append(
 )
 
 
+def _st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.streaming.enrich import stream_static_enrich
+
+    events = load_table(spark, sf_dir, "events")
+    # static dimension: per-type average value (DECIMAL-exact sum, one
+    # float division — engine-portable; same convention as st01/st02)
+    dim = events.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("type_avg")
+    )
+    return stream_static_enrich(events, dim, "event_type").select(
+        "event_id", "event_type", "value", "type_avg"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st05_stream_static_enrich",
+        spark_fn=_st05,
+        oracle=(
+            "WITH dim AS (SELECT event_type, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS type_avg "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.value, d.type_avg "
+            "FROM events e LEFT JOIN dim d USING (event_type)"
+        ),
+        survey_ref="streaming: stream-static broadcast enrichment join "
+        "(streaming/enrich.py; stream==batch asserted in tests)",
+    )
+)
+
+
+def _s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.pq import encode_pq, pq_topk, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
+    books = train_pq(emb, m=8, ksub=16, seed=42)
+    query = [float(v) for v in books[:, 0, :].reshape(-1)]  # a real codepoint
+    return pq_topk(encode_pq(emb, books), books, query, k=10)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s07_pq_topk",
+        spark_fn=_s07,
+        # rows-only: PQ codebooks are k-means/seed-specific (like s05 IVF);
+        # ADC arithmetic is NumPy-cross-checked and recall-tested in pytest
+        oracle=None,
+        survey_ref="similarity: product-quantization ADC top-k "
+        "(llmops/pq.py; FAISS PQ recipe, 8-byte codes)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The third leg of the vector-search family (similarity.py LSH, ivf.py
+IVF-Flat, quantize.py int8): split each d-dim vector into ``m``
+subvectors, k-means each subspace to ``ksub`` centroids, and store each
+vector as ``m`` byte codes — a d·4-byte float vector becomes ``m``
+bytes (e.g. 64-dim → 8 bytes at m=8). Search uses asymmetric distance
+computation (ADC): per query, precompute the m×ksub table of
+query-subvector ↔ centroid distances driver-side, then score every code
+row with pure column math (table lookups + sum) — no per-row Python.
+This is the FAISS PQ/IVFPQ recipe re-expressed as DataFrame ops.
+
+Scale shape: training collects only a ≤sample_size driver-side sample
+(same argument as ivf.train_ivf — codebooks are tiny, assignment is the
+distributed job); encoding is one Arrow-batched pandas UDF pass (m BLAS
+matmuls per batch); search is a scan with a JVM-side expression over a
+broadcast literal table + TakeOrdered — no shuffle, no UDF in the
+query path. Compose with the IVF cell column for IVFPQ: partition
+prune by cell, then ADC-score the survivors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> np.ndarray:
+    """k-means each of the ``m`` subspaces on a driver-side sample.
+
+    Returns codebooks of shape (m, ksub, d/m). Dimension must divide
+    evenly by ``m`` (FAISS's constraint too).
+    """
+    sample = np.asarray(
+        [list(map(float, r[0])) for r in df.select(emb_col).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        cents = x[rng.choice(n, size=ksub, replace=False)]
+        x_sq = (x * x).sum(axis=1)[:, None]
+        for _ in range(iters):
+            d2 = x_sq - 2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)
+            cells = np.argmin(d2, axis=1)
+            nxt = cents.copy()
+            for c in range(ksub):
+                members = x[cells == c]
+                if len(members):
+                    nxt[c] = members.mean(axis=0)
+            if np.allclose(nxt, cents, atol=1e-9):
+                cents = nxt
+                break
+            cents = nxt
+        books[j] = cents
+    return books
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    emb_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach the m-byte PQ code array (store it; drop the raw vector at
+    scale — that IS the compression)."""
+    books = codebooks.astype(np.float64)
+    m, ksub, dsub = books.shape
+    books_sq = (books * books).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(batch: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in batch])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = -2.0 * (sub @ books[j].T) + books_sq[j]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, encode(F.col(emb_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    code_col: str = "pq_codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: smallest approximate squared L2 distance to ``query``.
+
+    The per-query m×ksub distance table is computed driver-side and
+    inlined as a nested array literal; scoring is
+    ``sum_j table[j][code_j]`` — `aggregate` over a sequence, pure
+    Catalyst, whole-stage-codegen'd, no Python in the scan.
+    """
+    books = codebooks.astype(np.float64)
+    m, ksub, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != {m * dsub}")
+    table = np.stack(
+        [((books[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1) for j in range(m)]
+    )  # (m, ksub)
+    adc = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in table])
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at(adc, j + 1), F.element_at(F.col(code_col), j + 1) + 1),
+    )
+    return (
+        encoded.select(id_col, dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), id_col)
+        .limit(k)
+    )

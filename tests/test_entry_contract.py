@@ -28,6 +28,7 @@ def test_queries_and_oracles_aligned(spark):
         "t04_language_id_confusion",
         "s03_ann_lsh_topk",
         "s05_ivf_topk",
+        "s07_pq_topk",
     }
 
 
