@@ -128,7 +128,11 @@ def hashed_count_features(
     correctness-gate twin of :func:`importance_scores` (which adds logs,
     whose float association is engine-dependent).
     """
-    tok = hashed_token_buckets(corpus, text_col, id_col, num_buckets)
+    # the token relation feeds both the raw distribution and the per-doc
+    # join — persist so the explode runs once (same pattern as the d03
+    # shingle index; at 100 TB this is a disk-backed intermediate, or
+    # recompute if storage is tighter than CPU)
+    tok = hashed_token_buckets(corpus, text_col, id_col, num_buckets).persist()
     raw_counts = bucket_counts(tok).withColumnRenamed("cnt", "_rc")
     tgt_counts = bucket_counts(
         hashed_token_buckets(corpus.filter(target_filter), text_col, id_col, num_buckets)

@@ -135,3 +135,35 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    indexed_encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    code_col: str = "pq_codes",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVFPQ: coarse-cell pruning (ivf.build_ivf_index) + ADC scoring.
+
+    ``indexed_encoded`` carries both the IVF cell column and the PQ code
+    column; at scale it is partitioned by cell, so the ``nprobe`` filter
+    prunes at scan time and the ADC aggregate touches only the probed
+    cells' 8-byte codes — the full FAISS IVFPQ read path, with Catalyst
+    doing both the pruning and the scoring.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    return pq_topk(
+        indexed_encoded.filter(F.col(cell_col).isin(probe)),
+        codebooks,
+        query,
+        k=k,
+        code_col=code_col,
+        id_col=id_col,
+    )

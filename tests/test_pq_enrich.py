@@ -165,3 +165,27 @@ def test_stream_static_enrich_streaming_equals_batch(spark, tmp_path, sf_dir):
         .count()
         == 0
     )
+
+
+def test_ivfpq_composition(spark, embeddings, pq_setup):
+    from gfw_data_api_spark.llmops.ivf import build_ivf_index, train_ivf
+    from gfw_data_api_spark.llmops.pq import ivfpq_topk
+
+    books, _ = pq_setup
+    from gfw_data_api_spark.llmops.pq import encode_pq
+
+    cents = train_ivf(embeddings, nlist=8, seed=1)
+    indexed = encode_pq(build_ivf_index(embeddings, cents), books)
+    q = [float(v) for v in embeddings.select("embedding").first()[0]]
+    got = ivfpq_topk(indexed, cents, books, q, k=5, nprobe=8)
+    rows = got.collect()
+    assert len(rows) == 5
+    # probing ALL cells must equal plain PQ search over the whole set
+    from gfw_data_api_spark.llmops.pq import pq_topk
+
+    full = pq_topk(indexed, books, q, k=5).collect()
+    assert [r.vec_id for r in rows] == [r.vec_id for r in full]
+    # fewer probes search a subset: their best can't beat the global best
+    some = ivfpq_topk(indexed, cents, books, q, k=5, nprobe=2).collect()
+    assert len(some) == 5
+    assert min(r.adc_dist for r in full) <= min(r.adc_dist for r in some)
