@@ -1,0 +1,103 @@
+"""Bucketed co-located joins (sources/bucketing.py) and small-file
+compaction (sources/compaction.py)."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.sources.bucketing import cobucketed_join, write_bucketed
+from gfw_data_api_spark.sources.compaction import (
+    compact_parquet,
+    measure_files,
+    plan_compaction,
+)
+
+
+@pytest.fixture()
+def two_bucketed_tables(spark):
+    left = f"bkt_left_{uuid.uuid4().hex[:8]}"
+    right = f"bkt_right_{uuid.uuid4().hex[:8]}"
+    facts = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    other = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+    )
+    write_bucketed(facts, left, "k", 8, sort_cols="k")
+    write_bucketed(other, right, "k", 8, sort_cols="k")
+    yield left, right
+    spark.sql(f"DROP TABLE IF EXISTS {left}")
+    spark.sql(f"DROP TABLE IF EXISTS {right}")
+
+
+def test_cobucketed_join_no_exchange(spark, two_bucketed_tables):
+    left, right = two_bucketed_tables
+    joined = cobucketed_join(spark, left, right, "k", prefer_sortmerge=True)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the whole point: same-bucketed sides join with zero shuffle
+    assert "Exchange" not in plan
+    assert joined.count() == 5_000
+    # values survive the layout
+    row = joined.filter(F.col("k") == 4321).first()
+    assert row.v == 4321 % 97 and row.w == 4321 % 13
+
+
+def test_bucketed_aggregation_no_exchange(spark, two_bucketed_tables):
+    left, _ = two_bucketed_tables
+    agg = spark.table(left).groupBy("k").agg(F.sum("v").alias("sv"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # grouping on the bucket key reuses the bucketing — no shuffle
+    assert "Exchange" not in plan
+    assert agg.count() == 10_000
+
+
+def test_compaction_reduces_files_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.rand(seed=1).alias("x")
+    )
+    # simulate a streaming-append mess: 64 tiny files
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    n_before, bytes_before = measure_files(path)
+    assert n_before == 64
+    target = max(1, bytes_before // 4)
+    plan = compact_parquet(spark, path, target_bytes=target)
+    n_after, bytes_after = measure_files(path)
+    assert n_after == plan["n_output_files"] < n_before
+    # exact same rows
+    back = spark.read.parquet(path)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(50_000))
+
+
+def test_compaction_preserve_sort_keeps_skipping(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(40_000).select(F.col("id"), (F.col("id") * 2).alias("y"))
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    compact_parquet(spark, path, target_bytes=64 * 1024, preserve_sort=["id"])
+    # footer min/max ranges must be disjoint across files (clustered layout)
+    ranges = []
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                col = md.row_group(0).column(0)
+                ranges.append(
+                    (col.statistics.min, col.statistics.max)
+                )
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint → min/max stats prune point/range scans
+
+
+def test_plan_compaction_math(tmp_path, spark):
+    path = str(tmp_path / "p")
+    spark.range(1000).write.mode("overwrite").parquet(path)
+    plan = plan_compaction(path, target_bytes=10**12)
+    assert plan["n_output_files"] == 1
+    assert plan["n_files"] >= 1 and plan["total_bytes"] > 0
