@@ -76,6 +76,33 @@ def minhash_signatures(
     return ex.groupBy("_id").agg(*aggs).select("_id", sig)
 
 
+def minhash_band_buckets(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(_id, _band, _bucket) LSH band keys from a signature table.
+
+    Factored out so the banded index can be PERSISTED as dedup state and
+    probed incrementally (llmops/incremental.py): at scale the bucket
+    table, partitioned by (_band, _bucket), is the thing you keep
+    between pipeline runs — not the raw corpus.
+    """
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("_band", "_bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -90,23 +117,8 @@ def minhash_lsh_candidates(
     with the signature-estimated Jaccard for thresholding. ``bands``
     divides ``num_hashes``; rows-per-band r = H/B sets the S-curve.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
-
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ))
-                ),
-            )
-        ).alias("_band", "_bucket"),
-    )
+    banded = minhash_band_buckets(sig, num_hashes, bands)
     pairs = (
         banded.alias("a")
         .join(

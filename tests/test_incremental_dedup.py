@@ -1,0 +1,74 @@
+"""Incremental MinHash dedup (llmops/incremental.py): batch-vs-state
+screening must find exactly what the one-shot run finds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops.dedup import minhash_lsh_candidates, minhash_signatures
+from gfw_data_api_spark.llmops.incremental import (
+    append_dedup,
+    incremental_minhash_candidates,
+)
+from gfw_data_api_spark.sources.tabular import load_table
+
+H, B, N = 64, 16, 3
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0).cache()
+    new = docs.filter(F.col("doc_id") % 3 == 0).cache()
+    return old, new
+
+
+def test_incremental_equals_one_shot(spark, split_corpus):
+    old, new = split_corpus
+    state = minhash_signatures(old, num_hashes=H, shingle_n=N)
+    pairs, _ = incremental_minhash_candidates(
+        new, state, num_hashes=H, bands=B, shingle_n=N
+    )
+    got = {
+        (min(r.id_new, r.id_old), max(r.id_new, r.id_old)): r.est_jaccard
+        for r in pairs.collect()
+    }
+    full = minhash_lsh_candidates(
+        old.unionByName(new), num_hashes=H, bands=B, shingle_n=N
+    )
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got == want  # same pairs AND same estimates
+
+
+def test_append_dedup_drops_planted_dup(spark, split_corpus):
+    old, new = split_corpus
+    state = minhash_signatures(old, num_hashes=H, shingle_n=N)
+    # plant: an exact copy of a historical doc + one clearly novel doc
+    copied = old.limit(1).select(F.lit(10_000_000).alias("doc_id"), "text")
+    novel = spark.createDataFrame(
+        [(10_000_001, "entirely novel zebra quantum paperclip text " * 5)],
+        "doc_id long, text string",
+    )
+    batch = new.unionByName(copied).unionByName(novel)
+    clean, state2 = append_dedup(batch, state, threshold=0.8, num_hashes=H, bands=B, shingle_n=N)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert 10_000_000 not in kept  # exact dup of history → dropped
+    assert 10_000_001 in kept  # novel → kept
+    # state grows by exactly the kept docs
+    assert state2.count() == state.count() + len(kept)
+
+
+def test_first_run_empty_state(spark, split_corpus):
+    _old, new = split_corpus
+    empty = minhash_signatures(new.limit(0), num_hashes=H, shingle_n=N)
+    pairs, sigs = incremental_minhash_candidates(
+        new, empty, num_hashes=H, bands=B, shingle_n=N
+    )
+    # no history: only within-batch pairs possible, and signatures cover
+    # every doc that produced shingles
+    assert pairs.filter(F.col("id_new") == F.col("id_old")).count() == 0
+    assert sigs.count() == new.filter(F.length("text") >= 3).count()
