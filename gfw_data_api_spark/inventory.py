@@ -2128,6 +2128,41 @@ _SPECS.append(
 )
 
 
+def _e05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.scd import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        events, "user_id", "event_type", ts_col="ts", tiebreak_col="event_id"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e05_scd2_intervals",
+        spark_fn=_e05,
+        oracle=(
+            # identical gaps-and-islands collapse: change flag → running
+            # group id → per-run interval; event_id breaks ts ties
+            "WITH flagged AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN lag(event_type) OVER w IS NULL "
+            "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "grouped AS (SELECT *, sum(chg) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp "
+            "FROM flagged), "
+            "runs AS (SELECT user_id, grp, event_type, min(ts) AS valid_from, "
+            "count(*) AS n_events FROM grouped GROUP BY user_id, grp, event_type) "
+            "SELECT user_id, event_type, valid_from, "
+            "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to, "
+            "n_events FROM runs"
+        ),
+        survey_ref="ETL: SCD-2 validity-interval builder (gaps-and-islands; "
+        "operators/scd.py; feeds the ts01 as-of join)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

@@ -172,3 +172,60 @@ def test_char_pairs_topk_tiebreak(spark):
     out = char_pair_stats(df, "text", top_k=2).collect()
     # all counts tie at 1 → lexicographic pair order decides
     assert [(r.pair, r.cnt) for r in out] == [("aa", 1), ("bb", 1)]
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_runs(spark):
+    from gfw_data_api_spark.operators.scd import scd2_history
+
+    rows = [
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"),
+        (2, 15, "X"),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v string")
+    out = sorted(
+        scd2_history(df, "k", "v", ts_col="t").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    got = [(r.k, r.v, r.valid_from, r.valid_to, r.n_events) for r in out]
+    assert got == [
+        (1, "A", 10, 30, 2),   # run of two A's
+        (1, "B", 30, 40, 1),
+        (1, "A", 40, None, 1),  # A returns → NEW interval, open-ended
+        (2, "X", 15, None, 1),
+    ]
+
+
+def test_scd2_tiebreak_total_order(spark):
+    from gfw_data_api_spark.operators.scd import scd2_history
+
+    # two changes at the same timestamp: the tiebreak column decides
+    rows = [(1, 10, 100, "A"), (1, 10, 101, "B"), (1, 20, 102, "B")]
+    df = spark.createDataFrame(rows, "k int, t int, eid int, v string")
+    out = sorted(
+        scd2_history(df, "k", "v", ts_col="t", tiebreak_col="eid").collect(),
+        key=lambda r: r.valid_from is None,
+    )
+    assert [(r.v, r.n_events) for r in out] == [("A", 1), ("B", 2)]
+
+
+def test_scd2_feeds_asof_join(spark):
+    """The intervals answer 'state at time T' via the as-of join."""
+    from gfw_data_api_spark.operators.scd import scd2_history
+    from gfw_data_api_spark.operators.timeseries import asof_join
+
+    events = spark.createDataFrame(
+        [(1, 10, "bronze"), (1, 30, "silver"), (1, 50, "gold")],
+        "k int, t int, tier string",
+    )
+    hist = scd2_history(events, "k", "tier", ts_col="t").select(
+        "k", F.col("valid_from").alias("t"), "tier"
+    )
+    probes = spark.createDataFrame([(1, 25), (1, 55)], "k int, t int")
+    joined = asof_join(probes, hist, on="t", by=["k"], values=["tier"])
+    got = {r.t: r.tier for r in joined.collect()}
+    assert got == {25: "bronze", 55: "gold"}
