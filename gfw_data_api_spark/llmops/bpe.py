@@ -19,8 +19,11 @@ sort.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def char_pair_stats(
@@ -45,3 +48,97 @@ def char_pair_stats(
     if top_k is not None:
         counts = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(top_k)
     return counts
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    num_merges: int = 100,
+    text_col: str = "text",
+    sample_size: int = 2_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list on a driver-side text sample.
+
+    The same sample-driver/apply-distributed split as PQ and IVF
+    training (llmops/pq.py, llmops/ivf.py): merge rules are a tiny
+    model (``num_merges`` string pairs) that converges on a corpus
+    sample, while APPLYING the tokenizer is the distributed job
+    (:func:`apply_bpe`, one Arrow-batched pass). Training distributes
+    naturally too when needed — each iteration is one
+    :func:`char_pair_stats` job — but per-iteration job overhead
+    dominates below ~GB-scale samples, so the driver loop on a sample
+    is the right default (and what sentencepiece/HF tokenizers do).
+
+    Deterministic: ties on pair frequency break lexicographically.
+    """
+    texts = [r[0] for r in df.select(text_col).limit(sample_size).collect()]
+    words: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in t.split():
+            key = tuple(w)
+            if key:
+                words[key] = words.get(key, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, n in words.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        ab = best[0] + best[1]
+        for seq, n in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == best[0] and seq[i + 1] == best[1]:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + n
+        words = merged
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list (distributed).
+
+    One Arrow-batched pandas UDF pass; merge application is the
+    standard greedy lowest-rank-first loop per word. Whitespace splits
+    words; merges never cross word boundaries (matching training).
+    """
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        seq = list(word)
+        while len(seq) > 1:
+            pairs = [(rank.get((a, b)), i) for i, (a, b) in enumerate(zip(seq, seq[1:]))]
+            cands = [(r, i) for r, i in pairs if r is not None]
+            if not cands:
+                break
+            _, i = min(cands)
+            seq = seq[:i] + [seq[i] + seq[i + 1]] + seq[i + 2:]
+        cache[word] = seq
+        return seq
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def tokenize(batch: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return batch.map(
+            lambda t: [tok for w in (t or "").split() for tok in encode_word(w, cache)]
+        )
+
+    return df.withColumn(out_col, tokenize(F.col(text_col)))

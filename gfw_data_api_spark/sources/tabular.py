@@ -255,3 +255,92 @@ def append_new_rows(
     """
     deduped = incoming.dropDuplicates(unique_on)
     return deduped.join(existing.select(*unique_on).distinct(), on=unique_on, how="left_anti")
+
+
+# widening-only promotions (Postgres ALTER COLUMN ... TYPE analogs that
+# never lose information); anything else is a 400-class schema error
+_WIDENINGS: dict[tuple[str, str], str] = {
+    ("short", "int"): "int",
+    ("short", "bigint"): "bigint",
+    ("int", "bigint"): "bigint",
+    ("short", "double"): "double",
+    ("int", "double"): "double",
+    ("float", "double"): "double",
+    ("date", "timestamp"): "timestamp",
+}
+
+
+def evolve_union_schema(existing: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Union schema with widening-only type promotion.
+
+    New incoming columns append (nullable); shared columns must have
+    equal types or a listed widening in either direction; conflicting
+    types raise ``ValueError`` (schema evolution never guesses).
+    """
+    out: list[T.StructField] = []
+    incoming_by_name = {f.name: f for f in incoming.fields}
+    for f in existing.fields:
+        inc = incoming_by_name.get(f.name)
+        if inc is None or inc.dataType == f.dataType:
+            out.append(T.StructField(f.name, f.dataType, True))
+            continue
+        a, b = f.dataType.simpleString(), inc.dataType.simpleString()
+        widened = _WIDENINGS.get((a, b)) or _WIDENINGS.get((b, a))
+        if widened is None:
+            raise ValueError(
+                f"Column {f.name!r}: incompatible types {a} vs {b} "
+                "(only widening promotions are allowed)."
+            )
+        widened_type = {
+            "int": T.IntegerType(),
+            "bigint": T.LongType(),
+            "double": T.DoubleType(),
+            "timestamp": T.TimestampType(),
+        }[widened]
+        out.append(T.StructField(f.name, widened_type, True))
+    for f in incoming.fields:
+        if f.name not in {g.name for g in out}:
+            out.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(out)
+
+
+def append_with_evolution(
+    spark: SparkSession, path: str, incoming: DataFrame
+) -> DataFrame:
+    """Append allowing additive/widening schema drift (beyond-reference;
+    the reference requires "match or subset", pipeline.append_tabular).
+
+    If the union schema differs from what is on disk, the existing data
+    is REWRITTEN to the union schema first, so the parquet directory
+    stays schema-homogeneous and every reader (none of which pass
+    ``mergeSchema``) sees one consistent schema. The rewrite is the
+    price of not carrying a lakehouse metadata layer; schema-change
+    events are rare, and Delta/Iceberg pay a metadata commit instead.
+    Returns the post-append DataFrame.
+    """
+    existing = spark.read.parquet(path)
+    union = evolve_union_schema(existing.schema, incoming.schema)
+
+    def conform(df: DataFrame) -> DataFrame:
+        cols = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in union.fields
+        ]
+        return df.select(*cols)
+
+    if existing.schema != union:
+        tmp = path.rstrip("/") + "._evolve_tmp"
+        conform(existing).write.mode("overwrite").parquet(tmp)
+        import os as _os
+        import shutil as _shutil
+
+        old = path.rstrip("/") + "._evolve_old"
+        _os.rename(path, old)
+        _os.rename(tmp, path)
+        _shutil.rmtree(old, ignore_errors=True)
+    conform(incoming).write.mode("append").parquet(path)
+    return spark.read.parquet(path)

@@ -101,3 +101,55 @@ def test_plan_compaction_math(tmp_path, spark):
     plan = plan_compaction(path, target_bytes=10**12)
     assert plan["n_output_files"] == 1
     assert plan["n_files"] >= 1 and plan["total_bytes"] > 0
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution append (sources/tabular.py)
+# ---------------------------------------------------------------------------
+
+
+def test_evolve_append_new_column_and_widening(spark, tmp_path):
+    from gfw_data_api_spark.sources.tabular import append_with_evolution
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10), (2, 20)], "id int, v int").write.parquet(path)
+    incoming = spark.createDataFrame(
+        [(3, 9_999_999_999, "x")], "id int, v bigint, note string"
+    )
+    out = append_with_evolution(spark, path, incoming)
+    # v widened int→bigint, note added (null for old rows)
+    assert dict(out.dtypes) == {"id": "int", "v": "bigint", "note": "string"}
+    rows = {r.id: (r.v, r.note) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (9_999_999_999, "x")}
+    # directory is schema-homogeneous: a plain re-read sees everything
+    again = spark.read.parquet(path)
+    assert again.count() == 3 and dict(again.dtypes)["v"] == "bigint"
+
+
+def test_evolve_append_identical_schema_no_rewrite(spark, tmp_path):
+    import os
+
+    from gfw_data_api_spark.sources.tabular import append_with_evolution
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame([(1, "a")], "id int, s string").write.parquet(path)
+    before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    append_with_evolution(
+        spark, path, spark.createDataFrame([(2, "b")], "id int, s string")
+    )
+    after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert before <= after  # original files untouched — pure append
+
+
+def test_evolve_append_incompatible_type_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from gfw_data_api_spark.sources.tabular import append_with_evolution
+
+    path = str(tmp_path / "tbl3")
+    spark.createDataFrame([(1, 1.5)], "id int, v double").write.parquet(path)
+    bad = spark.createDataFrame([(2, "oops")], "id int, v string")
+    with _pytest.raises(ValueError, match="incompatible"):
+        append_with_evolution(spark, path, bad)

@@ -229,3 +229,60 @@ def test_scd2_feeds_asof_join(spark):
     joined = asof_join(probes, hist, on="t", by=["k"], values=["tier"])
     got = {r.t: r.tier for r in joined.collect()}
     assert got == {25: "bronze", 55: "gold"}
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer + apply
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_trainer_golden(spark):
+    from gfw_data_api_spark.llmops.bpe import apply_bpe, train_bpe_merges
+
+    # "ab" dominates → first merge; then "abc" from ("ab","c")
+    df = spark.createDataFrame(
+        [("abc abc abc",), ("abd abd",), ("xy",)], "text string"
+    )
+    merges = train_bpe_merges(df, num_merges=2)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "c")
+    toks = {
+        r.text: r.bpe_tokens
+        for r in apply_bpe(df, merges).collect()
+    }
+    assert toks["abc abc abc"] == ["abc", "abc", "abc"]
+    assert toks["abd abd"] == ["ab", "d", "ab", "d"]
+    assert toks["xy"] == ["x", "y"]  # no applicable merges
+
+
+def test_bpe_more_merges_fewer_tokens(spark, sf_dir):
+    from gfw_data_api_spark.llmops.bpe import apply_bpe, train_bpe_merges
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100).cache()
+    m_few = train_bpe_merges(docs, num_merges=5)
+    m_many = train_bpe_merges(docs, num_merges=60)
+    assert m_many[:5] == m_few  # merge lists are prefix-stable
+    n_few = (
+        apply_bpe(docs, m_few)
+        .select(F.sum(F.size("bpe_tokens")).alias("n"))
+        .first()
+        .n
+    )
+    n_many = (
+        apply_bpe(docs, m_many)
+        .select(F.sum(F.size("bpe_tokens")).alias("n"))
+        .first()
+        .n
+    )
+    assert n_many < n_few  # more merges compress further
+
+
+def test_bpe_deterministic(spark, sf_dir):
+    from gfw_data_api_spark.llmops.bpe import train_bpe_merges
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    assert train_bpe_merges(docs, num_merges=20) == train_bpe_merges(
+        docs, num_merges=20
+    )
