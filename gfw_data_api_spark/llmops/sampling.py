@@ -107,3 +107,43 @@ def stratified_sample(
             F.col(strata_col) == F.lit(stratum), F.lit(int(round(frac * 1000)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def leakage_free_split(
+    df: DataFrame,
+    near_dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    eval_fraction: float = 0.1,
+    seed: int = 0,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Train/eval split that never separates near-duplicates.
+
+    Plain :func:`hash_split` leaks: a near-duplicate pair split across
+    train and eval inflates eval scores (the model saw the "other copy").
+    Here the split key is the near-dup CLUSTER representative (connected
+    components over ``near_dup_pairs``, llmops/components.py), so every
+    document in a cluster lands in the same split; singletons fall back
+    to their own id — identical to hash_split for unpaired docs.
+
+    Scale shape: components is O(log n) rounds over the PAIRS (orders of
+    magnitude smaller than the corpus); attaching representatives is one
+    left join on the doc id; the split itself stays a pure hash —
+    appends never flip old assignments unless new evidence merges their
+    clusters (exactly the semantics you want: yesterday's eval doc that
+    turns out to near-dup a train doc MUST move).
+    """
+    from gfw_data_api_spark.llmops.components import connected_components
+
+    comp = connected_components(near_dup_pairs, src=src, dst=dst).select(
+        F.col("node").alias(id_col), F.col("component").alias("_rep")
+    )
+    with_rep = df.join(comp, id_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("_rep"), F.col(id_col))
+    )
+    bucket = hash_bucket(F.col("_split_key"), seed=seed, buckets=1000)
+    threshold = int(round(eval_fraction * 1000))
+    return with_rep.withColumn(
+        "split", F.when(bucket < threshold, "eval").otherwise("train")
+    ).drop("_rep", "_split_key")

@@ -72,3 +72,38 @@ def test_first_run_empty_state(spark, split_corpus):
     # every doc that produced shingles
     assert pairs.filter(F.col("id_new") == F.col("id_old")).count() == 0
     assert sigs.count() == new.filter(F.length("text") >= 3).count()
+
+
+def test_leakage_free_split_keeps_clusters_together(spark):
+    from gfw_data_api_spark.llmops.sampling import hash_split, leakage_free_split
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    # near-dup chains: (0,1),(1,2) one cluster; (10,11); (500,501) ...
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (500, 501), (502, 503), (503, 504)],
+        "id_a long, id_b long",
+    )
+    out = leakage_free_split(docs, pairs, eval_fraction=0.2, seed=3)
+    split = {r.doc_id: r.split for r in out.collect()}
+    assert len(split) == 1000
+    for cluster in [(0, 1, 2), (10, 11), (500, 501), (502, 503, 504)]:
+        assert len({split[i] for i in cluster}) == 1, cluster
+    # unpaired docs get exactly their plain hash_split assignment
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(docs, eval_fraction=0.2, seed=3).collect()
+    }
+    paired = {0, 1, 2, 10, 11, 500, 501, 502, 503, 504}
+    assert all(split[i] == plain[i] for i in range(1000) if i not in paired)
+    # both splits are populated at this fraction
+    assert {"train", "eval"} == set(split.values())
+
+
+def test_leakage_free_split_empty_pairs_equals_hash_split(spark):
+    from gfw_data_api_spark.llmops.sampling import hash_split, leakage_free_split
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    a = {r.doc_id: r.split for r in leakage_free_split(docs, empty, seed=5).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, seed=5).collect()}
+    assert a == b
