@@ -2145,8 +2145,8 @@ _SPECS.append(
             # identical gaps-and-islands collapse: change flag → running
             # group id → per-run interval; event_id breaks ts ties
             "WITH flagged AS (SELECT user_id, event_type, ts, event_id, "
-            "CASE WHEN lag(event_type) OVER w IS NULL "
-            "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg "
+            "CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
+            "THEN 1 ELSE 0 END AS chg "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "grouped AS (SELECT *, sum(chg) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp "
@@ -2154,7 +2154,7 @@ _SPECS.append(
             "runs AS (SELECT user_id, grp, event_type, min(ts) AS valid_from, "
             "count(*) AS n_events FROM grouped GROUP BY user_id, grp, event_type) "
             "SELECT user_id, event_type, valid_from, "
-            "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to, "
+            "lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to, "
             "n_events FROM runs"
         ),
         survey_ref="ETL: SCD-2 validity-interval builder (gaps-and-islands; "

@@ -95,9 +95,18 @@ def importance_scores_vs(
         .join(F.broadcast(tgt_total))
         .select(
             "bucket",
+            # coalesce the totals: an EMPTY target/raw side aggregates
+            # sum(cnt) to NULL, which would silently NULL every score;
+            # with 0 the expression degrades to the pure add-alpha prior
             (
-                F.log((F.col("_tc") + alpha) / (F.col("_tt") + alpha * num_buckets))
-                - F.log((F.col("_rc") + alpha) / (F.col("_rt") + alpha * num_buckets))
+                F.log(
+                    (F.col("_tc") + alpha)
+                    / (F.coalesce(F.col("_tt"), F.lit(0)) + alpha * num_buckets)
+                )
+                - F.log(
+                    (F.col("_rc") + alpha)
+                    / (F.coalesce(F.col("_rt"), F.lit(0)) + alpha * num_buckets)
+                )
             ).alias("_logratio"),
         )
     )
@@ -137,6 +146,8 @@ def hashed_count_features(
     tgt_counts = bucket_counts(
         hashed_token_buckets(corpus.filter(target_filter), text_col, id_col, num_buckets)
     ).withColumnRenamed("cnt", "_tc")
+    # NOTE: tok stays persisted for the session (it feeds two branches);
+    # loop-heavy callers should clearCache() between corpora.
     joined = (
         tok.join(F.broadcast(raw_counts), "bucket")
         .join(F.broadcast(tgt_counts), "bucket", "left")

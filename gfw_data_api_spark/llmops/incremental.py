@@ -58,6 +58,12 @@ def incremental_minhash_candidates(
     near-duplicates itself is caught too). ``state_sigs`` is the
     persisted ``(_id, _sig)`` table from previous runs (empty on the
     first run).
+
+    The returned signature DataFrame is ``persist()``-ed (it feeds both
+    the band join and the verify step); long-lived callers looping over
+    batches should ``unpersist()`` it once the batch's outputs are
+    materialized, or periodically ``spark.catalog.clearCache()`` —
+    same contract as the d03 shingle index.
     """
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n

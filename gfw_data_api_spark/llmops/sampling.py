@@ -142,8 +142,8 @@ def leakage_free_split(
     with_rep = df.join(comp, id_col, "left").withColumn(
         "_split_key", F.coalesce(F.col("_rep"), F.col(id_col))
     )
-    bucket = hash_bucket(F.col("_split_key"), seed=seed, buckets=1000)
-    threshold = int(round(eval_fraction * 1000))
-    return with_rep.withColumn(
-        "split", F.when(bucket < threshold, "eval").otherwise("train")
+    # delegate to hash_split on the representative so the two split paths
+    # share one bucket/threshold/validation policy by construction
+    return hash_split(
+        with_rep, id_col="_split_key", eval_fraction=eval_fraction, seed=seed
     ).drop("_rep", "_split_key")

@@ -46,9 +46,10 @@ def scd2_history(
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(*keys).orderBy(*order)
     prev = F.lag(value_col).over(w)
-    changed = F.when(
-        prev.isNull() | (prev != F.col(value_col)), 1
-    ).otherwise(0)
+    # null-safe change test: a run of NULL values is still one run, and
+    # only the partition's first row (where eqNullSafe on a NULL prev
+    # can't be confused with a NULL value) starts a group "for free"
+    changed = F.when(~prev.eqNullSafe(F.col(value_col)), 1).otherwise(0)
     grouped = (
         df.withColumn("_chg", changed)
         .withColumn(
@@ -63,7 +64,10 @@ def scd2_history(
             F.count("*").alias("n_events"),
         )
     )
-    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    # order runs by the group id, not valid_from: _grp is monotone in the
+    # event order, so adjacent runs starting at the SAME timestamp (tied
+    # ts, tiebreak-ordered) still close in the right sequence
+    w2 = Window.partitionBy(*keys).orderBy("_grp")
     return grouped.select(
         *keys,
         value_col,

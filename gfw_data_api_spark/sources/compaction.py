@@ -22,10 +22,57 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _require_local_path(path: str) -> None:
+    """These rewrite helpers manipulate directories with os.rename, which
+    only exists on a local filesystem. Fail fast on URI schemes rather
+    than after a full rewrite (object stores need the metadata-layer
+    commit a lakehouse format provides)."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"in-place rewrite requires a local path, got {path!r}"
+        )
+
+
+def recover_swap(path: str) -> None:
+    """Heal a crashed swap: if only ``<path>._swap_old`` exists, restore
+    it; a leftover old dir beside a live ``path`` is deleted."""
+    old = path.rstrip("/") + "._swap_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, path)
+    tmp = path.rstrip("/") + "._swap_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def swap_directory(path: str, write) -> None:
+    """Replace the directory at ``path`` with freshly-written content.
+
+    ``write(tmp_path)`` materializes the replacement into a sibling temp
+    dir; then two renames swap it in. The window between the renames is
+    NOT atomic — a crash there leaves ``path`` absent with the old data
+    parked at ``<path>._swap_old``, which :func:`recover_swap` (invoked
+    at the start of every swap) restores on the next run. True
+    atomicity needs a metadata layer (Delta/Iceberg commit); this is
+    the honest filesystem approximation.
+    """
+    _require_local_path(path)
+    recover_swap(path)
+    tmp = path.rstrip("/") + "._swap_tmp"
+    old = path.rstrip("/") + "._swap_old"
+    write(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def measure_files(path: str) -> tuple[int, int]:
@@ -56,10 +103,11 @@ def compact_parquet(
 ) -> dict[str, int]:
     """Rewrite ``path`` in place to ~``target_bytes`` files; returns the plan.
 
-    In-place = write to a sibling temp dir, then atomically swap (rename)
-    — readers of the old listing finish against already-open files; a
-    crash mid-swap leaves either the old or the new directory complete.
+    In-place = write to a sibling temp dir, then swap via
+    :func:`swap_directory` (crash recovery semantics documented there).
+    Readers of the old listing finish against already-open files.
     """
+    _require_local_path(path)
     plan = plan_compaction(path, target_bytes)
     n_out = plan["n_output_files"]
     df: DataFrame = spark.read.parquet(path)
@@ -69,13 +117,5 @@ def compact_parquet(
         )
     else:
         out = df.repartition(n_out)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    # best-effort cleanup of the displaced originals
-    import shutil
-
-    shutil.rmtree(old, ignore_errors=True)
+    swap_directory(path, lambda tmp: out.write.mode("overwrite").parquet(tmp))
     return plan

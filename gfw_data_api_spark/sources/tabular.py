@@ -260,10 +260,10 @@ def append_new_rows(
 # widening-only promotions (Postgres ALTER COLUMN ... TYPE analogs that
 # never lose information); anything else is a 400-class schema error
 _WIDENINGS: dict[tuple[str, str], str] = {
-    ("short", "int"): "int",
-    ("short", "bigint"): "bigint",
+    ("smallint", "int"): "int",
+    ("smallint", "bigint"): "bigint",
     ("int", "bigint"): "bigint",
-    ("short", "double"): "double",
+    ("smallint", "double"): "double",
     ("int", "double"): "double",
     ("float", "double"): "double",
     ("date", "timestamp"): "timestamp",
@@ -333,14 +333,10 @@ def append_with_evolution(
         return df.select(*cols)
 
     if existing.schema != union:
-        tmp = path.rstrip("/") + "._evolve_tmp"
-        conform(existing).write.mode("overwrite").parquet(tmp)
-        import os as _os
-        import shutil as _shutil
+        from gfw_data_api_spark.sources.compaction import swap_directory
 
-        old = path.rstrip("/") + "._evolve_old"
-        _os.rename(path, old)
-        _os.rename(tmp, path)
-        _shutil.rmtree(old, ignore_errors=True)
+        swap_directory(
+            path, lambda tmp: conform(existing).write.mode("overwrite").parquet(tmp)
+        )
     conform(incoming).write.mode("append").parquet(path)
     return spark.read.parquet(path)

@@ -153,3 +153,26 @@ def test_evolve_append_incompatible_type_rejected(spark, tmp_path):
     bad = spark.createDataFrame([(2, "oops")], "id int, v string")
     with _pytest.raises(ValueError, match="incompatible"):
         append_with_evolution(spark, path, bad)
+
+
+def test_swap_recovery_restores_parked_dir(spark, tmp_path):
+    import os
+
+    from gfw_data_api_spark.sources.compaction import recover_swap
+
+    path = str(tmp_path / "crashed")
+    spark.range(10).write.parquet(path)
+    # simulate a crash mid-swap: data parked at ._swap_old, path missing
+    os.rename(path, path + "._swap_old")
+    recover_swap(path)
+    assert spark.read.parquet(path).count() == 10
+    assert not os.path.exists(path + "._swap_old")
+
+
+def test_compaction_rejects_remote_path(spark):
+    import pytest as _pytest
+
+    from gfw_data_api_spark.sources.compaction import compact_parquet
+
+    with _pytest.raises(ValueError, match="local path"):
+        compact_parquet(spark, "s3a://bucket/table")

@@ -286,3 +286,50 @@ def test_bpe_deterministic(spark, sf_dir):
     assert train_bpe_merges(docs, num_merges=20) == train_bpe_merges(
         docs, num_merges=20
     )
+
+
+def test_scd2_null_value_runs_collapse(spark):
+    from gfw_data_api_spark.operators.scd import scd2_history
+
+    rows = [(1, 10, None), (1, 20, None), (1, 30, "A")]
+    df = spark.createDataFrame(rows, "k int, t int, v string")
+    out = sorted(scd2_history(df, "k", "v", ts_col="t").collect(), key=lambda r: r.valid_from)
+    assert [(r.v, r.valid_from, r.valid_to, r.n_events) for r in out] == [
+        (None, 10, 30, 2),  # one collapsed NULL run, properly closed
+        ("A", 30, None, 1),
+    ]
+
+
+def test_scd2_tied_timestamp_interval_order(spark):
+    from gfw_data_api_spark.operators.scd import scd2_history
+
+    # A then B at the SAME ts: A's interval must close at 10, B stays open
+    rows = [(1, 10, 100, "A"), (1, 10, 101, "B"), (1, 20, 102, "B")]
+    df = spark.createDataFrame(rows, "k int, t int, eid int, v string")
+    out = {r.v: r for r in scd2_history(df, "k", "v", ts_col="t", tiebreak_col="eid").collect()}
+    assert out["A"].valid_from == 10 and out["A"].valid_to == 10
+    assert out["B"].valid_from == 10 and out["B"].valid_to is None
+    assert out["B"].n_events == 2
+
+
+def test_evolve_smallint_widening_allowed(spark, tmp_path):
+    from gfw_data_api_spark.sources.tabular import append_with_evolution
+
+    path = str(tmp_path / "tbl_small")
+    spark.createDataFrame([(1, 5)], "id int, v smallint").write.parquet(path)
+    out = append_with_evolution(
+        spark, path, spark.createDataFrame([(2, 70000)], "id int, v int")
+    )
+    assert dict(out.dtypes)["v"] == "int"
+    assert {r.v for r in out.collect()} == {5, 70000}
+
+
+def test_importance_empty_target_not_null(spark):
+    from gfw_data_api_spark.llmops.importance import importance_scores
+
+    df = spark.createDataFrame(
+        [(1, "aa bb", "x")], "doc_id long, text string, lang string"
+    )
+    out = importance_scores(df, F.col("lang") == "nope", num_buckets=64).collect()
+    assert len(out) == 1
+    assert out[0].log_importance is not None  # prior, not NULL poison
