@@ -190,3 +190,106 @@ def remove_repeated_segments(
     return df.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce("cleaned", F.lit("")).alias("cleaned")
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+    max_count: int = 1,
+) -> DataFrame:
+    """Substring-level corpus dedup — the Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better") EXACT-SUBSTRING pass,
+    approximated at token granularity with stride-1 windows instead of a
+    suffix array: every ``window_tokens``-token window is hashed; windows
+    whose exact text occurs more than ``max_count`` times corpus-wide
+    mark ALL tokens they cover, and covered tokens are removed from
+    every document (surviving tokens reassemble in order).
+
+    Unlike :func:`remove_repeated_segments` (fixed non-overlapping
+    segments, so a duplicated passage straddling a segment boundary
+    escapes), stride-1 windows catch repeated spans at ANY alignment —
+    any duplicated run of ≥ ``window_tokens`` tokens is fully covered.
+
+    Scale shape: the window explode is one row per token (same cost
+    class as shingling — d03's inverted index does the identical
+    explode); the hot-window set comes from one map-side-combined count
+    (hot windows are hot GROUPS, never join fan-out); coverage expands
+    window flags to token flags with ONE per-doc sliding-window max over
+    positions (no self-join); reassembly is one ordered aggregation.
+    Everything partitions by doc id after the corpus-wide count.
+    """
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    if max_count < 1:
+        raise ValueError(f"max_count must be >= 1, got {max_count}")
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_i", "_w"),
+    )
+    k = window_tokens
+    # window starting at token i = hash of tokens [i, i+k); tokens within
+    # k-1 of the end start no (full) window
+    win = W.partitionBy(id_col).orderBy("_i")
+    windowed = toks.withColumn(
+        "_wtext",
+        F.concat_ws(
+            " ", F.collect_list("_w").over(win.rowsBetween(0, k - 1))
+        ),
+    ).withColumn(
+        "_is_start",
+        F.lead("_w", k - 1).over(win).isNotNull(),
+    )
+    starts = windowed.withColumn(
+        "_h", F.when(F.col("_is_start"), F.xxhash64("_wtext"))
+    )
+    hot = (
+        starts.filter(F.col("_is_start"))
+        .groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > max_count)
+        .select("_h")
+    )
+    flagged = starts.join(F.broadcast(hot), "_h", "left_semi").select(
+        id_col, F.col("_i").alias("_hot_start")
+    )
+    # token j is covered iff some hot window starts in [j-k+1, j]:
+    # sliding max over start flags — one window pass, no range join
+    with_flags = (
+        toks.join(
+            flagged.withColumnRenamed("_hot_start", "_i").withColumn(
+                "_hit", F.lit(1)
+            ),
+            [id_col, "_i"],
+            "left",
+        )
+        .withColumn(
+            "_covered",
+            F.max(F.coalesce(F.col("_hit"), F.lit(0))).over(
+                win.rowsBetween(-(k - 1), 0)
+            ),
+        )
+    )
+    # collect_list(struct(pos, token)) + array_sort guarantees order
+    # independent of aggregation arrival order
+    rebuilt = (
+        with_flags.filter(F.col("_covered") == 0)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_w"))),
+                    lambda s: s["_w"],
+                ),
+            ).alias("cleaned")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce("cleaned", F.lit("")).alias("cleaned"))
+    )

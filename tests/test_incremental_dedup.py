@@ -107,3 +107,55 @@ def test_leakage_free_split_empty_pairs_equals_hash_split(spark):
     a = {r.doc_id: r.split for r in leakage_free_split(docs, empty, seed=5).collect()}
     b = {r.doc_id: r.split for r in hash_split(docs, seed=5).collect()}
     assert a == b
+
+
+def test_remove_repeated_spans_any_alignment(spark):
+    from gfw_data_api_spark.llmops.clean import remove_repeated_spans
+
+    # the duplicated 4-token phrase sits at DIFFERENT offsets in each doc
+    # (a segment-boundary-straddling case stride-3 segmentation misses)
+    phrase = "the cookie banner text"
+    rows = [
+        (1, f"alpha {phrase} beta"),
+        (2, f"one two {phrase} three"),
+        (3, "totally unique content here stays put"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.cleaned
+        for r in remove_repeated_spans(df, window_tokens=4, max_count=1).collect()
+    }
+    assert out[1] == "alpha beta"
+    assert out[2] == "one two three"
+    assert out[3] == "totally unique content here stays put"
+
+
+def test_remove_repeated_spans_long_run_fully_covered(spark):
+    from gfw_data_api_spark.llmops.clean import remove_repeated_spans
+
+    # a 6-token duplicate with window 4: every token of the run is inside
+    # some repeated window, so the WHOLE run disappears
+    run = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"p q {run}")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.cleaned
+        for r in remove_repeated_spans(df, window_tokens=4, max_count=1).collect()
+    }
+    assert out[1] == "x y"
+    assert out[2] == "p q"
+
+
+def test_remove_repeated_spans_short_docs_survive(spark):
+    from gfw_data_api_spark.llmops.clean import remove_repeated_spans
+
+    # docs shorter than the window can never be flagged
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.cleaned
+        for r in remove_repeated_spans(df, window_tokens=4).collect()
+    }
+    assert out == {1: "tiny doc", 2: "tiny doc", 3: ""}
