@@ -108,6 +108,9 @@ def compact_parquet(
     Readers of the old listing finish against already-open files.
     """
     _require_local_path(path)
+    # heal a crashed previous swap BEFORE measuring/reading: the data may
+    # still be parked at ._swap_old with nothing at `path`
+    recover_swap(path)
     plan = plan_compaction(path, target_bytes)
     n_out = plan["n_output_files"]
     df: DataFrame = spark.read.parquet(path)

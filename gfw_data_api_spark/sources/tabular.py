@@ -318,6 +318,9 @@ def append_with_evolution(
     events are rare, and Delta/Iceberg pay a metadata commit instead.
     Returns the post-append DataFrame.
     """
+    from gfw_data_api_spark.sources.compaction import recover_swap
+
+    recover_swap(path)  # heal a crashed previous swap before reading
     existing = spark.read.parquet(path)
     union = evolve_union_schema(existing.schema, incoming.schema)
 

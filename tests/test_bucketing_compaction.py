@@ -176,3 +176,16 @@ def test_compaction_rejects_remote_path(spark):
 
     with _pytest.raises(ValueError, match="local path"):
         compact_parquet(spark, "s3a://bucket/table")
+
+
+def test_compaction_recovers_before_reading(spark, tmp_path):
+    import os
+
+    from gfw_data_api_spark.sources.compaction import compact_parquet
+
+    path = str(tmp_path / "crashed2")
+    spark.range(100).write.parquet(path)
+    os.rename(path, path + "._swap_old")  # crashed mid-swap state
+    plan = compact_parquet(spark, path, target_bytes=10**9)
+    assert spark.read.parquet(path).count() == 100
+    assert plan["total_bytes"] > 0  # measured AFTER recovery, not on nothing
