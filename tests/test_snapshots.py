@@ -1,0 +1,82 @@
+"""Snapshot-isolated tables (sources/snapshots.py): atomic commits, time
+travel, rollback, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.sources.snapshots import (
+    snapshot_commit,
+    snapshot_history,
+    snapshot_read,
+    snapshot_rollback,
+    vacuum,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_commit_read_time_travel(spark, table):
+    v0 = snapshot_commit(spark.range(10), table, note="initial")
+    v1 = snapshot_commit(spark.range(25), table, note="reload")
+    assert (v0, v1) == (0, 1)
+    assert snapshot_read(spark, table).count() == 25  # current
+    assert snapshot_read(spark, table, version=0).count() == 10  # time travel
+    notes = [v["note"] for v in snapshot_history(table)]
+    assert notes == ["initial", "reload"]
+
+
+def test_rollback_is_o1_and_revertible(spark, table):
+    snapshot_commit(spark.range(5), table)
+    snapshot_commit(spark.range(50), table)
+    snapshot_rollback(table, 0)
+    assert snapshot_read(spark, table).count() == 5
+    # the newer version is still there: rollback of the rollback
+    snapshot_rollback(table, 1)
+    assert snapshot_read(spark, table).count() == 50
+
+
+def test_crashed_write_invisible_to_readers(spark, table):
+    snapshot_commit(spark.range(7), table)
+    # simulate a writer that died after writing data, before committing:
+    # an orphan v= dir that no manifest references
+    spark.range(999).write.parquet(os.path.join(table, "v=1"))
+    assert snapshot_read(spark, table).count() == 7  # reader never sees it
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, version=1)  # not a committed version
+    # a retrying writer skips past the orphan instead of colliding
+    v = snapshot_commit(spark.range(3), table)
+    assert v == 2
+    assert snapshot_read(spark, table).count() == 3
+    # the orphan is reclaimable
+    assert 1 in vacuum(table, keep_last=2)
+
+
+def test_vacuum_reclaims_old_and_orphans(spark, table):
+    for n in (3, 6, 9, 12):
+        snapshot_commit(spark.range(n), table)
+    removed = vacuum(table, keep_last=2)
+    assert removed == [0, 1]
+    assert not os.path.exists(os.path.join(table, "v=0"))
+    assert snapshot_read(spark, table).count() == 12
+    assert snapshot_read(spark, table, version=2).count() == 9
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, version=0)
+
+
+def test_missing_table_errors(spark, table):
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, table)
+
+
+def test_readers_isolated_from_concurrent_commit(spark, table):
+    snapshot_commit(spark.range(100).withColumn("x", F.lit(1)), table)
+    reader = snapshot_read(spark, table)  # resolves the manifest NOW
+    snapshot_commit(spark.range(7).withColumn("x", F.lit(2)), table)
+    # the in-flight reader still sees its immutable snapshot
+    assert reader.count() == 100
+    assert snapshot_read(spark, table).count() == 7
