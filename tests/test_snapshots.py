@@ -80,3 +80,37 @@ def test_readers_isolated_from_concurrent_commit(spark, table):
     # the in-flight reader still sees its immutable snapshot
     assert reader.count() == 100
     assert snapshot_read(spark, table).count() == 7
+
+
+def test_snapshot_sink_exactly_once(spark, tmp_path, sf_dir):
+    from gfw_data_api_spark.sources.tabular import load_table
+    from gfw_data_api_spark.streaming.snapshot_sink import (
+        committed_batch_ids,
+        read_stream_table,
+        snapshot_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(300)
+    src = str(tmp_path / "src")
+    # three source files → availableNow processes them (possibly batched)
+    events.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    table = str(tmp_path / "snap_table")
+    q = (
+        stream.writeStream.foreachBatch(snapshot_sink(table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert read_stream_table(spark, table).count() == 300
+    ids = committed_batch_ids(table)
+    assert ids  # at least one batch committed
+    # REDELIVERY: calling the sink again with an already-committed batch
+    # id must be a no-op (the at-least-once recovery case)
+    sink = snapshot_sink(table)
+    sink(events.limit(50), batch_id=min(ids))
+    assert read_stream_table(spark, table).count() == 300
+    # a genuinely new batch id commits
+    sink(events.limit(50), batch_id=max(ids) + 1)
+    assert read_stream_table(spark, table).count() == 350
