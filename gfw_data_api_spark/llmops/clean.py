@@ -253,7 +253,10 @@ def remove_repeated_spans(
         .filter(F.col("_c") > max_count)
         .select("_h")
     )
-    flagged = starts.join(F.broadcast(hot), "_h", "left_semi").select(
+    # NO broadcast hint: the corpus-wide hot-window set is unbounded
+    # (web boilerplate is pervasive) — let the planner pick; AQE
+    # broadcasts it only when it measures small
+    flagged = starts.join(hot, "_h", "left_semi").select(
         id_col, F.col("_i").alias("_hot_start")
     )
     # token j is covered iff some hot window starts in [j-k+1, j]:

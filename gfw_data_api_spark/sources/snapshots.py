@@ -9,32 +9,62 @@ the manifest pointer. Readers resolve the manifest once and then read
 an immutable snapshot; a writer crash leaves at worst an orphaned
 (unreferenced) version directory, never a broken table.
 
+Concurrency model (single host): version ids are reserved with an
+atomic ``mkdir`` (two writers can never claim the same id), and every
+manifest read-modify-write runs under an ``flock`` on a sibling lock
+file — a slow writer can no longer clobber a faster writer's committed
+entry with its stale manifest copy. Data writes happen OUTSIDE the
+lock; only the tiny manifest update serializes. Multi-host object
+stores need a conditional-put in place of the rename — same shape,
+different primitive.
+
 What this buys at 100 TB:
 - readers never see a partial write (snapshot isolation),
 - ``version=`` time travel and O(1) rollback (re-point the manifest),
 - concurrent reader/writer safety on any filesystem with atomic
-  single-file rename (POSIX; object stores want a conditional-put,
-  same shape).
+  single-file rename + flock.
 
-Kept deliberately minimal: linear version history, one manifest, no
-partition-level manifests — the reference's catalog (dataset/version
-registry) stays the authority for logical versions, this is the
-physical-commit primitive underneath one asset.
+Version kinds: plain commits are FULL-TABLE states (each version is
+the whole table). Stream sinks (streaming/snapshot_sink.py) commit
+DELTA versions (note-tagged); :func:`vacuum` understands the
+difference and never deletes an uncovered delta.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gfw_data_api_spark.sources.compaction import _require_local_path
+
 _MANIFEST = "_snapshot_manifest.json"
+_LOCK = "_snapshot_lock"
+
+#: note prefixes marking DELTA versions (streaming/snapshot_sink.py)
+STREAM_BATCH_PREFIX = "stream_batch:"
+STREAM_COMPACT_PREFIX = "stream_compact:"
 
 
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, _MANIFEST)
+
+
+@contextmanager
+def _locked(table_dir: str):
+    """Advisory exclusive lock serializing manifest mutations on one host."""
+    os.makedirs(table_dir, exist_ok=True)
+    fd = os.open(os.path.join(table_dir, _LOCK), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _read_manifest(table_dir: str) -> dict:
@@ -52,34 +82,53 @@ def _write_manifest_atomic(table_dir: str, manifest: dict) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, _manifest_path(table_dir))  # POSIX-atomic pointer flip
+    # fsync the DIRECTORY too: without it a power loss can forget the
+    # rename even though the caller was told the commit succeeded
+    dfd = os.open(table_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _reserve_version_dir(table_dir: str) -> tuple[int, str]:
+    """Claim the next free version id with an atomic mkdir."""
+    manifest = _read_manifest(table_dir)
+    committed_max = manifest["versions"][-1]["id"] if manifest["versions"] else -1
+    start = committed_max + 1
+    vid = start
+    while True:
+        vdir = os.path.join(table_dir, f"v={vid}")
+        try:
+            os.mkdir(vdir)  # atomic: exactly one writer wins each id
+            return vid, vdir
+        except FileExistsError:
+            vid += 1
 
 
 def snapshot_commit(df: DataFrame, table_dir: str, note: str = "") -> int:
     """Write ``df`` as the table's next immutable version; returns its id.
 
-    The data write happens entirely inside the new ``v=N`` directory;
-    the commit is the final manifest rename. A crash before the rename
-    leaves the table untouched (the orphan dir is invisible to readers
-    and reclaimable by :func:`vacuum`).
+    The data write happens entirely inside the reserved ``v=N``
+    directory; the commit is the final locked manifest update. A crash
+    before that leaves the table untouched (the orphan dir is invisible
+    to readers and reclaimable by :func:`vacuum`).
     """
+    _require_local_path(table_dir)
     os.makedirs(table_dir, exist_ok=True)
-    manifest = _read_manifest(table_dir)
-    committed_max = manifest["versions"][-1]["id"] if manifest["versions"] else -1
-    # skip past orphaned v= dirs from crashed writers: a retry must not
-    # collide with its own predecessor's half-written data
-    on_disk = [
-        int(e.split("=", 1)[1])
-        for e in os.listdir(table_dir)
-        if e.startswith("v=") and e.split("=", 1)[1].isdigit()
-    ]
-    next_id = max([committed_max, *on_disk], default=-1) + 1
-    vdir = os.path.join(table_dir, f"v={next_id}")
-    df.write.mode("errorifexists").parquet(vdir)
-    manifest["versions"].append(
-        {"id": next_id, "note": note, "committed_at": time.time()}
-    )
-    manifest["current"] = next_id
-    _write_manifest_atomic(table_dir, manifest)
+    next_id, vdir = _reserve_version_dir(table_dir)
+    # APPEND into the freshly reserved (guaranteed-empty) dir: overwrite
+    # would first DELETE it, re-opening the reservation race for a
+    # concurrent writer to mkdir the same id
+    df.write.mode("append").parquet(vdir)
+    with _locked(table_dir):
+        manifest = _read_manifest(table_dir)  # RE-read under the lock
+        manifest["versions"].append(
+            {"id": next_id, "note": note, "committed_at": time.time()}
+        )
+        manifest["versions"].sort(key=lambda v: v["id"])
+        manifest["current"] = next_id
+        _write_manifest_atomic(table_dir, manifest)
     return next_id
 
 
@@ -103,39 +152,91 @@ def snapshot_history(table_dir: str) -> list[dict]:
 
 
 def snapshot_rollback(table_dir: str, version: int) -> None:
-    """Re-point ``current`` at an older version (O(1); no data moves).
+    """Re-point ``current`` at an older version (O(1); no data moves)."""
+    with _locked(table_dir):
+        manifest = _read_manifest(table_dir)
+        if version not in {v["id"] for v in manifest["versions"]}:
+            raise ValueError(f"unknown snapshot version {version}")
+        manifest["current"] = version
+        _write_manifest_atomic(table_dir, manifest)
 
-    The rolled-back-over versions stay in the log (and on disk) so the
-    rollback itself is revertible; ``vacuum`` reclaims unreferenced
-    data only beyond the retained tail.
+
+def _is_delta(entry: dict) -> bool:
+    note = entry.get("note", "")
+    return note.startswith(STREAM_BATCH_PREFIX) or note.startswith(
+        STREAM_COMPACT_PREFIX
+    )
+
+
+def _covered_versions(manifest: dict) -> set[int]:
+    """Delta versions superseded by a later stream-compact commit."""
+    covered: set[int] = set()
+    for v in manifest["versions"]:
+        note = v.get("note", "")
+        if note.startswith(STREAM_COMPACT_PREFIX):
+            covered.update(json.loads(note[len(STREAM_COMPACT_PREFIX):])["covers"])
+    return covered
+
+
+def vacuum(
+    table_dir: str, keep_last: int = 2, orphan_grace_seconds: float = 3600.0
+) -> list[int]:
+    """Reclaim unreferenced data; returns the removed version ids.
+
+    Deletes: full-state versions older than the newest ``keep_last``
+    (never ``current``), DELTA versions covered by a later
+    stream-compact, and orphaned (never-committed) ``v=`` directories
+    older than ``orphan_grace_seconds`` (a YOUNG orphan may be an
+    in-flight writer's reservation — deleting it would corrupt that
+    commit). Uncovered deltas are always retained — for a stream table
+    each one is irreplaceable data, not a superseded state.
     """
-    manifest = _read_manifest(table_dir)
-    if version not in {v["id"] for v in manifest["versions"]}:
-        raise ValueError(f"unknown snapshot version {version}")
-    manifest["current"] = version
-    _write_manifest_atomic(table_dir, manifest)
-
-
-def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
-    """Delete version directories older than the newest ``keep_last``,
-    never including ``current``; returns the removed ids. Also reclaims
-    orphaned (crashed, never-committed) ``v=`` directories."""
     import shutil
 
-    manifest = _read_manifest(table_dir)
-    committed = [v["id"] for v in manifest["versions"]]
-    keep = set(committed[-keep_last:]) | {manifest["current"]}
-    removed = []
-    for entry in os.listdir(table_dir):
-        if not entry.startswith("v="):
-            continue
-        vid = int(entry.split("=", 1)[1])
-        if vid in keep:
-            continue
-        shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
-        removed.append(vid)
-    manifest["versions"] = [
-        v for v in manifest["versions"] if v["id"] in keep or v["id"] not in removed
-    ]
-    _write_manifest_atomic(table_dir, manifest)
-    return sorted(removed)
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    with _locked(table_dir):
+        manifest = _read_manifest(table_dir)
+        covered = _covered_versions(manifest)
+        full_state = [v["id"] for v in manifest["versions"] if not _is_delta(v)]
+        keep = set(full_state[-keep_last:])
+        if manifest["current"] is not None:
+            keep.add(manifest["current"])
+        removable: set[int] = set()
+        for v in manifest["versions"]:
+            vid = v["id"]
+            if vid in keep:
+                continue
+            if _is_delta(v):
+                if vid in covered:
+                    removable.add(vid)
+            elif vid not in keep:
+                removable.add(vid)
+        committed_ids = {v["id"] for v in manifest["versions"]}
+        orphans = []
+        for entry in os.listdir(table_dir):
+            if not entry.startswith("v="):
+                continue
+            suffix = entry.split("=", 1)[1]
+            if not suffix.isdigit():
+                continue  # foreign dirs are not ours to judge
+            vid = int(suffix)
+            if vid not in committed_ids:
+                age = time.time() - os.path.getmtime(
+                    os.path.join(table_dir, entry)
+                )
+                if age >= orphan_grace_seconds:
+                    orphans.append(vid)
+        # manifest first: a crash after this point leaves only orphan
+        # dirs (reclaimable), never a manifest referencing deleted data.
+        # Batch-id notes of removed deltas survive inside the covering
+        # compact entry, so redelivery dedup is preserved.
+        manifest["versions"] = [
+            v for v in manifest["versions"] if v["id"] not in removable
+        ]
+        _write_manifest_atomic(table_dir, manifest)
+        removed = []
+        for vid in sorted(removable | set(orphans)):
+            shutil.rmtree(os.path.join(table_dir, f"v={vid}"), ignore_errors=True)
+            removed.append(vid)
+        return removed

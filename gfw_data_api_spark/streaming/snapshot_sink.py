@@ -2,82 +2,145 @@
 
 Structured Streaming's parquet sink is append-only with at-least-once
 file semantics on recovery edge cases; the lakehouse answer is an
-idempotent commit keyed by the micro-batch id (Delta's txn/appId
-pattern). Built here on sources/snapshots.py: each micro-batch commits
-a new immutable version whose manifest entry records the batch id —
-when a batch is REDELIVERED after a restart (the at-least-once case),
-the sink sees the id already in the log and skips, making the whole
-pipeline exactly-once end to end without any sink-side dedup scan.
+idempotent commit keyed by (application id, micro-batch id) — Delta's
+txn appId/version pattern. Built on sources/snapshots.py: each
+micro-batch commits a new immutable DELTA version whose manifest entry
+records (app_id, batch_id); when a batch is REDELIVERED after a restart
+(the at-least-once case), the sink sees the pair already in the log and
+skips, making the pipeline exactly-once end to end without a sink-side
+dedup scan. The app_id matters: batch ids restart from 0 whenever the
+checkpoint is reset, and two different queries writing one table use
+overlapping batch-id sequences — id alone would silently drop their
+data.
 
-Scale shape: the per-batch cost is the batch write itself plus one
-manifest rename; the replay check reads the (tiny) manifest, never the
-data. Compaction of many small batch versions = snapshot_commit of the
-compacted whole (it's just another commit).
+Scale shape: per-batch cost is the batch write plus one manifest
+rename; the replay check reads the (tiny) manifest, never the data.
+Many small batch versions are folded by :func:`compact_stream_table` —
+one compact commit that records which deltas it covers, after which
+``vacuum`` can reclaim them while redelivery dedup keeps working (the
+covered batch ids travel inside the compact entry).
 """
 
 from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from gfw_data_api_spark.sources.snapshots import (
+    STREAM_BATCH_PREFIX,
+    STREAM_COMPACT_PREFIX,
+    _covered_versions,
     snapshot_commit,
     snapshot_history,
 )
 
-_BATCH_PREFIX = "stream_batch:"
 
-
-def committed_batch_ids(table_dir: str) -> set[int]:
-    """Micro-batch ids already committed to ``table_dir``."""
-    out = set()
+def committed_batch_ids(table_dir: str, app_id: str = "default") -> set[int]:
+    """Micro-batch ids already committed for ``app_id`` — including ids
+    recorded inside compact entries whose delta dirs were vacuumed."""
+    out: set[int] = set()
     for v in snapshot_history(table_dir):
         note = v.get("note", "")
-        if note.startswith(_BATCH_PREFIX):
-            out.add(json.loads(note[len(_BATCH_PREFIX):])["batch_id"])
+        if note.startswith(STREAM_BATCH_PREFIX):
+            meta = json.loads(note[len(STREAM_BATCH_PREFIX):])
+            if meta.get("app_id", "default") == app_id:
+                out.add(meta["batch_id"])
+        elif note.startswith(STREAM_COMPACT_PREFIX):
+            meta = json.loads(note[len(STREAM_COMPACT_PREFIX):])
+            out.update(meta.get("batch_ids", {}).get(app_id, []))
     return out
 
 
-def snapshot_sink(table_dir: str):
+def snapshot_sink(table_dir: str, app_id: str = "default"):
     """``foreachBatch`` function committing each micro-batch exactly once.
 
-    Usage::
+    ``app_id`` identifies the writing QUERY (pass a new one when
+    resetting the checkpoint to deliberately reprocess). Usage::
 
-        stream.writeStream.foreachBatch(snapshot_sink(dir))
+        stream.writeStream.foreachBatch(snapshot_sink(dir, app_id="q1"))
               .option("checkpointLocation", ckpt).start()
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(table_dir):
+        if batch_id in committed_batch_ids(table_dir, app_id):
             return  # redelivery after restart — already committed
         snapshot_commit(
             batch_df,
             table_dir,
-            note=_BATCH_PREFIX + json.dumps({"batch_id": batch_id}),
+            note=STREAM_BATCH_PREFIX
+            + json.dumps({"app_id": app_id, "batch_id": batch_id}),
         )
 
     return write_batch
 
 
-def read_stream_table(spark, table_dir: str) -> DataFrame:
-    """Read the accumulated stream table: the UNION of all committed
-    micro-batch versions.
+def _live_stream_versions(table_dir: str) -> list[dict]:
+    """Stream versions (batch or compact) not superseded by a compact."""
+    from gfw_data_api_spark.sources.snapshots import _read_manifest
 
-    For a stream table the version log is a sequence of DELTA commits
-    (one per batch), not full-table states, so the table's content is
-    every committed version together — resolved from the manifest once
-    (snapshot isolation still holds: a concurrent in-flight batch commit
-    is invisible until its manifest rename lands).
+    manifest = _read_manifest(table_dir)
+    covered = _covered_versions(manifest)
+    return [
+        v
+        for v in manifest["versions"]
+        if v["id"] not in covered
+        and (
+            v.get("note", "").startswith(STREAM_BATCH_PREFIX)
+            or v.get("note", "").startswith(STREAM_COMPACT_PREFIX)
+        )
+    ]
+
+
+def read_stream_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the accumulated stream table: the union of live deltas.
+
+    For a stream table the version log is a sequence of DELTA commits,
+    so the content is every uncovered batch version plus any compact
+    versions — resolved from the manifest once (snapshot isolation
+    holds: an in-flight commit is invisible until its manifest rename).
     """
     import os
 
-    versions = [
-        v["id"]
-        for v in snapshot_history(table_dir)
-        if v.get("note", "").startswith(_BATCH_PREFIX)
-    ]
-    if not versions:
+    live = _live_stream_versions(table_dir)
+    if not live:
         raise FileNotFoundError(f"no committed stream batches in {table_dir}")
-    paths = [os.path.join(table_dir, f"v={vid}") for vid in versions]
+    paths = [os.path.join(table_dir, f"v={v['id']}") for v in live]
     return spark.read.parquet(*paths)
+
+
+def compact_stream_table(spark: SparkSession, table_dir: str) -> int:
+    """Fold all live deltas into one compact commit; returns its version.
+
+    The compact entry records the covered version ids (so ``vacuum``
+    can reclaim their directories) AND the batch ids they carried per
+    app (so redelivery dedup survives the reclamation). Readers before
+    the commit see the old deltas; after, the compact — never both.
+    """
+    live = _live_stream_versions(table_dir)
+    if not live:
+        raise FileNotFoundError(f"no committed stream batches in {table_dir}")
+    batch_ids: dict[str, list[int]] = {}
+    for v in live:
+        note = v.get("note", "")
+        if note.startswith(STREAM_BATCH_PREFIX):
+            meta = json.loads(note[len(STREAM_BATCH_PREFIX):])
+            batch_ids.setdefault(meta.get("app_id", "default"), []).append(
+                meta["batch_id"]
+            )
+        elif note.startswith(STREAM_COMPACT_PREFIX):
+            meta = json.loads(note[len(STREAM_COMPACT_PREFIX):])
+            for app, ids in meta.get("batch_ids", {}).items():
+                batch_ids.setdefault(app, []).extend(ids)
+    data = read_stream_table(spark, table_dir)
+    return snapshot_commit(
+        data,
+        table_dir,
+        note=STREAM_COMPACT_PREFIX
+        + json.dumps(
+            {
+                "covers": [v["id"] for v in live],
+                "batch_ids": {app: sorted(ids) for app, ids in batch_ids.items()},
+            }
+        ),
+    )

@@ -52,14 +52,16 @@ def test_crashed_write_invisible_to_readers(spark, table):
     v = snapshot_commit(spark.range(3), table)
     assert v == 2
     assert snapshot_read(spark, table).count() == 3
-    # the orphan is reclaimable
-    assert 1 in vacuum(table, keep_last=2)
+    # the orphan is reclaimable once past the grace period (grace exists
+    # because a young orphan may be an in-flight writer's reservation)
+    assert 1 not in vacuum(table, keep_last=2)  # still within grace
+    assert 1 in vacuum(table, keep_last=2, orphan_grace_seconds=0)
 
 
 def test_vacuum_reclaims_old_and_orphans(spark, table):
     for n in (3, 6, 9, 12):
         snapshot_commit(spark.range(n), table)
-    removed = vacuum(table, keep_last=2)
+    removed = vacuum(table, keep_last=2, orphan_grace_seconds=0)
     assert removed == [0, 1]
     assert not os.path.exists(os.path.join(table, "v=0"))
     assert snapshot_read(spark, table).count() == 12
@@ -114,3 +116,52 @@ def test_snapshot_sink_exactly_once(spark, tmp_path, sf_dir):
     # a genuinely new batch id commits
     sink(events.limit(50), batch_id=max(ids) + 1)
     assert read_stream_table(spark, table).count() == 350
+
+
+def test_vacuum_keep_last_validated(spark, table):
+    snapshot_commit(spark.range(1), table)
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum(table, keep_last=0)
+
+
+def test_sink_app_id_isolation(spark, tmp_path):
+    from gfw_data_api_spark.streaming.snapshot_sink import (
+        read_stream_table,
+        snapshot_sink,
+    )
+
+    table = str(tmp_path / "two_apps")
+    a, b = snapshot_sink(table, app_id="query_a"), snapshot_sink(table, app_id="query_b")
+    a(spark.range(10), batch_id=0)
+    # DIFFERENT app, same batch id: must NOT be treated as redelivery
+    b(spark.range(5), batch_id=0)
+    assert read_stream_table(spark, table).count() == 15
+    # same app, same id: skipped
+    a(spark.range(99), batch_id=0)
+    assert read_stream_table(spark, table).count() == 15
+
+
+def test_stream_compaction_preserves_content_and_dedup(spark, tmp_path):
+    from gfw_data_api_spark.streaming.snapshot_sink import (
+        committed_batch_ids,
+        compact_stream_table,
+        read_stream_table,
+        snapshot_sink,
+    )
+
+    table = str(tmp_path / "compacted")
+    sink = snapshot_sink(table, app_id="q")
+    for bid, n in enumerate((10, 20, 30)):
+        sink(spark.range(n), batch_id=bid)
+    assert read_stream_table(spark, table).count() == 60
+    compact_stream_table(spark, table)
+    # content identical through the compact
+    assert read_stream_table(spark, table).count() == 60
+    # the covered delta dirs are now reclaimable; content survives
+    removed = vacuum(table, keep_last=1, orphan_grace_seconds=0)
+    assert removed  # the three batch versions
+    assert read_stream_table(spark, table).count() == 60
+    # redelivery dedup SURVIVES the vacuum (ids live in the compact entry)
+    assert committed_batch_ids(table, "q") == {0, 1, 2}
+    sink(spark.range(1000), batch_id=1)
+    assert read_stream_table(spark, table).count() == 60
