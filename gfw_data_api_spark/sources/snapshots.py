@@ -57,6 +57,7 @@ def _manifest_path(table_dir: str) -> str:
 @contextmanager
 def _locked(table_dir: str):
     """Advisory exclusive lock serializing manifest mutations on one host."""
+    _require_local_path(table_dir)  # guard EVERY mutating entry point
     os.makedirs(table_dir, exist_ok=True)
     fd = os.open(os.path.join(table_dir, _LOCK), os.O_CREAT | os.O_RDWR)
     try:
@@ -106,13 +107,23 @@ def _reserve_version_dir(table_dir: str) -> tuple[int, str]:
             vid += 1
 
 
-def snapshot_commit(df: DataFrame, table_dir: str, note: str = "") -> int:
+def snapshot_commit(
+    df: DataFrame, table_dir: str, note: str = "", precondition=None
+) -> int | None:
     """Write ``df`` as the table's next immutable version; returns its id.
 
     The data write happens entirely inside the reserved ``v=N``
     directory; the commit is the final locked manifest update. A crash
     before that leaves the table untouched (the orphan dir is invisible
     to readers and reclaimable by :func:`vacuum`).
+
+    ``precondition(manifest) -> bool``, when given, is evaluated UNDER
+    the manifest lock just before the append: if it returns False the
+    commit is abandoned (returns None; the written data becomes a
+    vacuum-able orphan). This is the check-and-act primitive the
+    exactly-once sink and stream compaction use to stay correct under
+    concurrent writers — a check done outside the lock can always be
+    invalidated between checking and committing.
     """
     _require_local_path(table_dir)
     os.makedirs(table_dir, exist_ok=True)
@@ -123,6 +134,8 @@ def snapshot_commit(df: DataFrame, table_dir: str, note: str = "") -> int:
     df.write.mode("append").parquet(vdir)
     with _locked(table_dir):
         manifest = _read_manifest(table_dir)  # RE-read under the lock
+        if precondition is not None and not precondition(manifest):
+            return None  # lost the race; orphan dir left for vacuum
         manifest["versions"].append(
             {"id": next_id, "note": note, "committed_at": time.time()}
         )
@@ -153,6 +166,7 @@ def snapshot_history(table_dir: str) -> list[dict]:
 
 def snapshot_rollback(table_dir: str, version: int) -> None:
     """Re-point ``current`` at an older version (O(1); no data moves)."""
+    _require_local_path(table_dir)
     with _locked(table_dir):
         manifest = _read_manifest(table_dir)
         if version not in {v["id"] for v in manifest["versions"]}:
@@ -178,23 +192,44 @@ def _covered_versions(manifest: dict) -> set[int]:
     return covered
 
 
+def _tree_age_seconds(path: str) -> float:
+    """Age of the NEWEST mtime anywhere under ``path`` — a long Spark
+    write keeps refreshing _temporary subpaths, so this measures writer
+    liveness where the top dir's mtime would lie."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            except OSError:
+                pass
+    return time.time() - newest
+
+
 def vacuum(
-    table_dir: str, keep_last: int = 2, orphan_grace_seconds: float = 3600.0
+    table_dir: str,
+    keep_last: int = 2,
+    orphan_grace_seconds: float = 3600.0,
+    retention_seconds: float = 3600.0,
 ) -> list[int]:
     """Reclaim unreferenced data; returns the removed version ids.
 
-    Deletes: full-state versions older than the newest ``keep_last``
-    (never ``current``), DELTA versions covered by a later
-    stream-compact, and orphaned (never-committed) ``v=`` directories
-    older than ``orphan_grace_seconds`` (a YOUNG orphan may be an
-    in-flight writer's reservation — deleting it would corrupt that
-    commit). Uncovered deltas are always retained — for a stream table
-    each one is irreplaceable data, not a superseded state.
+    Deletes: superseded full-state versions and covered DELTA versions
+    whose commit is older than ``retention_seconds`` (an in-flight
+    reader that resolved the manifest earlier may still be scanning a
+    just-superseded version — Delta's vacuum retention, same reason),
+    and orphaned (never-committed) ``v=`` directories whose newest
+    tree mtime is older than ``orphan_grace_seconds`` (a young-or-busy
+    orphan may be an in-flight writer's reservation). Uncovered deltas
+    are always retained — for a stream table each one is irreplaceable
+    data, not a superseded state.
     """
     import shutil
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    _require_local_path(table_dir)
+    now = time.time()
     with _locked(table_dir):
         manifest = _read_manifest(table_dir)
         covered = _covered_versions(manifest)
@@ -207,10 +242,12 @@ def vacuum(
             vid = v["id"]
             if vid in keep:
                 continue
+            if now - v.get("committed_at", 0) < retention_seconds:
+                continue  # an earlier-resolved reader may still scan it
             if _is_delta(v):
                 if vid in covered:
                     removable.add(vid)
-            elif vid not in keep:
+            else:
                 removable.add(vid)
         committed_ids = {v["id"] for v in manifest["versions"]}
         orphans = []
@@ -222,10 +259,7 @@ def vacuum(
                 continue  # foreign dirs are not ours to judge
             vid = int(suffix)
             if vid not in committed_ids:
-                age = time.time() - os.path.getmtime(
-                    os.path.join(table_dir, entry)
-                )
-                if age >= orphan_grace_seconds:
+                if _tree_age_seconds(os.path.join(table_dir, entry)) >= orphan_grace_seconds:
                     orphans.append(vid)
         # manifest first: a crash after this point leaves only orphan
         # dirs (reclaimable), never a manifest referencing deleted data.

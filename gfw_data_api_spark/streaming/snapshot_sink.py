@@ -32,15 +32,12 @@ from gfw_data_api_spark.sources.snapshots import (
     STREAM_COMPACT_PREFIX,
     _covered_versions,
     snapshot_commit,
-    snapshot_history,
 )
 
 
-def committed_batch_ids(table_dir: str, app_id: str = "default") -> set[int]:
-    """Micro-batch ids already committed for ``app_id`` — including ids
-    recorded inside compact entries whose delta dirs were vacuumed."""
+def _ids_from_manifest(manifest: dict, app_id: str) -> set[int]:
     out: set[int] = set()
-    for v in snapshot_history(table_dir):
+    for v in manifest["versions"]:
         note = v.get("note", "")
         if note.startswith(STREAM_BATCH_PREFIX):
             meta = json.loads(note[len(STREAM_BATCH_PREFIX):])
@@ -50,6 +47,14 @@ def committed_batch_ids(table_dir: str, app_id: str = "default") -> set[int]:
             meta = json.loads(note[len(STREAM_COMPACT_PREFIX):])
             out.update(meta.get("batch_ids", {}).get(app_id, []))
     return out
+
+
+def committed_batch_ids(table_dir: str, app_id: str = "default") -> set[int]:
+    """Micro-batch ids already committed for ``app_id`` — including ids
+    recorded inside compact entries whose delta dirs were vacuumed."""
+    from gfw_data_api_spark.sources.snapshots import _read_manifest
+
+    return _ids_from_manifest(_read_manifest(table_dir), app_id)
 
 
 def snapshot_sink(table_dir: str, app_id: str = "default"):
@@ -64,12 +69,17 @@ def snapshot_sink(table_dir: str, app_id: str = "default"):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed_batch_ids(table_dir, app_id):
-            return  # redelivery after restart — already committed
+            return  # fast path: known redelivery, skip even the write
+        # the authoritative check runs UNDER the manifest lock (the
+        # fast path above can always be invalidated between check and
+        # commit — e.g. a zombie driver racing its replacement); losing
+        # the race abandons the commit, leaving only a vacuumable orphan
         snapshot_commit(
             batch_df,
             table_dir,
             note=STREAM_BATCH_PREFIX
             + json.dumps({"app_id": app_id, "batch_id": batch_id}),
+            precondition=lambda m: batch_id not in _ids_from_manifest(m, app_id),
         )
 
     return write_batch
@@ -92,6 +102,13 @@ def _live_stream_versions(table_dir: str) -> list[dict]:
     ]
 
 
+def _read_versions(spark: SparkSession, table_dir: str, live: list[dict]) -> DataFrame:
+    import os
+
+    paths = [os.path.join(table_dir, f"v={v['id']}") for v in live]
+    return spark.read.parquet(*paths)
+
+
 def read_stream_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read the accumulated stream table: the union of live deltas.
 
@@ -100,22 +117,26 @@ def read_stream_table(spark: SparkSession, table_dir: str) -> DataFrame:
     versions — resolved from the manifest once (snapshot isolation
     holds: an in-flight commit is invisible until its manifest rename).
     """
-    import os
-
     live = _live_stream_versions(table_dir)
     if not live:
         raise FileNotFoundError(f"no committed stream batches in {table_dir}")
-    paths = [os.path.join(table_dir, f"v={v['id']}") for v in live]
-    return spark.read.parquet(*paths)
+    return _read_versions(spark, table_dir, live)
 
 
-def compact_stream_table(spark: SparkSession, table_dir: str) -> int:
-    """Fold all live deltas into one compact commit; returns its version.
+def compact_stream_table(spark: SparkSession, table_dir: str) -> int | None:
+    """Fold all live deltas into one compact commit; returns its version
+    (or None if a concurrent commit invalidated the fold — retry then).
+
+    The live set is resolved ONCE and the compact reads exactly those
+    version directories, so a sink batch landing mid-fold can never be
+    absorbed into the data while missing from ``covers``. The commit
+    precondition (checked under the manifest lock) aborts if the live
+    set changed — which also serializes two racing compactions: at most
+    one wins, the loser's output becomes a vacuumable orphan.
 
     The compact entry records the covered version ids (so ``vacuum``
     can reclaim their directories) AND the batch ids they carried per
-    app (so redelivery dedup survives the reclamation). Readers before
-    the commit see the old deltas; after, the compact — never both.
+    app (so redelivery dedup survives the reclamation).
     """
     live = _live_stream_versions(table_dir)
     if not live:
@@ -132,15 +153,26 @@ def compact_stream_table(spark: SparkSession, table_dir: str) -> int:
             meta = json.loads(note[len(STREAM_COMPACT_PREFIX):])
             for app, ids in meta.get("batch_ids", {}).items():
                 batch_ids.setdefault(app, []).extend(ids)
-    data = read_stream_table(spark, table_dir)
+    live_ids = [v["id"] for v in live]
+    data = _read_versions(spark, table_dir, live)  # exactly the captured set
     return snapshot_commit(
         data,
         table_dir,
         note=STREAM_COMPACT_PREFIX
         + json.dumps(
             {
-                "covers": [v["id"] for v in live],
+                "covers": live_ids,
                 "batch_ids": {app: sorted(ids) for app, ids in batch_ids.items()},
             }
         ),
+        precondition=lambda m: [
+            v["id"]
+            for v in m["versions"]
+            if v["id"] not in _covered_versions(m)
+            and (
+                v.get("note", "").startswith(STREAM_BATCH_PREFIX)
+                or v.get("note", "").startswith(STREAM_COMPACT_PREFIX)
+            )
+        ]
+        == live_ids,
     )

@@ -55,13 +55,13 @@ def test_crashed_write_invisible_to_readers(spark, table):
     # the orphan is reclaimable once past the grace period (grace exists
     # because a young orphan may be an in-flight writer's reservation)
     assert 1 not in vacuum(table, keep_last=2)  # still within grace
-    assert 1 in vacuum(table, keep_last=2, orphan_grace_seconds=0)
+    assert 1 in vacuum(table, keep_last=2, orphan_grace_seconds=0, retention_seconds=0)
 
 
 def test_vacuum_reclaims_old_and_orphans(spark, table):
     for n in (3, 6, 9, 12):
         snapshot_commit(spark.range(n), table)
-    removed = vacuum(table, keep_last=2, orphan_grace_seconds=0)
+    removed = vacuum(table, keep_last=2, orphan_grace_seconds=0, retention_seconds=0)
     assert removed == [0, 1]
     assert not os.path.exists(os.path.join(table, "v=0"))
     assert snapshot_read(spark, table).count() == 12
@@ -158,10 +158,61 @@ def test_stream_compaction_preserves_content_and_dedup(spark, tmp_path):
     # content identical through the compact
     assert read_stream_table(spark, table).count() == 60
     # the covered delta dirs are now reclaimable; content survives
-    removed = vacuum(table, keep_last=1, orphan_grace_seconds=0)
+    removed = vacuum(table, keep_last=1, orphan_grace_seconds=0, retention_seconds=0)
     assert removed  # the three batch versions
     assert read_stream_table(spark, table).count() == 60
     # redelivery dedup SURVIVES the vacuum (ids live in the compact entry)
     assert committed_batch_ids(table, "q") == {0, 1, 2}
     sink(spark.range(1000), batch_id=1)
     assert read_stream_table(spark, table).count() == 60
+
+
+def test_commit_precondition_under_lock(spark, table):
+    from gfw_data_api_spark.sources.snapshots import snapshot_commit as commit
+
+    v = commit(spark.range(4), table, precondition=lambda m: True)
+    assert v == 0
+    # a failing precondition abandons the commit: no manifest entry,
+    # data left as an orphan for vacuum
+    v2 = commit(spark.range(9), table, precondition=lambda m: False)
+    assert v2 is None
+    assert snapshot_read(spark, table).count() == 4
+    assert [e["id"] for e in snapshot_history(table)] == [0]
+    assert 1 in vacuum(table, keep_last=1, orphan_grace_seconds=0, retention_seconds=0)
+
+
+def test_compact_retry_contract(spark, tmp_path):
+    """A compact whose live set changed mid-fold aborts with None."""
+    from gfw_data_api_spark.sources import snapshots as snap
+    from gfw_data_api_spark.streaming import snapshot_sink as ss
+
+    table = str(tmp_path / "racing")
+    sink = ss.snapshot_sink(table, app_id="q")
+    sink(spark.range(5), batch_id=0)
+    live_before = ss._live_stream_versions(table)
+    # simulate the race: another batch lands after the fold captured live
+    sink(spark.range(5), batch_id=1)
+    batch_ids = {"q": [0]}
+    result = snap.snapshot_commit(
+        ss._read_versions(spark, table, live_before),
+        table,
+        note=ss.STREAM_COMPACT_PREFIX
+        + __import__("json").dumps(
+            {"covers": [v["id"] for v in live_before], "batch_ids": batch_ids}
+        ),
+        precondition=lambda m: [
+            v["id"]
+            for v in m["versions"]
+            if v["id"] not in snap._covered_versions(m)
+            and (
+                v.get("note", "").startswith(ss.STREAM_BATCH_PREFIX)
+                or v.get("note", "").startswith(ss.STREAM_COMPACT_PREFIX)
+            )
+        ]
+        == [v["id"] for v in live_before],
+    )
+    assert result is None  # aborted, no duplicate data
+    assert ss.read_stream_table(spark, table).count() == 10
+    # the real compact over the CURRENT live set succeeds
+    assert ss.compact_stream_table(spark, table) is not None
+    assert ss.read_stream_table(spark, table).count() == 10
