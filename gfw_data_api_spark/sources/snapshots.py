@@ -166,7 +166,6 @@ def snapshot_history(table_dir: str) -> list[dict]:
 
 def snapshot_rollback(table_dir: str, version: int) -> None:
     """Re-point ``current`` at an older version (O(1); no data moves)."""
-    _require_local_path(table_dir)
     with _locked(table_dir):
         manifest = _read_manifest(table_dir)
         if version not in {v["id"] for v in manifest["versions"]}:
@@ -192,18 +191,23 @@ def _covered_versions(manifest: dict) -> set[int]:
     return covered
 
 
-def _tree_age_seconds(path: str) -> float:
-    """Age of the NEWEST mtime anywhere under ``path`` — a long Spark
-    write keeps refreshing _temporary subpaths, so this measures writer
-    liveness where the top dir's mtime would lie."""
-    newest = os.path.getmtime(path)
+def _tree_idle_for(path: str, cutoff_seconds: float) -> bool:
+    """True iff NOTHING under ``path`` was modified within the cutoff —
+    a long Spark write keeps refreshing _temporary subpaths, so this
+    measures writer liveness where the top dir's mtime would lie.
+    Early-exits on the first fresh entry (the walk runs under the
+    manifest lock; a multi-TB orphan must not stall every committer)."""
+    threshold = time.time() - cutoff_seconds
+    if os.path.getmtime(path) > threshold:
+        return False
     for root, dirs, files in os.walk(path):
         for name in dirs + files:
             try:
-                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+                if os.path.getmtime(os.path.join(root, name)) > threshold:
+                    return False
             except OSError:
                 pass
-    return time.time() - newest
+    return True
 
 
 def vacuum(
@@ -228,7 +232,6 @@ def vacuum(
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    _require_local_path(table_dir)
     now = time.time()
     with _locked(table_dir):
         manifest = _read_manifest(table_dir)
@@ -259,7 +262,7 @@ def vacuum(
                 continue  # foreign dirs are not ours to judge
             vid = int(suffix)
             if vid not in committed_ids:
-                if _tree_age_seconds(os.path.join(table_dir, entry)) >= orphan_grace_seconds:
+                if _tree_idle_for(os.path.join(table_dir, entry), orphan_grace_seconds):
                     orphans.append(vid)
         # manifest first: a crash after this point leaves only orphan
         # dirs (reclaimable), never a manifest referencing deleted data.

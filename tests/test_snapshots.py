@@ -181,8 +181,11 @@ def test_commit_precondition_under_lock(spark, table):
     assert 1 in vacuum(table, keep_last=1, orphan_grace_seconds=0, retention_seconds=0)
 
 
-def test_compact_retry_contract(spark, tmp_path):
-    """A compact whose live set changed mid-fold aborts with None."""
+def test_compact_tolerates_midfold_batch_but_not_double_compact(spark, tmp_path):
+    """A batch landing mid-fold does not abort the compact (it stays an
+    uncovered live delta); a racing second compact DOES abort."""
+    import json
+
     from gfw_data_api_spark.sources import snapshots as snap
     from gfw_data_api_spark.streaming import snapshot_sink as ss
 
@@ -190,29 +193,31 @@ def test_compact_retry_contract(spark, tmp_path):
     sink = ss.snapshot_sink(table, app_id="q")
     sink(spark.range(5), batch_id=0)
     live_before = ss._live_stream_versions(table)
-    # simulate the race: another batch lands after the fold captured live
-    sink(spark.range(5), batch_id=1)
-    batch_ids = {"q": [0]}
-    result = snap.snapshot_commit(
-        ss._read_versions(spark, table, live_before),
-        table,
-        note=ss.STREAM_COMPACT_PREFIX
-        + __import__("json").dumps(
-            {"covers": [v["id"] for v in live_before], "batch_ids": batch_ids}
-        ),
-        precondition=lambda m: [
-            v["id"]
-            for v in m["versions"]
-            if v["id"] not in snap._covered_versions(m)
-            and (
-                v.get("note", "").startswith(ss.STREAM_BATCH_PREFIX)
-                or v.get("note", "").startswith(ss.STREAM_COMPACT_PREFIX)
-            )
-        ]
-        == [v["id"] for v in live_before],
-    )
-    assert result is None  # aborted, no duplicate data
-    assert ss.read_stream_table(spark, table).count() == 10
-    # the real compact over the CURRENT live set succeeds
-    assert ss.compact_stream_table(spark, table) is not None
-    assert ss.read_stream_table(spark, table).count() == 10
+
+    def fold_commit(live):
+        """What compact_stream_table commits for a captured live set."""
+        return snap.snapshot_commit(
+            ss._read_versions(spark, table, live),
+            table,
+            note=ss.STREAM_COMPACT_PREFIX
+            + json.dumps(
+                {"covers": [v["id"] for v in live], "batch_ids": {"q": [0]}}
+            ),
+            precondition=lambda m: {v["id"] for v in live}
+            <= {v["id"] for v in ss._live_from_manifest(m)},
+        )
+
+    # race 1: a new batch lands after the fold captured its live set —
+    # the compact still commits, and the new batch is NOT double-counted
+    sink(spark.range(7), batch_id=1)
+    assert fold_commit(live_before) is not None
+    assert ss.read_stream_table(spark, table).count() == 12
+    # race 2: a second compact captured the SAME (now covered) live set —
+    # its precondition fails and it abandons
+    assert fold_commit(live_before) is None
+    assert ss.read_stream_table(spark, table).count() == 12
+    # the public API folds the rest; an already-compacted table no-ops
+    v = ss.compact_stream_table(spark, table)
+    assert v is not None
+    assert ss.compact_stream_table(spark, table) == v  # idempotent no-op
+    assert ss.read_stream_table(spark, table).count() == 12
