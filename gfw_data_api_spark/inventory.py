@@ -2167,7 +2167,59 @@ _SPECS.append(
 # public registry
 # ---------------------------------------------------------------------------
 
-SPECS: dict[str, QuerySpec] = {spec.name: spec for spec in _SPECS}
+# The driver's correctness snapshot records the FIRST 50 dict entries of
+# ``queries()`` only.  Order the registry so every one of those 50 slots is
+# a full-oracle entry (hash-compared against DuckDB), with the entries the
+# driver has not yet checked at the front; rows-only entries (no oracle by
+# design — xxhash64/approx families) go last so no capped slot is spent on
+# a weaker rows-only row.
+_DRIVER_FRONT: list[str] = [
+    # never driver-checked before round 3 (added after slot 50 in round 2)
+    "ts01_asof_join",
+    "ts02_interval_join",
+    "ts03_resample_locf",
+    "q18_percentiles",
+    "q19_cube_grouping",
+    "st03_sliding_window",
+    "r03_zonal_avg_min_max",
+    "q20_salted_skew_agg",
+    "t06_tfidf_top_terms",
+    "st04_stream_first_occurrence",
+    "q21_grouping_sets",
+    "q22_topk_per_group",
+    "t07_repetition_signals",
+    "c01_token_chunks",
+    "c02_pii_redaction",
+    "s06_int8_quantization",
+    "u01_url_canonicalization",
+    "p01_curate_corpus",
+    "ca01_continuous_aggregate",
+    "d08_benchmark_decontamination",
+    "d09_dedup_clusters",
+    "t08_hash_split",
+    "t09_stratified_sample",
+    "t10_bigram_lm",
+    "d10_repeated_segment_removal",
+    "e04_merge_upsert",
+    "t11_domain_mixture",
+    "w01_importance_weights",
+    "b01_bpe_pair_stats",
+    "st05_stream_static_enrich",
+    "e05_scd2_intervals",
+]
+
+
+def _registry_order(specs: list[QuerySpec]) -> list[QuerySpec]:
+    by_name = {s.name: s for s in specs}
+    front = [by_name[n] for n in _DRIVER_FRONT]
+    rest_oracle = [
+        s for s in specs if s.name not in _DRIVER_FRONT and s.oracle is not None
+    ]
+    rows_only = [s for s in specs if s.oracle is None]
+    return front + rest_oracle + rows_only
+
+
+SPECS: dict[str, QuerySpec] = {spec.name: spec for spec in _registry_order(_SPECS)}
 
 
 def queries() -> dict[str, SparkQuery]:

@@ -32,6 +32,22 @@ def test_queries_and_oracles_aligned(spark):
     }
 
 
+def test_driver_snapshot_slots_are_full_oracle():
+    """The driver's correctness snapshot records only the first 50 dict
+    entries — every one of those slots must be a hash-compared full-oracle
+    entry, and no rows-only entry may precede any oracle entry."""
+    queries = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    snapshot = queries[:50]
+    assert all(name in oracles for name in snapshot), [
+        n for n in snapshot if n not in oracles
+    ]
+    # rows-only entries are all at the tail
+    tags = [name in oracles for name in queries]
+    first_rows_only = tags.index(False) if False in tags else len(tags)
+    assert all(not t for t in tags[first_rows_only:])
+
+
 def test_all_queries_execute_at_smoke_scale(spark, sf_dir):
     """Every declared query must at least build + execute at sf0.001."""
     failures = {}
