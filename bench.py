@@ -3,14 +3,27 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ..., "n": passes, "testdata": {table: {"rows": ..., "bytes": ...}}}
 
 Each query is forced to full materialization through the noop sink (no
 driver-collect overhead, full plan execution).
+
+Cross-round comparability: queries always run in sorted-name order (the
+registry's declared order is a driver-gate concern and changes between
+rounds), the pass protocol is recorded in the output (``n`` timed passes
+after one warmup pass, best-of-N kept), and the ``testdata`` block
+fingerprints the input parquet (row counts + file bytes from footer
+metadata) so a driver-side data regeneration between rounds is visible in
+the numbers it produced.
+
+Usage: ``python bench.py [name_prefix ...]`` — optional prefixes restrict
+the run (local iteration); the driver runs it bare.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -22,24 +35,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gfw_data_api_spark.session import get_spark  # noqa: E402
 
 
+def _testdata_fingerprint(sf_dir: str) -> dict[str, dict[str, int]]:
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, int]] = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        out[name] = {
+            "rows": pq.ParquetFile(path).metadata.num_rows,
+            "bytes": os.path.getsize(path),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
+    prefixes = tuple(sys.argv[1:])
 
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="gfw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    queries = dict(sorted(entrymod.queries().items()))
+    if prefixes:
+        queries = {n: f for n, f in queries.items() if n.startswith(prefixes)}
+
     # JMH-style warmup: one untimed pass compiles/caches codegen for every
     # expression shape, so the timed pass measures steady-state engine
     # throughput rather than first-call JIT/classloading (set
     # SPARK_GRAFT_BENCH_WARMUP=0 to measure cold).
-    queries = entrymod.queries()
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         for fn in queries.values():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
 
     # best-of-N timed passes: single-pass numbers swing 2-4x on a shared
     # JVM (GC pauses, JIT recompiles); the minimum is the steady-state
@@ -55,7 +86,7 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             # operators that persist() intermediates (shingle/token/signature
-            # indexes) would otherwise accumulate blocks across 84×N runs —
+            # indexes) would otherwise accumulate blocks across 85×N runs —
             # evict outside the timer so later queries aren't measured under
             # someone else's memory pressure
             spark.catalog.clearCache()
@@ -69,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": passes,
+                "testdata": _testdata_fingerprint(sf_dir),
             }
         )
     )

@@ -947,7 +947,7 @@ def _s04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.llmops.similarity import blocked_cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = blocked_cosine_pairs(emb, threshold=0.35)
+    pairs = blocked_cosine_pairs(emb, threshold=0.35, guard="plan")
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -174,19 +174,26 @@ def ngram_jaccard_pairs(
             F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
         )
         .withColumn("_s", F.xxhash64("_s"))
+        .persist()  # feeds the df-cap scan + sizes + both join sides
     )
     if max_doc_frequency is not None:
-        hot = (
+        # The hot set is small by construction (few shingles exceed a
+        # corpus-scale df cap — they are the stopword phrases), so resolve
+        # it once from the persisted index and push it down as a map-side
+        # filter: the usual empty case costs nothing in the downstream
+        # plans, and the explode is never recomputed.
+        hot_df = (
             sh.groupBy("_s")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_doc_frequency)
             .select("_s")
         )
-        # hot-shingle list is small by construction (few shingles exceed
-        # a corpus-scale df cap) → broadcast anti-join, no extra shuffle
-        # of the full index
-        sh = sh.join(F.broadcast(hot), "_s", "left_anti")
-    sh = sh.persist()  # feeds sizes + both join sides: 3 reuses of one explode
+        hot = [r["_s"] for r in hot_df.limit(10_001).collect()]
+        if len(hot) > 10_000:
+            # degenerate corpus (huge hot vocabulary): keep it distributed
+            sh = sh.join(F.broadcast(hot_df), "_s", "left_anti")
+        elif hot:
+            sh = sh.filter(~F.col("_s").isin(hot))
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     inter = (
         sh.alias("a")

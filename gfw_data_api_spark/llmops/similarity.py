@@ -166,6 +166,7 @@ def blocked_cosine_pairs(
     emb_col: str = "embedding",
     threshold: float = 0.35,
     max_block_size: int | None = 100_000,
+    guard: str = "eager",
 ) -> DataFrame:
     """Exact cosine pairs within blocks — the verification stage that
     LSH/IVF candidate generation feeds (gate twin: inventory s04).
@@ -173,13 +174,22 @@ def blocked_cosine_pairs(
     The pair space is quadratic IN THE BLOCK: a block of n vectors emits
     n(n−1)/2 candidate rows, so a 10⁶-vector block is 5·10¹¹ pairs —
     blocking only helps when blocks are bounded. ``max_block_size``
-    enforces that bound up front (one cheap groupBy) and raises with the
-    offending block names rather than launching an un-finishable join;
-    production paths over unbounded blocks should generate candidates
-    with LSH (hyperplane_lsh_buckets) or IVF first and use this only on
-    the candidate pairs. ``None`` skips the precheck.
+    enforces that bound; ``None`` skips it. Production paths over
+    unbounded blocks should generate candidates with LSH
+    (hyperplane_lsh_buckets) or IVF first and use this only on the
+    candidate pairs.
+
+    ``guard`` picks how the bound is enforced:
+
+    - ``"eager"`` — a separate block-count action up front; raises
+      ``ValueError`` naming the offending blocks before any join plan is
+      built (the API-friendly default).
+    - ``"plan"`` — the bound is asserted inside the returned plan
+      (block counts broadcast back onto the build side), so the caller's
+      single action pays no extra driver round-trip; an oversized block
+      aborts the job at its first scanned row with the same message.
     """
-    if max_block_size is not None:
+    if max_block_size is not None and guard == "eager":
         oversized = (
             df.groupBy(block_col)
             .agg(F.count("*").alias("_n"))
@@ -200,6 +210,30 @@ def blocked_cosine_pairs(
         cast.alias("_e"),
         norm_col(F.col(emb_col)).alias("_n"),
     )
+    if max_block_size is not None and guard == "plan":
+        counts = df.groupBy(F.col(block_col).alias("_block")).agg(
+            F.count("*").alias("_bn")
+        )
+        # assert_true returns NULL on success; routing the norm through it
+        # keeps the check in the plan (a free-standing dropped column would
+        # be pruned by the optimizer and never evaluate)
+        checked_norm = F.coalesce(
+            F.assert_true(
+                F.col("_bn") <= F.lit(max_block_size),
+                F.concat(
+                    F.lit(f"blocks exceed max_block_size={max_block_size}: "),
+                    F.col("_block").cast("string"),
+                    F.lit(" — use LSH/IVF candidate generation for "
+                          "unbounded blocks"),
+                ),
+            ).cast("double"),
+            F.col("_n"),
+        )
+        base = (
+            base.join(F.broadcast(counts), "_block")
+            .withColumn("_n", checked_norm)
+            .drop("_bn")
+        )
     return (
         base.alias("a")
         .join(

@@ -381,6 +381,23 @@ def test_blocked_cosine_pairs_block_guard(spark):
     assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)
 
 
+def test_blocked_cosine_pairs_plan_guard(spark):
+    """guard="plan" embeds the bound in the plan: no extra driver action,
+    same results in bounds, and an oversized block aborts the job."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from gfw_data_api_spark.llmops.similarity import blocked_cosine_pairs
+
+    rows = [(i, "big", [1.0, 0.0]) for i in range(50)] + [(100, "ok", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = blocked_cosine_pairs(df, max_block_size=100, guard="plan").collect()
+    assert len(out) == 50 * 49 / 2
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="max_block_size"):
+        blocked_cosine_pairs(df, max_block_size=10, guard="plan").count()
+
+
 def test_scrub_pii_planted(spark):
     from gfw_data_api_spark.llmops.clean import scrub_pii
 
