@@ -323,13 +323,27 @@ _SPECS.append(
     )
 )
 
+def _i06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 pagination through the real operator: page slice via
+    offset/limit plus a separate distributed count() stamped as a
+    literal — not count(*) OVER (), whose empty partition spec would
+    serialize the whole table through one task."""
+    from gfw_data_api_spark.operators.pagination import paginate_df
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return paginate_df(customer, page=3, size=10, order_by=["c_custkey"])
+
+
 _SPECS.append(
-    _same(
-        "customer",
-        "SELECT c_custkey, c_name, CAST(count(*) OVER () AS BIGINT) AS total_rows "
-        "FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20",
-        "I6 pagination: LIMIT size OFFSET (page-1)*size + count (utils/paginate.py:42-81)",
-        "i06_pagination",
+    QuerySpec(
+        name="i06_pagination",
+        spark_fn=_i06,
+        oracle=(
+            "SELECT c_custkey, c_name, CAST(count(*) OVER () AS BIGINT) AS total_rows "
+            "FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20"
+        ),
+        survey_ref="I6 pagination: LIMIT size OFFSET (page-1)*size + count "
+        "(utils/paginate.py:42-81; operators/pagination.py)",
     )
 )
 

@@ -16,8 +16,33 @@ from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 DEFAULT_PAGE_SIZE = 10
+
+
+def paginate_df(
+    df: DataFrame,
+    page: int = 1,
+    size: int = DEFAULT_PAGE_SIZE,
+    order_by: list[str] | None = None,
+    total_col: str = "total_rows",
+) -> DataFrame:
+    """Page slice as a DataFrame with the total stamped as a literal column.
+
+    The total comes from a separate distributed ``count()`` action —
+    never ``count(*) OVER ()``, whose empty partition spec is an
+    unpartitioned WindowExec that moves every surviving row through a
+    single task before the page is cut."""
+    if page < 1 or size < 1:
+        raise ValueError("page and size must be >= 1")
+    total = df.count()
+    ordered = df.orderBy(*order_by) if order_by else df
+    return (
+        ordered.offset((page - 1) * size)
+        .limit(size)
+        .withColumn(total_col, F.lit(total).cast("bigint"))
+    )
 
 
 @dataclass

@@ -148,20 +148,33 @@ def test_chunk_and_pii_are_narrow(spark, sf_dir):
         assert "EvalPython" not in plan, plan
 
 
-def test_jaccard_df_cap_uses_broadcast_antijoin(spark, sf_dir):
-    """The hot-shingle filter must be a broadcast anti-join, never a
-    shuffled one (the hot list is small by construction)."""
+def test_jaccard_df_cap_is_map_side(spark, sf_dir):
+    """The hot-shingle cap must never shuffle the full index a second
+    time: the hot set resolves driver-side once and applies as a map-side
+    isin filter (or broadcast anti-join in the degenerate huge-hot-set
+    case) — no SortMergeJoin LeftAnti anywhere."""
     from gfw_data_api_spark.llmops.dedup import ngram_jaccard_pairs
     from gfw_data_api_spark.sources.tabular import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = (
-        ngram_jaccard_pairs(docs, max_doc_frequency=100)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    # and the anti-join must not fall back to a shuffle join
+    # cap low enough that common shingles ARE hot at sf0.001 → the filter
+    # branch is exercised, not skipped as empty
+    df = ngram_jaccard_pairs(docs, max_doc_frequency=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"SortMergeJoin.*LeftAnti", plan), plan
+    assert re.search(r"NOT.*IN|isin|INSET", plan, re.IGNORECASE), plan
+
+
+def test_pagination_no_unpartitioned_window(spark, sf_dir):
+    """paginate_df must not contain a WindowExec (count(*) OVER () with an
+    empty partition spec funnels every row through one task)."""
+    from gfw_data_api_spark.operators.pagination import paginate_df
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    df = paginate_df(cust, page=3, size=10, order_by=["c_custkey"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
 
 
 def test_approx_percentile_partial_aggregation(spark, sf_dir):
