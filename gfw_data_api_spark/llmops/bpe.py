@@ -68,9 +68,14 @@ def train_bpe_merges(
     dominates below ~GB-scale samples, so the driver loop on a sample
     is the right default (and what sentencepiece/HF tokenizers do).
 
-    Deterministic: ties on pair frequency break lexicographically.
+    Deterministic: ties on pair frequency break lexicographically, and
+    the sample is drawn by content hash (llmops/sampling.py
+    deterministic_sample), so the learned merges are identical across
+    runs and repartitionings of the same data.
     """
-    texts = [r[0] for r in df.select(text_col).limit(sample_size).collect()]
+    from gfw_data_api_spark.llmops.sampling import deterministic_sample
+
+    texts = deterministic_sample(df, text_col, sample_size)
     words: dict[tuple[str, ...], int] = {}
     for t in texts:
         for w in t.split():

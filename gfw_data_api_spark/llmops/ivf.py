@@ -69,13 +69,17 @@ def train_ivf(
     The earlier all-data distributed Lloyd spent its wall-clock
     recompiling a fresh 1-job plan per iteration for identical math.
     """
+    from gfw_data_api_spark.llmops.sampling import deterministic_sample
+
     sample = np.asarray(
-        [
-            list(map(float, r[0]))
-            for r in df.select(emb_col).limit(sample_size).collect()
-        ],
+        [list(map(float, v)) for v in deterministic_sample(df, emb_col, sample_size)],
         dtype=np.float64,
     )
+    if sample.ndim != 2 or sample.shape[0] < nlist:
+        raise ValueError(
+            f"IVF training needs at least nlist={nlist} sample vectors, "
+            f"got {0 if sample.ndim != 2 else sample.shape[0]}"
+        )
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=nlist, replace=False)]
 

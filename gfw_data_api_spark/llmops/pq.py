@@ -41,12 +41,21 @@ def train_pq(
     """k-means each of the ``m`` subspaces on a driver-side sample.
 
     Returns codebooks of shape (m, ksub, d/m). Dimension must divide
-    evenly by ``m`` (FAISS's constraint too).
+    evenly by ``m`` (FAISS's constraint too). The sample is drawn by
+    content hash (llmops/sampling.py deterministic_sample), so the
+    codebooks reproduce across runs and repartitionings.
     """
+    from gfw_data_api_spark.llmops.sampling import deterministic_sample
+
     sample = np.asarray(
-        [list(map(float, r[0])) for r in df.select(emb_col).limit(sample_size).collect()],
+        [list(map(float, v)) for v in deterministic_sample(df, emb_col, sample_size)],
         dtype=np.float64,
     )
+    if sample.ndim != 2 or sample.shape[0] < ksub:
+        raise ValueError(
+            f"PQ training needs at least ksub={ksub} sample vectors, "
+            f"got {0 if sample.ndim != 2 else sample.shape[0]}"
+        )
     n, d = sample.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

@@ -24,11 +24,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample"]
+__all__ = ["hash_bucket", "hash_split", "stratified_sample", "deterministic_sample"]
 
 # Unit separator keeps ("1", "23") and ("12", "3") from colliding when
 # id and seed are concatenated.
 _SEP = "\x1f"
+
+
+def deterministic_sample(df: DataFrame, col: str, n: int) -> list:
+    """Driver-side sample of ``col`` values that does not depend on
+    partition count or scan order: the lowest-``n`` rows by content hash
+    (``orderBy + limit`` plans as TakeOrdered — a per-partition top-n
+    then a driver merge, never a global sort). Driver-trained models
+    (BPE merges, PQ codebooks, IVF centroids) sample through this so
+    retraining on a repartitioned copy of the same data reproduces the
+    model bit-for-bit. Content ties get a secondary sort on the value
+    itself, so even a 64-bit hash collision at the cut line cannot make
+    the returned multiset run-dependent."""
+    key = F.col(col).cast("string")
+    return [
+        r[0]
+        for r in df.select(col)
+        .orderBy(F.xxhash64(key), key)
+        .limit(n)
+        .collect()
+    ]
 
 
 def hash_bucket(col: Column, seed: int = 0, buckets: int = 1000) -> Column:

@@ -40,6 +40,13 @@ def merge_upsert(
       key the highest ``order_by`` wins, with ``updates`` beating ``base``
       on exact ties. Without it, source priority alone decides.
 
+    NULL ``order_by`` policy (explicit — don't rely on engine NULL sort
+    defaults): a NULL version means "no version information", so such a
+    row loses to ANY versioned row for the same key, from either source
+    (``desc_nulls_last``); when all rows for a key are NULL-versioned,
+    the NULLs tie and source priority decides — an unversioned update
+    still beats an unversioned base row.
+
     ``updates`` should hold at most one row per key per ``order_by`` value;
     otherwise the survivor among those exact duplicates is unspecified
     (same contract as Delta MERGE's "multiple source rows matched" error,
@@ -50,7 +57,7 @@ def merge_upsert(
     merged = base.withColumn(_PRI, F.lit(0)).unionByName(
         updates.withColumn(_PRI, F.lit(1))
     )
-    ordering = [F.col(order_by).desc()] if order_by else []
+    ordering = [F.col(order_by).desc_nulls_last()] if order_by else []
     ordering.append(F.col(_PRI).desc())
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return (

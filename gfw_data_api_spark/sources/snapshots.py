@@ -124,6 +124,12 @@ def snapshot_commit(
     exactly-once sink and stream compaction use to stay correct under
     concurrent writers — a check done outside the lock can always be
     invalidated between checking and committing.
+
+    A writer that stalls longer than a concurrent vacuum's
+    ``orphan_grace_seconds`` can have its (still uncommitted) version
+    directory reclaimed as an orphan; the locked append detects that and
+    abandons the commit rather than publishing a manifest entry whose
+    data is gone.
     """
     _require_local_path(table_dir)
     os.makedirs(table_dir, exist_ok=True)
@@ -132,10 +138,23 @@ def snapshot_commit(
     # would first DELETE it, re-opening the reservation race for a
     # concurrent writer to mkdir the same id
     df.write.mode("append").parquet(vdir)
+    return _commit_reserved(table_dir, next_id, vdir, note, precondition)
+
+
+def _commit_reserved(
+    table_dir: str, next_id: int, vdir: str, note: str, precondition=None
+) -> int | None:
+    """The locked manifest append finishing a write into a reserved dir."""
     with _locked(table_dir):
         manifest = _read_manifest(table_dir)  # RE-read under the lock
         if precondition is not None and not precondition(manifest):
             return None  # lost the race; orphan dir left for vacuum
+        if not os.path.isdir(vdir):
+            # vacuum judged this reservation an idle orphan while the
+            # writer was stalled past orphan_grace_seconds — the data is
+            # gone, so publishing the entry would break the table's core
+            # guarantee (manifest never references deleted data)
+            return None
         manifest["versions"].append(
             {"id": next_id, "note": note, "committed_at": time.time()}
         )
@@ -252,6 +271,25 @@ def vacuum(
                     removable.add(vid)
             else:
                 removable.add(vid)
+        # A compact's covers list is load-bearing metadata: if any version
+        # it covers survives this pass (e.g. pinned by keep/current after a
+        # rollback), dropping the compact entry would surface the survivor
+        # as uncovered and read_stream_table would double-count its rows.
+        # Keep such compacts until their whole covered set is gone.
+        # Fixpoint because compacts cover earlier compacts transitively.
+        by_id = {v["id"]: v for v in manifest["versions"]}
+        present = set(by_id)
+        demoted = True
+        while demoted:
+            demoted = False
+            for vid in list(removable):
+                note = by_id[vid].get("note", "")
+                if not note.startswith(STREAM_COMPACT_PREFIX):
+                    continue
+                covers = set(json.loads(note[len(STREAM_COMPACT_PREFIX):])["covers"])
+                if covers & (present - removable):
+                    removable.discard(vid)
+                    demoted = True
         committed_ids = {v["id"] for v in manifest["versions"]}
         orphans = []
         for entry in os.listdir(table_dir):

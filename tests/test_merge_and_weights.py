@@ -43,6 +43,24 @@ def test_merge_order_by_version_wins(spark):
     assert out2[0].v == "fresh"
 
 
+def test_merge_null_order_by_policy(spark):
+    """Explicit NULL semantics: an unversioned row loses to any versioned
+    row from either source; among all-NULL rows source priority decides."""
+    base = spark.createDataFrame([(1, "versioned", 5)], "k int, v string, ver int")
+    null_update = spark.createDataFrame(
+        [(1, "unversioned", None)], "k int, v string, ver int"
+    )
+    # NULL-version update loses to a versioned base row
+    assert merge_upsert(base, null_update, "k", order_by="ver").collect()[0].v == "versioned"
+    # ...and a NULL-version base row loses to a versioned update
+    null_base = spark.createDataFrame([(2, "old", None)], "k int, v string, ver int")
+    vers_update = spark.createDataFrame([(2, "new", 1)], "k int, v string, ver int")
+    assert merge_upsert(null_base, vers_update, "k", order_by="ver").collect()[0].v == "new"
+    # all-NULL tie: source priority still applies (update beats base)
+    null_vs_null = spark.createDataFrame([(2, "newer", None)], "k int, v string, ver int")
+    assert merge_upsert(null_base, null_vs_null, "k", order_by="ver").collect()[0].v == "newer"
+
+
 def test_merge_composite_keys(spark):
     base = spark.createDataFrame([(1, "x", 1.0), (1, "y", 2.0)], "a int, b string, v double")
     updates = spark.createDataFrame([(1, "y", 9.0)], "a int, b string, v double")
@@ -246,6 +264,8 @@ def test_bpe_trainer_golden(spark):
     merges = train_bpe_merges(df, num_merges=2)
     assert merges[0] == ("a", "b")
     assert merges[1] == ("ab", "c")
+    # sample is content-hash-ordered → identical merges on any layout
+    assert train_bpe_merges(df.repartition(5), num_merges=2) == merges
     toks = {
         r.text: r.bpe_tokens
         for r in apply_bpe(df, merges).collect()

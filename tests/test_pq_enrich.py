@@ -32,6 +32,22 @@ def test_pq_shapes_and_determinism(embeddings, pq_setup):
     # retraining with the same seed reproduces the codebooks exactly
     books2 = train_pq(embeddings, m=8, ksub=16, seed=42)
     assert np.array_equal(books, books2)
+    # ...even on a repartitioned copy (sample is content-hash-ordered,
+    # not partition-order-dependent)
+    books3 = train_pq(embeddings.repartition(7), m=8, ksub=16, seed=42)
+    assert np.array_equal(books, books3)
+
+
+def test_pq_and_ivf_reject_undersized_samples(embeddings):
+    import pytest
+
+    from gfw_data_api_spark.llmops.ivf import train_ivf
+
+    tiny = embeddings.limit(3)
+    with pytest.raises(ValueError, match="ksub"):
+        train_pq(tiny, m=8, ksub=16)
+    with pytest.raises(ValueError, match="nlist"):
+        train_ivf(tiny, nlist=16)
 
 
 def test_pq_quantization_error_beats_mean(embeddings, pq_setup):

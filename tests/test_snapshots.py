@@ -221,3 +221,54 @@ def test_compact_tolerates_midfold_batch_but_not_double_compact(spark, tmp_path)
     assert v is not None
     assert ss.compact_stream_table(spark, table) == v  # idempotent no-op
     assert ss.read_stream_table(spark, table).count() == 12
+
+
+def test_commit_abandons_when_vacuum_reclaimed_reservation(spark, table):
+    """A writer stalled past orphan_grace_seconds whose reserved dir was
+    vacuumed must abandon its commit (never publish an entry whose data
+    is gone)."""
+    from gfw_data_api_spark.sources import snapshots as snap
+
+    snapshot_commit(spark.range(4), table, note="base")
+    # the stalled writer: data fully written, manifest append not yet run
+    vid, vdir = snap._reserve_version_dir(table)
+    spark.range(9).write.mode("append").parquet(vdir)
+    # vacuum with zero grace judges the reservation an idle orphan
+    assert vid in vacuum(table, keep_last=1, orphan_grace_seconds=0, retention_seconds=0)
+    assert not os.path.exists(vdir)
+    # the writer wakes up and tries to finish
+    assert snap._commit_reserved(table, vid, vdir, note="stalled") is None
+    # manifest untouched: still one version, current unchanged
+    assert [e["id"] for e in snapshot_history(table)] == [0]
+    assert snapshot_read(spark, table).count() == 4
+
+
+def test_vacuum_keeps_compact_while_covered_delta_pinned(spark, tmp_path):
+    """Removing a compact entry whose covered delta survives (pinned by
+    rollback) would surface the delta as uncovered and double-count its
+    rows; vacuum must keep the compact's covers metadata alive."""
+    from gfw_data_api_spark.streaming.snapshot_sink import (
+        compact_stream_table,
+        read_stream_table,
+        snapshot_sink,
+    )
+
+    table = str(tmp_path / "pinned")
+    sink = snapshot_sink(table, app_id="q")
+    for bid, n in enumerate((10, 20)):
+        sink(spark.range(n), batch_id=bid)
+    c1 = compact_stream_table(spark, table)  # covers {0, 1}
+    sink(spark.range(5), batch_id=2)
+    c2 = compact_stream_table(spark, table)  # covers {c1, 2}
+    assert read_stream_table(spark, table).count() == 35
+    # pin covered delta v0 via rollback: keep = {current=0, last compact}
+    snapshot_rollback(table, 0)
+    removed = vacuum(table, keep_last=1, orphan_grace_seconds=0, retention_seconds=0)
+    # c1 covers {0,1}: v0 is pinned, so c1's entry must survive even if
+    # v1's dir is reclaimed; c2 covers {c1,2} and c1 survives, so c2
+    # stays live too
+    history_ids = [e["id"] for e in snapshot_history(table)]
+    assert c1 in history_ids and c2 in history_ids
+    assert c1 not in removed and c2 not in removed
+    # the stream read still counts every row exactly once
+    assert read_stream_table(spark, table).count() == 35
