@@ -76,6 +76,19 @@ def _json_response(start_response, payload: Any, status: int = 200, headers=None
     return [body]
 
 
+def _num_param(params: dict, name: str, default, cast=int):
+    """Query-string number with a 422 (not a 500) on malformed input —
+    the FastAPI-validation envelope the reference's routes return."""
+    from gfw_data_api_spark.sql.guard import QueryGuardError
+
+    raw = (params.get(name) or [default])[0]
+    try:
+        return cast(raw)
+    except (TypeError, ValueError):
+        kind = "an integer" if cast is int else "a number"
+        raise QueryGuardError(f"{name} must be {kind}.", 422) from None
+
+
 def _row_value(value):
     import datetime
 
@@ -194,8 +207,8 @@ def create_app(
 
             # /datasets
             if parts == ["datasets"] and method == "GET":
-                page = int((params.get("page[number]") or ["1"])[0])
-                size = int((params.get("page[size]") or ["10"])[0])
+                page = _num_param(params, "page[number]", "1")
+                size = _num_param(params, "page[size]", "10")
                 data = [
                     {
                         "dataset": d.dataset,
@@ -1236,9 +1249,9 @@ def create_app(
                     return _json_response(start_response, {"data": data, "status": "success"})
 
                 if tail[:1] == ["features"] and method == "GET":
-                    lat = float(params["lat"][0])
-                    lng = float(params["lng"][0])
-                    zoom = int((params.get("z") or ["22"])[0])
+                    lat = _num_param(params, "lat", params["lat"][0], cast=float)
+                    lng = _num_param(params, "lng", params["lng"][0], cast=float)
+                    zoom = _num_param(params, "z", "22")
                     df = features.features_by_location(
                         spark, registry, dataset, version, lat, lng, zoom
                     )

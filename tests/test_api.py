@@ -291,6 +291,15 @@ def test_datasets_listing_paginated(app):
     assert out["body"]["meta"]["page"] == 1
 
 
+def test_bad_numeric_query_params_422(app):
+    """Malformed pagination / zoom query params → 422 envelope, not 500."""
+    for query in ("page[number]=abc", "page[size]=ten", "page[number]=1.5"):
+        out = call(app, "GET", "/datasets", query=query)
+        assert out["status"] == 422, (query, out)
+        assert out["body"]["status"] == "failed"
+        assert "must be an integer" in out["body"]["message"]
+
+
 def test_internal_errors_are_jsend_500(app):
     # malformed body type triggers an unexpected error path, not a traceback
     out = call(app, "POST", "/geostore", body={"geometry": "not-a-geometry"})
