@@ -1175,9 +1175,9 @@ def create_app(
                             for feat in feature_collection.get("features", [])
                         ]
                     elif geostore_ids is not None:
-                        geometries = [
-                            geostore.geometry(spark, gid) for gid in geostore_ids
-                        ]
+                        # one Spark action resolves the whole id list
+                        resolved = geostore.geometry_many(spark, geostore_ids)
+                        geometries = [resolved[gid] for gid in geostore_ids]
                     else:
                         check_source_uris([uri])
                         with open(uri) as fh:

@@ -182,3 +182,74 @@ class Geostore:
         self, spark: SparkSession, geostore_id: str, origin: str = "gfw"
     ) -> dict[str, Any]:
         return json.loads(self.get(spark, geostore_id, origin)["gfw_geojson"])
+
+    def get_many(
+        self, spark: SparkSession, geostore_ids: list[str], origin: str = "gfw"
+    ) -> dict[str, dict[str, Any]]:
+        """Resolve a batch of ids with ONE Spark action, not one per id.
+
+        The batch-list path (R10) previously looped ``get`` — a limit-1
+        collect against the inheritance union per feature. Here the ids
+        missing from the standalone store resolve through a single
+        ``isin`` filter over the union (one job for all of them; the id
+        list is request-bounded at MAX_BATCH_FEATURES so the predicate
+        stays small); only ids unknown to every local source fall back
+        to the per-id external resolvers, which are remote HTTP analogs
+        with no batch endpoint. Raises 404 naming every unresolved id,
+        or 500 if any external source errored (same contract as ``get``).
+        """
+        out: dict[str, dict[str, Any]] = {}
+        missing: list[str] = []
+        for gid in geostore_ids:
+            if gid in self._store:
+                out[gid] = self._store[gid]
+            else:
+                missing.append(gid)
+        if missing:
+            union = self.inherited_view(spark)
+            if union is not None:
+                rows = union.filter(
+                    F.col("gfw_geostore_id").isin(missing)
+                ).collect()
+                for row in rows:
+                    out[row["gfw_geostore_id"]] = {
+                        col: row[col] for col in GEOSTORE_COLUMNS
+                    }
+                missing = [gid for gid in missing if gid not in out]
+        errors: list[str] = []
+        still_missing: list[str] = []
+        resolver_order = (
+            [origin] if origin in self.external_resolvers else []
+        ) + [n for n in self.external_resolvers if n != origin]
+        for gid in missing:
+            found = None
+            for name in resolver_order:
+                try:
+                    found = self.external_resolvers[name](gid)
+                except Exception as exc:  # noqa: BLE001 — source error ≠ miss
+                    errors.append(f"{name}: {type(exc).__name__}: {exc}")
+                    continue
+                if found is not None:
+                    break
+            if found is not None:
+                out[gid] = found
+            else:
+                still_missing.append(gid)
+        if still_missing:
+            if errors:
+                raise RegistryError(
+                    "One or more geostore sources failed: " + "; ".join(errors),
+                    500,
+                )
+            raise RegistryError(
+                f"Geostore(s) not found: {', '.join(still_missing)}.", 404
+            )
+        return out
+
+    def geometry_many(
+        self, spark: SparkSession, geostore_ids: list[str], origin: str = "gfw"
+    ) -> dict[str, dict[str, Any]]:
+        entries = self.get_many(spark, geostore_ids, origin)
+        return {
+            gid: json.loads(entry["gfw_geojson"]) for gid, entry in entries.items()
+        }
