@@ -146,6 +146,44 @@ def pq_topk(
     )
 
 
+def pq_topk_refined(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    refine_factor: int = 10,
+    code_col: str = "pq_codes",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ADC candidate generation + exact re-rank (FAISS's IndexRefine).
+
+    8-byte codes rank coarsely — quantization error is on the order of
+    within-cluster distances — so the deployment shape is: ADC top
+    ``k*refine_factor`` over the compressed table (cheap, codes-only
+    scan), then exact distance on just those candidates against the
+    full-precision vectors. The candidate set is k·refine_factor rows,
+    so the refine join broadcasts."""
+    from gfw_data_api_spark.llmops.similarity import cosine_to_query
+
+    candidates = pq_topk(
+        encoded, codebooks, query, k=k * refine_factor, code_col=code_col,
+        id_col=id_col,
+    ).select(id_col)
+    return (
+        vectors.join(F.broadcast(candidates), id_col)
+        .select(
+            id_col,
+            cosine_to_query(F.col(emb_col), [float(x) for x in query]).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     indexed_encoded: DataFrame,
     centroids: np.ndarray,

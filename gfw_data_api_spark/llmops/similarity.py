@@ -97,18 +97,49 @@ def ann_topk(
     planes: int = 12,
     probe_hamming: int = 1,
     seed: int = 42,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's bucket (and
-    hamming ≤ ``probe_hamming`` neighbor buckets)."""
-    hp = _hyperplanes(len(query), planes, seed)
-    qvec = np.asarray(query, dtype=np.float64)
-    qbits = int(sum(1 << i for i, plane in enumerate(hp) if float(plane @ qvec) >= 0))
-    probes = {qbits}
-    if probe_hamming >= 1:
-        probes |= {qbits ^ (1 << i) for i in range(planes)}
-    if "lsh_bucket" not in df.columns:
-        df = hyperplane_lsh_buckets(df, emb_col, planes, len(query), seed)
-    candidates = df.filter(F.col("lsh_bucket").isin(list(probes)))
+    hamming ≤ ``probe_hamming`` neighbor buckets).
+
+    ``tables`` > 1 uses that many independent hyperplane sets (seeds
+    ``seed..seed+tables-1``) and unions their candidate sets — the
+    standard recall lever for sign-random-projection LSH (a neighbor
+    split from the query by one table's hyperplanes is co-bucketed in
+    another). The candidate predicate stays an OR of per-table isin
+    filters evaluated in ONE scan — no extra pass, no shuffle; with a
+    stored ``lsh_bucket`` column (single-table layout) the filter prunes
+    at scan time instead."""
+
+    def _probes(hp: np.ndarray) -> list[int]:
+        qvec = np.asarray(query, dtype=np.float64)
+        qbits = int(
+            sum(1 << i for i, plane in enumerate(hp) if float(plane @ qvec) >= 0)
+        )
+        out = {qbits}
+        if probe_hamming >= 1:
+            out |= {qbits ^ (1 << i) for i in range(planes)}
+        if probe_hamming >= 2:
+            out |= {
+                qbits ^ (1 << i) ^ (1 << j)
+                for i in range(planes)
+                for j in range(i + 1, planes)
+            }
+        return list(out)
+
+    if tables > 1:
+        pred = None
+        for t in range(tables):
+            hp = _hyperplanes(len(query), planes, seed + t)
+            bucket = hyperplane_bucket_col(F.col(emb_col), hp)
+            p = bucket.isin(_probes(hp))
+            pred = p if pred is None else (pred | p)
+        candidates = df.filter(pred)
+    else:
+        hp = _hyperplanes(len(query), planes, seed)
+        if "lsh_bucket" not in df.columns:
+            df = hyperplane_lsh_buckets(df, emb_col, planes, len(query), seed)
+        candidates = df.filter(F.col("lsh_bucket").isin(_probes(hp)))
     return (
         candidates.select(id_col, cosine_to_query(F.col(emb_col), query).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
