@@ -272,3 +272,142 @@ def test_vacuum_keeps_compact_while_covered_delta_pinned(spark, tmp_path):
     assert c1 not in removed and c2 not in removed
     # the stream read still counts every row exactly once
     assert read_stream_table(spark, table).count() == 35
+
+
+# ---------------------------------------------------------------------------
+# property test: random commit/compact/vacuum/rollback schedules
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# op alphabet: (kind, arg) — arg picks the batch id / rollback slot
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["sink", "redeliver", "compact", "vacuum", "rollback"]),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+@given(ops=_OPS)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_schedule_invariants(spark, tmp_path_factory, ops):
+    """Under ANY schedule of sink/compact/vacuum/rollback, the stream
+    table must (1) never have a manifest entry whose data directory is
+    missing, and (2) read back exactly one copy of every delivered
+    batch's rows — the module's two core guarantees."""
+    import json as _json
+
+    from gfw_data_api_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_rollback,
+    )
+    from gfw_data_api_spark.streaming.snapshot_sink import (
+        committed_batch_ids,
+        compact_stream_table,
+        read_stream_table,
+        snapshot_sink,
+    )
+
+    table = str(tmp_path_factory.mktemp("sched") / "tbl")
+    sink = snapshot_sink(table, app_id="p")
+    delivered: dict[int, int] = {}  # batch_id -> row count
+    next_bid = 0
+    for kind, arg in ops:
+        if kind == "sink":
+            n = (next_bid % 3) + 1
+            sink(spark.range(n), batch_id=next_bid)
+            delivered[next_bid] = n
+            next_bid += 1
+        elif kind == "redeliver" and delivered:
+            bid = sorted(delivered)[arg % len(delivered)]
+            sink(spark.range(50), batch_id=bid)  # must be a no-op
+        elif kind == "compact" and delivered:
+            compact_stream_table(spark, table)
+        elif kind == "vacuum":
+            vacuum(table, keep_last=1, orphan_grace_seconds=3600,
+                   retention_seconds=0)
+        elif kind == "rollback":
+            manifest = _read_manifest(table)
+            if manifest["versions"]:
+                ids = [v["id"] for v in manifest["versions"]]
+                snapshot_rollback(table, ids[arg % len(ids)])
+
+        # invariant 1: every manifest entry's directory exists
+        manifest = _read_manifest(table)
+        for v in manifest["versions"]:
+            vdir = os.path.join(table, f"v={v['id']}")
+            assert os.path.isdir(vdir), (
+                f"manifest references missing {vdir}; note={v.get('note')}"
+            )
+        # invariant 2: exactly-once content
+        if delivered:
+            assert read_stream_table(spark, table).count() == sum(
+                delivered.values()
+            ), _json.dumps(manifest, indent=1)
+            assert committed_batch_ids(table, "p") == set(delivered)
+
+
+def test_concurrent_sinks_compact_vacuum_threads(spark, tmp_path):
+    """Real thread interleaving: three sink writers, a compactor, and a
+    vacuum loop share one table; every batch must land exactly once and
+    the manifest must never point at deleted data."""
+    import threading
+
+    from gfw_data_api_spark.sources.snapshots import _read_manifest
+    from gfw_data_api_spark.streaming.snapshot_sink import (
+        committed_batch_ids,
+        compact_stream_table,
+        read_stream_table,
+        snapshot_sink,
+    )
+
+    table = str(tmp_path / "conc")
+    sink = snapshot_sink(table, app_id="t")
+    errors: list[BaseException] = []
+
+    def writer(offset: int):
+        try:
+            for i in range(4):
+                # overlapping ids across writers: redeliveries must dedup
+                sink(spark.range(3), batch_id=offset + i)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def maintainer(fn):
+        try:
+            for _ in range(3):
+                fn()
+        except FileNotFoundError:
+            pass  # maintenance before the first commit is fine
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(0,)),
+        threading.Thread(target=writer, args=(2,)),   # overlaps ids 2,3
+        threading.Thread(target=writer, args=(4,)),   # overlaps ids 4,5
+        threading.Thread(target=maintainer, args=(
+            lambda: compact_stream_table(spark, table),)),
+        threading.Thread(target=maintainer, args=(
+            lambda: vacuum(table, keep_last=1, orphan_grace_seconds=3600,
+                           retention_seconds=0),)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    # ids 0..7 delivered (with overlaps) — exactly one copy of each
+    assert committed_batch_ids(table, "t") == set(range(8))
+    assert read_stream_table(spark, table).count() == 8 * 3
+    manifest = _read_manifest(table)
+    for v in manifest["versions"]:
+        assert os.path.isdir(os.path.join(table, f"v={v['id']}"))
