@@ -7,17 +7,21 @@ run as Arrow-batched ``mapInPandas`` stages so a 100 TB media table
 processes with ordinary partition parallelism and bounded memory
 (``maxRecordsPerBatch`` caps batch bytes).
 
-The image/audio codec libraries are NOT present in this environment, so
-the codec call itself is stubbed: ``decode_media`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic
-hash-derived pseudo-decode stands in. The Spark-side plumbing — schemas,
-batching, UDF signatures, partitioning — is real and tested; swapping the
-stub for PIL/ffmpeg is a one-function change.
+Codec support: PNG (all five scanline filters, gray / RGB / palette /
+alpha at 8-bit depth) and uncompressed 24-bit BMP decode in pure Python
+(zlib is stdlib), so image rows decode for real. JPEG/audio/video codecs
+are NOT present in this environment, so those formats raise
+NotImplementedError at the codec boundary; ``fake=True`` substitutes a
+deterministic hash-derived pseudo-decode to exercise the pipeline shape
+regardless of format. Swapping in PIL/ffmpeg remains a one-function
+change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -25,6 +29,148 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type → channel count (bit depth 8 supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-Python PNG decode → uint8 array (H, W, C).
+
+    Supports the baseline still-image profile: 8-bit depth, color types
+    0/2/3/4/6, non-interlaced, all five scanline filters (None, Sub, Up,
+    Average, Paeth). Runs inside mapInPandas batches; per-row filter
+    reconstruction is sequential by spec (each pixel depends on the
+    previous), so rows loop in Python — heavy production decodes swap in
+    a native codec at this same seam.
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">2I5B", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG profile outside subset (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}); supported: 8-bit non-interlaced types 0/2/3/4/6"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row_off = y * (stride + 1)
+        filt = raw[row_off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_off + 1).astype(
+            np.int32
+        )
+        if filt == 0:  # None
+            recon = line
+        elif filt == 1:  # Sub — cumulative per channel phase
+            recon = line.copy()
+            for c in range(channels):
+                recon[c::channels] = np.cumsum(recon[c::channels]) & 0xFF
+        elif filt == 2:  # Up — fully vectorized
+            recon = (line + prev) & 0xFF
+        elif filt == 3:  # Average
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - channels] if x >= channels else 0
+                recon[x] = (recon[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - channels] if x >= channels else 0
+                up = prev[x]
+                ul = prev[x - channels] if x >= channels else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                recon[x] = (recon[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {filt} invalid")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    img = out.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0, one IDAT) — fixture/export twin of
+    ``decode_png``. Accepts uint8 (H, W) gray or (H, W, {1,2,3,4})."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">2I5B", width, height, 8, color_type, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + arr[y].tobytes() for y in range(height))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP decode → uint8 array (H, W, 3) RGB.
+    Rows are stored bottom-up, BGR, padded to 4-byte boundaries."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<2i", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP profile outside subset (bpp={bpp}, compression={compression}); "
+            "supported: uncompressed 24-bit"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        off = data_off + y * row_bytes
+        row = np.frombuffer(data, dtype=np.uint8, count=width * 3, offset=off).reshape(
+            width, 3
+        )
+        img[height - 1 - y if bottom_up else y] = row[:, ::-1]  # BGR → RGB
+    return img
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -43,19 +189,28 @@ FEATURE_DIM = 16
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to an array.
 
-    STUB: real decoding needs PIL/libav, which this environment lacks.
-    With ``fake=True`` a deterministic pseudo-decode (bytes → seeded
-    array) exercises the full pipeline shape.
+    Real decode for PNG and uncompressed 24-bit BMP (sniffed by magic
+    bytes — pure-Python codecs above). Other formats (JPEG, audio,
+    video) need PIL/libav, absent in this environment, and raise
+    NotImplementedError at this boundary. ``fake=True`` substitutes a
+    deterministic pseudo-decode (bytes → seeded array) for any format,
+    exercising the full pipeline shape.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not available in this environment; "
-            "pass fake=True for the deterministic test decode"
-        )
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.random(64, dtype=np.float64)
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        rng = np.random.default_rng(seed)
+        return rng.random(64, dtype=np.float64)
+    data = bytes(payload)
+    if data[:8] == _PNG_MAGIC:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise NotImplementedError(
+        "no codec for this payload format (PNG and 24-bit BMP decode natively; "
+        "JPEG/audio/video need PIL/ffmpeg, unavailable here); "
+        "pass fake=True for the deterministic test decode"
+    )
 
 
 def extract_features(
@@ -88,8 +243,14 @@ def extract_features(
                 data = bytes(payload)
                 media_type = meta["media_type"] if meta is not None else "image"
                 decoded = decode_media(data, media_type, fake=fake)
-                # pooled pseudo-embedding: fixed-dim mean-pool of the decode
-                pooled = decoded.reshape(FEATURE_DIM, -1).mean(axis=1).astype(np.float32)
+                # pooled pseudo-embedding: fixed-dim mean-pool of the
+                # flattened decode (zero-padded to a FEATURE_DIM multiple
+                # so real images of any size pool to the same width)
+                flat = np.asarray(decoded, dtype=np.float64).ravel()
+                pad = (-len(flat)) % FEATURE_DIM
+                if pad:
+                    flat = np.pad(flat, (0, pad))
+                pooled = flat.reshape(FEATURE_DIM, -1).mean(axis=1).astype(np.float32)
                 feats.append(pooled.tolist())
                 hashes.append(hashlib.sha256(data).hexdigest())
             pdf = pdf.copy()

@@ -164,9 +164,9 @@ def ingest_vector(
 
             df = read_esrijson(spark, source_path)
         elif source_driver == "FileGDB":
-            # accepted driver (reference creation_options.py:15-23);
-            # validates the .gdb then raises a clear conversion hint —
-            # the proprietary row codec is absent in this environment
+            # reference creation_options.py:15-23; pure-Python
+            # OpenFileGDB-subset codec — GDBs outside the subset raise
+            # FileGDBUnsupportedError with a conversion hint
             from gfw_data_api_spark.sources.vector_files import read_file_gdb
 
             df = read_file_gdb(spark, source_path)

@@ -438,12 +438,302 @@ def write_geopackage(df: DataFrame, path: str, layer: str, geom_col: str = "geom
 
 # ---------------------------------------------------------------------------
 # ESRI FileGDB (reference driver enum creation_options.py:15-23)
+#
+# Pure-Python OpenFileGDB-subset codec. The .gdbtable format is
+# ESRI-proprietary but publicly reverse-engineered (Even Rouault's "FGDB
+# Spec", the layout GDAL's OpenFileGDB driver implements). This reads the
+# common subset the reference's vector loads need: V3 tables, field types
+# objectid / int16 / int32 / float32 / float64 / string / datetime /
+# geometry, shapes point / polyline / polygon. Anything outside the
+# subset (compressed tables, blob/raster/uuid fields, multipatch, z/m
+# coordinates) raises FileGDBUnsupportedError with the ogr2ogr
+# conversion hint instead of decoding garbage.
+#
+# Scale design (same as read_shapefile): the DRIVER reads only the
+# .gdbtablx row index (5-6 bytes/row) plus the ~hundreds-of-bytes field
+# descriptor; row blobs are decoded inside mapInPandas over ranges of
+# row offsets, so N partitions seek-and-parse concurrently and no
+# feature bytes pass through the driver.
 # ---------------------------------------------------------------------------
 
 
 class FileGDBUnsupportedError(NotImplementedError):
     """Raised for a STRUCTURALLY VALID .gdb whose row data this
     environment cannot decode."""
+
+
+def _read_varuint(buf: bytes, pos: int) -> tuple[int, int]:
+    """LEB128 unsigned varint (FGDB row/geometry encoding)."""
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """FGDB signed varint: sign bit is bit 6 of the FIRST byte; the
+    magnitude packs 6 bits from byte 0 then 7 bits per continuation."""
+    b = buf[pos]
+    pos += 1
+    negative = bool(b & 0x40)
+    val = b & 0x3F
+    shift = 6
+    while b & 0x80:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        shift += 7
+    return (-val if negative else val), pos
+
+
+def _write_varuint(val: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = val & 0x7F
+        val >>= 7
+        if val:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _write_varint(val: int) -> bytes:
+    negative = val < 0
+    val = -val if negative else val
+    first = (val & 0x3F) | (0x40 if negative else 0)
+    val >>= 6
+    out = bytearray()
+    if val:
+        out.append(first | 0x80)
+        while True:
+            b = val & 0x7F
+            val >>= 7
+            if val:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    else:
+        out.append(first)
+    return bytes(out)
+
+
+# field type codes (FGDB Spec §field description)
+_GDB_INT16, _GDB_INT32, _GDB_FLOAT32, _GDB_FLOAT64 = 0, 1, 2, 3
+_GDB_STRING, _GDB_DATETIME, _GDB_OBJECTID, _GDB_GEOMETRY = 4, 5, 6, 7
+
+
+def _gdbtablx_offsets(path: str) -> list[int]:
+    """Row offsets from the .gdbtablx sidecar: 16-byte header
+    (magic=3, n 1024-blocks, n rows, offset width), then fixed-width
+    little-endian offsets; 0 = deleted/absent row."""
+    with open(path, "rb") as fh:
+        head = fh.read(16)
+        magic, _blocks, n_rows, width = struct.unpack("<4i", head)
+        if magic != 3:
+            raise FileGDBUnsupportedError(f"{path}: .gdbtablx magic {magic} != 3")
+        if width not in (4, 5, 6):
+            raise FileGDBUnsupportedError(f"{path}: offset width {width} unsupported")
+        raw = fh.read(n_rows * width)
+    return [
+        int.from_bytes(raw[i * width : (i + 1) * width], "little")
+        for i in range(n_rows)
+    ]
+
+
+def _gdbtable_schema(path: str) -> dict:
+    """Parse the .gdbtable 40-byte header + field descriptor section.
+
+    Returns {"n_rows", "fields": [(name, type_code, nullable)],
+    "geom": {xorigin, yorigin, xyscale} | None}.
+    """
+    with open(path, "rb") as fh:
+        head = fh.read(40)
+        if len(head) < 40 or struct.unpack_from("<i", head, 0)[0] != 3:
+            raise FileGDBUnsupportedError(f"{path}: bad .gdbtable magic")
+        n_rows = struct.unpack_from("<i", head, 4)[0]
+        field_off = struct.unpack_from("<q", head, 32)[0]
+        fh.seek(field_off)
+        # generous read: descriptor sections are tiny (≤ a few KB)
+        sec = fh.read(1 << 20)
+
+    pos = 0
+    _sec_len, version = struct.unpack_from("<2i", sec, pos)
+    pos += 8
+    if version not in (3, 4):
+        raise FileGDBUnsupportedError(f"{path}: field-section version {version}")
+    _layer_geom_type = sec[pos]
+    pos += 4  # geometry-type byte + 3 flag bytes
+    (n_fields,) = struct.unpack_from("<h", sec, pos)
+    pos += 2
+
+    fields: list[tuple[str, int, bool]] = []
+    geom_params = None
+    for _ in range(n_fields):
+        name_chars = sec[pos]
+        pos += 1
+        name = sec[pos : pos + 2 * name_chars].decode("utf-16-le")
+        pos += 2 * name_chars
+        alias_chars = sec[pos]
+        pos += 1
+        pos += 2 * alias_chars
+        ftype = sec[pos]
+        pos += 1
+        nullable = True
+        if ftype == _GDB_OBJECTID:
+            pos += 2  # unknown bytes (4, 2)
+            nullable = False
+        elif ftype in (_GDB_INT16, _GDB_INT32, _GDB_FLOAT32, _GDB_FLOAT64, _GDB_DATETIME):
+            _width = sec[pos]
+            flags = sec[pos + 1]
+            pos += 2
+            nullable = bool(flags & 1)
+            if flags & 4:  # default value: length byte + payload
+                dlen = sec[pos]
+                pos += 1 + dlen
+        elif ftype == _GDB_STRING:
+            pos += 4  # int32 max length
+            flags = sec[pos]
+            pos += 1
+            nullable = bool(flags & 1)
+            if flags & 4:
+                dlen, pos = _read_varuint(sec, pos)
+                pos += dlen
+        elif ftype == _GDB_GEOMETRY:
+            pos += 1  # unknown (0)
+            flags = sec[pos]
+            pos += 1
+            nullable = bool(flags & 1)
+            (wkt_len,) = struct.unpack_from("<h", sec, pos)
+            pos += 2 + wkt_len  # UTF-16 SRS WKT, wkt_len in BYTES
+            geom_flags = sec[pos]
+            pos += 1
+            has_z = bool(geom_flags & 4)
+            has_m = bool(geom_flags & 2)
+            if has_z or has_m:
+                raise FileGDBUnsupportedError(f"{path}: z/m coordinates unsupported")
+            xorigin, yorigin, xyscale = struct.unpack_from("<3d", sec, pos)
+            pos += 24
+            pos += 8  # xytolerance
+            # extent doubles follow; the reader does not need them and
+            # fields after SHAPE are rare — stop strict parsing here by
+            # recording position only if geometry is the last field
+            geom_params = {"xorigin": xorigin, "yorigin": yorigin, "xyscale": xyscale}
+            pos += 32  # xmin, ymin, xmax, ymax
+        else:
+            raise FileGDBUnsupportedError(
+                f"{path}: field {name!r} type {ftype} outside the supported subset"
+            )
+        fields.append((name, ftype, nullable))
+    return {"n_rows": n_rows, "fields": fields, "geom": geom_params}
+
+
+def _gdb_decode_geometry(blob: bytes, params: dict) -> geo.Geom | None:
+    """FGDB geometry blob → GeoJSON-style dict (point/polyline/polygon).
+
+    Coordinates are stored as scaled integers: points as
+    ``(v - 1) / xyscale + origin`` (0 reserved for empty), line/ring
+    vertices as cumulative signed-varint deltas in integer space then
+    ``v / xyscale + origin``.
+    """
+    xs, ys, scale = params["xorigin"], params["yorigin"], params["xyscale"]
+    gtype, pos = _read_varuint(blob, 0)
+    shape = gtype & 0xFF
+    if shape == 1:  # point
+        vx, pos = _read_varuint(blob, pos)
+        if vx == 0:
+            return None
+        vy, pos = _read_varuint(blob, pos)
+        return {
+            "type": "Point",
+            "coordinates": [(vx - 1) / scale + xs, (vy - 1) / scale + ys],
+        }
+    if shape in (3, 5):  # polyline / polygon
+        npoints, pos = _read_varuint(blob, pos)
+        if npoints == 0:
+            return None
+        nparts, pos = _read_varuint(blob, pos)
+        for _ in range(4):  # scaled bbox (xmin, ymin, dx, dy) — unused
+            _, pos = _read_varuint(blob, pos)
+        counts = []
+        for _ in range(max(nparts - 1, 0)):
+            c, pos = _read_varuint(blob, pos)
+            counts.append(c)
+        counts.append(npoints - sum(counts))
+        parts: list[list] = []
+        ix = iy = 0
+        for count in counts:
+            part = []
+            for _ in range(count):
+                dx, pos = _read_varint(blob, pos)
+                dy, pos = _read_varint(blob, pos)
+                ix += dx
+                iy += dy
+                part.append([ix / scale + xs, iy / scale + ys])
+            parts.append(part)
+        if shape == 3:
+            if len(parts) == 1:
+                return {"type": "LineString", "coordinates": parts[0]}
+            return {"type": "MultiLineString", "coordinates": parts}
+        return _esri_rings_to_geom(parts)
+    raise FileGDBUnsupportedError(f"geometry shape type {shape} unsupported")
+
+
+def _gdb_decode_row(blob: bytes, fields: list, geom_params: dict | None) -> dict:
+    """One row blob (the bytes after the int32 length): null bitmap over
+    nullable fields (LSB-first, bit set = NULL), then values in field
+    order; objectid is implicit and never stored."""
+    nullable = [f for f in fields if f[2] and f[1] != _GDB_OBJECTID]
+    bitmap_len = (len(nullable) + 7) // 8
+    bitmap = blob[:bitmap_len]
+    pos = bitmap_len
+    row: dict = {}
+    null_idx = 0
+    for name, ftype, is_nullable in fields:
+        if ftype == _GDB_OBJECTID:
+            continue
+        if is_nullable:
+            is_null = bool(bitmap[null_idx // 8] & (1 << (null_idx % 8)))
+            null_idx += 1
+            if is_null:
+                row[name] = None
+                continue
+        if ftype == _GDB_INT16:
+            (row[name],) = struct.unpack_from("<h", blob, pos)
+            pos += 2
+        elif ftype == _GDB_INT32:
+            (row[name],) = struct.unpack_from("<i", blob, pos)
+            pos += 4
+        elif ftype == _GDB_FLOAT32:
+            (row[name],) = struct.unpack_from("<f", blob, pos)
+            pos += 4
+        elif ftype == _GDB_FLOAT64:
+            (row[name],) = struct.unpack_from("<d", blob, pos)
+            pos += 8
+        elif ftype == _GDB_DATETIME:
+            (days,) = struct.unpack_from("<d", blob, pos)
+            pos += 8
+            import datetime as _dt
+
+            row[name] = _dt.datetime(1899, 12, 30) + _dt.timedelta(days=days)
+        elif ftype == _GDB_STRING:
+            ln, pos = _read_varuint(blob, pos)
+            row[name] = blob[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif ftype == _GDB_GEOMETRY:
+            ln, pos = _read_varuint(blob, pos)
+            g = _gdb_decode_geometry(blob[pos : pos + ln], geom_params)
+            pos += ln
+            row["geom"] = None if g is None else geo.wkb_dumps(g)
+        else:  # pragma: no cover — rejected at schema parse
+            raise FileGDBUnsupportedError(f"field type {ftype}")
+    return row
 
 
 def inspect_file_gdb(path: str) -> dict:
@@ -471,21 +761,298 @@ def inspect_file_gdb(path: str) -> dict:
     return {"path": path, "n_tables": len(tables), "table_files": tables}
 
 
-def read_file_gdb(spark, path: str, layer: str | None = None):
-    """E6 FileGDB driver: accepted, validated, and clearly rejected.
+def _gdb_read_table_rows(table_path: str) -> list[dict]:
+    """Driver-side full read of ONE system table (the catalog — tiny)."""
+    schema = _gdbtable_schema(table_path)
+    offsets = _gdbtablx_offsets(table_path[: -len(".gdbtable")] + ".gdbtablx")
+    rows = []
+    with open(table_path, "rb") as fh:
+        for oid, off in enumerate(offsets, start=1):
+            if off == 0:
+                continue
+            fh.seek(off)
+            (blob_len,) = struct.unpack("<i", fh.read(4))
+            blob = fh.read(blob_len)
+            row = _gdb_decode_row(blob, schema["fields"], schema["geom"])
+            row["_oid"] = oid
+            rows.append(row)
+    return rows
 
-    The .gdbtable row format is ESRI-proprietary (readable only through
-    reverse-engineered codecs like GDAL's OpenFileGDB, unavailable
-    here), so after validating the FileGDB structure this raises
-    ``FileGDBUnsupportedError`` telling the user exactly what to do —
-    matching the repo's policy for missing codecs (multimodal decode):
-    real plumbing, explicit stub at the codec boundary.
+
+def file_gdb_layers(path: str) -> dict[str, str]:
+    """Layer name → .gdbtable file, from the GDB_SystemCatalog
+    (a00000001.gdbtable): catalog row N describes table file
+    ``a{N:08x}.gdbtable``; GDB_*-prefixed names are system tables."""
+    inspect_file_gdb(path)
+    catalog = _gdb_read_table_rows(os.path.join(path, "a00000001.gdbtable"))
+    out = {}
+    for row in catalog:
+        name = row.get("Name")
+        if not name or name.startswith("GDB_"):
+            continue
+        table_file = os.path.join(path, f"a{row['_oid']:08x}.gdbtable")
+        if os.path.exists(table_file):
+            out[name] = table_file
+    return out
+
+
+def read_file_gdb(
+    spark: SparkSession,
+    path: str,
+    layer: str | None = None,
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """E6: read one ESRI FileGDB layer into (attributes..., geom WKB).
+
+    Reference accepts FileGDB via GDAL's OpenFileGDB
+    (app/models/enum/creation_options.py:15-23, loader
+    batch/scripts/load_vector_data.sh); this is a pure-Python port of
+    the publicly documented subset (see module section comment). The
+    driver reads only the .gdbtablx row index and the field descriptor;
+    workers seek to their rows inside ``mapInPandas``. GDBs outside the
+    subset raise ``FileGDBUnsupportedError`` with a conversion hint.
     """
-    info = inspect_file_gdb(path)
-    raise FileGDBUnsupportedError(
-        f"{path!r} is a valid ESRI FileGDB ({info['n_tables']} internal "
-        "tables), but no OpenFileGDB codec is available in this "
-        "environment. Convert the source with "
-        "`ogr2ogr -f GeoJSONSeq out.geojsonl <src.gdb> [layer]` (or GPKG) "
-        "and ingest with source_driver='GeoJSONSeq' or 'GPKG'."
+    path = os.path.abspath(path)
+    layers = file_gdb_layers(path)
+    if layer is None:
+        if len(layers) != 1:
+            raise ValueError(f"specify layer= (found {sorted(layers)})")
+        layer = next(iter(layers))
+    if layer not in layers:
+        raise ValueError(f"layer {layer!r} not in {sorted(layers)}")
+    table_path = layers[layer]
+    tablx_path = table_path[: -len(".gdbtable")] + ".gdbtablx"
+    table_schema = _gdbtable_schema(table_path)
+    fields = table_schema["fields"]
+    geom_params = table_schema["geom"]
+    offsets = _gdbtablx_offsets(tablx_path)
+
+    def spark_type(ftype: int) -> T.DataType:
+        return {
+            _GDB_INT16: T.IntegerType(),
+            _GDB_INT32: T.IntegerType(),
+            _GDB_FLOAT32: T.FloatType(),
+            _GDB_FLOAT64: T.DoubleType(),
+            _GDB_DATETIME: T.TimestampType(),
+            _GDB_STRING: T.StringType(),
+        }[ftype]
+
+    out_fields = [T.StructField("objectid", T.LongType(), False)]
+    colnames = ["objectid"]
+    for name, ftype, _null in fields:
+        if ftype == _GDB_OBJECTID:
+            continue
+        if ftype == _GDB_GEOMETRY:
+            out_fields.append(T.StructField("geom", T.BinaryType(), True))
+            colnames.append("geom")
+        else:
+            out_fields.append(T.StructField(name, spark_type(ftype), True))
+            colnames.append(name)
+    schema = T.StructType(out_fields)
+
+    live = [(oid, off) for oid, off in enumerate(offsets, start=1) if off != 0]
+    n_parts = target_partitions or spark.sparkContext.defaultParallelism
+    step = max(1, math.ceil(len(live) / n_parts)) if live else 1
+    # each range row carries ITS slice of the offset index (same reason
+    # as read_shapefile: don't closure-capture the whole index)
+    ranges = [
+        (i, [[oid, off] for oid, off in live[i : i + step]])
+        for i in range(0, len(live), step)
+    ]
+    ranges_df = spark.createDataFrame(
+        ranges or [(0, [])], "part long, index array<array<long>>"
+    ).repartition(max(len(ranges), 1))
+
+    def fetch(batches):
+        for pdf in batches:
+            for index in pdf["index"]:
+                if len(index) == 0:
+                    continue
+                rows = []
+                with open(table_path, "rb") as fh:
+                    for oid, off in index:
+                        fh.seek(int(off))
+                        (blob_len,) = struct.unpack("<i", fh.read(4))
+                        blob = fh.read(blob_len)
+                        row = _gdb_decode_row(blob, fields, geom_params)
+                        row["objectid"] = int(oid)
+                        rows.append(row)
+                yield pd.DataFrame(rows, columns=colnames)
+
+    return ranges_df.mapInPandas(fetch, schema=schema)
+
+
+def write_file_gdb(df: DataFrame, path: str, layer: str, geom_col: str = "geom") -> None:
+    """Collect + write a (small) DataFrame as a minimal valid FileGDB —
+    the byte-level twin of ``read_file_gdb`` (same public FGDB-Spec
+    subset), used for fixtures and E12 export symmetry. Creates the
+    GDB_SystemCatalog (a00000001) and the layer table (a00000002)."""
+    rows = df.collect()
+    os.makedirs(path, exist_ok=True)
+    prop_fields = [f for f in df.schema.fields if f.name != geom_col]
+    has_geom = any(f.name == geom_col for f in df.schema.fields)
+
+    def field_desc(name: str, ftype: int, extra: bytes) -> bytes:
+        enc = name.encode("utf-16-le")
+        return bytes([len(name)]) + enc + b"\x00" + bytes([ftype]) + extra
+
+    def scalar_type(t: T.DataType) -> int:
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType)):
+            return _GDB_INT32
+        if isinstance(t, (T.DoubleType,)):
+            return _GDB_FLOAT64
+        if isinstance(t, (T.FloatType,)):
+            return _GDB_FLOAT32
+        if isinstance(t, T.TimestampType):
+            return _GDB_DATETIME
+        if isinstance(t, T.StringType):
+            return _GDB_STRING
+        raise ValueError(f"unsupported export type {t}")
+
+    _WIDTHS = {_GDB_INT32: 4, _GDB_FLOAT32: 4, _GDB_FLOAT64: 8, _GDB_DATETIME: 8}
+    xyscale = 1e9  # ~1e-9 deg resolution, origin (-400, -400) like ESRI default
+    xorigin = yorigin = -400.0
+
+    def geometry_desc() -> bytes:
+        wkt = b""  # empty SRS WKT
+        return (
+            field_desc("SHAPE", _GDB_GEOMETRY, b"")
+            + b"\x00\x01"  # unknown, flags: nullable
+            + struct.pack("<h", len(wkt))
+            + wkt
+            + b"\x00"  # geom flags: no z, no m
+            + struct.pack("<3d", xorigin, yorigin, xyscale)
+            + struct.pack("<d", 1.0 / xyscale)  # xytolerance
+            + struct.pack("<4d", -180.0, -90.0, 180.0, 90.0)  # extent
+        )
+
+    def encode_geometry(wkb: bytes) -> bytes:
+        g = geo.wkb_loads(bytes(wkb))
+        if g["type"] == "Point":
+            x, y = g["coordinates"]
+            vx = round((x - xorigin) * xyscale) + 1
+            vy = round((y - yorigin) * xyscale) + 1
+            return _write_varuint(1) + _write_varuint(vx) + _write_varuint(vy)
+        if g["type"] in ("LineString", "MultiLineString", "Polygon", "MultiPolygon"):
+            if g["type"] == "LineString":
+                parts, shape = [g["coordinates"]], 3
+            elif g["type"] == "MultiLineString":
+                parts, shape = g["coordinates"], 3
+            elif g["type"] == "Polygon":
+                parts, shape = g["coordinates"], 5
+            else:
+                parts, shape = [r for p in g["coordinates"] for r in p], 5
+            pts = [p for part in parts for p in part]
+            npoints = len(pts)
+            out = bytearray(_write_varuint(shape))
+            out += _write_varuint(npoints)
+            out += _write_varuint(len(parts))
+            ixs = [round((x - xorigin) * xyscale) for x, _ in pts]
+            iys = [round((y - yorigin) * xyscale) for _, y in pts]
+            out += _write_varuint(min(ixs))
+            out += _write_varuint(min(iys))
+            out += _write_varuint(max(ixs) - min(ixs))
+            out += _write_varuint(max(iys) - min(iys))
+            for part in parts[:-1]:
+                out += _write_varuint(len(part))
+            px = py = 0
+            for ix, iy in zip(ixs, iys):
+                out += _write_varint(ix - px) + _write_varint(iy - py)
+                px, py = ix, iy
+            return bytes(out)
+        raise ValueError(f"unsupported geometry {g['type']}")
+
+    # ---- catalog (a00000001): ObjectID, Name string, FileFormat int32
+    def catalog_fields() -> bytes:
+        return (
+            field_desc("ObjectID", _GDB_OBJECTID, bytes([4, 2]))
+            + field_desc("Name", _GDB_STRING, struct.pack("<i", 160) + bytes([1]))
+            + field_desc("FileFormat", _GDB_INT32, bytes([4, 1]))
+        )
+
+    def catalog_row(name: str) -> bytes:
+        enc = name.encode("utf-8")
+        # 2 nullable fields (Name, FileFormat) → 1 bitmap byte, none null
+        return b"\x00" + _write_varuint(len(enc)) + enc + struct.pack("<i", 0)
+
+    def emit(table_no: int, n_fields: int, fields_blob: bytes, row_blobs: list[bytes], geom_type: int) -> None:
+        sec = struct.pack("<2i", len(fields_blob) + 6, 4)
+        sec += bytes([geom_type, 3, 0, 0]) + struct.pack("<h", n_fields) + fields_blob
+        table = os.path.join(path, f"a{table_no:08x}.gdbtable")
+        tablx = os.path.join(path, f"a{table_no:08x}.gdbtablx")
+        body = bytearray()
+        offsets = []
+        pos = 40
+        for blob in row_blobs:
+            offsets.append(pos)
+            body += struct.pack("<i", len(blob)) + blob
+            pos += 4 + len(blob)
+        with open(table, "wb") as fh:
+            fh.write(struct.pack("<6i2q", 3, len(row_blobs), 0, 0, 0, 0, pos + len(sec), pos))
+            fh.write(body)
+            fh.write(sec)
+        n_blocks = max(1, math.ceil(max(len(offsets), 1) / 1024))
+        with open(tablx, "wb") as fh:
+            fh.write(struct.pack("<4i", 3, n_blocks, len(offsets), 5))
+            for off in offsets:
+                fh.write(off.to_bytes(5, "little"))
+            fh.write(b"\x00" * 5 * (n_blocks * 1024 - len(offsets)))
+            fh.write(b"\x00" * 16)
+
+    emit(
+        1,
+        3,
+        catalog_fields(),
+        [catalog_row("GDB_SystemCatalog"), catalog_row(layer)],
+        0,
     )
+
+    # ---- layer table (a00000002)
+    layer_fields = field_desc("OBJECTID", _GDB_OBJECTID, bytes([4, 2]))
+    encoders = []
+    for f in prop_fields:
+        code = scalar_type(f.dataType)
+        if code == _GDB_STRING:
+            layer_fields += field_desc(f.name, code, struct.pack("<i", 2048) + bytes([1]))
+        else:
+            layer_fields += field_desc(f.name, code, bytes([_WIDTHS[code], 1]))
+        encoders.append((f.name, code))
+    n_fields = 1 + len(prop_fields)
+    if has_geom:
+        layer_fields += geometry_desc()
+        n_fields += 1
+
+    def encode_row(row) -> bytes:
+        nullable = [c for c, _ in encoders] + (["SHAPE"] if has_geom else [])
+        bitmap = bytearray((len(nullable) + 7) // 8)
+        payload = bytearray()
+        bit = 0
+        for col, code in encoders:
+            val = row[col]
+            if val is None:
+                bitmap[bit // 8] |= 1 << (bit % 8)
+            elif code == _GDB_INT32:
+                payload += struct.pack("<i", int(val))
+            elif code == _GDB_FLOAT32:
+                payload += struct.pack("<f", float(val))
+            elif code == _GDB_FLOAT64:
+                payload += struct.pack("<d", float(val))
+            elif code == _GDB_DATETIME:
+                import datetime as _dt
+
+                delta = val - _dt.datetime(1899, 12, 30)
+                payload += struct.pack("<d", delta.total_seconds() / 86400.0)
+            else:
+                enc = str(val).encode("utf-8")
+                payload += _write_varuint(len(enc)) + enc
+            bit += 1
+        if has_geom:
+            wkb = row[geom_col]
+            if wkb is None:
+                bitmap[bit // 8] |= 1 << (bit % 8)
+            else:
+                gblob = encode_geometry(wkb)
+                payload += _write_varuint(len(gblob)) + gblob
+        return bytes(bitmap) + bytes(payload)
+
+    emit(2, n_fields, layer_fields, [encode_row(r) for r in rows], 1 if has_geom else 0)

@@ -162,9 +162,146 @@ def media_df(spark):
     )
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_raises_for_codecless_formats():
+    # JPEG/opaque payloads still hit the clear codec-boundary error
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"bytes", "image", fake=False)
+        multimodal.decode_media(b"\xff\xd8\xff\xe0jpeg-ish", "image", fake=False)
+
+
+def test_png_roundtrip_all_color_types():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for channels in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, channels), dtype=np.uint8)
+        data = multimodal.encode_png(img)
+        out = multimodal.decode_media(data, "image", fake=False)
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_png_decode_all_filter_types():
+    """Hand-built IDAT exercising filters 1-4 (our encoder only emits 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    height, width, channels = img.shape
+    stride = width * channels
+
+    scanlines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, filt in zip(range(height), [0, 1, 2, 3, 4]):
+        recon = img[y].reshape(-1).astype(np.int32)
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            left = recon[x - channels] if x >= channels else 0
+            up = prev[x]
+            ul = prev[x - channels] if x >= channels else 0
+            if filt == 0:
+                pred = 0
+            elif filt == 1:
+                pred = left
+            elif filt == 2:
+                pred = up
+            elif filt == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            line[x] = (recon[x] - pred) & 0xFF
+        scanlines += bytes([filt]) + line.astype(np.uint8).tobytes()
+        prev = recon
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">2I5B", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(data)
+    assert (out == img).all()
+
+
+def test_png_paletted_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    scanlines = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">2I5B", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(data)
+    assert out.shape == (2, 3, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[1, 0].tolist() == [0, 0, 255]
+
+
+def test_bmp_decode():
+    import struct
+
+    import numpy as np
+
+    img = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8
+    )
+    height, width, _ = img.shape
+    row_bytes = (width * 3 + 3) & ~3
+    pixel_data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = img[y][:, ::-1].tobytes()  # RGB → BGR
+        pixel_data += row + b"\x00" * (row_bytes - len(row))
+    data_off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(pixel_data), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    out = multimodal.decode_media(header + bytes(pixel_data), "image", fake=False)
+    assert (out == img).all()
+
+
+def test_extract_features_real_png_decode(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8) for _ in range(2)]
+    rows = [
+        (i, bytearray(multimodal.encode_png(img)), ("image", "png", 8, 8, None, None))
+        for i, img in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id int, payload binary, media_meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:int,n_frames:int>",
+    )
+    out = {r["media_id"]: r for r in multimodal.extract_features(df, fake=False).collect()}
+    assert len(out[0]["features"]) == multimodal.FEATURE_DIM
+    expected = np.pad(imgs[0].astype(np.float64).ravel(), (0, 0))
+    expected = expected.reshape(multimodal.FEATURE_DIM, -1).mean(axis=1)
+    assert np.allclose(out[0]["features"], expected, atol=1e-4)
+    assert out[0]["features"] != out[1]["features"]
 
 
 def test_extract_features_deterministic(media_df):

@@ -283,7 +283,7 @@ def test_create_cog_asset(spark, tmp_path):
     assert (levels[0]["array"] == 3.0).all()
 
 
-def test_file_gdb_accepted_and_clearly_rejected(spark, tmp_path):
+def test_file_gdb_validation_and_unsupported_rejection(spark, tmp_path):
     from gfw_data_api_spark.catalog.registry import Registry
     from gfw_data_api_spark.sources.pipeline import ingest_vector
     from gfw_data_api_spark.sources.vector_files import (
@@ -309,11 +309,110 @@ def test_file_gdb_accepted_and_clearly_rejected(spark, tmp_path):
     with _pytest.raises(ValueError, match="GDB_SystemCatalog"):
         inspect_file_gdb(str(empty))
 
-    # the ingest pipeline accepts the driver name and surfaces the
-    # conversion hint (ogr2ogr -> GeoJSONSeq/GPKG), not "unsupported"
+    # a structurally-valid directory whose tables are outside the
+    # decodable subset fails loudly, and the failure is recorded on the
+    # version like any ingest error
     registry = Registry(str(tmp_path / "cat"))
-    with _pytest.raises(FileGDBUnsupportedError, match="ogr2ogr"):
+    with _pytest.raises(FileGDBUnsupportedError):
         ingest_vector(registry, spark, "gdb_ds", "v1", str(gdb),
                       source_driver="FileGDB")
-    # failure recorded on the version like any ingest error
     assert registry.get_version("gdb_ds", "v1").status == "failed"
+
+
+def test_file_gdb_roundtrip_points(spark, tmp_path):
+    """write_file_gdb → read_file_gdb round-trip: scalar types, NULLs,
+    and point geometry survive the FGDB binary layout."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.sources.vector_files import (
+        file_gdb_layers,
+        read_file_gdb,
+        write_file_gdb,
+    )
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("pop", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("seen", T.TimestampType()),
+        T.StructField("geom", T.BinaryType()),
+    ])
+    rows = [
+        ("amazonas", 12345, 1.5, datetime.datetime(2021, 6, 1, 12, 30),
+         bytearray(geo.wkb_dumps({"type": "Point", "coordinates": [-60.25, -3.125]}))),
+        ("null island", None, None, None,
+         bytearray(geo.wkb_dumps({"type": "Point", "coordinates": [0.0, 0.0]}))),
+        ("no geom", 7, -2.25, datetime.datetime(1999, 12, 31), None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    gdb = str(tmp_path / "pts.gdb")
+    write_file_gdb(df, gdb, "places")
+
+    assert list(file_gdb_layers(gdb)) == ["places"]
+    out = read_file_gdb(spark, gdb, "places").orderBy("objectid").collect()
+    assert [r.objectid for r in out] == [1, 2, 3]
+    assert [r.name for r in out] == ["amazonas", "null island", "no geom"]
+    assert [r.pop for r in out] == [12345, None, 7]
+    assert [r.score for r in out] == [1.5, None, -2.25]
+    assert out[0].seen == datetime.datetime(2021, 6, 1, 12, 30)
+    assert out[2].geom is None
+    g = geo.wkb_loads(bytes(out[0].geom))
+    assert g["type"] == "Point"
+    assert abs(g["coordinates"][0] - (-60.25)) < 1e-8
+    assert abs(g["coordinates"][1] - (-3.125)) < 1e-8
+
+
+def test_file_gdb_roundtrip_polygons_and_ingest(spark, tmp_path):
+    """Polygon + multipart geometry round-trip, and the full
+    ingest_vector pipeline over the FileGDB driver."""
+    from pyspark.sql import types as T
+
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.sources.pipeline import ingest_vector
+    from gfw_data_api_spark.sources.vector_files import (
+        read_file_gdb,
+        write_file_gdb,
+    )
+
+    # ESRI winding: outer ring clockwise
+    outer = [[0.0, 0.0], [0.0, 4.0], [4.0, 4.0], [4.0, 0.0], [0.0, 0.0]]
+    hole = [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]
+    poly = {"type": "Polygon", "coordinates": [outer, hole]}
+    line = {"type": "LineString", "coordinates": [[-10.5, 2.0], [3.25, 7.75], [8.0, -1.0]]}
+
+    schema = T.StructType([
+        T.StructField("iso", T.StringType()),
+        T.StructField("geom", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(
+        [("BRA", bytearray(geo.wkb_dumps(poly))),
+         ("LIN", bytearray(geo.wkb_dumps(line)))],
+        schema,
+    )
+    gdb = str(tmp_path / "adm.gdb")
+    write_file_gdb(df, gdb, "admin")
+
+    out = {r.iso: geo.wkb_loads(bytes(r.geom))
+           for r in read_file_gdb(spark, gdb, "admin").collect()}
+    assert out["BRA"]["type"] == "Polygon"
+    rings = out["BRA"]["coordinates"]
+    assert len(rings) == 2
+    assert all(
+        abs(a - b) < 1e-8
+        for ring_out, ring_in in zip(rings, [outer, hole])
+        for p_out, p_in in zip(ring_out, ring_in)
+        for a, b in zip(p_out, p_in)
+    )
+    assert out["LIN"]["type"] == "LineString"
+    assert abs(out["LIN"]["coordinates"][1][1] - 7.75) < 1e-8
+
+    registry = Registry(str(tmp_path / "cat"))
+    result = ingest_vector(registry, spark, "gdb_ds", "v1", gdb,
+                           source_driver="FileGDB")
+    assert result.count() == 2
+    assert "gfw_geostore_id" in result.columns
+    assert registry.get_version("gdb_ds", "v1").status == "saved"
