@@ -89,6 +89,17 @@ def _num_param(params: dict, name: str, default, cast=int):
         raise QueryGuardError(f"{name} must be {kind}.", 422) from None
 
 
+def _task_payload(task) -> dict:
+    last = task.change_log[-1]["status"] if task.change_log else "pending"
+    return {
+        "task_id": task.task_id,
+        "asset_id": task.asset_id,
+        "change_log": task.change_log,
+        "status": last,
+        "created_on": task.created_on,
+    }
+
+
 def _row_value(value):
     import datetime
 
@@ -105,6 +116,7 @@ def create_app(
     geostore: Geostore | None = None,
     auth: AuthConfig | None = None,
     allowed_source_prefixes: list[str] | None = None,
+    rw_api: Any | None = None,
 ) -> Callable:
     """``auth=None`` runs the API open (no key/token checks, the default
     for embedded/test use); passing an :class:`AuthConfig` enforces the
@@ -115,7 +127,15 @@ def create_app(
     ``allowed_source_prefixes`` restricts client-supplied file paths
     (append source_uri, batch-query uri) to the given prefixes — the
     reference's _verify_source_file_access bucket allowlist. ``None``
-    (embedded/local mode) allows any path."""
+    (embedded/local mode) allows any path.
+
+    ``rw_api`` is the external ResourceWatch client seam for the two
+    pure-proxy routes (reference authentication.py:35-38 sign-up,
+    geostore.py:279-303 land-use geostores): an object exposing
+    ``signup(name, email) -> dict`` and ``geostore_by_land_use(
+    land_use_type, index, params) -> dict``. ``None`` (the default)
+    keeps the routes mounted but answers 501 — the engine has no local
+    behavior for them, they exist only to forward."""
     geostore = geostore or Geostore(registry)
     jobs = JobRegistry(os.path.join(registry.warehouse, "_jobs"))
     metadata_store = MetadataStore(os.path.join(registry.root, "metadata.json"))
@@ -230,6 +250,25 @@ def create_app(
                         "meta": {"size": size, "page": page, "total_items": total},
                         "status": "success",
                     },
+                )
+
+            # POST /auth/sign-up — 1:1 ResourceWatch proxy (reference
+            # authentication.py:35-38); no local auth required, works
+            # even with auth=None like the reference's open route
+            if parts == ["auth", "sign-up"] and method == "POST":
+                if rw_api is None:
+                    return _json_response(
+                        start_response,
+                        {
+                            "status": "failed",
+                            "message": "Sign-up proxies the external "
+                            "ResourceWatch API; no rw_api client is configured.",
+                        },
+                        501,
+                    )
+                data = rw_api.signup(body.get("name", ""), body.get("email", ""))
+                return _json_response(
+                    start_response, {"data": data, "status": "success"}
                 )
 
             # /auth — key management (reference authentication.py routes)
@@ -475,13 +514,23 @@ def create_app(
                     },
                 )
 
-            # /task/{task_id} — single task row (reference tasks/task.py:43;
-            # task ids here are "{asset_id}:{step}" change-log steps)
+            # /task/{task_id} — batch-worker task rows
+            # (reference tasks/task.py:44-129). GET serves the real task
+            # store first, then the legacy "{asset_id}:{step}" synthetic
+            # ids over asset change-log steps.
             if (
                 len(parts) == 2
                 and parts[0] in ("task", "tasks")
                 and method == "GET"
             ):
+                try:
+                    task = registry.get_task(parts[1])
+                    return _json_response(
+                        start_response,
+                        {"data": _task_payload(task), "status": "success"},
+                    )
+                except RegistryError:
+                    pass
                 asset_id, _, step = parts[1].partition(":")
                 try:
                     task_asset = registry.get_asset(asset_id)
@@ -503,6 +552,68 @@ def create_app(
                         },
                         "status": "success",
                     },
+                )
+
+            # PUT /task/{task_id} — a worker registers its work item
+            # (reference tasks/task.py:60-81; service-account gate maps
+            # to the MANAGER/ADMIN write gate here)
+            if len(parts) == 2 and parts[0] in ("task", "tasks") and method == "PUT":
+                check_manager(environ)
+                asset_id = body.get("asset_id")
+                if not asset_id:
+                    return _json_response(
+                        start_response,
+                        {"status": "failed", "message": "asset_id is required."},
+                        400,
+                    )
+                try:
+                    task = registry.create_task(
+                        parts[1], asset_id, body.get("change_log") or []
+                    )
+                except RegistryError as exc:
+                    # reference maps both exists/missing-asset to 400
+                    return _json_response(
+                        start_response,
+                        {"status": "failed", "message": str(exc)},
+                        400,
+                    )
+                return _json_response(
+                    start_response, {"data": _task_payload(task), "status": "success"}
+                )
+
+            # PATCH /task/{task_id} — worker progress callback; terminal
+            # change-log entries propagate to the asset and the
+            # default-asset version (reference tasks/task.py:83-129)
+            if len(parts) == 2 and parts[0] in ("task", "tasks") and method == "PATCH":
+                check_manager(environ)
+                entries = body.get("change_log") or []
+                task = registry.update_task(parts[1], entries)
+                return _json_response(
+                    start_response, {"data": _task_payload(task), "status": "success"}
+                )
+
+            # GET /geostore/use/{land_use_type}/{index} — 1:1
+            # ResourceWatch proxy (reference geostore.py:279-303,
+            # deprecated-but-kept); forwards through the rw_api seam
+            if (
+                len(parts) == 4
+                and parts[0] == "geostore"
+                and parts[1] == "use"
+                and method == "GET"
+            ):
+                if rw_api is None:
+                    return _json_response(
+                        start_response,
+                        {
+                            "status": "failed",
+                            "message": "Land-use geostores proxy the external "
+                            "ResourceWatch API; no rw_api client is configured.",
+                        },
+                        501,
+                    )
+                data = rw_api.geostore_by_land_use(parts[2], parts[3], params)
+                return _json_response(
+                    start_response, {"data": data, "status": "success"}
                 )
 
             # /geostore/admin/... — admin-boundary geostores

@@ -105,6 +105,19 @@ class Asset:
     created_on: str = field(default_factory=_now)
 
 
+@dataclass
+class Task:
+    """One batch-worker work item for an asset (reference ORMTask,
+    app/routes/tasks/task.py): workers PUT the task when they start and
+    PATCH change-log entries as they run; terminal entries propagate to
+    the asset and, for default assets, the version."""
+
+    task_id: str
+    asset_id: str
+    change_log: list[dict] = field(default_factory=list)
+    created_on: str = field(default_factory=_now)
+
+
 class Registry:
     def __init__(self, root: str):
         self.root = root
@@ -114,6 +127,7 @@ class Registry:
         self._datasets: dict[str, Dataset] = {}
         self._versions: dict[tuple[str, str], Version] = {}
         self._assets: dict[str, Asset] = {}
+        self._tasks: dict[str, Task] = {}
         if os.path.exists(self.path):
             self._load()
 
@@ -127,12 +141,14 @@ class Registry:
             (v["dataset"], v["version"]): Version(**v) for v in raw.get("versions", [])
         }
         self._assets = {a["asset_id"]: Asset(**a) for a in raw.get("assets", [])}
+        self._tasks = {t["task_id"]: Task(**t) for t in raw.get("tasks", [])}
 
     def save(self) -> None:
         payload = {
             "datasets": [asdict(d) for d in self._datasets.values()],
             "versions": [asdict(v) for v in self._versions.values()],
             "assets": [asdict(a) for a in self._assets.values()],
+            "tasks": [asdict(t) for t in self._tasks.values()],
         }
         tmp = self.path + ".tmp"
         with open(tmp, "w") as fh:
@@ -289,6 +305,81 @@ class Registry:
         if asset is None:
             raise RegistryError(f"Asset {asset_id} not found.", 404)
         return asset
+
+    # -- tasks (reference app/routes/tasks/task.py + app/crud/tasks.py) -------
+
+    def create_task(self, task_id: str, asset_id: str, change_log: list[dict] | None = None) -> Task:
+        """PUT /task/{id}: register a batch work item against an asset."""
+        if task_id in self._tasks:
+            raise RegistryError(f"Task {task_id} already exists.", 400)
+        self.get_asset(asset_id)  # 404 → 400 is handled by the route
+        task = Task(task_id=task_id, asset_id=asset_id, change_log=list(change_log or []))
+        self._tasks[task_id] = task
+        self.save()
+        return task
+
+    def get_task(self, task_id: str) -> Task:
+        task = self._tasks.get(task_id)
+        if task is None:
+            raise RegistryError(f"Task {task_id} not found.", 404)
+        return task
+
+    def tasks_for_asset(self, asset_id: str) -> list[Task]:
+        return [t for t in self._tasks.values() if t.asset_id == asset_id]
+
+    def update_task(self, task_id: str, change_log: list[dict]) -> Task:
+        """PATCH /task/{id}: append worker change-log entries, then
+        propagate terminal status (reference task.py:89-246):
+
+        - any ``failed`` entry → asset failed; if the asset is the
+          version's default, the version fails too;
+        - a ``success`` entry → if EVERY task of the asset now has a
+          success entry, the asset is saved (and the default-asset
+          version with it).
+        """
+        task = self.get_task(task_id)
+        task.change_log.extend(change_log)
+        statuses = [e.get("status") for e in change_log]
+        if "failed" in statuses:
+            self._propagate_task_failure(task)
+        elif "success" in statuses:
+            self._propagate_task_completion(task)
+        else:
+            raise RegistryError(
+                "change log status must be either `success` or `failed`", 400
+            )
+        self.save()
+        return task
+
+    def _propagate_task_failure(self, task: Task) -> None:
+        asset = self.get_asset(task.asset_id)
+        asset.status = "failed"
+        asset.change_log.append(
+            {"date_time": _now(), "status": "failed", "message": f"Task {task.task_id} failed."}
+        )
+        if asset.is_default:
+            self.set_version_status(asset.dataset, asset.version, "failed", "default asset failed")
+
+    def _propagate_task_completion(self, task: Task) -> None:
+        asset = self.get_asset(task.asset_id)
+        all_finished = all(
+            any(e.get("status") == "success" for e in t.change_log)
+            for t in self.tasks_for_asset(asset.asset_id)
+        )
+        if not all_finished:
+            return
+        asset.status = "saved"
+        asset.change_log.append(
+            {
+                "date_time": _now(),
+                "status": "success",
+                "message": f"Successfully created asset {asset.asset_id}.",
+            }
+        )
+        if asset.is_default:
+            self.set_version_status(
+                asset.dataset, asset.version, "saved", "all tasks complete"
+            )
 
     # -- deletion (reference dataset.py:157-186, versions.py:274-315) ----------
 

@@ -864,6 +864,91 @@ def test_asset_tasks_and_task_lookup(app):
     assert call(app, "GET", f"/task/{asset_id}:999")["status"] == 404
 
 
+def test_task_put_patch_status_propagation(app, spark, tmp_path_factory):
+    """Batch-worker callback flow (reference tasks/task.py:60-129):
+    PUT registers tasks, PATCH success/failure propagates to the asset
+    and, for default assets, the version."""
+    tmp = tmp_path_factory.mktemp("taskapi")
+    registry = Registry(str(tmp / "cat"))
+    registry.ensure_dataset("batchds")
+    registry.create_version("batchds", "v1")
+    asset = registry.create_asset("batchds", "v1", "database_table", is_default=True)
+    tapp = create_app(spark, registry)
+
+    # PUT twice → second is a 400 (RecordAlreadyExists analog)
+    put = call(tapp, "PUT", "/task/t-1", body={"asset_id": asset.asset_id})
+    assert put["status"] == 200
+    assert put["body"]["data"]["status"] == "pending"
+    assert call(tapp, "PUT", "/task/t-1", body={"asset_id": asset.asset_id})["status"] == 400
+    # unknown asset and missing asset_id → 400
+    assert call(tapp, "PUT", "/task/t-x", body={"asset_id": "nope"})["status"] == 400
+    assert call(tapp, "PUT", "/task/t-x", body={})["status"] == 400
+    call(tapp, "PUT", "/task/t-2", body={"asset_id": asset.asset_id})
+
+    # invalid change-log status → 400, nothing propagates
+    bad = call(tapp, "PATCH", "/task/t-1",
+               body={"change_log": [{"status": "running", "message": "…"}]})
+    assert bad["status"] == 400
+    # one of two tasks succeeds → asset still pending
+    ok1 = call(tapp, "PATCH", "/task/t-1",
+               body={"change_log": [{"status": "success", "message": "chunk 1 loaded"}]})
+    assert ok1["status"] == 200
+    assert registry.get_asset(asset.asset_id).status == "pending"
+    # second succeeds → asset saved, default-asset version saved
+    call(tapp, "PATCH", "/task/t-2",
+         body={"change_log": [{"status": "success", "message": "chunk 2 loaded"}]})
+    assert registry.get_asset(asset.asset_id).status == "saved"
+    assert registry.get_version("batchds", "v1").status == "saved"
+
+    # GET serves the real task store
+    got = call(tapp, "GET", "/task/t-1")
+    assert got["status"] == 200
+    assert got["body"]["data"]["status"] == "success"
+
+    # failure path on a fresh version: failed task → asset + version failed
+    registry.create_version("batchds", "v2")
+    asset2 = registry.create_asset("batchds", "v2", "database_table", is_default=True)
+    call(tapp, "PUT", "/task/t-3", body={"asset_id": asset2.asset_id})
+    call(tapp, "PATCH", "/task/t-3",
+         body={"change_log": [{"status": "failed", "message": "OOM"}]})
+    assert registry.get_asset(asset2.asset_id).status == "failed"
+    assert registry.get_version("batchds", "v2").status == "failed"
+    # PATCH on an unknown task → 404
+    assert call(tapp, "PATCH", "/task/nope",
+                body={"change_log": [{"status": "success"}]})["status"] == 404
+
+    # tasks persist across registry reloads
+    reloaded = Registry(str(tmp / "cat"))
+    assert reloaded.get_task("t-1").asset_id == asset.asset_id
+
+
+def test_rw_proxy_routes(app, spark, tmp_path_factory):
+    """/auth/sign-up and /geostore/use/{type}/{index} forward through
+    the rw_api seam (reference authentication.py:35-38,
+    geostore.py:279-303); without a client they answer 501, not 404."""
+    # default app: mounted but unconfigured
+    assert call(app, "POST", "/auth/sign-up", body={"name": "a", "email": "a@b.c"})["status"] == 501
+    assert call(app, "GET", "/geostore/use/logging/123")["status"] == 501
+
+    class FakeRW:
+        def signup(self, name, email):
+            return {"id": "u-1", "name": name, "email": email, "role": "USER"}
+
+        def geostore_by_land_use(self, land_use_type, index, params):
+            return {"type": land_use_type, "id": index,
+                    "geojson": {"type": "FeatureCollection", "features": []}}
+
+    tmp = tmp_path_factory.mktemp("rwapi")
+    wired = create_app(spark, Registry(str(tmp / "cat")), rw_api=FakeRW())
+    out = call(wired, "POST", "/auth/sign-up", body={"name": "Ada", "email": "ada@x.y"})
+    assert out["status"] == 200
+    assert out["body"]["data"]["email"] == "ada@x.y"
+    got = call(wired, "GET", "/geostore/use/mining/77")
+    assert got["status"] == 200
+    assert got["body"]["data"] == {"type": "mining", "id": "77",
+                                   "geojson": {"type": "FeatureCollection", "features": []}}
+
+
 def test_id_lookup_accented_fallback(gadm_app):
     """Stored accented names must match both accented and plain queries
     even without *_normalized columns (both sides fold identically)."""
