@@ -2177,6 +2177,230 @@ _SPECS.append(
 )
 
 
+def _st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.streaming.join import stream_stream_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, keys="user_id", upper="30 minutes"
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col("right_event_id").alias("purchase_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st06_stream_stream_join",
+        spark_fn=_st06,
+        oracle=(
+            "SELECT a.user_id, a.event_id AS view_event_id, "
+            "b.event_id AS purchase_event_id, "
+            "strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, "
+            "strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND a.event_type = 'view' AND b.event_type = 'purchase' "
+            "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"
+        ),
+        survey_ref="streaming: watermarked stream-stream interval join "
+        "(streaming/join.py; batch path is the oracle twin)",
+    )
+)
+
+
+def _t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.text import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_quality_rules(docs, min_words=30)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_chars", 6).alias("mean_word_chars"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("alpha_word_fraction", 6).alias("alpha_word_fraction"),
+        "stopword_hits",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t12_gopher_rules",
+        spark_fn=_t12,
+        oracle=(
+            "WITH sig AS (SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+            "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
+            "len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbol_hits, "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words, "
+            "len(list_distinct(list_filter(list_transform("
+            "regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)), "
+            "t -> t IN ('the','be','to','of','and','that','have','with')))) AS stopword_hits "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "round(CAST(nonspace AS DOUBLE) / greatest(n_words, 1), 6) AS mean_word_chars, "
+            "round(CAST(symbol_hits AS DOUBLE) / greatest(n_words, 1), 6) AS symbol_word_ratio, "
+            "round(CAST(alpha_words AS DOUBLE) / greatest(n_words, 1), 6) AS alpha_word_fraction, "
+            "CAST(stopword_hits AS BIGINT) AS stopword_hits, "
+            "CAST(n_words >= 30 AND n_words <= 100000 "
+            "AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1) >= 3.0 "
+            "AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1) <= 10.0 "
+            "AND CAST(symbol_hits AS DOUBLE) / greatest(n_words, 1) <= 0.1 "
+            "AND CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8 "
+            "AND stopword_hits >= 2 AS INTEGER) AS keep "
+            "FROM sig"
+        ),
+        survey_ref="LLM pipeline: Gopher rule-battery quality filter "
+        "(Rae et al. 2021 §A1.1; llmops/text.py gopher_quality_rules)",
+    )
+)
+
+
+def _t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(docs, shingle_n=3, threshold=0.2)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment", 6).alias("containment"),
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t13_containment_pairs",
+        spark_fn=_t13,
+        oracle=(
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), "
+            "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment, "
+            "round(CAST(shared AS DOUBLE) / sa.n, 6) AS containment_a, "
+            "round(CAST(shared AS DOUBLE) / sb.n, 6) AS containment_b "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.2"
+        ),
+        survey_ref="dedup: exact n-gram containment pairs (Broder containment; "
+        "asymmetric quote/subset detection, llmops/dedup.py)",
+    )
+)
+
+
+def _w02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.mixture import temperature_mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    out = temperature_mixture_weights(docs, domain_col="lang", alpha=0.3)
+    return out.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round("token_frac", 6).alias("token_frac"),
+        F.round("temp_frac", 6).alias("temp_frac"),
+        F.round("sample_weight", 6).alias("sample_weight"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="w02_temperature_mixture",
+        spark_fn=_w02,
+        oracle=(
+            "WITH agg AS (SELECT lang AS domain, count(*) AS n_docs, "
+            "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY lang), "
+            "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM agg), "
+            "fr AS (SELECT domain, n_docs, n_tokens, "
+            "CAST(n_tokens AS DOUBLE) / total AS token_frac FROM agg, tot), "
+            "z AS (SELECT sum(pow(token_frac, 0.3)) AS z FROM fr) "
+            "SELECT domain, n_docs, n_tokens, round(token_frac, 6) AS token_frac, "
+            "round(pow(token_frac, 0.3) / z, 6) AS temp_frac, "
+            "round((pow(token_frac, 0.3) / z) / token_frac, 6) AS sample_weight "
+            "FROM fr, z"
+        ),
+        survey_ref="LLM pipeline: temperature-scaled domain mixture "
+        "(mBERT/XLM-R exponential smoothing; llmops/mixture.py)",
+    )
+)
+
+
+def _d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
+    # synthetic embeddings top out near cosine 0.55 (cf. d07), so the
+    # gate threshold sits below that to exercise non-empty removal
+    survivors = semantic_dedup(emb, threshold=0.4, nlist=8)
+    return survivors.select("vec_id", F.col("label").cast("int").alias("label"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d11_semantic_dedup",
+        spark_fn=_d11,
+        oracle=None,  # k-means clustering is not SQL-expressible; recall
+        # vs the exact all-pairs twin is asserted in test_llmops.py
+        survey_ref="dedup: SemDeDup embedding-cluster near-dup removal "
+        "(Abbas et al. 2023; llmops/similarity.py semantic_dedup)",
+    )
+)
+
+
+def _q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+        )
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q23_pivot_conditional_agg",
+        spark_fn=_q23,
+        oracle=(
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a, "
+            "CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n, "
+            "CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r "
+            "FROM lineitem GROUP BY l_linestatus"
+        ),
+        survey_ref="query plane: PIVOT / conditional aggregation "
+        "(explicit value list — no extra distinct-scan pass)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

@@ -210,6 +210,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_doc_frequency: int | None = 5000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|).
+
+    Jaccard misses asymmetric duplication — a tweet-sized document fully
+    quoted inside a long article has tiny Jaccard but containment 1.0.
+    Containment over the smaller side is the standard detector for
+    quote/subset/expansion relationships (Broder's resemblance vs
+    containment distinction). Same inverted-index plan shape as
+    :func:`ngram_jaccard_pairs` — shingle-hash join key, pair work
+    proportional to true overlap, df-capped against hot phrases — with
+    the union denominator swapped for ``min(|A|, |B|)`` and both
+    directional containments emitted for diagnosis.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
+        )
+        .withColumn("_s", F.xxhash64("_s"))
+        .persist()
+    )
+    if max_doc_frequency is not None:
+        hot_df = (
+            sh.groupBy("_s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_frequency)
+            .select("_s")
+        )
+        hot = [r["_s"] for r in hot_df.limit(10_001).collect()]
+        if len(hot) > 10_000:
+            sh = sh.join(F.broadcast(hot_df), "_s", "left_anti")
+        elif hot:
+            sh = sh.filter(~F.col("_s").isin(hot))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .withColumn(
+            "containment",
+            (F.col("_shared") / F.least(F.col("_na"), F.col("_nb"))).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "containment",
+            (F.col("_shared") / F.col("_na")).cast("double").alias("containment_a"),
+            (F.col("_shared") / F.col("_nb")).cast("double").alias("containment_b"),
+        )
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -72,3 +72,53 @@ def domain_mixture_stats(
         (F.col("n_tokens").cast("double") / F.col("_total")).alias("token_frac"),
         weight.alias("sample_weight"),
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled sampling weights: w_d ∝ p_d^alpha.
+
+    The multilingual-training recipe (mBERT/XLM-R exponential smoothing,
+    also the Pile's domain temperature): raising each domain's token
+    share p_d to alpha < 1 flattens the distribution — low-resource
+    domains are upsampled relative to their raw share without going all
+    the way to uniform (alpha=0 is uniform, alpha=1 keeps raw shares).
+
+    Output per domain: ``n_docs``, ``n_tokens``, ``token_frac`` (=p_d),
+    ``temp_frac`` (=p_d^alpha / Σ p^alpha, the target mixture) and
+    ``sample_weight`` (=temp_frac / token_frac, the per-domain
+    up/downsampling factor). Same one-tiny-shuffle plan shape as
+    :func:`domain_mixture_stats`; the Σ p^alpha normalizer aggregates
+    over the domain table (a handful of rows, broadcast back).
+    """
+    per_doc = df.select(
+        F.col(domain_col).alias("domain"),
+        F.expr(_TOKENS.format(col=text_col)).alias("_nt"),
+    )
+    agg = per_doc.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    )
+    totals = agg.agg(F.sum("n_tokens").cast("bigint").alias("_total"))
+    with_frac = agg.join(F.broadcast(totals)).withColumn(
+        "token_frac", F.col("n_tokens").cast("double") / F.col("_total")
+    )
+    norm = with_frac.agg(
+        F.sum(F.pow(F.col("token_frac"), F.lit(alpha))).alias("_z")
+    )
+    return (
+        with_frac.join(F.broadcast(norm))
+        .withColumn("temp_frac", F.pow(F.col("token_frac"), F.lit(alpha)) / F.col("_z"))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            "token_frac",
+            "temp_frac",
+            (F.col("temp_frac") / F.col("token_frac")).alias("sample_weight"),
+        )
+    )

@@ -286,3 +286,50 @@ def blocked_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-cluster near-duplicate
+    removal — cluster with k-means, compare pairs WITHIN each cluster,
+    drop all but one of each high-cosine pair.
+
+    Returns the surviving rows of ``df`` (duplicates removed). Keep
+    policy: within a pair above ``threshold`` the lower id survives —
+    deterministic and order-independent, so the result is stable across
+    partitionings (the paper keeps a random or farthest-from-centroid
+    member; lowest-id is the reproducible choice and makes the exact
+    twin comparable in tests).
+
+    Scale shape: the quadratic pair space exists only WITHIN a cluster
+    (the paper's point — clustering makes semantic dedup tractable), so
+    the cost is Σ_c n_c², not N². Centroids train on a driver-side
+    sample (train_ivf); assignment is one pandas-UDF pass; pair
+    generation reuses blocked_cosine_pairs on the cell column, keeping
+    the plan-asserted no-nested-loop property. Documents in different
+    clusters are never compared — that is the (documented) recall trade
+    every IVF-style method makes.
+    """
+    from gfw_data_api_spark.llmops.ivf import build_ivf_index, train_ivf
+
+    centroids = train_ivf(df, nlist=nlist, emb_col=emb_col, seed=seed)
+    indexed = build_ivf_index(df, centroids, emb_col=emb_col)
+    pairs = blocked_cosine_pairs(
+        indexed,
+        id_col=id_col,
+        block_col="ivf_cell",
+        emb_col=emb_col,
+        threshold=threshold,
+        max_block_size=None,  # cells are corpus/nlist-sized by construction
+        guard="plan",
+    )
+    # id_a < id_b in every pair → dropping all id_b keeps exactly one
+    # representative (the minimum id) of every duplicate chain
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return indexed.join(drop, id_col, "left_anti").drop("ivf_cell")

@@ -309,3 +309,91 @@ def bigram_lm_scores(
             (F.col("_lp_sum") / F.col("n_bigrams")).alias("avg_logprob"),
         )
     )
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_chars: float = 3.0,
+    max_mean_word_chars: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_fraction: float = 0.9,
+    max_ellipsis_line_fraction: float = 0.3,
+    min_alpha_word_fraction: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher repetition-free document filters (Rae et al. 2021 §A1.1):
+    the rule battery production corpora apply before model-based scoring.
+
+    Emits the raw signals plus a ``keep`` verdict so downstream stages
+    can either filter or stratify by failure reason. Every signal is a
+    native column expression built from integer counts and at most one
+    division, so the same numbers reproduce exactly in any engine (the
+    driver-gate oracle recomputes them in DuckDB).
+
+    Signals / rules:
+
+    - ``n_words`` in [min_words, max_words] — whitespace tokens;
+    - ``mean_word_chars`` in [min, max] — non-space chars / words;
+    - ``symbol_word_ratio`` ≤ max — '#' or '…'/'...' hits per word;
+    - ``bullet_line_fraction`` ≤ max — lines starting with a bullet;
+    - ``ellipsis_line_fraction`` ≤ max — lines ending in an ellipsis;
+    - ``alpha_word_fraction`` ≥ min — words containing a letter;
+    - ``stopword_hits`` ≥ min — distinct canonical English function
+      words present (the Gopher "has ≥2 of the, be, to, of, and, that,
+      have, with" rule).
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    lines = F.split(text, r"\n")
+    n_words = F.size(toks).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    nonspace_chars = F.length(F.regexp_replace(text, r"\s", "")).cast("bigint")
+    # '…' plus literal '...' runs; count via regexp_count of a hash-or-ellipsis
+    symbol_hits = F.regexp_count(text, F.lit(r"#|\.\.\.|…")).cast("bigint")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([•‣▪-]|\*)\s"))
+    ).cast("bigint")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike(r"[A-Za-z]"))
+    ).cast("bigint")
+    gopher_stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(F.transform(toks, F.lower), lambda t: t.isin(gopher_stop))
+        )
+    ).cast("bigint")
+
+    w = F.greatest(n_words, F.lit(1))
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_chars", (nonspace_chars.cast("double") / w).cast("double"))
+        .withColumn("symbol_word_ratio", (symbol_hits.cast("double") / w).cast("double"))
+        .withColumn(
+            "bullet_line_fraction",
+            (bullet_lines.cast("double") / F.greatest(n_lines, F.lit(1))).cast("double"),
+        )
+        .withColumn(
+            "ellipsis_line_fraction",
+            (ellipsis_lines.cast("double") / F.greatest(n_lines, F.lit(1))).cast("double"),
+        )
+        .withColumn("alpha_word_fraction", (alpha_words.cast("double") / w).cast("double"))
+        .withColumn("stopword_hits", stop_hits)
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_chars") >= min_mean_word_chars)
+        & (F.col("mean_word_chars") <= max_mean_word_chars)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_fraction") <= max_bullet_line_fraction)
+        & (F.col("ellipsis_line_fraction") <= max_ellipsis_line_fraction)
+        & (F.col("alpha_word_fraction") >= min_alpha_word_fraction)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("keep", keep)
