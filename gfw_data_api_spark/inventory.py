@@ -2401,6 +2401,70 @@ _SPECS.append(
 )
 
 
+def _q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.skew import skew_hybrid_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    # hot keys pinned (the production path: yesterday's stats); the
+    # union of broadcast-hot + shuffled-cold must equal the plain join
+    joined = skew_hybrid_join(li, supp, keys="l_suppkey", hot_keys=[1, 2, 3])
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q24_skew_hybrid_join",
+        spark_fn=_q24,
+        oracle=(
+            "SELECT s_name, count(*) AS n_items, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_name"
+        ),
+        survey_ref="scale: skew-split hybrid join (hot keys broadcast, cold "
+        "keys shuffled; operators/skew.py skew_hybrid_join)",
+    )
+)
+
+
+def _q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.linkage import blocked_fuzzy_match
+
+    supp = load_table(spark, sf_dir, "supplier")
+    return blocked_fuzzy_match(supp, "s_suppkey", "s_name", max_distance=1).select(
+        "id_a", "id_b", "distance"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q25_blocked_fuzzy_match",
+        spark_fn=_q25,
+        oracle=(
+            # identical block-then-verify semantics: normalized 2-prefix +
+            # length/4 band blocking, exact Levenshtein within blocks
+            "WITH k AS (SELECT s_suppkey AS id, s_name AS t, "
+            "substr(lower(regexp_replace(s_name, '[^A-Za-z0-9]', '', 'g')), 1, 2) "
+            "|| '|' || CAST(CAST(floor(length(lower(regexp_replace(s_name, "
+            "'[^A-Za-z0-9]', '', 'g'))) / 4.0) AS INT) AS VARCHAR) AS bk "
+            "FROM supplier) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "CAST(levenshtein(a.t, b.t) AS INT) AS distance "
+            "FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id "
+            "WHERE levenshtein(a.t, b.t) <= 1"
+        ),
+        survey_ref="record linkage: blocked fuzzy match (block+verify, native "
+        "levenshtein; operators/linkage.py)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

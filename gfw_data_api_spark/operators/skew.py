@@ -70,3 +70,69 @@ def salted_groupby(
             combined = combined.cast("double")
         final_cols.append(combined.alias(out))
     return partials.groupBy(*keys).agg(*final_cols)
+
+
+def skew_hybrid_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str] | str,
+    hot_key_threshold: int = 1_000_000,
+    hot_keys: list | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-split join: hot keys go through a broadcast join, the cold
+    remainder through the ordinary shuffled join, results unioned.
+
+    AQE's skew-join splitting subdivides oversized partitions AFTER the
+    shuffle has moved a hot key's rows; this operator keeps hot-key rows
+    from shuffling at all — each executor joins its resident hot rows
+    against a broadcast of the dim's matching slice, which is the right
+    shape when one key holds a double-digit percent of a 100 TB fact
+    table (the shuffle itself is the bottleneck, not the reducer).
+
+    ``hot_keys`` pins the split explicitly (cheap, production path:
+    derived from yesterday's stats). When ``None``, keys whose fact
+    count exceeds ``hot_key_threshold`` are detected with one
+    aggregation over the fact side's key column — a narrow count
+    pre-pass that scans only the key column.
+
+    Exactness: the two branches partition the key space, so the union
+    equals the single join for inner/left joins (asserted by the
+    q24 oracle twin).
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if how not in ("inner", "left"):
+        raise ValueError("skew_hybrid_join supports inner/left joins")
+    if hot_keys is None:
+        hot_rows = (
+            facts.groupBy(*keys)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > hot_key_threshold)
+            .select(*keys)
+            .limit(10_000)
+            .collect()
+        )
+        hot_keys = [tuple(r[k] for k in keys) for r in hot_rows]
+    else:
+        hot_keys = [k if isinstance(k, tuple) else (k,) for k in hot_keys]
+
+    if not hot_keys:
+        return facts.join(dim, on=keys, how=how)
+
+    key_struct = F.struct(*[F.col(k) for k in keys])
+    hot_lits = F.array(
+        *[
+            F.struct(*[F.lit(v).alias(k) for k, v in zip(keys, tup)])
+            for tup in hot_keys
+        ]
+    )
+    is_hot = F.array_contains(hot_lits, key_struct)
+
+    hot_facts = facts.filter(is_hot)
+    cold_facts = facts.filter(~is_hot)
+    hot_dim = dim.filter(is_hot)
+
+    hot_joined = hot_facts.join(F.broadcast(hot_dim), on=keys, how=how)
+    cold_joined = cold_facts.join(dim, on=keys, how=how)
+    return hot_joined.unionByName(cold_joined)

@@ -261,3 +261,114 @@ def test_semantic_dedup_recall_on_planted_dups(spark, sf_dir):
     dropped = all_ids - survivors
     assert dropped == planted_ids  # perfect recall, zero false positives
     full.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# skew hybrid join
+# ---------------------------------------------------------------------------
+
+
+def test_skew_hybrid_join_equals_plain_join(spark, sf_dir):
+    from gfw_data_api_spark.operators.skew import skew_hybrid_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    hybrid = skew_hybrid_join(li, supp, keys="l_suppkey", hot_keys=[1, 2, 3])
+    plain = li.join(supp, on="l_suppkey")
+    assert hybrid.count() == plain.count()
+    assert hybrid.exceptAll(plain).count() == 0
+    # hot branch is a broadcast join; the plan carries BOTH join strategies
+    plan = hybrid._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skew_hybrid_join_left_and_autodetect(spark):
+    from gfw_data_api_spark.operators.skew import skew_hybrid_join
+
+    facts = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold1", 1), ("cold2", 2), ("nomatch", 3)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold1", "C1"), ("cold2", "C2")], "k string, name string"
+    )
+    # auto-detect: 'hot' exceeds the threshold, others don't
+    out = skew_hybrid_join(facts, dim, keys="k", hot_key_threshold=10, how="left")
+    plain = facts.join(dim, on="k", how="left")
+    assert out.count() == plain.count() == 53
+    assert out.exceptAll(plain).count() == 0
+    # unmatched left rows survive with nulls
+    assert out.filter("k = 'nomatch'").collect()[0].name is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        skew_hybrid_join(facts, dim, keys="k", how="full")
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_dir):
+    """Spark's runtime bloom-filter join reduction (enabled in session.py
+    via the 3.4+ default) stays off for toy scans (application side must
+    exceed 10 GB) and injects once the thresholds reflect 100 TB reality
+    — asserting the engine-native path we rely on instead of a
+    hand-rolled bloom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter("o_totalprice > 400000")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    assert "bloom" not in j._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        j2 = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert "bloom" in j2._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert j2.count() == j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy match
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_fuzzy_match_semantics(spark):
+    from gfw_data_api_spark.operators.linkage import blocked_fuzzy_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "Acme Corp"),
+            (2, "Acme Corp."),      # distance 1 after raw compare, same block
+            (3, "Acme Group"),      # same block, distance 5 → filtered
+            (4, "Zenith Ltd"),      # different block
+            (5, "acme corp"),       # case differs → block matches, distance 2 raw
+        ],
+        "id long, name string",
+    )
+    out = blocked_fuzzy_match(df, "id", "name", max_distance=2)
+    pairs = {(r.id_a, r.id_b): r.distance for r in out.collect()}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 5)] == 2      # 'A'→'a', 'C'→'c'
+    assert (1, 3) not in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_blocked_fuzzy_match_block_guard(spark):
+    from gfw_data_api_spark.operators.linkage import blocked_fuzzy_match
+
+    df = spark.createDataFrame(
+        [(i, f"same{i % 2}") for i in range(40)], "id long, name string"
+    )
+    guarded = blocked_fuzzy_match(df, "id", "name", max_block_size=5)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_block_size"):
+        guarded.count()
+    # within bounds it runs
+    assert blocked_fuzzy_match(df, "id", "name", max_block_size=50).count() > 0
