@@ -2508,6 +2508,14 @@ _DRIVER_FRONT: list[str] = [
     "b01_bpe_pair_stats",
     "st05_stream_static_enrich",
     "e05_scd2_intervals",
+    # round-3 additions, never driver-checked before round 4's snapshot
+    "st06_stream_stream_join",
+    "t12_gopher_rules",
+    "t13_containment_pairs",
+    "w02_temperature_mixture",
+    "q23_pivot_conditional_agg",
+    "q24_skew_hybrid_join",
+    "q25_blocked_fuzzy_match",
 ]
 
 

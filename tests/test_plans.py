@@ -243,3 +243,48 @@ def test_bigram_lm_joins_model_once(spark, sf_dir):
     # occurrence explode (Generate) appears once per consumer; the join
     # tree re-uses the persisted occ via InMemoryRelation
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_inventory_wide_plan_shape_gate(spark, sf_dir):
+    """Every declared inventory query must be free of the three
+    plan-level scale killers: CartesianProduct, BroadcastNestedLoopJoin,
+    and an unpartitioned WindowExec ("Window [..] []" — serializes the
+    whole input through one task). Planning only — nothing executes.
+
+    Exceptions must be listed here WITH the reason, so adding one is a
+    reviewed decision, not an accident.
+    """
+    from gfw_data_api_spark import inventory
+
+    # name → (allowed marker, why). A nested-loop join against a
+    # BROADCAST 1-row aggregate (grand totals / normalizer) is the
+    # intended plan — there is no key to hash on and the build side is
+    # a single row, so "nested loop" degenerates to a map-side constant.
+    allowed = {
+        "t11_domain_mixture": ("BroadcastNestedLoopJoin", "1-row grand-totals join"),
+        "w02_temperature_mixture": ("BroadcastNestedLoopJoin", "1-row totals + normalizer join"),
+    }
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in inventory.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover — planning must not fail
+            bad[name] = [f"planning failed: {exc}"]
+            continue
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        findings = []
+        for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if marker in plan and allowed.get(name, ("",))[0] != marker:
+                findings.append(marker)
+        # unpartitioned window: "Window [exprs], [partition], [order]" with
+        # empty partition spec prints as "], [], [" in the plan string
+        if "Window" in plan:
+            import re as _re
+
+            for m in _re.finditer(r"Window \[[^\n]*?\], \[\], \[", plan):
+                findings.append("unpartitioned WindowExec")
+                break
+        if findings:
+            bad[name] = findings
+    assert not bad, f"scale-killer plan shapes: {bad}"
