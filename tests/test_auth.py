@@ -323,3 +323,28 @@ def test_validate_route_pins_method(authed):
     out = call(authed["app"], "DELETE", f"/auth/apikey/{key}/validate",
                headers=admin)
     assert out["status"] != 200 or "is_valid" not in out.get("body", {}).get("data", {})
+
+
+def test_task_callbacks_require_manager(authed, spark, tmp_path_factory):
+    """PUT/PATCH /task are service-account routes (reference
+    is_service_account dependency → MANAGER/ADMIN gate here)."""
+    registry = Registry(str(tmp_path_factory.mktemp("task_auth") / "cat"))
+    registry.ensure_dataset("ds")
+    registry.create_version("ds", "v1")
+    asset = registry.create_asset("ds", "v1", "database_table", is_default=True)
+    app = authed["app"]
+    # the authed app's registry differs, but authorization is checked
+    # BEFORE the task store: a plain USER must bounce with 401
+    plain = {"authorization": "Bearer " + authed["tokens"]["plain"]}
+    out = call(app, "PUT", "/task/t-auth", body={"asset_id": asset.asset_id},
+               headers=plain)
+    assert out["status"] == 401
+    out = call(app, "PATCH", "/task/t-auth",
+               body={"change_log": [{"status": "success"}]}, headers=plain)
+    assert out["status"] == 401
+    # ADMIN passes the gate (then hits 400 for the foreign asset id —
+    # authorization happened first)
+    admin = {"authorization": "Bearer " + authed["tokens"]["admin"]}
+    out = call(app, "PUT", "/task/t-auth", body={"asset_id": asset.asset_id},
+               headers=admin)
+    assert out["status"] == 400

@@ -876,3 +876,25 @@ def test_remove_repeated_segments_validates(spark):
         remove_repeated_segments(docs, max_count=0)
     with pytest.raises(ValueError):
         remove_repeated_segments(docs, segment_tokens=0)
+
+
+def test_png_roundtrip_property():
+    """Random sizes/channels survive encode→decode bit-exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(h, w, c, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        out = multimodal.decode_png(multimodal.encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+
+    roundtrip()
