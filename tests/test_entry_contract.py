@@ -25,6 +25,7 @@ def test_queries_and_oracles_aligned(spark):
         "d04_minhash_lsh_neardups",
         "d05_simhash_neardups",
         "d07_embedding_neardups",
+        "d11_semantic_dedup",
         "t04_language_id_confusion",
         "s03_ann_lsh_topk",
         "s05_ivf_topk",
