@@ -2465,6 +2465,59 @@ _SPECS.append(
 )
 
 
+def _dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.quality import (
+        audit,
+        check_accepted_values,
+        check_not_null,
+        check_range,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return audit(
+        li,
+        checks=[
+            check_not_null("l_orderkey"),
+            check_range("l_quantity", 1, 50),
+            check_range("l_discount", 0.0, 0.05),  # deliberately tight: real violations
+            check_accepted_values("l_returnflag", ["A", "N", "R"]),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+        foreign_keys=[(["l_orderkey"], orders, ["o_orderkey"])],
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="dq01_constraint_audit",
+        spark_fn=_dq01,
+        oracle=(
+            "WITH t AS (SELECT count(*) AS total, "
+            "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS c0, "
+            "sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS c1, "
+            "sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS c2, "
+            "sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS c3 "
+            "FROM lineitem), "
+            "u AS (SELECT COALESCE(sum(n - 1), 0) AS v FROM "
+            "(SELECT count(*) AS n FROM lineitem WHERE l_orderkey IS NOT NULL "
+            "AND l_linenumber IS NOT NULL GROUP BY l_orderkey, l_linenumber) d WHERE n > 1), "
+            "fk AS (SELECT count(*) AS v FROM lineitem l WHERE l_orderkey IS NOT NULL "
+            "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) "
+            "SELECT * FROM ("
+            "SELECT 'not_null(l_orderkey)' AS \"check\", CAST(c0 AS BIGINT) AS violations, CAST(total AS BIGINT) AS total_rows, CAST(c0 = 0 AS INT) AS passed FROM t "
+            "UNION ALL SELECT 'range(l_quantity)', CAST(c1 AS BIGINT), CAST(total AS BIGINT), CAST(c1 = 0 AS INT) FROM t "
+            "UNION ALL SELECT 'range(l_discount)', CAST(c2 AS BIGINT), CAST(total AS BIGINT), CAST(c2 = 0 AS INT) FROM t "
+            "UNION ALL SELECT 'accepted_values(l_returnflag)', CAST(c3 AS BIGINT), CAST(total AS BIGINT), CAST(c3 = 0 AS INT) FROM t "
+            "UNION ALL SELECT 'unique(l_orderkey, l_linenumber)', CAST(u.v AS BIGINT), CAST(total AS BIGINT), CAST(u.v = 0 AS INT) FROM u, t "
+            "UNION ALL SELECT 'foreign_key(l_orderkey)', CAST(fk.v AS BIGINT), CAST(total AS BIGINT), CAST(fk.v = 0 AS INT) FROM fk, t)"
+        ),
+        survey_ref="pipeline contracts: declarative constraint audit "
+        "(deequ/dbt-test analog; operators/quality.py, one-pass row checks)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
@@ -2516,6 +2569,7 @@ _DRIVER_FRONT: list[str] = [
     "q23_pivot_conditional_agg",
     "q24_skew_hybrid_join",
     "q25_blocked_fuzzy_match",
+    "dq01_constraint_audit",
 ]
 
 

@@ -372,3 +372,87 @@ def test_blocked_fuzzy_match_block_guard(spark):
         guarded.count()
     # within bounds it runs
     assert blocked_fuzzy_match(df, "id", "name", max_block_size=50).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit
+# ---------------------------------------------------------------------------
+
+
+def test_audit_counts_each_violation_kind(spark):
+    from gfw_data_api_spark.operators.quality import (
+        audit,
+        check_accepted_values,
+        check_not_null,
+        check_predicate,
+        check_range,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, 10, "ok", 100),
+            (2, -5, "ok", 100),      # range violation
+            (None, 10, "ok", 200),   # null id; FK skips nulls
+            (4, 10, "BAD", 999),     # accepted_values + FK orphan
+            (4, 10, "ok", 100),      # duplicate id=4
+        ],
+        "id long, qty int, status string, parent_id long",
+    )
+    parent = spark.createDataFrame([(100,), (200,)], "pid long")
+    out = {
+        r.check: (r.violations, r.passed)
+        for r in audit(
+            child,
+            checks=[
+                check_not_null("id"),
+                check_range("qty", 0, 50),
+                check_accepted_values("status", ["ok", "meh"]),
+                check_predicate("qty_even", F.col("qty") % 2 != 0),
+            ],
+            unique_keys=[["id"]],
+            foreign_keys=[(["parent_id"], parent, ["pid"])],
+        ).collect()
+    }
+    assert out["not_null(id)"] == (1, 0)
+    assert out["range(qty)"] == (1, 0)
+    assert out["accepted_values(status)"] == (1, 0)
+    assert out["qty_even"] == (1, 0)           # only -5 is odd
+    assert out["unique(id)"] == (1, 0)         # one extra row for id=4
+    assert out["foreign_key(parent_id)"] == (1, 0)  # 999 orphaned; NULL skipped
+    # clean table passes everything
+    clean = audit(parent.withColumnRenamed("pid", "id"), checks=[check_not_null("id")])
+    assert all(r.passed == 1 for r in clean.collect())
+
+
+def test_audit_row_checks_single_pass(spark, sf_dir):
+    """All row-level checks must compile into ONE aggregate over one
+    scan — a 40-check battery cannot become 40 jobs."""
+    from gfw_data_api_spark.operators.quality import audit, check_not_null, check_range
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [check_not_null(c) for c in li.columns] + [
+        check_range("l_quantity", 1, 50)
+    ]
+    out = audit(li, checks=checks)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one scan feeding one partial+final aggregate pair
+    assert plan.count("Scan parquet") == 1
+
+
+def test_audited_observation_zero_extra_scan(spark, sf_dir):
+    from gfw_data_api_spark.operators.quality import (
+        audited,
+        check_not_null,
+        check_range,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    observed, obs = audited(
+        li, [check_not_null("l_orderkey"), check_range("l_quantity", 1, 10)]
+    )
+    n = observed.count()  # the caller's own action
+    metrics = obs.get
+    assert metrics["total"] == n
+    assert metrics["not_null(l_orderkey)"] == 0
+    expected_viol = li.filter("l_quantity > 10").count()
+    assert metrics["range(l_quantity)"] == expected_viol > 0
