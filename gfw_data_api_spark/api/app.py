@@ -729,11 +729,12 @@ def create_app(
                 ]
                 return _json_response(start_response, {"data": data, "status": "success"})
 
-            # /datamart/tree_cover_loss_by_driver (app/tasks/datamart/land.py)
+            # /datamart/tree_cover_loss_by_driver
+            # (reference app/routes/datamart/land.py full lifecycle:
+            # deterministic uuid5 resource ids, 409 on duplicate POST,
+            # pending 202 + Retry-After, failed-only DELETE, CSV GET)
             if parts == ["datamart", "tree_cover_loss_by_driver"] and method == "POST":
-                from gfw_data_api_spark.operators.datamart import (
-                    compute_tree_cover_loss_by_driver,
-                )
+                from gfw_data_api_spark.operators import datamart as dm
 
                 geometry = resolve_geometry(params, body)
                 if geometry is None:
@@ -742,26 +743,115 @@ def create_app(
                     canopy_cover = int(body.get("canopy_cover", 30))
                 except (TypeError, ValueError):
                     raise QueryGuardError("canopy_cover must be an integer.", 422) from None
-                resource = compute_tree_cover_loss_by_driver(
-                    spark,
-                    registry,
-                    geometry,
-                    canopy_cover=canopy_cover,
-                    version_overrides=body.get("dataset_version"),
+                dataset_version = dm.apply_overrides_and_remove_mutually_exclusive_datasets(
+                    body.get("dataset_version")
                 )
-                return _json_response(start_response, {"data": resource, "status": "success"})
+                rid = dm.resource_id_for(geometry, canopy_cover, dataset_version)
+                if dm.resource_exists(registry, rid):
+                    return _json_response(
+                        start_response,
+                        {
+                            "status": "failed",
+                            "message": f"Resource {rid} already exists "
+                            "with those parameters.",
+                        },
+                        409,
+                    )
+                dm.save_pending_resource(registry, rid, canopy_cover)
+
+                def compute(rid=rid, geometry=geometry, canopy_cover=canopy_cover,
+                            dataset_version=dataset_version):
+                    try:
+                        dm.compute_tree_cover_loss_by_driver(
+                            spark,
+                            registry,
+                            geometry,
+                            canopy_cover=canopy_cover,
+                            version_overrides=dataset_version or None,
+                            resource_id=rid,
+                        )
+                    except Exception as exc:  # noqa: BLE001 — recorded on the resource
+                        dm.save_failed_resource(registry, rid, canopy_cover, str(exc))
+
+                import threading as _threading
+
+                _threading.Thread(target=compute, daemon=True).start()
+                return _json_response(
+                    start_response,
+                    {
+                        "data": {"link": f"/datamart/tree_cover_loss_by_driver/{rid}"},
+                        "status": "success",
+                    },
+                    202,
+                )
+
+            # search by parameters (land.py:75-108)
+            if parts == ["datamart", "tree_cover_loss_by_driver"] and method == "GET":
+                from gfw_data_api_spark.operators import datamart as dm
+
+                geometry = resolve_geometry(params, body)
+                canopy_cover = _num_param(params, "canopy_cover", "30")
+                dataset_version = dm.apply_overrides_and_remove_mutually_exclusive_datasets(
+                    json.loads(params.get("dataset_version", ["{}"])[0])
+                )
+                rid = dm.resource_id_for(geometry, canopy_cover, dataset_version)
+                if not dm.resource_exists(registry, rid):
+                    return _json_response(
+                        start_response,
+                        {
+                            "status": "failed",
+                            "message": "Resource not found, may require computation.",
+                        },
+                        404,
+                    )
+                return _json_response(
+                    start_response,
+                    {
+                        "data": {"link": f"/datamart/tree_cover_loss_by_driver/{rid}"},
+                        "status": "success",
+                    },
+                )
 
             if (
                 len(parts) == 3
                 and parts[:2] == ["datamart", "tree_cover_loss_by_driver"]
                 and method == "GET"
             ):
-                from gfw_data_api_spark.operators.datamart import get_resource
+                from gfw_data_api_spark.operators import datamart as dm
 
+                resource = dm.get_resource(registry, parts[2])
+                if resource.get("status") == "pending":
+                    return _json_response(
+                        start_response,
+                        {"data": resource, "status": "success"},
+                        202,
+                        headers=[("Retry-After", "1")],
+                    )
+                if environ.get("HTTP_ACCEPT") == "text/csv":
+                    csv_text = dm.resource_to_csv(resource).encode()
+                    start_response(
+                        "200 OK",
+                        [
+                            ("Content-Type", "text/csv"),
+                            ("Content-Disposition", "attachment"),
+                            ("Content-Length", str(len(csv_text))),
+                        ],
+                    )
+                    return [csv_text]
                 return _json_response(
-                    start_response,
-                    {"data": get_resource(registry, parts[2]), "status": "success"},
+                    start_response, {"data": resource, "status": "success"}
                 )
+
+            if (
+                len(parts) == 3
+                and parts[:2] == ["datamart", "tree_cover_loss_by_driver"]
+                and method == "DELETE"
+            ):
+                from gfw_data_api_spark.operators import datamart as dm
+
+                dm.delete_resource(registry, parts[2])
+                start_response("204 No Content", [])
+                return [b""]
 
             # /asset/{id}[/...] — asset introspection + lifecycle
             # (reference app/routes/assets/asset.py)

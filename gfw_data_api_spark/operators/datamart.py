@@ -70,6 +70,43 @@ def _select_drivers_config(version_overrides: dict[str, str] | None) -> dict[str
     return TCL_DRIVERS_DATASET_CONFIGS["tsc_tree_cover_loss_drivers"]
 
 
+def apply_overrides_and_remove_mutually_exclusive_datasets(
+    dataset_versions: dict[str, str] | None,
+) -> dict[str, str]:
+    """Reference land.py:325-341: overriding with one driver
+    categorization evicts its mutually-exclusive twin, so a request
+    pinning wri_google never also queries tsc."""
+    mutually_exclusive = {
+        "wri_google_tree_cover_loss_drivers": "tsc_tree_cover_loss_drivers",
+        "tsc_tree_cover_loss_drivers": "wri_google_tree_cover_loss_drivers",
+    }
+    out: dict[str, str] = {}
+    for dataset, version in (dataset_versions or {}).items():
+        twin = mutually_exclusive.get(dataset)
+        if twin is not None:
+            out.pop(twin, None)
+        out[dataset] = version
+    return out
+
+
+def resource_id_for(
+    geometry: dict[str, Any] | None,
+    canopy_cover: int,
+    dataset_versions: dict[str, str] | None,
+) -> str:
+    """Deterministic resource id (land.py:270-273 uuid5 over the request
+    params) — identical requests collide on purpose, giving the 409
+    dedup and the search-by-params route."""
+    aoi = json.dumps(geometry, sort_keys=True) if geometry else "null"
+    dv = json.dumps(dataset_versions or {}, sort_keys=True)
+    return str(
+        uuid.uuid5(
+            uuid.NAMESPACE_OID,
+            f"tree_cover_loss_by_driver_{aoi}_{canopy_cover}_{dv}",
+        )
+    )
+
+
 def compute_tree_cover_loss_by_driver(
     spark: SparkSession,
     registry: Registry,
@@ -80,6 +117,7 @@ def compute_tree_cover_loss_by_driver(
     version_overrides: dict[str, str] | None = None,
     resource_dir: str | None = None,
     timeout_s: float = DEFAULT_QUERY_TIMEOUT_S,
+    resource_id: str | None = None,
 ) -> dict[str, Any]:
     """Run the precompute and persist it as a datamart resource.
 
@@ -141,7 +179,8 @@ def compute_tree_cover_loss_by_driver(
     ]
 
     resource = {
-        "resource_id": str(uuid.uuid4()),
+        "resource_id": resource_id
+        or resource_id_for(geometry, canopy_cover, version_overrides),
         "status": "saved",
         "canopy_cover": canopy_cover,
         "result": {
@@ -149,20 +188,109 @@ def compute_tree_cover_loss_by_driver(
             "yearly_tree_cover_loss_by_driver": rows,
         },
     }
-    out_dir = resource_dir or os.path.join(registry.root, "datamart")
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, f"{resource['resource_id']}.json"), "w") as fh:
-        json.dump(resource, fh)
+    _write_resource(registry, resource, resource_dir)
     return resource
+
+
+def _resource_path(registry: Registry, resource_id: str, resource_dir: str | None) -> str:
+    out_dir = resource_dir or os.path.join(registry.root, "datamart")
+    return os.path.join(out_dir, f"{resource_id}.json")
+
+
+def _write_resource(registry: Registry, resource: dict, resource_dir: str | None = None) -> None:
+    path = _resource_path(registry, resource["resource_id"], resource_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(resource, fh)
+    os.replace(tmp, path)
+
+
+def save_pending_resource(
+    registry: Registry,
+    resource_id: str,
+    canopy_cover: int,
+    resource_dir: str | None = None,
+) -> dict:
+    """Reference land.py:298-308 — register the pending row the POST's
+    202 points at; the background compute overwrites it."""
+    resource = {
+        "resource_id": resource_id,
+        "status": "pending",
+        "canopy_cover": canopy_cover,
+        "message": "Resource is still processing, follow Retry-After header.",
+        "result": None,
+    }
+    _write_resource(registry, resource, resource_dir)
+    return resource
+
+
+def save_failed_resource(
+    registry: Registry,
+    resource_id: str,
+    canopy_cover: int,
+    message: str,
+    resource_dir: str | None = None,
+) -> dict:
+    resource = {
+        "resource_id": resource_id,
+        "status": "failed",
+        "canopy_cover": canopy_cover,
+        "message": message,
+        "result": None,
+    }
+    _write_resource(registry, resource, resource_dir)
+    return resource
+
+
+def resource_exists(registry: Registry, resource_id: str, resource_dir: str | None = None) -> bool:
+    return os.path.exists(_resource_path(registry, resource_id, resource_dir))
 
 
 def get_resource(registry: Registry, resource_id: str, resource_dir: str | None = None) -> dict:
     """Retrieve a saved datamart resource (GET .../{resource_id})."""
     from gfw_data_api_spark.catalog.registry import RegistryError
 
-    out_dir = resource_dir or os.path.join(registry.root, "datamart")
-    path = os.path.join(out_dir, f"{resource_id}.json")
+    path = _resource_path(registry, resource_id, resource_dir)
     if not os.path.basename(path).replace(".json", "") == resource_id or not os.path.exists(path):
-        raise RegistryError(f"Datamart resource {resource_id} not found.", 404)
+        raise RegistryError(
+            "Resource not found, may require computation.", 404
+        )
     with open(path) as fh:
         return json.load(fh)
+
+
+def delete_resource(registry: Registry, resource_id: str, resource_dir: str | None = None) -> None:
+    """Reference land.py:154-192: only FAILED resources are deletable
+    (204); anything else is a 400, missing is a 404."""
+    from gfw_data_api_spark.catalog.registry import RegistryError
+
+    resource = get_resource(registry, resource_id, resource_dir)
+    if resource.get("status") != "failed":
+        raise RegistryError("Only resources with 'failed' status can be deleted", 400)
+    os.remove(_resource_path(registry, resource_id, resource_dir))
+
+
+def resource_to_csv(resource: dict) -> str:
+    """CSV rendering of the yearly rows (land.py:145-149 Accept:
+    text/csv path)."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    writer = csv.writer(buf)
+    writer.writerow(
+        ["drivers_type", "loss_year", "loss_area_ha", "gross_carbon_emissions_Mg"]
+    )
+    for row in (resource.get("result") or {}).get(
+        "yearly_tree_cover_loss_by_driver", []
+    ):
+        writer.writerow(
+            [
+                row["drivers_type"],
+                row["loss_year"],
+                row["loss_area_ha"],
+                row["gross_carbon_emissions_Mg"],
+            ]
+        )
+    return buf.getvalue()

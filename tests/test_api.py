@@ -16,7 +16,7 @@ from gfw_data_api_spark.raster.ingest import ingest_raster_tiles
 from gfw_data_api_spark.sources.pipeline import ingest_tabular
 
 
-def call(app, method, path, query="", body=None):
+def call(app, method, path, query="", body=None, headers=None):
     """Minimal WSGI client."""
     raw = json.dumps(body).encode() if body is not None else b""
     environ = {
@@ -26,6 +26,8 @@ def call(app, method, path, query="", body=None):
         "CONTENT_LENGTH": str(len(raw)),
         "wsgi.input": io.BytesIO(raw),
     }
+    for name, value in (headers or {}).items():
+        environ["HTTP_" + name.upper().replace("-", "_")] = value
     captured = {}
 
     def start_response(status, headers):
@@ -344,8 +346,21 @@ def test_datamart_endpoint(spark, tmp_path_factory):
         dm_app, "POST", "/datamart/tree_cover_loss_by_driver",
         body={"geometry": geom, "canopy_cover": 30},
     )
-    assert out["status"] == 200
-    resource = out["body"]["data"]
+    # reference contract: 202 + a link to the deterministic resource id
+    assert out["status"] == 202
+    link = out["body"]["data"]["link"]
+
+    # poll until the background compute lands (pending → 202 Retry-After)
+    import time as _time
+
+    deadline = _time.monotonic() + 120
+    while _time.monotonic() < deadline:
+        got = call(dm_app, "GET", link)
+        if got["status"] == 200:
+            break
+        assert got["status"] == 202
+        _time.sleep(0.2)
+    resource = got["body"]["data"]
     assert resource["status"] == "saved"
     yearly = resource["result"]["yearly_tree_cover_loss_by_driver"]
     drivers = {r["drivers_type"] for r in yearly}
@@ -367,12 +382,68 @@ def test_datamart_endpoint(spark, tmp_path_factory):
     missing = call(dm_app, "GET", "/datamart/tree_cover_loss_by_driver/nope")
     assert missing["status"] == 404
 
+    # duplicate POST with identical params → 409 (uuid5 dedup)
+    dup = call(
+        dm_app, "POST", "/datamart/tree_cover_loss_by_driver",
+        body={"geometry": geom, "canopy_cover": 30},
+    )
+    assert dup["status"] == 409
+
+    # search-by-params returns the same link; different params 404.
+    # GET carries no body, so identify the AOI via a geostore id — the
+    # uuid5 must come out identical because resolve_geometry returns the
+    # same geometry dict either way
+    gid = call(dm_app, "POST", "/geostore", body={"geometry": geom})["body"]["data"][
+        "gfw_geostore_id"
+    ]
+    found = call(dm_app, "GET", "/datamart/tree_cover_loss_by_driver",
+                 query=f"canopy_cover=30&geostore_id={gid}")
+    assert found["status"] == 200 and found["body"]["data"]["link"] == link
+    not_found = call(dm_app, "GET", "/datamart/tree_cover_loss_by_driver",
+                     query=f"canopy_cover=75&geostore_id={gid}")
+    assert not_found["status"] == 404
+
+    # CSV rendering via Accept header
+    csv_out = call(dm_app, "GET", link, headers={"accept": "text/csv"})
+    assert csv_out["status"] == 200
+    assert csv_out["body"].splitlines()[0] == (
+        "drivers_type,loss_year,loss_area_ha,gross_carbon_emissions_Mg"
+    )
+
+    # DELETE: saved resources are not deletable; failed ones are
+    rid = resource["resource_id"]
+    undeletable = call(dm_app, "DELETE", f"/datamart/tree_cover_loss_by_driver/{rid}")
+    assert undeletable["status"] == 400
+    from gfw_data_api_spark.operators import datamart as dm
+
+    dm.save_failed_resource(registry, "f-1", 30, "boom")
+    gone = call(dm_app, "DELETE", "/datamart/tree_cover_loss_by_driver/f-1")
+    assert gone["status"] == 204
+    assert call(dm_app, "GET", "/datamart/tree_cover_loss_by_driver/f-1")["status"] == 404
+    assert call(dm_app, "DELETE", "/datamart/tree_cover_loss_by_driver/f-1")["status"] == 404
+
     # invalid canopy_cover -> 422, not 500
     bad = call(
         dm_app, "POST", "/datamart/tree_cover_loss_by_driver",
         body={"geometry": geom, "canopy_cover": "abc"},
     )
     assert bad["status"] == 422
+
+
+def test_datamart_mutually_exclusive_overrides():
+    from gfw_data_api_spark.operators.datamart import (
+        apply_overrides_and_remove_mutually_exclusive_datasets as apply_mx,
+    )
+
+    # pinning the wri_google categorization evicts tsc (land.py:325-341)
+    out = apply_mx({"tsc_tree_cover_loss_drivers": "v1",
+                    "wri_google_tree_cover_loss_drivers": "v2"})
+    assert out == {"wri_google_tree_cover_loss_drivers": "v2"}
+    out = apply_mx({"wri_google_tree_cover_loss_drivers": "v2",
+                    "tsc_tree_cover_loss_drivers": "v1"})
+    assert out == {"tsc_tree_cover_loss_drivers": "v1"}
+    assert apply_mx(None) == {}
+    assert apply_mx({"umd_tree_cover_loss": "v3"}) == {"umd_tree_cover_loss": "v3"}
 
 
 def test_assets_list_and_create(app):
