@@ -89,6 +89,49 @@ def _num_param(params: dict, name: str, default, cast=int):
         raise QueryGuardError(f"{name} must be {kind}.", 422) from None
 
 
+def _paginated_payload(path: str, items: list, params: dict) -> dict:
+    """Reference list-route pagination (app/utils/paginate.py +
+    PaginationLinks/PaginationMeta): WITHOUT page[number]/page[size] the
+    response is the plain list; with either, it is the paginated
+    envelope — links (self/first/last/prev/next), meta (size,
+    total_items, total_pages) — and out-of-range values are a 422."""
+    paged = "page[number]" in params or "page[size]" in params
+    if not paged:
+        return {"data": items, "status": "success"}
+    size = _num_param(params, "page[size]", "10")
+    page = _num_param(params, "page[number]", "1")
+    if size < 1 or page < 1:
+        raise QueryGuardError(
+            "page[number] and page[size] must be positive integers.", 422
+        )
+    from math import ceil
+
+    total_items = len(items)
+    total_pages = ceil(total_items / size) if total_items > 0 else 1
+    if page > total_pages:
+        raise QueryGuardError(
+            f"Page number {page} is larger than the total page count: {total_pages}",
+            422,
+        )
+
+    def link(n: int) -> str:
+        return f"{path}?page[number]={n}&page[size]={size}"
+
+    start = (page - 1) * size
+    return {
+        "data": items[start : start + size],
+        "links": {
+            "self": link(page),
+            "first": link(1),
+            "last": link(total_pages),
+            "prev": link(page - 1) if page > 1 else "",
+            "next": link(page + 1) if page < total_pages else "",
+        },
+        "meta": {"size": size, "total_items": total_items, "total_pages": total_pages},
+        "status": "success",
+    }
+
+
 def _task_payload(task) -> dict:
     last = task.change_log[-1]["status"] if task.change_log else "pending"
     return {
@@ -227,8 +270,6 @@ def create_app(
 
             # /datasets
             if parts == ["datasets"] and method == "GET":
-                page = _num_param(params, "page[number]", "1")
-                size = _num_param(params, "page[size]", "10")
                 data = [
                     {
                         "dataset": d.dataset,
@@ -241,15 +282,8 @@ def create_app(
                     }
                     for d in registry.datasets()
                 ]
-                total = len(data)
-                start = (page - 1) * size
                 return _json_response(
-                    start_response,
-                    {
-                        "data": data[start : start + size],
-                        "meta": {"size": size, "page": page, "total_items": total},
-                        "status": "success",
-                    },
+                    start_response, _paginated_payload("/datasets", data, params)
                 )
 
             # POST /auth/sign-up — 1:1 ResourceWatch proxy (reference
@@ -899,23 +933,26 @@ def create_app(
                         {"data": asset.change_log, "status": "success"},
                     )
                 if sub == ["tasks"] and method == "GET":
-                    # reference assets/asset.py tasks route: one task row
-                    # per pipeline step. Pipelines here run synchronously
-                    # in Spark, so tasks are the change-log steps.
+                    # reference assets/asset.py tasks route: real task
+                    # rows when workers registered them (PUT /task),
+                    # else one synthetic row per change-log step (the
+                    # synchronous-pipeline analog)
+                    real = registry.tasks_for_asset(asset.asset_id)
+                    if real:
+                        items = [_task_payload(t) for t in real]
+                    else:
+                        items = [
+                            {
+                                "task_id": f"{asset.asset_id}:{i}",
+                                "asset_id": asset.asset_id,
+                                "change_log": [entry],
+                                "status": entry["status"],
+                            }
+                            for i, entry in enumerate(asset.change_log)
+                        ]
                     return _json_response(
                         start_response,
-                        {
-                            "data": [
-                                {
-                                    "task_id": f"{asset.asset_id}:{i}",
-                                    "asset_id": asset.asset_id,
-                                    "change_log": [entry],
-                                    "status": entry["status"],
-                                }
-                                for i, entry in enumerate(asset.change_log)
-                            ],
-                            "status": "success",
-                        },
+                        _paginated_payload(path, items, params),
                     )
                 if sub == ["creation_options"] and method == "GET":
                     return _json_response(
@@ -1070,8 +1107,9 @@ def create_app(
                     if method == "GET":
                         return _json_response(
                             start_response,
-                            {
-                                "data": [
+                            _paginated_payload(
+                                path,
+                                [
                                     {
                                         "asset_id": a.asset_id,
                                         "asset_type": a.asset_type,
@@ -1081,8 +1119,8 @@ def create_app(
                                     }
                                     for a in registry.assets_for(dataset, version)
                                 ],
-                                "status": "success",
-                            },
+                                params,
+                            ),
                         )
                     if method == "POST":
                         check_manager(environ)

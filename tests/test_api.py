@@ -290,7 +290,7 @@ def test_put_creates_dataset(app):
 def test_datasets_listing_paginated(app):
     out = call(app, "GET", "/datasets", query="page[size]=1&page[number]=1")
     assert len(out["body"]["data"]) == 1
-    assert out["body"]["meta"]["page"] == 1
+    assert out["body"]["meta"]["size"] == 1
 
 
 def test_bad_numeric_query_params_422(app):
@@ -1090,3 +1090,38 @@ def test_source_uri_allowlist(app, spark, tmp_path_factory):
                      "uri": "/etc/passwd"})
     assert out["status"] == 400
     assert "Invalid sources" in out["body"]["message"]
+
+
+def test_list_route_pagination_contract(app):
+    """Reference pagination (app/utils/paginate.py + tests_v2
+    *_with_pagination): plain list without page params; links/meta
+    envelope with them; 4xx on size<1, number<1, number>max."""
+    # plain mode: no links/meta keys
+    plain = call(app, "GET", "/datasets")
+    assert "links" not in plain["body"] and "meta" not in plain["body"]
+
+    paged = call(app, "GET", "/datasets", query="page%5Bnumber%5D=1&page%5Bsize%5D=1")
+    assert paged["status"] == 200
+    body = paged["body"]
+    assert len(body["data"]) == 1
+    assert body["meta"]["size"] == 1 and body["meta"]["total_items"] >= 2
+    assert body["meta"]["total_pages"] == body["meta"]["total_items"]
+    assert body["links"]["self"] == "/datasets?page[number]=1&page[size]=1"
+    assert body["links"]["prev"] == "" and body["links"]["next"] != ""
+
+    # size-only and number-only still paginate
+    assert "meta" in call(app, "GET", "/datasets", query="page%5Bsize%5D=10")["body"]
+    assert "links" in call(app, "GET", "/datasets", query="page%5Bnumber%5D=1")["body"]
+
+    # bounds → 422
+    assert call(app, "GET", "/datasets", query="page%5Bsize%5D=0")["status"] == 422
+    assert call(app, "GET", "/datasets", query="page%5Bnumber%5D=0")["status"] == 422
+    assert call(app, "GET", "/datasets", query="page%5Bnumber%5D=999")["status"] == 422
+
+    # assets + tasks lists take the same envelope
+    assets = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/assets",
+                  query="page%5Bnumber%5D=1")
+    assert assets["status"] == 200 and "links" in assets["body"]
+    asset_id = assets["body"]["data"][0]["asset_id"]
+    tasks = call(app, "GET", f"/asset/{asset_id}/tasks", query="page%5Bsize%5D=5")
+    assert tasks["status"] == 200 and tasks["body"]["meta"]["size"] == 5
