@@ -2518,6 +2518,40 @@ _SPECS.append(
 )
 
 
+def _st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.streaming.dedup import dedup_events
+
+    events = load_table(spark, sf_dir, "events")
+    # user_id × event_type as the logical event key: keep each user's
+    # FIRST event of each type (ties broken by event_id)
+    out = dedup_events(
+        events, ["user_id", "event_type"], ts_col="ts", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st07_stream_dedup",
+        spark_fn=_st07,
+        oracle=(
+            "SELECT user_id, event_type, event_id, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts "
+            "FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        survey_ref="streaming: bounded-state event dedup "
+        "(dropDuplicatesWithinWatermark; streaming/dedup.py)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
@@ -2570,6 +2604,7 @@ _DRIVER_FRONT: list[str] = [
     "q24_skew_hybrid_join",
     "q25_blocked_fuzzy_match",
     "dq01_constraint_audit",
+    "st07_stream_dedup",
 ]
 
 

@@ -456,3 +456,52 @@ def test_audited_observation_zero_extra_scan(spark, sf_dir):
     assert metrics["not_null(l_orderkey)"] == 0
     expected_viol = li.filter("l_quantity > 10").count()
     assert metrics["range(l_quantity)"] == expected_viol > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming event dedup
+# ---------------------------------------------------------------------------
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path, sf_dir):
+    from gfw_data_api_spark.streaming.dedup import dedup_events
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    # simulate at-least-once redelivery: every event arrives twice
+    doubled = events.unionByName(events)
+    src = str(tmp_path / "src")
+    doubled.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = dedup_events(stream, ["event_id"], ts_col="ts", watermark="2 hours")
+    assert out.isStreaming
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(sink)
+    assert streamed.count() == events.count()            # each id exactly once
+    assert streamed.select("event_id").distinct().count() == events.count()
+
+
+def test_batch_dedup_keeps_deterministic_first(spark):
+    import datetime
+
+    from gfw_data_api_spark.streaming.dedup import dedup_events
+
+    t0 = datetime.datetime(2024, 1, 1, 9)
+    rows = [
+        (1, "click", t0, 30),
+        (1, "click", t0, 10),                              # same ts → lower id wins
+        (1, "click", t0 + datetime.timedelta(minutes=5), 5),  # later ts loses
+        (2, "view", t0, 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = {(r.user_id, r.event_type): r.event_id
+           for r in dedup_events(df, ["user_id", "event_type"], tiebreak_col="event_id").collect()}
+    assert out == {(1, "click"): 10, (2, "view"): 7}
