@@ -73,16 +73,29 @@ def blocked_fuzzy_match(
             F.col("_bk"),
         )
         keyed = keyed.join(counts, "_bk").withColumn("_bk", checked).drop("_bn")
+    # length pre-filter inside the join condition: |len(a)-len(b)| > d
+    # implies distance > d, so the O(len²) levenshtein never runs on
+    # those pairs — result-identical, pure pruning
     pairs = (
         keyed.alias("a")
         .join(
             keyed.alias("b"),
-            (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")),
+            (F.col("a._bk") == F.col("b._bk"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (
+                F.abs(F.length(F.col("a._t")) - F.length(F.col("b._t")))
+                <= max_distance
+            ),
         )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.levenshtein(F.col("a._t"), F.col("b._t")).alias("distance"),
+            # thresholded levenshtein (Spark 3.5+): the DP early-exits
+            # once the running distance exceeds the bound, returning -1
+            # — O(d·len) instead of O(len²) per surviving pair
+            F.levenshtein(
+                F.col("a._t"), F.col("b._t"), max_distance
+            ).alias("distance"),
         )
     )
-    return pairs.filter(F.col("distance") <= max_distance)
+    return pairs.filter(F.col("distance") >= 0)
