@@ -111,9 +111,14 @@ def main() -> None:
         "n": passes,
         "testdata": fingerprint,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
+    # subset runs (prefix args) are local iteration — don't clobber the
+    # committed full-suite detail file
+    if not prefixes:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
 
     # compact stdout line: short keys + 2-decimal timings keep the line well
     # under the driver's ~2000-char stdout tail so it parses as JSON
