@@ -2552,6 +2552,32 @@ _SPECS.append(
 )
 
 
+def _t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.llmops.sampling import group_cap_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_cap_sample(docs, "lang", max_per_group=40, seed=7).select(
+        "doc_id", "lang"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t14_group_cap_sample",
+        spark_fn=_t14,
+        oracle=(
+            # identical md5 rank order (cf. t08's bit-identical buckets)
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY md5(doc_id || chr(31) || '7'), doc_id"
+            ") AS rk FROM documents) WHERE rk <= 40"
+        ),
+        survey_ref="LLM pipeline: deterministic per-group document cap "
+        "(hard-limit sibling of stratified_sample; llmops/sampling.py)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
@@ -2605,6 +2631,7 @@ _DRIVER_FRONT: list[str] = [
     "q25_blocked_fuzzy_match",
     "dq01_constraint_audit",
     "st07_stream_dedup",
+    "t14_group_cap_sample",
 ]
 
 

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample", "deterministic_sample"]
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "stratified_sample",
+    "deterministic_sample",
+    "leakage_free_split",
+    "group_cap_sample",
+]
 
 # Unit separator keeps ("1", "23") and ("12", "3") from colliding when
 # id and seed are concatenated.
@@ -172,3 +179,40 @@ def leakage_free_split(
     return hash_split(
         with_rep, id_col="_split_key", eval_fraction=eval_fraction, seed=seed
     ).drop("_rep", "_split_key")
+
+
+def group_cap_sample(
+    df: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, deterministically.
+
+    The corpus-assembly cap ("no domain contributes more than N
+    documents") — the hard-limit sibling of stratified_sample's
+    fractional thinning. Rank within each group by the md5 content hash
+    of (id, seed) with the id itself as tiebreak, so the surviving
+    subset is a pure function of the data: stable across runs,
+    partitionings, and (for surviving ids) appends that don't change
+    their hash rank. Engine-portable: DuckDB reproduces the identical
+    ordering from the same md5 hex string.
+
+    Scale: one shuffle on ``group_col``; a hot group ranks inside its
+    partitions via the window — for groups so large their rank sort
+    spills, cap earlier at ingest with stratified_sample.
+    """
+    from pyspark.sql import Window
+
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    rank_key = F.md5(
+        F.concat_ws(_SEP, F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_group)
+        .drop("_rk")
+    )

@@ -505,3 +505,27 @@ def test_batch_dedup_keeps_deterministic_first(spark):
     out = {(r.user_id, r.event_type): r.event_id
            for r in dedup_events(df, ["user_id", "event_type"], tiebreak_col="event_id").collect()}
     assert out == {(1, "click"): 10, (2, "view"): 7}
+
+
+def test_group_cap_sample_properties(spark):
+    from gfw_data_api_spark.llmops.sampling import group_cap_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 95 else "small") for i in range(100)],
+        "doc_id long, src string",
+    )
+    out = group_cap_sample(df, "src", 10, seed=1)
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["big"] == 10
+    assert counts["small"] == 5  # under the cap → untouched
+    # deterministic across repartitionings
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in group_cap_sample(df.repartition(13), "src", 10, seed=1).collect()}
+    assert a == b
+    # different seed → different survivors (with high probability)
+    c = {r.doc_id for r in group_cap_sample(df, "src", 10, seed=2).collect()}
+    assert a != c
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_per_group"):
+        group_cap_sample(df, "src", 0)
