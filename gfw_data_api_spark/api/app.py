@@ -179,7 +179,10 @@ def create_app(
     land_use_type, index, params) -> dict``. ``None`` (the default)
     keeps the routes mounted but answers 501 — the engine has no local
     behavior for them, they exist only to forward."""
+    import threading as _threading_mod
+
     geostore = geostore or Geostore(registry)
+    _datamart_post_lock = _threading_mod.Lock()
     jobs = JobRegistry(os.path.join(registry.warehouse, "_jobs"))
     metadata_store = MetadataStore(os.path.join(registry.root, "metadata.json"))
 
@@ -777,21 +780,31 @@ def create_app(
                     canopy_cover = int(body.get("canopy_cover", 30))
                 except (TypeError, ValueError):
                     raise QueryGuardError("canopy_cover must be an integer.", 422) from None
+                raw_dv = body.get("dataset_version")
+                if raw_dv is not None and not isinstance(raw_dv, dict):
+                    raise QueryGuardError(
+                        "dataset_version must be a JSON object.", 422
+                    )
                 dataset_version = dm.apply_overrides_and_remove_mutually_exclusive_datasets(
-                    body.get("dataset_version")
+                    raw_dv
                 )
                 rid = dm.resource_id_for(geometry, canopy_cover, dataset_version)
-                if dm.resource_exists(registry, rid):
-                    return _json_response(
-                        start_response,
-                        {
-                            "status": "failed",
-                            "message": f"Resource {rid} already exists "
-                            "with those parameters.",
-                        },
-                        409,
-                    )
-                dm.save_pending_resource(registry, rid, canopy_cover)
+                # atomic exists-check + pending registration: the route
+                # itself spawns compute threads, so without the lock two
+                # identical concurrent POSTs would both pass the check
+                # and race their background computes over one file
+                with _datamart_post_lock:
+                    if dm.resource_exists(registry, rid):
+                        return _json_response(
+                            start_response,
+                            {
+                                "status": "failed",
+                                "message": f"Resource {rid} already exists "
+                                "with those parameters.",
+                            },
+                            409,
+                        )
+                    dm.save_pending_resource(registry, rid, canopy_cover)
 
                 def compute(rid=rid, geometry=geometry, canopy_cover=canopy_cover,
                             dataset_version=dataset_version):
@@ -825,8 +838,18 @@ def create_app(
 
                 geometry = resolve_geometry(params, body)
                 canopy_cover = _num_param(params, "canopy_cover", "30")
+                try:
+                    raw_dv = json.loads(params.get("dataset_version", ["{}"])[0])
+                except ValueError:
+                    raise QueryGuardError(
+                        "dataset_version must be a JSON object.", 422
+                    ) from None
+                if not isinstance(raw_dv, dict):
+                    raise QueryGuardError(
+                        "dataset_version must be a JSON object.", 422
+                    )
                 dataset_version = dm.apply_overrides_and_remove_mutually_exclusive_datasets(
-                    json.loads(params.get("dataset_version", ["{}"])[0])
+                    raw_dv
                 )
                 rid = dm.resource_id_for(geometry, canopy_cover, dataset_version)
                 if not dm.resource_exists(registry, rid):
@@ -861,7 +884,10 @@ def create_app(
                         202,
                         headers=[("Retry-After", "1")],
                     )
-                if environ.get("HTTP_ACCEPT") == "text/csv":
+                accept = environ.get("HTTP_ACCEPT") or ""
+                # token match, not equality: 'text/csv; charset=utf-8'
+                # and multi-value Accept lists must negotiate CSV too
+                if "text/csv" in accept:
                     csv_text = dm.resource_to_csv(resource).encode()
                     start_response(
                         "200 OK",

@@ -338,16 +338,18 @@ class Registry:
           version with it).
         """
         task = self.get_task(task_id)
-        task.change_log.extend(change_log)
+        # validate BEFORE mutating: a rejected PATCH must leave no trace
+        # in memory (a later unrelated save() would persist it)
         statuses = [e.get("status") for e in change_log]
-        if "failed" in statuses:
-            self._propagate_task_failure(task)
-        elif "success" in statuses:
-            self._propagate_task_completion(task)
-        else:
+        if "failed" not in statuses and "success" not in statuses:
             raise RegistryError(
                 "change log status must be either `success` or `failed`", 400
             )
+        task.change_log.extend(change_log)
+        if "failed" in statuses:
+            self._propagate_task_failure(task)
+        else:
+            self._propagate_task_completion(task)
         self.save()
         return task
 

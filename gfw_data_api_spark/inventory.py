@@ -2239,10 +2239,18 @@ _SPECS.append(
         name="t12_gopher_rules",
         spark_fn=_t12,
         oracle=(
+            # keep must mirror EVERY Spark rule, including the line-level
+            # bullet/ellipsis caps — omitting them is a latent gate break
+            # the moment a fixture document trips one
             "WITH sig AS (SELECT doc_id, "
             "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+            "len(regexp_split_to_array(text, '\\n')) AS n_lines, "
             "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
             "len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbol_hits, "
+            "len(list_filter(regexp_split_to_array(text, '\\n'), "
+            "l -> regexp_matches(trim(l), '^([•‣▪-]|\\*)\\s'))) AS bullet_lines, "
+            "len(list_filter(regexp_split_to_array(text, '\\n'), "
+            "l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS ellipsis_lines, "
             "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
             "t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words, "
             "len(list_distinct(list_filter(list_transform("
@@ -2258,6 +2266,8 @@ _SPECS.append(
             "AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1) >= 3.0 "
             "AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1) <= 10.0 "
             "AND CAST(symbol_hits AS DOUBLE) / greatest(n_words, 1) <= 0.1 "
+            "AND CAST(bullet_lines AS DOUBLE) / greatest(n_lines, 1) <= 0.9 "
+            "AND CAST(ellipsis_lines AS DOUBLE) / greatest(n_lines, 1) <= 0.3 "
             "AND CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8 "
             "AND stopword_hits >= 2 AS INTEGER) AS keep "
             "FROM sig"

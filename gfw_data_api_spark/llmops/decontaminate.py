@@ -65,9 +65,17 @@ def contamination_matches(
             .filter(F.col("_df") <= max_bench_frequency)
             .drop("_df")
         )
+    # explicit broadcast of the benchmark index: the corpus (the 100 TB
+    # side) must NEVER shuffle on the shingle hash — with a plain join
+    # the optimizer can pick sort-merge once the benchmark's size
+    # estimate crosses the threshold, and then a boilerplate corpus
+    # shingle that survives the benchmark-side df cap (cap is on BENCH
+    # frequency) funnels its millions of corpus rows into one partition.
+    # Benchmarks are definitionally driver-scale; a benchmark too big to
+    # broadcast should be decontaminated in slices.
     return (
         c.alias("c")
-        .join(b.alias("b"), F.col("c._h") == F.col("b._h"))
+        .join(F.broadcast(b.alias("b")), F.col("c._h") == F.col("b._h"))
         .groupBy(
             F.col("c._id").alias("corpus_id"), F.col("b._id").alias("bench_id")
         )

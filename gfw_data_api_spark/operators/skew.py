@@ -127,7 +127,11 @@ def skew_hybrid_join(
             for tup in hot_keys
         ]
     )
-    is_hot = F.array_contains(hot_lits, key_struct)
+    # NULL-safe split: array_contains yields NULL for a NULL key, which
+    # would drop the row from BOTH branches; coalesce routes NULL keys
+    # to the cold shuffled join, which handles them exactly like the
+    # plain join (no match; left joins keep the row with null dim cols)
+    is_hot = F.coalesce(F.array_contains(hot_lits, key_struct), F.lit(False))
 
     hot_facts = facts.filter(is_hot)
     cold_facts = facts.filter(~is_hot)

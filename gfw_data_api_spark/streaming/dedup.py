@@ -37,8 +37,11 @@ def dedup_events(
     bounded-state dedup accepts).
 
     Batch input: deterministic first-occurrence per key — earliest
-    ``ts_col``, ties broken by ``tiebreak_col`` (required for exact
-    cross-engine reproducibility; defaults to the first key column).
+    ``ts_col``, ties broken by ``tiebreak_col`` when given, else by
+    every remaining column in order (a key column would be constant
+    within its own window partition — a no-op tiebreak). Rows that tie
+    on EVERY column are identical, so whichever survives is the same
+    row.
     """
     if isinstance(keys, str):
         keys = [keys]
@@ -46,8 +49,15 @@ def dedup_events(
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             keys
         )
-    tiebreak = tiebreak_col or keys[0]
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    if tiebreak_col is not None:
+        tiebreaks = [F.col(tiebreak_col).asc()]
+    else:
+        tiebreaks = [
+            F.col(c).asc()
+            for c in events.columns
+            if c not in keys and c != ts_col
+        ]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), *tiebreaks)
     return (
         events.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

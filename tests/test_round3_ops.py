@@ -529,3 +529,123 @@ def test_group_cap_sample_properties(spark):
 
     with _pytest.raises(ValueError, match="max_per_group"):
         group_cap_sample(df, "src", 0)
+
+
+# ---------------------------------------------------------------------------
+# review-finding regressions (round 3 self-review)
+# ---------------------------------------------------------------------------
+
+
+def test_skew_hybrid_join_null_keys_survive_left_join(spark):
+    from gfw_data_api_spark.operators.skew import skew_hybrid_join
+
+    facts = spark.createDataFrame(
+        [("hot", 1), (None, 2), ("cold", 3)], "k string, v int"
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, name string")
+    out = skew_hybrid_join(facts, dim, keys="k", hot_keys=["hot"], how="left")
+    plain = facts.join(dim, on="k", how="left")
+    assert out.count() == plain.count() == 3
+    assert out.exceptAll(plain).count() == 0
+    null_row = [r for r in out.collect() if r.k is None]
+    assert len(null_row) == 1 and null_row[0].name is None
+    # inner join: NULL keys match nothing in both shapes
+    inner = skew_hybrid_join(facts, dim, keys="k", hot_keys=["hot"], how="inner")
+    assert inner.count() == facts.join(dim, on="k").count() == 2
+
+
+def test_update_task_rejected_patch_leaves_no_trace(spark, tmp_path):
+    from gfw_data_api_spark.catalog.registry import Registry, RegistryError
+
+    registry = Registry(str(tmp_path / "cat"))
+    registry.ensure_dataset("ds")
+    registry.create_version("ds", "v1")
+    asset = registry.create_asset("ds", "v1", "database_table")
+    registry.create_task("t-1", asset.asset_id)
+    with pytest.raises(RegistryError):
+        registry.update_task("t-1", [{"status": "running", "message": "…"}])
+    # the invalid entries must NOT linger in memory or survive a reload
+    assert registry.get_task("t-1").change_log == []
+    registry.save()
+    assert Registry(str(tmp_path / "cat")).get_task("t-1").change_log == []
+
+
+def test_datamart_search_malformed_dataset_version_422(spark, tmp_path):
+    from gfw_data_api_spark.api import create_app
+    from gfw_data_api_spark.catalog.registry import Registry
+
+    app = create_app(spark, Registry(str(tmp_path / "cat")))
+    for q in ("dataset_version=not-json", "dataset_version=5", "dataset_version=%5B1%5D"):
+        out = _call(app, "GET", "/datamart/tree_cover_loss_by_driver", query=q)
+        assert out["status"] == 422, q
+
+
+def _call(app, method, path, query="", body=None, headers=None):
+    import io
+    import json as _json
+
+    raw = _json.dumps(body).encode() if body is not None else b""
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": query,
+        "CONTENT_LENGTH": str(len(raw)),
+        "wsgi.input": io.BytesIO(raw),
+    }
+    for name, value in (headers or {}).items():
+        environ["HTTP_" + name.upper().replace("-", "_")] = value
+    captured = {}
+
+    def start_response(status, hdrs):
+        captured["status"] = int(status.split()[0])
+
+    chunks = app(environ, start_response)
+    payload = b"".join(chunks)
+    try:
+        captured["body"] = _json.loads(payload)
+    except ValueError:
+        captured["body"] = payload.decode(errors="replace")
+    return captured
+
+
+def test_batch_dedup_default_tiebreak_is_deterministic(spark):
+    import datetime
+
+    from gfw_data_api_spark.streaming.dedup import dedup_events
+
+    t0 = datetime.datetime(2024, 1, 1, 9)
+    # two rows tie on (key, ts); NO explicit tiebreak given — the full
+    # remaining-column ordering must pick the same survivor regardless
+    # of partitioning
+    rows = [(1, t0, 99), (1, t0, 11), (2, t0, 5)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    expected = {(1, 11), (2, 5)}
+    for parts in (1, 7):
+        out = {
+            (r.user_id, r.event_id)
+            for r in dedup_events(df.repartition(parts), ["user_id"]).collect()
+        }
+        assert out == expected, parts
+
+
+def test_gopher_oracle_includes_line_rules(spark):
+    """t12's Spark/oracle pair must agree on documents that trip the
+    bullet/ellipsis line rules (the previously omitted keep terms)."""
+    import duckdb
+
+    from gfw_data_api_spark import inventory
+
+    filler = "the of and that have with be to more words here now " * 5
+    tricky = "\n".join(["going on and on..."] * 7 + [filler] * 3)  # 0.7 ellipsis lines
+    docs = spark.createDataFrame([(1, tricky)], "doc_id long, text string")
+
+    from gfw_data_api_spark.llmops.text import gopher_quality_rules
+
+    spark_keep = gopher_quality_rules(docs, min_words=30).collect()[0].keep
+    assert spark_keep is False
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    sql = inventory.SPECS["t12_gopher_rules"].oracle
+    oracle_keep = {r[0]: r[6] for r in con.execute(sql).fetchall()}[1]
+    assert oracle_keep == 0
