@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Empirical scale probe: do the headline operators scale ~linearly?
+
+Synthesizes an N× copy of the driver's documents/embeddings/lineitem
+tables in a temp dir (ids remapped per replica so dedup/join semantics
+stay honest — replicas are near-dup corpora, not key collisions), then
+times representative operators at 1× and N× and prints the time ratio
+vs the data ratio. A shuffle-bounded operator should land near ratio
+N (linear); a quadratic one blows past it.
+
+Usage: python tools/scale_probe.py [N] (default 8, sf0.1 inputs).
+Results are recorded in docs/SCALE.md — rerun after operator changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.session import get_spark
+from gfw_data_api_spark.sources.tabular import load_table
+
+
+def replicate(df, n, id_cols):
+    """N distinct replicas: ids remapped AND text salted per replica —
+    exact copies would make every document an 8-way near-dup, exploding
+    pair-emitting operators' OUTPUT superlinearly by construction (a
+    data property, not a plan property)."""
+    reps = []
+    for i in range(n):
+        rep = df
+        for c in id_cols:
+            rep = rep.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+        if "text" in df.columns and i > 0:
+            rep = rep.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" replica{i} tail marker"))
+            )
+        reps.append(rep)
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def timed(fn, warm=2, runs=3):
+    for _ in range(warm):
+        fn()
+    best = float("inf")
+    for _ in range(runs):
+        t = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t)
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        # BOTH scales materialize to the same 32-file layout — comparing
+        # the driver's single-row-group parquet at 1x against a
+        # pre-partitioned copy at Nx would mis-attribute the fan-out
+        # shuffle + single-task scan to the operator under test
+        paths: dict[tuple[str, int], str] = {}
+        for table, id_cols in (
+            ("documents", ["doc_id"]),
+            ("embeddings", ["vec_id"]),
+            ("lineitem", ["l_orderkey"]),
+        ):
+            base = load_table(spark, sf_dir, table, fanout=False)
+            for scale in (1, n):
+                path = os.path.join(tmp, f"{table}_{scale}x")
+                replicate(base, scale, id_cols).repartition(32).write.parquet(path)
+                paths[(table, scale)] = path
+
+        def load(table, scale):
+            return spark.read.parquet(paths[(table, scale)])
+
+        from gfw_data_api_spark.llmops.dedup import (
+            exact_dedup,
+            minhash_lsh_candidates,
+        )
+        from gfw_data_api_spark.llmops.similarity import brute_force_topk
+        from gfw_data_api_spark.llmops.text import gopher_quality_rules
+
+        def noop(df):
+            df.write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+
+        ops = {
+            "t01_token_count": lambda d: noop(
+                d.select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+            ),
+            "d01_exact_dedup": lambda d: noop(exact_dedup(d)),
+            "d04_minhash_lsh": lambda d: noop(
+                minhash_lsh_candidates(d, num_hashes=64, bands=16)
+            ),
+            "t12_gopher_rules": lambda d: noop(gopher_quality_rules(d)),
+        }
+        emb_ops = {
+            "s01_cosine_topk": lambda d: noop(
+                brute_force_topk(d, [0.1] * 64, k=10)
+            ),
+        }
+        li_ops = {
+            "q04_groupagg": lambda d: noop(
+                d.groupBy("l_returnflag", "l_linestatus").agg(
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+            ),
+        }
+
+        print(f"# scale probe: {n}x replicas of sf0.1 (time ratio ~ {n} = linear)")
+        rows = []
+        for name, op in ops.items():
+            t1 = timed(lambda: op(load("documents", 1)))
+            tn = timed(lambda: op(load("documents", n)))
+            rows.append((name, t1, tn))
+        for name, op in emb_ops.items():
+            t1 = timed(lambda: op(load("embeddings", 1)))
+            tn = timed(lambda: op(load("embeddings", n)))
+            rows.append((name, t1, tn))
+        for name, op in li_ops.items():
+            t1 = timed(lambda: op(load("lineitem", 1)))
+            tn = timed(lambda: op(load("lineitem", n)))
+            rows.append((name, t1, tn))
+        for name, t1, tn in rows:
+            print(
+                f"{name}: 1x={t1:.2f}s {n}x={tn:.2f}s ratio={tn / t1:.1f} "
+                f"(linear={n})"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
