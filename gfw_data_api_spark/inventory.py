@@ -677,9 +677,9 @@ _SPECS.append(
 
 
 def _d04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gfw_data_api_spark.llmops.dedup import minhash_lsh_candidates
+    from gfw_data_api_spark.llmops.dedup import minhash_lsh_candidates_portable
 
-    pairs = minhash_lsh_candidates(
+    pairs = minhash_lsh_candidates_portable(
         load_table(spark, sf_dir, "documents"), num_hashes=64, bands=16
     )
     return pairs.filter(F.col("est_jaccard") >= 0.5).select(
@@ -687,12 +687,44 @@ def _d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d04_oracle() -> str:
+    """Full DuckDB replica of the portable MinHash pipeline: md5-60bit
+    base hash mod 2³¹−1, 64 inlined affine permutations, 16 band keys
+    of 4 comma-joined values, bucket join, position-agreement estimate.
+    Generated so the (a_i, b_i) literals can never drift from the Spark
+    family in llmops/dedup.portable_hash_params."""
+    from gfw_data_api_spark.llmops.dedup import _PORTABLE_P, portable_hash_params
+
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {_PORTABLE_P})"
+        for a, b in portable_hash_params(64)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), "
+        "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks), "
+        "h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT "
+        f"% {_PORTABLE_P} AS h FROM sh), "
+        f"sig AS (SELECT doc_id, list_value({mins}) AS sig FROM h GROUP BY doc_id), "
+        "bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key "
+        "FROM sig, unnest(range(0, 16)) AS u(b)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, round(CAST(len(list_filter(range(1, 65), "
+        "i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64, 6) AS est_jaccard "
+        "FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b "
+        "WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64 >= 0.5"
+    )
+
+
 _SPECS.append(
     QuerySpec(
         name="d04_minhash_lsh_neardups",
         spark_fn=_d04,
-        oracle=None,  # hash-family specific; verified against d03's exact pairs in tests
-        survey_ref="dedup: MinHash+LSH banded candidates (shingle→minhash→band→bucket-join)",
+        oracle=_d04_oracle(),
+        survey_ref="dedup: MinHash+LSH banded candidates (portable "
+        "md5-affine family → full oracle; xxhash64 variant remains the "
+        "throughput default, cross-checked in tests)",
     )
 )
 

@@ -143,6 +143,115 @@ def minhash_lsh_candidates(
     return est
 
 
+# portable MinHash: universal hashing over a Mersenne-ish prime small
+# enough that a*h + b stays inside BIGINT in ANY engine (31-bit h,
+# products < 2^62). Constants derive from the hash index with Knuth's
+# multiplicative constant so both engines can inline identical literals.
+_PORTABLE_P = (1 << 31) - 1
+
+
+def portable_hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) affine coefficients for the portable MinHash family."""
+    params = []
+    for i in range(num_hashes):
+        a = (i * 2654435761 + 1) % _PORTABLE_P
+        if a == 0:
+            a = 1
+        b = (i * 40503 + 7) % _PORTABLE_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures whose every step reproduces bit-identically in
+    an external engine: base shingle hash = md5's first 60 bits mod
+    2³¹−1 (the portable construction llmops/sampling.hash_bucket uses),
+    then ``num_hashes`` affine permutations ``(a_i·h + b_i) mod 2³¹−1``
+    — the textbook universal-hash MinHash family. Same one-shuffle
+    static-aggregate plan shape as :func:`minhash_signatures`; the
+    xxhash64 variant stays the throughput default (one native hash call
+    vs md5-hex string math), this one buys a full DuckDB oracle for the
+    d04 gate."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
+    ).withColumn(
+        "_h",
+        F.pmod(
+            F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_PORTABLE_P),
+        ),
+    )
+    aggs = [
+        F.expr(f"min(({a}L * _h + {b}L) % {_PORTABLE_P}L) AS _m{i}")
+        for i, (a, b) in enumerate(portable_hash_params(num_hashes))
+    ]
+    sig = F.expr("array(" + ", ".join(f"_m{i}" for i in range(num_hashes)) + ") AS _sig")
+    return ex.groupBy("_id").agg(*aggs).select("_id", sig)
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-MinHash candidates on the portable signature family.
+
+    Band bucket keys are the comma-joined band slice itself (no
+    engine-specific bucket hash), so the whole pipeline — signatures,
+    banding, pair join, est_jaccard — is reproducible externally. Same
+    bucketed join shape as :func:`minhash_lsh_candidates` (never
+    all-pairs); the slightly wider string key is the portability cost.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_portable(df, text_col, id_col, num_hashes, shingle_n).persist()
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("_band", "_bucket"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        pairs.join(sig.withColumnRenamed("_id", "id_a").withColumnRenamed("_sig", "_sig_a"), "id_a")
+        .join(sig.withColumnRenamed("_id", "id_b").withColumnRenamed("_sig", "_sig_b"), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(num_hashes)),
+        )
+        .select("id_a", "id_b", F.col("est_jaccard").cast("double"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -649,3 +649,31 @@ def test_gopher_oracle_includes_line_rules(spark):
     sql = inventory.SPECS["t12_gopher_rules"].oracle
     oracle_keep = {r[0]: r[6] for r in con.execute(sql).fetchall()}[1]
     assert oracle_keep == 0
+
+
+def test_portable_minhash_agrees_with_xxhash_family(spark):
+    """The portable (md5-affine) and throughput (xxhash64) MinHash
+    families are different hash families over the same algorithm — on
+    planted exact/near dups they must agree: exact copies at est 1.0 in
+    both, unrelated docs absent from both."""
+    from gfw_data_api_spark.llmops.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_portable,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different text about query engines and columnar formats today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {(r.id_a, r.id_b): r.est_jaccard
+            for r in minhash_lsh_candidates(docs, num_hashes=64, bands=16).collect()}
+    portable = {(r.id_a, r.id_b): r.est_jaccard
+                for r in minhash_lsh_candidates_portable(docs, num_hashes=64, bands=16).collect()}
+    assert fast[(1, 2)] == portable[(1, 2)] == 1.0
+    assert (1, 3) in fast and (1, 3) in portable
+    assert portable[(1, 3)] > 0.5
+    assert all(4 not in pair for pair in fast) and all(4 not in pair for pair in portable)
