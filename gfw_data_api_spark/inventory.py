@@ -730,10 +730,37 @@ _SPECS.append(
 
 
 def _d05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gfw_data_api_spark.llmops.dedup import simhash_near_dups
+    from gfw_data_api_spark.llmops.dedup import simhash_near_dups_portable
 
-    return simhash_near_dups(
+    return simhash_near_dups_portable(
         load_table(spark, sf_dir, "documents"), max_hamming=8, bands=4
+    )
+
+
+def _d05_oracle() -> str:
+    """DuckDB replica of the portable 60-bit SimHash pipeline: md5-60bit
+    token hash, per-bit majority, packed fingerprint, 15-bit pigeonhole
+    band join, bit_count(xor) verify — generated so the bit arithmetic
+    cannot drift from simhash_portable."""
+    bit_sums = ", ".join(f"sum((h >> {b}) & 1) AS b{b}" for b in range(60))
+    packed = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t "
+        "FROM documents), "
+        "h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok), "
+        f"cnt AS (SELECT doc_id, {bit_sums}, count(*) AS n FROM h GROUP BY doc_id), "
+        f"sim AS (SELECT doc_id, {packed} AS sh FROM cnt), "
+        "bands AS (SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS chunk "
+        "FROM sim, unnest(range(0, 4)) AS u(b)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.sh AS sha, b.sh AS shb "
+        "FROM bands a JOIN bands b ON a.b = b.b AND a.chunk = b.chunk "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming "
+        "FROM pairs WHERE bit_count(xor(sha, shb)) <= 8"
     )
 
 
@@ -741,8 +768,9 @@ _SPECS.append(
     QuerySpec(
         name="d05_simhash_neardups",
         spark_fn=_d05,
-        oracle=None,
-        survey_ref="dedup: SimHash near-dup pairs (bit-banded, bit_count verify)",
+        oracle=_d05_oracle(),
+        survey_ref="dedup: SimHash near-dup pairs (portable 60-bit md5 "
+        "family → full oracle; xxhash64 64-bit variant remains available)",
     )
 )
 

@@ -458,6 +458,78 @@ def simhash(
     )
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash on the portable md5 base hash (cf.
+    minhash_signatures_portable): identical one-shuffle static-aggregate
+    plan as :func:`simhash`, but every step — token hash, per-bit
+    majority, packing — reproduces bit-identically in an external
+    engine, buying the d05 gate a full oracle. 60 bits because md5's
+    first 15 hex chars convert losslessly into a positive BIGINT in any
+    engine (no two's-complement top-bit games)."""
+    bits = 60
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col(F.col(text_col))).alias("_t")
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("bigint")
+    )
+    aggs = [F.expr(f"sum(shiftright(_h, {b}) & 1) AS _b{b}") for b in range(bits)]
+    aggs.append(F.expr("count(*) AS _n"))
+    counts = tok.groupBy("_id").agg(*aggs)
+    packed = " + ".join(
+        f"IF(_b{b} * 2 > _n, shiftleft(1L, {b}), 0L)" for b in range(bits)
+    )
+    return counts.select(
+        F.col("_id").alias(id_col), F.expr(packed).alias("simhash")
+    )
+
+
+def simhash_near_dups_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded near-dup pairs on the portable 60-bit SimHash — same
+    pigeonhole band join + bit_count verify as :func:`simhash_near_dups`
+    (15-bit chunks with the default 4 bands)."""
+    width = 60 // bands
+    sim = simhash_portable(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
+    )
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("_sh"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"_c{b}")
+        for b in range(bands)
+    ]
+    banded = sim.select("_id", "_sh", F.posexplode(F.array(*chunk_cols)).alias("_band", "_chunk"))
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("_sha"),
+            F.col("b._sh").alias("_shb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",

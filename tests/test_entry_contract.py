@@ -19,12 +19,11 @@ def test_queries_and_oracles_aligned(spark):
     assert set(oracles) <= set(queries)
     # rows-only entries are the deliberate, documented ones
     rows_only = set(queries) - set(oracles)
-    # d04 left this set in round 3: the portable md5-affine MinHash
-    # family made the full pipeline DuckDB-reproducible
+    # d04/d05 left this set in round 3: portable md5-based hash
+    # families made both pipelines DuckDB-reproducible end to end
     assert rows_only == {
         "a01_approx_count_distinct",
         "a02_approx_percentile",
-        "d05_simhash_neardups",
         "d07_embedding_neardups",
         "d11_semantic_dedup",
         "t04_language_id_confusion",
