@@ -782,12 +782,49 @@ def _t04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
 
 
+def _t04_oracle() -> str:
+    """DuckDB replica of language_id: although the Spark argmax chain
+    compares float ratios, every comparison shares the token-count
+    denominator, so the whole classifier reduces to integer hit
+    arithmetic — the floor `score > 0.015` is `hits*1000 > 15*n`, the
+    chain's strict-greater update makes ties go to the EARLIEST
+    language in STOPWORDS order, and the zh short-circuit is
+    `cjk_chars*20 > len`. Generated from llmops.text.STOPWORDS so the
+    word lists can never drift."""
+    from gfw_data_api_spark.llmops.text import STOPWORDS
+
+    langs = list(STOPWORDS)  # dict order == Spark chain order
+    hit_cols = ", ".join(
+        "len(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+        "t -> lower(t)), t -> t IN ("
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"))) AS h_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    argmax = " ".join(
+        f"WHEN h_{lang} = {m} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return (
+        f"WITH sig AS (SELECT doc_id, lang, {hit_cols}, "
+        "greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS n, "
+        "length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk, "
+        "greatest(length(text), 1) AS nchars FROM documents), "
+        "pred AS (SELECT doc_id, lang, CASE "
+        "WHEN cjk * 20 > nchars THEN 'zh' "
+        f"WHEN {m} * 1000 <= 15 * n THEN 'unknown' "
+        f"{argmax} ELSE '{langs[-1]}' END AS lang_pred FROM sig) "
+        "SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred"
+    )
+
+
 _SPECS.append(
     QuerySpec(
         name="t04_language_id_confusion",
         spark_fn=_t04,
-        oracle=None,  # heuristic classifier output; accuracy asserted in tests
-        survey_ref="text analysis: n-gram language-ID heuristic (confusion vs labels)",
+        oracle=_t04_oracle(),
+        survey_ref="text analysis: n-gram language-ID heuristic "
+        "(integer-reduced argmax → full oracle since round 3)",
     )
 )
 

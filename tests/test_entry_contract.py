@@ -19,14 +19,15 @@ def test_queries_and_oracles_aligned(spark):
     assert set(oracles) <= set(queries)
     # rows-only entries are the deliberate, documented ones
     rows_only = set(queries) - set(oracles)
-    # d04/d05 left this set in round 3: portable md5-based hash
-    # families made both pipelines DuckDB-reproducible end to end
+    # d04/d05/t04 left this set in round 3: portable md5 hash families
+    # and the integer-reduced language-ID argmax made them
+    # DuckDB-reproducible end to end; what remains is genuinely
+    # engine-specific (sketches) or driver-trained float state
     assert rows_only == {
         "a01_approx_count_distinct",
         "a02_approx_percentile",
         "d07_embedding_neardups",
         "d11_semantic_dedup",
-        "t04_language_id_confusion",
         "s03_ann_lsh_topk",
         "s05_ivf_topk",
         "s07_pq_topk",
