@@ -863,12 +863,48 @@ def _s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _s03_oracle() -> str:
+    """DuckDB replica of sign-random-projection ANN: the 10 hyperplanes
+    (seeded numpy, inlined as literals with exact round-trip reprs) give
+    each vector a sign-bit bucket; the probe set {hamming ≤ 1 of the
+    query bucket} is equivalently the filter bit_count(xor) ≤ 1; exact
+    cosine top-k over the candidates mirrors s01. Generated from the
+    same _hyperplanes(64, 10, 42) the Spark path uses."""
+    from gfw_data_api_spark.llmops.similarity import _hyperplanes
+
+    hp = _hyperplanes(64, 10, 42)
+
+    def bucket_expr(vec_sql: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec_sql}, ["
+            + ", ".join(repr(float(x)) for x in plane)
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(hp)
+        )
+
+    cosine = (
+        "list_dot_product(CAST(b.embedding AS DOUBLE[]), q.qe) / "
+        "(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qe, q.qe)))"
+    )
+    return (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), "
+        f"b AS (SELECT vec_id, embedding, {bucket_expr('CAST(embedding AS DOUBLE[])')} AS bucket "
+        "FROM embeddings WHERE vec_id != 0), "
+        f"qb AS (SELECT {bucket_expr('qe')} AS qbucket FROM q) "
+        f"SELECT vec_id, round({cosine}, 6) AS cosine "
+        "FROM b, q, qb WHERE bit_count(xor(b.bucket::BIGINT, qb.qbucket::BIGINT)) <= 1 "
+        f"ORDER BY {cosine} DESC, vec_id LIMIT 10"
+    )
+
+
 _SPECS.append(
     QuerySpec(
         name="s03_ann_lsh_topk",
         spark_fn=_s03,
-        oracle=None,  # approximate; recall vs brute force asserted in tests
-        survey_ref="similarity search: hyperplane-LSH ANN top-k (scale path)",
+        oracle=_s03_oracle(),
+        survey_ref="similarity search: hyperplane-LSH ANN top-k "
+        "(inlined-plane oracle since round 3; recall vs brute force in tests)",
     )
 )
 
@@ -1361,13 +1397,39 @@ def _d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _d07_oracle() -> str:
+    """DuckDB replica of the LSH-bucketed near-dup pairs: 4 inlined
+    hyperplanes give sign-bit buckets (cf. _s03_oracle), candidates are
+    within-bucket pairs, verified by exact cosine ≥ 0.35."""
+    from gfw_data_api_spark.llmops.similarity import _hyperplanes
+
+    hp = _hyperplanes(64, 4, 42)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(x)) for x in plane)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(hp)
+    )
+    cos = (
+        "list_dot_product(a.e, b.e) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    return (
+        f"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {bucket} AS bucket "
+        "FROM embeddings) "
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine "
+        "FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        f"WHERE {cos} >= 0.35"
+    )
+
+
 _SPECS.append(
     QuerySpec(
         name="d07_embedding_neardups",
         spark_fn=_d07,
-        oracle=None,  # LSH-bucketed candidate set is hash-family specific;
-        # exact-pair machinery is oracle-checked by s04_blocked_cosine_pairs
-        survey_ref="dedup: embedding-cosine near-dup pairs (LSH buckets + exact verify)",
+        oracle=_d07_oracle(),
+        survey_ref="dedup: embedding-cosine near-dup pairs (LSH buckets + "
+        "exact verify; inlined-plane oracle since round 3)",
     )
 )
 

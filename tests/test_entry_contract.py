@@ -24,13 +24,11 @@ def test_queries_and_oracles_aligned(spark):
     # DuckDB-reproducible end to end; what remains is genuinely
     # engine-specific (sketches) or driver-trained float state
     assert rows_only == {
-        "a01_approx_count_distinct",
-        "a02_approx_percentile",
-        "d07_embedding_neardups",
-        "d11_semantic_dedup",
-        "s03_ann_lsh_topk",
-        "s05_ivf_topk",
-        "s07_pq_topk",
+        "a01_approx_count_distinct",   # HLL++ sketch internals
+        "a02_approx_percentile",       # GK sketch internals
+        "d11_semantic_dedup",          # driver-trained k-means cells
+        "s05_ivf_topk",                # driver-trained k-means centroids
+        "s07_pq_topk",                 # driver-trained PQ codebooks
     }
 
 
