@@ -2747,6 +2747,41 @@ _SPECS.append(
 )
 
 
+def _ts04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfw_data_api_spark.operators.timeseries import interarrival_stats
+
+    events = load_table(spark, sf_dir, "events")
+    out = interarrival_stats(events, "user_id", tiebreak_col="event_id")
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("min_gap_s", 6).alias("min_gap_s"),
+        F.round("max_gap_s", 6).alias("max_gap_s"),
+        F.round("mean_gap_s", 6).alias("mean_gap_s"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="ts04_interarrival_stats",
+        spark_fn=_ts04,
+        oracle=(
+            # integer-microsecond gaps; mean = (Σgap/count)/1e6 in the
+            # same association as the Spark expression
+            "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) "
+            "SELECT user_id, count(*) AS n_events, "
+            "round(CAST(min(gap_us) / 1000000 AS DOUBLE), 6) AS min_gap_s, "
+            "round(CAST(max(gap_us) / 1000000 AS DOUBLE), 6) AS max_gap_s, "
+            "round(CAST((CAST(sum(gap_us) AS DOUBLE) / count(gap_us)) / 1000000 AS DOUBLE), 6) AS mean_gap_s "
+            "FROM g GROUP BY user_id"
+        ),
+        survey_ref="time series: per-key inter-arrival gap statistics "
+        "(exchange-reused single shuffle; operators/timeseries.py)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
@@ -2801,6 +2836,7 @@ _DRIVER_FRONT: list[str] = [
     "dq01_constraint_audit",
     "st07_stream_dedup",
     "t14_group_cap_sample",
+    "ts04_interarrival_stats",
 ]
 
 

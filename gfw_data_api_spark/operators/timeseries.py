@@ -191,3 +191,44 @@ def resample_locf(
         F.last("_obs", ignorenulls=True).over(w).alias(value_col),
         F.col("_obs").isNull().alias("filled"),
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics: n_events, min/max/mean gap
+    (seconds) between consecutive events.
+
+    The session-analytics primitive (bot detection by too-regular gaps,
+    churn by growing gaps, SLA by max gap). One window pass for the lag
+    delta + one aggregation — both shuffle on the SAME key, so Catalyst
+    reuses the exchange: one shuffle total at any scale.
+
+    Determinism: gaps are computed on integer epoch microseconds with
+    ``tiebreak_col`` breaking timestamp ties in the ordering, and the
+    mean is a single integer-sum division — reproducible across
+    engines and partitionings.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    micros = F.unix_micros(F.col(ts_col))
+    gap = micros - F.lag(micros).over(w)
+    with_gap = events.withColumn("_gap_us", gap)
+    return (
+        with_gap.groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.min("_gap_us") / F.lit(1_000_000)).cast("double").alias("min_gap_s"),
+            (F.max("_gap_us") / F.lit(1_000_000)).cast("double").alias("max_gap_s"),
+            (
+                (F.sum("_gap_us") / F.count("_gap_us")) / F.lit(1_000_000)
+            ).cast("double").alias("mean_gap_s"),
+        )
+    )

@@ -384,3 +384,30 @@ def test_resample_locf_fills_gaps(spark):
         ("a", "2024-01-01 03:00:00"): (12.0, False),
         ("b", "2024-01-01 05:00:00"): (99.0, False),
     }
+
+
+def test_interarrival_stats_golden_and_one_shuffle(spark):
+    import datetime
+
+    from gfw_data_api_spark.operators.timeseries import interarrival_stats
+
+    t0 = datetime.datetime(2024, 1, 1, 12)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        (1, at(0), 1), (1, at(10), 2), (1, at(40), 3),   # gaps 10, 30
+        (2, at(0), 4),                                    # singleton → null gaps
+        (3, at(5), 5), (3, at(5), 6),                     # tie → gap 0 via tiebreak
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r.user_id: r for r in interarrival_stats(df, "user_id", tiebreak_col="event_id").collect()}
+    assert out[1].n_events == 3
+    assert out[1].min_gap_s == 10.0 and out[1].max_gap_s == 30.0
+    assert out[1].mean_gap_s == 20.0
+    assert out[2].n_events == 1 and out[2].mean_gap_s is None
+    assert out[3].min_gap_s == 0.0
+    # window + agg share the partitioning key → exactly one exchange
+    plan = interarrival_stats(df, "user_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
