@@ -21,6 +21,23 @@ from pyspark.sql import functions as F
 
 from gfw_data_api_spark.llmops.text import tokens_col
 
+# One persisted intermediate per operator family, replaced on the next
+# call: the signature/shingle indexes feed 3-4 plan branches (persist
+# measured ~1.7× faster than recompute; exchange reuse does not cover
+# the replicated aggregate), but an unscoped persist() would pin one
+# table per CALL for the session's lifetime. Bounded instead: at most
+# one pinned table per slot, the previous one unpersisted lazily (an
+# uncollected earlier result simply recomputes).
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def _persist_replacing(df: DataFrame, slot: str) -> DataFrame:
+    prev = _PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        prev.unpersist()
+    _PERSIST_SLOTS[slot] = df.persist()
+    return df
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact content dedup: keep the smallest id per md5(text).
@@ -77,7 +94,7 @@ def minhash_signatures(
 
 
 def minhash_band_buckets(
-    sig: DataFrame, num_hashes: int = 64, bands: int = 16
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16, portable: bool = False
 ) -> DataFrame:
     """(_id, _band, _bucket) LSH band keys from a signature table.
 
@@ -85,21 +102,57 @@ def minhash_band_buckets(
     probed incrementally (llmops/incremental.py): at scale the bucket
     table, partitioned by (_band, _bucket), is the thing you keep
     between pipeline runs — not the raw corpus.
+
+    ``portable=True`` keeps the bucket key as the comma-joined band
+    slice itself (reproducible in any engine, for the oracle family);
+    the default compresses it through xxhash64 (narrower shuffle key).
     """
     rows_per_band = num_hashes // bands
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return joined if portable else F.xxhash64(joined)
+
     return sig.select(
         "_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ))
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("_band", "_bucket"),
+    )
+
+
+def _banded_candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing ≥1 band bucket."""
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _signature_agreement(pairs: DataFrame, sig: DataFrame, num_hashes: int) -> DataFrame:
+    """Attach est_jaccard = fraction of agreeing signature positions."""
+    return (
+        pairs.join(sig.withColumnRenamed("_id", "id_a").withColumnRenamed("_sig", "_sig_a"), "id_a")
+        .join(sig.withColumnRenamed("_id", "id_b").withColumnRenamed("_sig", "_sig_b"), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(num_hashes)),
+        )
+        .select("id_a", "id_b", F.col("est_jaccard").cast("double"))
     )
 
 
@@ -117,30 +170,12 @@ def minhash_lsh_candidates(
     with the signature-estimated Jaccard for thresholding. ``bands``
     divides ``num_hashes``; rows-per-band r = H/B sets the S-curve.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
-    banded = minhash_band_buckets(sig, num_hashes, bands)
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+    sig = _persist_replacing(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        "minhash_sig",
     )
-    est = (
-        pairs.join(sig.withColumnRenamed("_id", "id_a").withColumnRenamed("_sig", "_sig_a"), "id_a")
-        .join(sig.withColumnRenamed("_id", "id_b").withColumnRenamed("_sig", "_sig_b"), "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
-            / F.lit(float(num_hashes)),
-        )
-        .select("id_a", "id_b", F.col("est_jaccard").cast("double"))
-    )
-    return est
+    pairs = _banded_candidate_pairs(minhash_band_buckets(sig, num_hashes, bands))
+    return _signature_agreement(pairs, sig, num_hashes)
 
 
 # portable MinHash: universal hashing over a Mersenne-ish prime small
@@ -208,48 +243,19 @@ def minhash_lsh_candidates_portable(
 
     Band bucket keys are the comma-joined band slice itself (no
     engine-specific bucket hash), so the whole pipeline — signatures,
-    banding, pair join, est_jaccard — is reproducible externally. Same
-    bucketed join shape as :func:`minhash_lsh_candidates` (never
-    all-pairs); the slightly wider string key is the portability cost.
+    banding, pair join, est_jaccard — is reproducible externally. The
+    banding/join/estimate machinery is SHARED with
+    :func:`minhash_lsh_candidates` (only the signature family and the
+    bucket-key encoding differ), so the two variants cannot drift.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures_portable(df, text_col, id_col, num_hashes, shingle_n).persist()
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                ),
-            )
-        ).alias("_band", "_bucket"),
+    sig = _persist_replacing(
+        minhash_signatures_portable(df, text_col, id_col, num_hashes, shingle_n),
+        "minhash_sig_portable",
     )
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+    pairs = _banded_candidate_pairs(
+        minhash_band_buckets(sig, num_hashes, bands, portable=True)
     )
-    return (
-        pairs.join(sig.withColumnRenamed("_id", "id_a").withColumnRenamed("_sig", "_sig_a"), "id_a")
-        .join(sig.withColumnRenamed("_id", "id_b").withColumnRenamed("_sig", "_sig_b"), "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
-            / F.lit(float(num_hashes)),
-        )
-        .select("id_a", "id_b", F.col("est_jaccard").cast("double"))
-    )
+    return _signature_agreement(pairs, sig, num_hashes)
 
 
 def ngram_jaccard_pairs(
@@ -283,8 +289,8 @@ def ngram_jaccard_pairs(
             F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
         )
         .withColumn("_s", F.xxhash64("_s"))
-        .persist()  # feeds the df-cap scan + sizes + both join sides
     )
+    sh = _persist_replacing(sh, "jaccard_sh")  # feeds df-cap scan + sizes + both join sides
     if max_doc_frequency is not None:
         # The hot set is small by construction (few shingles exceed a
         # corpus-scale df cap — they are the stopword phrases), so resolve
@@ -345,8 +351,8 @@ def ngram_containment_pairs(
             F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("_s"),
         )
         .withColumn("_s", F.xxhash64("_s"))
-        .persist()
     )
+    sh = _persist_replacing(sh, "containment_sh")
     if max_doc_frequency is not None:
         hot_df = (
             sh.groupBy("_s")
@@ -485,20 +491,13 @@ def simhash_portable(
     )
 
 
-def simhash_near_dups_portable(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    bands: int = 4,
+def _simhash_banded_pairs(
+    sim: DataFrame, total_bits: int, bands: int, max_hamming: int
 ) -> DataFrame:
-    """Banded near-dup pairs on the portable 60-bit SimHash — same
-    pigeonhole band join + bit_count verify as :func:`simhash_near_dups`
-    (15-bit chunks with the default 4 bands)."""
-    width = 60 // bands
-    sim = simhash_portable(df, text_col, id_col).select(
-        F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
-    )
+    """Shared pigeonhole machinery for both SimHash families: band the
+    fingerprint into ``bands`` equal chunks (hamming ≤ bands−1 ⇒ some
+    chunk equal), bucket-join, verify exact Hamming via bit_count."""
+    width = total_bits // bands
     chunk_cols = [
         F.shiftrightunsigned(F.col("_sh"), b * width)
         .bitwiseAND(F.lit((1 << width) - 1))
@@ -528,6 +527,22 @@ def simhash_near_dups_portable(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_dups_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded near-dup pairs on the portable 60-bit SimHash — the
+    band/verify machinery is shared with :func:`simhash_near_dups`
+    (15-bit chunks with the default 4 bands)."""
+    sim = simhash_portable(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
+    )
+    return _simhash_banded_pairs(sim, 60, bands, max_hamming)
 
 
 def simhash_near_dups(
@@ -539,37 +554,9 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into ``bands``
     chunks (pigeonhole: hamming ≤ bands−1 ⇒ some chunk equal),
-    bucket-join, then verify the exact Hamming distance via bit_count."""
-    width = 64 // bands
+    bucket-join, then verify the exact Hamming distance via bit_count
+    (machinery shared with the portable family)."""
     sim = simhash(df, text_col, id_col).select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_sh")
     )
-    chunk_cols = [
-        F.shiftrightunsigned(F.col("_sh"), b * width)
-        .bitwiseAND(F.lit((1 << width) - 1))
-        .alias(f"_c{b}")
-        for b in range(bands)
-    ]
-    banded = sim.select("_id", "_sh", F.posexplode(F.array(*chunk_cols)).alias("_band", "_chunk"))
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._chunk") == F.col("b._chunk"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("_sha"),
-            F.col("b._sh").alias("_shb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _simhash_banded_pairs(sim, 64, bands, max_hamming)

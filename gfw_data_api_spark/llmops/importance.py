@@ -141,7 +141,11 @@ def hashed_count_features(
     # join — persist so the explode runs once (same pattern as the d03
     # shingle index; at 100 TB this is a disk-backed intermediate, or
     # recompute if storage is tighter than CPU)
-    tok = hashed_token_buckets(corpus, text_col, id_col, num_buckets).persist()
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    tok = _persist_replacing(
+        hashed_token_buckets(corpus, text_col, id_col, num_buckets), "dsir_tok"
+    )
     raw_counts = bucket_counts(tok).withColumnRenamed("cnt", "_rc")
     tgt_counts = bucket_counts(
         hashed_token_buckets(corpus.filter(target_filter), text_col, id_col, num_buckets)

@@ -65,9 +65,12 @@ def incremental_minhash_candidates(
     materialized, or periodically ``spark.catalog.clearCache()`` —
     same contract as the d03 shingle index.
     """
-    new_sigs = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_n
-    ).persist()
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    new_sigs = _persist_replacing(
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n),
+        "incremental_new_sigs",
+    )
     new_bands = minhash_band_buckets(new_sigs, num_hashes, bands)
     old_bands = minhash_band_buckets(state_sigs, num_hashes, bands)
 

@@ -276,10 +276,15 @@ def bigram_lm_scores(
     """
     from gfw_data_api_spark.llmops.dedup import shingles_col
 
-    occ = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles_col(F.col(text_col), 2)).alias("_bg"),
-    ).persist()  # feeds the model build AND the scoring join
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    occ = _persist_replacing(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles_col(F.col(text_col), 2)).alias("_bg"),
+        ),
+        "bigram_occ",
+    )  # feeds the model build AND the scoring join
     bg_counts = occ.groupBy("_bg").agg(F.count("*").alias("_c2"))
     # unigram "context" counts (the MLE denominator: occurrences as
     # bigram-left = every token but each document's last) aggregate FROM

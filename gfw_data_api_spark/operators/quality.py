@@ -89,7 +89,9 @@ def audit(
     # the whole scan — measured 12 scans for a 12-check battery)
     row = df.agg(*aggs)
     if unique_keys or foreign_keys:
-        row = row.persist()
+        from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+        row = _persist_replacing(row, "quality_audit_row")
     totals = row.select(F.col("_total").cast("bigint").alias("total_rows"))
 
     # long form via one map-explode — N checks stay N ROWS of one plan

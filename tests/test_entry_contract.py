@@ -19,10 +19,10 @@ def test_queries_and_oracles_aligned(spark):
     assert set(oracles) <= set(queries)
     # rows-only entries are the deliberate, documented ones
     rows_only = set(queries) - set(oracles)
-    # d04/d05/t04 left this set in round 3: portable md5 hash families
-    # and the integer-reduced language-ID argmax made them
-    # DuckDB-reproducible end to end; what remains is genuinely
-    # engine-specific (sketches) or driver-trained float state
+    # d04/d05 (portable md5 hash families), t04 (integer-reduced
+    # argmax), and s03/d07 (inlined hyperplane literals) all left this
+    # set in round 3; what remains is genuinely engine-specific
+    # (sketch internals) or driver-trained model state
     assert rows_only == {
         "a01_approx_count_distinct",   # HLL++ sketch internals
         "a02_approx_percentile",       # GK sketch internals

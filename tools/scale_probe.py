@@ -29,10 +29,13 @@ from gfw_data_api_spark.sources.tabular import load_table
 
 
 def replicate(df, n, id_cols):
-    """N distinct replicas: ids remapped AND text salted per replica —
-    exact copies would make every document an 8-way near-dup, exploding
-    pair-emitting operators' OUTPUT superlinearly by construction (a
-    data property, not a plan property)."""
+    """N distinct replicas: ids remapped AND every token prefixed with a
+    replica tag — exact or lightly-salted copies would leave replicas as
+    near-dups of each other (an appended 3-token tail keeps Jaccard at
+    ~0.93, i.e. band-collision probability ~1), exploding pair-emitting
+    operators' OUTPUT superlinearly by data construction rather than by
+    plan. Prefixing every token makes cross-replica shingle overlap
+    exactly zero while preserving each replica's internal structure."""
     reps = []
     for i in range(n):
         rep = df
@@ -40,7 +43,7 @@ def replicate(df, n, id_cols):
             rep = rep.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
         if "text" in df.columns and i > 0:
             rep = rep.withColumn(
-                "text", F.concat(F.col("text"), F.lit(f" replica{i} tail marker"))
+                "text", F.regexp_replace("text", r"(\S+)", f"r{i}$1")
             )
         reps.append(rep)
     out = reps[0]

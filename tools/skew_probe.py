@@ -40,10 +40,15 @@ def main():
     rows = n * 1_000_000
     spark = get_spark(app_name="skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    saved_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    saved_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     # disable AQE skew handling to isolate the operators' own effect;
     # production keeps both (they compose)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
 
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="skew_probe_")
     try:
         # ~50% of rows land on key 0, the rest uniform over 10k keys
         facts = (
@@ -56,13 +61,13 @@ def main():
             )
             .repartition(32)
         )
-        facts.write.mode("overwrite").parquet("/tmp/skew_probe_facts")
-        facts = spark.read.parquet("/tmp/skew_probe_facts")
+        facts.write.mode("overwrite").parquet(os.path.join(workdir, "facts"))
+        facts = spark.read.parquet(os.path.join(workdir, "facts"))
         dim = spark.range(10_000).select(
             F.col("id").alias("k"), F.concat(F.lit("name-"), "id").alias("name")
         )
-        dim.write.mode("overwrite").parquet("/tmp/skew_probe_dim")
-        dim = spark.read.parquet("/tmp/skew_probe_dim")
+        dim.write.mode("overwrite").parquet(os.path.join(workdir, "dim"))
+        dim = spark.read.parquet(os.path.join(workdir, "dim"))
 
         def noop(df):
             df.write.format("noop").mode("overwrite").save()
@@ -91,7 +96,6 @@ def main():
         hybrid_join = timed(
             lambda: noop(skew_hybrid_join(facts, dim, keys="k", hot_keys=[0]))
         )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
 
         print(f"# skew probe: {rows:,} rows, one key holding ~50% (AQE skew-join OFF)")
         print(f"groupBy  naive={naive_agg:.2f}s salted={salted_agg:.2f}s "
@@ -102,8 +106,8 @@ def main():
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         import shutil
 
-        shutil.rmtree("/tmp/skew_probe_facts", ignore_errors=True)
-        shutil.rmtree("/tmp/skew_probe_dim", ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, "facts"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, "dim"), ignore_errors=True)
 
 
 if __name__ == "__main__":
