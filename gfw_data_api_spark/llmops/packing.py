@@ -1,0 +1,121 @@
+"""Training-sequence packing: bin documents into fixed token budgets.
+
+Trainers consume fixed-length sequences; feeding one short document per
+sequence wastes the budget on padding, so corpus pipelines PACK several
+documents into each sequence (with separator tokens) before export —
+"sample packing" / "example packing" in pretraining data literature.
+
+Optimal bin packing is NP-hard and inherently sequential, so the
+distributed shape is the standard compromise: hash-bucket documents
+into independent groups, then run greedy first-fit-decreasing INSIDE
+each bucket with ``applyInPandas`` — buckets pack in parallel, each
+bucket's packing is deterministic (sorted input, stable ids), and the
+approximation loss vs global packing is bounded by bucket granularity.
+No driver-side state; 100 TB packs as ordinary partition parallelism.
+
+Determinism: bucket assignment is the portable md5 bucket
+(llmops/sampling.hash_bucket), and within a bucket documents sort by
+(token_count desc, id) before first-fit, so the packing is a pure
+function of the data — stable across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gfw_data_api_spark.llmops.sampling import hash_bucket
+from gfw_data_api_spark.llmops.text import token_count
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("pack_bucket", T.IntegerType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("n_docs", T.IntegerType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("fill_ratio", T.DoubleType()),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    sep_tokens: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """Pack documents into sequences of ≤ ``max_tokens`` tokens.
+
+    Returns one row per packed sequence: the member doc ids (in pack
+    order), member count, token total (including ``sep_tokens`` between
+    members), and the fill ratio. Documents longer than ``max_tokens``
+    get a sequence of their own (the caller chunks them first if
+    truncation is not acceptable — see text.chunk_documents).
+
+    ``seq_id`` is globally unique and deterministic:
+    ``bucket * 2^40 + index-within-bucket``.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    with_counts = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        token_count(F.col(text_col)).alias("_nt"),
+        hash_bucket(F.col(id_col), seed=seed, buckets=buckets)
+        .cast("int")
+        .alias("pack_bucket"),
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bucket = int(pdf["pack_bucket"].iloc[0])
+            # first-fit-decreasing over a deterministic order
+            pdf = pdf.sort_values(["_nt", "_id"], ascending=[False, True])
+            bins: list[dict] = []
+            for _id, nt in zip(pdf["_id"], pdf["_nt"]):
+                nt = int(nt)
+                placed = False
+                for b in bins:
+                    add = nt + (sep_tokens if b["ids"] else 0)
+                    if b["tokens"] + add <= max_tokens:
+                        b["tokens"] += add
+                        b["ids"].append(int(_id))
+                        placed = True
+                        break
+                if not placed:
+                    bins.append({"tokens": nt, "ids": [int(_id)]})
+            yield pd.DataFrame(
+                {
+                    "pack_bucket": bucket,
+                    "seq_id": [bucket * (1 << 40) + i for i in range(len(bins))],
+                    "doc_ids": [b["ids"] for b in bins],
+                    "n_docs": [len(b["ids"]) for b in bins],
+                    "n_tokens": [b["tokens"] for b in bins],
+                    "fill_ratio": [
+                        min(b["tokens"], max_tokens) / max_tokens for b in bins
+                    ],
+                }
+            )
+
+    return with_counts.groupBy("pack_bucket").applyInPandas(pack, schema=_PACK_SCHEMA)
+
+
+def packing_efficiency(packed: DataFrame, max_tokens: int = 4096) -> DataFrame:
+    """Corpus-level packing report: sequences, mean fill, waste share."""
+    return packed.agg(
+        F.count("*").alias("n_sequences"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.sum("n_tokens") / (F.count("*") * F.lit(max_tokens)))
+        .cast("double")
+        .alias("mean_fill"),
+    )

@@ -677,3 +677,46 @@ def test_portable_minhash_agrees_with_xxhash_family(spark):
     assert (1, 3) in fast and (1, 3) in portable
     assert portable[(1, 3)] > 0.5
     assert all(4 not in pair for pair in fast) and all(4 not in pair for pair in portable)
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_respects_budget_and_covers_all_docs(spark, sf_dir):
+    from gfw_data_api_spark.llmops.packing import pack_sequences, packing_efficiency
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, max_tokens=256, buckets=16).cache()
+    rows = packed.collect()
+    # every sequence within budget unless it holds a single long doc
+    for r in rows:
+        assert r.n_tokens <= 256 or r.n_docs == 1
+    # exact cover: every doc appears exactly once
+    all_ids = [i for r in rows for i in r.doc_ids]
+    assert len(all_ids) == len(set(all_ids)) == docs.count()
+    # packing beats one-doc-per-sequence
+    eff = packing_efficiency(packed, max_tokens=256).collect()[0]
+    assert eff.n_sequences < docs.count()
+    assert 0 < eff.mean_fill <= 1.0
+    # deterministic across partitionings
+    again = {r.seq_id: r.doc_ids
+             for r in pack_sequences(docs.repartition(7), max_tokens=256, buckets=16).collect()}
+    assert {r.seq_id: r.doc_ids for r in rows} == again
+    packed.unpersist()
+
+
+def test_pack_sequences_separator_accounting(spark):
+    from gfw_data_api_spark.llmops.packing import pack_sequences
+
+    # 3 docs of 10 tokens; budget 21 fits two with one separator
+    # (10+1+10) but not three (10+1+10+1+10=32)
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(3)], "doc_id long, text string"
+    )
+    rows = pack_sequences(docs, max_tokens=21, buckets=1, sep_tokens=1).collect()
+    sizes = sorted(r.n_docs for r in rows)
+    assert sizes == [1, 2]
+    two = [r for r in rows if r.n_docs == 2][0]
+    assert two.n_tokens == 21
