@@ -20,7 +20,9 @@ driver-collect overhead, full plan execution).
 Cross-round comparability: queries always run in sorted-name order (the
 registry's declared order is a driver-gate concern and changes between
 rounds), the pass protocol is recorded in the output (``n`` timed passes
-after one warmup pass, best-of-N kept), and the ``testdata`` block
+after one warmup pass, best-of-N kept; default 3 passes — back-to-back
+full runs measured 61 s vs 72 s purely from shared-JVM pressure, and
+the minimum converges with more passes), and the ``testdata`` block
 fingerprints the input parquet (row counts + file bytes from footer
 metadata) so a driver-side data regeneration between rounds is visible in
 the numbers it produced.
@@ -84,7 +86,7 @@ def main() -> None:
     # best-of-N timed passes: single-pass numbers swing 2-4x on a shared
     # JVM (GC pauses, JIT recompiles); the minimum is the steady-state
     # throughput the engine actually sustains
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for _ in range(passes):
         for name, fn in queries.items():
