@@ -482,3 +482,36 @@ def test_gdb_linestring_geometry_roundtrip(coords):
     assert g["type"] == "LineString"
     for (x, y), (gx, gy) in zip(coords, g["coordinates"]):
         assert abs(gx - x) < 2e-9 and abs(gy - y) < 2e-9
+
+
+def test_file_gdb_skips_deleted_rows(spark, tmp_path):
+    """A zeroed .gdbtablx offset marks a deleted row (OpenFileGDB
+    layout); the reader must skip it without disturbing neighbors."""
+    import struct as _struct
+
+    from pyspark.sql import types as T
+
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.sources.vector_files import read_file_gdb, write_file_gdb
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("geom", T.BinaryType()),
+    ])
+    rows = [
+        (f"row{i}", bytearray(geo.wkb_dumps({"type": "Point", "coordinates": [float(i), 0.0]})))
+        for i in range(5)
+    ]
+    gdb = str(tmp_path / "del.gdb")
+    write_file_gdb(spark.createDataFrame(rows, schema), gdb, "pts")
+
+    # zero out row 3's offset in the layer's .gdbtablx (header = 16 bytes,
+    # 5-byte offsets)
+    tablx = gdb + "/a00000002.gdbtablx"
+    with open(tablx, "r+b") as fh:
+        fh.seek(16 + 2 * 5)
+        fh.write(b"\x00" * 5)
+
+    out = read_file_gdb(spark, gdb, "pts").orderBy("objectid").collect()
+    assert [r.name for r in out] == ["row0", "row1", "row3", "row4"]
+    assert [r.objectid for r in out] == [1, 2, 4, 5]  # ids stay stable
