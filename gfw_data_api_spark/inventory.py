@@ -2782,6 +2782,105 @@ _SPECS.append(
 )
 
 
+def _p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 composition: Gopher rule filter → containment dedup
+    (drop the higher id of each ≥0.5-containment pair) → per-language
+    survivor counts with temperature-smoothed mixture weights. One
+    lazy plan end to end."""
+    from gfw_data_api_spark.llmops.dedup import ngram_containment_pairs
+    from gfw_data_api_spark.llmops.mixture import temperature_mixture_weights
+    from gfw_data_api_spark.llmops.text import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the synthetic corpus contains no canonical English stopwords, so
+    # the stopword-presence rule is relaxed to keep the pipeline flowing
+    # (every other rule stays active)
+    kept = gopher_quality_rules(docs, min_words=30, min_stopword_hits=0).filter(
+        F.col("keep")
+    ).select("doc_id", "text", "lang")
+    dups = (
+        ngram_containment_pairs(kept, shingle_n=3, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(F.broadcast(dups), "doc_id", "left_anti")
+    out = temperature_mixture_weights(survivors, domain_col="lang", alpha=0.5)
+    return out.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round("token_frac", 6).alias("token_frac"),
+        F.round("temp_frac", 6).alias("temp_frac"),
+        F.round("sample_weight", 6).alias("sample_weight"),
+    )
+
+
+def _p02_oracle() -> str:
+    """Composition of the t12/t13/w02 oracle fragments over one WITH
+    chain — proving the operators compose relationally, not just
+    individually."""
+    return (
+        # t12 keep (full rule battery)
+        "WITH sig AS (SELECT doc_id, text, lang, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+        "len(regexp_split_to_array(text, '\\n')) AS n_lines, "
+        "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
+        "len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbol_hits, "
+        "len(list_filter(regexp_split_to_array(text, '\\n'), "
+        "l -> regexp_matches(trim(l), '^([•‣▪-]|\\*)\\s'))) AS bullet_lines, "
+        "len(list_filter(regexp_split_to_array(text, '\\n'), "
+        "l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS ellipsis_lines, "
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words, "
+        "len(list_distinct(list_filter(list_transform("
+        "regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)), "
+        "t -> t IN ('the','be','to','of','and','that','have','with')))) AS stopword_hits "
+        "FROM documents), "
+        "kept AS (SELECT doc_id, text, lang FROM sig WHERE "
+        "n_words >= 30 AND n_words <= 100000 "
+        "AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1) >= 3.0 "
+        "AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1) <= 10.0 "
+        "AND CAST(symbol_hits AS DOUBLE) / greatest(n_words, 1) <= 0.1 "
+        "AND CAST(bullet_lines AS DOUBLE) / greatest(n_lines, 1) <= 0.9 "
+        "AND CAST(ellipsis_lines AS DOUBLE) / greatest(n_lines, 1) <= 0.3 "
+        "AND CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8), "
+        # t13 containment over the kept set
+        "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM kept), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), "
+        "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "dups AS (SELECT DISTINCT id_b AS doc_id FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5), "
+        "surv AS (SELECT k.* FROM kept k WHERE k.doc_id NOT IN (SELECT doc_id FROM dups)), "
+        # w02 temperature mixture at alpha 0.5
+        "agg AS (SELECT lang AS domain, count(*) AS n_docs, "
+        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens "
+        "FROM surv GROUP BY lang), "
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM agg), "
+        "fr AS (SELECT domain, n_docs, n_tokens, "
+        "CAST(n_tokens AS DOUBLE) / total AS token_frac FROM agg, tot), "
+        "z AS (SELECT sum(pow(token_frac, 0.5)) AS z FROM fr) "
+        "SELECT domain, n_docs, n_tokens, round(token_frac, 6) AS token_frac, "
+        "round(pow(token_frac, 0.5) / z, 6) AS temp_frac, "
+        "round((pow(token_frac, 0.5) / z) / token_frac, 6) AS sample_weight "
+        "FROM fr, z"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="p02_curate_round3",
+        spark_fn=_p02,
+        oracle=_p02_oracle(),
+        survey_ref="LLM pipeline: round-3 composition — Gopher filter → "
+        "containment dedup → temperature mixture in one lazy plan",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
@@ -2837,6 +2936,7 @@ _DRIVER_FRONT: list[str] = [
     "st07_stream_dedup",
     "t14_group_cap_sample",
     "ts04_interarrival_stats",
+    "p02_curate_round3",
 ]
 
 

@@ -264,6 +264,7 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "t11_domain_mixture": ("BroadcastNestedLoopJoin", "1-row grand-totals join"),
         "w02_temperature_mixture": ("BroadcastNestedLoopJoin", "1-row totals + normalizer join"),
         "dq01_constraint_audit": ("BroadcastNestedLoopJoin", "1-row total_rows join onto unique/FK counts"),
+        "p02_curate_round3": ("BroadcastNestedLoopJoin", "inherits w02's 1-row totals + normalizer join"),
     }
 
     bad: dict[str, list[str]] = {}
