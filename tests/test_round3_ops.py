@@ -720,3 +720,26 @@ def test_pack_sequences_separator_accounting(spark):
     assert sizes == [1, 2]
     two = [r for r in rows if r.n_docs == 2][0]
     assert two.n_tokens == 21
+
+
+def test_pack_sequences_property(spark):
+    """Random corpora: every sequence within budget (or singleton),
+    exact cover, no empty sequences — across several seeds/budgets."""
+    import random
+
+    from gfw_data_api_spark.llmops.packing import pack_sequences
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n_docs = rng.randint(5, 60)
+        budget = rng.choice([16, 64, 256])
+        rows = [
+            (i, "w " * rng.randint(1, budget * 2 // 3 + 5)) for i in range(n_docs)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        packed = pack_sequences(docs, max_tokens=budget, buckets=4).collect()
+        ids = [i for r in packed for i in r.doc_ids]
+        assert sorted(ids) == list(range(n_docs)), (trial, budget)
+        for r in packed:
+            assert r.n_docs >= 1
+            assert r.n_tokens <= budget or r.n_docs == 1, (trial, budget, r)
