@@ -1125,3 +1125,29 @@ def test_list_route_pagination_contract(app):
     asset_id = assets["body"]["data"][0]["asset_id"]
     tasks = call(app, "GET", f"/asset/{asset_id}/tasks", query="page%5Bsize%5D=5")
     assert tasks["status"] == 200 and tasks["body"]["meta"]["size"] == 5
+
+
+def test_datamart_csv_accept_with_parameters(spark, tmp_path_factory):
+    """Accept negotiation must match the text/csv token, not the exact
+    header string — 'text/csv; charset=utf-8' and multi-value lists."""
+    from gfw_data_api_spark.operators import datamart as dm
+
+    tmp = tmp_path_factory.mktemp("dmcsv")
+    registry = Registry(str(tmp / "cat"))
+    app2 = create_app(spark, registry)
+    resource = {
+        "resource_id": "r-1", "status": "saved", "canopy_cover": 30,
+        "result": {"tree_cover_loss_by_driver": [],
+                   "yearly_tree_cover_loss_by_driver": [
+                       {"drivers_type": "Wildfire", "loss_year": 2020,
+                        "loss_area_ha": 1.5, "gross_carbon_emissions_Mg": 2.5}]},
+    }
+    dm._write_resource(registry, resource)
+    for accept in ("text/csv; charset=utf-8", "text/csv, application/json", "text/csv"):
+        out = call(app2, "GET", "/datamart/tree_cover_loss_by_driver/r-1",
+                   headers={"accept": accept})
+        assert out["status"] == 200, accept
+        assert out["body"].splitlines()[1] == "Wildfire,2020,1.5,2.5", accept
+    # no accept header → JSON envelope
+    out = call(app2, "GET", "/datamart/tree_cover_loss_by_driver/r-1")
+    assert out["body"]["data"]["resource_id"] == "r-1"
