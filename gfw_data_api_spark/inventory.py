@@ -2803,7 +2803,8 @@ def _p02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    survivors = kept.join(F.broadcast(dups), "doc_id", "left_anti")
+    # no broadcast hint on the unbounded dup-id set; AQE decides
+    survivors = kept.join(dups, "doc_id", "left_anti")
     out = temperature_mixture_weights(survivors, domain_col="lang", alpha=0.5)
     return out.select(
         "domain",

@@ -158,15 +158,18 @@ def dedup_clusters(
     doc id in the near-dup cluster; singletons are their own cluster)
     and ``keep`` (true for the one canonical row per cluster). Dropping
     ``keep = false`` rows is the standard one-survivor-per-cluster
-    dedup. The components side is tiny relative to the corpus (only
-    docs that had a near-dup pair), so the join broadcasts.
+    dedup. No broadcast hint on the components side: on web-scale
+    corpora 30-50% of docs sit in some near-dup cluster, so the map is
+    unbounded — a forced broadcast would OOM the driver at 100 TB. AQE
+    sizes the join at runtime and still broadcasts when the map really
+    is small.
     """
     comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
         "node", id_col
     )
     return (
         docs.select(id_col)
-        .join(F.broadcast(comp), id_col, "left")
+        .join(comp, id_col, "left")
         .select(
             id_col,
             F.coalesce("component", F.col(id_col)).alias("component"),

@@ -97,4 +97,7 @@ def curate_corpus(
         .select(F.col("corpus_id").alias(id_col))
         .distinct()
     )
-    return staged.join(F.broadcast(flagged), id_col, "left_anti")
+    # no broadcast hint: the flagged set is data-dependent and unbounded
+    # (benchmark-overlap-sized on toy data, but billions of ids at 100 TB);
+    # AQE broadcasts it only when it measures small
+    return staged.join(flagged, id_col, "left_anti")

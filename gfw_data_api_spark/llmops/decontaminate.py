@@ -93,9 +93,12 @@ def decontaminate(
     min_shared: int = 2,
     max_bench_frequency: int | None = 1000,
 ) -> DataFrame:
-    """Corpus minus contaminated documents (left_anti on the flagged set;
-    the flagged id list is benchmark-overlap-sized, so the anti-join
-    broadcasts)."""
+    """Corpus minus contaminated documents (left_anti on the flagged set).
+
+    The flagged id list is data-dependent and unbounded (tiny on clean
+    corpora, huge on heavily contaminated ones), so no broadcast hint is
+    forced — AQE broadcasts the anti-join build side only when it
+    measures small at runtime."""
     flagged = (
         contamination_matches(
             corpus, benchmark, text_col, id_col, shingle_n, min_shared,
@@ -104,4 +107,5 @@ def decontaminate(
         .select(F.col("corpus_id").alias(id_col))
         .distinct()
     )
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    # no broadcast hint: flagged is data-dependent/unbounded; AQE decides
+    return corpus.join(flagged, id_col, "left_anti")

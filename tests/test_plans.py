@@ -290,3 +290,51 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         if findings:
             bad[name] = findings
     assert not bad, f"scale-killer plan shapes: {bad}"
+
+
+def test_inventory_broadcast_hint_gate(spark, sf_dir):
+    """A forced ``F.broadcast()`` hint is only safe when the build side
+    is BOUNDED by construction (a 1-row/grand-total aggregate, a top-k
+    limited set, a fixed dimension/catalog table, or a fixed benchmark
+    corpus). A hint on a data-dependent set — e.g. "all ids flagged as
+    duplicates" — is a driver/executor OOM at 100 TB even though it
+    looks fine at test scale (round-3 verdict, What's-wrong #1).
+
+    This gate walks every inventory query's OPTIMIZED logical plan and
+    fails if it carries an explicit broadcast hint (``strategy=broadcast``)
+    without a reviewed allowlist entry naming the bounded build side.
+    Adding a hint therefore requires adding a reason here.
+    """
+    from gfw_data_api_spark import inventory
+
+    # name → why the hinted build side is bounded
+    allowed = {
+        "i02_three_way_join": "nation/region dimension tables (fixed catalog size)",
+        "i08_multiway_join_revenue": "supplier/nation/region dimension tables",
+        "t11_domain_mixture": "1-row grand-totals aggregate",
+        "w01_importance_weights": "1-row raw/target total aggregates",
+        "w02_temperature_mixture": "1-row totals + 1-row normalizer aggregates",
+        "p02_curate_round3": "inherits w02's 1-row totals/normalizer",
+        "dq01_constraint_audit": "1-row total_rows + bounded parent-key dim",
+        "q24_skew_hybrid_join": "top-k hot-key aggregate (LIMITed) + small dim",
+        "s04_blocked_cosine_pairs": "per-block counts guard (fixed bucket count)",
+        "st05_stream_static_enrich": "static dimension table",
+        "d08_benchmark_decontamination": "benchmark corpus side (fixed eval set)",
+        "p01_curate_corpus": "benchmark corpus side (fixed eval set)",
+    }
+
+    offenders: dict[str, int] = {}
+    for name, fn in inventory.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception as exc:  # pragma: no cover
+            offenders[name] = f"planning failed: {exc}"
+            continue
+        n = plan.count("strategy=broadcast")
+        if n and name not in allowed:
+            offenders[name] = n
+    assert not offenders, (
+        "explicit broadcast hint on a build side not reviewed as bounded "
+        f"(add to the allowlist WITH a reason, or drop the hint): {offenders}"
+    )
