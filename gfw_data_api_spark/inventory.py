@@ -2893,51 +2893,57 @@ _SPECS.append(
 # design — xxhash64/approx families) go last so no capped slot is spent on
 # a weaker rows-only row.
 _DRIVER_FRONT: list[str] = [
-    # never driver-checked before round 3 (added after slot 50 in round 2)
-    "ts01_asof_join",
-    "ts02_interval_join",
-    "ts03_resample_locf",
-    "q18_percentiles",
-    "q19_cube_grouping",
-    "st03_sliding_window",
-    "r03_zonal_avg_min_max",
-    "q20_salted_skew_agg",
-    "t06_tfidf_top_terms",
-    "st04_stream_first_occurrence",
-    "q21_grouping_sets",
-    "q22_topk_per_group",
-    "t07_repetition_signals",
-    "c01_token_chunks",
-    "c02_pii_redaction",
-    "s06_int8_quantization",
-    "u01_url_canonicalization",
-    "p01_curate_corpus",
-    "ca01_continuous_aggregate",
-    "d08_benchmark_decontamination",
+    # round-3 oracle conversions — full oracles NEVER driver-verified yet
+    "d04_minhash_lsh_neardups",
+    "d05_simhash_neardups",
+    "t04_language_id_confusion",
+    "s03_ann_lsh_topk",
+    "d07_embedding_neardups",
+    # hint-removal proof: round-3 weak queries whose forced broadcasts were
+    # dropped in round 4 — must be re-driver-verified green
     "d09_dedup_clusters",
-    "t08_hash_split",
-    "t09_stratified_sample",
-    "t10_bigram_lm",
-    "d10_repeated_segment_removal",
-    "e04_merge_upsert",
-    "t11_domain_mixture",
-    "w01_importance_weights",
-    "b01_bpe_pair_stats",
-    "st05_stream_static_enrich",
-    "e05_scd2_intervals",
-    # round-3 additions, never driver-checked before round 4's snapshot
-    "st06_stream_stream_join",
-    "t12_gopher_rules",
-    "t13_containment_pairs",
-    "w02_temperature_mixture",
-    "q23_pivot_conditional_agg",
-    "q24_skew_hybrid_join",
-    "q25_blocked_fuzzy_match",
-    "dq01_constraint_audit",
-    "st07_stream_dedup",
-    "t14_group_cap_sample",
-    "ts04_interarrival_stats",
+    "p01_curate_corpus",
     "p02_curate_round3",
+    # backfill: oracled entries whose last driver check is oldest (r1/r2)
+    "q08_window",
+    "q09_date_functions",
+    "q10_string_functions",
+    "q11_case_expr",
+    "q12_alias_table",
+    "q13_jsonb_extract",
+    "q14_pg_casts",
+    "i01_group_join_agg",
+    "i02_three_way_join",
+    "i06_pagination",
+    "i05_normalized_lookup",
+    "e01_csv_inference_roundtrip",
+    "e03_append_antijoin",
+    "e10_groupwise_dedup",
+    "e02_partition_mapping",
+    "r01_zonal_sum_groupby",
+    "r04_threshold_filter",
+    "r06_isoweek",
+    "r08_derived_layer_calc",
+    "t01_token_count",
+    "t02_quality_signals",
+    "t03_lang_profile",
+    "d01_exact_dedup",
+    "d02_prefix_fingerprint",
+    "s01_cosine_topk",
+    "s02_embedding_norms",
+    "d03_ngram_jaccard_pairs",
+    "t05_quality_ratios",
+    "m01_media_content_keys",
+    "i08_multiway_join_revenue",
+    "q15_window_frame",
+    "i07_exact_id_lookup",
+    "q16_date_between_pipeline",
+    "st01_tumbling_window",
+    "st02_session_windows",
+    "s04_blocked_cosine_pairs",
+    "q17_rollup",
+    "d06_winnowing_fingerprints",
+    # round-4 additions slot in here (4 free slots before the 50 cap)
 ]
 
 
