@@ -621,11 +621,21 @@ def _gdbtable_schema(path: str) -> dict:
             xorigin, yorigin, xyscale = struct.unpack_from("<3d", sec, pos)
             pos += 24
             pos += 8  # xytolerance
-            # extent doubles follow; the reader does not need them and
-            # fields after SHAPE are rare — stop strict parsing here by
-            # recording position only if geometry is the last field
             geom_params = {"xorigin": xorigin, "yorigin": yorigin, "xyscale": xyscale}
-            pos += 32  # xmin, ymin, xmax, ymax
+            pos += 32  # extent: xmin, ymin, xmax, ymax
+            # spatial-grid-size section (FGDB-Spec): 1-byte count of
+            # float64 grid sizes, then count*8 bytes. Real ESRI GDBs
+            # order fields OBJECTID, SHAPE, attributes — skipping this
+            # section would misalign every attribute descriptor that
+            # follows SHAPE (garbage schema / spurious rejects).
+            n_grids = sec[pos]
+            pos += 1
+            if n_grids > 16 or pos + 8 * n_grids > len(sec):
+                raise FileGDBUnsupportedError(
+                    f"{path}: implausible spatial-grid count {n_grids} in "
+                    "geometry field descriptor"
+                )
+            pos += 8 * n_grids
         else:
             raise FileGDBUnsupportedError(
                 f"{path}: field {name!r} type {ftype} outside the supported subset"
@@ -882,11 +892,22 @@ def read_file_gdb(
     return ranges_df.mapInPandas(fetch, schema=schema)
 
 
-def write_file_gdb(df: DataFrame, path: str, layer: str, geom_col: str = "geom") -> None:
+def write_file_gdb(
+    df: DataFrame,
+    path: str,
+    layer: str,
+    geom_col: str = "geom",
+    geom_first: bool = True,
+) -> None:
     """Collect + write a (small) DataFrame as a minimal valid FileGDB —
     the byte-level twin of ``read_file_gdb`` (same public FGDB-Spec
     subset), used for fixtures and E12 export symmetry. Creates the
-    GDB_SystemCatalog (a00000001) and the layer table (a00000002)."""
+    GDB_SystemCatalog (a00000001) and the layer table (a00000002).
+
+    ``geom_first=True`` (default) writes the ESRI-realistic field order
+    OBJECTID, SHAPE, attributes — which exercises the reader's handling
+    of attribute descriptors AFTER the geometry descriptor (incl. the
+    spatial-grid-size section); ``False`` keeps attributes-then-SHAPE."""
     rows = df.collect()
     os.makedirs(path, exist_ok=True)
     prop_fields = [f for f in df.schema.fields if f.name != geom_col]
@@ -924,6 +945,8 @@ def write_file_gdb(df: DataFrame, path: str, layer: str, geom_col: str = "geom")
             + struct.pack("<3d", xorigin, yorigin, xyscale)
             + struct.pack("<d", 1.0 / xyscale)  # xytolerance
             + struct.pack("<4d", -180.0, -90.0, 180.0, 90.0)  # extent
+            + bytes([1])  # spatial-grid-size count
+            + struct.pack("<d", 4.0)  # one grid size (value unused by readers)
         )
 
     def encode_geometry(wkb: bytes) -> bytes:
@@ -1008,29 +1031,35 @@ def write_file_gdb(df: DataFrame, path: str, layer: str, geom_col: str = "geom")
     )
 
     # ---- layer table (a00000002)
-    layer_fields = field_desc("OBJECTID", _GDB_OBJECTID, bytes([4, 2]))
-    encoders = []
+    # ordered value columns (descriptor order == row-payload order)
+    ordered: list[tuple[str, int]] = []
+    if has_geom and geom_first:
+        ordered.append((geom_col, _GDB_GEOMETRY))
     for f in prop_fields:
-        code = scalar_type(f.dataType)
-        if code == _GDB_STRING:
-            layer_fields += field_desc(f.name, code, struct.pack("<i", 2048) + bytes([1]))
+        ordered.append((f.name, scalar_type(f.dataType)))
+    if has_geom and not geom_first:
+        ordered.append((geom_col, _GDB_GEOMETRY))
+
+    layer_fields = field_desc("OBJECTID", _GDB_OBJECTID, bytes([4, 2]))
+    for col, code in ordered:
+        if code == _GDB_GEOMETRY:
+            layer_fields += geometry_desc()
+        elif code == _GDB_STRING:
+            layer_fields += field_desc(col, code, struct.pack("<i", 2048) + bytes([1]))
         else:
-            layer_fields += field_desc(f.name, code, bytes([_WIDTHS[code], 1]))
-        encoders.append((f.name, code))
-    n_fields = 1 + len(prop_fields)
-    if has_geom:
-        layer_fields += geometry_desc()
-        n_fields += 1
+            layer_fields += field_desc(col, code, bytes([_WIDTHS[code], 1]))
+    n_fields = 1 + len(ordered)
 
     def encode_row(row) -> bytes:
-        nullable = [c for c, _ in encoders] + (["SHAPE"] if has_geom else [])
-        bitmap = bytearray((len(nullable) + 7) // 8)
+        bitmap = bytearray((len(ordered) + 7) // 8)
         payload = bytearray()
-        bit = 0
-        for col, code in encoders:
+        for bit, (col, code) in enumerate(ordered):
             val = row[col]
             if val is None:
                 bitmap[bit // 8] |= 1 << (bit % 8)
+            elif code == _GDB_GEOMETRY:
+                gblob = encode_geometry(val)
+                payload += _write_varuint(len(gblob)) + gblob
             elif code == _GDB_INT32:
                 payload += struct.pack("<i", int(val))
             elif code == _GDB_FLOAT32:
@@ -1045,14 +1074,6 @@ def write_file_gdb(df: DataFrame, path: str, layer: str, geom_col: str = "geom")
             else:
                 enc = str(val).encode("utf-8")
                 payload += _write_varuint(len(enc)) + enc
-            bit += 1
-        if has_geom:
-            wkb = row[geom_col]
-            if wkb is None:
-                bitmap[bit // 8] |= 1 << (bit % 8)
-            else:
-                gblob = encode_geometry(wkb)
-                payload += _write_varuint(len(gblob)) + gblob
         return bytes(bitmap) + bytes(payload)
 
     emit(2, n_fields, layer_fields, [encode_row(r) for r in rows], 1 if has_geom else 0)

@@ -515,3 +515,80 @@ def test_file_gdb_skips_deleted_rows(spark, tmp_path):
     out = read_file_gdb(spark, gdb, "pts").orderBy("objectid").collect()
     assert [r.name for r in out] == ["row0", "row1", "row3", "row4"]
     assert [r.objectid for r in out] == [1, 2, 4, 5]  # ids stay stable
+
+
+def test_file_gdb_field_order_and_grid_size_section(spark, tmp_path):
+    """Reader must parse attribute descriptors that FOLLOW the geometry
+    descriptor (real ESRI order: OBJECTID, SHAPE, attributes), which
+    requires skipping the spatial-grid-size section (1-byte count +
+    count*8 bytes) after the extent doubles — misalignment there reads a
+    garbage schema (advice r3). Both writer orders must round-trip to the
+    same values."""
+    from pyspark.sql import types as T
+
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.sources.vector_files import (
+        read_file_gdb,
+        write_file_gdb,
+    )
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("pop", T.LongType()),
+        T.StructField("geom", T.BinaryType()),
+    ])
+    rows = [
+        ("a", 10, bytearray(geo.wkb_dumps({"type": "Point", "coordinates": [1.5, 2.5]}))),
+        ("b", None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    got = {}
+    for order, geom_first in (("esri", True), ("legacy", False)):
+        gdb = str(tmp_path / f"{order}.gdb")
+        write_file_gdb(df, gdb, "layer", geom_first=geom_first)
+        out = read_file_gdb(spark, gdb, "layer").orderBy("objectid").collect()
+        got[order] = [(r.name, r.pop, None if r.geom is None else bytes(r.geom))
+                      for r in out]
+    assert got["esri"] == got["legacy"]
+    assert [t[:2] for t in got["esri"]] == [("a", 10), ("b", None)]
+
+
+def test_file_gdb_rejects_implausible_grid_count(tmp_path):
+    """A corrupt geometry descriptor (grid count pointing past the
+    section) must reject with FileGDBUnsupportedError, not silently
+    decode a garbage schema."""
+    import struct
+
+    from gfw_data_api_spark.sources.vector_files import (
+        FileGDBUnsupportedError,
+        _gdbtable_schema,
+    )
+
+    def field_desc(name, ftype, extra):
+        enc = name.encode("utf-16-le")
+        return bytes([len(name)]) + enc + b"\x00" + bytes([ftype]) + extra
+
+    geom_desc = (
+        field_desc("SHAPE", 7, b"")
+        + b"\x00\x01"
+        + struct.pack("<h", 0)
+        + b"\x00"  # geom flags
+        + struct.pack("<3d", -400.0, -400.0, 1e9)
+        + struct.pack("<d", 1e-9)
+        + struct.pack("<4d", -180.0, -90.0, 180.0, 90.0)
+        + bytes([200])  # implausible grid count
+    )
+    fields_blob = field_desc("OBJECTID", 6, bytes([4, 2])) + geom_desc
+    sec = struct.pack("<2i", len(fields_blob) + 6, 4)
+    sec += bytes([1, 3, 0, 0]) + struct.pack("<h", 2) + fields_blob
+    table = tmp_path / "a00000002.gdbtable"
+    body = b""
+    table.write_bytes(
+        struct.pack("<6i2q", 3, 0, 0, 0, 0, 0, 40 + len(body) + len(sec), 40 + len(body))
+        + body + sec
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(FileGDBUnsupportedError, match="grid count"):
+        _gdbtable_schema(str(table))
