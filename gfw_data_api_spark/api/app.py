@@ -153,6 +153,34 @@ def _row_value(value):
     return value
 
 
+def _accepts_media_type(accept: str, media_type: str) -> bool:
+    """RFC 9110 Accept negotiation for ONE concrete media type.
+
+    Splits the header into media-range tokens, matches ``media_type``
+    as a FULL type/subtype (so ``text/csv;q=0.9`` and multi-value lists
+    match, but ``text/csv2`` or ``application/vnd.text/csvx`` do not),
+    and honors ``q=0`` as "explicitly not acceptable" (advice r3: the
+    old substring test served CSV for ``Accept: text/csv;q=0``).
+    Wildcard ranges deliberately do NOT match: JSON is the default
+    representation, so only an explicit request yields the alternate.
+    """
+    for media_range in accept.split(","):
+        params = media_range.split(";")
+        if params[0].strip().lower() != media_type:
+            continue
+        q = 1.0
+        for p in params[1:]:
+            k, _, v = p.partition("=")
+            if k.strip().lower() == "q":
+                try:
+                    q = float(v.strip())
+                except ValueError:
+                    q = 0.0
+        if q > 0:
+            return True
+    return False
+
+
 def create_app(
     spark: SparkSession,
     registry: Registry,
@@ -885,9 +913,7 @@ def create_app(
                         headers=[("Retry-After", "1")],
                     )
                 accept = environ.get("HTTP_ACCEPT") or ""
-                # token match, not equality: 'text/csv; charset=utf-8'
-                # and multi-value Accept lists must negotiate CSV too
-                if "text/csv" in accept:
+                if _accepts_media_type(accept, "text/csv"):
                     csv_text = dm.resource_to_csv(resource).encode()
                     start_response(
                         "200 OK",

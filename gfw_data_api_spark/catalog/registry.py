@@ -338,15 +338,23 @@ class Registry:
           version with it).
         """
         task = self.get_task(task_id)
-        # validate BEFORE mutating: a rejected PATCH must leave no trace
-        # in memory (a later unrelated save() would persist it)
-        statuses = [e.get("status") for e in change_log]
-        if "failed" not in statuses and "success" not in statuses:
+        # Reference semantics (routes/tasks/task.py:112-127): scan the
+        # entries keeping the LAST status, breaking early on `failed`.
+        # A log of [success, pending] is therefore a 400, not a
+        # completion — only the final state of the batch propagates.
+        # Validate BEFORE mutating: a rejected PATCH must leave no trace
+        # in memory (a later unrelated save() would persist it).
+        status = None
+        for entry in change_log:
+            status = entry.get("status")
+            if status == "failed":
+                break
+        if status not in ("failed", "success"):
             raise RegistryError(
                 "change log status must be either `success` or `failed`", 400
             )
         task.change_log.extend(change_log)
-        if "failed" in statuses:
+        if status == "failed":
             self._propagate_task_failure(task)
         else:
             self._propagate_task_completion(task)

@@ -16,26 +16,36 @@ Scale design (the point of running these on Spark at all):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gfw_data_api_spark.llmops.text import tokens_col
 
-# One persisted intermediate per operator family, replaced on the next
-# call: the signature/shingle indexes feed 3-4 plan branches (persist
-# measured ~1.7× faster than recompute; exchange reuse does not cover
-# the replicated aggregate), but an unscoped persist() would pin one
-# table per CALL for the session's lifetime. Bounded instead: at most
-# one pinned table per slot, the previous one unpersisted lazily (an
-# uncollected earlier result simply recomputes).
-_PERSIST_SLOTS: dict[str, DataFrame] = {}
+# One persisted intermediate per operator family PER THREAD, replaced on
+# the next call: the signature/shingle indexes feed 3-4 plan branches
+# (persist measured ~1.7× faster than recompute; exchange reuse does not
+# cover the replicated aggregate), but an unscoped persist() would pin
+# one table per CALL for the session's lifetime. Bounded instead: at
+# most one pinned table per (thread, slot), the previous one unpersisted
+# lazily (an uncollected earlier result simply recomputes). Keying by
+# thread id matters because the API spawns datamart compute threads on
+# the SAME SparkSession — without it, two concurrent pipelines in the
+# same family would unpersist each other's in-flight intermediates
+# (forced recomputes + racing dict mutation); the lock covers the
+# remaining dict/unpersist races (advice r3).
+_PERSIST_SLOTS: dict[tuple[int, str], DataFrame] = {}
+_PERSIST_LOCK = threading.Lock()
 
 
 def _persist_replacing(df: DataFrame, slot: str) -> DataFrame:
-    prev = _PERSIST_SLOTS.pop(slot, None)
+    key = (threading.get_ident(), slot)
+    with _PERSIST_LOCK:
+        prev = _PERSIST_SLOTS.pop(key, None)
+        _PERSIST_SLOTS[key] = df.persist()
     if prev is not None:
         prev.unpersist()
-    _PERSIST_SLOTS[slot] = df.persist()
     return df
 
 

@@ -1151,3 +1151,15 @@ def test_datamart_csv_accept_with_parameters(spark, tmp_path_factory):
     # no accept header → JSON envelope
     out = call(app2, "GET", "/datamart/tree_cover_loss_by_driver/r-1")
     assert out["body"]["data"]["resource_id"] == "r-1"
+    # q=0 is an EXPLICIT rejection of CSV; substring-containing types and
+    # wildcards must not trigger CSV either (advice r3)
+    for accept in ("text/csv;q=0", "text/csv; q=0.0, application/json",
+                   "application/vnd.text/csvx", "text/*", "*/*"):
+        out = call(app2, "GET", "/datamart/tree_cover_loss_by_driver/r-1",
+                   headers={"accept": accept})
+        assert out["status"] == 200, accept
+        assert out["body"]["data"]["resource_id"] == "r-1", accept
+    # q>0 still negotiates CSV
+    out = call(app2, "GET", "/datamart/tree_cover_loss_by_driver/r-1",
+               headers={"accept": "text/csv;q=0.5"})
+    assert out["body"].splitlines()[1] == "Wildfire,2020,1.5,2.5"

@@ -570,6 +570,48 @@ def test_update_task_rejected_patch_leaves_no_trace(spark, tmp_path):
     assert Registry(str(tmp_path / "cat")).get_task("t-1").change_log == []
 
 
+
+def test_update_task_last_status_wins(spark, tmp_path):
+    """Reference (routes/tasks/task.py:112-127) keys propagation off the
+    LAST change-log entry's status, breaking early only on `failed`:
+    [success, pending] is a 400, [pending, success] completes, and
+    [failed, success] fails (advice r3)."""
+    from gfw_data_api_spark.catalog.registry import Registry, RegistryError
+
+    def fresh(name):
+        registry = Registry(str(tmp_path / name))
+        registry.ensure_dataset("ds")
+        registry.create_version("ds", "v1")
+        asset = registry.create_asset("ds", "v1", "database_table")
+        registry.create_task("t-1", asset.asset_id)
+        return registry, asset
+
+    # trailing non-terminal entry -> 400, nothing propagates
+    registry, asset = fresh("a")
+    with pytest.raises(RegistryError, match="success.*failed"):
+        registry.update_task("t-1", [
+            {"status": "success", "message": "done"},
+            {"status": "pending", "message": "more to come"},
+        ])
+    assert registry.get_task("t-1").change_log == []
+    assert registry.get_asset(asset.asset_id).status != "saved"
+
+    # success last -> completes
+    registry, asset = fresh("b")
+    registry.update_task("t-1", [
+        {"status": "pending", "message": "…"},
+        {"status": "success", "message": "done"},
+    ])
+    assert registry.get_asset(asset.asset_id).status == "saved"
+
+    # failed anywhere short-circuits, even with a later success
+    registry, asset = fresh("c")
+    registry.update_task("t-1", [
+        {"status": "failed", "message": "boom"},
+        {"status": "success", "message": "ignored"},
+    ])
+    assert registry.get_asset(asset.asset_id).status == "failed"
+
 def test_datamart_search_malformed_dataset_version_422(spark, tmp_path):
     from gfw_data_api_spark.api import create_app
     from gfw_data_api_spark.catalog.registry import Registry
