@@ -785,3 +785,49 @@ def test_pack_sequences_property(spark):
         for r in packed:
             assert r.n_docs >= 1
             assert r.n_tokens <= budget or r.n_docs == 1, (trial, budget, r)
+
+
+def test_pack_sequences_string_ids_and_null_rejection(spark):
+    """String/uuid doc ids must pack carrying their native type (the old
+    cast('long') silently nulled every one — advice r3), NULL ids must
+    raise, and unsupported id types must be rejected up front."""
+    import pytest as _pytest
+
+    from gfw_data_api_spark.llmops.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("uuid-a", "one two three"), ("uuid-b", "four five"), ("uuid-c", "six")],
+        "doc_id string, text string",
+    )
+    rows = pack_sequences(docs, max_tokens=8, buckets=2).collect()
+    packed_ids = sorted(i for r in rows for i in r.doc_ids)
+    assert packed_ids == ["uuid-a", "uuid-b", "uuid-c"]
+    assert all(isinstance(i, str) for i in packed_ids)
+
+    with_null = spark.createDataFrame(
+        [("uuid-a", "one"), (None, "two")], "doc_id string, text string"
+    )
+    with _pytest.raises(Exception, match="NULL values in id column"):
+        pack_sequences(with_null, max_tokens=8, buckets=1).collect()
+
+    bad_type = spark.createDataFrame([(1.5, "one")], "doc_id double, text string")
+    with _pytest.raises(ValueError, match="integral or string id"):
+        pack_sequences(bad_type, max_tokens=8)
+
+
+def test_pack_sequences_auto_bucket_scaling(spark):
+    """buckets=None sizes buckets from the corpus so per-bucket FFD work
+    stays bounded: bucket count grows with n_docs / target_bucket_docs
+    (floor 32) and the packing still exactly covers the corpus."""
+    from gfw_data_api_spark.llmops.packing import pack_sequences
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma").alias("text")
+    )
+    packed = pack_sequences(docs, max_tokens=64, target_bucket_docs=100).cache()
+    n_buckets = packed.select("pack_bucket").distinct().count()
+    # ceil(500/100)=5 requested, floored to 32 — membership is hashed so
+    # not every bucket need be non-empty, but spread must exceed 5
+    assert 5 < n_buckets <= 32
+    assert sorted(i for r in packed.collect() for i in r.doc_ids) == list(range(500))
+    packed.unpersist()
