@@ -2921,6 +2921,97 @@ _SPECS.append(
 )
 
 
+_P03_STOP_TAIL = " the be to of and that have with"
+
+
+def _p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composition with the UNRELAXED Gopher battery: the
+    synthetic corpus has no canonical English stopwords, so p02 had to
+    relax ``min_stopword_hits`` to keep its pipeline flowing; here half
+    the corpus (even doc ids) gets a deterministic stopword tail so the
+    stopword rule genuinely bisects the corpus and its PASS branch is
+    driver-gated. Stages: stopword enrichment → full rule battery
+    (defaults incl. min_stopword_hits=2) → deterministic per-language
+    cap (group_cap_sample, seed 11) → per-language corpus report."""
+    from gfw_data_api_spark.llmops.sampling import group_cap_sample
+    from gfw_data_api_spark.llmops.text import gopher_quality_rules, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(_P03_STOP_TAIL))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    kept = (
+        gopher_quality_rules(docs, min_words=30)
+        .filter(F.col("keep"))
+        .select("doc_id", "lang", "text", "stopword_hits")
+    )
+    capped = group_cap_sample(kept, "lang", max_per_group=60, seed=11)
+    return (
+        capped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens_col(F.col("text")))).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("stopword_hits"), 6).alias("avg_stopword_hits"),
+        )
+    )
+
+
+def _p03_oracle() -> str:
+    return (
+        "WITH enriched AS (SELECT doc_id, lang, "
+        f"CASE WHEN doc_id % 2 = 0 THEN text || '{_P03_STOP_TAIL}' "
+        "ELSE text END AS text FROM documents), "
+        "sig AS (SELECT doc_id, lang, text, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+        "len(regexp_split_to_array(text, '\\n')) AS n_lines, "
+        "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
+        "len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbol_hits, "
+        "len(list_filter(regexp_split_to_array(text, '\\n'), "
+        "l -> regexp_matches(trim(l), '^([•‣▪-]|\\*)\\s'))) AS bullet_lines, "
+        "len(list_filter(regexp_split_to_array(text, '\\n'), "
+        "l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS ellipsis_lines, "
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words, "
+        "len(list_distinct(list_filter(list_transform("
+        "regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)), "
+        "t -> t IN ('the','be','to','of','and','that','have','with')))) AS stopword_hits "
+        "FROM enriched), "
+        "kept AS (SELECT doc_id, lang, text, stopword_hits, n_words FROM sig WHERE "
+        "n_words >= 30 AND n_words <= 100000 "
+        "AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1) >= 3.0 "
+        "AND CAST(nonspace AS DOUBLE) / greatest(n_words, 1) <= 10.0 "
+        "AND CAST(symbol_hits AS DOUBLE) / greatest(n_words, 1) <= 0.1 "
+        "AND CAST(bullet_lines AS DOUBLE) / greatest(n_lines, 1) <= 0.9 "
+        "AND CAST(ellipsis_lines AS DOUBLE) / greatest(n_lines, 1) <= 0.3 "
+        "AND CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8 "
+        "AND stopword_hits >= 2), "
+        "capped AS (SELECT * FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY lang ORDER BY md5(doc_id || chr(31) || '11'), doc_id"
+        ") AS rk FROM kept) WHERE rk <= 60) "
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_words) AS BIGINT) AS n_tokens, "
+        "round(avg(stopword_hits), 6) AS avg_stopword_hits "
+        "FROM capped GROUP BY lang"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="p03_curate_round4",
+        spark_fn=_p03,
+        oracle=_p03_oracle(),
+        survey_ref="LLM pipeline: round-4 composition — stopword-bearing "
+        "fixture → UNRELAXED Gopher battery → deterministic group cap → "
+        "per-language report (closes the relaxed-stopword gap in p02)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------
@@ -2985,6 +3076,7 @@ _DRIVER_FRONT: list[str] = [
     # round-4 additions (never driver-checked)
     "a01_approx_count_distinct",
     "a02_approx_percentile",
+    "p03_curate_round4",
 ]
 
 
