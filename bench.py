@@ -87,28 +87,46 @@ def main() -> None:
     # JVM (GC pauses, JIT recompiles); the minimum is the steady-state
     # throughput the engine actually sustains
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    timings: dict[str, float] = {}
+    all_passes: dict[str, list[float]] = {name: [] for name in queries}
     for _ in range(passes):
         for name, fn in queries.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 4)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            all_passes[name].append(round(time.perf_counter() - start, 4))
             # operators that persist() intermediates (shingle/token/signature
             # indexes) would otherwise accumulate blocks across 85×N runs —
             # evict outside the timer so later queries aren't measured under
             # someone else's memory pressure
             spark.catalog.clearCache()
 
+    timings = {name: min(ts) for name, ts in all_passes.items()}
     total = round(sum(timings.values()), 4)
     fingerprint = _testdata_fingerprint(sf_dir)
+
+    def _median(ts: list[float]) -> float:
+        s = sorted(ts)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    # per-query spread so the next round can separate noise from a real
+    # regression WITHOUT re-running: min is the headline, median vs min
+    # bounds the JVM-pressure jitter, passes carries the raw samples
+    spread = {
+        name: {
+            "min": min(ts),
+            "median": round(_median(ts), 4),
+            "max": max(ts),
+            "passes": ts,
+        }
+        for name, ts in all_passes.items()
+    }
     detail = {
         "metric": "operator_inventory_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
         "n": passes,
         "testdata": fingerprint,
