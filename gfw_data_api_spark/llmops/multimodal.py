@@ -7,14 +7,15 @@ run as Arrow-batched ``mapInPandas`` stages so a 100 TB media table
 processes with ordinary partition parallelism and bounded memory
 (``maxRecordsPerBatch`` caps batch bytes).
 
-Codec support: PNG (all five scanline filters, gray / RGB / palette /
-alpha at 8-bit depth) and uncompressed 24-bit BMP decode in pure Python
-(zlib is stdlib), so image rows decode for real. JPEG/audio/video codecs
-are NOT present in this environment, so those formats raise
-NotImplementedError at the codec boundary; ``fake=True`` substitutes a
-deterministic hash-derived pseudo-decode to exercise the pipeline shape
-regardless of format. Swapping in PIL/ffmpeg remains a one-function
-change.
+Codec support: baseline JFIF JPEG (gray/YCbCr, 4:4:4/4:2:2/4:2:0,
+restart intervals — llmops/jpeg.py), PNG (all five scanline filters,
+gray / RGB / palette / alpha at 8-bit depth) and uncompressed 24-bit
+BMP decode in pure Python (zlib is stdlib), so image rows decode for
+real. Audio/video codecs are NOT present in this environment, so those
+formats raise NotImplementedError at the codec boundary; ``fake=True``
+substitutes a deterministic hash-derived pseudo-decode to exercise the
+pipeline shape regardless of format. Swapping in PIL/ffmpeg remains a
+one-function change.
 """
 
 from __future__ import annotations
@@ -189,12 +190,12 @@ FEATURE_DIM = 16
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload to an array.
 
-    Real decode for PNG and uncompressed 24-bit BMP (sniffed by magic
-    bytes — pure-Python codecs above). Other formats (JPEG, audio,
-    video) need PIL/libav, absent in this environment, and raise
-    NotImplementedError at this boundary. ``fake=True`` substitutes a
-    deterministic pseudo-decode (bytes → seeded array) for any format,
-    exercising the full pipeline shape.
+    Real decode for PNG, uncompressed 24-bit BMP, and baseline JFIF
+    JPEG (sniffed by magic bytes — pure-Python codecs here and in
+    llmops/jpeg.py). Audio/video need libav, absent in this
+    environment, and raise NotImplementedError at this boundary.
+    ``fake=True`` substitutes a deterministic pseudo-decode (bytes →
+    seeded array) for any format, exercising the full pipeline shape.
     """
     if fake:
         digest = hashlib.sha256(payload).digest()
@@ -206,9 +207,13 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndar
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from gfw_data_api_spark.llmops.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "no codec for this payload format (PNG and 24-bit BMP decode natively; "
-        "JPEG/audio/video need PIL/ffmpeg, unavailable here); "
+        "no codec for this payload format (PNG, 24-bit BMP, and baseline "
+        "JPEG decode natively; audio/video need ffmpeg, unavailable here); "
         "pass fake=True for the deterministic test decode"
     )
 

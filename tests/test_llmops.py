@@ -898,3 +898,111 @@ def test_png_roundtrip_property():
         assert out.shape == img.shape and (out == img).all()
 
     roundtrip()
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (round 4: last stubbed image format made real)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_solid_and_gradient():
+    """Solid blocks must round-trip exactly (DC-only spectra survive any
+    quality); smooth gradients within ~1 level mean error at q90."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    solid = np.zeros((24, 17, 3), dtype=np.uint8)
+    solid[:, :, 0], solid[:, :, 1], solid[:, :, 2] = 200, 50, 90
+    out = decode_jpeg(encode_jpeg(solid, quality=95))
+    assert out.shape == (24, 17, 3)
+    assert int(np.max(np.abs(out.astype(int) - solid.astype(int)))) == 0
+
+    grad = np.tile(np.linspace(0, 255, 64), (32, 1)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=90))
+    assert out.shape == (32, 64, 1)
+    assert float(np.mean(np.abs(out[:, :, 0].astype(float) - grad))) < 1.0
+
+
+def test_jpeg_subsampling_and_restart_intervals():
+    """4:2:0 MCU interleave (2x2 luma + subsampled chroma) and DRI/RSTn
+    restart handling — the real-world JPEG profiles — must decode."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:41, 0:53]
+    img = np.stack(
+        [
+            (128 + 100 * np.sin(xx / 10.0)).clip(0, 255),
+            (128 + 100 * np.cos(yy / 12.0)).clip(0, 255),
+            ((xx + yy) * 2 % 256),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for kwargs in (
+        {"subsampling": "420"},
+        {"subsampling": "420", "restart_interval": 2},
+        {"subsampling": "444", "restart_interval": 3},
+    ):
+        out = decode_jpeg(encode_jpeg(img, quality=92, **kwargs))
+        assert out.shape == img.shape, kwargs
+        err = float(np.mean(np.abs(out.astype(float) - img.astype(float))))
+        assert err < 4.0, (kwargs, err)
+
+
+def test_jpeg_rejects_out_of_subset_profiles():
+    import numpy as np
+    import pytest as _pytest
+
+    from gfw_data_api_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    # flip SOF0 (C0) to SOF2 (C2, progressive) in place
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(data))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_decode_media_sniffs_jpeg():
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import encode_jpeg
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    out = multimodal.decode_media(encode_jpeg(img), "image", fake=False)
+    assert out.shape == (8, 8, 3)
+    assert int(np.max(np.abs(out.astype(int) - 77))) == 0
+
+
+def test_extract_features_real_jpeg_decode(spark):
+    """The mapInPandas feature stage runs the real JPEG codec end-to-end
+    (no fake), pooling the actual decoded pixels."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    imgs = [
+        np.stack([(xx * 16) % 256, (yy * 16) % 256, ((xx + yy + i) * 8) % 256], axis=-1).astype(np.uint8)
+        for i in range(2)
+    ]
+    rows = [
+        (i, bytearray(encode_jpeg(img, quality=95)), ("image", "jpeg", 16, 16, None, None))
+        for i, img in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id int, payload binary, media_meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:int,n_frames:int>",
+    )
+    out = {r["media_id"]: r for r in multimodal.extract_features(df, fake=False).collect()}
+    decoded = decode_jpeg(encode_jpeg(imgs[0], quality=95))
+    expected = decoded.astype(np.float64).ravel()
+    expected = expected.reshape(multimodal.FEATURE_DIM, -1).mean(axis=1)
+    assert np.allclose(out[0]["features"], expected, atol=1e-4)
+    assert out[0]["features"] != out[1]["features"]
