@@ -163,8 +163,12 @@ def media_df(spark):
 
 
 def test_decode_raises_for_codecless_formats():
-    # JPEG/opaque payloads still hit the clear codec-boundary error
+    # audio/video payloads still hit the clear codec-boundary error
     with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio", fake=False)
+    # a JPEG-sniffed payload now routes to the real codec; truncated
+    # bytes are a malformed-file error, not a missing-codec error
+    with pytest.raises(ValueError):
         multimodal.decode_media(b"\xff\xd8\xff\xe0jpeg-ish", "image", fake=False)
 
 
