@@ -3077,7 +3077,51 @@ _DRIVER_FRONT: list[str] = [
     "a01_approx_count_distinct",
     "a02_approx_percentile",
     "p03_curate_round4",
+    "q26_point_radius_haversine",
 ]
+
+
+def _q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-radius lookup with NATIVE haversine math (the I3
+    features-by-location predicate re-expressed as codegen column math
+    over a point table — geometry semantics inside the hard gate, no
+    WKB/UDF path needed). Point coordinates derive deterministically
+    from customer keys so both engines compute the identical corpus."""
+    from gfw_data_api_spark.operators.features import points_within_radius
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7 % 1600) / 10.0 - 80.0).alias("lat"),
+        ((F.col("c_custkey") * 13 % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    out = points_within_radius(cust, lat=10.0, lng=20.0, radius_km=2500.0)
+    return out.select("c_custkey", F.round("distance_km", 6).alias("distance_km"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q26_point_radius_haversine",
+        spark_fn=_q26,
+        oracle=(
+            "WITH pts AS (SELECT c_custkey, "
+            "(c_custkey * 7 % 1600) / 10.0 - 80.0 AS lat, "
+            "(c_custkey * 13 % 3600) / 10.0 - 180.0 AS lon FROM customer), "
+            "d AS (SELECT c_custkey, "
+            "2.0 * 6371.0088 * asin(sqrt(pow(sin(radians(lat - 10.0) / 2), 2) "
+            "+ cos(radians(10.0)) * cos(radians(lat)) "
+            "* pow(sin(radians(lon - 20.0) / 2), 2))) AS distance_km "
+            "FROM pts WHERE lat BETWEEN 10.0 - 2500.0/111.32 AND 10.0 + 2500.0/111.32 "
+            "AND lon BETWEEN 20.0 - 2500.0/(111.32*cos(radians(10.0))) "
+            "AND 20.0 + 2500.0/(111.32*cos(radians(10.0)))) "
+            "SELECT c_custkey, round(distance_km, 6) AS distance_km "
+            "FROM d WHERE distance_km <= 2500.0"
+        ),
+        survey_ref="I3 point-radius lookup semantics as native column math "
+        "(operators/features.py points_within_radius; bbox pre-filter + "
+        "exact haversine — the first geometry-semantics entry inside the "
+        "full-oracle gate)",
+    )
+)
 
 
 def _registry_order(specs: list[QuerySpec]) -> list[QuerySpec]:

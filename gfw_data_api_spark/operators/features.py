@@ -222,3 +222,61 @@ def admin_geostore(
             "info": info,
         },
     }
+
+
+def haversine_km_col(lat1, lon1, lat2, lon2):
+    """Great-circle distance (km) as a NATIVE column expression.
+
+    The radius-lookup predicate of features_by_location expressed in
+    whole-stage-codegen column math — no Python, no geometry objects —
+    so a point-radius scan over a 100 TB point table is an ordinary
+    pushed-down filter. Engine-portable: the same closed form (2R·asin
+    √(sin²(Δφ/2)+cosφ₁cosφ₂ sin²(Δλ/2)), R = 6371.0088 km) reproduces
+    in any SQL engine for the driver-gate oracle.
+    """
+    from pyspark.sql import functions as F
+
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return 2.0 * 6371.0088 * F.asin(F.sqrt(a))
+
+
+def points_within_radius(
+    df: DataFrame,
+    lat: float,
+    lng: float,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """All rows within ``radius_km`` of (lat, lng), with ``distance_km``.
+
+    The scalable sibling of features_by_location for POINT tables: a
+    bounding-box pre-filter (pure comparisons — partition/row-group
+    prunable at the parquet scan) wraps the exact haversine predicate,
+    so only the bbox-surviving rows pay the trigonometry.
+    """
+    from pyspark.sql import functions as F
+
+    # ~111.32 km per degree latitude; longitude shrinks by cos(lat)
+    dlat = radius_km / 111.32
+    import math as _math
+
+    coslat = max(_math.cos(_math.radians(lat)), 1e-9)
+    dlon = radius_km / (111.32 * coslat)
+    dist = haversine_km_col(F.lit(lat), F.lit(lng), F.col(lat_col), F.col(lon_col))
+    return (
+        df.filter(
+            (F.col(lat_col) >= lat - dlat)
+            & (F.col(lat_col) <= lat + dlat)
+            & (F.col(lon_col) >= lng - dlon)
+            & (F.col(lon_col) <= lng + dlon)
+        )
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= radius_km)
+    )
