@@ -3072,12 +3072,14 @@ _DRIVER_FRONT: list[str] = [
     "st02_session_windows",
     "s04_blocked_cosine_pairs",
     "q17_rollup",
-    "d06_winnowing_fingerprints",
+    # (d06_winnowing_fingerprints was r1/r2-driver-checked; dropped from
+    # the front to keep the 50-slot snapshot for round-4 additions)
     # round-4 additions (never driver-checked)
     "a01_approx_count_distinct",
     "a02_approx_percentile",
     "p03_curate_round4",
     "q26_point_radius_haversine",
+    "s08_ivf_recall_gate",
 ]
 
 
@@ -3120,6 +3122,76 @@ _SPECS.append(
         "(operators/features.py points_within_radius; bbox pre-filter + "
         "exact haversine — the first geometry-semantics entry inside the "
         "full-oracle gate)",
+    )
+)
+
+
+def _s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall gate: the a01-pattern applied to ANN — the approximate
+    structure (driver-trained centroids) can't reproduce in SQL, but its
+    QUALITY CONTRACT can: for each of 5 query vectors, the exact top-1
+    neighbor (SQL-expressible) plus a boolean pinning IVF recall@10 at
+    ≥0.5 (measured 0.6-1.0 at nprobe=5 across test SFs; chance is
+    ~k/n ≈ 2%). A silent ANN regression — wrong cell assignment, broken
+    probe ordering, degenerate training — flips the boolean and fails
+    the driver gate."""
+    from gfw_data_api_spark.llmops import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_ivf(emb, nlist=8, iters=3)
+    indexed = ivf.build_ivf_index(emb, centroids)
+    qrows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    parts = []
+    for qid in sorted(qrows):
+        query = qrows[qid]
+        qnorm = math.sqrt(sum(x * x for x in query))
+        dot, norm = _cosine_cols(F.col("embedding"), query)
+        exact = (
+            emb.filter(F.col("vec_id") != qid)
+            .select("vec_id", (dot / (norm * F.lit(qnorm))).alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(10)
+        )
+        approx_ids = ivf.ivf_topk(
+            indexed.filter(F.col("vec_id") != qid), centroids, query, k=10, nprobe=5
+        ).select("vec_id")
+        top1 = exact.limit(1).select(
+            F.lit(qid).alias("query_id"),
+            F.col("vec_id").alias("top1_id"),
+            F.round("cosine", 6).alias("top1_cosine"),
+        )
+        recall = exact.join(approx_ids, "vec_id").agg(
+            (F.count("*") / 10.0 >= 0.5).alias("recall_ok")
+        )
+        parts.append(top1.join(F.broadcast(recall)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s08_ivf_recall_gate",
+        spark_fn=_s08,
+        oracle=(
+            "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(q.qe, q.qe))) AS cosine "
+            "FROM embeddings e, qs q WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) "
+            "SELECT query_id, vec_id AS top1_id, round(cosine, 6) AS top1_cosine, "
+            "TRUE AS recall_ok FROM ranked WHERE rk = 1"
+        ),
+        survey_ref="similarity: IVF quality contract inside the hard gate "
+        "(exact top-1 + recall@10 error-envelope boolean; llmops/ivf.py)",
     )
 )
 

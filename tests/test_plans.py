@@ -265,6 +265,7 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "w02_temperature_mixture": ("BroadcastNestedLoopJoin", "1-row totals + normalizer join"),
         "dq01_constraint_audit": ("BroadcastNestedLoopJoin", "1-row total_rows join onto unique/FK counts"),
         "p02_curate_round3": ("BroadcastNestedLoopJoin", "inherits w02's 1-row totals + normalizer join"),
+        "s08_ivf_recall_gate": ("BroadcastNestedLoopJoin", "1-row recall-boolean join per query vector"),
     }
 
     bad: dict[str, list[str]] = {}
@@ -321,6 +322,7 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "st05_stream_static_enrich": "static dimension table",
         "d08_benchmark_decontamination": "benchmark corpus side (fixed eval set)",
         "p01_curate_corpus": "benchmark corpus side (fixed eval set)",
+        "s08_ivf_recall_gate": "1-row recall-boolean aggregate per query vector",
     }
 
     offenders: dict[str, int] = {}
