@@ -9,13 +9,15 @@ processes with ordinary partition parallelism and bounded memory
 
 Codec support: baseline JFIF JPEG (gray/YCbCr, 4:4:4/4:2:2/4:2:0,
 restart intervals — llmops/jpeg.py), PNG (all five scanline filters,
-gray / RGB / palette / alpha at 8-bit depth) and uncompressed 24-bit
-BMP decode in pure Python (zlib is stdlib), so image rows decode for
-real. Audio/video codecs are NOT present in this environment, so those
-formats raise NotImplementedError at the codec boundary; ``fake=True``
-substitutes a deterministic hash-derived pseudo-decode to exercise the
-pipeline shape regardless of format. Swapping in PIL/ffmpeg remains a
-one-function change.
+gray / RGB / palette / alpha at 8-bit depth), uncompressed 24-bit BMP,
+PCM/float WAV audio (llmops/audio.py), and MJPEG-AVI video
+(llmops/video.py) all decode in pure Python (zlib is stdlib), so
+image, audio, and video rows decode for real. Compressed audio
+(MP3/AAC/Opus) and inter-frame video (H.264/VP9/AV1) need libav,
+absent here, and raise NotImplementedError at the codec boundary;
+``fake=True`` substitutes a deterministic hash-derived pseudo-decode
+to exercise the pipeline shape regardless of format. Swapping in
+PIL/ffmpeg remains a one-function change.
 """
 
 from __future__ import annotations
@@ -211,10 +213,21 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndar
         from gfw_data_api_spark.llmops.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        from gfw_data_api_spark.llmops.audio import decode_wav
+
+        samples, _rate = decode_wav(data)
+        return samples
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from gfw_data_api_spark.llmops.video import decode_avi_frames
+
+        frames = decode_avi_frames(data)
+        return np.stack(frames) if frames else np.zeros((0,), dtype=np.uint8)
     raise NotImplementedError(
-        "no codec for this payload format (PNG, 24-bit BMP, and baseline "
-        "JPEG decode natively; audio/video need ffmpeg, unavailable here); "
-        "pass fake=True for the deterministic test decode"
+        "no codec for this payload format (PNG, 24-bit BMP, baseline JPEG, "
+        "PCM/float WAV, and MJPEG-AVI decode natively; compressed audio and "
+        "inter-frame video need ffmpeg, unavailable here); pass fake=True "
+        "for the deterministic test decode"
     )
 
 
@@ -266,26 +279,91 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def bilinear_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Vectorized bilinear resize of a (H, W[, C]) uint8 array.
+
+    Pixel-center (align_corners=False) sampling with edge clamping —
+    the convention PIL/OpenCV use — fully in numpy fancy indexing, no
+    per-pixel Python loop.
+    """
+    arr = np.asarray(img, dtype=np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    h_in, w_in, _ = arr.shape
+    ys = (np.arange(height) + 0.5) * (h_in / height) - 0.5
+    xs = (np.arange(width) + 0.5) * (w_in / width) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h_in - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w_in - 1)
+    y1 = np.minimum(y0 + 1, h_in - 1)
+    x1 = np.minimum(x0 + 1, w_in - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = arr[y0[:, None], x0[None, :]] * (1 - wx) + arr[y0[:, None], x1[None, :]] * wx
+    bot = arr[y1[:, None], x0[None, :]] * (1 - wx) + arr[y1[:, None], x1[None, :]] * wx
+    out = np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
 def resize_images(
     df: DataFrame,
     width: int,
     height: int,
     payload_col: str = "payload",
     meta_col: str = "media_meta",
+    decode: bool = False,
 ) -> DataFrame:
-    """Resize stage (stub): passes payloads through and rewrites metadata
-    dims — the real version swaps one line for a PIL resize. Metadata is
-    updated natively (no UDF for the bookkeeping)."""
+    """Resize stage.
+
+    ``decode=False`` (planning mode): passes payloads through and
+    rewrites metadata dims natively — no UDF, no decode; use when a
+    downstream consumer does the pixel work. ``decode=True``: decodes
+    each image payload (PNG/BMP/JPEG), bilinear-resizes in numpy, and
+    re-encodes as lossless PNG inside an Arrow-batched mapInPandas
+    stage; undecodable image rows pass through unchanged (format kept
+    in metadata). Metadata bookkeeping stays native in both modes.
+    """
     meta = F.col(meta_col)
     new_meta = F.struct(
         meta["media_type"].alias("media_type"),
-        meta["format"].alias("format"),
+        F.col("__resized_fmt").alias("format") if decode else meta["format"].alias("format"),
         F.lit(width).alias("width"),
         F.lit(height).alias("height"),
         meta["duration_ms"].alias("duration_ms"),
         meta["n_frames"].alias("n_frames"),
     )
-    return df.withColumn(meta_col, new_meta)
+    if not decode:
+        return df.withColumn(meta_col, new_meta)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts = [], []
+            for payload, m in zip(pdf[payload_col], pdf[meta_col]):
+                fmt = m["format"] if m is not None else None
+                if payload is None:
+                    payloads.append(None)
+                    fmts.append(fmt)
+                    continue
+                try:
+                    img = decode_media(bytes(payload), "image")
+                except (ValueError, NotImplementedError):
+                    payloads.append(payload)
+                    fmts.append(fmt)
+                    continue
+                resized = bilinear_resize(img, width, height)
+                payloads.append(bytearray(encode_png(resized)))
+                fmts.append("png")
+            pdf = pdf.copy()
+            pdf[payload_col] = payloads
+            pdf["__resized_fmt"] = fmts
+            yield pdf
+
+    work_schema = T.StructType(list(df.schema.fields) + [T.StructField("__resized_fmt", T.StringType())])
+    return (
+        df.mapInPandas(run, schema=work_schema)
+        .withColumn(meta_col, new_meta)
+        .drop("__resized_fmt")
+    )
 
 
 def sample_frames(

@@ -163,11 +163,14 @@ def media_df(spark):
 
 
 def test_decode_raises_for_codecless_formats():
-    # audio/video payloads still hit the clear codec-boundary error
+    # compressed audio (here: an MP3-ish ID3 header) still hits the
+    # clear codec-boundary error
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio", fake=False)
-    # a JPEG-sniffed payload now routes to the real codec; truncated
+        multimodal.decode_media(b"ID3\x04\x00\x00\x00\x00\x00\x00", "audio", fake=False)
+    # WAV/JPEG-sniffed payloads now route to the real codecs; truncated
     # bytes are a malformed-file error, not a missing-codec error
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio", fake=False)
     with pytest.raises(ValueError):
         multimodal.decode_media(b"\xff\xd8\xff\xe0jpeg-ish", "image", fake=False)
 

@@ -1,0 +1,252 @@
+"""Audio (WAV) and video (MJPEG-AVI) codec + pipeline tests.
+
+Covers the round-4 closure of the audio/video side of the multimodal
+codec seam: pure-Python WAV decode/encode roundtrips, signal features,
+AVI container parse + frame sampling with the JPEG codec, and the real
+(decode=True) bilinear resize path.
+"""
+
+import numpy as np
+import pytest
+
+from gfw_data_api_spark.llmops import audio, multimodal, video
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_16bit_stereo():
+    rng = np.random.default_rng(11)
+    samples = rng.uniform(-0.9, 0.9, size=(480, 2))
+    data = audio.encode_wav(samples, 48_000, bits=16)
+    out, rate = audio.decode_wav(data)
+    assert rate == 48_000
+    assert out.shape == (480, 2)
+    assert np.allclose(out, samples, atol=1.0 / 32768)
+
+
+def test_wav_roundtrip_float32_mono():
+    t = np.arange(1000) / 8000.0
+    samples = 0.5 * np.sin(2 * np.pi * 440 * t)
+    data = audio.encode_wav(samples, 8000, bits=-32)
+    out, rate = audio.decode_wav(data)
+    assert rate == 8000
+    assert out.shape == (1000, 1)
+    assert np.allclose(out[:, 0], samples, atol=1e-6)
+
+
+def test_wav_roundtrip_8bit():
+    samples = np.linspace(-1, 1, 256)
+    data = audio.encode_wav(samples, 16_000, bits=8)
+    out, rate = audio.decode_wav(data)
+    assert np.allclose(out[:, 0], samples, atol=1.0 / 127)
+
+
+def test_wav_24bit_decode():
+    # hand-build a 24-bit PCM file: values -2^23, 0, 2^23-1
+    import struct
+
+    vals = [-(1 << 23), 0, (1 << 23) - 1]
+    payload = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 3, 3, 24)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload + b"\x00"
+    )
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, rate = audio.decode_wav(data)
+    assert rate == 44100
+    assert np.allclose(out[:, 0], [-1.0, 0.0, (2**23 - 1) / 2**23])
+
+
+def test_wav_extensible_unwraps_pcm():
+    import struct
+
+    samples = np.array([0.0, 0.5, -0.5])
+    base = audio.encode_wav(samples, 22_050, bits=16)
+    # rebuild with a WAVE_FORMAT_EXTENSIBLE fmt chunk wrapping PCM
+    payload = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 22_050, 44_100, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0x4)  # cbSize, validBits, channelMask
+        + struct.pack("<H", 1)  # SubFormat GUID tag prefix: PCM
+        + b"\x00" * 14
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, rate = audio.decode_wav(data)
+    ref, _ = audio.decode_wav(base)
+    assert np.allclose(out, ref)
+
+
+def test_wav_rejects_compressed_format():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 0x0055, 1, 44100, 0, 0, 0)  # MP3 tag
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError):
+        audio.decode_wav(data)
+
+
+def test_resample_linear_halves_length():
+    t = np.arange(800) / 800.0
+    sig = np.sin(2 * np.pi * 5 * t)
+    out = audio.resample_linear(sig, 16_000, 8_000)
+    assert out.shape == (400, 1)
+    # same waveform shape at half the sample count
+    assert np.allclose(out[::50, 0], sig[::100], atol=0.01)
+
+
+def test_audio_signal_features_sine():
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    f = audio.audio_signal_features(sig[:, None], rate)
+    assert f["audio_duration_ms"] == pytest.approx(1000.0)
+    assert f["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert f["peak"] == pytest.approx(0.5, rel=1e-3)
+    # 440 Hz sine crosses zero 880 times/sec → zcr ≈ 880/8000
+    assert f["zero_crossing_rate"] == pytest.approx(880 / rate, rel=0.01)
+    assert f["spectral_centroid_hz"] == pytest.approx(440, rel=0.05)
+    # a sine spends ~2/π·asin(thresh/amp) of each half-cycle under the
+    # silence threshold — small but nonzero
+    assert f["silence_ratio"] <= 0.02
+
+
+def test_extract_audio_features_spark(spark):
+    t = np.arange(4000) / 8000.0
+    wav = audio.encode_wav(0.25 * np.sin(2 * np.pi * 220 * t), 8000)
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(b"not-audio")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    out = {r["media_id"]: r for r in audio.extract_audio_features(df).collect()}
+    assert out[1]["sample_rate"] == 8000
+    assert out[1]["audio_duration_ms"] == pytest.approx(500.0)
+    assert out[1]["rms"] == pytest.approx(0.25 / np.sqrt(2), rel=1e-2)
+    assert out[2]["sample_rate"] is None  # undecodable → NULL features
+    assert out[3]["sample_rate"] is None
+
+
+def test_decode_media_sniffs_wav():
+    samples = np.linspace(-0.5, 0.5, 64)
+    wav = audio.encode_wav(samples, 16_000)
+    out = multimodal.decode_media(wav, "audio", fake=False)
+    assert out.shape == (64, 1)
+    assert np.allclose(out[:, 0], samples, atol=1.0 / 32768)
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def _mk_avi(n_frames=6, w=16, h=16, fps=10.0, seed=5):
+    from gfw_data_api_spark.llmops.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    imgs = [
+        np.full((h, w), 20 * i + 30, dtype=np.uint8) + rng.integers(0, 5, (h, w), dtype=np.uint8)
+        for i in range(n_frames)
+    ]
+    frames = [encode_jpeg(img, quality=95) for img in imgs]
+    return video.encode_avi_mjpeg(frames, fps, w, h), imgs
+
+
+def test_avi_parse_roundtrip():
+    data, imgs = _mk_avi()
+    info = video.parse_avi(data)
+    assert info["n_frames"] == 6
+    assert (info["width"], info["height"]) == (16, 16)
+    assert info["fps"] == pytest.approx(10.0, rel=0.01)
+    assert info["codec"] == "mjpg"
+
+
+def test_avi_frame_decode_selected():
+    data, imgs = _mk_avi()
+    out = video.decode_avi_frames(data, [0, 3, 5])
+    assert len(out) == 3
+    for frame, img in zip(out, (imgs[0], imgs[3], imgs[5])):
+        assert frame.shape[:2] == (16, 16)
+        # q95 grayscale JPEG of a near-flat image: mean within a few levels
+        assert abs(float(frame.mean()) - float(img.mean())) < 4.0
+
+
+def test_avi_rejects_bad_signature():
+    with pytest.raises(ValueError):
+        video.parse_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(IndexError):
+        data, _ = _mk_avi(n_frames=2)
+        video.decode_avi_frames(data, [5])
+
+
+def test_decode_media_sniffs_avi():
+    data, _ = _mk_avi(n_frames=3)
+    out = multimodal.decode_media(data, "video", fake=False)
+    assert out.shape[0] == 3  # stacked frames
+
+
+def test_decode_sampled_frames_spark(spark):
+    data, imgs = _mk_avi(n_frames=6)
+    rows = [(1, bytearray(data)), (2, bytearray(b"not-a-video")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    out = video.decode_sampled_frames(df, every_nth=2).collect()
+    got = sorted((r["media_id"], r["frame_index"]) for r in out)
+    assert got == [(1, 0), (1, 2), (1, 4)]
+    by_idx = {r["frame_index"]: r for r in out}
+    assert by_idx[0]["frame_width"] == 16 and by_idx[0]["frame_height"] == 16
+    assert abs(by_idx[4]["frame_mean_luma"] - float(imgs[4].mean())) < 4.0
+    assert by_idx[0]["frame_png"] is None
+
+
+def test_decode_sampled_frames_emit_png(spark):
+    data, imgs = _mk_avi(n_frames=2)
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id int, payload binary")
+    out = video.decode_sampled_frames(df, every_nth=1, emit_png=True).collect()
+    decoded = multimodal.decode_png(bytes(out[0]["frame_png"]))
+    assert decoded.shape[:2] == (16, 16)
+
+
+# ------------------------------------------------------------- resize
+
+
+def test_bilinear_resize_identity_and_downscale():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    same = multimodal.bilinear_resize(img, 6, 8)
+    assert (same == img).all()  # identity when dims unchanged
+    half = multimodal.bilinear_resize(img, 3, 4)
+    assert half.shape == (4, 3, 3)
+    # 2x2 box positions: bilinear at pixel centers = 4-pixel average
+    expected = img.astype(np.float64).reshape(4, 2, 3, 2, 3).mean(axis=(1, 3))
+    assert np.abs(half.astype(np.float64) - expected).max() <= 1.0
+
+
+def test_resize_images_decode_path(spark):
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(multimodal.encode_png(img)), ("image", "png", 16, 16, None, None)),
+        (2, bytearray(b"undecodable"), ("image", "raw", 8, 8, None, None)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id int, payload binary, media_meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:int,n_frames:int>",
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_images(df, 8, 8, decode=True).collect()}
+    resized = multimodal.decode_png(bytes(out[1]["payload"]))
+    assert resized.shape == (8, 8, 3)
+    assert out[1]["media_meta"]["width"] == 8 and out[1]["media_meta"]["format"] == "png"
+    assert np.abs(
+        resized.astype(np.float64)
+        - img.astype(np.float64).reshape(8, 2, 8, 2, 3).mean(axis=(1, 3))
+    ).max() <= 1.0
+    # undecodable row: payload untouched, format preserved, dims rewritten
+    assert bytes(out[2]["payload"]) == b"undecodable"
+    assert out[2]["media_meta"]["format"] == "raw"
+    assert out[2]["media_meta"]["width"] == 8
