@@ -3070,16 +3070,17 @@ _DRIVER_FRONT: list[str] = [
     "q16_date_between_pipeline",
     "st01_tumbling_window",
     "st02_session_windows",
-    "s04_blocked_cosine_pairs",
-    "q17_rollup",
-    # (d06_winnowing_fingerprints was r1/r2-driver-checked; dropped from
-    # the front to keep the 50-slot snapshot for round-4 additions)
+    # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup
+    # were r1/r2-driver-checked; dropped from the front to keep 50-slot
+    # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
     "a01_approx_count_distinct",
     "a02_approx_percentile",
     "p03_curate_round4",
     "q26_point_radius_haversine",
     "s08_ivf_recall_gate",
+    "m02_audio_wav_features",
+    "m03_video_frame_sampling",
 ]
 
 
@@ -3192,6 +3193,161 @@ _SPECS.append(
         ),
         survey_ref="similarity: IVF quality contract inside the hard gate "
         "(exact top-1 + recall@10 error-envelope boolean; llmops/ivf.py)",
+    )
+)
+
+
+def _m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV audio decode inside the hard gate, bit-exactly oracled.
+
+    Per selected document a WAV payload is synthesized executor-side
+    (float32 PCM, samples k/128 with integer k in [-100, 100] — exactly
+    representable in float32, so decode returns the analytic signal
+    bit-for-bit), then decoded back by llmops/audio.extract_audio_features.
+    Every emitted feature (rms, peak, zero-crossing rate, silence ratio)
+    is therefore an exact closed form of (doc_id, i) that DuckDB
+    recomputes from generate_series: squared samples are multiples of
+    2^-14 summing below 2^10, so the float64 sum is exact in any order —
+    no tolerance needed. The FFT-based spectral centroid stays out of
+    the gate (covered by unit tests) since it is the one
+    order-sensitive float reduction."""
+    from gfw_data_api_spark.llmops.audio import encode_wav, extract_audio_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 400 + d % 7 * 80
+                i = np.arange(n, dtype=np.int64)
+                k = (i * 37 + d) % 201 - 100
+                payloads.append(bytearray(encode_wav(k / 128.0, 8000, bits=-32)))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    wav = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return extract_audio_features(wav).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "audio_duration_ms",
+        "rms",
+        "peak",
+        "zero_crossing_rate",
+        "silence_ratio",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m02_audio_wav_features",
+        spark_fn=_m02,
+        oracle=(
+            # k(i) = (i*37 + doc_id) % 201 - 100; sample v = k/128 stored
+            # as float32 (exact). kp is the previous sample's k for the
+            # zero-crossing pair test (signbit == v < 0 here: no -0.0).
+            "WITH d AS (SELECT doc_id, 400 + (doc_id % 7) * 80 AS n "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "s AS (SELECT d.doc_id, d.n, g.i, "
+            "((g.i * 37 + d.doc_id) % 201 - 100) AS k, "
+            "((g.i - 1) * 37 + d.doc_id) % 201 - 100 AS kp, "
+            "CAST(((g.i * 37 + d.doc_id) % 201 - 100) / 128.0 AS REAL) AS v "
+            "FROM d, generate_series(0, 879) AS g(i) WHERE g.i < d.n), "
+            "agg AS (SELECT doc_id, n, sum(pow(v, 2)) AS ss, "
+            "CAST(max(abs(v)) AS DOUBLE) AS peak, "
+            "sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS silent, "
+            "sum(CASE WHEN i >= 1 AND ((k < 0) <> (kp < 0)) THEN 1 ELSE 0 END) AS crossings "
+            "FROM s GROUP BY doc_id, n) "
+            "SELECT doc_id, 8000 AS sample_rate, CAST(n AS INTEGER) AS n_samples, "
+            "1000.0 * n / 8000.0 AS audio_duration_ms, "
+            "sqrt(ss / CAST(n AS DOUBLE)) AS rms, peak, "
+            "CAST(crossings AS DOUBLE) / (n - 1) AS zero_crossing_rate, "
+            "CAST(silent AS DOUBLE) / n AS silence_ratio FROM agg"
+        ),
+        survey_ref="multimodal audio: WAV decode + signal features "
+        "(llmops/audio.py) — bit-exact analytic oracle",
+    )
+)
+
+
+def _m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-AVI video frame sampling inside the hard gate.
+
+    Executor-side, each selected document becomes an AVI of flat 8x8
+    grayscale MJPEG frames (level = (doc_id*11 + i*31) % 200 + 20), then
+    llmops/video.decode_sampled_frames re-parses the container, decodes
+    every 2nd frame through the JPEG codec, and the query emits the
+    exact sampled index set + frame dims plus an error-envelope boolean
+    (decoded mean luma within 4 levels of the encoded flat value — a
+    q95 flat block quantizes only the DC coefficient, so the bound has
+    wide margin). DuckDB recomputes the sampled indices from
+    generate_series and checks the booleans as literal TRUE — the a01/
+    a02 error-bound-gate pattern applied to lossy codec output."""
+    from gfw_data_api_spark.llmops.video import decode_sampled_frames, encode_avi_mjpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from gfw_data_api_spark.llmops.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [
+                    encode_jpeg(
+                        np.full((8, 8), (d * 11 + i * 31) % 200 + 20, dtype=np.uint8),
+                        quality=95,
+                    )
+                    for i in range(2 + d % 5)
+                ]
+                payloads.append(bytearray(encode_avi_mjpeg(frames, 10.0, 8, 8)))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    avi = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    frames = decode_sampled_frames(avi, every_nth=2)
+    expected = (F.col("doc_id") * 11 + F.col("frame_index") * 31) % 200 + 20
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        "frame_width",
+        "frame_height",
+        (F.abs(F.col("frame_mean_luma") - expected) <= F.lit(4.0)).alias("luma_ok"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m03_video_frame_sampling",
+        spark_fn=_m03,
+        oracle=(
+            "WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS nf "
+            "FROM documents WHERE doc_id % 20 = 0) "
+            "SELECT d.doc_id, CAST(g.i AS INTEGER) AS frame_index, "
+            "8 AS frame_width, 8 AS frame_height, TRUE AS luma_ok "
+            "FROM d, generate_series(0, 6) AS g(i) "
+            "WHERE g.i < d.nf AND g.i % 2 = 0"
+        ),
+        survey_ref="multimodal video: AVI container parse + sampled MJPEG "
+        "frame decode (llmops/video.py) — index-exact oracle with "
+        "error-envelope luma booleans",
     )
 )
 
