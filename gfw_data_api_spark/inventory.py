@@ -3069,10 +3069,10 @@ _DRIVER_FRONT: list[str] = [
     "i07_exact_id_lookup",
     "q16_date_between_pipeline",
     "st01_tumbling_window",
-    "st02_session_windows",
-    # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup
-    # were r1/r2-driver-checked; dropped from the front to keep 50-slot
-    # room for round-4 additions — they stay registered right behind)
+    # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
+    # st02_session_windows were r1/r2-driver-checked; dropped from the
+    # front to keep 50-slot room for round-4 additions — they stay
+    # registered right behind)
     # round-4 additions (never driver-checked)
     "a01_approx_count_distinct",
     "a02_approx_percentile",
@@ -3081,6 +3081,7 @@ _DRIVER_FRONT: list[str] = [
     "s08_ivf_recall_gate",
     "m02_audio_wav_features",
     "m03_video_frame_sampling",
+    "t15_bm25_search",
 ]
 
 
@@ -3193,6 +3194,52 @@ _SPECS.append(
         ),
         survey_ref="similarity: IVF quality contract inside the hard gate "
         "(exact top-1 + recall@10 error-envelope boolean; llmops/ivf.py)",
+    )
+)
+
+
+def _t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the documents corpus (the
+    text-search operator a curation pipeline uses for targeted corpus
+    probes). Float determinism: every scalar constant the Spark side
+    computes in Python (k1+1, avgdl is re-derived by the oracle from
+    the same integer totals) appears in the oracle SQL with identical
+    IEEE parenthesization, so scores agree to the last ulp before the
+    shared round(6)."""
+    from gfw_data_api_spark.llmops.text import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["spark", "join", "vector"], top_k=20)
+
+
+def _t15_oracle() -> str:
+    k1, b = 1.2, 0.75
+    toks = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+    return (
+        f"WITH base AS (SELECT doc_id, len({toks}) AS dl, {toks} AS toks FROM documents), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM base), "
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM "
+        "(SELECT doc_id, dl, unnest(toks) AS term FROM base) "
+        "WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, dl, term), "
+        "docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "scored AS (SELECT tf.doc_id, "
+        "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * "
+        f"((tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * (tf.dl / s.avgdl)))) AS sc "
+        "FROM tf JOIN docfreq d USING (term), stats s) "
+        "SELECT doc_id, round(sum(sc), 6) AS bm25 FROM scored "
+        "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t15_bm25_search",
+        spark_fn=_t15,
+        oracle=_t15_oracle(),
+        survey_ref="text analysis: Okapi BM25 ranked retrieval "
+        "(llmops/text.py bm25_search) — map-side term filter, no full-corpus "
+        "shuffle, TakeOrdered top-k",
     )
 )
 

@@ -157,6 +157,78 @@ def tfidf_top_terms(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a bag-of-terms query.
+
+    Lucene-style IDF: ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (always
+    positive), with the standard saturation/length terms
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Shape at scale: one explode with a MAP-SIDE ``isin(query_terms)``
+    filter (non-query terms never reach a shuffle), one (doc, term)
+    hash aggregation over the surviving sliver, a per-term doc-frequency
+    aggregate bounded by |query| rows that AQE broadcasts back, and a
+    per-doc sum + TakeOrdered for the top-k. Document length rides the
+    grouping key (constant per doc), so no separate length join. N and
+    avgdl are one scalar aggregation job, same pattern as
+    :func:`tfidf_top_terms`'s ``count()``.
+
+    Ranking is by the 6-decimal-rounded score (then id), keeping result
+    membership deterministic across engines: the only cross-engine float
+    divergence is the per-doc sum over ≤|query| terms, far inside 1e-6.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.filter(tokens_col(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
+        "_id", F.size("_toks").alias("_dl"), F.col("_toks")
+    )
+    n_docs, total_dl = base.agg(F.count("*"), F.sum("_dl")).first()
+    if not n_docs:
+        raise ValueError("bm25_search: empty corpus")
+    avgdl = float(total_dl) / float(n_docs)
+
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    # Persist the (doc, term) sliver: both the doc-frequency aggregate and
+    # the scoring join consume it, and without pinning, the docfreq branch
+    # would RE-SCAN and re-explode the full corpus (two 100 TB passes for
+    # one query). The sliver is ≤ matching-docs × |query| rows — tiny next
+    # to the corpus — so this is the cheap side to materialize.
+    tf = _persist_replacing(
+        base.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count("*").alias("tf")),
+        "bm25_tf",
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.lit(avgdl)))
+    )
+    return (
+        tf.join(docfreq, "term")
+        .withColumn("_score", idf * tf_part)
+        .groupBy("_id")
+        .agg(F.round(F.sum("_score"), 6).alias("bm25"))
+        .select(F.col("_id").alias(id_col), "bm25")
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -419,6 +419,52 @@ def test_tfidf_top_terms_golden(spark):
     assert scores[(2, "cherry")] == 0.0
 
 
+def test_bm25_search_golden(spark):
+    import math
+
+    from gfw_data_api_spark.llmops.text import bm25_search
+
+    corpus = [
+        (1, "spark join spark filter"),
+        (2, "join join join scan"),
+        (3, "filter scan merge"),
+        (4, "spark"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = bm25_search(docs, ["spark", "join"], k1=1.2, b=0.75, top_k=10).collect()
+    got = {r["doc_id"]: r["bm25"] for r in out}
+
+    # independent reference computation
+    toks = {i: t.split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {q: sum(1 for v in toks.values() if q in v) for q in ("spark", "join")}
+    expected = {}
+    for i, v in toks.items():
+        s = 0.0
+        for q in ("spark", "join"):
+            tf = v.count(q)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl)))
+        if s:
+            expected[i] = round(s, 6)
+    assert got == pytest.approx(expected, abs=2e-6)
+    # doc 3 has no query term and must be absent; ranking deterministic
+    assert 3 not in got
+    ranked = [r["doc_id"] for r in out]
+    assert ranked == sorted(expected, key=lambda i: (-expected[i], i))
+
+
+def test_bm25_empty_corpus_raises(spark):
+    from gfw_data_api_spark.llmops.text import bm25_search
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_search(empty, ["x"])
+
+
 def test_decontamination_flags_planted_overlap(spark):
     from gfw_data_api_spark.llmops.decontaminate import (
         contamination_matches,
