@@ -3068,11 +3068,10 @@ _DRIVER_FRONT: list[str] = [
     "q15_window_frame",
     "i07_exact_id_lookup",
     "q16_date_between_pipeline",
-    "st01_tumbling_window",
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
-    # st02_session_windows were r1/r2-driver-checked; dropped from the
-    # front to keep 50-slot room for round-4 additions — they stay
-    # registered right behind)
+    # st01_tumbling_window, st02_session_windows were r1/r2-driver-checked;
+    # dropped from the front to keep 50-slot room for round-4 additions —
+    # they stay registered right behind)
     # round-4 additions (never driver-checked)
     "a01_approx_count_distinct",
     "a02_approx_percentile",
@@ -3082,6 +3081,7 @@ _DRIVER_FRONT: list[str] = [
     "m02_audio_wav_features",
     "m03_video_frame_sampling",
     "t15_bm25_search",
+    "m04_perceptual_neardups",
 ]
 
 
@@ -3395,6 +3395,82 @@ _SPECS.append(
         survey_ref="multimodal video: AVI container parse + sampled MJPEG "
         "frame decode (llmops/video.py) — index-exact oracle with "
         "error-envelope luma booleans",
+    )
+)
+
+
+def _m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup detection inside the hard gate.
+
+    Each selected document becomes a PNG whose pixels depend only on its
+    group (doc_id % 25) plus a per-doc uniform brightness shift — bytes
+    differ, so sha-based exact dedup CANNOT pair them, but dHash (bit =
+    adjacent-column comparison) and pHash (AC coefficients + AC median)
+    are exactly invariant to uniform shifts (resize uses half-up
+    rounding, so integer shifts commute through the whole pipeline).
+    The expected pair set is therefore EXACTLY the within-group pairs at
+    Hamming 0 on both hashes; cross-group fingerprints are ≥18 bits
+    apart (deterministic images, verified constants). DuckDB recomputes
+    the pair set from the group arithmetic alone."""
+    from gfw_data_api_spark.llmops.phash import (
+        perceptual_hashes,
+        perceptual_neardup_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from gfw_data_api_spark.llmops.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rng = np.random.default_rng(d % 25 * 9973 + 7)
+                base = rng.integers(30, 221, (8, 9)).astype(np.uint8)
+                payloads.append(bytearray(encode_png(base + d % 7)))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    imgs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    hashed = imgs.transform(perceptual_hashes, id_col="doc_id")
+    pairs = perceptual_neardup_pairs(hashed, "dhash", id_col="doc_id")
+    ph = hashed.select("doc_id", "phash")
+    return (
+        pairs.join(ph.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("phash", "_ph_a")
+        .join(ph.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("phash")))
+            .cast("int")
+            .alias("phash_hamming"),
+        )
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m04_perceptual_neardups",
+        spark_fn=_m04,
+        oracle=(
+            "WITH d AS (SELECT doc_id, doc_id % 25 AS grp "
+            "FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(0 AS INTEGER) AS hamming, CAST(0 AS INTEGER) AS phash_hamming "
+            "FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id"
+        ),
+        survey_ref="multimodal dedup: dHash/pHash perceptual near-dups "
+        "(llmops/phash.py) — banded pigeonhole join, exact planted-group oracle",
     )
 )
 

@@ -301,7 +301,9 @@ def bilinear_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
     top = arr[y0[:, None], x0[None, :]] * (1 - wx) + arr[y0[:, None], x1[None, :]] * wx
     bot = arr[y1[:, None], x0[None, :]] * (1 - wx) + arr[y1[:, None], x1[None, :]] * wx
-    out = np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+    # half-up rounding (not banker's): keeps resize equivariant under
+    # integer brightness shifts, which perceptual hashing relies on
+    out = np.clip(np.floor(top * (1 - wy) + bot * wy + 0.5), 0, 255).astype(np.uint8)
     return out[:, :, 0] if squeeze else out
 
 

@@ -250,3 +250,64 @@ def test_resize_images_decode_path(spark):
     assert bytes(out[2]["payload"]) == b"undecodable"
     assert out[2]["media_meta"]["format"] == "raw"
     assert out[2]["media_meta"]["width"] == 8
+
+
+# ----------------------------------------------------------- phash
+
+
+def test_dhash_brightness_invariance_and_sensitivity():
+    from gfw_data_api_spark.llmops import phash
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(30, 200, (12, 16, 3)).astype(np.uint8)
+    h0 = phash.dhash64(img)
+    assert phash.dhash64(np.clip(img.astype(np.int32) + 20, 0, 255).astype(np.uint8)) == h0
+    other = rng.integers(30, 200, (12, 16, 3)).astype(np.uint8)
+    ham = bin((h0 ^ phash.dhash64(other)) & ((1 << 64) - 1)).count("1")
+    assert ham > 10
+
+
+def test_phash_resize_robustness():
+    from gfw_data_api_spark.llmops import phash
+    from gfw_data_api_spark.llmops.multimodal import bilinear_resize
+
+    rng = np.random.default_rng(3)
+    # smooth image (random low-res upsampled) so resizing preserves structure
+    img = bilinear_resize(rng.integers(0, 256, (6, 6)).astype(np.uint8), 64, 64)
+    small = bilinear_resize(img, 24, 24)
+    h1, h2 = phash.phash64(img), phash.phash64(small)
+    ham = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6  # low-frequency structure survives a 2.7x downscale
+    other = bilinear_resize(rng.integers(0, 256, (6, 6)).astype(np.uint8), 64, 64)
+    assert bin((h1 ^ phash.phash64(other)) & ((1 << 64) - 1)).count("1") > 12
+
+
+def test_perceptual_neardup_pairs_planted(spark):
+    from gfw_data_api_spark.llmops import phash
+    from gfw_data_api_spark.llmops.multimodal import encode_png
+
+    rng = np.random.default_rng(8)
+    base_a = rng.integers(30, 200, (8, 9)).astype(np.uint8)
+    base_b = rng.integers(30, 200, (8, 9)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base_a))),
+        (2, bytearray(encode_png(base_a + 5))),   # brightness twin of 1
+        (3, bytearray(encode_png(base_b))),
+        (4, bytearray(b"undecodable")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    hashed = phash.perceptual_hashes(df)
+    by_id = {r["media_id"]: r for r in hashed.collect()}
+    assert by_id[4]["dhash"] is None and by_id[5]["phash"] is None
+    pairs = phash.perceptual_neardup_pairs(hashed).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_perceptual_neardup_pigeonhole_contract(spark):
+    from gfw_data_api_spark.llmops import phash
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id int, payload binary")
+    hashed = phash.perceptual_hashes(df, fake=True)
+    with pytest.raises(ValueError):
+        phash.perceptual_neardup_pairs(hashed, max_hamming=4, bands=4)
