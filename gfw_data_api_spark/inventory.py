@@ -3067,11 +3067,10 @@ _DRIVER_FRONT: list[str] = [
     "i08_multiway_join_revenue",
     "q15_window_frame",
     "i07_exact_id_lookup",
-    "q16_date_between_pipeline",
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
-    # st01_tumbling_window, st02_session_windows were r1/r2-driver-checked;
-    # dropped from the front to keep 50-slot room for round-4 additions —
-    # they stay registered right behind)
+    # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline
+    # were r1/r2-driver-checked; dropped from the front to keep 50-slot
+    # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
     "a01_approx_count_distinct",
     "a02_approx_percentile",
@@ -3082,6 +3081,7 @@ _DRIVER_FRONT: list[str] = [
     "m03_video_frame_sampling",
     "t15_bm25_search",
     "m04_perceptual_neardups",
+    "c03_text_normalization",
 ]
 
 
@@ -3395,6 +3395,65 @@ _SPECS.append(
         survey_ref="multimodal video: AVI container parse + sampled MJPEG "
         "frame decode (llmops/video.py) — index-exact oracle with "
         "error-envelope luma booleans",
+    )
+)
+
+
+# Decoration wrapped around each document for the c03 normalization gate:
+# curly quotes, em dash, combining accent (e +  ́ → é under NFC), NBSP
+# runs, a BEL control, zero-width chars, prime marks — every class the
+# normalizer handles, exercised on real corpus text.
+_C03_PREFIX = "\u201cQu\u2019oted\u201d \u2014 cafe\u0301\u00a0\u00a0 \x07 "
+_C03_SUFFIX = " \u200bzero\u200bwidth \u2013 end\u2032  "
+
+
+def _c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode + typographic normalization (llmops/clean.normalize_text):
+    translate-map quotes/dashes/spaces, delete zero-width, strip
+    controls, collapse whitespace, NFC — mirrored function-for-function
+    in DuckDB (translate / regexp_replace 'g' / trim / nfc_normalize),
+    so the normalized text hash-compares exactly across engines."""
+    from gfw_data_api_spark.llmops.clean import normalize_text_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = F.concat(F.lit(_C03_PREFIX), F.col("text"), F.lit(_C03_SUFFIX))
+    norm = normalize_text_col(decorated)
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+def _c03_oracle() -> str:
+    from gfw_data_api_spark.llmops.clean import (
+        _CONTROL_RE,
+        _TRANSLATE_FROM,
+        _TRANSLATE_TO,
+    )
+
+    sql_to = _TRANSLATE_TO.replace("'", "''")
+    pre = _C03_PREFIX.replace("'", "''")
+    suf = _C03_SUFFIX.replace("'", "''")
+    return (
+        "SELECT doc_id, nfc_normalize(trim(regexp_replace(regexp_replace("
+        f"translate('{pre}' || text || '{suf}', '{_TRANSLATE_FROM}', '{sql_to}'), "
+        f"'{_CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g'))) AS norm_text, "
+        "CAST(length(nfc_normalize(trim(regexp_replace(regexp_replace("
+        f"translate('{pre}' || text || '{suf}', '{_TRANSLATE_FROM}', '{sql_to}'), "
+        f"'{_CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm "
+        "FROM documents"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="c03_text_normalization",
+        spark_fn=_c03,
+        oracle=_c03_oracle(),
+        survey_ref="text cleaning: Unicode NFC + typographic normalization "
+        "(llmops/clean.normalize_text) — JVM translate/regexp stages, "
+        "Arrow-batched NFC",
     )
 )
 

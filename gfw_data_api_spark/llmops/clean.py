@@ -25,6 +25,73 @@ REDACTIONS = [
 ]
 
 
+# Typographic normalization tables (public Unicode ranges). translate()
+# maps 1:1 where both strings have a char and DELETES source chars with
+# no counterpart — identical semantics in Spark and DuckDB/Postgres, so
+# the zero-width set sits at the tail of _TRANSLATE_FROM with no
+# counterpart in _TRANSLATE_TO.
+_CURLY_SINGLE = "\u2018\u2019\u201a\u201b\u2032"
+_CURLY_DOUBLE = "\u201c\u201d\u201e\u201f\u2033"
+_DASHES = "\u2010\u2011\u2012\u2013\u2014\u2015\u2212"
+_UNI_SPACES = (
+    "\u00a0\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008"
+    "\u2009\u200a\u202f\u205f\u3000"
+)
+_ZERO_WIDTH = "\u200b\u200c\u200d\u2060\ufeff\u00ad"
+_TRANSLATE_FROM = _CURLY_SINGLE + _CURLY_DOUBLE + _DASHES + _UNI_SPACES + _ZERO_WIDTH
+_TRANSLATE_TO = (
+    "'" * len(_CURLY_SINGLE) + '"' * len(_CURLY_DOUBLE) + "-" * len(_DASHES) + " " * len(_UNI_SPACES)
+)
+# C0/C1 controls minus \t \n \r (which the whitespace squeeze handles)
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text_col(
+    text: Column, collapse_whitespace: bool = True, nfc: bool = True
+) -> Column:
+    """Unicode + typographic text normalization.
+
+    Steps, in order (the order is part of the contract — the gate's
+    DuckDB oracle mirrors it function-for-function):
+
+    1. ``translate``: curly quotes → ASCII quotes, en/em/figure dashes →
+       ``-``, Unicode spaces → ASCII space, zero-width chars deleted.
+    2. Strip remaining C0/C1 control chars (keeping tab/newline/CR,
+       which step 3 owns). Removing \\x0b/\\x0c here also keeps the
+       later ``\\s`` classes identical between Java regex and RE2.
+    3. Optionally collapse whitespace runs to single spaces and trim.
+    4. Optionally NFC-normalize (combining sequences → precomposed) —
+       the one step that needs Python (Arrow-batched pandas_udf over
+       ``Series.str.normalize``); everything before is JVM codegen.
+    """
+    t = F.translate(text, _TRANSLATE_FROM, _TRANSLATE_TO)
+    t = F.regexp_replace(t, _CONTROL_RE, "")
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if nfc:
+        from pyspark.sql.types import StringType
+
+        @F.pandas_udf(StringType())
+        def _nfc(s):
+            return s.str.normalize("NFC")
+
+        t = _nfc(t)
+    return t
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    collapse_whitespace: bool = True,
+    nfc: bool = True,
+) -> DataFrame:
+    """DataFrame wrapper for :func:`normalize_text_col`; adds ``out_col``."""
+    return df.withColumn(
+        out_col, normalize_text_col(F.col(text_col), collapse_whitespace, nfc)
+    )
+
+
 def pii_counts(text: Column) -> list[Column]:
     """One count column per PII class."""
     return [

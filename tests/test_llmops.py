@@ -1059,3 +1059,28 @@ def test_extract_features_real_jpeg_decode(spark):
     expected = expected.reshape(multimodal.FEATURE_DIM, -1).mean(axis=1)
     assert np.allclose(out[0]["features"], expected, atol=1e-4)
     assert out[0]["features"] != out[1]["features"]
+
+
+def test_normalize_text_unicode(spark):
+    from gfw_data_api_spark.llmops.clean import normalize_text
+
+    rows = [
+        (1, "“Hi” — café"),       # quotes, em dash, combining accent
+        (2, "a​b  c\x07d"),                   # zero-width, NBSP run, BEL
+        (3, "  tabs\tand\nnewlines  "),
+        (4, "‘x’ – y−z"),                # curly singles, en dash, minus
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert out[1] == '"Hi" - café'   # NFC precomposed
+    assert out[2] == "ab cd"
+    assert out[3] == "tabs and newlines"
+    assert out[4] == "'x' - y-z"
+
+
+def test_normalize_text_no_collapse(spark):
+    from gfw_data_api_spark.llmops.clean import normalize_text
+
+    df = spark.createDataFrame([(1, "a\n\nb  c")], "doc_id int, text string")
+    out = normalize_text(df, collapse_whitespace=False).collect()[0]["norm_text"]
+    assert out == "a\n\nb  c"  # structure preserved when collapse is off
