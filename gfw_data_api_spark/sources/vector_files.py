@@ -444,10 +444,12 @@ def write_geopackage(df: DataFrame, path: str, layer: str, geom_col: str = "geom
 # Spec", the layout GDAL's OpenFileGDB driver implements). This reads the
 # common subset the reference's vector loads need: V3 tables, field types
 # objectid / int16 / int32 / float32 / float64 / string / datetime /
-# geometry, shapes point / polyline / polygon. Anything outside the
-# subset (compressed tables, blob/raster/uuid fields, multipatch, z/m
-# coordinates) raises FileGDBUnsupportedError with the ogr2ogr
-# conversion hint instead of decoding garbage.
+# geometry, shapes point / polyline / polygon — including their z/m
+# variants (codes 9/11/13/15/21/23/25), whose elevation/measure streams
+# are parsed past and flattened to 2-D. Anything outside the subset
+# (compressed tables, blob/raster/uuid fields, multipatch) raises
+# FileGDBUnsupportedError with the ogr2ogr conversion hint instead of
+# decoding garbage.
 #
 # Scale design (same as read_shapefile): the DRIVER reads only the
 # .gdbtablx row index (5-6 bytes/row) plus the ~hundreds-of-bytes field
@@ -616,11 +618,19 @@ def _gdbtable_schema(path: str) -> dict:
             pos += 1
             has_z = bool(geom_flags & 4)
             has_m = bool(geom_flags & 2)
-            if has_z or has_m:
-                raise FileGDBUnsupportedError(f"{path}: z/m coordinates unsupported")
             xorigin, yorigin, xyscale = struct.unpack_from("<3d", sec, pos)
             pos += 24
+            # FGDB-Spec descriptor order: m params before z params, both
+            # before xytolerance; tolerances in the same m-then-z order
+            if has_m:
+                pos += 16  # morigin, mscale
+            if has_z:
+                pos += 16  # zorigin, zscale
             pos += 8  # xytolerance
+            if has_m:
+                pos += 8  # mtolerance
+            if has_z:
+                pos += 8  # ztolerance
             geom_params = {"xorigin": xorigin, "yorigin": yorigin, "xyscale": xyscale}
             pos += 32  # extent: xmin, ymin, xmax, ymax
             # spatial-grid-size section (FGDB-Spec): 1-byte count of
@@ -654,7 +664,16 @@ def _gdb_decode_geometry(blob: bytes, params: dict) -> geo.Geom | None:
     """
     xs, ys, scale = params["xorigin"], params["yorigin"], params["xyscale"]
     gtype, pos = _read_varuint(blob, 0)
-    shape = gtype & 0xFF
+    # z/m-bearing shape codes flatten to their 2-D base type: the z/m
+    # streams sit AFTER the xy data in every blob layout (point: trailing
+    # varuints; line/ring: trailing delta streams) and each geometry blob
+    # is length-prefixed in the row, so dropping them needs no byte
+    # accounting. 2.5D sources therefore load with geometries flattened
+    # to 2-D — matching how the reference's 2-D web-mercator pipeline
+    # treats elevation (it never reaches the served tiles).
+    shape = {9: 1, 11: 1, 21: 1, 13: 3, 23: 3, 15: 5, 25: 5}.get(
+        gtype & 0xFF, gtype & 0xFF
+    )
     if shape == 1:  # point
         vx, pos = _read_varuint(blob, pos)
         if vx == 0:
@@ -898,6 +917,7 @@ def write_file_gdb(
     layer: str,
     geom_col: str = "geom",
     geom_first: bool = True,
+    with_z: bool = False,
 ) -> None:
     """Collect + write a (small) DataFrame as a minimal valid FileGDB —
     the byte-level twin of ``read_file_gdb`` (same public FGDB-Spec
@@ -907,7 +927,12 @@ def write_file_gdb(
     ``geom_first=True`` (default) writes the ESRI-realistic field order
     OBJECTID, SHAPE, attributes — which exercises the reader's handling
     of attribute descriptors AFTER the geometry descriptor (incl. the
-    spatial-grid-size section); ``False`` keeps attributes-then-SHAPE."""
+    spatial-grid-size section); ``False`` keeps attributes-then-SHAPE.
+
+    ``with_z=True`` writes a z-enabled layer (geom flag 0x04, z
+    origin/scale + tolerance doubles in spec order, z-bearing shape
+    codes, synthetic constant-elevation z streams) — the fixture for
+    the reader's 2.5D flattening path."""
     rows = df.collect()
     os.makedirs(path, exist_ok=True)
     prop_fields = [f for f in df.schema.fields if f.name != geom_col]
@@ -934,16 +959,23 @@ def write_file_gdb(
     xyscale = 1e9  # ~1e-9 deg resolution, origin (-400, -400) like ESRI default
     xorigin = yorigin = -400.0
 
+    zorigin, zscale = -100000.0, 1e4
+    fixture_z = 7.5  # synthetic constant elevation for z fixtures
+
     def geometry_desc() -> bytes:
         wkt = b""  # empty SRS WKT
+        z_params = struct.pack("<2d", zorigin, zscale) if with_z else b""
+        z_tol = struct.pack("<d", 1.0 / zscale) if with_z else b""
         return (
             field_desc("SHAPE", _GDB_GEOMETRY, b"")
             + b"\x00\x01"  # unknown, flags: nullable
             + struct.pack("<h", len(wkt))
             + wkt
-            + b"\x00"  # geom flags: no z, no m
+            + (b"\x04" if with_z else b"\x00")  # geom flags: z bit only
             + struct.pack("<3d", xorigin, yorigin, xyscale)
+            + z_params  # spec order: (m params would precede) z params
             + struct.pack("<d", 1.0 / xyscale)  # xytolerance
+            + z_tol
             + struct.pack("<4d", -180.0, -90.0, 180.0, 90.0)  # extent
             + bytes([1])  # spatial-grid-size count
             + struct.pack("<d", 4.0)  # one grid size (value unused by readers)
@@ -951,11 +983,15 @@ def write_file_gdb(
 
     def encode_geometry(wkb: bytes) -> bytes:
         g = geo.wkb_loads(bytes(wkb))
+        zint = round((fixture_z - zorigin) * zscale)
         if g["type"] == "Point":
             x, y = g["coordinates"]
             vx = round((x - xorigin) * xyscale) + 1
             vy = round((y - yorigin) * xyscale) + 1
-            return _write_varuint(1) + _write_varuint(vx) + _write_varuint(vy)
+            out = _write_varuint(9 if with_z else 1) + _write_varuint(vx) + _write_varuint(vy)
+            if with_z:
+                out += _write_varuint(zint + 1)
+            return out
         if g["type"] in ("LineString", "MultiLineString", "Polygon", "MultiPolygon"):
             if g["type"] == "LineString":
                 parts, shape = [g["coordinates"]], 3
@@ -967,6 +1003,8 @@ def write_file_gdb(
                 parts, shape = [r for p in g["coordinates"] for r in p], 5
             pts = [p for part in parts for p in part]
             npoints = len(pts)
+            if with_z:
+                shape = {3: 13, 5: 15}[shape]
             out = bytearray(_write_varuint(shape))
             out += _write_varuint(npoints)
             out += _write_varuint(len(parts))
@@ -982,6 +1020,12 @@ def write_file_gdb(
             for ix, iy in zip(ixs, iys):
                 out += _write_varint(ix - px) + _write_varint(iy - py)
                 px, py = ix, iy
+            if with_z:
+                # trailing z-delta stream: first delta from 0, then flat
+                pz = 0
+                for _ in range(npoints):
+                    out += _write_varint(zint - pz)
+                    pz = zint
             return bytes(out)
         raise ValueError(f"unsupported geometry {g['type']}")
 

@@ -592,3 +592,43 @@ def test_file_gdb_rejects_implausible_grid_count(tmp_path):
 
     with _pytest.raises(FileGDBUnsupportedError, match="grid count"):
         _gdbtable_schema(str(table))
+
+
+def test_file_gdb_z_flattening_roundtrip(spark, tmp_path):
+    """A z-enabled layer (geom flag 0x04, z params in the descriptor,
+    z-bearing shape codes with trailing elevation streams) reads back
+    with geometries flattened to 2-D and attributes AFTER the SHAPE
+    descriptor still aligned — the 2.5D path that used to reject."""
+    from pyspark.sql import types as T
+
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.sources.vector_files import (
+        read_file_gdb,
+        write_file_gdb,
+    )
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("pop", T.LongType()),
+        T.StructField("geom", T.BinaryType()),
+    ])
+    line = {"type": "LineString", "coordinates": [[0.0, 0.0], [1.5, 0.5], [2.0, 2.0]]}
+    rows = [
+        ("pt", 11, bytearray(geo.wkb_dumps({"type": "Point", "coordinates": [-60.25, -3.125]}))),
+        ("ln", 22, bytearray(geo.wkb_dumps(line))),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    gdb = str(tmp_path / "z.gdb")
+    write_file_gdb(df, gdb, "layer_z", with_z=True)  # geom_first=True default
+
+    out = read_file_gdb(spark, gdb, "layer_z").orderBy("objectid").collect()
+    assert [r.name for r in out] == ["pt", "ln"]
+    assert [r.pop for r in out] == [11, 22]
+    p = geo.wkb_loads(bytes(out[0].geom))
+    assert p["type"] == "Point" and len(p["coordinates"]) == 2
+    assert abs(p["coordinates"][0] - (-60.25)) < 1e-8
+    ln = geo.wkb_loads(bytes(out[1].geom))
+    assert ln["type"] == "LineString"
+    assert all(len(c) == 2 for c in ln["coordinates"])
+    assert abs(ln["coordinates"][1][0] - 1.5) < 1e-8
+    assert abs(ln["coordinates"][2][1] - 2.0) < 1e-8
