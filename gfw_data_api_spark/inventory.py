@@ -3066,9 +3066,9 @@ _DRIVER_FRONT: list[str] = [
     "m01_media_content_keys",
     "i08_multiway_join_revenue",
     "q15_window_frame",
-    "i07_exact_id_lookup",
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
-    # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline
+    # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
+    # i07_exact_id_lookup
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3082,6 +3082,7 @@ _DRIVER_FRONT: list[str] = [
     "t15_bm25_search",
     "m04_perceptual_neardups",
     "c03_text_normalization",
+    "a03_heavy_hitters",
 ]
 
 
@@ -3405,6 +3406,46 @@ _SPECS.append(
 # normalizer handles, exercised on real corpus text.
 _C03_PREFIX = "\u201cQu\u2019oted\u201d \u2014 cafe\u0301\u00a0\u00a0 \x07 "
 _C03_SUFFIX = " \u200bzero\u200bwidth \u2013 end\u2032  "
+
+
+def _a03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (operators/sketches.py): the candidate
+    shuffle carries ≤ batches×capacity rows however large the value
+    cardinality — the 100 TB answer to top-k over billion-distinct
+    columns. The MG bounds are deterministic (never overcounts;
+    undercount ≤ n/(capacity+1); every value heavier than that bound
+    survives), so the gate pins them as booleans beside exact counts —
+    the a01/a02 error-envelope pattern for a provable sketch."""
+    from gfw_data_api_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.filter(F.col("lang").isNotNull()).count()
+    capacity = 64
+    bound = n // (capacity + 1)
+    out = heavy_hitters(docs, "lang", capacity=capacity, top_k=10)
+    return out.select(
+        F.col("value").alias("lang"),
+        "exact_count",
+        (F.col("est_count") <= F.col("exact_count")).alias("never_overcounts"),
+        (F.col("exact_count") - F.col("est_count") <= F.lit(bound)).alias(
+            "undercount_in_bound"
+        ),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="a03_heavy_hitters",
+        spark_fn=_a03,
+        oracle=(
+            "SELECT lang, count(*) AS exact_count, TRUE AS never_overcounts, "
+            "TRUE AS undercount_in_bound FROM documents WHERE lang IS NOT NULL "
+            "GROUP BY lang ORDER BY exact_count DESC, lang LIMIT 10"
+        ),
+        survey_ref="beyond-reference (SURVEY §2.7): Misra–Gries heavy-hitter "
+        "sketch, candidate-bounded shuffle, provable-bound booleans",
+    )
+)
 
 
 def _c03(spark: SparkSession, sf_dir: str) -> DataFrame:

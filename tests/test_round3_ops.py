@@ -831,3 +831,53 @@ def test_pack_sequences_auto_bucket_scaling(spark):
     assert 5 < n_buckets <= 32
     assert sorted(i for r in packed.collect() for i in r.doc_ids) == list(range(500))
     packed.unpersist()
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_misra_gries_bounds_random():
+    import numpy as np
+
+    from gfw_data_api_spark.operators.sketches import misra_gries
+
+    rng = np.random.default_rng(5)
+    # zipf-ish stream: heavy head + long tail
+    stream = list(rng.zipf(1.5, size=5000) % 500)
+    capacity = 32
+    summary = misra_gries(iter(stream), capacity)
+    assert len(summary) <= capacity
+    n = len(stream)
+    from collections import Counter
+
+    true = Counter(stream)
+    for v, est in summary.items():
+        assert est <= true[v]                        # never overcounts
+        assert true[v] - est <= n // (capacity + 1)  # bounded undercount
+    # survival: every value heavier than the bound is in the summary
+    for v, c in true.items():
+        if c > n // (capacity + 1):
+            assert v in summary
+
+
+def test_heavy_hitters_spark_exact_on_candidates(spark):
+    from gfw_data_api_spark.operators.sketches import heavy_hitters
+
+    rows = [(v,) for v in ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"] * 2 + [None] * 3]
+    df = spark.createDataFrame(rows, "k string")
+    out = heavy_hitters(df, "k", capacity=8, top_k=3).collect()
+    got = [(r["value"], r["exact_count"]) for r in out]
+    assert got[:2] == [("a", 50), ("b", 30)]
+    for r in out:
+        assert r["est_count"] <= r["exact_count"]
+        assert r["exact_count"] - r["est_count"] <= 87 // 9
+
+
+def test_heavy_hitters_capacity_validation(spark):
+    import pytest as _pytest
+
+    from gfw_data_api_spark.operators.sketches import heavy_hitter_candidates
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with _pytest.raises(ValueError):
+        heavy_hitter_candidates(df, "k", capacity=0)
