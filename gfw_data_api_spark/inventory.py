@@ -3065,10 +3065,9 @@ _DRIVER_FRONT: list[str] = [
     "t05_quality_ratios",
     "m01_media_content_keys",
     "i08_multiway_join_revenue",
-    "q15_window_frame",
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
-    # i07_exact_id_lookup
+    # i07_exact_id_lookup, q15_window_frame
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3083,6 +3082,7 @@ _DRIVER_FRONT: list[str] = [
     "m04_perceptual_neardups",
     "c03_text_normalization",
     "a03_heavy_hitters",
+    "p04_curate_normalized",
 ]
 
 
@@ -3466,7 +3466,9 @@ def _c03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _c03_oracle() -> str:
+def _c03_norm_sql() -> str:
+    """The DuckDB expression mirroring normalize_text_col over the
+    decorated document text — shared by the c03 and p04 oracles."""
     from gfw_data_api_spark.llmops.clean import (
         _CONTROL_RE,
         _TRANSLATE_FROM,
@@ -3477,13 +3479,17 @@ def _c03_oracle() -> str:
     pre = _C03_PREFIX.replace("'", "''")
     suf = _C03_SUFFIX.replace("'", "''")
     return (
-        "SELECT doc_id, nfc_normalize(trim(regexp_replace(regexp_replace("
+        "nfc_normalize(trim(regexp_replace(regexp_replace("
         f"translate('{pre}' || text || '{suf}', '{_TRANSLATE_FROM}', '{sql_to}'), "
-        f"'{_CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g'))) AS norm_text, "
-        "CAST(length(nfc_normalize(trim(regexp_replace(regexp_replace("
-        f"translate('{pre}' || text || '{suf}', '{_TRANSLATE_FROM}', '{sql_to}'), "
-        f"'{_CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm "
-        "FROM documents"
+        f"'{_CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g')))"
+    )
+
+
+def _c03_oracle() -> str:
+    norm = _c03_norm_sql()
+    return (
+        f"SELECT doc_id, {norm} AS norm_text, "
+        f"CAST(length({norm}) AS BIGINT) AS n_chars_norm FROM documents"
     )
 
 
@@ -3495,6 +3501,66 @@ _SPECS.append(
         survey_ref="text cleaning: Unicode NFC + typographic normalization "
         "(llmops/clean.normalize_text) — JVM translate/regexp stages, "
         "Arrow-batched NFC",
+    )
+)
+
+
+def _p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composed curation: Unicode normalization → token-count
+    floor → exact dedup ON THE NORMALIZED TEXT (the realistic dedup key:
+    byte-different docs that normalize identically collapse) → per-
+    language survivor report. One lazy plan across three round-4/earlier
+    operators; every stage is SQL-expressible, so the whole composition
+    has a full oracle — the p01/p02/p03 pattern extended to the
+    normalization family."""
+    from gfw_data_api_spark.llmops.clean import normalize_text_col
+    from gfw_data_api_spark.llmops.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = F.concat(F.lit(_C03_PREFIX), F.col("text"), F.lit(_C03_SUFFIX))
+    base = docs.select(
+        "doc_id", "lang", normalize_text_col(decorated).alias("norm_text")
+    )
+    n_tokens = F.size(
+        F.filter(tokens_col(F.col("norm_text")), lambda t: t != F.lit(""))
+    ).cast("bigint")
+    filtered = base.withColumn("n_tokens", n_tokens).filter(F.col("n_tokens") >= 30)
+    kept = filtered.groupBy("norm_text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="p04_curate_normalized",
+        spark_fn=_p04,
+        oracle=(
+            "WITH norm AS (SELECT doc_id, lang, "
+            + _c03_norm_sql()
+            + " AS norm_text FROM documents), "
+            "tok AS (SELECT doc_id, lang, norm_text, "
+            "CAST(len(list_filter(regexp_split_to_array(trim(norm_text), '\\s+'), "
+            "x -> x <> '')) AS BIGINT) AS n_tokens FROM norm), "
+            "filt AS (SELECT * FROM tok WHERE n_tokens >= 30), "
+            "kept AS (SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang, "
+            "min_by(n_tokens, doc_id) AS n_tokens FROM filt GROUP BY norm_text) "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens "
+            "FROM kept GROUP BY lang ORDER BY lang"
+        ),
+        survey_ref="composed curation over the round-4 normalization family: "
+        "normalize → token floor → normalized-text dedup → language report, "
+        "one lazy plan, full oracle",
     )
 )
 

@@ -173,7 +173,8 @@ def decode_sampled_frames(
 
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
+            records = pdf.to_dict("records")  # column-wise, no iterrows
+            for row in records:
                 payload = row[payload_col]
                 if payload is None:
                     continue
@@ -185,7 +186,7 @@ def decode_sampled_frames(
                 except (ValueError, NotImplementedError):
                     continue
                 for i, frame in zip(idx, decoded):
-                    rec = row.to_dict()
+                    rec = dict(row)
                     rec["frame_index"] = i
                     rec["frame_height"], rec["frame_width"] = frame.shape[:2]
                     luma = frame if frame.ndim == 2 else frame.mean(axis=2)

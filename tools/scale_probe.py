@@ -90,16 +90,42 @@ def main():
         def load(table, scale):
             return spark.read.parquet(paths[(table, scale)])
 
+        from gfw_data_api_spark.llmops.clean import normalize_text
         from gfw_data_api_spark.llmops.dedup import (
             exact_dedup,
             minhash_lsh_candidates,
         )
+        from gfw_data_api_spark.llmops.phash import (
+            perceptual_hashes,
+            perceptual_neardup_pairs,
+        )
         from gfw_data_api_spark.llmops.similarity import brute_force_topk
-        from gfw_data_api_spark.llmops.text import gopher_quality_rules
+        from gfw_data_api_spark.llmops.text import bm25_search, gopher_quality_rules
+        from gfw_data_api_spark.operators.sketches import heavy_hitters
 
         def noop(df):
             df.write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
+
+        def synth_images(d):
+            # one unique 8x9 PNG per doc (unique → ~no near-dup pairs, so
+            # the probe times decode+hash+band-join, not pair output)
+            import numpy as np
+            import pandas as pd
+
+            from gfw_data_api_spark.llmops.multimodal import encode_png
+
+            def gen(batches):
+                for pdf in batches:
+                    payloads = []
+                    for doc_id in pdf["doc_id"]:
+                        rng = np.random.default_rng(int(doc_id))
+                        payloads.append(
+                            bytearray(encode_png(rng.integers(0, 256, (8, 9)).astype(np.uint8)))
+                        )
+                    yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+            return d.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
 
         ops = {
             "t01_token_count": lambda d: noop(
@@ -110,6 +136,19 @@ def main():
                 minhash_lsh_candidates(d, num_hashes=64, bands=16)
             ),
             "t12_gopher_rules": lambda d: noop(gopher_quality_rules(d)),
+            "t15_bm25": lambda d: noop(
+                bm25_search(d, ["spark", "join", "vector"], top_k=20)
+            ),
+            "a03_heavy_hitters": lambda d: noop(
+                heavy_hitters(d, "lang", capacity=64, top_k=10)
+            ),
+            "c03_normalize": lambda d: noop(normalize_text(d)),
+            "m04_phash_pairs": lambda d: noop(
+                perceptual_neardup_pairs(
+                    perceptual_hashes(synth_images(d), id_col="doc_id"),
+                    id_col="doc_id",
+                )
+            ),
         }
         emb_ops = {
             "s01_cosine_topk": lambda d: noop(
