@@ -3063,11 +3063,10 @@ _DRIVER_FRONT: list[str] = [
     "s02_embedding_norms",
     "d03_ngram_jaccard_pairs",
     "t05_quality_ratios",
-    "m01_media_content_keys",
     "i08_multiway_join_revenue",
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
-    # i07_exact_id_lookup, q15_window_frame
+    # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3083,6 +3082,7 @@ _DRIVER_FRONT: list[str] = [
     "c03_text_normalization",
     "a03_heavy_hitters",
     "p04_curate_normalized",
+    "t16_epoch_shuffle",
 ]
 
 
@@ -3501,6 +3501,33 @@ _SPECS.append(
         survey_ref="text cleaning: Unicode NFC + typographic normalization "
         "(llmops/clean.normalize_text) — JVM translate/regexp stages, "
         "Arrow-batched NFC",
+    )
+)
+
+
+def _t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle
+    (llmops/sampling.epoch_shuffle): md5(seed:id) ordering is a
+    reproducible permutation per epoch, identical across engines,
+    cluster sizes, and reruns — the resumable-training property
+    random() cannot give. Plan: one range-partitioned sort, no global
+    window."""
+    from gfw_data_api_spark.llmops.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, seed=3).limit(200)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t16_epoch_shuffle",
+        spark_fn=_t16,
+        oracle=(
+            "SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key "
+            "FROM documents ORDER BY shuffle_key, doc_id LIMIT 200"
+        ),
+        survey_ref="training-data ops: deterministic epoch shuffle "
+        "(reproducible md5 permutation, range-partitioned sort)",
     )
 )
 

@@ -216,3 +216,26 @@ def group_cap_sample(
         .filter(F.col("_rk") <= max_per_group)
         .drop("_rk")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic training-order shuffle for epoch ``seed``.
+
+    Orders the corpus by ``md5(seed || ':' || id)`` — a different but
+    fully reproducible permutation per epoch, stable across cluster
+    sizes, partitioning, and engines (the property a training run needs
+    for resumability and ablation reruns; random() gives none of them).
+
+    Scale shape: one range-partitioned sort on the hash key — Spark
+    samples key quantiles and writes globally ordered output without
+    any single-task bottleneck. No global row_number (an unpartitioned
+    window would serialize); consumers that need positions take them
+    from the written file order.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return df.withColumn(key_col, key).orderBy(key_col, id_col)

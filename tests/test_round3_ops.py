@@ -881,3 +881,16 @@ def test_heavy_hitters_capacity_validation(spark):
     df = spark.createDataFrame([("x",)], "k string")
     with _pytest.raises(ValueError):
         heavy_hitter_candidates(df, "k", capacity=0)
+
+
+def test_epoch_shuffle_deterministic_permutation(spark):
+    from gfw_data_api_spark.llmops.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = [r["doc_id"] for r in epoch_shuffle(df, seed=1).collect()]
+    b = [r["doc_id"] for r in epoch_shuffle(df, seed=1).collect()]
+    c = [r["doc_id"] for r in epoch_shuffle(df, seed=2).collect()]
+    assert a == b                      # same epoch → same order
+    assert a != c                      # different epoch → different order
+    assert sorted(a) == list(range(40))  # a permutation, nothing lost
+    assert a != list(range(40))        # actually shuffled
