@@ -56,6 +56,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             frames = body
     if fmt is None or frames is None:
         raise ValueError("not a WAV: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("not a WAV: truncated fmt chunk")
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
@@ -228,7 +230,7 @@ def extract_audio_features(
                     try:
                         samples, rate = decode_wav(bytes(payload))
                         feats = audio_signal_features(samples, rate)
-                    except (ValueError, NotImplementedError):
+                    except (ValueError, NotImplementedError, struct.error):
                         feats = None
                 for name in names:
                     cols[name].append(None if feats is None else feats[name])

@@ -348,7 +348,7 @@ def resize_images(
                     continue
                 try:
                     img = decode_media(bytes(payload), "image")
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
                     payloads.append(payload)
                     fmts.append(fmt)
                     continue

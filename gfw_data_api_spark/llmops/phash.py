@@ -28,6 +28,7 @@ verify, identical cost profile to the text SimHash path at 100 TB.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -121,7 +122,7 @@ def perceptual_hashes(
                         img = (img.reshape(8, 8) * 255).astype(np.uint8)
                     dh.append(dhash64(img))
                     ph.append(phash64(img))
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
                     dh.append(None)
                     ph.append(None)
             pdf = pdf.copy()

@@ -28,11 +28,14 @@ from pyspark.sql import types as T
 
 
 def _iter_riff_chunks(data: bytes, pos: int, end: int):
-    """Yield (fourcc, body_start, body_size) for a RIFF chunk run."""
+    """Yield (fourcc, body_start, body_size) for a RIFF chunk run.
+    ``end`` is clamped to the buffer so corrupt chunk sizes can't walk
+    reads past the payload (ValueError territory, never struct.error)."""
+    end = min(end, len(data))
     while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        yield cid, pos + 8, size
+        yield cid, pos + 8, min(size, max(end - pos - 8, 0))
         pos += 8 + size + (size & 1)  # word-aligned
 
 
@@ -183,7 +186,7 @@ def decode_sampled_frames(
                     info = parse_avi(data)
                     idx = list(range(0, info["n_frames"], every_nth))
                     decoded = decode_avi_frames(data, idx)
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
                     continue
                 for i, frame in zip(idx, decoded):
                     rec = dict(row)
