@@ -88,3 +88,38 @@ def test_warp_no_python_udf(equator_tile):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_raster_tile_cache_renders_png_tiles(spark):
+    """z/x/y PNG tiles: warp → colormap → render, decoded back pixel-exact."""
+    from gfw_data_api_spark.llmops.multimodal import decode_png
+    from gfw_data_api_spark.raster.tile_cache import raster_tile_cache
+
+    grid = Grid.parse("10/40")
+    arr = np.full((40, 40), 5.0)
+    px = tile_set_from_array(spark, grid, "10N_000E", arr, no_data=0)
+    tiles = raster_tile_cache(
+        px, grid, {5.0: (200, 30, 40)}, min_zoom=1, max_zoom=2
+    ).collect()
+    by_key = {(r["z"], r["x"], r["y"]): r["png"] for r in tiles}
+    # lat 0..10, lon 0..10 lands in tile (2,1) at z2 and (1,0) at z1
+    assert (2, 2, 1) in by_key and (1, 1, 0) in by_key
+    img = decode_png(bytes(by_key[(2, 2, 1)]))
+    assert img.shape == (256, 256, 4)
+    gx, gy = _slippy(0.125, 9.875, 2)
+    pyx = (gy % 256, gx % 256)
+    assert img[pyx[0], pyx[1]].tolist() == [200, 30, 40, 255]  # painted pixel
+    assert img[255, 255].tolist() == [0, 0, 0, 0]  # outside extent: transparent
+    # alpha channel marks exactly the warped pixels
+    assert (img[:, :, 3] == 255).sum() > 0
+
+
+def test_raster_tile_cache_zoom_validation(spark):
+    import pytest as _pytest
+
+    from gfw_data_api_spark.raster.tile_cache import raster_tile_cache
+
+    grid = Grid.parse("10/40")
+    px = tile_set_from_array(spark, grid, "10N_000E", np.ones((40, 40)), no_data=0)
+    with _pytest.raises(ValueError):
+        raster_tile_cache(px, grid, {1.0: (0, 0, 0)}, min_zoom=3, max_zoom=2)
