@@ -1229,6 +1229,82 @@ def create_app(
                                 max_zoom=max_zoom,
                                 max_features_per_tile=max_feat,
                             )
+                        elif asset_type == "raster_tile_cache":
+
+                            def _zoom_r(name: str, default: int) -> int:
+                                raw = options.get(name, default)
+                                if isinstance(raw, bool) or not isinstance(
+                                    raw, (int, str)
+                                ):
+                                    raise QueryGuardError(
+                                        f"{name} must be an integer.", 422
+                                    )
+                                try:
+                                    val = int(raw)
+                                except ValueError:
+                                    raise QueryGuardError(
+                                        f"{name} must be an integer.", 422
+                                    ) from None
+                                if not 0 <= val <= 22:
+                                    raise QueryGuardError(
+                                        f"{name} must be between 0 and 22.", 422
+                                    )
+                                return val
+
+                            min_zoom = _zoom_r("min_zoom", 0)
+                            max_zoom = _zoom_r("max_zoom", 3)
+                            if min_zoom > max_zoom:
+                                raise QueryGuardError(
+                                    "min_zoom must be <= max_zoom.", 422
+                                )
+                            sym = options.get("symbology") or {}
+                            cm_raw = sym.get("colormap") or {}
+                            if not isinstance(cm_raw, dict) or not cm_raw:
+                                raise QueryGuardError(
+                                    "symbology.colormap must be a non-empty "
+                                    "object of value → [r, g, b].",
+                                    422,
+                                )
+                            colormap: dict[float, tuple[int, int, int]] = {}
+                            for k, v in cm_raw.items():
+                                try:
+                                    key = float(k)
+                                except (TypeError, ValueError):
+                                    raise QueryGuardError(
+                                        f"colormap key {k!r} is not numeric.", 422
+                                    ) from None
+                                if (
+                                    not isinstance(v, (list, tuple))
+                                    or len(v) != 3
+                                    or any(
+                                        isinstance(c, bool)
+                                        or not isinstance(c, int)
+                                        or not 0 <= c <= 255
+                                        for c in v
+                                    )
+                                ):
+                                    raise QueryGuardError(
+                                        f"colormap entry {k!r} must be "
+                                        "[r, g, b] with 0-255 ints.",
+                                        422,
+                                    )
+                                colormap[key] = (v[0], v[1], v[2])
+                            sym_type = str(sym.get("type", "discrete"))
+                            kind = (
+                                "gradient"
+                                if sym_type.startswith("gradient")
+                                else "discrete"
+                            )
+                            asset = _pipeline.create_raster_tile_cache_asset(
+                                registry,
+                                spark,
+                                dataset,
+                                version,
+                                colormap=colormap,
+                                min_zoom=min_zoom,
+                                max_zoom=max_zoom,
+                                kind=kind,
+                            )
                         elif asset_type in ("csv", "tsv", "ndjson"):
                             asset = _pipeline.export_version(
                                 registry, spark, dataset, version, fmt=asset_type

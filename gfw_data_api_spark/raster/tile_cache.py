@@ -89,7 +89,7 @@ def raster_tile_cache(
     for lvl in levels[1:]:
         union = union.unionByName(lvl)
 
-    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         z, x, y = key
         return pd.DataFrame(
             {"z": [z], "x": [x], "y": [y], "png": [bytearray(render_tile(pdf, tile_px))]}

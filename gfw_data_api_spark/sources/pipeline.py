@@ -271,6 +271,59 @@ def create_tile_cache_asset(
         raise
 
 
+def create_raster_tile_cache_asset(
+    registry: Registry,
+    spark: SparkSession,
+    dataset: str,
+    version: str,
+    colormap: dict[float, tuple[int, int, int]],
+    min_zoom: int = 0,
+    max_zoom: int = 3,
+    kind: str = "discrete",
+    method: str = "avg",
+) -> "object":
+    """The reference's ``raster_tile_cache`` asset job
+    (app/tasks/raster_tile_cache_assets/*, gdal2tiles in
+    batch/scripts/raster_tile_cache.sh) as a Spark plan: warp the
+    version's raster_tile_set to each zoom's mercator grid, apply the
+    symbology colormap, render z/x/y RGBA PNG tiles, and register the
+    z/x-partitioned tile store as an asset."""
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.tile_cache import raster_tile_cache
+
+    src = registry.get_default_asset(dataset, version)
+    if src.asset_type != "raster_tile_set":
+        raise RegistryError(
+            "raster tile cache requires a raster_tile_set default asset", 400
+        )
+    grid = Grid.parse(src.creation_options["grid"])
+    asset = registry.create_asset(
+        dataset,
+        version,
+        "raster_tile_cache",
+        creation_options={
+            "min_zoom": min_zoom,
+            "max_zoom": max_zoom,
+            "symbology": {
+                "type": kind,
+                "colormap": {str(k): list(v) for k, v in colormap.items()},
+            },
+            "resampling": method,
+        },
+    )
+    try:
+        pixels = spark.read.parquet(src.asset_uri)
+        tiles = raster_tile_cache(
+            pixels, grid, colormap, min_zoom, max_zoom, kind=kind, method=method
+        )
+        tiles.write.mode("overwrite").partitionBy("z", "x").parquet(asset.asset_uri)
+        registry.set_asset_status(asset.asset_id, "saved")
+        return asset
+    except Exception as exc:
+        registry.set_asset_status(asset.asset_id, "failed", str(exc))
+        raise
+
+
 def create_cog_asset(
     registry: Registry,
     spark: SparkSession,

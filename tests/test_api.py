@@ -468,9 +468,62 @@ def test_assets_list_and_create(app):
 def test_assets_create_unsupported_type_400(app):
     out = call(
         app, "POST", "/dataset/nasa_viirs_fire_alerts/v2024/assets",
-        body={"asset_type": "raster_tile_cache"},
+        body={"asset_type": "shapefile"},
     )
     assert out["status"] == 400
+
+
+def test_raster_tile_cache_asset(app, spark):
+    """POST a raster_tile_cache asset on the raster version and decode a
+    rendered tile back (reference raster_tile_cache_assets job)."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.multimodal import decode_png
+
+    base = "/dataset/umd_tree_cover_loss/v1/assets"
+    # missing / malformed symbology → 422 envelope, not 500
+    for opts in (
+        {},
+        {"symbology": {"colormap": {}}},
+        {"symbology": {"colormap": {"abc": [1, 2, 3]}}},
+        {"symbology": {"colormap": {"2004": [1, 2]}}},
+        {"symbology": {"colormap": {"2004": [1, 2, 300]}}},
+        {"symbology": {"colormap": {"2004": [1, 2, 3]}}, "min_zoom": 9, "max_zoom": 2},
+    ):
+        out = call(app, "POST", base, body={
+            "asset_type": "raster_tile_cache", "creation_options": opts,
+        })
+        assert out["status"] == 422, (opts, out["body"])
+
+    out = call(app, "POST", base, body={
+        "asset_type": "raster_tile_cache",
+        "creation_options": {
+            "min_zoom": 1,
+            "max_zoom": 2,
+            "symbology": {"type": "discrete", "colormap": {
+                "2004": [228, 26, 28], "2014": [55, 126, 184],
+            }},
+        },
+    })
+    assert out["status"] == 202, out["body"]
+    assert out["body"]["data"]["asset_type"] == "raster_tile_cache"
+
+    registry = app._registry
+    asset = next(
+        a for a in registry.assets_for("umd_tree_cover_loss", "v1")
+        if a.asset_type == "raster_tile_cache"
+    )
+    assert asset.status == "saved"
+    tiles = spark.read.parquet(asset.asset_uri).collect()
+    zs = {r["z"] for r in tiles}
+    assert zs == {1, 2}
+    img = decode_png(bytes(tiles[0]["png"]))
+    assert img.shape == (256, 256, 4)
+    painted = img[img[:, :, 3] == 255]
+    # every painted pixel carries one of the two colormap colors (value 0
+    # pixels are nodata and never ingested)
+    assert len(painted) > 0
+    assert {tuple(p[:3]) for p in painted} <= {(228, 26, 28), (55, 126, 184), (0, 0, 0)}
 
 
 def test_assets_create_bad_zoom_422(app):
