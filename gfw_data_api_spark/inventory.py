@@ -3632,8 +3632,18 @@ def _m04(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf["payload"] = payloads
             yield pdf
 
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
     imgs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
-    hashed = imgs.transform(perceptual_hashes, id_col="doc_id")
+    # persist the hashed table: the banded self-join + two phash joins
+    # consume it from EIGHT plan branches, and without pinning each one
+    # re-runs the Python decode+hash stage (plan-audit finding)
+    hashed = _persist_replacing(
+        imgs.transform(perceptual_hashes, id_col="doc_id").select(
+            "doc_id", "dhash", "phash"
+        ),
+        "m04_hashes",
+    )
     pairs = perceptual_neardup_pairs(hashed, "dhash", id_col="doc_id")
     ph = hashed.select("doc_id", "phash")
     return (

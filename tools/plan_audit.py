@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Physical-plan inventory for every registered query.
+
+Complements the NEGATIVE plan gate (tests/test_plans.py rejects
+CartesianProduct / BroadcastNestedLoopJoin / unpartitioned WindowExec /
+unbounded broadcast hints) with the POSITIVE evidence: per query, how
+many shuffles the plan carries, how many file scans, whether the top-k
+collapsed to TakeOrdered, and how much of the plan runs inside
+whole-stage codegen. Writes docs/PLAN_AUDIT.md.
+
+Usage: python tools/plan_audit.py [name_prefix ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gfw_data_api_spark.session import get_spark  # noqa: E402
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, df) -> dict:
+    txt = plan_text(df)
+
+    def nodes(op_pattern: str) -> int:
+        # formatted explain numbers every DISTINCT node once; reused
+        # subtrees appear as ReusedExchange, so this never double-counts
+        return len(set(re.findall(rf"\((\d+)\) (?:{op_pattern})", txt)))
+
+    return {
+        "query": name,
+        "exchanges": nodes("Exchange|BroadcastExchange"),
+        "reused": nodes("ReusedExchange"),
+        "scans": nodes("Scan parquet|Scan csv|Scan ExistingRDD|Scan JDBC"),
+        "bhj": nodes("BroadcastHashJoin"),
+        "smj": nodes("SortMergeJoin"),
+        "take_ordered": "TakeOrderedAndProject" in txt,
+        "wscg": len(set(re.findall(r"\[codegen id : (\d+)\]", txt))),
+        "python": nodes(
+            "MapInPandas|FlatMapGroupsInPandas|FlatMapGroupsInPandasWithState|ArrowEvalPython|BatchEvalPython"
+        ),
+    }
+
+
+def main() -> None:
+    prefixes = tuple(sys.argv[1:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gfw_data_api_spark.inventory import SPECS
+
+    rows = []
+    for name, spec in SPECS.items():
+        if prefixes and not name.startswith(prefixes):
+            continue
+        try:
+            df = spec.spark_fn(spark, sf_dir)
+            rows.append(audit(name, df))
+        except Exception as exc:  # noqa: BLE001
+            rows.append({"query": name, "error": str(exc)[:80]})
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLAN_AUDIT.md")
+    lines = [
+        "# Physical-plan inventory (tools/plan_audit.py, sf0.01 plans)",
+        "",
+        "Positive twin of the plan-shape gate: per query, shuffle count",
+        "(`Exchange`), source scans, join strategies chosen, top-k collapse,",
+        "whole-stage-codegen span count, and Python (Arrow) stages. Python",
+        "stages appear exactly where the operator contract needs them",
+        "(codecs, stateful packing, renderers) — everything else is JVM.",
+        "",
+        "Caveats: counts are distinct numbered nodes of the pre-execution",
+        "plan; with AQE on, codegen ids only materialize in the FINAL plan,",
+        "so the codegen column undercounts for exchange-bearing queries",
+        "(`AdaptiveSparkPlan isFinalPlan=false`). A high Py-stage count on",
+        "one logical stage means plan-branch replication — the m04 finding",
+        "this audit caught (fixed by pinning the hashed table).",
+        "",
+        "| query | exchanges | reused | scans | BHJ | SMJ | TakeOrdered | codegen spans | Py stages |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            lines.append(f"| {r['query']} | error: {r['error']} | | | | | | | |")
+            continue
+        lines.append(
+            f"| {r['query']} | {r['exchanges']} | {r['reused']} | {r['scans']} | {r['bhj']} | "
+            f"{r['smj']} | {'yes' if r['take_ordered'] else ''} | {r['wscg']} | {r['python']} |"
+        )
+    with open(out_path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path} ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()
