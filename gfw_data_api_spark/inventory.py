@@ -3139,10 +3139,15 @@ def _s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe ordering, degenerate training — flips the boolean and fails
     the driver gate."""
     from gfw_data_api_spark.llmops import ivf
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # pin the table and the built index: the 5 per-query subplans each
+    # scan both (exact ranking + probe), so without the pin the union
+    # re-reads the parquet and re-runs cell assignment 5× apiece
+    # (plan-audit finding: 15 scans → 2)
+    emb = _persist_replacing(load_table(spark, sf_dir, "embeddings"), "s08_emb")
     centroids = ivf.train_ivf(emb, nlist=8, iters=3)
-    indexed = ivf.build_ivf_index(emb, centroids)
+    indexed = _persist_replacing(ivf.build_ivf_index(emb, centroids), "s08_index")
     qrows = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 5).collect()
