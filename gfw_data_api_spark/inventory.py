@@ -2826,17 +2826,23 @@ def _p02(spark: SparkSession, sf_dir: str) -> DataFrame:
     (drop the higher id of each ≥0.5-containment pair) → per-language
     survivor counts with temperature-smoothed mixture weights. One
     lazy plan end to end."""
-    from gfw_data_api_spark.llmops.dedup import ngram_containment_pairs
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing, ngram_containment_pairs
     from gfw_data_api_spark.llmops.mixture import temperature_mixture_weights
     from gfw_data_api_spark.llmops.text import gopher_quality_rules
 
     docs = load_table(spark, sf_dir, "documents")
     # the synthetic corpus contains no canonical English stopwords, so
     # the stopword-presence rule is relaxed to keep the pipeline flowing
-    # (every other rule stays active)
-    kept = gopher_quality_rules(docs, min_words=30, min_stopword_hits=0).filter(
-        F.col("keep")
-    ).select("doc_id", "text", "lang")
+    # (every other rule stays active). The filtered battery output is
+    # pinned: the containment index, the anti-join probe side, and the
+    # mixture totals all consume it, and unpinned each branch re-runs
+    # the whole rule battery over the corpus (plan audit: 5 scans).
+    kept = _persist_replacing(
+        gopher_quality_rules(docs, min_words=30, min_stopword_hits=0)
+        .filter(F.col("keep"))
+        .select("doc_id", "text", "lang"),
+        "p02_kept",
+    )
     dups = (
         ngram_containment_pairs(kept, shingle_n=3, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
