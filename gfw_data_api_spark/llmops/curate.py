@@ -90,6 +90,13 @@ def curate_corpus(
         .drop("_rk")
     )
 
+    # pin the staged survivors: the contamination index and the anti-join
+    # probe both consume them, and unpinned each branch re-runs the
+    # filter + dedup window over the corpus (plan-audit finding)
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    staged = _persist_replacing(staged, "curate_staged")
+
     flagged = (
         contamination_matches(
             staged, benchmark, text_col, id_col, shingle_n, min_shared
