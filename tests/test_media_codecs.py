@@ -311,3 +311,107 @@ def test_perceptual_neardup_pigeonhole_contract(spark):
     hashed = phash.perceptual_hashes(df, fake=True)
     with pytest.raises(ValueError):
         phash.perceptual_neardup_pairs(hashed, max_hamming=4, bands=4)
+
+
+# ------------------------------------------------- property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    channels=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_16bit_roundtrip_property(n, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1.0, 1.0, size=(n, channels))
+    out, r = audio.decode_wav(audio.encode_wav(samples, rate, bits=16))
+    assert r == rate and out.shape == (n, channels)
+    assert np.abs(out - np.clip(samples, -1, 32767 / 32768)).max() <= 1.0 / 32768
+
+
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    rate=st.sampled_from([8000, 48000]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_float32_roundtrip_property(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1.0, 1.0, size=n).astype(np.float32).astype(np.float64)
+    out, _ = audio.decode_wav(audio.encode_wav(samples, rate, bits=-32))
+    # float32 payload is exact for float32-representable inputs
+    assert out.shape == (n, 1)
+    assert (out[:, 0] == samples).all()
+
+
+@given(data=st.binary(max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_wav_decoder_never_crashes_on_garbage(data):
+    try:
+        audio.decode_wav(data)
+    except (ValueError, NotImplementedError):
+        pass  # the only allowed outcomes for malformed input
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=8),
+    w=st.sampled_from([8, 16, 24]),
+    h=st.sampled_from([8, 16]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_avi_container_roundtrip_property(n_frames, w, h, seed):
+    from gfw_data_api_spark.llmops.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (h, w)).astype(np.uint8), quality=90)
+        for _ in range(n_frames)
+    ]
+    data = video.encode_avi_mjpeg(frames, 12.0, w, h)
+    info = video.parse_avi(data)
+    assert info["n_frames"] == n_frames
+    assert (info["width"], info["height"]) == (w, h)
+    decoded = video.decode_avi_frames(data)
+    assert len(decoded) == n_frames
+    assert all(f.shape[:2] == (h, w) for f in decoded)
+
+
+@given(data=st.binary(max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_avi_parser_never_crashes_on_garbage(data):
+    try:
+        video.parse_avi(data)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    oh=st.integers(min_value=1, max_value=24),
+    ow=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bilinear_resize_properties(h, w, oh, ow, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    out = multimodal.bilinear_resize(img, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    # interpolation never exceeds the input value range
+    assert out.min() >= img.min() and out.max() <= img.max()
+    # same-size resize is the identity
+    assert (multimodal.bilinear_resize(img, w, h) == img).all()
+    # brightness-shift equivariance for integer shifts (half-up rounding)
+    shift = int(rng.integers(1, 30))
+    shifted = np.clip(img.astype(np.int32) + shift, 0, 255)
+    if shifted.max() <= 255 and (shifted - shift == img).all():
+        out2 = multimodal.bilinear_resize(shifted.astype(np.uint8), ow, oh)
+        assert (out2.astype(np.int32) - out.astype(np.int32) == shift).all()
