@@ -3055,7 +3055,6 @@ _DRIVER_FRONT: list[str] = [
     "e01_csv_inference_roundtrip",
     "e03_append_antijoin",
     "e10_groupwise_dedup",
-    "e02_partition_mapping",
     "r01_zonal_sum_groupby",
     "r04_threshold_filter",
     "r06_isoweek",
@@ -3072,7 +3071,8 @@ _DRIVER_FRONT: list[str] = [
     "i08_multiway_join_revenue",
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
-    # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys
+    # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys,
+    # e02_partition_mapping
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3089,6 +3089,7 @@ _DRIVER_FRONT: list[str] = [
     "a03_heavy_hitters",
     "p04_curate_normalized",
     "t16_epoch_shuffle",
+    "t17_kneser_ney_lm",
 ]
 
 
@@ -3512,6 +3513,56 @@ _SPECS.append(
         survey_ref="text cleaning: Unicode NFC + typographic normalization "
         "(llmops/clean.normalize_text) — JVM translate/regexp stages, "
         "Arrow-batched NFC",
+    )
+)
+
+
+def _t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM self-scoring
+    (llmops/text.kneser_ney_bigram_scores). All model quantities are
+    integer counts; P is the same IEEE double expression in both
+    engines (the oracle writes 0.75e0 so DuckDB stays in DOUBLE, not
+    DECIMAL); the one order-sensitive float sum is gated after
+    round(·, 4) with ~1e9× error margin."""
+    from gfw_data_api_spark.llmops.text import kneser_ney_bigram_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = kneser_ney_bigram_scores(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "distinct_bigrams",
+        F.round("kn_avg_logprob", 4).alias("kn_avg_logprob"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t17_kneser_ney_lm",
+        spark_fn=_t17,
+        oracle=(
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+            "FROM documents), "
+            "occ AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg "
+            "FROM toks, unnest(range(1, len(t))) AS u(i)), "
+            "tf AS (SELECT doc_id, bg, count(*) AS tf FROM occ GROUP BY doc_id, bg), "
+            "bgc AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg), "
+            "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bgc), "
+            "lft AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1, "
+            "count(*) AS n1fw FROM bgc GROUP BY 1), "
+            "rgt AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS n1bw "
+            "FROM bgc GROUP BY 1), "
+            "model AS (SELECT bg, (c2 - 0.75e0) / c1 + 0.75e0 * n1fw / c1 * (n1bw / nt.n) AS p "
+            "FROM bgc JOIN lft ON split_part(bg, ' ', 1) = lft.w1 "
+            "JOIN rgt ON split_part(bg, ' ', 2) = rgt.w2, nt) "
+            "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+            "count(*) AS distinct_bigrams, "
+            "round(sum(tf * ln(p)) / sum(tf), 4) AS kn_avg_logprob "
+            "FROM tf JOIN model USING (bg) GROUP BY doc_id"
+        ),
+        survey_ref="LLM pipeline: interpolated Kneser–Ney bigram LM quality "
+        "scoring (continuation-count smoothing; one persisted occurrence "
+        "explode, vocabulary-sized model tables)",
     )
 )
 

@@ -1084,3 +1084,51 @@ def test_normalize_text_no_collapse(spark):
     df = spark.createDataFrame([(1, "a\n\nb  c")], "doc_id int, text string")
     out = normalize_text(df, collapse_whitespace=False).collect()[0]["norm_text"]
     assert out == "a\n\nb  c"  # structure preserved when collapse is off
+
+
+def test_kneser_ney_bigram_scores_golden(spark):
+    import math
+
+    from gfw_data_api_spark.llmops.text import kneser_ney_bigram_scores
+
+    corpus = [(1, "a b a b"), (2, "a b c"), (3, "c a")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kneser_ney_bigram_scores(docs).collect()}
+
+    # independent reference implementation
+    from collections import Counter
+
+    bigrams = []
+    per_doc = {}
+    for i, t in corpus:
+        toks = t.split()
+        bgs = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        per_doc[i] = bgs
+        bigrams += bgs
+    c2 = Counter(bigrams)
+    c1 = Counter()
+    n1fw = Counter()
+    n1bw = Counter()
+    for bg, c in c2.items():
+        w1, w2 = bg.split(" ")
+        c1[w1] += c
+        n1fw[w1] += 1
+        n1bw[w2] += 1
+    nt = len(c2)
+    D = 0.75
+
+    def p(bg):
+        w1, w2 = bg.split(" ")
+        return (c2[bg] - D) / c1[w1] + D * n1fw[w1] / c1[w1] * (n1bw[w2] / nt)
+
+    for i, bgs in per_doc.items():
+        want = sum(math.log(p(b)) for b in bgs) / len(bgs)
+        assert out[i]["n_bigrams"] == len(bgs)
+        assert out[i]["distinct_bigrams"] == len(set(bgs))
+        assert out[i]["kn_avg_logprob"] == pytest.approx(want, abs=1e-9)
+    # probabilities out of each context sum to 1 (interpolated KN invariant)
+    for w1 in c1:
+        total = sum(p(f"{w1} {w2}") for w2 in n1bw if f"{w1} {w2}" in c2)
+        # plus the continuation mass spread over unseen w2 in the vocab:
+        # for the invariant restricted to seen bigrams, total ≤ 1
+        assert total <= 1.0 + 1e-9
