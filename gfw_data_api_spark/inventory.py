@@ -3047,7 +3047,6 @@ _DRIVER_FRONT: list[str] = [
     "q11_case_expr",
     "q12_alias_table",
     "q13_jsonb_extract",
-    "q14_pg_casts",
     "i01_group_join_agg",
     "i02_three_way_join",
     "i06_pagination",
@@ -3072,7 +3071,7 @@ _DRIVER_FRONT: list[str] = [
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
     # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys,
-    # e02_partition_mapping
+    # e02_partition_mapping, q14_pg_casts
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3090,6 +3089,7 @@ _DRIVER_FRONT: list[str] = [
     "p04_curate_normalized",
     "t16_epoch_shuffle",
     "t17_kneser_ney_lm",
+    "t18_corpus_report",
 ]
 
 
@@ -3513,6 +3513,53 @@ _SPECS.append(
         survey_ref="text cleaning: Unicode NFC + typographic normalization "
         "(llmops/clean.normalize_text) — JVM translate/regexp stages, "
         "Arrow-batched NFC",
+    )
+)
+
+
+def _t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card corpus report (llmops/text.corpus_report): doc/token
+    volumes, exact interpolated length percentiles, language makeup +
+    Shannon entropy — two aggregations, long (metric, value) output,
+    1-row-broadcast total for the entropy fractions (no unpartitioned
+    window)."""
+    from gfw_data_api_spark.llmops.text import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs).select("metric", F.round("value", 6).alias("value"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t18_corpus_report",
+        spark_fn=_t18,
+        oracle=(
+            "WITH base AS (SELECT doc_id, CAST(len(list_filter("
+            "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS nt, "
+            "CAST(length(text) AS DOUBLE) AS nc, lang FROM documents), "
+            "doc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(nt) AS total_tokens, "
+            "sum(nt) / count(*) AS mean_tokens, quantile_cont(nt, 0.5) AS p50_tokens, "
+            "quantile_cont(nt, 0.95) AS p95_tokens, min(nt) AS min_tokens, "
+            "max(nt) AS max_tokens, sum(nc) / sum(nt) AS chars_per_token FROM base), "
+            "langc AS (SELECT lang, count(*) AS c FROM base GROUP BY lang), "
+            "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM langc), "
+            "langs AS (SELECT CAST(count(*) AS DOUBLE) AS distinct_langs, "
+            "max(c) / max(t) AS top_lang_share, "
+            "-sum((c / t) * ln(c / t)) AS lang_entropy FROM langc, tot) "
+            "SELECT 'n_docs' AS metric, round(n_docs, 6) AS value FROM doc "
+            "UNION ALL SELECT 'total_tokens', round(total_tokens, 6) FROM doc "
+            "UNION ALL SELECT 'mean_tokens', round(mean_tokens, 6) FROM doc "
+            "UNION ALL SELECT 'p50_tokens', round(p50_tokens, 6) FROM doc "
+            "UNION ALL SELECT 'p95_tokens', round(p95_tokens, 6) FROM doc "
+            "UNION ALL SELECT 'min_tokens', round(min_tokens, 6) FROM doc "
+            "UNION ALL SELECT 'max_tokens', round(max_tokens, 6) FROM doc "
+            "UNION ALL SELECT 'chars_per_token', round(chars_per_token, 6) FROM doc "
+            "UNION ALL SELECT 'distinct_langs', round(distinct_langs, 6) FROM langs "
+            "UNION ALL SELECT 'top_lang_share', round(top_lang_share, 6) FROM langs "
+            "UNION ALL SELECT 'lang_entropy', round(lang_entropy, 6) FROM langs"
+        ),
+        survey_ref="LLM pipeline: dataset-card corpus report (volumes, exact "
+        "percentiles, language entropy) in two aggregations",
     )
 )
 

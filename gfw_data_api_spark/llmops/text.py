@@ -388,6 +388,67 @@ def bigram_lm_scores(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """One-pass corpus statistics in long ``(metric, value)`` format —
+    the "dataset card" numbers every training-data release publishes
+    (doc/token volumes, length distribution, language makeup).
+
+    Two aggregations total: one corpus-wide (counts, token sums, exact
+    interpolated percentiles — the q18-gated percentile machinery) and
+    one language-level (distinct languages, top-language share, Shannon
+    entropy of the language distribution). Both collapse to one row
+    each and union into the report: no driver-side collection, no
+    per-metric scans.
+    """
+    toks = F.size(F.filter(tokens_col(F.col(text_col)), lambda t: t != F.lit("")))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.cast("double").alias("_nt"),
+        F.length(text_col).cast("double").alias("_nc"),
+        *( [F.col(lang_col).alias("_lang")] if lang_col else [] ),
+    )
+    doc_stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        (F.sum("_nt") / F.count("*")).alias("mean_tokens"),
+        F.expr("percentile(_nt, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(_nt, 0.95)").alias("p95_tokens"),
+        F.min("_nt").alias("min_tokens"),
+        F.max("_nt").alias("max_tokens"),
+        (F.sum("_nc") / F.sum("_nt")).alias("chars_per_token"),
+    )
+    metrics = [
+        "n_docs", "total_tokens", "mean_tokens", "p50_tokens", "p95_tokens",
+        "min_tokens", "max_tokens", "chars_per_token",
+    ]
+    stack_expr = "stack({n}, {pairs}) AS (metric, value)".format(
+        n=len(metrics), pairs=", ".join(f"'{m}', {m}" for m in metrics)
+    )
+    report = doc_stats.selectExpr(stack_expr)
+    if lang_col:
+        per_lang = base.groupBy("_lang").agg(F.count("*").alias("_c"))
+        # 1-row total broadcast (the allowlisted BNLJ pattern from the
+        # mixture family) — no unpartitioned window
+        tot = per_lang.agg(F.sum("_c").cast("double").alias("_tot"))
+        frac = F.col("_c") / F.col("_tot")
+        lang_stats = per_lang.crossJoin(F.broadcast(tot)).agg(
+            F.count("*").cast("double").alias("distinct_langs"),
+            (F.max("_c") / F.max("_tot")).alias("top_lang_share"),
+            (-F.sum(frac * F.log(frac))).alias("lang_entropy"),
+        )
+        lang_metrics = ["distinct_langs", "top_lang_share", "lang_entropy"]
+        lang_stack = "stack({n}, {pairs}) AS (metric, value)".format(
+            n=len(lang_metrics), pairs=", ".join(f"'{m}', {m}" for m in lang_metrics)
+        )
+        report = report.unionByName(lang_stats.selectExpr(lang_stack))
+    return report
+
+
 def kneser_ney_bigram_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -1132,3 +1132,36 @@ def test_kneser_ney_bigram_scores_golden(spark):
         # plus the continuation mass spread over unseen w2 in the vocab:
         # for the invariant restricted to seen bigrams, total ≤ 1
         assert total <= 1.0 + 1e-9
+
+
+def test_corpus_report_golden(spark):
+    from gfw_data_api_spark.llmops.text import corpus_report
+
+    rows = [
+        (1, "a b c d", "en"),
+        (2, "a b", "en"),
+        (3, "x y z", "es"),
+        (4, "q", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    assert got["n_docs"] == 4.0
+    assert got["total_tokens"] == 10.0
+    assert got["mean_tokens"] == 2.5
+    assert got["min_tokens"] == 1.0 and got["max_tokens"] == 4.0
+    assert got["distinct_langs"] == 3.0
+    assert got["top_lang_share"] == 0.5  # en: 2 of 4
+    import math
+
+    want_entropy = -(0.5 * math.log(0.5) + 0.25 * math.log(0.25) * 2)
+    assert got["lang_entropy"] == pytest.approx(want_entropy, abs=1e-9)
+    # exact interpolated median of [1, 2, 3, 4]
+    assert got["p50_tokens"] == 2.5
+
+
+def test_corpus_report_without_lang(spark):
+    from gfw_data_api_spark.llmops.text import corpus_report
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    got = {r["metric"] for r in corpus_report(df, lang_col=None).collect()}
+    assert "n_docs" in got and "lang_entropy" not in got

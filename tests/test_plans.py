@@ -266,6 +266,7 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "dq01_constraint_audit": ("BroadcastNestedLoopJoin", "1-row total_rows join onto unique/FK counts"),
         "p02_curate_round3": ("BroadcastNestedLoopJoin", "inherits w02's 1-row totals + normalizer join"),
         "s08_ivf_recall_gate": ("BroadcastNestedLoopJoin", "1-row recall-boolean join per query vector"),
+        "t18_corpus_report": ("BroadcastNestedLoopJoin", "1-row language-total join for entropy fractions"),
     }
 
     bad: dict[str, list[str]] = {}
@@ -323,6 +324,7 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "d08_benchmark_decontamination": "benchmark corpus side (fixed eval set)",
         "p01_curate_corpus": "benchmark corpus side (fixed eval set)",
         "s08_ivf_recall_gate": "1-row recall-boolean aggregate per query vector",
+        "t18_corpus_report": "1-row language-total aggregate (entropy normalizer)",
     }
 
     offenders: dict[str, int] = {}
