@@ -99,9 +99,18 @@ def temperature_mixture_weights(
         F.col(domain_col).alias("domain"),
         F.expr(_TOKENS.format(col=text_col)).alias("_nt"),
     )
-    agg = per_doc.groupBy("domain").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    # pin the domain table (a handful of rows): the totals scalar, the
+    # normalizer scalar, and the output all consume it, and unpinned
+    # each branch re-runs the corpus token-count scan (plan audit: 4
+    # corpus scans → 1)
+    agg = _persist_replacing(
+        per_doc.groupBy("domain").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        ),
+        "mixture_agg",
     )
     totals = agg.agg(F.sum("n_tokens").cast("bigint").alias("_total"))
     with_frac = agg.join(F.broadcast(totals)).withColumn(
