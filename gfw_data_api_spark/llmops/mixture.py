@@ -43,13 +43,21 @@ def domain_mixture_stats(
     (``n_tokens/total`` and ``(total·target)/n_tokens``) so an external
     engine evaluating the same SQL reproduces them bit-identically.
     """
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
     per_doc = df.select(
         F.col(domain_col).alias("domain"),
         F.expr(_TOKENS.format(col=text_col)).alias("_nt"),
     )
-    agg = per_doc.groupBy("domain").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    # pin the domain table — totals branch + output branch would
+    # otherwise each run the corpus token-count scan (same fix as
+    # temperature_mixture_weights)
+    agg = _persist_replacing(
+        per_doc.groupBy("domain").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        ),
+        "mixture_stats_agg",
     )
     totals = agg.agg(
         F.sum("n_tokens").cast("bigint").alias("_total"),
