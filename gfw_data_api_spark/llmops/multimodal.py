@@ -223,11 +223,16 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndar
 
         frames = decode_avi_frames(data)
         return np.stack(frames) if frames else np.zeros((0,), dtype=np.uint8)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from gfw_data_api_spark.llmops.gif import decode_gif
+
+        frames, _delays = decode_gif(data)
+        return frames[0] if len(frames) == 1 else np.stack(frames)
     raise NotImplementedError(
         "no codec for this payload format (PNG, 24-bit BMP, baseline JPEG, "
-        "PCM/float WAV, and MJPEG-AVI decode natively; compressed audio and "
-        "inter-frame video need ffmpeg, unavailable here); pass fake=True "
-        "for the deterministic test decode"
+        "GIF, PCM/float WAV, and MJPEG-AVI decode natively; compressed audio "
+        "and inter-frame video need ffmpeg, unavailable here); pass "
+        "fake=True for the deterministic test decode"
     )
 
 

