@@ -3046,7 +3046,6 @@ _DRIVER_FRONT: list[str] = [
     "q10_string_functions",
     "q11_case_expr",
     "q12_alias_table",
-    "q13_jsonb_extract",
     "i01_group_join_agg",
     "i02_three_way_join",
     "i06_pagination",
@@ -3071,7 +3070,7 @@ _DRIVER_FRONT: list[str] = [
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
     # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys,
-    # e02_partition_mapping, q14_pg_casts
+    # e02_partition_mapping, q14_pg_casts, q13_jsonb_extract
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3090,6 +3089,7 @@ _DRIVER_FRONT: list[str] = [
     "t16_epoch_shuffle",
     "t17_kneser_ney_lm",
     "t18_corpus_report",
+    "m05_audio_neardups",
 ]
 
 
@@ -3513,6 +3513,76 @@ _SPECS.append(
         survey_ref="text cleaning: Unicode NFC + typographic normalization "
         "(llmops/clean.normalize_text) — JVM translate/regexp stages, "
         "Arrow-batched NFC",
+    )
+)
+
+
+def _m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup detection inside the hard gate — the
+    audio twin of m04. Each selected document becomes a float32 WAV
+    whose waveform depends only on its group (doc_id % 25: three
+    group-seeded sinusoids + noise) times a per-doc gain: bytes differ,
+    sha-dedup cannot pair them, but the Haitsma–Kalker fingerprint's
+    energy-difference signs are gain-invariant (multiplying every band
+    energy by g² preserves every comparison; verified exhaustively for
+    these deterministic fixtures, cross-group Hamming ≥21). Expected
+    pair set = within-group pairs at Hamming 0 — pure group arithmetic
+    for DuckDB. The pair machinery is the SAME SimHash pigeonhole band
+    join the text and image families use."""
+    from gfw_data_api_spark.llmops.audio import audio_fingerprints, encode_wav
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+    from gfw_data_api_spark.llmops.phash import perceptual_neardup_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rng = np.random.default_rng(d % 25 * 7919 + 3)
+                n, rate = 4096, 8000
+                t = np.arange(n) / rate
+                freqs = rng.uniform(100, 3500, 3)
+                amps = rng.uniform(0.2, 0.5, 3)
+                sig = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+                sig += 0.05 * rng.standard_normal(n)
+                sig = sig / np.max(np.abs(sig)) * 0.6
+                gain = 0.5 + d % 5 * 0.1
+                payloads.append(bytearray(encode_wav(gain * sig, rate, bits=-32)))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    wavs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    fps = _persist_replacing(
+        audio_fingerprints(wavs, id_col="doc_id").select("doc_id", "afp"),
+        "m05_fps",
+    )
+    pairs = perceptual_neardup_pairs(fps, "afp", id_col="doc_id")
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m05_audio_neardups",
+        spark_fn=_m05,
+        oracle=(
+            "WITH d AS (SELECT doc_id, doc_id % 25 AS grp "
+            "FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(0 AS INTEGER) AS hamming "
+            "FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id"
+        ),
+        survey_ref="multimodal dedup: gain-invariant perceptual audio "
+        "fingerprints (llmops/audio.audio_fingerprint64) — banded "
+        "pigeonhole join, exact planted-group oracle",
     )
 )
 

@@ -205,6 +205,80 @@ def audio_signal_features(samples: np.ndarray, sample_rate: int) -> dict:
     }
 
 
+def audio_fingerprint64(samples: np.ndarray, sample_rate: int) -> int:
+    """64-bit perceptual audio fingerprint (Haitsma & Kalker 2002 shape).
+
+    Mono mixdown → 9 equal non-overlapping frames → rFFT energy in 9
+    log-spaced bands per frame → one bit per (frame, band) cell from the
+    sign of the time-and-band energy difference
+    ``(E[f,b] − E[f,b+1]) − (E[f−1,b] − E[f−1,b+1])`` (8×8 = 64 bits).
+
+    Uniform gain scaling multiplies every energy by g², which preserves
+    every difference's sign — the fingerprint is volume-invariant, the
+    audio analog of dHash's brightness invariance. Banded near-dup pairs
+    reuse the SimHash pigeonhole machinery via
+    :func:`llmops.phash.perceptual_neardup_pairs` on the output column.
+    """
+    mono = np.asarray(samples, dtype=np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    n_frames, n_bands = 9, 9
+    if len(mono) < n_frames:
+        mono = np.pad(mono, (0, n_frames - len(mono)))
+    frame_len = len(mono) // n_frames
+    spec = np.abs(np.fft.rfft(mono[: frame_len * n_frames].reshape(n_frames, frame_len), axis=1)) ** 2
+    n_bins = spec.shape[1]
+    # log-spaced band edges over the spectrum (skip DC bin)
+    edges = np.unique(
+        np.clip(np.geomspace(1, max(n_bins - 1, 2), n_bands + 1).astype(int), 1, n_bins)
+    )
+    while len(edges) < n_bands + 1:  # tiny spectra: pad edges forward
+        edges = np.append(edges, min(edges[-1] + 1, n_bins))
+    energies = np.stack(
+        [spec[:, edges[b] : max(edges[b + 1], edges[b] + 1)].sum(axis=1) for b in range(n_bands)],
+        axis=1,
+    )  # (frames, bands)
+    band_diff = energies[:, :-1] - energies[:, 1:]          # (frames, bands-1)
+    bits = (band_diff[1:] - band_diff[:-1]) > 0              # (frames-1, bands-1) = 8×8
+    val = 0
+    for b in bits.ravel():
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Append a 64-bit perceptual ``afp`` (long) per WAV payload via
+    mapInPandas; undecodable rows get NULL (codec-family convention).
+    Near-dups: ``perceptual_neardup_pairs(out, "afp", id_col=...)``."""
+    from pyspark.sql import types as _T
+
+    out_schema = _T.StructType(
+        list(df.schema.fields) + [_T.StructField("afp", _T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    fps.append(None)
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                    fps.append(audio_fingerprint64(samples, rate))
+                except (ValueError, NotImplementedError, struct.error):
+                    fps.append(None)
+            pdf = pdf.copy()
+            pdf["afp"] = fps
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def extract_audio_features(
     df: DataFrame,
     payload_col: str = "payload",

@@ -525,3 +525,44 @@ def test_decode_sampled_frames_gif(spark):
     out = video.decode_sampled_frames(df, every_nth=2).collect()
     got = sorted((r["media_id"], r["frame_index"], r["frame_mean_luma"]) for r in out)
     assert got == [(1, 0, 40.0), (1, 2, 120.0), (1, 4, 200.0)]
+
+
+# ------------------------------------------------- audio fingerprint
+
+
+def test_audio_fingerprint_gain_invariance_and_sensitivity():
+    rng = np.random.default_rng(12)
+    t = np.arange(4000) / 8000.0
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1320 * t)
+    sig += 0.03 * rng.standard_normal(len(t))
+    f1 = audio.audio_fingerprint64(sig, 8000)
+    assert audio.audio_fingerprint64(0.35 * sig, 8000) == f1  # volume change
+    other = 0.4 * np.sin(2 * np.pi * 700 * t) + 0.03 * rng.standard_normal(len(t))
+    ham = bin((f1 ^ audio.audio_fingerprint64(other, 8000)) & ((1 << 64) - 1)).count("1")
+    assert ham > 10
+
+
+def test_audio_fingerprints_spark_pairs(spark):
+    from gfw_data_api_spark.llmops.phash import perceptual_neardup_pairs
+
+    rng = np.random.default_rng(13)
+    t = np.arange(4096) / 8000.0
+
+    def wav(freq, gain):
+        sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.04 * rng.standard_normal(len(t))
+        return bytearray(audio.encode_wav(gain * sig / np.max(np.abs(sig)), 8000, bits=-32))
+
+    sig_a = 0.5 * np.sin(2 * np.pi * 500 * t) + 0.04 * np.random.default_rng(1).standard_normal(len(t))
+    base = sig_a / np.max(np.abs(sig_a))
+    rows = [
+        (1, bytearray(audio.encode_wav(0.6 * base, 8000, bits=-32))),
+        (2, bytearray(audio.encode_wav(0.3 * base, 8000, bits=-32))),  # volume twin
+        (3, wav(1800, 0.5)),
+        (4, bytearray(b"not-audio")),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    fps = audio.audio_fingerprints(df)
+    by_id = {r["media_id"]: r["afp"] for r in fps.collect()}
+    assert by_id[4] is None
+    pairs = perceptual_neardup_pairs(fps, "afp").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
