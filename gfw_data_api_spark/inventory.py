@@ -3045,7 +3045,6 @@ _DRIVER_FRONT: list[str] = [
     "q09_date_functions",
     "q10_string_functions",
     "q11_case_expr",
-    "q12_alias_table",
     "i01_group_join_agg",
     "i02_three_way_join",
     "i06_pagination",
@@ -3070,7 +3069,7 @@ _DRIVER_FRONT: list[str] = [
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
     # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys,
-    # e02_partition_mapping, q14_pg_casts, q13_jsonb_extract
+    # e02_partition_mapping, q14_pg_casts, q13_jsonb_extract, q12_alias_table
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3090,6 +3089,7 @@ _DRIVER_FRONT: list[str] = [
     "t17_kneser_ney_lm",
     "t18_corpus_report",
     "m05_audio_neardups",
+    "m06_video_remux_dedup",
 ]
 
 
@@ -3583,6 +3583,82 @@ _SPECS.append(
         survey_ref="multimodal dedup: gain-invariant perceptual audio "
         "fingerprints (llmops/audio.audio_fingerprint64) — banded "
         "pigeonhole join, exact planted-group oracle",
+    )
+)
+
+
+def _m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remux-invariant video dedup inside the hard gate: per selected
+    document an MJPEG-AVI is synthesized whose FRAME BYTES depend only
+    on its group (doc_id % 25) while the CONTAINER differs per doc
+    (fps = 5 + doc_id % 7) — byte-level sha keys differ on every row,
+    but llmops/video.video_content_keys hashes the decoded pixels, so
+    group members collapse to one key. The gate emits the exact
+    within-group pair set (dedup groupBy on the content key → pair
+    self-join of a tiny table), which DuckDB recomputes from group
+    arithmetic. Deterministic: the key never leaves Spark; only its
+    EQUALITY structure is compared."""
+    from gfw_data_api_spark.llmops.video import encode_avi_mjpeg, video_content_keys
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from gfw_data_api_spark.llmops.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rng = np.random.default_rng(d % 25 * 6151 + 13)
+                frames = [
+                    encode_jpeg(rng.integers(0, 256, (8, 8)).astype(np.uint8), quality=90)
+                    for _ in range(3)
+                ]
+                payloads.append(
+                    bytearray(encode_avi_mjpeg(frames, 5.0 + d % 7, 8, 8))
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    avis = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    # pin: both sides of the pair self-join read the decoded keys
+    keyed = _persist_replacing(
+        video_content_keys(avis).select("doc_id", "video_key"), "m06_keys"
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.video_key") == F.col("b.video_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return pairs
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m06_video_remux_dedup",
+        spark_fn=_m06,
+        oracle=(
+            "WITH d AS (SELECT doc_id, doc_id % 25 AS grp "
+            "FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id"
+        ),
+        survey_ref="multimodal dedup: remux-invariant video content keys "
+        "(llmops/video.video_content_keys) — decoded-pixel hash collapses "
+        "container variants byte-level sha misses",
     )
 )
 

@@ -142,6 +142,57 @@ def encode_avi_mjpeg(frames: list[bytes], fps: float, width: int, height: int) -
     return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
 
 
+def video_content_keys(
+    df: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Append a container-invariant ``video_key`` per video payload.
+
+    The key is md5 over the DECODED frame pixels in order (shape-tagged),
+    so remuxing — a different container, fps, header metadata, chunk
+    layout — cannot change it while any pixel change does. This is the
+    dedup key a crawl pipeline wants for videos re-uploaded with
+    different encoders' container defaults; byte-level sha keys
+    (media_dedup_keys) miss every remux. Works for MJPEG-AVI and
+    animated GIF payloads; undecodable rows get NULL.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("video_key", T.StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    keys.append(None)
+                    continue
+                data = bytes(payload)
+                try:
+                    if data[:6] in (b"GIF87a", b"GIF89a"):
+                        from gfw_data_api_spark.llmops.gif import decode_gif
+
+                        frames, _ = decode_gif(data)
+                    else:
+                        frames = decode_avi_frames(data)
+                    h = hashlib.md5()
+                    for fr in frames:
+                        h.update(str(fr.shape).encode())
+                        h.update(np.ascontiguousarray(fr).tobytes())
+                    keys.append(h.hexdigest())
+                except (ValueError, NotImplementedError, struct.error):
+                    keys.append(None)
+            pdf = pdf.copy()
+            pdf["video_key"] = keys
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 _FRAME_SCHEMA_FIELDS = [
     T.StructField("frame_index", T.IntegerType()),
     T.StructField("frame_width", T.IntegerType()),

@@ -566,3 +566,38 @@ def test_audio_fingerprints_spark_pairs(spark):
     assert by_id[4] is None
     pairs = perceptual_neardup_pairs(fps, "afp").collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_video_content_keys_remux_invariant(spark):
+    from gfw_data_api_spark.llmops import gif
+    from gfw_data_api_spark.llmops.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(21)
+    frames = [encode_jpeg(rng.integers(0, 256, (8, 8)).astype(np.uint8)) for _ in range(2)]
+    rows = [
+        (1, bytearray(video.encode_avi_mjpeg(frames, 5.0, 8, 8))),
+        (2, bytearray(video.encode_avi_mjpeg(frames, 24.0, 8, 8))),   # remuxed fps
+        (3, bytearray(video.encode_avi_mjpeg(list(reversed(frames)), 5.0, 8, 8))),
+        (4, bytearray(b"not-a-video")),
+    ]
+    # byte-level payloads all differ
+    assert len({bytes(r[1]) for r in rows}) == 4
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    keys = {r["media_id"]: r["video_key"] for r in video.video_content_keys(df).collect()}
+    assert keys[1] == keys[2]          # container change: same content
+    assert keys[1] != keys[3]          # frame order change: different content
+    assert keys[4] is None
+
+
+def test_video_content_keys_gif(spark):
+    from gfw_data_api_spark.llmops import gif
+
+    seq = [np.full((4, 4, 3), 30 * (i + 1), dtype=np.uint8) for i in range(3)]
+    rows = [
+        (1, bytearray(gif.encode_gif(seq, [50, 50, 50]))),
+        (2, bytearray(gif.encode_gif(seq, [200, 200, 200]))),  # delays differ
+    ]
+    assert bytes(rows[0][1]) != bytes(rows[1][1])
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    keys = {r["media_id"]: r["video_key"] for r in video.video_content_keys(df).collect()}
+    assert keys[1] == keys[2]
