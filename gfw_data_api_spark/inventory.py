@@ -3044,7 +3044,6 @@ _DRIVER_FRONT: list[str] = [
     "q08_window",
     "q09_date_functions",
     "q10_string_functions",
-    "q11_case_expr",
     "i01_group_join_agg",
     "i02_three_way_join",
     "i06_pagination",
@@ -3069,7 +3068,8 @@ _DRIVER_FRONT: list[str] = [
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
     # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys,
-    # e02_partition_mapping, q14_pg_casts, q13_jsonb_extract, q12_alias_table
+    # e02_partition_mapping, q14_pg_casts, q13_jsonb_extract, q12_alias_table,
+    # q11_case_expr
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3090,6 +3090,7 @@ _DRIVER_FRONT: list[str] = [
     "t18_corpus_report",
     "m05_audio_neardups",
     "m06_video_remux_dedup",
+    "st08_media_stream_dedup",
 ]
 
 
@@ -3659,6 +3660,69 @@ _SPECS.append(
         survey_ref="multimodal dedup: remux-invariant video content keys "
         "(llmops/video.video_content_keys) — decoded-pixel hash collapses "
         "container variants byte-level sha misses",
+    )
+)
+
+
+def _st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-media dedup composition, batch-twin gated: synthesized
+    WAV payloads (m05's gain-scaled groups — every byte stream differs)
+    are fingerprinted (llmops/audio) and deduplicated on the
+    PERCEPTUAL key with streaming/dedup.dedup_events — the same call
+    that runs dropDuplicatesWithinWatermark on a live stream runs the
+    deterministic first-occurrence relation on this batch twin (test
+    proves stream==batch; st04/st06 pattern). Survivors are exactly one
+    doc per gain-group: min doc_id, which DuckDB recomputes from group
+    arithmetic."""
+    from gfw_data_api_spark.llmops.audio import audio_fingerprints, encode_wav
+    from gfw_data_api_spark.streaming.dedup import dedup_events
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rng = np.random.default_rng(d % 25 * 7919 + 3)
+                n, rate = 4096, 8000
+                t = np.arange(n) / rate
+                freqs = rng.uniform(100, 3500, 3)
+                amps = rng.uniform(0.2, 0.5, 3)
+                sig = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+                sig += 0.05 * rng.standard_normal(n)
+                sig = sig / np.max(np.abs(sig)) * 0.6
+                payloads.append(
+                    bytearray(encode_wav((0.5 + d % 5 * 0.1) * sig, rate, bits=-32))
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    wavs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    keyed = audio_fingerprints(wavs, id_col="doc_id").select("doc_id", "afp")
+    survivors = dedup_events(keyed, keys=["afp"], ts_col="doc_id")
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st08_media_stream_dedup",
+        spark_fn=_st08,
+        oracle=(
+            "WITH d AS (SELECT doc_id, doc_id % 25 AS grp "
+            "FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT min(doc_id) AS doc_id FROM d GROUP BY grp ORDER BY doc_id"
+        ),
+        survey_ref="streaming × multimodal: perceptual-key media dedup "
+        "(audio fingerprints + bounded-state stream dedup; batch twin "
+        "oracled, stream==batch pinned in tests)",
     )
 )
 

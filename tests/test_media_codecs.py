@@ -601,3 +601,62 @@ def test_video_content_keys_gif(spark):
     df = spark.createDataFrame(rows, "media_id int, payload binary")
     keys = {r["media_id"]: r["video_key"] for r in video.video_content_keys(df).collect()}
     assert keys[1] == keys[2]
+
+
+def test_media_stream_dedup_stream_equals_batch(spark, tmp_path):
+    """The st08 composition on a REAL stream: WAV payloads land as
+    files, are fingerprinted mid-stream, and deduplicate on the
+    perceptual key with bounded state — the surviving key set equals
+    the deterministic batch twin's."""
+    import datetime
+
+    from gfw_data_api_spark.llmops.phash import perceptual_neardup_pairs  # noqa: F401
+    from gfw_data_api_spark.streaming.dedup import dedup_events
+
+    rng = np.random.default_rng(31)
+    t = np.arange(4096) / 8000.0
+    t0 = datetime.datetime(2024, 1, 1, 9)
+
+    def group_wav(g, gain):
+        grng = np.random.default_rng(g * 7919 + 3)
+        freqs = grng.uniform(100, 3500, 3)
+        amps = grng.uniform(0.2, 0.5, 3)
+        sig = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+        sig += 0.05 * grng.standard_normal(len(t))
+        sig = sig / np.max(np.abs(sig)) * 0.6
+        return bytearray(audio.encode_wav(gain * sig, 8000, bits=-32))
+
+    rows = [
+        (g * 10 + k, t0 + datetime.timedelta(minutes=g * 10 + k), group_wav(g, 0.4 + 0.1 * k))
+        for g in range(4)
+        for k in range(3)  # 3 gain-variants per group, all bytes distinct
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ts timestamp, payload binary")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+
+    batch = dedup_events(
+        audio.audio_fingerprints(spark.read.parquet(src)), ["afp"], ts_col="ts",
+        tiebreak_col="media_id",
+    )
+    batch_keys = {r["afp"] for r in batch.collect()}
+    assert len(batch_keys) == 4  # one survivor per waveform group
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedup_events(
+        audio.audio_fingerprints(stream), ["afp"], ts_col="ts", watermark="2 hours"
+    )
+    assert out.isStreaming
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(sink)
+    assert {r["afp"] for r in streamed.collect()} == batch_keys
+    assert streamed.count() == 4
