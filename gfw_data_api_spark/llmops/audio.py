@@ -205,6 +205,81 @@ def audio_signal_features(samples: np.ndarray, sample_rate: int) -> dict:
     }
 
 
+def mel_filterbank(n_mels: int, n_bins: int, sample_rate: int) -> np.ndarray:
+    """Triangular mel filterbank matrix (n_mels × n_bins), HTK mel scale
+    ``m = 2595·log10(1 + f/700)`` — the standard front-end for speech
+    features (MFCC = DCT of these log-energies)."""
+    f_max = sample_rate / 2.0
+    mel_max = 2595.0 * np.log10(1.0 + f_max / 700.0)
+    mel_pts = np.linspace(0.0, mel_max, n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    bins = np.floor((n_bins - 1) * hz_pts / f_max).astype(int)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+        if mid == lo:
+            mid = lo + 1
+        if hi == mid:
+            hi = mid + 1
+        fb[m, lo:mid] = (np.arange(lo, mid) - lo) / (mid - lo)
+        fb[m, mid : min(hi, n_bins)] = (hi - np.arange(mid, min(hi, n_bins))) / (hi - mid)
+    return fb
+
+
+def mel_log_energies(
+    samples: np.ndarray,
+    sample_rate: int,
+    n_mels: int = 16,
+    n_frames: int = 8,
+) -> np.ndarray:
+    """(n_frames × n_mels) log mel-band energies — the acoustic feature
+    grid a speech/audio curation pass clusters or classifies on. Mono
+    mixdown, equal non-overlapping frames, rFFT power, triangular mel
+    pooling, log with a small floor."""
+    mono = np.asarray(samples, dtype=np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    if len(mono) < n_frames:
+        mono = np.pad(mono, (0, n_frames - len(mono)))
+    frame_len = len(mono) // n_frames
+    spec = np.abs(np.fft.rfft(mono[: frame_len * n_frames].reshape(n_frames, frame_len), axis=1)) ** 2
+    fb = mel_filterbank(n_mels, spec.shape[1], sample_rate)
+    return np.log(spec @ fb.T + 1e-10)
+
+
+def extract_mel_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_mels: int = 16,
+    n_frames: int = 8,
+) -> DataFrame:
+    """Append ``mel array<float>`` (flattened frames×mels grid) per WAV
+    payload via mapInPandas — the embedding-ish column the similarity
+    family (cosine top-k, IVF, near-dup buckets) consumes directly."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("mel", T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mels = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    mels.append(None)
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                    grid = mel_log_energies(samples, rate, n_mels, n_frames)
+                    mels.append([float(x) for x in grid.ravel()])
+                except (ValueError, NotImplementedError, struct.error):
+                    mels.append(None)
+            pdf = pdf.copy()
+            pdf["mel"] = mels
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def audio_fingerprint64(samples: np.ndarray, sample_rate: int) -> int:
     """64-bit perceptual audio fingerprint (Haitsma & Kalker 2002 shape).
 

@@ -660,3 +660,33 @@ def test_media_stream_dedup_stream_equals_batch(spark, tmp_path):
     streamed = spark.read.parquet(sink)
     assert {r["afp"] for r in streamed.collect()} == batch_keys
     assert streamed.count() == 4
+
+
+def test_mel_filterbank_shape_and_coverage():
+    fb = audio.mel_filterbank(16, 257, 8000)
+    assert fb.shape == (16, 257)
+    assert (fb >= 0).all() and fb.max() <= 1.0
+    # every filter has support; filters tile the spectrum
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_mel_log_energies_distinguish_bands():
+    t = np.arange(8192) / 8000.0
+    low = np.sin(2 * np.pi * 200 * t)
+    high = np.sin(2 * np.pi * 3000 * t)
+    g_low = audio.mel_log_energies(low, 8000)
+    g_high = audio.mel_log_energies(high, 8000)
+    assert g_low.shape == (8, 16)
+    # energy concentrates in different mel bands
+    assert g_low.mean(axis=0).argmax() < g_high.mean(axis=0).argmax()
+
+
+def test_extract_mel_features_spark(spark):
+    t = np.arange(4096) / 8000.0
+    wav = audio.encode_wav(0.4 * np.sin(2 * np.pi * 500 * t), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk"))], "media_id int, payload binary"
+    )
+    out = {r["media_id"]: r["mel"] for r in audio.extract_mel_features(df).collect()}
+    assert len(out[1]) == 8 * 16
+    assert out[2] is None
