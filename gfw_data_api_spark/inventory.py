@@ -3063,13 +3063,12 @@ _DRIVER_FRONT: list[str] = [
     "s01_cosine_topk",
     "s02_embedding_norms",
     "d03_ngram_jaccard_pairs",
-    "t05_quality_ratios",
     "i08_multiway_join_revenue",
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
     # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys,
     # e02_partition_mapping, q14_pg_casts, q13_jsonb_extract, q12_alias_table,
-    # q11_case_expr
+    # q11_case_expr, t05_quality_ratios
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3091,6 +3090,7 @@ _DRIVER_FRONT: list[str] = [
     "m05_audio_neardups",
     "m06_video_remux_dedup",
     "st08_media_stream_dedup",
+    "d12_ppjoin_pairs",
 ]
 
 
@@ -3660,6 +3660,50 @@ _SPECS.append(
         survey_ref="multimodal dedup: remux-invariant video content keys "
         "(llmops/video.video_content_keys) — decoded-pixel hash collapses "
         "container variants byte-level sha misses",
+    )
+)
+
+
+def _d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered EXACT Jaccard pairs (llmops/dedup.
+    ppjoin_pairs): the no-knob exact alternative to d03's df-capped
+    inverted index — prefixes are dominated by RARE shingles, so hot
+    phrases never drive the join while the result stays the true
+    Jaccard relation, which DuckDB recomputes directly (same oracle
+    family as d03, no cap clause). Threshold 0.8: prefix length is
+    (1−t)·n+1, so prefix filtering is the HIGH-threshold algorithm —
+    at t=0.8 each doc indexes ~20% of its shingles. Shingle order 4
+    matters just as much on THIS corpus: its tiny word vocabulary makes
+    every bigram corpus-hot (df≈100 — prefix filtering, which lives on
+    long-tail vocabularies, degenerates to an all-pairs join, measured
+    4.4M candidates), while 4-gram cardinality restores the long tail
+    the algorithm is built for."""
+    from gfw_data_api_spark.llmops.dedup import ppjoin_pairs
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    return ppjoin_pairs(docs, shingle_n=4, threshold=0.8)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d12_ppjoin_pairs",
+        spark_fn=_d12,
+        oracle=(
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), "
+            "i -> array_to_string(t[i:i+3], ' ')))) AS s FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8"
+        ),
+        survey_ref="dedup: PPJoin prefix-filtered exact Jaccard join "
+        "(Xiao et al. 2008) — rare-shingle prefixes bound the join with "
+        "no df-cap approximation",
     )
 )
 

@@ -335,6 +335,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PPJoin prefix filtering (Xiao et
+    al., WWW 2008) — the scale upgrade of :func:`ngram_jaccard_pairs`.
+
+    The inverted-index join there touches EVERY shared shingle (df-cap
+    required to stay sub-quadratic, trading exactness on hot phrases).
+    PPJoin keeps exactness AND boundedness: order shingles globally by
+    ascending document frequency, keep only each document's
+    ``n − ceil(t·n) + 1`` RAREST shingles (the prefix), and join on
+    prefix shingles alone — any pair with Jaccard ≥ t provably shares a
+    prefix shingle, and prefixes are dominated by rare shingles, so hot
+    phrases never drive the join. Candidates are then verified with an
+    exact native ``array_intersect`` against each document's full
+    shingle set (bounded by document length).
+
+    Shape at scale: one persisted shingle explode (index + sizes +
+    sets + doc-frequency all read it), a per-doc window (PARTITIONED by
+    doc — no global sort), a prefix-only bucket join, and a
+    candidates×2 set join. No tuning knob, no approximation.
+    """
+    from pyspark.sql import Window
+
+    sh = _persist_replacing(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+            ).alias("_s"),
+        ).withColumn("_s", F.xxhash64("_s")),
+        "ppjoin_sh",
+    )
+    dfreq = sh.groupBy("_s").agg(F.count("*").alias("_df"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_s"))
+    prefix = (
+        sh.join(dfreq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, "_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + F.lit(1)
+        )
+        .select("_id", "_s")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("_id").agg(F.collect_list("_s").alias("_set"))
+    verified = (
+        cands.join(
+            sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa")), "id_a"
+        )
+        .join(
+            sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb")), "id_b"
+        )
+        .withColumn("_shared", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            (
+                F.col("_shared")
+                / (F.size("_sa") + F.size("_sb") - F.col("_shared"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1165,3 +1165,52 @@ def test_corpus_report_without_lang(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     got = {r["metric"] for r in corpus_report(df, lang_col=None).collect()}
     assert "n_docs" in got and "lang_entropy" not in got
+
+
+def test_ppjoin_equals_exact_jaccard(spark):
+    """PPJoin prefix filtering is EXACT: identical pair set + values to
+    the uncapped inverted-index join on a random corpus with planted
+    near-dups."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(6, 20))))
+        for i in range(50)
+    ]
+    rows.append((100, rows[3][1] + " tail"))
+    rows.append((101, rows[7][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ppjoin_pairs(df, shingle_n=2, threshold=0.3).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(
+            df, shingle_n=2, threshold=0.3, max_doc_frequency=None
+        ).collect()
+    }
+    assert got == want
+    assert (3, 100) in got and (7, 101) in got
+
+
+def test_ppjoin_handles_hot_shingles_without_cap(spark):
+    """A corpus-wide hot phrase (in EVERY doc) never reaches the prefix
+    index, yet Jaccard stays exact (the hot shingle still counts in the
+    verify stage)."""
+    from gfw_data_api_spark.llmops.dedup import ppjoin_pairs
+
+    rows = [
+        (1, "common phrase here alpha beta gamma"),
+        (2, "common phrase here alpha beta delta"),
+        (3, "common phrase here zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ppjoin_pairs(df, shingle_n=2, threshold=0.5).collect()}
+    # docs 1,2: bigram sets of size 5 sharing 4 ("common phrase",
+    # "phrase here", "here alpha", "alpha beta") → 4/6
+    assert got == {(1, 2): pytest.approx(4 / 6)}
