@@ -1151,6 +1151,75 @@ def create_app(
                     )
 
                 tail = parts[3:]
+                if len(tail) == 4 and tail[0] == "tile" and method == "GET":
+                    # GET /dataset/{d}/{v}/tile/{z}/{x}/{y}.png|.pbf —
+                    # serve one tile straight from the z/x-partitioned
+                    # tile store (partition pruning makes the point
+                    # lookup read a single directory). The reference
+                    # delegates serving to its tile-cache CDN; here the
+                    # engine IS the store, so the route closes the loop.
+                    y_name, _, ext = tail[3].partition(".")
+                    kinds = {
+                        "png": ("raster_tile_cache", "png", "image/png"),
+                        "pbf": (
+                            "static_vector_tile_cache",
+                            "pbf",
+                            "application/x-protobuf",
+                        ),
+                    }
+                    if ext not in kinds or not all(
+                        p.lstrip("-").isdigit() for p in (tail[1], tail[2], y_name)
+                    ):
+                        raise QueryGuardError(
+                            "tile path must be /tile/{z}/{x}/{y}.png or .pbf "
+                            "with integer coordinates.",
+                            422,
+                        )
+                    want_type, col, ctype = kinds[ext]
+                    cache = next(
+                        (
+                            a
+                            for a in registry.assets_for(dataset, version)
+                            if a.asset_type == want_type and a.status == "saved"
+                        ),
+                        None,
+                    )
+                    if cache is None:
+                        return _json_response(
+                            start_response,
+                            {
+                                "status": "failed",
+                                "message": f"no saved {want_type} asset for "
+                                f"{dataset}/{version}.",
+                            },
+                            404,
+                        )
+                    rows = (
+                        spark.read.parquet(cache.asset_uri)
+                        .filter(
+                            (F.col("z") == int(tail[1]))
+                            & (F.col("x") == int(tail[2]))
+                            & (F.col("y") == int(y_name))
+                        )
+                        .select(col)
+                        .limit(1)
+                        .collect()
+                    )
+                    if not rows or rows[0][0] is None:
+                        return _json_response(
+                            start_response,
+                            {"status": "failed", "message": "tile not found."},
+                            404,
+                        )
+                    blob = bytes(rows[0][0])
+                    start_response(
+                        "200 OK",
+                        [
+                            ("Content-Type", ctype),
+                            ("Content-Length", str(len(blob))),
+                        ],
+                    )
+                    return [blob]
                 if tail == ["assets"]:
                     # reference: app/routes/datasets/asset.py — GET lists a
                     # version's assets, POST creates an auxiliary asset

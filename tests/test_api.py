@@ -1216,3 +1216,37 @@ def test_datamart_csv_accept_with_parameters(spark, tmp_path_factory):
     out = call(app2, "GET", "/datamart/tree_cover_loss_by_driver/r-1",
                headers={"accept": "text/csv;q=0.5"})
     assert out["body"].splitlines()[1] == "Wildfire,2020,1.5,2.5"
+
+
+def test_tile_serving_routes(app, spark):
+    """GET /dataset/{d}/{v}/tile/{z}/{x}/{y}.png serves a decodable tile
+    from the raster tile store; wrong coords 404, bad paths 422, and a
+    version without the asset 404s."""
+    from gfw_data_api_spark.llmops.multimodal import decode_png
+
+    registry = app._registry
+    asset = next(
+        a for a in registry.assets_for("umd_tree_cover_loss", "v1")
+        if a.asset_type == "raster_tile_cache"
+    )
+    tiles = spark.read.parquet(asset.asset_uri).select("z", "x", "y").collect()
+    z, x, y = tiles[0]["z"], tiles[0]["x"], tiles[0]["y"]
+
+    out = call(app, "GET", f"/dataset/umd_tree_cover_loss/v1/tile/{z}/{x}/{y}.png")
+    assert out["status"] == 200
+    assert out["headers"]["Content-Type"] == "image/png"
+    img = decode_png(bytes(out["body"]) if isinstance(out["body"], (bytes, bytearray)) else out["body"].encode("latin1"))
+    assert img.shape == (256, 256, 4)
+
+    # absent tile coordinates → 404
+    out = call(app, "GET", "/dataset/umd_tree_cover_loss/v1/tile/9/511/511.png")
+    assert out["status"] == 404
+    # malformed path → 422
+    out = call(app, "GET", "/dataset/umd_tree_cover_loss/v1/tile/a/b/c.png")
+    assert out["status"] == 422
+    out = call(app, "GET", f"/dataset/umd_tree_cover_loss/v1/tile/{z}/{x}/{y}.gif")
+    assert out["status"] == 422
+    # version with no tile cache asset → 404 with the asset-type message
+    out = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/tile/0/0/0.png")
+    assert out["status"] == 404
+    assert "raster_tile_cache" in out["body"]["message"]
