@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Callable
 from urllib.parse import parse_qs
 
@@ -1168,7 +1169,7 @@ def create_app(
                         ),
                     }
                     if ext not in kinds or not all(
-                        p.lstrip("-").isdigit() for p in (tail[1], tail[2], y_name)
+                        re.fullmatch(r"-?\d+", p) for p in (tail[1], tail[2], y_name)
                     ):
                         raise QueryGuardError(
                             "tile path must be /tile/{z}/{x}/{y}.png or .pbf "

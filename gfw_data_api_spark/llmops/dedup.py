@@ -43,9 +43,18 @@ def _persist_replacing(df: DataFrame, slot: str) -> DataFrame:
     key = (threading.get_ident(), slot)
     with _PERSIST_LOCK:
         prev = _PERSIST_SLOTS.pop(key, None)
+        # evict slots owned by DEAD threads: the API spawns short-lived
+        # datamart/job threads, and without this sweep each one would
+        # leave a permanently pinned table behind (the unscoped-persist
+        # problem the slot design exists to bound)
+        alive = {t.ident for t in threading.enumerate()}
+        stale = [k for k in _PERSIST_SLOTS if k[0] not in alive]
+        dead = [_PERSIST_SLOTS.pop(k) for k in stale]
         _PERSIST_SLOTS[key] = df.persist()
     if prev is not None:
         prev.unpersist()
+    for d in dead:
+        d.unpersist()
     return df
 
 

@@ -149,6 +149,14 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
                 transparent = tindex if gflags & 1 else None
                 delay_ms = delay_cs * 10
                 disposal = (gflags >> 2) & 0x7
+                if disposal == 3:
+                    # restore-to-previous needs a frame-history stack we
+                    # don't keep; compositing it as draw-over would hash
+                    # and render WRONG pixels — reject per module policy
+                    raise NotImplementedError(
+                        "GIF disposal method 3 (restore to previous) outside "
+                        "subset; supported: 0/1 (draw over), 2 (background)"
+                    )
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")

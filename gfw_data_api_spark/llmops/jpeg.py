@@ -328,6 +328,16 @@ def _decode_scan(data, pos, frame, scan, qtables, dc_tables, ac_tables,
     height, width = frame["h"], frame["w"]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
+    for c in scan:
+        if hmax % c["h"] or vmax % c["v"]:
+            # the integer-replication upsampler needs factors that divide
+            # the max — anything else (e.g. 3:4) would silently produce
+            # misaligned chroma, so reject per the module's subset policy
+            raise NotImplementedError(
+                f"JPEG sampling factors {c['h']}x{c['v']} do not divide "
+                f"the max {hmax}x{vmax}; supported: divisor factors "
+                "(4:4:4, 4:2:2, 4:2:0 and friends)"
+            )
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     # per-component plane at its natural (subsampled) resolution

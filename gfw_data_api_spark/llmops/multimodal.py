@@ -357,6 +357,13 @@ def resize_images(
                     payloads.append(payload)
                     fmts.append(fmt)
                     continue
+                if img.ndim not in (2, 3):
+                    # multi-frame decode (animated GIF, AVI stack) — a
+                    # still-image resize has no defined semantics here;
+                    # pass through like undecodable rows
+                    payloads.append(payload)
+                    fmts.append(fmt)
+                    continue
                 resized = bilinear_resize(img, width, height)
                 payloads.append(bytearray(encode_png(resized)))
                 fmts.append("png")

@@ -120,6 +120,11 @@ def perceptual_hashes(
                     img = decode_media(bytes(payload), "image", fake=fake)
                     if fake:
                         img = (img.reshape(8, 8) * 255).astype(np.uint8)
+                    elif img.ndim == 4:
+                        # animated decode (frame stack): hash the first
+                        # composited frame so animated near-dups pair
+                        # instead of silently NULLing
+                        img = img[0]
                     dh.append(dhash64(img))
                     ph.append(phash64(img))
                 except (ValueError, NotImplementedError, struct.error):

@@ -270,13 +270,21 @@ def points_within_radius(
     coslat = max(_math.cos(_math.radians(lat)), 1e-9)
     dlon = radius_km / (111.32 * coslat)
     dist = haversine_km_col(F.lit(lat), F.lit(lng), F.col(lat_col), F.col(lon_col))
+    lat_pred = (F.col(lat_col) >= lat - dlat) & (F.col(lat_col) <= lat + dlat)
+    lo, hi = lng - dlon, lng + dlon
+    if hi - lo >= 360.0:
+        # circle spans every longitude (near a pole): no lon pruning
+        lon_pred = F.lit(True)
+    elif lo < -180.0:
+        # window crosses the antimeridian westward: wrap the low bound
+        lon_pred = (F.col(lon_col) >= lo + 360.0) | (F.col(lon_col) <= hi)
+    elif hi > 180.0:
+        # crosses eastward: wrap the high bound
+        lon_pred = (F.col(lon_col) >= lo) | (F.col(lon_col) <= hi - 360.0)
+    else:
+        lon_pred = (F.col(lon_col) >= lo) & (F.col(lon_col) <= hi)
     return (
-        df.filter(
-            (F.col(lat_col) >= lat - dlat)
-            & (F.col(lat_col) <= lat + dlat)
-            & (F.col(lon_col) >= lng - dlon)
-            & (F.col(lon_col) <= lng + dlon)
-        )
+        df.filter(lat_pred & lon_pred)
         .withColumn("distance_km", dist)
         .filter(F.col("distance_km") <= radius_km)
     )

@@ -130,3 +130,119 @@ def test_unspaced_subtraction_still_references_layer(spark, tmp_path):
         "SELECT sum(tcl__year-2000) AS s FROM data", aoi,  # no spaces around '-'
     ).collect()
     assert rows[0]["s"] > 0
+
+
+# ---- round-4 code-review findings ----------------------------------
+
+
+def test_resize_passes_through_animated_gif(spark):
+    """An animated GIF in an image table must pass through resize
+    unchanged, not crash the batch (review: bilinear_resize outside the
+    decode try/except)."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops import gif, multimodal
+
+    seq = [np.full((4, 4, 3), 50 * (i + 1), dtype=np.uint8) for i in range(2)]
+    payload = gif.encode_gif(seq)
+    rows = [(1, bytearray(payload), ("image", "gif", 4, 4, None, None))]
+    df = spark.createDataFrame(
+        rows,
+        "media_id int, payload binary, media_meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:int,n_frames:int>",
+    )
+    out = multimodal.resize_images(df, 8, 8, decode=True).collect()[0]
+    assert bytes(out["payload"]) == payload          # untouched
+    assert out["media_meta"]["format"] == "gif"      # format preserved
+
+
+def test_persist_slots_evict_dead_threads(spark):
+    import threading
+
+    from gfw_data_api_spark.llmops import dedup
+
+    df = spark.createDataFrame([(1,)], "x int")
+
+    def worker():
+        dedup._persist_replacing(df.select("x"), "leak_probe")
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    dead_ident = t.ident
+    assert (dead_ident, "leak_probe") in dedup._PERSIST_SLOTS
+    # any later call from a live thread sweeps the dead thread's slots
+    dedup._persist_replacing(df.select("x"), "sweeper")
+    assert all(k[0] != dead_ident for k in dedup._PERSIST_SLOTS)
+
+
+def test_points_within_radius_antimeridian(spark):
+    from gfw_data_api_spark.operators.features import points_within_radius
+
+    rows = [(1, 0.0, -179.95), (2, 0.0, 179.5), (3, 0.0, 178.0)]
+    df = spark.createDataFrame(rows, "id int, lat double, lon double")
+    got = {r["id"] for r in points_within_radius(df, lat=0.0, lng=179.99, radius_km=100.0).collect()}
+    assert got == {1, 2}  # the wrapped point is ~6.7 km away
+    # eastward wrap too
+    got = {r["id"] for r in points_within_radius(df, lat=0.0, lng=-179.99, radius_km=100.0).collect()}
+    assert got == {1, 2}
+
+
+def test_gif_disposal_3_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    from gfw_data_api_spark.llmops import gif
+
+    data = bytearray(gif.encode_gif([np.zeros((2, 2, 3), dtype=np.uint8)] * 2))
+    gce = data.index(b"\x21\xf9\x04")
+    data[gce + 3] |= 3 << 2  # disposal=3 in the first GCE
+    with _pytest.raises(NotImplementedError):
+        gif.decode_gif(bytes(data))
+
+
+def test_perceptual_hashes_animated_gif_uses_first_frame(spark):
+    import numpy as np
+
+    from gfw_data_api_spark.llmops import gif, phash
+
+    rng = np.random.default_rng(3)
+    f0 = rng.integers(30, 200, (8, 9, 3)).astype(np.uint8)
+    f1 = rng.integers(30, 200, (8, 9, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(gif.encode_gif([f0, f1]))),  # animated
+        (2, bytearray(gif.encode_gif(f0))),        # still of frame 0
+    ]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    by_id = {r["media_id"]: r for r in phash.perceptual_hashes(df).collect()}
+    assert by_id[1]["dhash"] is not None
+    assert by_id[1]["dhash"] == by_id[2]["dhash"]  # first frame hashed
+
+
+def test_jpeg_rejects_non_divisor_sampling():
+    import numpy as np
+    import pytest as _pytest
+
+    from gfw_data_api_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16, 3), 120, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90))
+    sof = data.index(b"\xff\xc0")
+    # component spec starts at sof+10 (marker 2 + len 2 + prec 1 + h 2 +
+    # w 2 + ncomp 1); each spec is (id, hv, tq)
+    data[sof + 10 + 1] = 0x31  # comp0 h=3,v=1
+    data[sof + 13 + 1] = 0x21  # comp1 h=2 → 3 % 2 != 0
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_tile_route_rejects_double_dash(spark, tmp_path_factory):
+    from gfw_data_api_spark.api import create_app
+    from gfw_data_api_spark.catalog import Registry
+    from gfw_data_api_spark.catalog.geostore import Geostore
+    from tests.test_api import call
+
+    registry = Registry(str(tmp_path_factory.mktemp("tiles") / "cat"))
+    app = create_app(spark, registry, Geostore(registry))
+    out = call(app, "GET", "/dataset/d/v1/tile/--1/0/0.png")
+    assert out["status"] == 422
