@@ -3518,6 +3518,34 @@ _SPECS.append(
 )
 
 
+def _gain_group_wav_synth(batches):
+    """Shared m05/st08 fixture: per doc a float32 WAV whose waveform
+    depends only on doc_id % 25 (three group-seeded sinusoids + noise)
+    times a per-doc gain (0.5 + d%5*0.1). BOTH gates' oracles assume
+    exactly this construction (gain-invariance verified exhaustively for
+    it) — one builder so they can never silently diverge."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.audio import encode_wav
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            rng = np.random.default_rng(d % 25 * 7919 + 3)
+            n, rate = 4096, 8000
+            t = np.arange(n) / rate
+            freqs = rng.uniform(100, 3500, 3)
+            amps = rng.uniform(0.2, 0.5, 3)
+            sig = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+            sig += 0.05 * rng.standard_normal(n)
+            sig = sig / np.max(np.abs(sig)) * 0.6
+            payloads.append(bytearray(encode_wav((0.5 + d % 5 * 0.1) * sig, rate, bits=-32)))
+        pdf = pdf.copy()
+        pdf["payload"] = payloads
+        yield pdf
+
+
 def _m05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO near-dup detection inside the hard gate — the
     audio twin of m04. Each selected document becomes a float32 WAV
@@ -3540,30 +3568,9 @@ def _m05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches):
-        import numpy as np
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                rng = np.random.default_rng(d % 25 * 7919 + 3)
-                n, rate = 4096, 8000
-                t = np.arange(n) / rate
-                freqs = rng.uniform(100, 3500, 3)
-                amps = rng.uniform(0.2, 0.5, 3)
-                sig = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
-                sig += 0.05 * rng.standard_normal(n)
-                sig = sig / np.max(np.abs(sig)) * 0.6
-                gain = 0.5 + d % 5 * 0.1
-                payloads.append(bytearray(encode_wav(gain * sig, rate, bits=-32)))
-            pdf = pdf.copy()
-            pdf["payload"] = payloads
-            yield pdf
-
-    wavs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    wavs = docs.mapInPandas(_gain_group_wav_synth, schema="doc_id bigint, payload binary")
     fps = _persist_replacing(
-        audio_fingerprints(wavs, id_col="doc_id").select("doc_id", "afp"),
+        audio_fingerprints(wavs).select("doc_id", "afp"),
         "m05_fps",
     )
     pairs = perceptual_neardup_pairs(fps, "afp", id_col="doc_id")
@@ -3718,7 +3725,7 @@ def _st08(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves stream==batch; st04/st06 pattern). Survivors are exactly one
     doc per gain-group: min doc_id, which DuckDB recomputes from group
     arithmetic."""
-    from gfw_data_api_spark.llmops.audio import audio_fingerprints, encode_wav
+    from gfw_data_api_spark.llmops.audio import audio_fingerprints
     from gfw_data_api_spark.streaming.dedup import dedup_events
 
     docs = (
@@ -3727,30 +3734,8 @@ def _st08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches):
-        import numpy as np
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                rng = np.random.default_rng(d % 25 * 7919 + 3)
-                n, rate = 4096, 8000
-                t = np.arange(n) / rate
-                freqs = rng.uniform(100, 3500, 3)
-                amps = rng.uniform(0.2, 0.5, 3)
-                sig = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
-                sig += 0.05 * rng.standard_normal(n)
-                sig = sig / np.max(np.abs(sig)) * 0.6
-                payloads.append(
-                    bytearray(encode_wav((0.5 + d % 5 * 0.1) * sig, rate, bits=-32))
-                )
-            pdf = pdf.copy()
-            pdf["payload"] = payloads
-            yield pdf
-
-    wavs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
-    keyed = audio_fingerprints(wavs, id_col="doc_id").select("doc_id", "afp")
+    wavs = docs.mapInPandas(_gain_group_wav_synth, schema="doc_id bigint, payload binary")
+    keyed = audio_fingerprints(wavs).select("doc_id", "afp")
     survivors = dedup_events(keyed, keys=["afp"], ts_col="doc_id")
     return survivors.select("doc_id").orderBy("doc_id")
 
@@ -4002,7 +3987,7 @@ def _m04(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consume it from EIGHT plan branches, and without pinning each one
     # re-runs the Python decode+hash stage (plan-audit finding)
     hashed = _persist_replacing(
-        imgs.transform(perceptual_hashes, id_col="doc_id").select(
+        imgs.transform(perceptual_hashes).select(
             "doc_id", "dhash", "phash"
         ),
         "m04_hashes",

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from gfw_data_api_spark.llmops import multimodal as _mm
+
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
@@ -271,7 +273,7 @@ def extract_mel_features(
                     samples, rate = decode_wav(bytes(payload))
                     grid = mel_log_energies(samples, rate, n_mels, n_frames)
                     mels.append([float(x) for x in grid.ravel()])
-                except (ValueError, NotImplementedError, struct.error):
+                except _mm.DECODE_ERRORS:
                     mels.append(None)
             pdf = pdf.copy()
             pdf["mel"] = mels
@@ -315,16 +317,14 @@ def audio_fingerprint64(samples: np.ndarray, sample_rate: int) -> int:
     )  # (frames, bands)
     band_diff = energies[:, :-1] - energies[:, 1:]          # (frames, bands-1)
     bits = (band_diff[1:] - band_diff[:-1]) > 0              # (frames-1, bands-1) = 8×8
-    val = 0
-    for b in bits.ravel():
-        val = (val << 1) | int(b)
-    return val - (1 << 64) if val >= 1 << 63 else val
+    from gfw_data_api_spark.llmops.phash import _pack_bits
+
+    return _pack_bits(bits)
 
 
 def audio_fingerprints(
     df: DataFrame,
     payload_col: str = "payload",
-    id_col: str = "media_id",
 ) -> DataFrame:
     """Append a 64-bit perceptual ``afp`` (long) per WAV payload via
     mapInPandas; undecodable rows get NULL (codec-family convention).
@@ -345,7 +345,7 @@ def audio_fingerprints(
                 try:
                     samples, rate = decode_wav(bytes(payload))
                     fps.append(audio_fingerprint64(samples, rate))
-                except (ValueError, NotImplementedError, struct.error):
+                except _mm.DECODE_ERRORS:
                     fps.append(None)
             pdf = pdf.copy()
             pdf["afp"] = fps
@@ -379,7 +379,7 @@ def extract_audio_features(
                     try:
                         samples, rate = decode_wav(bytes(payload))
                         feats = audio_signal_features(samples, rate)
-                    except (ValueError, NotImplementedError, struct.error):
+                    except _mm.DECODE_ERRORS:
                         feats = None
                 for name in names:
                     cols[name].append(None if feats is None else feats[name])

@@ -190,7 +190,12 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
             canvas[top : top + fh, left : left + fw] = background[
                 top : top + fh, left : left + fw
             ]
+        # GIF89a: a Graphic Control Extension governs only the single
+        # rendering block that follows — reset ALL of its state, not
+        # just transparency, so GCE-less frames get the spec defaults
         transparent = None
+        disposal = 0
+        delay_ms = 0
     if not frames:
         raise ValueError("GIF contains no image frames")
     return frames, delays

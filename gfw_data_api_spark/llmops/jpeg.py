@@ -257,6 +257,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"invalid JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("invalid JPEG: truncated at marker")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -315,6 +320,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
+            if len(scan) == 1:
+                # T.81 A.2.2: a single-component scan is non-interleaved —
+                # MCU is ONE data unit in raster order and the declared
+                # sampling factors do not apply (grayscale files often
+                # keep h=v=2 from a color conversion)
+                scan[0] = {**scan[0], "h": 1, "v": 1}
             return _decode_scan(
                 data, pos + seg_len, frame, scan, qtables, dc_tables, ac_tables,
                 restart_interval,

@@ -34,6 +34,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# Every exception a malformed payload can surface from the pure-Python
+# codecs (truncated headers → IndexError, missing Huffman tables →
+# KeyError, corrupt IDAT → zlib.error, bad struct reads, explicit
+# ValueError/NotImplementedError rejections). Batch skip-handlers catch
+# THIS tuple so one bad row NULLs instead of killing a 100 TB job.
+DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    struct.error,
+    IndexError,
+    KeyError,
+    zlib.error,
+)
 # PNG color type → channel count (bit depth 8 supported)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -222,7 +235,11 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndar
         from gfw_data_api_spark.llmops.video import decode_avi_frames
 
         frames = decode_avi_frames(data)
-        return np.stack(frames) if frames else np.zeros((0,), dtype=np.uint8)
+        if not frames:
+            # mirror the GIF path: an empty container must not flow on
+            # (a (0,) array would mean-pool into NaN feature vectors)
+            raise ValueError("AVI contains no frames")
+        return np.stack(frames)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from gfw_data_api_spark.llmops.gif import decode_gif
 
@@ -331,52 +348,68 @@ def resize_images(
     in metadata). Metadata bookkeeping stays native in both modes.
     """
     meta = F.col(meta_col)
+    if not decode:
+        planned_meta = F.struct(
+            meta["media_type"].alias("media_type"),
+            meta["format"].alias("format"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            meta["duration_ms"].alias("duration_ms"),
+            meta["n_frames"].alias("n_frames"),
+        )
+        return df.withColumn(meta_col, planned_meta)
+    # decode mode: dims/format are rewritten ONLY for rows that actually
+    # resized — passthrough rows (undecodable, animated) keep metadata
+    # that still describes their bytes
     new_meta = F.struct(
         meta["media_type"].alias("media_type"),
-        F.col("__resized_fmt").alias("format") if decode else meta["format"].alias("format"),
-        F.lit(width).alias("width"),
-        F.lit(height).alias("height"),
+        F.when(F.col("__resized"), F.lit("png"))
+        .otherwise(meta["format"])
+        .alias("format"),
+        F.when(F.col("__resized"), F.lit(width))
+        .otherwise(meta["width"])
+        .alias("width"),
+        F.when(F.col("__resized"), F.lit(height))
+        .otherwise(meta["height"])
+        .alias("height"),
         meta["duration_ms"].alias("duration_ms"),
         meta["n_frames"].alias("n_frames"),
     )
-    if not decode:
-        return df.withColumn(meta_col, new_meta)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, fmts = [], []
-            for payload, m in zip(pdf[payload_col], pdf[meta_col]):
-                fmt = m["format"] if m is not None else None
+            payloads, flags = [], []
+            for payload in pdf[payload_col]:
                 if payload is None:
                     payloads.append(None)
-                    fmts.append(fmt)
+                    flags.append(False)
                     continue
                 try:
                     img = decode_media(bytes(payload), "image")
-                except (ValueError, NotImplementedError, struct.error):
+                except DECODE_ERRORS:
                     payloads.append(payload)
-                    fmts.append(fmt)
+                    flags.append(False)
                     continue
                 if img.ndim not in (2, 3):
                     # multi-frame decode (animated GIF, AVI stack) — a
                     # still-image resize has no defined semantics here;
                     # pass through like undecodable rows
                     payloads.append(payload)
-                    fmts.append(fmt)
+                    flags.append(False)
                     continue
                 resized = bilinear_resize(img, width, height)
                 payloads.append(bytearray(encode_png(resized)))
-                fmts.append("png")
+                flags.append(True)
             pdf = pdf.copy()
             pdf[payload_col] = payloads
-            pdf["__resized_fmt"] = fmts
+            pdf["__resized"] = flags
             yield pdf
 
-    work_schema = T.StructType(list(df.schema.fields) + [T.StructField("__resized_fmt", T.StringType())])
+    work_schema = T.StructType(list(df.schema.fields) + [T.StructField("__resized", T.BooleanType())])
     return (
         df.mapInPandas(run, schema=work_schema)
         .withColumn(meta_col, new_meta)
-        .drop("__resized_fmt")
+        .drop("__resized")
     )
 
 

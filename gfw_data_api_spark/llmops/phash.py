@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gfw_data_api_spark.llmops.multimodal import bilinear_resize, decode_media
+from gfw_data_api_spark.llmops.multimodal import (
+    DECODE_ERRORS,
+    bilinear_resize,
+    decode_media,
+)
 
 # orthonormal DCT-II basis for the 32-point pHash transform
 _DCT_N = 32
@@ -94,7 +98,6 @@ def phash64(img: np.ndarray) -> int:
 def perceptual_hashes(
     df: DataFrame,
     payload_col: str = "payload",
-    id_col: str = "media_id",
     fake: bool = False,
 ) -> DataFrame:
     """Append ``dhash``/``phash`` (long) per payload via mapInPandas.
@@ -127,7 +130,7 @@ def perceptual_hashes(
                         img = img[0]
                     dh.append(dhash64(img))
                     ph.append(phash64(img))
-                except (ValueError, NotImplementedError, struct.error):
+                except DECODE_ERRORS:
                     dh.append(None)
                     ph.append(None)
             pdf = pdf.copy()

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from gfw_data_api_spark.llmops import multimodal as _mm
+
 
 def _iter_riff_chunks(data: bytes, pos: int, end: int):
     """Yield (fourcc, body_start, body_size) for a RIFF chunk run.
@@ -179,12 +181,17 @@ def video_content_keys(
                         frames, _ = decode_gif(data)
                     else:
                         frames = decode_avi_frames(data)
+                    if not frames:
+                        # empty containers must not share an
+                        # md5-of-nothing key
+                        keys.append(None)
+                        continue
                     h = hashlib.md5()
                     for fr in frames:
                         h.update(str(fr.shape).encode())
                         h.update(np.ascontiguousarray(fr).tobytes())
                     keys.append(h.hexdigest())
-                except (ValueError, NotImplementedError, struct.error):
+                except _mm.DECODE_ERRORS:
                     keys.append(None)
             pdf = pdf.copy()
             pdf["video_key"] = keys
@@ -244,7 +251,7 @@ def decode_sampled_frames(
                         info = parse_avi(data)
                         idx = list(range(0, info["n_frames"], every_nth))
                         decoded = decode_avi_frames(data, idx)
-                except (ValueError, NotImplementedError, struct.error):
+                except _mm.DECODE_ERRORS:
                     continue
                 for i, frame in zip(idx, decoded):
                     rec = dict(row)

@@ -272,8 +272,10 @@ def points_within_radius(
     dist = haversine_km_col(F.lit(lat), F.lit(lng), F.col(lat_col), F.col(lon_col))
     lat_pred = (F.col(lat_col) >= lat - dlat) & (F.col(lat_col) <= lat + dlat)
     lo, hi = lng - dlon, lng + dlon
-    if hi - lo >= 360.0:
-        # circle spans every longitude (near a pole): no lon pruning
+    if hi - lo >= 360.0 or lat + dlat >= 90.0 or lat - dlat <= -90.0:
+        # circle spans every longitude — either the window wraps fully
+        # OR the circle encloses a pole (where all meridians converge
+        # long before the planar window reaches 360°): no lon pruning
         lon_pred = F.lit(True)
     elif lo < -180.0:
         # window crosses the antimeridian westward: wrap the low bound

@@ -246,3 +246,121 @@ def test_tile_route_rejects_double_dash(spark, tmp_path_factory):
     app = create_app(spark, registry, Geostore(registry))
     out = call(app, "GET", "/dataset/d/v1/tile/--1/0/0.png")
     assert out["status"] == 422
+
+
+# ---- round-4 second-pass (high-effort) review findings -------------
+
+
+def test_points_within_radius_polar_circle(spark):
+    """A circle enclosing a pole covers all longitudes long before the
+    planar window reaches 360° — lon pruning must be disabled."""
+    from gfw_data_api_spark.operators.features import points_within_radius
+
+    rows = [(1, 89.0, 180.0), (2, 89.5, -90.0), (3, 80.0, 180.0)]
+    df = spark.createDataFrame(rows, "id int, lat double, lon double")
+    got = {r["id"] for r in points_within_radius(df, lat=89.0, lng=0.0, radius_km=300.0).collect()}
+    assert got == {1, 2}  # (89,180) is ~222 km away over the pole
+
+
+def test_jpeg_skips_fill_bytes():
+    """0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2)."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=95))
+    sof = data.index(b"\xff\xc0")
+    padded = bytes(data[:sof]) + b"\xff\xff\xff" + bytes(data[sof:])
+    out = decode_jpeg(padded)
+    assert out.shape[:2] == (8, 8)
+    assert abs(float(out.mean()) - 130.0) < 3.0
+
+
+def test_jpeg_grayscale_nonunit_sampling_decodes_correctly():
+    """A single-component scan is non-interleaved per T.81 A.2.2: the
+    declared sampling factors must be ignored, not used to build MCUs."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.tile(np.arange(16, dtype=np.uint8)[:, None] * 12, (1, 16))
+    data = bytearray(encode_jpeg(img, quality=95))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 10 + 1] = 0x22  # declare h=v=2 on the only component
+    out = decode_jpeg(bytes(data))
+    ref = decode_jpeg(bytes(bytearray(encode_jpeg(img, quality=95))))
+    assert out.shape == ref.shape
+    assert (out == ref).all()  # sampling factors ignored → same pixels
+
+
+def test_gif_gce_applies_to_one_frame_only():
+    """Frames without their own GCE get spec defaults (disposal 0,
+    delay 0), not the previous frame's sticky values."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops import gif
+
+    f0 = np.full((3, 3, 3), 10, dtype=np.uint8)
+    f1 = np.full((3, 3, 3), 200, dtype=np.uint8)
+    data = bytearray(gif.encode_gif([f0, f1], [70, 70]))
+    # strip the SECOND frame's GCE entirely (21 f9 04 + 4 body + 00 = 8 bytes)
+    first = data.index(b"\x21\xf9\x04")
+    second = data.index(b"\x21\xf9\x04", first + 1)
+    del data[second : second + 8]
+    # give the FIRST frame disposal=2 (restore to background)
+    data[first + 3] |= 2 << 2
+    frames, delays = gif.decode_gif(bytes(data))
+    assert delays == [70, 0]  # no GCE → delay defaults to 0
+    # frame 2 drew over a restored canvas and fully covers it
+    assert (frames[1] == 200).all()
+
+
+def test_decode_media_rejects_empty_avi():
+    from gfw_data_api_spark.llmops import multimodal, video
+
+    empty = video.encode_avi_mjpeg([], 10.0, 8, 8)
+    with pytest.raises(ValueError):
+        multimodal.decode_media(empty, "video", fake=False)
+
+
+def test_resize_keeps_meta_for_passthrough_rows(spark):
+    """Rows that pass through un-resized must keep metadata that still
+    describes their bytes (no unconditional dim rewrite)."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops import gif, multimodal
+
+    seq = [np.full((4, 4, 3), 60 * (i + 1), dtype=np.uint8) for i in range(2)]
+    rows = [
+        (1, bytearray(gif.encode_gif(seq)), ("image", "gif", 4, 4, None, None)),
+        (2, bytearray(b"junk"), ("image", "raw", 9, 9, None, None)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id int, payload binary, media_meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:int,n_frames:int>",
+    )
+    out = {r["media_id"]: r["media_meta"] for r in multimodal.resize_images(df, 64, 64, decode=True).collect()}
+    assert out[1]["width"] == 4 and out[1]["format"] == "gif"   # animated passthrough
+    assert out[2]["width"] == 9 and out[2]["format"] == "raw"   # undecodable passthrough
+
+
+def test_codec_skip_handlers_survive_truncated_payloads(spark):
+    """One malformed payload must NULL its row, never kill the batch
+    (IndexError/KeyError/zlib.error now count as decode failures)."""
+    from gfw_data_api_spark.llmops import audio, phash, video
+
+    rows = [
+        (1, bytearray(b"\xff\xd8\xff")),                      # truncated JPEG → IndexError
+        (2, bytearray(b"GIF89a" + b"\x00" * 7 + b"\x21")),    # truncated GIF ext → IndexError
+        (3, bytearray(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 8)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    hashed = {r["media_id"]: r["dhash"] for r in phash.perceptual_hashes(df).collect()}
+    assert all(v is None for v in hashed.values())
+    keys = {r["media_id"]: r["video_key"] for r in video.video_content_keys(df).collect()}
+    assert all(v is None for v in keys.values())
+    feats = {r["media_id"]: r["sample_rate"] for r in audio.extract_audio_features(df).collect()}
+    assert all(v is None for v in feats.values())

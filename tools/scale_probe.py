@@ -145,7 +145,7 @@ def main():
             "c03_normalize": lambda d: noop(normalize_text(d)),
             "m04_phash_pairs": lambda d: noop(
                 perceptual_neardup_pairs(
-                    perceptual_hashes(synth_images(d), id_col="doc_id"),
+                    perceptual_hashes(synth_images(d)),
                     id_col="doc_id",
                 )
             ),
