@@ -3061,14 +3061,13 @@ _DRIVER_FRONT: list[str] = [
     "d01_exact_dedup",
     "d02_prefix_fingerprint",
     "s01_cosine_topk",
-    "s02_embedding_norms",
     "d03_ngram_jaccard_pairs",
     "i08_multiway_join_revenue",
     # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
     # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
     # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys,
     # e02_partition_mapping, q14_pg_casts, q13_jsonb_extract, q12_alias_table,
-    # q11_case_expr, t05_quality_ratios
+    # q11_case_expr, t05_quality_ratios, s02_embedding_norms
     # were r1/r2-driver-checked; dropped from the front to keep 50-slot
     # room for round-4 additions — they stay registered right behind)
     # round-4 additions (never driver-checked)
@@ -3091,6 +3090,7 @@ _DRIVER_FRONT: list[str] = [
     "m06_video_remux_dedup",
     "st08_media_stream_dedup",
     "d12_ppjoin_pairs",
+    "t19_vocabulary_stats",
 ]
 
 
@@ -3752,6 +3752,41 @@ _SPECS.append(
         survey_ref="streaming × multimodal: perceptual-key media dedup "
         "(audio fingerprints + bounded-state stream dedup; batch twin "
         "oracled, stream==batch pinned in tests)",
+    )
+)
+
+
+def _t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics (llmops/text.vocabulary_stats): totals,
+    hapax legomena, type-token ratio, Zipf-head share — exact integers
+    plus two single divisions, one explode + one frequency aggregation
+    with a TakeOrdered head (no global sort)."""
+    from gfw_data_api_spark.llmops.text import vocabulary_stats
+
+    return vocabulary_stats(load_table(spark, sf_dir, "documents", fanout=True))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t19_vocabulary_stats",
+        spark_fn=_t19,
+        oracle=(
+            "WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array("
+            "lower(trim(text)), '\\s+'), x -> x <> '')) AS t FROM documents), "
+            "freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t), "
+            "totals AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens, "
+            "count(*) AS distinct_tokens, "
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count "
+            "FROM freq), "
+            "top10 AS (SELECT CAST(sum(c) AS BIGINT) AS top10_tokens FROM "
+            "(SELECT c, t FROM freq ORDER BY c DESC, t LIMIT 10)) "
+            "SELECT total_tokens, distinct_tokens, hapax_count, "
+            "round(distinct_tokens / CAST(total_tokens AS DOUBLE), 6) AS type_token_ratio, "
+            "round(top10_tokens / CAST(total_tokens AS DOUBLE), 6) AS top10_share "
+            "FROM totals, top10"
+        ),
+        survey_ref="text analysis: vocabulary statistics (Heaps/Zipf corpus "
+        "metrics — hapax share, type-token ratio, head concentration)",
     )
 )
 

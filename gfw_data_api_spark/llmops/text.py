@@ -449,6 +449,54 @@ def corpus_report(
     return report
 
 
+def vocabulary_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-linguistics vocabulary report, one row: total/distinct
+    token counts, hapax legomena (df=1 — the Zipf tail whose share
+    predicts how much unseen vocabulary remains), type-token ratio, and
+    the share of the top-10 most frequent tokens (the Zipf head).
+
+    One explode + one token-frequency aggregation; the head share uses
+    a TakeOrdered top-k, never a global sort. Every output is an exact
+    integer or a single division — fully oracle-able.
+    """
+    tok = (
+        df.select(F.explode(tokens_col(F.lower(F.col(text_col)))).alias("_t"))
+        .filter(F.col("_t") != "")
+    )
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    freq = _persist_replacing(
+        tok.groupBy("_t").agg(F.count("*").alias("_c")), "vocab_freq"
+    )
+    totals = freq.agg(
+        F.sum("_c").alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("hapax_count"),
+    )
+    top10 = (
+        freq.orderBy(F.desc("_c"), F.asc("_t"))
+        .limit(10)
+        .agg(F.sum("_c").alias("top10_tokens"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(top10))
+        .select(
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("distinct_tokens").cast("bigint").alias("distinct_tokens"),
+            F.col("hapax_count").cast("bigint").alias("hapax_count"),
+            F.round(
+                F.col("distinct_tokens") / F.col("total_tokens").cast("double"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("top10_tokens") / F.col("total_tokens").cast("double"), 6
+            ).alias("top10_share"),
+        )
+    )
+
+
 def kneser_ney_bigram_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -1214,3 +1214,16 @@ def test_ppjoin_handles_hot_shingles_without_cap(spark):
     # docs 1,2: bigram sets of size 5 sharing 4 ("common phrase",
     # "phrase here", "here alpha", "alpha beta") → 4/6
     assert got == {(1, 2): pytest.approx(4 / 6)}
+
+
+def test_vocabulary_stats_golden(spark):
+    from gfw_data_api_spark.llmops.text import vocabulary_stats
+
+    rows = [(1, "a a a b b c"), (2, "a d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = vocabulary_stats(df).collect()[0]
+    assert r["total_tokens"] == 8
+    assert r["distinct_tokens"] == 4          # a b c d
+    assert r["hapax_count"] == 2              # c, d
+    assert r["type_token_ratio"] == 0.5
+    assert r["top10_share"] == 1.0            # all 4 types fit the head

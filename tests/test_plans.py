@@ -267,6 +267,7 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "p02_curate_round3": ("BroadcastNestedLoopJoin", "inherits w02's 1-row totals + normalizer join"),
         "s08_ivf_recall_gate": ("BroadcastNestedLoopJoin", "1-row recall-boolean join per query vector"),
         "t18_corpus_report": ("BroadcastNestedLoopJoin", "1-row language-total join for entropy fractions"),
+        "t19_vocabulary_stats": ("BroadcastNestedLoopJoin", "1-row Zipf-head total join"),
     }
 
     bad: dict[str, list[str]] = {}
@@ -325,6 +326,7 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "p01_curate_corpus": "benchmark corpus side (fixed eval set)",
         "s08_ivf_recall_gate": "1-row recall-boolean aggregate per query vector",
         "t18_corpus_report": "1-row language-total aggregate (entropy normalizer)",
+        "t19_vocabulary_stats": "1-row top-10-token total aggregate",
     }
 
     offenders: dict[str, int] = {}
