@@ -273,6 +273,23 @@ def create_app(
             return geostore.geometry(spark, geostore_id, origin)
         return None
 
+    # Tile serving re-reads the same parquet store on every request;
+    # cache the loaded DataFrame per asset so repeated fetches skip the
+    # parquet-metadata read and only pay the pruned point-lookup job.
+    # Keyed by asset_id (a fresh UUID per creation — a deleted-and-
+    # recreated asset reuses its uri but never its id, so a cached
+    # file listing can't go stale).
+    _tile_store_cache: dict[str, Any] = {}
+
+    def tile_store(asset) -> Any:
+        df = _tile_store_cache.get(asset.asset_id)
+        if df is None:
+            df = spark.read.parquet(asset.asset_uri)
+            while len(_tile_store_cache) >= 8:  # bounded, FIFO eviction
+                _tile_store_cache.pop(next(iter(_tile_store_cache)))
+            _tile_store_cache[asset.asset_id] = df
+        return df
+
     def run_query(dataset: str, version: str, sql: str, geometry: dict | None):
         asset = registry.get_default_asset(dataset, version)
         if asset.asset_type == "raster_tile_set":
@@ -1196,7 +1213,7 @@ def create_app(
                             404,
                         )
                     rows = (
-                        spark.read.parquet(cache.asset_uri)
+                        tile_store(cache)
                         .filter(
                             (F.col("z") == int(tail[1]))
                             & (F.col("x") == int(tail[2]))

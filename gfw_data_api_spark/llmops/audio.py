@@ -50,12 +50,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > len(data):
+            # loud-rejection policy (matches the other codecs): a chunk
+            # whose declared size overruns the payload is a truncated or
+            # corrupt container, not partial audio
+            raise ValueError(
+                f"not a WAV: chunk {cid!r} declares {size} bytes but only "
+                f"{len(data) - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-        if cid == b"fmt ":
+        if cid == b"fmt " and fmt is None:
             fmt = body
-        elif cid == b"data":
+        elif cid == b"data" and frames is None:
             frames = body
+        if fmt is not None and frames is not None:
+            break  # first fmt/data pair wins; ignore trailing chunks
     if fmt is None or frames is None:
         raise ValueError("not a WAV: missing fmt/data chunk")
     if len(fmt) < 16:

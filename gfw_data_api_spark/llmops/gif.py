@@ -216,6 +216,10 @@ def encode_gif(
         frames = [frames]
     if delays_ms is None:
         delays_ms = [100] * len(frames)
+    if len(delays_ms) != len(frames):
+        raise ValueError(
+            f"delays_ms has {len(delays_ms)} entries for {len(frames)} frames"
+        )
     height, width = frames[0].shape[:2]
 
     out = bytearray(b"GIF89a")

@@ -671,7 +671,9 @@ def _gdb_decode_geometry(blob: bytes, params: dict) -> geo.Geom | None:
     # accounting. 2.5D sources therefore load with geometries flattened
     # to 2-D — matching how the reference's 2-D web-mercator pipeline
     # treats elevation (it never reaches the served tiles).
-    shape = {9: 1, 11: 1, 21: 1, 13: 3, 23: 3, 15: 5, 25: 5}.get(
+    # Esri extended shape codes: z-only (9/10/19), zm (11/13/15) and
+    # m-only (21/23/25) all flatten to the 2-D base (1/3/5).
+    shape = {9: 1, 11: 1, 21: 1, 10: 3, 13: 3, 23: 3, 19: 5, 15: 5, 25: 5}.get(
         gtype & 0xFF, gtype & 0xFF
     )
     if shape == 1:  # point
@@ -918,6 +920,7 @@ def write_file_gdb(
     geom_col: str = "geom",
     geom_first: bool = True,
     with_z: bool = False,
+    z_codes: str = "zm",
 ) -> None:
     """Collect + write a (small) DataFrame as a minimal valid FileGDB —
     the byte-level twin of ``read_file_gdb`` (same public FGDB-Spec
@@ -932,7 +935,12 @@ def write_file_gdb(
     ``with_z=True`` writes a z-enabled layer (geom flag 0x04, z
     origin/scale + tolerance doubles in spec order, z-bearing shape
     codes, synthetic constant-elevation z streams) — the fixture for
-    the reader's 2.5D flattening path."""
+    the reader's 2.5D flattening path. ``z_codes`` picks the shape-code
+    family for z layers: ``"zm"`` (11/13/15, the PointZM/ArcZM/PolygonZM
+    codes ArcGIS writes for z+m-enabled layers) or ``"z"`` (9/10/19, the
+    z-only PointZ/ArcZ/PolygonZ codes — the common 2.5D no-M case)."""
+    if z_codes not in ("zm", "z"):
+        raise ValueError("z_codes must be 'zm' or 'z'")
     rows = df.collect()
     os.makedirs(path, exist_ok=True)
     prop_fields = [f for f in df.schema.fields if f.name != geom_col]
@@ -988,7 +996,8 @@ def write_file_gdb(
             x, y = g["coordinates"]
             vx = round((x - xorigin) * xyscale) + 1
             vy = round((y - yorigin) * xyscale) + 1
-            out = _write_varuint(9 if with_z else 1) + _write_varuint(vx) + _write_varuint(vy)
+            point_code = {"zm": 11, "z": 9}[z_codes] if with_z else 1
+            out = _write_varuint(point_code) + _write_varuint(vx) + _write_varuint(vy)
             if with_z:
                 out += _write_varuint(zint + 1)
             return out
@@ -1004,7 +1013,7 @@ def write_file_gdb(
             pts = [p for part in parts for p in part]
             npoints = len(pts)
             if with_z:
-                shape = {3: 13, 5: 15}[shape]
+                shape = {"zm": {3: 13, 5: 15}, "z": {3: 10, 5: 19}}[z_codes][shape]
             out = bytearray(_write_varuint(shape))
             out += _write_varuint(npoints)
             out += _write_varuint(len(parts))

@@ -92,6 +92,41 @@ def test_wav_rejects_compressed_format():
         audio.decode_wav(data)
 
 
+def test_wav_rejects_overrunning_chunk_size():
+    """A chunk whose declared size extends past the payload is a
+    truncated container — loud rejection, not silently partial audio."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 1000) + b"\x00\x00"  # claims 1000, has 2
+    )
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="declares 1000 bytes"):
+        audio.decode_wav(data)
+
+
+def test_wav_first_fmt_data_pair_wins():
+    """Duplicate fmt/data chunks: decode the FIRST pair (spec-canonical
+    stream), never a trailing imposter."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    good = struct.pack("<4h", 1000, -1000, 2000, -2000)
+    bad = struct.pack("<2h", 9999, 9999)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(good)) + good
+        + b"data" + struct.pack("<I", len(bad)) + bad
+    )
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    samples, rate = audio.decode_wav(data)
+    assert rate == 8000
+    assert samples.shape == (4, 1)
+    np.testing.assert_allclose(samples[:, 0] * 32768.0, [1000, -1000, 2000, -2000])
+
+
 def test_resample_linear_halves_length():
     t = np.arange(800) / 800.0
     sig = np.sin(2 * np.pi * 5 * t)
@@ -497,6 +532,14 @@ def test_gif_transparency_composites_over_previous():
     # transparent zeros show the base; the 200-block overwrites
     assert (frames[1][0, 0] == [100, 100, 100]).all()
     assert (frames[1][1, 1] == [200, 200, 200]).all()
+
+
+def test_gif_encode_rejects_delay_frame_mismatch():
+    from gfw_data_api_spark.llmops import gif
+
+    frames = [np.zeros((4, 4, 3), dtype=np.uint8)] * 3
+    with pytest.raises(ValueError, match="2 entries for 3 frames"):
+        gif.encode_gif(frames, delays_ms=[100, 100])
 
 
 def test_gif_rejects_garbage():

@@ -594,11 +594,15 @@ def test_file_gdb_rejects_implausible_grid_count(tmp_path):
         _gdbtable_schema(str(table))
 
 
-def test_file_gdb_z_flattening_roundtrip(spark, tmp_path):
+@pytest.mark.parametrize("z_codes", ["zm", "z"])
+def test_file_gdb_z_flattening_roundtrip(spark, tmp_path, z_codes):
     """A z-enabled layer (geom flag 0x04, z params in the descriptor,
     z-bearing shape codes with trailing elevation streams) reads back
     with geometries flattened to 2-D and attributes AFTER the SHAPE
-    descriptor still aligned — the 2.5D path that used to reject."""
+    descriptor still aligned — the 2.5D path that used to reject.
+    Covers both the ZM code family (11/13/15) and the z-only no-M
+    family (9/10/19 — PointZ/ArcZ/PolygonZ, the common ArcGIS 2.5D
+    case)."""
     from pyspark.sql import types as T
 
     from gfw_data_api_spark.functions import geometry as geo
@@ -613,17 +617,25 @@ def test_file_gdb_z_flattening_roundtrip(spark, tmp_path):
         T.StructField("geom", T.BinaryType()),
     ])
     line = {"type": "LineString", "coordinates": [[0.0, 0.0], [1.5, 0.5], [2.0, 2.0]]}
+    poly = {
+        "type": "Polygon",
+        "coordinates": [[[10.0, 10.0], [12.0, 10.0], [12.0, 11.0], [10.0, 10.0]]],
+    }
     rows = [
         ("pt", 11, bytearray(geo.wkb_dumps({"type": "Point", "coordinates": [-60.25, -3.125]}))),
         ("ln", 22, bytearray(geo.wkb_dumps(line))),
+        ("pg", 33, bytearray(geo.wkb_dumps(poly))),
     ]
     df = spark.createDataFrame(rows, schema)
     gdb = str(tmp_path / "z.gdb")
-    write_file_gdb(df, gdb, "layer_z", with_z=True)  # geom_first=True default
+    write_file_gdb(df, gdb, "layer_z", with_z=True, z_codes=z_codes)
 
     out = read_file_gdb(spark, gdb, "layer_z").orderBy("objectid").collect()
-    assert [r.name for r in out] == ["pt", "ln"]
-    assert [r.pop for r in out] == [11, 22]
+    assert [r.name for r in out] == ["pt", "ln", "pg"]
+    assert [r.pop for r in out] == [11, 22, 33]
+    pg = geo.wkb_loads(bytes(out[2].geom))
+    assert pg["type"] == "Polygon"
+    assert all(len(c) == 2 for ring in pg["coordinates"] for c in ring)
     p = geo.wkb_loads(bytes(out[0].geom))
     assert p["type"] == "Point" and len(p["coordinates"]) == 2
     assert abs(p["coordinates"][0] - (-60.25)) < 1e-8
