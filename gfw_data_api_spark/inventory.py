@@ -3029,68 +3029,67 @@ _SPECS.append(
 # design — xxhash64/approx families) go last so no capped slot is spent on
 # a weaker rows-only row.
 _DRIVER_FRONT: list[str] = [
-    # round-3 oracle conversions — full oracles NEVER driver-verified yet
-    "d04_minhash_lsh_neardups",
-    "d05_simhash_neardups",
-    "t04_language_id_confusion",
-    "s03_ann_lsh_topk",
-    "d07_embedding_neardups",
-    # hint-removal proof: round-3 weak queries whose forced broadcasts were
-    # dropped in round 4 — must be re-driver-verified green
-    "d09_dedup_clusters",
-    "p01_curate_corpus",
-    "p02_curate_round3",
-    # backfill: oracled entries whose last driver check is oldest (r1/r2)
-    "q08_window",
-    "q09_date_functions",
-    "q10_string_functions",
-    "i01_group_join_agg",
-    "i02_three_way_join",
-    "i06_pagination",
-    "i05_normalized_lookup",
-    "e01_csv_inference_roundtrip",
-    "e03_append_antijoin",
-    "e10_groupwise_dedup",
-    "r01_zonal_sum_groupby",
-    "r04_threshold_filter",
-    "r06_isoweek",
-    "r08_derived_layer_calc",
-    "t01_token_count",
-    "t02_quality_signals",
-    "t03_lang_profile",
-    "d01_exact_dedup",
-    "d02_prefix_fingerprint",
-    "s01_cosine_topk",
-    "d03_ngram_jaccard_pairs",
-    "i08_multiway_join_revenue",
-    # (d06_winnowing_fingerprints, s04_blocked_cosine_pairs, q17_rollup,
-    # st01_tumbling_window, st02_session_windows, q16_date_between_pipeline,
-    # i07_exact_id_lookup, q15_window_frame, m01_media_content_keys,
-    # e02_partition_mapping, q14_pg_casts, q13_jsonb_extract, q12_alias_table,
-    # q11_case_expr, t05_quality_ratios, s02_embedding_norms
-    # were r1/r2-driver-checked; dropped from the front to keep 50-slot
-    # room for round-4 additions — they stay registered right behind)
-    # round-4 additions (never driver-checked)
-    "a01_approx_count_distinct",
-    "a02_approx_percentile",
-    "p03_curate_round4",
-    "q26_point_radius_haversine",
-    "s08_ivf_recall_gate",
-    "m02_audio_wav_features",
-    "m03_video_frame_sampling",
-    "t15_bm25_search",
-    "m04_perceptual_neardups",
-    "c03_text_normalization",
-    "a03_heavy_hitters",
-    "p04_curate_normalized",
-    "t16_epoch_shuffle",
-    "t17_kneser_ney_lm",
-    "t18_corpus_report",
-    "m05_audio_neardups",
-    "m06_video_remux_dedup",
-    "st08_media_stream_dedup",
-    "d12_ppjoin_pairs",
-    "t19_vocabulary_stats",
+    # round-5 rotation policy (VERDICT r4 #3): every full-oracle row's
+    # latest driver check must stay ≤2 rounds old. This front = the 16
+    # oracle rows last driver-checked in r1/r2 (the full stale set from
+    # the four CORRECTNESS files, minus s05_ivf_topk which is rows-only
+    # by design and ordered at the back), the new round-5 gates, then
+    # the oldest (r3-checked) backfills up to the 50-slot budget.
+    # --- r1/r2-stale rows — must all appear in CORRECTNESS_r05 ---
+    "q11_case_expr",
+    "q12_alias_table",
+    "q13_jsonb_extract",
+    "q14_pg_casts",
+    "q15_window_frame",
+    "q16_date_between_pipeline",
+    "q17_rollup",
+    "e02_partition_mapping",
+    "i07_exact_id_lookup",
+    "d06_winnowing_fingerprints",
+    "s02_embedding_norms",
+    "s04_blocked_cosine_pairs",
+    "st01_tumbling_window",
+    "st02_session_windows",
+    "t05_quality_ratios",
+    "m01_media_content_keys",
+    # --- round-5 additions (never driver-checked) ---
+    "q27_spatial_filter_box",
+    "e11_gfw_area_geodesic",
+    "e12_web_mercator_forward",
+    "r09_geometry_clip",
+    # --- r3-checked backfills (oldest remaining; the 17 r3 rows that
+    # don't fit here — st07, t06-t14, ts01-ts04, u01, w01/w02 — are 2
+    # rounds old at r5 and MUST front-load in r6) ---
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q03_agg_global",
+    "q04_pricing_summary",
+    "q05_having",
+    "q06_distinct",
+    "q07_order_limit_offset",
+    "q18_percentiles",
+    "q19_cube_grouping",
+    "q20_salted_skew_agg",
+    "q21_grouping_sets",
+    "q22_topk_per_group",
+    "q23_pivot_conditional_agg",
+    "q24_skew_hybrid_join",
+    "q25_blocked_fuzzy_match",
+    "b01_bpe_pair_stats",
+    "c01_token_chunks",
+    "c02_pii_redaction",
+    "ca01_continuous_aggregate",
+    "d08_benchmark_decontamination",
+    "d10_repeated_segment_removal",
+    "dq01_constraint_audit",
+    "e04_merge_upsert",
+    "e05_scd2_intervals",
+    "r03_zonal_avg_min_max",
+    "s06_int8_quantization",
+    "st03_sliding_window",
+    "st04_stream_first_occurrence",
+    "st05_stream_static_enrich",
+    "st06_stream_stream_join",
 ]
 
 
@@ -4057,6 +4056,243 @@ _SPECS.append(
         ),
         survey_ref="multimodal dedup: dHash/pHash perceptual near-dups "
         "(llmops/phash.py) — banded pigeonhole join, exact planted-group oracle",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: geometry family hard gates (planted analytic fixtures — the
+# m02/m05 pattern applied to Q4/E5/E7/R9: closed-form planted geometry
+# whose expected output is exact arithmetic an independent engine can
+# recompute; libm bit-identity between CPython and DuckDB in this
+# container is probed by tests/test_geometry_gates.py)
+# ---------------------------------------------------------------------------
+
+
+def _q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 spatial filter through the FULL guarded path: planted WKB points
+    (coordinates are exact dyadic rationals derived from customer keys,
+    never within 0.25° of the query box boundary) + a gfw_bbox column, an
+    axis-aligned Polygon query geometry, execute_on_dataframe with
+    geometry= — the same injection the reference performs in
+    queries.py:238-266 (ST_Intersects(geom, ...)). The surviving id set
+    is pure rational arithmetic for the oracle; both the JVM bbox
+    prefilter and the exact pandas-UDF intersects predicate run."""
+    from gfw_data_api_spark.functions.geo_udfs import make_point_wkb
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 13 % 720) / 2.0 - 180.0 + 0.25).alias("lon"),
+        ((F.col("c_custkey") * 7 % 360) / 2.0 - 90.0 + 0.25).alias("lat"),
+    )
+    pts = pts.withColumn("geom", make_point_wkb(F.col("lon"), F.col("lat"))).withColumn(
+        "gfw_bbox", F.array("lon", "lat", "lon", "lat")
+    )
+    box = {
+        "type": "Polygon",
+        "coordinates": [
+            [[-30.0, -20.0], [40.0, -20.0], [40.0, 25.0], [-30.0, 25.0], [-30.0, -20.0]]
+        ],
+    }
+    return execute_on_dataframe(
+        spark, pts, "SELECT c_custkey, lon, lat FROM pts", geometry=box
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q27_spatial_filter_box",
+        spark_fn=_q27,
+        oracle=(
+            "WITH pts AS (SELECT c_custkey, "
+            "(c_custkey * 13 % 720) / 2.0 - 180.0 + 0.25 AS lon, "
+            "(c_custkey * 7 % 360) / 2.0 - 90.0 + 0.25 AS lat FROM customer) "
+            "SELECT c_custkey, lon, lat FROM pts "
+            "WHERE lon > -30.0 AND lon < 40.0 AND lat > -20.0 AND lat < 25.0"
+        ),
+        survey_ref="Q4 spatial filter injection inside the hard gate "
+        "(sql/guard.py + operators/query.py filter_by_geometry: bbox "
+        "prefilter + exact intersects UDF; reference queries.py:238-266)",
+    )
+)
+
+
+def _e11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 gfw-field derivation inside the hard gate: planted lat-band
+    rectangles (integer-degree corners from supplier keys) built as
+    GeoJSON in-plan, pushed through the REAL add_gfw_fields path
+    (st_area_ha spherical ring formula + st_bbox). A rectangle's
+    Chamberlain–Duquette area reduces to two nonzero edge terms whose
+    float evaluation the oracle mirrors op-for-op:
+    abs((radians(w)·((2+sin φ₁)+sin φ₁) + radians(−w)·((2+sin φ₂)+sin φ₂))
+    · R · R / 2) / 10⁴ — sin/radians are bit-identical across CPython and
+    DuckDB here (shared libm; probed in tests)."""
+    from gfw_data_api_spark.functions.geo_udfs import st_geomfromgeojson
+    from gfw_data_api_spark.sources.vector import add_gfw_fields
+
+    rect = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 11 % 340) - 170).alias("l1"),
+        (1 + F.col("s_suppkey") % 7).alias("w"),
+        ((F.col("s_suppkey") * 17 % 150) - 80).alias("p1"),
+        (1 + F.col("s_suppkey") % 5).alias("h"),
+    )
+    rect = rect.withColumn("l2", F.col("l1") + F.col("w")).withColumn(
+        "p2", F.col("p1") + F.col("h")
+    )
+    gj = F.format_string(
+        '{"type": "Polygon", "coordinates": '
+        "[[[%d, %d], [%d, %d], [%d, %d], [%d, %d], [%d, %d]]]}",
+        "l1", "p1", "l2", "p1", "l2", "p2", "l1", "p2", "l1", "p1",
+    )
+    out = add_gfw_fields(rect.withColumn("geom", st_geomfromgeojson(gj)))
+    return out.select(
+        "s_suppkey",
+        F.round("gfw_area__ha", 4).alias("area_ha"),
+        F.element_at("gfw_bbox", 1).alias("xmin"),
+        F.element_at("gfw_bbox", 2).alias("ymin"),
+        F.element_at("gfw_bbox", 3).alias("xmax"),
+        F.element_at("gfw_bbox", 4).alias("ymax"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e11_gfw_area_geodesic",
+        spark_fn=_e11,
+        oracle=(
+            "WITH p AS (SELECT s_suppkey, "
+            "CAST((s_suppkey * 11 % 340) - 170 AS DOUBLE) AS l1, "
+            "CAST(1 + s_suppkey % 7 AS DOUBLE) AS w, "
+            "CAST((s_suppkey * 17 % 150) - 80 AS DOUBLE) AS p1, "
+            "CAST(1 + s_suppkey % 5 AS DOUBLE) AS h FROM supplier) "
+            "SELECT s_suppkey, "
+            "round(abs(((radians(w) * ((2.0 + sin(radians(p1))) + sin(radians(p1)))) "
+            "+ (radians(-w) * ((2.0 + sin(radians(p1 + h))) + sin(radians(p1 + h))))) "
+            "* 6371008.8 * 6371008.8 / 2.0) / 10000.0, 4) AS area_ha, "
+            "l1 AS xmin, p1 AS ymin, l1 + w AS xmax, p1 + h AS ymax FROM p"
+        ),
+        survey_ref="E5 gfw_area__ha + gfw_bbox derivation inside the hard "
+        "gate (sources/vector.py add_gfw_fields, functions/geometry.py "
+        "geodesic_area_ha; reference batch/scripts/_fill_gfw_fields_sql.sh "
+        "ST_Area(geom::geography)/10000)",
+    )
+)
+
+
+def _e12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 web-mercator reprojection inside the hard gate: planted points
+    spanning ±89.75° latitude (so the ±85.05112878° clip executes on
+    real rows), projected by the REAL wkb_to_web_mercator pandas UDF.
+    The oracle mirrors the forward formula op-for-op:
+    x = R·radians(λ), y = R·ln(tan(π/4 + radians(clip(φ))/2))."""
+    from gfw_data_api_spark.functions.geo_udfs import make_point_wkb, st_x, st_y
+    from gfw_data_api_spark.sources.vector import wkb_to_web_mercator
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 19 % 720) / 2.0 - 180.0 + 0.25).alias("lon"),
+        ((F.col("c_custkey") * 7 % 360) / 2.0 - 90.0 + 0.25).alias("lat"),
+    )
+    wm = pts.withColumn(
+        "geom_wm", wkb_to_web_mercator(make_point_wkb(F.col("lon"), F.col("lat")))
+    )
+    return wm.select(
+        "c_custkey",
+        F.round(st_x(F.col("geom_wm")), 3).alias("x_m"),
+        F.round(st_y(F.col("geom_wm")), 3).alias("y_m"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e12_web_mercator_forward",
+        spark_fn=_e12,
+        oracle=(
+            "WITH pts AS (SELECT c_custkey, "
+            "(c_custkey * 19 % 720) / 2.0 - 180.0 + 0.25 AS lon, "
+            "(c_custkey * 7 % 360) / 2.0 - 90.0 + 0.25 AS lat FROM customer), "
+            "c AS (SELECT c_custkey, lon, "
+            "greatest(least(lat, 85.05112878), -85.05112878) AS latc FROM pts) "
+            "SELECT c_custkey, round(6378137.0 * radians(lon), 3) AS x_m, "
+            "round(6378137.0 * ln(tan(pi() / 4.0 + radians(latc) / 2.0)), 3) AS y_m "
+            "FROM c"
+        ),
+        survey_ref="E7 reproject+clip web-mercator inside the hard gate "
+        "(sources/vector.py wkb_to_web_mercator; reference "
+        "batch/scripts/clip_and_reproject_geom.sh ST_Transform to 3857 "
+        "with ±85.05° clip)",
+    )
+)
+
+
+def _r09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 geometry clip inside the hard gate: a planted 10°/40px tile set
+    (pixel centers are exact dyadic rationals derived from event ids over
+    four tiles) masked by an axis-aligned Polygon through the REAL
+    _geometry_mask — one tile takes the full-tile fast path (all corners
+    inside, no edge crossing), two take the partial path's bbox+pip
+    pandas UDF, and the 9-tile bbox overlap includes pixel-free tiles.
+    Pixel membership is strict-inequality rational arithmetic for the
+    oracle (centers sit on the x.125/x.375 grid, the box on x.5)."""
+    from gfw_data_api_spark.functions import geometry as geo
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.pixels import with_pixel_coordinates
+    from gfw_data_api_spark.raster.zonal import _geometry_mask
+
+    grid = Grid.parse("10/40")
+    tiles4 = F.array(
+        F.lit("10N_000E"), F.lit("10N_010E"), F.lit("20N_000E"), F.lit("20N_010E")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.element_at(tiles4, (F.col("event_id") % 4).cast("int") + 1).alias("tile_id"),
+        # multiplicative spread so every tile row/col band is populated
+        # even at the smallest SF's id range
+        (F.col("event_id") * 7 % 1600).alias("pixel_id"),
+    )
+    px = with_pixel_coordinates(ev, grid)
+    geometry = {
+        "type": "Polygon",
+        "coordinates": [
+            [[-0.5, -0.5], [15.5, -0.5], [15.5, 10.5], [-0.5, 10.5], [-0.5, -0.5]]
+        ],
+    }
+    tiles = grid.tiles_overlapping(geo.bbox(geometry))
+    out = _geometry_mask(px, geometry, grid, tiles)
+    return out.groupBy("tile_id").agg(
+        F.count("*").alias("n_pixels"),
+        F.sum("pixel_id").alias("sum_pixel_id"),
+        F.min("latitude").alias("min_lat"),
+        F.max("latitude").alias("max_lat"),
+        F.min("longitude").alias("min_lon"),
+        F.max("longitude").alias("max_lon"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="r09_geometry_clip",
+        spark_fn=_r09,
+        oracle=(
+            "WITH px AS (SELECT "
+            "CASE event_id % 4 WHEN 0 THEN '10N_000E' WHEN 1 THEN '10N_010E' "
+            "WHEN 2 THEN '20N_000E' ELSE '20N_010E' END AS tile_id, "
+            "event_id * 7 % 1600 AS pixel_id FROM events), "
+            "c AS (SELECT tile_id, pixel_id, "
+            "(CASE WHEN tile_id IN ('10N_000E', '10N_010E') THEN 10.0 ELSE 20.0 END) "
+            "- (CAST(floor(pixel_id / 40) AS BIGINT) + 0.5) * 0.25 AS latitude, "
+            "(CASE WHEN tile_id IN ('10N_000E', '20N_000E') THEN 0.0 ELSE 10.0 END) "
+            "+ ((pixel_id % 40) + 0.5) * 0.25 AS longitude FROM px) "
+            "SELECT tile_id, count(*) AS n_pixels, "
+            "CAST(sum(pixel_id) AS BIGINT) AS sum_pixel_id, "
+            "min(latitude) AS min_lat, max(latitude) AS max_lat, "
+            "min(longitude) AS min_lon, max(longitude) AS max_lon FROM c "
+            "WHERE longitude > -0.5 AND longitude < 15.5 "
+            "AND latitude > -0.5 AND latitude < 10.5 GROUP BY tile_id"
+        ),
+        survey_ref="R9 geometry clip inside the hard gate (raster/zonal.py "
+        "_geometry_mask: full-tile fast path + partial-tile bbox/pip; "
+        "raster/pixels.py coordinate math; reference raster query mask)",
     )
 )
 
