@@ -27,6 +27,17 @@ fingerprints the input parquet (row counts + file bytes from footer
 metadata) so a driver-side data regeneration between rounds is visible in
 the numbers it produced.
 
+Session protocol (round-5 change): a FULL run executes each operator
+family (the alphabetic prefix of the query key: q, d, st, ts, …) in its
+own subprocess — a genuinely fresh JVM, so one family's codegen cache,
+JIT profile, and heap pressure can't inflate another's timings. Round-4
+adjudication measured 10-15% shared-JVM drift across back-to-back full
+suites and it grows with the suite; per-family isolation caps it at the
+family size. ``SPARK_GRAFT_BENCH_ISOLATE=0`` forces the old
+single-session protocol (the printed line carries ``protocol`` so the
+two are never silently compared). Subset runs (prefix args) stay
+in-process for fast iteration.
+
 Usage: ``python bench.py [name_prefix ...]`` — optional prefixes restrict
 the run (local iteration); the driver runs it bare.
 """
@@ -38,12 +49,18 @@ import hashlib
 import json
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gfw_data_api_spark.session import get_spark  # noqa: E402
+
+
+def _family(name: str) -> str:
+    return re.match(r"[a-z]+", name).group(0)
 
 
 def _testdata_fingerprint(sf_dir: str) -> dict[str, dict[str, int]]:
@@ -59,20 +76,11 @@ def _testdata_fingerprint(sf_dir: str) -> dict[str, dict[str, int]]:
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    match = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(match.group(1)) if match else None
-    prefixes = tuple(sys.argv[1:])
-
-    import __spark_entry__ as entrymod
-
+def _measure(queries: dict, sf_dir: str) -> dict[str, list[float]]:
+    """Warmup + best-of-N passes over ``queries`` in the current session;
+    returns raw per-query pass timings."""
     spark = get_spark(app_name="gfw-bench")
     spark.sparkContext.setLogLevel("ERROR")
-
-    queries = dict(sorted(entrymod.queries().items()))
-    if prefixes:
-        queries = {n: f for n, f in queries.items() if n.startswith(prefixes)}
 
     # JMH-style warmup: one untimed pass compiles/caches codegen for every
     # expression shape, so the timed pass measures steady-state engine
@@ -99,11 +107,10 @@ def main() -> None:
             # evict outside the timer so later queries aren't measured under
             # someone else's memory pressure
             spark.catalog.clearCache()
+    return all_passes
 
-    timings = {name: min(ts) for name, ts in all_passes.items()}
-    total = round(sum(timings.values()), 4)
-    fingerprint = _testdata_fingerprint(sf_dir)
 
+def _spread(all_passes: dict[str, list[float]]) -> dict[str, dict]:
     def _median(ts: list[float]) -> float:
         s = sorted(ts)
         mid = len(s) // 2
@@ -112,7 +119,7 @@ def main() -> None:
     # per-query spread so the next round can separate noise from a real
     # regression WITHOUT re-running: min is the headline, median vs min
     # bounds the JVM-pressure jitter, passes carries the raw samples
-    spread = {
+    return {
         name: {
             "min": min(ts),
             "median": round(_median(ts), 4),
@@ -121,14 +128,77 @@ def main() -> None:
         }
         for name, ts in all_passes.items()
     }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+
+    # child mode: measure ONE family in this (fresh) process, dump raw
+    # timings as JSON to the given path, no stdout protocol line
+    if len(sys.argv) == 4 and sys.argv[1] == "--family-child":
+        family, out_path = sys.argv[2], sys.argv[3]
+        import __spark_entry__ as entrymod
+
+        queries = {
+            n: f
+            for n, f in sorted(entrymod.queries().items())
+            if _family(n) == family
+        }
+        with open(out_path, "w") as fh:
+            json.dump(_measure(queries, sf_dir), fh)
+        return
+
+    prefixes = tuple(sys.argv[1:])
+
+    import __spark_entry__ as entrymod
+
+    queries = dict(sorted(entrymod.queries().items()))
+    if prefixes:
+        queries = {n: f for n, f in queries.items() if n.startswith(prefixes)}
+
+    isolate = not prefixes and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
+    if isolate:
+        # fresh JVM per operator family, run serially (concurrent children
+        # would contend for the 32 cores and distort each other)
+        families = sorted({_family(n) for n in queries})
+        all_passes: dict[str, list[float]] = {}
+        for family in families:
+            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tmp:
+                out_path = tmp.name
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--family-child", family, out_path],
+                    capture_output=True,
+                    text=True,
+                )
+                if proc.returncode != 0:
+                    sys.stderr.write(proc.stderr[-4000:])
+                    raise SystemExit(f"bench family {family!r} failed (rc {proc.returncode})")
+                with open(out_path) as fh:
+                    all_passes.update(json.load(fh))
+            finally:
+                os.unlink(out_path)
+        all_passes = dict(sorted(all_passes.items()))
+    else:
+        all_passes = _measure(queries, sf_dir)
+
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    timings = {name: min(ts) for name, ts in all_passes.items()}
+    total = round(sum(timings.values()), 4)
+    fingerprint = _testdata_fingerprint(sf_dir)
+    protocol = "per_family_sessions" if isolate else "shared_session"
+
     detail = {
         "metric": "operator_inventory_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
+        "spread": _spread(all_passes),
         "sf": sf,
         "n": passes,
+        "protocol": protocol,
         "testdata": fingerprint,
     }
     # subset runs (prefix args) are local iteration — don't clobber the
@@ -156,6 +226,7 @@ def main() -> None:
                 "queries": short,
                 "sf": sf,
                 "n": passes,
+                "protocol": protocol,
                 "testdata_md5": fp_md5,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -3144,14 +3144,18 @@ def _s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.5 (measured 0.6-1.0 at nprobe=5 across test SFs; chance is
     ~k/n ≈ 2%). A silent ANN regression — wrong cell assignment, broken
     probe ordering, degenerate training — flips the boolean and fails
-    the driver gate."""
+    the driver gate.
+
+    Round-5 shape: BOTH sides are single batched plans (the R10
+    batch-list pattern): the exact ranking nested-loop-joins a bounded
+    5-row query table onto one corpus scan (window top-10 per query),
+    and the approximate side is one ivf_topk_batch probe — O(1) scans
+    regardless of query count, where the r4 version paid O(Q) plans."""
+    from pyspark.sql import Window
+
     from gfw_data_api_spark.llmops import ivf
     from gfw_data_api_spark.llmops.dedup import _persist_replacing
 
-    # pin the table and the built index: the 5 per-query subplans each
-    # scan both (exact ranking + probe), so without the pin the union
-    # re-reads the parquet and re-runs cell assignment 5× apiece
-    # (plan-audit finding: 15 scans → 2)
     emb = _persist_replacing(load_table(spark, sf_dir, "embeddings"), "s08_emb")
     centroids = ivf.train_ivf(emb, nlist=8, iters=3)
     indexed = _persist_replacing(ivf.build_ivf_index(emb, centroids), "s08_index")
@@ -3159,33 +3163,46 @@ def _s08(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"]: [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 5).collect()
     }
-    parts = []
-    for qid in sorted(qrows):
-        query = qrows[qid]
-        qnorm = math.sqrt(sum(x * x for x in query))
-        dot, norm = _cosine_cols(F.col("embedding"), query)
-        exact = (
-            emb.filter(F.col("vec_id") != qid)
-            .select("vec_id", (dot / (norm * F.lit(qnorm))).alias("cosine"))
-            .orderBy(F.desc("cosine"), "vec_id")
-            .limit(10)
-        )
-        approx_ids = ivf.ivf_topk(
-            indexed.filter(F.col("vec_id") != qid), centroids, query, k=10, nprobe=5
-        ).select("vec_id")
-        top1 = exact.limit(1).select(
-            F.lit(qid).alias("query_id"),
-            F.col("vec_id").alias("top1_id"),
-            F.round("cosine", 6).alias("top1_cosine"),
-        )
-        recall = exact.join(approx_ids, "vec_id").agg(
-            (F.count("*") / 10.0 >= 0.5).alias("recall_ok")
-        )
-        parts.append(top1.join(F.broadcast(recall)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    queries = [(qid, qrows[qid]) for qid in sorted(qrows)]
+
+    qdf = spark.createDataFrame(
+        [(qid, vec, math.sqrt(sum(x * x for x in vec))) for qid, vec in queries],
+        "query_id bigint, _qvec array<double>, _qnorm double",
+    )
+    cast = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(cast, F.col("_qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(cast, cast, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", (dot / (norm * F.col("_qnorm"))).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    exact = _persist_replacing(
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10),
+        "s08_exact",
+    )
+    top1 = exact.filter(F.col("rk") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("top1_id"),
+        F.round("cosine", 6).alias("top1_cosine"),
+    )
+    approx = ivf.ivf_topk_batch(
+        indexed, centroids, queries, k=10, nprobe=5, exclude_query_id=True
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("_hits")
+    )
+    return top1.join(hits, "query_id", "left").select(
+        "query_id",
+        "top1_id",
+        "top1_cosine",
+        (F.coalesce(F.col("_hits"), F.lit(0)) / 10.0 >= 0.5).alias("recall_ok"),
+    )
 
 
 _SPECS.append(

@@ -17,9 +17,11 @@ vectors. Standard IVF-Flat (as in FAISS), expressed Spark-first:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -106,6 +108,12 @@ def build_ivf_index(
     return df.withColumn("ivf_cell", _assign_cell(F.col(emb_col), centroids))
 
 
+def _probe_cells(centroids: np.ndarray, query: list[float], nprobe: int) -> list[int]:
+    qvec = np.asarray(query, dtype=np.float64)
+    dists = ((centroids - qvec) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(dists)[:nprobe]]
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: np.ndarray,
@@ -116,12 +124,75 @@ def ivf_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Search the ``nprobe`` nearest cells for the top-k cosine matches."""
-    qvec = np.asarray(query, dtype=np.float64)
-    dists = ((centroids - qvec) ** 2).sum(axis=1)
-    probe_cells = [int(i) for i in np.argsort(dists)[:nprobe]]
-    candidates = indexed.filter(F.col("ivf_cell").isin(probe_cells))
+    candidates = indexed.filter(
+        F.col("ivf_cell").isin(_probe_cells(centroids, query, nprobe))
+    )
     return (
         candidates.select(id_col, cosine_to_query(F.col(emb_col), query).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
+    )
+
+
+def ivf_topk_batch(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_query_id: bool = False,
+) -> DataFrame:
+    """Batched multi-query IVF probe: ONE plan for any number of query
+    vectors (the R10 batch-list pattern applied to ANN — raster/batch.py
+    precedent; replaces Q independent ``ivf_topk`` plans with Q scans).
+    ``exclude_query_id=True`` drops the candidate whose id equals the
+    query id before ranking — the standard self-match exclusion when
+    query vectors come from the corpus itself (recall evaluation).
+
+    Driver-side: cell selection per query (Q × nlist flops). Plan-side:
+    a (query_id, cell, qvec, qnorm) probe table — bounded at Q × nprobe
+    rows by construction — equi-joins the index on the cell id, so the
+    scan stays pruned to probed cells and AQE broadcasts the tiny probe
+    side without a hint; the per-query top-k is a cosine-ranked window
+    PARTITIONED by query_id (never unpartitioned).
+
+    Per-query results are IEEE-identical to ``ivf_topk`` (same
+    zip_with/aggregate expression shape, query vector delivered as an
+    array column instead of inlined literals).
+
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k.
+    """
+    from gfw_data_api_spark.llmops.similarity import norm_col
+
+    if not queries:
+        raise ValueError("ivf_topk_batch needs at least one (query_id, vector)")
+    spark = indexed.sparkSession
+    probe_rows = []
+    for qid, query in queries:
+        qnorm = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+        for cell in _probe_cells(centroids, query, nprobe):
+            probe_rows.append((int(qid), cell, [float(x) for x in query], qnorm))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, ivf_cell int, _qvec array<double>, _qnorm double"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(emb_col).cast("array<double>"), F.col("_qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = indexed.join(probes, "ivf_cell")
+    if exclude_query_id:
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        F.col(id_col),
+        (dot / (norm_col(F.col(emb_col)) * F.col("_qnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
     )

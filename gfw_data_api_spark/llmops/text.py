@@ -539,7 +539,10 @@ def kneser_ney_bigram_scores(
     bg_counts = _persist_replacing(
         occ.groupBy("_bg").agg(F.count("*").alias("_c2")), "kn_bg"
     )
-    n_types = bg_counts.count()
+    # the bigram-type total folds in-plan as a 1-row aggregate crossJoin
+    # (the t18/t19 convention) instead of a driver-side count() action —
+    # one plan, no extra job per call
+    n_types = bg_counts.agg(F.count("*").cast("double").alias("_ntypes"))
     w1 = F.element_at(F.split("_bg", " ", 2), 1)
     w2 = F.element_at(F.split("_bg", " ", 2), 2)
     left = bg_counts.groupBy(w1.alias("_w1")).agg(
@@ -551,10 +554,11 @@ def kneser_ney_bigram_scores(
         .withColumn("_w2", w2)
         .join(left, "_w1")
         .join(right, "_w2")
+        .crossJoin(F.broadcast(n_types))
     )
     d = F.lit(discount)
     p_kn = (F.col("_c2") - d) / F.col("_c1") + d * F.col("_n1fw") / F.col("_c1") * (
-        F.col("_n1bw") / F.lit(float(n_types))
+        F.col("_n1bw") / F.col("_ntypes")
     )
     scored = tf.join(model.select("_bg", p_kn.alias("_p")), "_bg")
     return (

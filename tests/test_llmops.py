@@ -361,6 +361,47 @@ def test_ivf_train_and_search(spark, sf_dir):
     assert len(set(got) & set(brute)) >= 2
 
 
+def test_ivf_topk_batch_matches_single_query(spark, sf_dir):
+    """The batched probe must reproduce each per-query ivf_topk result
+    EXACTLY (ids, ranks, and bit-equal cosines) while scanning the index
+    once — not once per query."""
+    from gfw_data_api_spark.llmops import ivf
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_ivf(emb, nlist=8, iters=3)
+    indexed = ivf.build_ivf_index(emb, centroids).persist()
+    try:
+        qids = [0, 1, 2]
+        queries = [
+            (qid, [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]])
+            for qid in qids
+        ]
+        batch = ivf.ivf_topk_batch(indexed, centroids, queries, k=5, nprobe=3)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+        assert set(got) == set(qids)
+        for qid, qvec in queries:
+            single = ivf.ivf_topk(indexed, centroids, qvec, k=5, nprobe=3).collect()
+            want = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(single)]
+            assert sorted(got[qid]) == want, f"query {qid} diverged"
+        # one plan, one scan of the index regardless of Q (count only the
+        # AQE final plan — toString repeats the initial plan below it)
+        plan = batch._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("InMemoryTableScan") <= 1
+    finally:
+        indexed.unpersist()
+
+
+def test_ivf_topk_batch_rejects_empty(spark):
+    from gfw_data_api_spark.llmops import ivf
+
+    with pytest.raises(ValueError, match="at least one"):
+        ivf.ivf_topk_batch(None, np.zeros((2, 2)), [], k=3)
+
+
 def test_ivf_deterministic(spark, sf_dir):
     from gfw_data_api_spark.llmops import ivf
     from gfw_data_api_spark.sources.tabular import load_table
@@ -1132,6 +1173,23 @@ def test_kneser_ney_bigram_scores_golden(spark):
         # plus the continuation mass spread over unseen w2 in the vocab:
         # for the invariant restricted to seen bigrams, total ≤ 1
         assert total <= 1.0 + 1e-9
+
+
+def test_kneser_ney_is_fully_lazy(spark):
+    """Building the KN plan must trigger ZERO Spark jobs: the bigram-type
+    total folds in-plan as a 1-row aggregate crossJoin (t18/t19
+    convention), not a driver-side count() action."""
+    from gfw_data_api_spark.llmops.text import kneser_ney_bigram_scores
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "b c d")], "doc_id long, text string")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = kneser_ney_bigram_scores(docs)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan construction launched a Spark job"
+    # the normalizer is part of the one plan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_ntypes" in plan
 
 
 def test_corpus_report_golden(spark):

@@ -265,9 +265,10 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "w02_temperature_mixture": ("BroadcastNestedLoopJoin", "1-row totals + normalizer join"),
         "dq01_constraint_audit": ("BroadcastNestedLoopJoin", "1-row total_rows join onto unique/FK counts"),
         "p02_curate_round3": ("BroadcastNestedLoopJoin", "inherits w02's 1-row totals + normalizer join"),
-        "s08_ivf_recall_gate": ("BroadcastNestedLoopJoin", "1-row recall-boolean join per query vector"),
+        "s08_ivf_recall_gate": ("BroadcastNestedLoopJoin", "bounded 5-row query-vector batch table onto one corpus scan (R10 batch pattern)"),
         "t18_corpus_report": ("BroadcastNestedLoopJoin", "1-row language-total join for entropy fractions"),
         "t19_vocabulary_stats": ("BroadcastNestedLoopJoin", "1-row Zipf-head total join"),
+        "t17_kneser_ney_lm": ("BroadcastNestedLoopJoin", "1-row bigram-type-total join (KN continuation normalizer)"),
     }
 
     bad: dict[str, list[str]] = {}
@@ -324,9 +325,10 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "st05_stream_static_enrich": "static dimension table",
         "d08_benchmark_decontamination": "benchmark corpus side (fixed eval set)",
         "p01_curate_corpus": "benchmark corpus side (fixed eval set)",
-        "s08_ivf_recall_gate": "1-row recall-boolean aggregate per query vector",
+        "s08_ivf_recall_gate": "bounded 5-row query-vector batch table (exact side of the recall gate)",
         "t18_corpus_report": "1-row language-total aggregate (entropy normalizer)",
         "t19_vocabulary_stats": "1-row top-10-token total aggregate",
+        "t17_kneser_ney_lm": "1-row bigram-type-total aggregate (KN continuation normalizer)",
     }
 
     offenders: dict[str, int] = {}
