@@ -3057,9 +3057,10 @@ _DRIVER_FRONT: list[str] = [
     "e11_gfw_area_geodesic",
     "e12_web_mercator_forward",
     "r09_geometry_clip",
-    # --- r3-checked backfills (oldest remaining; the 17 r3 rows that
-    # don't fit here — st07, t06-t14, ts01-ts04, u01, w01/w02 — are 2
-    # rounds old at r5 and MUST front-load in r6) ---
+    "m07_progressive_jpeg_decode",
+    # --- r3-checked backfills (oldest remaining; the 18 r3 rows that
+    # don't fit here — st06/st07, t06-t14, ts01-ts04, u01, w01/w02 —
+    # are 2 rounds old at r5 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
@@ -3089,7 +3090,6 @@ _DRIVER_FRONT: list[str] = [
     "st03_sliding_window",
     "st04_stream_first_occurrence",
     "st05_stream_static_enrich",
-    "st06_stream_stream_join",
 ]
 
 
@@ -4310,6 +4310,78 @@ _SPECS.append(
         survey_ref="R9 geometry clip inside the hard gate (raster/zonal.py "
         "_geometry_mask: full-tile fast path + partial-tile bbox/pip; "
         "raster/pixels.py coordinate math; reference raster query mask)",
+    )
+)
+
+
+def _m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG decode inside the hard gate (the m03 pattern:
+    exact planted ints + error-envelope booleans the oracle pins TRUE).
+
+    Per selected document, a deterministic gradient image is encoded
+    BOTH baseline (SOF0) and progressive (SOF2 — spectral selection +
+    successive approximation, llmops/jpeg.py Annex G path) and both
+    streams are decoded by the real decoder. ``decode_match`` pins the
+    bit-identity contract (the progressive encoder emits the same
+    quantized coefficients, so any defect in EOB runs, refinement
+    correction bits, or band assembly breaks equality); ``mean_err_ok``
+    pins the lossy envelope against the source pixels. Everything runs
+    executor-side in one mapInPandas — no shuffle, no join."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from gfw_data_api_spark.llmops.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            rows = {"doc_id": [], "h": [], "w": [], "decode_match": [], "mean_err_ok": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 8 + d % 5, 9 + d % 3
+                rng = np.random.default_rng(d * 31 + 3)
+                img = rng.integers(20, 236, (h, w, 3)).astype(np.uint8)
+                base = decode_jpeg(encode_jpeg(img, quality=88, subsampling="444"))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=88, dc_al=1, ac_al=1)
+                )
+                err = float(np.mean(np.abs(base.astype(np.int64) - img.astype(np.int64))))
+                rows["doc_id"].append(d)
+                rows["h"].append(h)
+                rows["w"].append(w)
+                rows["decode_match"].append(bool((base == prog).all()))
+                rows["mean_err_ok"].append(err <= 8.0)
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        synth,
+        schema="doc_id bigint, h bigint, w bigint, decode_match boolean, mean_err_ok boolean",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m07_progressive_jpeg_decode",
+        spark_fn=_m07,
+        oracle=(
+            "SELECT doc_id, 8 + doc_id % 5 AS h, 9 + doc_id % 3 AS w, "
+            "TRUE AS decode_match, TRUE AS mean_err_ok "
+            "FROM documents WHERE doc_id % 20 = 0"
+        ),
+        survey_ref="multimodal: progressive (SOF2) JPEG decode contract "
+        "(llmops/jpeg.py T.81 Annex G — spectral selection + successive "
+        "approximation; bit-identity vs the baseline decode pinned as an "
+        "oracle boolean)",
     )
 )
 

@@ -9,18 +9,25 @@ GDAL/PIL for all image handling, so there is nothing to port.
 Supported decode subset (the overwhelming majority of real JPEGs):
 
 - baseline sequential DCT (SOF0), 8-bit samples;
+- progressive DCT (SOF2): spectral selection AND successive
+  approximation (T.81 Annex G.1.2 — EOB runs, ZRL-with-correction-bits
+  refinement, interleaved DC scans, non-interleaved AC scans, restarts);
 - grayscale (1 component) and YCbCr (3 components);
 - any sampling factors that divide the max factor (4:4:4, 4:2:2, 4:2:0);
 - restart intervals (DRI / RSTn markers);
 
-Progressive (SOF2), arithmetic coding, 12-bit, and CMYK reject with
-``NotImplementedError`` naming the profile — same boundary style as the
-PNG and FileGDB codecs.
+Arithmetic coding, hierarchical/lossless SOFs, 12-bit, and CMYK reject
+with ``NotImplementedError`` naming the profile — same boundary style as
+the PNG and FileGDB codecs.
 
 ``encode_jpeg`` is the fixture/export twin (4:4:4 or grayscale, Annex K
 quantization tables scaled by ``quality``, Annex K Huffman tables): it
 lets tests build REAL JPEG bytes without PIL, and round-trips through
-``decode_jpeg`` within lossy tolerance.
+``decode_jpeg`` within lossy tolerance. ``encode_jpeg_progressive`` is
+the SOF2 twin: the SAME quantized coefficients emitted as a classic
+progressive scan script (DC Al=1 → DC refine; per-component AC bands at
+Al=1 → AC refinements to Al=0), so its decode is BIT-IDENTICAL to the
+baseline encoding's decode — the equivalence the tests pin.
 
 Performance: this is a per-byte Python bit reader — fine for the
 thumbnail/fixture sizes the pipeline decodes in tests, and the Spark
@@ -253,6 +260,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     frame = None
+    coeff_store: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -293,7 +301,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 off += n
                 table = _build_huffman(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} unsupported")
@@ -303,23 +311,43 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">3B", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": height, "w": width, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": height, "w": width, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                coeff_store = _alloc_coeff_store(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} outside the baseline-sequential subset"
+                f"JPEG SOF{marker - 0xC0} outside the baseline/progressive subset"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("invalid JPEG: SOS before SOF0")
+                raise ValueError("invalid JPEG: SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
+            if frame.get("progressive"):
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                pos = _progressive_sos(
+                    data, pos + seg_len, frame, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, dc_tables, ac_tables,
+                    restart_interval, coeff_store,
+                )
+                # resync: skip entropy remnants to the next real marker
+                while pos + 1 < len(data):
+                    if (
+                        data[pos] == 0xFF
+                        and data[pos + 1] != 0x00
+                        and not (0xD0 <= data[pos + 1] <= 0xD7)
+                    ):
+                        break
+                    pos += 1
+                continue
             if len(scan) == 1:
                 # T.81 A.2.2: a single-component scan is non-interleaved —
                 # MCU is ONE data unit in raster order and the declared
@@ -331,6 +359,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 restart_interval,
             )
         pos += seg_len
+    if frame is not None and frame.get("progressive"):
+        return _reconstruct_progressive(frame, coeff_store, qtables)
     raise ValueError("invalid JPEG: no SOS marker")
 
 
@@ -397,25 +427,234 @@ def _decode_scan(data, pos, frame, scan, qtables, dc_tables, ac_tables,
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pixel
             mcu_count += 1
-    if len(scan) == 1:
-        gray = np.clip(planes[scan[0]["id"]][:height, :width], 0, 255)
+    return _assemble_image(planes, scan, height, width, hmax, vmax)
+
+
+def _assemble_image(planes, comps, height, width, hmax, vmax) -> np.ndarray:
+    """Component planes → uint8 image: chroma upsample (nearest), crop,
+    YCbCr→RGB. Shared by the baseline and progressive reconstructions."""
+    if len(comps) == 1:
+        gray = np.clip(planes[comps[0]["id"]][:height, :width], 0, 255)
         return np.round(gray).astype(np.uint8)[:, :, None]
-    # upsample chroma to full resolution (nearest — matches encoder twin)
     full = {}
-    for c in scan:
+    for c in comps:
         p = planes[c["id"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full[c["id"]] = p[:height, :width]
-    y = full[scan[0]["id"]]
-    cb = full[scan[1]["id"]] - 128.0
-    cr = full[scan[2]["id"]] - 128.0
+    y = full[comps[0]["id"]]
+    cb = full[comps[1]["id"]] - 128.0
+    cr = full[comps[2]["id"]] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.round(np.clip(rgb, 0, 255)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — T.81 Annex G.1.2
+#
+# Coefficients accumulate across scans in per-component int32 stores
+# (zigzag order); reconstruction dequantizes + IDCTs once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _frame_geometry(frame) -> tuple[int, int, int, int]:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coeff_store(frame) -> dict[int, np.ndarray]:
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _noninterleaved_blocks(frame, comp) -> tuple[int, int]:
+    """Raster block grid of one component in a non-interleaved scan
+    (T.81 A.1.1: component dims are ceil(X·Hi/Hmax), NOT MCU-padded)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _dc_first_block(reader, dct, pred, coef, al):
+    size = reader.decode_symbol(dct)
+    diff = _extend(reader.read_bits(size), size)
+    pred += diff
+    coef[0] = pred << al
+    return pred
+
+
+def _ac_first_block(reader, act, coef, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.decode_symbol(act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("invalid JPEG: progressive AC run past Se")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, act, coef, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (G.1.2.3): correction bits
+    for already-nonzero coefficients interleave with newly-significant
+    ±1<<Al insertions; an EOB run covers remaining corrections."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.decode_symbol(act)
+            r, s = sym >> 4, sym & 0x0F
+            s_val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG: refinement magnitude != 1")
+                s_val = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            # advance over r still-zero coefficients, emitting a correction
+            # bit for every already-nonzero one passed (ZRL: r=15 → skips
+            # 16 zeroes, the final one via the post-loop k advance)
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val:
+                if k > se:
+                    raise ValueError("invalid JPEG: refinement insert past Se")
+                coef[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_sos(
+    data, pos, frame, scan, ss, se, ah, al,
+    dc_tables, ac_tables, restart_interval, coeff_store,
+) -> int:
+    """Decode one progressive scan into the coefficient store; returns the
+    position after the entropy-coded segment."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("invalid JPEG: DC scan with Se != 0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("invalid JPEG: interleaved AC scan")
+        if se > 63 or se < ss:
+            raise ValueError("invalid JPEG: bad spectral band")
+    reader = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in scan}
+    eobrun = 0
+    count = 0
+
+    def at_restart():
+        nonlocal preds, eobrun
+        reader.align_restart()
+        preds = {c["id"]: 0 for c in scan}
+        eobrun = 0
+
+    if len(scan) > 1:  # interleaved DC scan over the MCU grid
+        _, _, mcux, mcuy = _frame_geometry(frame)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count and count % restart_interval == 0:
+                    at_restart()
+                for c in scan:
+                    store = coeff_store[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = store[my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                preds[c["id"]] = _dc_first_block(
+                                    reader, dc_tables[c["dc"]], preds[c["id"]], coef, al
+                                )
+                            elif reader.read_bit():
+                                coef[0] |= 1 << al
+                count += 1
+    else:  # non-interleaved: raster order over the component's blocks
+        c = scan[0]
+        store = coeff_store[c["id"]]
+        nbx, nby = _noninterleaved_blocks(frame, c)
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and count and count % restart_interval == 0:
+                    at_restart()
+                coef = store[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        preds[c["id"]] = _dc_first_block(
+                            reader, dc_tables[c["dc"]], preds[c["id"]], coef, al
+                        )
+                    elif reader.read_bit():
+                        coef[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, ac_tables[c["ac"]], coef, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, ac_tables[c["ac"]], coef, ss, se, al, eobrun
+                    )
+                count += 1
+    return reader.pos
+
+
+def _reconstruct_progressive(frame, coeff_store, qtables) -> np.ndarray:
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = {}
+    for c in frame["comps"]:
+        q = qtables[c["tq"]]
+        store = coeff_store[c["id"]]
+        nby, nbx = store.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                block = np.zeros(64)
+                block[ZIGZAG] = store[by, bx].astype(np.float64)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(block.reshape(8, 8) * q) + 128.0
+                )
+        planes[c["id"]] = plane
+    return _assemble_image(
+        planes, frame["comps"], frame["h"], frame["w"], hmax, vmax
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -634,4 +873,246 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder twin (SOF2 fixtures)
+# ---------------------------------------------------------------------------
+
+
+def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """All 8×8 blocks of a (padded) plane → quantized zigzag coefficients,
+    shape (nby, nbx, 64) int64 — the same math as the baseline
+    ``_encode_block``, factored so both writers emit identical values."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coeffs = _dct2(block - 128.0) / q
+            out[by, bx] = np.round(coeffs.reshape(64)[ZIGZAG]).astype(np.int64)
+    return out
+
+
+def _write_dc_first(writer, blocks_by_comp, comp_order, dc_codes, al):
+    """Interleaved (4:4:4 / gray: one block per comp per MCU) DC scan at
+    successive-approximation level ``al``."""
+    preds = [0] * len(comp_order)
+    nby, nbx = blocks_by_comp[comp_order[0]].shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in comp_order:
+                v = int(blocks_by_comp[ci][by, bx, 0]) >> al  # arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                size, code = _magnitude(diff)
+                hcode, hlen = dc_codes[ci][size]
+                writer.write(hcode, hlen)
+                if size:
+                    writer.write(code, size)
+
+
+def _write_dc_refine(writer, blocks_by_comp, comp_order, al):
+    nby, nbx = blocks_by_comp[comp_order[0]].shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in comp_order:
+                writer.write((int(blocks_by_comp[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+def _write_ac_first(writer, blocks, ac_codes, ss, se, al):
+    """Non-interleaved AC band scan at level ``al`` (point transform
+    truncates toward zero, per G.1.2.2); per-block EOB, no cross-block
+    EOB runs (EOB0 == an EOB run of 1)."""
+    nby, nbx = blocks.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = blocks[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                v = -((-v) >> al) if v < 0 else v >> al
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hcode, hlen = ac_codes[0xF0]
+                    writer.write(hcode, hlen)
+                    run -= 16
+                size, code = _magnitude(v)
+                hcode, hlen = ac_codes[(run << 4) | size]
+                writer.write(hcode, hlen)
+                writer.write(code, size)
+                run = 0
+            if run:
+                hcode, hlen = ac_codes[0x00]  # EOB
+                writer.write(hcode, hlen)
+
+
+def _write_ac_refine(writer, blocks, ac_codes, ss, se, al):
+    """AC successive-approximation refinement ``al+1 → al``: newly
+    significant coefficients (|v|>>al == 1) emit as runs of
+    still-zero-history positions; already-nonzero positions contribute
+    buffered correction bits that flush after each symbol (mirroring the
+    decoder's interleaved read order); per-block EOB covers the tail."""
+    nby, nbx = blocks.shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = blocks[by, bx]
+            run = 0
+            pending: list[int] = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                a = abs(v) >> al
+                if a > 1:  # history-nonzero: correction bit
+                    pending.append((abs(v) >> al) & 1)
+                elif a == 0:
+                    run += 1
+                else:  # newly significant at this level
+                    while run > 15:
+                        hcode, hlen = ac_codes[0xF0]
+                        writer.write(hcode, hlen)
+                        for bit in pending:
+                            writer.write(bit, 1)
+                        pending = []
+                        run -= 16
+                    hcode, hlen = ac_codes[(run << 4) | 1]
+                    writer.write(hcode, hlen)
+                    writer.write(1 if v > 0 else 0, 1)
+                    for bit in pending:
+                        writer.write(bit, 1)
+                    pending = []
+                    run = 0
+            if run or pending:
+                hcode, hlen = ac_codes[0x00]  # EOB run of 1
+                writer.write(hcode, hlen)
+                for bit in pending:
+                    writer.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    band_split: int = 5,
+) -> bytes:
+    """Progressive (SOF2) JFIF encode of uint8 gray / RGB, 4:4:4 only —
+    the fixture twin of the progressive decoder. Classic scan script:
+
+    1. interleaved DC first scan at Al=``dc_al`` + DC refinements to 0;
+    2. per component, AC first scans for bands [1, band_split] and
+       [band_split+1, 63] at Al=``ac_al``, then AC refinements to 0.
+
+    Emits the SAME quantized coefficients as ``encode_jpeg(arr, quality,
+    "444")``, so both decodes are bit-identical — the equivalence the
+    tests pin."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    if channels not in (1, 3):
+        raise ValueError(f"encode_jpeg_progressive needs 1 or 3 channels, got {channels}")
+    if not (0 < band_split < 63):
+        raise ValueError("band_split must split 1..63")
+    q_luma = _scaled_qtable(QTABLE_LUMA, quality)
+    q_chroma = _scaled_qtable(QTABLE_CHROMA, quality)
+
+    if channels == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128.0
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128.0
+        comp_planes = [y, cb, cr]
+        comp_q = [q_luma, q_chroma, q_chroma]
+    else:
+        comp_planes = [arr[:, :, 0].astype(np.float64)]
+        comp_q = [q_luma]
+
+    mcux = -(-width // 8)
+    mcuy = -(-height // 8)
+
+    def pad_to(p: np.ndarray) -> np.ndarray:
+        return np.pad(
+            p, ((0, mcuy * 8 - p.shape[0]), (0, mcux * 8 - p.shape[1])), mode="edge"
+        )
+
+    blocks = [
+        _quantized_blocks(pad_to(p), comp_q[i]) for i, p in enumerate(comp_planes)
+    ]
+    dc_codes_all = [_encode_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                    _encode_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_codes_all = [_encode_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                    _encode_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    dc_sel = [0] + [1] * (channels - 1)
+    ac_sel = [0] + [1] * (channels - 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def qt_body(tq: int, q: np.ndarray) -> bytes:
+        zz = np.zeros(64, dtype=np.uint8)
+        zz[:] = q.reshape(64)[ZIGZAG].astype(np.uint8)
+        return bytes([tq]) + zz.tobytes()
+
+    def ht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    def sos_seg(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, (dc_sel[ci] << 4) | ac_sel[ci]])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, qt_body(0, q_luma))
+    if channels == 3:
+        out += seg(0xDB, qt_body(1, q_chroma))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for i in range(channels):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, ht_body(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += seg(0xC4, ht_body(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    if channels == 3:
+        out += seg(0xC4, ht_body(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+        out += seg(0xC4, ht_body(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    comp_order = list(range(channels))
+    dc_codes = [dc_codes_all[dc_sel[ci]] for ci in comp_order]
+    blocks_by_comp = {ci: blocks[ci] for ci in comp_order}
+
+    # scan 1: DC first at Al=dc_al (interleaved)
+    w = _BitWriter()
+    _write_dc_first(w, blocks_by_comp, comp_order, dc_codes, dc_al)
+    out += sos_seg(comp_order, 0, 0, 0, dc_al)
+    out += w.flush()
+    # DC refinements dc_al → 0
+    for level in range(dc_al - 1, -1, -1):
+        w = _BitWriter()
+        _write_dc_refine(w, blocks_by_comp, comp_order, level)
+        out += sos_seg(comp_order, 0, 0, level + 1, level)
+        out += w.flush()
+    # AC first scans per component, two spectral bands, at Al=ac_al
+    bands = [(1, band_split), (band_split + 1, 63)]
+    for ci in comp_order:
+        codes = ac_codes_all[ac_sel[ci]]
+        for ss, se in bands:
+            w = _BitWriter()
+            _write_ac_first(w, blocks[ci], codes, ss, se, ac_al)
+            out += sos_seg([ci], ss, se, 0, ac_al)
+            out += w.flush()
+    # AC refinements ac_al → 0
+    for level in range(ac_al - 1, -1, -1):
+        for ci in comp_order:
+            codes = ac_codes_all[ac_sel[ci]]
+            for ss, se in bands:
+                w = _BitWriter()
+                _write_ac_refine(w, blocks[ci], codes, ss, se, level)
+                out += sos_seg([ci], ss, se, level + 1, level)
+                out += w.flush()
+    out += b"\xff\xd9"
     return bytes(out)

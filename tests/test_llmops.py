@@ -1056,13 +1056,91 @@ def test_jpeg_rejects_out_of_subset_profiles():
 
     img = np.full((8, 8), 100, dtype=np.uint8)
     data = bytearray(encode_jpeg(img))
-    # flip SOF0 (C0) to SOF2 (C2, progressive) in place
+    # flip SOF0 (C0) to SOF3 (C3, lossless) in place — SOF2 progressive
+    # is supported since round 5, so the boundary moved to SOF3
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="SOF2"):
+    data[i + 1] = 0xC3
+    with _pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(data))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """encode_jpeg_progressive emits the SAME quantized coefficients as
+    the baseline encoder, so decoding the SOF2 stream must reproduce the
+    baseline decode EXACTLY — every spectral-selection band, DC and AC
+    successive-approximation refinement, EOB and ZRL-with-corrections
+    path has to be right for equality to hold on a dense gradient."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        ("gray-grad", (np.add.outer(np.arange(24) * 7, np.arange(21) * 3) % 256).astype(np.uint8)),
+        ("rgb-noise", rng.integers(0, 256, (19, 26, 3)).astype(np.uint8)),
+        ("rgb-structured", np.stack([
+            (np.add.outer(np.arange(16) * 11, np.arange(16) * 5) % 256),
+            np.tile((np.arange(16) * 16) % 256, (16, 1)),
+            np.full((16, 16), 200),
+        ], axis=-1).astype(np.uint8)),
+    ]
+    for name, img in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling="444"))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+        assert (base == prog).all(), f"{name}: progressive decode diverged"
+
+
+def test_jpeg_progressive_deeper_approximation_levels():
+    """Al=2 start with two refinement passes per band (exercises repeated
+    refinement and the newly-significant-at-intermediate-level path)."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=70, subsampling="444"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=70, dc_al=2, ac_al=2, band_split=9)
+    )
+    assert (base == prog).all()
+
+
+def test_jpeg_progressive_spectral_selection_only():
+    """ac_al=0/dc_al=0: pure spectral selection, no refinement scans."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = (np.add.outer(np.arange(12) * 13, np.arange(18) * 9) % 256).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=92, subsampling="444"))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=92, dc_al=0, ac_al=0))
+    assert (base == prog).all()
+
+
+def test_decode_media_sniffs_progressive_jpeg():
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import encode_jpeg_progressive
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    out = multimodal.decode_media(encode_jpeg_progressive(img), "image", fake=False)
+    assert out.shape == (8, 8, 3)
+    assert int(np.max(np.abs(out.astype(int) - 77))) == 0
 
 
 def test_decode_media_sniffs_jpeg():
