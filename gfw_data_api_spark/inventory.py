@@ -3058,9 +3058,10 @@ _DRIVER_FRONT: list[str] = [
     "e12_web_mercator_forward",
     "r09_geometry_clip",
     "m07_progressive_jpeg_decode",
-    # --- r3-checked backfills (oldest remaining; the 18 r3 rows that
-    # don't fit here — st06/st07, t06-t14, ts01-ts04, u01, w01/w02 —
-    # are 2 rounds old at r5 and MUST front-load in r6) ---
+    "t20_perplexity_buckets",
+    # --- r3-checked backfills (oldest remaining; the 19 r3 rows that
+    # don't fit here — st05/st06/st07, t06-t14, ts01-ts04, u01, w01/w02
+    # — are 2 rounds old at r5 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
@@ -3089,7 +3090,6 @@ _DRIVER_FRONT: list[str] = [
     "s06_int8_quantization",
     "st03_sliding_window",
     "st04_stream_first_occurrence",
-    "st05_stream_static_enrich",
 ]
 
 
@@ -4310,6 +4310,61 @@ _SPECS.append(
         survey_ref="R9 geometry clip inside the hard gate (raster/zonal.py "
         "_geometry_mask: full-tile fast path + partial-tile bbox/pip; "
         "raster/pixels.py coordinate math; reference raster query mask)",
+    )
+)
+
+
+def _t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (head/middle/tail by KN LM score
+    against fixed thresholds) aggregated per bucket — composes the t17
+    LM with the map-side threshold assignment a 100 TB curation pass
+    uses (no global sort; thresholds are corpus constants, as in CCNet
+    where they come from a reference-corpus fit)."""
+    from gfw_data_api_spark.llmops.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    out = perplexity_buckets(docs)
+    return out.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+        F.min("score_r").alias("min_score"),
+        F.max("score_r").alias("max_score"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t20_perplexity_buckets",
+        spark_fn=_t20,
+        oracle=(
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+            "FROM documents), "
+            "occ AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg "
+            "FROM toks, unnest(range(1, len(t))) AS u(i)), "
+            "tf AS (SELECT doc_id, bg, count(*) AS tf FROM occ GROUP BY doc_id, bg), "
+            "bgc AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg), "
+            "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bgc), "
+            "lft AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1, "
+            "count(*) AS n1fw FROM bgc GROUP BY 1), "
+            "rgt AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS n1bw "
+            "FROM bgc GROUP BY 1), "
+            "model AS (SELECT bg, (c2 - 0.75e0) / c1 + 0.75e0 * n1fw / c1 * (n1bw / nt.n) AS p "
+            "FROM bgc JOIN lft ON split_part(bg, ' ', 1) = lft.w1 "
+            "JOIN rgt ON split_part(bg, ' ', 2) = rgt.w2, nt), "
+            "scores AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+            "round(sum(tf * ln(p)) / sum(tf), 4) AS score_r "
+            "FROM tf JOIN model USING (bg) GROUP BY doc_id), "
+            "bucketed AS (SELECT n_bigrams, score_r, "
+            "CASE WHEN score_r > -3.37 THEN 'head' "
+            "WHEN score_r > -3.40 THEN 'middle' ELSE 'tail' END AS bucket FROM scores) "
+            "SELECT bucket, count(*) AS n_docs, "
+            "CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams, "
+            "min(score_r) AS min_score, max(score_r) AS max_score "
+            "FROM bucketed GROUP BY bucket"
+        ),
+        survey_ref="LLM pipeline: CCNet-style perplexity head/middle/tail "
+        "bucketing (llmops/text.py perplexity_buckets; fixed-threshold "
+        "map-side assignment over the t17 Kneser–Ney LM)",
     )
 )
 

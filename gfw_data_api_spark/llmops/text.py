@@ -577,6 +577,39 @@ def kneser_ney_bigram_scores(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    cutoffs: tuple[float, float] = (-3.40, -3.37),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus quality bucketing (Wenzek et al. 2020 §4.3):
+    each document lands in ``head`` / ``middle`` / ``tail`` by its LM
+    score against FIXED thresholds. CCNet computes the thresholds once
+    per language on a reference corpus and applies them map-side — the
+    100 TB shape this keeps: after the vocabulary-sized LM build
+    (:func:`kneser_ney_bigram_scores`), bucketing is one comparison per
+    document, no global sort, no unpartitioned window, no driver
+    collect. ``cutoffs`` are (tail/middle, middle/head) bounds on the
+    per-document mean bigram log-probability, compared on the
+    round(·, 4) score so the same document buckets identically in any
+    engine (the t17 gate's proven cross-engine precision).
+    """
+    scored = kneser_ney_bigram_scores(df, text_col=text_col, id_col=id_col)
+    s = F.round("kn_avg_logprob", 4)
+    bucket = (
+        F.when(s > F.lit(cutoffs[1]), "head")
+        .when(s > F.lit(cutoffs[0]), "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_bigrams",
+        s.alias("score_r"),
+        bucket.alias("bucket"),
+    )
+
+
 def gopher_quality_rules(
     df: DataFrame,
     text_col: str = "text",

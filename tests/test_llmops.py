@@ -1273,6 +1273,36 @@ def test_kneser_ney_is_fully_lazy(spark):
     assert "_ntypes" in plan
 
 
+def test_perplexity_buckets_thresholds_and_composition(spark):
+    """Bucket assignment is a pure threshold function of the rounded KN
+    score; every document lands in exactly one bucket and the
+    assignment matches recomputing from kneser_ney_bigram_scores."""
+    from gfw_data_api_spark.llmops.text import (
+        kneser_ney_bigram_scores,
+        perplexity_buckets,
+    )
+
+    rows = [
+        (1, "a b a b a b a b"),   # repetitive: high-probability bigrams
+        (2, "a b c d e f g h"),   # all-distinct bigrams
+        (3, "a b a b c d c d"),
+        (4, "x y z x y z x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cutoffs = (-0.8, -0.45)
+    out = {r.doc_id: r for r in perplexity_buckets(docs, cutoffs=cutoffs).collect()}
+    scores = {r.doc_id: r for r in kneser_ney_bigram_scores(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for doc_id, row in out.items():
+        s = round(scores[doc_id].kn_avg_logprob, 4)
+        want = "head" if s > cutoffs[1] else ("middle" if s > cutoffs[0] else "tail")
+        assert row.bucket == want, (doc_id, s, row.bucket)
+        assert row.score_r == pytest.approx(s, abs=1e-9)
+        assert row.n_bigrams == scores[doc_id].n_bigrams
+    # the planted corpus is spread enough to hit more than one bucket
+    assert len({r.bucket for r in out.values()}) >= 2
+
+
 def test_corpus_report_golden(spark):
     from gfw_data_api_spark.llmops.text import corpus_report
 

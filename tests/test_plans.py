@@ -269,6 +269,7 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "t18_corpus_report": ("BroadcastNestedLoopJoin", "1-row language-total join for entropy fractions"),
         "t19_vocabulary_stats": ("BroadcastNestedLoopJoin", "1-row Zipf-head total join"),
         "t17_kneser_ney_lm": ("BroadcastNestedLoopJoin", "1-row bigram-type-total join (KN continuation normalizer)"),
+        "t20_perplexity_buckets": ("BroadcastNestedLoopJoin", "inherits t17's 1-row bigram-type-total join"),
     }
 
     bad: dict[str, list[str]] = {}
@@ -329,6 +330,7 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "t18_corpus_report": "1-row language-total aggregate (entropy normalizer)",
         "t19_vocabulary_stats": "1-row top-10-token total aggregate",
         "t17_kneser_ney_lm": "1-row bigram-type-total aggregate (KN continuation normalizer)",
+        "t20_perplexity_buckets": "inherits t17's 1-row bigram-type-total aggregate",
     }
 
     offenders: dict[str, int] = {}
