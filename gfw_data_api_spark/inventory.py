@@ -3059,9 +3059,17 @@ _DRIVER_FRONT: list[str] = [
     "r09_geometry_clip",
     "m07_progressive_jpeg_decode",
     "t20_perplexity_buckets",
-    # --- r3-checked backfills (oldest remaining; the 19 r3 rows that
-    # don't fit here — st05/st06/st07, t06-t14, ts01-ts04, u01, w01/w02
-    # — are 2 rounds old at r5 and MUST front-load in r6) ---
+    "r07_pixel_area",
+    "r10_batch_list_query",
+    "pr01_rasterize_modes",
+    "pr02_band_algebra",
+    "pr04_downsample_pyramid",
+    "pr06_colormap_symbology",
+    "pr07_exact_histogram",
+    # --- r3-checked backfills (oldest remaining; the 26 r3 rows that
+    # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
+    # u01, w01/w02, dq01, e04/e05, r03, s06 — are 2 rounds old at r5
+    # and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
@@ -3083,13 +3091,6 @@ _DRIVER_FRONT: list[str] = [
     "ca01_continuous_aggregate",
     "d08_benchmark_decontamination",
     "d10_repeated_segment_removal",
-    "dq01_constraint_audit",
-    "e04_merge_upsert",
-    "e05_scd2_intervals",
-    "r03_zonal_avg_min_max",
-    "s06_int8_quantization",
-    "st03_sliding_window",
-    "st04_stream_first_occurrence",
 ]
 
 
@@ -4310,6 +4311,418 @@ _SPECS.append(
         survey_ref="R9 geometry clip inside the hard gate (raster/zonal.py "
         "_geometry_mask: full-tile fast path + partial-tile bbox/pip; "
         "raster/pixels.py coordinate math; reference raster query mask)",
+    )
+)
+
+
+# Geodesic pixel-area constant mirrored into the r07 oracle: the EXACT
+# double Spark's area_ha_col folds into the plan (EARTH_RADIUS_M² · Δλ),
+# embedded via repr so DuckDB parses the identical bit pattern.
+def _r07_area_const() -> float:
+    import numpy as np
+
+    from gfw_data_api_spark.functions.geometry import EARTH_RADIUS_M
+
+    return EARTH_RADIUS_M**2 * float(np.radians(0.25))
+
+
+def _r07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 reserved-column math inside the hard gate: planted pixels over
+    three tiles (N/E, S/W, and a high-latitude tile so the sin band gets
+    small) through the REAL with_pixel_coordinates — latitude/longitude
+    are exact dyadic rationals, area__ha is the spherical-strip formula
+    the oracle mirrors op-for-op (round-4dp per pixel, DECIMAL sum so
+    accumulation order cannot matter). Reference queries.py:138-143
+    (reserved area__ha/latitude/longitude virtual columns)."""
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.pixels import with_pixel_coordinates
+
+    grid = Grid.parse("10/40")
+    tiles3 = F.array(F.lit("10N_000E"), F.lit("20S_010W"), F.lit("80N_170W"))
+    ev = load_table(spark, sf_dir, "events").select(
+        F.element_at(tiles3, (F.col("event_id") % 3).cast("int") + 1).alias("tile_id"),
+        (F.col("event_id") * 7 % 1600).alias("pixel_id"),
+    )
+    px = with_pixel_coordinates(ev, grid)
+    area_r = F.round("area__ha", 4)
+    return px.groupBy("tile_id").agg(
+        F.count("*").alias("n_pixels"),
+        F.sum(area_r.cast("decimal(18,4)")).cast("double").alias("sum_area_ha"),
+        F.min(area_r).alias("min_area_ha"),
+        F.max(area_r).alias("max_area_ha"),
+        F.min("latitude").alias("min_lat"),
+        F.max("longitude").alias("max_lon"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="r07_pixel_area",
+        spark_fn=_r07,
+        oracle=(
+            "WITH px AS (SELECT "
+            "CASE event_id % 3 WHEN 0 THEN '10N_000E' WHEN 1 THEN '20S_010W' "
+            "ELSE '80N_170W' END AS tile_id, "
+            "event_id * 7 % 1600 AS pixel_id FROM events), "
+            "c AS (SELECT tile_id, "
+            "(CASE tile_id WHEN '10N_000E' THEN 10.0 WHEN '20S_010W' THEN -20.0 "
+            "ELSE 80.0 END) - (CAST(floor(pixel_id / 40) AS BIGINT) + 0.5) * 0.25 AS latitude, "
+            "(CASE tile_id WHEN '10N_000E' THEN 0.0 WHEN '20S_010W' THEN -10.0 "
+            "ELSE -170.0 END) + ((pixel_id % 40) + 0.5) * 0.25 AS longitude FROM px), "
+            f"a AS (SELECT tile_id, latitude, longitude, round(abs({_r07_area_const()!r} "
+            "* (sin(radians(latitude + 0.125)) - sin(radians(latitude - 0.125)))) "
+            "/ 10000.0, 4) AS area_ha FROM c) "
+            "SELECT tile_id, count(*) AS n_pixels, "
+            "CAST(sum(CAST(area_ha AS DECIMAL(18,4))) AS DOUBLE) AS sum_area_ha, "
+            "min(area_ha) AS min_area_ha, max(area_ha) AS max_area_ha, "
+            "min(latitude) AS min_lat, max(longitude) AS max_lon FROM a GROUP BY tile_id"
+        ),
+        survey_ref="R7 reserved area__ha/latitude/longitude virtual columns "
+        "inside the hard gate (raster/pixels.py with_pixel_coordinates, "
+        "area_ha_col spherical strip; reference queries.py:138-143)",
+    )
+)
+
+
+def _r10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 batch list query inside the hard gate: a planted 40×40 tile
+    (value = (row·40+col)·7 % 97 + 1, never no_data) ingested through the
+    REAL registry/ingest path, then ONE batch_query over two overlapping
+    axis-aligned boxes — the union-extent assembly, per-feature bbox+pip
+    tagging (a pixel inside both boxes yields two tagged rows), and the
+    feature_id GROUP BY injection all execute. Planted centers sit on the
+    x.125 grid, boxes on x.5, so membership is strict-inequality rational
+    arithmetic for the oracle. Reference queries.py:300-427 (POST
+    /query/batch fan-out, re-expressed as one Spark job)."""
+    import numpy as np
+
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.raster.batch import batch_query
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.ingest import ingest_raster_tiles
+
+    grid = Grid.parse("10/40")
+    idx = np.arange(1600, dtype=np.int64).reshape(40, 40)
+    vals = (idx * 7 % 97 + 1).astype(np.float64)
+    registry = Registry(tempfile.mkdtemp(prefix="gfw_r10_"))
+    ingest_raster_tiles(
+        registry, spark, "planted", "v1", grid, "year", {"10N_000E": vals}
+    )
+    features = [
+        {
+            "type": "Polygon",
+            "coordinates": [
+                [[0.5, 0.5], [4.5, 0.5], [4.5, 3.5], [0.5, 3.5], [0.5, 0.5]]
+            ],
+        },
+        {
+            "type": "Polygon",
+            "coordinates": [
+                [[3.5, 2.5], [9.5, 2.5], [9.5, 9.5], [3.5, 9.5], [3.5, 2.5]]
+            ],
+        },
+    ]
+    sql = (
+        "SELECT count(*) AS n_pixels, CAST(sum(planted__year) AS BIGINT) AS sum_val, "
+        "CAST(min(planted__year) AS BIGINT) AS min_val, "
+        "CAST(max(planted__year) AS BIGINT) AS max_val FROM data"
+    )
+    result, failed = batch_query(spark, registry, "planted", "v1", sql, features)
+    assert failed == []
+    return result
+
+
+_SPECS.append(
+    QuerySpec(
+        name="r10_batch_list_query",
+        spark_fn=_r10,
+        oracle=(
+            "WITH f AS (SELECT * FROM (VALUES (0, 0.5, 0.5, 4.5, 3.5), "
+            "(1, 3.5, 2.5, 9.5, 9.5)) AS t(feature_id, x0, y0, x1, y1)), "
+            "px AS (SELECT ((i % 40) + 0.5) * 0.25 AS lon, "
+            "10.0 - (CAST(floor(i / 40) AS BIGINT) + 0.5) * 0.25 AS lat, "
+            "(i * 7) % 97 + 1 AS v FROM range(0, 1600) t(i)), "
+            "m AS (SELECT feature_id, v FROM f JOIN px "
+            "ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1) "
+            "SELECT feature_id, count(*) AS n_pixels, "
+            "CAST(sum(v) AS BIGINT) AS sum_val, CAST(min(v) AS BIGINT) AS min_val, "
+            "CAST(max(v) AS BIGINT) AS max_val FROM m GROUP BY feature_id"
+        ),
+        survey_ref="R10 batch list query inside the hard gate "
+        "(raster/batch.py batch_query: one job over N features; reference "
+        "queries.py:300-427 POST /query/batch)",
+    )
+)
+
+
+def _pr01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 rasterize inside the hard gate: 25 planted axis-aligned
+    rectangles (corners on the 0.5° grid, derived from nation keys) burned
+    onto the 10°/40px grid through the REAL rasterize_vector — BOTH burn
+    modes drive the gate: method='count' (overlap counting) and
+    method='value' with order='desc' (paint order: descending sort means
+    the smallest value lands last, so the painted value is the MIN over
+    covering features). Pixel-center membership is strict-inequality
+    rational arithmetic for the oracle. Reference
+    batch/python/pixetl-style rasterization (SURVEY §2.5 P1)."""
+    from gfw_data_api_spark.functions.geo_udfs import st_geomfromgeojson
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.rasterize import rasterize_vector
+
+    grid = Grid.parse("10/40")
+    rect = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 3 % 12) / 2.0).alias("x0"),
+        ((F.col("n_nationkey") * 7 % 12) / 2.0).alias("y0"),
+        (F.col("n_nationkey") + 1).cast("double").alias("v"),
+    )
+    rect = rect.withColumn(
+        "x1", F.col("x0") + 0.5 + (F.col("n_nationkey") % 4)
+    ).withColumn("y1", F.col("y0") + 0.5 + (F.col("n_nationkey") % 3))
+    gj = F.format_string(
+        '{"type": "Polygon", "coordinates": '
+        "[[[%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f]]]}",
+        "x0", "y0", "x1", "y0", "x1", "y1", "x0", "y1", "x0", "y0",
+    )
+    feats = rect.select(
+        "v",
+        st_geomfromgeojson(gj).alias("geom"),
+        F.array("x0", "y0", "x1", "y1").alias("gfw_bbox"),
+    )
+    counts = rasterize_vector(spark, feats, grid, method="count")
+    painted = rasterize_vector(
+        spark, feats, grid, value_col="v", order="desc", method="value"
+    )
+    return counts.select(
+        "tile_id", "pixel_id", F.col("value").cast("bigint").alias("n_overlaps")
+    ).join(
+        painted.select(
+            "tile_id", "pixel_id", F.col("value").cast("bigint").alias("painted")
+        ),
+        ["tile_id", "pixel_id"],
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="pr01_rasterize_modes",
+        spark_fn=_pr01,
+        oracle=(
+            "WITH r AS (SELECT n_nationkey, (n_nationkey * 3 % 12) / 2.0 AS x0, "
+            "(n_nationkey * 7 % 12) / 2.0 AS y0 FROM nation), "
+            "rr AS (SELECT n_nationkey, x0, y0, x0 + 0.5 + (n_nationkey % 4) AS x1, "
+            "y0 + 0.5 + (n_nationkey % 3) AS y1 FROM r), "
+            "px AS (SELECT i, ((i % 40) + 0.5) * 0.25 AS lon, "
+            "10.0 - (CAST(floor(i / 40) AS BIGINT) + 0.5) * 0.25 AS lat "
+            "FROM range(0, 1600) t(i)) "
+            "SELECT '10N_000E' AS tile_id, i AS pixel_id, "
+            "count(*) AS n_overlaps, CAST(min(n_nationkey + 1) AS BIGINT) AS painted "
+            "FROM px JOIN rr ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1 "
+            "GROUP BY i"
+        ),
+        survey_ref="P1 rasterize vector→grid inside the hard gate "
+        "(raster/rasterize.py rasterize_vector: count + value/order burn "
+        "modes; SURVEY §2.5 P1)",
+    )
+)
+
+
+def _pr02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 band algebra inside the hard gate: two planted tile sets (band B
+    sparse so the inner join's intersection semantics execute) through the
+    REAL band_algebra — registry asset creation, the multi-band F.expr
+    calc, the no_data output filter, and the tile-set write/re-read all
+    run. Values are small integers, so every float is exact. Reference
+    batch raster calc (SURVEY §2.5 P2)."""
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.transform import band_algebra
+
+    grid = Grid.parse("10/40")
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("event_id") * 7 % 1600).alias("pixel_id"))
+        .distinct()
+    )
+    a = base.select(
+        F.lit("10N_000E").alias("tile_id"),
+        "pixel_id",
+        (F.col("pixel_id") % 97 + 1).cast("double").alias("value"),
+    )
+    b = base.filter(F.col("pixel_id") % 13 != 0).select(
+        F.lit("10N_000E").alias("tile_id"),
+        "pixel_id",
+        (F.col("pixel_id") % 13).cast("double").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gfw_pr02_")
+    pa, pb = os.path.join(tmp, "band_a"), os.path.join(tmp, "band_b")
+    a.write.mode("overwrite").parquet(pa)
+    b.write.mode("overwrite").parquet(pb)
+    registry = Registry(os.path.join(tmp, "catalog"))
+    out = band_algebra(
+        spark,
+        registry,
+        "planted_calc",
+        "v1",
+        grid,
+        "calc",
+        calc="A + B - 3",
+        input_uris={"A": pa, "B": pb},
+        no_data=0,
+    )
+    return out.select(
+        "tile_id", "pixel_id", F.col("value").cast("bigint").alias("value")
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="pr02_band_algebra",
+        spark_fn=_pr02,
+        oracle=(
+            "WITH base AS (SELECT DISTINCT event_id * 7 % 1600 AS pixel_id FROM events), "
+            "v AS (SELECT pixel_id, (pixel_id % 97 + 1) + (pixel_id % 13) - 3 AS value "
+            "FROM base WHERE pixel_id % 13 <> 0) "
+            "SELECT '10N_000E' AS tile_id, pixel_id, CAST(value AS BIGINT) AS value "
+            "FROM v WHERE value <> 0"
+        ),
+        survey_ref="P2 band algebra inside the hard gate "
+        "(raster/transform.py band_algebra: multi-band join + calc + "
+        "no_data filter + registry write; SURVEY §2.5 P2)",
+    )
+)
+
+
+def _pr04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 resample inside the hard gate: planted pixels (duplicates
+    included — the aggregation must fold every row) downsampled 4× with
+    method='sum' through the REAL downsample — the row-major parent-id
+    integer math and the block aggregation both execute, all values exact
+    integers. Reference overview/pyramid resampling (SURVEY §2.5 P4)."""
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.transform import downsample
+
+    grid = Grid.parse("10/40")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("10N_000E").alias("tile_id"),
+        (F.col("event_id") * 11 % 1600).alias("pixel_id"),
+        (F.col("event_id") % 50 + 1).cast("double").alias("value"),
+    )
+    out = downsample(ev, grid, factor=4, method="sum")
+    return out.select(
+        "tile_id", "pixel_id", F.col("value").cast("bigint").alias("value")
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="pr04_downsample_pyramid",
+        spark_fn=_pr04,
+        oracle=(
+            "WITH px AS (SELECT event_id * 11 % 1600 AS pixel_id, "
+            "event_id % 50 + 1 AS value FROM events), "
+            "p AS (SELECT CAST(floor(floor(pixel_id / 40) / 4) * 10 "
+            "+ floor((pixel_id % 40) / 4) AS BIGINT) AS pixel_id, value FROM px) "
+            "SELECT '10N_000E' AS tile_id, pixel_id, "
+            "CAST(sum(value) AS BIGINT) AS value FROM p GROUP BY pixel_id"
+        ),
+        survey_ref="P4 resample pyramid level inside the hard gate "
+        "(raster/transform.py downsample: row-major block parent math; "
+        "SURVEY §2.5 P4)",
+    )
+)
+
+
+def _pr06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 symbology inside the hard gate: BOTH colormap kinds through the
+    REAL apply_colormap — discrete exact-match CASE channels and gradient
+    linear interpolation (breakpoints chosen so fractions are exact
+    dyadics; round-half-up agrees across engines on positives). Reference
+    symbology.py:52-123 (SURVEY §2.5 P6)."""
+    from gfw_data_api_spark.raster.transform import apply_colormap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 5).cast("double").alias("value")
+    )
+    disc = apply_colormap(
+        ev,
+        {0.0: (255, 0, 0), 1.0: (0, 200, 40), 2.0: (0, 0, 255),
+         3.0: (250, 250, 5), 4.0: (128, 64, 32)},
+        kind="discrete",
+    )
+    grad = apply_colormap(ev, {0.0: (0, 0, 0), 4.0: (255, 255, 255)}, kind="gradient")
+    d = disc.groupBy("value").agg(
+        F.count("*").alias("n_pixels"),
+        F.min("r").alias("dr"),
+        F.min("g").alias("dg"),
+        F.min("b").alias("db"),
+        F.min("rgb_int").alias("d_rgb"),
+    )
+    g = grad.groupBy("value").agg(
+        F.min("r").alias("gr"), F.min("rgb_int").alias("g_rgb")
+    )
+    return (
+        d.join(g, "value")
+        .select(F.col("value").cast("bigint").alias("value"),
+                "n_pixels", "dr", "dg", "db", "d_rgb", "gr", "g_rgb")
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="pr06_colormap_symbology",
+        spark_fn=_pr06,
+        oracle=(
+            "WITH v AS (SELECT event_id % 5 AS value FROM events), "
+            "d AS (SELECT value, count(*) AS n_pixels FROM v GROUP BY value), "
+            "c AS (SELECT value, n_pixels, "
+            "CAST(CASE value WHEN 0 THEN 255 WHEN 1 THEN 0 WHEN 2 THEN 0 "
+            "WHEN 3 THEN 250 ELSE 128 END AS INT) AS dr, "
+            "CAST(CASE value WHEN 0 THEN 0 WHEN 1 THEN 200 WHEN 2 THEN 0 "
+            "WHEN 3 THEN 250 ELSE 64 END AS INT) AS dg, "
+            "CAST(CASE value WHEN 0 THEN 0 WHEN 1 THEN 40 WHEN 2 THEN 255 "
+            "WHEN 3 THEN 5 ELSE 32 END AS INT) AS db, "
+            "CAST(round((value - 0.0) / 4.0 * 255.0) AS INT) AS gr FROM d) "
+            "SELECT value, n_pixels, dr, dg, db, "
+            "CAST(dr * 65536 + dg * 256 + db AS INT) AS d_rgb, gr, "
+            "CAST(gr * 65536 + gr * 256 + gr AS INT) AS g_rgb FROM c"
+        ),
+        survey_ref="P6 colormap/symbology inside the hard gate "
+        "(raster/transform.py apply_colormap discrete + gradient; "
+        "reference symbology.py:52-123)",
+    )
+)
+
+
+def _pr07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 exact histogram inside the hard gate: planted values spanning
+    the closed range (including the top edge, so the last-bin clamp
+    executes) through the REAL histogram floor-binning — one aggregation,
+    explicit bounds so no driver collect. Reference merges per-tile
+    histograms approximately (app/utils/stats.py:38-89); exact is free on
+    Spark (SURVEY §2.5 P7)."""
+    from gfw_data_api_spark.raster.transform import histogram
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 101).cast("double").alias("value")
+    )
+    return histogram(ev, bins=10, value_min=0.0, value_max=100.0)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="pr07_exact_histogram",
+        spark_fn=_pr07,
+        oracle=(
+            "WITH v AS (SELECT CAST(least(floor((event_id % 101) / 10.0), 9) AS INT) "
+            "AS bucket FROM events) "
+            "SELECT bucket, count(*) AS count, "
+            "0.0 + bucket * 10.0 AS low, 0.0 + (bucket + 1) * 10.0 AS high "
+            "FROM v GROUP BY bucket"
+        ),
+        survey_ref="P7 stats/histogram inside the hard gate "
+        "(raster/transform.py histogram exact floor-binning; reference "
+        "app/utils/stats.py:38-89 approximate merge)",
     )
 )
 
