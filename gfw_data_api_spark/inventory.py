@@ -3066,10 +3066,12 @@ _DRIVER_FRONT: list[str] = [
     "pr04_downsample_pyramid",
     "pr06_colormap_symbology",
     "pr07_exact_histogram",
-    # --- r3-checked backfills (oldest remaining; the 26 r3 rows that
+    "pr03_mercator_warp",
+    "s09_hybrid_rrf_search",
+    # --- r3-checked backfills (oldest remaining; the 28 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06 — are 2 rounds old at r5
-    # and MUST front-load in r6) ---
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10 — are 2 rounds
+    # old at r5 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
@@ -3089,8 +3091,6 @@ _DRIVER_FRONT: list[str] = [
     "c01_token_chunks",
     "c02_pii_redaction",
     "ca01_continuous_aggregate",
-    "d08_benchmark_decontamination",
-    "d10_repeated_segment_removal",
 ]
 
 
@@ -4723,6 +4723,132 @@ _SPECS.append(
         survey_ref="P7 stats/histogram inside the hard gate "
         "(raster/transform.py histogram exact floor-binning; reference "
         "app/utils/stats.py:38-89 approximate merge)",
+    )
+)
+
+
+def _pr03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 mercator warp inside the hard gate: planted pixels through the
+    REAL reproject_to_mercator at zoom 2 (target coarser than the 0.25°
+    source, the pyramid use case) with method='sum' — slippy placement,
+    per-cell pixel-id math, and the resampling aggregate all execute.
+    The oracle mirrors the forward transform op-for-op; the only libm
+    calls (ln/tan/radians) are the e12-proven set, and values are exact
+    integers so the sum is order-independent. Reference
+    batch/scripts/unify_projection.sh + resample.py (gdalwarp to 3857)."""
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.warp import reproject_to_mercator
+
+    grid = Grid.parse("10/40")
+    tiles3 = F.array(F.lit("10N_000E"), F.lit("20S_010W"), F.lit("80N_170W"))
+    ev = load_table(spark, sf_dir, "events").select(
+        F.element_at(tiles3, (F.col("event_id") % 3).cast("int") + 1).alias("tile_id"),
+        (F.col("event_id") * 7 % 1600).alias("pixel_id"),
+        (F.col("event_id") % 23 + 1).cast("double").alias("value"),
+    )
+    return reproject_to_mercator(ev, grid, zoom=2, tile_px=256, method="sum")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="pr03_mercator_warp",
+        spark_fn=_pr03,
+        oracle=(
+            "WITH px AS (SELECT "
+            "CASE event_id % 3 WHEN 0 THEN '10N_000E' WHEN 1 THEN '20S_010W' "
+            "ELSE '80N_170W' END AS tile_id, "
+            "event_id * 7 % 1600 AS p, event_id % 23 + 1 AS v FROM events), "
+            "c AS (SELECT (CASE tile_id WHEN '10N_000E' THEN 10.0 "
+            "WHEN '20S_010W' THEN -20.0 ELSE 80.0 END) "
+            "- (CAST(floor(p / 40) AS BIGINT) + 0.5) * 0.25 AS lat, "
+            "(CASE tile_id WHEN '10N_000E' THEN 0.0 WHEN '20S_010W' THEN -10.0 "
+            "ELSE -170.0 END) + ((p % 40) + 0.5) * 0.25 AS lon, v FROM px), "
+            "g AS (SELECT least(CAST(floor((lon + 180.0) / 360.0 * 1024.0) AS BIGINT), 1023) AS gx, "
+            "least(CAST(floor((1.0 - ln(tan(pi() / 4.0 + radians(lat) / 2.0)) / pi()) "
+            "/ 2.0 * 1024.0) AS BIGINT), 1023) AS gy, v FROM c) "
+            "SELECT CAST(floor(gx / 256.0) AS INT) AS tile_x, "
+            "CAST(floor(gy / 256.0) AS INT) AS tile_y, "
+            "(gy % 256) * 256 + (gx % 256) AS pixel_id, "
+            "CAST(sum(v) AS DOUBLE) AS value FROM g GROUP BY 1, 2, 3"
+        ),
+        survey_ref="P3 reproject to web-mercator inside the hard gate "
+        "(raster/warp.py reproject_to_mercator: slippy placement + "
+        "resampling aggregate, no UDF; reference unify_projection.sh)",
+    )
+)
+
+
+def _s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval inside the hard gate: BM25 lexical top-50 (t15's
+    proven scoring) fused with brute-force cosine semantic top-50 (s01's)
+    by Reciprocal Rank Fusion — the two candidate lists share the 0..499
+    id space, so documents surfaced by both retrievers genuinely fuse
+    (n_sources=2 rows exist). Ranks are per-source windows over the
+    bounded lists; the fused sum adds ≤2 identical doubles, so the oracle
+    matches bit-for-bit before the shared round(9)."""
+    from gfw_data_api_spark.llmops.similarity import reciprocal_rank_fusion
+    from gfw_data_api_spark.llmops.text import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lexical = bm25_search(docs, ["spark", "join", "vector"], top_k=50)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
+    dot, norm = _cosine_cols(F.col("embedding"), query)
+    semantic = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(50)
+    )
+    return reciprocal_rank_fusion(
+        [("bm25", lexical, "doc_id", "bm25"), ("cos", semantic, "vec_id", "cosine")],
+        rrf_k=60,
+        top_k=10,
+    )
+
+
+def _s09_oracle() -> str:
+    k1, b = 1.2, 0.75
+    toks = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+    return (
+        f"WITH base AS (SELECT doc_id, len({toks}) AS dl, {toks} AS toks FROM documents), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM base), "
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM "
+        "(SELECT doc_id, dl, unnest(toks) AS term FROM base) "
+        "WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, dl, term), "
+        "docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "scored AS (SELECT tf.doc_id, "
+        "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * "
+        f"((tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * (tf.dl / s.avgdl)))) AS sc "
+        "FROM tf JOIN docfreq d USING (term), stats s), "
+        "lex AS (SELECT doc_id, round(sum(sc), 6) AS s FROM scored "
+        "GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 50), "
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), "
+        "sem AS (SELECT e.vec_id AS doc_id, "
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(q.qe, q.qe))), 6) AS s "
+        "FROM embeddings e, q WHERE e.vec_id != 0 ORDER BY s DESC, e.vec_id LIMIT 50), "
+        "u AS (SELECT 'bm25' AS src, doc_id, s FROM lex "
+        "UNION ALL SELECT 'cos' AS src, doc_id, s FROM sem), "
+        "r AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY src ORDER BY s DESC, doc_id) AS rnk FROM u) "
+        "SELECT doc_id, round(sum(1.0 / (60.0 + rnk)), 9) AS rrf_score, "
+        "count(*) AS n_sources FROM r GROUP BY doc_id "
+        "ORDER BY rrf_score DESC, doc_id LIMIT 10"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s09_hybrid_rrf_search",
+        spark_fn=_s09,
+        oracle=_s09_oracle(),
+        survey_ref="similarity search: hybrid BM25+cosine retrieval with "
+        "Reciprocal Rank Fusion (llmops/similarity.py "
+        "reciprocal_rank_fusion; Cormack et al. 2009)",
     )
 )
 

@@ -333,3 +333,55 @@ def semantic_dedup(
     # representative (the minimum id) of every duplicate chain
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return indexed.join(drop, id_col, "left_anti").drop("ivf_cell")
+
+
+def reciprocal_rank_fusion(
+    lists: list[tuple[str, DataFrame, str, str]],
+    rrf_k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval fusion (Cormack et al. 2009): combine N already
+    bounded candidate lists — e.g. BM25 lexical top-N and cosine semantic
+    top-N — by Reciprocal Rank Fusion, ``score = Σ_src 1/(rrf_k + rank)``.
+
+    ``lists``: ``(source_tag, df, id_col, score_col)`` per retriever;
+    each df must already be a TOP-N candidate list (the retrievers own
+    the corpus-scale work — BM25's map-side term filter, ANN's bucket
+    probe). Fusion then touches only ``N × len(lists)`` rows: ranks come
+    from a window PARTITIONED by source (never an unpartitioned window
+    over the corpus), ranked by (score desc, id asc) so ties are
+    deterministic, and the fused top-k is one TakeOrdered.
+
+    Cross-engine float note: a document appears in ≤ len(lists) sources,
+    so the fused sum adds at most a handful of ``1/(rrf_k + rank)`` terms
+    — commutative additions of identical doubles, bit-stable in any
+    accumulation order for the 2-source case the gate pins.
+    """
+    if not lists:
+        raise ValueError("reciprocal_rank_fusion: need at least one list")
+    from pyspark.sql import Window
+
+    parts = [
+        df.select(
+            F.lit(tag).alias("_src"),
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(score_col).cast("double").alias("_score"),
+        )
+        for tag, df, id_col, score_col in lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("_src").orderBy(F.desc("_score"), F.asc("doc_id"))
+    return (
+        u.withColumn("_rank", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_rank"))), 9
+            ).alias("rrf_score"),
+            F.count("*").alias("n_sources"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(top_k)
+    )

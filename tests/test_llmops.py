@@ -1396,3 +1396,44 @@ def test_vocabulary_stats_golden(spark):
     assert r["hapax_count"] == 2              # c, d
     assert r["type_token_ratio"] == 0.5
     assert r["top10_share"] == 1.0            # all 4 types fit the head
+
+
+def test_reciprocal_rank_fusion_semantics(spark):
+    """RRF = Σ 1/(k + per-source rank); ranks assigned by (score desc,
+    id asc) within each source; docs in both lists outrank docs in one."""
+    from gfw_data_api_spark.llmops.similarity import reciprocal_rank_fusion
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "doc_id long, s double"
+    )
+    sem = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)], "vec_id long, c double"
+    )
+    out = {
+        r.doc_id: r
+        for r in reciprocal_rank_fusion(
+            [("lex", lex, "doc_id", "s"), ("sem", sem, "vec_id", "c")],
+            rrf_k=60,
+            top_k=10,
+        ).collect()
+    }
+    # lex ranks: 1→1, 2→2 (score tie broken by id), 3→3, 4→4
+    # sem ranks: 3→1, 5→2, 1→3
+    expect = {
+        1: 1 / 61 + 1 / 63,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 64,
+        5: 1 / 62,
+    }
+    assert set(out) == set(expect)
+    for doc_id, want in expect.items():
+        assert out[doc_id].rrf_score == pytest.approx(want, abs=1e-9)
+    assert out[1].n_sources == 2 and out[3].n_sources == 2
+    assert out[2].n_sources == 1
+    # two-source docs 1 and 3 tie exactly; both outrank every single-source doc
+    ranked = sorted(out.values(), key=lambda r: (-r.rrf_score, r.doc_id))
+    assert [r.doc_id for r in ranked[:2]] == [1, 3]
+
+    with pytest.raises(ValueError):
+        reciprocal_rank_fusion([])
