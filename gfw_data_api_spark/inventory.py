@@ -4952,7 +4952,11 @@ def _m07(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["h"].append(h)
                 rows["w"].append(w)
                 rows["decode_match"].append(bool((base == prog).all()))
-                rows["mean_err_ok"].append(err <= 8.0)
+                # noise images at quality 88 measure mean-abs error 7–8.4
+                # across the sf0.01 id range; a broken decode (wrong IDCT,
+                # desynced scan) lands at 40+ — 12 separates them with
+                # margin on BOTH sides
+                rows["mean_err_ok"].append(err <= 12.0)
             import pandas as pd
 
             yield pd.DataFrame(rows)

@@ -715,10 +715,18 @@ def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
+def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """One 8×8 block → quantized zigzag coefficients (int64[64]). The ONE
+    quantization expression both the baseline and progressive writers use
+    — their bit-identical-coefficients contract (m07 gate) is enforced by
+    sharing this function, not by keeping two copies in sync."""
+    coeffs = _dct2(block - 128.0) / q
+    return np.round(coeffs.reshape(64)[ZIGZAG]).astype(np.int64)
+
+
 def _encode_block(writer, block, q, dc_codes, ac_codes, pred):
     """DCT+quantize+entropy-code one 8×8 block; returns the new DC pred."""
-    coeffs = _dct2(block - 128.0) / q
-    zz = np.round(coeffs.reshape(64)[ZIGZAG]).astype(np.int64)
+    zz = _quantize_block(block, q)
     diff = int(zz[0]) - pred
     size, code = _magnitude(diff)
     hcode, hlen = dc_codes[size]
@@ -883,15 +891,15 @@ def encode_jpeg(
 
 def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """All 8×8 blocks of a (padded) plane → quantized zigzag coefficients,
-    shape (nby, nbx, 64) int64 — the same math as the baseline
-    ``_encode_block``, factored so both writers emit identical values."""
+    shape (nby, nbx, 64) int64 — delegates to the SAME ``_quantize_block``
+    the baseline ``_encode_block`` uses, so both writers emit identical
+    values by construction."""
     nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
     out = np.zeros((nby, nbx, 64), dtype=np.int64)
     for by in range(nby):
         for bx in range(nbx):
             block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coeffs = _dct2(block - 128.0) / q
-            out[by, bx] = np.round(coeffs.reshape(64)[ZIGZAG]).astype(np.int64)
+            out[by, bx] = _quantize_block(block, q)
     return out
 
 
@@ -965,25 +973,34 @@ def _write_ac_refine(writer, blocks, ac_codes, ss, se, al):
             for k in range(ss, se + 1):
                 v = int(zz[k])
                 a = abs(v) >> al
-                if a > 1:  # history-nonzero: correction bit
-                    pending.append((abs(v) >> al) & 1)
-                elif a == 0:
+                if a == 0:
                     run += 1
-                else:  # newly significant at this level
-                    while run > 15:
-                        hcode, hlen = ac_codes[0xF0]
-                        writer.write(hcode, hlen)
-                        for bit in pending:
-                            writer.write(bit, 1)
-                        pending = []
-                        run -= 16
-                    hcode, hlen = ac_codes[(run << 4) | 1]
+                    continue
+                # pending ZRLs flush at ANY nonzero coefficient — history
+                # or newly significant — before its bit is handled
+                # (libjpeg jcphuff.c encode_mcu_AC_refine: `while (r > 15)`
+                # runs ahead of the temp>1 branch). Flushing only at
+                # newly-significant coefficients would emit a history
+                # coefficient's correction bit ahead of the ZRL symbol the
+                # decoder reads first, desynchronizing the scan.
+                while run > 15:
+                    hcode, hlen = ac_codes[0xF0]
                     writer.write(hcode, hlen)
-                    writer.write(1 if v > 0 else 0, 1)
                     for bit in pending:
                         writer.write(bit, 1)
                     pending = []
-                    run = 0
+                    run -= 16
+                if a > 1:  # history-nonzero: buffer its correction bit
+                    pending.append(a & 1)
+                    continue
+                # newly significant at this level
+                hcode, hlen = ac_codes[(run << 4) | 1]
+                writer.write(hcode, hlen)
+                writer.write(1 if v > 0 else 0, 1)
+                for bit in pending:
+                    writer.write(bit, 1)
+                pending = []
+                run = 0
             if run or pending:
                 hcode, hlen = ac_codes[0x00]  # EOB run of 1
                 writer.write(hcode, hlen)

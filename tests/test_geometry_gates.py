@@ -18,10 +18,14 @@ from __future__ import annotations
 import math
 import struct
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.001"
+# same env override conftest.py honors (tests/ is not a package, so the
+# constant cannot be imported from conftest directly)
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _bits(x: float) -> str:

@@ -1116,6 +1116,49 @@ def test_jpeg_progressive_deeper_approximation_levels():
     assert (base == prog).all()
 
 
+def test_jpeg_progressive_zrl_before_history_coefficient():
+    """Regression (round-5 review): a refinement-scan zero run longer
+    than 15 followed by a HISTORY-nonzero coefficient, then a newly
+    significant one, must flush the pending ZRLs at the history
+    coefficient (libjpeg jcphuff.c order), not at the next newly
+    significant one — the old writer emitted the history coefficient's
+    correction bit ahead of the ZRL symbol and desynchronized the scan
+    (decode raised 'refinement magnitude != 1'). Fixture built by
+    inverse-DCT from the exact failing coefficient pattern: band-2
+    zigzag positions 6..29 zero, |coef|=2 at 30 (history at the Al=1→0
+    refinement), |coef|=1 at 45 (newly significant)."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.jpeg import (
+        QTABLE_LUMA,
+        ZIGZAG,
+        _idct2,
+        _quantize_block,
+        _scaled_qtable,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    ql = _scaled_qtable(QTABLE_LUMA, 88)
+    nat = np.zeros(64)
+    nat[ZIGZAG[30]] = 2.0
+    nat[ZIGZAG[45]] = 1.0
+    img = np.clip(np.round(_idct2(nat.reshape(8, 8) * ql) + 128.0), 0, 255).astype(
+        np.uint8
+    )
+    # the fixture must actually hit the pattern after re-quantization
+    zz = _quantize_block(img.astype(np.float64), ql)
+    band = [abs(int(v)) for v in zz[6:64]]
+    first_big = next(i for i, v in enumerate(band) if v >= 2)
+    assert first_big > 15 and all(v == 0 for v in band[:first_big])
+    assert any(v == 1 for v in band[first_big + 1 :])
+
+    base = decode_jpeg(encode_jpeg(img, quality=88, subsampling="444"))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=88, dc_al=1, ac_al=1))
+    assert (base == prog).all()
+
+
 def test_jpeg_progressive_spectral_selection_only():
     """ac_al=0/dc_al=0: pure spectral selection, no refinement scans."""
     import numpy as np
