@@ -3068,10 +3068,11 @@ _DRIVER_FRONT: list[str] = [
     "pr07_exact_histogram",
     "pr03_mercator_warp",
     "s09_hybrid_rrf_search",
-    # --- r3-checked backfills (oldest remaining; the 28 r3 rows that
+    "e13_grid_1x1_export",
+    # --- r3-checked backfills (oldest remaining; the 29 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10 — are 2 rounds
-    # old at r5 and MUST front-load in r6) ---
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02 — are 2
+    # rounds old at r5 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
@@ -3089,7 +3090,6 @@ _DRIVER_FRONT: list[str] = [
     "q25_blocked_fuzzy_match",
     "b01_bpe_pair_stats",
     "c01_token_chunks",
-    "c02_pii_redaction",
     "ca01_continuous_aggregate",
 ]
 
@@ -4849,6 +4849,99 @@ _SPECS.append(
         survey_ref="similarity search: hybrid BM25+cosine retrieval with "
         "Reciprocal Rank Fusion (llmops/similarity.py "
         "reciprocal_rank_fusion; Cormack et al. 2009)",
+    )
+)
+
+
+def _e13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 1×1-grid export inside the hard gate: planted rectangles
+    (nation keys; many cross the equator/meridian so every N/S/E/W id
+    branch formats) PLUS right triangles (region keys) whose bbox claims
+    a 3×3 cell block but whose hypotenuse excludes the three far-corner
+    cells — so the exact-intersects UDF genuinely PRUNES candidates, not
+    just confirms them. All coordinates sit on the x.25 grid and the
+    hypotenuse line x+y = x0+y0+2 never meets a candidate-corner sum, so
+    cell membership is strict-inequality rational arithmetic for the
+    oracle: a cell [cx,cx+1]×[cy,cy+1] meets the triangle iff
+    max(cx,x0)+max(cy,y0) < x0+y0+2. Reference export_1x1_grid.py:309-451
+    (per-tile asyncpg loop → one Spark explode+filter)."""
+    from gfw_data_api_spark.functions.geo_udfs import st_geomfromgeojson
+    from gfw_data_api_spark.operators.downloads import export_grid_1x1
+
+    rect = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("fid"),
+        ((F.col("n_nationkey") * 5 % 24) - 12 + 0.25).alias("x0"),
+        ((F.col("n_nationkey") * 9 % 16) - 8 + 0.25).alias("y0"),
+        (0.5 + (F.col("n_nationkey") % 3)).alias("w"),
+        (0.5 + (F.col("n_nationkey") % 2)).alias("h"),
+    )
+    rect = rect.withColumn("x1", F.col("x0") + F.col("w")).withColumn(
+        "y1", F.col("y0") + F.col("h")
+    )
+    rect_gj = F.format_string(
+        '{"type": "Polygon", "coordinates": '
+        "[[[%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f]]]}",
+        "x0", "y0", "x1", "y0", "x1", "y1", "x0", "y1", "x0", "y0",
+    )
+    rects = rect.select(
+        "fid",
+        st_geomfromgeojson(rect_gj).alias("geom"),
+        F.array("x0", "y0", "x1", "y1").alias("gfw_bbox"),
+    )
+    tri = load_table(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") + 100).cast("long").alias("fid"),
+        ((F.col("r_regionkey") * 7 % 20) - 10 + 0.25).alias("x0"),
+        ((F.col("r_regionkey") * 3 % 10) - 5 + 0.25).alias("y0"),
+    )
+    tri_gj = F.format_string(
+        '{"type": "Polygon", "coordinates": '
+        "[[[%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f]]]}",
+        "x0", "y0",
+        (F.col("x0") + 2.0), "y0",
+        "x0", (F.col("y0") + 2.0),
+        "x0", "y0",
+    )
+    tris = tri.select(
+        "fid",
+        st_geomfromgeojson(tri_gj).alias("geom"),
+        F.array(
+            "x0", "y0", F.col("x0") + 2.0, F.col("y0") + 2.0
+        ).alias("gfw_bbox"),
+    )
+    out = export_grid_1x1(spark, rects.unionByName(tris))
+    return out.select("fid", "gfw_grid_1x1_id")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e13_grid_1x1_export",
+        spark_fn=_e13,
+        oracle=(
+            "WITH r AS (SELECT CAST(n_nationkey AS BIGINT) AS fid, "
+            "(n_nationkey * 5 % 24) - 12 + 0.25 AS x0, "
+            "(n_nationkey * 9 % 16) - 8 + 0.25 AS y0, "
+            "0.5 + (n_nationkey % 3) AS w, 0.5 + (n_nationkey % 2) AS h FROM nation), "
+            "rc AS (SELECT fid, cx, cy FROM r, "
+            "unnest(generate_series(CAST(floor(x0) AS BIGINT), CAST(floor(x0 + w) AS BIGINT))) AS tx(cx), "
+            "unnest(generate_series(CAST(floor(y0) AS BIGINT), CAST(floor(y0 + h) AS BIGINT))) AS ty(cy)), "
+            "t AS (SELECT CAST(r_regionkey + 100 AS BIGINT) AS fid, "
+            "(r_regionkey * 7 % 20) - 10 + 0.25 AS x0, "
+            "(r_regionkey * 3 % 10) - 5 + 0.25 AS y0 FROM region), "
+            "tc AS (SELECT fid, cx, cy FROM t, "
+            "unnest(generate_series(CAST(floor(x0) AS BIGINT), CAST(floor(x0 + 2.0) AS BIGINT))) AS tx(cx), "
+            "unnest(generate_series(CAST(floor(y0) AS BIGINT), CAST(floor(y0 + 2.0) AS BIGINT))) AS ty(cy) "
+            "WHERE greatest(CAST(cx AS DOUBLE), x0) + greatest(CAST(cy AS DOUBLE), y0) "
+            "< x0 + y0 + 2.0), "
+            "cells AS (SELECT fid, cx, cy FROM rc UNION ALL SELECT fid, cx, cy FROM tc) "
+            "SELECT fid, concat(CAST(abs(cy + 1) AS VARCHAR), "
+            "CASE WHEN cy + 1 >= 0 THEN 'N' ELSE 'S' END, '_', "
+            "CAST(abs(cx) AS VARCHAR), CASE WHEN cx >= 0 THEN 'E' ELSE 'W' END) "
+            "AS gfw_grid_1x1_id FROM cells"
+        ),
+        survey_ref="E13 1×1 grid export inside the hard gate "
+        "(operators/downloads.py export_grid_1x1: native candidate-cell "
+        "explode + exact intersects prune; reference "
+        "export_1x1_grid.py:309-451)",
     )
 )
 
