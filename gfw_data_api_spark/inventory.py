@@ -4484,10 +4484,17 @@ def _pr01(spark: SparkSession, sf_dir: str) -> DataFrame:
         "[[[%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f], [%.1f, %.1f]]]}",
         "x0", "y0", "x1", "y0", "x1", "y1", "x0", "y1", "x0", "y0",
     )
-    feats = rect.select(
-        "v",
-        st_geomfromgeojson(gj).alias("geom"),
-        F.array("x0", "y0", "x1", "y1").alias("gfw_bbox"),
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+    # both burn modes consume the same feature set — pin it so the gate
+    # doesn't scan (and re-run the geometry UDF over) nation twice
+    feats = _persist_replacing(
+        rect.select(
+            "v",
+            st_geomfromgeojson(gj).alias("geom"),
+            F.array("x0", "y0", "x1", "y1").alias("gfw_bbox"),
+        ),
+        "pr01_feats",
     )
     counts = rasterize_vector(spark, feats, grid, method="count")
     painted = rasterize_vector(
@@ -4639,10 +4646,16 @@ def _pr06(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear interpolation (breakpoints chosen so fractions are exact
     dyadics; round-half-up agrees across engines on positives). Reference
     symbology.py:52-123 (SURVEY §2.5 P6)."""
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
     from gfw_data_api_spark.raster.transform import apply_colormap
 
-    ev = load_table(spark, sf_dir, "events").select(
-        (F.col("event_id") % 5).cast("double").alias("value")
+    # both colormap kinds consume the same planted values — pin them so
+    # the gate doesn't scan events twice
+    ev = _persist_replacing(
+        load_table(spark, sf_dir, "events").select(
+            (F.col("event_id") % 5).cast("double").alias("value")
+        ),
+        "pr06_values",
     )
     disc = apply_colormap(
         ev,
