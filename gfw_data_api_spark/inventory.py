@@ -3069,6 +3069,7 @@ _DRIVER_FRONT: list[str] = [
     "pr03_mercator_warp",
     "s09_hybrid_rrf_search",
     "e13_grid_1x1_export",
+    "d13_incremental_dedup",
     # --- r3-checked backfills (oldest remaining; the 29 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
     # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02 — are 2
@@ -3089,7 +3090,6 @@ _DRIVER_FRONT: list[str] = [
     "q24_skew_hybrid_join",
     "q25_blocked_fuzzy_match",
     "b01_bpe_pair_stats",
-    "c01_token_chunks",
     "ca01_continuous_aggregate",
 ]
 
@@ -4955,6 +4955,74 @@ _SPECS.append(
         "(operators/downloads.py export_grid_1x1: native candidate-cell "
         "explode + exact intersects prune; reference "
         "export_1x1_grid.py:309-451)",
+    )
+)
+
+
+def _d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-vs-state inside the hard gate: even doc_ids are
+    the persisted corpus state (signed once with the portable md5-affine
+    family), odd doc_ids arrive as the new batch — the REAL
+    incremental_minhash_candidates probes new-vs-state AND new-vs-new
+    band buckets without re-reading the state corpus. The oracle is the
+    d04 replica with parity predicates on the two join arms, so the
+    incremental screen is proven to find exactly the pairs the one-shot
+    run would (restricted to arms involving the batch)."""
+    from gfw_data_api_spark.llmops.dedup import minhash_signatures_portable
+    from gfw_data_api_spark.llmops.incremental import incremental_minhash_candidates
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    state_sigs = minhash_signatures_portable(docs.filter(F.col("doc_id") % 2 == 0))
+    pairs, _new_sigs = incremental_minhash_candidates(
+        docs.filter(F.col("doc_id") % 2 == 1), state_sigs, portable=True
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
+        "id_new", "id_old", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _d13_oracle() -> str:
+    """The d04 DuckDB replica with the state/batch parity split: the
+    new-vs-old arm joins odd ids to even ids, the new-vs-new arm joins
+    odd to earlier odd — generated from the same portable_hash_params so
+    the affine literals cannot drift."""
+    from gfw_data_api_spark.llmops.dedup import _PORTABLE_P, portable_hash_params
+
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {_PORTABLE_P})" for a, b in portable_hash_params(64)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), "
+        "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks), "
+        "h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT "
+        f"% {_PORTABLE_P} AS h FROM sh), "
+        f"sig AS (SELECT doc_id, list_value({mins}) AS sig FROM h GROUP BY doc_id), "
+        "bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key "
+        "FROM sig, unnest(range(0, 16)) AS u(b)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old "
+        "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key "
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 "
+        "UNION "
+        "SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old "
+        "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key "
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1 AND a.doc_id > b.doc_id) "
+        "SELECT id_new, id_old, round(CAST(len(list_filter(range(1, 65), "
+        "i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64, 6) AS est_jaccard "
+        "FROM cand JOIN sig sa ON sa.doc_id = id_new JOIN sig sb ON sb.doc_id = id_old "
+        "WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64 >= 0.5"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d13_incremental_dedup",
+        spark_fn=_d13,
+        oracle=_d13_oracle(),
+        survey_ref="dedup: incremental near-dup screen of a new batch "
+        "against persisted MinHash state (llmops/incremental.py "
+        "incremental_minhash_candidates, portable family — state corpus "
+        "is never re-read)",
     )
 )
 

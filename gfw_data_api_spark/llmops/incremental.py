@@ -50,6 +50,7 @@ def incremental_minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidate pairs, new signatures).
 
@@ -57,7 +58,9 @@ def incremental_minhash_candidates(
     historical state AND earlier ids within the batch (so a batch that
     near-duplicates itself is caught too). ``state_sigs`` is the
     persisted ``(_id, _sig)`` table from previous runs (empty on the
-    first run).
+    first run). ``portable=True`` signs the batch with the md5-affine
+    family (dedup.minhash_signatures_portable — the d04/d13 oracle
+    family); the state must have been signed with the SAME family.
 
     The returned signature DataFrame is ``persist()``-ed (it feeds both
     the band join and the verify step); long-lived callers looping over
@@ -65,10 +68,14 @@ def incremental_minhash_candidates(
     materialized, or periodically ``spark.catalog.clearCache()`` —
     same contract as the d03 shingle index.
     """
-    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+    from gfw_data_api_spark.llmops.dedup import (
+        _persist_replacing,
+        minhash_signatures_portable,
+    )
 
+    sign = minhash_signatures_portable if portable else minhash_signatures
     new_sigs = _persist_replacing(
-        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n),
+        sign(new_docs, text_col, id_col, num_hashes, shingle_n),
         "incremental_new_sigs",
     )
     new_bands = minhash_band_buckets(new_sigs, num_hashes, bands)
