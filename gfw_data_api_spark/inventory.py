@@ -3070,6 +3070,7 @@ _DRIVER_FRONT: list[str] = [
     "s09_hybrid_rrf_search",
     "e13_grid_1x1_export",
     "d13_incremental_dedup",
+    "r11_version_overrides",
     # --- r3-checked backfills (oldest remaining; the 29 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
     # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02 — are 2
@@ -3090,7 +3091,6 @@ _DRIVER_FRONT: list[str] = [
     "q24_skew_hybrid_join",
     "q25_blocked_fuzzy_match",
     "b01_bpe_pair_stats",
-    "ca01_continuous_aggregate",
 ]
 
 
@@ -4451,6 +4451,80 @@ _SPECS.append(
         survey_ref="R10 batch list query inside the hard gate "
         "(raster/batch.py batch_query: one job over N features; reference "
         "queries.py:300-427 POST /query/batch)",
+    )
+)
+
+
+def _r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 version overrides inside the hard gate: the aux dataset is
+    ingested at v1 AND v2 (different planted values, latest → v2); the
+    same batch zonal query runs twice through the REAL data-environment
+    resolution — once with version_overrides={'aux': 'v1'}, once
+    defaulting to latest — and the two arms must aggregate DIFFERENT
+    closed-form sums. Reference query param `x-version-override`
+    (data_environment construction, app/routes/datasets/queries.py)."""
+    import numpy as np
+
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.raster.batch import batch_query
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.ingest import ingest_raster_tiles
+
+    grid = Grid.parse("10/40")
+    idx = np.arange(1600, dtype=np.int64).reshape(40, 40)
+    registry = Registry(tempfile.mkdtemp(prefix="gfw_r11_"))
+    ingest_raster_tiles(
+        registry, spark, "planted", "v1", grid, "year",
+        {"10N_000E": (idx * 7 % 97 + 1).astype(np.float64)},
+    )
+    ingest_raster_tiles(
+        registry, spark, "aux", "v1", grid, "year",
+        {"10N_000E": (idx % 31 + 1).astype(np.float64)},
+    )
+    ingest_raster_tiles(
+        registry, spark, "aux", "v2", grid, "year",
+        {"10N_000E": (idx % 17 + 3).astype(np.float64)},
+    )
+    feature = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.5, 0.5], [6.5, 0.5], [6.5, 7.5], [0.5, 7.5], [0.5, 0.5]]
+        ],
+    }
+    sql = (
+        "SELECT count(*) AS n_pixels, CAST(sum(aux__year) AS BIGINT) AS sum_aux "
+        "FROM data"
+    )
+    overridden, f1 = batch_query(
+        spark, registry, "planted", "v1", sql, [feature],
+        version_overrides={"aux": "v1"},
+    )
+    latest, f2 = batch_query(spark, registry, "planted", "v1", sql, [feature])
+    assert f1 == [] and f2 == []
+    return overridden.withColumn("arm", F.lit("v1_override")).unionByName(
+        latest.withColumn("arm", F.lit("latest_v2"))
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="r11_version_overrides",
+        spark_fn=_r11,
+        oracle=(
+            "WITH px AS (SELECT ((i % 40) + 0.5) * 0.25 AS lon, "
+            "10.0 - (CAST(floor(i / 40) AS BIGINT) + 0.5) * 0.25 AS lat, "
+            "(i % 31) + 1 AS v1, (i % 17) + 3 AS v2 FROM range(0, 1600) t(i)), "
+            "m AS (SELECT v1, v2 FROM px WHERE lon > 0.5 AND lon < 6.5 "
+            "AND lat > 0.5 AND lat < 7.5) "
+            "SELECT 0 AS feature_id, count(*) AS n_pixels, "
+            "CAST(sum(v1) AS BIGINT) AS sum_aux, 'v1_override' AS arm FROM m "
+            "UNION ALL "
+            "SELECT 0 AS feature_id, count(*) AS n_pixels, "
+            "CAST(sum(v2) AS BIGINT) AS sum_aux, 'latest_v2' AS arm FROM m"
+        ),
+        survey_ref="R11 version overrides inside the hard gate "
+        "(raster/data_environment.py build_data_environment overrides + "
+        "raster/batch.py; reference x-version-override query param)",
     )
 )
 
