@@ -94,13 +94,24 @@ def main():
         from gfw_data_api_spark.llmops.dedup import (
             exact_dedup,
             minhash_lsh_candidates,
+            minhash_signatures_portable,
+        )
+        from gfw_data_api_spark.llmops.incremental import (
+            incremental_minhash_candidates,
         )
         from gfw_data_api_spark.llmops.phash import (
             perceptual_hashes,
             perceptual_neardup_pairs,
         )
-        from gfw_data_api_spark.llmops.similarity import brute_force_topk
-        from gfw_data_api_spark.llmops.text import bm25_search, gopher_quality_rules
+        from gfw_data_api_spark.llmops.similarity import (
+            brute_force_topk,
+            reciprocal_rank_fusion,
+        )
+        from gfw_data_api_spark.llmops.text import (
+            bm25_search,
+            gopher_quality_rules,
+            perplexity_buckets,
+        )
         from gfw_data_api_spark.operators.sketches import heavy_hitters
 
         def noop(df):
@@ -149,6 +160,16 @@ def main():
                     id_col="doc_id",
                 )
             ),
+            "t20_perplexity": lambda d: noop(
+                perplexity_buckets(d).groupBy("bucket").count()
+            ),
+            "d13_incremental": lambda d: noop(
+                incremental_minhash_candidates(
+                    d.filter(F.col("doc_id") % 2 == 1),
+                    minhash_signatures_portable(d.filter(F.col("doc_id") % 2 == 0)),
+                    portable=True,
+                )[0]
+            ),
         }
         emb_ops = {
             "s01_cosine_topk": lambda d: noop(
@@ -164,12 +185,26 @@ def main():
             ),
         }
 
+        def rrf(dd, ee):
+            lex = bm25_search(dd, ["spark", "join", "vector"], top_k=50)
+            sem = brute_force_topk(ee, [0.1] * 64, k=50).select(
+                "vec_id", F.col("cosine").alias("cos")
+            )
+            return noop(
+                reciprocal_rank_fusion(
+                    [("bm25", lex, "doc_id", "bm25"), ("cos", sem, "vec_id", "cos")]
+                )
+            )
+
         print(f"# scale probe: {n}x replicas of sf0.1 (time ratio ~ {n} = linear)")
         rows = []
         for name, op in ops.items():
             t1 = timed(lambda: op(load("documents", 1)))
             tn = timed(lambda: op(load("documents", n)))
             rows.append((name, t1, tn))
+        t1 = timed(lambda: rrf(load("documents", 1), load("embeddings", 1)))
+        tn = timed(lambda: rrf(load("documents", n), load("embeddings", n)))
+        rows.append(("s09_hybrid_rrf", t1, tn))
         for name, op in emb_ops.items():
             t1 = timed(lambda: op(load("embeddings", 1)))
             tn = timed(lambda: op(load("embeddings", n)))
