@@ -3071,6 +3071,8 @@ _DRIVER_FRONT: list[str] = [
     "e13_grid_1x1_export",
     "d13_incremental_dedup",
     "r11_version_overrides",
+    "q28_window_breadth",
+    "m08_gif_decode_contract",
     # --- r3-checked backfills (oldest remaining; the 29 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
     # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02 — are 2
@@ -3089,8 +3091,6 @@ _DRIVER_FRONT: list[str] = [
     "q22_topk_per_group",
     "q23_pivot_conditional_agg",
     "q24_skew_hybrid_join",
-    "q25_blocked_fuzzy_match",
-    "b01_bpe_pair_stats",
 ]
 
 
@@ -5029,6 +5029,126 @@ _SPECS.append(
         "(operators/downloads.py export_grid_1x1: native candidate-cell "
         "explode + exact intersects prune; reference "
         "export_1x1_grid.py:309-451)",
+    )
+)
+
+
+def _q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 window-function breadth through the FULL guarded path: lag,
+    lead, row_number, ntile, percent_rank, cume_dist, first_value in ONE
+    partitioned window (never unpartitioned — the plan gate's rule).
+    o_orderkey is unique within each customer partition, so every
+    function is deterministic; percent_rank/cume_dist are exact small
+    rationals both engines compute with one division."""
+    sql = (
+        "SELECT o_orderkey, o_custkey, "
+        "lag(o_totalprice) OVER w AS prev_price, "
+        "lead(o_totalprice) OVER w AS next_price, "
+        "CAST(row_number() OVER w AS BIGINT) AS rn, "
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+        "percent_rank() OVER w AS pct_rank, "
+        "cume_dist() OVER w AS cdist, "
+        "first_value(o_orderkey) OVER w AS first_key "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "orders"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q28_window_breadth",
+        spark_fn=_q28,
+        oracle=(
+            "SELECT o_orderkey, o_custkey, "
+            "lag(o_totalprice) OVER w AS prev_price, "
+            "lead(o_totalprice) OVER w AS next_price, "
+            "CAST(row_number() OVER w AS BIGINT) AS rn, "
+            "CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+            "percent_rank() OVER w AS pct_rank, "
+            "cume_dist() OVER w AS cdist, "
+            "first_value(o_orderkey) OVER w AS first_key "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"
+        ),
+        survey_ref="Q10 window-function breadth (lag/lead/row_number/"
+        "ntile/percent_rank/cume_dist/first_value in one partitioned "
+        "window through the guarded path; reference queries.py window "
+        "allowlist)",
+    )
+)
+
+
+def _m08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF animation decode inside the hard gate (the m07 pattern): per
+    selected document, two planted frames (deterministic ≤8-color
+    palettes) are encoded by the fixture-twin writer and decoded by the
+    REAL decode_gif — LZW is lossless, so the decoded canvases must equal
+    the planted arrays BIT-FOR-BIT and the per-frame delays must round-
+    trip; both pinned as oracle booleans/ints."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from gfw_data_api_spark.llmops.gif import decode_gif, encode_gif
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_frames": [], "h": [], "w": [],
+                "delay0": [], "delay1": [], "frames_exact": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 7 + d % 4, 9 + d % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                f0 = ((yy * 3 + xx * 5 + d) % 8 * 32).astype(np.uint8)
+                f1 = ((yy * 7 + xx * 2 + d) % 8 * 32).astype(np.uint8)
+                frames = [np.stack([f0, f0, f0], axis=-1),
+                          np.stack([f1, f1, f1], axis=-1)]
+                delays = [40, 80 + d % 5 * 10]
+                out_frames, out_delays = decode_gif(encode_gif(frames, delays))
+                rows["doc_id"].append(d)
+                rows["n_frames"].append(len(out_frames))
+                rows["h"].append(int(out_frames[0].shape[0]))
+                rows["w"].append(int(out_frames[0].shape[1]))
+                rows["delay0"].append(int(out_delays[0]))
+                rows["delay1"].append(int(out_delays[1]))
+                rows["frames_exact"].append(
+                    bool(
+                        np.array_equal(out_frames[0], frames[0])
+                        and np.array_equal(out_frames[1], frames[1])
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    import pandas as pd  # noqa: F401 — synth closure dependency
+
+    return docs.mapInPandas(
+        synth,
+        schema="doc_id bigint, n_frames bigint, h bigint, w bigint, "
+        "delay0 bigint, delay1 bigint, frames_exact boolean",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m08_gif_decode_contract",
+        spark_fn=_m08,
+        oracle=(
+            "SELECT doc_id, 2 AS n_frames, 7 + doc_id % 4 AS h, "
+            "9 + doc_id % 3 AS w, 40 AS delay0, "
+            "80 + doc_id % 5 * 10 AS delay1, TRUE AS frames_exact "
+            "FROM documents WHERE doc_id % 25 = 0"
+        ),
+        survey_ref="multimodal: GIF animation decode contract "
+        "(llmops/gif.py LZW + compositing; lossless roundtrip pinned as "
+        "oracle booleans, the m07 pattern)",
     )
 )
 
