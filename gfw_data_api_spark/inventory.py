@@ -687,12 +687,13 @@ def _d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d04_oracle() -> str:
-    """Full DuckDB replica of the portable MinHash pipeline: md5-60bit
-    base hash mod 2³¹−1, 64 inlined affine permutations, 16 band keys
-    of 4 comma-joined values, bucket join, position-agreement estimate.
-    Generated so the (a_i, b_i) literals can never drift from the Spark
-    family in llmops/dedup.portable_hash_params."""
+def _portable_minhash_oracle(cand_sql: str, id_a: str, id_b: str) -> str:
+    """Shared DuckDB replica of the portable MinHash pipeline — md5-60bit
+    base hash mod 2³¹−1, 64 inlined affine permutations, 16 band keys of
+    4 comma-joined values — parameterized on the candidate-arm SQL so
+    d04 (one-shot) and d13 (incremental state/batch) gate the SAME
+    replica and can never drift. The (a_i, b_i) literals come from
+    llmops/dedup.portable_hash_params for the same reason."""
     from gfw_data_api_spark.llmops.dedup import _PORTABLE_P, portable_hash_params
 
     mins = ", ".join(
@@ -708,12 +709,20 @@ def _d04_oracle() -> str:
         f"sig AS (SELECT doc_id, list_value({mins}) AS sig FROM h GROUP BY doc_id), "
         "bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key "
         "FROM sig, unnest(range(0, 16)) AS u(b)), "
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id) "
-        "SELECT id_a, id_b, round(CAST(len(list_filter(range(1, 65), "
+        f"cand AS ({cand_sql}) "
+        f"SELECT {id_a}, {id_b}, round(CAST(len(list_filter(range(1, 65), "
         "i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64, 6) AS est_jaccard "
-        "FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b "
+        f"FROM cand JOIN sig sa ON sa.doc_id = {id_a} JOIN sig sb ON sb.doc_id = {id_b} "
         "WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64 >= 0.5"
+    )
+
+
+def _d04_oracle() -> str:
+    return _portable_minhash_oracle(
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id",
+        "id_a",
+        "id_b",
     )
 
 
@@ -5127,8 +5136,6 @@ def _m08(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    import pandas as pd  # noqa: F401 — synth closure dependency
-
     return docs.mapInPandas(
         synth,
         schema="doc_id bigint, n_frames bigint, h bigint, w bigint, "
@@ -5176,35 +5183,19 @@ def _d13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d13_oracle() -> str:
-    """The d04 DuckDB replica with the state/batch parity split: the
-    new-vs-old arm joins odd ids to even ids, the new-vs-new arm joins
-    odd to earlier odd — generated from the same portable_hash_params so
-    the affine literals cannot drift."""
-    from gfw_data_api_spark.llmops.dedup import _PORTABLE_P, portable_hash_params
-
-    mins = ", ".join(
-        f"min(({a} * h + {b}) % {_PORTABLE_P})" for a, b in portable_hash_params(64)
-    )
-    return (
-        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
-        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1), "
-        "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks), "
-        "h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT "
-        f"% {_PORTABLE_P} AS h FROM sh), "
-        f"sig AS (SELECT doc_id, list_value({mins}) AS sig FROM h GROUP BY doc_id), "
-        "bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key "
-        "FROM sig, unnest(range(0, 16)) AS u(b)), "
-        "cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old "
+    """The shared portable replica with the state/batch parity split:
+    the new-vs-old arm joins odd ids to even ids, the new-vs-new arm
+    joins odd to earlier odd."""
+    return _portable_minhash_oracle(
+        "SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old "
         "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key "
         "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 "
         "UNION "
         "SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old "
         "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key "
-        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1 AND a.doc_id > b.doc_id) "
-        "SELECT id_new, id_old, round(CAST(len(list_filter(range(1, 65), "
-        "i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64, 6) AS est_jaccard "
-        "FROM cand JOIN sig sa ON sa.doc_id = id_new JOIN sig sb ON sb.doc_id = id_old "
-        "WHERE CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64 >= 0.5"
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1 AND a.doc_id > b.doc_id",
+        "id_new",
+        "id_old",
     )
 
 

@@ -78,8 +78,12 @@ def incremental_minhash_candidates(
         sign(new_docs, text_col, id_col, num_hashes, shingle_n),
         "incremental_new_sigs",
     )
-    new_bands = minhash_band_buckets(new_sigs, num_hashes, bands)
-    old_bands = minhash_band_buckets(state_sigs, num_hashes, bands)
+    # portable propagates to banding too: raw comma-joined band keys,
+    # matching minhash_lsh_candidates_portable exactly (an xxhash64
+    # compression here could — with ~2^-64 probability — emit a pair the
+    # one-shot portable run and the d13 oracle would not)
+    new_bands = minhash_band_buckets(new_sigs, num_hashes, bands, portable=portable)
+    old_bands = minhash_band_buckets(state_sigs, num_hashes, bands, portable=portable)
 
     vs_old = (
         new_bands.alias("a")
