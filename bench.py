@@ -210,28 +210,39 @@ def main() -> None:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
 
-    # compact stdout line: short keys + 2-decimal timings keep the line well
-    # under the driver's ~2000-char stdout tail so it parses as JSON
+    # compact stdout line: short keys, 2-decimal timings, and minimal JSON
+    # separators keep the line under the driver's ~2000-char stdout tail so
+    # it parses (the r1/r2 lines overflowed and recorded "parsed": null).
+    # At 136 queries the default rendering crossed 2000 chars — degrade
+    # gracefully: tighten precision, then drop the optional md5, before
+    # ever risking an unparseable line.
     short = {name.split("_", 1)[0]: round(sec, 2) for name, sec in timings.items()}
     assert len(short) == len(timings), "short query keys collided"
     fp_md5 = hashlib.md5(
         json.dumps(fingerprint, sort_keys=True).encode()
     ).hexdigest()
-    print(
-        json.dumps(
-            {
-                "metric": "operator_inventory_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": short,
-                "sf": sf,
-                "n": passes,
-                "protocol": protocol,
-                "testdata_md5": fp_md5,
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
-    )
+
+    def render(queries_out, with_md5=True):
+        payload = {
+            "metric": "operator_inventory_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": queries_out,
+            "sf": sf,
+            "n": passes,
+            "protocol": protocol,
+            "detail": "BENCH_DETAIL.json",
+        }
+        if with_md5:
+            payload["testdata_md5"] = fp_md5
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = render(short)
+    if len(line) > 1900:
+        line = render({k: round(v, 1) for k, v in short.items()})
+    if len(line) > 1900:
+        line = render({k: round(v, 1) for k, v in short.items()}, with_md5=False)
+    print(line)
 
 
 if __name__ == "__main__":
