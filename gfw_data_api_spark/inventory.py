@@ -3082,6 +3082,7 @@ _DRIVER_FRONT: list[str] = [
     "r11_version_overrides",
     "q28_window_breadth",
     "m08_gif_decode_contract",
+    "a04_count_min_sketch",
     # --- r3-checked backfills (oldest remaining; the 29 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
     # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02 — are 2
@@ -3099,7 +3100,6 @@ _DRIVER_FRONT: list[str] = [
     "q21_grouping_sets",
     "q22_topk_per_group",
     "q23_pivot_conditional_agg",
-    "q24_skew_hybrid_join",
 ]
 
 
@@ -5038,6 +5038,61 @@ _SPECS.append(
         "(operators/downloads.py export_grid_1x1: native candidate-cell "
         "explode + exact intersects prune; reference "
         "export_1x1_grid.py:309-451)",
+    )
+)
+
+
+def _a04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min sketch point queries inside the hard gate (the a01/a03
+    pattern: exact values + guarantee booleans the oracle pins TRUE).
+    997 distinct keys hash into 512 buckets, so collisions are certain
+    and the sketch genuinely estimates. ``never_undercounts`` is the
+    deterministic CMS guarantee; ``err_bound_ok`` pins the observed
+    error inside 4·N/width (the classic εN envelope at these params),
+    with N folded in-plan as a 1-row broadcast (t19 convention)."""
+    from gfw_data_api_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 997).alias("uid")
+    )
+    cms = count_min_table(ev, "uid", width=512, depth=4)
+    probe = spark.range(10).select(F.col("id").alias("uid"))
+    est = count_min_estimate(cms, probe, "uid", width=512, depth=4)
+    exact = (
+        ev.filter(F.col("uid") < 10).groupBy("uid").agg(F.count("*").alias("exact_count"))
+    )
+    total = ev.agg(F.count("*").alias("_n"))
+    return (
+        est.join(exact, "uid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "uid",
+            "exact_count",
+            (F.col("cms_est") >= F.col("exact_count")).alias("never_undercounts"),
+            (
+                (F.col("cms_est") - F.col("exact_count")) * F.lit(512)
+                <= F.col("_n") * F.lit(4)
+            ).alias("err_bound_ok"),
+        )
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="a04_count_min_sketch",
+        spark_fn=_a04,
+        oracle=(
+            "SELECT user_id % 997 AS uid, count(*) AS exact_count, "
+            "TRUE AS never_undercounts, TRUE AS err_bound_ok "
+            "FROM events WHERE user_id % 997 < 10 GROUP BY 1"
+        ),
+        survey_ref="approximate aggregates: Count–Min sketch point "
+        "frequencies (operators/sketches.py count_min_table/_estimate — "
+        "bounded d×w shuffle at any cardinality; Cormode & Muthukrishnan "
+        "2005)",
     )
 )
 

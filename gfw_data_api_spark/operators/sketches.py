@@ -115,3 +115,71 @@ def heavy_hitters(
         .orderBy(F.desc("exact_count"), F.asc("value"))
         .limit(top_k)
     )
+
+
+def count_min_table(
+    df: DataFrame, value_col: str, width: int = 512, depth: int = 4
+) -> DataFrame:
+    """Count–Min sketch (Cormode & Muthukrishnan 2005) as a long-form
+    counter table ``(r, b, cnt)`` — the d×w matrix with only touched
+    cells stored.
+
+    Why a sketch when exact ``groupBy.count`` scales: the exact path
+    shuffles one row per DISTINCT value; the CMS build shuffles into at
+    most ``depth × width`` cells regardless of cardinality (map-side
+    combine collapses each partition to ≤ d·w rows first) — same
+    motivation as Misra–Gries above, but supporting point-frequency
+    queries over values chosen AFTER the pass, not just heavy hitters.
+
+    Hash family: ``xxhash64(value, seed=r) % width`` — deterministic
+    per (value, row), so estimates are reproducible run-to-run.
+    """
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.col(value_col), F.lit(r)), F.lit(width)).alias("b"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("c"))
+        .select("c.r", "c.b")
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    cms: DataFrame,
+    values_df: DataFrame,
+    value_col: str,
+    width: int = 512,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``values_df[value_col]`` against a
+    :func:`count_min_table` built with the SAME (width, depth).
+
+    ``est = min_r cms[r][h_r(v)]`` — the classic CMS estimate, which
+    deterministically NEVER undercounts (every occurrence of v lands in
+    each probed cell; collisions only add). Absent cells read 0. One
+    broadcast-sized join: the probe side is |values|×depth rows, the
+    sketch side ≤ depth×width cells.
+    """
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.col(value_col), F.lit(r)), F.lit(width)).alias("b"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probe_rows = values_df.select(value_col, F.explode(probes).alias("c")).select(
+        value_col, "c.r", "c.b"
+    )
+    joined = probe_rows.join(cms, ["r", "b"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy(value_col).agg(F.min("cnt").alias("cms_est"))

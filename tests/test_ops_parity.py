@@ -73,3 +73,38 @@ def test_approx_count_distinct_bounded_error(spark):
     for r in rows:
         assert r["approx_within_10pct"] is True, r
         assert r["exact_parts"] > 0, r
+
+
+def test_count_min_sketch_guarantees(spark):
+    """CMS never undercounts; exact values recoverable when no collision;
+    estimates deterministic across rebuilds."""
+    from gfw_data_api_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    import pyspark.sql.functions as F
+
+    rows = [(v,) for v in [1] * 50 + [2] * 30 + [3] * 7 + list(range(100, 160))]
+    df = spark.createDataFrame(rows, "uid long")
+    cms = count_min_table(df, "uid", width=256, depth=4)
+    probe = spark.createDataFrame([(1,), (2,), (3,), (100,), (9999,)], "uid long")
+    est = {
+        r.uid: r.cms_est
+        for r in count_min_estimate(cms, probe, "uid", width=256, depth=4).collect()
+    }
+    exact = {1: 50, 2: 30, 3: 7, 100: 1, 9999: 0}
+    for uid, true_count in exact.items():
+        assert est[uid] >= true_count, (uid, est[uid], true_count)
+    # 63 distinct keys in 256 buckets x 4 rows: min-over-rows recovers the
+    # exact count for the heavy keys unless a key collides in EVERY row
+    n = sum(exact.values())
+    for uid, true_count in exact.items():
+        assert est[uid] - true_count <= n // 4, (uid, est[uid], true_count)
+    # deterministic: rebuilding gives identical estimates
+    cms2 = count_min_table(df, "uid", width=256, depth=4)
+    est2 = {
+        r.uid: r.cms_est
+        for r in count_min_estimate(cms2, probe, "uid", width=256, depth=4).collect()
+    }
+    assert est == est2

@@ -272,6 +272,7 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "t20_perplexity_buckets": ("BroadcastNestedLoopJoin", "inherits t17's 1-row bigram-type-total join"),
         "r10_batch_list_query": ("BroadcastNestedLoopJoin", "bbox range-join against the feature list, bounded by MAX_BATCH_FEATURES=100 (raster/batch.py)"),
         "r11_version_overrides": ("BroadcastNestedLoopJoin", "inherits r10's bounded feature-list range-join (raster/batch.py)"),
+        "a04_count_min_sketch": ("BroadcastNestedLoopJoin", "1-row corpus-total join for the error-bound boolean (t19 convention)"),
     }
 
     bad: dict[str, list[str]] = {}
@@ -335,6 +336,7 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "t20_perplexity_buckets": "inherits t17's 1-row bigram-type-total aggregate",
         "r10_batch_list_query": "feature list bounded by MAX_BATCH_FEATURES=100 (raster/batch.py cap)",
         "r11_version_overrides": "inherits r10's MAX_BATCH_FEATURES-bounded feature list",
+        "a04_count_min_sketch": "1-row corpus-total aggregate (error-bound normalizer)",
     }
 
     offenders: dict[str, int] = {}
