@@ -83,6 +83,11 @@ def execute_on_dataframe(
     view = f"gfw_q_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
     try:
+        # bind_from also rebinds nested `FROM <same table>` spans (scalar
+        # subqueries — the one subquery form the reference's guard admits
+        # and its global-regex rewrite rebinds, query_helpers.py:112-118),
+        # so those queries execute here too, with no shared-name temp
+        # view and therefore no cross-request races.
         bound = bind_from(validated, view)
         spark_sql = to_spark_sql(bound)
         result = spark.sql(spark_sql)

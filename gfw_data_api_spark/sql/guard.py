@@ -84,6 +84,11 @@ class ValidatedQuery:
     where_span: tuple[int, int] | None  # text span of the WHERE *expression*
     tail_start: int  # text offset where GROUP/ORDER/... tail begins (== len if none)
     where_has_top_level_or: bool
+    # spans of NESTED `FROM <same table>` references (scalar subqueries in
+    # the SELECT list / WHERE — the only subquery form the reference's
+    # guard admits, query_helpers.py:112-118). Its global-regex rewrite
+    # rebinds these too, so bind_from must replace them for parity.
+    nested_from_spans: tuple[tuple[int, int], ...] = ()
 
 
 def _syntax_error(token: Token) -> QueryGuardError:
@@ -273,6 +278,32 @@ def validate_sql(sql: str) -> ValidatedQuery:
             elif d == 0 and tok.kind == "IDENT" and tok.upper == "OR":
                 where_has_or = True
 
+    # nested `FROM <table>` occurrences (depth > 0 — scalar subqueries)
+    # whose table text matches the outer FROM table: recorded as spans so
+    # bind_from rebinds them like the reference's global regex does.
+    # String literals are STRING tokens, never IDENTs, so `from x` inside
+    # a literal can never be captured here (the hazard the reference's
+    # regex has and this span pass does not).
+    nested_spans: list[tuple[int, int]] = []
+    for i, tok in enumerate(tokens):
+        if i == from_idx or tok.kind != "IDENT" or tok.upper != "FROM":
+            continue
+        j = i + 1
+        if j >= len(tokens) or tokens[j].kind not in ("IDENT", "QIDENT"):
+            continue
+        ns, ne = tokens[j].start, tokens[j].end
+        j += 1
+        while (
+            j + 1 < len(tokens)
+            and tokens[j].kind == "PUNCT"
+            and tokens[j].value == "."
+            and tokens[j + 1].kind in ("IDENT", "QIDENT")
+        ):
+            ne = tokens[j + 1].end
+            j += 2
+        if cleaned[ns:ne].lower() == from_table.lower():
+            nested_spans.append((ns, ne))
+
     return ValidatedQuery(
         sql=cleaned,
         tokens=tokens,
@@ -283,6 +314,7 @@ def validate_sql(sql: str) -> ValidatedQuery:
         where_span=where_span,
         tail_start=tail_start,
         where_has_top_level_or=where_has_or,
+        nested_from_spans=tuple(nested_spans),
     )
 
 
@@ -299,7 +331,15 @@ def bind_from(validated: ValidatedQuery, target: str, keep_alias: bool = True) -
             alias_sql = " AS `" + validated.alias.replace("`", "``") + "`"
         else:
             alias_sql = f" AS {validated.alias}"
-    return validated.sql[:start] + target + alias_sql + validated.sql[end:]
+    # outer FROM plus any nested same-table references (scalar
+    # subqueries), replaced back-to-front so earlier spans stay valid
+    edits = [(start, end, target + alias_sql)] + [
+        (s0, e0, target) for s0, e0 in validated.nested_from_spans
+    ]
+    out = validated.sql
+    for s0, e0, repl in sorted(edits, reverse=True):
+        out = out[:s0] + repl + out[e0:]
+    return out
 
 
 def quote_ident(ident: str) -> str:

@@ -191,3 +191,58 @@ def test_fetch_first_through_guarded_path(spark, sf_dir):
         for r in df.orderBy("o_orderkey").limit(8).collect()
     ][5:]
     assert keys == want
+
+
+def test_scalar_subquery_over_same_table(spark, lineitem):
+    """Reference parity: _no_subqueries rejects only FROM-clause
+    subselects (query_helpers.py:112-118), and the reference's global
+    regex rebinds the inner FROM too — so scalar subqueries over the
+    query table validate AND execute."""
+    from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+    out = execute_on_dataframe(
+        spark,
+        lineitem,
+        "SELECT count(*) AS n FROM data "
+        "WHERE l_quantity = (SELECT max(l_quantity) FROM data)",
+    ).collect()
+    max_q = lineitem.agg({"l_quantity": "max"}).collect()[0][0]
+    expect = lineitem.filter(lineitem.l_quantity == max_q).count()
+    assert out[0].n == expect
+
+    row = execute_on_dataframe(
+        spark,
+        lineitem,
+        "SELECT (SELECT max(l_quantity) FROM data) AS m FROM data LIMIT 1",
+    ).collect()
+    assert row[0].m == max_q
+
+
+def test_scalar_subquery_binds_like_reference_not_session_views(spark, lineitem):
+    """The nested FROM is rebound by SPAN to the bound frame (mirroring
+    the reference's global regex rewrite) — a session temp view that
+    happens to share the table name is neither consulted nor touched,
+    and `from data` inside a string literal is immune (it is a STRING
+    token, which the span pass cannot capture — the reference's regex
+    would corrupt it)."""
+    from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+    max_q = lineitem.agg({"l_quantity": "max"}).collect()[0][0]
+    spark.createDataFrame([(123,)], "l_quantity long").createOrReplaceTempView("data")
+    try:
+        row = execute_on_dataframe(
+            spark,
+            lineitem,
+            "SELECT (SELECT max(l_quantity) FROM data) AS m FROM data LIMIT 1",
+        ).collect()
+        assert row[0].m == max_q  # the bound frame, NOT the session view
+        assert spark.catalog.tableExists("data")  # untouched afterwards
+    finally:
+        spark.catalog.dropTempView("data")
+
+    lit = execute_on_dataframe(
+        spark,
+        lineitem,
+        "SELECT 'select x from data' AS s FROM data LIMIT 1",
+    ).collect()
+    assert lit[0].s == "select x from data"
