@@ -3083,6 +3083,7 @@ _DRIVER_FRONT: list[str] = [
     "q28_window_breadth",
     "m08_gif_decode_contract",
     "a04_count_min_sketch",
+    "q29_scalar_subquery",
     # --- r3-checked backfills (oldest remaining; the 29 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
     # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02 — are 2
@@ -3099,7 +3100,6 @@ _DRIVER_FRONT: list[str] = [
     "q20_salted_skew_agg",
     "q21_grouping_sets",
     "q22_topk_per_group",
-    "q23_pivot_conditional_agg",
 ]
 
 
@@ -5038,6 +5038,29 @@ _SPECS.append(
         "(operators/downloads.py export_grid_1x1: native candidate-cell "
         "explode + exact intersects prune; reference "
         "export_1x1_grid.py:309-451)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q29_scalar_subquery",
+        spark_fn=_guarded(
+            "lineitem",
+            "SELECT l_returnflag, count(*) AS n_at_max FROM data "
+            "WHERE l_quantity = (SELECT max(l_quantity) FROM data) "
+            "GROUP BY l_returnflag",
+        ),
+        oracle=(
+            "SELECT l_returnflag, count(*) AS n_at_max FROM lineitem "
+            "WHERE l_quantity = (SELECT max(l_quantity) FROM lineitem) "
+            "GROUP BY l_returnflag"
+        ),
+        survey_ref="Q16 boundary: scalar subqueries over the query table "
+        "execute through the guarded path (the reference admits them — "
+        "_no_subqueries rejects only FROM-clause RangeSubselect, and its "
+        "global FROM rewrite rebinds the inner reference; "
+        "sql/guard.py nested_from_spans)",
     )
 )
 
