@@ -3084,9 +3084,10 @@ _DRIVER_FRONT: list[str] = [
     "m08_gif_decode_contract",
     "a04_count_min_sketch",
     "q29_scalar_subquery",
-    # --- r3-checked backfills (oldest remaining; the 29 r3 rows that
+    "s10_pq_recall_gate",
+    # --- r3-checked backfills (oldest remaining; the 30 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02 — are 2
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q22 — are 2
     # rounds old at r5 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
@@ -3099,7 +3100,6 @@ _DRIVER_FRONT: list[str] = [
     "q19_cube_grouping",
     "q20_salted_skew_agg",
     "q21_grouping_sets",
-    "q22_topk_per_group",
 ]
 
 
@@ -3234,6 +3234,108 @@ _SPECS.append(
         ),
         survey_ref="similarity: IVF quality contract inside the hard gate "
         "(exact top-1 + recall@10 error-envelope boolean; llmops/ivf.py)",
+    )
+)
+
+
+def _s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ+refine recall gate: the s08 quality-contract pattern
+    applied to the compressed read path (llmops/pq.py). The PQ
+    structure (driver-trained codebooks, 8-byte codes) can't reproduce
+    in SQL, but its deployment contract can: for each of 5 query
+    vectors, the exact cosine top-1 (SQL-expressible) plus a boolean
+    pinning ADC-candidates→exact-refine recall@10 at ≥0.3 (measured
+    0.5-0.9 at nprobe=5/refine_factor=10 across sf0.001/0.01/0.1;
+    candidate-set chance is ~5% at sf0.1). A silent regression — a
+    broken codebook, mis-ordered ADC table, wrong subspace slicing —
+    drops recall to the raw-scan floor and flips the boolean.
+
+    Plan shape: both sides are single batched plans — the exact ranking
+    nested-loop-joins a bounded 5-row query table onto one corpus scan,
+    and the approximate side is one ivfpq_topk_refined_batch probe
+    (codes-only ADC scan → bounded candidate refine join); O(1) scans
+    regardless of query count."""
+    from pyspark.sql import Window
+
+    from gfw_data_api_spark.llmops import ivf
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+    from gfw_data_api_spark.llmops.pq import encode_pq, ivfpq_topk_refined_batch, train_pq
+    from gfw_data_api_spark.llmops.similarity import norm_col
+
+    emb = _persist_replacing(load_table(spark, sf_dir, "embeddings"), "s10_emb")
+    centroids = ivf.train_ivf(emb, nlist=8, iters=3)
+    books = train_pq(emb, m=8, ksub=16, seed=42)
+    indexed = _persist_replacing(
+        encode_pq(ivf.build_ivf_index(emb, centroids), books), "s10_index"
+    )
+    qrows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    queries = [(qid, qrows[qid]) for qid in sorted(qrows)]
+
+    qdf = spark.createDataFrame(
+        [(qid, vec, math.sqrt(sum(x * x for x in vec))) for qid, vec in queries],
+        "query_id bigint, _qvec array<double>, _qnorm double",
+    )
+    cast = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(cast, F.col("_qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (dot / (norm_col(F.col("embedding")) * F.col("_qnorm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    exact = _persist_replacing(
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10),
+        "s10_exact",
+    )
+    top1 = exact.filter(F.col("rk") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("top1_id"),
+        F.round("cosine", 6).alias("top1_cosine"),
+    )
+    approx = ivfpq_topk_refined_batch(
+        indexed, emb, centroids, books, queries, k=10, nprobe=5,
+        refine_factor=10, exclude_query_id=True,
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("_hits")
+    )
+    return top1.join(hits, "query_id", "left").select(
+        "query_id",
+        "top1_id",
+        "top1_cosine",
+        (F.coalesce(F.col("_hits"), F.lit(0)) / 10.0 >= 0.3).alias("recall_ok"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s10_pq_recall_gate",
+        spark_fn=_s10,
+        oracle=(
+            "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(q.qe, q.qe))) AS cosine "
+            "FROM embeddings e, qs q WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, vec_id, cosine, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) "
+            "SELECT query_id, vec_id AS top1_id, round(cosine, 6) AS top1_cosine, "
+            "TRUE AS recall_ok FROM ranked WHERE rk = 1"
+        ),
+        survey_ref="similarity: IVFPQ+refine quality contract inside the hard "
+        "gate (exact top-1 + recall@10 error-envelope boolean; llmops/pq.py "
+        "ivfpq_topk_refined_batch — the batched ADC deployment read path)",
     )
 )
 

@@ -21,6 +21,8 @@ prune by cell, then ADC-score the survivors.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -213,4 +215,155 @@ def ivfpq_topk(
         k=k,
         code_col=code_col,
         id_col=id_col,
+    )
+
+
+def ivfpq_topk_batch(
+    indexed_encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    code_col: str = "pq_codes",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    exclude_query_id: bool = False,
+) -> DataFrame:
+    """Batched multi-query IVFPQ probe: ONE plan for any number of query
+    vectors (ivf.ivf_topk_batch's shape applied to the ADC read path;
+    replaces Q independent ``ivfpq_topk`` plans with Q scans).
+
+    Driver-side per query: cell selection (nprobe argsort) plus the
+    m×ksub ADC table — both tiny. Plan-side: a (query_id, cell,
+    adc_table) probe table bounded at Q × nprobe rows equi-joins the
+    index on the cell id, so the scan stays pruned to probed cells and
+    AQE broadcasts the probe side without a hint; scoring is the same
+    ``sum_j table[j][code_j]`` aggregate as ``pq_topk`` with the table
+    delivered as an array column instead of inlined literals (per-query
+    ADC distances are IEEE-identical); the per-query top-k is a window
+    PARTITIONED by query_id (never unpartitioned).
+
+    ``exclude_query_id=True`` drops the candidate whose id equals the
+    query id before ranking — the standard self-match exclusion when
+    query vectors come from the corpus itself (recall evaluation).
+
+    Returns (query_id, vec_id, adc_dist, rank) with rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    from gfw_data_api_spark.llmops.ivf import _probe_cells
+
+    if not queries:
+        raise ValueError("ivfpq_topk_batch needs at least one (query_id, vector)")
+    books = codebooks.astype(np.float64)
+    m, ksub, dsub = books.shape
+    spark = indexed_encoded.sparkSession
+    probe_rows = []
+    for qid, query in queries:
+        q = np.asarray(query, dtype=np.float64)
+        if q.shape[0] != m * dsub:
+            raise ValueError(f"query dim {q.shape[0]} != {m * dsub}")
+        table = [
+            [float(v) for v in ((books[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)]
+            for j in range(m)
+        ]
+        for cell in _probe_cells(centroids, query, nprobe):
+            probe_rows.append((int(qid), cell, table))
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"query_id bigint, {cell_col} int, _adc array<array<double>>",
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("_adc"), j + 1), F.element_at(F.col(code_col), j + 1) + 1
+        ),
+    )
+    scored = indexed_encoded.join(probes, cell_col)
+    if exclude_query_id:
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
+    scored = scored.select("query_id", F.col(id_col), dist.alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
+def ivfpq_topk_refined_batch(
+    indexed_encoded: DataFrame,
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    refine_factor: int = 10,
+    code_col: str = "pq_codes",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    emb_col: str = "embedding",
+    exclude_query_id: bool = False,
+) -> DataFrame:
+    """Batched IVFPQ + exact re-rank: the deployment read path
+    (``pq_topk_refined``'s candidate-generation + refine) as ONE plan
+    for any number of query vectors.
+
+    Stage 1 (codes-only scan): ``ivfpq_topk_batch`` ranks
+    ``k·refine_factor`` ADC candidates per query over the probed cells.
+    Stage 2 (refine): the candidate set — bounded at
+    Q·k·refine_factor rows by construction — joins the full-precision
+    vector table on the id, and exact cosine against the query vector
+    (delivered as an array column on the candidate row) re-ranks the
+    top ``k`` per query. Both joins are equi-joins on bounded build
+    sides; AQE broadcasts without hints.
+
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    from gfw_data_api_spark.llmops.similarity import norm_col
+
+    spark = indexed_encoded.sparkSession
+    cands = ivfpq_topk_batch(
+        indexed_encoded,
+        centroids,
+        codebooks,
+        queries,
+        k=k * refine_factor,
+        nprobe=nprobe,
+        code_col=code_col,
+        id_col=id_col,
+        cell_col=cell_col,
+        exclude_query_id=exclude_query_id,
+    ).select("query_id", id_col)
+    qdf = spark.createDataFrame(
+        [
+            (int(qid), [float(x) for x in vec], math.sqrt(sum(float(x) ** 2 for x in vec)) or 1.0)
+            for qid, vec in queries
+        ],
+        "query_id bigint, _qvec array<double>, _qnorm double",
+    )
+    cast = F.col(emb_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(cast, F.col("_qvec"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cands.join(qdf, "query_id")
+        .join(vectors.select(id_col, emb_col), id_col)
+        .select(
+            "query_id",
+            F.col(id_col),
+            (dot / (norm_col(F.col(emb_col)) * F.col("_qnorm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
     )

@@ -205,3 +205,80 @@ def test_ivfpq_composition(spark, embeddings, pq_setup):
     some = ivfpq_topk(indexed, cents, books, q, k=5, nprobe=2).collect()
     assert len(some) == 5
     assert min(r.adc_dist for r in full) <= min(r.adc_dist for r in some)
+
+
+def test_ivfpq_topk_batch_matches_per_query(embeddings, pq_setup):
+    """One batched probe plan must return per-query results
+    IEEE-identical to the single-query ivfpq_topk path."""
+    from gfw_data_api_spark.llmops.ivf import build_ivf_index, train_ivf
+    from gfw_data_api_spark.llmops.pq import encode_pq, ivfpq_topk, ivfpq_topk_batch
+
+    books, _ = pq_setup
+    cents = train_ivf(embeddings, nlist=8, seed=1)
+    indexed = encode_pq(build_ivf_index(embeddings, cents), books).cache()
+    queries = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in embeddings.filter(F.col("vec_id") < 3).collect()
+    ]
+    batch = ivfpq_topk_batch(indexed, cents, books, queries, k=5, nprobe=3).collect()
+    for qid, qvec in queries:
+        single = ivfpq_topk(indexed, cents, books, qvec, k=5, nprobe=3).collect()
+        got = sorted(
+            [(r.rank, r.vec_id, r.adc_dist) for r in batch if r.query_id == qid]
+        )
+        want = [(i + 1, r.vec_id, r.adc_dist) for i, r in enumerate(single)]
+        assert got == want
+
+
+def test_ivfpq_topk_batch_excludes_query_id(embeddings, pq_setup):
+    from gfw_data_api_spark.llmops.ivf import build_ivf_index, train_ivf
+    from gfw_data_api_spark.llmops.pq import encode_pq, ivfpq_topk_batch
+
+    books, _ = pq_setup
+    cents = train_ivf(embeddings, nlist=8, seed=1)
+    indexed = encode_pq(build_ivf_index(embeddings, cents), books)
+    queries = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in embeddings.filter(F.col("vec_id") < 2).collect()
+    ]
+    rows = ivfpq_topk_batch(
+        indexed, cents, books, queries, k=5, nprobe=8, exclude_query_id=True
+    ).collect()
+    assert all(r.vec_id != r.query_id for r in rows)
+    with pytest.raises(ValueError, match="at least one"):
+        ivfpq_topk_batch(indexed, cents, books, [], k=5)
+
+
+def test_ivfpq_refined_batch_reranks_exact(embeddings, pq_setup):
+    """Refine must (a) return k cosine-ranked rows per query and (b) at
+    full probe width + full refine width equal the exact brute-force
+    cosine ranking — the ADC stage then only generates candidates."""
+    from gfw_data_api_spark.llmops.ivf import build_ivf_index, train_ivf
+    from gfw_data_api_spark.llmops.pq import (
+        encode_pq,
+        ivfpq_topk_refined_batch,
+        train_pq,
+    )
+    from gfw_data_api_spark.llmops.similarity import brute_force_topk
+
+    books, _ = pq_setup
+    cents = train_ivf(embeddings, nlist=8, seed=1)
+    indexed = encode_pq(build_ivf_index(embeddings, cents), books).cache()
+    n = embeddings.count()
+    queries = [
+        (r.vec_id, [float(v) for v in r.embedding])
+        for r in embeddings.filter(F.col("vec_id") < 2).collect()
+    ]
+    out = ivfpq_topk_refined_batch(
+        indexed, embeddings, cents, books, queries, k=3, nprobe=8,
+        refine_factor=(n + 2) // 3,
+    ).collect()
+    for qid, qvec in queries:
+        got = [
+            r.vec_id
+            for r in sorted(
+                (r for r in out if r.query_id == qid), key=lambda r: r.rank
+            )
+        ]
+        want = [r.vec_id for r in brute_force_topk(embeddings, qvec, k=3).collect()]
+        assert got == want
