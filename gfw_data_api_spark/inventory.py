@@ -3085,10 +3085,11 @@ _DRIVER_FRONT: list[str] = [
     "a04_count_min_sketch",
     "q29_scalar_subquery",
     "s10_pq_recall_gate",
+    "m09_mel_tone_gate",
     # --- r3-checked backfills (oldest remaining; the 30 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q22 — are 2
-    # rounds old at r5 and MUST front-load in r6) ---
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q21/q22 — are
+    # 2 rounds old at r5 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
@@ -3099,7 +3100,6 @@ _DRIVER_FRONT: list[str] = [
     "q18_percentiles",
     "q19_cube_grouping",
     "q20_salted_skew_agg",
-    "q21_grouping_sets",
 ]
 
 
@@ -5336,6 +5336,137 @@ _SPECS.append(
         survey_ref="multimodal: GIF animation decode contract "
         "(llmops/gif.py LZW + compositing; lossless roundtrip pinned as "
         "oracle booleans, the m07 pattern)",
+    )
+)
+
+
+# Mel-tone gate constants (sr=8000, frame_len=256 → 129 rFFT bins,
+# n_mels=16): for tone bin k = 4 + doc_id % 24, the mel band holding the
+# peak triangular weight and that weight as the EXACT small-integer
+# fraction the filterbank computes ((j-lo)/(mid-lo) etc. — identical
+# IEEE divisions both engines). Derived once from
+# llmops/audio.mel_filterbank and pinned in
+# tests/test_media_codecs.py::test_m09_band_map_matches_filterbank.
+_M09_BANDS = [1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 5, 6, 6, 6, 6]
+_M09_WEIGHTS = [
+    "2.0/3.0", "1.0", "2.0/3.0", "2.0/3.0", "1.0", "3.0/4.0", "1.0/2.0",
+    "3.0/4.0", "1.0", "3.0/4.0", "1.0/2.0", "3.0/4.0", "1.0", "4.0/5.0",
+    "3.0/5.0", "3.0/5.0", "4.0/5.0", "1.0", "4.0/5.0", "3.0/5.0",
+    "3.0/5.0", "4.0/5.0", "1.0", "5.0/6.0",
+]
+
+
+def _m09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel-filterbank FFT inside the hard gate — the one audio surface
+    m02 left out ("the order-sensitive float reduction"), closed with
+    the planted-pure-tone analytic pattern: per selected document a WAV
+    is synthesized executor-side as ONE tone frame (A·sin(2πkj/256),
+    integer bin k) tiled across all 8 analysis frames, so (a) every
+    frame's FFT input is bitwise identical — frame consistency is EXACT
+    equality on the emitted float32 grid, and (b) the power spectrum is
+    analytic: all energy lands in bin k with |X[k]|² = (A·128)², making
+    the peak mel band and its log-energy closed forms of doc_id that
+    both engines recompute from the pinned band/weight tables
+    (expected_mel is real cross-engine arithmetic, not a TRUE literal;
+    the measured float32 grid stays Spark-side behind tolerance
+    booleans — 1e-3 absorbs float32 storage, measured deviation ~1e-8).
+
+    Scale shape: synth + decode + FFT are one mapInPandas pass (no
+    shuffle); the checks are pure column math over the mel array."""
+    from gfw_data_api_spark.llmops.audio import encode_wav, extract_mel_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 3)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 4 + d % 24
+                amp = (1 + d % 5) / 8.0
+                frame = amp * np.sin(2.0 * np.pi * k * np.arange(256) / 256.0)
+                payloads.append(bytearray(encode_wav(np.tile(frame, 8), 8000, bits=-32)))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    wav = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    mel = extract_mel_features(wav, n_mels=16, n_frames=8)
+
+    band_arr = F.array(*[F.lit(b) for b in _M09_BANDS])
+    weight_arr = F.array(*[F.expr(w) for w in _M09_WEIGHTS])
+    k_bin = (F.lit(4) + F.col("doc_id") % 24).cast("int")
+    amp = (F.lit(1) + F.col("doc_id") % 5) / F.lit(8.0)
+    band = F.element_at(band_arr, k_bin - F.lit(3))
+    weight = F.element_at(weight_arr, k_bin - F.lit(3))
+    # tolerance boolean only — JVM Math.log is 1 ulp off libm on some
+    # inputs, so the EMITTED expected_mel comes from the pre-rounded
+    # Python-literal table both engines index (repr-literal recipe)
+    expected = F.log(weight * ((amp * 128.0) * (amp * 128.0)) + F.lit(1e-10))
+    expected_lit = F.element_at(
+        F.array(*[F.lit(v) for v in _m09_expected_table()]),
+        ((k_bin - F.lit(4)) * 5 + (F.col("doc_id") % 5).cast("int") + F.lit(1)),
+    )
+    frame0 = F.slice("mel", 1, 16)
+    frames_ok = F.forall(
+        F.sequence(F.lit(1), F.lit(7)),
+        lambda f: F.slice("mel", f * 16 + 1, 16) == frame0,
+    )
+    measured = F.element_at(frame0, band + F.lit(1)).cast("double")
+    peak_ok = F.array_position(frame0, F.array_max(frame0)) == (band + F.lit(1)).cast("bigint")
+    return mel.select(
+        "doc_id",
+        k_bin.alias("k_bin"),
+        band.alias("band"),
+        expected_lit.alias("expected_mel"),
+        frames_ok.alias("frames_ok"),
+        peak_ok.alias("peak_ok"),
+        (F.abs(measured - expected) < 1e-3).alias("energy_ok"),
+    )
+
+
+def _m09_expected_table() -> list[float]:
+    """round(ln(w·(A·128)²+1e-10), 6) for (k, amp) row-major — Python
+    floats both engines consume as literals (JVM Math.log is 1 ulp off
+    libm on some of these inputs, so neither engine's ln is emitted)."""
+    out = []
+    for i in range(24):
+        w = eval(_M09_WEIGHTS[i])  # noqa: S307 — fixed fraction strings above
+        for a5 in range(5):
+            amp = (1 + a5) / 8.0
+            out.append(round(math.log(w * ((amp * 128.0) * (amp * 128.0)) + 1e-10), 6))
+    return out
+
+
+def _m09_oracle() -> str:
+    bands = ", ".join(str(b) for b in _M09_BANDS)
+    expect = ", ".join(repr(v) for v in _m09_expected_table())
+    return (
+        "WITH d AS (SELECT doc_id, CAST(4 + doc_id % 24 AS INT) AS k_bin "
+        "FROM documents WHERE doc_id % 10 = 3) "
+        f"SELECT doc_id, k_bin, list_extract([{bands}], k_bin - 3) AS band, "
+        f"list_extract([{expect}], "
+        "(k_bin - 4) * 5 + CAST(doc_id % 5 AS INT) + 1) AS expected_mel, "
+        "TRUE AS frames_ok, TRUE AS peak_ok, TRUE AS energy_ok FROM d"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m09_mel_tone_gate",
+        spark_fn=_m09,
+        oracle=_m09_oracle(),
+        survey_ref="multimodal: mel-filterbank acoustic features inside "
+        "the hard gate (llmops/audio.py mel_log_energies /"
+        " extract_mel_features; planted pure tones at integer FFT bins — "
+        "analytic band + log-energy recomputed by both engines, frame "
+        "consistency exact on tiled frames)",
     )
 )
 

@@ -733,3 +733,21 @@ def test_extract_mel_features_spark(spark):
     out = {r["media_id"]: r["mel"] for r in audio.extract_mel_features(df).collect()}
     assert len(out[1]) == 8 * 16
     assert out[2] is None
+
+
+def test_m09_band_map_matches_filterbank():
+    """The m09 gate's pinned bin→band / bin→weight tables must equal
+    what mel_filterbank actually computes for the gate's fixed config
+    (sr=8000, frame_len=256 → 129 bins, 16 mels) — and every pinned
+    weight string must evaluate to the EXACT float the filterbank's own
+    small-integer division produces."""
+    import numpy as np
+
+    from gfw_data_api_spark.inventory import _M09_BANDS, _M09_WEIGHTS
+    from gfw_data_api_spark.llmops.audio import mel_filterbank
+
+    fb = mel_filterbank(16, 129, 8000)
+    for i, k in enumerate(range(4, 28)):
+        band = int(np.argmax(fb[:, k]))
+        assert band == _M09_BANDS[i], (k, band, _M09_BANDS[i])
+        assert eval(_M09_WEIGHTS[i]) == fb[band, k], (k, _M09_WEIGHTS[i], fb[band, k])
