@@ -3086,10 +3086,11 @@ _DRIVER_FRONT: list[str] = [
     "q29_scalar_subquery",
     "s10_pq_recall_gate",
     "m09_mel_tone_gate",
+    "t21_sequence_packing",
     # --- r3-checked backfills (oldest remaining; the 30 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q21/q22 — are
-    # 2 rounds old at r5 and MUST front-load in r6) ---
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q20/q21/q22 —
+    # are 2 rounds old at r5 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
@@ -3099,7 +3100,6 @@ _DRIVER_FRONT: list[str] = [
     "q07_order_limit_offset",
     "q18_percentiles",
     "q19_cube_grouping",
-    "q20_salted_skew_agg",
 ]
 
 
@@ -5574,6 +5574,65 @@ _SPECS.append(
         survey_ref="LLM pipeline: CCNet-style perplexity head/middle/tail "
         "bucketing (llmops/text.py perplexity_buckets; fixed-threshold "
         "map-side assignment over the t17 Kneser–Ney LM)",
+    )
+)
+
+
+def _t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing inside the hard gate (llmops/packing.py was
+    property-tested only). The FFD bin assignment itself is driver-free
+    Python inside applyInPandas and not SQL-expressible, but the gate
+    pins everything around it with REAL cross-engine arithmetic:
+    the md5 bucket assignment is portable (t08's bit-identical bucket
+    recipe), so per-bucket member counts AND the token-conservation
+    identity are exact integer columns both engines recompute —
+    ``raw_tokens`` = sum(n_tokens) − sep·(members − sequences) must
+    equal the oracle's independent sum of whitespace token counts per
+    bucket. A lost doc, double-pack, or separator miscount breaks the
+    hash match; capacity violations and a sequence count outside
+    [⌈raw/cap⌉, members] flip the envelope booleans."""
+    from gfw_data_api_spark.llmops.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, max_tokens=512, buckets=8, sep_tokens=1, seed=0)
+    cap_ok = F.bool_and(
+        F.when(F.col("n_docs") > 1, F.col("n_tokens") <= 512).otherwise(F.lit(True))
+    )
+    agg = packed.groupBy("pack_bucket").agg(
+        F.sum("n_docs").alias("n_docs_total"),
+        (F.sum("n_tokens") - (F.sum("n_docs") - F.count("*"))).alias("raw_tokens"),
+        F.count("*").alias("_n_seqs"),
+        cap_ok.alias("capacity_ok"),
+    )
+    lb = F.floor((F.col("raw_tokens") + 511) / 512)
+    return agg.select(
+        "pack_bucket",
+        "n_docs_total",
+        "raw_tokens",
+        "capacity_ok",
+        ((F.col("_n_seqs") >= F.greatest(lb, F.lit(1)))
+         & (F.col("_n_seqs") <= F.col("n_docs_total"))).alias("seqs_in_bounds"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t21_sequence_packing",
+        spark_fn=_t21,
+        oracle=(
+            "WITH d AS (SELECT doc_id, "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '0'), 1, 15))"
+            "::BIGINT % 8 AS INT) AS pack_bucket FROM documents) "
+            "SELECT pack_bucket, count(*) AS n_docs_total, "
+            "CAST(sum(nt) AS BIGINT) AS raw_tokens, "
+            "TRUE AS capacity_ok, TRUE AS seqs_in_bounds "
+            "FROM d GROUP BY pack_bucket"
+        ),
+        survey_ref="LLM pipeline: training-sequence packing (bucketed "
+        "parallel FFD, llmops/packing.py pack_sequences; portable-bucket "
+        "member counts + token conservation as exact cross-engine "
+        "integers, FFD quality as envelope booleans)",
     )
 )
 
