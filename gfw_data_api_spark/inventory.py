@@ -3087,10 +3087,12 @@ _DRIVER_FRONT: list[str] = [
     "s10_pq_recall_gate",
     "m09_mel_tone_gate",
     "t21_sequence_packing",
-    # --- r3-checked backfills (oldest remaining; the 30 r3 rows that
+    "g01_pagerank",
+    "e14_jsonl_ingest",
+    # --- r3-checked backfills (oldest remaining; the 31 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q20/q21/q22 —
-    # are 2 rounds old at r5 and MUST front-load in r6) ---
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q18-q22 —
+    # are 2 rounds old at r6 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
@@ -3098,8 +3100,6 @@ _DRIVER_FRONT: list[str] = [
     "q05_having",
     "q06_distinct",
     "q07_order_limit_offset",
-    "q18_percentiles",
-    "q19_cube_grouping",
 ]
 
 
@@ -5633,6 +5633,155 @@ _SPECS.append(
         "parallel FFD, llmops/packing.py pack_sequences; portable-bucket "
         "member counts + token conservation as exact cross-engine "
         "integers, FFD quality as envelope booleans)",
+    )
+)
+
+
+def _g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank inside the hard gate, full-arithmetic oracle: the
+    planted graph is 64 nodes (customer key residues — all residues
+    present at every test SF) with three affine out-arms per node, so
+    BOTH engines regenerate the identical edge set from id arithmetic
+    and the oracle unrolls the same 10 damped supersteps as chained
+    CTEs (no recursive-aggregate needed). Every IEEE constant the Spark
+    side uses ((1-d)/n, 1/n, d) appears in the oracle with identical
+    parenthesization; cross-engine float drift is last-ulp sum ordering
+    over ≤6 in-neighbors, far inside the shared round(6).
+
+    The affine arms provably admit no self-loops (u·a+b ≡ u mod 64 has
+    even≡odd parity on all three arms), so the dangling set is empty —
+    the operator still computes its 1-row dangling share in-plan (the
+    allowlisted broadcast), which is exactly +0.0 on both sides."""
+    from gfw_data_api_spark.llmops.graph import pagerank
+
+    nodes = (
+        load_table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % 64).alias("u"))
+        .distinct()
+    )
+    arms = nodes.select(
+        "u",
+        F.explode(
+            F.array(
+                (F.col("u") * 5 + 7) % 64,
+                (F.col("u") * 11 + 3) % 64,
+                (F.col("u") * 17 + 29) % 64,
+            )
+        ).alias("dst"),
+    )
+    edges = arms.filter(F.col("u") != F.col("dst")).select(F.col("u").alias("src"), "dst")
+    pr = pagerank(edges, damping=0.85, iters=10)
+    return pr.select("node", F.round("rank", 6).alias("pr_rank"))
+
+
+def _g01_oracle() -> str:
+    parts = [
+        "WITH nodes AS (SELECT DISTINCT c_custkey % 64 AS u FROM customer), "
+        "arms AS (SELECT u, (u*5+7) % 64 AS v FROM nodes "
+        "UNION ALL SELECT u, (u*11+3) % 64 FROM nodes "
+        "UNION ALL SELECT u, (u*17+29) % 64 FROM nodes), "
+        "e AS (SELECT DISTINCT u AS src, v AS dst FROM arms WHERE u != v), "
+        "deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src), "
+        "r0 AS (SELECT u AS node, 1.0/64 AS r FROM nodes)"
+    ]
+    for t in range(10):
+        parts.append(
+            f", r{t + 1} AS (SELECT n.u AS node, "
+            "(1.0-0.85)/64 + 0.85 * coalesce(c.s, 0.0) AS r "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS v, sum(r{t}.r / deg.dg) AS s "
+            f"FROM e JOIN deg ON e.src = deg.src JOIN r{t} ON r{t}.node = e.src "
+            "GROUP BY e.dst) c ON c.v = n.u)"
+        )
+    parts.append(" SELECT node, round(r, 6) AS pr_rank FROM r10")
+    return "".join(parts)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="g01_pagerank",
+        spark_fn=_g01,
+        oracle=_g01_oracle(),
+        survey_ref="LLM pipeline: link-graph centrality for web-corpus "
+        "weighting (llmops/graph.py pagerank — damped supersteps with "
+        "in-plan dangling redistribution, superstep localCheckpoint "
+        "lineage truncation; full 10-iteration arithmetic oracle)",
+    )
+)
+
+
+def _e14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion inside the hard gate (the e01 fixture pattern):
+    export a documents slice as NDJSON with a NESTED metadata struct,
+    append 7 deliberately malformed lines, then re-ingest through the
+    engine's JSONL source (sources/jsonl.py — declared schema,
+    PERMISSIVE corrupt capture, recursive struct flattening) and
+    aggregate per flattened language. The oracle recomputes the same
+    integer aggregates straight from the parquet and pins the corrupt
+    count as a planted constant — every number is an exact integer, so
+    the comparison is bit-stable across engines."""
+    import json
+
+    import pandas as pd
+
+    from gfw_data_api_spark.sources.jsonl import read_jsonl
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    pdf = pdf[pdf.doc_id < 200].sort_values("doc_id")
+    tmp = tempfile.mkdtemp(prefix="gfw_e14_")
+    path = os.path.join(tmp, "docs.jsonl")
+    with open(path, "w", encoding="utf-8") as fh:
+        for row in pdf.itertuples(index=False):
+            fh.write(
+                json.dumps(
+                    {
+                        "doc_id": int(row.doc_id),
+                        "meta": {"lang": row.lang, "source": row.source},
+                        "n_chars": int(row.n_chars),
+                    }
+                )
+                + "\n"
+            )
+        for i in range(7):
+            fh.write('{"doc_id": %d, "meta": {truncated line\n' % (9000 + i))
+    df = read_jsonl(
+        spark,
+        path,
+        schema="doc_id bigint, meta struct<lang:string, source:string>, n_chars bigint",
+        mode="PERMISSIVE",
+        flatten=True,
+    )
+    # Single-pass grouped aggregate (corrupt rows fold into a reserved
+    # group) — one scan, no union, and the plan references data columns
+    # alongside _corrupt_record, which Spark requires on raw JSON scans
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    bad = F.col("_corrupt_record").isNotNull()
+    return (
+        df.groupBy(
+            F.when(bad, F.lit("__corrupt__")).otherwise(F.col("meta_lang")).alias("lang")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(F.when(~bad, F.col("n_chars"))), F.lit(0)).alias("sum_chars"),
+            F.count_distinct(F.when(~bad, F.col("meta_source"))).alias("n_sources"),
+        )
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e14_jsonl_ingest",
+        spark_fn=_e14,
+        oracle=(
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "count(DISTINCT source) AS n_sources "
+            "FROM documents WHERE doc_id < 200 GROUP BY lang "
+            "UNION ALL SELECT '__corrupt__', CAST(7 AS BIGINT), "
+            "CAST(0 AS BIGINT), CAST(0 AS BIGINT)"
+        ),
+        survey_ref="LLM pipeline: JSON-Lines corpus ingestion "
+        "(sources/jsonl.py — declared-schema single-pass scan, PERMISSIVE "
+        "_corrupt_record quarantine, nested-struct flattening; engine "
+        "extension beyond the reference's delimited-text loader)",
     )
 )
 

@@ -1,0 +1,122 @@
+"""Link-graph analysis for web-corpus curation: PageRank.
+
+Web-scale curation pipelines weight or filter documents by link-graph
+centrality (the Common Crawl lineage: rank hosts/pages by the hyperlink
+graph, then bias sampling toward high-centrality sources). This module
+gives the engine that signal as a first-class distributed operator:
+PageRank with damping and proper dangling-mass redistribution,
+expressed as DataFrame joins/aggregations.
+
+Scale shape (the idiomatic Spark superstep): edges and ranks partition
+by node id; each iteration is one equi-join (ranks onto out-edges), one
+map-side-combined aggregation of contributions per destination, and one
+left join back onto the node set. The dangling-node mass is a 1-row
+aggregate delivered by an allowlisted broadcast (the t18/t19 1-row
+normalizer convention — never a driver round-trip). Each iteration's
+rank table is eagerly localCheckpoint-ed: ranks feed BOTH the next
+iteration's contribution join and the dangling aggregate, so the
+logical plan would double per superstep without lineage truncation —
+the standard requirement of iterative algorithms on Spark (GraphX and
+GraphFrames checkpoint supersteps for the same reason; on a real
+cluster prefer reliable checkpointing to survive executor loss over
+long runs). At 100 TB the
+join is an ordinary hash shuffle on node id; skewed in-degree (hub
+pages) is the one hazard, handled the same way as any skewed
+aggregation (AQE skew splitting acts on the contribution shuffle).
+
+No counterpart in the reference (its query surface is tabular/zonal);
+this extends the LLM-pipeline family alongside dedup/centrality-free
+quality scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops.dedup import _persist_replacing
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous PageRank over a directed edge list.
+
+    ``r_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} r_t(u)/deg(u) + dangling_t/N)``
+    with ``dangling_t`` the total rank mass on nodes without out-edges
+    (redistributed uniformly — the standard stochastic-matrix fix, so
+    total mass stays 1 and ranks are comparable across graphs).
+
+    Duplicate edges are collapsed (this is the unweighted variant);
+    self-loops count as ordinary out-edges. Returns (node, rank) for
+    every node appearing as a source or destination.
+
+    Determinism: ranks are pure functions of the edge set; float sums
+    over in-neighbors are order-sensitive at the last-ulp level only
+    (round emitted values before hash-comparing across engines).
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = _persist_replacing(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        "pagerank_nodes",
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank needs at least one edge")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    e_deg = _persist_replacing(e.join(outdeg, "src"), "pagerank_edges")
+    dangling = _persist_replacing(
+        nodes.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti"),
+        "pagerank_dangling",
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        # lineage MUST be cut every superstep: ranks_t appears twice in
+        # ranks_{t+1}'s logical plan (contribution join + dangling
+        # aggregate), so without truncation the tree doubles per
+        # iteration — persist() dedupes execution but not the logical
+        # tree, and 10 iterations OOM the analyzer. Eager localCheckpoint
+        # is the standard iterative-Spark fix (GraphX/GraphFrames
+        # checkpoint supersteps for exactly this); it is the one
+        # per-iteration job an iterative algorithm legitimately pays.
+        ranks = ranks.localCheckpoint()
+        dangling_share = ranks.join(dangling, "node").agg(
+            (F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("_dm_n")
+        )
+        contribs = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_share))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm_n"))
+                ).alias("rank"),
+            )
+        )
+    return ranks

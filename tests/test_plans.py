@@ -267,6 +267,7 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "p02_curate_round3": ("BroadcastNestedLoopJoin", "inherits w02's 1-row totals + normalizer join"),
         "s08_ivf_recall_gate": ("BroadcastNestedLoopJoin", "bounded 5-row query-vector batch table onto one corpus scan (R10 batch pattern)"),
         "s10_pq_recall_gate": ("BroadcastNestedLoopJoin", "inherits s08's bounded 5-row query-vector batch table on the exact side"),
+        "g01_pagerank": ("BroadcastNestedLoopJoin", "1-row dangling-mass share broadcast per superstep (llmops/graph.py)"),
         "t18_corpus_report": ("BroadcastNestedLoopJoin", "1-row language-total join for entropy fractions"),
         "t19_vocabulary_stats": ("BroadcastNestedLoopJoin", "1-row Zipf-head total join"),
         "t17_kneser_ney_lm": ("BroadcastNestedLoopJoin", "1-row bigram-type-total join (KN continuation normalizer)"),
@@ -338,6 +339,7 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "r10_batch_list_query": "feature list bounded by MAX_BATCH_FEATURES=100 (raster/batch.py cap)",
         "r11_version_overrides": "inherits r10's MAX_BATCH_FEATURES-bounded feature list",
         "a04_count_min_sketch": "1-row corpus-total aggregate (error-bound normalizer)",
+        "g01_pagerank": "1-row dangling-mass-share aggregate per superstep (llmops/graph.py)",
     }
 
     offenders: dict[str, int] = {}
