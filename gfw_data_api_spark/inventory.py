@@ -3089,17 +3089,17 @@ _DRIVER_FRONT: list[str] = [
     "t21_sequence_packing",
     "g01_pagerank",
     "e14_jsonl_ingest",
-    # --- r3-checked backfills (oldest remaining; the 31 r3 rows that
+    "d14_paragraph_dedup",
+    "c04_html_extract",
+    # --- r3-checked backfills (oldest remaining; the 33 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q18-q22 —
-    # are 2 rounds old at r6 and MUST front-load in r6) ---
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q06/q07,
+    # q18-q22 — are 2 rounds old at r6 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
     "q04_pricing_summary",
     "q05_having",
-    "q06_distinct",
-    "q07_order_limit_offset",
 ]
 
 
@@ -5782,6 +5782,140 @@ _SPECS.append(
         "(sources/jsonl.py — declared-schema single-pass scan, PERMISSIVE "
         "_corrupt_record quarantine, nested-struct flattening; engine "
         "extension beyond the reference's delimited-text loader)",
+    )
+)
+
+
+def _d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup inside the hard gate: 40 synthetic
+    documents of 3 paragraphs each, where paragraph (g, j) is the text of
+    source document (g*3+j) mod 53 — residues 0-13 recur three times and
+    14-52 twice, so duplicates scatter across documents AND positions and
+    the global-first-occurrence rule (min (id, pos), which equals min
+    3g+j here) is fully exercised, including documents that lose every
+    paragraph. The oracle rebuilds the same id-arithmetic corpus and
+    replays the keep rule with integer keys — every compared value is an
+    exact integer or an md5 of byte-identical text."""
+    from gfw_data_api_spark.llmops.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.filter(F.col("doc_id") < 40).select(F.col("doc_id").alias("g")).distinct()
+    paras = g.select(
+        "g", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+    ).withColumn("src", (F.col("g") * 3 + F.col("j")) % 53)
+    joined = paras.join(
+        docs.select(F.col("doc_id").alias("src"), F.col("text").alias("para")), "src"
+    )
+    assembled = (
+        joined.groupBy("g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "para"))),
+                    lambda x: x.getField("para"),
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .withColumnRenamed("g", "doc_id")
+    )
+    out = paragraph_dedup(assembled)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_paras_kept").cast("bigint").alias("n_paras_kept"),
+        F.col("n_paras_dropped").cast("bigint").alias("n_paras_dropped"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d14_paragraph_dedup",
+        spark_fn=_d14,
+        oracle=(
+            "WITH g AS (SELECT DISTINCT doc_id AS g FROM documents WHERE doc_id < 40), "
+            "j AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2), "
+            "paras AS (SELECT g.g, j.j, d.text AS para FROM g CROSS JOIN j "
+            "JOIN documents d ON d.doc_id = (g.g*3 + j.j) % 53), "
+            "keep AS (SELECT para, min(g*3 + j) AS k FROM paras GROUP BY para), "
+            "kept AS (SELECT p.g, p.j, p.para FROM paras p JOIN keep "
+            "ON keep.para = p.para AND keep.k = p.g*3 + p.j), "
+            "agg AS (SELECT g, string_agg(para, chr(10) ORDER BY j) AS text, "
+            "count(*) AS n_kept FROM kept GROUP BY g) "
+            "SELECT g.g AS doc_id, md5(coalesce(agg.text, '')) AS text_md5, "
+            "CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_paras_kept, "
+            "CAST(3 - coalesce(agg.n_kept, 0) AS BIGINT) AS n_paras_dropped "
+            "FROM g LEFT JOIN agg ON agg.g = g.g"
+        ),
+        survey_ref="LLM pipeline: cross-document paragraph-level dedup "
+        "(llmops/dedup.py paragraph_dedup — the Dolma/RefinedWeb pass; "
+        "global first-occurrence keep via partial-aggregatable min(struct), "
+        "no skewed window, reassembly in original order)",
+    )
+)
+
+
+def _c04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction inside the hard gate: wrap every document's
+    text in a crawl-shaped HTML template (head/title/style, nav, script
+    with markup-lookalike string literals, entity-bearing footer — all
+    boilerplate the extractor must DROP) plus an entity-bearing content
+    paragraph it must DECODE. The oracle recomputes the expected
+    extraction from the raw text column by pure string concatenation, so
+    the md5 comparison pins the whole contract; lengths are exact ints.
+    Documents are pre-filtered (identically on both sides) to texts
+    without markup metacharacters so wrap→extract is exactly invertible."""
+    from gfw_data_api_spark.llmops.html import strip_html_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300)
+        & ~F.col("text").contains("<")
+        & ~F.col("text").contains("&")
+        & ~F.col("text").contains(">")
+    )
+    html = F.concat(
+        F.lit(
+            "<html><!-- crawl snapshot --><head><title>SEO bait</title>"
+            "<style>body { margin: 0; }</style></head><body>"
+            '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+            "<h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><p>Tom &amp; Jerry &lt;3</p><script type="text/javascript">'
+            'var n = 1; if (n < 99) { alert("x & y <b>bold</b>"); }</script>'
+            "<footer>(c) corp &amp; partners</footer></body></html>"
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        strip_html_col(html).alias("extracted"),
+    ).select(
+        "doc_id",
+        F.md5("extracted").alias("text_md5"),
+        F.length("extracted").cast("bigint").alias("n_chars_extracted"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="c04_html_extract",
+        spark_fn=_c04,
+        oracle=(
+            "SELECT doc_id, "
+            "md5('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || "
+            "' Tom & Jerry <3') AS text_md5, "
+            "CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || "
+            "' Tom & Jerry <3') AS BIGINT) AS n_chars_extracted "
+            "FROM documents WHERE doc_id < 300 "
+            "AND text NOT LIKE '%<%' AND text NOT LIKE '%&%' AND text NOT LIKE '%>%'"
+        ),
+        survey_ref="LLM pipeline: HTML boilerplate removal / text "
+        "extraction (llmops/html.py strip_html_col — pure Catalyst "
+        "regexp chain: comments, non-content blocks, tags, entity "
+        "decode, whitespace collapse; zero shuffle, zero Python)",
     )
 )
 

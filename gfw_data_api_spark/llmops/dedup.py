@@ -72,6 +72,80 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document paragraph-level dedup (the Dolma/RefinedWeb pass):
+    split every document on ``sep``, keep only the GLOBAL first occurrence
+    of each repeated paragraph (first = smallest ``(id, position)``), and
+    reassemble documents from their surviving paragraphs in original order.
+
+    Paragraphs shorter than ``min_chars`` are exempt (kept everywhere) —
+    with the default 1 this preserves empty lines, and raising it mirrors
+    the published pipelines' length floor. Exemption also kills the skew
+    hazard: the hottest paragraph keys in a crawl are the trivial ones.
+
+    Scale shape: one explode (map-side), one hash aggregation on the
+    paragraph key (``min(struct(id, pos))`` — partial-aggregatable, so
+    map-side combine collapses hot keys BEFORE the shuffle, unlike a
+    window over the key which would sort every copy in one partition),
+    one join back on the key (AQE skew-split applies), and one final
+    aggregation by document id to reassemble. No Python anywhere.
+
+    Returns (id_col, text_col, n_paras_kept, n_paras_dropped).
+    """
+    if min_chars < 0:
+        raise ValueError(f"min_chars must be >= 0, got {min_chars}")
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias("_pos", "_para"),
+    )
+    eligible = F.length("_para") >= min_chars
+    keepers = (
+        paras.filter(eligible)
+        .groupBy("_para")
+        .agg(F.min(F.struct("_id", "_pos")).alias("_keeper"))
+    )
+    kept = paras.join(keepers, "_para", "left").filter(
+        ~eligible | (F.struct("_id", "_pos") == F.col("_keeper"))
+    )
+    out = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda x: x.getField("_para"),
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("*").alias("n_paras_kept"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+    totals = df.select(
+        F.col(id_col).alias(id_col),
+        F.size(F.split(F.col(text_col), _re.escape(sep), -1)).alias("_n_total"),
+    )
+    return (
+        totals.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+            (F.col("_n_total") - F.coalesce("n_paras_kept", F.lit(0))).alias(
+                "n_paras_dropped"
+            ),
+        )
+    )
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Token n-gram shingles as an array column (native sliding window)."""
     toks = tokens_col(text)
