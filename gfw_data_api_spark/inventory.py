@@ -3091,15 +3091,15 @@ _DRIVER_FRONT: list[str] = [
     "e14_jsonl_ingest",
     "d14_paragraph_dedup",
     "c04_html_extract",
-    # --- r3-checked backfills (oldest remaining; the 33 r3 rows that
+    "t22_script_signals",
+    "e15_warc_ingest",
+    # --- r3-checked backfills (oldest remaining; the 35 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q06/q07,
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q04-q07,
     # q18-q22 — are 2 rounds old at r6 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
     "q03_agg_global",
-    "q04_pricing_summary",
-    "q05_having",
 ]
 
 
@@ -5916,6 +5916,149 @@ _SPECS.append(
         "extraction (llmops/html.py strip_html_col — pure Catalyst "
         "regexp chain: comments, non-content blocks, tags, entity "
         "decode, whitespace collapse; zero shuffle, zero Python)",
+    )
+)
+
+
+def _e15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion inside the hard gate, end-to-end crawl shape: wrap
+    every document's text in an HTML page, the page in an HTTP/1.1
+    response, the response in a per-record-gzipped WARC file (the real
+    Common Crawl layout, via the module's own writer — byte-exactness of
+    writer+reader is pinned separately in tests), then run the engine
+    pipeline: read_warc → HTTP split → strip_html_col → md5. The oracle
+    recomputes the expected extraction from the raw text column by pure
+    concatenation (the c04 pattern), plus the constant HTTP status the
+    parser must recover."""
+    import pandas as pd
+
+    from gfw_data_api_spark.llmops.html import strip_html_col
+    from gfw_data_api_spark.sources.warc import http_response_payload, read_warc, write_warc
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    pdf = pdf[
+        (pdf.doc_id < 150)
+        & ~pdf.text.str.contains("<", regex=False)
+        & ~pdf.text.str.contains("&", regex=False)
+        & ~pdf.text.str.contains(">", regex=False)
+    ].sort_values("doc_id")
+    tmp = tempfile.mkdtemp(prefix="gfw_e15_")
+    path = os.path.join(tmp, "crawl.warc.gz")
+    records = [
+        {
+            "warc_type": "warcinfo",
+            "payload": "software: gfw-fixture\r\n",
+            "content_type": "application/warc-fields",
+        }
+    ] + [
+        {
+            "warc_type": "response",
+            "target_uri": f"http://example.com/doc/{int(r.doc_id)}",
+            "content_type": "application/http; msgtype=response",
+            "payload": http_response_payload(
+                "<html><head><title>t</title></head><body><nav>Home | About</nav>"
+                f"<p>Doc {int(r.doc_id)} {r.text}</p>"
+                "<script>var a = 1;</script></body></html>"
+            ),
+        }
+        for r in pdf.itertuples(index=False)
+    ]
+    write_warc(path, records)
+    df = read_warc(spark, path, record_types=("response",))
+    return df.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.md5(strip_html_col(F.col("payload").cast("string"))).alias("text_md5"),
+        F.col("http_status").cast("bigint").alias("http_status"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e15_warc_ingest",
+        spark_fn=_e15,
+        oracle=(
+            "SELECT doc_id, "
+            "md5('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text) AS text_md5, "
+            "CAST(200 AS BIGINT) AS http_status "
+            "FROM documents WHERE doc_id < 150 "
+            "AND text NOT LIKE '%<%' AND text NOT LIKE '%&%' AND text NOT LIKE '%>%'"
+        ),
+        survey_ref="LLM pipeline: WARC/Common-Crawl container ingestion "
+        "(sources/warc.py — per-record-gzip member parse, HTTP response "
+        "split, executor-side mapInPandas; composed with llmops/html "
+        "extraction end-to-end)",
+    )
+)
+
+
+def _t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling inside the hard gate: append a planted
+    multi-script suffix chosen by doc_id residue (Cyrillic / CJK /
+    Greek+digits) to real latin-only text, run script_signals, and emit
+    the COUNTS (exact integers — ratios stay pytest-only because
+    round(float) near representable halves is a cross-engine hazard).
+    The oracle never parses Unicode at all: base latin/space counts come
+    from length arithmetic on the raw text (pre-filtered identically to
+    '^[a-z ]+$' on both sides) and each suffix contributes per-residue
+    constants."""
+    from gfw_data_api_spark.llmops.text import script_signals
+
+    suffixes = {
+        1: " привет мир",  # " привет мир"
+        2: " 中文文本",  # " 中文文本"
+        3: " αβγ 123",  # " αβγ 123"
+    }
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & F.col("text").rlike("^[a-z ]+$")
+    )
+    r = F.col("doc_id") % 4
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(r == 1, F.lit(suffixes[1]))
+            .when(r == 2, F.lit(suffixes[2]))
+            .when(r == 3, F.lit(suffixes[3]))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return script_signals(aug).select(
+        "doc_id",
+        "n_latin",
+        "n_cyrillic",
+        "n_greek",
+        "n_cjk",
+        "n_hangul",
+        "n_digit",
+        "n_space",
+        "n_other",
+        "dominant_script",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t22_script_signals",
+        spark_fn=_t22,
+        oracle=(
+            "SELECT doc_id, "
+            "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_latin, "
+            "CAST(CASE WHEN doc_id % 4 = 1 THEN 9 ELSE 0 END AS BIGINT) AS n_cyrillic, "
+            "CAST(CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 0 END AS BIGINT) AS n_greek, "
+            "CAST(CASE WHEN doc_id % 4 = 2 THEN 4 ELSE 0 END AS BIGINT) AS n_cjk, "
+            "CAST(0 AS BIGINT) AS n_hangul, "
+            "CAST(CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 0 END AS BIGINT) AS n_digit, "
+            "CAST(length(text) - length(replace(text, ' ', '')) + "
+            "CASE doc_id % 4 WHEN 1 THEN 2 WHEN 2 THEN 1 WHEN 3 THEN 2 "
+            "ELSE 0 END AS BIGINT) AS n_space, "
+            "CAST(0 AS BIGINT) AS n_other, "
+            "'latin' AS dominant_script "
+            "FROM documents WHERE doc_id < 400 AND regexp_matches(text, '^[a-z ]+$')"
+        ),
+        survey_ref="LLM pipeline: Unicode script profiling for "
+        "mixed-script filtering (llmops/text.py script_signals — "
+        "per-block counts via codegen length/regexp_replace arithmetic, "
+        "deterministic dominant-script argmax; zero shuffle)",
     )
 )
 

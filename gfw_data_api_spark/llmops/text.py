@@ -105,6 +105,73 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     return df.withColumn(out_col, pred)
 
 
+# Unicode script blocks (public Unicode ranges), each as a Java-regex
+# character class built from literal codepoints. Order matters: it is the
+# deterministic tie-break for dominant_script (first max wins).
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    # basic latin letters + latin-1 supplement/extended-A/B letters
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("hebrew", "֐-׿"),
+    ("devanagari", "ऀ-ॿ"),
+    # syllables + jamo + compatibility jamo
+    ("hangul", "가-힯ᄀ-ᇿ㄰-㆏"),
+    # han + hiragana + katakana
+    ("cjk", "一-鿿぀-ゟ゠-ヿ"),
+]
+
+
+def script_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode script profile per document: one ``n_<script>`` count per
+    block in ``SCRIPT_RANGES`` plus ``n_digit``, ``n_space``, ``n_other``,
+    per-script ratios over total length, and ``dominant_script`` (the
+    first maximum in ``SCRIPT_RANGES`` order, ``none`` for empty text).
+
+    The workhorse signal behind mixed-script filtering (drop pages whose
+    script profile contradicts the claimed language, flag script-mixing
+    spam) — fastText-style lang-id gives a label, this gives the evidence.
+
+    Scale shape: each count is ``length(x) - length(regexp_replace(x,
+    class, ''))`` — a pure codegen map over the scan, no UDF, no shuffle,
+    and column pruning reaches the parquet reader (only ``text_col`` is
+    read beyond passthroughs).
+    """
+    text = F.col(text_col)
+
+    def _count(cls: str):
+        return (
+            F.length(text) - F.length(F.regexp_replace(text, f"[{cls}]", ""))
+        ).cast("bigint")
+
+    out = df
+    for name, cls in SCRIPT_RANGES:
+        out = out.withColumn(f"n_{name}", _count(cls))
+    out = out.withColumn("n_digit", _count("0-9"))
+    out = out.withColumn("n_space", _count(r"\s"))
+    known = sum(
+        (F.col(f"n_{name}") for name, _ in SCRIPT_RANGES),
+        F.col("n_digit") + F.col("n_space"),
+    )
+    out = out.withColumn(
+        "n_other", (F.length(text).cast("bigint") - known).cast("bigint")
+    )
+    total = F.greatest(F.length(text).cast("bigint"), F.lit(1))
+    for name, _ in SCRIPT_RANGES:
+        out = out.withColumn(
+            f"{name}_ratio", F.round(F.col(f"n_{name}") / total, 6)
+        )
+    best_name = F.lit("none")
+    best_count = F.lit(0).cast("bigint")
+    # strict > keeps the FIRST max in SCRIPT_RANGES order
+    for name, _ in SCRIPT_RANGES:
+        is_better = F.col(f"n_{name}") > best_count
+        best_name = F.when(is_better, F.lit(name)).otherwise(best_name)
+        best_count = F.when(is_better, F.col(f"n_{name}")).otherwise(best_count)
+    return out.withColumn("dominant_script", best_name)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     """Document fingerprint: 64-bit hash of the first-k-token prefix plus a
     length bucket — a cheap rolling-hash-style signature for candidate
