@@ -3093,13 +3093,13 @@ _DRIVER_FRONT: list[str] = [
     "c04_html_extract",
     "t22_script_signals",
     "e15_warc_ingest",
-    # --- r3-checked backfills (oldest remaining; the 35 r3 rows that
+    "b02_bpe_encode",
+    # --- r3-checked backfills (oldest remaining; the 36 r3 rows that
     # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q04-q07,
+    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q03-q07,
     # q18-q22 — are 2 rounds old at r6 and MUST front-load in r6) ---
     "q01_scan_projection",
     "q02_filter_predicates",
-    "q03_agg_global",
 ]
 
 
@@ -5916,6 +5916,88 @@ _SPECS.append(
         "extraction (llmops/html.py strip_html_col — pure Catalyst "
         "regexp chain: comments, non-content blocks, tags, entity "
         "decode, whitespace collapse; zero shuffle, zero Python)",
+    )
+)
+
+
+# Fixed analytic merge list for the b02 gate (learned once from the
+# documents vocabulary, embedded as constants so BOTH engines replay the
+# identical replace chain; merge symbols are rank-ordered pairs).
+_B02_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "r"),
+    ("o", "w"),
+    ("s", "t"),
+    ("a", "l"),
+    ("a", "r"),
+    ("a", "t"),
+    ("m", "er"),
+    ("p", "ar"),
+    ("u", "p"),
+    ("a", "b"),
+]
+
+
+def _b02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side BPE encoding inside the hard gate: apply a fixed
+    12-merge list to real text with apply_bpe_catalyst (pure chained
+    native replace — zero Python) and emit md5(sep-joined tokens) +
+    token counts. The oracle replays the IDENTICAL replace chain in
+    DuckDB (string replace is non-overlapping left-to-right in both
+    engines), so the comparison pins every merge application
+    byte-for-byte; equality of this chain with true BPE on this
+    vocabulary is pinned separately in tests/test_bpe_catalyst.py."""
+    from gfw_data_api_spark.llmops.bpe import apply_bpe_catalyst
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & F.col("text").rlike(r"^[a-z]+( [a-z]+)*$")
+    )
+    out = apply_bpe_catalyst(docs, _B02_MERGES)
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join("bpe_tokens", "\x1f")).alias("enc_md5"),
+        F.size("bpe_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _b02_oracle() -> str:
+    sep = "chr(31)"
+    parts = [
+        "WITH s0 AS (SELECT doc_id, "
+        f"{sep} || regexp_replace(text, '(.)', '\\1' || {sep}, 'g') AS s "
+        "FROM documents WHERE doc_id < 400 "
+        "AND regexp_matches(text, '^[a-z]+( [a-z]+)*$'))"
+    ]
+    prev = "s0"
+    for i, (a, b) in enumerate(_B02_MERGES):
+        cur = f"m{i}"
+        parts.append(
+            f", {cur} AS (SELECT doc_id, replace(s, "
+            f"{sep}||'{a}'||{sep}||'{b}'||{sep}, {sep}||'{a}{b}'||{sep}) AS s "
+            f"FROM {prev})"
+        )
+        prev = cur
+    parts.append(
+        f", fin AS (SELECT doc_id, trim(replace(s, {sep}||' '||{sep}, {sep}), {sep}) AS t "
+        f"FROM {prev}) "
+        "SELECT doc_id, md5(t) AS enc_md5, "
+        f"CAST(length(t) - length(replace(t, {sep}, '')) + 1 AS BIGINT) AS n_tokens "
+        "FROM fin"
+    )
+    return "".join(parts)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="b02_bpe_encode",
+        spark_fn=_b02,
+        oracle=_b02_oracle(),
+        survey_ref="LLM pipeline: BPE tokenizer application in pure "
+        "Catalyst (llmops/bpe.py apply_bpe_catalyst — chained native "
+        "replace in merge-rank order; sequential replace-all == exact "
+        "BPE outside repeated-pair runs, documented; pandas-UDF twin "
+        "apply_bpe pinned equal on this vocabulary in pytest)",
     )
 )
 

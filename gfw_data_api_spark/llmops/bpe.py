@@ -110,6 +110,57 @@ def train_bpe_merges(
     return merges
 
 
+def apply_bpe_catalyst(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Tokenize with a merge list WITHOUT leaving the JVM: the whole
+    encode is a chain of native ``replace`` expressions, so token
+    analytics (counts, vocab stats) run inside whole-stage codegen with
+    zero Python and zero shuffle.
+
+    Encoding: words become ``sep``-delimited symbol strings
+    (``\\x1fa\\x1fb\\x1f``), and each merge ``(a, b)`` in rank order is one
+    ``replace(sep+a+sep+b+sep → sep+ab+sep)``. Sequential replace-all in
+    rank order is exact BPE (a later merge can never create an
+    earlier-rank pair, because earlier pairs' symbols predate it) —
+    EXCEPT inside immediately repeated occurrences of the same pair
+    (``abab``, ``aaa``): non-overlapping left-to-right replace consumes
+    the shared boundary separator and skips the follow-on occurrence
+    that true BPE would merge on its rescan. Natural-language words
+    almost never hit this (pytest pins equality with :func:`apply_bpe`
+    on the corpus vocabulary); use :func:`apply_bpe` when exact
+    semantics matter more than staying JVM-side. The chain also bounds
+    the practical vocabulary: each merge is one pass over the string, so
+    this path fits analytic merge lists (tens to hundreds), not 50k-merge
+    production vocabs — that is :func:`apply_bpe`'s job.
+
+    ``sep`` (default U+001F) is stripped from the input first; merges
+    containing ``sep`` or whitespace raise.
+    """
+    for a, b in merges:
+        if sep in a or sep in b:
+            raise ValueError(f"merge symbol contains the separator: {(a, b)!r}")
+        if " " in a or " " in b:
+            raise ValueError(f"merge symbols must not contain spaces: {(a, b)!r}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    cleaned = F.replace(text, F.lit(sep), F.lit(""))
+    # '\x1fa\x1fb\x1f \x1fc\x1f...': every char gains a trailing sep, the
+    # leading sep is prepended, and each space's own trailing sep doubles
+    # as the next word's leading sep. Merges can never cross a word
+    # boundary: the pattern requires sep-contiguity and spaces break it.
+    s = F.concat(F.lit(sep), F.regexp_replace(cleaned, r"(?s)(.)", "$1" + sep))
+    for a, b in merges:
+        s = F.replace(s, F.lit(sep + a + sep + b + sep), F.lit(sep + a + b + sep))
+    tokens = F.filter(
+        F.split(s, f"[{sep} ]"), lambda t: t != F.lit("")
+    )
+    return df.withColumn(out_col, tokens)
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -1,0 +1,86 @@
+"""Tests for the JVM-side BPE encode (llmops/bpe.apply_bpe_catalyst, gate b02)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops.bpe import apply_bpe, apply_bpe_catalyst, train_bpe_merges
+
+MERGES = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "r"),
+    ("o", "w"),
+    ("s", "t"),
+    ("m", "er"),
+    ("p", "a"),
+    ("pa", "r"),
+]
+
+
+def _tok(spark, text, merges=MERGES, **kw):
+    df = spark.createDataFrame([(text,)], "text string")
+    return apply_bpe_catalyst(df, merges, **kw).collect()[0].bpe_tokens
+
+
+def test_basic_encode_matches_hand_bpe(spark):
+    assert _tok(spark, "merge order") == ["mer", "g", "e", "or", "d", "er"]
+    assert _tok(spark, "part") == ["par", "t"]
+    assert _tok(spark, "sort in store") == ["s", "or", "t", "in", "st", "or", "e"]
+
+
+def test_catalyst_equals_pandas_path_on_corpus_vocab(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = train_bpe_merges(df, num_merges=30)
+    assert len(merges) >= 8
+    a = apply_bpe(df, merges).select("doc_id", "bpe_tokens")
+    b = apply_bpe_catalyst(df, merges).select("doc_id", "bpe_tokens")
+    rows_a = {r.doc_id: r.bpe_tokens for r in a.collect()}
+    rows_b = {r.doc_id: r.bpe_tokens for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_documented_divergence_on_repeated_pairs(spark):
+    # 'aaaa': true BPE -> [aa, aa]; the replace chain consumes the shared
+    # boundary and leaves [aa, a, a]. This is the documented boundary.
+    merges = [("a", "a")]
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id bigint, text string")
+    true_bpe = apply_bpe(df, merges).collect()[0].bpe_tokens
+    fast = apply_bpe_catalyst(df, merges).collect()[0].bpe_tokens
+    assert true_bpe == ["aa", "aa"]
+    assert fast == ["aa", "a", "a"]
+
+
+def test_multichar_merge_does_not_false_match_inside_symbols(spark):
+    # symbol 'pa' + symbol 'r' merges; but 'par' inside an unmerged word
+    # like 'spar' must first form 'pa' before 'par' can apply
+    assert _tok(spark, "spar") == ["s", "par"]
+    # 'opar': 'pa' forms, then 'par'
+    assert _tok(spark, "opar") == ["o", "par"]
+
+
+def test_empty_null_and_sep_stripping(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "in\x1fdata")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.bpe_tokens for r in apply_bpe_catalyst(df, MERGES).collect()}
+    assert got[1] == []
+    assert got[2] == []
+    # embedded separators are stripped BEFORE encoding: 'indata'
+    assert got[3] == ["in", "d", "a", "t", "a"]
+
+
+def test_invalid_merges_raise(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="separator"):
+        apply_bpe_catalyst(df, [("a", "\x1f")])
+    with pytest.raises(ValueError, match="spaces"):
+        apply_bpe_catalyst(df, [("a ", "b")])
+
+
+def test_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = (
+        apply_bpe_catalyst(df, MERGES)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
