@@ -144,19 +144,23 @@ def apply_bpe_catalyst(
     for a, b in merges:
         if sep in a or sep in b:
             raise ValueError(f"merge symbol contains the separator: {(a, b)!r}")
-        if " " in a or " " in b:
-            raise ValueError(f"merge symbols must not contain spaces: {(a, b)!r}")
+        if any(ch.isspace() for ch in a + b):
+            raise ValueError(f"merge symbols must not contain whitespace: {(a, b)!r}")
     text = F.coalesce(F.col(text_col), F.lit(""))
     cleaned = F.replace(text, F.lit(sep), F.lit(""))
     # '\x1fa\x1fb\x1f \x1fc\x1f...': every char gains a trailing sep, the
-    # leading sep is prepended, and each space's own trailing sep doubles
-    # as the next word's leading sep. Merges can never cross a word
-    # boundary: the pattern requires sep-contiguity and spaces break it.
+    # leading sep is prepended, and each whitespace char's own trailing
+    # sep doubles as the next word's leading sep. Merges can never cross
+    # a word boundary: the pattern requires sep-contiguity and any
+    # whitespace char (its own sep-wrapped symbol) breaks it.
     s = F.concat(F.lit(sep), F.regexp_replace(cleaned, r"(?s)(.)", "$1" + sep))
     for a, b in merges:
         s = F.replace(s, F.lit(sep + a + sep + b + sep), F.lit(sep + a + b + sep))
+    # all whitespace (not just space) is a boundary, matching the
+    # pandas-UDF twin's str.split(); whitespace chars inside the encoded
+    # string keep their own separators, so merges can never cross them
     tokens = F.filter(
-        F.split(s, f"[{sep} ]"), lambda t: t != F.lit("")
+        F.split(s, f"[{sep}\\s]"), lambda t: t != F.lit("")
     )
     return df.withColumn(out_col, tokens)
 

@@ -129,15 +129,22 @@ def paragraph_dedup(
         )
         .withColumnRenamed("_id", id_col)
     )
+    # NULL text stays NULL with zero counts (posexplode of NULL emits no
+    # rows, so such docs never enter the dedup at all — preserve that)
     totals = df.select(
         F.col(id_col).alias(id_col),
-        F.size(F.split(F.col(text_col), _re.escape(sep), -1)).alias("_n_total"),
+        F.col(text_col).isNull().alias("_was_null"),
+        F.coalesce(
+            F.size(F.split(F.col(text_col), _re.escape(sep), -1)), F.lit(0)
+        ).alias("_n_total"),
     )
     return (
         totals.join(out, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.when(F.col("_was_null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col(text_col), F.lit("")))
+            .alias(text_col),
             F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
             (F.col("_n_total") - F.coalesce("n_paras_kept", F.lit(0))).alias(
                 "n_paras_dropped"

@@ -11,16 +11,19 @@ like the PII scrubber (``llmops/clean.py``).
 What it does, in contract order (the gate's oracle mirrors the observable
 result, and unit tests pin each step):
 
-1. drop ``<!-- comments -->`` (including markup inside them),
-2. drop non-content blocks WITH their contents: ``script``, ``style``,
-   ``head``, ``nav``, ``header``, ``footer``, ``aside``, ``noscript``,
-   ``template`` — the boilerplate set; case-insensitive, attribute-safe,
-3. strip every remaining tag to a single space (block boundaries must
+1. drop ``<!-- comments -->`` and non-content blocks WITH their
+   contents (``script``, ``style``, ``head``, ``nav``, ``header``,
+   ``footer``, ``aside``, ``noscript``, ``template``) in ONE
+   left-to-right pass — whichever construct opens first wins, the same
+   disambiguation a browser tokenizer applies when a ``<!--`` appears
+   inside script data or a ``<script>`` inside a comment;
+   case-insensitive, attribute-safe,
+2. strip every remaining tag to a single space (block boundaries must
    not glue words together),
-4. decode the six entities that dominate real text (``&amp; &lt; &gt;
+3. decode the six entities that dominate real text (``&amp; &lt; &gt;
    &quot; &#39; &nbsp;``) — ``&amp;`` LAST so ``&amp;lt;`` decodes to the
    literal ``&lt;`` the author wrote, not to ``<``,
-5. collapse all whitespace runs to single spaces and trim.
+4. collapse all whitespace runs to single spaces and trim.
 
 Documented boundaries (loud in tests, fine for corpus work): this is a
 regex extractor, not an HTML5 tree parser — a literal ``>`` inside a
@@ -50,11 +53,18 @@ NON_CONTENT_TAGS = (
     "template",
 )
 
-_COMMENT_RE = r"(?s)<!--.*?-->"
-# (?is): dotall + case-insensitive. [^>]* tolerates attributes. The
-# closing tag allows whitespace before '>'. Non-greedy body.
-_NON_CONTENT_RE = (
-    r"(?is)<(" + "|".join(NON_CONTENT_TAGS) + r")\b[^>]*>.*?</\1\s*>"
+# ONE alternation for comments and non-content blocks, scanned left to
+# right: whichever construct OPENS first consumes the other — the same
+# winner a browser tokenizer picks ('<!--' inside <script> is script
+# data; '<script>' inside a comment is inert markup). Two sequential
+# passes would let either construct hide unterminated forms of the
+# other and swallow real content. (?is): dotall + case-insensitive;
+# [^>]* tolerates attributes; the closing tag allows whitespace before
+# '>'; non-greedy bodies.
+_BOILERPLATE_RE = (
+    r"(?is)(?:<!--.*?-->|<("
+    + "|".join(NON_CONTENT_TAGS)
+    + r")\b[^>]*>.*?</\1\s*>)"
 )
 _TAG_RE = r"(?s)<[^>]+>"
 
@@ -71,8 +81,7 @@ _ENTITIES = [
 
 def strip_html_col(html: Column) -> Column:
     """Extracted running text of an HTML column (see module contract)."""
-    out = F.regexp_replace(html, _COMMENT_RE, " ")
-    out = F.regexp_replace(out, _NON_CONTENT_RE, " ")
+    out = F.regexp_replace(html, _BOILERPLATE_RE, " ")
     out = F.regexp_replace(out, _TAG_RE, " ")
     for ent, repl in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(repl))

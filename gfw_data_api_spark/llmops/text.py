@@ -127,7 +127,10 @@ def script_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Unicode script profile per document: one ``n_<script>`` count per
     block in ``SCRIPT_RANGES`` plus ``n_digit``, ``n_space``, ``n_other``,
     per-script ratios over total length, and ``dominant_script`` (the
-    first maximum in ``SCRIPT_RANGES`` order, ``none`` for empty text).
+    first maximum in ``SCRIPT_RANGES`` order; ``none`` whenever the text
+    contains NO script-range characters at all — empty text, but also
+    purely numeric/punctuation/whitespace documents, so ``none`` means
+    "no script evidence", not "empty").
 
     The workhorse signal behind mixed-script filtering (drop pages whose
     script profile contradicts the claimed language, flag script-mixing

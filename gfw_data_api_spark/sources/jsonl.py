@@ -98,7 +98,9 @@ def read_jsonl(
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         if mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
-            schema = schema.add(corrupt_col, T.StringType(), True)
+            # copy first: StructType.add() mutates in place and the
+            # caller's schema object must not grow a phantom column
+            schema = T.StructType(list(schema.fields)).add(corrupt_col, T.StringType(), True)
         reader = reader.schema(schema)
     if multiline:
         reader = reader.option("multiLine", "true")

@@ -71,15 +71,28 @@ def _gunzip_members(data: bytes) -> bytes:
 
 def parse_warc_headers(block: bytes) -> dict[str, str]:
     """Parse a CRLF header block into a lower-cased dict (latin-1: WARC
-    headers are octets; URI values are already percent-encoded)."""
+    headers are octets; URI values are already percent-encoded).
+
+    Folded continuation lines (leading SP/HT — legal per ISO 28500's
+    RFC-2616-style grammar) append to the previous header's value with a
+    single joining space.
+    """
     headers: dict[str, str] = {}
+    last: str | None = None
     for line in block.split(b"\r\n"):
         if not line:
+            continue
+        if line[:1] in (b" ", b"\t"):
+            if last is None:
+                raise ValueError(f"WARC continuation line without a header: {line[:60]!r}")
+            cont = line.decode("latin-1").strip()
+            headers[last] = f"{headers[last]} {cont}" if headers[last] else cont
             continue
         name, sep, value = line.partition(b":")
         if not sep:
             raise ValueError(f"malformed WARC header line: {line[:60]!r}")
-        headers[name.decode("latin-1").strip().lower()] = value.decode("latin-1").strip()
+        last = name.decode("latin-1").strip().lower()
+        headers[last] = value.decode("latin-1").strip()
     return headers
 
 
@@ -126,10 +139,19 @@ def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     """
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
-    sep = payload.find(b"\r\n\r\n")
-    if sep < 0:
+    # real crawls contain LF-only responses from non-conforming servers;
+    # take whichever blank-line separator appears FIRST
+    sep_crlf = payload.find(b"\r\n\r\n")
+    sep_lf = payload.find(b"\n\n")
+    candidates = [
+        (pos, width)
+        for pos, width in ((sep_crlf, 4), (sep_lf, 2))
+        if pos >= 0
+    ]
+    if not candidates:
         return None, None, payload
-    head = payload[:sep].split(b"\r\n")
+    sep, width = min(candidates)
+    head = payload[:sep].replace(b"\r\n", b"\n").split(b"\n")
     try:
         status = int(head[0].split(b" ", 2)[1])
     except (IndexError, ValueError):
@@ -140,7 +162,7 @@ def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
         if s and name.decode("latin-1").strip().lower() == "content-type":
             ctype = value.decode("latin-1").strip()
             break
-    return status, ctype, payload[sep + 4 :]
+    return status, ctype, payload[sep + width :]
 
 
 def read_warc(
@@ -152,7 +174,8 @@ def read_warc(
     the parse — cheaper than a post-hoc filter since skipped records'
     payloads never cross into Arrow.
     """
-    wanted = tuple(t.lower() for t in record_types) if record_types else None
+    # None = no filter; an explicit empty tuple means "match nothing"
+    wanted = None if record_types is None else tuple(t.lower() for t in record_types)
     files = spark.read.format("binaryFile").load(path)
 
     def _parse(batches):
@@ -163,7 +186,7 @@ def read_warc(
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 for headers, body in iter_warc_records(bytes(content)):
                     wtype = headers.get("warc-type", "")
-                    if wanted and wtype.lower() not in wanted:
+                    if wanted is not None and wtype.lower() not in wanted:
                         continue
                     status, http_ctype, payload = split_http_response(body)
                     rows.append(

@@ -73,8 +73,18 @@ def test_invalid_merges_raise(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="separator"):
         apply_bpe_catalyst(df, [("a", "\x1f")])
-    with pytest.raises(ValueError, match="spaces"):
+    with pytest.raises(ValueError, match="whitespace"):
         apply_bpe_catalyst(df, [("a ", "b")])
+    with pytest.raises(ValueError, match="whitespace"):
+        apply_bpe_catalyst(df, [("a", "\tb")])
+
+
+def test_all_whitespace_is_a_word_boundary_matching_pandas_twin(spark):
+    df = spark.createDataFrame([(1, "in\nstore\tin part")], "doc_id bigint, text string")
+    fast = apply_bpe_catalyst(df, MERGES).collect()[0].bpe_tokens
+    slow = apply_bpe(df, MERGES).collect()[0].bpe_tokens
+    assert fast == slow
+    assert "\n" not in fast and "\t" not in fast
 
 
 def test_plan_is_shuffle_free(spark):

@@ -115,6 +115,14 @@ def test_corrupt_summary_counts_nulls_in_valid_rows(spark, tmp_path):
     assert (row.n_null_doc_id, row.n_null_n_chars) == (1, 1)
 
 
+def test_read_jsonl_does_not_mutate_caller_schema(spark, jsonl_file):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    read_jsonl(spark, jsonl_file, schema=schema)
+    assert schema.fieldNames() == ["doc_id"]
+
+
 def test_gzip_jsonl_reads_but_is_single_split(spark, tmp_path):
     import gzip
 

@@ -112,6 +112,26 @@ def test_html_comments_and_double_escaped_entities(spark):
     assert _strip(spark, html) == "a b &lt; stays-literal"
 
 
+def test_paragraph_dedup_null_text_stays_null_with_zero_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "real para")], "doc_id bigint, text string"
+    )
+    got = _rows(paragraph_dedup(df))
+    assert got[1].text is None
+    assert (got[1].n_paras_kept, got[1].n_paras_dropped) == (0, 0)
+    assert got[2].text == "real para"
+
+
+def test_html_comment_opener_inside_script_does_not_swallow_content(spark):
+    # the browser-tokenizer rule: '<!--' inside script data is script
+    # text, so the script block (opened first) wins and real content
+    # after it survives
+    html = '<script>var s = "<!--";</script><p>text</p><!-- note --><p>more</p>'
+    assert _strip(spark, html) == "text more"
+    # and the mirror case: a <script> inside a comment is inert markup
+    assert _strip(spark, "a<!-- <script>x</script> -->b") == "a b"
+
+
 def test_html_tags_become_word_boundaries(spark):
     assert _strip(spark, "one<br>two<div>three</div>four") == "one two three four"
 

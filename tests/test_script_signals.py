@@ -31,6 +31,11 @@ def test_dominant_tie_breaks_by_range_order(spark):
     assert _one(spark, "abмир").dominant_script == "cyrillic"
 
 
+def test_no_script_evidence_is_none_even_for_nonempty_text(spark):
+    # 'none' means "no script-range characters", not "empty document"
+    assert _one(spark, "123 456!").dominant_script == "none"
+
+
 def test_empty_text_is_none_with_zero_ratios(spark):
     r = _one(spark, "")
     assert r.dominant_script == "none"

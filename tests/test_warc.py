@@ -75,6 +75,33 @@ def test_truncated_and_malformed_raise():
         )
 
 
+def test_folded_header_lines_append_to_previous_value():
+    block = (
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.com/very\r\n"
+        b" /long/path\r\n"
+        b"Content-Length: 0\r\n"
+    )
+    from gfw_data_api_spark.sources.warc import parse_warc_headers
+
+    h = parse_warc_headers(block)
+    assert h["warc-target-uri"] == "http://example.com/very /long/path"
+    with pytest.raises(ValueError, match="continuation line"):
+        parse_warc_headers(b" orphan continuation\r\n")
+
+
+def test_lf_only_http_response_is_split():
+    payload = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nbody"
+    status, ctype, body = split_http_response(payload)
+    assert (status, ctype, body) == (200, "text/plain", b"body")
+
+
+def test_empty_record_types_matches_nothing(spark, tmp_path):
+    path = str(tmp_path / "f.warc.gz")
+    write_warc(path, _records())
+    assert read_warc(spark, path, record_types=()).count() == 0
+
+
 def test_read_warc_dataframe(spark, tmp_path):
     p1 = str(tmp_path / "part1.warc.gz")
     p2 = str(tmp_path / "part2.warc")
