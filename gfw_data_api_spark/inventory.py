@@ -3094,12 +3094,13 @@ _DRIVER_FRONT: list[str] = [
     "t22_script_signals",
     "e15_warc_ingest",
     "b02_bpe_encode",
-    # --- r3-checked backfills (oldest remaining; the 36 r3 rows that
-    # don't fit here — st03/st04/st05/st06/st07, t06-t14, ts01-ts04,
-    # u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02, q03-q07,
-    # q18-q22 — are 2 rounds old at r6 and MUST front-load in r6) ---
-    "q01_scan_projection",
-    "q02_filter_predicates",
+    "c05_robots_filter",
+    "st09_jsonl_stream_monitor",
+    # --- r3-checked backfills: NONE fit in the 50-slot budget this
+    # round. The 38 r3 rows — st03/st04/st05/st06/st07, t06-t14,
+    # ts01-ts04, u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02,
+    # q01-q07, q18-q22 — are 2 rounds old at r6 and MUST front-load
+    # in r6 (split across r6/r7 if the budget stays at 50). ---
 ]
 
 
@@ -5916,6 +5917,131 @@ _SPECS.append(
         "extraction (llmops/html.py strip_html_col — pure Catalyst "
         "regexp chain: comments, non-content blocks, tags, entity "
         "decode, whitespace collapse; zero shuffle, zero Python)",
+    )
+)
+
+
+def _st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSONL ingest monitor, batch-twin gated (st04/st06/st08
+    pattern): the SAME ingest_monitor_by_source aggregation that runs on
+    a live readStream landing directory (test_jsonl.py proves
+    stream==batch on a real availableNow stream with per-file
+    micro-batches) runs here on the batch twin — a JSONL fixture with 5
+    planted malformed shard lines. The oracle recomputes the per-source
+    integer counts from parquet and pins the corrupt row."""
+    import json
+
+    import pandas as pd
+
+    from gfw_data_api_spark.sources.jsonl import ingest_monitor_by_source, read_jsonl
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    pdf = pdf[pdf.doc_id < 250].sort_values("doc_id")
+    tmp = tempfile.mkdtemp(prefix="gfw_st09_")
+    path = os.path.join(tmp, "landed.jsonl")
+    with open(path, "w", encoding="utf-8") as fh:
+        for row in pdf.itertuples(index=False):
+            fh.write(
+                json.dumps(
+                    {
+                        "doc_id": int(row.doc_id),
+                        "source": row.source,
+                        "n_chars": int(row.n_chars),
+                    }
+                )
+                + "\n"
+            )
+        for i in range(5):
+            fh.write('{"doc_id": %d, "source": "s' % i + "\n")
+    df = read_jsonl(
+        spark, path, schema="doc_id bigint, source string, n_chars bigint"
+    )
+    return ingest_monitor_by_source(df)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="st09_jsonl_stream_monitor",
+        spark_fn=_st09,
+        oracle=(
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE doc_id < 250 GROUP BY source "
+            "UNION ALL SELECT '__corrupt__', CAST(5 AS BIGINT), CAST(0 AS BIGINT)"
+        ),
+        survey_ref="streaming × ingestion: continuous JSONL landing "
+        "monitor (sources/jsonl.py stream_jsonl + "
+        "ingest_monitor_by_source — one shared aggregation for stream "
+        "and batch; stream==batch pinned on a real readStream in tests)",
+    )
+)
+
+
+def _c05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance inside the hard gate: per-host robots
+    bodies and URLs are both planted by id arithmetic — each host's
+    body contains a DECOY agent group (megabot) that must be ignored
+    for '*', a disallow prefix, and a longer allow prefix beneath it,
+    so the gate exercises agent-group selection, longest-match
+    precedence, and the no-match default in one pass. Spark REALLY
+    parses the bodies (Arrow UDF) and joins rules to URLs; the oracle
+    knows every verdict in closed form (residue CASE arithmetic)."""
+    from gfw_data_api_spark.llmops.robots import parse_robots, robots_filter
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 350)
+    h = F.col("doc_id") % 7
+    hosts = (
+        docs.select(h.alias("_h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("host"), F.col("_h").cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("User-agent: megabot\nDisallow: /m"),
+                F.col("_h").cast("string"),
+                F.lit("/\n\nUser-agent: *\nDisallow: /p"),
+                (F.col("_h") % 3).cast("string"),
+                F.lit("/\nAllow: /p"),
+                (F.col("_h") % 3).cast("string"),
+                F.lit("/ok/\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    r = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    p = (h % 3).cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("host"), h.cast("string"), F.lit(".example")).alias("host"),
+        F.when(r == 0, F.concat(F.lit("/p"), p, F.lit("/x"), sid))
+        .when(r == 1, F.concat(F.lit("/p"), p, F.lit("/ok/x"), sid))
+        .when(r == 2, F.concat(F.lit("/q/x"), sid))
+        .otherwise(F.concat(F.lit("/m"), h.cast("string"), F.lit("/x"), sid))
+        .alias("path"),
+    )
+    rules = parse_robots(hosts)
+    return robots_filter(urls, rules).select("doc_id", "path", "robots_allowed")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="c05_robots_filter",
+        spark_fn=_c05,
+        oracle=(
+            "SELECT doc_id, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN '/p' || CAST((doc_id % 7) % 3 AS VARCHAR) || '/x' || CAST(doc_id AS VARCHAR) "
+            "WHEN 1 THEN '/p' || CAST((doc_id % 7) % 3 AS VARCHAR) || '/ok/x' || CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN '/q/x' || CAST(doc_id AS VARCHAR) "
+            "ELSE '/m' || CAST(doc_id % 7 AS VARCHAR) || '/x' || CAST(doc_id AS VARCHAR) END AS path, "
+            "doc_id % 4 != 0 AS robots_allowed "
+            "FROM documents WHERE doc_id < 350"
+        ),
+        survey_ref="LLM pipeline: robots.txt compliance filtering "
+        "(llmops/robots.py — RFC 9309 agent-group selection, "
+        "longest-match precedence with allow-wins ties, wildcard/anchor "
+        "paths; host-keyed rule join + combine-friendly max_by winner)",
     )
 )
 

@@ -70,6 +70,25 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
         df = df.select(*cols)
 
 
+def _configure_json_reader(reader, schema, mode, corrupt_col, multiline):
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    reader = reader.option("mode", mode)
+    if mode == "PERMISSIVE":
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
+            # copy first: StructType.add() mutates in place and the
+            # caller's schema object must not grow a phantom column
+            schema = T.StructType(list(schema.fields)).add(corrupt_col, T.StringType(), True)
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    return reader
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -89,25 +108,66 @@ def read_jsonl(
     column only when corrupt rows exist in the sample; callers should treat
     its absence as "no corrupt rows seen".
     """
-    if mode not in _MODES:
-        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
-    reader = spark.read.option("mode", mode)
-    if mode == "PERMISSIVE":
-        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
-    if schema is not None:
-        if isinstance(schema, str):
-            schema = T.StructType.fromDDL(schema)
-        if mode == "PERMISSIVE" and corrupt_col not in schema.fieldNames():
-            # copy first: StructType.add() mutates in place and the
-            # caller's schema object must not grow a phantom column
-            schema = T.StructType(list(schema.fields)).add(corrupt_col, T.StringType(), True)
-        reader = reader.schema(schema)
-    if multiline:
-        reader = reader.option("multiLine", "true")
+    reader = _configure_json_reader(spark.read, schema, mode, corrupt_col, multiline)
     df = reader.json(path)
     if flatten:
         df = flatten_structs(df, sep=sep)
     return df
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: T.StructType | str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    flatten: bool = False,
+    sep: str = "_",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_jsonl` for a landing
+    directory of JSONL files (the continuous-ingest shape: crawlers land
+    shards, the stream picks them up per micro-batch).
+
+    A declared ``schema`` is REQUIRED — streaming sources cannot infer —
+    and the PERMISSIVE corrupt-capture semantics are identical to the
+    batch reader, so one aggregation (e.g. a per-source quality monitor)
+    runs unchanged on either. ``max_files_per_trigger`` caps micro-batch
+    size for backpressure.
+    """
+    if schema is None:  # defensive: callers passing None explicitly
+        raise ValueError("stream_jsonl requires a declared schema")
+    reader = _configure_json_reader(
+        spark.readStream, schema, mode, corrupt_col, multiline=False
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.json(path)
+    if flatten:
+        df = flatten_structs(df, sep=sep)
+    return df
+
+
+def ingest_monitor_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Per-source ingest quality counts — the aggregation a landing
+    monitor runs on every micro-batch (outputMode=complete) and that the
+    batch twin runs for the oracle: corrupt rows fold into a reserved
+    ``__corrupt__`` source. One grouped aggregate, map-side combined;
+    referencing the data columns keeps the plan legal on raw JSON scans
+    (see :func:`corrupt_record_summary`)."""
+    bad = F.col(corrupt_col).isNotNull()
+    return df.groupBy(
+        F.when(bad, F.lit("__corrupt__")).otherwise(F.col(source_col)).alias("source")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.when(~bad, F.col(chars_col))), F.lit(0)).alias("sum_chars"),
+    )
 
 
 def corrupt_record_summary(

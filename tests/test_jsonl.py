@@ -123,6 +123,58 @@ def test_read_jsonl_does_not_mutate_caller_schema(spark, jsonl_file):
     assert schema.fieldNames() == ["doc_id"]
 
 
+def test_stream_jsonl_equals_batch_twin(spark, tmp_path):
+    """Real readStream over a landing dir == the batch aggregation (st09)."""
+    import json as _json
+
+    from gfw_data_api_spark.sources.jsonl import ingest_monitor_by_source, stream_jsonl
+
+    land = tmp_path / "land"
+    land.mkdir()
+    rows = [
+        {"doc_id": 1, "source": "web", "n_chars": 10},
+        {"doc_id": 2, "source": "web", "n_chars": 20},
+        {"doc_id": 3, "source": "book", "n_chars": 5},
+    ]
+    # two shards so the stream sees >1 file; one corrupt line in shard 2
+    with open(land / "s1.jsonl", "w") as fh:
+        fh.write(_json.dumps(rows[0]) + "\n" + _json.dumps(rows[1]) + "\n")
+    with open(land / "s2.jsonl", "w") as fh:
+        fh.write(_json.dumps(rows[2]) + "\n" + "garbage{\n")
+
+    schema = "doc_id bigint, source string, n_chars bigint"
+    stream = stream_jsonl(spark, str(land), schema=schema, max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        ingest_monitor_by_source(stream)
+        .writeStream.format("memory")
+        .queryName("st09_monitor")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.source: (r.n_docs, r.sum_chars)
+        for r in spark.sql("select * from st09_monitor").collect()
+    }
+    batch = read_jsonl(spark, str(land) + "/*.jsonl", schema=schema)
+    want = {
+        r.source: (r.n_docs, r.sum_chars)
+        for r in ingest_monitor_by_source(batch).collect()
+    }
+    assert got == want
+    assert got["__corrupt__"] == (1, 0)
+    assert got["web"] == (2, 30)
+
+
+def test_stream_jsonl_requires_schema(spark):
+    from gfw_data_api_spark.sources.jsonl import stream_jsonl
+
+    with pytest.raises(ValueError, match="schema"):
+        stream_jsonl(spark, "/nonexistent", schema=None)
+
+
 def test_gzip_jsonl_reads_but_is_single_split(spark, tmp_path):
     import gzip
 

@@ -8,7 +8,8 @@ times representative operators at 1× and N× and prints the time ratio
 vs the data ratio. A shuffle-bounded operator should land near ratio
 N (linear); a quadratic one blows past it.
 
-Usage: python tools/scale_probe.py [N] (default 8, sf0.1 inputs).
+Usage: python tools/scale_probe.py [N] [name_prefix ...]
+(default 8, sf0.1 inputs; name prefixes restrict to matching ops).
 Results are recorded in docs/SCALE.md — rerun after operator changes.
 """
 
@@ -65,6 +66,7 @@ def timed(fn, warm=2, runs=3):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    prefixes = tuple(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -90,12 +92,16 @@ def main():
         def load(table, scale):
             return spark.read.parquet(paths[(table, scale)])
 
+        from gfw_data_api_spark.llmops.bpe import apply_bpe_catalyst
         from gfw_data_api_spark.llmops.clean import normalize_text
         from gfw_data_api_spark.llmops.dedup import (
             exact_dedup,
             minhash_lsh_candidates,
             minhash_signatures_portable,
+            paragraph_dedup,
         )
+        from gfw_data_api_spark.llmops.graph import pagerank
+        from gfw_data_api_spark.llmops.html import strip_html_col
         from gfw_data_api_spark.llmops.incremental import (
             incremental_minhash_candidates,
         )
@@ -170,6 +176,55 @@ def main():
                     portable=True,
                 )[0]
             ),
+            # 2 paragraphs per doc (text + its first-100-char slice) so the
+            # probe pays the full explode → agg-on-para → join-back →
+            # reassemble pipeline at realistic paragraph cardinality
+            "d14_paragraph_dedup": lambda d: noop(
+                paragraph_dedup(
+                    d.withColumn(
+                        "text",
+                        F.concat_ws("\n", "text", F.substring("text", 1, 100)),
+                    )
+                )
+            ),
+            # affine 2-arm link graph over doc ids (most dsts dangle —
+            # web-shaped); 5 supersteps of join+agg+localCheckpoint
+            "g01_pagerank": lambda d: noop(
+                pagerank(
+                    d.select(
+                        F.col("doc_id").alias("src"),
+                        F.explode(
+                            F.array(
+                                (F.col("doc_id") * 5 + 7) % 1_000_003,
+                                (F.col("doc_id") * 11 + 3) % 1_000_003,
+                            )
+                        ).alias("dst"),
+                    ),
+                    iters=5,
+                )
+            ),
+            "b02_bpe_catalyst": lambda d: noop(
+                apply_bpe_catalyst(
+                    d,
+                    [
+                        ("e", "r"), ("i", "n"), ("o", "r"), ("o", "w"),
+                        ("s", "t"), ("a", "l"), ("a", "r"), ("a", "t"),
+                        ("m", "er"), ("p", "ar"), ("u", "p"), ("a", "b"),
+                    ],
+                ).select("doc_id", F.size("bpe_tokens").alias("n"))
+            ),
+            "c04_html_extract": lambda d: noop(
+                d.select(
+                    "doc_id",
+                    strip_html_col(
+                        F.concat(
+                            F.lit("<html><head><title>t</title></head><body><p>"),
+                            F.col("text"),
+                            F.lit("</p><script>var a=1;</script></body></html>"),
+                        )
+                    ).alias("t"),
+                )
+            ),
         }
         emb_ops = {
             "s01_cosine_topk": lambda d: noop(
@@ -196,20 +251,30 @@ def main():
                 )
             )
 
+        def wanted(name):
+            return not prefixes or any(name.startswith(p) for p in prefixes)
+
         print(f"# scale probe: {n}x replicas of sf0.1 (time ratio ~ {n} = linear)")
         rows = []
         for name, op in ops.items():
+            if not wanted(name):
+                continue
             t1 = timed(lambda: op(load("documents", 1)))
             tn = timed(lambda: op(load("documents", n)))
             rows.append((name, t1, tn))
-        t1 = timed(lambda: rrf(load("documents", 1), load("embeddings", 1)))
-        tn = timed(lambda: rrf(load("documents", n), load("embeddings", n)))
-        rows.append(("s09_hybrid_rrf", t1, tn))
+        if wanted("s09_hybrid_rrf"):
+            t1 = timed(lambda: rrf(load("documents", 1), load("embeddings", 1)))
+            tn = timed(lambda: rrf(load("documents", n), load("embeddings", n)))
+            rows.append(("s09_hybrid_rrf", t1, tn))
         for name, op in emb_ops.items():
+            if not wanted(name):
+                continue
             t1 = timed(lambda: op(load("embeddings", 1)))
             tn = timed(lambda: op(load("embeddings", n)))
             rows.append((name, t1, tn))
         for name, op in li_ops.items():
+            if not wanted(name):
+                continue
             t1 = timed(lambda: op(load("lineitem", 1)))
             tn = timed(lambda: op(load("lineitem", n)))
             rows.append((name, t1, tn))
