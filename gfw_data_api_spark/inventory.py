@@ -3096,6 +3096,9 @@ _DRIVER_FRONT: list[str] = [
     "b02_bpe_encode",
     "c05_robots_filter",
     "st09_jsonl_stream_monitor",
+    # p05_curate_crawl is slot 51 — outside the driver's 50-row budget;
+    # its stages are all individually driver-gated (e15/c04/t22/b02) and
+    # it is locally verified via check_oracle; front-load it in r6.
     # --- r3-checked backfills: NONE fit in the 50-slot budget this
     # round. The 38 r3 rows — st03/st04/st05/st06/st07, t06-t14,
     # ts01-ts04, u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02,
@@ -5921,6 +5924,162 @@ _SPECS.append(
 )
 
 
+# Fixed analytic merge list for the b02 gate (learned once from the
+# documents vocabulary, embedded as constants so BOTH engines replay the
+# identical replace chain; merge symbols are rank-ordered pairs).
+_B02_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "r"),
+    ("o", "w"),
+    ("s", "t"),
+    ("a", "l"),
+    ("a", "r"),
+    ("a", "t"),
+    ("m", "er"),
+    ("p", "ar"),
+    ("u", "p"),
+    ("a", "b"),
+]
+
+
+def _b02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side BPE encoding inside the hard gate: apply a fixed
+    12-merge list to real text with apply_bpe_catalyst (pure chained
+    native replace — zero Python) and emit md5(sep-joined tokens) +
+    token counts. The oracle replays the IDENTICAL replace chain in
+    DuckDB (string replace is non-overlapping left-to-right in both
+    engines), so the comparison pins every merge application
+    byte-for-byte; equality of this chain with true BPE on this
+    vocabulary is pinned separately in tests/test_bpe_catalyst.py."""
+    from gfw_data_api_spark.llmops.bpe import apply_bpe_catalyst
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & F.col("text").rlike(r"^[a-z]+( [a-z]+)*$")
+    )
+    out = apply_bpe_catalyst(docs, _B02_MERGES)
+    return out.select(
+        "doc_id",
+        F.md5(F.array_join("bpe_tokens", "\x1f")).alias("enc_md5"),
+        F.size("bpe_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _bpe_chain_sql(select_keys: str, text_expr: str, from_clause: str) -> str:
+    """DuckDB CTE fragment replaying the _B02_MERGES replace chain on
+    ``text_expr``: yields relations s0..fin where ``fin`` carries
+    ``(select_keys, t)`` with ``t`` the sep-joined token string."""
+    sep = "chr(31)"
+    parts = [
+        f"s0 AS (SELECT {select_keys}, "
+        f"{sep} || regexp_replace({text_expr}, '(.)', '\\1' || {sep}, 'g') AS s "
+        f"FROM {from_clause})"
+    ]
+    prev = "s0"
+    for i, (a, b) in enumerate(_B02_MERGES):
+        cur = f"m{i}"
+        parts.append(
+            f"{cur} AS (SELECT {select_keys}, replace(s, "
+            f"{sep}||'{a}'||{sep}||'{b}'||{sep}, {sep}||'{a}{b}'||{sep}) AS s "
+            f"FROM {prev})"
+        )
+        prev = cur
+    parts.append(
+        f"fin AS (SELECT {select_keys}, "
+        f"trim(replace(s, {sep}||' '||{sep}, {sep}), {sep}) AS t FROM {prev})"
+    )
+    return ", ".join(parts)
+
+
+
+def _p05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composed curation — the full crawl-to-corpus shape as ONE
+    lazy plan over the new operator families: WARC container read (with
+    planted 404s the status filter must drop) → HTTP split → HTML text
+    extraction (with a planted Cyrillic paragraph in every third page
+    that the script-profile filter must drop) → language recovered from
+    the page's own ``<html lang>`` attribute → pure-Catalyst BPE token
+    counts → per-language corpus report. Every stage is deterministic,
+    so the oracle replays the whole composition: the survivor set is
+    residue arithmetic, the extraction is string concatenation, and the
+    token counts are the b02 replace chain."""
+    from gfw_data_api_spark.llmops.bpe import apply_bpe_catalyst
+    from gfw_data_api_spark.llmops.html import strip_html_col
+    from gfw_data_api_spark.llmops.text import script_signals
+    from gfw_data_api_spark.sources.warc import http_response_payload, read_warc, write_warc
+    import pandas as pd
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    pdf = pdf[
+        (pdf.doc_id < 200)
+        & ~pdf.text.str.contains("<", regex=False)
+        & ~pdf.text.str.contains("&", regex=False)
+        & ~pdf.text.str.contains(">", regex=False)
+    ].sort_values("doc_id")
+    tmp = tempfile.mkdtemp(prefix="gfw_p05_")
+    path = os.path.join(tmp, "crawl.warc.gz")
+    records = []
+    for r in pdf.itertuples(index=False):
+        did = int(r.doc_id)
+        cyr = "<p>привет мир</p>" if did % 3 == 1 else ""
+        records.append(
+            {
+                "warc_type": "response",
+                "target_uri": f"http://example.com/doc/{did}",
+                "content_type": "application/http; msgtype=response",
+                "payload": http_response_payload(
+                    f'<html lang="{r.lang}"><head><title>t</title></head><body>'
+                    f"<nav>Home</nav><p>Doc {did} {r.text}</p>{cyr}"
+                    "<script>var a = 1;</script></body></html>",
+                    status=404 if did % 5 == 0 else 200,
+                ),
+            }
+        )
+    write_warc(path, records)
+    pages = (
+        read_warc(spark, path, record_types=("response",))
+        .filter(F.col("http_status") == 200)
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+            F.regexp_extract(F.col("payload").cast("string"), r'<html lang="([a-z]+)"', 1).alias("lang"),
+            strip_html_col(F.col("payload").cast("string")).alias("text"),
+        )
+    )
+    clean = script_signals(pages).filter(F.col("n_cyrillic") == 0)
+    toks = apply_bpe_catalyst(clean.select("doc_id", "lang", "text"), _B02_MERGES)
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("bpe_tokens").cast("bigint")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="p05_curate_crawl",
+        spark_fn=_p05,
+        oracle=(
+            "WITH src AS (SELECT doc_id, lang, "
+            "'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text AS ext "
+            "FROM documents WHERE doc_id < 200 AND doc_id % 5 != 0 "
+            "AND doc_id % 3 != 1 "
+            "AND text NOT LIKE '%<%' AND text NOT LIKE '%&%' AND text NOT LIKE '%>%'), "
+            + _bpe_chain_sql("doc_id, lang", "ext", "src")
+            + " SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(length(t) - length(replace(t, chr(31), '')) + 1) AS BIGINT) "
+            "AS total_tokens FROM fin GROUP BY lang ORDER BY lang"
+        ),
+        survey_ref="LLM pipeline: composed crawl curation (WARC read → "
+        "HTTP status filter → HTML extraction → script-profile filter → "
+        "Catalyst BPE token report — one lazy plan across the round-5 "
+        "source and operator families)",
+    )
+)
+
+
 def _st09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming JSONL ingest monitor, batch-twin gated (st04/st06/st08
     pattern): the SAME ingest_monitor_by_source aggregation that runs on
@@ -6046,72 +6205,20 @@ _SPECS.append(
 )
 
 
-# Fixed analytic merge list for the b02 gate (learned once from the
-# documents vocabulary, embedded as constants so BOTH engines replay the
-# identical replace chain; merge symbols are rank-ordered pairs).
-_B02_MERGES: list[tuple[str, str]] = [
-    ("e", "r"),
-    ("i", "n"),
-    ("o", "r"),
-    ("o", "w"),
-    ("s", "t"),
-    ("a", "l"),
-    ("a", "r"),
-    ("a", "t"),
-    ("m", "er"),
-    ("p", "ar"),
-    ("u", "p"),
-    ("a", "b"),
-]
-
-
-def _b02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JVM-side BPE encoding inside the hard gate: apply a fixed
-    12-merge list to real text with apply_bpe_catalyst (pure chained
-    native replace — zero Python) and emit md5(sep-joined tokens) +
-    token counts. The oracle replays the IDENTICAL replace chain in
-    DuckDB (string replace is non-overlapping left-to-right in both
-    engines), so the comparison pins every merge application
-    byte-for-byte; equality of this chain with true BPE on this
-    vocabulary is pinned separately in tests/test_bpe_catalyst.py."""
-    from gfw_data_api_spark.llmops.bpe import apply_bpe_catalyst
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 400) & F.col("text").rlike(r"^[a-z]+( [a-z]+)*$")
-    )
-    out = apply_bpe_catalyst(docs, _B02_MERGES)
-    return out.select(
-        "doc_id",
-        F.md5(F.array_join("bpe_tokens", "\x1f")).alias("enc_md5"),
-        F.size("bpe_tokens").cast("bigint").alias("n_tokens"),
-    )
-
-
 def _b02_oracle() -> str:
     sep = "chr(31)"
-    parts = [
-        "WITH s0 AS (SELECT doc_id, "
-        f"{sep} || regexp_replace(text, '(.)', '\\1' || {sep}, 'g') AS s "
-        "FROM documents WHERE doc_id < 400 "
-        "AND regexp_matches(text, '^[a-z]+( [a-z]+)*$'))"
-    ]
-    prev = "s0"
-    for i, (a, b) in enumerate(_B02_MERGES):
-        cur = f"m{i}"
-        parts.append(
-            f", {cur} AS (SELECT doc_id, replace(s, "
-            f"{sep}||'{a}'||{sep}||'{b}'||{sep}, {sep}||'{a}{b}'||{sep}) AS s "
-            f"FROM {prev})"
+    return (
+        "WITH "
+        + _bpe_chain_sql(
+            "doc_id",
+            "text",
+            "documents WHERE doc_id < 400 "
+            "AND regexp_matches(text, '^[a-z]+( [a-z]+)*$')",
         )
-        prev = cur
-    parts.append(
-        f", fin AS (SELECT doc_id, trim(replace(s, {sep}||' '||{sep}, {sep}), {sep}) AS t "
-        f"FROM {prev}) "
-        "SELECT doc_id, md5(t) AS enc_md5, "
+        + " SELECT doc_id, md5(t) AS enc_md5, "
         f"CAST(length(t) - length(replace(t, {sep}, '')) + 1 AS BIGINT) AS n_tokens "
         "FROM fin"
     )
-    return "".join(parts)
 
 
 _SPECS.append(
