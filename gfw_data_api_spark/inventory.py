@@ -1319,6 +1319,98 @@ _SPECS.append(
 )
 
 
+def _ts05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (the ts03 grid with the other
+    Timescale fill mode). Fractions come from grid ROW POSITIONS — exact
+    small integers — so the interpolation is three IEEE double ops in a
+    pinned order and the raw doubles hash-match across engines with no
+    epoch/timezone arithmetic anywhere."""
+    from gfw_data_api_spark.operators.timeseries import resample_interpolate
+
+    events = load_table(spark, sf_dir, "events")
+    out = resample_interpolate(
+        events, ["event_type"], ts_col="ts", value_col="value",
+        order_col="event_id", unit="hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value",
+        "filled",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="ts05_resample_interpolate",
+        spark_fn=_ts05,
+        oracle=(
+            "WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS bucket, "
+            "arg_max(value, event_id) AS o FROM events GROUP BY 1, 2), "
+            "spans AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx "
+            "FROM obs GROUP BY 1), "
+            "grid AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket "
+            "FROM spans), "
+            "j AS (SELECT g.event_type, g.bucket, o.o FROM grid g "
+            "LEFT JOIN obs o ON o.event_type = g.event_type AND o.bucket = g.bucket), "
+            "j2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS i FROM j), "
+            "w AS (SELECT event_type, bucket, o, i, "
+            "last_value(o IGNORE NULLS) OVER back AS pv, "
+            "last_value(CASE WHEN o IS NOT NULL THEN i END IGNORE NULLS) OVER back AS pi, "
+            "first_value(o IGNORE NULLS) OVER fwd AS nv, "
+            "first_value(CASE WHEN o IS NOT NULL THEN i END IGNORE NULLS) OVER fwd AS ni "
+            "FROM j2 WINDOW "
+            "back AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "fwd AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+            "SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts, "
+            "CASE WHEN o IS NOT NULL THEN o "
+            "WHEN pv IS NULL OR nv IS NULL THEN NULL "
+            "ELSE pv + (nv - pv) * (CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)) END AS value, "
+            "o IS NULL AS filled FROM w"
+        ),
+        survey_ref="beyond-reference (SURVEY §2.7): gap-fill resample + "
+        "linear interpolation (TimescaleDB interpolate analog; "
+        "position-based fractions, bit-stable doubles)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q30_filter_clause_breadth",
+        spark_fn=_guarded(
+            "lineitem",
+            "SELECT l_returnflag, "
+            "count(*) FILTER (WHERE l_quantity > 25) AS n_big, "
+            "count(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+            "FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_price, "
+            "greatest(max(l_tax), max(l_discount)) AS g, "
+            "least(min(l_tax), min(l_discount)) AS l, "
+            "coalesce(nullif(min(l_linestatus), 'O'), 'fallback') AS status_c "
+            "FROM data GROUP BY l_returnflag "
+            "ORDER BY l_returnflag NULLS LAST",
+        ),
+        oracle=(
+            "SELECT l_returnflag, "
+            "count(*) FILTER (WHERE l_quantity > 25) AS n_big, "
+            "count(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+            "FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_price, "
+            "greatest(max(l_tax), max(l_discount)) AS g, "
+            "least(min(l_tax), min(l_discount)) AS l, "
+            "coalesce(nullif(min(l_linestatus), 'O'), 'fallback') AS status_c "
+            "FROM lineitem GROUP BY l_returnflag "
+            "ORDER BY l_returnflag NULLS LAST"
+        ),
+        survey_ref="Q11/Q5 dialect breadth: aggregate FILTER clause "
+        "(PostgreSQL syntax the reference's engine accepts), "
+        "greatest/least, nullif/coalesce, NULLS LAST ordering — all "
+        "through the guarded query path",
+    )
+)
+
+
 _SPECS.append(
     QuerySpec(
         name="q18_percentiles",
@@ -3096,9 +3188,10 @@ _DRIVER_FRONT: list[str] = [
     "b02_bpe_encode",
     "c05_robots_filter",
     "st09_jsonl_stream_monitor",
-    # p05_curate_crawl is slot 51 — outside the driver's 50-row budget;
-    # its stages are all individually driver-gated (e15/c04/t22/b02) and
-    # it is locally verified via check_oracle; front-load it in r6.
+    # p05_curate_crawl, ts05_resample_interpolate and
+    # q30_filter_clause_breadth are slots 51+ — outside the driver's
+    # 50-row budget; locally verified via check_oracle (p05's stages are
+    # all individually driver-gated e15/c04/t22/b02); front-load in r6.
     # --- r3-checked backfills: NONE fit in the 50-slot budget this
     # round. The 38 r3 rows — st03/st04/st05/st06/st07, t06-t14,
     # ts01-ts04, u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02,

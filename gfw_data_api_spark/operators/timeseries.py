@@ -193,6 +193,72 @@ def resample_locf(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = None,
+    unit: str = "hour",
+) -> DataFrame:
+    """Densify a sparse series to a regular ``unit`` grid per key, filling
+    gaps by LINEAR INTERPOLATION between the neighboring observations —
+    the ``interpolate`` companion to :func:`resample_locf`'s LOCF (the
+    other TimescaleDB ``time_bucket_gapfill`` fill mode; no reference
+    analog — SURVEY §2.7).
+
+    Bucketing and grid semantics are identical to :func:`resample_locf`
+    (per-bucket survivor by greatest ``order_col``, each key's grid spans
+    its own observed lifetime, so every gap is interior and always has
+    both neighbors). The interpolation fraction is computed from BUCKET
+    POSITIONS (row indexes on the regular grid), not from timestamp
+    arithmetic — positions are exact small integers, so the float math
+    is three IEEE ops in a fixed order and reproduces bit-for-bit across
+    engines and timezones (no epoch/DST dependence).
+
+    Scale shape: same as locf — bucket collapse, native sequence() grid,
+    one (key, bucket) join — plus ONE window sort per key that feeds all
+    four neighbor columns (Catalyst computes them in a single Window
+    exec over one exchange).
+    """
+    order = order_col or ts_col
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    obs = df.groupBy(*key_cols, bucket).agg(
+        F.max_by(F.col(value_col), F.col(order)).alias("_obs")
+    )
+    spans = obs.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_first"), F.max("bucket").alias("_last")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence("_first", "_last", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(obs, [*key_cols, "bucket"], "left")
+    w_ord = Window.partitionBy(*key_cols).orderBy("bucket")
+    w_back = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    idx = (F.row_number().over(w_ord) - 1).cast("bigint")
+    with_idx = joined.withColumn("_i", idx)
+    obs_i = F.when(F.col("_obs").isNotNull(), F.col("_i"))
+    pv = F.last("_obs", ignorenulls=True).over(w_back)
+    pi = F.last(obs_i, ignorenulls=True).over(w_back)
+    nv = F.first("_obs", ignorenulls=True).over(w_fwd)
+    ni = F.first(obs_i, ignorenulls=True).over(w_fwd)
+    frac = (F.col("_i") - pi).cast("double") / (ni - pi).cast("double")
+    interp = pv + (nv - pv) * frac
+    return with_idx.select(
+        *key_cols,
+        "bucket",
+        F.when(F.col("_obs").isNotNull(), F.col("_obs"))
+        .when(pv.isNull() | nv.isNull(), F.lit(None).cast("double"))
+        .otherwise(interp)
+        .alias(value_col),
+        F.col("_obs").isNull().alias("filled"),
+    )
+
+
 def interarrival_stats(
     events: DataFrame,
     key_cols: list[str] | str,

@@ -358,6 +358,75 @@ def test_continuous_aggregate_touches_only_affected_partitions(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_resample_interpolate_linear_fill(spark):
+    from gfw_data_api_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        # key "a": obs at hours 0 (val 10) and 3 (val 16) → gaps at 1, 2
+        # interpolate: 10 + 6*(1/3) = 12, 10 + 6*(2/3) = 14
+        ("a", "2024-01-01 00:30:00", 1, 10.0),
+        ("a", "2024-01-01 03:20:00", 2, 16.0),
+        # key "b": consecutive obs → nothing to fill
+        ("b", "2024-01-01 05:00:00", 3, 5.0),
+        ("b", "2024-01-01 06:00:00", 4, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, id long, value double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "id", "value"
+    )
+    out = resample_interpolate(df, ["k"], ts_col="ts", value_col="value", order_col="id")
+    got = {
+        (r["k"], str(r["bucket"])): (r["value"], r["filled"]) for r in out.collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 00:00:00"): (10.0, False),
+        ("a", "2024-01-01 01:00:00"): (12.0, True),
+        ("a", "2024-01-01 02:00:00"): (14.0, True),
+        ("a", "2024-01-01 03:00:00"): (16.0, False),
+        ("b", "2024-01-01 05:00:00"): (5.0, False),
+        ("b", "2024-01-01 06:00:00"): (7.0, False),
+    }
+
+
+def test_resample_interpolate_multiple_segments_and_tie(spark):
+    from gfw_data_api_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1, 0.0),
+        ("a", "2024-01-01 00:30:00", 2, 2.0),  # same bucket: id 2 wins
+        ("a", "2024-01-01 02:00:00", 3, 6.0),  # gap at 1 → 4.0
+        ("a", "2024-01-01 04:00:00", 4, 0.0),  # gap at 3 → 3.0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, id long, value double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "id", "value"
+    )
+    out = resample_interpolate(df, ["k"], order_col="id")
+    got = {str(r["bucket"]): r["value"] for r in out.collect()}
+    assert got == {
+        "2024-01-01 00:00:00": 2.0,
+        "2024-01-01 01:00:00": 4.0,
+        "2024-01-01 02:00:00": 6.0,
+        "2024-01-01 03:00:00": 3.0,
+        "2024-01-01 04:00:00": 0.0,
+    }
+
+
+def test_resample_interpolate_single_window_exchange(spark):
+    from gfw_data_api_spark.operators.timeseries import resample_interpolate
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1, 1.0)], "k string, ts string, id long, value double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "id", "value")
+    plan = (
+        resample_interpolate(df, ["k"], order_col="id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all four neighbor columns + row_number must share ONE Window sort
+    assert plan.count("Window") <= 2  # row_number window + frame windows
+    assert "CartesianProduct" not in plan
+
+
 def test_resample_locf_fills_gaps(spark):
     from gfw_data_api_spark.operators.timeseries import resample_locf
 
