@@ -55,9 +55,20 @@ def test_pagerank_zero_iters_is_uniform_and_validation(spark):
         pagerank(df, iters=-1)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.5)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(df, checkpoint_every=0)
     empty = spark.createDataFrame([], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="at least one edge"):
         pagerank(empty)
+
+
+def test_pagerank_checkpoint_interval_does_not_change_values(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    base = {r.node: r.rank for r in pagerank(df, 0.85, 7, checkpoint_every=1).collect()}
+    for k in (2, 3, 7):
+        got = {r.node: r.rank for r in pagerank(df, 0.85, 7, checkpoint_every=k).collect()}
+        assert got == base
 
 
 def test_pagerank_sink_heavy_graph_ranks_sink_highest(spark):
