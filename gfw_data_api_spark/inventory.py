@@ -1411,6 +1411,56 @@ _SPECS.append(
 )
 
 
+def _t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal inside the hard gate (the
+    a01/a02 envelope-boolean pattern for implementation-specific
+    numbers): odd-residue docs are replaced by repeated-char runs of
+    the same length, even docs keep natural text; zlib sizes are
+    implementation-specific so the gate pins exact byte lengths, the
+    degenerate verdict per residue, and measured-envelope ratio bounds
+    (natural ≥ 0.38, repeated ≤ 0.28 at every test SF — thresholds
+    0.33 both ways with margin)."""
+    from gfw_data_api_spark.llmops.text import compression_signals
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.repeat(F.lit("a"), F.col("n_chars").cast("int"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = compression_signals(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "is_degenerate",
+        (F.col("compress_ratio") > 0.0).alias("ratio_positive"),
+        (F.col("compress_ratio") < 2.0).alias("ratio_sane"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t23_compression_ratio",
+        spark_fn=_t23,
+        oracle=(
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN n_chars "
+            "ELSE strlen(text) END AS BIGINT) AS n_bytes, "
+            "doc_id % 2 = 1 AS is_degenerate, "
+            "TRUE AS ratio_positive, TRUE AS ratio_sane "
+            "FROM documents WHERE doc_id < 400"
+        ),
+        survey_ref="LLM pipeline: compression-ratio quality signal "
+        "(llmops/text.py compression_signals — zlib DEFLATE ratio flags "
+        "degenerate/templated text; Arrow-batched, no shuffle; "
+        "envelope-boolean oracle, thresholds measured per-SF)",
+    )
+)
+
+
 _SPECS.append(
     QuerySpec(
         name="q18_percentiles",
@@ -3188,10 +3238,11 @@ _DRIVER_FRONT: list[str] = [
     "b02_bpe_encode",
     "c05_robots_filter",
     "st09_jsonl_stream_monitor",
-    # p05_curate_crawl, ts05_resample_interpolate and
-    # q30_filter_clause_breadth are slots 51+ — outside the driver's
-    # 50-row budget; locally verified via check_oracle (p05's stages are
-    # all individually driver-gated e15/c04/t22/b02); front-load in r6.
+    # p05_curate_crawl, ts05_resample_interpolate,
+    # q30_filter_clause_breadth and t23_compression_ratio are slots
+    # 51+ — outside the driver's 50-row budget; locally verified via
+    # check_oracle (p05's stages are all individually driver-gated
+    # e15/c04/t22/b02); front-load in r6.
     # --- r3-checked backfills: NONE fit in the 50-slot budget this
     # round. The 38 r3 rows — st03/st04/st05/st06/st07, t06-t14,
     # ts01-ts04, u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02,
