@@ -3244,10 +3244,10 @@ _DRIVER_FRONT: list[str] = [
     # check_oracle (p05's stages are all individually driver-gated
     # e15/c04/t22/b02); front-load in r6.
     # --- r3-checked backfills: NONE fit in the 50-slot budget this
-    # round. The 38 r3 rows — st03/st04/st05/st06/st07, t06-t14,
-    # ts01-ts04, u01, w01/w02, dq01, e04/e05, r03, s06, d08, d10, c02,
-    # q01-q07, q18-q22 — are 2 rounds old at r6 and MUST front-load
-    # in r6 (split across r6/r7 if the budget stays at 50). ---
+    # round. The 41 stale rows — st03/st04/st05/st06/st07 (5), t06-t14
+    # (9), ts01-ts04 (4), u01, w01/w02, dq01, e04/e05, r03, s06, d08,
+    # d10, c02 (11), q01-q07 (7), q18-q22 (5) — are 2 rounds old at r6
+    # and MUST front-load in r6 (split across r6/r7 at a 50 budget). ---
 ]
 
 

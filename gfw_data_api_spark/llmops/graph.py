@@ -103,9 +103,9 @@ def pagerank(
         # plan size (2^interval between cuts): measured on the 8×
         # probe graph, every-2 runs 10 supersteps in 9.8 s vs 15.7 s
         # for every-1 (fewer jobs) and 13.9 s for every-5 (analyzer
-        # pays the 16× plan) — every-2 is the default.
-        if t % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+        # pays the 16× plan) — every-2 is the default. Cutting at the
+        # END of the body (below) never wastes a job on the trivial
+        # initial ranks and always returns a truncated final plan.
         dangling_share = ranks.join(dangling, "node").agg(
             (F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("_dm_n")
         )
@@ -127,4 +127,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if (t + 1) % checkpoint_every == 0 or t == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks

@@ -109,19 +109,18 @@ def parse_robots(
     )
 
 
-def _prefix_matches(path: Column, prefix: Column) -> Column:
-    """RFC 9309 path matching: literal prefix, '*' any-run, '$' end anchor.
-
-    Implemented by regex-quoting the literal spans (native ``rlike`` on a
-    per-row built pattern is not available pre-Spark-3.2 style — here we
-    build the pattern as a COLUMN and use rlike's column form)."""
+def _prefix_pattern(prefix: Column) -> Column:
+    """Anchored regex pattern for an RFC 9309 path prefix: literal spans
+    regex-quoted, '*' -> any-run, a TRAILING '$' -> end anchor (mid-string
+    '$' stays literal). Built as a COLUMN so it is projected onto the tiny
+    rules side ONCE PER RULE before the join -- only the rlike itself runs
+    per (url x rule) candidate row."""
     quoted = F.regexp_replace(prefix, r"([.\\+?\[\]^$(){}|])", r"\\$1")
-    # after quoting, '$' became '\$' — restore a TRAILING anchor only
     pat = F.regexp_replace(quoted, r"\*", ".*")
     pat = F.when(
         pat.endswith("\\$"), F.concat(F.substring(pat, 0, F.length(pat) - 2), F.lit("$"))
     ).otherwise(pat)
-    return F.rlike(path, F.concat(F.lit("^"), pat))
+    return F.concat(F.lit("^"), pat)
 
 
 def robots_filter(
@@ -134,34 +133,60 @@ def robots_filter(
 
     The longest matching rule's ``path_prefix`` decides; ``allow`` wins
     ties; URLs whose host has no matching rule are allowed.
+
+    The verdict is a function of ``(host, path)`` alone, so it is
+    computed once per DISTINCT pair and joined back -- duplicate URL rows
+    (the same page discovered via several referrers) keep their
+    multiplicity and every other ``urls`` column passes through
+    untouched. The per-rule regex pattern is projected onto the rules
+    side BEFORE the join, so the join evaluates one ``rlike`` per
+    candidate row and nothing else.
     """
+    if "robots_allowed" in urls.columns:
+        raise ValueError("urls already has a robots_allowed column")
+    r = rules.select(
+        F.col("host").alias("_rb_host"),
+        F.col("rule").alias("_rb_rule"),
+        F.length("path_prefix").alias("_rb_len"),
+        _prefix_pattern(F.col("path_prefix")).alias("_rb_pat"),
+    )
+    pairs = urls.select(
+        F.col(host_col).alias("_rb_h"), F.col(path_col).alias("_rb_p")
+    ).distinct()
     matches = (
-        urls.join(rules, urls[host_col] == rules["host"], "left")
+        pairs.join(r, pairs["_rb_h"] == r["_rb_host"], "left")
         .withColumn(
-            "_hit",
-            F.col("path_prefix").isNotNull()
-            & _prefix_matches(F.col(path_col), F.col("path_prefix")),
+            "_rb_hit",
+            F.col("_rb_pat").isNotNull() & F.rlike(F.col("_rb_p"), F.col("_rb_pat")),
         )
         .withColumn(
             # ties: allow > disallow, encoded in the max_by key as
-            # (match_len, is_allow); non-matches sort below everything
-            "_key",
+            # (match_len, is_allow); non-matches get a NULL key, which
+            # max_by ignores
+            "_rb_key",
             F.when(
-                F.col("_hit"),
+                F.col("_rb_hit"),
                 F.struct(
-                    F.length("path_prefix").alias("l"),
-                    (F.col("rule") == "allow").cast("int").alias("a"),
+                    F.col("_rb_len").alias("l"),
+                    (F.col("_rb_rule") == "allow").cast("int").alias("a"),
                 ),
             ),
         )
     )
-    urls_cols = urls.columns
-    return (
-        matches.groupBy(*[urls[c].alias(c) for c in urls_cols])
-        .agg(F.max_by("rule", "_key").alias("_winner"))
-        .withColumn(
-            "robots_allowed",
-            F.coalesce(F.col("_winner") != "disallow", F.lit(True)),
+    verdicts = (
+        matches.groupBy("_rb_h", "_rb_p")
+        .agg(F.max_by("_rb_rule", "_rb_key").alias("_rb_winner"))
+        .select(
+            "_rb_h",
+            "_rb_p",
+            F.coalesce(F.col("_rb_winner") != "disallow", F.lit(True)).alias(
+                "robots_allowed"
+            ),
         )
-        .drop("_winner")
     )
+    joined = urls.join(
+        verdicts,
+        (urls[host_col] == verdicts["_rb_h"]) & (urls[path_col] == verdicts["_rb_p"]),
+        "left",
+    )
+    return joined.select(*[urls[c] for c in urls.columns], "robots_allowed")

@@ -133,6 +133,36 @@ def interval_join(
     return joined.select(*events.columns, *intervals.columns)
 
 
+def _gapfill_grid(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_col: str | None,
+    unit: str,
+) -> DataFrame:
+    """Shared gap-fill scaffolding for both fill modes (LOCF and linear
+    interpolation): bucket collapse (per-bucket survivor = greatest
+    ``order_col``), per-key span aggregation, native ``sequence()`` grid
+    over each key's observed lifetime, and the (key, bucket) left join.
+    Returns the densified frame with ``_obs`` NULL in gap rows."""
+    order = order_col or ts_col
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    obs = df.groupBy(*key_cols, bucket).agg(
+        F.max_by(F.col(value_col), F.col(order)).alias("_obs")
+    )
+    spans = obs.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_first"), F.max("bucket").alias("_last")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence("_first", "_last", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket"),
+    )
+    return grid.join(obs, [*key_cols, "bucket"], "left")
+
+
 def resample_locf(
     df: DataFrame,
     key_cols: list[str],
@@ -165,21 +195,7 @@ def resample_locf(
     loops; each stage partitions on the key columns so a 100 TB series
     spreads by key.
     """
-    order = order_col or ts_col
-    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
-    obs = df.groupBy(*key_cols, bucket).agg(
-        F.max_by(F.col(value_col), F.col(order)).alias("_obs")
-    )
-    spans = obs.groupBy(*key_cols).agg(
-        F.min("bucket").alias("_first"), F.max("bucket").alias("_last")
-    )
-    grid = spans.select(
-        *key_cols,
-        F.explode(
-            F.sequence("_first", "_last", F.expr(f"INTERVAL 1 {unit}"))
-        ).alias("bucket"),
-    )
-    joined = grid.join(obs, [*key_cols, "bucket"], "left")
+    joined = _gapfill_grid(df, key_cols, ts_col, value_col, order_col, unit)
     w = (
         Window.partitionBy(*key_cols)
         .orderBy("bucket")
@@ -221,21 +237,7 @@ def resample_interpolate(
     four neighbor columns (Catalyst computes them in a single Window
     exec over one exchange).
     """
-    order = order_col or ts_col
-    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
-    obs = df.groupBy(*key_cols, bucket).agg(
-        F.max_by(F.col(value_col), F.col(order)).alias("_obs")
-    )
-    spans = obs.groupBy(*key_cols).agg(
-        F.min("bucket").alias("_first"), F.max("bucket").alias("_last")
-    )
-    grid = spans.select(
-        *key_cols,
-        F.explode(
-            F.sequence("_first", "_last", F.expr(f"INTERVAL 1 {unit}"))
-        ).alias("bucket"),
-    )
-    joined = grid.join(obs, [*key_cols, "bucket"], "left")
+    joined = _gapfill_grid(df, key_cols, ts_col, value_col, order_col, unit)
     w_ord = Window.partitionBy(*key_cols).orderBy("bucket")
     w_back = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)

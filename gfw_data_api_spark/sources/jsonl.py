@@ -161,7 +161,12 @@ def ingest_monitor_by_source(
     ``__corrupt__`` source. One grouped aggregate, map-side combined;
     referencing the data columns keeps the plan legal on raw JSON scans
     (see :func:`corrupt_record_summary`)."""
-    bad = F.col(corrupt_col).isNotNull()
+    # under schema inference Spark adds the corrupt column only when the
+    # sample contained corrupt rows — treat its absence as all-valid
+    # (the same guard corrupt_record_summary applies)
+    bad = (
+        F.col(corrupt_col).isNotNull() if corrupt_col in df.columns else F.lit(False)
+    )
     return df.groupBy(
         F.when(bad, F.lit("__corrupt__")).otherwise(F.col(source_col)).alias("source")
     ).agg(

@@ -168,6 +168,22 @@ def test_stream_jsonl_equals_batch_twin(spark, tmp_path):
     assert got["web"] == (2, 30)
 
 
+def test_ingest_monitor_without_corrupt_column(spark, tmp_path):
+    # inferred schema over a clean file: Spark omits _corrupt_record
+    # entirely — the monitor must treat that as all-valid, not crash
+    import json as _json
+
+    from gfw_data_api_spark.sources.jsonl import ingest_monitor_by_source
+
+    path = tmp_path / "clean.jsonl"
+    with open(path, "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "source": "web", "n_chars": 4}) + "\n")
+    df = read_jsonl(spark, str(path))
+    assert "_corrupt_record" not in df.columns
+    row = ingest_monitor_by_source(df).collect()[0]
+    assert (row.source, row.n_docs, row.sum_chars) == ("web", 1, 4)
+
+
 def test_stream_jsonl_requires_schema(spark):
     from gfw_data_api_spark.sources.jsonl import stream_jsonl
 

@@ -112,6 +112,25 @@ def test_filter_host_without_rules_is_allowed(spark):
     assert got == {("h1", "/x"): False, ("h2", "/x"): True}
 
 
+def test_filter_preserves_duplicate_url_rows_and_extra_columns(spark):
+    hosts = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /x/\n")], "host string, robots_txt string"
+    )
+    rules = parse_robots(hosts)
+    # same (host, path) twice via different referrers + a 'rule' column
+    # name that used to collide with the rules side
+    urls = spark.createDataFrame(
+        [("h", "/x/a", "ref1", "r0"), ("h", "/x/a", "ref2", "r1"), ("h", "/ok", "ref3", "r2")],
+        "host string, path string, referrer string, rule string",
+    )
+    got = robots_filter(urls, rules).collect()
+    assert len(got) == 3  # multiplicity preserved
+    by_ref = {r.referrer: (r.robots_allowed, r.rule) for r in got}
+    assert by_ref == {"ref1": (False, "r0"), "ref2": (False, "r1"), "ref3": (True, "r2")}
+    with pytest.raises(ValueError, match="robots_allowed"):
+        robots_filter(urls.withColumn("robots_allowed", F.lit(True)), rules)
+
+
 def test_regex_metachars_in_prefix_are_literal(spark):
     got = _filter(
         spark,
