@@ -3239,7 +3239,8 @@ _DRIVER_FRONT: list[str] = [
     "c05_robots_filter",
     "st09_jsonl_stream_monitor",
     # p05_curate_crawl, ts05_resample_interpolate,
-    # q30_filter_clause_breadth and t23_compression_ratio are slots
+    # q30_filter_clause_breadth, t23_compression_ratio,
+    # e16_geostore_inheritance and c06_keyword_blocklist are slots
     # 51+ — outside the driver's 50-row budget; locally verified via
     # check_oracle (p05's stages are all individually driver-gated
     # e15/c04/t22/b02); front-load in r6.
@@ -6446,6 +6447,133 @@ _SPECS.append(
         "(sources/warc.py — per-record-gzip member parse, HTTP response "
         "split, executor-side mapInPandas; composed with llmops/html "
         "extraction end-to-end)",
+    )
+)
+
+
+def _c06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-blocklist screening inside the hard gate: planted
+    occurrences by residue — residue 1 appends one blocked term,
+    residue 2 appends three (two of one term + one of another, one
+    embedded mid-sentence), residue 3 appends a SUPERSTRING of a
+    blocked term ('badwordly') that whole-word matching must NOT
+    count. Texts are pre-filtered (identically both sides) to exclude
+    accidental occurrences, so every count is a closed-form residue
+    constant the oracle emits directly."""
+    from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400)
+        & ~F.col("text").contains("badword")
+        & ~F.col("text").contains("evilterm")
+    )
+    r = F.col("doc_id") % 4
+    aug = docs.select(
+        "doc_id",
+        F.when(r == 1, F.concat("text", F.lit(" badword")))
+        .when(r == 2, F.concat(F.lit("badword start "), "text", F.lit(" BadWord evilterm")))
+        .when(r == 3, F.concat("text", F.lit(" badwordly")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = keyword_blocklist_signals(aug, ["badword", "evilterm"])
+    return out.select("doc_id", "n_blocklist_hits", "is_blocked")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="c06_keyword_blocklist",
+        spark_fn=_c06,
+        oracle=(
+            "SELECT doc_id, "
+            "CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END AS BIGINT) "
+            "AS n_blocklist_hits, "
+            "doc_id % 4 IN (1, 2) AS is_blocked "
+            "FROM documents WHERE doc_id < 400 "
+            "AND text NOT LIKE '%badword%' AND text NOT LIKE '%evilterm%'"
+        ),
+        survey_ref="LLM pipeline: keyword-blocklist screening "
+        "(llmops/clean.py keyword_blocklist_signals — one compiled "
+        "longest-first alternation via native regexp_count, whole-word "
+        "boundaries, case folding; zero shuffle)",
+    )
+)
+
+
+def _e16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 geostore inheritance inside the hard gate: two REAL
+    geo_database_table versions are registered in a scratch catalog,
+    their rows built natively (content-addressed gfw_geostore_id =
+    dash-formatted md5 of the canonical GeoJSON — reference
+    crud/geostore.py:82-134), and the REAL Geostore.inherited_view
+    union is what the gate returns. The oracle recomputes every id
+    with DuckDB's own md5 over the identical canonical string, so the
+    content-addressing contract (not just row plumbing) is pinned
+    cross-engine. Customers with residue 2 are registered in NEITHER
+    version and must be absent."""
+    from gfw_data_api_spark.catalog.geostore import Geostore
+    from gfw_data_api_spark.catalog.registry import Registry
+
+    registry = Registry(tempfile.mkdtemp(prefix="gfw_e16_"))
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 90)
+    x = (F.col("c_custkey") % 19).cast("string")
+    y = (F.col("c_custkey") % 7).cast("string")
+    gj = F.concat(
+        F.lit('{"type": "Point", "coordinates": ['), x, F.lit(", "), y, F.lit("]}")
+    )
+    h = F.md5(gj)
+    gid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    feats = cust.select(
+        (F.col("c_custkey") % 3).alias("_r"),
+        gid.alias("gfw_geostore_id"),
+        gj.alias("gfw_geojson"),
+        F.lit(0.0).alias("gfw_area__ha"),
+        F.array(
+            (F.col("c_custkey") % 19).cast("double"),
+            (F.col("c_custkey") % 7).cast("double"),
+            (F.col("c_custkey") % 19).cast("double"),
+            (F.col("c_custkey") % 7).cast("double"),
+        ).alias("gfw_bbox"),
+    )
+    for version, residue in (("v1", 0), ("v2", 1)):
+        registry.ensure_dataset("vec")
+        registry.create_version("vec", version)
+        asset = registry.create_asset("vec", version, "geo_database_table", is_default=True)
+        feats.filter(F.col("_r") == residue).drop("_r").write.mode("overwrite").parquet(
+            asset.asset_uri
+        )
+        registry.set_asset_status(asset.asset_id, "saved")
+        registry.set_version_status("vec", version, "saved", "e16 fixture")
+    union = Geostore(registry).inherited_view(spark)
+    return union.select("gfw_geostore_id", "gfw_geojson")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e16_geostore_inheritance",
+        spark_fn=_e16,
+        oracle=(
+            "WITH f AS (SELECT c_custkey, "
+            "'{\"type\": \"Point\", \"coordinates\": [' || "
+            "CAST(c_custkey % 19 AS VARCHAR) || ', ' || "
+            "CAST(c_custkey % 7 AS VARCHAR) || ']}' AS gj "
+            "FROM customer WHERE c_custkey < 90 AND c_custkey % 3 IN (0, 1)), "
+            "h AS (SELECT gj, md5(gj) AS hx FROM f) "
+            "SELECT substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' || "
+            "substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' || "
+            "substr(hx, 21, 12) AS gfw_geostore_id, gj AS gfw_geojson FROM h"
+        ),
+        survey_ref="E11 geostore inheritance (catalog/geostore.py "
+        "inherited_view — content-addressed ids over a lazily-unioned "
+        "registry of geo versions; reference inherit_geostore.sh + "
+        "crud/geostore.py md5-uuid addressing)",
     )
 )
 

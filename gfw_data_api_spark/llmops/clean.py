@@ -126,6 +126,49 @@ def scrub_pii(
     )
 
 
+def keyword_blocklist_signals(
+    df: DataFrame,
+    keywords: list[str],
+    text_col: str = "text",
+    case_insensitive: bool = True,
+    whole_word: bool = True,
+) -> DataFrame:
+    """Blocklist screening (the FlashText/banned-word pass every corpus
+    pipeline runs for NSFW/spam/doc-type filters): append
+    ``n_blocklist_hits`` (total occurrences across all keywords) and
+    ``is_blocked`` (any hit).
+
+    One compiled alternation evaluated by native ``regexp_count`` — a
+    single codegen map over the scan, no UDF, no shuffle. Keywords are
+    regex-quoted (treated as literals) and sorted longest-first so an
+    overlapping pair like ``foo``/``foobar`` counts the longer term at
+    each site, and ``whole_word`` wraps the alternation in ``\\b`` so
+    substrings inside larger words don't match. The alternation scales
+    to the hundreds-of-terms blocklists these filters actually use; a
+    pattern over 20k chars raises — beyond that an Aho-Corasick trie in
+    ``mapInPandas`` is the right tool, and the loud error says so.
+    """
+    if not keywords:
+        raise ValueError("keywords must be non-empty")
+    import re as _re
+
+    parts = [_re.escape(k) for k in sorted(set(keywords), key=len, reverse=True)]
+    pattern = "(?:" + "|".join(parts) + ")"
+    if whole_word:
+        pattern = r"\b" + pattern + r"\b"
+    if case_insensitive:
+        pattern = "(?i)" + pattern
+    if len(pattern) > 20_000:
+        raise ValueError(
+            f"blocklist pattern is {len(pattern)} chars (>20000); "
+            "use an Aho-Corasick mapInPandas pass for blocklists this large"
+        )
+    hits = F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint")
+    return df.withColumn("n_blocklist_hits", hits).withColumn(
+        "is_blocked", F.col("n_blocklist_hits") > 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization (web-corpus dedup prep)
 # ---------------------------------------------------------------------------

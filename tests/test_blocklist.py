@@ -1,0 +1,59 @@
+"""Tests for keyword blocklist screening (llmops/clean.py, gate c06)."""
+
+import pytest
+
+from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals
+
+
+def _one(spark, text, keywords, **kw):
+    df = spark.createDataFrame([(text,)], "text string")
+    return keyword_blocklist_signals(df, keywords, **kw).collect()[0]
+
+
+def test_counts_and_blocked_flag(spark):
+    r = _one(spark, "spam here and SPAM there, plus scam", ["spam", "scam"])
+    assert r.n_blocklist_hits == 3  # case-insensitive by default
+    assert r.is_blocked is True
+    clean = _one(spark, "all fine here", ["spam", "scam"])
+    assert (clean.n_blocklist_hits, clean.is_blocked) == (0, False)
+
+
+def test_whole_word_boundaries(spark):
+    r = _one(spark, "badwords are not badword matches", ["badword"])
+    assert r.n_blocklist_hits == 1  # 'badwords' must NOT match
+    loose = _one(spark, "badwords", ["badword"], whole_word=False)
+    assert loose.n_blocklist_hits == 1
+
+
+def test_overlapping_keywords_count_longest(spark):
+    r = _one(spark, "foobar foo", ["foo", "foobar"])
+    assert r.n_blocklist_hits == 2  # foobar once (not foo+bar), foo once
+
+
+def test_case_sensitive_mode(spark):
+    r = _one(spark, "Spam spam", ["spam"], case_insensitive=False)
+    assert r.n_blocklist_hits == 1
+
+
+def test_regex_metachars_are_literal(spark):
+    r = _one(spark, "price is $9.99 (sale)", ["$9.99", "(sale)"], whole_word=False)
+    assert r.n_blocklist_hits == 2
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        keyword_blocklist_signals(df, [])
+    with pytest.raises(ValueError, match="Aho-Corasick"):
+        keyword_blocklist_signals(df, [f"kw{i:05d}" for i in range(4000)])
+
+
+def test_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = (
+        keyword_blocklist_signals(df, ["spam"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
