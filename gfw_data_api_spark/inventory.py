@@ -3240,7 +3240,8 @@ _DRIVER_FRONT: list[str] = [
     "st09_jsonl_stream_monitor",
     # p05_curate_crawl, ts05_resample_interpolate,
     # q30_filter_clause_breadth, t23_compression_ratio,
-    # e16_geostore_inheritance and c06_keyword_blocklist are slots
+    # e16_geostore_inheritance, c06_keyword_blocklist and
+    # e17_feature_info_selection are slots
     # 51+ — outside the driver's 50-row budget; locally verified via
     # check_oracle (p05's stages are all individually driver-gated
     # e15/c04/t22/b02); front-load in r6.
@@ -6447,6 +6448,62 @@ _SPECS.append(
         "(sources/warc.py — per-record-gzip member parse, HTTP response "
         "split, executor-side mapInPandas; composed with llmops/html "
         "extraction end-to-end)",
+    )
+)
+
+
+def _e17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 feature-info selection inside the hard gate: a registered
+    version whose table carries BOTH feature-info columns and excluded
+    ones (a ``geom``-prefixed geometry and an underscore-prefixed
+    internal hash — the reference's is_feature_info rule,
+    app/utils/fields.py), field metadata harvested from the real
+    schema by set_asset_fields, then three exact-id lookups through
+    feature_by_id (I7 path) whose projection must drop the excluded
+    columns. The driver's schema comparison enforces the exclusion:
+    a leaked geom/_ column fails the column-name match."""
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.operators.features import feature_by_id
+
+    registry = Registry(tempfile.mkdtemp(prefix="gfw_e17_"))
+    tbl = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 120).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.concat(F.lit("POINT("), (F.col("c_custkey") % 19).cast("string"), F.lit(" 0)")).alias(
+            "geom_wkt"
+        ),
+        F.md5("c_name").alias("_row_hash"),
+    )
+    registry.ensure_dataset("vec")
+    registry.create_version("vec", "v1")
+    asset = registry.create_asset("vec", "v1", "geo_database_table", is_default=True)
+    tbl.write.mode("overwrite").parquet(asset.asset_uri)
+    registry.set_asset_fields(asset.asset_id, tbl)
+    registry.set_asset_status(asset.asset_id, "saved")
+    registry.set_version_status("vec", "v1", "saved", "e17 fixture")
+    parts = [
+        feature_by_id(spark, registry, "vec", "v1", "c_custkey", k) for k in (5, 17, 46)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e17_feature_info_selection",
+        spark_fn=_e17,
+        oracle=(
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey IN (5, 17, 46)"
+        ),
+        survey_ref="E14 feature-info selection + I7 exact-id lookup "
+        "(catalog/registry.py set_asset_fields/feature_info_fields — "
+        "is_feature_info excludes geom*/_-prefixed columns like the "
+        "reference's fields harvest; operators/features.py "
+        "feature_by_id projects to the selected set)",
     )
 )
 
