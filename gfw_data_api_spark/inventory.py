@@ -3241,7 +3241,7 @@ _DRIVER_FRONT: list[str] = [
     # p05_curate_crawl, ts05_resample_interpolate,
     # q30_filter_clause_breadth, t23_compression_ratio,
     # e16_geostore_inheritance, c06_keyword_blocklist and
-    # e17_feature_info_selection are slots
+    # e17_feature_info_selection and e18_vector_export_roundtrip are slots
     # 51+ — outside the driver's 50-row budget; locally verified via
     # check_oracle (p05's stages are all individually driver-gated
     # e15/c04/t22/b02); front-load in r6.
@@ -6448,6 +6448,66 @@ _SPECS.append(
         "(sources/warc.py — per-record-gzip member parse, HTTP response "
         "split, executor-side mapInPandas; composed with llmops/html "
         "extraction end-to-end)",
+    )
+)
+
+
+def _e18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 vector export inside the hard gate: features assembled from
+    customer rows (canonical point GeoJSON via the e16 arithmetic) are
+    exported through the REAL export_ndjson_features writer (native
+    to_json feature assembly, geometry spliced as raw text), the NDJSON
+    files are read BACK with Spark's JSON reader, and the reparsed
+    properties/geometry must reproduce the source rows — a full
+    write→parse roundtrip, with the oracle recomputing everything from
+    the parquet. gfw_geojson/geom columns must be excluded from
+    properties by the writer's own rule."""
+    from gfw_data_api_spark.operators.downloads import export_ndjson_features
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    feats = cust.select(
+        "c_custkey",
+        "c_name",
+        F.concat(
+            F.lit('{"type": "Point", "coordinates": ['),
+            (F.col("c_custkey") % 19).cast("string"),
+            F.lit(", "),
+            (F.col("c_custkey") % 7).cast("string"),
+            F.lit("]}"),
+        ).alias("gfw_geojson"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gfw_e18_")
+    path = os.path.join(tmp, "export")
+    export_ndjson_features(feats, path)
+    back = spark.read.schema(
+        "type string, properties struct<c_custkey:bigint, c_name:string>, "
+        "geometry struct<type:string, coordinates:array<bigint>>"
+    ).json(path)
+    return back.select(
+        F.col("properties.c_custkey").alias("c_custkey"),
+        F.col("properties.c_name").alias("c_name"),
+        F.col("type").alias("feature_type"),
+        F.col("geometry.type").alias("geom_type"),
+        F.col("geometry.coordinates")[0].alias("x"),
+        F.col("geometry.coordinates")[1].alias("y"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e18_vector_export_roundtrip",
+        spark_fn=_e18,
+        oracle=(
+            "SELECT c_custkey, c_name, 'Feature' AS feature_type, "
+            "'Point' AS geom_type, "
+            "CAST(c_custkey % 19 AS BIGINT) AS x, "
+            "CAST(c_custkey % 7 AS BIGINT) AS y "
+            "FROM customer WHERE c_custkey < 150"
+        ),
+        survey_ref="E12 vector export (operators/downloads.py "
+        "export_ndjson_features — native to_json Feature assembly, raw "
+        "geometry splice, geom/gfw_* property exclusion; gated as a "
+        "full write→reparse roundtrip)",
     )
 )
 
