@@ -3241,7 +3241,8 @@ _DRIVER_FRONT: list[str] = [
     # p05_curate_crawl, ts05_resample_interpolate,
     # q30_filter_clause_breadth, t23_compression_ratio,
     # e16_geostore_inheritance, c06_keyword_blocklist and
-    # e17_feature_info_selection and e18_vector_export_roundtrip are slots
+    # e17_feature_info_selection, e18_vector_export_roundtrip and
+    # b03_token_id_encoding are slots
     # 51+ — outside the driver's 50-row budget; locally verified via
     # check_oracle (p05's stages are all individually driver-gated
     # e15/c04/t22/b02); front-load in r6.
@@ -6377,6 +6378,68 @@ _SPECS.append(
         "replace in merge-rank order; sequential replace-all == exact "
         "BPE outside repeated-pair runs, documented; pandas-UDF twin "
         "apply_bpe pinned equal on this vocabulary in pytest)",
+    )
+)
+
+
+def _b03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE token-id encoding inside the hard gate: ids come from the
+    merge-derived vocabulary (GPT-2 construction — alphabet ids then
+    merge outputs in rank order, llmops/bpe.bpe_vocab), so the oracle
+    can map every token WITHOUT any vocab exchange: single chars are
+    ascii(tok)-97 and merge outputs are 26+rank. The Spark side is the
+    full production path (replace-chain encode + literal create_map
+    lookup, zero shuffle/Python); the comparison pins the id SEQUENCE
+    per document (md5 of comma-joined ids) plus exact sums/counts."""
+    from gfw_data_api_spark.llmops.bpe import encode_token_ids
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & F.col("text").rlike(r"^[a-z]+( [a-z]+)*$")
+    )
+    out = encode_token_ids(docs, _B02_MERGES)
+    ids = F.col("token_ids")
+    return out.select(
+        "doc_id",
+        F.size(ids).cast("bigint").alias("n_tokens"),
+        F.aggregate(ids, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("sum_ids"),
+        F.md5(F.array_join(F.transform(ids, lambda x: x.cast("string")), ",")).alias(
+            "ids_md5"
+        ),
+    )
+
+
+def _b03_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{a}{b}' THEN {26 + i}" for i, (a, b) in enumerate(_B02_MERGES)
+    )
+    return (
+        "WITH "
+        + _bpe_chain_sql(
+            "doc_id",
+            "text",
+            "documents WHERE doc_id < 400 "
+            "AND regexp_matches(text, '^[a-z]+( [a-z]+)*$')",
+        )
+        + ", tok AS (SELECT doc_id, unnest(string_split(t, chr(31))) AS tok, "
+        "generate_subscripts(string_split(t, chr(31)), 1) AS ord FROM fin), "
+        "ids AS (SELECT doc_id, ord, CASE WHEN length(tok) = 1 "
+        f"THEN ascii(tok) - 97 ELSE CASE tok {case} END END AS id FROM tok) "
+        "SELECT doc_id, count(*) AS n_tokens, "
+        "CAST(sum(id) AS BIGINT) AS sum_ids, "
+        "md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY ord)) AS ids_md5 "
+        "FROM ids GROUP BY doc_id"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="b03_token_id_encoding",
+        spark_fn=_b03,
+        oracle=_b03_oracle(),
+        survey_ref="LLM pipeline: BPE token-id encoding "
+        "(llmops/bpe.py bpe_vocab + encode_token_ids — merge-derived id "
+        "space, literal create_map lookup; zero shuffle, zero Python, "
+        "no vocab exchange between pipelines)",
     )
 )
 

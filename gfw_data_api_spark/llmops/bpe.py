@@ -165,6 +165,52 @@ def apply_bpe_catalyst(
     return df.withColumn(out_col, tokens)
 
 
+DEFAULT_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], alphabet: str = DEFAULT_ALPHABET
+) -> dict[str, int]:
+    """Token→id table derived from the merge list alone — the GPT-2
+    construction: base symbols get ids in alphabet order, then each
+    merge's output token gets the next id in RANK order. No corpus scan
+    is needed (or wanted): the id space is a pure function of the
+    tokenizer, so two pipelines sharing a merge list agree on ids
+    without exchanging anything."""
+    vocab = {c: i for i, c in enumerate(alphabet)}
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def encode_token_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    alphabet: str = DEFAULT_ALPHABET,
+    oov_id: int = -1,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Text → BPE token-id arrays entirely JVM-side: the
+    :func:`apply_bpe_catalyst` replace chain produces tokens, and a
+    LITERAL ``create_map`` over the merge-derived vocabulary
+    (:func:`bpe_vocab`) maps them to ids — no join, no shuffle, no
+    Python. Symbols outside the alphabet (and thus outside every merge)
+    encode as ``oov_id``; pipelines that must not lose bytes should
+    normalize/strip before encoding and treat ``oov_id`` counts as a
+    data-quality signal."""
+    out = apply_bpe_catalyst(df, merges, text_col=text_col, out_col="_toks", sep=sep)
+    vocab = bpe_vocab(merges, alphabet)
+    m = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    ids = F.transform(
+        F.col("_toks"), lambda t: F.coalesce(m[t], F.lit(oov_id)).cast("bigint")
+    )
+    return out.withColumn(out_col, ids).drop("_toks")
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],

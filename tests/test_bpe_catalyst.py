@@ -87,6 +87,43 @@ def test_all_whitespace_is_a_word_boundary_matching_pandas_twin(spark):
     assert "\n" not in fast and "\t" not in fast
 
 
+def test_bpe_vocab_is_merge_derived():
+    from gfw_data_api_spark.llmops.bpe import bpe_vocab
+
+    vocab = bpe_vocab([("a", "b"), ("ab", "c"), ("a", "b")], alphabet="abc")
+    # base symbols first in alphabet order, then merge outputs in rank
+    # order, duplicates skipped
+    assert vocab == {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}
+
+
+def test_encode_token_ids_and_oov(spark):
+    from gfw_data_api_spark.llmops.bpe import bpe_vocab, encode_token_ids
+
+    vocab = bpe_vocab(MERGES)
+    df = spark.createDataFrame(
+        [(1, "merge order"), (2, "naïve")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.token_ids for r in encode_token_ids(df, MERGES).collect()}
+    # tokens: mer g e or d er
+    assert got[1] == [
+        vocab["mer"], vocab["g"], vocab["e"], vocab["or"], vocab["d"], vocab["er"]
+    ]
+    # 'ï' is outside the alphabet -> oov id
+    assert -1 in got[2]
+    assert [t for t in got[2] if t >= 0] == [vocab["n"], vocab["a"], vocab["v"], vocab["e"]]
+
+
+def test_encode_token_ids_plan_is_shuffle_and_python_free(spark):
+    from gfw_data_api_spark.llmops.bpe import encode_token_ids
+
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = (
+        encode_token_ids(df, MERGES)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([("x",)], "text string")
     plan = (
