@@ -3242,7 +3242,7 @@ _DRIVER_FRONT: list[str] = [
     # q30_filter_clause_breadth, t23_compression_ratio,
     # e16_geostore_inheritance, c06_keyword_blocklist and
     # e17_feature_info_selection, e18_vector_export_roundtrip and
-    # b03_token_id_encoding are slots
+    # b03_token_id_encoding and c07_mojibake_repair are slots
     # 51+ — outside the driver's 50-row budget; locally verified via
     # check_oracle (p05's stages are all individually driver-gated
     # e15/c04/t22/b02); front-load in r6.
@@ -6378,6 +6378,57 @@ _SPECS.append(
         "replace in merge-rank order; sequential replace-all == exact "
         "BPE outside repeated-pair runs, documented; pandas-UDF twin "
         "apply_bpe pinned equal on this vocabulary in pytest)",
+    )
+)
+
+
+def _c07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair inside the hard gate: per-residue planted
+    UTF-8-read-as-cp1252 sequences (built by the module's own
+    _cp1252ish mangler at gate time, so the fixture is real mojibake
+    bytes) appended to clean ascii text; after repair_mojibake the
+    oracle's expected strings are pure concatenations with the REPAIRED
+    unicode literals — md5 plus character length pin the fix exactly,
+    and the residue-0 rows pin that clean text passes through
+    untouched."""
+    from gfw_data_api_spark.llmops.clean import _cp1252ish, repair_mojibake
+
+    moji_cafe = _cp1252ish(" café".encode("utf-8"))
+    moji_dash = _cp1252ish(" — “quoted” …".encode("utf-8"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & F.col("text").rlike(r"^[a-z ]+$")
+    )
+    r = F.col("doc_id") % 3
+    mangled = docs.select(
+        "doc_id",
+        F.when(r == 1, F.concat("text", F.lit(moji_cafe)))
+        .when(r == 2, F.concat("text", F.lit(moji_dash)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = repair_mojibake(mangled)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("bigint").alias("n_chars_repaired"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="c07_mojibake_repair",
+        spark_fn=_c07,
+        oracle=(
+            "WITH fixed AS (SELECT doc_id, text || CASE doc_id % 3 "
+            "WHEN 1 THEN ' café' WHEN 2 THEN ' — “quoted” …' ELSE '' END AS t "
+            "FROM documents WHERE doc_id < 400 AND regexp_matches(text, '^[a-z ]+$')) "
+            "SELECT doc_id, md5(t) AS text_md5, "
+            "CAST(length(t) AS BIGINT) AS n_chars_repaired FROM fixed"
+        ),
+        survey_ref="LLM pipeline: mojibake repair (llmops/clean.py "
+        "repair_mojibake — ftfy core case, UTF-8-as-cp1252 double "
+        "encoding undone by longest-first literal replaces; pure "
+        "codegen, zero shuffle)",
     )
 )
 

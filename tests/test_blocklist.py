@@ -57,3 +57,36 @@ def test_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (llmops/clean.py, gate c07)
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_repair_roundtrip(spark):
+    from gfw_data_api_spark.llmops.clean import _cp1252ish, repair_mojibake
+
+    originals = ["café", "naïve—right’s “quote”", "10°C … €5", "touché über"]
+    rows = [(i, _cp1252ish(t.encode("utf-8"))) for i, t in enumerate(originals)]
+    # the mangled strings really are mojibake, not the originals
+    assert all(m != o for (_, m), o in zip(rows, originals))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.text for r in repair_mojibake(df).collect()}
+    assert got == dict(enumerate(originals))
+
+
+def test_mojibake_repair_leaves_clean_text_alone(spark):
+    from gfw_data_api_spark.llmops.clean import repair_mojibake
+
+    clean = "plain ascii text and real café already fine"
+    df = spark.createDataFrame([(1, clean)], "doc_id bigint, text string")
+    assert repair_mojibake(df).collect()[0].text == clean
+
+
+def test_mojibake_longest_first_ordering():
+    from gfw_data_api_spark.llmops.clean import MOJIBAKE_TABLE
+
+    lens = [len(bad) for bad, _ in MOJIBAKE_TABLE]
+    assert lens == sorted(lens, reverse=True)
+    assert all(len(bad) >= 2 for bad, _ in MOJIBAKE_TABLE)
