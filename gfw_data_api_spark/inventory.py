@@ -6102,7 +6102,7 @@ def _b02(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.llmops.bpe import apply_bpe_catalyst
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 400) & F.col("text").rlike(r"^[a-z]+( [a-z]+)*$")
+        (F.col("doc_id") < 400) & F.col("text").rlike(r"\A[a-z]+( [a-z]+)*\z")
     )
     out = apply_bpe_catalyst(docs, _B02_MERGES)
     return out.select(
@@ -6396,7 +6396,7 @@ def _c07(spark: SparkSession, sf_dir: str) -> DataFrame:
     moji_cafe = _cp1252ish(" café".encode("utf-8"))
     moji_dash = _cp1252ish(" — “quoted” …".encode("utf-8"))
     docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 400) & F.col("text").rlike(r"^[a-z ]+$")
+        (F.col("doc_id") < 400) & F.col("text").rlike(r"\A[a-z ]+\z")
     )
     r = F.col("doc_id") % 3
     mangled = docs.select(
@@ -6445,7 +6445,7 @@ def _b03(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.llmops.bpe import encode_token_ids
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 400) & F.col("text").rlike(r"^[a-z]+( [a-z]+)*$")
+        (F.col("doc_id") < 400) & F.col("text").rlike(r"\A[a-z]+( [a-z]+)*\z")
     )
     out = encode_token_ids(docs, _B02_MERGES)
     ids = F.col("token_ids")
@@ -6693,10 +6693,12 @@ def _c06(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant the oracle emits directly."""
     from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals
 
+    # exclusion must be case-INsensitive like the matcher it guards —
+    # a corpus 'Badword' would otherwise break the closed-form counts
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 400)
-        & ~F.col("text").contains("badword")
-        & ~F.col("text").contains("evilterm")
+        & ~F.lower("text").contains("badword")
+        & ~F.lower("text").contains("evilterm")
     )
     r = F.col("doc_id") % 4
     aug = docs.select(
@@ -6721,7 +6723,8 @@ _SPECS.append(
             "AS n_blocklist_hits, "
             "doc_id % 4 IN (1, 2) AS is_blocked "
             "FROM documents WHERE doc_id < 400 "
-            "AND text NOT LIKE '%badword%' AND text NOT LIKE '%evilterm%'"
+            "AND lower(text) NOT LIKE '%badword%' "
+            "AND lower(text) NOT LIKE '%evilterm%'"
         ),
         survey_ref="LLM pipeline: keyword-blocklist screening "
         "(llmops/clean.py keyword_blocklist_signals — one compiled "
@@ -6827,7 +6830,7 @@ def _t22(spark: SparkSession, sf_dir: str) -> DataFrame:
         3: " αβγ 123",  # " αβγ 123"
     }
     docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 400) & F.col("text").rlike("^[a-z ]+$")
+        (F.col("doc_id") < 400) & F.col("text").rlike(r"\A[a-z ]+\z")
     )
     r = F.col("doc_id") % 4
     aug = docs.withColumn(

@@ -202,13 +202,16 @@ def encode_token_ids(
     encode as ``oov_id``; pipelines that must not lose bytes should
     normalize/strip before encoding and treat ``oov_id`` counts as a
     data-quality signal."""
-    out = apply_bpe_catalyst(df, merges, text_col=text_col, out_col="_toks", sep=sep)
+    tmp = "_toks"
+    while tmp in df.columns or tmp == out_col:
+        tmp += "_"
+    out = apply_bpe_catalyst(df, merges, text_col=text_col, out_col=tmp, sep=sep)
     vocab = bpe_vocab(merges, alphabet)
     m = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
     ids = F.transform(
-        F.col("_toks"), lambda t: F.coalesce(m[t], F.lit(oov_id)).cast("bigint")
+        F.col(tmp), lambda t: F.coalesce(m[t], F.lit(oov_id)).cast("bigint")
     )
-    return out.withColumn(out_col, ids).drop("_toks")
+    return out.withColumn(out_col, ids).drop(tmp)
 
 
 def apply_bpe(

@@ -196,10 +196,23 @@ def keyword_blocklist_signals(
         raise ValueError("keywords must be non-empty")
     import re as _re
 
-    parts = [_re.escape(k) for k in sorted(set(keywords), key=len, reverse=True)]
+    def _wrap(k: str) -> str:
+        esc = _re.escape(k)
+        if not whole_word:
+            return esc
+        # FlashText semantics: a \b boundary is only meaningful next to
+        # a word character — wrapping a punctuated keyword like '$9.99'
+        # or '(sale)' in \b..\b would make it unmatchable, so each edge
+        # gets a boundary only when its own character is a word char
+        word = _re.compile(r"[A-Za-z0-9_]")
+        pre = r"\b" if word.match(k[0]) else ""
+        suf = r"\b" if word.match(k[-1]) else ""
+        return pre + esc + suf
+
+    # longest-first, then lexicographic: the tie-break keeps the compiled
+    # pattern byte-identical across processes (set order is hash-seeded)
+    parts = [_wrap(k) for k in sorted(set(keywords), key=lambda k: (-len(k), k))]
     pattern = "(?:" + "|".join(parts) + ")"
-    if whole_word:
-        pattern = r"\b" + pattern + r"\b"
     if case_insensitive:
         pattern = "(?i)" + pattern
     if len(pattern) > 20_000:

@@ -40,6 +40,29 @@ def test_regex_metachars_are_literal(spark):
     assert r.n_blocklist_hits == 2
 
 
+def test_punctuated_keywords_match_in_whole_word_mode(spark):
+    # FlashText semantics: \b only where the keyword edge is a word char,
+    # so '$9.99' and '18+' are matchable with whole_word=True
+    r = _one(spark, "price $9.99 now, rated 18+ ok", ["$9.99", "18+"])
+    assert r.n_blocklist_hits == 2
+    # the word-char edge still gets a boundary: '18+' inside '318+' no,
+    # wait — leading '1' is a word char so \b blocks the superstring
+    sup = _one(spark, "item 318+ listed", ["18+"])
+    assert sup.n_blocklist_hits == 0
+
+
+def test_alternation_order_is_deterministic():
+    import re
+
+    from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals  # noqa: F401
+
+    # equal-length keywords must tie-break lexicographically, not by set
+    # iteration order — rebuild the parts list the way the function does
+    ks = {"spam", "scam", "exam"}
+    parts = sorted(set(ks), key=lambda k: (-len(k), k))
+    assert parts == ["exam", "scam", "spam"]
+
+
 def test_validation(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="non-empty"):

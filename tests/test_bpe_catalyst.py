@@ -113,6 +113,18 @@ def test_encode_token_ids_and_oov(spark):
     assert [t for t in got[2] if t >= 0] == [vocab["n"], vocab["a"], vocab["v"], vocab["e"]]
 
 
+def test_encode_token_ids_temp_column_collision_safe(spark):
+    from gfw_data_api_spark.llmops.bpe import encode_token_ids
+
+    df = spark.createDataFrame([(1, "in", "keepme")], "doc_id bigint, text string, _toks string")
+    out = encode_token_ids(df, MERGES).collect()[0]
+    assert out._toks == "keepme"  # caller's column survives
+    assert out.token_ids == [MERGES.index(("i", "n")) + 26]
+    # out_col named '_toks' must also work (output, not dropped)
+    out2 = encode_token_ids(df.drop("_toks"), MERGES, out_col="_toks").collect()[0]
+    assert out2._toks == [MERGES.index(("i", "n")) + 26]
+
+
 def test_encode_token_ids_plan_is_shuffle_and_python_free(spark):
     from gfw_data_api_spark.llmops.bpe import encode_token_ids
 
