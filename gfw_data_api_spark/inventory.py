@@ -3242,7 +3242,8 @@ _DRIVER_FRONT: list[str] = [
     # q30_filter_clause_breadth, t23_compression_ratio,
     # e16_geostore_inheritance, c06_keyword_blocklist and
     # e17_feature_info_selection, e18_vector_export_roundtrip and
-    # b03_token_id_encoding and c07_mojibake_repair are slots
+    # b03_token_id_encoding, c07_mojibake_repair, c08 (AC blocklist),
+    # w03 (weighted sample) and e19 (WebDataset) are slots
     # 51+ — outside the driver's 50-row budget; locally verified via
     # check_oracle (p05's stages are all individually driver-gated
     # e15/c04/t22/b02); front-load in r6.
@@ -6378,6 +6379,139 @@ _SPECS.append(
         "replace in merge-rank order; sequential replace-all == exact "
         "BPE outside repeated-pair runs, documented; pandas-UDF twin "
         "apply_bpe pinned equal on this vocabulary in pytest)",
+    )
+)
+
+
+def _e19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard export inside the hard gate: documents are
+    written to real tar shards (deterministic md5-bucket sharding,
+    id-sorted members, zeroed tar metadata), read BACK through the tar
+    scanner, and the reassembled samples (text member + parsed JSON
+    metadata member) must reproduce the parquet rows — the full
+    export→loader roundtrip a training pipeline depends on."""
+    from gfw_data_api_spark.llmops.export import read_webdataset, write_webdataset
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="gfw_e19_"), "wds")
+    write_webdataset(
+        docs, out_dir, meta_cols=["lang", "n_chars"], n_shards=6
+    ).collect()
+    back = read_webdataset(spark, out_dir)
+    texts = back.filter(F.col("ext") == "txt").select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.md5(F.col("payload").cast("string")).alias("text_md5"),
+    )
+    metas = back.filter(F.col("ext") == "json").select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.from_json(
+            F.col("payload").cast("string"), "lang string, n_chars bigint"
+        ).alias("m"),
+    ).select("doc_id", F.col("m.lang").alias("lang"), F.col("m.n_chars").alias("n_chars"))
+    return texts.join(metas, "doc_id")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e19_webdataset_roundtrip",
+        spark_fn=_e19,
+        oracle=(
+            "SELECT doc_id, md5(text) AS text_md5, lang, n_chars "
+            "FROM documents WHERE doc_id < 300"
+        ),
+        survey_ref="LLM pipeline: WebDataset tar shard export/import "
+        "(llmops/export.py — deterministic md5-bucket sharding, "
+        "bit-reproducible shard bytes, tarfile scan in Arrow batches; "
+        "gated as a full write→read→reassemble roundtrip)",
+    )
+)
+
+
+def _w03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling inside the hard gate: weights are residue
+    arithmetic, the uniform is the engine's portable 60-bit md5
+    integer, and the oracle draws the IDENTICAL sample by replaying
+    key = ln((h+1)/2^60)/w and taking the same top-k — JVM ln and
+    DuckDB ln agree bit-for-bit on these inputs (probed for the
+    geometry gates), and md5-distinct uniforms make boundary ties
+    impossible."""
+    from gfw_data_api_spark.llmops.sampling import weighted_sample_without_replacement
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", ((F.col("c_custkey") % 7 + 1).cast("double")).alias("w")
+    )
+    out = weighted_sample_without_replacement(
+        cust, k=60, weight_col="w", id_col="c_custkey", seed=0
+    )
+    return out.select("c_custkey", F.col("w").cast("bigint").alias("weight"))
+
+
+_SPECS.append(
+    QuerySpec(
+        name="w03_weighted_sample",
+        spark_fn=_w03,
+        oracle=(
+            "WITH t AS (SELECT c_custkey, (c_custkey % 7 + 1) AS w, "
+            "CAST(('0x' || substr(md5('0:' || CAST(c_custkey AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) AS h FROM customer) "
+            "SELECT c_custkey, CAST(w AS BIGINT) AS weight FROM t "
+            "ORDER BY ln((h + 1) / 1152921504606846976.0) / w DESC LIMIT 60"
+        ),
+        survey_ref="LLM pipeline: deterministic weighted sampling "
+        "without replacement (llmops/sampling.py "
+        "weighted_sample_without_replacement — Efraimidis-Spirakis A-ES "
+        "keys over the portable md5 uniform; TakeOrdered top-k, no "
+        "global sort, partitioning/engine-stable draws)",
+    )
+)
+
+
+def _c08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick blocklist screening inside the hard gate — c06's
+    planted truth pushed through the SCALE path: the blocklist is the
+    two planted terms plus 3000 decoys that never occur (far past the
+    regexp alternation's 20k-char guard), so the automaton's O(text)
+    scan is what produces the counts. Verdicts are the same closed-form
+    residue constants as c06."""
+    from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals_ac
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400)
+        & ~F.lower("text").contains("badword")
+        & ~F.lower("text").contains("evilterm")
+    )
+    r = F.col("doc_id") % 4
+    aug = docs.select(
+        "doc_id",
+        F.when(r == 1, F.concat("text", F.lit(" badword")))
+        .when(r == 2, F.concat(F.lit("badword start "), "text", F.lit(" BadWord evilterm")))
+        .when(r == 3, F.concat("text", F.lit(" badwordly")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    blocklist = ["badword", "evilterm"] + [f"zqdecoy{i:05d}" for i in range(3000)]
+    out = keyword_blocklist_signals_ac(aug, blocklist)
+    return out.select("doc_id", "n_blocklist_hits", "is_blocked")
+
+
+_SPECS.append(
+    QuerySpec(
+        name="c08_blocklist_aho_corasick",
+        spark_fn=_c08,
+        oracle=(
+            "SELECT doc_id, "
+            "CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END AS BIGINT) "
+            "AS n_blocklist_hits, "
+            "doc_id % 4 IN (1, 2) AS is_blocked "
+            "FROM documents WHERE doc_id < 400 "
+            "AND lower(text) NOT LIKE '%badword%' "
+            "AND lower(text) NOT LIKE '%evilterm%'"
+        ),
+        survey_ref="LLM pipeline: large-blocklist screening at scale "
+        "(llmops/clean.py AhoCorasick + keyword_blocklist_signals_ac — "
+        "O(text) automaton scan independent of keyword count, Arrow "
+        "batches; FlashText word-edge semantics pinned equal to the "
+        "regexp path in tests)",
     )
 )
 

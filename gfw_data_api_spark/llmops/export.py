@@ -1,0 +1,163 @@
+"""Training-shard export: WebDataset-style tar shards.
+
+The dominant loader convention for large-scale training (WebDataset /
+torchdata): a dataset is a directory of ``.tar`` shards, each sample a
+run of files sharing a basename key (``{key}.txt``, ``{key}.json``,
+``{key}.bin`` …), streamed sequentially by the data loader with no
+random access. This module writes and reads that layout from Spark:
+
+- :func:`write_webdataset` — deterministic sharding (the portable md5
+  bucket of the id, so membership is stable across partitionings and
+  reruns), samples sorted by id within each shard, tar members emitted
+  with zeroed mtime/uid/gid so SHARD BYTES are reproducible
+  bit-for-bit. Each shard is built and written by one task
+  (``applyInPandas`` per bucket — shard size is the parallelism unit,
+  exactly like the real corpora: ~1k-10k samples per tar); the
+  returned manifest (shard id, sample count, byte size, md5) is the
+  audit record.
+- :func:`read_webdataset` — ``binaryFile`` scan → ``tarfile`` parse in
+  Arrow batches, one row per member, grouped back into samples by key
+  downstream. One tar = one task, the format's own parallelism grain.
+
+Scale shape: one hash shuffle on the shard bucket for the write (the
+same cost class as any partitioned write), sequential tar assembly per
+shard in a single pass, no driver involvement beyond the manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("tar_md5", T.StringType()),
+    ]
+)
+
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_file", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _tar_add(tar: tarfile.TarFile, name: str, payload: bytes) -> None:
+    info = tarfile.TarInfo(name=name)
+    info.size = len(payload)
+    info.mtime = 0
+    info.uid = info.gid = 0
+    info.uname = info.gname = ""
+    tar.addfile(info, io.BytesIO(payload))
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Write ``{path}/shard-NNNNN.tar`` files and return the manifest.
+
+    Each sample becomes ``{id}.txt`` (UTF-8 text) and, when
+    ``meta_cols`` is given, ``{id}.json`` (sorted-key JSON of those
+    columns). Shard membership is the portable md5 bucket of the id;
+    samples are id-sorted within a shard and tar metadata is zeroed, so
+    every shard's bytes are a pure function of (data, n_shards, seed).
+    """
+    from gfw_data_api_spark.llmops.sampling import hash_bucket
+
+    os.makedirs(path, exist_ok=True)
+    meta_cols = list(meta_cols or [])
+    cols = [id_col, text_col, *meta_cols]
+    bucketed = df.select(*cols).withColumn(
+        "_shard", hash_bucket(F.col(id_col).cast("string"), seed=seed, buckets=n_shards)
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in MANIFEST_SCHEMA.fields])
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(id_col)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                key = str(d[id_col])
+                _tar_add(tar, f"{key}.txt", str(d[text_col] or "").encode("utf-8"))
+                if meta_cols:
+                    meta = {c: d[c] for c in meta_cols}
+                    _tar_add(
+                        tar,
+                        f"{key}.json",
+                        json.dumps(meta, sort_keys=True, default=str).encode("utf-8"),
+                    )
+        blob = buf.getvalue()
+        out = os.path.join(path, f"shard-{shard:05d}.tar")
+        with open(out, "wb") as fh:
+            fh.write(blob)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": shard,
+                    "n_samples": len(pdf),
+                    "n_bytes": len(blob),
+                    "tar_md5": hashlib.md5(blob).hexdigest(),
+                }
+            ]
+        )
+
+    return bucketed.groupBy("_shard").applyInPandas(_build, MANIFEST_SCHEMA)
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Scan WebDataset tar shards into one row per member
+    (``shard_file, key, ext, payload``); group by ``key`` to reassemble
+    samples."""
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar") if not path.endswith(".tar") else path
+    )
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for member in tar.getmembers():
+                        if not member.isfile():
+                            continue
+                        base = os.path.basename(member.name)
+                        key, _, ext = base.rpartition(".")
+                        payload = tar.extractfile(member).read()
+                        rows.append(
+                            {
+                                "shard_file": fpath,
+                                "key": key,
+                                "ext": ext,
+                                "payload": payload,
+                            }
+                        )
+            yield (
+                pd.DataFrame(rows, columns=[f.name for f in MEMBER_SCHEMA.fields])
+                if rows
+                else pd.DataFrame({f.name: pd.Series(dtype="object") for f in MEMBER_SCHEMA.fields})
+            )
+
+    return files.select("path", "content").mapInPandas(_parse, MEMBER_SCHEMA)

@@ -218,6 +218,54 @@ def group_cap_sample(
     )
 
 
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis A-ES scheme): each row gets key
+    ``ln(u) / w`` with ``u`` a hash-derived uniform in (0, 1], and the
+    top-k keys ARE a weighted sample without replacement — the one-pass,
+    shuffle-light construction mixture pipelines use to draw
+    quality-weighted subsets.
+
+    Determinism: ``u`` comes from the same 60-bit md5 integer as
+    :func:`hash_bucket` (``u = (h + 1) / 2^60``), so the drawn set is a
+    pure function of (ids, weights, seed) — stable across partitioning,
+    cluster size, and engines; reruns and ablations see the same sample.
+
+    Scale shape: a narrow map computes keys, then ``orderBy().limit(k)``
+    compiles to TakeOrdered — per-partition top-k heaps and a k-row
+    merge on the driver, no global sort, no window. Rows with NULL or
+    non-positive weight are excluded (they have zero selection
+    probability in the scheme; a negative weight raises no error but
+    never wins).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(float(2**60))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc())
+        .limit(k)
+        .drop("_wkey")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -83,6 +83,64 @@ def test_plan_is_shuffle_free(spark):
 
 
 # ---------------------------------------------------------------------------
+# Aho-Corasick large-blocklist path (llmops/clean.py, gate c08)
+# ---------------------------------------------------------------------------
+
+
+def test_ac_matches_regexp_path_on_disjoint_blocklists(spark):
+    from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals_ac
+
+    texts = [
+        "spam here and SPAM there, plus scam",
+        "badwords are not badword matches",
+        "price $9.99 now, rated 18+ ok",
+        "all clean text",
+        "",
+    ]
+    kws = ["spam", "scam", "badword", "$9.99", "18+"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i bigint, text string")
+    for ci in (True, False):
+        a = {r.i: (r.n_blocklist_hits, r.is_blocked)
+             for r in keyword_blocklist_signals(df, kws, case_insensitive=ci).collect()}
+        b = {r.i: (r.n_blocklist_hits, r.is_blocked)
+             for r in keyword_blocklist_signals_ac(df, kws, case_insensitive=ci).collect()}
+        assert a == b
+
+
+def test_ac_scales_past_the_regexp_guard(spark):
+    from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals_ac
+
+    kws = [f"kw{i:05d}" for i in range(4000)] + ["needle"]
+    df = spark.createDataFrame(
+        [(1, "hay kw00042 hay needle"), (2, "nothing")], "i bigint, text string"
+    )
+    got = {r.i: r.n_blocklist_hits for r in keyword_blocklist_signals_ac(df, kws).collect()}
+    assert got == {1: 2, 2: 0}
+
+
+def test_ac_documented_overlap_divergence():
+    from gfw_data_api_spark.llmops.clean import AhoCorasick
+
+    ac = AhoCorasick(["foo", "foobar"])
+    # AC reports every match; the regexp path would count foobar once
+    assert ac.count_hits("foobar", whole_word=False) == 2
+    # suffix-via-failure-link matches count too
+    ac2 = AhoCorasick(["she", "he"])
+    assert ac2.count_hits("she", whole_word=False) == 2
+
+
+def test_ac_whole_word_edges():
+    from gfw_data_api_spark.llmops.clean import AhoCorasick
+
+    ac = AhoCorasick(["badword", "18+"])
+    assert ac.count_hits("badword ok") == 1
+    assert ac.count_hits("badwords") == 0
+    assert ac.count_hits("xbadword") == 0
+    assert ac.count_hits("rated 18+ here") == 1
+    assert ac.count_hits("318+") == 0  # word-char leading edge blocked
+
+
+# ---------------------------------------------------------------------------
 # mojibake repair (llmops/clean.py, gate c07)
 # ---------------------------------------------------------------------------
 

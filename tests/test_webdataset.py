@@ -1,0 +1,78 @@
+"""Tests for WebDataset tar shard export/import (llmops/export.py, gate e19)."""
+
+import json
+import os
+import tarfile
+
+from pyspark.sql import functions as F
+
+from gfw_data_api_spark.llmops.export import read_webdataset, write_webdataset
+
+
+def _corpus(spark, n=40):
+    rows = [(i, f"text body {i}", "en" if i % 2 else "de", i * 3) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string, n_chars bigint")
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    df = _corpus(spark)
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        df, out, meta_cols=["lang", "n_chars"], n_shards=4
+    ).collect()
+    assert sum(m.n_samples for m in manifest) == 40
+    assert len(os.listdir(out)) == len(manifest)
+    back = read_webdataset(spark, out)
+    texts = {
+        int(r.key): bytes(r.payload).decode()
+        for r in back.filter(F.col("ext") == "txt").collect()
+    }
+    metas = {
+        int(r.key): json.loads(bytes(r.payload))
+        for r in back.filter(F.col("ext") == "json").collect()
+    }
+    assert texts == {i: f"text body {i}" for i in range(40)}
+    assert metas[7] == {"lang": "en", "n_chars": 21}
+    assert metas[8]["lang"] == "de"
+
+
+def test_shard_bytes_are_deterministic(spark, tmp_path):
+    df = _corpus(spark)
+    m1 = {
+        r.shard_id: r.tar_md5
+        for r in write_webdataset(df, str(tmp_path / "a"), n_shards=4).collect()
+    }
+    m2 = {
+        r.shard_id: r.tar_md5
+        for r in write_webdataset(
+            df.repartition(7), str(tmp_path / "b"), n_shards=4
+        ).collect()
+    }
+    assert m1 == m2  # bit-identical shards across input partitionings
+    # byte-level check: the files themselves are identical
+    for name in os.listdir(tmp_path / "a"):
+        a = (tmp_path / "a" / name).read_bytes()
+        b = (tmp_path / "b" / name).read_bytes()
+        assert a == b
+
+
+def test_tar_members_sorted_and_zeroed(spark, tmp_path):
+    df = _corpus(spark, n=10)
+    write_webdataset(df, str(tmp_path / "w"), meta_cols=["lang"], n_shards=1).collect()
+    with tarfile.open(tmp_path / "w" / "shard-00000.tar") as tar:
+        members = tar.getmembers()
+        keys = [int(m.name.split(".")[0]) for m in members]
+        assert keys == sorted(keys)
+        assert all(m.mtime == 0 and m.uid == 0 and m.gid == 0 for m in members)
+        # sample runs: txt then json per key
+        assert [m.name for m in members[:2]] == ["0.txt", "0.json"]
+
+
+def test_read_webdataset_groups_back_to_samples(spark, tmp_path):
+    df = _corpus(spark, n=12)
+    out = str(tmp_path / "w2")
+    write_webdataset(df, out, meta_cols=["lang"], n_shards=2).collect()
+    back = read_webdataset(spark, out)
+    per_key = back.groupBy("key").agg(F.sort_array(F.collect_list("ext")).alias("exts"))
+    assert all(r.exts == ["json", "txt"] for r in per_key.collect())
+    assert per_key.count() == 12
