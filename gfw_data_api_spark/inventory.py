@@ -6452,8 +6452,8 @@ _SPECS.append(
         spark_fn=_w03,
         oracle=(
             "WITH t AS (SELECT c_custkey, (c_custkey % 7 + 1) AS w, "
-            "CAST(('0x' || substr(md5('0:' || CAST(c_custkey AS VARCHAR)), 1, 15)) "
-            "AS BIGINT) AS h FROM customer) "
+            "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || chr(31) || '0'), "
+            "1, 15)) AS BIGINT) AS h FROM customer) "
             "SELECT c_custkey, CAST(w AS BIGINT) AS weight FROM t "
             "ORDER BY ln((h + 1) / 1152921504606846976.0) / w DESC LIMIT 60"
         ),

@@ -195,6 +195,8 @@ def keyword_blocklist_signals(
     """
     if not keywords:
         raise ValueError("keywords must be non-empty")
+    if any(not k for k in keywords):
+        raise ValueError("blocklist keywords must be non-empty strings")
     import re as _re
 
     def _wrap(k: str) -> str:
@@ -237,8 +239,10 @@ class AhoCorasick:
     def __init__(self, keywords: list[str], case_insensitive: bool = True):
         if not keywords:
             raise ValueError("keywords must be non-empty")
+        if any(not k for k in keywords):
+            raise ValueError("blocklist keywords must be non-empty strings")
         self.case_insensitive = case_insensitive
-        kws = sorted({k.lower() if case_insensitive else k for k in keywords})
+        kws = sorted({_ascii_lower(k) if case_insensitive else k for k in keywords})
         self._goto: list[dict[str, int]] = [{}]
         self._out: list[list[int]] = [[]]
         self._kw_len: list[int] = []
@@ -276,7 +280,7 @@ class AhoCorasick:
         if not text:
             return 0
         if self.case_insensitive:
-            text = text.lower()
+            text = _ascii_lower(text)
         hits = 0
         state = 0
         for i, ch in enumerate(text):
@@ -293,6 +297,20 @@ class AhoCorasick:
                         continue
                 hits += 1
         return hits
+
+
+# Parity with the regexp twin, PROBED against Spark's actual Java
+# regex (not assumed): Java's \b is UNICODE-aware ('spamé' has no
+# boundary after 'm' — é is a word char) while (?i) folds ASCII only
+# ('café' does not match 'CAFÉ'). So the AC path uses Unicode
+# isalnum() for word edges and an ASCII-scoped fold for case.
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _ascii_lower(s: str) -> str:
+    return s.translate(_ASCII_FOLD)
 
 
 def _is_word(ch: str) -> bool:
@@ -322,7 +340,11 @@ def keyword_blocklist_signals_ac(
 
     @_pandas_udf(_T.LongType())
     def _hits(batch: pd.Series) -> pd.Series:
-        return batch.map(lambda t: ac.count_hits(t, whole_word) if t else 0)
+        # NULL text propagates as NULL, matching the regexp twin's
+        # regexp_count(NULL) semantics ('' still counts as 0)
+        return batch.map(
+            lambda t: None if t is None else ac.count_hits(t, whole_word)
+        )
 
     return df.withColumn("n_blocklist_hits", _hits(F.col(text_col))).withColumn(
         "is_blocked", F.col("n_blocklist_hits") > 0

@@ -22,6 +22,13 @@ random access. This module writes and reads that layout from Spark:
 Scale shape: one hash shuffle on the shard bucket for the write (the
 same cost class as any partitioned write), sequential tar assembly per
 shard in a single pass, no driver involvement beyond the manifest.
+
+Deployment boundary (loud, not silent): shards are written with plain
+``open()`` from EXECUTOR tasks, so ``path`` must be a filesystem every
+executor can reach — local mode or a shared POSIX mount (NFS/Lustre,
+the usual training-cluster layout). Object stores (s3://, hdfs://) need
+a committer-based writer and are not supported here; NULL text raises
+rather than silently exporting empty members.
 """
 
 from __future__ import annotations
@@ -82,32 +89,67 @@ def write_webdataset(
     samples are id-sorted within a shard and tar metadata is zeroed, so
     every shard's bytes are a pure function of (data, n_shards, seed).
     """
-    from gfw_data_api_spark.llmops.sampling import hash_bucket
+    import numpy as np
 
-    os.makedirs(path, exist_ok=True)
+    from gfw_data_api_spark.llmops.sampling import hash_bucket
+    from pyspark.sql import types as _T
+
     meta_cols = list(meta_cols or [])
     cols = [id_col, text_col, *meta_cols]
-    bucketed = df.select(*cols).withColumn(
+    selected = df.select(*cols)
+    # Arrow→pandas turns nullable integer columns into float64; remember
+    # which meta columns are integral so JSON emits 21, not 21.0/NaN
+    int_cols = {
+        f.name
+        for f in selected.schema.fields
+        if f.name in meta_cols and isinstance(f.dataType, _T.IntegralType)
+    }
+    bucketed = selected.withColumn(
         "_shard", hash_bucket(F.col(id_col).cast("string"), seed=seed, buckets=n_shards)
     )
+
+    def _clean_meta(col: str, v):
+        if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+            return None
+        if col in int_cols:
+            return int(v)
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        return v
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=[f.name for f in MANIFEST_SCHEMA.fields])
+        # executors write the shards, so the target dir must exist HERE
+        # (driver-side makedirs only helps local mode); plain open()
+        # requires `path` to be a shared POSIX mount — the documented
+        # deployment boundary (object stores need a committer, not this)
+        os.makedirs(path, exist_ok=True)
+        if pdf[text_col].isna().any():
+            bad = pdf.loc[pdf[text_col].isna(), id_col].iloc[0]
+            raise ValueError(
+                f"NULL {text_col} for id {bad!r}: a WebDataset sample cannot "
+                "roundtrip a null text member — filter or fill upstream"
+            )
         shard = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].tolist()
+        texts = pdf[text_col].tolist()
+        metas = {c: pdf[c].tolist() for c in meta_cols}
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tar:
-            for row in pdf.itertuples(index=False):
-                d = row._asdict()
-                key = str(d[id_col])
-                _tar_add(tar, f"{key}.txt", str(d[text_col] or "").encode("utf-8"))
+            for j, key in enumerate(str(i) for i in ids):
+                _tar_add(tar, f"{key}.txt", str(texts[j]).encode("utf-8"))
                 if meta_cols:
-                    meta = {c: d[c] for c in meta_cols}
+                    meta = {c: _clean_meta(c, metas[c][j]) for c in meta_cols}
                     _tar_add(
                         tar,
                         f"{key}.json",
-                        json.dumps(meta, sort_keys=True, default=str).encode("utf-8"),
+                        json.dumps(
+                            meta, sort_keys=True, allow_nan=False, default=str
+                        ).encode("utf-8"),
                     )
         blob = buf.getvalue()
         out = os.path.join(path, f"shard-{shard:05d}.tar")

@@ -71,9 +71,18 @@ def hash_bucket(col: Column, seed: int = 0, buckets: int = 1000) -> Column:
     ``('0x' || substr(md5(x || chr(31) || seed), 1, 15))::BIGINT %
     buckets`` yields the identical bucket.
     """
+    return F.pmod(_portable_hash60(col, seed), F.lit(buckets))
+
+
+def _portable_hash60(col: Column, seed: int = 0) -> Column:
+    """THE canonical portable 60-bit uniform integer: first 15 hex chars
+    of ``md5(value || chr(31) || seed)`` as BIGINT. Every md5-derived
+    randomness in this module (buckets, splits, weighted draws) goes
+    through this one construction so engines and oracles replay it with
+    a single formula: ``('0x' || substr(md5(x || chr(31) || seed), 1,
+    15))::BIGINT``."""
     payload = F.concat_ws(_SEP, col.cast("string"), F.lit(str(seed)))
-    h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
-    return F.pmod(h, F.lit(buckets))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
 
 
 def hash_split(
@@ -232,33 +241,26 @@ def weighted_sample_without_replacement(
     shuffle-light construction mixture pipelines use to draw
     quality-weighted subsets.
 
-    Determinism: ``u`` comes from the same 60-bit md5 integer as
-    :func:`hash_bucket` (``u = (h + 1) / 2^60``), so the drawn set is a
-    pure function of (ids, weights, seed) — stable across partitioning,
-    cluster size, and engines; reruns and ablations see the same sample.
+    Determinism: ``u`` comes from the module's one canonical 60-bit md5
+    integer (:func:`_portable_hash60`, ``u = (h + 1) / 2^60``), so the
+    drawn set is a pure function of (ids, weights, seed) — stable across
+    partitioning, cluster size, and engines; reruns and ablations see
+    the same sample.
 
     Scale shape: a narrow map computes keys, then ``orderBy().limit(k)``
     compiles to TakeOrdered — per-partition top-k heaps and a k-row
-    merge on the driver, no global sort, no window. Rows with NULL or
-    non-positive weight are excluded (they have zero selection
-    probability in the scheme; a negative weight raises no error but
-    never wins).
+    merge on the driver, no global sort, no window. Rows with NULL,
+    NaN, or non-positive weight are excluded (zero selection
+    probability in the scheme — and NaN must be screened explicitly
+    because Spark sorts NaN above every double).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h + F.lit(1)) / F.lit(float(2**60))
-    key = F.log(u) / F.col(weight_col)
+    w = F.col(weight_col)
+    u = (_portable_hash60(F.col(id_col), seed) + F.lit(1)) / F.lit(float(2**60))
+    key = F.log(u) / w
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("_wkey", key)
         .orderBy(F.col("_wkey").desc())
         .limit(k)

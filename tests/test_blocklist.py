@@ -129,6 +129,44 @@ def test_ac_documented_overlap_divergence():
     assert ac2.count_hits("she", whole_word=False) == 2
 
 
+def test_ac_ascii_parity_with_java_regex_on_unicode(spark):
+    from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals_ac
+
+    # probed Java semantics: \b is UNICODE-aware ('spamé' has NO boundary
+    # after 'm', so 'spam' must not match) while (?i) folds ASCII only
+    # ('CAFÉ' does not match keyword 'café'); both paths must agree
+    df = spark.createDataFrame(
+        [(1, "spamé here"), (2, "CAFÉ time"), (3, "spam café")], "i bigint, text string"
+    )
+    for fn in (keyword_blocklist_signals, keyword_blocklist_signals_ac):
+        got = {r.i: r.n_blocklist_hits for r in fn(df, ["spam", "café"]).collect()}
+        assert got == {1: 0, 2: 0, 3: 2}, fn.__name__
+
+
+def test_ac_null_text_propagates_like_regexp_path(spark):
+    from gfw_data_api_spark.llmops.clean import keyword_blocklist_signals_ac
+
+    df = spark.createDataFrame([(1, None), (2, "")], "i bigint, text string")
+    for fn in (keyword_blocklist_signals, keyword_blocklist_signals_ac):
+        got = {r.i: (r.n_blocklist_hits, r.is_blocked) for r in fn(df, ["x"]).collect()}
+        assert got == {1: (None, None), 2: (0, False)}, fn.__name__
+
+
+def test_empty_keyword_rejected_both_paths(spark):
+    from gfw_data_api_spark.llmops.clean import (
+        AhoCorasick,
+        keyword_blocklist_signals_ac,
+    )
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="non-empty strings"):
+        keyword_blocklist_signals(df, ["ok", ""])
+    with pytest.raises(ValueError, match="non-empty strings"):
+        keyword_blocklist_signals_ac(df, ["ok", ""])
+    with pytest.raises(ValueError, match="non-empty strings"):
+        AhoCorasick([""])
+
+
 def test_ac_whole_word_edges():
     from gfw_data_api_spark.llmops.clean import AhoCorasick
 

@@ -68,6 +68,46 @@ def test_tar_members_sorted_and_zeroed(spark, tmp_path):
         assert [m.name for m in members[:2]] == ["0.txt", "0.json"]
 
 
+def test_null_meta_int_roundtrips_as_json_int_or_null(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", None)], "doc_id bigint, text string, n_chars bigint"
+    )
+    out = str(tmp_path / "nullmeta")
+    write_webdataset(df, out, meta_cols=["n_chars"], n_shards=1).collect()
+    back = read_webdataset(spark, out)
+    metas = {
+        int(r.key): bytes(r.payload).decode()
+        for r in back.filter(F.col("ext") == "json").collect()
+    }
+    # int stays an int (not 7.0), null stays JSON null (not NaN)
+    assert json.loads(metas[1]) == {"n_chars": 7}
+    assert json.loads(metas[2]) == {"n_chars": None}
+    assert "7.0" not in metas[1] and "NaN" not in metas[2]
+
+
+def test_null_text_raises_loudly(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    with pytest.raises(Exception, match="NULL text"):
+        try:
+            write_webdataset(df, str(tmp_path / "x"), n_shards=1).collect()
+        except Py4JJavaError as e:  # unwrap the executor-side ValueError
+            raise RuntimeError(str(e)) from e
+
+
+def test_non_identifier_meta_column_names(spark, tmp_path):
+    df = spark.createDataFrame([(1, "t", 5)], "doc_id bigint, text string, `page-count` bigint")
+    out = str(tmp_path / "hyphen")
+    write_webdataset(df, out, meta_cols=["page-count"], n_shards=1).collect()
+    back = read_webdataset(spark, out)
+    meta = json.loads(
+        bytes(back.filter(F.col("ext") == "json").collect()[0].payload)
+    )
+    assert meta == {"page-count": 5}
+
+
 def test_read_webdataset_groups_back_to_samples(spark, tmp_path):
     df = _corpus(spark, n=12)
     out = str(tmp_path / "w2")

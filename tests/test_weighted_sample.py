@@ -24,7 +24,8 @@ def test_matches_independent_python_reference(spark):
     }
 
     def key(i, w):
-        h = int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:15], 16)
+        # the canonical portable payload: value || chr(31) || seed
+        h = int(hashlib.md5(f"{i}\x1f3".encode()).hexdigest()[:15], 16)
         return math.log((h + 1) / 2**60) / w
 
     want = {i for i, w in sorted(rows, key=lambda t: -key(*t))[:25]}
@@ -61,11 +62,13 @@ def test_weights_bias_selection(spark):
     assert heavy >= 40
 
 
-def test_nonpositive_and_null_weights_excluded(spark):
+def test_nonpositive_null_and_nan_weights_excluded(spark):
     df = spark.createDataFrame(
-        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None)], "doc_id bigint, w double"
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (5, float("nan"))],
+        "doc_id bigint, w double",
     )
     got = weighted_sample_without_replacement(df, 10, "w").collect()
+    # NaN sorts above every double in Spark — it must be screened, not win
     assert [r.doc_id for r in got] == [1]
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_without_replacement(df, 0, "w")
