@@ -158,9 +158,13 @@ def apply_bpe_catalyst(
         s = F.replace(s, F.lit(sep + a + sep + b + sep), F.lit(sep + a + b + sep))
     # all whitespace (not just space) is a boundary, matching the
     # pandas-UDF twin's str.split(); whitespace chars inside the encoded
-    # string keep their own separators, so merges can never cross them
+    # string keep their own separators, so merges can never cross them.
+    # (?U) makes Java's \s Unicode-aware (NBSP, U+2028, NEL, ...) like
+    # Python's str.split(); the residual divergence is U+001C-U+001E
+    # (FS/GS/RS), which Python treats as whitespace but Unicode does
+    # not mark White_Space — documented, pinned in tests.
     tokens = F.filter(
-        F.split(s, f"[{sep}\\s]"), lambda t: t != F.lit("")
+        F.split(s, f"(?U)[{sep}\\s]"), lambda t: t != F.lit("")
     )
     return df.withColumn(out_col, tokens)
 

@@ -136,11 +136,29 @@ def write_webdataset(
         shard = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].tolist()
+        # member keys must stay unique and flat: duplicate ids collide
+        # on the tar member name and '/' in an id nests paths inside
+        # the tar — both silently break WebDataset's key-based sample
+        # grouping, so fail loudly (same policy as NULL text above)
+        keys = [str(i) for i in ids]
+        seen: set = set()
+        for k in keys:
+            if "/" in k:
+                raise ValueError(
+                    f"id {k!r} contains '/': tar member names must be flat "
+                    "— sanitize ids upstream"
+                )
+            if k in seen:
+                raise ValueError(
+                    f"duplicate id {k!r} in shard {shard}: member keys "
+                    "must be unique — dedupe ids upstream"
+                )
+            seen.add(k)
         texts = pdf[text_col].tolist()
         metas = {c: pdf[c].tolist() for c in meta_cols}
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tar:
-            for j, key in enumerate(str(i) for i in ids):
+            for j, key in enumerate(keys):
                 _tar_add(tar, f"{key}.txt", str(texts[j]).encode("utf-8"))
                 if meta_cols:
                     meta = {c: _clean_meta(c, metas[c][j]) for c in meta_cols}

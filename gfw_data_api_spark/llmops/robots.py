@@ -184,9 +184,15 @@ def robots_filter(
             ),
         )
     )
+    # null-safe keys: verdicts is built from urls' own DISTINCT
+    # (host, path) pairs — groupBy keeps NULL keys as a group, so a
+    # null-unsafe == here would orphan NULL-host/path URLs with a NULL
+    # verdict instead of the documented "no matching rule means
+    # allowed" default
     joined = urls.join(
         verdicts,
-        (urls[host_col] == verdicts["_rb_h"]) & (urls[path_col] == verdicts["_rb_p"]),
+        urls[host_col].eqNullSafe(verdicts["_rb_h"])
+        & urls[path_col].eqNullSafe(verdicts["_rb_p"]),
         "left",
     )
     return joined.select(*[urls[c] for c in urls.columns], "robots_allowed")

@@ -362,9 +362,14 @@ def reciprocal_rank_fusion(
     from pyspark.sql import Window
 
     parts = [
+        # keep the retriever's NATIVE id type: an unconditional
+        # cast('long') would silently NULL string doc ids and collapse
+        # every such doc into one bogus NULL group. Mixed numeric
+        # widths across lists are reconciled by union's type coercion;
+        # genuinely incompatible id types fail loudly there.
         df.select(
             F.lit(tag).alias("_src"),
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).alias("doc_id"),
             F.col(score_col).cast("double").alias("_score"),
         )
         for tag, df, id_col, score_col in lists

@@ -143,3 +143,29 @@ def test_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unicode_whitespace_is_a_boundary_matching_pandas_twin(spark):
+    """ADVICE r5: Java \\s is ASCII-only without (?U) -- NBSP/U+2028 in
+    ordinary web text must split exactly like the pandas twin's
+    str.split(), not surface as spurious symbol tokens."""
+    df = spark.createDataFrame(
+        [(1, "ab\xa0cd"), (2, "ab cd"), (3, "abcd　ef")],
+        "doc_id bigint, text string",
+    )
+    fast = {r.doc_id: r.bpe_tokens for r in apply_bpe_catalyst(df, MERGES).collect()}
+    slow = {r.doc_id: r.bpe_tokens for r in apply_bpe(df, MERGES).collect()}
+    assert fast == slow
+    for toks in fast.values():
+        assert all(not t.isspace() for t in toks)
+
+
+def test_documented_divergence_on_python_only_whitespace(spark):
+    """U+001C-U+001E are isspace() in Python but not Unicode White_Space:
+    the catalyst path keeps them as symbol chars while the pandas twin
+    splits -- the residual divergence the (?U) docstring pins."""
+    df = spark.createDataFrame([(1, "ab\x1ccd")], "doc_id bigint, text string")
+    fast = apply_bpe_catalyst(df, MERGES).collect()[0].bpe_tokens
+    slow = apply_bpe(df, MERGES).collect()[0].bpe_tokens
+    assert "\x1c" in "".join(fast)  # catalyst: FS is an ordinary symbol
+    assert "\x1c" not in "".join(slow)  # twin: FS is a word boundary

@@ -1480,3 +1480,27 @@ def test_reciprocal_rank_fusion_semantics(spark):
 
     with pytest.raises(ValueError):
         reciprocal_rank_fusion([])
+
+
+def test_reciprocal_rank_fusion_keeps_native_string_ids(spark):
+    """ADVICE r5: non-numeric doc ids must keep their native type --
+    the old cast('long') NULLed them into one bogus fused group."""
+    from gfw_data_api_spark.llmops.similarity import reciprocal_rank_fusion
+
+    lex = spark.createDataFrame(
+        [("doc-a", 9.0), ("doc-b", 5.0)], "doc_id string, s double"
+    )
+    sem = spark.createDataFrame(
+        [("doc-b", 0.9), ("doc-c", 0.8)], "vec_id string, c double"
+    )
+    out = {
+        r.doc_id: r
+        for r in reciprocal_rank_fusion(
+            [("lex", lex, "doc_id", "s"), ("sem", sem, "vec_id", "c")],
+            rrf_k=60,
+            top_k=10,
+        ).collect()
+    }
+    assert set(out) == {"doc-a", "doc-b", "doc-c"}
+    assert out["doc-b"].n_sources == 2
+    assert out["doc-b"].rrf_score == pytest.approx(1 / 62 + 1 / 61, abs=1e-9)

@@ -138,3 +138,24 @@ def test_regex_metachars_in_prefix_are_literal(spark):
         ["/a(b)/c+d/e", "/ab/cd/e"],
     )
     assert got == {"/a(b)/c+d/e": False, "/ab/cd/e": True}
+
+
+def test_null_host_or_path_defaults_to_allowed(spark):
+    """ADVICE r5: the final join is null-safe -- URLs with NULL host or
+    path get the documented 'no matching rule means allowed' default,
+    never a NULL verdict."""
+    hosts = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /x/\n")], "host string, robots_txt string"
+    )
+    rules = parse_robots(hosts)
+    urls = spark.createDataFrame(
+        [(None, "/x/a"), ("h", None), (None, None), ("h", "/x/a")],
+        "host string, path string",
+    )
+    got = [(r.host, r.path, r.robots_allowed) for r in robots_filter(urls, rules).collect()]
+    assert len(got) == 4
+    assert (None, "/x/a", True) in got
+    assert ("h", None, True) in got
+    assert (None, None, True) in got
+    assert ("h", "/x/a", False) in got
+    assert all(v is not None for _, _, v in got)

@@ -116,3 +116,24 @@ def test_read_webdataset_groups_back_to_samples(spark, tmp_path):
     per_key = back.groupBy("key").agg(F.sort_array(F.collect_list("ext")).alias("exts"))
     assert all(r.exts == ["json", "txt"] for r in per_key.collect())
     assert per_key.count() == 12
+
+
+def test_duplicate_ids_raise_loudly(spark, tmp_path):
+    """ADVICE r5: duplicate ids collide on the tar member name and
+    silently break WebDataset sample grouping -- fail loudly instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "t1"), ("a", "t2")], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="duplicate id"):
+        write_webdataset(df, str(tmp_path / "dup"), n_shards=1).collect()
+
+
+def test_slash_in_id_raises_loudly(spark, tmp_path):
+    """ids containing '/' would nest paths inside the tar -- reject."""
+    import pytest
+
+    df = spark.createDataFrame([("a/b", "t1")], "doc_id string, text string")
+    with pytest.raises(Exception, match="contains"):
+        write_webdataset(df, str(tmp_path / "slash"), n_shards=1).collect()
