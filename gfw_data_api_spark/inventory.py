@@ -3180,78 +3180,69 @@ _SPECS.append(
 # design — xxhash64/approx families) go last so no capped slot is spent on
 # a weaker rows-only row.
 _DRIVER_FRONT: list[str] = [
-    # round-5 rotation policy (VERDICT r4 #3): every full-oracle row's
-    # latest driver check must stay ≤2 rounds old. This front = the 16
-    # oracle rows last driver-checked in r1/r2 (the full stale set from
-    # the four CORRECTNESS files, minus s05_ivf_topk which is rows-only
-    # by design and ordered at the back), the new round-5 gates, then
-    # the oldest (r3-checked) backfills up to the 50-slot budget.
-    # --- r1/r2-stale rows — must all appear in CORRECTNESS_r05 ---
-    "q11_case_expr",
-    "q12_alias_table",
-    "q13_jsonb_extract",
-    "q14_pg_casts",
-    "q15_window_frame",
-    "q16_date_between_pipeline",
-    "q17_rollup",
-    "e02_partition_mapping",
-    "i07_exact_id_lookup",
-    "d06_winnowing_fingerprints",
-    "s02_embedding_norms",
-    "s04_blocked_cosine_pairs",
-    "st01_tumbling_window",
-    "st02_session_windows",
-    "t05_quality_ratios",
-    "m01_media_content_keys",
-    # --- round-5 additions (never driver-checked) ---
-    "q27_spatial_filter_box",
-    "e11_gfw_area_geodesic",
-    "e12_web_mercator_forward",
-    "r09_geometry_clip",
-    "m07_progressive_jpeg_decode",
-    "t20_perplexity_buckets",
-    "r07_pixel_area",
-    "r10_batch_list_query",
-    "pr01_rasterize_modes",
-    "pr02_band_algebra",
-    "pr04_downsample_pyramid",
-    "pr06_colormap_symbology",
-    "pr07_exact_histogram",
-    "pr03_mercator_warp",
-    "s09_hybrid_rrf_search",
-    "e13_grid_1x1_export",
-    "d13_incremental_dedup",
-    "r11_version_overrides",
-    "q28_window_breadth",
-    "m08_gif_decode_contract",
-    "a04_count_min_sketch",
-    "q29_scalar_subquery",
-    "s10_pq_recall_gate",
-    "m09_mel_tone_gate",
-    "t21_sequence_packing",
-    "g01_pagerank",
-    "e14_jsonl_ingest",
-    "d14_paragraph_dedup",
-    "c04_html_extract",
-    "t22_script_signals",
-    "e15_warc_ingest",
-    "b02_bpe_encode",
-    "c05_robots_filter",
-    "st09_jsonl_stream_monitor",
-    # p05_curate_crawl, ts05_resample_interpolate,
-    # q30_filter_clause_breadth, t23_compression_ratio,
-    # e16_geostore_inheritance, c06_keyword_blocklist and
-    # e17_feature_info_selection, e18_vector_export_roundtrip and
-    # b03_token_id_encoding, c07_mojibake_repair, c08 (AC blocklist),
-    # w03 (weighted sample) and e19 (WebDataset) are slots
-    # 51+ — outside the driver's 50-row budget; locally verified via
-    # check_oracle (p05's stages are all individually driver-gated
-    # e15/c04/t22/b02); front-load in r6.
-    # --- r3-checked backfills: NONE fit in the 50-slot budget this
-    # round. The 41 stale rows — st03/st04/st05/st06/st07 (5), t06-t14
-    # (9), ts01-ts04 (4), u01, w01/w02, dq01, e04/e05, r03, s06, d08,
-    # d10, c02 (11), q01-q07 (7), q18-q22 (5) — are 2 rounds old at r6
-    # and MUST front-load in r6 (split across r6/r7 at a 50 budget). ---
+    # round-6 rotation policy (VERDICT r5 #1): the driver snapshot
+    # records the FIRST 50 queries() entries only, and 63 of 163
+    # registry rows lacked driver verification from the last two
+    # rounds. This front = the 15 rows NEVER driver-checked (13 full
+    # oracles + rows-only d11/s07, which get the weaker rows-only
+    # check but have never had even that), s05 (rows-only, last
+    # checked r2 — stalest row anywhere), then the oldest r3-checked
+    # rows in risk order. New round-6 gates displace rows from the
+    # END of this list (the displaced stale rows head round 7's
+    # rotation together with the remaining r3 set: q01-q07, q18-q25,
+    # d10/r03/s06 if displaced).
+    # --- never driver-checked (r5 additions beyond the 50 budget) ---
+    "b03_token_id_encoding",
+    "c06_keyword_blocklist",
+    "c07_mojibake_repair",
+    "c08_blocklist_aho_corasick",
+    "e16_geostore_inheritance",
+    "e17_feature_info_selection",
+    "e18_vector_export_roundtrip",
+    "e19_webdataset_roundtrip",
+    "p05_curate_crawl",
+    "q30_filter_clause_breadth",
+    "t23_compression_ratio",
+    "ts05_resample_interpolate",
+    "w03_weighted_sample",
+    "d11_semantic_dedup",
+    "s07_pq_topk",
+    "s05_ivf_topk",
+    # --- r3-checked backfills (2 rounds stale), risk order ---
+    "st03_sliding_window",
+    "st04_stream_first_occurrence",
+    "st05_stream_static_enrich",
+    "st06_stream_stream_join",
+    "st07_stream_dedup",
+    "ts01_asof_join",
+    "ts02_interval_join",
+    "ts03_resample_locf",
+    "ts04_interarrival_stats",
+    "t06_tfidf_top_terms",
+    "t07_repetition_signals",
+    "t08_hash_split",
+    "t09_stratified_sample",
+    "t10_bigram_lm",
+    "t11_domain_mixture",
+    "t12_gopher_rules",
+    "t13_containment_pairs",
+    "t14_group_cap_sample",
+    "e04_merge_upsert",
+    "e05_scd2_intervals",
+    "ca01_continuous_aggregate",
+    "dq01_constraint_audit",
+    "u01_url_canonicalization",
+    "w01_importance_weights",
+    "w02_temperature_mixture",
+    "b01_bpe_pair_stats",
+    "c01_token_chunks",
+    "c02_pii_redaction",
+    "d08_benchmark_decontamination",
+    "d10_repeated_segment_removal",
+    "r03_zonal_avg_min_max",
+    "s06_int8_quantization",
+    "q18_percentiles",
+    "q20_salted_skew_agg",
 ]
 
 
@@ -7100,7 +7091,9 @@ def _registry_order(specs: list[QuerySpec]) -> list[QuerySpec]:
     rest_oracle = [
         s for s in specs if s.name not in _DRIVER_FRONT and s.oracle is not None
     ]
-    rows_only = [s for s in specs if s.oracle is None]
+    rows_only = [
+        s for s in specs if s.oracle is None and s.name not in _DRIVER_FRONT
+    ]
     return front + rest_oracle + rows_only
 
 

@@ -33,16 +33,21 @@ def test_queries_and_oracles_aligned(spark):
 
 def test_driver_snapshot_slots_are_full_oracle():
     """The driver's correctness snapshot records only the first 50 dict
-    entries — every one of those slots must be a hash-compared full-oracle
-    entry, and no rows-only entry may precede any oracle entry."""
+    entries. Round-6 policy (VERDICT r5 #1): rows-only entries may hold
+    a front slot ONLY when explicitly named in _DRIVER_FRONT (they get
+    the weaker rows-only driver check, which d11/s07 have never had);
+    every other front slot must be a hash-compared full-oracle entry,
+    and outside the front all rows-only entries stay at the tail."""
+    from gfw_data_api_spark.inventory import _DRIVER_FRONT
+
     queries = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     snapshot = queries[:50]
-    assert all(name in oracles for name in snapshot), [
-        n for n in snapshot if n not in oracles
-    ]
-    # rows-only entries are all at the tail
-    tags = [name in oracles for name in queries]
+    weak = [n for n in snapshot if n not in oracles]
+    assert all(n in _DRIVER_FRONT for n in weak), weak
+    assert len(weak) <= 3, weak  # deliberate, bounded spend of weak slots
+    # past the front, rows-only entries are all at the tail
+    tags = [name in oracles for name in queries[50:]]
     first_rows_only = tags.index(False) if False in tags else len(tags)
     assert all(not t for t in tags[first_rows_only:])
 
