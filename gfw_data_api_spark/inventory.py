@@ -3242,7 +3242,8 @@ _DRIVER_FRONT: list[str] = [
     "r03_zonal_avg_min_max",
     "s06_int8_quantization",
     "q18_percentiles",
-    "q20_salted_skew_agg",
+    # --- new round-6 gates (displace stale rows from the end) ---
+    "d15_semantic_dedup_envelope",
 ]
 
 
@@ -7081,6 +7082,57 @@ _SPECS.append(
         "(llmops/jpeg.py T.81 Annex G — spectral selection + successive "
         "approximation; bit-identity vs the baseline decode pinned as an "
         "oracle boolean)",
+    )
+)
+
+
+def _d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup quality-envelope gate (VERDICT r5 #3): the k-means
+    structure inside semantic_dedup (llmops/similarity.py, Abbas et al.
+    2023) can't reproduce in SQL, but its KEEP/DROP contract on a
+    planted corpus can — exactly the s08/s10 rescue pattern.
+
+    Fixture: reals = embeddings with vec_id < 200; every 5th real gets
+    an EXACT copy planted at vec_id + 10000. Identical vectors have
+    identical centroid distances, so k-means puts each copy in its
+    original's cell regardless of how training converged, and the
+    in-cell pair scores cosine 1.0 ≥ 0.95 while the loudest natural
+    pair measures ≤ 0.48 across every test SF (probed) — so the exact
+    survivor set is determined: the lower id of each planted pair
+    (the original) survives, the copy drops, and every unpaired real
+    survives. A silent regression anywhere — degenerate training,
+    wrong cell assignment, broken pair threshold, inverted keep
+    policy — flips booleans and fails the hash compare."""
+    from gfw_data_api_spark.llmops.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    dups = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    kept = semantic_dedup(corpus, threshold=0.95, nlist=8).select(
+        "vec_id", F.lit(True).alias("survived")
+    )
+    return (
+        corpus.select("vec_id")
+        .join(kept, "vec_id", "left")
+        .select("vec_id", F.coalesce("survived", F.lit(False)).alias("survived"))
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d15_semantic_dedup_envelope",
+        spark_fn=_d15,
+        oracle=(
+            "SELECT vec_id, TRUE AS survived FROM embeddings WHERE vec_id < 200 "
+            "UNION ALL "
+            "SELECT vec_id + 10000 AS vec_id, FALSE AS survived "
+            "FROM embeddings WHERE vec_id < 200 AND vec_id % 5 = 0"
+        ),
+        survey_ref="LLM pipeline: SemDeDup keep/drop contract on planted "
+        "exact-copy clusters (llmops/similarity.py semantic_dedup; "
+        "companion full oracle to rows-only d11)",
     )
 )
 
