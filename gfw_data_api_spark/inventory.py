@@ -3239,11 +3239,13 @@ _DRIVER_FRONT: list[str] = [
     "c02_pii_redaction",
     "d08_benchmark_decontamination",
     "d10_repeated_segment_removal",
-    "r03_zonal_avg_min_max",
-    "s06_int8_quantization",
-    "q18_percentiles",
+    # r03 / s06 / q18 / q20 displaced to the round-7 backlog by the
+    # round-6 gates below (never-driver-checked beats 2-rounds-stale)
     # --- new round-6 gates (displace stale rows from the end) ---
     "d15_semantic_dedup_envelope",
+    "q31_dialect_pg_operators",
+    "q32_dialect_extract_fields",
+    "q33_dialect_string_breadth",
 ]
 
 
@@ -7133,6 +7135,130 @@ _SPECS.append(
         survey_ref="LLM pipeline: SemDeDup keep/drop contract on planted "
         "exact-copy clusters (llmops/similarity.py semantic_dedup; "
         "companion full oracle to rows-only d11)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# round-6 dialect breadth gates (VERDICT r5 #7): the reference passes any
+# single-table PG SELECT through to Postgres (app/crud/queries.py), so the
+# engine must compute PG semantics for PG-isms Spark parses differently or
+# not at all. sql/dialect.py round-6 translations under test: ~ / ~* / !~
+# regex operators, SIMILAR TO, BETWEEN SYMMETRIC, ^ (PG exponentiation —
+# Spark's ^ is XOR, silently wrong before this round), EXTRACT
+# DOW/ISODOW/EPOCH (PG DOW is Sunday=0; Spark's is Sunday=1), and the PG
+# function names starts_with / string_to_array.
+# ---------------------------------------------------------------------------
+
+_SPECS.append(
+    QuerySpec(
+        name="q31_dialect_pg_operators",
+        spark_fn=_guarded(
+            "lineitem",
+            "SELECT l_returnflag, "
+            "count(*) FILTER (WHERE l_linestatus ~ '^O') AS n_tilde, "
+            "count(*) FILTER (WHERE l_linestatus ~* 'o') AS n_tilde_ci, "
+            "count(*) FILTER (WHERE l_linestatus !~ 'O|X') AS n_not_tilde, "
+            "count(*) FILTER (WHERE l_linestatus SIMILAR TO '(O|F)') AS n_similar, "
+            "count(*) FILTER (WHERE l_quantity BETWEEN SYMMETRIC 30 AND 20) AS n_sym, "
+            "CAST(sum(l_linenumber ^ 2) AS BIGINT) AS sum_sq "
+            "FROM data GROUP BY l_returnflag ORDER BY l_returnflag",
+        ),
+        oracle=(
+            # DuckDB's SIMILAR TO is plain-regex (no % wildcard), it has
+            # no BETWEEN SYMMETRIC, and its ~ IS PG's — mirror with
+            # equivalents where the surfaces diverge
+            "SELECT l_returnflag, "
+            "count(*) FILTER (WHERE l_linestatus ~ '^O') AS n_tilde, "
+            "count(*) FILTER (WHERE regexp_matches(l_linestatus, '(?i)o')) AS n_tilde_ci, "
+            "count(*) FILTER (WHERE NOT regexp_matches(l_linestatus, 'O|X')) AS n_not_tilde, "
+            "count(*) FILTER (WHERE regexp_matches(l_linestatus, '^(?:(O|F))$')) AS n_similar, "
+            "count(*) FILTER (WHERE l_quantity BETWEEN 20 AND 30) AS n_sym, "
+            "CAST(sum(l_linenumber ^ 2) AS BIGINT) AS sum_sq "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        survey_ref="Q11 dialect breadth: PG regex operators, SIMILAR TO, "
+        "BETWEEN SYMMETRIC, ^ exponentiation (sql/dialect.py "
+        "translate_regex_ops/translate_similar_to/"
+        "translate_between_symmetric/translate_caret_power)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q32_dialect_extract_fields",
+        spark_fn=_guarded(
+            "lineitem",
+            "SELECT CAST(EXTRACT(DOW FROM l_shipdate) AS BIGINT) AS dow, "
+            "CAST(EXTRACT(ISODOW FROM l_shipdate) AS BIGINT) AS isodow, "
+            "CAST(EXTRACT(QUARTER FROM l_shipdate) AS BIGINT) AS qtr, "
+            "count(*) AS n, "
+            "CAST(EXTRACT(EPOCH FROM min(l_shipdate)) AS BIGINT) AS min_epoch "
+            "FROM data GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+        ),
+        oracle=(
+            "SELECT CAST(extract(dow FROM l_shipdate) AS BIGINT) AS dow, "
+            "CAST(extract(isodow FROM l_shipdate) AS BIGINT) AS isodow, "
+            "CAST(extract(quarter FROM l_shipdate) AS BIGINT) AS qtr, "
+            "count(*) AS n, "
+            "CAST(extract(epoch FROM min(l_shipdate)) AS BIGINT) AS min_epoch "
+            "FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        survey_ref="Q11 dialect breadth: EXTRACT DOW (PG Sunday=0 vs Spark "
+        "Sunday=1), ISODOW, EPOCH (sql/dialect.py translate_extract; "
+        "UTC-session epoch)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q33_dialect_string_breadth",
+        spark_fn=_guarded(
+            "lineitem",
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "POSITION('N' IN l_returnflag) AS pos_n, "
+            "SUBSTRING(l_linestatus FROM 1 FOR 1) AS sub_ff, "
+            "TRIM(BOTH 'N' FROM l_returnflag) AS trim_both, "
+            "OVERLAY(l_linestatus PLACING 'xx' FROM 1 FOR 1) AS ovl, "
+            "LEFT(l_returnflag, 1) AS lft, "
+            "split_part(l_returnflag, ' ', 1) AS sp, "
+            "initcap(lower(l_returnflag)) AS ic, "
+            "btrim(l_returnflag, 'N') AS bt, "
+            "count(*) FILTER (WHERE starts_with(l_linestatus, 'O')) AS n_sw, "
+            "count(*) FILTER (WHERE l_linestatus ILIKE 'o%') AS n_ilike, "
+            "count(*) FILTER (WHERE l_returnflag IS DISTINCT FROM 'N') AS n_dist, "
+            "CAST(width_bucket(l_quantity, 0, 50, 5) AS BIGINT) AS wb "
+            "FROM data GROUP BY l_returnflag, l_linestatus, wb "
+            "ORDER BY l_returnflag, l_linestatus, wb",
+        ),
+        oracle=(
+            # DuckDB lacks overlay/initcap/width_bucket — mirrored with
+            # concat-substr, upper (single-char flags), and PG's
+            # width_bucket arithmetic (x >= max lands in bucket count+1)
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "position('N' IN l_returnflag) AS pos_n, "
+            "substring(l_linestatus FROM 1 FOR 1) AS sub_ff, "
+            "trim(BOTH 'N' FROM l_returnflag) AS trim_both, "
+            "'xx' || substr(l_linestatus, 2) AS ovl, "
+            "left(l_returnflag, 1) AS lft, "
+            "split_part(l_returnflag, ' ', 1) AS sp, "
+            "upper(l_returnflag) AS ic, "
+            "btrim(l_returnflag, 'N') AS bt, "
+            "count(*) FILTER (WHERE starts_with(l_linestatus, 'O')) AS n_sw, "
+            "count(*) FILTER (WHERE l_linestatus ILIKE 'o%') AS n_ilike, "
+            "count(*) FILTER (WHERE l_returnflag IS DISTINCT FROM 'N') AS n_dist, "
+            "CAST(CASE WHEN l_quantity >= 50 THEN 6 WHEN l_quantity < 0 THEN 0 "
+            "ELSE floor(l_quantity / 10) + 1 END AS BIGINT) AS wb "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus, wb "
+            "ORDER BY l_returnflag, l_linestatus, wb"
+        ),
+        survey_ref="Q11 dialect breadth: PG string-function surface "
+        "(POSITION IN, SUBSTRING FROM FOR, TRIM BOTH, OVERLAY PLACING, "
+        "LEFT, split_part, initcap, btrim, starts_with→startswith, ILIKE, "
+        "IS DISTINCT FROM, width_bucket) — native in Spark or mapped by "
+        "sql/dialect.py translate_pg_functions",
     )
 )
 

@@ -178,6 +178,498 @@ def translate_fetch_first(sql: str) -> str:
     return _outside_string_literals(sql, fix)
 
 
+# ---------------------------------------------------------------------------
+# round-6 dialect breadth (VERDICT r5 #7): the reference passes any
+# single-table PG SELECT through to Postgres (app/crud/queries.py), so
+# PG-isms Spark parses differently — or not at all — need surface
+# translation. Probed divergences this closes:
+#   ^           PG exponentiation; Spark parses it as bitwise XOR
+#               (silently WRONG answers, not an error)
+#   EXTRACT(DOW)    PG Sunday=0; Spark DOW is Sunday=1
+#   EXTRACT(ISODOW/ISOYEAR/EPOCH)  unknown fields in Spark
+#   ~ ~* !~ !~*     PG regex-match operators; Spark has RLIKE
+#   SIMILAR TO      PG SQL-regex; no Spark equivalent
+#   BETWEEN SYMMETRIC  PG auto-swaps bounds; Spark rejects
+#   starts_with / string_to_array  PG names for startswith / split
+# ---------------------------------------------------------------------------
+
+_OPERAND_BOUNDARY = {
+    "AND", "OR", "NOT", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "WHERE", "THEN", "ELSE", "END", "WHEN", "ASC", "DESC", "FROM", "AS",
+    "UNION", "ALL", "BETWEEN", "IS", "IN", "LIKE", "ILIKE", "SIMILAR",
+    "ESCAPE", "OVER", "FETCH", "ROWS", "ONLY", "NULLS", "FIRST", "LAST",
+    "FILTER", "DISTINCT", "CASE", "BY", "WINDOW", "SELECT", "ON", "USING",
+    "JOIN",
+    # NB: LEFT/RIGHT are absent on purpose — they are also the
+    # LEFT(str, n)/RIGHT(str, n) functions, and the boundary set doubles
+    # as the "not a function name" test in _primary_start
+}
+
+
+def _primary_start(tokens, k):
+    """Index of the first token of the primary expression whose LAST
+    token is ``tokens[k]`` (mirrors translate_pg_casts's backward walk):
+    a literal, a dotted identifier chain, or a balanced paren group with
+    an optional function name."""
+    tok = tokens[k]
+    if tok.kind in ("NUMBER", "STRING", "QIDENT", "PARAM"):
+        return k
+    if tok.kind == "IDENT":
+        while (
+            k >= 2
+            and tokens[k - 1].kind == "PUNCT"
+            and tokens[k - 1].value == "."
+            and tokens[k - 2].kind in ("IDENT", "QIDENT")
+        ):
+            k -= 2
+        return k
+    if tok.kind == "PUNCT" and tok.value == ")":
+        depth = 0
+        j = k
+        while j >= 0:
+            if tokens[j].kind == "PUNCT" and tokens[j].value == ")":
+                depth += 1
+            elif tokens[j].kind == "PUNCT" and tokens[j].value == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        if j > 0 and tokens[j - 1].kind == "IDENT" and tokens[j - 1].upper not in _OPERAND_BOUNDARY:
+            j -= 1
+        return j
+    return None
+
+
+def _primary_end(tokens, k):
+    """Index of the LAST token of the primary expression starting at
+    ``tokens[k]`` (forward twin of :func:`_primary_start`); allows a
+    leading unary sign."""
+    n = len(tokens)
+    while k < n and tokens[k].kind == "OP" and tokens[k].value in "+-":
+        k += 1
+    if k >= n:
+        return None
+    tok = tokens[k]
+    if tok.kind in ("NUMBER", "STRING", "QIDENT", "PARAM"):
+        return k
+    if tok.kind == "IDENT":
+        while (
+            k + 2 < n
+            and tokens[k + 1].kind == "PUNCT"
+            and tokens[k + 1].value == "."
+            and tokens[k + 2].kind in ("IDENT", "QIDENT")
+        ):
+            k += 2
+        if k + 1 < n and tokens[k + 1].kind == "PUNCT" and tokens[k + 1].value == "(":
+            k += 1
+        else:
+            return k
+        tok = tokens[k]
+    if tok.kind == "PUNCT" and tok.value == "(":
+        depth = 0
+        while k < n:
+            if tokens[k].kind == "PUNCT" and tokens[k].value == "(":
+                depth += 1
+            elif tokens[k].kind == "PUNCT" and tokens[k].value == ")":
+                depth -= 1
+                if depth == 0:
+                    return k
+            k += 1
+    return None
+
+
+def translate_caret_power(sql: str) -> str:
+    """PG ``a ^ b`` is exponentiation; Spark parses ``^`` as bitwise
+    XOR — silently wrong values, not a parse error. Rewrite to
+    ``POWER(a, b)``, left-associatively like PG, taking one tight
+    primary on each side (PG gives ``^`` higher precedence than ``*``),
+    and folding a genuinely unary sign into the left operand (PG binds
+    unary minus tighter than ``^``)."""
+    while True:
+        tokens = tokenize(sql)
+        idx = next(
+            (i for i, t in enumerate(tokens) if t.kind == "OP" and t.value == "^"),
+            None,
+        )
+        if idx is None or idx == 0 or idx + 1 >= len(tokens):
+            return sql
+        lstart = _primary_start(tokens, idx - 1)
+        rend = _primary_end(tokens, idx + 1)
+        if lstart is None or rend is None:
+            return sql
+        if lstart > 0 and tokens[lstart - 1].kind == "OP" and tokens[lstart - 1].value in "+-":
+            prev2 = tokens[lstart - 2] if lstart >= 2 else None
+            if (
+                prev2 is None
+                or prev2.kind == "OP"
+                or (prev2.kind == "PUNCT" and prev2.value in "(,")
+                or (prev2.kind == "IDENT" and prev2.upper in _OPERAND_BOUNDARY)
+            ):
+                lstart -= 1
+        lo, hi = tokens[lstart].start, tokens[idx - 1].end
+        rs, re_ = tokens[idx + 1].start, tokens[rend].end
+        sql = f"{sql[:lo]}POWER({sql[lo:hi]}, {sql[rs:re_]}){sql[re_:]}"
+
+
+_REGEX_OPS = {
+    "~": ("", False),
+    "~*": ("(?i)", False),
+    "!~": ("", True),
+    "!~*": ("(?i)", True),
+}
+
+
+def translate_regex_ops(sql: str) -> str:
+    """PG regex-match operators → Spark RLIKE. ``a ~ p`` matches
+    anywhere, exactly RLIKE's contract; ``~*`` folds case via an
+    embedded ``(?i)`` (Java regex), ``!~``/``!~*`` negate. A ``~``
+    with no operand to its left is PG's unary bitwise NOT, which Spark
+    shares — left alone. Pattern syntax is Java regex on Spark vs
+    POSIX ERE on PG: common atoms agree; POSIX ``[[:alpha:]]`` classes
+    do not exist in Java and fail loudly at execution."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if t.kind == "OP" and t.value in _REGEX_OPS and 0 < i < len(tokens) - 1:
+                prev = tokens[i - 1]
+                is_binary = prev.kind in ("IDENT", "QIDENT", "STRING", "NUMBER", "PARAM") or (
+                    prev.kind == "PUNCT" and prev.value == ")"
+                )
+                if t.value == "~" and not is_binary:
+                    continue  # unary bitwise NOT
+                if prev.kind == "IDENT" and prev.upper in _OPERAND_BOUNDARY:
+                    continue
+                hit = i
+                break
+        if hit is None:
+            return sql
+        ci, neg = _REGEX_OPS[tokens[hit].value]
+        lstart = _primary_start(tokens, hit - 1)
+        rend = _primary_end(tokens, hit + 1)
+        if lstart is None or rend is None:
+            return sql
+        left = sql[tokens[lstart].start : tokens[hit - 1].end]
+        right = sql[tokens[hit + 1].start : tokens[rend].end]
+        if ci:
+            rx = f"CONCAT('{ci}', {right})"
+        else:
+            rx = right
+        repl = f"({left} RLIKE {rx})"
+        if neg:
+            repl = f"(NOT {repl})"
+        sql = f"{sql[:tokens[lstart].start]}{repl}{sql[tokens[rend].end:]}"
+
+
+def _operand_scan_end(tokens, k):
+    """Last token index of the expression starting at ``tokens[k]``,
+    scanning forward at paren depth 0 until a clause boundary keyword,
+    a top-level comma, or an unbalanced close paren. Binary operators
+    continue the expression (PG gives BETWEEN lower precedence than
+    arithmetic)."""
+    n = len(tokens)
+    depth = 0
+    last = None
+    j = k
+    while j < n:
+        t = tokens[j]
+        if t.kind == "PUNCT" and t.value == "(":
+            depth += 1
+        elif t.kind == "PUNCT" and t.value == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0:
+            if t.kind == "PUNCT" and t.value in (",", ";"):
+                break
+            if t.kind == "IDENT" and t.upper in _OPERAND_BOUNDARY:
+                break
+        last = j
+        j += 1
+    return last
+
+
+def translate_between_symmetric(sql: str) -> str:
+    """PG ``x BETWEEN SYMMETRIC a AND b`` auto-orders the bounds;
+    Spark has no SYMMETRIC. Rewrite to
+    ``BETWEEN least(a, b) AND greatest(a, b)``. The matching AND is
+    found at paren depth 0, skipping ANDs that close nested BETWEENs."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "BETWEEN"
+                and i + 2 < len(tokens)
+                and tokens[i + 1].kind == "IDENT"
+                and tokens[i + 1].upper == "SYMMETRIC"
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        j = at + 2
+        depth = 0
+        pending = 0
+        and_idx = None
+        while j < len(tokens):
+            t = tokens[j]
+            if t.kind == "PUNCT" and t.value == "(":
+                depth += 1
+            elif t.kind == "PUNCT" and t.value == ")":
+                depth -= 1
+            elif depth == 0 and t.kind == "IDENT":
+                if t.upper == "BETWEEN":
+                    pending += 1
+                elif t.upper == "AND":
+                    if pending:
+                        pending -= 1
+                    else:
+                        and_idx = j
+                        break
+            j += 1
+        if and_idx is None or and_idx == at + 2:
+            return sql
+        hi_end = _operand_scan_end(tokens, and_idx + 1)
+        if hi_end is None:
+            return sql
+        lo = sql[tokens[at + 2].start : tokens[and_idx - 1].end]
+        hi = sql[tokens[and_idx + 1].start : tokens[hi_end].end]
+        repl = f"BETWEEN least({lo}, {hi}) AND greatest({lo}, {hi})"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[hi_end].end:]}"
+
+
+def translate_extract(sql: str) -> str:
+    """PG EXTRACT fields Spark lacks or numbers differently:
+
+    - ``DOW``: PG is Sunday=0..Saturday=6, Spark's DOW is Sunday=1 —
+      rewritten to ``(EXTRACT(DAYOFWEEK FROM e) - 1)``
+    - ``ISODOW`` → Spark ``DAYOFWEEK_ISO`` (both Monday=1)
+    - ``ISOYEAR`` → Spark ``YEAROFWEEK``
+    - ``EPOCH``  → ``CAST(CAST((e) AS TIMESTAMP) AS DOUBLE)`` — the
+      session runs UTC, so this is PG's UTC-midnight epoch for dates
+      and keeps fractional seconds for timestamps
+    """
+    while True:
+        tokens = tokenize(sql)
+        changed = False
+        for i, t in enumerate(tokens):
+            if not (
+                t.kind == "IDENT"
+                and t.upper == "EXTRACT"
+                and i + 2 < len(tokens)
+                and tokens[i + 1].kind == "PUNCT"
+                and tokens[i + 1].value == "("
+            ):
+                continue
+            f = tokens[i + 2]
+            field = f.upper if f.kind == "IDENT" else (
+                f.value.upper() if f.kind == "STRING" else None
+            )
+            if field == "ISODOW":
+                sql = f"{sql[:f.start]}DAYOFWEEK_ISO{sql[f.end:]}"
+                changed = True
+                break
+            if field == "ISOYEAR":
+                sql = f"{sql[:f.start]}YEAROFWEEK{sql[f.end:]}"
+                changed = True
+                break
+            if field in ("DOW", "EPOCH"):
+                depth = 0
+                close = None
+                for j in range(i + 1, len(tokens)):
+                    if tokens[j].kind == "PUNCT" and tokens[j].value == "(":
+                        depth += 1
+                    elif tokens[j].kind == "PUNCT" and tokens[j].value == ")":
+                        depth -= 1
+                        if depth == 0:
+                            close = j
+                            break
+                if close is None:
+                    return sql
+                if field == "DOW":
+                    inner = f"{sql[t.start:f.start]}DAYOFWEEK{sql[f.end:tokens[close].end]}"
+                    sql = f"{sql[:t.start]}({inner} - 1){sql[tokens[close].end:]}"
+                else:
+                    from_idx = i + 3
+                    if not (
+                        from_idx < close
+                        and tokens[from_idx].kind == "IDENT"
+                        and tokens[from_idx].upper == "FROM"
+                    ):
+                        return sql
+                    expr = sql[tokens[from_idx].end : tokens[close].start].strip()
+                    sql = (
+                        f"{sql[:t.start]}CAST(CAST(({expr}) AS TIMESTAMP) AS DOUBLE)"
+                        f"{sql[tokens[close].end:]}"
+                    )
+                changed = True
+                break
+        if not changed:
+            return sql
+
+
+def _similar_to_java_regex(pat: str) -> str:
+    """PG SIMILAR TO pattern → anchored Java regex: ``%`` → ``.*``,
+    ``_`` → ``.``; the metachars SIMILAR TO shares with regex
+    (``| * + ? ( ) { } [ ]``) pass through (bracket classes verbatim);
+    everything else — including ``.``, ``^``, ``$``, which SIMILAR TO
+    treats literally — is escaped. Anchoring uses ``\\A``/``\\z``
+    (Java ``$`` would also match before a trailing newline)."""
+    out = []
+    i = 0
+    in_class = False
+    while i < len(pat):
+        c = pat[i]
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+            out.append(c)
+        elif c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c in "|*+?(){}":
+            out.append(c)
+        elif c == "\\" and i + 1 < len(pat):
+            out.append("\\" + pat[i + 1])
+            i += 2
+            continue
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "\\A(?:" + "".join(out) + ")\\z"
+
+
+def translate_similar_to(sql: str) -> str:
+    """``expr [NOT] SIMILAR TO 'pattern'`` → anchored RLIKE. Patterns
+    must be string literals (the conversion happens at translate time);
+    anything else raises — better loud than a silently-different
+    regex dialect."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "SIMILAR"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].kind == "IDENT"
+                and tokens[i + 1].upper == "TO"
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        neg = at > 0 and tokens[at - 1].kind == "IDENT" and tokens[at - 1].upper == "NOT"
+        lend = at - 2 if neg else at - 1
+        if lend < 0 or at + 2 >= len(tokens):
+            raise ValueError("SIMILAR TO: missing operand")
+        pat_tok = tokens[at + 2]
+        if pat_tok.kind != "STRING":
+            raise ValueError(
+                "SIMILAR TO requires a string-literal pattern "
+                "(dynamic patterns are not translatable to Spark)"
+            )
+        lstart = _primary_start(tokens, lend)
+        if lstart is None:
+            raise ValueError("SIMILAR TO: unsupported left operand")
+        left = sql[tokens[lstart].start : tokens[lend].end]
+        rx = _similar_to_java_regex(pat_tok.value)
+        lit = rx.replace("\\", "\\\\").replace("'", "''")
+        repl = f"({left} RLIKE '{lit}')"
+        if neg:
+            repl = f"(NOT {repl})"
+        sql = f"{sql[:tokens[lstart].start]}{repl}{sql[pat_tok.end:]}"
+
+
+def translate_pg_functions(sql: str) -> str:
+    """PG function names → Spark builtins:
+
+    - ``starts_with(a, b)`` → ``startswith(a, b)``
+    - ``string_to_array(s, 'd')`` → ``CASE WHEN (s) = '' THEN
+      CAST(array() AS array<string>) ELSE split(s, '\\\\Qd\\\\E') END``
+      (PG returns an EMPTY array for empty input where split returns
+      ``['']``; the delimiter is literal, so it is \\\\Q-quoted for
+      Java regex and must itself be a string literal — else this
+      raises rather than splitting on an accidental regex)
+    """
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "STARTS_WITH"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                hit = t
+                break
+        if hit is None:
+            break
+        sql = f"{sql[:hit.start]}startswith{sql[hit.end:]}"
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "STRING_TO_ARRAY"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        depth = 0
+        close = None
+        commas = []
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif tk.kind == "PUNCT" and tk.value == "," and depth == 1:
+                commas.append(j)
+        if close is None or len(commas) != 1:
+            raise ValueError("string_to_array takes exactly (expr, 'delimiter')")
+        delim_toks = tokens[commas[0] + 1 : close]
+        if len(delim_toks) != 1 or delim_toks[0].kind != "STRING":
+            raise ValueError(
+                "string_to_array requires a string-literal delimiter "
+                "(dynamic delimiters are not translatable to Spark's regex split)"
+            )
+        delim = delim_toks[0].value
+        if "\\E" in delim:
+            raise ValueError("string_to_array delimiter may not contain \\E")
+        s_expr = sql[tokens[at + 2].start : tokens[commas[0] - 1].end]
+        quoted = ("\\Q" + delim + "\\E").replace("\\", "\\\\").replace("'", "''")
+        repl = (
+            f"CASE WHEN ({s_expr}) = '' THEN CAST(array() AS array<string>) "
+            f"ELSE split({s_expr}, '{quoted}') END"
+        )
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+
+
 def to_spark_sql(sql: str) -> str:
     """All PG→Spark surface translations."""
-    return translate_fetch_first(translate_pg_casts(sql))
+    sql = translate_pg_casts(sql)
+    sql = translate_extract(sql)
+    sql = translate_between_symmetric(sql)
+    sql = translate_caret_power(sql)
+    sql = translate_regex_ops(sql)
+    sql = translate_similar_to(sql)
+    sql = translate_pg_functions(sql)
+    return translate_fetch_first(sql)

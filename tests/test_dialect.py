@@ -1,0 +1,199 @@
+"""Round-6 PG→Spark dialect breadth (sql/dialect.py; VERDICT r5 #7).
+
+The reference passes any single-table PG SELECT through to Postgres
+(``app/crud/queries.py``), so PG-isms that Spark parses differently —
+or not at all — need surface translation. Translation-level tests are
+pure string checks; value semantics are pinned by the q31-q33 gates
+against DuckDB.
+"""
+
+import pytest
+
+from gfw_data_api_spark.sql.dialect import (
+    to_spark_sql,
+    translate_between_symmetric,
+    translate_caret_power,
+    translate_extract,
+    translate_pg_functions,
+    translate_regex_ops,
+    translate_similar_to,
+)
+
+
+class TestCaretPower:
+    def test_simple(self):
+        assert (
+            translate_caret_power("SELECT a ^ 2 FROM t")
+            == "SELECT POWER(a, 2) FROM t"
+        )
+
+    def test_left_associative_chain(self):
+        # PG: a ^ b ^ c … historically documented left-assoc in the
+        # guarded dialect; either way the rewrite must nest, not drop
+        assert (
+            translate_caret_power("SELECT 2 * a ^ 2 ^ 3 FROM t")
+            == "SELECT 2 * POWER(POWER(a, 2), 3) FROM t"
+        )
+
+    def test_unary_minus_binds_tighter_than_caret(self):
+        # PG precedence: unary +/- sits ABOVE ^ → -2 ^ 2 = 4
+        assert (
+            translate_caret_power("SELECT -2 ^ 2 AS p FROM t")
+            == "SELECT POWER(-2, 2) AS p FROM t"
+        )
+
+    def test_binary_minus_stays_binary(self):
+        assert (
+            translate_caret_power("SELECT a - 2 ^ 2 FROM t")
+            == "SELECT a - POWER(2, 2) FROM t"
+        )
+
+    def test_paren_and_function_operands(self):
+        assert (
+            translate_caret_power("SELECT (x + 1) ^ abs(y) FROM t")
+            == "SELECT POWER((x + 1), abs(y)) FROM t"
+        )
+
+    def test_function_name_included(self):
+        assert (
+            translate_caret_power("SELECT LEFT(f, 2) ^ 2 FROM t")
+            == "SELECT POWER(LEFT(f, 2), 2) FROM t"
+        )
+
+
+class TestRegexOps:
+    def test_tilde(self):
+        assert (
+            translate_regex_ops("SELECT * FROM t WHERE f ~ '^N'")
+            == "SELECT * FROM t WHERE (f RLIKE '^N')"
+        )
+
+    def test_case_insensitive(self):
+        assert (
+            translate_regex_ops("SELECT * FROM t WHERE f ~* 'air'")
+            == "SELECT * FROM t WHERE (f RLIKE CONCAT('(?i)', 'air'))"
+        )
+
+    def test_negated(self):
+        assert (
+            translate_regex_ops("SELECT * FROM t WHERE f !~ 'x' AND g !~* 'y'")
+            == "SELECT * FROM t WHERE (NOT (f RLIKE 'x')) AND (NOT (g RLIKE CONCAT('(?i)', 'y')))"
+        )
+
+    def test_unary_bitwise_not_untouched(self):
+        assert translate_regex_ops("SELECT ~5 FROM t") == "SELECT ~5 FROM t"
+        assert (
+            translate_regex_ops("SELECT a + ~5 FROM t") == "SELECT a + ~5 FROM t"
+        )
+
+
+class TestBetweenSymmetric:
+    def test_simple(self):
+        assert (
+            translate_between_symmetric("SELECT * FROM t WHERE x BETWEEN SYMMETRIC 10 AND 5")
+            == "SELECT * FROM t WHERE x BETWEEN least(10, 5) AND greatest(10, 5)"
+        )
+
+    def test_arithmetic_bounds_and_following_clause(self):
+        got = translate_between_symmetric(
+            "SELECT * FROM t WHERE x BETWEEN SYMMETRIC a + 1 AND b * 2 AND y = 3"
+        )
+        assert got == (
+            "SELECT * FROM t WHERE x BETWEEN least(a + 1, b * 2) "
+            "AND greatest(a + 1, b * 2) AND y = 3"
+        )
+
+    def test_plain_between_untouched(self):
+        sql = "SELECT * FROM t WHERE x BETWEEN 1 AND 2"
+        assert translate_between_symmetric(sql) == sql
+
+
+class TestExtract:
+    def test_dow_is_pg_sunday_zero(self):
+        assert (
+            translate_extract("SELECT EXTRACT(DOW FROM d) FROM t")
+            == "SELECT (EXTRACT(DAYOFWEEK FROM d) - 1) FROM t"
+        )
+
+    def test_isodow_and_isoyear(self):
+        assert (
+            translate_extract("SELECT EXTRACT(ISODOW FROM d), EXTRACT(ISOYEAR FROM d) FROM t")
+            == "SELECT EXTRACT(DAYOFWEEK_ISO FROM d), EXTRACT(YEAROFWEEK FROM d) FROM t"
+        )
+
+    def test_epoch(self):
+        assert (
+            translate_extract("SELECT EXTRACT(EPOCH FROM d) FROM t")
+            == "SELECT CAST(CAST((d) AS TIMESTAMP) AS DOUBLE) FROM t"
+        )
+
+    def test_native_fields_untouched(self):
+        sql = "SELECT EXTRACT(YEAR FROM d), EXTRACT(QUARTER FROM d) FROM t"
+        assert translate_extract(sql) == sql
+
+
+class TestSimilarTo:
+    def test_percent_and_underscore(self):
+        got = translate_similar_to("SELECT * FROM t WHERE f SIMILAR TO 'A_C%'")
+        assert got == "SELECT * FROM t WHERE (f RLIKE '\\\\A(?:A.C.*)\\\\z')"
+
+    def test_not_similar(self):
+        got = translate_similar_to("SELECT * FROM t WHERE f NOT SIMILAR TO 'N%'")
+        assert got == "SELECT * FROM t WHERE (NOT (f RLIKE '\\\\A(?:N.*)\\\\z'))"
+
+    def test_literal_dot_is_escaped_alternation_kept(self):
+        got = translate_similar_to("SELECT * FROM t WHERE f SIMILAR TO '(a|b)%.x'")
+        assert "(a|b).*\\\\.x" in got
+
+    def test_dynamic_pattern_raises(self):
+        with pytest.raises(ValueError, match="string-literal pattern"):
+            translate_similar_to("SELECT * FROM t WHERE f SIMILAR TO g")
+
+
+class TestPgFunctions:
+    def test_starts_with(self):
+        assert (
+            translate_pg_functions("SELECT starts_with(f, 'N') FROM t")
+            == "SELECT startswith(f, 'N') FROM t"
+        )
+
+    def test_string_to_array_literal_quoted(self):
+        got = translate_pg_functions("SELECT string_to_array(f, '.') FROM t")
+        assert "split(f, '\\\\Q.\\\\E')" in got
+        # PG returns an EMPTY array for '' where split returns ['']
+        assert "CASE WHEN (f) = '' THEN CAST(array() AS array<string>)" in got
+
+    def test_string_to_array_dynamic_delimiter_raises(self):
+        with pytest.raises(ValueError, match="string-literal delimiter"):
+            translate_pg_functions("SELECT string_to_array(f, g) FROM t")
+
+
+def test_to_spark_sql_composes_all(spark):
+    """End-to-end through Spark: every translated construct parses and
+    computes PG semantics (values pinned against hand-computed PG
+    results; cross-engine value parity is the q31-q33 gates' job)."""
+    rows = spark.sql(
+        to_spark_sql(
+            "SELECT -2 ^ 2 AS p, "
+            "EXTRACT(DOW FROM DATE'1995-01-01') AS sun_dow, "
+            "EXTRACT(ISODOW FROM DATE'1995-01-01') AS sun_isodow, "
+            "EXTRACT(EPOCH FROM DATE'1995-01-02') AS ep, "
+            "('NAB' ~ '^N') AS m, ('nab' ~* '^N') AS mi, "
+            "('abc' SIMILAR TO 'a%') AS sim, "
+            "('a.b' SIMILAR TO 'a.b') AS sim_dot, "
+            "(7 BETWEEN SYMMETRIC 10 AND 5) AS sym, "
+            "starts_with('NAB', 'N') AS sw, "
+            "string_to_array('a.b', '.') AS arr, "
+            "string_to_array('', '.') AS empty_arr"
+        )
+    ).collect()[0]
+    assert rows.p == 4.0  # PG: unary minus binds tighter than ^
+    assert rows.sun_dow == 0  # PG: Sunday = 0
+    assert rows.sun_isodow == 7  # PG: Sunday = 7 (ISO)
+    assert rows.ep == 789004800.0  # UTC midnight epoch
+    assert rows.m is True and rows.mi is True
+    assert rows.sim is True and rows.sim_dot is True  # '.' literal in SIMILAR TO
+    assert rows.sym is True
+    assert rows.sw is True
+    assert rows.arr == ["a", "b"]
+    assert rows.empty_arr == []
