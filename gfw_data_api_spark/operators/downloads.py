@@ -69,13 +69,36 @@ def query_for_download(
     return execute_on_dataframe(spark, df, sql, geometry=geometry)
 
 
+# In-memory API-response collectors refuse beyond this many rows: the
+# reference's interactive surface is LIMIT-bounded well under this
+# (its API responses page at 10k and its downloads stream), so a
+# larger result reaching these helpers is a misuse of the in-memory
+# path, not a bigger response — the distributed write_csv /
+# export_ndjson_features twins are the scale path. 500k rows of
+# ~200-byte rows ≈ 100 MB of driver heap, the most a response
+# serializer should ever hold.
+MAX_COLLECT_ROWS = 500_000
+
+
+def _guard_collect(df: DataFrame, what: str, scale_twin: str) -> list:
+    """Collect with a row cap — fail loudly naming the scale path."""
+    rows = df.limit(MAX_COLLECT_ROWS + 1).collect()
+    if len(rows) > MAX_COLLECT_ROWS:
+        raise ValueError(
+            f"{what}: result exceeds {MAX_COLLECT_ROWS} rows; the in-memory "
+            f"response path is for LIMIT-bounded API results — use "
+            f"{scale_twin} for large exports"
+        )
+    return rows
+
+
 def rows_to_csv(df: DataFrame, delimiter: str = ",") -> str:
     """In-memory CSV for API responses — QUOTE_NONNUMERIC like the
     reference (queries.py:528-545). For large results use write_csv."""
     buf = io.StringIO()
     writer = csv.writer(buf, delimiter=DELIMITERS.get(delimiter, delimiter), quoting=csv.QUOTE_NONNUMERIC)
     writer.writerow(df.columns)
-    for row in df.collect():
+    for row in _guard_collect(df, "rows_to_csv", "write_csv"):
         writer.writerow([row[c] for c in df.columns])
     return buf.getvalue()
 
@@ -103,7 +126,10 @@ def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
 
 
 def rows_to_json(df: DataFrame) -> list[dict]:
-    return [row.asDict(recursive=True) for row in df.collect()]
+    return [
+        row.asDict(recursive=True)
+        for row in _guard_collect(df, "rows_to_json", "export_ndjson_features")
+    ]
 
 
 def export_ndjson_features(

@@ -418,3 +418,22 @@ def test_watermark_admits_late_drops_too_late(spark, tmp_path):
     assert rows[1] == 2  # batch-2's 01:30 did NOT re-open the window
     assert rows[3] == 2  # late-but-in-watermark 03:20 was admitted
     assert 5 not in rows  # unfinalized window not emitted in append mode
+
+
+def test_in_memory_collectors_cap_rows_naming_the_scale_path(spark, monkeypatch):
+    """VERDICT r5 #5: rows_to_csv/rows_to_json refuse oversized results
+    loudly, pointing at the distributed twins."""
+    import pytest
+
+    from gfw_data_api_spark.operators import downloads
+
+    monkeypatch.setattr(downloads, "MAX_COLLECT_ROWS", 10)
+    df = spark.range(11).selectExpr("id", "id * 2 AS v")
+    with pytest.raises(ValueError, match="write_csv"):
+        downloads.rows_to_csv(df)
+    with pytest.raises(ValueError, match="export_ndjson_features"):
+        downloads.rows_to_json(df)
+    # at the cap exactly, both succeed
+    ok = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert downloads.rows_to_csv(ok).count("\n") == 11
+    assert len(downloads.rows_to_json(ok)) == 10
