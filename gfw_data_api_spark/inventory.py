@@ -3238,14 +3238,14 @@ _DRIVER_FRONT: list[str] = [
     "c01_token_chunks",
     "c02_pii_redaction",
     "d08_benchmark_decontamination",
-    "d10_repeated_segment_removal",
-    # r03 / s06 / q18 / q20 displaced to the round-7 backlog by the
-    # round-6 gates below (never-driver-checked beats 2-rounds-stale)
+    # d10 / r03 / s06 / q18 / q20 displaced to the round-7 backlog by
+    # the round-6 gates below (never-driver-checked beats 2-rounds-stale)
     # --- new round-6 gates (displace stale rows from the end) ---
     "d15_semantic_dedup_envelope",
     "q31_dialect_pg_operators",
     "q32_dialect_extract_fields",
     "q33_dialect_string_breadth",
+    "m10_mp3_frame_inventory",
 ]
 
 
@@ -7259,6 +7259,105 @@ _SPECS.append(
         "LEFT, split_part, initcap, btrim, starts_with→startswith, ILIKE, "
         "IS DISTINCT FROM, width_bucket) — native in Spark or mapped by "
         "sql/dialect.py translate_pg_functions",
+    )
+)
+
+
+def _m10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-layer triage inside the hard gate (llmops/mp3.py,
+    VERDICT r5 #8): per selected doc, a planted MPEG-1 Layer III
+    stream is synthesized from doc_id arithmetic (frame count, sample
+    rate, VBR bitrate cycle, padding pattern, CRC, Xing count, ID3
+    tags) and parsed back by mp3_stream_info. The oracle recomputes
+    every output — INCLUDING the per-frame byte accounting
+    ``144000*kbps // rate + pad`` — as DuckDB arithmetic over the same
+    planted parameters, so the frame-length formula and the frame walk
+    are cross-checked by an independent engine, not round-trip alone.
+    PCM decode stays the documented Huffman-table seam (decode_mp3)."""
+    from gfw_data_api_spark.llmops.mp3 import build_mp3, mp3_stream_info
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 1)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 3 + d % 4
+                rate = (44100, 48000, 32000)[d % 3]
+                vbr = d % 2 == 0
+                kbps = [(64, 128, 192, 256)[(d + j) % 4] if vbr else 128 for j in range(n)]
+                pads = [1 if (d + j) % 3 == 0 else 0 for j in range(n)]
+                rows["doc_id"].append(d)
+                rows["payload"].append(
+                    bytearray(
+                        build_mp3(
+                            kbps,
+                            sample_rate=rate,
+                            mono=not vbr,
+                            pad_mask=pads,
+                            with_crc=d % 5 == 0,
+                            xing_count=n if vbr else None,
+                            id3v2_bytes=10 * (d % 7),
+                            id3v1=d % 4 == 0,
+                            fill_seed=d,
+                        )
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    info = mp3_stream_info(payloads)
+    return info.select(
+        "doc_id",
+        "n_frames",
+        "duration_us",
+        "sample_rate",
+        "channel_mode",
+        "is_vbr",
+        "sum_kbps",
+        "audio_bytes",
+        F.when(F.col("is_vbr"), F.col("xing_frames") == F.col("n_frames"))
+        .otherwise(F.col("xing_frames").isNull())
+        .alias("xing_ok"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m10_mp3_frame_inventory",
+        spark_fn=_m10,
+        oracle=(
+            "WITH sel AS (SELECT doc_id, 3 + doc_id % 4 AS n, "
+            "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate, "
+            "doc_id % 2 = 0 AS vbr FROM documents WHERE doc_id % 20 = 1), "
+            "fr AS (SELECT doc_id, n, rate, vbr, "
+            "unnest(generate_series(0, n - 1)) AS j FROM sel), "
+            "k AS (SELECT doc_id, n, rate, vbr, "
+            "CASE WHEN vbr THEN CASE (doc_id + j) % 4 "
+            "WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 256 END "
+            "ELSE 128 END AS kbps, "
+            "CASE WHEN (doc_id + j) % 3 = 0 THEN 1 ELSE 0 END AS pad FROM fr), "
+            "agg AS (SELECT doc_id, any_value(n) AS n, any_value(rate) AS rate, "
+            "any_value(vbr) AS vbr, CAST(sum(kbps) AS BIGINT) AS sum_kbps, "
+            "CAST(sum(144000 * kbps // rate + pad) AS BIGINT) AS audio_bytes "
+            "FROM k GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_frames, "
+            "CAST(n * 1152 * 1000000 // rate AS BIGINT) AS duration_us, "
+            "CAST(rate AS BIGINT) AS sample_rate, "
+            "CASE WHEN vbr THEN 'stereo' ELSE 'mono' END AS channel_mode, "
+            "vbr AS is_vbr, sum_kbps, audio_bytes, TRUE AS xing_ok FROM agg"
+        ),
+        survey_ref="multimodal: MP3 frame-layer triage (llmops/mp3.py — "
+        "MPEG-1 Layer III header walk, ID3v1/v2 + Xing/VBRI handling, "
+        "exact byte/duration accounting; PCM decode stays the documented "
+        "ISO-11172-3 Huffman-table seam)",
     )
 )
 

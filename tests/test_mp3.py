@@ -1,0 +1,118 @@
+"""MP3 frame-layer tests (llmops/mp3.py, gate m10).
+
+The builder/parser pair is cross-checked three ways: round-trip here,
+hand-computed frame arithmetic here, and independently-recomputed
+lengths in the m10 gate's DuckDB oracle.
+"""
+
+import pytest
+
+from gfw_data_api_spark.llmops.mp3 import (
+    build_mp3,
+    decode_mp3,
+    frame_length,
+    mp3_stream_info,
+    parse_mp3,
+)
+
+
+def test_frame_length_formula():
+    # 144 * 128000 / 44100 = 417.9… → 417, +1 padding
+    assert frame_length(128, 44100, 0) == 417
+    assert frame_length(128, 44100, 1) == 418
+    assert frame_length(320, 32000, 0) == 1440
+    assert frame_length(32, 48000, 0) == 96
+
+
+def test_cbr_roundtrip_exact_accounting():
+    data = build_mp3([128] * 5, sample_rate=44100, mono=False)
+    info = parse_mp3(data)
+    assert info["n_frames"] == 5
+    assert info["total_samples"] == 5 * 1152
+    assert info["duration_us"] == 5 * 1152 * 1_000_000 // 44100
+    assert info["sample_rate"] == 44100
+    assert info["channel_mode"] == "stereo"
+    assert info["is_vbr"] is False
+    assert info["sum_kbps"] == 640
+    assert info["audio_bytes"] == 5 * 417 == len(data)
+    assert info["xing_frames"] is None
+
+
+def test_vbr_with_xing_padding_and_tags():
+    kbps = [64, 128, 192, 256]
+    pads = [1, 0, 1, 0]
+    data = build_mp3(
+        kbps, sample_rate=48000, mono=True, pad_mask=pads,
+        xing_count=4, id3v2_bytes=33, id3v1=True,
+    )
+    info = parse_mp3(data)
+    assert info["n_frames"] == 4
+    assert info["is_vbr"] is True
+    assert info["sum_kbps"] == sum(kbps)
+    assert info["channel_mode"] == "mono"
+    assert info["xing_frames"] == 4
+    expected_audio = sum(frame_length(k, 48000, p) for k, p in zip(kbps, pads))
+    assert info["audio_bytes"] == expected_audio
+    # ID3v2 (10 + 33) + audio + ID3v1 (128)
+    assert len(data) == 43 + expected_audio + 128
+
+
+def test_crc_frames_parse():
+    data = build_mp3([192, 192], sample_rate=32000, with_crc=True)
+    info = parse_mp3(data)
+    assert info["n_frames"] == 2 and info["is_vbr"] is False
+
+
+def test_truncated_frame_raises():
+    data = build_mp3([128] * 3)
+    with pytest.raises(ValueError, match="truncated MP3"):
+        parse_mp3(data[:-10])
+
+
+def test_lost_sync_raises():
+    data = bytearray(build_mp3([128] * 2))
+    data[0] = 0x00
+    with pytest.raises(ValueError, match="frame sync"):
+        parse_mp3(bytes(data))
+
+
+def test_out_of_subset_profiles_reject_loudly():
+    hdr = bytearray(build_mp3([128]))
+    mpeg2 = bytearray(hdr)
+    mpeg2[1] = (mpeg2[1] & ~0x18) | 0x10  # version bits 10 = MPEG-2
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        parse_mp3(bytes(mpeg2))
+    layer2 = bytearray(hdr)
+    layer2[1] = (layer2[1] & ~0x06) | 0x04  # layer bits 10 = Layer II
+    with pytest.raises(NotImplementedError, match="Layer"):
+        parse_mp3(bytes(layer2))
+    free = bytearray(hdr)
+    free[2] = free[2] & 0x0F  # bitrate index 0 = free format
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3(bytes(free))
+
+
+def test_midstream_parameter_change_raises():
+    a = build_mp3([128], sample_rate=44100)
+    b = build_mp3([128], sample_rate=48000)
+    with pytest.raises(ValueError, match="sample-rate change"):
+        parse_mp3(a + b)
+
+
+def test_decode_seam_names_the_reason():
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        decode_mp3(build_mp3([128]))
+
+
+def test_mp3_stream_info_plumbing(spark):
+    rows = [
+        (1, bytearray(build_mp3([128] * 3, sample_rate=44100))),
+        (2, bytearray(build_mp3([64, 256], sample_rate=32000, mono=True, xing_count=2))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in mp3_stream_info(df).collect()}
+    assert got[1].n_frames == 3 and got[1].is_vbr is False
+    assert got[1].xing_frames is None
+    assert got[2].n_frames == 2 and got[2].is_vbr is True
+    assert got[2].channel_mode == "mono" and got[2].xing_frames == 2
+    assert got[2].duration_us == 2 * 1152 * 1_000_000 // 32000
