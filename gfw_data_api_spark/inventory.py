@@ -3237,15 +3237,16 @@ _DRIVER_FRONT: list[str] = [
     "b01_bpe_pair_stats",
     "c01_token_chunks",
     "c02_pii_redaction",
-    "d08_benchmark_decontamination",
-    # d10 / r03 / s06 / q18 / q20 displaced to the round-7 backlog by
-    # the round-6 gates below (never-driver-checked beats 2-rounds-stale)
+    # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
+    # backlog by the round-6 gates below (never-driver-checked beats
+    # 2-rounds-stale)
     # --- new round-6 gates (displace stale rows from the end) ---
     "d15_semantic_dedup_envelope",
     "q31_dialect_pg_operators",
     "q32_dialect_extract_fields",
     "q33_dialect_string_breadth",
     "m10_mp3_frame_inventory",
+    "q34_dialect_distinct_on",
 ]
 
 
@@ -7259,6 +7260,34 @@ _SPECS.append(
         "LEFT, split_part, initcap, btrim, starts_with→startswith, ILIKE, "
         "IS DISTINCT FROM, width_bucket) — native in Spark or mapped by "
         "sql/dialect.py translate_pg_functions",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q34_dialect_distinct_on",
+        spark_fn=_guarded(
+            "lineitem",
+            "SELECT DISTINCT ON (l_returnflag) l_returnflag, l_orderkey, "
+            "l_linenumber, l_quantity, "
+            "to_char(l_shipdate, 'YYYY-MM-DD') AS ship_day "
+            "FROM data "
+            "ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber",
+        ),
+        oracle=(
+            # DuckDB implements PG's DISTINCT ON natively — the oracle
+            # exercises the construct itself, not a workaround; to_char's
+            # template maps to strftime
+            "SELECT DISTINCT ON (l_returnflag) l_returnflag, l_orderkey, "
+            "l_linenumber, l_quantity, "
+            "strftime(l_shipdate, '%Y-%m-%d') AS ship_day "
+            "FROM lineitem "
+            "ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber"
+        ),
+        survey_ref="Q11 dialect breadth: PG DISTINCT ON → ranked-subquery "
+        "rewrite + to_char date templates → date_format (sql/dialect.py "
+        "translate_distinct_on/translate_to_char; round 6)",
     )
 )
 

@@ -663,8 +663,228 @@ def translate_pg_functions(sql: str) -> str:
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
 
 
+def translate_distinct_on(sql: str) -> str:
+    """PG ``SELECT DISTINCT ON (keys) list FROM t ... ORDER BY keys,
+    tiebreakers`` → a ranked subquery Spark understands::
+
+        SELECT list FROM (SELECT *, row_number() OVER (
+            PARTITION BY keys ORDER BY tiebreakers) AS __gfw_rn
+        FROM t [WHERE ...]) __gfw_don WHERE __gfw_rn = 1
+        ORDER BY keys, tiebreakers [LIMIT ...]
+
+    Runs AFTER guard validation, so emitting a FROM-subquery is fine.
+    PG's own rule — ORDER BY must start with the DISTINCT ON
+    expressions — is enforced textually. Deterministic-engine
+    divergences, both loud: ORDER BY is REQUIRED (PG would pick an
+    arbitrary row per key without it), and a bare ``*`` select list is
+    rejected (the hidden rank column cannot be dropped from ``*``
+    without schema knowledge at translate time)."""
+    tokens = tokenize(sql)
+    at = None
+    for i, t in enumerate(tokens):
+        if (
+            t.kind == "IDENT"
+            and t.upper == "SELECT"
+            and i + 3 < len(tokens)
+            and tokens[i + 1].upper == "DISTINCT"
+            and tokens[i + 2].upper == "ON"
+            and tokens[i + 3].value == "("
+        ):
+            at = i
+            break
+    if at is None:
+        return sql
+    depth = 0
+    close = None
+    key_commas = []
+    for j in range(at + 3, len(tokens)):
+        tk = tokens[j]
+        if tk.kind == "PUNCT" and tk.value == "(":
+            depth += 1
+        elif tk.kind == "PUNCT" and tk.value == ")":
+            depth -= 1
+            if depth == 0:
+                close = j
+                break
+        elif tk.kind == "PUNCT" and tk.value == "," and depth == 1:
+            key_commas.append(j)
+    if close is None or close == at + 4:
+        raise ValueError("DISTINCT ON: empty or unbalanced key list")
+    keys_text = sql[tokens[at + 4].start : tokens[close - 1].end]
+    n_keys = len(key_commas) + 1
+
+    def _clause_at(kind_upper, start_idx):
+        d = 0
+        for j in range(start_idx, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                d += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                d -= 1
+            elif d == 0 and tk.kind == "IDENT" and tk.upper == kind_upper:
+                return j
+        return None
+
+    from_idx = _clause_at("FROM", close + 1)
+    if from_idx is None:
+        raise ValueError("DISTINCT ON: missing FROM")
+    select_list = sql[tokens[close + 1].start : tokens[from_idx - 1].end]
+    if select_list.strip() == "*":
+        raise ValueError(
+            "DISTINCT ON with a bare * select list is not translatable "
+            "(the rank column cannot be excluded) — name the columns"
+        )
+    for kw in ("GROUP", "HAVING", "WINDOW"):
+        if _clause_at(kw, from_idx + 1) is not None:
+            raise ValueError(f"DISTINCT ON with {kw} BY is outside the subset")
+    order_idx = _clause_at("ORDER", from_idx + 1)
+    if order_idx is None:
+        raise ValueError(
+            "DISTINCT ON requires ORDER BY (PG would return an arbitrary "
+            "row per key; this engine refuses nondeterminism)"
+        )
+    # the table body: FROM ... [WHERE ...] up to ORDER
+    body = sql[tokens[from_idx].end : tokens[order_idx - 1].end]
+    # ORDER BY items up to LIMIT/OFFSET/FETCH or end
+    tail_idx = None
+    for kw in ("LIMIT", "OFFSET", "FETCH"):
+        cand = _clause_at(kw, order_idx + 2)
+        if cand is not None and (tail_idx is None or cand < tail_idx):
+            tail_idx = cand
+    order_end = tail_idx - 1 if tail_idx is not None else len(tokens) - 1
+    order_text = sql[tokens[order_idx + 2].start : tokens[order_end].end]
+    tail_text = sql[tokens[tail_idx].start :] if tail_idx is not None else ""
+    # split ORDER BY items at top-level commas
+    items = []
+    d = 0
+    cur_start = tokens[order_idx + 2].start
+    for j in range(order_idx + 2, order_end + 1):
+        tk = tokens[j]
+        if tk.kind == "PUNCT" and tk.value == "(":
+            d += 1
+        elif tk.kind == "PUNCT" and tk.value == ")":
+            d -= 1
+        elif tk.kind == "PUNCT" and tk.value == "," and d == 0:
+            items.append(sql[cur_start : tk.start].strip())
+            cur_start = tk.end
+    items.append(sql[cur_start : tokens[order_end].end].strip())
+    if len(items) < n_keys:
+        raise ValueError(
+            "DISTINCT ON: ORDER BY must start with the DISTINCT ON expressions"
+        )
+    # split keys at the depth-1 commas tracked above (a naive split
+    # would break function-call keys like date_trunc('day', ts))
+    keys = []
+    kstart = tokens[at + 4].start
+    for cj in key_commas:
+        keys.append(sql[kstart : tokens[cj].start].strip())
+        kstart = tokens[cj].end
+    keys.append(sql[kstart : tokens[close - 1].end].strip())
+    norm = lambda s: re.sub(r"\s+", " ", s).strip().lower()  # noqa: E731
+    for k, item in zip(keys, items[:n_keys]):
+        if norm(item) not in (norm(k), norm(k) + " asc", norm(k) + " desc",
+                              norm(k) + " asc nulls last", norm(k) + " desc nulls last",
+                              norm(k) + " asc nulls first", norm(k) + " desc nulls first",
+                              norm(k) + " nulls last", norm(k) + " nulls first"):
+            raise ValueError(
+                f"DISTINCT ON: ORDER BY item {item!r} does not match key {k!r}"
+            )
+    tiebreakers = items[n_keys:] or [keys[0]]
+    return (
+        f"SELECT {select_list.strip()} FROM (SELECT *, row_number() OVER ("
+        f"PARTITION BY {keys_text.strip()} ORDER BY {', '.join(tiebreakers)}"
+        f") AS __gfw_rn FROM{body.rstrip()}) __gfw_don WHERE __gfw_rn = 1 "
+        f"ORDER BY {order_text.strip()}"
+        + (f" {tail_text.strip()}" if tail_text else "")
+    )
+
+
+# PG to_char date/time template patterns → Java DateTimeFormatter
+# (longest-match first). Space-padded words (Month/Day) and locale/ordinal
+# modifiers (FM/TH/TZ) are OUT of the literal subset — loud raise beats a
+# silently different string.
+_TO_CHAR_MAP = [
+    ("YYYY", "yyyy"), ("YY", "yy"), ("Mon", "MMM"), ("MM", "MM"),
+    ("DDD", "D"), ("DD", "dd"), ("Dy", "EEE"), ("HH24", "HH"),
+    ("HH12", "hh"), ("HH", "hh"), ("MI", "mm"), ("SS", "ss"),
+    ("MS", "SSS"), ("AM", "a"), ("PM", "a"), ("Q", "Q"),
+]
+
+
+def _to_char_java_format(pat: str) -> str:
+    out = []
+    i = 0
+    while i < len(pat):
+        for pg, java in _TO_CHAR_MAP:
+            if pat.startswith(pg, i):
+                out.append(java)
+                i += len(pg)
+                break
+        else:
+            c = pat[i]
+            if c.isalnum():
+                raise ValueError(
+                    f"to_char: template code at {pat[i:]!r} outside the "
+                    "supported subset (YYYY/MM/DD/HH24/MI/SS/MS/Mon/Dy/Q/AM)"
+                )
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def translate_to_char(sql: str) -> str:
+    """PG ``to_char(expr, 'template')`` → Spark ``date_format(expr,
+    'java-pattern')`` for the literal date/time template subset.
+    Non-literal templates and numeric-formatting templates (9/0/FM...)
+    raise — they hit the alnum check in the pattern converter."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "TO_CHAR"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        depth = 0
+        close = None
+        commas = []
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif tk.kind == "PUNCT" and tk.value == "," and depth == 1:
+                commas.append(j)
+        if close is None or len(commas) != 1:
+            raise ValueError("to_char takes exactly (expr, 'template')")
+        fmt_toks = tokens[commas[0] + 1 : close]
+        if len(fmt_toks) != 1 or fmt_toks[0].kind != "STRING":
+            raise ValueError(
+                "to_char requires a string-literal template "
+                "(dynamic templates are not translatable)"
+            )
+        java = _to_char_java_format(fmt_toks[0].value).replace("'", "''")
+        expr = sql[tokens[at + 2].start : tokens[commas[0] - 1].end]
+        sql = (
+            f"{sql[:tokens[at].start]}date_format({expr}, '{java}')"
+            f"{sql[tokens[close].end:]}"
+        )
+
+
 def to_spark_sql(sql: str) -> str:
     """All PG→Spark surface translations."""
+    sql = translate_distinct_on(sql)
+    sql = translate_to_char(sql)
     sql = translate_pg_casts(sql)
     sql = translate_extract(sql)
     sql = translate_between_symmetric(sql)

@@ -197,3 +197,89 @@ def test_to_spark_sql_composes_all(spark):
     assert rows.sw is True
     assert rows.arr == ["a", "b"]
     assert rows.empty_arr == []
+
+
+class TestDistinctOn:
+    def test_basic_rewrite(self):
+        from gfw_data_api_spark.sql.dialect import translate_distinct_on
+
+        got = translate_distinct_on(
+            "SELECT DISTINCT ON (a) a, b FROM tv ORDER BY a, b DESC"
+        )
+        assert got == (
+            "SELECT a, b FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY a ORDER BY b DESC) AS __gfw_rn FROM tv) "
+            "__gfw_don WHERE __gfw_rn = 1 ORDER BY a, b DESC"
+        )
+
+    def test_function_keys_where_and_limit(self):
+        from gfw_data_api_spark.sql.dialect import translate_distinct_on
+
+        got = translate_distinct_on(
+            "SELECT DISTINCT ON (date_trunc('day', ts), k) k, v FROM tv "
+            "WHERE v > 0 ORDER BY date_trunc('day', ts), k, v DESC LIMIT 3"
+        )
+        assert "PARTITION BY date_trunc('day', ts), k ORDER BY v DESC" in got
+        assert got.rstrip().endswith("LIMIT 3")
+        assert "WHERE v > 0" in got
+
+    def test_loud_failures(self):
+        from gfw_data_api_spark.sql.dialect import translate_distinct_on
+
+        with pytest.raises(ValueError, match="requires ORDER BY"):
+            translate_distinct_on("SELECT DISTINCT ON (a) a, b FROM tv")
+        with pytest.raises(ValueError, match="bare \\*"):
+            translate_distinct_on("SELECT DISTINCT ON (a) * FROM tv ORDER BY a")
+        with pytest.raises(ValueError, match="does not match key"):
+            translate_distinct_on("SELECT DISTINCT ON (a) a FROM tv ORDER BY b")
+
+    def test_plain_distinct_untouched(self):
+        from gfw_data_api_spark.sql.dialect import translate_distinct_on
+
+        sql = "SELECT DISTINCT a, b FROM tv ORDER BY a"
+        assert translate_distinct_on(sql) == sql
+
+    def test_executes_with_pg_semantics(self, spark):
+        df = spark.createDataFrame(
+            [("r", 1, 10), ("r", 2, 30), ("r", 3, 30), ("g", 4, 5)],
+            "flag string, id int, qty int",
+        )
+        df.createOrReplaceTempView("tv_don")
+        rows = spark.sql(
+            to_spark_sql(
+                "SELECT DISTINCT ON (flag) flag, id, qty FROM tv_don "
+                "ORDER BY flag, qty DESC, id"
+            )
+        ).collect()
+        # per flag: highest qty, id as tiebreaker (PG keeps the FIRST row
+        # of each key group in ORDER BY order)
+        assert [(r.flag, r.id, r.qty) for r in rows] == [("g", 4, 5), ("r", 2, 30)]
+
+
+class TestToChar:
+    def test_date_templates(self):
+        from gfw_data_api_spark.sql.dialect import translate_to_char
+
+        assert (
+            translate_to_char("SELECT to_char(d, 'YYYY-MM-DD') FROM tv")
+            == "SELECT date_format(d, 'yyyy-MM-dd') FROM tv"
+        )
+        assert (
+            translate_to_char("SELECT to_char(ts, 'HH12:MI AM') FROM tv")
+            == "SELECT date_format(ts, 'hh:mm a') FROM tv"
+        )
+
+    def test_numeric_and_dynamic_templates_raise(self):
+        from gfw_data_api_spark.sql.dialect import translate_to_char
+
+        with pytest.raises(ValueError, match="outside the supported subset"):
+            translate_to_char("SELECT to_char(x, '999.99') FROM tv")
+        with pytest.raises(ValueError, match="string-literal template"):
+            translate_to_char("SELECT to_char(x, fmt) FROM tv")
+
+    def test_executes(self, spark):
+        row = spark.sql(
+            to_spark_sql("SELECT to_char(TIMESTAMP'1995-07-04 13:05:09', "
+                         "'YYYY-MM-DD HH24:MI:SS') AS t")
+        ).collect()[0]
+        assert row.t == "1995-07-04 13:05:09"
