@@ -7246,7 +7246,7 @@ _SPECS.append(
             "left(l_returnflag, 1) AS lft, "
             "split_part(l_returnflag, ' ', 1) AS sp, "
             "upper(l_returnflag) AS ic, "
-            "btrim(l_returnflag, 'N') AS bt, "
+            "trim(l_returnflag, 'N') AS bt, "
             "count(*) FILTER (WHERE starts_with(l_linestatus, 'O')) AS n_sw, "
             "count(*) FILTER (WHERE l_linestatus ILIKE 'o%') AS n_ilike, "
             "count(*) FILTER (WHERE l_returnflag IS DISTINCT FROM 'N') AS n_dist, "
@@ -7307,7 +7307,7 @@ def _m10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 20 == 1)
+        .filter(F.col("doc_id") % 7 == 2)
         .select("doc_id")
     )
 
@@ -7333,7 +7333,7 @@ def _m10(spark: SparkSession, sf_dir: str) -> DataFrame:
                             pad_mask=pads,
                             with_crc=d % 5 == 0,
                             xing_count=n if vbr else None,
-                            id3v2_bytes=10 * (d % 7),
+                            id3v2_bytes=10 * (d % 11),
                             id3v1=d % 4 == 0,
                             fill_seed=d,
                         )
@@ -7365,7 +7365,7 @@ _SPECS.append(
         oracle=(
             "WITH sel AS (SELECT doc_id, 3 + doc_id % 4 AS n, "
             "CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate, "
-            "doc_id % 2 = 0 AS vbr FROM documents WHERE doc_id % 20 = 1), "
+            "doc_id % 2 = 0 AS vbr FROM documents WHERE doc_id % 7 = 2), "
             "fr AS (SELECT doc_id, n, rate, vbr, "
             "unnest(generate_series(0, n - 1)) AS j FROM sel), "
             "k AS (SELECT doc_id, n, rate, vbr, "

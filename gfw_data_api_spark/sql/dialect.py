@@ -209,11 +209,24 @@ _OPERAND_BOUNDARY = {
 def _primary_start(tokens, k):
     """Index of the first token of the primary expression whose LAST
     token is ``tokens[k]`` (mirrors translate_pg_casts's backward walk):
-    a literal, a dotted identifier chain, or a balanced paren group with
-    an optional function name."""
+    a literal, a dotted identifier chain, a CASE…END expression, or a
+    balanced paren group with an optional function name."""
     tok = tokens[k]
     if tok.kind in ("NUMBER", "STRING", "QIDENT", "PARAM"):
         return k
+    if tok.kind == "IDENT" and tok.upper == "END":
+        # CASE…END operand: walk back to the matching CASE
+        depth = 0
+        j = k
+        while j >= 0:
+            if tokens[j].kind == "IDENT" and tokens[j].upper == "END":
+                depth += 1
+            elif tokens[j].kind == "IDENT" and tokens[j].upper == "CASE":
+                depth -= 1
+                if depth == 0:
+                    return j
+            j -= 1
+        return None
     if tok.kind == "IDENT":
         while (
             k >= 2
@@ -254,6 +267,18 @@ def _primary_end(tokens, k):
     tok = tokens[k]
     if tok.kind in ("NUMBER", "STRING", "QIDENT", "PARAM"):
         return k
+    if tok.kind == "IDENT" and tok.upper == "CASE":
+        # CASE…END operand: walk forward to the matching END
+        depth = 0
+        while k < n:
+            if tokens[k].kind == "IDENT" and tokens[k].upper == "CASE":
+                depth += 1
+            elif tokens[k].kind == "IDENT" and tokens[k].upper == "END":
+                depth -= 1
+                if depth == 0:
+                    return k
+            k += 1
+        return None
     if tok.kind == "IDENT":
         while (
             k + 2 < n
@@ -351,6 +376,18 @@ def translate_regex_ops(sql: str) -> str:
         rend = _primary_end(tokens, hit + 1)
         if lstart is None or rend is None:
             return sql
+        # PG puts || and ~ in the same left-assoc precedence tier, so
+        # `a || b ~ 'p'` means `(a || b) ~ 'p'` — absorb a left-side
+        # concatenation chain into the operand
+        while (
+            lstart >= 2
+            and tokens[lstart - 1].kind == "OP"
+            and tokens[lstart - 1].value == "||"
+        ):
+            prev = _primary_start(tokens, lstart - 2)
+            if prev is None:
+                break
+            lstart = prev
         left = sql[tokens[lstart].start : tokens[hit - 1].end]
         right = sql[tokens[hit + 1].start : tokens[rend].end]
         if ci:
@@ -438,7 +475,16 @@ def translate_between_symmetric(sql: str) -> str:
             return sql
         lo = sql[tokens[at + 2].start : tokens[and_idx - 1].end]
         hi = sql[tokens[and_idx + 1].start : tokens[hi_end].end]
-        repl = f"BETWEEN least({lo}, {hi}) AND greatest({lo}, {hi})"
+        # NULL-bound parity: PG's expansion yields NULL when either
+        # bound is NULL, but least/greatest SKIP NULLs — guard each
+        # rewritten bound so a NULL bound stays NULL (and the BETWEEN
+        # stays NULL), instead of silently comparing against the other
+        # bound alone
+        null_guard = f"WHEN ({lo}) IS NULL OR ({hi}) IS NULL THEN NULL"
+        repl = (
+            f"BETWEEN CASE {null_guard} ELSE least({lo}, {hi}) END "
+            f"AND CASE {null_guard} ELSE greatest({lo}, {hi}) END"
+        )
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[hi_end].end:]}"
 
 
@@ -538,7 +584,10 @@ def _similar_to_java_regex(pat: str) -> str:
         elif c in "|*+?(){}":
             out.append(c)
         elif c == "\\" and i + 1 < len(pat):
-            out.append("\\" + pat[i + 1])
+            # PG SIMILAR TO: backslash escapes the next char to a
+            # LITERAL — emitting '\'+char verbatim would let Java
+            # reinterpret \d/\w/\b as character classes/anchors
+            out.append(re.escape(pat[i + 1]))
             i += 2
             continue
         else:
@@ -655,12 +704,38 @@ def translate_pg_functions(sql: str) -> str:
         if "\\E" in delim:
             raise ValueError("string_to_array delimiter may not contain \\E")
         s_expr = sql[tokens[at + 2].start : tokens[commas[0] - 1].end]
-        quoted = ("\\Q" + delim + "\\E").replace("\\", "\\\\").replace("'", "''")
-        repl = (
-            f"CASE WHEN ({s_expr}) = '' THEN CAST(array() AS array<string>) "
-            f"ELSE split({s_expr}, '{quoted}') END"
-        )
+        if delim == "":
+            # PG: empty delimiter → the whole string as ONE element
+            # (split on an empty regex would explode per-character)
+            repl = (
+                f"CASE WHEN ({s_expr}) = '' THEN CAST(array() AS array<string>) "
+                f"ELSE array({s_expr}) END"
+            )
+        else:
+            quoted = ("\\Q" + delim + "\\E").replace("\\", "\\\\").replace("'", "''")
+            repl = (
+                f"CASE WHEN ({s_expr}) = '' THEN CAST(array() AS array<string>) "
+                f"ELSE split({s_expr}, '{quoted}') END"
+            )
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split an expression list at commas outside any parens."""
+    toks = tokenize(text)
+    items = []
+    d = 0
+    start = 0
+    for t in toks:
+        if t.kind == "PUNCT" and t.value == "(":
+            d += 1
+        elif t.kind == "PUNCT" and t.value == ")":
+            d -= 1
+        elif t.kind == "PUNCT" and t.value == "," and d == 0:
+            items.append(text[start : t.start].strip())
+            start = t.end
+    items.append(text[start:].strip())
+    return items
 
 
 def translate_distinct_on(sql: str) -> str:
@@ -694,6 +769,14 @@ def translate_distinct_on(sql: str) -> str:
             break
     if at is None:
         return sql
+    if at != 0:
+        # the rewrite rebuilds the WHOLE statement from its clauses — a
+        # DISTINCT ON nested in a scalar subquery (admitted by the
+        # guard since q29) would silently drop the enclosing text
+        raise ValueError(
+            "DISTINCT ON inside a subquery is outside the translatable "
+            "subset — rewrite with row_number() OVER (...) directly"
+        )
     depth = 0
     close = None
     key_commas = []
@@ -790,9 +873,42 @@ def translate_distinct_on(sql: str) -> str:
                 f"DISTINCT ON: ORDER BY item {item!r} does not match key {k!r}"
             )
     tiebreakers = items[n_keys:] or [keys[0]]
+    # The window runs INSIDE the subquery, where output-column aliases
+    # are not in scope — substitute bare-alias keys/tiebreakers with
+    # their source expressions (PG lets ORDER BY / DISTINCT ON use an
+    # alias only as a bare item, so exact-ident substitution is
+    # complete).
+    alias_map = {}
+    for item in _split_top_level_commas(select_list):
+        itoks = tokenize(item)
+        if (
+            len(itoks) >= 3
+            and itoks[-2].kind == "IDENT"
+            and itoks[-2].upper == "AS"
+            and itoks[-1].kind in ("IDENT", "QIDENT")
+        ):
+            alias_map[itoks[-1].value.lower()] = item[: itoks[-2].start].strip()
+
+    def _subst_alias(expr):
+        etoks = tokenize(expr)
+        if (
+            etoks
+            and etoks[0].kind == "IDENT"
+            and etoks[0].value.lower() in alias_map
+            and all(
+                t.kind == "IDENT"
+                and t.upper in ("ASC", "DESC", "NULLS", "FIRST", "LAST")
+                for t in etoks[1:]
+            )
+        ):
+            return f"({alias_map[etoks[0].value.lower()]}){expr[etoks[0].end:]}"
+        return expr
+
+    win_keys = ", ".join(_subst_alias(k) for k in keys)
+    win_ties = ", ".join(_subst_alias(t) for t in tiebreakers)
     return (
         f"SELECT {select_list.strip()} FROM (SELECT *, row_number() OVER ("
-        f"PARTITION BY {keys_text.strip()} ORDER BY {', '.join(tiebreakers)}"
+        f"PARTITION BY {win_keys} ORDER BY {win_ties}"
         f") AS __gfw_rn FROM{body.rstrip()}) __gfw_don WHERE __gfw_rn = 1 "
         f"ORDER BY {order_text.strip()}"
         + (f" {tail_text.strip()}" if tail_text else "")
@@ -815,6 +931,13 @@ def _to_char_java_format(pat: str) -> str:
     out = []
     i = 0
     while i < len(pat):
+        if pat.startswith("SSSS", i):
+            # seconds-past-midnight (SSSS/SSSSS) would silently match as
+            # repeated SS → reject before the longest-match loop
+            raise ValueError(
+                f"to_char: template code at {pat[i:]!r} outside the "
+                "supported subset (YYYY/MM/DD/HH24/MI/SS/MS/Mon/Dy/Q/AM)"
+            )
         for pg, java in _TO_CHAR_MAP:
             if pat.startswith(pg, i):
                 out.append(java)
@@ -881,6 +1004,89 @@ def translate_to_char(sql: str) -> str:
         )
 
 
+_ORDER_CLAUSE_END = {
+    "LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS", "WINDOW",
+    "UNION", "HAVING", "FOR",
+}
+
+
+def translate_order_nulls(sql: str) -> str:
+    """Make PG's default NULL ordering explicit in EVERY ``ORDER BY``
+    (statement-level and inside ``OVER (...)``): PG sorts ASC → NULLS
+    LAST, DESC → NULLS FIRST; Spark's defaults are the exact opposite,
+    which silently reorders (and, under a row_number window, silently
+    REPICKS) rows whenever a sort key is NULL. Items already carrying
+    an explicit NULLS keep it. Runs LAST so ORDER BY clauses emitted by
+    earlier rewrites (DISTINCT ON's window) are covered too."""
+    tokens = tokenize(sql)
+    depths = []
+    d = 0
+    for t in tokens:
+        if t.kind == "PUNCT" and t.value == "(":
+            depths.append(d)
+            d += 1
+        elif t.kind == "PUNCT" and t.value == ")":
+            d -= 1
+            depths.append(d)
+        else:
+            depths.append(d)
+    inserts = []  # (offset, text)
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if not (
+            t.kind == "IDENT"
+            and t.upper == "ORDER"
+            and i + 1 < n
+            and tokens[i + 1].kind == "IDENT"
+            and tokens[i + 1].upper == "BY"
+        ):
+            i += 1
+            continue
+        base = depths[i]
+        j = i + 2
+        item_toks: list[int] = []
+
+        def flush(last_j):
+            if not item_toks:
+                return
+            uppers = [
+                tokens[k].upper for k in item_toks if tokens[k].kind == "IDENT"
+            ]
+            if "NULLS" in uppers:
+                return
+            direction = "ASC"
+            for k in reversed(item_toks):
+                if tokens[k].kind == "IDENT" and tokens[k].upper in ("ASC", "DESC"):
+                    direction = tokens[k].upper
+                    break
+                if tokens[k].kind != "IDENT":
+                    break
+            nulls = "NULLS FIRST" if direction == "DESC" else "NULLS LAST"
+            inserts.append((tokens[item_toks[-1]].end, f" {nulls}"))
+
+        while j < n:
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == ")" and depths[j] < base:
+                break
+            if depths[j] == base:
+                if tk.kind == "PUNCT" and tk.value in (",", ";"):
+                    flush(j)
+                    item_toks = []
+                    j += 1
+                    continue
+                if tk.kind == "IDENT" and tk.upper in _ORDER_CLAUSE_END:
+                    break
+            item_toks.append(j)
+            j += 1
+        flush(j)
+        i = j
+    for off, text in sorted(inserts, reverse=True):
+        sql = sql[:off] + text + sql[off:]
+    return sql
+
+
 def to_spark_sql(sql: str) -> str:
     """All PG→Spark surface translations."""
     sql = translate_distinct_on(sql)
@@ -892,4 +1098,5 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_regex_ops(sql)
     sql = translate_similar_to(sql)
     sql = translate_pg_functions(sql)
-    return translate_fetch_first(sql)
+    sql = translate_fetch_first(sql)
+    return translate_order_nulls(sql)

@@ -89,19 +89,24 @@ class TestRegexOps:
 
 class TestBetweenSymmetric:
     def test_simple(self):
-        assert (
-            translate_between_symmetric("SELECT * FROM t WHERE x BETWEEN SYMMETRIC 10 AND 5")
-            == "SELECT * FROM t WHERE x BETWEEN least(10, 5) AND greatest(10, 5)"
+        got = translate_between_symmetric(
+            "SELECT * FROM t WHERE x BETWEEN SYMMETRIC 10 AND 5"
+        )
+        # bounds are NULL-guarded (PG: a NULL bound makes the BETWEEN
+        # NULL; least/greatest alone would skip the NULL)
+        assert got == (
+            "SELECT * FROM t WHERE x BETWEEN "
+            "CASE WHEN (10) IS NULL OR (5) IS NULL THEN NULL ELSE least(10, 5) END "
+            "AND CASE WHEN (10) IS NULL OR (5) IS NULL THEN NULL ELSE greatest(10, 5) END"
         )
 
     def test_arithmetic_bounds_and_following_clause(self):
         got = translate_between_symmetric(
             "SELECT * FROM t WHERE x BETWEEN SYMMETRIC a + 1 AND b * 2 AND y = 3"
         )
-        assert got == (
-            "SELECT * FROM t WHERE x BETWEEN least(a + 1, b * 2) "
-            "AND greatest(a + 1, b * 2) AND y = 3"
-        )
+        assert "least(a + 1, b * 2) END" in got
+        assert "greatest(a + 1, b * 2) END" in got
+        assert got.endswith("AND y = 3")
 
     def test_plain_between_untouched(self):
         sql = "SELECT * FROM t WHERE x BETWEEN 1 AND 2"
@@ -283,3 +288,106 @@ class TestToChar:
                          "'YYYY-MM-DD HH24:MI:SS') AS t")
         ).collect()[0]
         assert row.t == "1995-07-04 13:05:09"
+
+
+class TestReviewRegressionsRound6:
+    """Fixes from the round-6 review pass over the dialect additions."""
+
+    def test_case_expression_operands(self):
+        from gfw_data_api_spark.sql.dialect import translate_caret_power
+
+        assert translate_caret_power(
+            "SELECT CASE WHEN a THEN 1 ELSE 2 END ^ 2 FROM t"
+        ) == "SELECT POWER(CASE WHEN a THEN 1 ELSE 2 END, 2) FROM t"
+        assert translate_caret_power(
+            "SELECT x ^ CASE WHEN a THEN 1 ELSE 2 END FROM t"
+        ) == "SELECT POWER(x, CASE WHEN a THEN 1 ELSE 2 END) FROM t"
+
+    def test_concat_chain_left_of_regex_op(self):
+        from gfw_data_api_spark.sql.dialect import translate_regex_ops
+
+        # PG: || and ~ share one left-assoc tier → (a || b) ~ 'p'
+        assert translate_regex_ops(
+            "SELECT * FROM t WHERE a || b ~ 'p'"
+        ) == "SELECT * FROM t WHERE (a || b RLIKE 'p')"
+
+    def test_similar_to_backslash_escapes_are_literal(self, spark):
+        from gfw_data_api_spark.sql.dialect import translate_similar_to
+
+        got = translate_similar_to("SELECT ('adb' SIMILAR TO 'a\\db') AS m")
+        row = spark.sql(got).collect()[0]
+        assert row.m is True  # PG: \d is a literal d, not a digit class
+        got2 = translate_similar_to("SELECT ('a5b' SIMILAR TO 'a\\db') AS m")
+        assert spark.sql(got2).collect()[0].m is False
+
+    def test_between_symmetric_null_bound_yields_null(self, spark):
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT (5 BETWEEN SYMMETRIC CAST(NULL AS INT) AND 5) AS a, "
+                "(5 BETWEEN SYMMETRIC 3 AND 7) AS b"
+            )
+        ).collect()[0]
+        assert row.a is None  # PG: NULL bound → NULL, not TRUE
+        assert row.b is True
+
+    def test_string_to_array_empty_delimiter(self, spark):
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT string_to_array('abc', '') AS one, "
+                "string_to_array('', '') AS zero"
+            )
+        ).collect()[0]
+        assert row.one == ["abc"]  # PG: whole string as a single element
+        assert row.zero == []
+
+    def test_to_char_ssss_rejected(self):
+        from gfw_data_api_spark.sql.dialect import translate_to_char
+
+        with pytest.raises(ValueError, match="outside the supported subset"):
+            translate_to_char("SELECT to_char(ts, 'SSSS') FROM t")
+
+    def test_nested_distinct_on_raises_instead_of_corrupting(self):
+        from gfw_data_api_spark.sql.dialect import translate_distinct_on
+
+        with pytest.raises(ValueError, match="inside a subquery"):
+            translate_distinct_on(
+                "SELECT a, (SELECT DISTINCT ON (k) v FROM t ORDER BY k "
+                "LIMIT 1) AS q FROM t"
+            )
+
+    def test_distinct_on_alias_tiebreaker_resolves(self, spark):
+        df = spark.createDataFrame(
+            [("r", 1, 10), ("r", 2, 30)], "flag string, id int, qty int"
+        )
+        df.createOrReplaceTempView("tv_alias")
+        rows = spark.sql(
+            to_spark_sql(
+                "SELECT DISTINCT ON (flag) flag, qty AS q FROM tv_alias "
+                "ORDER BY flag, q DESC"
+            )
+        ).collect()
+        assert [(r.flag, r.q) for r in rows] == [("r", 30)]
+
+    def test_distinct_on_null_tiebreaker_pg_ordering(self, spark):
+        # PG ASC = NULLS LAST: the smallest non-NULL v survives, never
+        # the NULL row (Spark's native default would pick NULL first)
+        df = spark.createDataFrame(
+            [("k", None), ("k", 7), ("k", 3)], "g string, v int"
+        )
+        df.createOrReplaceTempView("tv_nulls")
+        rows = spark.sql(
+            to_spark_sql(
+                "SELECT DISTINCT ON (g) g, v FROM tv_nulls ORDER BY g, v"
+            )
+        ).collect()
+        assert [(r.g, r.v) for r in rows] == [("k", 3)]
+
+    def test_statement_order_by_gets_pg_null_defaults(self, spark):
+        df = spark.createDataFrame([(None,), (2,), (1,)], "v int")
+        df.createOrReplaceTempView("tv_ord")
+        asc = spark.sql(to_spark_sql("SELECT v FROM tv_ord ORDER BY v")).collect()
+        assert [r.v for r in asc] == [1, 2, None]  # PG: NULLS LAST on ASC
+        desc = spark.sql(
+            to_spark_sql("SELECT v FROM tv_ord ORDER BY v DESC")
+        ).collect()
+        assert [r.v for r in desc] == [None, 2, 1]  # PG: NULLS FIRST on DESC

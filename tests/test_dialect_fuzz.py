@@ -60,9 +60,25 @@ ident = st.text(alphabet=string.ascii_lowercase + "_", min_size=1, max_size=10).
 @settings(max_examples=200, deadline=None)
 def test_plain_ansi_sql_passes_through_unchanged(cols, table, value):
     """No PG-only surface → byte-identical output: the translations must
-    never rewrite SQL that is already Spark-valid."""
+    never rewrite SQL that is already Spark-valid. (ORDER BY is covered
+    separately — PG NULL-ordering defaults are made explicit there.)"""
+    sql = f"SELECT {', '.join(cols)} FROM {table} WHERE {cols[0]} = {value} LIMIT 7"
+    assert to_spark_sql(sql) == sql
+
+
+@given(
+    cols=st.lists(ident, min_size=2, max_size=4, unique=True),
+    table=ident,
+)
+@settings(max_examples=100, deadline=None)
+def test_order_by_gains_exactly_pg_null_defaults(cols, table):
+    """ORDER BY items gain PG's explicit NULL ordering and nothing else:
+    ASC → NULLS LAST, DESC → NULLS FIRST, explicit NULLS untouched."""
     sql = (
         f"SELECT {', '.join(cols)} FROM {table} "
-        f"WHERE {cols[0]} = {value} ORDER BY {cols[0]} LIMIT 7"
+        f"ORDER BY {cols[0]}, {cols[1]} DESC LIMIT 7"
     )
-    assert to_spark_sql(sql) == sql
+    assert to_spark_sql(sql) == (
+        f"SELECT {', '.join(cols)} FROM {table} "
+        f"ORDER BY {cols[0]} NULLS LAST, {cols[1]} DESC NULLS FIRST LIMIT 7"
+    )
