@@ -3236,7 +3236,7 @@ _DRIVER_FRONT: list[str] = [
     "w02_temperature_mixture",
     "b01_bpe_pair_stats",
     "c01_token_chunks",
-    "c02_pii_redaction",
+    # c02 displaced to the round-7 backlog too (see note above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
     # 2-rounds-stale)
@@ -3247,6 +3247,7 @@ _DRIVER_FRONT: list[str] = [
     "q33_dialect_string_breadth",
     "m10_mp3_frame_inventory",
     "q34_dialect_distinct_on",
+    "d16_exact_substring_dedup",
 ]
 
 
@@ -7288,6 +7289,74 @@ _SPECS.append(
         survey_ref="Q11 dialect breadth: PG DISTINCT ON → ranked-subquery "
         "rewrite + to_char date templates → date_format (sql/dialect.py "
         "translate_distinct_on/translate_to_char; round 6)",
+    )
+)
+
+
+def _d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact-substring dedup (Lee et al. 2022 ExactSubstr)
+    inside the hard gate: every doc with doc_id % 9 == 3 gets the SAME
+    10-token passage appended, so all planted docs share a run longer
+    than the 8-token window at arbitrary alignment. The global first
+    occurrence keeps its copy; every other planted doc loses exactly
+    those 10 tokens (straddling windows mix unique neighbor tokens and
+    must not widen the cut). The oracle replays the ENTIRE pipeline —
+    sliding windows, keep-first by (doc_id, position), span union,
+    reassembly — over window STRINGS in DuckDB, so the xxhash64
+    bucketing on the Spark side is cross-checked against collision-free
+    string grouping, and any natural duplicate runs in the corpus are
+    replayed identically."""
+    from gfw_data_api_spark.llmops.dedup import exact_substring_dedup
+
+    planted = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 3,
+            F.concat(F.col("text"), F.lit(" q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = exact_substring_dedup(planted, window=8)
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5("text_dedup").alias("text_md5"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="d16_exact_substring_dedup",
+        spark_fn=_d16,
+        oracle=(
+            "WITH base AS (SELECT doc_id, CASE WHEN doc_id % 9 = 3 "
+            "THEN text || ' q0 q1 q2 q3 q4 q5 q6 q7 q8 q9' ELSE text END AS text "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM base), "
+            "widx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i "
+            "FROM toks WHERE len(t) >= 8), "
+            "wins AS (SELECT doc_id, i, array_to_string(t[i:i+7], chr(31)) AS w FROM widx), "
+            "rn AS (SELECT doc_id, i, "
+            "row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rk FROM wins), "
+            "removed AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS j "
+            "FROM rn WHERE rk >= 2), "
+            "tidx AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS j FROM toks), "
+            "tokpos AS (SELECT doc_id, j, t[j] AS tok FROM tidx), "
+            "kept AS (SELECT k.doc_id, k.j, k.tok FROM tokpos k "
+            "LEFT JOIN removed r ON k.doc_id = r.doc_id AND k.j = r.j "
+            "WHERE r.doc_id IS NULL), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_after, "
+            "md5(string_agg(tok, ' ' ORDER BY j)) AS text_md5 FROM kept GROUP BY doc_id) "
+            "SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens_before, "
+            "coalesce(agg.n_tokens_after, 0) AS n_tokens_after, "
+            "coalesce(agg.text_md5, md5('')) AS text_md5 "
+            "FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id"
+        ),
+        survey_ref="LLM pipeline: exact-substring dedup at arbitrary "
+        "alignment (llmops/dedup.py exact_substring_dedup — Lee et al. "
+        "2022 keep-first semantics; hashes shuffle, never window text)",
     )
 )
 

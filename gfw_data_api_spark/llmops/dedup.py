@@ -72,6 +72,94 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring dedup at ARBITRARY alignment (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — the ExactSubstr pass, re-expressed Spark-first).
+
+    Every sliding ``window``-token sequence is a unit: a sequence that
+    occurs at more than one (doc, position) keeps its GLOBAL first
+    occurrence (smallest ``(doc_id, position)``) and every other
+    occurrence's tokens are cut; documents are reassembled from the
+    surviving tokens in order. Because windows slide at stride 1, a
+    shared run of ANY length ≥ window is removed in full from the
+    non-keeper documents while the keeper document is untouched (its
+    windows are all keepers of their own sequences) — the suffix-array
+    semantics of the paper without the suffix array.
+
+    Distinct from :func:`repeated_segment_removal` (corpus-frequency
+    filter over ALIGNED non-overlapping segments, drops every copy) and
+    :func:`paragraph_dedup` (separator-delimited units).
+
+    Scale shape: windows are hashed map-side (``xxhash64``, 8 bytes)
+    so the duplicate-detection shuffle moves hashes, never window
+    text; only duplicated hashes join back. Span → token-index
+    expansion is bounded by ``window`` per duplicate. No Python
+    anywhere; one groupBy + two joins + one reassembly agg.
+
+    Returns ``(id_col, n_tokens_before, n_tokens_after, text_dedup)``.
+    """
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    toks = _persist_replacing(toks, "essd_toks")
+    # (doc, pos, hash) for every sliding window; pos is 0-based
+    wins = toks.filter(F.col("_n") >= window).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n") - window),
+                lambda i: F.xxhash64(F.array_join(F.slice("_t", i + 1, window), "\x1f")),
+            )
+        ).alias("_pos", "_wh"),
+    )
+    wins = _persist_replacing(wins, "essd_wins")
+    seqs = wins.groupBy("_wh").agg(
+        F.count("*").alias("_c"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))).alias("_keep"),
+    )
+    dup_wins = (
+        wins.join(seqs.filter(F.col("_c") > 1), "_wh")
+        .filter(
+            ~((F.col(id_col) == F.col("_keep.d")) & (F.col("_pos") == F.col("_keep.p")))
+        )
+        .select(id_col, "_pos")
+    )
+    removed = dup_wins.select(
+        id_col,
+        F.explode(F.sequence(F.col("_pos"), F.col("_pos") + window - 1)).alias("_i"),
+    ).distinct()
+    tok_pos = toks.select(id_col, F.posexplode("_t").alias("_i", "_tok"))
+    kept = tok_pos.join(removed, [id_col, "_i"], "left_anti")
+    survivors = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    # left join from the full doc list: a document whose every token was
+    # cut still gets a row (empty, zero tokens) instead of vanishing
+    return (
+        toks.select(id_col, F.col("_n").cast("bigint").alias("n_tokens_before"))
+        .join(survivors, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens_before",
+            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

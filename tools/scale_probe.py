@@ -96,6 +96,7 @@ def main():
         from gfw_data_api_spark.llmops.clean import normalize_text
         from gfw_data_api_spark.llmops.dedup import (
             exact_dedup,
+            exact_substring_dedup,
             minhash_lsh_candidates,
             minhash_signatures_portable,
             paragraph_dedup,
@@ -229,6 +230,11 @@ def main():
             ),
             # VERDICT r5 #2: the iterative/heavy family beyond one round
             # of pairs — alternating star rounds over a web-shaped graph
+            # sliding-window keep-first substring dedup — hash shuffle +
+            # bounded span explode (Lee et al. semantics, gate d16)
+            "d16_exact_substring": lambda d: noop(
+                exact_substring_dedup(d, window=8).select("doc_id", "n_tokens_after")
+            ),
             "d09_components": lambda d: noop(
                 __import__(
                     "gfw_data_api_spark.llmops.components", fromlist=["connected_components"]
