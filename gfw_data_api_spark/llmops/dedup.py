@@ -98,9 +98,12 @@ def exact_substring_dedup(
 
     Scale shape: windows are hashed map-side (``xxhash64``, 8 bytes)
     so the duplicate-detection shuffle moves hashes, never window
-    text; only duplicated hashes join back. Span → token-index
-    expansion is bounded by ``window`` per duplicate. No Python
-    anywhere; one groupBy + two joins + one reassembly agg.
+    text; only duplicated hashes join back. Reassembly never shuffles
+    tokens: duplicate window POSITIONS (ints, only docs that lost
+    something) aggregate to one per-doc array, and the cut is pure
+    per-doc array math — ``array_except(sequence(0, n-1), removed)``
+    then ``element_at`` — so the second shuffle is per-DOC rows, not
+    per-token rows. No Python anywhere.
 
     Returns ``(id_col, n_tokens_before, n_tokens_after, text_dedup)``.
     """
@@ -130,33 +133,26 @@ def exact_substring_dedup(
         )
         .select(id_col, "_pos")
     )
-    removed = dup_wins.select(
-        id_col,
-        F.explode(F.sequence(F.col("_pos"), F.col("_pos") + window - 1)).alias("_i"),
-    ).distinct()
-    tok_pos = toks.select(id_col, F.posexplode("_t").alias("_i", "_tok"))
-    kept = tok_pos.join(removed, [id_col, "_i"], "left_anti")
-    survivors = kept.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_tokens_after"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_i", "_tok"))),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("text_dedup"),
+    # one row per doc that lost windows, carrying the duplicate window
+    # positions; the removed token-index SET is per-doc array math
+    # (bounded by doc length), never an exploded per-token relation
+    removed = dup_wins.groupBy(id_col).agg(F.collect_list("_pos").alias("_ps"))
+    rm_idx = F.array_distinct(
+        F.flatten(F.transform("_ps", lambda p: F.sequence(p, p + window - 1)))
+    )
+    kept = F.when(F.col("_ps").isNull(), F.col("_t")).otherwise(
+        F.transform(
+            F.array_except(F.sequence(F.lit(0), F.col("_n") - 1), rm_idx),
+            lambda i: F.element_at(F.col("_t"), i + 1),
+        )
     )
     # left join from the full doc list: a document whose every token was
     # cut still gets a row (empty, zero tokens) instead of vanishing
-    return (
-        toks.select(id_col, F.col("_n").cast("bigint").alias("n_tokens_before"))
-        .join(survivors, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens_before",
-            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-        )
+    return toks.join(removed, id_col, "left").select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("text_dedup"),
     )
 
 
