@@ -3235,8 +3235,7 @@ _DRIVER_FRONT: list[str] = [
     "w01_importance_weights",
     "w02_temperature_mixture",
     "b01_bpe_pair_stats",
-    "c01_token_chunks",
-    # c02 displaced to the round-7 backlog too (see note above)
+    # c01/c02 displaced to the round-7 backlog too (see note above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
     # 2-rounds-stale)
@@ -3248,6 +3247,7 @@ _DRIVER_FRONT: list[str] = [
     "m10_mp3_frame_inventory",
     "q34_dialect_distinct_on",
     "d16_exact_substring_dedup",
+    "m11_adts_frame_inventory",
 ]
 
 
@@ -7456,6 +7456,104 @@ _SPECS.append(
         "MPEG-1 Layer III header walk, ID3v1/v2 + Xing/VBRI handling, "
         "exact byte/duration accounting; PCM decode stays the documented "
         "ISO-11172-3 Huffman-table seam)",
+    )
+)
+
+
+def _m11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC ADTS frame-layer triage inside the hard gate (llmops/aac.py
+    — the MP3 gate's companion, closing the audio-container seam for
+    the other ubiquitous format): per selected doc, a planted AAC-LC
+    ADTS stream is synthesized from doc_id arithmetic (frame count,
+    sampling-frequency index, channel config, CRC slots, VBR
+    buffer-fullness escape, multi-raw-data-block frames, ID3v2 tag)
+    and parsed back by adts_stream_info. The oracle recomputes every
+    output — INCLUDING the per-frame byte accounting ``7 + crc +
+    payload`` and the per-block 1024-sample duration math — as DuckDB
+    arithmetic over the same planted parameters, so the 13-bit
+    frame-length packing and the block walk are cross-checked by an
+    independent engine, not round-trip alone. PCM decode stays the
+    documented Huffman-codebook seam (decode_aac)."""
+    from gfw_data_api_spark.llmops.aac import adts_stream_info, build_adts
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 4)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 5
+                rate = (48000, 44100, 32000, 24000, 16000)[d % 5]
+                rows["doc_id"].append(d)
+                rows["payload"].append(
+                    bytearray(
+                        build_adts(
+                            [40 + (d * 3 + j * 11) % 50 for j in range(n)],
+                            sample_rate=rate,
+                            channels=1 + d % 3,
+                            with_crc=d % 5 == 1,
+                            vbr=d % 3 == 0,
+                            blocks_per_frame=[1 + (d + j) % 2 for j in range(n)],
+                            id3v2_bytes=10 * (d % 7),
+                            fill_seed=d,
+                        )
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return adts_stream_info(payloads).select(
+        "doc_id",
+        "n_frames",
+        "n_blocks",
+        "total_samples",
+        "duration_us",
+        "sample_rate",
+        "channel_config",
+        "profile",
+        "is_vbr",
+        "audio_bytes",
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m11_adts_frame_inventory",
+        spark_fn=_m11,
+        oracle=(
+            "WITH sel AS (SELECT doc_id, 2 + doc_id % 5 AS n, "
+            "CASE doc_id % 5 WHEN 0 THEN 48000 WHEN 1 THEN 44100 "
+            "WHEN 2 THEN 32000 WHEN 3 THEN 24000 ELSE 16000 END AS rate, "
+            "doc_id % 3 = 0 AS vbr, "
+            "CASE WHEN doc_id % 5 = 1 THEN 2 ELSE 0 END AS crc, "
+            "1 + doc_id % 3 AS ch FROM documents WHERE doc_id % 7 = 4), "
+            "fr AS (SELECT doc_id, n, rate, vbr, crc, ch, "
+            "unnest(generate_series(0, n - 1)) AS j FROM sel), "
+            "k AS (SELECT doc_id, n, rate, vbr, ch, "
+            "7 + crc + 40 + (doc_id * 3 + j * 11) % 50 AS flen, "
+            "1 + (doc_id + j) % 2 AS blocks FROM fr), "
+            "agg AS (SELECT doc_id, any_value(n) AS n, any_value(rate) AS rate, "
+            "any_value(vbr) AS vbr, any_value(ch) AS ch, "
+            "CAST(sum(blocks) AS BIGINT) AS n_blocks, "
+            "CAST(sum(flen) AS BIGINT) AS audio_bytes FROM k GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_frames, n_blocks, "
+            "n_blocks * 1024 AS total_samples, "
+            "n_blocks * 1024 * 1000000 // rate AS duration_us, "
+            "CAST(rate AS BIGINT) AS sample_rate, "
+            "CAST(ch AS BIGINT) AS channel_config, 'lc' AS profile, "
+            "vbr AS is_vbr, audio_bytes FROM agg"
+        ),
+        survey_ref="multimodal: AAC ADTS frame-layer triage (llmops/aac.py "
+        "— ISO 13818-7 §6.2 header walk, 13-bit length packing, "
+        "multi-raw-data-block sample accounting, VBR fullness escape; "
+        "PCM decode stays the documented Huffman-codebook seam)",
     )
 )
 
