@@ -3233,9 +3233,8 @@ _DRIVER_FRONT: list[str] = [
     "dq01_constraint_audit",
     "u01_url_canonicalization",
     "w01_importance_weights",
-    "w02_temperature_mixture",
-    "b01_bpe_pair_stats",
-    # c01/c02 displaced to the round-7 backlog too (see note above)
+    # w02/b01/c01/c02 displaced to the round-7 backlog too (see note
+    # above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
     # 2-rounds-stale)
@@ -3248,6 +3247,8 @@ _DRIVER_FRONT: list[str] = [
     "q34_dialect_distinct_on",
     "d16_exact_substring_dedup",
     "m11_adts_frame_inventory",
+    "q35_ordered_set_aggs",
+    "q36_agg_order_by",
 ]
 
 
@@ -7289,6 +7290,88 @@ _SPECS.append(
         survey_ref="Q11 dialect breadth: PG DISTINCT ON → ranked-subquery "
         "rewrite + to_char date templates → date_format (sql/dialect.py "
         "translate_distinct_on/translate_to_char; round 6)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q35_ordered_set_aggs",
+        spark_fn=_guarded(
+            "lineitem",
+            # quantities cast to BIGINT and quarter fractions keep
+            # percentile interpolation exactly representable in binary,
+            # so the double compares bit-for-bit cross-engine; the mode
+            # argument plants a ~50%-frequency dominant value (0) so the
+            # engines' differing tie policies can never be exercised
+            "SELECT l_returnflag, "
+            "percentile_cont(0.25) WITHIN GROUP "
+            "(ORDER BY CAST(l_quantity AS BIGINT)) AS p25, "
+            "percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY CAST(l_quantity AS BIGINT)) AS p50, "
+            "CAST(percentile_disc(0.75) WITHIN GROUP "
+            "(ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS p75d, "
+            "CAST(mode() WITHIN GROUP (ORDER BY CASE WHEN l_quantity <= 25 "
+            "THEN 0 ELSE l_partkey % 100 END) AS BIGINT) AS md "
+            "FROM data GROUP BY l_returnflag ORDER BY l_returnflag",
+            fanout=True,
+        ),
+        oracle=(
+            "SELECT l_returnflag, "
+            "percentile_cont(0.25) WITHIN GROUP "
+            "(ORDER BY CAST(l_quantity AS BIGINT)) AS p25, "
+            "percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY CAST(l_quantity AS BIGINT)) AS p50, "
+            "CAST(percentile_disc(0.75) WITHIN GROUP "
+            "(ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS p75d, "
+            "CAST(mode() WITHIN GROUP (ORDER BY CASE WHEN l_quantity <= 25 "
+            "THEN 0 ELSE l_partkey % 100 END) AS BIGINT) AS md "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        survey_ref="Q11 dialect breadth: PG ordered-set aggregates "
+        "(percentile_cont/percentile_disc/mode WITHIN GROUP) pass through "
+        "the guard to Spark 4's native inverse-distribution syntax; "
+        "translate_order_nulls covers the WITHIN GROUP clause too",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q36_agg_order_by",
+        spark_fn=_guarded(
+            "lineitem",
+            # (l_orderkey*10 + l_linenumber) is unique (linenumber 1..7),
+            # so every aggregate's internal order is total — no
+            # tie-policy dependence cross-engine
+            "SELECT l_returnflag, "
+            "string_agg(l_linestatus, ',' "
+            "ORDER BY l_orderkey * 10 + l_linenumber) AS sa, "
+            "string_agg(l_linestatus, ';' "
+            "ORDER BY l_orderkey * 10 + l_linenumber DESC) AS sad, "
+            "array_to_string(array_agg(CAST(l_orderkey * 10 + l_linenumber "
+            "AS BIGINT) ORDER BY l_orderkey * 10 + l_linenumber DESC), ',') AS aad "
+            "FROM data WHERE l_orderkey < 300 "
+            "GROUP BY l_returnflag ORDER BY l_returnflag",
+        ),
+        oracle=(
+            # DuckDB implements PG's aggregate-internal ORDER BY natively
+            # — the oracle exercises the construct itself
+            "SELECT l_returnflag, "
+            "string_agg(l_linestatus, ',' "
+            "ORDER BY l_orderkey * 10 + l_linenumber) AS sa, "
+            "string_agg(l_linestatus, ';' "
+            "ORDER BY l_orderkey * 10 + l_linenumber DESC) AS sad, "
+            "array_to_string(array_agg(CAST(l_orderkey * 10 + l_linenumber "
+            "AS BIGINT) ORDER BY l_orderkey * 10 + l_linenumber DESC), ',') AS aad "
+            "FROM lineitem WHERE l_orderkey < 300 "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        survey_ref="Q11 dialect breadth: PG aggregate-internal ORDER BY — "
+        "string_agg → Spark-native WITHIN GROUP, array_agg → "
+        "array_sort-over-structs rewrite with PG null placement, plus the "
+        "array_to_string → array_join rename (sql/dialect.py "
+        "translate_agg_order_by/translate_pg_functions)",
     )
 )
 

@@ -642,6 +642,9 @@ def translate_pg_functions(sql: str) -> str:
     """PG function names → Spark builtins:
 
     - ``starts_with(a, b)`` → ``startswith(a, b)``
+    - ``array_to_string(arr, d [, null_str])`` → ``array_join`` (same
+      argument shapes; both skip NULL elements unless the third
+      argument supplies a replacement)
     - ``string_to_array(s, 'd')`` → ``CASE WHEN (s) = '' THEN
       CAST(array() AS array<string>) ELSE split(s, '\\\\Qd\\\\E') END``
       (PG returns an EMPTY array for empty input where split returns
@@ -664,6 +667,21 @@ def translate_pg_functions(sql: str) -> str:
         if hit is None:
             break
         sql = f"{sql[:hit.start]}startswith{sql[hit.end:]}"
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "ARRAY_TO_STRING"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                hit = t
+                break
+        if hit is None:
+            break
+        sql = f"{sql[:hit.start]}array_join{sql[hit.end:]}"
     while True:
         tokens = tokenize(sql)
         at = None
@@ -1004,6 +1022,159 @@ def translate_to_char(sql: str) -> str:
         )
 
 
+def _parse_sort_item(item: str) -> tuple[str, str, str]:
+    """Split one ORDER-BY item into (expr_text, ASC|DESC, FIRST|LAST),
+    applying PG defaults (ASC → NULLS LAST, DESC → NULLS FIRST)."""
+    toks = tokenize(item)
+    end = len(toks)
+    nulls = None
+    if (
+        end >= 2
+        and toks[end - 2].kind == "IDENT"
+        and toks[end - 2].upper == "NULLS"
+        and toks[end - 1].upper in ("FIRST", "LAST")
+    ):
+        nulls = toks[end - 1].upper
+        end -= 2
+    direction = "ASC"
+    has_dir = (
+        end >= 1
+        and toks[end - 1].kind == "IDENT"
+        and toks[end - 1].upper in ("ASC", "DESC")
+    )
+    if has_dir:
+        direction = toks[end - 1].upper
+        end -= 1
+    if end == 0:
+        raise ValueError(f"empty ORDER BY item in aggregate: {item!r}")
+    if nulls is None:
+        nulls = "LAST" if direction == "ASC" else "FIRST"
+    return item[: toks[end - 1].end], direction, nulls
+
+
+def translate_agg_order_by(sql: str) -> str:
+    """PG aggregate-internal ``ORDER BY`` → Spark:
+
+    - ``string_agg(e, d ORDER BY ...)`` → ``string_agg(e, d) WITHIN
+      GROUP (ORDER BY ...)`` — native in Spark 4 with identical
+      null-skipping semantics; the later :func:`translate_order_nulls`
+      pass makes PG's default null placement explicit in the moved
+      clause.
+    - ``array_agg(e ORDER BY k1 [, k2 ...])`` — Spark's array_agg has
+      no WITHIN GROUP form, so the sort is reconstructed as pure
+      column math: collect ``struct(null_flag, key, ..., value)``,
+      ``array_sort`` (ascending, with per-key IS [NOT] NULL flags
+      reproducing PG's NULLS FIRST/LAST placement — array_sort's own
+      struct-field null order is the opposite of PG's default), then
+      project the value field; a DESC sort is the ascending sort
+      ``reverse()``d, so all keys must share one direction (mixed
+      directions raise — outside the translatable subset, like
+      ``array_agg(DISTINCT ...)``).
+
+    PG array_agg KEEPS null values while string_agg skips them; both
+    survive the rewrite (structs are never null, and Spark's
+    string_agg skips nulls natively).
+    """
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        fn = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper in ("STRING_AGG", "ARRAY_AGG")
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                # only calls carrying an internal ORDER BY are rewritten
+                depth = 0
+                has_order = False
+                for j in range(i + 1, len(tokens)):
+                    tk = tokens[j]
+                    if tk.kind == "PUNCT" and tk.value == "(":
+                        depth += 1
+                    elif tk.kind == "PUNCT" and tk.value == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif (
+                        depth == 1
+                        and tk.kind == "IDENT"
+                        and tk.upper == "ORDER"
+                        and j + 1 < len(tokens)
+                        and tokens[j + 1].upper == "BY"
+                    ):
+                        has_order = True
+                if has_order:
+                    at = i
+                    fn = t.upper
+                    break
+        if at is None:
+            return sql
+        depth = 0
+        close = None
+        commas = []
+        order_at = None
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif depth == 1 and order_at is None:
+                if tk.kind == "PUNCT" and tk.value == ",":
+                    commas.append(j)
+                elif tk.kind == "IDENT" and tk.upper == "ORDER":
+                    order_at = j
+        if close is None or order_at is None:
+            raise ValueError(f"unbalanced {fn.lower()}(... ORDER BY ...) call")
+        if tokens[at + 2].kind == "IDENT" and tokens[at + 2].upper == "DISTINCT":
+            raise ValueError(
+                f"{fn.lower()}(DISTINCT ... ORDER BY ...) is outside the "
+                "translatable subset — deduplicate upstream"
+            )
+        order_text = sql[tokens[order_at + 2].start : tokens[close - 1].end]
+        args_end = tokens[order_at - 1].end
+        if fn == "STRING_AGG":
+            if len(commas) != 1:
+                raise ValueError(
+                    "string_agg takes exactly (expr, delimiter [ORDER BY ...])"
+                )
+            args = sql[tokens[at + 2].start : args_end]
+            repl = f"string_agg({args}) WITHIN GROUP (ORDER BY {order_text})"
+        else:
+            if commas:
+                raise ValueError(
+                    "array_agg takes exactly (expr [ORDER BY ...])"
+                )
+            value = sql[tokens[at + 2].start : args_end]
+            items = [_parse_sort_item(s) for s in _split_top_level_commas(order_text)]
+            directions = {d for _, d, _ in items}
+            if len(directions) > 1:
+                raise ValueError(
+                    "array_agg ORDER BY with mixed ASC/DESC keys is outside "
+                    "the translatable subset"
+                )
+            desc = directions == {"DESC"}
+            fields = []
+            for idx, (key, direction, nulls) in enumerate(items):
+                # base sort is always ascending (reverse()d for DESC), so
+                # the flag puts nulls at the END of the base sort exactly
+                # when the requested placement lands them there
+                base_last = (direction == "ASC") == (nulls == "LAST")
+                flag = "IS NULL" if base_last else "IS NOT NULL"
+                fields.append(f"'n{idx}', ({key}) {flag}, 'o{idx}', {key}")
+            struct_sql = f"named_struct({', '.join(fields)}, 'v', {value})"
+            sorted_sql = f"array_sort(array_agg({struct_sql}))"
+            if desc:
+                sorted_sql = f"reverse({sorted_sql})"
+            repl = f"transform({sorted_sql}, s -> s.v)"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+
+
 _ORDER_CLAUSE_END = {
     "LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS", "WINDOW",
     "UNION", "HAVING", "FOR",
@@ -1091,6 +1262,7 @@ def to_spark_sql(sql: str) -> str:
     """All PG→Spark surface translations."""
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
+    sql = translate_agg_order_by(sql)
     sql = translate_pg_casts(sql)
     sql = translate_extract(sql)
     sql = translate_between_symmetric(sql)

@@ -391,3 +391,81 @@ class TestReviewRegressionsRound6:
             to_spark_sql("SELECT v FROM tv_ord ORDER BY v DESC")
         ).collect()
         assert [r.v for r in desc] == [None, 2, 1]  # PG: NULLS FIRST on DESC
+
+
+class TestAggOrderBy:
+    def test_string_agg_moves_to_within_group(self):
+        from gfw_data_api_spark.sql.dialect import translate_agg_order_by
+
+        assert translate_agg_order_by(
+            "SELECT string_agg(v, ',' ORDER BY k DESC) FROM t"
+        ) == "SELECT string_agg(v, ',') WITHIN GROUP (ORDER BY k DESC) FROM t"
+
+    def test_plain_calls_untouched(self):
+        from gfw_data_api_spark.sql.dialect import translate_agg_order_by
+
+        sql = "SELECT string_agg(v, ','), array_agg(v) FROM t"
+        assert translate_agg_order_by(sql) == sql
+
+    def test_array_agg_rewrites_to_sorted_structs(self):
+        from gfw_data_api_spark.sql.dialect import translate_agg_order_by
+
+        out = translate_agg_order_by("SELECT array_agg(v ORDER BY k) FROM t")
+        assert "array_sort(array_agg(named_struct(" in out
+        assert "'n0', (k) IS NULL" in out  # PG ASC default = NULLS LAST
+        assert "transform(" in out and "s -> s.v" in out
+        assert "reverse(" not in out
+
+    def test_array_agg_desc_reverses_and_flips_flag(self):
+        from gfw_data_api_spark.sql.dialect import translate_agg_order_by
+
+        out = translate_agg_order_by(
+            "SELECT array_agg(v ORDER BY k DESC NULLS LAST) FROM t"
+        )
+        # DESC NULLS LAST = reverse of ASC NULLS FIRST
+        assert "reverse(array_sort(" in out
+        assert "'n0', (k) IS NOT NULL" in out
+
+    def test_mixed_directions_raise(self):
+        from gfw_data_api_spark.sql.dialect import translate_agg_order_by
+
+        with pytest.raises(ValueError, match="mixed ASC/DESC"):
+            translate_agg_order_by(
+                "SELECT array_agg(v ORDER BY a, b DESC) FROM t"
+            )
+
+    def test_distinct_raises(self):
+        from gfw_data_api_spark.sql.dialect import translate_agg_order_by
+
+        with pytest.raises(ValueError, match="DISTINCT"):
+            translate_agg_order_by(
+                "SELECT string_agg(DISTINCT v, ',' ORDER BY v) FROM t"
+            )
+
+    def test_value_semantics_null_placement(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 5), (3, None, 7), (4, "d", None)],
+            "k int, v string, o int",
+        )
+        df.createOrReplaceTempView("tv_aob")
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT string_agg(v, ',' ORDER BY o) AS sa, "
+                "array_agg(v ORDER BY o) AS aa, "
+                "array_agg(v ORDER BY o DESC) AS ad "
+                "FROM tv_aob"
+            )
+        ).collect()[0]
+        # string_agg skips NULL values; NULL keys sort last on ASC (PG)
+        assert row.sa == "b,a,d"
+        # array_agg keeps NULL values; DESC default is NULLS FIRST (PG)
+        assert row.aa == ["b", None, "a", "d"]
+        assert row.ad == ["d", "a", None, "b"]
+
+    def test_array_to_string_renamed(self, spark):
+        from gfw_data_api_spark.sql.dialect import translate_pg_functions
+
+        out = translate_pg_functions(
+            "SELECT array_to_string(array_agg(v), ',') FROM t"
+        )
+        assert out == "SELECT array_join(array_agg(v), ',') FROM t"
