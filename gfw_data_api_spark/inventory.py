@@ -3232,9 +3232,8 @@ _DRIVER_FRONT: list[str] = [
     "ca01_continuous_aggregate",
     "dq01_constraint_audit",
     "u01_url_canonicalization",
-    "w01_importance_weights",
-    # w02/b01/c01/c02 displaced to the round-7 backlog too (see note
-    # above)
+    # w01/w02/b01/c01/c02 displaced to the round-7 backlog too (see
+    # note above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
     # 2-rounds-stale)
@@ -3249,6 +3248,7 @@ _DRIVER_FRONT: list[str] = [
     "m11_adts_frame_inventory",
     "q35_ordered_set_aggs",
     "q36_agg_order_by",
+    "t24_quality_classifier",
 ]
 
 
@@ -7372,6 +7372,58 @@ _SPECS.append(
         "array_sort-over-structs rewrite with PG null placement, plus the "
         "array_to_string → array_join rename (sql/dialect.py "
         "translate_agg_order_by/translate_pg_functions)",
+    )
+)
+
+
+def _t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality scoring inside the hard
+    gate (llmops/classifier.py): unigram+bigram features of the
+    lowercased text hash through the repo's canonical 60-bit md5
+    bucket into a 1024-bucket table of INTEGER milli-weights, and the
+    document score is the exact integer sum — order- and
+    partition-independent, so the oracle replays the ENTIRE pipeline
+    (tokenize, bigram join, bucket hash, pseudo-weight derivation,
+    integer sum) in DuckDB and the hashes must agree bit-for-bit.
+    The Spark side is one map-only projection: zero shuffles, zero
+    Python, zero explodes (plan-pinned in tests/test_classifier.py)."""
+    from gfw_data_api_spark.llmops.classifier import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_linear_score(docs, dim=1024, seed=0).select(
+        "doc_id",
+        "n_features",
+        "score_milli",
+        (F.col("score_milli") > 0).alias("quality"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t24_quality_classifier",
+        spark_fn=_t24,
+        oracle=(
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), "
+            "uni AS (SELECT doc_id, unnest(t) AS f FROM toks), "
+            "bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS f FROM "
+            "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i "
+            "FROM toks WHERE len(t) >= 2)), "
+            "feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi), "
+            "sc AS (SELECT doc_id, "
+            "('0x' || substr(md5(f || chr(31) || '0'), 1, 15))::BIGINT % 1024 AS b "
+            "FROM feats), "
+            "w AS (SELECT doc_id, "
+            "(('0x' || substr(md5('w:' || b), 1, 15))::BIGINT % 2001) - 1000 AS wm "
+            "FROM sc) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features, "
+            "CAST(sum(wm) AS BIGINT) AS score_milli, sum(wm) > 0 AS quality "
+            "FROM w GROUP BY doc_id"
+        ),
+        survey_ref="LLM pipeline: hashed-n-gram linear quality classifier "
+        "scoring (llmops/classifier.py — fastText architecture, Joulin et "
+        "al. 2016; canonical md5 bucketing, exact integer milli-weight "
+        "sums, map-only plan)",
     )
 )
 

@@ -1,118 +1,134 @@
-"""Learned quality filtering: logistic regression over quality signals.
+"""Hashed-n-gram linear text classifier (fastText-style) scoring.
 
-The heuristic ``text.quality_signals`` score is hand-weighted; the
-production recipe (GPT-3's WebText-vs-CommonCrawl filter, CCNet,
-RefinedWeb) LEARNS the weights from a labeled seed set (curated = 1,
-raw = 0) and scores the whole corpus with the trained model. Spark MLlib
-makes both halves distributed: training is L-BFGS over the cluster
-(each iteration one pass of gradient partial-aggregation — no driver
-sample cap, unlike the k-means recipes that only need tiny models), and
-scoring is one narrow map.
+The curation stages this repo already covers (Gopher rules, KN-LM
+perplexity, CCNet buckets) are rule- or LM-based; production pipelines
+also score documents with a TRAINED linear classifier over hashed
+bag-of-n-gram features — fastText's architecture (Joulin et al. 2016,
+"Bag of Tricks for Efficient Text Classification") and the quality
+filters in GPT-3/LLaMA-style curation. This module implements the
+SCORING side Spark-first:
 
-Features are the engine's own native quality signals (alpha/punct/
-stopword ratios, lengths, Gopher repetition fractions) — cheap JVM
-expressions, so the only per-row Python anywhere is none at all:
-MLlib's LR transform is JVM-side too.
+- features = word unigrams + bigrams of the lowercased text (bigrams
+  contain a space, unigrams cannot — the spaces-split guarantees the
+  two families never collide);
+- each feature hashes into one of ``dim`` buckets with the repo's one
+  canonical 60-bit md5 formula (llmops/sampling.py), so an external
+  engine can replay bucketing exactly;
+- score = Σ weight[bucket] over all features (multiplicity counted).
+
+Weights are INTEGER milli-units: summing ints is exact and
+order-independent, so the score is bit-reproducible across engines and
+across shuffles — no float-accumulation drift. Callers pass a trained
+weight table (``weights=[...]``, one int per bucket, broadcast into
+the plan as an array literal and indexed per feature); without one,
+a deterministic md5-derived pseudo-weight table stands in — the
+documented bootstrap/fixture mode the t24 gate replays in DuckDB.
+
+Scale shape: the whole scorer is per-row array math inside one
+projection — tokenize, slice/zip_with for bigrams, transform for
+hash+weight, aggregate for the sum. ZERO shuffles, zero Python, zero
+explodes; at 100 TB it is a map-only pass whose cost is the scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gfw_data_api_spark.llmops.text import quality_signals, repetition_signals
+from gfw_data_api_spark.llmops.text import tokens_col
 
-#: native signal columns fed to the classifier
-FEATURE_COLS = [
-    "n_chars_sig",
-    "n_tokens_sig",
-    "alpha_ratio",
-    "punct_ratio",
-    "stopword_ratio",
-    "mean_word_len",
-    "top_word_frac",
-    "top_bigram_frac",
-]
+_SEP = "\x1f"
 
 
-def featurize(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Attach FEATURE_COLS (all native expressions) + an MLlib vector.
-
-    Per-row signals come from ``quality_signals``; the Gopher repetition
-    fractions are per-doc aggregates joined back on ``id_col``.
-    """
-    from pyspark.ml.feature import VectorAssembler
-
-    sig = quality_signals(df, text_col)
-    rep = repetition_signals(df, text_col=text_col, id_col=id_col).select(
-        id_col, "top_word_frac", "top_bigram_frac"
-    )
-    sig = (
-        sig.join(rep, id_col, "left")
-        .na.fill({"top_word_frac": 0.0, "top_bigram_frac": 0.0})
-        .withColumn("n_chars_sig", F.col("n_chars_sig").cast("double"))
-        .withColumn("n_tokens_sig", F.col("n_tokens_sig").cast("double"))
-    )
-    assembler = VectorAssembler(
-        inputCols=FEATURE_COLS, outputCol="features", handleInvalid="keep"
-    )
-    return assembler.transform(sig)
-
-
-def train_quality_classifier(
-    labeled: DataFrame,
-    label_col: str = "label",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    reg_param: float = 0.01,
-    max_iter: int = 50,
-):
-    """Fit LR on a labeled seed set (1 = curated/good, 0 = raw/bad).
-
-    Returns the fitted MLlib model. Training distributes (per-iteration
-    gradient aggregation), so the seed set can be arbitrarily large.
-    """
-    from pyspark.ml.classification import LogisticRegression
-
-    feats = featurize(labeled, text_col, id_col)
-    lr = LogisticRegression(
-        featuresCol="features",
-        labelCol=label_col,
-        regParam=reg_param,
-        maxIter=max_iter,
-        standardization=True,
-    )
-    return lr.fit(feats)
-
-
-def score_quality(
-    model,
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    out_col: str = "quality_prob",
-) -> DataFrame:
-    """P(good) per document; JVM-side end to end."""
-    from pyspark.ml.functions import vector_to_array
-
-    scored = model.transform(featurize(df, text_col, id_col))
-    return scored.withColumn(
-        out_col, vector_to_array(F.col("probability")).getItem(1)
-    ).drop("features", "rawPrediction", "probability", "prediction")
-
-
-def filter_by_quality(
-    model,
-    df: DataFrame,
-    threshold: float = 0.5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Keep documents the model scores at or above ``threshold``."""
+def _bucket60(payload: Column, dim: int, seed: int) -> Column:
+    """The repo's canonical 60-bit md5 bucket (llmops/sampling.py):
+    first 15 hex chars of md5 → BIGINT → % dim."""
     return (
-        score_quality(model, df, text_col, id_col)
-        .filter(F.col("quality_prob") >= threshold)
-        .drop("quality_prob")
+        F.conv(
+            F.substring(F.md5(F.concat(payload, F.lit(_SEP + str(seed)))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % dim
+    )
+
+
+def _pseudo_weight_milli(bucket: Column) -> Column:
+    """Deterministic stand-in weight table: milli-weight in
+    [-1000, 1000] derived from the bucket id by the same canonical
+    hash ('w:' prefix keeps it independent of the bucketing hash)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+
+
+def ngram_features(text: Column) -> Column:
+    """Word unigrams + bigrams of the lowercased text, one array —
+    the fastText feature family. Bigrams join with a single space, so
+    the two families cannot collide (tokens are whitespace-split)."""
+    toks = tokens_col(F.lower(text))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(n >= 2, F.concat(toks, bigrams)).otherwise(toks)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 1024,
+    seed: int = 0,
+    weights: list[int] | None = None,
+    out_col: str = "score_milli",
+) -> DataFrame:
+    """Append ``n_features`` and the exact integer linear score
+    ``out_col`` (milli-units) to ``df``.
+
+    ``weights``: the trained model — one INTEGER milli-weight per
+    bucket (``len(weights) == dim``), inlined into the plan as an
+    array literal and indexed per feature (a dim-sized literal is a
+    few KB in the plan; the executor never shuffles it). Without it,
+    the md5-derived pseudo-weight table applies (bootstrap/fixture
+    mode; the t24 gate replays it in DuckDB).
+
+    The score is Σ over features (with multiplicity) of the bucket's
+    milli-weight — integer arithmetic end to end, so results are
+    independent of row order, partitioning, and engine. Convert to a
+    probability downstream (``1/(1+exp(-score/1000/n))``) only where
+    float drift is acceptable; the integer score is the stable key.
+    """
+    if weights is not None:
+        if len(weights) != dim:
+            raise ValueError(
+                f"weights table has {len(weights)} entries for dim={dim}"
+            )
+        if not all(isinstance(w, int) for w in weights):
+            raise ValueError(
+                "weights must be INTEGER milli-units — float weights would "
+                "make the score order-dependent; scale and round upstream"
+            )
+        table = F.array(*[F.lit(w).cast("bigint") for w in weights])
+
+        def weight_of(bucket: Column) -> Column:
+            return F.element_at(table, (bucket + 1).cast("int"))
+
+    else:
+        weight_of = _pseudo_weight_milli
+
+    feats = ngram_features(F.col(text_col))
+    per_feature = F.transform(feats, lambda f: weight_of(_bucket60(f, dim, seed)))
+    return df.withColumn("n_features", F.size(feats).cast("bigint")).withColumn(
+        out_col,
+        F.aggregate(
+            per_feature, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ),
     )
