@@ -1,33 +1,36 @@
-"""Hashed-n-gram linear text classifier (fastText-style) scoring.
+"""Quality classifiers: learned LR over native signals, and
+fastText-style hashed-n-gram linear scoring.
 
-The curation stages this repo already covers (Gopher rules, KN-LM
-perplexity, CCNet buckets) are rule- or LM-based; production pipelines
-also score documents with a TRAINED linear classifier over hashed
-bag-of-n-gram features — fastText's architecture (Joulin et al. 2016,
-"Bag of Tricks for Efficient Text Classification") and the quality
-filters in GPT-3/LLaMA-style curation. This module implements the
-SCORING side Spark-first:
+Two production quality-filter recipes live here, both Spark-first:
 
-- features = word unigrams + bigrams of the lowercased text (bigrams
-  contain a space, unigrams cannot — the spaces-split guarantees the
-  two families never collide);
-- each feature hashes into one of ``dim`` buckets with the repo's one
-  canonical 60-bit md5 formula (llmops/sampling.py), so an external
-  engine can replay bucketing exactly;
-- score = Σ weight[bucket] over all features (multiplicity counted).
+1. **Learned logistic regression over quality signals** (GPT-3's
+   WebText-vs-CommonCrawl filter, CCNet, RefinedWeb): the heuristic
+   ``text.quality_signals`` score is hand-weighted; this half LEARNS
+   the weights from a labeled seed set (curated = 1, raw = 0) and
+   scores the whole corpus with the trained model. Spark MLlib makes
+   both halves distributed: training is L-BFGS over the cluster (each
+   iteration one pass of gradient partial-aggregation — no driver
+   sample cap, unlike the k-means recipes that only need tiny models),
+   and scoring is one narrow map. Features are the engine's own native
+   signals (alpha/punct/stopword ratios, lengths, Gopher repetition
+   fractions) — cheap JVM expressions, and MLlib's LR transform is
+   JVM-side too.
 
-Weights are INTEGER milli-units: summing ints is exact and
-order-independent, so the score is bit-reproducible across engines and
-across shuffles — no float-accumulation drift. Callers pass a trained
-weight table (``weights=[...]``, one int per bucket, broadcast into
-the plan as an array literal and indexed per feature); without one,
-a deterministic md5-derived pseudo-weight table stands in — the
-documented bootstrap/fixture mode the t24 gate replays in DuckDB.
-
-Scale shape: the whole scorer is per-row array math inside one
-projection — tokenize, slice/zip_with for bigrams, transform for
-hash+weight, aggregate for the sum. ZERO shuffles, zero Python, zero
-explodes; at 100 TB it is a map-only pass whose cost is the scan.
+2. **Hashed-bag-of-n-gram linear scoring** (fastText architecture,
+   Joulin et al. 2016): word unigrams + bigrams of the lowercased
+   text hash into ``dim`` buckets with the repo's one canonical 60-bit
+   md5 formula (llmops/sampling.py) and the document score is the
+   exact INTEGER sum of per-bucket milli-weights — order- and
+   partition-independent, bit-reproducible across engines (the t24
+   gate replays it in DuckDB). Callers pass a trained weight table
+   (one int per bucket, inlined as an array literal); without one a
+   deterministic md5-derived pseudo-weight table stands in. The whole
+   scorer is per-row array math inside ONE projection — tokenize,
+   slice/zip_with for bigrams, transform for hash+weight, aggregate
+   for the sum. Zero shuffles, zero Python, zero explodes: at 100 TB
+   it is a map-only pass whose cost is the scan. (Bigrams contain a
+   space and whitespace-split unigrams cannot, so the families never
+   collide.)
 """
 
 from __future__ import annotations
@@ -35,7 +38,111 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gfw_data_api_spark.llmops.text import tokens_col
+from gfw_data_api_spark.llmops.text import (
+    quality_signals,
+    repetition_signals,
+    tokens_col,
+)
+
+#: native signal columns fed to the learned classifier
+FEATURE_COLS = [
+    "n_chars_sig",
+    "n_tokens_sig",
+    "alpha_ratio",
+    "punct_ratio",
+    "stopword_ratio",
+    "mean_word_len",
+    "top_word_frac",
+    "top_bigram_frac",
+]
+
+
+def featurize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach FEATURE_COLS (all native expressions) + an MLlib vector.
+
+    Per-row signals come from ``quality_signals``; the Gopher repetition
+    fractions are per-doc aggregates joined back on ``id_col``.
+    """
+    from pyspark.ml.feature import VectorAssembler
+
+    sig = quality_signals(df, text_col)
+    rep = repetition_signals(df, text_col=text_col, id_col=id_col).select(
+        id_col, "top_word_frac", "top_bigram_frac"
+    )
+    sig = (
+        sig.join(rep, id_col, "left")
+        .na.fill({"top_word_frac": 0.0, "top_bigram_frac": 0.0})
+        .withColumn("n_chars_sig", F.col("n_chars_sig").cast("double"))
+        .withColumn("n_tokens_sig", F.col("n_tokens_sig").cast("double"))
+    )
+    assembler = VectorAssembler(
+        inputCols=FEATURE_COLS, outputCol="features", handleInvalid="keep"
+    )
+    return assembler.transform(sig)
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+):
+    """Fit LR on a labeled seed set (1 = curated/good, 0 = raw/bad).
+
+    Returns the fitted MLlib model. Training distributes (per-iteration
+    gradient aggregation), so the seed set can be arbitrarily large.
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = featurize(labeled, text_col, id_col)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=True,
+    )
+    return lr.fit(feats)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """P(good) per document; JVM-side end to end."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(featurize(df, text_col, id_col))
+    return scored.withColumn(
+        out_col, vector_to_array(F.col("probability")).getItem(1)
+    ).drop("features", "rawPrediction", "probability", "prediction")
+
+
+def filter_by_quality(
+    model,
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents the model scores at or above ``threshold``."""
+    return (
+        score_quality(model, df, text_col, id_col)
+        .filter(F.col("quality_prob") >= threshold)
+        .drop("quality_prob")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed-bag-of-n-gram linear scoring (fastText architecture)
+# ---------------------------------------------------------------------------
 
 _SEP = "\x1f"
 
@@ -70,8 +177,7 @@ def _pseudo_weight_milli(bucket: Column) -> Column:
 
 def ngram_features(text: Column) -> Column:
     """Word unigrams + bigrams of the lowercased text, one array —
-    the fastText feature family. Bigrams join with a single space, so
-    the two families cannot collide (tokens are whitespace-split)."""
+    the fastText feature family."""
     toks = tokens_col(F.lower(text))
     n = F.size(toks)
     bigrams = F.zip_with(
