@@ -3231,8 +3231,7 @@ _DRIVER_FRONT: list[str] = [
     "e05_scd2_intervals",
     "ca01_continuous_aggregate",
     "dq01_constraint_audit",
-    "u01_url_canonicalization",
-    # w01/w02/b01/c01/c02 displaced to the round-7 backlog too (see
+    # u01/w01/w02/b01/c01/c02 displaced to the round-7 backlog too (see
     # note above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
@@ -3249,6 +3248,7 @@ _DRIVER_FRONT: list[str] = [
     "q35_ordered_set_aggs",
     "q36_agg_order_by",
     "t24_quality_classifier",
+    "q37_parameterized_casts",
 ]
 
 
@@ -7424,6 +7424,45 @@ _SPECS.append(
         "scoring (llmops/classifier.py — fastText architecture, Joulin et "
         "al. 2016; canonical md5 bucketing, exact integer milli-weight "
         "sums, map-only plan)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q37_parameterized_casts",
+        spark_fn=_guarded(
+            "lineitem",
+            # PG semantics under test: numeric(p,s) rounds HALF-UP
+            # (Spark's DECIMAL cast matches; DuckDB's own cast
+            # TRUNCATES, so the oracle compensates with round());
+            # varchar(n) TRUNCATES on explicit cast; char(n) truncates
+            # AND pads. Decimal sums leave as x10 BIGINTs so the
+            # engines' different sum-precision inference (DECIMAL(20,1)
+            # vs DECIMAL(38,1)) never reaches the schema compare.
+            "SELECT l_returnflag::char(3) AS rf3, "
+            "(l_returnflag || l_linestatus || 'xyz')::varchar(4) AS rl4, "
+            "count(*) AS n, "
+            "CAST(sum(l_extendedprice::numeric(12,1)) * 10 AS BIGINT) AS sp1_x10, "
+            "CAST(sum((l_tax * 10)::numeric(10,0)) AS BIGINT) AS st0, "
+            "CAST(min(l_extendedprice::float(40)) AS DOUBLE) AS minp "
+            "FROM data GROUP BY 1, 2 ORDER BY rf3, rl4",
+        ),
+        oracle=(
+            "SELECT rpad(left(l_returnflag, 3), 3, ' ') AS rf3, "
+            "left(l_returnflag || l_linestatus || 'xyz', 4) AS rl4, "
+            "count(*) AS n, "
+            "CAST(sum(CAST(round(l_extendedprice, 1) AS DECIMAL(12,1))) * 10 "
+            "AS BIGINT) AS sp1_x10, "
+            "CAST(sum(CAST(round(l_tax * 10, 0) AS DECIMAL(10,0))) AS BIGINT) AS st0, "
+            "CAST(min(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS minp "
+            "FROM lineitem GROUP BY 1, 2 ORDER BY rf3, rl4"
+        ),
+        survey_ref="Q11 dialect breadth: parameterized ::casts — "
+        "numeric(p,s) HALF-UP rounding, varchar(n) truncation, char(n) "
+        "truncate+pad, float(n) width selection (sql/dialect.py "
+        "translate_pg_casts; DuckDB oracle compensates its own "
+        "truncating decimal cast with round())",
     )
 )
 

@@ -93,7 +93,57 @@ def translate_pg_casts(sql: str) -> str:
                 j += 1
             if words[:1] in (["with"], ["without"]) and words[-1:] == ["zone"]:
                 type_end_idx = j - 1
+        # parameterized types: numeric(p[,s]), varchar(n), char(n),
+        # float(n) — consume a directly-following (int[, int]) group
+        type_args: list[int] | None = None
+        j = type_end_idx + 1
+        if j < len(tokens) and tokens[j].kind == "PUNCT" and tokens[j].value == "(":
+            vals = []
+            k2 = j + 1
+            well_formed = False
+            while k2 < len(tokens):
+                tk = tokens[k2]
+                if tk.kind == "PUNCT" and tk.value == ")":
+                    well_formed = bool(vals)
+                    break
+                if tk.kind == "NUMBER" and tk.value.isdigit():
+                    vals.append(int(tk.value))
+                elif not (tk.kind == "PUNCT" and tk.value == ","):
+                    break
+                k2 += 1
+            if well_formed:
+                type_args = vals
+                type_end_idx = k2
         spark_type = PG_TO_SPARK_TYPES.get(type_name, type_name.upper())
+        wrap = None  # (prefix, suffix) around CAST(op AS STRING)
+        if type_args is not None:
+            if type_name in ("numeric", "decimal") and len(type_args) <= 2:
+                p = type_args[0]
+                s = type_args[1] if len(type_args) == 2 else 0
+                spark_type = f"DECIMAL({p},{s})"
+            elif type_name == "varchar" and len(type_args) == 1:
+                # PG: an explicit varchar(n) cast TRUNCATES to n chars
+                # (Spark's VARCHAR(n) cast does not)
+                spark_type = "STRING"
+                wrap = ("substring(", f", 1, {type_args[0]})")
+            elif type_name in ("char", "bpchar") and len(type_args) == 1:
+                # PG: char(n) truncates AND pads to n. The padded string
+                # is literal — PG's trailing-space-insensitive bpchar
+                # comparisons are outside the subset (documented).
+                n_chars = type_args[0]
+                spark_type = "STRING"
+                wrap = (
+                    f"rpad(substring(",
+                    f", 1, {n_chars}), {n_chars}, ' ')",
+                )
+            elif type_name == "float" and len(type_args) == 1:
+                # PG: float(1..24) = real, float(25..53) = double
+                spark_type = "FLOAT" if type_args[0] <= 24 else "DOUBLE"
+            else:
+                raise ValueError(
+                    f"parameterized ::{type_name}({', '.join(map(str, type_args))}) "
+                    "cast outside the translatable subset"
+                )
 
         # resolve operand start, walking backwards
         k = cast_at - 1
@@ -120,7 +170,11 @@ def translate_pg_casts(sql: str) -> str:
                 j -= 1
             if j < 0:
                 return sql
-            if j > 0 and tokens[j - 1].kind == "IDENT":
+            if (
+                j > 0
+                and tokens[j - 1].kind == "IDENT"
+                and tokens[j - 1].upper not in _OPERAND_BOUNDARY
+            ):
                 j -= 1  # function call: include the name
             start = tokens[j].start
         else:
@@ -128,7 +182,10 @@ def translate_pg_casts(sql: str) -> str:
 
         operand = sql[start : prev.end]
         end = tokens[type_end_idx].end
-        sql = f"{sql[:start]}CAST({operand} AS {spark_type}){sql[end:]}"
+        cast_sql = f"CAST({operand} AS {spark_type})"
+        if wrap is not None:
+            cast_sql = f"{wrap[0]}{cast_sql}{wrap[1]}"
+        sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
 
 
 _FETCH_RE = re.compile(

@@ -469,3 +469,74 @@ class TestAggOrderBy:
             "SELECT array_to_string(array_agg(v), ',') FROM t"
         )
         assert out == "SELECT array_join(array_agg(v), ',') FROM t"
+
+
+class TestParameterizedCasts:
+    def test_numeric_precision_scale(self):
+        from gfw_data_api_spark.sql.dialect import translate_pg_casts
+
+        assert (
+            translate_pg_casts("SELECT x::numeric(10,2) FROM t")
+            == "SELECT CAST(x AS DECIMAL(10,2)) FROM t"
+        )
+        assert (
+            translate_pg_casts("SELECT x::numeric(10) FROM t")
+            == "SELECT CAST(x AS DECIMAL(10,0)) FROM t"
+        )
+
+    def test_varchar_truncates_char_pads(self):
+        from gfw_data_api_spark.sql.dialect import translate_pg_casts
+
+        assert (
+            translate_pg_casts("SELECT c::varchar(5) FROM t")
+            == "SELECT substring(CAST(c AS STRING), 1, 5) FROM t"
+        )
+        assert (
+            translate_pg_casts("SELECT c::char(3) FROM t")
+            == "SELECT rpad(substring(CAST(c AS STRING), 1, 3), 3, ' ') FROM t"
+        )
+
+    def test_float_width_selection(self):
+        from gfw_data_api_spark.sql.dialect import translate_pg_casts
+
+        out = translate_pg_casts("SELECT x::float(10) AS f, x::float(40) AS d FROM t")
+        assert out == "SELECT CAST(x AS FLOAT) AS f, CAST(x AS DOUBLE) AS d FROM t"
+
+    def test_unsupported_parameterized_type_raises(self):
+        from gfw_data_api_spark.sql.dialect import translate_pg_casts
+
+        with pytest.raises(ValueError, match="outside the translatable subset"):
+            translate_pg_casts("SELECT x::time(3) FROM t")
+
+    def test_unparameterized_types_unchanged(self):
+        from gfw_data_api_spark.sql.dialect import translate_pg_casts
+
+        assert (
+            translate_pg_casts("SELECT x::numeric, y::int FROM t")
+            == "SELECT CAST(x AS DECIMAL(38,10)), CAST(y AS INT) FROM t"
+        )
+
+    def test_select_keyword_not_swallowed_into_operand(self):
+        # regression: the backward operand walk treated ANY preceding
+        # IDENT as a function name, so SELECT (a+b)::int emitted
+        # CAST(SELECT (a+b) AS INT)
+        from gfw_data_api_spark.sql.dialect import translate_pg_casts
+
+        assert (
+            translate_pg_casts("SELECT (a + b)::int FROM t")
+            == "SELECT CAST((a + b) AS INT) FROM t"
+        )
+        assert (
+            translate_pg_casts("SELECT x FROM t WHERE (a)::int > 1 AND (b)::int < 2")
+            == "SELECT x FROM t WHERE CAST((a) AS INT) > 1 AND CAST((b) AS INT) < 2"
+        )
+
+    def test_paren_args_that_are_not_ints_left_alone(self):
+        from gfw_data_api_spark.sql.dialect import translate_pg_casts
+
+        # '(' after the type that is NOT an int list belongs to the
+        # surrounding expression, not the type
+        assert (
+            translate_pg_casts("SELECT x::int + (y) FROM t")
+            == "SELECT CAST(x AS INT) + (y) FROM t"
+        )
