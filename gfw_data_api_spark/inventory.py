@@ -3230,9 +3230,8 @@ _DRIVER_FRONT: list[str] = [
     "e04_merge_upsert",
     "e05_scd2_intervals",
     "ca01_continuous_aggregate",
-    "dq01_constraint_audit",
-    # u01/w01/w02/b01/c01/c02 displaced to the round-7 backlog too (see
-    # note above)
+    # dq01/u01/w01/w02/b01/c01/c02 displaced to the round-7 backlog too
+    # (see note above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
     # 2-rounds-stale)
@@ -3249,6 +3248,7 @@ _DRIVER_FRONT: list[str] = [
     "q36_agg_order_by",
     "t24_quality_classifier",
     "q37_parameterized_casts",
+    "q38_array_any_all",
 ]
 
 
@@ -7463,6 +7463,43 @@ _SPECS.append(
         "truncate+pad, float(n) width selection (sql/dialect.py "
         "translate_pg_casts; DuckDB oracle compensates its own "
         "truncating decimal cast with round())",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q38_array_any_all",
+        spark_fn=_guarded(
+            "lineitem",
+            # PG semantics under test: ARRAY[...] constructors, and
+            # op ANY / op ALL over arrays with three-valued logic
+            # (Spark's exists/forall higher-order twins share it,
+            # probed with NULL elements)
+            "SELECT l_returnflag, "
+            "count(*) FILTER (WHERE l_linestatus = ANY(ARRAY['O', 'X'])) AS n_any, "
+            "count(*) FILTER (WHERE l_quantity > ALL(ARRAY[10, 20])) AS n_all, "
+            "count(*) FILTER (WHERE l_linestatus <> ALL(ARRAY['F'])) AS n_notall, "
+            "array_to_string(ARRAY[min(l_linenumber)::text, "
+            "max(l_linenumber)::text], '-') AS mm "
+            "FROM data GROUP BY l_returnflag ORDER BY l_returnflag",
+        ),
+        oracle=(
+            # DuckDB's op ANY/ALL over lists is native with the same
+            # three-valued semantics — the oracle exercises the
+            # construct itself
+            "SELECT l_returnflag, "
+            "count(*) FILTER (WHERE l_linestatus = ANY(['O', 'X'])) AS n_any, "
+            "count(*) FILTER (WHERE l_quantity > ALL([10, 20])) AS n_all, "
+            "count(*) FILTER (WHERE l_linestatus <> ALL(['F'])) AS n_notall, "
+            "array_to_string([CAST(min(l_linenumber) AS TEXT), "
+            "CAST(max(l_linenumber) AS TEXT)], '-') AS mm "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        survey_ref="Q11 dialect breadth: PG ARRAY[...] constructors and "
+        "op ANY / op ALL array comparisons → array()/exists()/forall() "
+        "with matching three-valued logic (sql/dialect.py "
+        "translate_array_literal/translate_any_all)",
     )
 )
 

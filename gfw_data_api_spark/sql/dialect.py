@@ -1079,6 +1079,103 @@ def translate_to_char(sql: str) -> str:
         )
 
 
+def translate_array_literal(sql: str) -> str:
+    """PG ``ARRAY[e1, e2, ...]`` constructor → Spark ``array(e1, e2,
+    ...)``. Brackets only re-balance against brackets, so element
+    expressions with parentheses pass through; nested ARRAY[...] is
+    handled by the outer loop re-tokenizing."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "ARRAY"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].kind == "PUNCT"
+                and tokens[i + 1].value == "["
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        depth = 0
+        close = None
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "[":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == "]":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            raise ValueError("unbalanced ARRAY[...] constructor")
+        inner = sql[tokens[at + 1].end : tokens[close].start]
+        sql = f"{sql[:tokens[at].start]}array({inner}){sql[tokens[close].end:]}"
+
+
+_ANY_ALL_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+
+
+def translate_any_all(sql: str) -> str:
+    """PG ``expr op ANY(array)`` / ``expr op ALL(array)`` → Spark's
+    higher-order ``exists(array, e -> expr op e)`` / ``forall(...)``
+    — probed to share PG's three-valued logic (a NULL element yields
+    NULL unless an element already decides the result). Runs after
+    :func:`translate_array_literal`, so ARRAY[...] operands are
+    already ``array(...)`` calls. The subquery form (``= ANY(SELECT
+    ...)``) is outside the guarded dialect's translatable subset and
+    raises with the IN-rewrite hint."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper in ("ANY", "ALL")
+                and 0 < i < len(tokens) - 1
+                and tokens[i + 1].value == "("
+                and tokens[i - 1].kind == "OP"
+                and tokens[i - 1].value in _ANY_ALL_OPS
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        quant = tokens[at].upper
+        op = tokens[at - 1].value
+        lhs_start = _primary_start(tokens, at - 2)
+        if lhs_start is None:
+            raise ValueError(f"cannot resolve the left operand of {op} {quant}(...)")
+        depth = 0
+        close = None
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            raise ValueError(f"unbalanced {quant}(...)")
+        if close == at + 2:
+            raise ValueError(f"empty {quant}() argument")
+        if tokens[at + 2].kind == "IDENT" and tokens[at + 2].upper == "SELECT":
+            raise ValueError(
+                f"{quant}(SELECT ...) is outside the translatable subset — "
+                "rewrite as IN (SELECT ...) / NOT IN (SELECT ...)"
+            )
+        lhs = sql[tokens[lhs_start].start : tokens[at - 2].end]
+        arr = sql[tokens[at + 2].start : tokens[close - 1].end]
+        hof = "exists" if quant == "ANY" else "forall"
+        repl = f"{hof}({arr}, __gfw_e -> ({lhs}) {op} __gfw_e)"
+        sql = f"{sql[:tokens[lhs_start].start]}{repl}{sql[tokens[close].end:]}"
+
+
 def _parse_sort_item(item: str) -> tuple[str, str, str]:
     """Split one ORDER-BY item into (expr_text, ASC|DESC, FIRST|LAST),
     applying PG defaults (ASC → NULLS LAST, DESC → NULLS FIRST)."""
@@ -1320,6 +1417,8 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
     sql = translate_agg_order_by(sql)
+    sql = translate_array_literal(sql)
+    sql = translate_any_all(sql)
     sql = translate_pg_casts(sql)
     sql = translate_extract(sql)
     sql = translate_between_symmetric(sql)

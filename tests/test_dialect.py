@@ -540,3 +540,63 @@ class TestParameterizedCasts:
             translate_pg_casts("SELECT x::int + (y) FROM t")
             == "SELECT CAST(x AS INT) + (y) FROM t"
         )
+
+
+class TestArrayAnyAll:
+    def test_array_literal_simple_and_nested(self):
+        from gfw_data_api_spark.sql.dialect import translate_array_literal
+
+        assert (
+            translate_array_literal("SELECT ARRAY[1, 2 + 3] FROM t")
+            == "SELECT array(1, 2 + 3) FROM t"
+        )
+        assert (
+            translate_array_literal("SELECT ARRAY[ARRAY[1], ARRAY[2]] FROM t")
+            == "SELECT array(array(1), array(2)) FROM t"
+        )
+
+    def test_bare_array_identifier_untouched(self):
+        from gfw_data_api_spark.sql.dialect import translate_array_literal
+
+        sql = "SELECT array(1, 2) FROM t"
+        assert translate_array_literal(sql) == sql
+
+    def test_any_becomes_exists(self):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        out = to_spark_sql("SELECT k FROM t WHERE s = ANY(ARRAY['O','X'])")
+        assert "exists(array('O','X'), __gfw_e -> (s) = __gfw_e)" in out
+
+    def test_all_becomes_forall_with_function_lhs(self):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        out = to_spark_sql("SELECT k FROM t WHERE upper(s) <> ALL(ARRAY['F'])")
+        assert "forall(array('F'), __gfw_e -> (upper(s)) <> __gfw_e)" in out
+
+    def test_subquery_any_raises_with_in_hint(self):
+        from gfw_data_api_spark.sql.dialect import translate_any_all
+
+        with pytest.raises(ValueError, match="IN \\(SELECT"):
+            translate_any_all("SELECT k FROM t WHERE s = ANY(SELECT s FROM u)")
+
+    def test_three_valued_logic_matches_pg(self, spark):
+        df = spark.createDataFrame(
+            [(1, "O", 25), (2, "F", 5), (3, "X", 15), (4, None, 30)],
+            "k int, s string, q int",
+        )
+        df.createOrReplaceTempView("tv_anyall")
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        rows = spark.sql(
+            to_spark_sql(
+                "SELECT k FROM tv_anyall WHERE s = ANY(ARRAY['O','X']) "
+                "ORDER BY k"
+            )
+        ).collect()
+        assert [r.k for r in rows] == [1, 3]  # NULL s row excluded
+        rows = spark.sql(
+            to_spark_sql(
+                "SELECT k FROM tv_anyall WHERE s <> ALL(ARRAY['F']) ORDER BY k"
+            )
+        ).collect()
+        assert [r.k for r in rows] == [1, 3]  # NULL comparison → NULL → out
