@@ -7440,10 +7440,14 @@ _SPECS.append(
             # AND pads. Decimal sums leave as x10 BIGINTs so the
             # engines' different sum-precision inference (DECIMAL(20,1)
             # vs DECIMAL(38,1)) never reaches the schema compare.
-            "SELECT l_returnflag::char(3) AS rf3, "
+            # one arm per family uses the ANSI CAST(x AS pg_type) form
+            # (translate_cast_type_names) and one the :: form, so both
+            # spellings of every PG type semantics are driver-checked
+            "SELECT CAST(l_returnflag AS char(3)) AS rf3, "
             "(l_returnflag || l_linestatus || 'xyz')::varchar(4) AS rl4, "
             "count(*) AS n, "
-            "CAST(sum(l_extendedprice::numeric(12,1)) * 10 AS BIGINT) AS sp1_x10, "
+            "CAST(sum(CAST(l_extendedprice AS numeric(12,1))) * 10 "
+            "AS BIGINT) AS sp1_x10, "
             "CAST(sum((l_tax * 10)::numeric(10,0)) AS BIGINT) AS st0, "
             "CAST(min(l_extendedprice::float(40)) AS DOUBLE) AS minp "
             "FROM data GROUP BY 1, 2 ORDER BY rf3, rl4",

@@ -40,6 +40,7 @@ PG_TO_SPARK_TYPES: dict[str, str] = {
     "float4": "FLOAT",
     "real": "FLOAT",
     "float8": "DOUBLE",
+    "float": "DOUBLE",  # PG: bare float = float8 (float(n) picks width)
     "double": "DOUBLE",
     "numeric": "DECIMAL(38,10)",
     "decimal": "DECIMAL(38,10)",
@@ -253,7 +254,8 @@ def translate_fetch_first(sql: str) -> str:
 _OPERAND_BOUNDARY = {
     "AND", "OR", "NOT", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
     "WHERE", "THEN", "ELSE", "END", "WHEN", "ASC", "DESC", "FROM", "AS",
-    "UNION", "ALL", "BETWEEN", "IS", "IN", "LIKE", "ILIKE", "SIMILAR",
+    "UNION", "ALL", "BETWEEN", "SYMMETRIC", "IS", "IN", "LIKE", "ILIKE",
+    "SIMILAR",
     "ESCAPE", "OVER", "FETCH", "ROWS", "ONLY", "NULLS", "FIRST", "LAST",
     "FILTER", "DISTINCT", "CASE", "BY", "WINDOW", "SELECT", "ON", "USING",
     "JOIN",
@@ -1079,6 +1081,60 @@ def translate_to_char(sql: str) -> str:
         )
 
 
+def translate_cast_type_names(sql: str) -> str:
+    """ANSI ``CAST(expr AS pg_type)`` with a PG type name → the ``::``
+    form, so :func:`translate_pg_casts` applies the one type map and
+    the parameterized-type semantics (numeric rounding, varchar/char
+    truncation) uniformly. Only casts whose type name is in the PG map
+    rewrite; Spark-native type names (STRING, ARRAY<...>, …) pass
+    through untouched. Note this makes ``CAST(x AS VARCHAR(3))``
+    TRUNCATE — PG's explicit-cast semantics, which the reference's
+    Postgres executes — where Spark's native VARCHAR(3) cast does not.
+    """
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if not (
+                t.kind == "IDENT"
+                and t.upper == "CAST"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                continue
+            depth = 0
+            close = None
+            as_idx = None
+            for j in range(i + 1, len(tokens)):
+                tk = tokens[j]
+                if tk.kind == "PUNCT" and tk.value == "(":
+                    depth += 1
+                elif tk.kind == "PUNCT" and tk.value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+                elif depth == 1 and tk.kind == "IDENT" and tk.upper == "AS":
+                    as_idx = j  # the LAST depth-1 AS is the cast's own
+            if close is None or as_idx is None or as_idx + 1 >= close:
+                continue
+            type_tok = tokens[as_idx + 1]
+            if type_tok.kind != "IDENT":
+                continue
+            if type_tok.value.lower() not in PG_TO_SPARK_TYPES:
+                continue
+            hit = (i, as_idx, close)
+            break
+        if hit is None:
+            return sql
+        i, as_idx, close = hit
+        expr = sql[tokens[i + 2].start : tokens[as_idx - 1].end]
+        type_text = sql[tokens[as_idx + 1].start : tokens[close - 1].end]
+        sql = (
+            f"{sql[:tokens[i].start]}({expr})::{type_text}{sql[tokens[close].end:]}"
+        )
+
+
 def translate_array_literal(sql: str) -> str:
     """PG ``ARRAY[e1, e2, ...]`` constructor → Spark ``array(e1, e2,
     ...)``. Brackets only re-balance against brackets, so element
@@ -1419,6 +1475,7 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_agg_order_by(sql)
     sql = translate_array_literal(sql)
     sql = translate_any_all(sql)
+    sql = translate_cast_type_names(sql)
     sql = translate_pg_casts(sql)
     sql = translate_extract(sql)
     sql = translate_between_symmetric(sql)

@@ -600,3 +600,55 @@ class TestArrayAnyAll:
             )
         ).collect()
         assert [r.k for r in rows] == [1, 3]  # NULL comparison → NULL → out
+
+
+class TestAnsiCastTypeNames:
+    def test_text_maps_through_colon_path(self):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        assert (
+            to_spark_sql("SELECT CAST(x AS TEXT) FROM t")
+            == "SELECT CAST((x) AS STRING) FROM t"
+        )
+
+    def test_varchar_n_truncates_like_pg(self):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        assert (
+            to_spark_sql("SELECT CAST(c AS varchar(3)) FROM t")
+            == "SELECT substring(CAST((c) AS STRING), 1, 3) FROM t"
+        )
+
+    def test_spark_native_type_untouched(self):
+        from gfw_data_api_spark.sql.dialect import translate_cast_type_names
+
+        sql = "SELECT CAST(x AS STRING), CAST(y AS ARRAY<INT>) FROM t"
+        assert translate_cast_type_names(sql) == sql
+
+    def test_nested_casts_both_rewritten(self):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        assert (
+            to_spark_sql("SELECT CAST(CAST(x AS text) AS int) FROM t")
+            == "SELECT CAST((CAST((x) AS STRING)) AS INT) FROM t"
+        )
+
+    def test_bare_float_is_pg_float8(self):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        assert (
+            to_spark_sql("SELECT x::float FROM t")
+            == "SELECT CAST(x AS DOUBLE) FROM t"
+        )
+
+    def test_between_symmetric_cast_bound_interaction(self, spark):
+        # regression: the rewritten (NULL)::INT bound must not swallow
+        # the SYMMETRIC keyword as a function name in the operand walk
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT (5 BETWEEN SYMMETRIC CAST(NULL AS INT) AND 5) AS a"
+            )
+        ).collect()[0]
+        assert row.a is None
