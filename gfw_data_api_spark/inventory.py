@@ -3229,9 +3229,8 @@ _DRIVER_FRONT: list[str] = [
     "t14_group_cap_sample",
     "e04_merge_upsert",
     "e05_scd2_intervals",
-    "ca01_continuous_aggregate",
-    # dq01/u01/w01/w02/b01/c01/c02 displaced to the round-7 backlog too
-    # (see note above)
+    # ca01/dq01/u01/w01/w02/b01/c01/c02 displaced to the round-7
+    # backlog too (see note above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
     # 2-rounds-stale)
@@ -3249,6 +3248,7 @@ _DRIVER_FRONT: list[str] = [
     "t24_quality_classifier",
     "q37_parameterized_casts",
     "q38_array_any_all",
+    "s11_hard_negatives",
 ]
 
 
@@ -7504,6 +7504,71 @@ _SPECS.append(
         "op ANY / op ALL array comparisons → array()/exists()/forall() "
         "with matching three-valued logic (sql/dialect.py "
         "translate_array_literal/translate_any_all)",
+    )
+)
+
+
+def _s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training inside
+    the hard gate (llmops/similarity.py hard_negative_mining — the DPR
+    mining recipe): 8 corpus vectors are the queries, each query's
+    planted positive is doc (q*7+3) % 200, candidates come from ONE
+    batched IVF probe with nprobe = nlist (probing every cell makes
+    the ANN structure EXACT, so the driver-trained centroids cannot
+    leak approximation into the compare), and mining anti-joins the
+    positives then ranks the top 5. Cosines round to 6dp on both
+    engines before ranking; the top-30 adjacent-cosine gap measures
+    ≥4.6e-6 at every test SF, so rounding cannot create ties and the
+    (cosine desc, vec_id) order is total."""
+    import math  # noqa: F401  (parity with the s08 pattern)
+
+    from gfw_data_api_spark.llmops import ivf
+    from gfw_data_api_spark.llmops.dedup import _persist_replacing
+    from gfw_data_api_spark.llmops.similarity import hard_negative_mining
+
+    emb = _persist_replacing(load_table(spark, sf_dir, "embeddings"), "s11_emb")
+    centroids = ivf.train_ivf(emb, nlist=8, iters=3)
+    indexed = _persist_replacing(ivf.build_ivf_index(emb, centroids), "s11_index")
+    qrows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    queries = [(qid, qrows[qid]) for qid in sorted(qrows)]
+    cands = ivf.ivf_topk_batch(
+        indexed, centroids, queries, k=25, nprobe=8, exclude_query_id=True
+    ).select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    positives = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        ((F.col("vec_id") * 7 + 3) % 200).alias("vec_id"),
+    )
+    mined = hard_negative_mining(cands, positives, k=5)
+    return mined.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="s11_hard_negatives",
+        spark_fn=_s11,
+        oracle=(
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id < 8), "
+            "sc AS (SELECT q.query_id, e.vec_id, "
+            "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qe, q.qe))), 6) "
+            "AS cosine FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+            "nopos AS (SELECT * FROM sc "
+            "WHERE vec_id <> (query_id * 7 + 3) % 200), "
+            "rk AS (SELECT query_id, vec_id, cosine, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM nopos) "
+            "SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5"
+        ),
+        survey_ref="similarity search: hard-negative mining for contrastive "
+        "retrieval training (llmops/similarity.py hard_negative_mining — "
+        "bounded candidates from one batched IVF probe, anti-join "
+        "positives, per-query ranked window; DPR recipe)",
     )
 )
 

@@ -390,3 +390,42 @@ def reciprocal_rank_fusion(
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(top_k)
     )
+
+
+def hard_negative_mining(
+    candidates: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Mine hard negatives for contrastive retrieval training: per
+    query, the top-``k`` highest-scoring candidates that are NOT known
+    positives (the standard in-batch-plus-mined-negatives recipe —
+    e.g. DPR, Karpukhin et al. 2020, and the sentence-transformers
+    mining loop).
+
+    ``candidates``: an already BOUNDED per-query candidate list with
+    scores — the output of ``ivf_topk_batch`` / ``ann_topk`` / a BM25
+    top-N. Candidate generation owns the corpus-scale work (bucket
+    probes, never all-pairs); mining then touches only Q × N rows.
+    ``positives``: (query_col, id_col) pairs to exclude.
+
+    Plan shape: one left-anti join on (query, id) — positives per
+    query are few, and the anti-join shuffles only the bounded
+    candidate rows — then a window PARTITIONED by query (never
+    unpartitioned), ranked (score desc, id asc) so ties are
+    deterministic. Returns (query_col, id_col, score_col, rank) with
+    rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    cand = candidates.select(query_col, id_col, score_col)
+    pos = positives.select(query_col, id_col)
+    w = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        cand.join(pos, [query_col, id_col], "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

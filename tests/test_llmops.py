@@ -1504,3 +1504,56 @@ def test_reciprocal_rank_fusion_keeps_native_string_ids(spark):
     assert set(out) == {"doc-a", "doc-b", "doc-c"}
     assert out["doc-b"].n_sources == 2
     assert out["doc-b"].rrf_score == pytest.approx(1 / 62 + 1 / 61, abs=1e-9)
+
+
+class TestHardNegativeMining:
+    def test_hand_computed_mining(self, spark):
+        from gfw_data_api_spark.llmops.similarity import hard_negative_mining
+
+        cands = spark.createDataFrame(
+            [
+                (1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.6),
+                (2, 20, 0.95), (2, 21, 0.94), (2, 22, 0.5),
+            ],
+            "query_id bigint, vec_id bigint, cosine double",
+        )
+        pos = spark.createDataFrame(
+            [(1, 11), (2, 20)], "query_id bigint, vec_id bigint"
+        )
+        got = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in hard_negative_mining(cands, pos, k=2).collect()
+        )
+        # q1: positive 11 excluded → 10, 12; q2: positive 20 → 21, 22
+        assert got == [(1, 10, 1), (1, 12, 2), (2, 21, 1), (2, 22, 2)]
+
+    def test_tie_breaks_by_id(self, spark):
+        from gfw_data_api_spark.llmops.similarity import hard_negative_mining
+
+        cands = spark.createDataFrame(
+            [(1, 30, 0.5), (1, 29, 0.5), (1, 31, 0.5)],
+            "query_id bigint, vec_id bigint, cosine double",
+        )
+        pos = spark.createDataFrame([(1, 999)], "query_id bigint, vec_id bigint")
+        got = [
+            (r.vec_id, r.rank)
+            for r in hard_negative_mining(cands, pos, k=3)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [(29, 1), (30, 2), (31, 3)]
+
+    def test_window_is_partitioned(self, spark):
+        from gfw_data_api_spark.llmops.similarity import hard_negative_mining
+
+        cands = spark.createDataFrame(
+            [(1, 10, 0.9)], "query_id bigint, vec_id bigint, cosine double"
+        )
+        pos = spark.createDataFrame([(1, 999)], "query_id bigint, vec_id bigint")
+        plan = (
+            hard_negative_mining(cands, pos)
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "PARTITION BY" not in plan or "query_id" in plan
+        assert "EvalPython" not in plan and "InPandas" not in plan
