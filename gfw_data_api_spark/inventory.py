@@ -3228,8 +3228,7 @@ _DRIVER_FRONT: list[str] = [
     "t13_containment_pairs",
     "t14_group_cap_sample",
     "e04_merge_upsert",
-    "e05_scd2_intervals",
-    # ca01/dq01/u01/w01/w02/b01/c01/c02 displaced to the round-7
+    # e05/ca01/dq01/u01/w01/w02/b01/c01/c02 displaced to the round-7
     # backlog too (see note above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
@@ -3249,6 +3248,7 @@ _DRIVER_FRONT: list[str] = [
     "q37_parameterized_casts",
     "q38_array_any_all",
     "s11_hard_negatives",
+    "t25_fim_transform",
 ]
 
 
@@ -7569,6 +7569,56 @@ _SPECS.append(
         "retrieval training (llmops/similarity.py hard_negative_mining — "
         "bounded candidates from one batched IVF probe, anti-join "
         "positives, per-query ranked window; DPR recipe)",
+    )
+)
+
+
+def _t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transformation inside the hard gate
+    (llmops/fim.py, Bavarian et al. 2022): a deterministic 60% of
+    documents rearrange PSM — <PRE> prefix <SUF> suffix <MID> middle —
+    with both cut points and the apply/skip decision derived from the
+    repo's canonical portable 60-bit md5 hash, so the oracle replays
+    selection, codepoint cut arithmetic, and reassembly in DuckDB and
+    the md5 of every transformed document must agree byte-for-byte.
+    The whole pass is one projection (map-only; plan-pinned in
+    tests/test_fim.py)."""
+    from gfw_data_api_spark.llmops.fim import fim_transform
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = fim_transform(docs, rate_pct=60, seed=7)
+    return out.select(
+        "doc_id",
+        "fim_applied",
+        F.length("fim_text").cast("bigint").alias("n_chars_fim"),
+        F.md5("fim_text").alias("fim_md5"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t25_fim_transform",
+        spark_fn=_t25,
+        oracle=(
+            "WITH h AS (SELECT doc_id, text, length(text) AS n, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1' || chr(31) "
+            "|| '7'), 1, 15))::BIGINT % (length(text) + 1) AS c1, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2' || chr(31) "
+            "|| '7'), 1, 15))::BIGINT % (length(text) + 1) AS c2, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim' || chr(31) "
+            "|| '7'), 1, 15))::BIGINT % 100 < 60 AS sel FROM documents), "
+            "f AS (SELECT doc_id, sel, CASE WHEN sel THEN "
+            "'<PRE>' || substr(text, 1, least(c1, c2)) || "
+            "'<SUF>' || substr(text, greatest(c1, c2) + 1, n - greatest(c1, c2)) || "
+            "'<MID>' || substr(text, least(c1, c2) + 1, "
+            "greatest(c1, c2) - least(c1, c2)) "
+            "ELSE text END AS ft FROM h) "
+            "SELECT doc_id, sel AS fim_applied, "
+            "CAST(length(ft) AS BIGINT) AS n_chars_fim, md5(ft) AS fim_md5 FROM f"
+        ),
+        survey_ref="LLM pipeline: fill-in-the-middle transformation "
+        "(llmops/fim.py — PSM rearrangement with canonical-hash cut "
+        "points and rate selection; map-only plan)",
     )
 )
 
