@@ -7414,8 +7414,8 @@ _SPECS.append(
             "('0x' || substr(md5(f || chr(31) || '0'), 1, 15))::BIGINT % 1024 AS b "
             "FROM feats), "
             "w AS (SELECT doc_id, "
-            "(('0x' || substr(md5('w:' || b), 1, 15))::BIGINT % 2001) - 1000 AS wm "
-            "FROM sc) "
+            "(('0x' || substr(md5('w:' || b || chr(31) || '0'), 1, 15))::BIGINT "
+            "% 2001) - 1000 AS wm FROM sc) "
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features, "
             "CAST(sum(wm) AS BIGINT) AS score_milli, sum(wm) > 0 AS quality "
             "FROM w GROUP BY doc_id"

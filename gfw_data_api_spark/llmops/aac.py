@@ -26,9 +26,6 @@ loudly with the profile named.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -106,7 +103,8 @@ def parse_adts(data: bytes) -> dict:
     0x7FF buffer-fullness escape), audio_bytes (sum of declared frame
     lengths — cross-checks the 13-bit length field against the walk).
     """
-    pos = _id3v2_size(data)
+    start = _id3v2_size(data)
+    pos = start
     end = len(data)
     if pos >= end:
         raise ValueError("not ADTS: no audio bytes outside tags")
@@ -135,7 +133,6 @@ def parse_adts(data: bytes) -> dict:
         blocks += hdr["blocks"]
         pos += hdr["length"]
         n += 1
-    start = _id3v2_size(data)
     return {
         "n_frames": n,
         "n_blocks": blocks,
@@ -245,17 +242,6 @@ def adts_stream_info(
     (ADTS_INFO_SCHEMA) keyed by ``id_cols``. Parse errors raise
     (executor-side) — a curation pipeline quarantines corrupt audio
     explicitly, upstream."""
-    id_cols = list(id_cols or [c for c in df.columns if c != payload_col])
-    schema = T.StructType(
-        [f for f in df.schema.fields if f.name in id_cols] + list(ADTS_INFO_SCHEMA)
-    )
+    from gfw_data_api_spark.llmops.audio import frame_info_stage
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                info = parse_adts(bytes(r[payload_col]))
-                rows.append({**{c: r[c] for c in id_cols}, **info})
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
-
-    return df.mapInPandas(gen, schema)
+    return frame_info_stage(df, parse_adts, ADTS_INFO_SCHEMA, payload_col, id_cols)

@@ -399,3 +399,32 @@ def extract_audio_features(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_info_stage(
+    df: DataFrame,
+    parse_fn,
+    info_schema: T.StructType,
+    payload_col: str = "payload",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shared plumbing for container frame-layer parsers (MP3 ADTS,
+    AAC ADTS, future formats): one Arrow-batched ``mapInPandas`` pass
+    applying ``parse_fn(bytes) -> dict`` per row → the parser's
+    metadata columns keyed by ``id_cols``. Parse errors raise
+    (executor-side) — a curation pipeline quarantines corrupt media
+    explicitly, upstream."""
+    id_cols = list(id_cols or [c for c in df.columns if c != payload_col])
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name in id_cols] + list(info_schema)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                info = parse_fn(bytes(r[payload_col]))
+                rows.append({**{c: r[c] for c in id_cols}, **info})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(gen, schema)

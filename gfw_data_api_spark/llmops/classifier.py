@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gfw_data_api_spark.llmops.sampling import hash_bucket
 from gfw_data_api_spark.llmops.text import (
     quality_signals,
     repetition_signals,
@@ -144,34 +145,14 @@ def filter_by_quality(
 # hashed-bag-of-n-gram linear scoring (fastText architecture)
 # ---------------------------------------------------------------------------
 
-_SEP = "\x1f"
-
-
-def _bucket60(payload: Column, dim: int, seed: int) -> Column:
-    """The repo's canonical 60-bit md5 bucket (llmops/sampling.py):
-    first 15 hex chars of md5 → BIGINT → % dim."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(payload, F.lit(_SEP + str(seed)))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        % dim
-    )
-
 
 def _pseudo_weight_milli(bucket: Column) -> Column:
     """Deterministic stand-in weight table: milli-weight in
-    [-1000, 1000] derived from the bucket id by the same canonical
-    hash ('w:' prefix keeps it independent of the bucketing hash)."""
+    [-1000, 1000] derived from the bucket id by the repo's ONE
+    canonical hash (llmops/sampling.py hash_bucket; the 'w:' prefix
+    keeps it independent of the bucketing hash)."""
     return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        % 2001
-        - 1000
+        hash_bucket(F.concat(F.lit("w:"), bucket.cast("string")), 0, 2001) - 1000
     )
 
 
@@ -231,7 +212,7 @@ def hashed_linear_score(
         weight_of = _pseudo_weight_milli
 
     feats = ngram_features(F.col(text_col))
-    per_feature = F.transform(feats, lambda f: weight_of(_bucket60(f, dim, seed)))
+    per_feature = F.transform(feats, lambda f: weight_of(hash_bucket(f, seed, dim)))
     return df.withColumn("n_features", F.size(feats).cast("bigint")).withColumn(
         out_col,
         F.aggregate(

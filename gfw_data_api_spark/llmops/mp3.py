@@ -28,9 +28,7 @@ bitrate reject loudly with the profile named.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -52,14 +50,15 @@ def frame_length(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
 
 def _id3v2_size(data: bytes) -> int:
     """Bytes to skip for a leading ID3v2 tag (0 when absent). Size is
-    sync-safe (7 bits per byte); the footer flag adds 10 more."""
+    sync-safe (7 bits per byte); the footer flag adds 10 more. Shared
+    with the AAC/ADTS walker — the message stays container-neutral."""
     if len(data) < 10 or data[:3] != b"ID3":
         return 0
     flags = data[5]
     size = 0
     for b in data[6:10]:
         if b & 0x80:
-            raise ValueError("not MP3: ID3v2 size bytes must be sync-safe")
+            raise ValueError("corrupt ID3v2 tag: size bytes must be sync-safe")
         size = (size << 7) | b
     return 10 + size + (10 if flags & 0x10 else 0)
 
@@ -282,17 +281,6 @@ def mp3_stream_info(
     ``mapInPandas`` pass → metadata columns (MP3_INFO_SCHEMA) keyed by
     ``id_cols``. Parse errors raise (executor-side) — a curation
     pipeline quarantines corrupt audio explicitly, upstream."""
-    id_cols = list(id_cols or [c for c in df.columns if c != payload_col])
-    schema = T.StructType(
-        [f for f in df.schema.fields if f.name in id_cols] + list(MP3_INFO_SCHEMA)
-    )
+    from gfw_data_api_spark.llmops.audio import frame_info_stage
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                info = parse_mp3(bytes(r[payload_col]))
-                rows.append({**{c: r[c] for c in id_cols}, **info})
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
-
-    return df.mapInPandas(gen, schema)
+    return frame_info_stage(df, parse_mp3, MP3_INFO_SCHEMA, payload_col, id_cols)

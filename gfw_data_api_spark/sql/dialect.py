@@ -117,6 +117,10 @@ def translate_pg_casts(sql: str) -> str:
                 type_end_idx = k2
         spark_type = PG_TO_SPARK_TYPES.get(type_name, type_name.upper())
         wrap = None  # (prefix, suffix) around CAST(op AS STRING)
+        if type_args is None and type_name in ("char", "bpchar"):
+            # PG: bare char/bpchar means char(1) — truncate AND pad —
+            # not unlimited text (that's the 'name'/'text' family)
+            type_args = [1]
         if type_args is not None:
             if type_name in ("numeric", "decimal") and len(type_args) <= 2:
                 p = type_args[0]
@@ -798,15 +802,16 @@ def translate_pg_functions(sql: str) -> str:
 
 
 def _split_top_level_commas(text: str) -> list[str]:
-    """Split an expression list at commas outside any parens."""
+    """Split an expression list at commas outside any parens or
+    brackets (ARRAY[a, b] stays one item)."""
     toks = tokenize(text)
     items = []
     d = 0
     start = 0
     for t in toks:
-        if t.kind == "PUNCT" and t.value == "(":
+        if t.kind == "PUNCT" and t.value in ("(", "["):
             d += 1
-        elif t.kind == "PUNCT" and t.value == ")":
+        elif t.kind == "PUNCT" and t.value in (")", "]"):
             d -= 1
         elif t.kind == "PUNCT" and t.value == "," and d == 0:
             items.append(text[start : t.start].strip())
@@ -1205,6 +1210,26 @@ def translate_any_all(sql: str) -> str:
         lhs_start = _primary_start(tokens, at - 2)
         if lhs_start is None:
             raise ValueError(f"cannot resolve the left operand of {op} {quant}(...)")
+        # PG gives comparison operators LOWER precedence than ||,
+        # arithmetic, ^ and :: — absorb the whole higher-precedence
+        # chain into the left operand (`a || b = ANY(x)` compares the
+        # concatenation, not b). A single-token boundary keyword stops
+        # the walk (start of clause), everything else chains.
+        while (
+            lhs_start >= 2
+            and tokens[lhs_start - 1].kind == "OP"
+            and tokens[lhs_start - 1].value in ("||", "+", "-", "*", "/", "%", "^", "::")
+        ):
+            prev = _primary_start(tokens, lhs_start - 2)
+            if prev is None:
+                break
+            if (
+                prev == lhs_start - 2
+                and tokens[prev].kind == "IDENT"
+                and tokens[prev].upper in _OPERAND_BOUNDARY
+            ):
+                break  # bare keyword (SELECT/WHERE/...), not an operand
+            lhs_start = prev
         depth = 0
         close = None
         for j in range(at + 1, len(tokens)):
@@ -1226,6 +1251,13 @@ def translate_any_all(sql: str) -> str:
                 "rewrite as IN (SELECT ...) / NOT IN (SELECT ...)"
             )
         lhs = sql[tokens[lhs_start].start : tokens[at - 2].end]
+        if lhs_start >= 1 and tokens[lhs_start - 1].kind == "OP" and tokens[
+            lhs_start - 1
+        ].value in ("+", "-"):
+            raise ValueError(
+                f"a signed left operand of {op} {quant}(...) is ambiguous "
+                "after translation — parenthesize it: (-x) = ANY(...)"
+            )
         arr = sql[tokens[at + 2].start : tokens[close - 1].end]
         hof = "exists" if quant == "ANY" else "forall"
         repl = f"{hof}({arr}, __gfw_e -> ({lhs}) {op} __gfw_e)"
@@ -1322,6 +1354,7 @@ def translate_agg_order_by(sql: str) -> str:
         if at is None:
             return sql
         depth = 0
+        bdepth = 0  # ARRAY[a, b] commas are not argument separators
         close = None
         commas = []
         order_at = None
@@ -1334,7 +1367,11 @@ def translate_agg_order_by(sql: str) -> str:
                 if depth == 0:
                     close = j
                     break
-            elif depth == 1 and order_at is None:
+            elif tk.kind == "PUNCT" and tk.value == "[":
+                bdepth += 1
+            elif tk.kind == "PUNCT" and tk.value == "]":
+                bdepth -= 1
+            elif depth == 1 and bdepth == 0 and order_at is None:
                 if tk.kind == "PUNCT" and tk.value == ",":
                     commas.append(j)
                 elif tk.kind == "IDENT" and tk.upper == "ORDER":

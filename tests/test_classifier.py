@@ -100,7 +100,7 @@ def _bucket(feature: str, dim: int, seed: int) -> int:
 
 
 def _pseudo_w(bucket: int) -> int:
-    h = hashlib.md5(("w:" + str(bucket)).encode()).hexdigest()
+    h = hashlib.md5(f"w:{bucket}\x1f0".encode()).hexdigest()
     return int(h[:15], 16) % 2001 - 1000
 
 

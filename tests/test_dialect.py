@@ -652,3 +652,56 @@ class TestAnsiCastTypeNames:
             )
         ).collect()[0]
         assert row.a is None
+
+
+class TestReviewRegressionsRound6b:
+    def test_any_lhs_absorbs_concat_chain(self, spark):
+        # review: `c1 || c2 = ANY(...)` must compare the concatenation,
+        # not split at c2 (PG gives = lower precedence than ||)
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        spark.createDataFrame([("a", "b"), ("c", "d")], "c1 string, c2 string"
+                              ).createOrReplaceTempView("tv_anylhs")
+        rows = spark.sql(
+            to_spark_sql(
+                "SELECT c1 FROM tv_anylhs WHERE c1 || c2 = ANY(ARRAY['ab'])"
+            )
+        ).collect()
+        assert [r.c1 for r in rows] == ["a"]
+
+    def test_any_lhs_absorbs_cast_and_arithmetic(self):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        out = to_spark_sql("SELECT k FROM t WHERE x::text = ANY(ARRAY['1'])")
+        assert "exists(array('1'), __gfw_e -> (CAST(x AS STRING)) = __gfw_e)" in out
+        out = to_spark_sql("SELECT k FROM t WHERE a + b * c = ANY(ARRAY[5])")
+        assert "(a + b * c) = __gfw_e" in out
+
+    def test_any_signed_lhs_raises_loudly(self):
+        from gfw_data_api_spark.sql.dialect import translate_any_all
+
+        with pytest.raises(ValueError, match="parenthesize"):
+            translate_any_all("SELECT -x = ANY(array(1)) AS r FROM t")
+
+    def test_bare_char_cast_is_char1(self, spark):
+        # review: PG 'abc'::char = 'a' (bare char means char(1))
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql("SELECT 'abc'::char AS a, CAST('' AS char) AS b")
+        ).collect()[0]
+        assert row.a == "a"
+        assert row.b == " "  # truncate AND pad
+
+    def test_agg_order_by_array_literal_argument(self, spark):
+        # review: commas inside ARRAY[...] are not argument separators
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        spark.createDataFrame([(1, 2, 3), (4, 5, 1)], "a int, b int, k int"
+                              ).createOrReplaceTempView("tv_aggarr")
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT array_agg(ARRAY[a, b] ORDER BY k) AS r FROM tv_aggarr"
+            )
+        ).collect()[0]
+        assert row.r == [[4, 5], [1, 2]]
