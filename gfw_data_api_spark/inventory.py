@@ -842,9 +842,11 @@ _SPECS.append(
         name="t05_quality_ratios",
         spark_fn=_guarded(
             "documents",
+            # the 'g' flag is semantic since round 6: PG (and now the
+            # dialect) replaces only the FIRST match without it
             "SELECT doc_id, "
-            "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text) AS alpha_ratio, "
-            "CAST(length(regexp_replace(text, '[^ ]', '')) AS DOUBLE) / length(text) AS space_ratio "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio, "
+            "CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text) AS space_ratio "
             "FROM documents WHERE length(text) > 0",
         ),
         oracle=(
@@ -3218,7 +3220,7 @@ _DRIVER_FRONT: list[str] = [
     "ts02_interval_join",
     "ts03_resample_locf",
     "ts04_interarrival_stats",
-    "t06_tfidf_top_terms",
+    # t06 displaced to the round-7 backlog too (see note above)
     "t07_repetition_signals",
     "t08_hash_split",
     "t09_stratified_sample",
@@ -3249,6 +3251,7 @@ _DRIVER_FRONT: list[str] = [
     "q38_array_any_all",
     "s11_hard_negatives",
     "t25_fim_transform",
+    "q39_regexp_replace_pg",
 ]
 
 
@@ -7569,6 +7572,43 @@ _SPECS.append(
         "retrieval training (llmops/similarity.py hard_negative_mining — "
         "bounded candidates from one batched IVF probe, anti-join "
         "positives, per-query ranked window; DPR recipe)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q39_regexp_replace_pg",
+        spark_fn=_guarded(
+            "documents",
+            # PG semantics under test: regexp_replace WITHOUT the g
+            # flag replaces only the FIRST match (Spark's native call
+            # always replaces every match — silent divergence before
+            # round 6's translate_regexp_replace); \1 backrefs in the
+            # replacement; i / gi flag folding
+            "SELECT doc_id, "
+            "md5(regexp_replace(text, '[aeiou]', '*')) AS first_only, "
+            "md5(regexp_replace(text, '[aeiou]', '*', 'g')) AS all_g, "
+            "md5(regexp_replace(text, 'the', '#', 'i')) AS first_ci, "
+            "md5(regexp_replace(text, '([a-z])([a-z])', '\\2\\1', 'g')) AS swap_g, "
+            "md5(regexp_replace(text, '([A-Z])', '<\\1>')) AS bref_first "
+            "FROM documents",
+        ),
+        oracle=(
+            # DuckDB's regexp_replace IS PG's surface here: first-only
+            # by default, g/i flags, \n replacement backrefs
+            "SELECT doc_id, "
+            "md5(regexp_replace(text, '[aeiou]', '*')) AS first_only, "
+            "md5(regexp_replace(text, '[aeiou]', '*', 'g')) AS all_g, "
+            "md5(regexp_replace(text, 'the', '#', 'i')) AS first_ci, "
+            "md5(regexp_replace(text, '([a-z])([a-z])', '\\2\\1', 'g')) AS swap_g, "
+            "md5(regexp_replace(text, '([A-Z])', '<\\1>')) AS bref_first "
+            "FROM documents"
+        ),
+        survey_ref="Q11 dialect breadth: PG regexp_replace semantics — "
+        "first-match-only default via the anchored-lazy rewrite, g/i "
+        "flags, PG-to-Java replacement backref conversion "
+        "(sql/dialect.py translate_regexp_replace)",
     )
 )
 

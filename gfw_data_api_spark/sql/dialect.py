@@ -801,6 +801,149 @@ def translate_pg_functions(sql: str) -> str:
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
 
 
+def _java_replacement(repl: str, shift: int) -> str:
+    """PG regexp_replace replacement → Java: ``\\n`` backrefs become
+    ``$n`` (shifted when the first-only rewrite prepends capture
+    groups), ``\\&`` (whole match) becomes ``$0``/``$shift``, ``\\\\``
+    a literal backslash, and literal ``$`` is escaped (Java treats it
+    as a group reference). Any other backslash escape raises."""
+    out = []
+    i = 0
+    while i < len(repl):
+        c = repl[i]
+        if c == "\\":
+            if i + 1 >= len(repl):
+                raise ValueError(
+                    "regexp_replace replacement ends in a lone backslash"
+                )
+            nxt = repl[i + 1]
+            if nxt.isdigit():
+                out.append(f"${int(nxt) + shift}")
+            elif nxt == "&":
+                out.append(f"${shift}" if shift else "$0")
+            elif nxt == "\\":
+                out.append("\\\\")
+            else:
+                raise ValueError(
+                    f"regexp_replace replacement escape \\{nxt} outside the "
+                    "translatable subset (\\1-\\9, \\&, \\\\)"
+                )
+            i += 2
+            continue
+        if c == "$":
+            out.append("\\$")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def translate_regexp_replace(sql: str) -> str:
+    """PG ``regexp_replace(s, pat, repl [, flags])`` → Spark with PG
+    semantics. The silent trap this closes: WITHOUT the ``g`` flag PG
+    replaces only the FIRST match, while Spark's regexp_replace always
+    replaces every match — same call, different results, no error.
+
+    - flags containing ``g``: Spark's replace-all is already right;
+      ``i`` folds in as an inline ``(?i)``; the replacement converts
+      PG ``\\n`` backrefs to Java ``$n``.
+    - no ``g`` (including the 3-argument form): first-only via an
+      anchored lazy prefix — ``\\A(?s)(.*?)(pat)`` with replacement
+      ``$1`` + converted repl — which can match at most once, so
+      replace-all degenerates to replace-first. User group numbers
+      shift by 2 (the replacement converter compensates); patterns
+      containing their own backreferences raise rather than silently
+      renumbering.
+
+    Pattern, replacement, and flags must be string literals (the
+    conversion happens at translate time); flags beyond ``g``/``i``
+    raise.
+    """
+    done = 0  # translated calls stay in the text; skip them on rescans
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        seen = 0
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "REGEXP_REPLACE"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                if seen == done:
+                    at = i
+                    break
+                seen += 1
+        if at is None:
+            return sql
+        depth = 0
+        close = None
+        commas = []
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif tk.kind == "PUNCT" and tk.value == "," and depth == 1:
+                commas.append(j)
+        if close is None or len(commas) not in (2, 3):
+            raise ValueError(
+                "regexp_replace takes (expr, pattern, replacement [, flags])"
+            )
+        pat_tok = tokens[commas[0] + 1]
+        rep_tok = tokens[commas[1] + 1]
+        literal_args = (
+            pat_tok.kind == "STRING"
+            and commas[0] + 2 == commas[1]
+            and rep_tok.kind == "STRING"
+            and (commas[1] + 2 == (commas[2] if len(commas) == 3 else close))
+        )
+        if not literal_args:
+            raise ValueError(
+                "regexp_replace requires string-literal pattern/replacement "
+                "(dynamic regexes are not translatable to Spark with PG "
+                "first-match semantics)"
+            )
+        if len(commas) == 3:
+            flag_tok = tokens[commas[2] + 1]
+            if flag_tok.kind != "STRING" or commas[2] + 2 != close:
+                raise ValueError("regexp_replace flags must be a string literal")
+            flags = flag_tok.value
+        else:
+            flags = ""
+        if set(flags) - {"g", "i"}:
+            raise ValueError(
+                f"regexp_replace flags {flags!r} outside the translatable "
+                "subset (g, i)"
+            )
+        pat, repl = pat_tok.value, rep_tok.value
+        s_expr = sql[tokens[at + 2].start : tokens[commas[0] - 1].end]
+        ci = "(?i)" if "i" in flags else ""
+        if "g" in flags:
+            new_pat = ci + pat
+            new_repl = _java_replacement(repl, 0)
+        else:
+            if re.search(r"\\[1-9]", pat):
+                raise ValueError(
+                    "regexp_replace without the g flag cannot translate a "
+                    "pattern containing backreferences (the first-only "
+                    "rewrite renumbers groups)"
+                )
+            new_pat = f"\\A(?s)(.*?)({ci}{pat})"
+            new_repl = "$1" + _java_replacement(repl, 2)
+        pl = new_pat.replace("\\", "\\\\").replace("'", "''")
+        rl = new_repl.replace("\\", "\\\\").replace("'", "''")
+        repl_sql = f"regexp_replace({s_expr}, '{pl}', '{rl}')"
+        sql = f"{sql[:tokens[at].start]}{repl_sql}{sql[tokens[close].end:]}"
+        done += 1
+
+
 def _split_top_level_commas(text: str) -> list[str]:
     """Split an expression list at commas outside any parens or
     brackets (ARRAY[a, b] stays one item)."""
@@ -1520,5 +1663,6 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_regex_ops(sql)
     sql = translate_similar_to(sql)
     sql = translate_pg_functions(sql)
+    sql = translate_regexp_replace(sql)
     sql = translate_fetch_first(sql)
     return translate_order_nulls(sql)

@@ -705,3 +705,73 @@ class TestReviewRegressionsRound6b:
             )
         ).collect()[0]
         assert row.r == [[4, 5], [1, 2]]
+
+
+class TestRegexpReplace:
+    def test_first_only_default_matches_pg(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT regexp_replace('aaa', 'a', 'b') AS f, "
+                "regexp_replace('aaa', 'a', 'b', 'g') AS g, "
+                "regexp_replace('aAa', 'a', 'b', 'gi') AS gi, "
+                "regexp_replace('aAa', 'A', 'b', 'i') AS ci"
+            )
+        ).collect()[0]
+        assert (row.f, row.g, row.gi, row.ci) == ("baa", "bbb", "bbb", "bAa")
+
+    def test_backref_conversion_and_shift(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT regexp_replace('x1y2', '([0-9])', '[\\1]', 'g') AS g, "
+                "regexp_replace('x1y2', '([0-9])', '[\\1]') AS f, "
+                "regexp_replace('cost $5 now', 'now', 'later') AS dollar, "
+                "regexp_replace('ab', 'b', '\\&\\&') AS amp"
+            )
+        ).collect()[0]
+        assert row.g == "x[1]y[2]"
+        assert row.f == "x[1]y2"  # first-only with shifted group number
+        assert row.dollar == "cost $5 later"  # literal $ survives
+        assert row.amp == "abb"  # \& = whole match
+
+    def test_dot_crosses_newlines_like_pg(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql("SELECT regexp_replace('a\nb c', 'b.c', 'Z') AS r")
+        ).collect()[0]
+        assert row.r == "a\nZ"  # PG: . matches newline by default
+
+    def test_loud_rejections(self):
+        from gfw_data_api_spark.sql.dialect import translate_regexp_replace
+
+        with pytest.raises(ValueError, match="flags"):
+            translate_regexp_replace(
+                "SELECT regexp_replace(t, 'a', 'b', 'x') FROM d"
+            )
+        with pytest.raises(ValueError, match="string-literal"):
+            translate_regexp_replace(
+                "SELECT regexp_replace(t, col_pat, 'b') FROM d"
+            )
+        with pytest.raises(ValueError, match="backreferences"):
+            translate_regexp_replace(
+                "SELECT regexp_replace(t, '(a)\\1', 'b') FROM d"
+            )
+        with pytest.raises(ValueError, match="lone backslash"):
+            translate_regexp_replace(
+                "SELECT regexp_replace(t, 'a', 'b\\') FROM d"
+            )
+
+    def test_nested_calls_both_translate(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT regexp_replace(regexp_replace('aa bb', 'a', 'x'), "
+                "'b', 'y') AS r"
+            )
+        ).collect()[0]
+        assert row.r == "xa yb"  # each layer replaces first-only
