@@ -3220,8 +3220,7 @@ _DRIVER_FRONT: list[str] = [
     "ts02_interval_join",
     "ts03_resample_locf",
     "ts04_interarrival_stats",
-    # t06 displaced to the round-7 backlog too (see note above)
-    "t07_repetition_signals",
+    # t06/t07 displaced to the round-7 backlog too (see note above)
     "t08_hash_split",
     "t09_stratified_sample",
     "t10_bigram_lm",
@@ -3252,6 +3251,7 @@ _DRIVER_FRONT: list[str] = [
     "s11_hard_negatives",
     "t25_fim_transform",
     "q39_regexp_replace_pg",
+    "q40_template_parse",
 ]
 
 
@@ -7609,6 +7609,46 @@ _SPECS.append(
         "first-match-only default via the anchored-lazy rewrite, g/i "
         "flags, PG-to-Java replacement backref conversion "
         "(sql/dialect.py translate_regexp_replace)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q40_template_parse",
+        spark_fn=_guarded(
+            "lineitem",
+            # PG semantics under test: to_date/to_timestamp take PG
+            # templates (YYYY/DD/HH24...) — Java reads Y as week-year
+            # and D as day-of-year, so untranslated templates would
+            # parse to silently different dates. Round-trips through
+            # to_char keep every output DATE/STRING so no
+            # timestamp-zone types reach the schema compare.
+            "SELECT l_orderkey, l_linenumber, "
+            "to_date(to_char(l_shipdate, 'YYYY-MM-DD'), 'YYYY-MM-DD') AS d1, "
+            "to_date(to_char(l_shipdate, 'DD.MM.YYYY'), 'DD.MM.YYYY') AS d2, "
+            "to_char(to_timestamp('2021-07-04 09:30:15', "
+            "'YYYY-MM-DD HH24:MI:SS'), 'HH24-MI-SS') AS hms "
+            "FROM data WHERE l_orderkey < 50 "
+            "ORDER BY l_orderkey, l_linenumber",
+        ),
+        oracle=(
+            # DuckDB's PG-template to_date doesn't exist; strftime /
+            # strptime express the identical round-trips
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d') "
+            "AS DATE) AS d1, "
+            "CAST(strptime(strftime(l_shipdate, '%d.%m.%Y'), '%d.%m.%Y') "
+            "AS DATE) AS d2, "
+            "strftime(strptime('2021-07-04 09:30:15', '%Y-%m-%d %H:%M:%S'), "
+            "'%H-%M-%S') AS hms "
+            "FROM lineitem WHERE l_orderkey < 50 "
+            "ORDER BY l_orderkey, l_linenumber"
+        ),
+        survey_ref="Q11 dialect breadth: PG to_date/to_timestamp template "
+        "parsing — PG template codes convert to Java patterns before "
+        "Spark parses (sql/dialect.py translate_to_char extended; Y/D "
+        "would be week-year/day-of-year untranslated)",
     )
 )
 

@@ -1180,25 +1180,65 @@ def _to_char_java_format(pat: str) -> str:
     return "".join(out)
 
 
+# PG template function → the Spark function taking a Java pattern.
+# to_date/to_timestamp PARSE with the template: PG's YYYY/DD would
+# silently hit Java's week-year/day-of-year codes without translation.
+_TEMPLATE_FNS = {
+    "TO_CHAR": "date_format",
+    "TO_DATE": "to_date",
+    "TO_TIMESTAMP": "to_timestamp",
+}
+
+
 def translate_to_char(sql: str) -> str:
-    """PG ``to_char(expr, 'template')`` → Spark ``date_format(expr,
-    'java-pattern')`` for the literal date/time template subset.
-    Non-literal templates and numeric-formatting templates (9/0/FM...)
-    raise — they hit the alnum check in the pattern converter."""
+    """PG ``to_char/to_date/to_timestamp(expr, 'template')`` → the
+    Spark twin with the template converted to a Java pattern, for the
+    literal date/time template subset. Non-literal templates and
+    numeric-formatting templates (9/0/FM...) raise — they hit the
+    alnum check in the pattern converter. Single-argument
+    ``to_timestamp(double)`` (epoch seconds) passes through: it is
+    the same function in Spark."""
+    done = 0  # to_date/to_timestamp rewrites keep their names; skip them
     while True:
         tokens = tokenize(sql)
         at = None
+        seen = 0
         for i, t in enumerate(tokens):
             if (
                 t.kind == "IDENT"
-                and t.upper == "TO_CHAR"
+                and t.upper in _TEMPLATE_FNS
                 and i + 1 < len(tokens)
                 and tokens[i + 1].value == "("
             ):
+                # one-argument to_timestamp(epoch) is Spark-native;
+                # only two-argument template forms translate
+                depth = 0
+                n_commas = 0
+                for j in range(i + 1, len(tokens)):
+                    tk = tokens[j]
+                    if tk.kind == "PUNCT" and tk.value == "(":
+                        depth += 1
+                    elif tk.kind == "PUNCT" and tk.value == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif tk.kind == "PUNCT" and tk.value == "," and depth == 1:
+                        n_commas += 1
+                if t.upper == "TO_TIMESTAMP" and n_commas == 0:
+                    continue
+                # to_char rewrites to date_format (vanishes from this
+                # scan) — always process immediately; to_date /
+                # to_timestamp keep their names, so skip the `done`
+                # already-rewritten ones in scan order
+                if t.upper != "TO_CHAR":
+                    if seen < done:
+                        seen += 1
+                        continue
                 at = i
                 break
         if at is None:
             return sql
+        fn = tokens[at].upper
         depth = 0
         close = None
         commas = []
@@ -1214,19 +1254,21 @@ def translate_to_char(sql: str) -> str:
             elif tk.kind == "PUNCT" and tk.value == "," and depth == 1:
                 commas.append(j)
         if close is None or len(commas) != 1:
-            raise ValueError("to_char takes exactly (expr, 'template')")
+            raise ValueError(f"{fn.lower()} takes exactly (expr, 'template')")
         fmt_toks = tokens[commas[0] + 1 : close]
         if len(fmt_toks) != 1 or fmt_toks[0].kind != "STRING":
             raise ValueError(
-                "to_char requires a string-literal template "
+                f"{fn.lower()} requires a string-literal template "
                 "(dynamic templates are not translatable)"
             )
         java = _to_char_java_format(fmt_toks[0].value).replace("'", "''")
         expr = sql[tokens[at + 2].start : tokens[commas[0] - 1].end]
         sql = (
-            f"{sql[:tokens[at].start]}date_format({expr}, '{java}')"
+            f"{sql[:tokens[at].start]}{_TEMPLATE_FNS[fn]}({expr}, '{java}')"
             f"{sql[tokens[close].end:]}"
         )
+        if fn != "TO_CHAR":
+            done += 1
 
 
 def translate_cast_type_names(sql: str) -> str:

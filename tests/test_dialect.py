@@ -775,3 +775,46 @@ class TestRegexpReplace:
             )
         ).collect()[0]
         assert row.r == "xa yb"  # each layer replaces first-only
+
+
+class TestTemplateParse:
+    def test_to_date_templates_convert(self):
+        from gfw_data_api_spark.sql.dialect import translate_to_char
+
+        assert (
+            translate_to_char("SELECT to_date(s, 'YYYY-MM-DD') FROM t")
+            == "SELECT to_date(s, 'yyyy-MM-dd') FROM t"
+        )
+        assert (
+            translate_to_char("SELECT to_timestamp(s, 'DD.MM.YYYY HH24:MI:SS') FROM t")
+            == "SELECT to_timestamp(s, 'dd.MM.yyyy HH:mm:ss') FROM t"
+        )
+
+    def test_epoch_to_timestamp_passes_through(self):
+        from gfw_data_api_spark.sql.dialect import translate_to_char
+
+        sql = "SELECT to_timestamp(1720000000) FROM t"
+        assert translate_to_char(sql) == sql
+
+    def test_mixed_to_char_and_to_date_both_translate(self):
+        from gfw_data_api_spark.sql.dialect import translate_to_char
+
+        out = translate_to_char(
+            "SELECT to_char(to_date(s, 'YYYY-MM-DD'), 'DD.MM.YYYY') FROM t"
+        )
+        assert out == (
+            "SELECT date_format(to_date(s, 'yyyy-MM-dd'), 'dd.MM.yyyy') FROM t"
+        )
+
+    def test_parse_values_match_pg(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT to_date('05.02.2024', 'DD.MM.YYYY') AS d, "
+                "to_char(to_timestamp('2021-07-04 09:30:15', "
+                "'YYYY-MM-DD HH24:MI:SS'), 'HH24-MI-SS') AS h"
+            )
+        ).collect()[0]
+        assert str(row.d) == "2024-02-05"
+        assert row.h == "09-30-15"
