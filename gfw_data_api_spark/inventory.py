@@ -3221,7 +3221,7 @@ _DRIVER_FRONT: list[str] = [
     "ts03_resample_locf",
     "ts04_interarrival_stats",
     # t06/t07 displaced to the round-7 backlog too (see note above)
-    "t08_hash_split",
+    # t08 displaced to the round-7 backlog too (see note above)
     "t09_stratified_sample",
     "t10_bigram_lm",
     "t11_domain_mixture",
@@ -3252,6 +3252,7 @@ _DRIVER_FRONT: list[str] = [
     "t25_fim_transform",
     "q39_regexp_replace_pg",
     "q40_template_parse",
+    "q41_json_operators",
 ]
 
 
@@ -7649,6 +7650,54 @@ _SPECS.append(
         "parsing — PG template codes convert to Java patterns before "
         "Spark parses (sql/dialect.py translate_to_char extended; Y/D "
         "would be week-year/day-of-year untranslated)",
+    )
+)
+
+
+def _q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        # PG semantics under test: ->> / #>> return TEXT (unquoted
+        # scalars); -> keeps JSON quoting ("x" for strings) via the
+        # variant route; integer right operands index arrays; chains
+        # associate left. Object-valued -> arms stay out of the gate:
+        # whitespace in object serialization is engine-specific.
+        "SELECT event_id, "
+        "props ->> 'k' AS k_text, "
+        "props -> 'k' AS k_json, "
+        "props #>> '{k}' AS k_path, "
+        "'{\"s\": \"x\", \"o\": {\"b\": [7, 8]}}' -> 's' AS s_json, "
+        "'{\"s\": \"x\", \"o\": {\"b\": [7, 8]}}' #>> '{o,b,1}' AS ob_text, "
+        "'[10,20,30]' ->> 1 AS arr_text "
+        "FROM data WHERE event_type = 'click' ORDER BY event_id"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q41_json_operators",
+        spark_fn=_q41,
+        oracle=(
+            # DuckDB's -> returns the JSON type (cast to VARCHAR for
+            # the schema compare); ->> and json_extract_string are the
+            # text mode; #>> has no DuckDB spelling, so the path form
+            # mirrors through json_extract_string
+            "SELECT event_id, "
+            "props ->> 'k' AS k_text, "
+            "CAST(props -> 'k' AS VARCHAR) AS k_json, "
+            "json_extract_string(props, '$.k') AS k_path, "
+            "CAST(json_extract('{\"s\": \"x\", \"o\": {\"b\": [7, 8]}}', "
+            "'$.s') AS VARCHAR) AS s_json, "
+            "json_extract_string('{\"s\": \"x\", \"o\": {\"b\": [7, 8]}}', "
+            "'$.o.b[1]') AS ob_text, "
+            "json_extract_string('[10,20,30]', '$[1]') AS arr_text "
+            "FROM events WHERE event_type = 'click' ORDER BY event_id"
+        ),
+        survey_ref="Q11 dialect breadth: PG json(b) operators -> ->> #> #>> "
+        "— text mode via get_json_object, json mode via "
+        "parse_json/try_variant_get/to_json preserving JSON quoting "
+        "(sql/dialect.py translate_json_ops; runs first, before any pass "
+        "emits lambda arrows)",
     )
 )
 

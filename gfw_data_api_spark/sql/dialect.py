@@ -1271,6 +1271,89 @@ def translate_to_char(sql: str) -> str:
             done += 1
 
 
+_JSON_OPS = {"->>": True, "->": False, "#>>": True, "#>": False}  # → text?
+_JSON_KEY_RE = re.compile(r"\A[A-Za-z0-9_ -]+\Z")
+
+
+def _json_path(op: str, rhs_kind: str, rhs_value: str) -> str:
+    """JSONPath for a PG json operator's right operand. Keys must be
+    plain (letters/digits/_/space/-): quoting rules for exotic keys
+    differ between engines, so they raise instead of guessing."""
+    if op in ("->", "->>"):
+        if rhs_kind == "NUMBER" and rhs_value.isdigit():
+            return f"$[{rhs_value}]"
+        if rhs_kind == "STRING":
+            if not _JSON_KEY_RE.match(rhs_value):
+                raise ValueError(
+                    f"json key {rhs_value!r} outside the translatable subset "
+                    "(plain keys only)"
+                )
+            return f"$.{rhs_value}"
+        raise ValueError(f"{op} needs a string key or integer index literal")
+    if rhs_kind != "STRING":
+        raise ValueError(f"{op} needs a text-array path literal like '{{a,b}}'")
+    inner = rhs_value.strip()
+    if not (inner.startswith("{") and inner.endswith("}")):
+        raise ValueError(f"{op} path must look like '{{a,b}}', got {rhs_value!r}")
+    parts = [p.strip() for p in inner[1:-1].split(",") if p.strip()]
+    if not parts:
+        raise ValueError(f"{op} path is empty")
+    out = "$"
+    for p in parts:
+        if p.isdigit():
+            out += f"[{p}]"  # integer elements index arrays (common case)
+        elif _JSON_KEY_RE.match(p):
+            out += f".{p}"
+        else:
+            raise ValueError(
+                f"json path element {p!r} outside the translatable subset"
+            )
+    return out
+
+
+def translate_json_ops(sql: str) -> str:
+    """PG json(b) operators → Spark:
+
+    - ``expr ->> 'k'`` / ``expr #>> '{a,b}'`` (TEXT results) →
+      ``get_json_object(expr, '$.k')`` — scalars come back unquoted,
+      exactly PG's text mode.
+    - ``expr -> 'k'`` / ``expr #> '{a,b}'`` (JSON results) →
+      ``to_json(try_variant_get(parse_json(expr), '$.k'))`` — string
+      values KEEP their JSON quotes (``"a"``), numbers/objects print
+      as JSON, missing keys are NULL; probed to match PG. (Spark
+      parses a bare ``->`` as a lambda arrow — an internal error, not
+      a clean syntax error — so this must run before any rewrite that
+      emits higher-order functions.)
+
+    Chains (``a -> 'b' ->> 'c'``) translate left-to-right: each
+    rewrite's output is a function call, the next operator's left
+    primary. Right operands must be literals; exotic keys raise.
+    MUST run FIRST in to_spark_sql — later passes emit ``->`` lambda
+    arrows (transform/exists) that this translator would mangle.
+    """
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if t.kind == "OP" and t.value in _JSON_OPS and 0 < i < len(tokens) - 1:
+                at = i
+                break
+        if at is None:
+            return sql
+        op = tokens[at].value
+        rhs = tokens[at + 1]
+        path = _json_path(op, rhs.kind, rhs.value)
+        lstart = _primary_start(tokens, at - 1)
+        if lstart is None:
+            raise ValueError(f"cannot resolve the left operand of {op}")
+        lhs = sql[tokens[lstart].start : tokens[at - 1].end]
+        if _JSON_OPS[op]:
+            repl = f"get_json_object({lhs}, '{path}')"
+        else:
+            repl = f"to_json(try_variant_get(parse_json({lhs}), '{path}'))"
+        sql = f"{sql[:tokens[lstart].start]}{repl}{sql[rhs.end:]}"
+
+
 def translate_cast_type_names(sql: str) -> str:
     """ANSI ``CAST(expr AS pg_type)`` with a PG type name → the ``::``
     form, so :func:`translate_pg_casts` applies the one type map and
@@ -1692,6 +1775,7 @@ def translate_order_nulls(sql: str) -> str:
 
 def to_spark_sql(sql: str) -> str:
     """All PG→Spark surface translations."""
+    sql = translate_json_ops(sql)  # first: later passes emit -> lambdas
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
     sql = translate_agg_order_by(sql)

@@ -818,3 +818,56 @@ class TestTemplateParse:
         ).collect()[0]
         assert str(row.d) == "2024-02-05"
         assert row.h == "09-30-15"
+
+
+class TestJsonOperators:
+    def test_text_and_json_modes(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                """SELECT '{"s": "x", "n": 5}' ->> 's' AS t,
+                '{"s": "x", "n": 5}' -> 's' AS j,
+                '{"s": "x", "n": 5}' -> 'n' AS n,
+                '{"k": 1}' ->> 'missing' AS m"""
+            )
+        ).collect()[0]
+        assert row.t == "x"  # text mode: unquoted
+        assert row.j == '"x"'  # json mode: quotes kept (PG ->)
+        assert row.n == "5"
+        assert row.m is None
+
+    def test_paths_indexes_and_chains(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                """SELECT '{"o": {"b": [1,2]}}' #>> '{o,b,1}' AS p,
+                '[10,20,30]' ->> 1 AS i,
+                '{"a": {"b": "q"}}' -> 'a' ->> 'b' AS c"""
+            )
+        ).collect()[0]
+        assert (row.p, row.i, row.c) == ("2", "20", "q")
+
+    def test_loud_rejections(self):
+        from gfw_data_api_spark.sql.dialect import translate_json_ops
+
+        with pytest.raises(ValueError, match="plain keys"):
+            translate_json_ops("SELECT p ->> 'we.ird' FROM t")
+        with pytest.raises(ValueError, match="string key or integer"):
+            translate_json_ops("SELECT p ->> col FROM t")
+        with pytest.raises(ValueError, match="text-array path"):
+            translate_json_ops("SELECT p #>> 2 FROM t")
+        with pytest.raises(ValueError, match="look like"):
+            translate_json_ops("SELECT p #>> 'o,b' FROM t")
+
+    def test_runs_before_lambda_emitting_passes(self):
+        # an agg ORDER BY rewrite emits `s -> s.v`; json ops in the
+        # same statement must already be gone by then
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        out = to_spark_sql(
+            "SELECT array_agg(p ->> 'k' ORDER BY id) AS a FROM t"
+        )
+        assert "get_json_object(p, '$.k')" in out
+        assert "array_sort(array_agg(named_struct(" in out
