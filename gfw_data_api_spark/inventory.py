@@ -3221,8 +3221,7 @@ _DRIVER_FRONT: list[str] = [
     "ts03_resample_locf",
     "ts04_interarrival_stats",
     # t06/t07 displaced to the round-7 backlog too (see note above)
-    # t08 displaced to the round-7 backlog too (see note above)
-    "t09_stratified_sample",
+    # t08/t09 displaced to the round-7 backlog too (see note above)
     "t10_bigram_lm",
     "t11_domain_mixture",
     "t12_gopher_rules",
@@ -3253,6 +3252,7 @@ _DRIVER_FRONT: list[str] = [
     "q39_regexp_replace_pg",
     "q40_template_parse",
     "q41_json_operators",
+    "q42_json_key_exists",
 ]
 
 
@@ -7698,6 +7698,45 @@ _SPECS.append(
         "parse_json/try_variant_get/to_json preserving JSON quoting "
         "(sql/dialect.py translate_json_ops; runs first, before any pass "
         "emits lambda arrows)",
+    )
+)
+
+
+def _q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        # PG semantics under test: ? lists null-valued keys as present
+        # (json_object_keys matches); ?| is any-key, ?& is every-key
+        "SELECT event_id, "
+        "props ? 'k' AS has_k, "
+        "props ? 'zz' AS has_zz, "
+        "'{\"a\": 1, \"b\": null}' ? 'b' AS null_key, "
+        "props ?| ARRAY['zz', 'k'] AS any_k, "
+        "props ?& ARRAY['k', 'zz'] AS all_k "
+        "FROM data WHERE event_type = 'view' ORDER BY event_id"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q42_json_key_exists",
+        spark_fn=_q42,
+        oracle=(
+            # DuckDB has no ? operators; json_keys list algebra
+            # expresses the identical checks
+            "SELECT event_id, "
+            "list_contains(json_keys(props), 'k') AS has_k, "
+            "list_contains(json_keys(props), 'zz') AS has_zz, "
+            "list_contains(json_keys('{\"a\": 1, \"b\": null}'), 'b') "
+            "AS null_key, "
+            "len(list_intersect(json_keys(props), ['zz', 'k'])) > 0 AS any_k, "
+            "len(list_intersect(json_keys(props), ['k', 'zz'])) = 2 AS all_k "
+            "FROM events WHERE event_type = 'view' ORDER BY event_id"
+        ),
+        survey_ref="Q11 dialect breadth: PG jsonb key-existence operators "
+        "? ?| ?& over json_object_keys (null-valued keys count as "
+        "present, like PG; objects-only scope documented) — "
+        "sql/dialect.py translate_json_exists",
     )
 )
 

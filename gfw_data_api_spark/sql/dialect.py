@@ -1354,6 +1354,91 @@ def translate_json_ops(sql: str) -> str:
         sql = f"{sql[:tokens[lstart].start]}{repl}{sql[rhs.end:]}"
 
 
+def _json_exists_keys(tokens, at):
+    """Parse the right operand of ?| / ?& — an ARRAY['k', ...] of
+    string literals — returning (keys, last_token_index)."""
+    if not (
+        at + 2 < len(tokens)
+        and tokens[at + 1].kind == "IDENT"
+        and tokens[at + 1].upper == "ARRAY"
+        and tokens[at + 2].value == "["
+    ):
+        raise ValueError(
+            f"{tokens[at].value} needs an ARRAY['k', ...] literal of keys"
+        )
+    keys = []
+    j = at + 3
+    expect_key = True
+    while j < len(tokens):
+        tk = tokens[j]
+        if tk.kind == "PUNCT" and tk.value == "]":
+            break
+        if expect_key and tk.kind == "STRING":
+            keys.append(tk.value)
+            expect_key = False
+        elif not expect_key and tk.kind == "PUNCT" and tk.value == ",":
+            expect_key = True
+        else:
+            raise ValueError(
+                f"{tokens[at].value} keys must be string literals"
+            )
+        j += 1
+    if j >= len(tokens) or not keys or expect_key:
+        raise ValueError(f"{tokens[at].value}: malformed key array")
+    return keys, j
+
+
+def translate_json_exists(sql: str) -> str:
+    """PG jsonb key-existence operators → Spark over
+    ``json_object_keys`` (which lists null-valued keys too, matching
+    PG): ``x ? 'k'`` → array_contains, ``x ?| ARRAY[...]`` →
+    arrays_overlap, ``x ?& ARRAY[...]`` → every key contained.
+    OBJECT scope only: PG also defines ``?`` as string-element test on
+    arrays; json_object_keys is NULL for non-objects, so those rows
+    yield NULL (three-valued, filter-false) rather than PG's
+    element-test answer — documented boundary, keys must be literals.
+    Runs before :func:`translate_array_literal` (it consumes the raw
+    ARRAY[...] form itself)."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "OP"
+                and t.value in ("?", "?|", "?&")
+                and 0 < i < len(tokens) - 1
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        op = tokens[at].value
+        lstart = _primary_start(tokens, at - 1)
+        if lstart is None:
+            raise ValueError(f"cannot resolve the left operand of {op}")
+        lhs = sql[tokens[lstart].start : tokens[at - 1].end]
+        keys_expr = f"json_object_keys({lhs})"
+        if op == "?":
+            rhs = tokens[at + 1]
+            if rhs.kind != "STRING":
+                raise ValueError("? needs a string-literal key")
+            key = rhs.value.replace("'", "''")
+            repl = f"array_contains({keys_expr}, '{key}')"
+            end = rhs.end
+        else:
+            keys, last = _json_exists_keys(tokens, at)
+            lits = ", ".join("'" + k.replace("'", "''") + "'" for k in keys)
+            if op == "?|":
+                repl = f"arrays_overlap({keys_expr}, array({lits}))"
+            else:
+                repl = (
+                    f"forall(array({lits}), "
+                    f"__gfw_e -> array_contains({keys_expr}, __gfw_e))"
+                )
+            end = tokens[last].end
+        sql = f"{sql[:tokens[lstart].start]}{repl}{sql[end:]}"
+
+
 def translate_cast_type_names(sql: str) -> str:
     """ANSI ``CAST(expr AS pg_type)`` with a PG type name → the ``::``
     form, so :func:`translate_pg_casts` applies the one type map and
@@ -1776,6 +1861,7 @@ def translate_order_nulls(sql: str) -> str:
 def to_spark_sql(sql: str) -> str:
     """All PG→Spark surface translations."""
     sql = translate_json_ops(sql)  # first: later passes emit -> lambdas
+    sql = translate_json_exists(sql)  # before array_literal: eats ARRAY[..]
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
     sql = translate_agg_order_by(sql)

@@ -22,7 +22,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-_MULTI_OPS = ("::", "<=", ">=", "<>", "!=", "||", "->>", "->", "#>>", "#>", "~*", "!~*", "!~")
+_MULTI_OPS = (
+    "::", "<=", ">=", "<>", "!=", "||", "->>", "->", "#>>", "#>",
+    "~*", "!~*", "!~", "?|", "?&",
+)
 _SINGLE_OPS = set("+-*/%<>=~^&|#?@!")
 _PUNCT = set("(),;.[]:")
 

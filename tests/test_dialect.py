@@ -871,3 +871,33 @@ class TestJsonOperators:
         )
         assert "get_json_object(p, '$.k')" in out
         assert "array_sort(array_agg(named_struct(" in out
+
+
+class TestJsonKeyExists:
+    def test_existence_semantics(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                """SELECT '{"k": null, "b": 1}' ? 'k' AS nullkey,
+                '{"b": 1}' ? 'k' AS missing,
+                '{"a": 1, "b": 2}' ?| ARRAY['x', 'b'] AS any_hit,
+                '{"a": 1}' ?| ARRAY['x'] AS any_miss,
+                '{"a": 1, "b": 2}' ?& ARRAY['a', 'b'] AS all_hit,
+                '{"a": 1}' ?& ARRAY['a', 'b'] AS all_miss"""
+            )
+        ).collect()[0]
+        assert row.nullkey is True  # PG: null-valued key still exists
+        assert row.missing is False
+        assert (row.any_hit, row.any_miss) == (True, False)
+        assert (row.all_hit, row.all_miss) == (True, False)
+
+    def test_loud_rejections(self):
+        from gfw_data_api_spark.sql.dialect import translate_json_exists
+
+        with pytest.raises(ValueError, match="string-literal key"):
+            translate_json_exists("SELECT p ? col FROM t")
+        with pytest.raises(ValueError, match="ARRAY"):
+            translate_json_exists("SELECT p ?| 'k' FROM t")
+        with pytest.raises(ValueError, match="string literals"):
+            translate_json_exists("SELECT p ?& ARRAY[col] FROM t")
