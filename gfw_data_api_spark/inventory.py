@@ -3227,9 +3227,8 @@ _DRIVER_FRONT: list[str] = [
     "t12_gopher_rules",
     "t13_containment_pairs",
     "t14_group_cap_sample",
-    "e04_merge_upsert",
-    # e05/ca01/dq01/u01/w01/w02/b01/c01/c02 displaced to the round-7
-    # backlog too (see note above)
+    # e04/e05/ca01/dq01/u01/w01/w02/b01/c01/c02 displaced to the
+    # round-7 backlog too (see note above)
     # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
     # backlog by the round-6 gates below (never-driver-checked beats
     # 2-rounds-stale)
@@ -3253,6 +3252,7 @@ _DRIVER_FRONT: list[str] = [
     "q40_template_parse",
     "q41_json_operators",
     "q42_json_key_exists",
+    "q43_json_containment",
 ]
 
 
@@ -7737,6 +7737,47 @@ _SPECS.append(
         "? ?| ?& over json_object_keys (null-valued keys count as "
         "present, like PG; objects-only scope documented) — "
         "sql/dialect.py translate_json_exists",
+    )
+)
+
+
+def _q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        # PG semantics under test: @> containment with a literal
+        # needle (numbers compare NUMERICALLY — 5.0 contains 5 — and a
+        # JSON string "5" never matches the number 5), the flipped
+        # '<@' orientation, and missing keys giving FALSE, not NULL
+        "SELECT event_id, "
+        "props @> '{\"k\": 69}' AS c69, "
+        "'{\"k\": 1}' <@ props AS rev1, "
+        "props @> '{\"k\": 69, \"zz\": 1}' AS c_missing "
+        "FROM data WHERE event_type = 'click' ORDER BY event_id"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q43_json_containment",
+        spark_fn=_q43,
+        oracle=(
+            # DuckDB has no @>; numeric-compare probes express the
+            # same per-key containment checks
+            "SELECT event_id, "
+            "coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE) "
+            "= 69, false) AS c69, "
+            "coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE) "
+            "= 1, false) AS rev1, "
+            "coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE) "
+            "= 69, false) AND "
+            "coalesce(try_cast(json_extract_string(props, '$.zz') AS DOUBLE) "
+            "= 1, false) AS c_missing "
+            "FROM events WHERE event_type = 'click' ORDER BY event_id"
+        ),
+        survey_ref="Q11 dialect breadth: PG jsonb containment @> / <@ with "
+        "literal needles — per-key jsonb-equality conjunction (numeric "
+        "kind-checked equality, missing keys FALSE) — sql/dialect.py "
+        "translate_json_contains",
     )
 )
 

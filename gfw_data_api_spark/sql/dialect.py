@@ -1439,6 +1439,108 @@ def translate_json_exists(sql: str) -> str:
         sql = f"{sql[:tokens[lstart].start]}{repl}{sql[end:]}"
 
 
+def _containment_conditions(col_text: str, literal: str, op: str) -> str:
+    """Per-key Spark conditions for ``col @> 'literal-json-object'``.
+
+    PG jsonb containment compares VALUES with jsonb equality: numbers
+    numerically (5 contains 5.0), strings/booleans/nulls by kind. The
+    literal must be a flat JSON object with scalar values — nested
+    objects/arrays need recursive set semantics and raise instead of
+    guessing."""
+    import json
+
+    try:
+        obj = json.loads(literal)
+    except ValueError as exc:
+        raise ValueError(f"{op}: right operand is not valid JSON: {exc}") from exc
+    if not isinstance(obj, dict) or not obj:
+        raise ValueError(
+            f"{op} supports a non-empty flat JSON OBJECT literal "
+            "(array/scalar containment is outside the translatable subset)"
+        )
+    conds = []
+    for key, val in obj.items():
+        if not _JSON_KEY_RE.match(key):
+            raise ValueError(
+                f"{op}: json key {key!r} outside the translatable subset"
+            )
+        jref = f"to_json(try_variant_get(parse_json({col_text}), '$.{key}'))"
+        # every per-key check coalesces to FALSE: a missing key makes
+        # the probes NULL, but PG containment is two-valued
+        if isinstance(val, bool):
+            conds.append(
+                f"coalesce({jref} = '{'true' if val else 'false'}', false)"
+            )
+        elif val is None:
+            conds.append(f"coalesce({jref} = 'null', false)")
+        elif isinstance(val, str):
+            lit = json.dumps(val).replace("\\", "\\\\").replace("'", "''")
+            conds.append(f"coalesce({jref} = '{lit}', false)")
+        elif isinstance(val, (int, float)):
+            # numeric jsonb equality: 5 contains 5.0. Guard the cast
+            # with a kind check so the JSON STRING "5" never matches
+            # the number 5 (it would survive a bare double cast)
+            conds.append(
+                f"coalesce(try_cast(get_json_object({col_text}, '$.{key}') "
+                f"AS DOUBLE) = {val!r} "
+                f"AND substring({jref}, 1, 1) NOT IN ('\"', '[', '{{'), false)"
+            )
+        else:
+            raise ValueError(
+                f"{op}: value for key {key!r} must be a scalar "
+                "(nested containment is outside the translatable subset)"
+            )
+    return "(" + " AND ".join(conds) + ")"
+
+
+def translate_json_contains(sql: str) -> str:
+    """PG jsonb containment with a LITERAL object on the needle side:
+    ``col @> '{"k": 1}'`` and the flipped ``'{"k": 1}' <@ col`` both
+    mean "the column's object contains these pairs" and translate to a
+    conjunction of per-key value checks (PG jsonb equality per kind —
+    numbers numerically, strings with quotes). Containment between two
+    dynamic columns, array containment, and nested needles raise —
+    they need recursive set semantics no Spark expression provides."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if t.kind == "OP" and t.value in ("@>", "<@") and 0 < i < len(tokens) - 1:
+                at = i
+                break
+        if at is None:
+            return sql
+        op = tokens[at].value
+        if op == "@>":
+            # column/expr on the LEFT, literal needle on the RIGHT
+            needle = tokens[at + 1]
+            if needle.kind != "STRING":
+                raise ValueError(
+                    "@> needs a string-literal JSON needle on the right "
+                    "(dynamic containment is outside the translatable subset)"
+                )
+            lstart = _primary_start(tokens, at - 1)
+            if lstart is None:
+                raise ValueError("cannot resolve the left operand of @>")
+            col_text = sql[tokens[lstart].start : tokens[at - 1].end]
+            start, end = tokens[lstart].start, needle.end
+        else:
+            # literal needle on the LEFT, column/expr on the RIGHT
+            needle = tokens[at - 1]
+            if needle.kind != "STRING":
+                raise ValueError(
+                    "<@ needs a string-literal JSON needle on the left "
+                    "(dynamic containment is outside the translatable subset)"
+                )
+            rend = _primary_end(tokens, at + 1)
+            if rend is None:
+                raise ValueError("cannot resolve the right operand of <@")
+            col_text = sql[tokens[at + 1].start : tokens[rend].end]
+            start, end = needle.start, tokens[rend].end
+        repl = _containment_conditions(col_text, needle.value, op)
+        sql = f"{sql[:start]}{repl}{sql[end:]}"
+
+
 def translate_cast_type_names(sql: str) -> str:
     """ANSI ``CAST(expr AS pg_type)`` with a PG type name → the ``::``
     form, so :func:`translate_pg_casts` applies the one type map and
@@ -1862,6 +1964,7 @@ def to_spark_sql(sql: str) -> str:
     """All PG→Spark surface translations."""
     sql = translate_json_ops(sql)  # first: later passes emit -> lambdas
     sql = translate_json_exists(sql)  # before array_literal: eats ARRAY[..]
+    sql = translate_json_contains(sql)
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
     sql = translate_agg_order_by(sql)

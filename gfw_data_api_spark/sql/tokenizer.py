@@ -24,7 +24,7 @@ from dataclasses import dataclass
 
 _MULTI_OPS = (
     "::", "<=", ">=", "<>", "!=", "||", "->>", "->", "#>>", "#>",
-    "~*", "!~*", "!~", "?|", "?&",
+    "~*", "!~*", "!~", "?|", "?&", "@>", "<@",
 )
 _SINGLE_OPS = set("+-*/%<>=~^&|#?@!")
 _PUNCT = set("(),;.[]:")

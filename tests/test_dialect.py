@@ -901,3 +901,39 @@ class TestJsonKeyExists:
             translate_json_exists("SELECT p ?| 'k' FROM t")
         with pytest.raises(ValueError, match="string literals"):
             translate_json_exists("SELECT p ?& ARRAY[col] FROM t")
+
+
+class TestJsonContainment:
+    def test_containment_semantics(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                """SELECT '{"k": 5, "s": "a"}' @> '{"k": 5}' AS hit,
+                '{"k": 5.0}' @> '{"k": 5}' AS numeric_eq,
+                '{"k": "5"}' @> '{"k": 5}' AS string_vs_number,
+                '{"k": 5}' @> '{"x": 5}' AS missing,
+                '{"b": true, "n": null}' @> '{"b": true, "n": null}' AS kinds,
+                '{"k": 1}' <@ '{"k": 1, "z": 2}' AS flipped"""
+            )
+        ).collect()[0]
+        assert row.hit is True
+        assert row.numeric_eq is True  # jsonb numbers compare numerically
+        assert row.string_vs_number is False  # "5" is not 5
+        assert row.missing is False  # two-valued, never NULL
+        assert row.kinds is True
+        assert row.flipped is True
+
+    def test_loud_rejections(self):
+        from gfw_data_api_spark.sql.dialect import translate_json_contains
+
+        with pytest.raises(ValueError, match="string-literal JSON needle"):
+            translate_json_contains("SELECT a @> b FROM t")
+        with pytest.raises(ValueError, match="flat JSON OBJECT"):
+            translate_json_contains("SELECT a @> '[1, 2]' FROM t")
+        with pytest.raises(ValueError, match="scalar"):
+            translate_json_contains(
+                "SELECT a @> '{\"k\": {\"n\": 1}}' FROM t"
+            )
+        with pytest.raises(ValueError, match="not valid JSON"):
+            translate_json_contains("SELECT a @> '{oops' FROM t")
