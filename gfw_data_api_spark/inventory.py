@@ -3222,7 +3222,7 @@ _DRIVER_FRONT: list[str] = [
     "ts04_interarrival_stats",
     # t06/t07 displaced to the round-7 backlog too (see note above)
     # t08/t09 displaced to the round-7 backlog too (see note above)
-    "t10_bigram_lm",
+    # t10 displaced to the round-7 backlog too (see note above)
     "t11_domain_mixture",
     "t12_gopher_rules",
     "t13_containment_pairs",
@@ -3253,6 +3253,7 @@ _DRIVER_FRONT: list[str] = [
     "q41_json_operators",
     "q42_json_key_exists",
     "q43_json_containment",
+    "q44_substring_regex",
 ]
 
 
@@ -7778,6 +7779,41 @@ _SPECS.append(
         "literal needles — per-key jsonb-equality conjunction (numeric "
         "kind-checked equality, missing keys FALSE) — sql/dialect.py "
         "translate_json_contains",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q44_substring_regex",
+        spark_fn=_guarded(
+            "documents",
+            # PG semantics under test: substring-from-regex returns the
+            # first CAPTURE GROUP when the pattern has one, the whole
+            # match otherwise, and NULL (never '') when nothing matches
+            "SELECT doc_id, "
+            "substring(text FROM '[0-9]+') AS first_num, "
+            "substring(text FROM '([A-Z][a-z]+) ') AS first_cap_word, "
+            "substring(text, 'q[a-z]*') AS q_word "
+            "FROM data",
+        ),
+        oracle=(
+            # DuckDB regexp_extract returns '' on no match where PG is
+            # NULL — the regexp_matches guard restores PG's contract
+            "SELECT doc_id, "
+            "CASE WHEN regexp_matches(text, '[0-9]+') "
+            "THEN regexp_extract(text, '[0-9]+') END AS first_num, "
+            "CASE WHEN regexp_matches(text, '([A-Z][a-z]+) ') "
+            "THEN regexp_extract(text, '([A-Z][a-z]+) ', 1) END "
+            "AS first_cap_word, "
+            "CASE WHEN regexp_matches(text, 'q[a-z]*') "
+            "THEN regexp_extract(text, 'q[a-z]*') END AS q_word "
+            "FROM documents"
+        ),
+        survey_ref="Q11 dialect breadth: PG substring-from-regex — "
+        "first-capture-group rule, NULL on no match via the RLIKE guard "
+        "(sql/dialect.py translate_substring_regex; positional FROM/FOR "
+        "stays native)",
     )
 )
 

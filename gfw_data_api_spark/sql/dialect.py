@@ -1541,6 +1541,86 @@ def translate_json_contains(sql: str) -> str:
         sql = f"{sql[:start]}{repl}{sql[end:]}"
 
 
+def _has_capture_group(pat: str) -> bool:
+    """True when the regex has a capturing ``(`` (not ``\\(``, not
+    ``(?...)``) — PG's substring-from-regex returns the FIRST
+    subexpression when one exists, else the whole match."""
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and not pat.startswith("(?", i):
+            return True
+        i += 1
+    return False
+
+
+def translate_substring_regex(sql: str) -> str:
+    """PG ``substring(expr FROM 'pattern')`` (and the two-argument
+    spelling with a string-literal pattern) → Spark::
+
+        CASE WHEN (expr) RLIKE 'pat' THEN regexp_extract(expr, 'pat', i)
+        END
+
+    with ``i = 1`` when the pattern has a capturing group (PG returns
+    the first subexpression then) and ``0`` otherwise. The RLIKE guard
+    preserves PG's NULL-on-no-match — Spark's bare regexp_extract
+    returns '' instead. Positional ``substring(x FROM 2 FOR 3)`` is
+    native Spark and passes through untouched (the rewrite fires only
+    on string-literal patterns)."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if not (
+                t.kind == "IDENT"
+                and t.upper == "SUBSTRING"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                continue
+            depth = 0
+            close = None
+            sep = None  # depth-1 comma or FROM introducing arg 2
+            for j in range(i + 1, len(tokens)):
+                tk = tokens[j]
+                if tk.kind == "PUNCT" and tk.value == "(":
+                    depth += 1
+                elif tk.kind == "PUNCT" and tk.value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+                elif depth == 1 and sep is None:
+                    if (tk.kind == "PUNCT" and tk.value == ",") or (
+                        tk.kind == "IDENT" and tk.upper == "FROM"
+                    ):
+                        sep = j
+            if (
+                close is None
+                or sep is None
+                or sep + 2 != close
+                or tokens[sep + 1].kind != "STRING"
+            ):
+                continue
+            hit = (i, sep, close)
+            break
+        if hit is None:
+            return sql
+        i, sep, close = hit
+        expr = sql[tokens[i + 2].start : tokens[sep - 1].end]
+        pat = tokens[sep + 1].value
+        idx = 1 if _has_capture_group(pat) else 0
+        lit = pat.replace("\\", "\\\\").replace("'", "''")
+        repl = (
+            f"CASE WHEN ({expr}) RLIKE '{lit}' "
+            f"THEN regexp_extract({expr}, '{lit}', {idx}) END"
+        )
+        sql = f"{sql[:tokens[i].start]}{repl}{sql[tokens[close].end:]}"
+
+
 def translate_cast_type_names(sql: str) -> str:
     """ANSI ``CAST(expr AS pg_type)`` with a PG type name → the ``::``
     form, so :func:`translate_pg_casts` applies the one type map and
@@ -1979,5 +2059,6 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_similar_to(sql)
     sql = translate_pg_functions(sql)
     sql = translate_regexp_replace(sql)
+    sql = translate_substring_regex(sql)
     sql = translate_fetch_first(sql)
     return translate_order_nulls(sql)

@@ -937,3 +937,30 @@ class TestJsonContainment:
             )
         with pytest.raises(ValueError, match="not valid JSON"):
             translate_json_contains("SELECT a @> '{oops' FROM t")
+
+
+class TestSubstringRegex:
+    def test_group_rule_and_null_on_no_match(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT substring('abc123def' FROM '[0-9]+') AS whole, "
+                "substring('a1b2' FROM '([a-z])[0-9]') AS grp, "
+                "substring('a1b2' FROM '(?:[a-z])([0-9])') AS noncap, "
+                "substring('abc' FROM 'z+') AS miss, "
+                "substring('abc123', '[0-9]+') AS comma_form"
+            )
+        ).collect()[0]
+        assert row.whole == "123"
+        assert row.grp == "a"  # first CAPTURE group, PG rule
+        assert row.noncap == "1"  # (?:...) is not a capture group
+        assert row.miss is None  # PG: NULL, not ''
+        assert row.comma_form == "123"
+
+    def test_positional_form_untouched(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        sql = "SELECT substring('abcdef' FROM 2 FOR 3) AS r"
+        assert to_spark_sql(sql) == sql
+        assert spark.sql(sql).collect()[0].r == "bcd"
