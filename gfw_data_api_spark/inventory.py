@@ -3182,78 +3182,68 @@ _SPECS.append(
 # design — xxhash64/approx families) go last so no capped slot is spent on
 # a weaker rows-only row.
 _DRIVER_FRONT: list[str] = [
-    # round-6 rotation policy (VERDICT r5 #1): the driver snapshot
-    # records the FIRST 50 queries() entries only, and 63 of 163
-    # registry rows lacked driver verification from the last two
-    # rounds. This front = the 15 rows NEVER driver-checked (13 full
-    # oracles + rows-only d11/s07, which get the weaker rows-only
-    # check but have never had even that), s05 (rows-only, last
-    # checked r2 — stalest row anywhere), then the oldest r3-checked
-    # rows in risk order. New round-6 gates displace rows from the
-    # END of this list (the displaced stale rows head round 7's
-    # rotation together with the remaining r3 set: q01-q07, q18-q25,
-    # d10/r03/s06 if displaced).
-    # --- never driver-checked (r5 additions beyond the 50 budget) ---
-    "b03_token_id_encoding",
-    "c06_keyword_blocklist",
-    "c07_mojibake_repair",
-    "c08_blocklist_aho_corasick",
-    "e16_geostore_inheritance",
-    "e17_feature_info_selection",
-    "e18_vector_export_roundtrip",
-    "e19_webdataset_roundtrip",
-    "p05_curate_crawl",
-    "q30_filter_clause_breadth",
-    "t23_compression_ratio",
-    "ts05_resample_interpolate",
-    "w03_weighted_sample",
-    "d11_semantic_dedup",
-    "s07_pq_topk",
-    "s05_ivf_topk",
-    # --- r3-checked backfills (2 rounds stale), risk order ---
-    "st03_sliding_window",
-    "st04_stream_first_occurrence",
-    "st05_stream_static_enrich",
-    "st06_stream_stream_join",
-    "st07_stream_dedup",
-    "ts01_asof_join",
-    "ts02_interval_join",
-    "ts03_resample_locf",
-    "ts04_interarrival_stats",
-    # t06/t07 displaced to the round-7 backlog too (see note above)
-    # t08/t09 displaced to the round-7 backlog too (see note above)
-    # t10 displaced to the round-7 backlog too (see note above)
-    "t11_domain_mixture",
-    "t12_gopher_rules",
-    "t13_containment_pairs",
-    "t14_group_cap_sample",
-    # e04/e05/ca01/dq01/u01/w01/w02/b01/c01/c02 displaced to the
-    # round-7 backlog too (see note above)
-    # d08 / d10 / r03 / s06 / q18 / q20 displaced to the round-7
-    # backlog by the round-6 gates below (never-driver-checked beats
-    # 2-rounds-stale)
-    # --- new round-6 gates (displace stale rows from the end) ---
-    "d15_semantic_dedup_envelope",
-    "q31_dialect_pg_operators",
-    "q32_dialect_extract_fields",
-    "q33_dialect_string_breadth",
-    "m10_mp3_frame_inventory",
-    "q34_dialect_distinct_on",
-    "d16_exact_substring_dedup",
-    "m11_adts_frame_inventory",
-    "q35_ordered_set_aggs",
-    "q36_agg_order_by",
-    "t24_quality_classifier",
-    "q37_parameterized_casts",
-    "q38_array_any_all",
-    "s11_hard_negatives",
-    "t25_fim_transform",
-    "q39_regexp_replace_pg",
-    "q40_template_parse",
-    "q41_json_operators",
-    "q42_json_key_exists",
-    "q43_json_containment",
-    "q44_substring_regex",
+    # round-7 rotation policy (VERDICT r6 #1): after round 6 every
+    # registry row has at least one green driver check; what remains is
+    # ordinary staleness. This front = the 34 rows last driver-checked
+    # in round 3 (three rounds stale — the oldest anywhere), then the
+    # riskiest round-4-checked rows. New round-7 gates displace
+    # r4-stale rows from the END of this list (the displaced rows head
+    # round 8's rotation). All 50 slots are full-oracle this round —
+    # the three rows-only entries (d11/s05/s07) got their first driver
+    # rows in r6 and return to the tail.
+    # --- r3-checked backfills (3 rounds stale), registry order ---
+    "q01_scan_projection",
+    "q02_filter_predicates",
+    "q03_agg_global",
+    "q04_pricing_summary",
+    "q05_having",
+    "q06_distinct",
+    "q07_order_limit_offset",
+    "q18_percentiles",
+    "q19_cube_grouping",
+    "q20_salted_skew_agg",
+    "q21_grouping_sets",
+    "q22_topk_per_group",
+    "q23_pivot_conditional_agg",
+    "q24_skew_hybrid_join",
+    "q25_blocked_fuzzy_match",
+    "t06_tfidf_top_terms",
+    "t07_repetition_signals",
+    "t08_hash_split",
+    "t09_stratified_sample",
+    "t10_bigram_lm",
+    "b01_bpe_pair_stats",
+    "c01_token_chunks",
+    "c02_pii_redaction",
+    "ca01_continuous_aggregate",
+    "d08_benchmark_decontamination",
+    "d10_repeated_segment_removal",
+    "dq01_constraint_audit",
+    "e04_merge_upsert",
+    "e05_scd2_intervals",
+    "r03_zonal_avg_min_max",
+    "s06_int8_quantization",
+    "u01_url_canonicalization",
+    "w01_importance_weights",
+    "w02_temperature_mixture",
+    # --- r4-checked rows, risk order (displaced by new r7 gates;
+    # displaced rows head the round-8 rotation) ---
+    "d09_dedup_clusters",
+    "m04_perceptual_neardups",
+    "m05_audio_neardups",
+    "m06_video_remux_dedup",
+    "p01_curate_corpus",
+    "p02_curate_round3",
+    "t17_kneser_ney_lm",
+    "s08_ivf_recall_gate",
+    "q26_point_radius_haversine",
+    "d04_minhash_lsh_neardups",
+    "d07_embedding_neardups",
+    "t15_bm25_search",
+    "i08_multiway_join_revenue",
+    "st08_media_stream_dedup",
+    "a01_approx_count_distinct",
+    "e01_csv_inference_roundtrip",
 ]
 
 

@@ -368,6 +368,24 @@ def _primary_end(tokens, k):
     return None
 
 
+def _absorb_concat_left(tokens, lstart):
+    """PG puts ``||`` in the same left-assoc precedence tier as the
+    regex/SIMILAR TO/json operators, so in ``a || b ~ 'p'`` the WHOLE
+    concatenation is the operand. Given the start index of the primary
+    immediately left of such an operator, walk further left across any
+    ``||`` chain and return the start of the full concatenation."""
+    while (
+        lstart >= 2
+        and tokens[lstart - 1].kind == "OP"
+        and tokens[lstart - 1].value == "||"
+    ):
+        prev = _primary_start(tokens, lstart - 2)
+        if prev is None:
+            break
+        lstart = prev
+    return lstart
+
+
 def translate_caret_power(sql: str) -> str:
     """PG ``a ^ b`` is exponentiation; Spark parses ``^`` as bitwise
     XOR — silently wrong values, not a parse error. Rewrite to
@@ -439,18 +457,9 @@ def translate_regex_ops(sql: str) -> str:
         rend = _primary_end(tokens, hit + 1)
         if lstart is None or rend is None:
             return sql
-        # PG puts || and ~ in the same left-assoc precedence tier, so
         # `a || b ~ 'p'` means `(a || b) ~ 'p'` — absorb a left-side
         # concatenation chain into the operand
-        while (
-            lstart >= 2
-            and tokens[lstart - 1].kind == "OP"
-            and tokens[lstart - 1].value == "||"
-        ):
-            prev = _primary_start(tokens, lstart - 2)
-            if prev is None:
-                break
-            lstart = prev
+        lstart = _absorb_concat_left(tokens, lstart)
         left = sql[tokens[lstart].start : tokens[hit - 1].end]
         right = sql[tokens[hit + 1].start : tokens[rend].end]
         if ci:
@@ -692,6 +701,9 @@ def translate_similar_to(sql: str) -> str:
         lstart = _primary_start(tokens, lend)
         if lstart is None:
             raise ValueError("SIMILAR TO: unsupported left operand")
+        # PG binds || tighter than SIMILAR TO: `a || b SIMILAR TO p`
+        # takes the whole concatenation as the operand
+        lstart = _absorb_concat_left(tokens, lstart)
         left = sql[tokens[lstart].start : tokens[lend].end]
         rx = _similar_to_java_regex(pat_tok.value)
         lit = rx.replace("\\", "\\\\").replace("'", "''")
@@ -1145,8 +1157,12 @@ def translate_distinct_on(sql: str) -> str:
 # modifiers (FM/TH/TZ) are OUT of the literal subset — loud raise beats a
 # silently different string.
 _TO_CHAR_MAP = [
+    # DDD → Java "DDD": PG zero-pads day-of-year to 3 digits ("032");
+    # Java "D" would print unpadded "32" and make adjacent-field parse
+    # templates like YYYYDDD ambiguous. Lone "D" (PG day-of-week) stays
+    # OUT of the subset — it falls through to the alnum raise.
     ("YYYY", "yyyy"), ("YY", "yy"), ("Mon", "MMM"), ("MM", "MM"),
-    ("DDD", "D"), ("DD", "dd"), ("Dy", "EEE"), ("HH24", "HH"),
+    ("DDD", "DDD"), ("DD", "dd"), ("Dy", "EEE"), ("HH24", "HH"),
     ("HH12", "hh"), ("HH", "hh"), ("MI", "mm"), ("SS", "ss"),
     ("MS", "SSS"), ("AM", "a"), ("PM", "a"), ("Q", "Q"),
 ]
@@ -1346,6 +1362,9 @@ def translate_json_ops(sql: str) -> str:
         lstart = _primary_start(tokens, at - 1)
         if lstart is None:
             raise ValueError(f"cannot resolve the left operand of {op}")
+        # PG's -> ->> #> #>> share ||'s left-assoc tier: `a || b ->> 'k'`
+        # means `(a || b) ->> 'k'`
+        lstart = _absorb_concat_left(tokens, lstart)
         lhs = sql[tokens[lstart].start : tokens[at - 1].end]
         if _JSON_OPS[op]:
             repl = f"get_json_object({lhs}, '{path}')"
@@ -1416,6 +1435,8 @@ def translate_json_exists(sql: str) -> str:
         lstart = _primary_start(tokens, at - 1)
         if lstart is None:
             raise ValueError(f"cannot resolve the left operand of {op}")
+        # same precedence tier as || (see translate_json_ops)
+        lstart = _absorb_concat_left(tokens, lstart)
         lhs = sql[tokens[lstart].start : tokens[at - 1].end]
         keys_expr = f"json_object_keys({lhs})"
         if op == "?":
@@ -1522,6 +1543,10 @@ def translate_json_contains(sql: str) -> str:
             lstart = _primary_start(tokens, at - 1)
             if lstart is None:
                 raise ValueError("cannot resolve the left operand of @>")
+            # same precedence tier as || (see translate_json_ops); the
+            # <@ arm needs no twin — left-assoc makes `'x' <@ a || b`
+            # parse as `('x' <@ a) || b`, a bare primary on the right
+            lstart = _absorb_concat_left(tokens, lstart)
             col_text = sql[tokens[lstart].start : tokens[at - 1].end]
             start, end = tokens[lstart].start, needle.end
         else:

@@ -964,3 +964,80 @@ class TestSubstringRegex:
         sql = "SELECT substring('abcdef' FROM 2 FOR 3) AS r"
         assert to_spark_sql(sql) == sql
         assert spark.sql(sql).collect()[0].r == "bcd"
+
+
+class TestConcatPrecedenceAbsorption:
+    """PG puts || in the same left-assoc tier as SIMILAR TO and the
+    json operators (round-7 ADVICE): the whole concatenation is the
+    operand, not just the rightmost primary."""
+
+    def test_similar_to_absorbs_concat_chain(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT 'a' || 'b' || 'c' SIMILAR TO 'a%c' AS hit, "
+                "'a' || 'b' SIMILAR TO 'a' AS anchored_miss, "
+                "'a' || 'b' NOT SIMILAR TO 'a' AS neg"
+            )
+        ).collect()[0]
+        # PG: true / false / true — a string||boolean select list
+        # would instead fail or silently concatenate
+        assert (row.hit, row.anchored_miss, row.neg) == (True, False, True)
+
+    def test_json_ops_absorb_concat_chain(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                """SELECT '{"k":' || ' 5}' ->> 'k' AS t,
+                '{"k":' || ' "v"}' -> 'k' AS j,
+                '{"a":' || ' {"b": 2}}' #>> '{a,b}' AS p"""
+            )
+        ).collect()[0]
+        assert (row.t, row.j, row.p) == ("5", '"v"', "2")
+
+    def test_json_exists_and_contains_absorb_concat(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                """SELECT '{"k":' || ' 1}' ? 'k' AS ex,
+                '{"a": 1,' || ' "b": 2}' ?& ARRAY['a', 'b'] AS all_hit,
+                '{"k":' || ' 5}' @> '{"k": 5}' AS cont"""
+            )
+        ).collect()[0]
+        assert (row.ex, row.all_hit, row.cont) == (True, True, True)
+
+    def test_translation_shape(self):
+        from gfw_data_api_spark.sql.dialect import (
+            translate_json_ops,
+            translate_similar_to,
+        )
+
+        out = translate_json_ops("SELECT a || b ->> 'k' FROM t")
+        assert "get_json_object(a || b, '$.k')" in out
+        out = translate_similar_to("SELECT a || b SIMILAR TO 'x%' FROM t")
+        assert out.startswith("SELECT (a || b RLIKE ")
+
+
+class TestToCharDayOfYear:
+    def test_ddd_zero_pads_like_pg(self, spark):
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT to_char(DATE '2024-02-01', 'YYYY-DDD') AS f, "
+                "to_date('2024032', 'YYYYDDD') AS p"
+            )
+        ).collect()[0]
+        assert row.f == "2024-032"  # PG pads day-of-year to 3 digits
+        assert str(row.p) == "2024-02-01"
+
+    def test_lone_d_stays_out_of_subset(self):
+        import pytest
+
+        from gfw_data_api_spark.sql.dialect import translate_to_char
+
+        with pytest.raises(ValueError, match="outside the supported"):
+            translate_to_char("SELECT to_char(d, 'D') FROM t")
