@@ -41,7 +41,20 @@ def collect_with_timeout(
         # job group is thread-local: set it in the collecting thread
         sc.setJobGroup(group, "guarded query (watchdog)", interruptOnCancel=True)
         try:
-            outcome["rows"] = df.collect()
+            # API response path — LIMIT-bounded in practice; cap like
+            # rows_to_csv so a misuse OOMs loudly, not silently (the
+            # distributed write_csv / export_ndjson_features twins are
+            # the scale path)
+            from gfw_data_api_spark.operators.downloads import MAX_COLLECT_ROWS
+
+            rows = df.limit(MAX_COLLECT_ROWS + 1).collect()
+            if len(rows) > MAX_COLLECT_ROWS:
+                raise ValueError(
+                    f"collect_with_timeout: result exceeds {MAX_COLLECT_ROWS} "
+                    "rows; the watchdog serves LIMIT-bounded API results — "
+                    "use write_csv / export_ndjson_features for large exports"
+                )
+            outcome["rows"] = rows
         except Exception as exc:  # noqa: BLE001 — surfaced to caller below
             outcome["error"] = exc
         finally:

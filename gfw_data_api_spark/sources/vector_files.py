@@ -388,8 +388,12 @@ def read_esrijson(spark: SparkSession, path: str) -> DataFrame:
 def write_geopackage(df: DataFrame, path: str, layer: str, geom_col: str = "geom") -> None:
     """Collect + write a (small) DataFrame as a valid GeoPackage layer.
     Export-path symmetry for E12 (the reference ships ogr2ogr exports);
-    collect is deliberate — exports of query results are driver-sized."""
-    rows = df.collect()
+    collect is deliberate — exports of query results are driver-sized,
+    and capped: oversized exports belong on the distributed
+    export_ndjson_features path."""
+    from gfw_data_api_spark.operators.downloads import _guard_collect
+
+    rows = _guard_collect(df, "write_geopackage", "export_ndjson_features")
     prop_fields = [f for f in df.schema.fields if f.name != geom_col]
     con = sqlite3.connect(path)
     try:
@@ -941,7 +945,9 @@ def write_file_gdb(
     z-only PointZ/ArcZ/PolygonZ codes — the common 2.5D no-M case)."""
     if z_codes not in ("zm", "z"):
         raise ValueError("z_codes must be 'zm' or 'z'")
-    rows = df.collect()
+    from gfw_data_api_spark.operators.downloads import _guard_collect
+
+    rows = _guard_collect(df, "write_filegdb", "export_ndjson_features")
     os.makedirs(path, exist_ok=True)
     prop_fields = [f for f in df.schema.fields if f.name != geom_col]
     has_geom = any(f.name == geom_col for f in df.schema.fields)

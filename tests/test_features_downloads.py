@@ -437,3 +437,26 @@ def test_in_memory_collectors_cap_rows_naming_the_scale_path(spark, monkeypatch)
     ok = spark.range(10).selectExpr("id", "id * 2 AS v")
     assert downloads.rows_to_csv(ok).count("\n") == 11
     assert len(downloads.rows_to_json(ok)) == 10
+
+
+def test_export_writers_and_watchdog_cap_rows(spark, monkeypatch, tmp_path):
+    """VERDICT r6 #4: the last uncapped full collects — the GeoPackage/
+    FileGDB export writers and the watchdog result path — refuse
+    oversized results loudly, naming the distributed twins."""
+    import pytest
+
+    from gfw_data_api_spark.operators import downloads, watchdog
+    from gfw_data_api_spark.sources import vector_files
+
+    monkeypatch.setattr(downloads, "MAX_COLLECT_ROWS", 10)
+    big = spark.range(11).selectExpr(
+        "id", "CAST(NULL AS BINARY) AS geom"
+    )
+    with pytest.raises(ValueError, match="export_ndjson_features"):
+        vector_files.write_geopackage(big, str(tmp_path / "x.gpkg"), "layer")
+    with pytest.raises(ValueError, match="export_ndjson_features"):
+        vector_files.write_file_gdb(big, str(tmp_path / "x.gdb"), "layer")
+    with pytest.raises(ValueError, match="write_csv"):
+        watchdog.collect_with_timeout(spark, spark.range(11), timeout_s=30.0)
+    # at the cap exactly, the watchdog path succeeds
+    assert len(watchdog.collect_with_timeout(spark, spark.range(10), timeout_s=30.0)) == 10
