@@ -3243,7 +3243,8 @@ _DRIVER_FRONT: list[str] = [
     "i08_multiway_join_revenue",
     "st08_media_stream_dedup",
     "a01_approx_count_distinct",
-    "e01_csv_inference_roundtrip",
+    # --- new round-7 gates (displace r4-stale rows from the end) ---
+    "q45_json_array_containment",
 ]
 
 
@@ -7804,6 +7805,78 @@ _SPECS.append(
         "first-capture-group rule, NULL on no match via the RLIKE guard "
         "(sql/dialect.py translate_substring_regex; positional FROM/FOR "
         "stays native)",
+    )
+)
+
+
+def _q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        # PG semantics under test (round-7 widening, VERDICT r6 #3):
+        # @> with ARRAY needles — the tags @> '["foo"]' idiom. Every
+        # needle element must match some haystack element with jsonb
+        # equality (numbers numerically; "5" never matches 5; true
+        # never matches 1); [] is contained in any ARRAY; a non-array
+        # haystack (props is an object) gives FALSE, not NULL
+        "SELECT event_id, "
+        "('[\"' || event_type || '\", ' || CAST(event_id % 7 AS VARCHAR) "
+        "|| ']') @> '[\"click\"]' AS has_click, "
+        "('[\"' || event_type || '\", ' || CAST(event_id % 7 AS VARCHAR) "
+        "|| ']') @> '[3]' AS has_three, "
+        "('[\"' || event_type || '\", ' || CAST(event_id % 7 AS VARCHAR) "
+        "|| ']') @> '[\"click\", 3.0]' AS has_both, "
+        "('[' || CAST(event_id % 7 AS VARCHAR) || ']') @> '[]' "
+        "AS empty_needle, "
+        "props @> '[\"click\"]' AS object_haystack "
+        "FROM data WHERE event_type IN ('click', 'view') ORDER BY event_id"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+
+
+_Q45_ELEMS = (
+    "list_transform(range(CAST(json_array_length({hay}) AS BIGINT)), "
+    "__i -> CAST(json_extract({hay}, '$[' || __i || ']') AS VARCHAR))"
+)
+
+
+def _q45_oracle() -> str:
+    hay = (
+        "('[\"' || event_type || '\", ' || CAST(event_id % 7 AS VARCHAR) "
+        "|| ']')"
+    )
+    elems = _Q45_ELEMS.format(hay=hay)
+    # DuckDB's json_array_length is 0 (not NULL) for objects, so the
+    # is-array guard spells json_type = 'ARRAY'
+    is_arr = f"json_type({hay}) = 'ARRAY'"
+    click = f"list_contains({elems}, '\"click\"')"
+    three = (
+        f"len(list_filter({elems}, __e -> try_cast(__e AS DOUBLE) = 3 AND "
+        "substring(__e, 1, 1) IN "
+        "('-','0','1','2','3','4','5','6','7','8','9'))) > 0"
+    )
+    props_elems = _Q45_ELEMS.format(hay="props")
+    return (
+        "SELECT event_id, "
+        f"({is_arr} AND {click}) AS has_click, "
+        f"({is_arr} AND {three}) AS has_three, "
+        f"({is_arr} AND {click} AND {three}) AS has_both, "
+        "json_type('[' || CAST(event_id % 7 AS VARCHAR) || ']') = 'ARRAY' "
+        "AS empty_needle, "
+        f"(json_type(props) = 'ARRAY' AND "
+        f"list_contains({props_elems}, '\"click\"')) AS object_haystack "
+        "FROM events WHERE event_type IN ('click', 'view') ORDER BY event_id"
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q45_json_array_containment",
+        spark_fn=_q45,
+        oracle=_q45_oracle(),
+        survey_ref="Q11 dialect breadth: PG jsonb @> with ARRAY needles — "
+        "per-element exists over from_json(col, 'array<variant>') with an "
+        "is-array guard and kind-checked numeric equality "
+        "(sql/dialect.py _array_containment_conditions; reference passes "
+        "jsonb ops through to PG via app/crud/queries.py)",
     )
 )
 

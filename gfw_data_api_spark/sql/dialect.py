@@ -1460,13 +1460,59 @@ def translate_json_exists(sql: str) -> str:
         sql = f"{sql[:tokens[lstart].start]}{repl}{sql[end:]}"
 
 
+_JSON_DIGIT_GUARD = (
+    "IN ('-','0','1','2','3','4','5','6','7','8','9')"
+)
+
+
+def _array_containment_conditions(col_text: str, arr: list, op: str) -> str:
+    """Spark conditions for ``col @> '[scalar, ...]'`` (array needle,
+    round-7 widening — VERDICT r6 #3). PG array containment: the
+    haystack must itself be an array, and every needle element must
+    jsonb-equal SOME haystack element (numbers numerically — ``[5.0]``
+    contains ``[5]``; strings/bools/nulls by kind, so the JSON string
+    ``"5"`` never matches the number 5 and ``true`` never matches 1).
+    Needle elements must be scalars — nested needles raise."""
+    import json
+
+    # haystack must be a JSON array: json_array_length is NULL for
+    # objects, scalars, and invalid JSON (IS NOT NULL is two-valued)
+    conds = [f"json_array_length({col_text}) IS NOT NULL"]
+    elems = f"from_json({col_text}, 'array<variant>')"
+    for val in arr:
+        if isinstance(val, bool):
+            probe = f"to_json(__gfw_x) = '{'true' if val else 'false'}'"
+        elif val is None:
+            probe = "to_json(__gfw_x) = 'null'"
+        elif isinstance(val, str):
+            lit = json.dumps(val).replace("\\", "\\\\").replace("'", "''")
+            probe = f"to_json(__gfw_x) = '{lit}'"
+        elif isinstance(val, (int, float)):
+            # numeric jsonb equality with a kind guard: variant casts
+            # true→1.0 and '5'→NULL under try_cast, so require the
+            # element's JSON text to START with a digit/sign
+            probe = (
+                f"try_cast(__gfw_x AS DOUBLE) = {val!r} "
+                f"AND substring(to_json(__gfw_x), 1, 1) {_JSON_DIGIT_GUARD}"
+            )
+        else:
+            raise ValueError(
+                f"{op}: array-needle elements must be scalars "
+                "(nested containment is outside the translatable subset)"
+            )
+        conds.append(f"coalesce(exists({elems}, __gfw_x -> {probe}), false)")
+    return "(" + " AND ".join(conds) + ")"
+
+
 def _containment_conditions(col_text: str, literal: str, op: str) -> str:
-    """Per-key Spark conditions for ``col @> 'literal-json-object'``.
+    """Per-key Spark conditions for ``col @> 'literal-json-object'``
+    (or per-element for an array needle — see
+    :func:`_array_containment_conditions`).
 
     PG jsonb containment compares VALUES with jsonb equality: numbers
     numerically (5 contains 5.0), strings/booleans/nulls by kind. The
-    literal must be a flat JSON object with scalar values — nested
-    objects/arrays need recursive set semantics and raise instead of
+    literal must be a flat JSON object (or array) with scalar values —
+    nested needles need recursive set semantics and raise instead of
     guessing."""
     import json
 
@@ -1474,10 +1520,13 @@ def _containment_conditions(col_text: str, literal: str, op: str) -> str:
         obj = json.loads(literal)
     except ValueError as exc:
         raise ValueError(f"{op}: right operand is not valid JSON: {exc}") from exc
+    if isinstance(obj, list):
+        return _array_containment_conditions(col_text, obj, op)
     if not isinstance(obj, dict) or not obj:
         raise ValueError(
-            f"{op} supports a non-empty flat JSON OBJECT literal "
-            "(array/scalar containment is outside the translatable subset)"
+            f"{op} supports a non-empty flat JSON OBJECT literal or a "
+            "flat JSON ARRAY literal "
+            "(scalar containment is outside the translatable subset)"
         )
     conds = []
     for key, val in obj.items():
@@ -1515,13 +1564,17 @@ def _containment_conditions(col_text: str, literal: str, op: str) -> str:
 
 
 def translate_json_contains(sql: str) -> str:
-    """PG jsonb containment with a LITERAL object on the needle side:
+    """PG jsonb containment with a LITERAL needle:
     ``col @> '{"k": 1}'`` and the flipped ``'{"k": 1}' <@ col`` both
     mean "the column's object contains these pairs" and translate to a
     conjunction of per-key value checks (PG jsonb equality per kind —
-    numbers numerically, strings with quotes). Containment between two
-    dynamic columns, array containment, and nested needles raise —
-    they need recursive set semantics no Spark expression provides."""
+    numbers numerically, strings with quotes). Array needles of
+    scalars — ``tags @> '["foo"]'``, the most common jsonb idiom —
+    translate to per-element ``exists`` probes over
+    ``from_json(col, 'array<variant>')`` with an is-array guard
+    (round-7 widening). Containment between two dynamic columns and
+    NESTED needles still raise — they need recursive set semantics no
+    Spark expression provides."""
     while True:
         tokens = tokenize(sql)
         at = None

@@ -929,14 +929,45 @@ class TestJsonContainment:
 
         with pytest.raises(ValueError, match="string-literal JSON needle"):
             translate_json_contains("SELECT a @> b FROM t")
-        with pytest.raises(ValueError, match="flat JSON OBJECT"):
-            translate_json_contains("SELECT a @> '[1, 2]' FROM t")
+        with pytest.raises(ValueError, match="flat JSON"):
+            translate_json_contains("SELECT a @> '5' FROM t")
         with pytest.raises(ValueError, match="scalar"):
             translate_json_contains(
                 "SELECT a @> '{\"k\": {\"n\": 1}}' FROM t"
             )
+        with pytest.raises(ValueError, match="scalars"):
+            translate_json_contains("SELECT a @> '[[1]]' FROM t")
+        with pytest.raises(ValueError, match="scalars"):
+            translate_json_contains('SELECT a @> \'[{"k": 1}]\' FROM t')
         with pytest.raises(ValueError, match="not valid JSON"):
             translate_json_contains("SELECT a @> '{oops' FROM t")
+
+    def test_array_needle_containment(self, spark):
+        """Round-7 widening (VERDICT r6 #3): array needles of scalars."""
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        row = spark.sql(
+            to_spark_sql(
+                """SELECT '["foo", "bar"]' @> '["foo"]' AS tag_hit,
+                '["foo"]' @> '["foo", "bar"]' AS needs_all,
+                '[1, 2.0]' @> '[2]' AS numeric_eq,
+                '["5"]' @> '[5]' AS string_vs_number,
+                '[true]' @> '[1]' AS bool_vs_number,
+                '[true, null]' @> '[true, null]' AS kinds,
+                '[1, 2]' @> '[]' AS empty_needle,
+                '{"a": 1}' @> '[]' AS object_haystack,
+                '["x"]' <@ '["x", "y"]' AS flipped"""
+            )
+        ).collect()[0]
+        assert row.tag_hit is True
+        assert row.needs_all is False  # every needle element required
+        assert row.numeric_eq is True  # jsonb numbers compare numerically
+        assert row.string_vs_number is False
+        assert row.bool_vs_number is False  # true never matches 1
+        assert row.kinds is True
+        assert row.empty_needle is True  # any array contains []
+        assert row.object_haystack is False  # haystack must be an array
+        assert row.flipped is True
 
 
 class TestSubstringRegex:
