@@ -187,7 +187,19 @@ def translate_pg_casts(sql: str) -> str:
 
         operand = sql[start : prev.end]
         end = tokens[type_end_idx].end
-        cast_sql = f"CAST({operand} AS {spark_type})"
+        if wrap is None and spark_type in ("SMALLINT", "INT", "BIGINT"):
+            # PG numeric→int rounds HALF AWAY FROM ZERO (2.5::int = 3);
+            # Spark's cast TRUNCATES. Route through DECIMAL(38,10) —
+            # exact for bigint-range integers and integer strings —
+            # then round. Residual boundaries (documented): PG's
+            # float8→int is half-EVEN (we round half-away uniformly),
+            # and bool::int raises here where PG gives 0/1.
+            cast_sql = (
+                f"CAST(round(CAST({operand} AS DECIMAL(38,10)), 0) "
+                f"AS {spark_type})"
+            )
+        else:
+            cast_sql = f"CAST({operand} AS {spark_type})"
         if wrap is not None:
             cast_sql = f"{wrap[0]}{cast_sql}{wrap[1]}"
         sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
@@ -1699,6 +1711,187 @@ def translate_substring_regex(sql: str) -> str:
         sql = f"{sql[:tokens[i].start]}{repl}{sql[tokens[close].end:]}"
 
 
+def _is_safe_start_literal(text: str) -> bool:
+    """True when ``text`` is an integer literal >= 1 (PG and Spark
+    substring agree there — no rewrite needed)."""
+    t = text.strip()
+    return t.isdigit() and int(t) >= 1
+
+
+def _is_safe_len_literal(text: str) -> bool:
+    t = text.strip()
+    return t.isdigit()  # any non-negative integer
+
+
+def translate_substr_positional(sql: str) -> str:
+    """Positional ``substr/substring(s, start [, len])`` (and the
+    ``FROM start [FOR len]`` spelling) with a possibly non-positive
+    start: PG counts positions on the number line — ``substr('abc',
+    0, 2) = 'a'`` (positions 0..1, only 1 exists), ``substr('abc',
+    -1, 2) = ''`` — while Spark treats start 0 as 1 and NEGATIVE
+    starts as from-the-end, a silent divergence. Rewrite::
+
+        substring(s, CASE WHEN start < 1 THEN 1 ELSE start END,
+                  CASE WHEN eff < 0 THEN 0 ELSE eff END)
+        -- eff = start + len - clamped_start
+
+    CASE (not greatest) keeps NULL propagation: Spark's greatest
+    SKIPS nulls where PG returns NULL. Calls whose start is a literal
+    >= 1 (and literal len >= 0) pass through untouched — the engines
+    agree there. A literal NEGATIVE length raises, like PG; a dynamic
+    negative length yields '' (documented, PG errors at runtime).
+    Runs AFTER translate_substring_regex, so string-literal patterns
+    (the regex form) are already consumed."""
+    processed = 0
+    while True:
+        tokens = tokenize(sql)
+        site = -1
+        hit = None
+        for i, t in enumerate(tokens):
+            if not (
+                t.kind == "IDENT"
+                and t.upper in ("SUBSTR", "SUBSTRING")
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                continue
+            depth = 0
+            close = None
+            seps = []  # depth-1 separators: ',' or FROM/FOR keywords
+            for j in range(i + 1, len(tokens)):
+                tk = tokens[j]
+                if tk.kind == "PUNCT" and tk.value == "(":
+                    depth += 1
+                elif tk.kind == "PUNCT" and tk.value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+                elif depth == 1 and (
+                    (tk.kind == "PUNCT" and tk.value == ",")
+                    or (tk.kind == "IDENT" and tk.upper in ("FROM", "FOR"))
+                ):
+                    seps.append(j)
+            if close is None or not seps or len(seps) > 2:
+                continue
+            if tokens[seps[0] + 1].kind == "STRING" and len(seps) == 1:
+                continue  # regex form (already translated upstream)
+            site += 1
+            if site < processed:
+                continue
+            hit = (i, seps, close)
+            break
+        if hit is None:
+            return sql
+        i, seps, close = hit
+        s_text = sql[tokens[i + 2].start : tokens[seps[0] - 1].end]
+        if len(seps) == 2:
+            start_text = sql[tokens[seps[0] + 1].start : tokens[seps[1] - 1].end]
+            len_text = sql[tokens[seps[1] + 1].start : tokens[close - 1].end]
+        else:
+            start_text = sql[tokens[seps[0] + 1].start : tokens[close - 1].end]
+            len_text = None
+        processed += 1
+        if len_text is not None and len_text.strip().lstrip("-") .isdigit() and len_text.strip().startswith("-"):
+            raise ValueError(
+                "substring: negative substring length not allowed (PG)"
+            )
+        if _is_safe_start_literal(start_text) and (
+            len_text is None or _is_safe_len_literal(len_text)
+        ):
+            continue  # engines agree; leave untouched
+        clamped = f"CASE WHEN ({start_text}) < 1 THEN 1 ELSE ({start_text}) END"
+        if len_text is None:
+            repl = f"substring({s_text}, {clamped})"
+        else:
+            eff = f"({start_text}) + ({len_text}) - {clamped}"
+            repl = (
+                f"substring({s_text}, {clamped}, "
+                f"CASE WHEN ({eff}) < 0 THEN 0 ELSE ({eff}) END)"
+            )
+        sql = f"{sql[:tokens[i].start]}{repl}{sql[tokens[close].end:]}"
+
+
+def translate_left_right(sql: str) -> str:
+    """PG ``left/right(s, n)`` with NEGATIVE n means "all but the last
+    /first |n| characters" — Spark returns '' there, a silent
+    divergence. Rewrites (NULL-propagating via CASE)::
+
+        left(s, n)  -> substring(s, 1, CASE WHEN n < 0
+                          THEN greatest(length(s) + n, 0) ELSE n END)
+        right(s, n) -> substring(s, CASE WHEN n IS NULL THEN NULL
+                          WHEN n < 0 THEN 1 - n
+                          WHEN length(s) > n THEN length(s) - n + 1
+                          ELSE 1 END)
+
+    (greatest is safe inside the left() arm: n < 0 already implies n
+    is non-NULL there; the right() arm needs the explicit IS NULL
+    branch because its ELSE 1 would otherwise turn NULL into the whole
+    string). Both rewrites REMOVE the left/right call site, so the
+    scan skip-counter only counts sites that persist (safe literals).
+    Calls with a literal n >= 0 pass through — the engines agree."""
+    processed = 0
+    while True:
+        tokens = tokenize(sql)
+        site = -1
+        hit = None
+        for i, t in enumerate(tokens):
+            if not (
+                t.kind == "IDENT"
+                and t.upper in ("LEFT", "RIGHT")
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                continue
+            depth = 0
+            close = None
+            comma = None
+            for j in range(i + 1, len(tokens)):
+                tk = tokens[j]
+                if tk.kind == "PUNCT" and tk.value == "(":
+                    depth += 1
+                elif tk.kind == "PUNCT" and tk.value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+                elif depth == 1 and tk.kind == "PUNCT" and tk.value == ",":
+                    comma = j
+            if close is None or comma is None:
+                continue
+            site += 1
+            if site < processed:
+                continue
+            hit = (i, t.upper, comma, close)
+            break
+        if hit is None:
+            return sql
+        i, fname, comma, close = hit
+        s_text = sql[tokens[i + 2].start : tokens[comma - 1].end]
+        n_text = sql[tokens[comma + 1].start : tokens[close - 1].end]
+        if _is_safe_len_literal(n_text):
+            # literal n >= 0: engines agree — this site PERSISTS, so
+            # it (alone) advances the skip counter
+            processed += 1
+            continue
+        if fname == "LEFT":
+            repl = (
+                f"substring({s_text}, 1, CASE WHEN ({n_text}) < 0 "
+                f"THEN greatest(length({s_text}) + ({n_text}), 0) "
+                f"ELSE ({n_text}) END)"
+            )
+        else:
+            repl = (
+                f"substring({s_text}, CASE "
+                f"WHEN ({n_text}) IS NULL THEN CAST(NULL AS INT) "
+                f"WHEN ({n_text}) < 0 THEN 1 - ({n_text}) "
+                f"WHEN length({s_text}) > ({n_text}) "
+                f"THEN length({s_text}) - ({n_text}) + 1 "
+                f"ELSE 1 END)"
+            )
+        sql = f"{sql[:tokens[i].start]}{repl}{sql[tokens[close].end:]}"
+
+
 def translate_cast_type_names(sql: str) -> str:
     """ANSI ``CAST(expr AS pg_type)`` with a PG type name → the ``::``
     form, so :func:`translate_pg_casts` applies the one type map and
@@ -2138,5 +2331,7 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_pg_functions(sql)
     sql = translate_regexp_replace(sql)
     sql = translate_substring_regex(sql)
+    sql = translate_substr_positional(sql)  # after regex form is consumed
+    sql = translate_left_right(sql)
     sql = translate_fetch_first(sql)
     return translate_order_nulls(sql)

@@ -513,7 +513,7 @@ class TestParameterizedCasts:
 
         assert (
             translate_pg_casts("SELECT x::numeric, y::int FROM t")
-            == "SELECT CAST(x AS DECIMAL(38,10)), CAST(y AS INT) FROM t"
+            == "SELECT CAST(x AS DECIMAL(38,10)), CAST(round(CAST(y AS DECIMAL(38,10)), 0) AS INT) FROM t"
         )
 
     def test_select_keyword_not_swallowed_into_operand(self):
@@ -524,11 +524,11 @@ class TestParameterizedCasts:
 
         assert (
             translate_pg_casts("SELECT (a + b)::int FROM t")
-            == "SELECT CAST((a + b) AS INT) FROM t"
+            == "SELECT CAST(round(CAST((a + b) AS DECIMAL(38,10)), 0) AS INT) FROM t"
         )
         assert (
             translate_pg_casts("SELECT x FROM t WHERE (a)::int > 1 AND (b)::int < 2")
-            == "SELECT x FROM t WHERE CAST((a) AS INT) > 1 AND CAST((b) AS INT) < 2"
+            == "SELECT x FROM t WHERE CAST(round(CAST((a) AS DECIMAL(38,10)), 0) AS INT) > 1 AND CAST(round(CAST((b) AS DECIMAL(38,10)), 0) AS INT) < 2"
         )
 
     def test_paren_args_that_are_not_ints_left_alone(self):
@@ -538,7 +538,7 @@ class TestParameterizedCasts:
         # surrounding expression, not the type
         assert (
             translate_pg_casts("SELECT x::int + (y) FROM t")
-            == "SELECT CAST(x AS INT) + (y) FROM t"
+            == "SELECT CAST(round(CAST(x AS DECIMAL(38,10)), 0) AS INT) + (y) FROM t"
         )
 
 
@@ -630,7 +630,7 @@ class TestAnsiCastTypeNames:
 
         assert (
             to_spark_sql("SELECT CAST(CAST(x AS text) AS int) FROM t")
-            == "SELECT CAST((CAST((x) AS STRING)) AS INT) FROM t"
+            == "SELECT CAST(round(CAST((CAST((x) AS STRING)) AS DECIMAL(38,10)), 0) AS INT) FROM t"
         )
 
     def test_bare_float_is_pg_float8(self):
@@ -1072,3 +1072,81 @@ class TestToCharDayOfYear:
 
         with pytest.raises(ValueError, match="outside the supported"):
             translate_to_char("SELECT to_char(d, 'D') FROM t")
+
+
+class TestSubstrPositionalClamp:
+    """PG counts substring positions on the number line; Spark treats
+    negative starts as from-the-end (round-7 silent-divergence fix)."""
+
+    def test_values_match_pg(self, spark):
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT substr('abc', 0 - 1, 2) AS a, "
+                "substr('abcdef', 0 - 2, 4) AS b, "
+                "substr('abc', 0, 2) AS c, "
+                "substr('abcdef', 0 - 1) AS d, "
+                "substring('abcdef' FROM 0 - 1 FOR 4) AS e, "
+                "substr('abc', CAST(NULL AS INT), 2) AS n"
+            )
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d, row.e) == (
+            "", "a", "a", "abcdef", "ab"
+        )
+        assert row.n is None  # CASE keeps NULL; greatest would eat it
+
+    def test_safe_literals_untouched(self):
+        from gfw_data_api_spark.sql.dialect import translate_substr_positional
+
+        for sql in (
+            "SELECT substr(x, 2, 5) FROM t",
+            "SELECT substring(x, 1) FROM t",
+            "SELECT substring('abcdef' FROM 2 FOR 3) AS r",
+        ):
+            assert translate_substr_positional(sql) == sql
+
+    def test_literal_negative_length_raises_like_pg(self):
+        from gfw_data_api_spark.sql.dialect import translate_substr_positional
+
+        with pytest.raises(ValueError, match="negative substring length"):
+            translate_substr_positional("SELECT substr(x, 1, -2) FROM t")
+
+
+class TestLeftRightNegative:
+    def test_values_match_pg(self, spark):
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT left('abcdef', 0 - 2) AS l, "
+                "right('abcdef', 0 - 2) AS r, "
+                "right('abcdef', 0 - 9) AS r_all_cut, "
+                "right('abc', 1 + 9) AS r_long, "
+                "left('abc', CAST(NULL AS INT)) AS ln, "
+                "right('abc', CAST(NULL AS INT)) AS rn, "
+                "right(left('abcdef', 0 - 1), 0 - 1) AS nested"
+            )
+        ).collect()[0]
+        assert (row.l, row.r) == ("abcd", "cdef")  # all-but-last/first 2
+        assert (row.r_all_cut, row.r_long) == ("", "abc")
+        assert row.ln is None and row.rn is None
+        assert row.nested == "bcde"
+
+    def test_safe_literals_untouched(self):
+        from gfw_data_api_spark.sql.dialect import translate_left_right
+
+        sql = "SELECT left(x, 3), right(x, 4) FROM t"
+        assert translate_left_right(sql) == sql
+
+
+class TestIntCastRounding:
+    def test_pg_rounds_half_away_where_spark_truncates(self, spark):
+        row = spark.sql(
+            to_spark_sql(
+                "SELECT 2.5::int AS a, (0 - 2.5)::int AS b, "
+                "2.4999::smallint AS c, CAST(3.5 AS INT) AS d, "
+                "'9007199254740999'::bigint AS big, "
+                "7::int AS ident"
+            )
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (3, -3, 2, 4)
+        # the DECIMAL(38,10) route keeps >2^53 integer strings exact
+        assert row.big == 9007199254740999
+        assert row.ident == 7

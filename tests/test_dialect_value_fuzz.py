@@ -1,0 +1,501 @@
+"""Differential VALUE-fuzz for the PG dialect layer (VERDICT r6 #2).
+
+The existing fuzz (test_dialect_fuzz.py) proves typed rejection and
+ANSI pass-through identity; the q31–q45 gates pin fixed samples. This
+harness pins the space BETWEEN them: a seeded generator builds random
+well-typed PG expressions from the gated surface (casts, ``^``,
+EXTRACT fields, regex/SIMILAR TO operators, jsonb ops, ANY/ALL,
+regexp_replace flags, string/date breadth, BETWEEN SYMMETRIC), runs
+each through ``to_spark_sql`` → Spark AND through an INDEPENDENTLY
+derived DuckDB twin (DuckDB shares PG's surface for most constructs;
+where it diverges — SIMILAR TO is plain-regex, decimal casts
+truncate, no ``~*``/``btrim`` — the twin compensates with its own
+mapping, written here, not imported from the dialect), and compares
+values. For pure string-slicing constructs (substr/left/right) the
+expected value is computed in PYTHON from PG's documented rules — a
+third, fully independent oracle.
+
+All atoms are literals, so expressions are constants: 1,200 of them
+batch 40-per-SELECT into ~30 Spark queries. A batch failure bisects
+to name the culprit expression.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+N_EXPRS = 1200
+BATCH = 40
+SEED = 20260815
+
+STR_POOL = [
+    "abc",
+    "Hello World",
+    "a,b,c",
+    "x",
+    "",
+    "Ab1 cd2",
+    "the quick brown fox",
+    "aXbXc",
+    "  pad  ",
+    "Łódź",
+]
+KEY_POOL = ["k", "a", "b"]
+JSON_POOL = [
+    '{"k": 5, "s": "x"}',
+    '{"k": null, "a": 1}',
+    '{"s": "5"}',
+    '["foo", "bar", 2]',
+    '[1, 2.0, true]',
+    "[]",
+    '{"a": 1, "b": 2}',
+]
+REGEX_POOL = ["[0-9]+", "a.c", "^H", "o+", "([a-z])X", "q[a-z]*", "\\s+"]
+SIMILAR_POOL = ["a%", "%b%", "a_c", "(a|b)%", "%fox", "H%d"]
+DATE_POOL = ["1995-07-16", "2024-02-29", "2021-01-01", "1997-12-31", "2024-03-17"]
+# PG to_char template → strftime (independent of the dialect's Java map)
+TO_CHAR_POOL = [
+    ("YYYY-MM-DD", "%Y-%m-%d"),
+    ("DD.MM.YYYY", "%d.%m.%Y"),
+    ("YYYYDDD", "%Y%j"),
+    ("Mon DD", "%b %d"),
+    ("Dy", "%a"),
+    ("YYYY-DDD", "%Y-%j"),
+]
+
+
+def q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def pg_substr(s: str, start: int, n: int | None) -> str:
+    """PG substr rules: positions live on the number line."""
+    if n is None:
+        lo = max(start, 1)
+        return s[lo - 1 :]
+    lo = max(start, 1)
+    hi = start + n - 1  # inclusive
+    if hi < lo:
+        return ""
+    return s[lo - 1 : hi]
+
+
+class Gen:
+    """Returns (pg_sql, duck_sql, kind, exact) tuples. kind in
+    NUM/STR/BOOL/DATE; exact=False when a double-producing construct
+    (^, EPOCH) is in the subtree (disables round() wrapping, loosens
+    the numeric compare)."""
+
+    def __init__(self, rng: random.Random):
+        self.r = rng
+
+    # ---------------- atoms ----------------
+    def int_atom(self):
+        v = self.r.randint(-20, 100)
+        t = f"({v})" if v < 0 else str(v)
+        return t, t, "NUM", True
+
+    def dec_atom(self):
+        v = round(self.r.uniform(-50, 50), self.r.randint(1, 3))
+        t = f"({v})" if v < 0 else str(v)
+        return t, t, "NUM", True
+
+    def str_atom(self):
+        s = q(self.r.choice(STR_POOL))
+        return s, s, "STR", True
+
+    def date_atom(self):
+        d = f"DATE '{self.r.choice(DATE_POOL)}'"
+        return d, d, "DATE", True
+
+    # ---------------- numeric ----------------
+    def num(self, depth):
+        if depth <= 0:
+            return self.r.choice([self.int_atom, self.dec_atom])()
+        pick = self.r.randrange(12)
+        if pick <= 2:  # arithmetic
+            a_pg, a_dk, _, ax = self.num(depth - 1)
+            b_pg, b_dk, _, bx = self.num(depth - 1)
+            op = self.r.choice(["+", "-", "*"])
+            return (
+                f"({a_pg} {op} {b_pg})",
+                f"({a_dk} {op} {b_dk})",
+                "NUM",
+                ax and bx,
+            )
+        if pick == 3:  # modulo over ints
+            a_pg, a_dk, _, _ = self.int_atom()
+            b = self.r.randint(1, 9)
+            return f"({a_pg} % {b})", f"({a_dk} % {b})", "NUM", True
+        if pick == 4:  # power (PG ^; DuckDB shares the operator AND
+            # the unary-minus-binds-tighter precedence)
+            a = self.r.randint(-5, 9)
+            b = self.r.randint(0, 3)
+            a_t = f"({a})" if a < 0 else str(a)
+            return f"({a_t} ^ {b})", f"({a_t} ^ {b})", "NUM", False
+        if pick == 5:
+            a_pg, a_dk, _, ax = self.num(depth - 1)
+            fn = self.r.choice(["abs", "floor", "ceil"])
+            return f"{fn}({a_pg})", f"{fn}({a_dk})", "NUM", ax
+        if pick == 6:  # round over EXACT subtrees only (doubles
+            # round half-even in PG vs half-up in Spark)
+            a_pg, a_dk, _, ax = self.num(depth - 1)
+            if not ax:
+                return a_pg, a_dk, "NUM", ax
+            d = self.r.randint(0, 2)
+            return f"round({a_pg}, {d})", f"round({a_dk}, {d})", "NUM", True
+        if pick == 7:
+            a_pg, a_dk, _, ax = self.num(depth - 1)
+            b_pg, b_dk, _, bx = self.num(depth - 1)
+            fn = self.r.choice(["greatest", "least"])
+            return (
+                f"{fn}({a_pg}, {b_pg})",
+                f"{fn}({a_dk}, {b_dk})",
+                "NUM",
+                ax and bx,
+            )
+        if pick == 8:
+            s_pg, s_dk, _, _ = self.string(depth - 1)
+            return f"length({s_pg})", f"length({s_dk})", "NUM", True
+        if pick == 9:  # EXTRACT over a date
+            d_pg, d_dk, _, _ = self.date(depth - 1)
+            f = self.r.choice(
+                ["DOW", "ISODOW", "YEAR", "MONTH", "DAY", "QUARTER", "WEEK", "ISOYEAR"]
+            )
+            return (
+                f"EXTRACT({f} FROM {d_pg})",
+                f"EXTRACT({f} FROM {d_dk})",
+                "NUM",
+                True,
+            )
+        if pick == 10:  # position
+            sub = q(self.r.choice(["b", "o", "z", "X"]))
+            s_pg, s_dk, _, _ = self.string(depth - 1)
+            return (
+                f"position({sub} IN {s_pg})",
+                f"position({sub} IN {s_dk})",
+                "NUM",
+                True,
+            )
+        # int-family cast: PG rounds half away on numerics; DuckDB's
+        # integer cast shares that, so the twin is the same text
+        a_pg, a_dk, _, ax = self.num(depth - 1)
+        if not ax:
+            return a_pg, a_dk, "NUM", ax
+        ty = self.r.choice(["int", "bigint", "smallint"])
+        return f"({a_pg})::{ty}", f"CAST({a_dk} AS BIGINT)", "NUM", True
+
+    # ---------------- strings ----------------
+    def string(self, depth):
+        if depth <= 0:
+            return self.str_atom()
+        pick = self.r.randrange(14)
+        if pick == 0:
+            a_pg, a_dk, _, _ = self.string(depth - 1)
+            b_pg, b_dk, _, _ = self.string(depth - 1)
+            return f"({a_pg} || {b_pg})", f"({a_dk} || {b_dk})", "STR", True
+        if pick == 1:
+            a_pg, a_dk, _, _ = self.string(depth - 1)
+            fn = self.r.choice(["upper", "lower", "trim", "reverse"])
+            return f"{fn}({a_pg})", f"{fn}({a_dk})", "STR", True
+        if pick == 2:  # btrim: DuckDB spells it trim(s, chars)
+            a_pg, a_dk, _, _ = self.string(depth - 1)
+            ch = q(self.r.choice(["x", "a ", " "]))
+            return f"btrim({a_pg}, {ch})", f"trim({a_dk}, {ch})", "STR", True
+        if pick == 3:  # substr with Python-computed expected
+            s = self.r.choice(STR_POOL)
+            start = self.r.randint(-3, 6)
+            n = self.r.choice([None, 0, 1, 2, 5])
+            if n is None:
+                pg = f"substr({q(s)}, {start})" if start >= 0 else f"substr({q(s)}, ({start}))"
+            else:
+                st = f"({start})" if start < 0 else str(start)
+                pg = f"substr({q(s)}, {st}, {n})"
+            expected = pg_substr(s, start, n)
+            return pg, q(expected), "STR", True
+        if pick == 4:  # left/right with Python-computed expected
+            s = self.r.choice(STR_POOL)
+            n = self.r.randint(-4, 5)
+            fn = self.r.choice(["left", "right"])
+            nt = f"({n})" if n < 0 else str(n)
+            if fn == "left":
+                # PG left: n>=0 first n chars; n<0 all but last |n|
+                expected = s[: max(len(s) + n, 0)] if n < 0 else s[:n]
+            else:
+                # PG right: n>=0 last n chars; n<0 all but first |n|
+                expected = s[-n:] if n < 0 else (s[len(s) - n :] if n > 0 else "")
+            return f"{fn}({q(s)}, {nt})", q(expected), "STR", True
+        if pick == 5:
+            a_pg, a_dk, _, _ = self.string(depth - 1)
+            n = self.r.randint(0, 8)
+            fill = q(self.r.choice(["x", "xy", "-"]))
+            fn = self.r.choice(["lpad", "rpad"])
+            return (
+                f"{fn}({a_pg}, {n}, {fill})",
+                f"{fn}({a_dk}, {n}, {fill})",
+                "STR",
+                True,
+            )
+        if pick == 6:
+            a_pg, a_dk, _, _ = self.string(depth - 1)
+            n = self.r.randint(0, 3)
+            return f"repeat({a_pg}, {n})", f"repeat({a_dk}, {n})", "STR", True
+        if pick == 7:
+            a_pg, a_dk, _, _ = self.string(depth - 1)
+            frm = q(self.r.choice(["X", "o", "b", "zz"]))
+            to = q(self.r.choice(["-", "", "YY"]))
+            return (
+                f"replace({a_pg}, {frm}, {to})",
+                f"replace({a_dk}, {frm}, {to})",
+                "STR",
+                True,
+            )
+        if pick == 8:
+            s = q(self.r.choice(["a,b,c", "one,two", "x", ""]))
+            n = self.r.randint(1, 4)
+            return (
+                f"split_part({s}, ',', {n})",
+                f"split_part({s}, ',', {n})",
+                "STR",
+                True,
+            )
+        if pick == 9:  # regexp_replace: DuckDB shares PG's first-only
+            # default, g/i flags, and \n backrefs
+            s_pg, s_dk, _, _ = self.string(depth - 1)
+            pat, rep = self.r.choice(
+                [
+                    ("X", "-"),
+                    ("[aeiou]", "_"),
+                    ("([a-z])X", "<\\1>"),
+                    ("o+", "0"),
+                ]
+            )
+            flags = self.r.choice(["", "g", "i", "gi"])
+            tail = f", '{flags}'" if flags else ""
+            return (
+                f"regexp_replace({s_pg}, {q(pat)}, {q(rep)}{tail})",
+                f"regexp_replace({s_dk}, {q(pat)}, {q(rep)}{tail})",
+                "STR",
+                True,
+            )
+        if pick == 10:  # to_char with an independent strftime map
+            d_pg, d_dk, _, _ = self.date(depth - 1)
+            tpl, stf = self.r.choice(TO_CHAR_POOL)
+            return (
+                f"to_char({d_pg}, '{tpl}')",
+                f"strftime({d_dk}, '{stf}')",
+                "STR",
+                True,
+            )
+        if pick == 11:  # substring-from-regex (PG NULL on miss)
+            s_pg, s_dk, _, _ = self.string(depth - 1)
+            pat = q(self.r.choice(REGEX_POOL))
+            grp = ", 1" if "(" in pat and "(?" not in pat else ""
+            return (
+                f"substring({s_pg} FROM {pat})",
+                f"CASE WHEN regexp_matches({s_dk}, {pat}) "
+                f"THEN regexp_extract({s_dk}, {pat}{grp}) END",
+                "STR",
+                True,
+            )
+        if pick == 12:  # jsonb text extraction
+            j = q(self.r.choice(JSON_POOL))
+            k = self.r.choice(KEY_POOL)
+            return (
+                f"({j} ->> '{k}')",
+                f"json_extract_string({j}, '$.{k}')",
+                "STR",
+                True,
+            )
+        # translate()
+        a_pg, a_dk, _, _ = self.string(depth - 1)
+        return (
+            f"translate({a_pg}, 'abo', 'xy')",
+            f"translate({a_dk}, 'abo', 'xy')",
+            "STR",
+            True,
+        )
+
+    # ---------------- dates ----------------
+    def date(self, depth):
+        if depth <= 0 or self.r.random() < 0.5:
+            return self.date_atom()
+        d_pg, d_dk, _, _ = self.date_atom()
+        n = self.r.randint(-400, 400)
+        nt = f"({n})" if n < 0 else str(n)
+        return f"({d_pg} + {nt})", f"({d_dk} + {nt})", "DATE", True
+
+    # ---------------- booleans ----------------
+    def boolean(self, depth):
+        pick = self.r.randrange(8)
+        if pick == 0:
+            a_pg, a_dk, _, _ = self.num(depth - 1)
+            b_pg, b_dk, _, _ = self.num(depth - 1)
+            op = self.r.choice(["<", "<=", "=", "<>", ">", ">="])
+            return f"({a_pg} {op} {b_pg})", f"({a_dk} {op} {b_dk})", "BOOL", True
+        if pick == 1:  # regex match operators
+            s_pg, s_dk, _, _ = self.string(depth - 1)
+            pat = q(self.r.choice(REGEX_POOL))
+            op = self.r.choice(["~", "~*", "!~", "!~*"])
+            neg = "NOT " if op.startswith("!") else ""
+            opts = ", 'i'" if op.endswith("*") else ""
+            return (
+                f"({s_pg} {op} {pat})",
+                f"({neg}regexp_matches({s_dk}, {pat}{opts}))",
+                "BOOL",
+                True,
+            )
+        if pick == 2:  # SIMILAR TO via an independent converter
+            s_pg, s_dk, _, _ = self.string(depth - 1)
+            pat = self.r.choice(SIMILAR_POOL)
+            rx = pat.replace("%", ".*").replace("_", ".")
+            return (
+                f"({s_pg} SIMILAR TO {q(pat)})",
+                f"regexp_full_match({s_dk}, {q(rx)})",
+                "BOOL",
+                True,
+            )
+        if pick == 3:  # BETWEEN SYMMETRIC
+            x_pg, x_dk, _, _ = self.num(depth - 1)
+            a_pg, a_dk, _, _ = self.num(depth - 1)
+            b_pg, b_dk, _, _ = self.num(depth - 1)
+            return (
+                f"({x_pg} BETWEEN SYMMETRIC {a_pg} AND {b_pg})",
+                f"({x_dk} BETWEEN least({a_dk}, {b_dk}) "
+                f"AND greatest({a_dk}, {b_dk}))",
+                "BOOL",
+                True,
+            )
+        if pick == 4:  # ANY / ALL over an array literal
+            x_pg, x_dk, _, _ = self.int_atom()
+            vals = [str(self.r.randint(-5, 20)) for _ in range(3)]
+            lst = ", ".join(vals)
+            op = self.r.choice(["=", "<>", "<", ">"])
+            which = self.r.choice(["ANY", "ALL"])
+            return (
+                f"({x_pg} {op} {which}(ARRAY[{lst}]))",
+                f"({x_dk} {op} {which}(ARRAY[{lst}]))",
+                "BOOL",
+                True,
+            )
+        if pick == 5:  # jsonb key existence
+            j = q(self.r.choice(JSON_POOL))
+            k = self.r.choice(KEY_POOL)
+            return (
+                f"({j} ? '{k}')",
+                f"(json_type({j}) = 'OBJECT' AND "
+                f"list_contains(json_keys({j}), '{k}'))",
+                "BOOL",
+                True,
+            )
+        if pick == 6:  # jsonb object containment
+            j = q(self.r.choice(JSON_POOL))
+            k = self.r.choice(KEY_POOL)
+            v = self.r.choice([1, 5, 2])
+            return (
+                f"({j} @> '{{\"{k}\": {v}}}')",
+                f"coalesce(try_cast(json_extract_string({j}, '$.{k}') "
+                f"AS DOUBLE) = {v} AND "
+                f"substring(CAST(json_extract({j}, '$.{k}') AS VARCHAR), 1, 1) "
+                "IN ('-','0','1','2','3','4','5','6','7','8','9'), false)",
+                "BOOL",
+                True,
+            )
+        # boolean combinators
+        a_pg, a_dk, _, _ = self.boolean(max(depth - 1, 0))
+        b_pg, b_dk, _, _ = self.boolean(max(depth - 1, 0))
+        op = self.r.choice(["AND", "OR"])
+        return f"({a_pg} {op} {b_pg})", f"({a_dk} {op} {b_dk})", "BOOL", True
+
+    def top(self):
+        k = self.r.random()
+        if k < 0.35:
+            return self.num(2)
+        if k < 0.70:
+            return self.string(2)
+        if k < 0.90:
+            return self.boolean(2)
+        # CASE wrapper
+        c_pg, c_dk, _, _ = self.boolean(1)
+        a_pg, a_dk, kind, ax = self.string(1) if self.r.random() < 0.5 else self.num(1)
+        return (
+            f"(CASE WHEN {c_pg} THEN {a_pg} END)",
+            f"(CASE WHEN {c_dk} THEN {a_dk} END)",
+            kind,
+            ax,
+        )
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    return v
+
+
+def _same(a, b, exact: bool) -> bool:
+    a, b = _norm(a), _norm(b)
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if isinstance(a, int) and isinstance(b, int):
+            return a == b
+        tol = 1e-9 if exact else 1e-6
+        return math.isclose(float(a), float(b), rel_tol=tol, abs_tol=tol)
+    return str(a) == str(b)
+
+
+def _run_batch(spark, con, batch):
+    """Evaluate one batch on both engines; return mismatch reports."""
+    spark_sql = to_spark_sql(
+        "SELECT " + ", ".join(f"({pg}) AS c{i}" for i, (pg, _, _, _) in enumerate(batch))
+    )
+    duck_sql = "SELECT " + ", ".join(
+        f"({dk}) AS c{i}" for i, (_, dk, _, _) in enumerate(batch)
+    )
+    srow = spark.sql(spark_sql).collect()[0]
+    drow = con.sql(duck_sql).fetchone()
+    bad = []
+    for i, (pg, dk, kind, ex) in enumerate(batch):
+        if not _same(srow[f"c{i}"], drow[i], ex):
+            bad.append(
+                f"  PG: {pg}\n  DUCK: {dk}\n"
+                f"  spark={srow[f'c{i}']!r} duck={drow[i]!r} kind={kind}"
+            )
+    return bad
+
+
+def test_differential_value_fuzz(spark):
+    rng = random.Random(SEED)
+    gen = Gen(rng)
+    con = duckdb.connect()
+    exprs = [gen.top() for _ in range(N_EXPRS)]
+    failures = []
+    for off in range(0, len(exprs), BATCH):
+        batch = exprs[off : off + BATCH]
+        try:
+            failures.extend(_run_batch(spark, con, batch))
+        except Exception:
+            # bisect to name the culprit expression
+            for item in batch:
+                try:
+                    failures.extend(_run_batch(spark, con, [item]))
+                except Exception as exc:  # noqa: BLE001
+                    failures.append(
+                        f"  ERRORED\n  PG: {item[0]}\n  DUCK: {item[1]}\n"
+                        f"  {type(exc).__name__}: {str(exc)[:200]}"
+                    )
+        if len(failures) > 40:
+            break
+    assert not failures, (
+        f"{len(failures)} value mismatches out of {N_EXPRS}:\n"
+        + "\n---\n".join(failures[:40])
+    )
