@@ -21,7 +21,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gfw_data_api_spark.sql.dialect import to_spark_sql
+from gfw_data_api_spark.sql.dialect import pg_literal_parsing, to_spark_sql
 from gfw_data_api_spark.sql.guard import ValidatedQuery, bind_from, validate_sql
 
 
@@ -90,9 +90,13 @@ def execute_on_dataframe(
         # view and therefore no cross-request races.
         bound = bind_from(validated, view)
         spark_sql = to_spark_sql(bound)
-        result = spark.sql(spark_sql)
-        # force analysis while the view exists; execution stays lazy
-        result.schema
+        # PG string literals are verbatim (standard_conforming_strings);
+        # parse under the dialect's literal contract so '\s+' keeps its
+        # backslash (dialect.py LITERAL CONTRACT)
+        with pg_literal_parsing(spark):
+            result = spark.sql(spark_sql)
+            # force analysis while the view exists; execution stays lazy
+            result.schema
         return result
     finally:
         spark.catalog.dropTempView(view)

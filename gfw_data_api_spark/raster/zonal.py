@@ -45,7 +45,7 @@ from gfw_data_api_spark.raster.layers import (
     default_layer_name,
 )
 from gfw_data_api_spark.raster.pixels import with_pixel_coordinates
-from gfw_data_api_spark.sql.dialect import to_spark_sql
+from gfw_data_api_spark.sql.dialect import pg_literal_parsing, to_spark_sql
 from gfw_data_api_spark.sql.guard import QueryGuardError, bind_from, validate_sql
 
 # default OTF area cap, hectares (app/settings/globals.py:157-160)
@@ -304,8 +304,10 @@ def query_raster(
     df.createOrReplaceTempView(view)
     try:
         bound = bind_from(validated, view)
-        result = spark.sql(to_spark_sql(bound))
-        result.schema
+        # parse under the dialect's literal contract (dialect.py)
+        with pg_literal_parsing(spark):
+            result = spark.sql(to_spark_sql(bound))
+            result.schema
         return result
     finally:
         spark.catalog.dropTempView(view)

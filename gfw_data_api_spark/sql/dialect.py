@@ -11,13 +11,51 @@ a short list of surface fixes, applied token-wise on the validated SQL:
 PG functions with no Spark builtin (ST_*) are registered as session UDFs
 by :mod:`gfw_data_api_spark.functions.geo_udfs`, so injected spatial
 predicates execute verbatim.
+
+LITERAL CONTRACT (round 7): PG string literals are VERBATIM
+(standard_conforming_strings, the default since PG 9.1) — ``'\\s+'``
+keeps its backslash — while Spark's default parser processes
+backslash escapes, silently turning ``'\\s+'`` into ``'s+'``. The
+translated SQL must therefore be parsed with
+``spark.sql.parser.escapedStringLiterals=true`` (use
+:func:`pg_literal_parsing` / :func:`run_pg_sql`); translation passes
+emit literals UNDOUBLED accordingly.
 """
 
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 from gfw_data_api_spark.sql.tokenizer import tokenize
+
+_ESCAPED_LITERALS_CONF = "spark.sql.parser.escapedStringLiterals"
+
+
+@contextmanager
+def pg_literal_parsing(spark):
+    """Parse SQL with PG's verbatim string-literal rules (see the
+    module docstring's LITERAL CONTRACT). Session-scoped conf, saved
+    and restored; only PARSE time matters, so the window is the
+    ``spark.sql(...)`` call plus schema analysis."""
+    try:
+        old = spark.conf.get(_ESCAPED_LITERALS_CONF)
+    except Exception:  # pragma: no cover - conf always readable in 3.x+
+        old = "false"
+    spark.conf.set(_ESCAPED_LITERALS_CONF, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(_ESCAPED_LITERALS_CONF, old)
+
+
+def run_pg_sql(spark, sql: str):
+    """Translate a guarded PG statement and run it under the literal
+    contract — the one-stop execution helper for translated SQL."""
+    with pg_literal_parsing(spark):
+        df = spark.sql(to_spark_sql(sql))
+        df.schema  # force parse+analysis inside the conf window
+    return df
 
 PG_TO_SPARK_TYPES: dict[str, str] = {
     "text": "STRING",
@@ -718,7 +756,7 @@ def translate_similar_to(sql: str) -> str:
         lstart = _absorb_concat_left(tokens, lstart)
         left = sql[tokens[lstart].start : tokens[lend].end]
         rx = _similar_to_java_regex(pat_tok.value)
-        lit = rx.replace("\\", "\\\\").replace("'", "''")
+        lit = rx.replace("'", "''")
         repl = f"({left} RLIKE '{lit}')"
         if neg:
             repl = f"(NOT {repl})"
@@ -817,7 +855,7 @@ def translate_pg_functions(sql: str) -> str:
                 f"ELSE array({s_expr}) END"
             )
         else:
-            quoted = ("\\Q" + delim + "\\E").replace("\\", "\\\\").replace("'", "''")
+            quoted = ("\\Q" + delim + "\\E").replace("'", "''")
             repl = (
                 f"CASE WHEN ({s_expr}) = '' THEN CAST(array() AS array<string>) "
                 f"ELSE split({s_expr}, '{quoted}') END"
@@ -961,8 +999,8 @@ def translate_regexp_replace(sql: str) -> str:
                 )
             new_pat = f"\\A(?s)(.*?)({ci}{pat})"
             new_repl = "$1" + _java_replacement(repl, 2)
-        pl = new_pat.replace("\\", "\\\\").replace("'", "''")
-        rl = new_repl.replace("\\", "\\\\").replace("'", "''")
+        pl = new_pat.replace("'", "''")
+        rl = new_repl.replace("'", "''")
         repl_sql = f"regexp_replace({s_expr}, '{pl}', '{rl}')"
         sql = f"{sql[:tokens[at].start]}{repl_sql}{sql[tokens[close].end:]}"
         done += 1
@@ -1419,15 +1457,34 @@ def _json_exists_keys(tokens, at):
     return keys, j
 
 
+def _json_has_key(lhs: str, key: str) -> str:
+    """Spark condition for PG ``{lhs} ? '{key}'`` across ALL jsonb
+    kinds (round-7 widening — was object-only/three-valued): objects
+    test key presence (null-valued keys count, like PG), arrays test
+    string-element membership, scalar strings test equality, and
+    everything else (numbers, booleans, null, invalid JSON) is FALSE —
+    two-valued, exactly PG."""
+    import json
+
+    jlit = json.dumps(key).replace("'", "''")
+    klit = key.replace("'", "''")
+    return (
+        f"coalesce(CASE "
+        f"WHEN json_object_keys({lhs}) IS NOT NULL "
+        f"THEN array_contains(json_object_keys({lhs}), '{klit}') "
+        f"WHEN json_array_length({lhs}) IS NOT NULL "
+        f"THEN exists(from_json({lhs}, 'array<variant>'), "
+        f"__gfw_x -> to_json(__gfw_x) = '{jlit}') "
+        f"ELSE to_json(try_parse_json({lhs})) = '{jlit}' END, false)"
+    )
+
+
 def translate_json_exists(sql: str) -> str:
-    """PG jsonb key-existence operators → Spark over
-    ``json_object_keys`` (which lists null-valued keys too, matching
-    PG): ``x ? 'k'`` → array_contains, ``x ?| ARRAY[...]`` →
-    arrays_overlap, ``x ?& ARRAY[...]`` → every key contained.
-    OBJECT scope only: PG also defines ``?`` as string-element test on
-    arrays; json_object_keys is NULL for non-objects, so those rows
-    yield NULL (three-valued, filter-false) rather than PG's
-    element-test answer — documented boundary, keys must be literals.
+    """PG jsonb key-existence operators → Spark: ``x ? 'k'`` tests key
+    presence on objects, string-element membership on arrays, and
+    string equality on scalars (see :func:`_json_has_key` — full PG
+    scope, two-valued); ``x ?| ARRAY[...]`` is any-of, ``x ?&
+    ARRAY[...]`` all-of the same per-key test. Keys must be literals.
     Runs before :func:`translate_array_literal` (it consumes the raw
     ARRAY[...] form itself)."""
     while True:
@@ -1450,24 +1507,17 @@ def translate_json_exists(sql: str) -> str:
         # same precedence tier as || (see translate_json_ops)
         lstart = _absorb_concat_left(tokens, lstart)
         lhs = sql[tokens[lstart].start : tokens[at - 1].end]
-        keys_expr = f"json_object_keys({lhs})"
         if op == "?":
             rhs = tokens[at + 1]
             if rhs.kind != "STRING":
                 raise ValueError("? needs a string-literal key")
-            key = rhs.value.replace("'", "''")
-            repl = f"array_contains({keys_expr}, '{key}')"
+            repl = _json_has_key(lhs, rhs.value)
             end = rhs.end
         else:
             keys, last = _json_exists_keys(tokens, at)
-            lits = ", ".join("'" + k.replace("'", "''") + "'" for k in keys)
-            if op == "?|":
-                repl = f"arrays_overlap({keys_expr}, array({lits}))"
-            else:
-                repl = (
-                    f"forall(array({lits}), "
-                    f"__gfw_e -> array_contains({keys_expr}, __gfw_e))"
-                )
+            parts = [_json_has_key(lhs, k) for k in keys]
+            joiner = " OR " if op == "?|" else " AND "
+            repl = "(" + joiner.join(parts) + ")"
             end = tokens[last].end
         sql = f"{sql[:tokens[lstart].start]}{repl}{sql[end:]}"
 
@@ -1497,7 +1547,7 @@ def _array_containment_conditions(col_text: str, arr: list, op: str) -> str:
         elif val is None:
             probe = "to_json(__gfw_x) = 'null'"
         elif isinstance(val, str):
-            lit = json.dumps(val).replace("\\", "\\\\").replace("'", "''")
+            lit = json.dumps(val).replace("'", "''")
             probe = f"to_json(__gfw_x) = '{lit}'"
         elif isinstance(val, (int, float)):
             # numeric jsonb equality with a kind guard: variant casts
@@ -1556,7 +1606,7 @@ def _containment_conditions(col_text: str, literal: str, op: str) -> str:
         elif val is None:
             conds.append(f"coalesce({jref} = 'null', false)")
         elif isinstance(val, str):
-            lit = json.dumps(val).replace("\\", "\\\\").replace("'", "''")
+            lit = json.dumps(val).replace("'", "''")
             conds.append(f"coalesce({jref} = '{lit}', false)")
         elif isinstance(val, (int, float)):
             # numeric jsonb equality: 5 contains 5.0. Guard the cast
@@ -1703,7 +1753,7 @@ def translate_substring_regex(sql: str) -> str:
         expr = sql[tokens[i + 2].start : tokens[sep - 1].end]
         pat = tokens[sep + 1].value
         idx = 1 if _has_capture_group(pat) else 0
-        lit = pat.replace("\\", "\\\\").replace("'", "''")
+        lit = pat.replace("'", "''")
         repl = (
             f"CASE WHEN ({expr}) RLIKE '{lit}' "
             f"THEN regexp_extract({expr}, '{lit}', {idx}) END"

@@ -10,6 +10,7 @@ against DuckDB.
 import pytest
 
 from gfw_data_api_spark.sql.dialect import (
+    run_pg_sql,
     to_spark_sql,
     translate_between_symmetric,
     translate_caret_power,
@@ -140,15 +141,15 @@ class TestExtract:
 class TestSimilarTo:
     def test_percent_and_underscore(self):
         got = translate_similar_to("SELECT * FROM t WHERE f SIMILAR TO 'A_C%'")
-        assert got == "SELECT * FROM t WHERE (f RLIKE '\\\\A(?:A.C.*)\\\\z')"
+        assert got == "SELECT * FROM t WHERE (f RLIKE '\\A(?:A.C.*)\\z')"
 
     def test_not_similar(self):
         got = translate_similar_to("SELECT * FROM t WHERE f NOT SIMILAR TO 'N%'")
-        assert got == "SELECT * FROM t WHERE (NOT (f RLIKE '\\\\A(?:N.*)\\\\z'))"
+        assert got == "SELECT * FROM t WHERE (NOT (f RLIKE '\\A(?:N.*)\\z'))"
 
     def test_literal_dot_is_escaped_alternation_kept(self):
         got = translate_similar_to("SELECT * FROM t WHERE f SIMILAR TO '(a|b)%.x'")
-        assert "(a|b).*\\\\.x" in got
+        assert "(a|b).*\\.x" in got
 
     def test_dynamic_pattern_raises(self):
         with pytest.raises(ValueError, match="string-literal pattern"):
@@ -164,7 +165,7 @@ class TestPgFunctions:
 
     def test_string_to_array_literal_quoted(self):
         got = translate_pg_functions("SELECT string_to_array(f, '.') FROM t")
-        assert "split(f, '\\\\Q.\\\\E')" in got
+        assert "split(f, '\\Q.\\E')" in got
         # PG returns an EMPTY array for '' where split returns ['']
         assert "CASE WHEN (f) = '' THEN CAST(array() AS array<string>)" in got
 
@@ -177,8 +178,8 @@ def test_to_spark_sql_composes_all(spark):
     """End-to-end through Spark: every translated construct parses and
     computes PG semantics (values pinned against hand-computed PG
     results; cross-engine value parity is the q31-q33 gates' job)."""
-    rows = spark.sql(
-        to_spark_sql(
+    rows = run_pg_sql(
+        spark, (
             "SELECT -2 ^ 2 AS p, "
             "EXTRACT(DOW FROM DATE'1995-01-01') AS sun_dow, "
             "EXTRACT(ISODOW FROM DATE'1995-01-01') AS sun_isodow, "
@@ -250,8 +251,8 @@ class TestDistinctOn:
             "flag string, id int, qty int",
         )
         df.createOrReplaceTempView("tv_don")
-        rows = spark.sql(
-            to_spark_sql(
+        rows = run_pg_sql(
+            spark, (
                 "SELECT DISTINCT ON (flag) flag, id, qty FROM tv_don "
                 "ORDER BY flag, qty DESC, id"
             )
@@ -283,8 +284,8 @@ class TestToChar:
             translate_to_char("SELECT to_char(x, fmt) FROM tv")
 
     def test_executes(self, spark):
-        row = spark.sql(
-            to_spark_sql("SELECT to_char(TIMESTAMP'1995-07-04 13:05:09', "
+        row = run_pg_sql(
+            spark, ("SELECT to_char(TIMESTAMP'1995-07-04 13:05:09', "
                          "'YYYY-MM-DD HH24:MI:SS') AS t")
         ).collect()[0]
         assert row.t == "1995-07-04 13:05:09"
@@ -312,17 +313,20 @@ class TestReviewRegressionsRound6:
         ) == "SELECT * FROM t WHERE (a || b RLIKE 'p')"
 
     def test_similar_to_backslash_escapes_are_literal(self, spark):
-        from gfw_data_api_spark.sql.dialect import translate_similar_to
-
-        got = translate_similar_to("SELECT ('adb' SIMILAR TO 'a\\db') AS m")
-        row = spark.sql(got).collect()[0]
+        # translated SQL follows the LITERAL CONTRACT — parse it with
+        # run_pg_sql, which also exercises the contract end-to-end
+        row = run_pg_sql(
+            spark, "SELECT ('adb' SIMILAR TO 'a\\db') AS m"
+        ).collect()[0]
         assert row.m is True  # PG: \d is a literal d, not a digit class
-        got2 = translate_similar_to("SELECT ('a5b' SIMILAR TO 'a\\db') AS m")
-        assert spark.sql(got2).collect()[0].m is False
+        row2 = run_pg_sql(
+            spark, "SELECT ('a5b' SIMILAR TO 'a\\db') AS m"
+        ).collect()[0]
+        assert row2.m is False
 
     def test_between_symmetric_null_bound_yields_null(self, spark):
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT (5 BETWEEN SYMMETRIC CAST(NULL AS INT) AND 5) AS a, "
                 "(5 BETWEEN SYMMETRIC 3 AND 7) AS b"
             )
@@ -331,8 +335,8 @@ class TestReviewRegressionsRound6:
         assert row.b is True
 
     def test_string_to_array_empty_delimiter(self, spark):
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT string_to_array('abc', '') AS one, "
                 "string_to_array('', '') AS zero"
             )
@@ -360,8 +364,8 @@ class TestReviewRegressionsRound6:
             [("r", 1, 10), ("r", 2, 30)], "flag string, id int, qty int"
         )
         df.createOrReplaceTempView("tv_alias")
-        rows = spark.sql(
-            to_spark_sql(
+        rows = run_pg_sql(
+            spark, (
                 "SELECT DISTINCT ON (flag) flag, qty AS q FROM tv_alias "
                 "ORDER BY flag, q DESC"
             )
@@ -375,8 +379,8 @@ class TestReviewRegressionsRound6:
             [("k", None), ("k", 7), ("k", 3)], "g string, v int"
         )
         df.createOrReplaceTempView("tv_nulls")
-        rows = spark.sql(
-            to_spark_sql(
+        rows = run_pg_sql(
+            spark, (
                 "SELECT DISTINCT ON (g) g, v FROM tv_nulls ORDER BY g, v"
             )
         ).collect()
@@ -385,10 +389,10 @@ class TestReviewRegressionsRound6:
     def test_statement_order_by_gets_pg_null_defaults(self, spark):
         df = spark.createDataFrame([(None,), (2,), (1,)], "v int")
         df.createOrReplaceTempView("tv_ord")
-        asc = spark.sql(to_spark_sql("SELECT v FROM tv_ord ORDER BY v")).collect()
+        asc = run_pg_sql(spark, ("SELECT v FROM tv_ord ORDER BY v")).collect()
         assert [r.v for r in asc] == [1, 2, None]  # PG: NULLS LAST on ASC
-        desc = spark.sql(
-            to_spark_sql("SELECT v FROM tv_ord ORDER BY v DESC")
+        desc = run_pg_sql(
+            spark, ("SELECT v FROM tv_ord ORDER BY v DESC")
         ).collect()
         assert [r.v for r in desc] == [None, 2, 1]  # PG: NULLS FIRST on DESC
 
@@ -448,8 +452,8 @@ class TestAggOrderBy:
             "k int, v string, o int",
         )
         df.createOrReplaceTempView("tv_aob")
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT string_agg(v, ',' ORDER BY o) AS sa, "
                 "array_agg(v ORDER BY o) AS aa, "
                 "array_agg(v ORDER BY o DESC) AS ad "
@@ -587,15 +591,15 @@ class TestArrayAnyAll:
         df.createOrReplaceTempView("tv_anyall")
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        rows = spark.sql(
-            to_spark_sql(
+        rows = run_pg_sql(
+            spark, (
                 "SELECT k FROM tv_anyall WHERE s = ANY(ARRAY['O','X']) "
                 "ORDER BY k"
             )
         ).collect()
         assert [r.k for r in rows] == [1, 3]  # NULL s row excluded
-        rows = spark.sql(
-            to_spark_sql(
+        rows = run_pg_sql(
+            spark, (
                 "SELECT k FROM tv_anyall WHERE s <> ALL(ARRAY['F']) ORDER BY k"
             )
         ).collect()
@@ -646,8 +650,8 @@ class TestAnsiCastTypeNames:
         # the SYMMETRIC keyword as a function name in the operand walk
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT (5 BETWEEN SYMMETRIC CAST(NULL AS INT) AND 5) AS a"
             )
         ).collect()[0]
@@ -662,8 +666,8 @@ class TestReviewRegressionsRound6b:
 
         spark.createDataFrame([("a", "b"), ("c", "d")], "c1 string, c2 string"
                               ).createOrReplaceTempView("tv_anylhs")
-        rows = spark.sql(
-            to_spark_sql(
+        rows = run_pg_sql(
+            spark, (
                 "SELECT c1 FROM tv_anylhs WHERE c1 || c2 = ANY(ARRAY['ab'])"
             )
         ).collect()
@@ -687,8 +691,8 @@ class TestReviewRegressionsRound6b:
         # review: PG 'abc'::char = 'a' (bare char means char(1))
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql("SELECT 'abc'::char AS a, CAST('' AS char) AS b")
+        row = run_pg_sql(
+            spark, ("SELECT 'abc'::char AS a, CAST('' AS char) AS b")
         ).collect()[0]
         assert row.a == "a"
         assert row.b == " "  # truncate AND pad
@@ -699,8 +703,8 @@ class TestReviewRegressionsRound6b:
 
         spark.createDataFrame([(1, 2, 3), (4, 5, 1)], "a int, b int, k int"
                               ).createOrReplaceTempView("tv_aggarr")
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT array_agg(ARRAY[a, b] ORDER BY k) AS r FROM tv_aggarr"
             )
         ).collect()[0]
@@ -711,8 +715,8 @@ class TestRegexpReplace:
     def test_first_only_default_matches_pg(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT regexp_replace('aaa', 'a', 'b') AS f, "
                 "regexp_replace('aaa', 'a', 'b', 'g') AS g, "
                 "regexp_replace('aAa', 'a', 'b', 'gi') AS gi, "
@@ -724,8 +728,8 @@ class TestRegexpReplace:
     def test_backref_conversion_and_shift(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT regexp_replace('x1y2', '([0-9])', '[\\1]', 'g') AS g, "
                 "regexp_replace('x1y2', '([0-9])', '[\\1]') AS f, "
                 "regexp_replace('cost $5 now', 'now', 'later') AS dollar, "
@@ -740,8 +744,8 @@ class TestRegexpReplace:
     def test_dot_crosses_newlines_like_pg(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql("SELECT regexp_replace('a\nb c', 'b.c', 'Z') AS r")
+        row = run_pg_sql(
+            spark, ("SELECT regexp_replace('a\nb c', 'b.c', 'Z') AS r")
         ).collect()[0]
         assert row.r == "a\nZ"  # PG: . matches newline by default
 
@@ -768,8 +772,8 @@ class TestRegexpReplace:
     def test_nested_calls_both_translate(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT regexp_replace(regexp_replace('aa bb', 'a', 'x'), "
                 "'b', 'y') AS r"
             )
@@ -809,8 +813,8 @@ class TestTemplateParse:
     def test_parse_values_match_pg(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT to_date('05.02.2024', 'DD.MM.YYYY') AS d, "
                 "to_char(to_timestamp('2021-07-04 09:30:15', "
                 "'YYYY-MM-DD HH24:MI:SS'), 'HH24-MI-SS') AS h"
@@ -824,8 +828,8 @@ class TestJsonOperators:
     def test_text_and_json_modes(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 """SELECT '{"s": "x", "n": 5}' ->> 's' AS t,
                 '{"s": "x", "n": 5}' -> 's' AS j,
                 '{"s": "x", "n": 5}' -> 'n' AS n,
@@ -840,8 +844,8 @@ class TestJsonOperators:
     def test_paths_indexes_and_chains(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 """SELECT '{"o": {"b": [1,2]}}' #>> '{o,b,1}' AS p,
                 '[10,20,30]' ->> 1 AS i,
                 '{"a": {"b": "q"}}' -> 'a' ->> 'b' AS c"""
@@ -877,8 +881,8 @@ class TestJsonKeyExists:
     def test_existence_semantics(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 """SELECT '{"k": null, "b": 1}' ? 'k' AS nullkey,
                 '{"b": 1}' ? 'k' AS missing,
                 '{"a": 1, "b": 2}' ?| ARRAY['x', 'b'] AS any_hit,
@@ -907,8 +911,8 @@ class TestJsonContainment:
     def test_containment_semantics(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 """SELECT '{"k": 5, "s": "a"}' @> '{"k": 5}' AS hit,
                 '{"k": 5.0}' @> '{"k": 5}' AS numeric_eq,
                 '{"k": "5"}' @> '{"k": 5}' AS string_vs_number,
@@ -946,8 +950,8 @@ class TestJsonContainment:
         """Round-7 widening (VERDICT r6 #3): array needles of scalars."""
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 """SELECT '["foo", "bar"]' @> '["foo"]' AS tag_hit,
                 '["foo"]' @> '["foo", "bar"]' AS needs_all,
                 '[1, 2.0]' @> '[2]' AS numeric_eq,
@@ -974,8 +978,8 @@ class TestSubstringRegex:
     def test_group_rule_and_null_on_no_match(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT substring('abc123def' FROM '[0-9]+') AS whole, "
                 "substring('a1b2' FROM '([a-z])[0-9]') AS grp, "
                 "substring('a1b2' FROM '(?:[a-z])([0-9])') AS noncap, "
@@ -1005,8 +1009,8 @@ class TestConcatPrecedenceAbsorption:
     def test_similar_to_absorbs_concat_chain(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT 'a' || 'b' || 'c' SIMILAR TO 'a%c' AS hit, "
                 "'a' || 'b' SIMILAR TO 'a' AS anchored_miss, "
                 "'a' || 'b' NOT SIMILAR TO 'a' AS neg"
@@ -1019,8 +1023,8 @@ class TestConcatPrecedenceAbsorption:
     def test_json_ops_absorb_concat_chain(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 """SELECT '{"k":' || ' 5}' ->> 'k' AS t,
                 '{"k":' || ' "v"}' -> 'k' AS j,
                 '{"a":' || ' {"b": 2}}' #>> '{a,b}' AS p"""
@@ -1031,8 +1035,8 @@ class TestConcatPrecedenceAbsorption:
     def test_json_exists_and_contains_absorb_concat(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 """SELECT '{"k":' || ' 1}' ? 'k' AS ex,
                 '{"a": 1,' || ' "b": 2}' ?& ARRAY['a', 'b'] AS all_hit,
                 '{"k":' || ' 5}' @> '{"k": 5}' AS cont"""
@@ -1056,8 +1060,8 @@ class TestToCharDayOfYear:
     def test_ddd_zero_pads_like_pg(self, spark):
         from gfw_data_api_spark.sql.dialect import to_spark_sql
 
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT to_char(DATE '2024-02-01', 'YYYY-DDD') AS f, "
                 "to_date('2024032', 'YYYYDDD') AS p"
             )
@@ -1079,8 +1083,8 @@ class TestSubstrPositionalClamp:
     negative starts as from-the-end (round-7 silent-divergence fix)."""
 
     def test_values_match_pg(self, spark):
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT substr('abc', 0 - 1, 2) AS a, "
                 "substr('abcdef', 0 - 2, 4) AS b, "
                 "substr('abc', 0, 2) AS c, "
@@ -1113,8 +1117,8 @@ class TestSubstrPositionalClamp:
 
 class TestLeftRightNegative:
     def test_values_match_pg(self, spark):
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT left('abcdef', 0 - 2) AS l, "
                 "right('abcdef', 0 - 2) AS r, "
                 "right('abcdef', 0 - 9) AS r_all_cut, "
@@ -1138,8 +1142,8 @@ class TestLeftRightNegative:
 
 class TestIntCastRounding:
     def test_pg_rounds_half_away_where_spark_truncates(self, spark):
-        row = spark.sql(
-            to_spark_sql(
+        row = run_pg_sql(
+            spark, (
                 "SELECT 2.5::int AS a, (0 - 2.5)::int AS b, "
                 "2.4999::smallint AS c, CAST(3.5 AS INT) AS d, "
                 "'9007199254740999'::bigint AS big, "

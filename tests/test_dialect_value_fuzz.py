@@ -29,7 +29,7 @@ from decimal import Decimal
 import duckdb
 import pytest
 
-from gfw_data_api_spark.sql.dialect import to_spark_sql
+from gfw_data_api_spark.sql.dialect import pg_literal_parsing, to_spark_sql
 
 N_EXPRS = 1200
 BATCH = 40
@@ -230,7 +230,7 @@ class Gen:
                 expected = s[: max(len(s) + n, 0)] if n < 0 else s[:n]
             else:
                 # PG right: n>=0 last n chars; n<0 all but first |n|
-                expected = s[-n:] if n < 0 else (s[len(s) - n :] if n > 0 else "")
+                expected = s[-n:] if n < 0 else s[max(len(s) - n, 0) :] if n > 0 else ""
             return f"{fn}({q(s)}, {nt})", q(expected), "STR", True
         if pick == 5:
             a_pg, a_dk, _, _ = self.string(depth - 1)
@@ -385,13 +385,22 @@ class Gen:
                 "BOOL",
                 True,
             )
-        if pick == 5:  # jsonb key existence
-            j = q(self.r.choice(JSON_POOL))
-            k = self.r.choice(KEY_POOL)
+        if pick == 5:  # jsonb key existence — PG scope: object key /
+            # array string-element / scalar string equality
+            j = q(self.r.choice(JSON_POOL + ['"foo"', '"k"', "5"]))
+            k = self.r.choice(KEY_POOL + ["foo"])
+            elems = (
+                f"list_transform(range(CAST(json_array_length({j}) AS BIGINT)), "
+                f"__i -> CAST(json_extract({j}, '$[' || __i || ']') AS VARCHAR))"
+            )
             return (
                 f"({j} ? '{k}')",
-                f"(json_type({j}) = 'OBJECT' AND "
-                f"list_contains(json_keys({j}), '{k}'))",
+                f"coalesce(CASE WHEN json_type({j}) = 'OBJECT' "
+                f"THEN list_contains(json_keys({j}), '{k}') "
+                f"WHEN json_type({j}) = 'ARRAY' "
+                f"THEN list_contains({elems}, '\"{k}\"') "
+                f"ELSE CAST(try_cast({j} AS JSON) AS VARCHAR) = '\"{k}\"' "
+                "END, false)",
                 "BOOL",
                 True,
             )
@@ -461,7 +470,10 @@ def _run_batch(spark, con, batch):
     duck_sql = "SELECT " + ", ".join(
         f"({dk}) AS c{i}" for i, (_, dk, _, _) in enumerate(batch)
     )
-    srow = spark.sql(spark_sql).collect()[0]
+    with pg_literal_parsing(spark):
+        df = spark.sql(spark_sql)
+        df.schema
+    srow = df.collect()[0]
     drow = con.sql(duck_sql).fetchone()
     bad = []
     for i, (pg, dk, kind, ex) in enumerate(batch):
