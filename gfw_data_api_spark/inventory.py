@@ -3242,9 +3242,9 @@ _DRIVER_FRONT: list[str] = [
     "t15_bm25_search",
     "i08_multiway_join_revenue",
     "st08_media_stream_dedup",
-    "a01_approx_count_distinct",
     # --- new round-7 gates (displace r4-stale rows from the end) ---
     "q45_json_array_containment",
+    "q46_backslash_literals",
 ]
 
 
@@ -7865,6 +7865,46 @@ def _q45_oracle() -> str:
         f"list_contains({props_elems}, '\"click\"')) AS object_haystack "
         "FROM events WHERE event_type IN ('click', 'view') ORDER BY event_id"
     )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q46_backslash_literals",
+        spark_fn=_guarded(
+            "documents",
+            # PG semantics under test (round-7 LITERAL CONTRACT): PG
+            # string literals are VERBATIM — '\s' keeps its backslash
+            # into the regex engine, '\n' is backslash-n (2 chars),
+            # and regexp character classes \d/\w work from plain
+            # literals. Spark's default parser would eat every one of
+            # these silently; the guarded path parses with
+            # escapedStringLiterals=true.
+            "SELECT doc_id, "
+            "(text ~ '\\d') AS has_digit, "
+            "regexp_replace(text, '\\s+', '_', 'g') AS squashed, "
+            "substring(text FROM '\\w+') AS first_word, "
+            "length('a\\nb') AS backslash_n_len, "
+            "split_part('x\\y', '\\', 2) AS after_backslash "
+            "FROM data",
+        ),
+        oracle=(
+            # DuckDB literals are standard-conforming like PG
+            "SELECT doc_id, "
+            "regexp_matches(text, '\\d') AS has_digit, "
+            "regexp_replace(text, '\\s+', '_', 'g') AS squashed, "
+            "CASE WHEN regexp_matches(text, '\\w+') "
+            "THEN regexp_extract(text, '\\w+') END AS first_word, "
+            "length('a\\nb') AS backslash_n_len, "
+            "split_part('x\\y', '\\', 2) AS after_backslash "
+            "FROM documents"
+        ),
+        survey_ref="Q11 dialect breadth: PG-verbatim string literals "
+        "(standard_conforming_strings) — guarded SQL parses under "
+        "spark.sql.parser.escapedStringLiterals=true so backslashes in "
+        "regex patterns and plain literals survive "
+        "(sql/dialect.py LITERAL CONTRACT, operators/query.py)",
+    )
+)
 
 
 _SPECS.append(

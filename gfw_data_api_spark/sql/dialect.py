@@ -2361,6 +2361,41 @@ def translate_order_nulls(sql: str) -> str:
     return sql
 
 
+def fix_unlexable_literals(sql: str) -> str:
+    """Final pass (LITERAL CONTRACT corollary). Under
+    ``escapedStringLiterals=true`` Spark's lexer neither collapses
+    PG's ``''`` quote doubling (probed: ``'a''b'`` yields ``a''b``)
+    nor accepts a backslash directly before the closing quote
+    (``'\\'`` is a parse error) — so any literal whose VALUE contains
+    a single quote, or whose backslashes touch a quote boundary,
+    cannot be written as a plain Spark literal at all. Re-emit those
+    as ``concat('piece', chr(39)/chr(92), ...)`` — constant-folded by
+    Catalyst, so free at run time. Everything else passes through
+    byte-identical. This runs on the FINAL translated text, so it
+    also normalizes the ``''``-doubled literals earlier passes emit."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for t in tokens:
+            if t.kind == "STRING" and (
+                "'" in t.value or "\\'" in t.value or t.value.endswith("\\")
+            ):
+                hit = t
+                break
+        if hit is None:
+            return sql
+        parts = []
+        for piece in re.split(r"(['\\])", hit.value):
+            if piece == "'":
+                parts.append("chr(39)")
+            elif piece == "\\":
+                parts.append("chr(92)")
+            elif piece:
+                parts.append("'" + piece + "'")
+        repl = "concat(" + ", ".join(parts) + ")" if parts else "''"
+        sql = f"{sql[:hit.start]}{repl}{sql[hit.end:]}"
+
+
 def to_spark_sql(sql: str) -> str:
     """All PG→Spark surface translations."""
     sql = translate_json_ops(sql)  # first: later passes emit -> lambdas
@@ -2384,4 +2419,5 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_substr_positional(sql)  # after regex form is consumed
     sql = translate_left_right(sql)
     sql = translate_fetch_first(sql)
-    return translate_order_nulls(sql)
+    sql = translate_order_nulls(sql)
+    return fix_unlexable_literals(sql)  # last: covers emitted literals too

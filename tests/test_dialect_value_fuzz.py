@@ -46,6 +46,10 @@ STR_POOL = [
     "aXbXc",
     "  pad  ",
     "Łódź",
+    # LITERAL CONTRACT stressors: quotes and backslashes must survive
+    "don't",
+    "a\\b",
+    "trail\\",
 ]
 KEY_POOL = ["k", "a", "b"]
 JSON_POOL = [
