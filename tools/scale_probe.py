@@ -277,6 +277,55 @@ def main():
                     ).alias("t"),
                 )
             ),
+            # VERDICT r6 #5: the variant-parsing hot path (q41/q43
+            # translation output shapes) — parse_json/try_variant_get/
+            # get_json_object chains plus the kind-guarded containment
+            # conjunction, per row
+            "q41_json_variant": lambda d: noop(
+                d.select(
+                    "doc_id",
+                    F.expr(
+                        "concat('{\"k\": ', CAST(doc_id % 97 AS STRING), "
+                        "', \"s\": \"x\"}')"
+                    ).alias("props"),
+                ).selectExpr(
+                    "get_json_object(props, '$.k') AS k_text",
+                    "to_json(try_variant_get(parse_json(props), '$.k')) AS k_json",
+                    "coalesce(try_cast(get_json_object(props, '$.k') AS DOUBLE)"
+                    " = 69 AND substring(to_json(try_variant_get(parse_json("
+                    "props), '$.k')), 1, 1) NOT IN ('\"','[','{'), false) AS c69",
+                )
+            ),
+            # q45 array-containment shape: from_json→array<variant> +
+            # exists probes per row
+            "q45_json_array": lambda d: noop(
+                d.select(
+                    "doc_id",
+                    F.expr(
+                        "concat('[\"', lang, '\", ', "
+                        "CAST(doc_id % 7 AS STRING), ']')"
+                    ).alias("arr"),
+                ).selectExpr(
+                    "json_array_length(arr) IS NOT NULL AND "
+                    "coalesce(exists(from_json(arr, 'array<variant>'), "
+                    "x -> to_json(x) = '\"en\"'), false) AND "
+                    "coalesce(exists(from_json(arr, 'array<variant>'), "
+                    "x -> try_cast(x AS DOUBLE) = 3), false) AS hit"
+                )
+            ),
+            # t24 hashed-linear classifier (map-only md5 bucket sums)
+            "t24_classifier": lambda d: noop(
+                __import__(
+                    "gfw_data_api_spark.llmops.classifier",
+                    fromlist=["hashed_linear_score"],
+                ).hashed_linear_score(d.select("doc_id", "text"), dim=1024, seed=0)
+            ),
+            # t25 FIM transform (map-only canonical-hash cuts)
+            "t25_fim": lambda d: noop(
+                __import__(
+                    "gfw_data_api_spark.llmops.fim", fromlist=["fim_transform"]
+                ).fim_transform(d.select("doc_id", "text"), rate_pct=90, seed=0)
+            ),
         }
         emb_ops = {
             "s01_cosine_topk": lambda d: noop(
