@@ -3240,11 +3240,11 @@ _DRIVER_FRONT: list[str] = [
     "d04_minhash_lsh_neardups",
     "d07_embedding_neardups",
     "t15_bm25_search",
-    "i08_multiway_join_revenue",
-    "st08_media_stream_dedup",
     # --- new round-7 gates (displace r4-stale rows from the end) ---
     "q45_json_array_containment",
     "q46_backslash_literals",
+    "t26_lr_quality_envelope",
+    "m12_mpeg_matrix_inventory",
 ]
 
 
@@ -7867,6 +7867,78 @@ def _q45_oracle() -> str:
     )
 
 
+def _t26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib LR quality-classifier envelope (VERDICT r6 #6): the
+    learned twin of the t24 hashed scorer finally gets a driver gate.
+    Model weights are driver-trained state no SQL engine can replay,
+    so the gate pins the ENVELOPE on planted perfectly-separable data:
+    even doc_ids keep their real text (good), odd doc_ids get a
+    constant junk string (bad) — LR (llmops/classifier.py, LBFGS,
+    deterministic) must separate the classes completely, so the
+    booleans and counts are exact and the DuckDB oracle recomputes
+    them from the planting rule alone."""
+    from gfw_data_api_spark.llmops.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 400)
+    )
+    planted = (
+        docs.withColumn("label", (F.col("doc_id") % 2 == 0).cast("double"))
+        .withColumn(
+            "text",
+            F.when(F.col("label") == 1.0, F.col("text")).otherwise(
+                F.lit("$$$ !!! @@ $$ !! @@ $$ !! $$$ !!! zzz zzz zzz")
+            ),
+        )
+        # LBFGS runs one job per iteration over this tiny seed — pin it
+        # small and cached so the gate times the model, not scheduling
+        .coalesce(2)
+        .cache()
+    )
+    model = train_quality_classifier(planted, max_iter=8)
+    scored = score_quality(model, planted).select("doc_id", "label", "quality_prob")
+    agg = scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("label").cast("bigint").alias("n_good"),
+        F.min(F.when(F.col("label") == 1.0, F.col("quality_prob"))).alias("_min_good"),
+        F.max(F.when(F.col("label") == 0.0, F.col("quality_prob"))).alias("_max_bad"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_good",
+        # perfect separation on separable data == AUC 1.0 (the verdict's
+        # AUC floor, stated rank-wise: every good outscores every bad)
+        (F.col("_min_good") > F.col("_max_bad")).alias("separated"),
+        (F.col("_min_good") > F.lit(0.5)).alias("good_above_half"),
+        (F.col("_max_bad") < F.lit(0.5)).alias("bad_below_half"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="t26_lr_quality_envelope",
+        spark_fn=_t26,
+        oracle=(
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_good, "
+            "TRUE AS separated, TRUE AS good_above_half, "
+            "TRUE AS bad_below_half "
+            "FROM documents WHERE doc_id < 400"
+        ),
+        survey_ref="LLM pipeline: MLlib logistic-regression quality filter "
+        "(llmops/classifier.py train_quality_classifier/score_quality — "
+        "the CCNet/fastText-style learned filter beside the t24 hashed "
+        "scorer); envelope oracle on planted separable classes",
+    )
+)
+
+
 _SPECS.append(
     QuerySpec(
         name="q46_backslash_literals",
@@ -8134,6 +8206,128 @@ _SPECS.append(
         "MPEG-1 Layer III header walk, ID3v1/v2 + Xing/VBRI handling, "
         "exact byte/duration accounting; PCM decode stays the documented "
         "ISO-11172-3 Huffman-table seam)",
+    )
+)
+
+
+def _m12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 MP3 matrix extension inside the hard gate (VERDICT r6
+    #7 stretch): per selected doc, a planted stream from the FULL
+    MPEG version×layer grid — MPEG-1 Layers I/II, MPEG-2 Layers
+    II/III, MPEG-2.5 Layer III (m10 already pins MPEG-1 Layer III) —
+    with per-frame bitrate alternation and padding. The oracle
+    recomputes the per-profile byte accounting (Layer I 4-byte slots,
+    the 72-factor 576-sample MPEG-2 Layer III arithmetic) in DuckDB
+    from the same planted parameters."""
+    from gfw_data_api_spark.llmops.mp3 import build_mp3, mp3_stream_info
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 5)
+        .select("doc_id")
+    )
+    profiles = [
+        ("1", 1, 44100, (128, 256)),
+        ("1", 2, 48000, (64, 192)),
+        ("2", 3, 22050, (32, 64)),
+        ("2.5", 3, 8000, (16, 40)),
+        ("2", 2, 24000, (48, 96)),
+    ]
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                version, layer, rate, pair = profiles[d % 5]
+                n = 2 + d % 3
+                cbr = d % 4 == 1
+                kbps = [pair[0] if cbr else pair[(d + j) % 2] for j in range(n)]
+                pads = [(d + j) % 2 for j in range(n)]
+                rows["doc_id"].append(d)
+                rows["payload"].append(
+                    bytearray(
+                        build_mp3(
+                            kbps,
+                            sample_rate=rate,
+                            version=version,
+                            layer=layer,
+                            mono=True,
+                            pad_mask=pads,
+                            fill_seed=d,
+                        )
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    info = mp3_stream_info(payloads)
+    return info.select(
+        "doc_id",
+        "mpeg_version",
+        "layer",
+        "n_frames",
+        "total_samples",
+        "duration_us",
+        "sample_rate",
+        "is_vbr",
+        "sum_kbps",
+        "audio_bytes",
+        F.col("xing_frames").isNull().alias("no_xing"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m12_mpeg_matrix_inventory",
+        spark_fn=_m12,
+        oracle=(
+            "WITH sel AS (SELECT doc_id, 2 + doc_id % 3 AS n, "
+            "doc_id % 5 AS p, doc_id % 4 = 1 AS cbr FROM documents "
+            "WHERE doc_id % 7 = 5), "
+            "prof AS (SELECT doc_id, n, cbr, "
+            "CASE p WHEN 0 THEN '1' WHEN 1 THEN '1' WHEN 2 THEN '2' "
+            "WHEN 3 THEN '2.5' ELSE '2' END AS version, "
+            "CASE p WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 "
+            "WHEN 3 THEN 3 ELSE 2 END AS layer, "
+            "CASE p WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 22050 "
+            "WHEN 3 THEN 8000 ELSE 24000 END AS rate, "
+            "CASE p WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32 "
+            "WHEN 3 THEN 16 ELSE 48 END AS k0, "
+            "CASE p WHEN 0 THEN 256 WHEN 1 THEN 192 WHEN 2 THEN 64 "
+            "WHEN 3 THEN 40 ELSE 96 END AS k1 FROM sel), "
+            "fr AS (SELECT *, unnest(generate_series(0, n - 1)) AS j "
+            "FROM prof), "
+            "k AS (SELECT doc_id, version, layer, rate, n, cbr, "
+            "CASE WHEN cbr OR (doc_id + j) % 2 = 0 THEN k0 ELSE k1 END "
+            "AS kbps, (doc_id + j) % 2 AS pad FROM fr), "
+            "lens AS (SELECT *, CASE WHEN layer = 1 "
+            "THEN (12000 * kbps // rate + pad) * 4 "
+            "WHEN layer = 2 THEN 144000 * kbps // rate + pad "
+            "ELSE 72000 * kbps // rate + pad END AS flen, "
+            "CASE WHEN layer = 1 THEN 384 WHEN layer = 2 THEN 1152 "
+            "ELSE 576 END AS spf FROM k), "
+            "agg AS (SELECT doc_id, any_value(version) AS version, "
+            "any_value(layer) AS layer, any_value(n) AS n, "
+            "any_value(rate) AS rate, any_value(cbr) AS cbr, "
+            "any_value(spf) AS spf, "
+            "CAST(sum(kbps) AS BIGINT) AS sum_kbps, "
+            "CAST(sum(flen) AS BIGINT) AS audio_bytes FROM lens "
+            "GROUP BY doc_id) "
+            "SELECT doc_id, version AS mpeg_version, "
+            "CAST(layer AS BIGINT) AS layer, CAST(n AS BIGINT) AS n_frames, "
+            "CAST(n * spf AS BIGINT) AS total_samples, "
+            "CAST(n * spf * 1000000 // rate AS BIGINT) AS duration_us, "
+            "CAST(rate AS BIGINT) AS sample_rate, "
+            "NOT cbr AS is_vbr, sum_kbps, audio_bytes, "
+            "TRUE AS no_xing FROM agg"
+        ),
+        survey_ref="multimodal: full MPEG audio matrix triage "
+        "(llmops/mp3.py — MPEG-1/2/2.5 × Layers I/II/III bitrate and "
+        "sample-rate tables, Layer I 4-byte-slot and MPEG-2 Layer III "
+        "576-sample frame arithmetic; VERDICT r6 #7)",
     )
 )
 

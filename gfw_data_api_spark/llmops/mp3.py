@@ -20,9 +20,13 @@ same loud-reject-over-silent-garbage policy as the FileGDB CDF
 decision (docs/PARITY.md).
 
 Reference parity: the reference has no audio path (it is a geospatial
-API); this is the beyond-reference training-data family. Only MPEG-1
-Layer III is in-subset; MPEG-2/2.5, Layers I/II, and free-format
-bitrate reject loudly with the profile named.
+API); this is the beyond-reference training-data family. Round 7
+extends the walker from MPEG-1 Layer III to the FULL public header
+matrix — MPEG-1/2/2.5 × Layers I/II/III (the bitrate/sample-rate
+tables and frame-length arithmetic are all in the same public header
+format) — removing the most common loud-reject in wild audio corpora
+(22.05 kHz MPEG-2 files). Free-format bitrate and the reserved
+version/layer codes still reject loudly.
 """
 
 from __future__ import annotations
@@ -32,20 +36,64 @@ import struct
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-# MPEG-1 Layer III bitrate table, kbps, index 1..14 (0 = free-format,
-# 15 = invalid — both rejected); sample-rate table index 0..2
-_BITRATE_KBPS = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
-_SAMPLE_RATES = (44100, 48000, 32000)
+# Header version bits → version name ("1", "2", "2.5"); 0b01 reserved.
+_VERSIONS = {0b00: "2.5", 0b10: "2", 0b11: "1"}
+# Header layer bits → layer number; 0b00 reserved.
+_LAYERS = {0b11: 1, 0b10: 2, 0b01: 3}
+
+# Bitrate tables, kbps, by (version group, layer); index 1..14
+# (0 = free-format, 15 = invalid — both rejected). MPEG-2 and 2.5
+# share one group; MPEG-2 Layers II and III share one row.
+_V2_L23 = (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_BITRATES = {
+    ("1", 1): (None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("1", 2): (None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("1", 3): (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("2", 1): (None, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("2", 2): _V2_L23,
+    ("2", 3): _V2_L23,
+}
+
+# Sample-rate tables by version, index 0..2 (3 reserved).
+_SAMPLE_RATES_V = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+# Back-compat aliases (fixture builders and tests import these).
+_BITRATE_KBPS = _BITRATES[("1", 3)]
+_SAMPLE_RATES = _SAMPLE_RATES_V["1"]
 _SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
 
 _CHANNEL_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
 
 
-def frame_length(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
-    """MPEG-1 Layer III frame byte length: ``144 * bitrate / rate``
-    truncated, plus one padding byte — the constant 144 is
-    samples-per-frame (1152) / 8 bits."""
-    return 144_000 * bitrate_kbps // sample_rate + padding
+def samples_per_frame(version: str, layer: int) -> int:
+    """Layer I: 384 always; Layer II: 1152 always; Layer III: 1152 in
+    MPEG-1, 576 in MPEG-2/2.5 (the low-sample-rate profile halves the
+    granule count)."""
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "1" else 576
+
+
+def frame_length(
+    bitrate_kbps: int,
+    sample_rate: int,
+    padding: int,
+    version: str = "1",
+    layer: int = 3,
+) -> int:
+    """MPEG audio frame byte length. Layer I counts in 4-byte slots:
+    ``(12 * bitrate/rate + pad) * 4``; Layers II/III use
+    ``spf/8 * bitrate/rate + pad`` (144 for 1152 samples, 72 for
+    MPEG-2/2.5 Layer III's 576), truncated, one padding slot."""
+    if layer == 1:
+        return (12_000 * bitrate_kbps // sample_rate + padding) * 4
+    spf = samples_per_frame(version, layer)
+    return (spf // 8) * 1_000 * bitrate_kbps // sample_rate + padding
 
 
 def _id3v2_size(data: bytes) -> int:
@@ -64,25 +112,24 @@ def _id3v2_size(data: bytes) -> int:
 
 
 def parse_frame_header(data: bytes, pos: int) -> dict:
-    """Parse one 32-bit MPEG audio frame header at ``pos``. Raises on
-    anything outside the MPEG-1 Layer III subset — silently skipping
-    bytes is how corrupt corpora hide."""
+    """Parse one 32-bit MPEG audio frame header at ``pos`` — any of
+    MPEG-1/2/2.5 × Layers I/II/III. Raises on the reserved codes and
+    free-format bitrate — silently skipping bytes is how corrupt
+    corpora hide."""
     if pos + 4 > len(data):
         raise ValueError("truncated MP3: header runs past end of payload")
     b0, b1, b2, b3 = data[pos : pos + 4]
     if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
         raise ValueError(f"lost MP3 frame sync at byte {pos}")
-    version = (b1 >> 3) & 0x3
-    layer = (b1 >> 1) & 0x3
-    if version != 0b11:
-        raise NotImplementedError(
-            "MPEG-2/2.5 audio outside subset (MPEG-1 Layer III only)"
-        )
-    if layer != 0b01:
-        raise NotImplementedError(
-            f"MPEG-1 Layer {'-I' if layer == 0b11 else '-II' if layer == 0b10 else '?'}"
-            " outside subset (Layer III only)"
-        )
+    vbits = (b1 >> 3) & 0x3
+    lbits = (b1 >> 1) & 0x3
+    if vbits not in _VERSIONS:
+        raise ValueError(f"reserved MPEG version code at byte {pos}")
+    if lbits not in _LAYERS:
+        raise ValueError(f"reserved MPEG layer code at byte {pos}")
+    version = _VERSIONS[vbits]
+    layer = _LAYERS[lbits]
+    group = "1" if version == "1" else "2"
     crc = (b1 & 0x1) == 0  # protection bit 0 → 16-bit CRC follows header
     bitrate_idx = (b2 >> 4) & 0xF
     if bitrate_idx == 0:
@@ -94,18 +141,28 @@ def parse_frame_header(data: bytes, pos: int) -> dict:
         raise ValueError(f"reserved MP3 sample-rate index at byte {pos}")
     padding = (b2 >> 1) & 0x1
     mode = (b3 >> 6) & 0x3
-    kbps = _BITRATE_KBPS[bitrate_idx]
-    rate = _SAMPLE_RATES[rate_idx]
+    kbps = _BITRATES[(group, layer)][bitrate_idx]
+    rate = _SAMPLE_RATES_V[version][rate_idx]
+    if layer == 3:
+        # Layer III side info (after the optional CRC) — where the
+        # Xing/Info VBR tag sits: MPEG-1 17/32 mono/other, MPEG-2(.5)
+        # 9/17
+        side = (17 if mode == 0b11 else 32) if version == "1" else (
+            9 if mode == 0b11 else 17
+        )
+    else:
+        side = 0  # Layers I/II carry no Layer-III side info
     return {
+        "version": version,
+        "layer": layer,
         "crc": crc,
         "bitrate_kbps": kbps,
         "sample_rate": rate,
         "padding": padding,
         "channel_mode": _CHANNEL_MODES[mode],
-        "length": frame_length(kbps, rate, padding),
-        # MPEG-1 side info: 17 bytes mono, 32 otherwise (after the
-        # optional CRC) — where the Xing/Info VBR tag sits
-        "side_info": 17 if mode == 0b11 else 32,
+        "length": frame_length(kbps, rate, padding, version, layer),
+        "samples": samples_per_frame(version, layer),
+        "side_info": side,
     }
 
 
@@ -128,17 +185,19 @@ def _xing_frame_count(data: bytes, pos: int, hdr: dict) -> int | None:
 
 
 def parse_mp3(data: bytes) -> dict:
-    """Walk every frame of an MPEG-1 Layer III stream → summary dict.
+    """Walk every frame of an MPEG audio stream (any version × layer)
+    → summary dict.
 
     Skips a leading ID3v2 tag and a trailing 128-byte ID3v1 ``TAG``
     block; anything else that breaks the frame walk raises (strict —
     truncated/corrupt containers must not pass as shorter audio).
 
-    Returns: n_frames, total_samples, duration_us (exact integer
-    arithmetic at the stream sample rate), sample_rate, channel_mode,
-    is_vbr (any bitrate change across frames), sum_kbps (sum of
-    per-frame bitrates — exact, so averages stay rational),
-    audio_bytes, xing_frames (declared VBR-header count or None).
+    Returns: mpeg_version ("1"/"2"/"2.5"), layer (1/2/3), n_frames,
+    total_samples, duration_us (exact integer arithmetic at the stream
+    sample rate), sample_rate, channel_mode, is_vbr (any bitrate
+    change across frames), sum_kbps (sum of per-frame bitrates —
+    exact, so averages stay rational), audio_bytes, xing_frames
+    (declared VBR-header count or None; Layer III only).
     """
     start = _id3v2_size(data)
     end = len(data)
@@ -149,10 +208,8 @@ def parse_mp3(data: bytes) -> dict:
     pos = start
     n = 0
     sum_kbps = 0
-    rate = None
-    mode = None
+    first = None
     vbr = False
-    first_kbps = None
     xing = None
     while pos < end:
         hdr = parse_frame_header(data, pos)
@@ -162,26 +219,31 @@ def parse_mp3(data: bytes) -> dict:
                 f"but only {end - pos} remain"
             )
         if n == 0:
-            rate = hdr["sample_rate"]
-            mode = hdr["channel_mode"]
-            first_kbps = hdr["bitrate_kbps"]
-            xing = _xing_frame_count(data, pos, hdr)
+            first = hdr
+            xing = _xing_frame_count(data, pos, hdr) if hdr["layer"] == 3 else None
         else:
-            if hdr["sample_rate"] != rate:
-                raise ValueError("sample-rate change mid-stream (corrupt MP3)")
-            if hdr["channel_mode"] != mode:
-                raise ValueError("channel-mode change mid-stream (corrupt MP3)")
-            if hdr["bitrate_kbps"] != first_kbps:
+            for field, what in (
+                ("version", "MPEG version"),
+                ("layer", "layer"),
+                ("sample_rate", "sample-rate"),
+                ("channel_mode", "channel-mode"),
+            ):
+                if hdr[field] != first[field]:
+                    raise ValueError(f"{what} change mid-stream (corrupt MP3)")
+            if hdr["bitrate_kbps"] != first["bitrate_kbps"]:
                 vbr = True
         sum_kbps += hdr["bitrate_kbps"]
         pos += hdr["length"]
         n += 1
+    spf = first["samples"]
     return {
+        "mpeg_version": first["version"],
+        "layer": first["layer"],
         "n_frames": n,
-        "total_samples": n * _SAMPLES_PER_FRAME,
-        "duration_us": n * _SAMPLES_PER_FRAME * 1_000_000 // rate,
-        "sample_rate": rate,
-        "channel_mode": mode,
+        "total_samples": n * spf,
+        "duration_us": n * spf * 1_000_000 // first["sample_rate"],
+        "sample_rate": first["sample_rate"],
+        "channel_mode": first["channel_mode"],
         "is_vbr": vbr,
         "sum_kbps": sum_kbps,
         "audio_bytes": pos - start,
@@ -203,6 +265,10 @@ def decode_mp3(data: bytes):  # pragma: no cover - documented seam
     )
 
 
+_VERSION_BITS = {"1": 0b11, "2": 0b10, "2.5": 0b00}
+_LAYER_BITS = {1: 0b11, 2: 0b10, 3: 0b01}
+
+
 def build_mp3(
     frame_kbps: list[int],
     sample_rate: int = 44100,
@@ -213,15 +279,18 @@ def build_mp3(
     id3v2_bytes: int = 0,
     id3v1: bool = False,
     fill_seed: int = 0,
+    version: str = "1",
+    layer: int = 3,
 ) -> bytes:
-    """Fixture builder: a syntactically-exact MPEG-1 Layer III stream
-    with the requested per-frame bitrates/padding, deterministic filler
-    main data (NOT meaningful audio — decode is out of subset), an
-    optional Xing count in frame 0, and optional ID3 tags. The byte
-    layout mirrors what :func:`parse_mp3` must invert; the m10 gate's
-    oracle recomputes every length from the planted parameters
-    arithmetically, so the frame-length formula is cross-checked by an
-    independent engine rather than round-trip alone."""
+    """Fixture builder: a syntactically-exact MPEG audio stream (any
+    version × layer; default MPEG-1 Layer III) with the requested
+    per-frame bitrates/padding, deterministic filler main data (NOT
+    meaningful audio — decode is out of subset), an optional Xing
+    count in frame 0 (Layer III only), and optional ID3 tags. The byte
+    layout mirrors what :func:`parse_mp3` must invert; the m10/m12
+    gates' oracles recompute every length from the planted parameters
+    arithmetically, so the frame-length formulas are cross-checked by
+    an independent engine rather than round-trip alone."""
     out = bytearray()
     if id3v2_bytes:
         body = bytes((fill_seed + i) % 251 for i in range(id3v2_bytes))
@@ -229,22 +298,31 @@ def build_mp3(
             [(id3v2_bytes >> 21) & 0x7F, (id3v2_bytes >> 14) & 0x7F,
              (id3v2_bytes >> 7) & 0x7F, id3v2_bytes & 0x7F]
         ) + body
-    rate_idx = _SAMPLE_RATES.index(sample_rate)
+    group = "1" if version == "1" else "2"
+    rate_idx = _SAMPLE_RATES_V[version].index(sample_rate)
+    brtable = _BITRATES[(group, layer)]
     for j, kbps in enumerate(frame_kbps):
         pad = pad_mask[j] if pad_mask else 0
-        bidx = _BITRATE_KBPS.index(kbps)
+        bidx = brtable.index(kbps)
         b0 = 0xFF
-        b1 = 0xE0 | (0b11 << 3) | (0b01 << 1) | (0 if with_crc else 1)
+        b1 = (
+            0xE0
+            | (_VERSION_BITS[version] << 3)
+            | (_LAYER_BITS[layer] << 1)
+            | (0 if with_crc else 1)
+        )
         b2 = (bidx << 4) | (rate_idx << 2) | (pad << 1)
         b3 = (0b11 << 6) if mono else 0x00  # stereo mode bits 00
         frame = bytearray([b0, b1, b2, b3])
         if with_crc:
             frame += bytes([(fill_seed + j) % 251, (fill_seed + j + 1) % 251])
-        total = frame_length(kbps, sample_rate, pad)
-        side = 17 if mono else 32
-        si_off = len(frame)
-        frame += bytes(side)  # zeroed side info (no bit reservoir)
+        total = frame_length(kbps, sample_rate, pad, version, layer)
+        if layer == 3:
+            side = (17 if mono else 32) if version == "1" else (9 if mono else 17)
+            frame += bytes(side)  # zeroed side info (no bit reservoir)
         if j == 0 and xing_count is not None:
+            if layer != 3:
+                raise ValueError("Xing headers live in Layer III side info")
             frame += b"Xing" + struct.pack(">II", 0x1, xing_count)
         while len(frame) < total:
             frame.append((fill_seed + j * 7 + len(frame)) % 251)
@@ -252,7 +330,6 @@ def build_mp3(
             raise ValueError(
                 f"frame {j} overflow: side info + headers exceed {total} bytes"
             )
-        assert si_off <= total
         out += frame
     if id3v1:
         out += b"TAG" + bytes(125)
@@ -261,6 +338,8 @@ def build_mp3(
 
 MP3_INFO_SCHEMA = T.StructType(
     [
+        T.StructField("mpeg_version", T.StringType()),
+        T.StructField("layer", T.LongType()),
         T.StructField("n_frames", T.LongType()),
         T.StructField("total_samples", T.LongType()),
         T.StructField("duration_us", T.LongType()),

@@ -78,18 +78,61 @@ def test_lost_sync_raises():
 
 def test_out_of_subset_profiles_reject_loudly():
     hdr = bytearray(build_mp3([128]))
-    mpeg2 = bytearray(hdr)
-    mpeg2[1] = (mpeg2[1] & ~0x18) | 0x10  # version bits 10 = MPEG-2
-    with pytest.raises(NotImplementedError, match="MPEG-2"):
-        parse_mp3(bytes(mpeg2))
-    layer2 = bytearray(hdr)
-    layer2[1] = (layer2[1] & ~0x06) | 0x04  # layer bits 10 = Layer II
-    with pytest.raises(NotImplementedError, match="Layer"):
-        parse_mp3(bytes(layer2))
+    reserved_v = bytearray(hdr)
+    reserved_v[1] = (reserved_v[1] & ~0x18) | 0x08  # version bits 01
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        parse_mp3(bytes(reserved_v))
+    reserved_l = bytearray(hdr)
+    reserved_l[1] = reserved_l[1] & ~0x06  # layer bits 00
+    with pytest.raises(ValueError, match="reserved MPEG layer"):
+        parse_mp3(bytes(reserved_l))
     free = bytearray(hdr)
     free[2] = free[2] & 0x0F  # bitrate index 0 = free format
     with pytest.raises(NotImplementedError, match="free-format"):
         parse_mp3(bytes(free))
+
+
+def test_full_version_layer_matrix_round_trips():
+    """Round 7: MPEG-1/2/2.5 × Layers I/II/III all walk (VERDICT r6
+    #7). Frame-length arithmetic per profile: Layer I counts 4-byte
+    slots; MPEG-2/2.5 Layer III halves samples-per-frame to 576."""
+    cases = [
+        # (version, layer, rate, kbps list, expected spf)
+        ("1", 1, 44100, [128, 256, 128], 384),
+        ("1", 2, 48000, [64, 192], 1152),
+        ("2", 3, 22050, [32, 64, 32, 64], 576),
+        ("2.5", 3, 8000, [16, 40], 576),
+        ("2", 2, 24000, [48, 96, 48], 1152),
+        ("2", 1, 22050, [32, 144], 384),
+    ]
+    for version, layer, rate, kbps, spf in cases:
+        data = build_mp3(
+            kbps, sample_rate=rate, version=version, layer=layer, mono=True
+        )
+        info = parse_mp3(data)
+        assert info["mpeg_version"] == version
+        assert info["layer"] == layer
+        assert info["n_frames"] == len(kbps)
+        assert info["total_samples"] == len(kbps) * spf
+        assert info["sample_rate"] == rate
+        assert info["sum_kbps"] == sum(kbps)
+        assert info["is_vbr"] == (len(set(kbps)) > 1)
+        assert info["audio_bytes"] == len(data)
+        # independent arithmetic: recompute the byte accounting
+        if layer == 1:
+            expect = sum((12_000 * k // rate) * 4 for k in kbps)
+        else:
+            expect = sum((spf // 8) * 1000 * k // rate for k in kbps)
+        assert info["audio_bytes"] == expect
+
+
+def test_mpeg2_layer3_xing_offset_uses_short_side_info():
+    data = build_mp3(
+        [64, 64], sample_rate=22050, version="2", layer=3, mono=True,
+        xing_count=2,
+    )
+    info = parse_mp3(data)
+    assert info["xing_frames"] == 2  # found at 4 + 9 (MPEG-2 mono side info)
 
 
 def test_midstream_parameter_change_raises():
