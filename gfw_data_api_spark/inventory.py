@@ -3239,12 +3239,12 @@ _DRIVER_FRONT: list[str] = [
     "q26_point_radius_haversine",
     "d04_minhash_lsh_neardups",
     "d07_embedding_neardups",
-    "t15_bm25_search",
     # --- new round-7 gates (displace r4-stale rows from the end) ---
     "q45_json_array_containment",
     "q46_backslash_literals",
     "t26_lr_quality_envelope",
     "m12_mpeg_matrix_inventory",
+    "q47_datepart_negidx_jsonb_merge",
 ]
 
 
@@ -7975,6 +7975,64 @@ _SPECS.append(
         "spark.sql.parser.escapedStringLiterals=true so backslashes in "
         "regex patterns and plain literals survive "
         "(sql/dialect.py LITERAL CONTRACT, operators/query.py)",
+    )
+)
+
+
+def _q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        # PG semantics under test (round-7 third dialect wave):
+        # date_part is EXTRACT's function spelling with PG field
+        # numbering (Spark's own date_part says Sunday=1 and rejects
+        # epoch-of-date); negative json indexes count from the end;
+        # ::jsonb || ::jsonb merges objects right-wins in jsonb key
+        # order (length, then bytes) — probed via extraction and full
+        # text on flat objects
+        "SELECT event_id, "
+        "CAST(date_part('dow', ts) AS BIGINT) AS dow, "
+        "CAST(date_part('isodow', ts) AS BIGINT) AS isodow, "
+        "date_part('epoch', CAST(ts AS DATE)) AS day_epoch, "
+        "('[' || CAST(event_id % 5 AS VARCHAR) || ', '"
+        " || CAST(event_id % 7 AS VARCHAR) || ', 9]') ->> -1 AS last_el, "
+        "('[' || CAST(event_id % 5 AS VARCHAR) || ', '"
+        " || CAST(event_id % 7 AS VARCHAR) || ', 9]') ->> -2 AS mid_el, "
+        "props ->> -1 AS neg_on_object, "
+        "(('{\"k\": ' || CAST(event_id % 3 AS VARCHAR) || '}')::jsonb "
+        "|| '{\"zz\": 1}'::jsonb) AS merged "
+        "FROM data WHERE event_type = 'click' ORDER BY event_id"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q47_datepart_negidx_jsonb_merge",
+        spark_fn=_q47,
+        oracle=(
+            # DuckDB: date_part shares PG's numbering; negative JSON
+            # indexes are native; the merge is recomputed as literal
+            # text from the planting rule (flat objects, known keys —
+            # 'k' sorts before 'zz' on length)
+            "SELECT event_id, "
+            "CAST(date_part('dow', ts) AS BIGINT) AS dow, "
+            "CAST(date_part('isodow', ts) AS BIGINT) AS isodow, "
+            "date_part('epoch', CAST(ts AS DATE)) AS day_epoch, "
+            "json_extract_string('[' || CAST(event_id % 5 AS VARCHAR) "
+            "|| ', ' || CAST(event_id % 7 AS VARCHAR) || ', 9]', '$[-1]') "
+            "AS last_el, "
+            "json_extract_string('[' || CAST(event_id % 5 AS VARCHAR) "
+            "|| ', ' || CAST(event_id % 7 AS VARCHAR) || ', 9]', '$[-2]') "
+            "AS mid_el, "
+            "json_extract_string(props, '$[-1]') AS neg_on_object, "
+            "'{\"k\":' || CAST(event_id % 3 AS VARCHAR) || ',\"zz\":1}' "
+            "AS merged "
+            "FROM events WHERE event_type = 'click' ORDER BY event_id"
+        ),
+        survey_ref="Q11 dialect breadth (round-7 third wave): date_part → "
+        "EXTRACT field map, negative json array indexes via dynamic "
+        "JSONPath, ::jsonb || object merge with PG storage key order "
+        "(sql/dialect.py translate_date_part / translate_json_ops / "
+        "translate_jsonb_concat)",
     )
 )
 

@@ -550,6 +550,141 @@ def _operand_scan_end(tokens, k):
     return last
 
 
+def translate_date_part(sql: str) -> str:
+    """PG ``date_part('field', expr)`` is EXTRACT's function spelling —
+    rewrite to ``EXTRACT(FIELD FROM expr)`` so :func:`translate_extract`
+    applies the one field map (DOW Sunday=0, ISODOW, ISOYEAR, EPOCH).
+    Untranslated, Spark's own date_part would return Sunday=1 for
+    'dow' — a silent off-by-one — and reject 'epoch' on dates. The
+    field must be a string literal (PG allows dynamic fields; a
+    dynamic field raises loudly here)."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "DATE_PART"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                hit = i
+                break
+        if hit is None:
+            return sql
+        i = hit
+        field_tok = tokens[i + 2]
+        if field_tok.kind != "STRING":
+            raise ValueError(
+                "date_part requires a string-literal field "
+                "(dynamic fields are not translatable)"
+            )
+        if not (
+            i + 3 < len(tokens)
+            and tokens[i + 3].kind == "PUNCT"
+            and tokens[i + 3].value == ","
+        ):
+            raise ValueError("date_part takes (field, source)")
+        depth = 0
+        close = None
+        for j in range(i + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            raise ValueError("unbalanced date_part(...)")
+        field = field_tok.value.strip().upper()
+        if not field.isalpha():
+            raise ValueError(f"date_part field {field_tok.value!r} not translatable")
+        src = sql[tokens[i + 4].start : tokens[close - 1].end]
+        sql = (
+            f"{sql[:tokens[i].start]}EXTRACT({field} FROM {src})"
+            f"{sql[tokens[close].end:]}"
+        )
+
+
+_JSONB_MERGE_CMP = (
+    "(__gfw_l, __gfw_r) -> CASE "
+    "WHEN length(__gfw_l.key) < length(__gfw_r.key) THEN -1 "
+    "WHEN length(__gfw_l.key) > length(__gfw_r.key) THEN 1 "
+    "WHEN __gfw_l.key < __gfw_r.key THEN -1 "
+    "WHEN __gfw_l.key > __gfw_r.key THEN 1 ELSE 0 END"
+)
+
+
+def translate_jsonb_concat(sql: str) -> str:
+    """PG ``a::jsonb || b::jsonb`` MERGES (objects: right wins per
+    key; output keys in jsonb storage order — length then bytes).
+    Untranslated, the ``::jsonb`` casts become strings and ``||``
+    silently concatenates their text. Rewrites any ``||`` whose left
+    or right operand carries an explicit ``::jsonb`` cast into the
+    object-merge expression over ``map<string, variant>``; non-object
+    inputs raise AT RUN TIME via raise_error (array concatenation and
+    scalar append need jsonb arrays, outside the subset). Runs before
+    translate_pg_casts (the ::jsonb markers must still be visible);
+    left-assoc chains reduce pairwise."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if not (t.kind == "OP" and t.value == "||") or i == 0 or i + 1 >= len(tokens):
+                continue
+            # right operand: primary, optionally ::jsonb-suffixed
+            rend = _primary_end(tokens, i + 1)
+            if rend is None:
+                continue
+            r_jsonb = (
+                rend + 2 < len(tokens)
+                and tokens[rend + 1].kind == "OP"
+                and tokens[rend + 1].value == "::"
+                and tokens[rend + 2].kind == "IDENT"
+                and tokens[rend + 2].value.lower() == "jsonb"
+            )
+            # left operand: walk back across an optional ::jsonb suffix
+            lend = i - 1
+            l_jsonb = (
+                lend >= 2
+                and tokens[lend].kind == "IDENT"
+                and tokens[lend].value.lower() == "jsonb"
+                and tokens[lend - 1].kind == "OP"
+                and tokens[lend - 1].value == "::"
+            )
+            if not (l_jsonb or r_jsonb):
+                continue
+            hit = (i, lend, rend, l_jsonb, r_jsonb)
+            break
+        if hit is None:
+            return sql
+        i, lend, rend, l_jsonb, r_jsonb = hit
+        l_prim_end = lend - 2 if l_jsonb else lend
+        lstart = _primary_start(tokens, l_prim_end)
+        if lstart is None:
+            raise ValueError("cannot resolve the left operand of jsonb ||")
+        lhs = sql[tokens[lstart].start : tokens[l_prim_end].end]
+        rhs = sql[tokens[i + 1].start : tokens[rend].end]
+        r_end_tok = rend + 2 if r_jsonb else rend
+        mx = f"from_json({lhs}, 'map<string, variant>')"
+        my = f"from_json({rhs}, 'map<string, variant>')"
+        merged = (
+            f"to_json(map_from_entries(array_sort(concat("
+            f"filter(map_entries({mx}), "
+            f"__gfw_e -> NOT array_contains(map_keys({my}), __gfw_e.key)), "
+            f"map_entries({my})), {_JSONB_MERGE_CMP})))"
+        )
+        repl = (
+            f"(CASE WHEN json_object_keys({lhs}) IS NOT NULL "
+            f"AND json_object_keys({rhs}) IS NOT NULL THEN {merged} "
+            f"ELSE raise_error('jsonb || translates only object || object "
+            f"(array/scalar concatenation is outside the subset)') END)"
+        )
+        sql = f"{sql[:tokens[lstart].start]}{repl}{sql[tokens[r_end_tok].end:]}"
+
+
 def translate_between_symmetric(sql: str) -> str:
     """PG ``x BETWEEN SYMMETRIC a AND b`` auto-orders the bounds;
     Spark has no SYMMETRIC. Rewrite to
@@ -1408,7 +1543,25 @@ def translate_json_ops(sql: str) -> str:
             return sql
         op = tokens[at].value
         rhs = tokens[at + 1]
-        path = _json_path(op, rhs.kind, rhs.value)
+        # negative array index (PG: -1 = last element) — round-7
+        # widening: tokenized as OP '-' + NUMBER; expressed as a
+        # DYNAMIC JSONPath anchored at json_array_length (probed: both
+        # get_json_object and try_variant_get accept non-foldable
+        # paths; non-arrays/out-of-range give NULL, like PG)
+        neg_n = None
+        if (
+            op in ("->", "->>")
+            and rhs.kind == "OP"
+            and rhs.value == "-"
+            and at + 2 < len(tokens)
+            and tokens[at + 2].kind == "NUMBER"
+            and tokens[at + 2].value.isdigit()
+        ):
+            neg_n = int(tokens[at + 2].value)
+            rhs_end = tokens[at + 2].end
+        else:
+            path = _json_path(op, rhs.kind, rhs.value)
+            rhs_end = rhs.end
         lstart = _primary_start(tokens, at - 1)
         if lstart is None:
             raise ValueError(f"cannot resolve the left operand of {op}")
@@ -1416,11 +1569,20 @@ def translate_json_ops(sql: str) -> str:
         # means `(a || b) ->> 'k'`
         lstart = _absorb_concat_left(tokens, lstart)
         lhs = sql[tokens[lstart].start : tokens[at - 1].end]
-        if _JSON_OPS[op]:
+        if neg_n is not None:
+            path_expr = (
+                f"concat('$[', CAST(json_array_length({lhs}) - {neg_n} "
+                f"AS STRING), ']')"
+            )
+            if _JSON_OPS[op]:
+                repl = f"get_json_object({lhs}, {path_expr})"
+            else:
+                repl = f"to_json(try_variant_get(parse_json({lhs}), {path_expr}))"
+        elif _JSON_OPS[op]:
             repl = f"get_json_object({lhs}, '{path}')"
         else:
             repl = f"to_json(try_variant_get(parse_json({lhs}), '{path}'))"
-        sql = f"{sql[:tokens[lstart].start]}{repl}{sql[rhs.end:]}"
+        sql = f"{sql[:tokens[lstart].start]}{repl}{sql[rhs_end:]}"
 
 
 def _json_exists_keys(tokens, at):
@@ -2401,6 +2563,7 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_json_ops(sql)  # first: later passes emit -> lambdas
     sql = translate_json_exists(sql)  # before array_literal: eats ARRAY[..]
     sql = translate_json_contains(sql)
+    sql = translate_jsonb_concat(sql)  # before pg_casts eats ::jsonb
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
     sql = translate_agg_order_by(sql)
@@ -2408,6 +2571,7 @@ def to_spark_sql(sql: str) -> str:
     sql = translate_any_all(sql)
     sql = translate_cast_type_names(sql)
     sql = translate_pg_casts(sql)
+    sql = translate_date_part(sql)  # → EXTRACT, handled next
     sql = translate_extract(sql)
     sql = translate_between_symmetric(sql)
     sql = translate_caret_power(sql)

@@ -1154,3 +1154,62 @@ class TestIntCastRounding:
         # the DECIMAL(38,10) route keeps >2^53 integer strings exact
         assert row.big == 9007199254740999
         assert row.ident == 7
+
+
+class TestDatePart:
+    def test_field_map_matches_pg(self, spark):
+        row = run_pg_sql(
+            spark,
+            "SELECT date_part('dow', DATE '2024-03-17') AS dow, "
+            "date_part('isodow', DATE '2024-03-17') AS iso, "
+            "date_part('epoch', DATE '2024-03-17') AS ep, "
+            "date_part('year', DATE '2024-03-17') AS y",
+        ).collect()[0]
+        # PG: Sunday dow=0 (Spark's own date_part says 1 — the silent
+        # off-by-one this pass exists for), isodow=7, epoch works on dates
+        assert (row.dow, row.iso, row.y) == (0, 7, 2024)
+        assert row.ep == 1710633600.0
+
+    def test_dynamic_field_raises(self):
+        from gfw_data_api_spark.sql.dialect import translate_date_part
+
+        with pytest.raises(ValueError, match="string-literal field"):
+            translate_date_part("SELECT date_part(f, d) FROM t")
+
+
+class TestNegativeJsonIndex:
+    def test_pg_from_end_indexing(self, spark):
+        row = run_pg_sql(
+            spark,
+            "SELECT '[10,20,30]' ->> -1 AS last, "
+            "'[10,20,30]' -> -2 AS mid, "
+            "'[10,20]' ->> -5 AS oor, "
+            "'{\"a\":1}' ->> -1 AS on_object",
+        ).collect()[0]
+        assert (row.last, row.mid) == ("30", "20")
+        assert row.oor is None and row.on_object is None  # PG: NULL
+
+
+class TestJsonbConcatMerge:
+    def test_object_merge_right_wins_jsonb_key_order(self, spark):
+        row = run_pg_sql(
+            spark,
+            "SELECT ('{\"a\": 1, \"bb\": 2}'::jsonb || "
+            "'{\"a\": 9, \"c\": 3}'::jsonb) ->> 'a' AS a, "
+            "('{\"bb\": 2}'::jsonb || '{\"a\": 1}'::jsonb) AS ordered, "
+            "('{\"x\": 1}'::jsonb || '{\"y\": 2}'::jsonb || "
+            "'{\"x\": 7}'::jsonb) ->> 'x' AS chained",
+        ).collect()[0]
+        assert row.a == "9"  # right operand wins per key
+        assert row.ordered == '{"a":1,"bb":2}'  # length-then-bytes order
+        assert row.chained == "7"  # left-assoc chain reduces pairwise
+
+    def test_non_object_raises_at_runtime(self, spark):
+        with pytest.raises(Exception, match="object"):
+            run_pg_sql(spark, "SELECT '[1]'::jsonb || '[2]'::jsonb AS x").collect()
+
+    def test_plain_string_concat_untouched(self):
+        from gfw_data_api_spark.sql.dialect import translate_jsonb_concat
+
+        sql = "SELECT a || b, 'x' || 'y' FROM t"
+        assert translate_jsonb_concat(sql) == sql

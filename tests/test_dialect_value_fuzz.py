@@ -168,11 +168,19 @@ class Gen:
         if pick == 8:
             s_pg, s_dk, _, _ = self.string(depth - 1)
             return f"length({s_pg})", f"length({s_dk})", "NUM", True
-        if pick == 9:  # EXTRACT over a date
+        if pick == 9:  # EXTRACT over a date — or its date_part spelling
             d_pg, d_dk, _, _ = self.date(depth - 1)
             f = self.r.choice(
                 ["DOW", "ISODOW", "YEAR", "MONTH", "DAY", "QUARTER", "WEEK", "ISOYEAR"]
             )
+            if self.r.random() < 0.4:
+                # DuckDB's date_part shares PG's field semantics
+                return (
+                    f"date_part('{f.lower()}', {d_pg})",
+                    f"date_part('{f.lower()}', {d_dk})",
+                    "NUM",
+                    True,
+                )
             return (
                 f"EXTRACT({f} FROM {d_pg})",
                 f"EXTRACT({f} FROM {d_dk})",
@@ -309,8 +317,18 @@ class Gen:
                 "STR",
                 True,
             )
-        if pick == 12:  # jsonb text extraction
+        if pick == 12:  # jsonb text extraction (keys and indexes,
+            # incl. PG's negative from-the-end indexes)
             j = q(self.r.choice(JSON_POOL))
+            if self.r.random() < 0.35:
+                n = self.r.choice([0, 1, -1, -2, -5])
+                idx = f"({n})" if n < 0 else str(n)
+                return (
+                    f"({j} ->> {idx})" if n >= 0 else f"({j} ->> -{-n})",
+                    f"json_extract_string({j}, '$[{n}]')",
+                    "STR",
+                    True,
+                )
             k = self.r.choice(KEY_POOL)
             return (
                 f"({j} ->> '{k}')",
