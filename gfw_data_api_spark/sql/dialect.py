@@ -1503,6 +1503,15 @@ def _json_path(op: str, rhs_kind: str, rhs_value: str) -> str:
     for p in parts:
         if p.isdigit():
             out += f"[{p}]"  # integer elements index arrays (common case)
+        elif p.lstrip("-").isdigit():
+            # PG indexes arrays from the end with negative path
+            # elements; a static JSONPath can't (and '$.-1' would
+            # silently probe an object key named "-1") — loud reject.
+            # The -> / ->> operators DO support negative indexes.
+            raise ValueError(
+                f"negative json path element {p!r} outside the "
+                "translatable subset (use the -> / ->> operators)"
+            )
         elif _JSON_KEY_RE.match(p):
             out += f".{p}"
         else:

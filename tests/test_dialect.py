@@ -1213,3 +1213,12 @@ class TestJsonbConcatMerge:
 
         sql = "SELECT a || b, 'x' || 'y' FROM t"
         assert translate_jsonb_concat(sql) == sql
+
+
+def test_negative_path_element_rejects_loudly():
+    # '$.-1' would silently probe an object key named "-1" where PG
+    # indexes the array from the end — loud beats silent
+    from gfw_data_api_spark.sql.dialect import translate_json_ops
+
+    with pytest.raises(ValueError, match="negative json path element"):
+        translate_json_ops("SELECT p #>> '{a,-1}' FROM t")
