@@ -943,6 +943,49 @@ def translate_pg_functions(sql: str) -> str:
             break
         sql = f"{sql[:hit.start]}array_join{sql[hit.end:]}"
     while True:
+        # PG initcap uppercases a letter iff the PREVIOUS char is not
+        # alphanumeric (word boundaries at every non-alnum char) —
+        # Spark's initcap only breaks on whitespace ('hello-world' →
+        # 'Hello-world', silently different). Rewrite to a per-char
+        # fold; the round-trips through named_struct stay JVM-side.
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "INITCAP"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            break
+        depth = 0
+        close = None
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            raise ValueError("unbalanced initcap(...)")
+        s_expr = sql[tokens[at + 2].start : tokens[close - 1].end]
+        repl = (
+            f"aggregate(split(lower({s_expr}), ''), "
+            f"named_struct('o', '', 'p', false), "
+            f"(__gfw_a, __gfw_c) -> named_struct("
+            f"'o', concat(__gfw_a.o, CASE WHEN __gfw_a.p THEN __gfw_c "
+            f"ELSE upper(__gfw_c) END), "
+            f"'p', __gfw_c RLIKE '[\\p{{L}}\\p{{Nd}}]'), "
+            f"__gfw_a -> __gfw_a.o)"
+        )
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
         tokens = tokenize(sql)
         at = None
         for i, t in enumerate(tokens):

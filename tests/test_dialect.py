@@ -1222,3 +1222,16 @@ def test_negative_path_element_rejects_loudly():
 
     with pytest.raises(ValueError, match="negative json path element"):
         translate_json_ops("SELECT p #>> '{a,-1}' FROM t")
+
+
+def test_initcap_pg_word_boundaries(spark):
+    """PG initcap breaks words at EVERY non-alphanumeric char; Spark's
+    native initcap only at whitespace — round-7 rewrite to a per-char
+    fold (translate_pg_functions)."""
+    row = run_pg_sql(
+        spark,
+        "SELECT initcap('hello-world x2y 3abc') AS a, "
+        "initcap('') AS e, initcap(CAST(NULL AS VARCHAR)) AS n",
+    ).collect()[0]
+    assert row.a == "Hello-World X2y 3abc"  # Spark native: 'Hello-world'
+    assert row.e == "" and row.n is None

@@ -123,7 +123,7 @@ class Gen:
     def num(self, depth):
         if depth <= 0:
             return self.r.choice([self.int_atom, self.dec_atom])()
-        pick = self.r.randrange(12)
+        pick = self.r.randrange(13)
         if pick <= 2:  # arithmetic
             a_pg, a_dk, _, ax = self.num(depth - 1)
             b_pg, b_dk, _, bx = self.num(depth - 1)
@@ -196,6 +196,24 @@ class Gen:
                 "NUM",
                 True,
             )
+        if pick == 11:  # width_bucket — PYTHON-computed expected
+            import math as _m
+
+            x = round(self.r.uniform(-5, 15), 2)
+            lo, hi, nb = 0, 10, self.r.randint(1, 5)
+            if x < lo:
+                exp = 0
+            elif x >= hi:
+                exp = nb + 1
+            else:
+                exp = int(_m.floor(nb * (x - lo) / (hi - lo))) + 1
+            xt = f"({x})" if x < 0 else str(x)
+            return (
+                f"width_bucket({xt}, {lo}, {hi}, {nb})",
+                str(exp),
+                "NUM",
+                True,
+            )
         # int-family cast: PG rounds half away on numerics; DuckDB's
         # integer cast shares that, so the twin is the same text
         a_pg, a_dk, _, ax = self.num(depth - 1)
@@ -208,7 +226,7 @@ class Gen:
     def string(self, depth):
         if depth <= 0:
             return self.str_atom()
-        pick = self.r.randrange(14)
+        pick = self.r.randrange(15)
         if pick == 0:
             a_pg, a_dk, _, _ = self.string(depth - 1)
             b_pg, b_dk, _, _ = self.string(depth - 1)
@@ -333,6 +351,26 @@ class Gen:
             return (
                 f"({j} ->> '{k}')",
                 f"json_extract_string({j}, '$.{k}')",
+                "STR",
+                True,
+            )
+        if pick == 13:  # initcap / overlay — PYTHON-computed expecteds
+            # (DuckDB lacks both; PG rules implemented independently)
+            s = self.r.choice(STR_POOL)
+            if self.r.random() < 0.5:
+                out = []
+                prev_alnum = False
+                for c in s.lower():
+                    out.append(c if prev_alnum else c.upper())
+                    prev_alnum = c.isalnum()
+                return f"initcap({q(s)})", q("".join(out)), "STR", True
+            r_s = self.r.choice(["XX", "-", ""])
+            i = self.r.randint(1, max(len(s), 1))
+            n = self.r.randint(0, 3)
+            expected = s[: i - 1] + r_s + s[i - 1 + n :]
+            return (
+                f"overlay({q(s)} PLACING {q(r_s)} FROM {i} FOR {n})",
+                q(expected),
                 "STR",
                 True,
             )
