@@ -3236,7 +3236,6 @@ _DRIVER_FRONT: list[str] = [
     "p02_curate_round3",
     "t17_kneser_ney_lm",
     "s08_ivf_recall_gate",
-    "q26_point_radius_haversine",
     "d04_minhash_lsh_neardups",
     "d07_embedding_neardups",
     # --- new round-7 gates (displace r4-stale rows from the end) ---
@@ -3245,6 +3244,7 @@ _DRIVER_FRONT: list[str] = [
     "t26_lr_quality_envelope",
     "m12_mpeg_matrix_inventory",
     "q47_datepart_negidx_jsonb_merge",
+    "e20_byte_budget_shards",
 ]
 
 
@@ -6416,6 +6416,51 @@ _SPECS.append(
         "(llmops/export.py — deterministic md5-bucket sharding, "
         "bit-reproducible shard bytes, tarfile scan in Arrow batches; "
         "gated as a full write→read→reassemble roundtrip)",
+    )
+)
+
+
+def _e20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard assignment inside the hard gate (round 7,
+    llmops/export.py assign_byte_shards): documents bin into ~50 KB
+    shards by the prefix-bin rule over exact octet lengths. The Spark
+    side computes the prefix sum the DISTRIBUTED way (per-bucket
+    partials → driver prefix over the small bucket table → broadcast
+    offsets + bucket-partitioned window — no unpartitioned window
+    anywhere); the oracle recomputes the same shard ids with DuckDB's
+    single global window, so the two-level scan is proven equal to the
+    textbook one."""
+    from gfw_data_api_spark.llmops.export import assign_byte_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = assign_byte_shards(docs, target_bytes=50_000)
+    return out.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="e20_byte_budget_shards",
+        spark_fn=_e20,
+        oracle=(
+            "WITH c AS (SELECT doc_id, octet_length(encode(text)) AS b, "
+            "sum(octet_length(encode(text))) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM documents) "
+            "SELECT CAST((cum - b) // 50000 AS BIGINT) AS shard_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(b) AS BIGINT) AS shard_bytes, "
+            "min(doc_id) AS first_doc, max(doc_id) AS last_doc "
+            "FROM c GROUP BY 1"
+        ),
+        survey_ref="LLM pipeline: byte-budget shard assignment "
+        "(llmops/export.py assign_byte_shards — two-level distributed "
+        "prefix sum: bucket partials, driver prefix, partitioned window; "
+        "the DuckDB oracle is the single-window textbook form)",
     )
 )
 

@@ -221,3 +221,77 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(_parse, MEMBER_SCHEMA)
+
+
+def assign_byte_shards(
+    df: DataFrame,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    size_col: str | None = None,
+    bucket_width: int = 100_000,
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic byte-budget shard assignment: documents ordered by
+    ``id_col`` are binned so each shard holds ~``target_bytes`` —
+    ``shard_id = exclusive_prefix_sum(size) // target_bytes`` (the
+    prefix-bin rule: a document starts the shard its preceding bytes
+    land in; identical arithmetic is replayable in any engine).
+
+    Scale shape (the reason this exists as an operator): a global
+    running sum is an UNPARTITIONED window — one task at 100 TB.
+    Instead the prefix sum is two-level, the classic distributed scan:
+
+    1. per-bucket partial sums (``bucket = id // bucket_width``) — one
+       map-combined aggregation;
+    2. bucket offsets by a driver-side prefix over the SMALL bucket
+       table (guarded: ≤ 10M buckets collect, ~160 MB worst case);
+    3. within-bucket cumulative sums under a window PARTITIONED BY
+       bucket, plus the broadcast offset.
+
+    ``size_col`` defaults to ``octet_length(text)`` — exact integer
+    bytes, so shard ids match bit-for-bit across engines."""
+    from pyspark.sql import Window
+
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    size = F.col(size_col) if size_col else F.octet_length("text")
+    sized = df.withColumn("_bytes", size.cast("long")).withColumn(
+        "_bucket", (F.col(id_col) / F.lit(bucket_width)).cast("long")
+    )
+    partials = (
+        sized.groupBy("_bucket")
+        .agg(F.sum("_bytes").alias("_bsum"))
+        .limit(10_000_001)  # cap BEFORE collecting (same pattern as
+        .collect()          # operators.downloads._guard_collect)
+    )
+    if len(partials) > 10_000_000:  # pragma: no cover - guard only
+        raise ValueError(
+            "assign_byte_shards: too many id buckets for the driver "
+            "prefix; raise bucket_width"
+        )
+    offsets = {}
+    running = 0
+    for row in sorted(partials, key=lambda r: r["_bucket"]):
+        offsets[row["_bucket"]] = running
+        running += row["_bsum"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(b), int(o)) for b, o in offsets.items()],
+            "_bucket long, _offset long",
+        )
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.join(off_df, "_bucket")
+        .withColumn("_cum", F.sum("_bytes").over(w) + F.col("_offset"))
+        .withColumn(
+            out_col,
+            ((F.col("_cum") - F.col("_bytes")) / F.lit(target_bytes)).cast("long"),
+        )
+        .drop("_bytes", "_bucket", "_offset", "_cum")
+    )

@@ -137,3 +137,39 @@ def test_slash_in_id_raises_loudly(spark, tmp_path):
     df = spark.createDataFrame([("a/b", "t1")], "doc_id string, text string")
     with pytest.raises(Exception, match="contains"):
         write_webdataset(df, str(tmp_path / "slash"), n_shards=1).collect()
+
+
+def test_assign_byte_shards_prefix_bin_rule(spark):
+    """Round 7: shard_id = exclusive_prefix_bytes // target, computed
+    the two-level distributed way — equal to a hand prefix sum, and
+    the plan must contain NO unpartitioned window."""
+    from pyspark.sql import functions as F
+
+    from gfw_data_api_spark.llmops.export import assign_byte_shards
+
+    rows = [(i, "x" * (10 + (i * 7) % 30)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = assign_byte_shards(df, target_bytes=300, bucket_width=25)
+    got = {r.doc_id: r.shard_id for r in out.collect()}
+    # hand prefix sum in id order
+    cum = 0
+    for i, text in rows:
+        assert got[i] == cum // 300, i
+        cum += len(text)
+    # every window in the plan is partitioned (the operator's reason
+    # to exist — a global running sum would be one task at scale)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re as _re
+
+    assert not _re.search(r"windowspecdefinition\(\s*doc_id", plan.replace("\n", " "))
+
+
+def test_assign_byte_shards_validates(spark):
+    import pytest
+
+    from gfw_data_api_spark.llmops.export import assign_byte_shards
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="positive"):
+        assign_byte_shards(df, target_bytes=0)
