@@ -3235,7 +3235,6 @@ _DRIVER_FRONT: list[str] = [
     "p01_curate_corpus",
     "p02_curate_round3",
     "t17_kneser_ney_lm",
-    "s08_ivf_recall_gate",
     "d04_minhash_lsh_neardups",
     "d07_embedding_neardups",
     # --- new round-7 gates (displace r4-stale rows from the end) ---
@@ -3245,6 +3244,7 @@ _DRIVER_FRONT: list[str] = [
     "m12_mpeg_matrix_inventory",
     "q47_datepart_negidx_jsonb_merge",
     "e20_byte_budget_shards",
+    "q48_dialect_fourth_wave",
 ]
 
 
@@ -8078,6 +8078,55 @@ _SPECS.append(
         "JSONPath, ::jsonb || object merge with PG storage key order "
         "(sql/dialect.py translate_date_part / translate_json_ops / "
         "translate_jsonb_concat)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q48_dialect_fourth_wave",
+        spark_fn=_guarded(
+            "lineitem",
+            # PG semantics under test (round-7 fourth wave): EXTRACT
+            # DECADE/CENTURY (count from year 1 — 2000 is the 20th
+            # century), to_hex LOWERCASE output (Spark hex() is
+            # upper), trunc-toward-zero on numerics (Spark's trunc is
+            # date-only), and [NOT] LIKE/ILIKE quantified over arrays
+            "SELECT l_orderkey, l_linenumber, "
+            "EXTRACT(DECADE FROM l_shipdate) AS dec, "
+            "EXTRACT(CENTURY FROM l_shipdate) AS cen, "
+            "to_hex(l_orderkey * 1000 + l_linenumber) AS hx, "
+            "CAST(trunc(l_extendedprice, 1) * 10 AS BIGINT) AS tp_x10, "
+            "CAST(trunc(l_extendedprice * -1, 1) * 10 AS BIGINT) AS tpn_x10, "
+            "(l_returnflag LIKE ANY(ARRAY['A%', 'N%'])) AS fast, "
+            "(l_returnflag NOT LIKE ALL(ARRAY['R%', 'X%'])) "
+            "AS not_ground "
+            "FROM data WHERE l_orderkey < 200 "
+            "ORDER BY l_orderkey, l_linenumber",
+        ),
+        oracle=(
+            # DuckDB: DECADE/CENTURY native PG semantics; to_hex is
+            # UPPERCASE there (lower() compensates); no 2-arg trunc —
+            # the floor/ceil arithmetic IS the independent recomputation
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(EXTRACT(DECADE FROM l_shipdate) AS BIGINT) AS dec, "
+            "CAST(EXTRACT(CENTURY FROM l_shipdate) AS BIGINT) AS cen, "
+            "lower(to_hex(l_orderkey * 1000 + l_linenumber)) AS hx, "
+            "CAST(floor(l_extendedprice * 10) AS BIGINT) AS tp_x10, "
+            "CAST(ceiling(l_extendedprice * -10) AS BIGINT) AS tpn_x10, "
+            "len(list_filter(['A%', 'N%'], "
+            "__p -> l_returnflag LIKE __p)) > 0 AS fast, "
+            "len(list_filter(['R%', 'X%'], "
+            "__p -> l_returnflag NOT LIKE __p)) = 2 AS not_ground "
+            "FROM lineitem WHERE l_orderkey < 200 "
+            "ORDER BY l_orderkey, l_linenumber"
+        ),
+        survey_ref="Q11 dialect breadth (round-7 fourth wave): EXTRACT "
+        "CENTURY/DECADE/MILLENNIUM year arithmetic, to_hex lowercase, "
+        "numeric trunc-toward-zero via exact decimal floor/ceil, "
+        "LIKE/ILIKE ANY/ALL over arrays → exists/forall "
+        "(sql/dialect.py translate_extract / translate_pg_functions / "
+        "translate_any_all)",
     )
 )
 

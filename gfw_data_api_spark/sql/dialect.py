@@ -780,7 +780,7 @@ def translate_extract(sql: str) -> str:
                 sql = f"{sql[:f.start]}YEAROFWEEK{sql[f.end:]}"
                 changed = True
                 break
-            if field in ("DOW", "EPOCH"):
+            if field in ("DOW", "EPOCH", "CENTURY", "DECADE", "MILLENNIUM"):
                 depth = 0
                 close = None
                 for j in range(i + 1, len(tokens)):
@@ -796,6 +796,17 @@ def translate_extract(sql: str) -> str:
                 if field == "DOW":
                     inner = f"{sql[t.start:f.start]}DAYOFWEEK{sql[f.end:tokens[close].end]}"
                     sql = f"{sql[:t.start]}({inner} - 1){sql[tokens[close].end:]}"
+                elif field in ("CENTURY", "DECADE", "MILLENNIUM"):
+                    # PG (CE dates): decade = year DIV 10; century /
+                    # millennium count from year 1, so 2000 is the
+                    # 20th century and 2001 opens the 21st
+                    year = f"{sql[t.start:f.start]}YEAR{sql[f.end:tokens[close].end]}"
+                    arith = {
+                        "DECADE": f"({year} DIV 10)",
+                        "CENTURY": f"(({year} + 99) DIV 100)",
+                        "MILLENNIUM": f"(({year} + 999) DIV 1000)",
+                    }[field]
+                    sql = f"{sql[:t.start]}{arith}{sql[tokens[close].end:]}"
                 else:
                     from_idx = i + 3
                     if not (
@@ -942,6 +953,103 @@ def translate_pg_functions(sql: str) -> str:
         if hit is None:
             break
         sql = f"{sql[:hit.start]}array_join{sql[hit.end:]}"
+    while True:
+        # PG to_hex prints LOWERCASE hex; Spark's hex() is uppercase.
+        # (Boundary, documented: PG's int4 to_hex(-1) is the 32-bit
+        # 'ffffffff'; Spark hex is 64-bit — negatives differ.)
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "TO_HEX"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            break
+        depth = 0
+        close = None
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            raise ValueError("unbalanced to_hex(...)")
+        x = sql[tokens[at + 2].start : tokens[close - 1].end]
+        sql = f"{sql[:tokens[at].start]}lower(hex({x})){sql[tokens[close].end:]}"
+    while True:
+        # PG trunc(x[, n]) truncates numerics TOWARD ZERO; Spark's
+        # trunc is date-only (a PG numeric call errors loudly there).
+        # floor/ceiling over scaled DECIMALS keeps the arithmetic
+        # exact; n must be an integer literal.
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "TRUNC"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            break
+        depth = 0
+        close = None
+        comma = None
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif tk.kind == "PUNCT" and tk.value == "," and depth == 1:
+                comma = j
+        if close is None:
+            raise ValueError("unbalanced trunc(...)")
+        if comma is None:
+            x = sql[tokens[at + 2].start : tokens[close - 1].end]
+            repl = (
+                f"CASE WHEN ({x}) >= 0 THEN floor({x}) "
+                f"ELSE ceiling({x}) END"
+            )
+        else:
+            x = sql[tokens[at + 2].start : tokens[comma - 1].end]
+            n_toks = tokens[comma + 1 : close]
+            neg = False
+            if len(n_toks) == 2 and n_toks[0].kind == "OP" and n_toks[0].value == "-":
+                neg, n_toks = True, n_toks[1:]
+            if len(n_toks) != 1 or n_toks[0].kind != "NUMBER" or not n_toks[0].value.isdigit():
+                raise ValueError(
+                    "trunc(x, n) needs an integer-literal scale "
+                    "(dynamic scales are not translatable)"
+                )
+            n = int(n_toks[0].value)
+            if neg:
+                m = 10 ** n
+                repl = (
+                    f"CASE WHEN ({x}) >= 0 THEN floor(({x}) / {m}) * {m} "
+                    f"ELSE ceiling(({x}) / {m}) * {m} END"
+                )
+            else:
+                m = 10 ** n
+                repl = (
+                    f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * {m}) / {m} "
+                    f"ELSE ceiling(({x}) * {m}) / {m} END"
+                )
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
         # PG initcap uppercases a letter iff the PREVIOUS char is not
         # alphanumeric (word boundaries at every non-alnum char) —
@@ -2262,22 +2370,37 @@ def translate_any_all(sql: str) -> str:
     while True:
         tokens = tokenize(sql)
         at = None
+        op = None
+        lhs_end = None
         for i, t in enumerate(tokens):
-            if (
+            if not (
                 t.kind == "IDENT"
                 and t.upper in ("ANY", "ALL")
                 and 0 < i < len(tokens) - 1
                 and tokens[i + 1].value == "("
-                and tokens[i - 1].kind == "OP"
-                and tokens[i - 1].value in _ANY_ALL_OPS
             ):
-                at = i
+                continue
+            prev = tokens[i - 1]
+            if prev.kind == "OP" and prev.value in _ANY_ALL_OPS:
+                at, op, lhs_end = i, prev.value, i - 2
+                break
+            # PG also quantifies LIKE/ILIKE: `x [NOT] LIKE ANY(arr)`
+            # (Spark's native LIKE ANY takes a paren LIST, not an
+            # array, so the exists/forall rewrite applies here too)
+            if prev.kind == "IDENT" and prev.upper in ("LIKE", "ILIKE"):
+                if (
+                    i >= 2
+                    and tokens[i - 2].kind == "IDENT"
+                    and tokens[i - 2].upper == "NOT"
+                ):
+                    at, op, lhs_end = i, f"NOT {prev.upper}", i - 3
+                else:
+                    at, op, lhs_end = i, prev.upper, i - 2
                 break
         if at is None:
             return sql
         quant = tokens[at].upper
-        op = tokens[at - 1].value
-        lhs_start = _primary_start(tokens, at - 2)
+        lhs_start = _primary_start(tokens, lhs_end)
         if lhs_start is None:
             raise ValueError(f"cannot resolve the left operand of {op} {quant}(...)")
         # PG gives comparison operators LOWER precedence than ||,
@@ -2320,7 +2443,7 @@ def translate_any_all(sql: str) -> str:
                 f"{quant}(SELECT ...) is outside the translatable subset — "
                 "rewrite as IN (SELECT ...) / NOT IN (SELECT ...)"
             )
-        lhs = sql[tokens[lhs_start].start : tokens[at - 2].end]
+        lhs = sql[tokens[lhs_start].start : tokens[lhs_end].end]
         if lhs_start >= 1 and tokens[lhs_start - 1].kind == "OP" and tokens[
             lhs_start - 1
         ].value in ("+", "-"):

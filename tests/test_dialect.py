@@ -1235,3 +1235,53 @@ def test_initcap_pg_word_boundaries(spark):
     ).collect()[0]
     assert row.a == "Hello-World X2y 3abc"  # Spark native: 'Hello-world'
     assert row.e == "" and row.n is None
+
+
+class TestFourthDialectWave:
+    def test_extract_century_decade_millennium(self, spark):
+        row = run_pg_sql(
+            spark,
+            "SELECT EXTRACT(DECADE FROM DATE '1995-07-16') AS dec, "
+            "EXTRACT(CENTURY FROM DATE '2000-12-31') AS c2000, "
+            "EXTRACT(CENTURY FROM DATE '2001-01-01') AS c2001, "
+            "EXTRACT(MILLENNIUM FROM DATE '2001-01-01') AS mil, "
+            "date_part('decade', DATE '1989-01-01') AS dp",
+        ).collect()[0]
+        # PG: centuries/millennia count from year 1 — 2000 closes the
+        # 20th century, 2001 opens the 21st
+        assert (row.dec, row.c2000, row.c2001, row.mil, row.dp) == (
+            199, 20, 21, 3, 198,
+        )
+
+    def test_to_hex_lowercase(self, spark):
+        row = run_pg_sql(
+            spark, "SELECT to_hex(255) AS a, to_hex(3735928559) AS b"
+        ).collect()[0]
+        assert (row.a, row.b) == ("ff", "deadbeef")  # Spark hex() is upper
+
+    def test_trunc_toward_zero(self, spark):
+        row = run_pg_sql(
+            spark,
+            "SELECT trunc(2.77) AS a, trunc(0 - 2.77) AS b, "
+            "trunc(2.777, 2) AS c, trunc(0 - 2.777, 2) AS d, "
+            "trunc(123.4, -1) AS e",
+        ).collect()[0]
+        assert [float(v) for v in (row.a, row.b, row.c, row.d, row.e)] == [
+            2, -2, 2.77, -2.77, 120,
+        ]
+
+    def test_trunc_dynamic_scale_raises(self):
+        from gfw_data_api_spark.sql.dialect import translate_pg_functions
+
+        with pytest.raises(ValueError, match="integer-literal scale"):
+            translate_pg_functions("SELECT trunc(x, n) FROM t")
+
+    def test_like_any_all_over_arrays(self, spark):
+        row = run_pg_sql(
+            spark,
+            "SELECT ('abc' LIKE ANY(ARRAY['a%', 'z%'])) AS la, "
+            "('abc' LIKE ALL(ARRAY['a%', '%c'])) AS lall, "
+            "('ABC' ILIKE ANY(ARRAY['a%'])) AS il, "
+            "('abc' NOT LIKE ALL(ARRAY['z%', 'q%'])) AS nl",
+        ).collect()[0]
+        assert (row.la, row.lall, row.il, row.nl) == (True, True, True, True)

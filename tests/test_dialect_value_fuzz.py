@@ -171,7 +171,8 @@ class Gen:
         if pick == 9:  # EXTRACT over a date — or its date_part spelling
             d_pg, d_dk, _, _ = self.date(depth - 1)
             f = self.r.choice(
-                ["DOW", "ISODOW", "YEAR", "MONTH", "DAY", "QUARTER", "WEEK", "ISOYEAR"]
+                ["DOW", "ISODOW", "YEAR", "MONTH", "DAY", "QUARTER", "WEEK",
+                 "ISOYEAR", "DOY", "DECADE", "CENTURY", "MILLENNIUM"]
             )
             if self.r.random() < 0.4:
                 # DuckDB's date_part shares PG's field semantics
@@ -196,6 +197,18 @@ class Gen:
                 "NUM",
                 True,
             )
+        if pick == 11 and self.r.random() < 0.5:  # trunc — PYTHON expected
+            # engines do exact DECIMAL arithmetic: mirror with Decimal
+            # (float math would drift at e.g. 123.4 * 10)
+            xv = Decimal(str(round(self.r.uniform(-500, 500), 3)))
+            n = self.r.choice([None, 0, 1, 2, -1])
+            quant = Decimal(1).scaleb(-(n or 0))
+            from decimal import ROUND_DOWN
+
+            tv = xv.quantize(quant, rounding=ROUND_DOWN)
+            xt = f"({xv})" if xv < 0 else str(xv)
+            call = f"trunc({xt})" if n is None else f"trunc({xt}, {n})"
+            return call, str(tv), "NUM", True
         if pick == 11:  # width_bucket — PYTHON-computed expected
             import math as _m
 
@@ -400,6 +413,34 @@ class Gen:
             b_pg, b_dk, _, _ = self.num(depth - 1)
             op = self.r.choice(["<", "<=", "=", "<>", ">", ">="])
             return f"({a_pg} {op} {b_pg})", f"({a_dk} {op} {b_dk})", "BOOL", True
+        if pick == 1 and self.r.random() < 0.3:  # LIKE/ILIKE ANY/ALL
+            s_pg, s_dk, _, _ = self.string(depth - 1)
+            pats = [self.r.choice(["a%", "%o%", "%c", "x", "_b%"]) for _ in range(2)]
+            lits = ", ".join(q(p) for p in pats)
+            fn = self.r.choice(["LIKE", "ILIKE"])
+            which = self.r.choice(["ANY", "ALL"])
+            dk_like = f"({s_dk} {fn} __p)"
+            nulls = (
+                f"len(list_filter([{lits}], __p -> ({dk_like}) IS NULL)) > 0"
+            )
+            if which == "ANY":
+                # three-valued: TRUE beats NULL beats FALSE
+                dk = (
+                    f"(CASE WHEN len(list_filter([{lits}], __p -> {dk_like}))"
+                    f" > 0 THEN true WHEN {nulls} THEN NULL ELSE false END)"
+                )
+            else:
+                dk = (
+                    f"(CASE WHEN len(list_filter([{lits}], "
+                    f"__p -> NOT {dk_like})) > 0 THEN false "
+                    f"WHEN {nulls} THEN NULL ELSE true END)"
+                )
+            return (
+                f"({s_pg} {fn} {which}(ARRAY[{lits}]))",
+                dk,
+                "BOOL",
+                True,
+            )
         if pick == 1:  # regex match operators
             s_pg, s_dk, _, _ = self.string(depth - 1)
             pat = q(self.r.choice(REGEX_POOL))

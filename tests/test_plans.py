@@ -340,6 +340,8 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "r11_version_overrides": "inherits r10's MAX_BATCH_FEATURES-bounded feature list",
         "a04_count_min_sketch": "1-row corpus-total aggregate (error-bound normalizer)",
         "g01_pagerank": "1-row dangling-mass-share aggregate per superstep (llmops/graph.py)",
+        "e20_byte_budget_shards": "bucket-offset table guarded to ≤10M rows "
+        "(llmops/export.py assign_byte_shards — buckets = maxid/bucket_width)",
     }
 
     offenders: dict[str, int] = {}
