@@ -436,6 +436,49 @@ def _absorb_concat_left(tokens, lstart):
     return lstart
 
 
+def _absorb_cast_left(tokens, lstart):
+    """``::`` binds tighter than the json operators, so in
+    ``props::jsonb ->> 'k'`` the operand is the whole cast — but
+    ``_primary_start`` lands on the TYPE ident. Walk back across
+    ``::type`` suffixes (chains too: ``x::text::jsonb``)."""
+    while (
+        lstart >= 2
+        and tokens[lstart - 1].kind == "OP"
+        and tokens[lstart - 1].value == "::"
+    ):
+        prev = _primary_start(tokens, lstart - 2)
+        if prev is None:
+            break
+        lstart = prev
+    return lstart
+
+
+def _absorb_operand_left(tokens, lstart):
+    """Full left-operand widening for the json/regex operator tier:
+    interleave cast-suffix and ``||``-chain absorption to a fixpoint
+    (``a::jsonb || b::jsonb ->> 'k'`` needs both, repeatedly)."""
+    while True:
+        new = _absorb_concat_left(tokens, _absorb_cast_left(tokens, lstart))
+        if new == lstart:
+            return lstart
+        lstart = new
+
+
+def _absorb_cast_right(tokens, rend):
+    """Forward twin of :func:`_absorb_cast_left` for right operands:
+    extend the primary across trailing ``::type`` suffixes so
+    ``'{..}' <@ props::jsonb`` consumes the cast instead of leaving
+    ``::jsonb`` dangling after the rewrite."""
+    while (
+        rend + 2 < len(tokens)
+        and tokens[rend + 1].kind == "OP"
+        and tokens[rend + 1].value == "::"
+        and tokens[rend + 2].kind == "IDENT"
+    ):
+        rend += 2
+    return rend
+
+
 def translate_caret_power(sql: str) -> str:
     """PG ``a ^ b`` is exponentiation; Spark parses ``^`` as bitwise
     XOR — silently wrong values, not a parse error. Rewrite to
@@ -1726,8 +1769,8 @@ def translate_json_ops(sql: str) -> str:
         if lstart is None:
             raise ValueError(f"cannot resolve the left operand of {op}")
         # PG's -> ->> #> #>> share ||'s left-assoc tier: `a || b ->> 'k'`
-        # means `(a || b) ->> 'k'`
-        lstart = _absorb_concat_left(tokens, lstart)
+        # means `(a || b) ->> 'k'`; :: binds tighter still
+        lstart = _absorb_operand_left(tokens, lstart)
         lhs = sql[tokens[lstart].start : tokens[at - 1].end]
         if neg_n is not None:
             path_expr = (
@@ -1827,7 +1870,7 @@ def translate_json_exists(sql: str) -> str:
         if lstart is None:
             raise ValueError(f"cannot resolve the left operand of {op}")
         # same precedence tier as || (see translate_json_ops)
-        lstart = _absorb_concat_left(tokens, lstart)
+        lstart = _absorb_operand_left(tokens, lstart)
         lhs = sql[tokens[lstart].start : tokens[at - 1].end]
         if op == "?":
             rhs = tokens[at + 1]
@@ -1981,9 +2024,9 @@ def translate_json_contains(sql: str) -> str:
             if lstart is None:
                 raise ValueError("cannot resolve the left operand of @>")
             # same precedence tier as || (see translate_json_ops); the
-            # <@ arm needs no twin — left-assoc makes `'x' <@ a || b`
-            # parse as `('x' <@ a) || b`, a bare primary on the right
-            lstart = _absorb_concat_left(tokens, lstart)
+            # <@ arm needs no ||-twin — left-assoc makes `'x' <@ a || b`
+            # parse as `('x' <@ a) || b` — but trailing ::casts DO bind
+            lstart = _absorb_operand_left(tokens, lstart)
             col_text = sql[tokens[lstart].start : tokens[at - 1].end]
             start, end = tokens[lstart].start, needle.end
         else:
@@ -1997,6 +2040,7 @@ def translate_json_contains(sql: str) -> str:
             rend = _primary_end(tokens, at + 1)
             if rend is None:
                 raise ValueError("cannot resolve the right operand of <@")
+            rend = _absorb_cast_right(tokens, rend)
             col_text = sql[tokens[at + 1].start : tokens[rend].end]
             start, end = needle.start, tokens[rend].end
         repl = _containment_conditions(col_text, needle.value, op)

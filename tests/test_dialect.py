@@ -1285,3 +1285,31 @@ class TestFourthDialectWave:
             "('abc' NOT LIKE ALL(ARRAY['z%', 'q%'])) AS nl",
         ).collect()[0]
         assert (row.la, row.lall, row.il, row.nl) == (True, True, True, True)
+
+
+class TestCastSuffixedJsonOperands:
+    """Round-7 review find: `props::jsonb ->> 'k'` resolved its lhs
+    primary as the TYPE ident, emitting unparseable SQL; `<@ x::jsonb`
+    left the cast dangling on the rewritten boolean. Both operand
+    walks now absorb ::type suffixes (and chains)."""
+
+    def test_casted_lhs_all_json_ops(self, spark):
+        row = run_pg_sql(
+            spark,
+            """SELECT '{"k": 7}'::jsonb ->> 'k' AS a,
+            '{"k": 7}'::jsonb ? 'k' AS b,
+            '{"k": 7}'::jsonb @> '{"k": 7}' AS c,
+            '{"k": 7}' <@ '{"k": 7, "z": 1}'::jsonb AS d,
+            '{"k": 7}'::text::jsonb ->> 'k' AS chained""",
+        ).collect()[0]
+        assert row.a == "7" and row.chained == "7"
+        assert (row.b, row.c, row.d) == (True, True, True)
+
+    def test_concat_then_cast_merges_like_pg(self, spark):
+        # all three ops share one left-assoc tier: (a || b::jsonb) ->> k
+        # is a jsonb MERGE then an extraction in PG
+        row = run_pg_sql(
+            spark,
+            "SELECT ('{\"a\": 1}' || '{\"k\": 9}'::jsonb) ->> 'k' AS v",
+        ).collect()[0]
+        assert row.v == "9"
