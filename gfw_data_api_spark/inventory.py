@@ -516,7 +516,7 @@ _SPECS.append(
         name="t01_token_count",
         spark_fn=_guarded(
             "documents",
-            "SELECT doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens FROM documents",
+            "SELECT doc_id, CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents",
         ),
         oracle=(
             "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
@@ -564,7 +564,7 @@ _SPECS.append(
         name="d02_prefix_fingerprint",
         spark_fn=_guarded(
             "documents",
-            "SELECT doc_id, md5(array_join(slice(split(trim(text), '\\\\s+'), 1, 5), ' ')) AS fingerprint "
+            "SELECT doc_id, md5(array_join(slice(split(trim(text), '\\s+'), 1, 5), ' ')) AS fingerprint "
             "FROM documents",
         ),
         oracle=(
