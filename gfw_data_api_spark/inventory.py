@@ -3236,7 +3236,6 @@ _DRIVER_FRONT: list[str] = [
     "p02_curate_round3",
     "t17_kneser_ney_lm",
     "d04_minhash_lsh_neardups",
-    "d07_embedding_neardups",
     # --- new round-7 gates (displace r4-stale rows from the end) ---
     "q45_json_array_containment",
     "q46_backslash_literals",
@@ -3245,6 +3244,7 @@ _DRIVER_FRONT: list[str] = [
     "q47_datepart_negidx_jsonb_merge",
     "e20_byte_budget_shards",
     "q48_dialect_fourth_wave",
+    "q49_dialect_fifth_wave",
 ]
 
 
@@ -8127,6 +8127,44 @@ _SPECS.append(
         "LIKE/ILIKE ANY/ALL over arrays → exists/forall "
         "(sql/dialect.py translate_extract / translate_pg_functions / "
         "translate_any_all)",
+    )
+)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q49_dialect_fifth_wave",
+        spark_fn=_guarded(
+            "documents",
+            # PG semantics under test (round-7 fifth wave): 2-arg
+            # ltrim/rtrim take (str, characters) — Spark's natives are
+            # REVERSED (trimStr, str), so untranslated calls silently
+            # trim the wrong operand; format() is printf-%s; div()
+            # truncates toward zero (Spark's div agrees — pinned)
+            "SELECT doc_id, "
+            "ltrim(lang || text, lang) AS l2, "
+            "rtrim(text || 'xx', 'x') AS r2, "
+            "btrim('x' || text || 'x', 'x') AS b2, "
+            "format('%s:%s', lang, doc_id % 7) AS fmt, "
+            "div(doc_id, 7) AS d, div(0 - doc_id, 7) AS dn "
+            "FROM data",
+        ),
+        oracle=(
+            # DuckDB shares PG's (str, chars) trim order; no div() —
+            # (a - a%b)//b is the exact toward-zero recomputation
+            "SELECT doc_id, "
+            "ltrim(lang || text, lang) AS l2, "
+            "rtrim(text || 'xx', 'x') AS r2, "
+            "trim('x' || text || 'x', 'x') AS b2, "
+            "format('{}:{}', lang, doc_id % 7) AS fmt, "
+            "CAST((doc_id - (doc_id % 7)) // 7 AS BIGINT) AS d, "
+            "CAST((-doc_id - (-doc_id % 7)) // 7 AS BIGINT) AS dn "
+            "FROM documents"
+        ),
+        survey_ref="Q11 dialect breadth (round-7 fifth wave): 2-arg "
+        "ltrim/rtrim PG argument order via TRIM syntax, format() → "
+        "format_string for the %s subset, div() toward-zero pinned "
+        "(sql/dialect.py translate_pg_functions)",
     )
 )
 

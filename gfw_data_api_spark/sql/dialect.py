@@ -997,6 +997,84 @@ def translate_pg_functions(sql: str) -> str:
             break
         sql = f"{sql[:hit.start]}array_join{sql[hit.end:]}"
     while True:
+        # Spark's TWO-argument ltrim/rtrim take (trimStr, str) —
+        # REVERSED from PG's (str, characters) — so an untranslated
+        # PG call silently trims the wrong operand. Swap the args.
+        # (btrim is (str, trimStr) in both engines — Spark quirk.)
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper in ("LTRIM", "RTRIM")
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            break
+        depth = 0
+        close = None
+        comma = None
+        for j in range(at + 1, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif tk.kind == "PUNCT" and tk.value == "," and depth == 1:
+                comma = j
+        if close is None:
+            raise ValueError(f"unbalanced {tokens[at].value}(...)")
+        side = "LEADING" if tokens[at].upper == "LTRIM" else "TRAILING"
+        if comma is None:
+            # 1-arg form agrees in both engines; rewriting to TRIM
+            # syntax just keeps this scan from re-matching forever
+            x = sql[tokens[at + 2].start : tokens[close - 1].end]
+            repl = f"TRIM({side} FROM {x})"
+        else:
+            # TRIM syntax sidesteps Spark's reversed 2-arg argument
+            # order AND terminates the rescan (no ltrim( remains)
+            s_text = sql[tokens[at + 2].start : tokens[comma - 1].end]
+            chars = sql[tokens[comma + 1].start : tokens[close - 1].end]
+            repl = f"TRIM({side} {chars} FROM {s_text})"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
+        # PG format(template, args...) → Spark format_string for the
+        # %s / %% subset (PG's %I/%L/positional %n$ raise — they need
+        # identifier/literal quoting no Spark function provides)
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "FORMAT"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            break
+        tpl = tokens[at + 2]
+        if tpl.kind != "STRING":
+            raise ValueError(
+                "format() requires a string-literal template "
+                "(dynamic templates are not translatable)"
+            )
+        rest = re.sub(r"%%", "", tpl.value)
+        bad = re.search(r"%[^s]", rest) or rest.endswith("%")
+        if bad:
+            raise ValueError(
+                "format() specifiers beyond %s / %% are outside the "
+                "translatable subset (PG %I/%L need SQL quoting)"
+            )
+        sql = f"{sql[:tokens[at].start]}format_string{sql[tokens[at].end:]}"
+    while True:
         # PG to_hex prints LOWERCASE hex; Spark's hex() is uppercase.
         # (Boundary, documented: PG's int4 to_hex(-1) is the 32-bit
         # 'ffffffff'; Spark hex is 64-bit — negatives differ.)
@@ -2425,7 +2503,9 @@ def translate_any_all(sql: str) -> str:
             ):
                 continue
             prev = tokens[i - 1]
-            if prev.kind == "OP" and prev.value in _ANY_ALL_OPS:
+            if prev.kind == "OP" and (
+                prev.value in _ANY_ALL_OPS or prev.value in _REGEX_OPS
+            ):
                 at, op, lhs_end = i, prev.value, i - 2
                 break
             # PG also quantifies LIKE/ILIKE: `x [NOT] LIKE ANY(arr)`
@@ -2497,7 +2577,17 @@ def translate_any_all(sql: str) -> str:
             )
         arr = sql[tokens[at + 2].start : tokens[close - 1].end]
         hof = "exists" if quant == "ANY" else "forall"
-        repl = f"{hof}({arr}, __gfw_e -> ({lhs}) {op} __gfw_e)"
+        if op in _REGEX_OPS:
+            # `x ~ ANY(patterns)` — regex-match quantifiers (the same
+            # RLIKE mapping as translate_regex_ops, per element)
+            ci, neg = _REGEX_OPS[op]
+            rx = f"CONCAT('{ci}', __gfw_e)" if ci else "__gfw_e"
+            body = f"({lhs}) RLIKE {rx}"
+            if neg:
+                body = f"NOT ({body})"
+            repl = f"{hof}({arr}, __gfw_e -> {body})"
+        else:
+            repl = f"{hof}({arr}, __gfw_e -> ({lhs}) {op} __gfw_e)"
         sql = f"{sql[:tokens[lhs_start].start]}{repl}{sql[tokens[close].end:]}"
 
 

@@ -1313,3 +1313,55 @@ class TestCastSuffixedJsonOperands:
             "SELECT ('{\"a\": 1}' || '{\"k\": 9}'::jsonb) ->> 'k' AS v",
         ).collect()[0]
         assert row.v == "9"
+
+
+class TestFifthDialectWave:
+    def test_ltrim_rtrim_two_arg_pg_order(self, spark):
+        """Spark's 2-arg ltrim/rtrim are (trimStr, str) — REVERSED from
+        PG — so untranslated calls silently trimmed the wrong operand.
+        The rewrite goes through TRIM syntax (shared semantics)."""
+        row = run_pg_sql(
+            spark,
+            "SELECT ltrim('xxab', 'x') AS l2, rtrim('abxx', 'x') AS r2, "
+            "ltrim('  ab  ') AS l1, rtrim('  ab  ') AS r1, "
+            "btrim('xxabxx', 'x') AS b2",
+        ).collect()[0]
+        assert (row.l2, row.r2) == ("ab", "ab")  # Spark native: '' / ''
+        assert (row.l1, row.r1) == ("ab  ", "  ab")
+        assert row.b2 == "ab"  # btrim is (str, trimStr) in BOTH engines
+
+    def test_format_to_format_string(self, spark):
+        row = run_pg_sql(
+            spark, "SELECT format('%s-%s %%ok', 'a', 7) AS f"
+        ).collect()[0]
+        assert row.f == "a-7 %ok"
+
+    def test_format_loud_rejections(self):
+        from gfw_data_api_spark.sql.dialect import translate_pg_functions
+
+        with pytest.raises(ValueError, match="outside the translatable"):
+            translate_pg_functions("SELECT format('%I', x) FROM t")
+        with pytest.raises(ValueError, match="string-literal template"):
+            translate_pg_functions("SELECT format(tpl, x) FROM t")
+
+    def test_div_is_native_toward_zero(self, spark):
+        # Spark's div() already truncates toward zero like PG — pinned
+        # here so a regression would be loud
+        row = run_pg_sql(spark, "SELECT div(7, 2) AS a, div(-7, 2) AS b").collect()[0]
+        assert (row.a, row.b) == (3, -3)
+
+
+def test_regex_match_quantifiers(spark):
+    """PG quantifies the regex operators too: x ~ ANY(patterns)
+    (untranslated this emitted RLIKE ANY(array(...)) — a parse error)."""
+    row = run_pg_sql(
+        spark,
+        "SELECT ('abc123' ~ ANY(ARRAY['^z', '[0-9]+'])) AS a, "
+        "('abc' ~ ALL(ARRAY['^a', 'c$'])) AS b, "
+        "('ABC' ~* ANY(ARRAY['b'])) AS c, "
+        "('abc' !~ ALL(ARRAY['z', 'q'])) AS d, "
+        "('abc' !~* ANY(ARRAY['B'])) AS e",
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == (
+        True, True, True, True, False,
+    )

@@ -134,9 +134,19 @@ class Gen:
                 "NUM",
                 ax and bx,
             )
-        if pick == 3:  # modulo over ints
+        if pick == 3:  # modulo / integer div over ints
             a_pg, a_dk, _, _ = self.int_atom()
             b = self.r.randint(1, 9)
+            if self.r.random() < 0.4:
+                # PG div() truncates toward zero; DuckDB lacks div —
+                # (a - a%b)//b is exact toward-zero for ints (% takes
+                # the dividend's sign in both engines)
+                return (
+                    f"div({a_pg}, {b})",
+                    f"(({a_dk} - ({a_dk} % {b})) // {b})",
+                    "NUM",
+                    True,
+                )
             return f"({a_pg} % {b})", f"({a_dk} % {b})", "NUM", True
         if pick == 4:  # power (PG ^; DuckDB shares the operator AND
             # the unary-minus-binds-tighter precedence)
@@ -248,10 +258,19 @@ class Gen:
             a_pg, a_dk, _, _ = self.string(depth - 1)
             fn = self.r.choice(["upper", "lower", "trim", "reverse"])
             return f"{fn}({a_pg})", f"{fn}({a_dk})", "STR", True
-        if pick == 2:  # btrim: DuckDB spells it trim(s, chars)
+        if pick == 2:  # btrim/ltrim/rtrim with chars: DuckDB shares
+            # PG's (str, chars) order for all three (Spark reverses
+            # ltrim/rtrim — the dialect's TRIM-syntax rewrite)
             a_pg, a_dk, _, _ = self.string(depth - 1)
-            ch = q(self.r.choice(["x", "a ", " "]))
-            return f"btrim({a_pg}, {ch})", f"trim({a_dk}, {ch})", "STR", True
+            ch = q(self.r.choice(["x", "a ", " ", "ab"]))
+            fn = self.r.choice(["btrim", "ltrim", "rtrim"])
+            dk_fn = "trim" if fn == "btrim" else fn
+            return (
+                f"{fn}({a_pg}, {ch})",
+                f"{dk_fn}({a_dk}, {ch})",
+                "STR",
+                True,
+            )
         if pick == 3:  # substr with Python-computed expected
             s = self.r.choice(STR_POOL)
             start = self.r.randint(-3, 6)
@@ -475,6 +494,22 @@ class Gen:
                 True,
             )
         if pick == 4:  # ANY / ALL over an array literal
+            if self.r.random() < 0.3:
+                # regex-match quantifiers (DuckDB lacks ~ ANY; the
+                # list_filter twin replays the match per element —
+                # non-NULL lhs here, so two-valued counting is exact)
+                s = self.r.choice(["abc123", "Hello", "xyz"])
+                pats = [self.r.choice(["^a", "[0-9]+", "z$", "H"]) for _ in range(2)]
+                lits = ", ".join(q(p) for p in pats)
+                which = self.r.choice(["ANY", "ALL"])
+                agg = "> 0" if which == "ANY" else "= 2"
+                return (
+                    f"({q(s)} ~ {which}(ARRAY[{lits}]))",
+                    f"(len(list_filter([{lits}], "
+                    f"__p -> regexp_matches({q(s)}, __p))) {agg})",
+                    "BOOL",
+                    True,
+                )
             x_pg, x_dk, _, _ = self.int_atom()
             vals = [str(self.r.randint(-5, 20)) for _ in range(3)]
             lst = ", ".join(vals)
