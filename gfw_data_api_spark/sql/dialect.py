@@ -519,6 +519,35 @@ _REGEX_OPS = {
     "!~*": ("(?i)", True),
 }
 
+# POSIX bracket classes (PG/POSIX ERE) → Java \p{...} equivalents.
+# Both appear INSIDE a bracket expression, so a textual splice works;
+# [:word:] has no single Java class and splices as two members.
+_POSIX_CLASSES = {
+    "alpha": "\\p{Alpha}", "digit": "\\p{Digit}", "alnum": "\\p{Alnum}",
+    "upper": "\\p{Upper}", "lower": "\\p{Lower}", "space": "\\p{Space}",
+    "punct": "\\p{Punct}", "blank": "\\p{Blank}", "cntrl": "\\p{Cntrl}",
+    "xdigit": "\\p{XDigit}", "graph": "\\p{Graph}", "print": "\\p{Print}",
+    "word": "\\p{Alnum}_",
+}
+
+
+def _translate_posix_classes(pat: str) -> str:
+    """``[[:alpha:]]``-style POSIX classes work on PG (and DuckDB/RE2)
+    but not on Java regex — which has ``\\p{Alpha}`` twins. Splice
+    them wherever they appear (they are only valid inside bracket
+    expressions, where the ``\\p`` forms are valid too). Unknown class
+    names raise rather than passing Java a guaranteed parse error."""
+
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        if name not in _POSIX_CLASSES:
+            raise ValueError(
+                f"POSIX class [:{name}:] outside the translatable subset"
+            )
+        return _POSIX_CLASSES[name]
+
+    return re.sub(r"\[:(\^?[a-z]+):\]", sub, pat)
+
 
 def translate_regex_ops(sql: str) -> str:
     """PG regex-match operators → Spark RLIKE. ``a ~ p`` matches
@@ -554,7 +583,12 @@ def translate_regex_ops(sql: str) -> str:
         # concatenation chain into the operand
         lstart = _absorb_concat_left(tokens, lstart)
         left = sql[tokens[lstart].start : tokens[hit - 1].end]
-        right = sql[tokens[hit + 1].start : tokens[rend].end]
+        if rend == hit + 1 and tokens[rend].kind == "STRING" and "[:" in tokens[rend].value:
+            # literal pattern: splice POSIX classes to Java \p forms
+            lit = _translate_posix_classes(tokens[rend].value).replace("'", "''")
+            right = f"'{lit}'"
+        else:
+            right = sql[tokens[hit + 1].start : tokens[rend].end]
         if ci:
             rx = f"CONCAT('{ci}', {right})"
         else:
@@ -944,7 +978,7 @@ def translate_similar_to(sql: str) -> str:
         # takes the whole concatenation as the operand
         lstart = _absorb_concat_left(tokens, lstart)
         left = sql[tokens[lstart].start : tokens[lend].end]
-        rx = _similar_to_java_regex(pat_tok.value)
+        rx = _similar_to_java_regex(_translate_posix_classes(pat_tok.value))
         lit = rx.replace("'", "''")
         repl = f"({left} RLIKE '{lit}')"
         if neg:
@@ -1391,7 +1425,7 @@ def translate_regexp_replace(sql: str) -> str:
                 f"regexp_replace flags {flags!r} outside the translatable "
                 "subset (g, i)"
             )
-        pat, repl = pat_tok.value, rep_tok.value
+        pat, repl = _translate_posix_classes(pat_tok.value), rep_tok.value
         s_expr = sql[tokens[at + 2].start : tokens[commas[0] - 1].end]
         ci = "(?i)" if "i" in flags else ""
         if "g" in flags:
@@ -2195,7 +2229,7 @@ def translate_substring_regex(sql: str) -> str:
             return sql
         i, sep, close = hit
         expr = sql[tokens[i + 2].start : tokens[sep - 1].end]
-        pat = tokens[sep + 1].value
+        pat = _translate_posix_classes(tokens[sep + 1].value)
         idx = 1 if _has_capture_group(pat) else 0
         lit = pat.replace("'", "''")
         repl = (

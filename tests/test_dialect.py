@@ -1365,3 +1365,28 @@ def test_regex_match_quantifiers(spark):
     assert (row.a, row.b, row.c, row.d, row.e) == (
         True, True, True, True, False,
     )
+
+
+def test_posix_bracket_classes_translate(spark):
+    """PG/POSIX [[:alpha:]]-style classes work on PG and DuckDB but
+    are a Java-regex parse error — spliced to \\p{...} twins in every
+    literal-pattern consumer (regex ops, regexp_replace,
+    substring-from-regex, SIMILAR TO)."""
+    row = run_pg_sql(
+        spark,
+        "SELECT ('ab1' ~ '^[[:alpha:]]+[[:digit:]]$') AS a, "
+        "('a_b' ~ '^[[:word:]]+$') AS w, "
+        "regexp_replace('a1b2', '[[:digit:]]', '#', 'g') AS r, "
+        "substring('ab 12' FROM '[[:digit:]]+') AS s, "
+        "('abc' SIMILAR TO '[[:alpha:]]+') AS sim, "
+        "('AB' ~* '[[:lower:]]') AS ci",
+    ).collect()[0]
+    assert (row.a, row.w, row.sim, row.ci) == (True, True, True, True)
+    assert row.r == "a#b#" and row.s == "12"
+
+
+def test_unknown_posix_class_raises():
+    from gfw_data_api_spark.sql.dialect import _translate_posix_classes
+
+    with pytest.raises(ValueError, match="POSIX class"):
+        _translate_posix_classes("[[:bogus:]]")

@@ -61,7 +61,11 @@ JSON_POOL = [
     "[]",
     '{"a": 1, "b": 2}',
 ]
-REGEX_POOL = ["[0-9]+", "a.c", "^H", "o+", "([a-z])X", "q[a-z]*", "\\s+"]
+REGEX_POOL = [
+    "[0-9]+", "a.c", "^H", "o+", "([a-z])X", "q[a-z]*", "\\s+",
+    # POSIX classes: native on PG/DuckDB, spliced to \p{...} for Java
+    "[[:digit:]]+", "^[[:alpha:]]", "[[:space:]]", "[[:word:]]+",
+]
 SIMILAR_POOL = ["a%", "%b%", "a_c", "(a|b)%", "%fox", "H%d"]
 DATE_POOL = ["1995-07-16", "2024-02-29", "2021-01-01", "1997-12-31", "2024-03-17"]
 # PG to_char template → strftime (independent of the dialect's Java map)
