@@ -3230,7 +3230,6 @@ _DRIVER_FRONT: list[str] = [
     # displaced rows head the round-8 rotation) ---
     "d09_dedup_clusters",
     "m04_perceptual_neardups",
-    "m05_audio_neardups",
     "m06_video_remux_dedup",
     "p01_curate_corpus",
     "p02_curate_round3",
@@ -3245,6 +3244,7 @@ _DRIVER_FRONT: list[str] = [
     "e20_byte_budget_shards",
     "q48_dialect_fourth_wave",
     "q49_dialect_fifth_wave",
+    "q50_composed_dialect",
 ]
 
 
@@ -8165,6 +8165,72 @@ _SPECS.append(
         "ltrim/rtrim PG argument order via TRIM syntax, format() → "
         "format_string for the %s subset, div() toward-zero pinned "
         "(sql/dialect.py translate_pg_functions)",
+    )
+)
+
+
+def _q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        # Pass-INTERACTION stress (round 7): one statement threading a
+        # dozen translated constructs through every clause — WHERE
+        # mixes regex ops, quantifiers, BETWEEN SYMMETRIC and jsonb
+        # containment; SELECT mixes casts, date_part, to_char, trunc,
+        # FILTER and ordered aggregates; ORDER BY exercises the PG
+        # null-ordering defaults. The 22+ sequential token passes are
+        # individually gated; this pins their COMPOSITION.
+        "SELECT "
+        "EXTRACT(DECADE FROM o_orderdate) AS dec, "
+        "count(*) FILTER (WHERE o_orderpriority SIMILAR TO '_-HIGH%') "
+        "AS n_high, "
+        "count(*) FILTER (WHERE o_orderpriority ~* ANY(ARRAY['high', 'low'])) "
+        "AS n_flagged, "
+        "CAST(sum(trunc(o_totalprice, 0)) AS BIGINT) AS sum_trunc, "
+        "CAST(avg(o_totalprice)::numeric(18,2) * 100 AS BIGINT) AS avg_x100, "
+        "(min(o_orderstatus) || '-' || max(o_orderstatus)) AS statuses, "
+        "to_char(min(o_orderdate), 'YYYY-DDD') AS first_day, "
+        "max(ltrim(o_orderpriority, '12345-')) AS pri_tail "
+        "FROM data "
+        "WHERE o_orderkey BETWEEN SYMMETRIC 4000 AND 1 "
+        "AND o_custkey % 10 <> ALL(ARRAY[3, 7]) "
+        "AND ('{\"p\": ' || CAST(o_orderkey % 2 AS VARCHAR) || '}') "
+        "@> '{\"p\": 0}' "
+        "GROUP BY 1 ORDER BY dec"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "orders"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q50_composed_dialect",
+        spark_fn=_q50,
+        oracle=(
+            # DuckDB twin: SIMILAR TO is plain-regex there (anchored
+            # manually), ~* via regexp_matches 'i', trunc via floor
+            # (o_totalprice > 0), ltrim shares PG order natively
+            "SELECT "
+            "CAST(EXTRACT(DECADE FROM o_orderdate) AS BIGINT) AS dec, "
+            "count(*) FILTER (WHERE regexp_full_match(o_orderpriority, "
+            "'.-HIGH.*')) AS n_high, "
+            "count(*) FILTER (WHERE len(list_filter(['high', 'low'], "
+            "__p -> regexp_matches(o_orderpriority, __p, 'i'))) > 0) AS n_flagged, "
+            "CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_trunc, "
+            "CAST(round(avg(o_totalprice), 2) * 100 AS BIGINT) AS avg_x100, "
+            "(min(o_orderstatus) || '-' || max(o_orderstatus)) AS statuses, "
+            "strftime(min(o_orderdate), '%Y-%j') AS first_day, "
+            "max(ltrim(o_orderpriority, '12345-')) AS pri_tail "
+            "FROM orders "
+            "WHERE o_orderkey BETWEEN least(4000, 1) AND greatest(4000, 1) "
+            "AND len(list_filter([3, 7], __e -> o_custkey % 10 = __e)) = 0 "
+            "AND o_orderkey % 2 = 0 "
+            "GROUP BY 1 ORDER BY dec"
+        ),
+        survey_ref="Q11 dialect composition: one statement threading "
+        "SIMILAR TO, regex quantifiers, BETWEEN SYMMETRIC, jsonb "
+        "containment on built strings, parameterized casts, trunc, "
+        "date_part/EXTRACT, FILTER, DISTINCT string_agg with internal "
+        "ORDER BY, to_char templates and 2-arg ltrim through every "
+        "clause — pins the 22-pass translation pipeline's COMPOSITION, "
+        "not just its parts",
     )
 )
 
