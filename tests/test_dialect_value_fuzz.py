@@ -101,11 +101,21 @@ class Gen:
     (^, EPOCH) is in the subtree (disables round() wrapping, loosens
     the numeric compare)."""
 
-    def __init__(self, rng: random.Random):
+    def __init__(self, rng: random.Random, num_cols=None, str_cols=None):
+        # optional COLUMN atoms (same spelling in both engines) let the
+        # statement-level fuzz thread real table data through the
+        # generated expressions; the Python-expected arms (substr/
+        # left/right/initcap/overlay/width_bucket/trunc) draw their own
+        # literal strings internally and stay column-free by design
         self.r = rng
+        self.num_cols = num_cols or []
+        self.str_cols = str_cols or []
 
     # ---------------- atoms ----------------
     def int_atom(self):
+        if self.num_cols and self.r.random() < 0.35:
+            c = self.r.choice(self.num_cols)
+            return c, c, "NUM", True
         v = self.r.randint(-20, 100)
         t = f"({v})" if v < 0 else str(v)
         return t, t, "NUM", True
@@ -116,6 +126,9 @@ class Gen:
         return t, t, "NUM", True
 
     def str_atom(self):
+        if self.str_cols and self.r.random() < 0.35:
+            c = self.r.choice(self.str_cols)
+            return c, c, "STR", True
         s = q(self.r.choice(STR_POOL))
         return s, s, "STR", True
 
