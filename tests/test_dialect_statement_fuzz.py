@@ -36,6 +36,28 @@ STR_COLS = ["lang", "text"]
 def _statements(rng: random.Random):
     gen = Gen(rng, num_cols=NUM_COLS, str_cols=STR_COLS)
     for i in range(N_STATEMENTS):
+        w_pg, w_dk, _, _ = gen.boolean(2)
+        if rng.random() < 0.3:
+            # grouped-aggregate form: translated expressions inside
+            # aggregates and FILTER clauses, grouped on a real column
+            n_pg, n_dk, _, nx = gen.num(1)
+            f_pg, f_dk, _, _ = gen.boolean(1)
+            pg_sql = (
+                f"SELECT lang, count(*) AS n, "
+                f"CAST(sum(doc_id % 97) AS BIGINT) AS s, "
+                f"count(*) FILTER (WHERE {f_pg}) AS nf, "
+                f"min(({n_pg})) AS mn FROM data "
+                f"WHERE {w_pg} GROUP BY lang ORDER BY lang"
+            )
+            dk_sql = (
+                f"SELECT lang, count(*) AS n, "
+                f"CAST(sum(doc_id % 97) AS BIGINT) AS s, "
+                f"count(*) FILTER (WHERE {f_dk}) AS nf, "
+                f"min(({n_dk})) AS mn FROM documents "
+                f"WHERE {w_dk} GROUP BY lang ORDER BY lang"
+            )
+            yield i, pg_sql, dk_sql, [True, True, True, nx]
+            continue
         items_pg, items_dk = [], []
         kinds = []
         for j in range(rng.randint(1, 3)):
