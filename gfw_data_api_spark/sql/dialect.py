@@ -25,28 +25,53 @@ emit literals UNDOUBLED accordingly.
 from __future__ import annotations
 
 import re
+import threading
 from contextlib import contextmanager
 
 from gfw_data_api_spark.sql.tokenizer import tokenize
 
 _ESCAPED_LITERALS_CONF = "spark.sql.parser.escapedStringLiterals"
 
+# Refcount for concurrent pg_literal_parsing windows on one session
+# (ADVICE r7): the conf is session-global, so with overlapping guarded
+# requests a plain save/restore lets request A's restore land INSIDE
+# request B's parse window, silently re-enabling backslash processing —
+# the exact corruption the LITERAL CONTRACT exists to prevent. The conf
+# is flipped when the FIRST window opens and restored when the LAST one
+# closes. Keyed by id(session); safe from id-reuse staleness because an
+# entry only exists while a live context manager holds the session.
+_literal_conf_lock = threading.Lock()
+_literal_conf_state: dict[int, list] = {}  # id(spark) -> [refcount, old]
+
 
 @contextmanager
 def pg_literal_parsing(spark):
     """Parse SQL with PG's verbatim string-literal rules (see the
     module docstring's LITERAL CONTRACT). Session-scoped conf, saved
-    and restored; only PARSE time matters, so the window is the
-    ``spark.sql(...)`` call plus schema analysis."""
-    try:
-        old = spark.conf.get(_ESCAPED_LITERALS_CONF)
-    except Exception:  # pragma: no cover - conf always readable in 3.x+
-        old = "false"
-    spark.conf.set(_ESCAPED_LITERALS_CONF, "true")
+    and restored refcounted — concurrent windows on the same session
+    nest instead of racing; only PARSE time matters, so the window is
+    the ``spark.sql(...)`` call plus schema analysis."""
+    key = id(spark)
+    with _literal_conf_lock:
+        state = _literal_conf_state.get(key)
+        if state is None:
+            try:
+                old = spark.conf.get(_ESCAPED_LITERALS_CONF)
+            except Exception:  # pragma: no cover - conf readable in 3.x+
+                old = "false"
+            spark.conf.set(_ESCAPED_LITERALS_CONF, "true")
+            _literal_conf_state[key] = [1, old]
+        else:
+            state[0] += 1
     try:
         yield
     finally:
-        spark.conf.set(_ESCAPED_LITERALS_CONF, old)
+        with _literal_conf_lock:
+            state = _literal_conf_state[key]
+            state[0] -= 1
+            if state[0] == 0:
+                del _literal_conf_state[key]
+                spark.conf.set(_ESCAPED_LITERALS_CONF, state[1])
 
 
 def run_pg_sql(spark, sql: str):
@@ -699,52 +724,69 @@ def translate_jsonb_concat(sql: str) -> str:
     key; output keys in jsonb storage order — length then bytes).
     Untranslated, the ``::jsonb`` casts become strings and ``||``
     silently concatenates their text. Rewrites any ``||`` whose left
-    or right operand carries an explicit ``::jsonb`` cast into the
+    or right operand's cast chain ENDS in ``::jsonb`` (chains like
+    ``x::text::jsonb`` are walked whole — ADVICE r7) into the
     object-merge expression over ``map<string, variant>``; non-object
     inputs raise AT RUN TIME via raise_error (array concatenation and
-    scalar append need jsonb arrays, outside the subset). Runs before
+    scalar append need jsonb arrays, outside the subset). A ``||``
+    where one side's chain ends ::jsonb and the other's ends in a
+    DIFFERENT explicit type raises loudly — PG resolves that as text
+    concatenation (or not at all), not a merge. Runs before
     translate_pg_casts (the ::jsonb markers must still be visible);
     left-assoc chains reduce pairwise."""
+
+    def _final_cast(tokens, type_idx):
+        """Lowercased final type name when ``tokens[type_idx]`` ends a
+        ``::type`` suffix, else None."""
+        if (
+            type_idx >= 2
+            and tokens[type_idx].kind == "IDENT"
+            and tokens[type_idx - 1].kind == "OP"
+            and tokens[type_idx - 1].value == "::"
+        ):
+            return tokens[type_idx].value.lower()
+        return None
+
     while True:
         tokens = tokenize(sql)
         hit = None
         for i, t in enumerate(tokens):
             if not (t.kind == "OP" and t.value == "||") or i == 0 or i + 1 >= len(tokens):
                 continue
-            # right operand: primary, optionally ::jsonb-suffixed
+            # right operand: primary + full ::cast chain; the FINAL
+            # type in the chain is what PG's operator resolution sees
             rend = _primary_end(tokens, i + 1)
             if rend is None:
                 continue
-            r_jsonb = (
-                rend + 2 < len(tokens)
-                and tokens[rend + 1].kind == "OP"
-                and tokens[rend + 1].value == "::"
-                and tokens[rend + 2].kind == "IDENT"
-                and tokens[rend + 2].value.lower() == "jsonb"
-            )
-            # left operand: walk back across an optional ::jsonb suffix
-            lend = i - 1
-            l_jsonb = (
-                lend >= 2
-                and tokens[lend].kind == "IDENT"
-                and tokens[lend].value.lower() == "jsonb"
-                and tokens[lend - 1].kind == "OP"
-                and tokens[lend - 1].value == "::"
-            )
-            if not (l_jsonb or r_jsonb):
+            r_cast_end = _absorb_cast_right(tokens, rend)
+            r_final = _final_cast(tokens, r_cast_end) if r_cast_end > rend else None
+            # left operand: final type ident sits immediately left of ||
+            l_final = _final_cast(tokens, i - 1)
+            if "jsonb" not in (l_final, r_final):
                 continue
-            hit = (i, lend, rend, l_jsonb, r_jsonb)
+            hit = (i, rend, r_cast_end, l_final, r_final)
             break
         if hit is None:
             return sql
-        i, lend, rend, l_jsonb, r_jsonb = hit
-        l_prim_end = lend - 2 if l_jsonb else lend
+        i, rend, r_cast_end, l_final, r_final = hit
+        for side, final in (("left", l_final), ("right", r_final)):
+            if final is not None and final != "jsonb":
+                raise ValueError(
+                    f"jsonb || with a non-jsonb ::{final} cast on the "
+                    f"{side} side is outside the translatable subset "
+                    "(PG resolves it as text concatenation, not a merge)"
+                )
+        # strip the final ::jsonb (consumed by the merge); inner chain
+        # casts stay in the operand text for translate_pg_casts
+        l_prim_end = i - 3 if l_final == "jsonb" else i - 1
         lstart = _primary_start(tokens, l_prim_end)
         if lstart is None:
             raise ValueError("cannot resolve the left operand of jsonb ||")
+        lstart = _absorb_cast_left(tokens, lstart)
         lhs = sql[tokens[lstart].start : tokens[l_prim_end].end]
-        rhs = sql[tokens[i + 1].start : tokens[rend].end]
-        r_end_tok = rend + 2 if r_jsonb else rend
+        r_prim_end = r_cast_end - 2 if r_final == "jsonb" else rend
+        rhs = sql[tokens[i + 1].start : tokens[r_prim_end].end]
+        r_end_tok = r_cast_end if r_final == "jsonb" else rend
         mx = f"from_json({lhs}, 'map<string, variant>')"
         my = f"from_json({rhs}, 'map<string, variant>')"
         merged = (
@@ -1779,7 +1821,11 @@ def translate_to_char(sql: str) -> str:
 
 
 _JSON_OPS = {"->>": True, "->": False, "#>>": True, "#>": False}  # → text?
-_JSON_KEY_RE = re.compile(r"\A[A-Za-z0-9_ -]+\Z")
+# \w is Unicode in Python 3, so non-ASCII keys ('café') pass through;
+# probed: Spark's JSONPath accepts them in both get_json_object and
+# try_variant_get dotted paths. Quoting rules for punctuated keys still
+# differ between engines → those raise.
+_JSON_KEY_RE = re.compile(r"\A[\w -]+\Z")
 
 
 def _json_path(op: str, rhs_kind: str, rhs_value: str) -> str:
@@ -1943,7 +1989,9 @@ def _json_has_key(lhs: str, key: str) -> str:
     two-valued, exactly PG."""
     import json
 
-    jlit = json.dumps(key).replace("'", "''")
+    # ensure_ascii=False: Spark's to_json emits raw UTF-8 ('"café"'),
+    # while json.dumps' default \uXXXX escaping would never match it
+    jlit = json.dumps(key, ensure_ascii=False).replace("'", "''")
     klit = key.replace("'", "''")
     return (
         f"coalesce(CASE "
@@ -2024,7 +2072,8 @@ def _array_containment_conditions(col_text: str, arr: list, op: str) -> str:
         elif val is None:
             probe = "to_json(__gfw_x) = 'null'"
         elif isinstance(val, str):
-            lit = json.dumps(val).replace("'", "''")
+            # ensure_ascii=False: match to_json's raw-UTF-8 emission
+            lit = json.dumps(val, ensure_ascii=False).replace("'", "''")
             probe = f"to_json(__gfw_x) = '{lit}'"
         elif isinstance(val, (int, float)):
             # numeric jsonb equality with a kind guard: variant casts
@@ -2083,7 +2132,8 @@ def _containment_conditions(col_text: str, literal: str, op: str) -> str:
         elif val is None:
             conds.append(f"coalesce({jref} = 'null', false)")
         elif isinstance(val, str):
-            lit = json.dumps(val).replace("'", "''")
+            # ensure_ascii=False: match to_json's raw-UTF-8 emission
+            lit = json.dumps(val, ensure_ascii=False).replace("'", "''")
             conds.append(f"coalesce({jref} = '{lit}', false)")
         elif isinstance(val, (int, float)):
             # numeric jsonb equality: 5 contains 5.0. Guard the cast
@@ -2304,6 +2354,16 @@ def translate_substr_positional(sql: str) -> str:
                 continue
             if tokens[seps[0] + 1].kind == "STRING" and len(seps) == 1:
                 continue  # regex form (already translated upstream)
+            if tokens[seps[0] + 1].kind == "STRING" and len(seps) == 2:
+                # SQL-standard SIMILAR-TO-escape form: substring(s FROM
+                # 'pat' FOR 'esc') / substring(s, 'pat', 'esc'). Treating
+                # it as positional would CAST('pat' AS INT) → silent
+                # NULLs; SIMILAR TO patterns need their own translation,
+                # so reject loudly (ADVICE r7).
+                raise ValueError(
+                    "substring(s FROM pattern FOR escape) — the SIMILAR "
+                    "TO escape form — is outside the translatable subset"
+                )
             site += 1
             if site < processed:
                 continue

@@ -1390,3 +1390,103 @@ def test_unknown_posix_class_raises():
 
     with pytest.raises(ValueError, match="POSIX class"):
         _translate_posix_classes("[[:bogus:]]")
+
+
+class TestRound7AdviceRegressions:
+    """The four ADVICE r7 findings: literal-conf race, non-ASCII json
+    comparison literals, chained-cast jsonb ||, SIMILAR-TO-escape
+    substring form."""
+
+    def test_non_ascii_json_keys_and_needles(self, spark):
+        # json.dumps' default \uXXXX escaping never matches Spark's
+        # raw-UTF-8 to_json output — x ? 'café' and @> '["Łódź"]'
+        # were silently FALSE
+        row = run_pg_sql(
+            spark,
+            "SELECT ('{\"café\": \"Łódź\"}' ? 'café') AS haskey, "
+            "('[\"Łódź\"]' @> '[\"Łódź\"]') AS arr, "
+            "('{\"café\": \"Łódź\"}' @> '{\"café\": \"Łódź\"}') AS obj, "
+            "('{\"café\": 1}' ->> 'café') AS val, "
+            "('[\"café\"]' @> '[\"cafe\"]') AS neg",
+        ).collect()[0]
+        assert (row.haskey, row.arr, row.obj, row.neg) == (
+            True,
+            True,
+            True,
+            False,
+        )
+        assert row.val == "1"
+
+    def test_jsonb_concat_chained_casts(self, spark):
+        # a::text::jsonb || b::jsonb used to emit malformed SQL
+        # (the left operand landed on the inner type ident)
+        row = run_pg_sql(
+            spark,
+            "SELECT ('{\"a\": 1}'::text::jsonb || "
+            "'{\"b\": 2}'::jsonb) ->> 'b' AS b",
+        ).collect()[0]
+        assert row.b == "2"
+
+    def test_jsonb_concat_mixed_final_cast_rejects(self):
+        from gfw_data_api_spark.sql.dialect import translate_jsonb_concat
+
+        with pytest.raises(ValueError, match="non-jsonb"):
+            translate_jsonb_concat("SELECT a::jsonb::text || b::jsonb FROM t")
+        with pytest.raises(ValueError, match="non-jsonb"):
+            translate_jsonb_concat("SELECT a::jsonb || b::int FROM t")
+
+    def test_substring_similar_escape_form_rejects(self):
+        # substring(s FROM 'pat' FOR 'esc') treated as positional would
+        # CAST('pat' AS INT) → silent NULLs
+        with pytest.raises(ValueError, match="SIMILAR"):
+            to_spark_sql("SELECT substring(s FROM 'a#%' FOR '#') FROM t")
+        with pytest.raises(ValueError, match="SIMILAR"):
+            to_spark_sql("SELECT substring(s, 'a#%', '#') FROM t")
+
+    def test_literal_conf_refcount_nesting(self, spark):
+        from gfw_data_api_spark.sql.dialect import (
+            _ESCAPED_LITERALS_CONF,
+            pg_literal_parsing,
+        )
+
+        old = spark.conf.get(_ESCAPED_LITERALS_CONF)
+        with pg_literal_parsing(spark):
+            assert spark.conf.get(_ESCAPED_LITERALS_CONF) == "true"
+            with pg_literal_parsing(spark):
+                assert spark.conf.get(_ESCAPED_LITERALS_CONF) == "true"
+            # inner exit must NOT restore while the outer window is open
+            assert spark.conf.get(_ESCAPED_LITERALS_CONF) == "true"
+        assert spark.conf.get(_ESCAPED_LITERALS_CONF) == old
+
+    def test_literal_conf_concurrent_windows(self, spark):
+        """Overlapping windows from two threads: the conf must stay
+        'true' until the LAST window closes (the r7 race restored it
+        mid-parse)."""
+        import threading as th
+
+        from gfw_data_api_spark.sql.dialect import (
+            _ESCAPED_LITERALS_CONF,
+            pg_literal_parsing,
+        )
+
+        old = spark.conf.get(_ESCAPED_LITERALS_CONF)
+        a_open = th.Event()
+        b_done = th.Event()
+        seen = {}
+
+        def holder():
+            with pg_literal_parsing(spark):
+                a_open.set()
+                b_done.wait(timeout=30)
+                seen["during"] = spark.conf.get(_ESCAPED_LITERALS_CONF)
+
+        def flipper():
+            a_open.wait(timeout=30)
+            with pg_literal_parsing(spark):
+                pass  # enter+exit fully inside holder's window
+            b_done.set()
+
+        t1, t2 = th.Thread(target=holder), th.Thread(target=flipper)
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert seen["during"] == "true"
+        assert spark.conf.get(_ESCAPED_LITERALS_CONF) == old

@@ -51,7 +51,7 @@ STR_POOL = [
     "a\\b",
     "trail\\",
 ]
-KEY_POOL = ["k", "a", "b"]
+KEY_POOL = ["k", "a", "b", "café"]
 JSON_POOL = [
     '{"k": 5, "s": "x"}',
     '{"k": null, "a": 1}',
@@ -60,6 +60,10 @@ JSON_POOL = [
     '[1, 2.0, true]',
     "[]",
     '{"a": 1, "b": 2}',
+    # non-ASCII keys and values: Spark to_json emits raw UTF-8, so the
+    # dialect's comparison literals must not \uXXXX-escape (ADVICE r7)
+    '{"café": "Łódź", "k": "café"}',
+    '["café", "Łódź"]',
 ]
 REGEX_POOL = [
     "[0-9]+", "a.c", "^H", "o+", "([a-z])X", "q[a-z]*", "\\s+",
