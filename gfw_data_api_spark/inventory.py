@@ -8235,6 +8235,87 @@ _SPECS.append(
 )
 
 
+def _q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 schema-aware typed semantics inside the hard gate
+    (VERDICT r7 #1 — sql/dialect.py translate_typed_ops): the guarded
+    path derives column types from the bound DataFrame schema, closing
+    the last everyday SILENT divergences — int/int division truncates
+    toward zero (PG int4/int4; Spark promoted to DOUBLE), sum(int4)/
+    count(*) truncates (PG int8/int8) via a scalar subquery,
+    date - date returns integer days, bool::int gives 0/1, float8→int
+    rounds HALF-EVEN in both cast spellings, and a float-division
+    negative control stays exact float math. The oracle spells out
+    each PG rule independently in DuckDB: exact toward-zero integer
+    arithmetic ((a - a%b) // b), native date-date (DuckDB shares PG's
+    integer days), round_even."""
+    o = load_table(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 97 - 48).cast("int").alias("lk"),
+        (F.col("o_custkey") % 11 - 5).cast("smallint").alias("sm"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.date_sub(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 300).cast("int"),
+        ).alias("sd"),
+        (F.col("o_orderpriority") == F.lit("1-URGENT")).alias("is_urgent"),
+        F.col("o_totalprice").alias("price"),
+    )
+    sql = (
+        "SELECT o_orderkey, "
+        "CAST(lk / 7 AS BIGINT) AS div7, "
+        "CAST(lk / (-5) AS BIGINT) AS divneg, "
+        "CAST(sm / 3 AS BIGINT) AS divsm, "
+        "CAST(od - sd AS BIGINT) AS span_days, "
+        "CAST((od - sd) / 7 AS BIGINT) AS span_weeks, "
+        "is_urgent::int AS urgent_i, "
+        "price::bigint AS price_rint, "
+        "CAST(price AS INT) AS price_rint2, "
+        "price / 4 AS quarter, "
+        "CAST((SELECT sum(lk) / count(*) FROM data) AS BIGINT) "
+        "AS corpus_mean "
+        "FROM data ORDER BY o_orderkey"
+    )
+    return execute_on_dataframe(spark, df, sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q51_typed_semantics",
+        spark_fn=_q51,
+        oracle=(
+            "WITH d AS (SELECT o_orderkey, "
+            "CAST(o_orderkey % 97 - 48 AS INTEGER) AS lk, "
+            "CAST(o_custkey % 11 - 5 AS SMALLINT) AS sm, "
+            "CAST(o_orderdate AS DATE) AS od, "
+            "CAST(o_orderdate AS DATE) - CAST(o_orderkey % 300 AS INTEGER) "
+            "AS sd, "
+            "o_orderpriority = '1-URGENT' AS is_urgent, "
+            "o_totalprice AS price FROM orders) "
+            "SELECT o_orderkey, "
+            "CAST((lk - (lk % 7)) // 7 AS BIGINT) AS div7, "
+            "CAST((lk - (lk % (-5))) // (-5) AS BIGINT) AS divneg, "
+            "CAST((sm - (sm % 3)) // 3 AS BIGINT) AS divsm, "
+            "CAST(od - sd AS BIGINT) AS span_days, "
+            "CAST(((od - sd) - ((od - sd) % 7)) // 7 AS BIGINT) "
+            "AS span_weeks, "
+            "CAST(is_urgent AS INTEGER) AS urgent_i, "
+            "CAST(round_even(price, 0) AS BIGINT) AS price_rint, "
+            "CAST(round_even(price, 0) AS INTEGER) AS price_rint2, "
+            "price / 4 AS quarter, "
+            "(SELECT CAST((sum(lk) - (sum(lk) % count(*))) // count(*) "
+            "AS BIGINT) FROM d) AS corpus_mean "
+            "FROM d ORDER BY o_orderkey"
+        ),
+        survey_ref="Q11 typed dialect semantics: schema-aware int/int "
+        "truncating division, date - date integer days, bool::int, "
+        "float8→int half-even (sql/dialect.py translate_typed_ops; the "
+        "reference gets PG typing for free by pass-through — "
+        "query_helpers.py validates, PG evaluates)",
+    )
+)
+
+
 _SPECS.append(
     QuerySpec(
         name="q45_json_array_containment",

@@ -21,7 +21,11 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gfw_data_api_spark.sql.dialect import pg_literal_parsing, to_spark_sql
+from gfw_data_api_spark.sql.dialect import (
+    pg_literal_parsing,
+    schema_type_categories,
+    to_spark_sql,
+)
 from gfw_data_api_spark.sql.guard import ValidatedQuery, bind_from, validate_sql
 
 
@@ -89,7 +93,10 @@ def execute_on_dataframe(
         # so those queries execute here too, with no shared-name temp
         # view and therefore no cross-request races.
         bound = bind_from(validated, view)
-        spark_sql = to_spark_sql(bound)
+        # the bound table's column types switch on the schema-aware PG
+        # typing rewrites (int/int div, date - date, typed int casts) —
+        # the same type knowledge the reference's Postgres evaluator has
+        spark_sql = to_spark_sql(bound, column_types=schema_type_categories(df.schema))
         # PG string literals are verbatim (standard_conforming_strings);
         # parse under the dialect's literal contract so '\s+' keeps its
         # backslash (dialect.py LITERAL CONTRACT)

@@ -242,6 +242,7 @@ def translate_pg_casts(sql: str) -> str:
                 j > 0
                 and tokens[j - 1].kind == "IDENT"
                 and tokens[j - 1].upper not in _OPERAND_BOUNDARY
+                and not _is_infix_div(tokens, j - 1)
             ):
                 j -= 1  # function call: include the name
             start = tokens[j].start
@@ -344,6 +345,26 @@ _OPERAND_BOUNDARY = {
 }
 
 
+def _is_infix_div(tokens, j):
+    """True when tokens[j] is the infix ``div`` OPERATOR the typed-ops
+    pass emits (a primary ends right before it) rather than the PG
+    div(a, b) function name — backward operand walks must not absorb
+    it as a call name."""
+    return (
+        tokens[j].kind == "IDENT"
+        and tokens[j].upper == "DIV"
+        and j >= 1
+        and (
+            tokens[j - 1].kind in ("QIDENT", "NUMBER", "STRING")
+            or (tokens[j - 1].kind == "PUNCT" and tokens[j - 1].value == ")")
+            or (
+                tokens[j - 1].kind == "IDENT"
+                and tokens[j - 1].upper not in _OPERAND_BOUNDARY
+            )
+        )
+    )
+
+
 def _primary_start(tokens, k):
     """Index of the first token of the primary expression whose LAST
     token is ``tokens[k]`` (mirrors translate_pg_casts's backward walk):
@@ -388,7 +409,11 @@ def _primary_start(tokens, k):
         if j < 0:
             return None
         if j > 0 and tokens[j - 1].kind == "IDENT" and tokens[j - 1].upper not in _OPERAND_BOUNDARY:
-            j -= 1
+            # infix ``div`` (emitted by the typed-ops pass) is an
+            # OPERATOR when a primary ends right before it — not the
+            # PG div(a, b) function name
+            if not _is_infix_div(tokens, j - 1):
+                j -= 1
         return j
     return None
 
@@ -2961,8 +2986,591 @@ def fix_unlexable_literals(sql: str) -> str:
         sql = f"{sql[:hit.start]}{repl}{sql[hit.end:]}"
 
 
-def to_spark_sql(sql: str) -> str:
+# ---------------------------------------------------------------------------
+# round-8 schema-aware typing (VERDICT r7 #1): the passes above are
+# type-blind, so PG semantics that depend on operand TYPES were documented
+# divergences (docs/PARITY.md). With the bound table's column types —
+# which execute_on_dataframe has, exactly like the reference's Postgres
+# gets them from the catalog — the remaining everyday silent divergences
+# close:
+#   int / int        PG truncates toward zero (7/2 = 3); Spark promotes
+#                    to DOUBLE (3.5) — SILENTLY wrong. → Spark's infix
+#                    ``div`` (probed: truncates toward zero, -7 div 2 = -3,
+#                    same multiplicative precedence tier as ``/``).
+#   date - date      PG returns integer days; Spark an INTERVAL.
+#                    → datediff(l, r).
+#   bool::int        PG 0/1; the DECIMAL-routed cast rewrite raised.
+#                    → plain CAST (probed: Spark bool→int gives 0/1).
+#   float8::int      PG rounds HALF-EVEN; the DECIMAL route rounds
+#                    half-away. → CAST(rint(x) AS …) (probed half-even).
+#   CAST(f8 AS int)  the spelled form never got the rounding rewrite at
+#                    all (Spark truncates). → same rint route; a
+#                    known-DECIMAL operand gets round(x, 0) (Spark
+#                    HALF_UP = PG numeric's half-away).
+# Inference is deliberately conservative: unknown operand types leave the
+# SQL untouched (the pre-round-8 behavior), so the pass can only move
+# translations TOWARD PG semantics.
+# ---------------------------------------------------------------------------
+
+# column/expression type categories
+_INTEGRAL_CATS = ("smallint", "int", "bigint")
+
+_PG_TYPE_CATEGORY = {
+    "int2": "smallint", "smallint": "smallint",
+    "int4": "int", "int": "int", "integer": "int",
+    "int8": "bigint", "bigint": "bigint", "oid": "bigint",
+    "float4": "float", "real": "float",
+    "float8": "double", "float": "double", "double": "double",
+    "numeric": "decimal", "decimal": "decimal", "money": "decimal",
+    "bool": "bool", "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp", "timestamptz": "timestamp",
+    "text": "string", "varchar": "string", "char": "string",
+    "bpchar": "string", "name": "string", "uuid": "string",
+    "json": "string", "jsonb": "string", "xml": "string",
+}
+
+_SPARK_TYPENAME_CATEGORY = {
+    "byte": "smallint", "short": "smallint",
+    "integer": "int", "long": "bigint",
+    "float": "float", "double": "double",
+    "boolean": "bool", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "string": "string",
+}
+
+_INT_CAT_SPARK_TYPE = {"smallint": "SMALLINT", "int": "INT", "bigint": "BIGINT"}
+
+# PG return types for the functions the typed pass needs to see through
+# (categories; structural cases — sum/min/floor/… — handled in code)
+_FN_CATEGORY = {
+    "count": "bigint",
+    "datediff": "int",  # our own date-minus emission
+    "length": "int", "char_length": "int", "character_length": "int",
+    "octet_length": "int", "bit_length": "int", "strpos": "int",
+    "position": "int", "ascii": "int", "cardinality": "int",
+    "width_bucket": "int",
+    "extract": "decimal", "date_part": "decimal",  # PG: numeric
+    "avg": "decimal",
+    "div": "decimal",  # PG div() returns numeric
+    "sign": "decimal",
+    "random": "double",
+    "year": "int", "month": "int", "day": "int",  # shared spellings
+}
+
+
+def schema_type_categories(schema) -> dict[str, str]:
+    """Column-name → type-category map from a Spark ``StructType`` —
+    the ``column_types`` input of :func:`to_spark_sql`. Decimal types
+    have parameterized typeNames, so they are prefix-matched."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        tn = f.dataType.typeName()
+        if tn.startswith("decimal"):
+            out[f.name.lower()] = "decimal"
+        else:
+            out[f.name.lower()] = _SPARK_TYPENAME_CATEGORY.get(tn, "unknown")
+    return out
+
+
+def _top_level_split(tokens, lo, hi):
+    """Positions of top-level arithmetic/concat operators in the span
+    [lo, hi], or None if a construct outside the simple-expression
+    grammar appears at top level (comparison, CASE, comma, …) — the
+    caller then types the span as unknown."""
+    ops = []
+    depth = 0
+    k = lo
+    while k <= hi:
+        t = tokens[k]
+        if t.kind == "PUNCT" and t.value == "(":
+            depth += 1
+        elif t.kind == "PUNCT" and t.value == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth == 0:
+            if t.kind == "OP" and t.value in ("+", "-", "*", "/", "%"):
+                # unary sign (start of span or right after an operator)
+                if t.value in "+-" and (
+                    k == lo
+                    or tokens[k - 1].kind == "OP"
+                    or (tokens[k - 1].kind == "IDENT" and tokens[k - 1].upper == "DIV")
+                ):
+                    k += 1
+                    continue
+                ops.append(k)
+            elif t.kind == "OP" and t.value == "||":
+                ops.append(k)
+            elif t.kind == "IDENT" and t.upper == "DIV":
+                ops.append(k)
+            elif t.kind == "OP" and t.value != "::":
+                return None  # comparison/regex/json operator: not typed
+            elif t.kind == "PUNCT" and t.value in (",", ";"):
+                return None
+            elif t.kind == "IDENT" and t.upper in _OPERAND_BOUNDARY:
+                return None
+        k += 1
+    return ops if depth == 0 else None
+
+
+def _fold_types(left: str, op: str, right: str) -> str:
+    """PG result-type category of ``left <op> right``."""
+    if "unknown" in (left, right):
+        return "unknown"
+    if op == "||":
+        return "string"
+    if left in _INTEGRAL_CATS and right in _INTEGRAL_CATS:
+        return _INTEGRAL_CATS[
+            max(_INTEGRAL_CATS.index(left), _INTEGRAL_CATS.index(right))
+        ]
+    if left == "date":
+        if right in _INTEGRAL_CATS and op in ("+", "-"):
+            return "date"
+        if right == "date" and op == "-":
+            return "int"
+        return "unknown"
+    if right == "date":
+        if left in _INTEGRAL_CATS and op == "+":
+            return "date"
+        return "unknown"
+    numeric = set(_INTEGRAL_CATS) | {"decimal", "double", "float"}
+    if left in numeric and right in numeric:
+        if "double" in (left, right) or "float" in (left, right):
+            return "double"
+        return "decimal"
+    return "unknown"
+
+
+def _span_type(tokens, lo, hi, coltypes) -> str:
+    """Type category of the expression tokens[lo..hi] (inclusive), or
+    ``unknown`` when inference cannot be certain — callers never
+    rewrite on unknown."""
+    while lo <= hi and tokens[lo].kind == "OP" and tokens[lo].value in "+-":
+        lo += 1
+    if lo > hi:
+        return "unknown"
+    ops = _top_level_split(tokens, lo, hi)
+    if ops is None:
+        return "unknown"
+    if ops:
+        bounds = [lo - 1] + ops + [hi + 1]
+        acc = None
+        for b in range(len(bounds) - 1):
+            s, e = bounds[b] + 1, bounds[b + 1] - 1
+            t = _span_type(tokens, s, e, coltypes)
+            if acc is None:
+                acc = t
+            else:
+                op_tok = tokens[bounds[b]]
+                op = "div" if op_tok.kind == "IDENT" else op_tok.value
+                acc = _fold_types(acc, op, t)
+            if acc == "unknown":
+                return "unknown"
+        return acc
+    return _operand_type(tokens, lo, hi, coltypes)
+
+
+def _args_spans(tokens, lo, hi):
+    """Top-level comma-separated argument spans inside tokens[lo..hi]
+    (the contents of a call's parens, parens excluded)."""
+    spans, depth, start = [], 0, lo
+    for k in range(lo, hi + 1):
+        t = tokens[k]
+        if t.kind == "PUNCT" and t.value == "(":
+            depth += 1
+        elif t.kind == "PUNCT" and t.value == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "PUNCT" and t.value == ",":
+            spans.append((start, k - 1))
+            start = k + 1
+    spans.append((start, hi))
+    return spans
+
+
+def _operand_type(tokens, lo, hi, coltypes) -> str:
+    """Type category of a single primary (no top-level binary ops)."""
+    # trailing ::type cast decides (rightmost top-level ::)
+    depth = 0
+    last_cast = None
+    for k in range(lo, hi + 1):
+        t = tokens[k]
+        if t.kind == "PUNCT" and t.value == "(":
+            depth += 1
+        elif t.kind == "PUNCT" and t.value == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "OP" and t.value == "::":
+            last_cast = k
+    if last_cast is not None and last_cast + 1 <= hi:
+        tt = tokens[last_cast + 1]
+        if tt.kind == "IDENT":
+            name = tt.value.lower()
+            if name == "double":  # double precision
+                return "double"
+            return _PG_TYPE_CATEGORY.get(name, "unknown")
+        return "unknown"
+    first = tokens[lo]
+    if lo == hi:
+        if first.kind == "NUMBER":
+            return "int" if first.value.isdigit() else "decimal"
+        if first.kind == "IDENT":
+            u = first.upper
+            if u in ("TRUE", "FALSE"):
+                return "bool"
+            if u == "CURRENT_DATE":
+                return "date"
+            if u in ("CURRENT_TIMESTAMP", "LOCALTIMESTAMP", "NOW"):
+                return "timestamp"
+            return coltypes.get(first.value.lower(), "unknown")
+        if first.kind == "QIDENT":
+            return coltypes.get(first.value.lower(), "unknown")
+        return "unknown"
+    # typed literal: DATE '…' / TIMESTAMP '…'
+    if (
+        first.kind == "IDENT"
+        and hi == lo + 1
+        and tokens[hi].kind == "STRING"
+        and first.upper in ("DATE", "TIMESTAMP")
+    ):
+        return first.value.lower()
+    # dotted identifier chain
+    if first.kind in ("IDENT", "QIDENT") and tokens[hi].kind in ("IDENT", "QIDENT"):
+        if all(
+            tokens[k].kind == "PUNCT" and tokens[k].value == "."
+            for k in range(lo + 1, hi, 2)
+        ) and (hi - lo) % 2 == 0:
+            return coltypes.get(tokens[hi].value.lower(), "unknown")
+    # parenthesized group
+    if (
+        first.kind == "PUNCT"
+        and first.value == "("
+        and tokens[hi].kind == "PUNCT"
+        and tokens[hi].value == ")"
+    ):
+        return _span_type(tokens, lo + 1, hi - 1, coltypes)
+    # function call
+    if (
+        first.kind == "IDENT"
+        and lo + 1 <= hi
+        and tokens[lo + 1].kind == "PUNCT"
+        and tokens[lo + 1].value == "("
+        and tokens[hi].kind == "PUNCT"
+        and tokens[hi].value == ")"
+    ):
+        fname = first.value.lower()
+        if fname in _FN_CATEGORY:
+            return _FN_CATEGORY[fname]
+        if fname == "cast":
+            # CAST(expr AS type): the top-level AS decides
+            depth2 = 0
+            for k in range(lo + 2, hi):
+                tk = tokens[k]
+                if tk.kind == "PUNCT" and tk.value == "(":
+                    depth2 += 1
+                elif tk.kind == "PUNCT" and tk.value == ")":
+                    depth2 -= 1
+                elif (
+                    depth2 == 0
+                    and tk.kind == "IDENT"
+                    and tk.upper == "AS"
+                    and k + 1 < hi + 1
+                    and tokens[k + 1].kind == "IDENT"
+                ):
+                    name = tokens[k + 1].value.lower()
+                    if name == "double":
+                        return "double"
+                    return _PG_TYPE_CATEGORY.get(name, "unknown")
+            return "unknown"
+        alo, ahi = lo + 2, hi - 1
+        if ahi < alo:
+            return "unknown"
+        # skip a leading DISTINCT/ALL quantifier
+        if tokens[alo].kind == "IDENT" and tokens[alo].upper in ("DISTINCT", "ALL"):
+            alo += 1
+        args = _args_spans(tokens, alo, ahi)
+        argts = [_span_type(tokens, s, e, coltypes) for s, e in args if s <= e]
+        if not argts:
+            return "unknown"
+        if fname == "sum":
+            # PG: sum(int2/int4) → int8; sum(int8) → numeric
+            if argts[0] in ("smallint", "int"):
+                return "bigint"
+            if argts[0] == "bigint":
+                return "decimal"
+            if argts[0] in ("double", "float"):
+                return "double"
+            if argts[0] == "decimal":
+                return "decimal"
+            return "unknown"
+        if fname in ("min", "max", "abs", "nullif"):
+            return argts[0]
+        if fname in ("coalesce", "greatest", "least"):
+            acc = argts[0]
+            for t in argts[1:]:
+                if t == acc:
+                    continue
+                if acc in _INTEGRAL_CATS and t in _INTEGRAL_CATS:
+                    acc = _INTEGRAL_CATS[
+                        max(_INTEGRAL_CATS.index(acc), _INTEGRAL_CATS.index(t))
+                    ]
+                else:
+                    return "unknown"
+            return acc
+        if fname == "mod":
+            if (
+                len(argts) == 2
+                and argts[0] in _INTEGRAL_CATS
+                and argts[1] in _INTEGRAL_CATS
+            ):
+                return _INTEGRAL_CATS[
+                    max(_INTEGRAL_CATS.index(argts[0]), _INTEGRAL_CATS.index(argts[1]))
+                ]
+            return "decimal"
+        if fname in ("floor", "ceil", "ceiling", "round", "trunc"):
+            # PG: floor(float8) → float8, floor(numeric) → numeric
+            return "double" if argts[0] in ("double", "float") else "decimal"
+        return "unknown"
+    return "unknown"
+
+
+def _left_primary(tokens, k):
+    """Start index of the primary (with any ::cast suffixes) whose last
+    token is tokens[k], or None."""
+    lstart = _primary_start(tokens, k)
+    if lstart is None:
+        return None
+    lstart = _absorb_cast_left(tokens, lstart)
+    # typed literal: DATE '…' / TIMESTAMP '…' — absorb the keyword
+    if (
+        lstart >= 1
+        and tokens[lstart].kind == "STRING"
+        and tokens[lstart - 1].kind == "IDENT"
+        and tokens[lstart - 1].upper in ("DATE", "TIMESTAMP")
+    ):
+        lstart -= 1
+    return lstart
+
+
+def _right_primary(tokens, k):
+    """End index of the primary starting at tokens[k] (with any ::cast
+    suffixes and DATE/TIMESTAMP typed-literal keywords), or None."""
+    if (
+        k + 1 < len(tokens)
+        and tokens[k].kind == "IDENT"
+        and tokens[k].upper in ("DATE", "TIMESTAMP")
+        and tokens[k + 1].kind == "STRING"
+    ):
+        return _absorb_cast_right(tokens, k + 1)
+    rend = _primary_end(tokens, k)
+    if rend is None:
+        return None
+    return _absorb_cast_right(tokens, rend)
+
+
+_MULT_CHAIN_OPS = ("*", "/", "%")
+
+
+def _rewrite_int_division(sql: str, coltypes) -> str:
+    """``a / b`` with both sides integral → ``a div b`` (same
+    multiplicative precedence tier, so the token swap preserves
+    grouping; left-associative chains rewrite left-to-right like PG
+    evaluates them)."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if t.kind != "OP" or t.value != "/" or i == 0 or i + 1 >= len(tokens):
+                continue
+            rend = _right_primary(tokens, i + 1)
+            if rend is None:
+                continue
+            if _span_type(tokens, i + 1, rend, coltypes) not in _INTEGRAL_CATS:
+                continue
+            lstart = _left_primary(tokens, i - 1)
+            if lstart is None:
+                continue
+            # left operand of / is the whole multiplicative chain
+            while lstart >= 2 and (
+                (
+                    tokens[lstart - 1].kind == "OP"
+                    and tokens[lstart - 1].value in _MULT_CHAIN_OPS
+                )
+                or (
+                    tokens[lstart - 1].kind == "IDENT"
+                    and tokens[lstart - 1].upper == "DIV"
+                )
+            ):
+                p = _left_primary(tokens, lstart - 2)
+                if p is None:
+                    break
+                lstart = p
+            if _span_type(tokens, lstart, i - 1, coltypes) not in _INTEGRAL_CATS:
+                continue
+            hit = t
+            break
+        if hit is None:
+            return sql
+        sql = f"{sql[:hit.start]} div {sql[hit.end:]}"
+
+
+def _rewrite_date_minus(sql: str, coltypes) -> str:
+    """``date - date`` → ``datediff(l, r)`` (PG: integer days). The
+    left operand absorbs the full additive chain (``d + 1 - d2`` is
+    ``(d + 1) - d2`` in PG, still date-typed on the left)."""
+    while True:
+        tokens = tokenize(sql)
+        done = True
+        for i, t in enumerate(tokens):
+            if t.kind != "OP" or t.value != "-" or i == 0 or i + 1 >= len(tokens):
+                continue
+            rend = _right_primary(tokens, i + 1)
+            if rend is None:
+                continue
+            if _span_type(tokens, i + 1, rend, coltypes) != "date":
+                continue
+            lstart = _left_primary(tokens, i - 1)
+            if lstart is None:
+                continue
+            while lstart >= 2 and (
+                (
+                    tokens[lstart - 1].kind == "OP"
+                    and tokens[lstart - 1].value
+                    in ("+", "-") + _MULT_CHAIN_OPS
+                )
+                or (
+                    tokens[lstart - 1].kind == "IDENT"
+                    and tokens[lstart - 1].upper == "DIV"
+                )
+            ):
+                p = _left_primary(tokens, lstart - 2)
+                if p is None:
+                    break
+                lstart = p
+            if _span_type(tokens, lstart, i - 1, coltypes) != "date":
+                continue
+            l_lo, l_hi = tokens[lstart].start, tokens[i - 1].end
+            r_lo, r_hi = tokens[i + 1].start, tokens[rend].end
+            sql = (
+                f"{sql[:l_lo]}datediff({sql[l_lo:l_hi]}, "
+                f"{sql[r_lo:r_hi]}){sql[r_hi:]}"
+            )
+            done = False
+            break
+        if done:
+            return sql
+
+
+def _rewrite_typed_casts(sql: str, coltypes) -> str:
+    """Type-aware int-cast routes (both cast spellings):
+
+    - bool → int family: plain CAST (Spark gives PG's 0/1; the generic
+      DECIMAL route would raise on round(boolean)).
+    - float/double → int family: CAST(rint(x) AS …) — PG float8→int is
+      HALF-EVEN, which is exactly ``rint``.
+    - spelled CAST(x AS int) of a known DECIMAL: round(x, 0) first —
+      Spark's CAST truncates, PG's numeric→int rounds half-away, which
+      is Spark round's HALF_UP. (The ``::`` spelling already rounds via
+      the generic DECIMAL route.)
+    Unknown operand types keep the generic behavior."""
+    # --- ::int spelling ---
+    while True:
+        tokens = tokenize(sql)
+        changed = False
+        for i, t in enumerate(tokens):
+            if t.kind != "OP" or t.value != "::" or i == 0 or i + 1 >= len(tokens):
+                continue
+            tt = tokens[i + 1]
+            if tt.kind != "IDENT":
+                continue
+            cat = _PG_TYPE_CATEGORY.get(tt.value.lower())
+            if cat not in _INTEGRAL_CATS:
+                continue
+            lstart = _left_primary(tokens, i - 1)
+            if lstart is None:
+                continue
+            otype = _span_type(tokens, lstart, i - 1, coltypes)
+            if otype not in ("bool", "float", "double"):
+                continue
+            op_text = sql[tokens[lstart].start : tokens[i - 1].end]
+            spark_t = _INT_CAT_SPARK_TYPE[cat]
+            if otype == "bool":
+                repl = f"CAST({op_text} AS {spark_t})"
+            else:
+                repl = f"CAST(rint({op_text}) AS {spark_t})"
+            sql = f"{sql[:tokens[lstart].start]}{repl}{sql[tt.end:]}"
+            changed = True
+            break
+        if not changed:
+            break
+    # --- spelled CAST(x AS int) ---
+    while True:
+        tokens = tokenize(sql)
+        changed = False
+        for i, t in enumerate(tokens):
+            if not (
+                t.kind == "IDENT"
+                and t.upper == "CAST"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].kind == "PUNCT"
+                and tokens[i + 1].value == "("
+            ):
+                continue
+            depth = 0
+            as_at = close = None
+            for k in range(i + 1, len(tokens)):
+                tk = tokens[k]
+                if tk.kind == "PUNCT" and tk.value == "(":
+                    depth += 1
+                elif tk.kind == "PUNCT" and tk.value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+                elif depth == 1 and tk.kind == "IDENT" and tk.upper == "AS":
+                    as_at = k
+            if as_at is None or close is None or close != as_at + 2:
+                continue  # not a single-token target type
+            cat = _PG_TYPE_CATEGORY.get(tokens[as_at + 1].value.lower())
+            if cat not in _INTEGRAL_CATS:
+                continue
+            otype = _span_type(tokens, i + 2, as_at - 1, coltypes)
+            if otype not in ("float", "double", "decimal"):
+                continue
+            op_lo = tokens[i + 2].start
+            op_hi = tokens[as_at - 1].end
+            op_text = sql[op_lo:op_hi]
+            # marker check: already-rewritten operands start with rint(/round(
+            if op_text.startswith("rint(") or op_text.startswith("round("):
+                continue
+            if otype == "decimal":
+                repl = f"round({op_text}, 0)"
+            else:
+                repl = f"rint({op_text})"
+            sql = f"{sql[:op_lo]}{repl}{sql[op_hi:]}"
+            changed = True
+            break
+        if not changed:
+            break
+    return sql
+
+
+def translate_typed_ops(sql: str, column_types: dict[str, str] | None) -> str:
+    """Schema-aware PG-semantics rewrites (see the block comment above).
+    ``column_types`` maps lower-cased column names to type categories —
+    build one from a DataFrame schema with :func:`schema_type_categories`.
+    Without types the pass is the identity (the type-blind behavior,
+    documented in docs/PARITY.md)."""
+    if column_types is None:
+        return sql
+    coltypes = {k.lower(): v for k, v in column_types.items()}
+    sql = _rewrite_typed_casts(sql, coltypes)
+    sql = _rewrite_date_minus(sql, coltypes)
+    return _rewrite_int_division(sql, coltypes)
+
+
+def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     """All PG→Spark surface translations."""
+    sql = translate_typed_ops(sql, column_types)  # schema-aware, PG-typed
     sql = translate_json_ops(sql)  # first: later passes emit -> lambdas
     sql = translate_json_exists(sql)  # before array_literal: eats ARRAY[..]
     sql = translate_json_contains(sql)

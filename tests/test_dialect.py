@@ -1490,3 +1490,153 @@ class TestRound7AdviceRegressions:
         t1.start(); t2.start(); t1.join(); t2.join()
         assert seen["during"] == "true"
         assert spark.conf.get(_ESCAPED_LITERALS_CONF) == old
+
+
+class TestTypedOps:
+    """Round-8 schema-aware typing (VERDICT r7 #1): with the bound
+    table's column types, the last everyday SILENT divergences close —
+    int/int division (PG truncates, Spark promoted to DOUBLE),
+    date - date (PG integer days, Spark INTERVAL), bool::int (raised),
+    and float8→int rounding (PG half-EVEN)."""
+
+    CT = {
+        "a": "int", "b": "bigint", "s": "smallint", "d1": "date",
+        "d2": "date", "x": "double", "f": "float", "dec": "decimal",
+        "bl": "bool", "ts": "timestamp", "txt": "string",
+    }
+
+    def t(self, sql):
+        from gfw_data_api_spark.sql.dialect import translate_typed_ops
+
+        return translate_typed_ops(sql, self.CT)
+
+    def test_int_division_to_div(self):
+        assert "div" in self.t("SELECT a / b FROM t")
+        assert "div" in self.t("SELECT 7 / 2 FROM t")
+        assert "div" in self.t("SELECT sum(a) / count(*) FROM t")
+        assert "div" in self.t("SELECT (a + b) / 2 FROM t")
+        assert "div" in self.t("SELECT t.a / t.b FROM t")
+
+    def test_non_integral_division_untouched(self):
+        # PG numeric/float division is EXACT — rewriting would be wrong
+        for sql in (
+            "SELECT x / a FROM t",
+            "SELECT a / x FROM t",
+            "SELECT avg(a) / 2 FROM t",
+            "SELECT sum(b) / count(*) FROM t",  # PG sum(int8) → numeric
+            "SELECT extract(year from d1) / 10 FROM t",
+            "SELECT dec / 2 FROM t",
+            "SELECT unknown_col / 2 FROM t",
+        ):
+            assert self.t(sql) == sql
+
+    def test_division_chain_left_assoc(self):
+        assert (
+            self.t("SELECT a / b / 2 FROM t")
+            == "SELECT a  div  b  div  2 FROM t"
+        )
+        # one non-integral element poisons the whole chain
+        assert self.t("SELECT x * a / b FROM t") == "SELECT x * a / b FROM t"
+
+    def test_date_minus_date(self):
+        assert self.t("SELECT d1 - d2 FROM t") == "SELECT datediff(d1, d2) FROM t"
+        assert (
+            self.t("SELECT d1 + 1 - d2 FROM t")
+            == "SELECT datediff(d1 + 1, d2) FROM t"
+        )
+        assert (
+            self.t("SELECT DATE '2024-01-05' - d2 FROM t")
+            == "SELECT datediff(DATE '2024-01-05', d2) FROM t"
+        )
+        assert (
+            self.t("SELECT max(d1) - min(d2) FROM t")
+            == "SELECT datediff(max(d1), min(d2)) FROM t"
+        )
+
+    def test_date_minus_int_untouched(self):
+        # PG date - int is a date — Spark agrees natively
+        assert self.t("SELECT d1 - 3 FROM t") == "SELECT d1 - 3 FROM t"
+        assert self.t("SELECT ts - ts FROM t") == "SELECT ts - ts FROM t"
+
+    def test_composed_weeks_since(self):
+        assert (
+            self.t("SELECT (d1 - d2) / 7 FROM t")
+            == "SELECT (datediff(d1, d2))  div  7 FROM t"
+        )
+
+    def test_typed_int_casts(self):
+        assert self.t("SELECT bl::int FROM t") == "SELECT CAST(bl AS INT) FROM t"
+        assert (
+            self.t("SELECT x::int FROM t")
+            == "SELECT CAST(rint(x) AS INT) FROM t"
+        )
+        assert (
+            self.t("SELECT f::bigint FROM t")
+            == "SELECT CAST(rint(f) AS BIGINT) FROM t"
+        )
+        assert (
+            self.t("SELECT CAST(x AS INT) FROM t")
+            == "SELECT CAST(rint(x) AS INT) FROM t"
+        )
+        assert (
+            self.t("SELECT CAST(dec AS BIGINT) FROM t")
+            == "SELECT CAST(round(dec, 0) AS BIGINT) FROM t"
+        )
+
+    def test_casts_left_for_generic_route(self):
+        # decimal ::int keeps the generic DECIMAL half-away route;
+        # integral/string casts stay native
+        for sql in (
+            "SELECT dec::int FROM t",
+            "SELECT CAST(a AS BIGINT) FROM t",
+            "SELECT CAST(txt AS INT) FROM t",
+        ):
+            assert self.t(sql) == sql
+
+    def test_no_types_is_identity(self):
+        from gfw_data_api_spark.sql.dialect import translate_typed_ops
+
+        sql = "SELECT a / b, d1 - d2, x::int FROM t"
+        assert translate_typed_ops(sql, None) == sql
+
+    def test_values_through_guarded_path(self, spark):
+        """End-to-end: execute_on_dataframe derives the type map from the
+        DataFrame schema; values must be PG's."""
+        from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+        df = spark.sql(
+            "SELECT CAST(-7 AS INT) AS a, CAST(2 AS BIGINT) AS b, "
+            "DATE '2024-03-01' AS d1, DATE '2024-01-05' AS d2, "
+            "CAST(2.5 AS DOUBLE) AS x, CAST(3.5 AS DOUBLE) AS y, "
+            "true AS bl"
+        )
+        row = execute_on_dataframe(
+            spark,
+            df,
+            "SELECT a / b AS q, d1 - d2 AS days, x::int AS xi, "
+            "y::int AS yi, bl::int AS bi, (d1 - d2) / 7 AS weeks "
+            "FROM t",
+        ).collect()[0]
+        # PG: -7/2 = -3 (toward zero); 2024-03-01 - 2024-01-05 = 56;
+        # 2.5::int = 2 and 3.5::int = 4 (float8 half-EVEN); true::int = 1
+        assert (row.q, row.days, row.xi, row.yi, row.bi, row.weeks) == (
+            -3, 56, 2, 4, 1, 8,
+        )
+
+    def test_schema_type_categories(self, spark):
+        from gfw_data_api_spark.sql.dialect import schema_type_categories
+
+        df = spark.sql(
+            "SELECT CAST(1 AS INT) AS i, CAST(1 AS BIGINT) AS l, "
+            "CAST(1 AS SMALLINT) AS sm, CAST(1.0 AS DOUBLE) AS d, "
+            "CAST(1.0 AS FLOAT) AS fl, CAST(1 AS DECIMAL(10,2)) AS de, "
+            "true AS bo, DATE '2024-01-01' AS dt, "
+            "TIMESTAMP '2024-01-01 00:00:00' AS ts, 'x' AS st, "
+            "array(1) AS arr"
+        )
+        cats = schema_type_categories(df.schema)
+        assert cats == {
+            "i": "int", "l": "bigint", "sm": "smallint", "d": "double",
+            "fl": "float", "de": "decimal", "bo": "bool", "dt": "date",
+            "ts": "timestamp", "st": "string", "arr": "unknown",
+        }

@@ -668,3 +668,167 @@ def test_differential_value_fuzz(spark):
         f"{len(failures)} value mismatches out of {N_EXPRS}:\n"
         + "\n---\n".join(failures[:40])
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 TYPED value fuzz (VERDICT r7 #1 done-criterion): expressions
+# drawing COLUMN operands with known types, run through
+# to_spark_sql(column_types=...) — the schema-aware pass — against
+# independent DuckDB twins that spell out PG's typed semantics:
+# toward-zero int division as exact integer arithmetic, float8→int as
+# round_even, date - date natively (DuckDB shares PG's integer days).
+# ---------------------------------------------------------------------------
+
+N_TYPED = 300
+TYPED_BATCH = 20
+
+TYPED_CT = {
+    "rid": "bigint", "ia": "int", "ib": "bigint", "sm": "smallint",
+    "da": "date", "db": "date", "xf": "double", "bl": "bool",
+    "dc": "decimal",
+}
+
+
+class TypedGen:
+    """(pg_sql, duck_sql) pairs over the typed fuzz table."""
+
+    def __init__(self, rng: random.Random):
+        self.r = rng
+
+    def int_operand(self):
+        # nonzero by construction where used as a divisor
+        return self.r.choice(
+            ["ia", "ib", "sm", "(ia % 7 + 8)", "(sm * 2 + 1)",
+             str(self.r.randint(1, 9)), f"({-self.r.randint(1, 9)})"]
+        )
+
+    def divisor(self):
+        return self.r.choice(
+            ["ib", "(ia % 7 + 8)", str(self.r.randint(1, 9)),
+             f"({-self.r.randint(1, 9)})"]
+        )
+
+    def pick(self):
+        arm = self.r.randrange(10)
+        if arm <= 1:  # int / int → toward-zero
+            a, b = self.int_operand(), self.divisor()
+            return f"{a} / {b}", f"(({a}) - (({a}) % ({b}))) // ({b})"
+        if arm == 2:  # chained division, left-assoc
+            a, b, c = self.int_operand(), self.divisor(), self.divisor()
+            t1 = f"(({a}) - (({a}) % ({b}))) // ({b})"
+            return (
+                f"{a} / {b} / {c}",
+                f"(({t1}) - (({t1}) % ({c}))) // ({c})",
+            )
+        if arm == 3:  # date - date → integer days (DuckDB native)
+            return "da - db", "CAST(da - db AS BIGINT)"
+        if arm == 4:  # date arithmetic chain
+            k = self.r.randint(-30, 30)
+            kt = f"({k})" if k < 0 else str(k)
+            return f"da + {kt} - db", f"CAST(da + {kt} - db AS BIGINT)"
+        if arm == 5:  # weeks-since composition
+            d = self.r.randint(2, 9)
+            return (
+                f"(da - db) / {d}",
+                f"((da - db) - ((da - db) % {d})) // {d}",
+            )
+        if arm == 6:  # float8::int — PG half-EVEN
+            ty = self.r.choice(["int", "bigint"])
+            form = self.r.choice(["xf::{t}", "CAST(xf AS {t})"])
+            return (
+                form.format(t=ty),
+                "CAST(round_even(xf, 0) AS BIGINT)",
+            )
+        if arm == 7:  # bool::int
+            form = self.r.choice(["bl::int", "CAST(bl AS INT)"])
+            return form, "CAST(bl AS INT)"
+        if arm == 8:  # decimal → int: half AWAY (both spellings; DuckDB
+            # decimal cast shares PG's rounding)
+            form = self.r.choice(["dc::bigint", "CAST(dc AS BIGINT)"])
+            return form, "CAST(dc AS BIGINT)"
+        # negative control: mixed-type division keeps float math
+        # (dc excluded: decimal-division RESULT SCALE is engine-specific
+        # — Spark fixes 6 fraction digits, PG/DuckDB don't — a display
+        # boundary, not a typed-pass concern)
+        b = self.divisor()
+        return f"xf / {b}", f"xf / ({b})"
+
+
+def test_typed_value_fuzz(spark):
+    import datetime
+
+    import pandas as pd
+
+    rows = []
+    base = datetime.date(2023, 6, 15)
+    for i in range(120):
+        rows.append(
+            {
+                "rid": i,
+                "ia": (i * 7) % 41 - 20,
+                "ib": ((i % 13) + 1) * (1 if i % 2 else -1),
+                "sm": (i % 11) - 5,
+                "da": base + datetime.timedelta(days=(i * 13) % 900 - 450),
+                "db": base + datetime.timedelta(days=(i * 29) % 700 - 350),
+                "xf": i / 2.0 - 30.0,  # exact .5 halves: the half-even arm
+                "bl": i % 3 == 0,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    sdf = (
+        spark.createDataFrame(pdf)
+        .withColumn("ia", __import__("pyspark.sql.functions", fromlist=["col"]).col("ia").cast("int"))
+    )
+    from pyspark.sql import functions as F
+
+    sdf = (
+        sdf.withColumn("sm", F.col("sm").cast("smallint"))
+        .withColumn("da", F.col("da").cast("date"))
+        .withColumn("db", F.col("db").cast("date"))
+        .withColumn("dc", (F.col("xf") / 3).cast("decimal(12,1)"))
+    )
+    sdf.createOrReplaceTempView("typed_fuzz_t")
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    con.execute(
+        "CREATE TABLE t AS SELECT rid, CAST(ia AS INTEGER) AS ia, ib, "
+        "CAST(sm AS SMALLINT) AS sm, CAST(da AS DATE) AS da, "
+        "CAST(db AS DATE) AS db, xf, bl, "
+        "CAST(xf / 3 AS DECIMAL(12,1)) AS dc FROM pdf"
+    )
+
+    rng = random.Random(SEED + 8)
+    gen = TypedGen(rng)
+    pairs = [gen.pick() for _ in range(N_TYPED)]
+    failures = []
+    for off in range(0, len(pairs), TYPED_BATCH):
+        batch = pairs[off : off + TYPED_BATCH]
+        spark_sql = to_spark_sql(
+            "SELECT rid, "
+            + ", ".join(f"({pg}) AS c{i}" for i, (pg, _) in enumerate(batch))
+            + " FROM typed_fuzz_t",
+            column_types=TYPED_CT,
+        )
+        duck_sql = (
+            "SELECT rid, "
+            + ", ".join(f"({dk}) AS c{i}" for i, (_, dk) in enumerate(batch))
+            + " FROM t"
+        )
+        with pg_literal_parsing(spark):
+            df = spark.sql(spark_sql)
+            df.schema
+        srows = {r["rid"]: r for r in df.collect()}
+        for drow in con.sql(duck_sql).fetchall():
+            srow = srows[drow[0]]
+            for i, (pg, dk) in enumerate(batch):
+                if not _same(srow[f"c{i}"], drow[i + 1], True):
+                    failures.append(
+                        f"  rid={drow[0]}\n  PG: {pg}\n  DUCK: {dk}\n"
+                        f"  spark={srow[f'c{i}']!r} duck={drow[i + 1]!r}"
+                    )
+        if len(failures) > 30:
+            break
+    assert not failures, (
+        f"{len(failures)} typed value mismatches out of {N_TYPED}:\n"
+        + "\n---\n".join(failures[:30])
+    )
