@@ -8316,6 +8316,102 @@ _SPECS.append(
 )
 
 
+def _q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 set-returning functions inside the hard gate (VERDICT r7
+    #4 — sql/dialect.py translate_set_returning): the reference's
+    pass-through surface includes SRFs (only pg_* names are blocked,
+    query_helpers.py), so unnest / generate_series /
+    jsonb_array_elements(_text) must expand rows like PG. Four guarded
+    statements, one per SRF, union post-hoc (plumbing only — each
+    statement runs the full guard+dialect path):
+
+    - unnest over string_to_array (order preserved);
+    - generate_series(1, event_id % 4) — PG drops rows where the
+      series is EMPTY (bound < start), the semantics Spark's
+      descending sequence() would silently break;
+    - jsonb_array_elements over a planted [num, "str", null] array
+      (jsonb mode keeps quoting; numbers via to_json);
+    - jsonb_array_elements_text — strings unquoted, json null → SQL
+      NULL (probed: Spark variant→STRING cast is PG's text mode).
+
+    The oracle recomputes every arm in DuckDB: native unnest/
+    generate_series (DuckDB shares PG's empty-series rule) and the
+    planted array elements replayed from the construction rule."""
+    ev = load_table(spark, sf_dir, "events")
+
+    r1 = execute_on_dataframe(
+        spark,
+        ev,
+        "SELECT 'unnest' AS arm, event_id, "
+        "unnest(string_to_array(event_type || '-x' "
+        "|| CAST(event_id % 3 AS VARCHAR), '-')) AS val "
+        "FROM data WHERE event_id % 20 = 0",
+    )
+    r2 = execute_on_dataframe(
+        spark,
+        ev,
+        "SELECT 'series' AS arm, event_id, "
+        "generate_series(1, event_id % 4) AS val "
+        "FROM data WHERE event_id % 25 = 0",
+    ).withColumn("val", F.col("val").cast("string"))
+    planted = (
+        "'[' || CAST(event_id % 5 AS VARCHAR) || ', \"' "
+        "|| event_type || '\", null]'"
+    )
+    r3 = execute_on_dataframe(
+        spark,
+        ev,
+        f"SELECT 'jsonb' AS arm, event_id, "
+        f"jsonb_array_elements({planted}) AS val "
+        "FROM data WHERE event_id % 30 = 0",
+    )
+    r4 = execute_on_dataframe(
+        spark,
+        ev,
+        f"SELECT 'text' AS arm, event_id, "
+        f"jsonb_array_elements_text({planted}) AS val "
+        "FROM data WHERE event_id % 30 = 0",
+    )
+    return r1.union(r2).union(r3).union(r4)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q52_set_returning",
+        spark_fn=_q52,
+        oracle=(
+            "SELECT 'unnest' AS arm, event_id, "
+            "unnest(string_split(event_type || '-x' "
+            "|| CAST(event_id % 3 AS VARCHAR), '-')) AS val "
+            "FROM events WHERE event_id % 20 = 0 "
+            "UNION ALL "
+            "SELECT 'series' AS arm, event_id, CAST(g AS VARCHAR) AS val "
+            "FROM (SELECT event_id, "
+            "unnest(generate_series(1, event_id % 4)) AS g "
+            "FROM events WHERE event_id % 25 = 0) "
+            "UNION ALL "
+            "SELECT 'jsonb' AS arm, event_id, v AS val FROM (SELECT "
+            "event_id, CAST(event_id % 5 AS VARCHAR) AS e0, "
+            "'\"' || event_type || '\"' AS e1, 'null' AS e2 "
+            "FROM events WHERE event_id % 30 = 0), "
+            "unnest([e0, e1, e2]) AS u(v) "
+            "UNION ALL "
+            "SELECT 'text' AS arm, event_id, v AS val FROM (SELECT "
+            "event_id, CAST(event_id % 5 AS VARCHAR) AS e0, "
+            "event_type AS e1, CAST(NULL AS VARCHAR) AS e2 "
+            "FROM events WHERE event_id % 30 = 0), "
+            "unnest([e0, e1, e2]) AS u(v)"
+        ),
+        survey_ref="Q11 set-returning functions: unnest → explode, "
+        "generate_series → guarded sequence (empty on wrong-sign "
+        "bounds like PG), jsonb_array_elements(_text) → explode over "
+        "array<variant> (sql/dialect.py translate_set_returning; the "
+        "reference passes SRFs through to PG, query_helpers.py blocks "
+        "only pg_* names)",
+    )
+)
+
+
 _SPECS.append(
     QuerySpec(
         name="q45_json_array_containment",

@@ -2987,6 +2987,180 @@ def fix_unlexable_literals(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-8 set-returning functions (VERDICT r7 #4): the reference passes
+# SRFs through to Postgres (only pg_*-prefixed names are blocked,
+# app/routes/datasets/utils/query_helpers.py), so unnest /
+# generate_series / jsonb_array_elements(_text) are part of the
+# pass-through surface. Spark's generator expressions cover them exactly
+# when the SRF is a BARE top-level SELECT item (PG's dominant usage):
+#   unnest(arr)                  → explode(arr)        (empty/NULL → 0 rows,
+#                                                       order preserved — same)
+#   generate_series(a, b[, s])   → explode(sequence)   (PG: wrong-sign step
+#                                                       → 0 rows; Spark's
+#                                                       sequence(5,1) counts
+#                                                       DOWN — guarded with a
+#                                                       typed empty-array arm)
+#   jsonb_array_elements(j)      → explode(transform(from_json(j,
+#                                   'array<variant>'), x -> to_json(x)))
+#   jsonb_array_elements_text(j) → same with CAST(x AS STRING) — probed:
+#                                   variant→string is exactly PG's text
+#                                   mode (strings unquoted, json null →
+#                                   SQL NULL, containers as json text)
+# Outside that subset the pass REJECTS LOUDLY: SRFs in WHERE/GROUP/
+# HAVING (PG errors too), inside expressions or subqueries, more than
+# one per statement (PG runs them in LOCKSTEP — Spark's one-generator
+# rule would reject anyway; our error names the boundary), dynamic
+# generate_series steps.
+# ---------------------------------------------------------------------------
+
+_SRF_NAMES = {
+    "unnest": "unnest",
+    "generate_series": "generate_series",
+    "jsonb_array_elements": "value",
+    "json_array_elements": "value",
+    "jsonb_array_elements_text": "value",
+    "json_array_elements_text": "value",
+}
+
+_SELECT_LIST_BOUNDARY = {
+    "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+    "OFFSET", "WINDOW", "FETCH",
+}
+
+
+def translate_set_returning(sql: str) -> str:
+    """Rewrite the SRF subset above; raise ValueError outside it."""
+    while True:
+        tokens = tokenize(sql)
+        depths = []
+        d = 0
+        for t in tokens:
+            if t.kind == "PUNCT" and t.value == "(":
+                depths.append(d)
+                d += 1
+            elif t.kind == "PUNCT" and t.value == ")":
+                d -= 1
+                depths.append(d)
+            else:
+                depths.append(d)
+        calls = [
+            i
+            for i, t in enumerate(tokens)
+            if t.kind == "IDENT"
+            and t.value.lower() in _SRF_NAMES
+            and i + 1 < len(tokens)
+            and tokens[i + 1].kind == "PUNCT"
+            and tokens[i + 1].value == "("
+        ]
+        if not calls:
+            return sql
+        if len(calls) > 1:
+            raise ValueError(
+                "only one set-returning function per statement is in the "
+                "translatable subset (PG evaluates several in lockstep)"
+            )
+        i = calls[0]
+        fname = tokens[i].value.lower()
+        if depths[i] != 0:
+            raise ValueError(
+                f"{fname}() is only translatable as a bare top-level "
+                "SELECT item (not inside expressions or subqueries)"
+            )
+        # must be a SELECT-list item: nearest clause keyword to the left
+        # at depth 0 is SELECT, and the item starts right at the call
+        k = i - 1
+        while k >= 0:
+            tk = tokens[k]
+            if depths[k] == 0 and tk.kind == "IDENT" and tk.upper in _SELECT_LIST_BOUNDARY:
+                break
+            k -= 1
+        if k < 0 or tokens[k].upper != "SELECT":
+            raise ValueError(
+                f"{fname}() is a set-returning function — PG allows it "
+                "only in the SELECT list, and so does the translation"
+            )
+        prev = tokens[i - 1]
+        if not (
+            prev.upper in ("SELECT", "DISTINCT")
+            or (prev.kind == "PUNCT" and prev.value == ",")
+        ):
+            raise ValueError(
+                f"{fname}() is only translatable as a bare SELECT item "
+                "(no surrounding expression)"
+            )
+        # close paren + args
+        close = _primary_end(tokens, i)
+        if close is None:
+            raise ValueError(f"unbalanced {fname}() call")
+        args = (
+            _args_spans(tokens, i + 2, close - 1) if close - 1 >= i + 2 else []
+        )
+        arg_texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        if fname == "unnest":
+            if len(arg_texts) != 1:
+                raise ValueError(
+                    "multi-argument unnest (lockstep form) is outside the "
+                    "translatable subset"
+                )
+            gen = f"explode({arg_texts[0]})"
+        elif fname == "generate_series":
+            if len(arg_texts) == 2:
+                a, b = arg_texts
+                gen = (
+                    f"explode(CASE WHEN ({a}) <= ({b}) "
+                    f"THEN sequence(({a}), ({b})) "
+                    f"ELSE slice(sequence(({a}), ({a})), 1, 0) END)"
+                )
+            elif len(arg_texts) == 3:
+                a, b, step = arg_texts
+                s, e = args[2]
+                neg = False
+                if (
+                    tokens[s].kind == "OP"
+                    and tokens[s].value == "-"
+                    and e == s + 1
+                    and tokens[e].kind == "NUMBER"
+                ):
+                    neg = True
+                elif not (s == e and tokens[s].kind == "NUMBER"):
+                    raise ValueError(
+                        "generate_series step must be a literal (PG's "
+                        "wrong-sign-step → empty semantics need its sign "
+                        "at translate time)"
+                    )
+                cond = f"({a}) >= ({b})" if neg else f"({a}) <= ({b})"
+                gen = (
+                    f"explode(CASE WHEN {cond} "
+                    f"THEN sequence(({a}), ({b}), ({step})) "
+                    f"ELSE slice(sequence(({a}), ({a})), 1, 0) END)"
+                )
+            else:
+                raise ValueError("generate_series takes 2 or 3 arguments")
+        else:
+            if len(arg_texts) != 1:
+                raise ValueError(f"{fname} takes exactly one argument")
+            elem = (
+                "CAST(__gfw_x AS STRING)"
+                if fname.endswith("_text")
+                else "to_json(__gfw_x)"
+            )
+            gen = (
+                f"explode(transform(from_json(({arg_texts[0]}), "
+                f"'array<variant>'), __gfw_x -> {elem}))"
+            )
+        # alias: keep a user AS/bare alias, else add PG's default name
+        nxt = tokens[close + 1] if close + 1 < len(tokens) else None
+        has_alias = nxt is not None and (
+            (nxt.kind == "IDENT" and nxt.upper == "AS")
+            or (nxt.kind == "IDENT" and nxt.upper not in _OPERAND_BOUNDARY)
+            or nxt.kind == "QIDENT"
+        )
+        if not has_alias:
+            gen += f" AS {_SRF_NAMES[fname]}"
+        sql = f"{sql[:tokens[i].start]}{gen}{sql[tokens[close].end:]}"
+
+
+# ---------------------------------------------------------------------------
 # round-8 schema-aware typing (VERDICT r7 #1): the passes above are
 # type-blind, so PG semantics that depend on operand TYPES were documented
 # divergences (docs/PARITY.md). With the bound table's column types —
@@ -3177,9 +3351,9 @@ def _args_spans(tokens, lo, hi):
     spans, depth, start = [], 0, lo
     for k in range(lo, hi + 1):
         t = tokens[k]
-        if t.kind == "PUNCT" and t.value == "(":
+        if t.kind == "PUNCT" and t.value in ("(", "["):
             depth += 1
-        elif t.kind == "PUNCT" and t.value == ")":
+        elif t.kind == "PUNCT" and t.value in (")", "]"):
             depth -= 1
         elif depth == 0 and t.kind == "PUNCT" and t.value == ",":
             spans.append((start, k - 1))
@@ -3575,6 +3749,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_json_exists(sql)  # before array_literal: eats ARRAY[..]
     sql = translate_json_contains(sql)
     sql = translate_jsonb_concat(sql)  # before pg_casts eats ::jsonb
+    sql = translate_set_returning(sql)  # after json ops; emits explode()
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
     sql = translate_agg_order_by(sql)

@@ -1640,3 +1640,74 @@ class TestTypedOps:
             "fl": "float", "de": "decimal", "bo": "bool", "dt": "date",
             "ts": "timestamp", "st": "string", "arr": "unknown",
         }
+
+
+class TestSetReturningFunctions:
+    """Round-8 SRF subset (VERDICT r7 #4): unnest / generate_series /
+    jsonb_array_elements(_text) as bare top-level SELECT items; loud
+    rejection outside the subset."""
+
+    def test_translations(self):
+        out = to_spark_sql("SELECT unnest(ARRAY['a','b']) FROM t")
+        assert "explode(array('a','b')) AS unnest" in out
+        out = to_spark_sql("SELECT generate_series(1, 5) FROM t")
+        assert "sequence((1), (5))" in out and "AS generate_series" in out
+        out = to_spark_sql("SELECT jsonb_array_elements(j) AS e FROM t")
+        assert "array<variant>" in out and "to_json" in out
+
+    def test_rejections(self):
+        import pytest as _pt
+
+        for bad in (
+            "SELECT unnest(a), unnest(b) FROM t",
+            "SELECT 1 + unnest(a) FROM t",
+            "SELECT a FROM t WHERE unnest(b) = 1",
+            "SELECT abs(unnest(a)) FROM t",
+            "SELECT generate_series(1, n, k) FROM t",
+            "SELECT (SELECT unnest(a) FROM t) FROM t",
+            "SELECT unnest(a) FROM t GROUP BY unnest(a)",
+        ):
+            with _pt.raises(ValueError):
+                to_spark_sql(bad)
+
+    def test_values(self, spark):
+        # PG: unnest of empty/NULL → zero rows; order preserved
+        rows = run_pg_sql(
+            spark,
+            "SELECT unnest(ARRAY['x','y','z']) AS u",
+        ).collect()
+        assert [r.u for r in rows] == ["x", "y", "z"]
+        # generate_series: forward, EMPTY reverse (PG), negative step
+        assert [
+            r.generate_series
+            for r in run_pg_sql(spark, "SELECT generate_series(2, 5)").collect()
+        ] == [2, 3, 4, 5]
+        assert (
+            run_pg_sql(spark, "SELECT generate_series(5, 2)").count() == 0
+        )
+        assert [
+            r.g
+            for r in run_pg_sql(
+                spark, "SELECT generate_series(10, 1, -4) AS g"
+            ).collect()
+        ] == [10, 6, 2]
+        assert (
+            run_pg_sql(spark, "SELECT generate_series(1, 10, -2)").count()
+            == 0
+        )
+        # jsonb_array_elements: jsonb mode keeps quoting; text mode
+        # unquotes and maps json null → SQL NULL
+        assert [
+            r.value
+            for r in run_pg_sql(
+                spark,
+                "SELECT jsonb_array_elements('[\"a\", 1, true, null]')",
+            ).collect()
+        ] == ['"a"', "1", "true", "null"]
+        assert [
+            r.v
+            for r in run_pg_sql(
+                spark,
+                "SELECT jsonb_array_elements_text('[\"a\", 1, true, null]') AS v",
+            ).collect()
+        ] == ["a", "1", "true", None]
