@@ -1130,13 +1130,25 @@ _SPECS.append(
 
 
 def _s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN through the FULL oracle gate (round-8 conversion of
+    the last rows-only similarity entries, VERDICT r7 #3): with
+    ``nprobe = nlist`` the probed cells cover the whole corpus, so
+    IVF-Flat is PROVABLY equal to brute force regardless of what the
+    k-means state looks like — the train/assign/probe/merge machinery
+    all still runs (cell pruning included; it just prunes nothing).
+    DuckDB recomputes the exact cosine top-k. The genuinely
+    approximate partial-probe path keeps its own driver row through
+    s08_ivf_recall_gate (planted-recall booleans) and pytest recall
+    assertions."""
     from gfw_data_api_spark.llmops import ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = ivf.train_ivf(emb, nlist=8, iters=3)
     indexed = ivf.build_ivf_index(emb, centroids)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = ivf.ivf_topk(indexed.filter(F.col("vec_id") != 0), centroids, query, k=10, nprobe=3)
+    out = ivf.ivf_topk(
+        indexed.filter(F.col("vec_id") != 0), centroids, query, k=10, nprobe=8
+    )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1144,8 +1156,23 @@ _SPECS.append(
     QuerySpec(
         name="s05_ivf_topk",
         spark_fn=_s05,
-        oracle=None,  # approximate by design; recall asserted in tests
-        survey_ref="similarity: IVF-Flat ANN (k-means cells + nprobe search)",
+        oracle=(
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, "
+            "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qe, q.qe))), 6) "
+            "AS cosine "
+            "FROM embeddings e, q WHERE e.vec_id != 0 "
+            "ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+            "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qe, q.qe))) "
+            "DESC, e.vec_id LIMIT 10"
+        ),
+        survey_ref="similarity: IVF-Flat ANN (k-means cells + nprobe "
+        "search; llmops/ivf.py) — full-probe arm is exactly brute force, "
+        "partial-probe recall gated by s08",
     )
 )
 
@@ -2472,23 +2499,90 @@ _SPECS.append(
 
 
 def _s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k through the FULL oracle gate (round-8 conversion,
+    VERDICT r7 #3 — the t26 envelope pattern): snap every vector to its
+    PQ reconstruction (decode(encode(x)) — each subvector becomes an
+    exact codepoint), take the query from the snapped corpus, and ADC
+    becomes PROVABLY exact: the per-subspace table entry for a
+    codepoint IS its squared distance, so Σ_j table[j][code_j] equals
+    the true squared L2 between query and snapped vector, whatever the
+    trained codebooks look like. The envelope pins the provable facts:
+    k results, the query's own clone at rank 1 with distance exactly
+    0.0 (the code-0 table entries are (q_sub − q_sub)² = 0), and
+    |ADC − exact| < 1e-9 on every returned row (summation-order ulps
+    only). DuckDB recomputes the envelope from the planting rule as
+    constants. The real-data recall path stays gated by s10 and
+    pytest; the full encode → ADC-scan → TakeOrdered machinery runs
+    here unchanged."""
+    import numpy as np
+
     from gfw_data_api_spark.llmops.pq import encode_pq, pq_topk, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings", fanout=True)
-    books = train_pq(emb, m=8, ksub=16, seed=42)
-    query = [float(v) for v in books[:, 0, :].reshape(-1)]  # a real codepoint
-    return pq_topk(encode_pq(emb, books), books, query, k=10)
+    books = train_pq(emb, m=8, ksub=16, seed=42).astype(np.float64)
+    m, ksub, dsub = books.shape
+    enc = encode_pq(emb, books)
+    blit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in books[j][c]])
+                    for c in range(ksub)
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    snap_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.element_at(blit, j + 1),
+                F.element_at(F.col("pq_codes"), j + 1) + 1,
+            ),
+        )
+    )
+    snapped = enc.select("vec_id", snap_col.alias("embedding"))
+    query = [
+        float(v)
+        for v in snapped.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    out = pq_topk(encode_pq(snapped, books), books, query, k=10)
+    qlit = F.array(*[F.lit(v) for v in query])
+    exact = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows = out.join(snapped, "vec_id").select(
+        "vec_id", "adc_dist", exact.alias("exact_dist")
+    )
+    # top-1 facts fold into the same aggregation (struct min is the
+    # (dist, id) lexicographic rank-1) — one agg, no 1-row join
+    best = F.min(F.struct("adc_dist", "vec_id"))
+    return rows.agg(
+        F.count("*").cast("bigint").alias("n_results"),
+        (
+            F.max(F.abs(F.col("adc_dist") - F.col("exact_dist")))
+            < F.lit(1e-9)
+        ).alias("adc_exact_on_snapped"),
+        (best.getField("vec_id") == 0).alias("top1_id_zero"),
+        (best.getField("adc_dist") == 0.0).alias("top1_dist_zero"),
+    )
 
 
 _SPECS.append(
     QuerySpec(
         name="s07_pq_topk",
         spark_fn=_s07,
-        # rows-only: PQ codebooks are k-means/seed-specific (like s05 IVF);
-        # ADC arithmetic is NumPy-cross-checked and recall-tested in pytest
-        oracle=None,
+        oracle=(
+            "SELECT CAST(10 AS BIGINT) AS n_results, "
+            "TRUE AS adc_exact_on_snapped, "
+            "TRUE AS top1_id_zero, TRUE AS top1_dist_zero"
+        ),
         survey_ref="similarity: product-quantization ADC top-k "
-        "(llmops/pq.py; FAISS PQ recipe, 8-byte codes)",
+        "(llmops/pq.py; FAISS PQ recipe, 8-byte codes) — snapped-corpus "
+        "envelope proves ADC equals exact distance on codepoints",
     )
 )
 
@@ -2706,12 +2800,33 @@ _SPECS.append(
 
 
 def _d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the FULL oracle gate (round-8 conversion,
+    VERDICT r7 #3 — the d15 planting pattern applied to the operator's
+    own output): every vec_id with ``vec_id % 10 == 7`` gets its
+    embedding REPLACED by the embedding of ``vec_id - 7`` (an exact
+    duplicate of a decile anchor). Identical vectors land in the same
+    k-means cell no matter what the centroids are (identical rows →
+    identical argmin), their cosine is 1.0, and every other pair in
+    this corpus tops out near 0.55 (cf. d07) — so at threshold 0.99
+    the removal set is EXACTLY the planted clones, and the keep rule
+    (lowest id survives) makes the survivor set closed-form:
+    ``vec_id % 10 != 7``. DuckDB recomputes it from the planting rule.
+    The real-threshold behavior keeps its envelope through
+    d15_semantic_dedup_envelope and the exact-twin recall assertions
+    in test_llmops.py."""
     from gfw_data_api_spark.llmops.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings", fanout=True)
-    # synthetic embeddings top out near cosine 0.55 (cf. d07), so the
-    # gate threshold sits below that to exercise non-empty removal
-    survivors = semantic_dedup(emb, threshold=0.4, nlist=8)
+    anchors = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 7).alias("vec_id"),
+        F.col("embedding").alias("clone_embedding"),
+    )
+    planted = emb.join(anchors, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("clone_embedding", "embedding").alias("embedding"),
+        "label",
+    )
+    survivors = semantic_dedup(planted, threshold=0.99, nlist=8)
     return survivors.select("vec_id", F.col("label").cast("int").alias("label"))
 
 
@@ -2719,10 +2834,13 @@ _SPECS.append(
     QuerySpec(
         name="d11_semantic_dedup",
         spark_fn=_d11,
-        oracle=None,  # k-means clustering is not SQL-expressible; recall
-        # vs the exact all-pairs twin is asserted in test_llmops.py
+        oracle=(
+            "SELECT vec_id, CAST(label AS INTEGER) AS label "
+            "FROM embeddings WHERE vec_id % 10 <> 7"
+        ),
         survey_ref="dedup: SemDeDup embedding-cluster near-dup removal "
-        "(Abbas et al. 2023; llmops/similarity.py semantic_dedup)",
+        "(Abbas et al. 2023; llmops/similarity.py semantic_dedup) — "
+        "planted exact-clone clusters make the survivor set closed-form",
     )
 )
 
