@@ -24,7 +24,8 @@ import pytest
 
 from tests.test_dialect_value_fuzz import Gen, _same
 
-N_STATEMENTS = 40
+N_STATEMENTS = 110  # + N_API_STATEMENTS routed through the WSGI app
+N_API_STATEMENTS = 20
 SEED = 977
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T1", "/root/testdata/sf0.001")
@@ -34,29 +35,83 @@ STR_COLS = ["lang", "text"]
 
 
 def _statements(rng: random.Random):
+    """Five statement shapes (VERDICT r7 #5): projection+WHERE+ORDER,
+    grouped aggregate (now with a HAVING arm), window functions over a
+    WINDOW clause, PG FETCH/OFFSET pagination, and — in the separate
+    API test below — the same projection shape routed through the WSGI
+    query endpoint."""
     gen = Gen(rng, num_cols=NUM_COLS, str_cols=STR_COLS)
     for i in range(N_STATEMENTS):
         w_pg, w_dk, _, _ = gen.boolean(2)
-        if rng.random() < 0.3:
+        shape = rng.random()
+        if shape < 0.22:
             # grouped-aggregate form: translated expressions inside
-            # aggregates and FILTER clauses, grouped on a real column
+            # aggregates and FILTER clauses, grouped on a real column,
+            # with a HAVING arm half the time
             n_pg, n_dk, _, nx = gen.num(1)
             f_pg, f_dk, _, _ = gen.boolean(1)
+            having = ""
+            if rng.random() < 0.5:
+                having = f" HAVING count(*) > {rng.randint(1, 60)}"
             pg_sql = (
                 f"SELECT lang, count(*) AS n, "
                 f"CAST(sum(doc_id % 97) AS BIGINT) AS s, "
                 f"count(*) FILTER (WHERE {f_pg}) AS nf, "
                 f"min(({n_pg})) AS mn FROM data "
-                f"WHERE {w_pg} GROUP BY lang ORDER BY lang"
+                f"WHERE {w_pg} GROUP BY lang{having} ORDER BY lang"
             )
             dk_sql = (
                 f"SELECT lang, count(*) AS n, "
                 f"CAST(sum(doc_id % 97) AS BIGINT) AS s, "
                 f"count(*) FILTER (WHERE {f_dk}) AS nf, "
                 f"min(({n_dk})) AS mn FROM documents "
-                f"WHERE {w_dk} GROUP BY lang ORDER BY lang"
+                f"WHERE {w_dk} GROUP BY lang{having} ORDER BY lang"
             )
             yield i, pg_sql, dk_sql, [True, True, True, nx]
+            continue
+        if shape < 0.40:
+            # window-function form: translated expressions next to (and
+            # inside lag over) a shared WINDOW clause; doc_id is unique
+            # per partition so every function is deterministic
+            p_pg, p_dk, _, px = (
+                gen.num(1) if rng.random() < 0.5 else gen.string(1)
+            )
+            win = (
+                "WINDOW w AS (PARTITION BY lang ORDER BY doc_id)"
+            )
+            items = (
+                "CAST(row_number() OVER w AS BIGINT) AS rn, "
+                "CAST(sum(doc_id % 13) OVER w AS BIGINT) AS cum, "
+            )
+            pg_sql = (
+                f"SELECT doc_id, {items}lag(({p_pg})) OVER w AS prev "
+                f"FROM data WHERE {w_pg} {win} ORDER BY doc_id"
+            )
+            dk_sql = (
+                f"SELECT doc_id, {items}lag(({p_dk})) OVER w AS prev "
+                f"FROM documents WHERE {w_dk} {win} ORDER BY doc_id"
+            )
+            yield i, pg_sql, dk_sql, [True, True, px]
+            continue
+        if shape < 0.52:
+            # PG pagination spellings: OFFSET n ROWS FETCH FIRST k ROWS
+            # ONLY (translate_fetch_first) vs plain LIMIT/OFFSET
+            e_pg, e_dk, _, ex = gen.num(2)
+            off = rng.randint(0, 40)
+            k = rng.randint(1, 50)
+            if rng.random() < 0.5:
+                tail_pg = f" OFFSET {off} ROWS FETCH FIRST {k} ROWS ONLY"
+            else:
+                tail_pg = f" LIMIT {k} OFFSET {off}"
+            pg_sql = (
+                f"SELECT doc_id, ({e_pg}) AS c0 FROM data "
+                f"WHERE {w_pg} ORDER BY doc_id{tail_pg}"
+            )
+            dk_sql = (
+                f"SELECT doc_id, ({e_dk}) AS c0 FROM documents "
+                f"WHERE {w_dk} ORDER BY doc_id LIMIT {k} OFFSET {off}"
+            )
+            yield i, pg_sql, dk_sql, [ex]
             continue
         items_pg, items_dk = [], []
         kinds = []
@@ -126,4 +181,87 @@ def test_statement_fuzz_guarded_path_vs_duckdb(spark):
     assert not failures, (
         f"{len(failures)} divergent statements of {N_STATEMENTS}:\n"
         + "\n---\n".join(failures[:10])
+    )
+
+
+def test_statement_fuzz_through_api_layer(spark, tmp_path):
+    """Route fuzzed statements through the FULL API surface
+    (api/app.py query endpoint: auth hooks, guard, dialect, literal
+    contract, watchdog-capped collect, JSON serialization) — VERDICT
+    r7 #5's end-to-end arm. The dataset is a CSV ingest of the
+    documents table's scalar columns, so the endpoint exercises the
+    same ingest → registry → query path a real deployment runs."""
+    import csv as csvmod
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    from gfw_data_api_spark.api import create_app
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.sources.pipeline import ingest_tabular
+    from tests.test_api import call
+
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pylist()
+    csv_path = str(tmp_path / "docs.csv")
+    with open(csv_path, "w", newline="") as fh:
+        w = csvmod.writer(fh)
+        w.writerow(["doc_id", "lang", "n_chars"])
+        for r in tbl:
+            w.writerow([r["doc_id"], r["lang"], r["n_chars"]])
+    registry = Registry(str(tmp_path / "cat"))
+    ingest_tabular(registry, spark, "fuzz_docs", "v1", csv_path)
+    app = create_app(spark, registry)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rng = random.Random(SEED + 1)
+    gen = Gen(rng, num_cols=["doc_id", "n_chars"], str_cols=["lang"])
+    failures = []
+    for i in range(N_API_STATEMENTS):
+        e_pg, e_dk, _, ex = gen.num(2) if rng.random() < 0.5 else gen.string(2)
+        w_pg, w_dk, _, _ = gen.boolean(2)
+        pg_sql = (
+            f"SELECT doc_id, ({e_pg}) AS c0 FROM data "
+            f"WHERE {w_pg} ORDER BY doc_id LIMIT 80"
+        )
+        dk_sql = (
+            f"SELECT doc_id, ({e_dk}) AS c0 FROM documents "
+            f"WHERE {w_dk} ORDER BY doc_id LIMIT 80"
+        )
+        out = call(
+            app,
+            "GET",
+            "/dataset/fuzz_docs/v1/query/json",
+            query="sql=" + urllib.parse.quote(pg_sql),
+        )
+        if out["status"] != 200:
+            failures.append(f"#{i} HTTP {out['status']}: {out['body']}\n  PG: {pg_sql}")
+            continue
+        srows = out["body"]["data"]
+        drows = con.sql(dk_sql).fetchall()
+        if len(srows) != len(drows):
+            failures.append(
+                f"#{i} row count {len(srows)} vs {len(drows)}\n"
+                f"  PG: {pg_sql}\n  DK: {dk_sql}"
+            )
+            continue
+        for sr, dr in zip(srows, drows):
+            if not (
+                _same(sr["doc_id"], dr[0], True) and _same(sr["c0"], dr[1], ex)
+            ):
+                failures.append(
+                    f"#{i} row diverges: {sr!r} vs {dr!r}\n"
+                    f"  PG: {pg_sql}\n  DK: {dk_sql}"
+                )
+                break
+        if len(failures) > 8:
+            break
+    assert not failures, (
+        f"{len(failures)} divergent API statements of {N_API_STATEMENTS}:\n"
+        + "\n---\n".join(failures[:8])
     )
