@@ -130,10 +130,40 @@ def _spread(all_passes: dict[str, list[float]]) -> dict[str, dict]:
     }
 
 
+def _calibrate(spark) -> float:
+    """Fixed CPU-bound reference job (VERDICT r7 #6): a machine-load
+    yardstick measured with the same protocol as the queries (one
+    warmup, best of 3). The workload is input-independent — an 800M-row
+    range sum through whole-stage codegen across all cores — so its
+    time moves ONLY with machine conditions, never with repo changes.
+    Two bench runs of identical code on differently loaded machines
+    disagreed 17% in round 7 and the cause had to be argued from git
+    diffs; the ``cal`` field makes it visible in-band (see
+    docs/BENCH_NOTES.md for the normalization rule)."""
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 6_000_000_000, 1).selectExpr(
+            "sum((id * 3 + 7) % 1000003) AS s"  # mod keeps int64 safe (ANSI)
+        ).collect()
+        return time.perf_counter() - t0
+
+    run()  # warmup: codegen + JIT
+    return min(run() for _ in range(3))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
+
+    # child mode: run the calibration job in a fresh JVM (same isolation
+    # as the per-family children), dump the seconds to the given path
+    if len(sys.argv) == 3 and sys.argv[1] == "--calibrate-child":
+        spark = get_spark()
+        with open(sys.argv[2], "w") as fh:
+            json.dump({"calibration_sec": _calibrate(spark)}, fh)
+        return
 
     # child mode: measure ONE family in this (fresh) process, dump raw
     # timings as JSON to the given path, no stdout protocol line
@@ -159,6 +189,24 @@ def main() -> None:
         queries = {n: f for n, f in queries.items() if n.startswith(prefixes)}
 
     isolate = not prefixes and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
+    calibration = None
+    if isolate:
+        # machine-load yardstick first, in its own fresh JVM
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tmp:
+            cal_path = tmp.name
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--calibrate-child", cal_path],
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                with open(cal_path) as fh:
+                    calibration = round(json.load(fh)["calibration_sec"], 3)
+            else:
+                sys.stderr.write(proc.stderr[-2000:])
+        finally:
+            os.unlink(cal_path)
     if isolate:
         # fresh JVM per operator family, run serially (concurrent children
         # would contend for the 32 cores and distort each other)
@@ -199,6 +247,7 @@ def main() -> None:
         "sf": sf,
         "n": passes,
         "protocol": protocol,
+        "calibration_sec": calibration,
         "testdata": fingerprint,
     }
     # subset runs (prefix args) are local iteration — don't clobber the
@@ -233,6 +282,8 @@ def main() -> None:
             "protocol": protocol,
             "detail": "BENCH_DETAIL.json",
         }
+        if calibration is not None:
+            payload["cal"] = calibration
         if with_md5:
             payload["testdata_md5"] = fp_md5
         return json.dumps(payload, separators=(",", ":"))
