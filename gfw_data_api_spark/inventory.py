@@ -8530,6 +8530,68 @@ _SPECS.append(
 )
 
 
+def _q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = (
+        # PG semantics under test (round-8, VERDICT r7 #8): NESTED @>
+        # containment — object-in-object partial match, arrays at keys
+        # (every needle element contained in SOME haystack element),
+        # array-of-objects needles, empty-object needles (contained in
+        # any object), and the top-level-only scalar exception staying
+        # OFF at nested levels ({"mod": [..]} never contains a scalar)
+        "SELECT event_id, "
+        "('{\"meta\": {\"type\": \"' || event_type || '\", \"mod\": ' "
+        "|| CAST(event_id % 5 AS VARCHAR) || ', \"tags\": [1, {\"lvl\": ' "
+        "|| CAST(event_id % 3 AS VARCHAR) || '}]}}') "
+        "@> '{\"meta\": {\"type\": \"click\"}}' AS is_click, "
+        "('{\"meta\": {\"type\": \"' || event_type || '\", \"mod\": ' "
+        "|| CAST(event_id % 5 AS VARCHAR) || ', \"tags\": [1, {\"lvl\": ' "
+        "|| CAST(event_id % 3 AS VARCHAR) || '}]}}') "
+        "@> '{\"meta\": {\"mod\": 2.0}}' AS mod_two, "
+        "('{\"meta\": {\"type\": \"' || event_type || '\", \"mod\": ' "
+        "|| CAST(event_id % 5 AS VARCHAR) || ', \"tags\": [1, {\"lvl\": ' "
+        "|| CAST(event_id % 3 AS VARCHAR) || '}]}}') "
+        "@> '{\"meta\": {\"tags\": [{\"lvl\": 1}]}}' AS lvl_one, "
+        "('{\"meta\": {\"type\": \"' || event_type || '\", \"mod\": ' "
+        "|| CAST(event_id % 5 AS VARCHAR) || ', \"tags\": [1, {\"lvl\": ' "
+        "|| CAST(event_id % 3 AS VARCHAR) || '}]}}') "
+        "@> '{\"meta\": {\"tags\": [1], \"type\": {}}}' AS tag_one_objtype "
+        "FROM data WHERE event_id % 15 = 0 ORDER BY event_id"
+    )
+    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q53_nested_containment",
+        spark_fn=_q53,
+        oracle=(
+            # DuckDB's json_contains shares PG's recursive containment
+            # rules (probed: partial object match, per-element array
+            # containment, kind-guarded equality, nested scalar
+            # exception OFF) — the independent twin
+            "WITH j AS (SELECT event_id, "
+            "'{\"meta\": {\"type\": \"' || event_type || '\", \"mod\": ' "
+            "|| CAST(event_id % 5 AS VARCHAR) || ', \"tags\": [1, {\"lvl\": ' "
+            "|| CAST(event_id % 3 AS VARCHAR) || '}]}}' AS doc "
+            "FROM events WHERE event_id % 15 = 0) "
+            "SELECT event_id, "
+            "json_contains(doc, '{\"meta\": {\"type\": \"click\"}}') "
+            "AS is_click, "
+            "json_contains(doc, '{\"meta\": {\"mod\": 2.0}}') AS mod_two, "
+            "json_contains(doc, '{\"meta\": {\"tags\": [{\"lvl\": 1}]}}') "
+            "AS lvl_one, "
+            "json_contains(doc, "
+            "'{\"meta\": {\"tags\": [1], \"type\": {}}}') AS tag_one_objtype "
+            "FROM j ORDER BY event_id"
+        ),
+        survey_ref="Q11 nested jsonb containment: recursive @> needle "
+        "expansion into typed variant probes, bounded at 4 container "
+        "levels (sql/dialect.py _variant_containment_probe; the "
+        "reference passes @> through to PG)",
+    )
+)
+
+
 _SPECS.append(
     QuerySpec(
         name="q45_json_array_containment",

@@ -2076,6 +2076,70 @@ _JSON_DIGIT_GUARD = (
     "IN ('-','0','1','2','3','4','5','6','7','8','9')"
 )
 
+# counted from the whole needle at depth 1, so "3 levels of nesting
+# below the top" means probes run through depth 4
+_MAX_CONTAINMENT_DEPTH = 4
+
+
+def _variant_scalar_probe(vexpr: str, val) -> str:
+    """Kind-guarded jsonb equality of the VARIANT expression ``vexpr``
+    against the Python scalar ``val`` (PG rules: numbers numerically,
+    strings/bools/nulls by kind). Returns an un-coalesced boolean."""
+    import json
+
+    if isinstance(val, bool):
+        return f"to_json({vexpr}) = '{'true' if val else 'false'}'"
+    if val is None:
+        return f"to_json({vexpr}) = 'null'"
+    if isinstance(val, str):
+        lit = json.dumps(val, ensure_ascii=False).replace("'", "''")
+        return f"to_json({vexpr}) = '{lit}'"
+    return (
+        f"try_cast({vexpr} AS DOUBLE) = {val!r} "
+        f"AND substring(to_json({vexpr}), 1, 1) {_JSON_DIGIT_GUARD}"
+    )
+
+
+def _variant_containment_probe(vexpr: str, needle, depth: int, op: str) -> str:
+    """Round-8 NESTED containment (VERDICT r7 #8): recursive expansion
+    of ``vexpr`` (a VARIANT expression) containing ``needle`` into
+    typed probes, following PG's recursive jsonb rules — object
+    needles require each pair contained at the key (partial match,
+    extra haystack keys fine), array needles require every element
+    contained in SOME haystack element, scalars compare with
+    kind-guarded jsonb equality. Bounded at needle depth
+    ``_MAX_CONTAINMENT_DEPTH``; deeper needles raise loudly."""
+    if isinstance(needle, (dict, list)) and depth > _MAX_CONTAINMENT_DEPTH:
+        raise ValueError(
+            f"{op}: needle nests deeper than {_MAX_CONTAINMENT_DEPTH} "
+            "container levels — outside the translatable subset"
+        )
+    if isinstance(needle, dict):
+        if not needle:
+            # {} is contained in any OBJECT (and only an object)
+            return f"coalesce(substring(to_json({vexpr}), 1, 1) = '{{', false)"
+        conds = []
+        for key, val in needle.items():
+            if not _JSON_KEY_RE.match(key):
+                raise ValueError(
+                    f"{op}: json key {key!r} outside the translatable subset"
+                )
+            sub = f"try_variant_get({vexpr}, '$.{key}')"
+            conds.append(_variant_containment_probe(sub, val, depth + 1, op))
+        return "(" + " AND ".join(conds) + ")"
+    if isinstance(needle, list):
+        arrtext = f"to_json({vexpr})"
+        conds = [f"coalesce(substring({arrtext}, 1, 1) = '[', false)"]
+        var = f"__gfw_n{depth}"
+        for elem in needle:
+            inner = _variant_containment_probe(var, elem, depth + 1, op)
+            conds.append(
+                f"coalesce(exists(from_json({arrtext}, 'array<variant>'), "
+                f"{var} -> {inner}), false)"
+            )
+        return "(" + " AND ".join(conds) + ")"
+    return "coalesce(" + _variant_scalar_probe(vexpr, needle) + ", false)"
+
 
 def _array_containment_conditions(col_text: str, arr: list, op: str) -> str:
     """Spark conditions for ``col @> '[scalar, ...]'`` (array needle,
@@ -2109,10 +2173,9 @@ def _array_containment_conditions(col_text: str, arr: list, op: str) -> str:
                 f"AND substring(to_json(__gfw_x), 1, 1) {_JSON_DIGIT_GUARD}"
             )
         else:
-            raise ValueError(
-                f"{op}: array-needle elements must be scalars "
-                "(nested containment is outside the translatable subset)"
-            )
+            # object/array element → recursive probe on the variant
+            # element itself (round-8 nested containment)
+            probe = _variant_containment_probe("__gfw_x", val, 2, op)
         conds.append(f"coalesce(exists({elems}, __gfw_x -> {probe}), false)")
     return "(" + " AND ".join(conds) + ")"
 
@@ -2123,10 +2186,11 @@ def _containment_conditions(col_text: str, literal: str, op: str) -> str:
     :func:`_array_containment_conditions`).
 
     PG jsonb containment compares VALUES with jsonb equality: numbers
-    numerically (5 contains 5.0), strings/booleans/nulls by kind. The
-    literal must be a flat JSON object (or array) with scalar values —
-    nested needles need recursive set semantics and raise instead of
-    guessing."""
+    numerically (5 contains 5.0), strings/booleans/nulls by kind.
+    Nested object/array needle values recurse through
+    :func:`_variant_containment_probe` (round-8, bounded depth 3);
+    scalar top-level needles still raise (PG's array-contains-scalar
+    exception is top-level-only and stays out of the subset)."""
     import json
 
     try:
@@ -2170,10 +2234,10 @@ def _containment_conditions(col_text: str, literal: str, op: str) -> str:
                 f"AND substring({jref}, 1, 1) NOT IN ('\"', '[', '{{'), false)"
             )
         else:
-            raise ValueError(
-                f"{op}: value for key {key!r} must be a scalar "
-                "(nested containment is outside the translatable subset)"
-            )
+            # nested object/array value (round-8): recurse on the
+            # variant at this key
+            sub = f"try_variant_get(parse_json({col_text}), '$.{key}')"
+            conds.append(_variant_containment_probe(sub, val, 2, op))
     return "(" + " AND ".join(conds) + ")"
 
 
@@ -2186,9 +2250,10 @@ def translate_json_contains(sql: str) -> str:
     scalars — ``tags @> '["foo"]'``, the most common jsonb idiom —
     translate to per-element ``exists`` probes over
     ``from_json(col, 'array<variant>')`` with an is-array guard
-    (round-7 widening). Containment between two dynamic columns and
-    NESTED needles still raise — they need recursive set semantics no
-    Spark expression provides."""
+    (round-7 widening); nested object/array needle values recurse up
+    to depth 3 (round-8 — _variant_containment_probe). Containment
+    between two dynamic columns and deeper nesting still raise
+    loudly."""
     while True:
         tokens = tokenize(sql)
         at = None

@@ -1711,3 +1711,122 @@ class TestSetReturningFunctions:
                 "SELECT jsonb_array_elements_text('[\"a\", 1, true, null]') AS v",
             ).collect()
         ] == ["a", "1", "true", None]
+
+
+class TestNestedJsonbContainment:
+    """Round-8 nested @>/<@ (VERDICT r7 #8): recursive needle expansion
+    into typed variant probes, bounded at 4 container levels. The
+    expectations below are PG's documented recursive containment rules
+    (and DuckDB's json_contains agrees on every one — the q53 oracle)."""
+
+    CASES = [
+        ('{"a": {"b": 1, "c": 2}}', '{"a": {"b": 1}}', True),
+        ('{"a": {"b": 1}}', '{"a": {"b": 2}}', False),
+        ('{"a": [1, 2]}', '{"a": [2]}', True),
+        ('[{"x": 1, "y": 2}]', '[{"x": 1}]', True),
+        ('[{"x": 1}]', '[{"x": 2}]', False),
+        ('[[1, 2], [3]]', '[[2]]', True),
+        # scalar needle vs array value: the array-contains-scalar
+        # exception is TOP-LEVEL-ONLY in PG — nested is equality
+        ('{"a": [1, 2]}', '{"a": 1}', False),
+        ('{"a": {"b": 1}}', '{"a": {}}', True),
+        ('{"a": 1}', '{"a": {}}', False),
+        ('{"a": [1, 2]}', '{"a": []}', True),
+        ('{"a": {"b": [1, {"z": 5}]}}', '{"a": {"b": [{"z": 5}]}}', True),
+        ('{"a": {"b": [1, {"z": 5}]}}', '{"a": {"b": [{"z": 6}]}}', False),
+        ('{"a": {"b": "x"}, "c": 3}', '{"c": 3.0, "a": {"b": "x"}}', True),
+        ('{"a": {"b": "5"}}', '{"a": {"b": 5}}', False),
+        ('{"a": {"café": "Łódź"}}', '{"a": {"café": "Łódź"}}', True),
+    ]
+
+    def test_pg_recursive_rules(self, spark):
+        items = ", ".join(
+            f"('{h}' @> '{n}') AS r{i}" for i, (h, n, _) in enumerate(self.CASES)
+        )
+        row = run_pg_sql(spark, f"SELECT {items}").collect()[0]
+        got = [row[f"r{i}"] for i in range(len(self.CASES))]
+        assert got == [w for _, _, w in self.CASES]
+
+    def test_flipped_orientation(self, spark):
+        row = run_pg_sql(
+            spark,
+            "SELECT ('{\"a\": {\"b\": 1}}' <@ "
+            "'{\"a\": {\"b\": 1, \"c\": 2}, \"d\": 4}') AS r",
+        ).collect()[0]
+        assert row.r is True
+
+    def test_depth_bound_rejects(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="container levels"):
+            to_spark_sql(
+                "SELECT ('{}' @> "
+                "'{\"a\": {\"b\": {\"c\": {\"d\": [1]}}}}') AS r"
+            )
+
+    def test_differential_vs_duckdb_json_contains(self, spark):
+        """Seeded nested haystack/needle pairs: the dialect's expansion
+        vs DuckDB's json_contains (probed to share PG's recursive
+        rules). Needles derive from the haystack by projection +
+        mutation so TRUE and FALSE both occur."""
+        import copy
+        import json
+        import random
+
+        import duckdb
+
+        rng = random.Random(20260816)
+        scalars = [1, 2, 5.0, "x", "café", True, None]
+        keys = ["a", "b", "k", "café"]
+
+        def build(depth):
+            if depth >= 3 or rng.random() < 0.35:
+                return rng.choice(scalars)
+            if rng.random() < 0.5:
+                return {
+                    k: build(depth + 1)
+                    for k in rng.sample(keys, rng.randint(1, 3))
+                }
+            return [build(depth + 1) for _ in range(rng.randint(1, 3))]
+
+        def project(v):
+            """A (maybe mutated) sub-structure of v."""
+            if isinstance(v, dict) and v:
+                out = {
+                    k: project(val)
+                    for k, val in v.items()
+                    if rng.random() < 0.7
+                }
+                return out if out else {}
+            if isinstance(v, list) and v:
+                return [project(e) for e in v if rng.random() < 0.6]
+            if rng.random() < 0.25:
+                return rng.choice(scalars)  # mutation → likely FALSE
+            return v
+
+        con = duckdb.connect()
+        pairs = []
+        while len(pairs) < 60:
+            h = build(0)
+            if not isinstance(h, (dict, list)):
+                continue
+            n = project(copy.deepcopy(h))
+            if not isinstance(n, (dict, list)) or n == {}:
+                continue
+            ht = json.dumps(h, ensure_ascii=False)
+            nt = json.dumps(n, ensure_ascii=False)
+            if "'" in ht or "'" in nt:
+                continue
+            pairs.append((ht, nt))
+        items = ", ".join(
+            f"('{h}' @> '{n}') AS r{i}" for i, (h, n) in enumerate(pairs)
+        )
+        row = run_pg_sql(spark, f"SELECT {items}").collect()[0]
+        mism = []
+        for i, (h, n) in enumerate(pairs):
+            want = con.execute(
+                "SELECT json_contains(?, ?)", [h, n]
+            ).fetchone()[0]
+            if bool(row[f"r{i}"]) != bool(want):
+                mism.append(f"{h} @> {n}: spark={row[f'r{i}']} duck={want}")
+        assert not mism, "\n".join(mism[:10])

@@ -149,6 +149,19 @@ def main():
             survivors = kept.join(dups, "doc_id", "left_anti")
             noop(temperature_mixture_weights(survivors, domain_col="lang", alpha=0.5))
 
+        def _q46_shape(d):
+            from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+            d.createOrReplaceTempView("probe_q46")
+            sql = (
+                "SELECT doc_id, "
+                "regexp_replace(text, '\\s+', '_', 'g') AS collapsed, "
+                "split_part(text || '\\tail', '\\', 2) AS after_bs, "
+                "length(substring(text FROM '([A-Za-z]+)\\s')) AS w "
+                "FROM probe_q46"
+            )
+            noop(run_pg_sql(spark, sql))
+
         def synth_images(d):
             # one unique 8x9 PNG per doc (unique → ~no near-dup pairs, so
             # the probe times decode+hash+band-join, not pair output)
@@ -326,6 +339,26 @@ def main():
                     "gfw_data_api_spark.llmops.fim", fromlist=["fim_transform"]
                 ).fim_transform(d.select("doc_id", "text"), rate_pct=90, seed=0)
             ),
+            # VERDICT r7 #7: e20's two-level prefix with bucket_width=1 —
+            # one bucket PER DOCUMENT, so the driver-side prefix walks
+            # row-count-many buckets (the 10⁶-bucket regime's slope);
+            # partials agg + window-partitioned-by-bucket both stress the
+            # many-tiny-partitions shape
+            "e20_byte_shards_b1": lambda d: noop(
+                __import__(
+                    "gfw_data_api_spark.llmops.export",
+                    fromlist=["assign_byte_shards"],
+                ).assign_byte_shards(
+                    d.select("doc_id", "text"),
+                    target_bytes=50_000,
+                    bucket_width=1,
+                )
+            ),
+            # VERDICT r7 #7: the q46 LITERAL CONTRACT path end-to-end —
+            # guarded PG SQL with backslash literals through run_pg_sql
+            # (escapedStringLiterals parse + fix_unlexable_literals
+            # re-emission + PG regex translation), per-row regex work
+            "q46_literal_shape": lambda d: _q46_shape(d),
         }
         emb_ops = {
             "s01_cosine_topk": lambda d: noop(
