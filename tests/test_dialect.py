@@ -933,16 +933,14 @@ class TestJsonContainment:
 
         with pytest.raises(ValueError, match="string-literal JSON needle"):
             translate_json_contains("SELECT a @> b FROM t")
-        with pytest.raises(ValueError, match="flat JSON"):
+        with pytest.raises(ValueError, match="JSON OBJECT"):
             translate_json_contains("SELECT a @> '5' FROM t")
-        with pytest.raises(ValueError, match="scalar"):
+        # nested object/array needles TRANSLATE since round 8
+        # (TestNestedJsonbContainment) — only depth > 4 rejects
+        with pytest.raises(ValueError, match="container levels"):
             translate_json_contains(
-                "SELECT a @> '{\"k\": {\"n\": 1}}' FROM t"
+                "SELECT a @> '{\"k\": {\"n\": {\"m\": {\"o\": [1]}}}}' FROM t"
             )
-        with pytest.raises(ValueError, match="scalars"):
-            translate_json_contains("SELECT a @> '[[1]]' FROM t")
-        with pytest.raises(ValueError, match="scalars"):
-            translate_json_contains('SELECT a @> \'[{"k": 1}]\' FROM t')
         with pytest.raises(ValueError, match="not valid JSON"):
             translate_json_contains("SELECT a @> '{oops' FROM t")
 
