@@ -41,6 +41,7 @@ from gfw_data_api_spark.catalog.geostore import Geostore
 from gfw_data_api_spark.catalog.metadata import MetadataStore
 from gfw_data_api_spark.catalog.registry import Registry, RegistryError
 from gfw_data_api_spark.operators import downloads, features
+from gfw_data_api_spark.operators.downloads import _guard_collect
 from gfw_data_api_spark.operators.jobs import JobRegistry
 from gfw_data_api_spark.operators.analysis import zonal_statistics
 from gfw_data_api_spark.operators.query import execute_on_dataframe
@@ -559,9 +560,10 @@ def create_app(
                         df = df.filter(col == _norm(value))
                     else:
                         df = df.filter(F.col(field_name) == value)
-                rows = df.select(
-                    "gid_0", "gid_1", "gid_2", *name_fields
-                ).collect()
+                rows = _guard_collect(
+                    df.select("gid_0", "gid_1", "gid_2", *name_fields),
+                    "admin boundary search", "the downloads path",
+                )
 
                 def _level_id(level: int, gid: str | None):
                     if gid is None:
@@ -726,7 +728,12 @@ def create_app(
                 )
                 if parts[2] == "list":
                     df = admin_boundary_list(spark, registry, adm_dataset, adm_ver)
-                    data = [r.asDict() for r in df.collect()]
+                    data = [
+                        r.asDict()
+                        for r in _guard_collect(
+                            df, "admin boundary list", "the downloads path"
+                        )
+                    ]
                     return _json_response(
                         start_response, {"data": data, "status": "success"}
                     )
@@ -783,7 +790,9 @@ def create_app(
                 )
                 data = [
                     {k: _row_value(v) for k, v in row.asDict().items()}
-                    for row in df.collect()
+                    for row in _guard_collect(
+                        df, "zonal analysis response", "downloads/csv"
+                    )
                 ]
                 return _json_response(
                     start_response, {"data": data, "status": "success"}
@@ -808,7 +817,10 @@ def create_app(
                     end_date=(params.get("end_date") or [None])[0],
                 )
                 data = [
-                    {k: _row_value(v) for k, v in row.asDict().items()} for row in df.collect()
+                    {k: _row_value(v) for k, v in row.asDict().items()}
+                    for row in _guard_collect(
+                        df, "zonal analysis response", "downloads/csv"
+                    )
                 ]
                 return _json_response(start_response, {"data": data, "status": "success"})
 
@@ -1647,7 +1659,9 @@ def create_app(
                             spark, registry, dataset, version, q, geoms
                         )
                         per_feature: dict[int, list] = {}
-                        for row in result_df.collect():
+                        for row in _guard_collect(
+                            result_df, "batch query result", "downloads"
+                        ):
                             item = {
                                 k: _row_value(v) for k, v in row.asDict().items()
                             }
@@ -1711,7 +1725,9 @@ def create_app(
                     )
                     data = [
                         {k: _row_value(v) for k, v in row.asDict().items()}
-                        for row in df.collect()
+                        for row in _guard_collect(
+                            df, "features by location", "the downloads path"
+                        )
                     ]
                     return _json_response(start_response, {"data": data, "status": "success"})
 
@@ -1759,7 +1775,9 @@ def create_app(
                     if fmt == "json":
                         data = [
                             {k: _row_value(v) for k, v in row.asDict().items()}
-                            for row in df.collect()
+                            for row in _guard_collect(
+                                df, "download json", "downloads/csv to file"
+                            )
                         ]
                         return _json_response(
                             start_response, {"data": data, "status": "success"}
@@ -1873,11 +1891,11 @@ def create_app(
                     grid_obj = _Grid.parse(
                         match.creation_options["grid"]
                     )
-                    pix = (
+                    pix = _guard_collect(
                         spark.read.parquet(match.asset_uri)
                         .filter(F.col("tile_id") == tile_id)
-                        .select("pixel_id", "value")
-                        .collect()
+                        .select("pixel_id", "value"),
+                        "tile pixel fetch", "the COG export path",
                     )
                     if not pix:
                         return _json_response(
@@ -1938,7 +1956,9 @@ def create_app(
                     if fmt == "json":
                         data = [
                             {k: _row_value(v) for k, v in row.asDict().items()}
-                            for row in df.collect()
+                            for row in _guard_collect(
+                                df, "download json", "downloads/csv to file"
+                            )
                         ]
                         return _json_response(
                             start_response, {"data": data, "status": "success"}

@@ -3300,69 +3300,66 @@ _SPECS.append(
 # design — xxhash64/approx families) go last so no capped slot is spent on
 # a weaker rows-only row.
 _DRIVER_FRONT: list[str] = [
-    # round-7 rotation policy (VERDICT r6 #1): after round 6 every
-    # registry row has at least one green driver check; what remains is
-    # ordinary staleness. This front = the 34 rows last driver-checked
-    # in round 3 (three rounds stale — the oldest anywhere), then the
-    # riskiest round-4-checked rows. New round-7 gates displace
-    # r4-stale rows from the END of this list (the displaced rows head
-    # round 8's rotation). All 50 slots are full-oracle this round —
-    # the three rows-only entries (d11/s05/s07) got their first driver
-    # rows in r6 and return to the tail.
-    # --- r3-checked backfills (3 rounds stale), registry order ---
-    "q01_scan_projection",
-    "q02_filter_predicates",
-    "q03_agg_global",
-    "q04_pricing_summary",
-    "q05_having",
-    "q06_distinct",
-    "q07_order_limit_offset",
-    "q18_percentiles",
-    "q19_cube_grouping",
-    "q20_salted_skew_agg",
-    "q21_grouping_sets",
-    "q22_topk_per_group",
-    "q23_pivot_conditional_agg",
-    "q24_skew_hybrid_join",
-    "q25_blocked_fuzzy_match",
-    "t06_tfidf_top_terms",
-    "t07_repetition_signals",
-    "t08_hash_split",
-    "t09_stratified_sample",
-    "t10_bigram_lm",
-    "b01_bpe_pair_stats",
-    "c01_token_chunks",
-    "c02_pii_redaction",
-    "ca01_continuous_aggregate",
-    "d08_benchmark_decontamination",
-    "d10_repeated_segment_removal",
-    "dq01_constraint_audit",
-    "e04_merge_upsert",
-    "e05_scd2_intervals",
-    "r03_zonal_avg_min_max",
-    "s06_int8_quantization",
-    "u01_url_canonicalization",
-    "w01_importance_weights",
-    "w02_temperature_mixture",
-    # --- r4-checked rows, risk order (displaced by new r7 gates;
-    # displaced rows head the round-8 rotation) ---
-    "d09_dedup_clusters",
-    "m04_perceptual_neardups",
-    "m06_video_remux_dedup",
-    "p01_curate_corpus",
-    "p02_curate_round3",
-    "t17_kneser_ney_lm",
-    "d04_minhash_lsh_neardups",
-    # --- new round-7 gates (displace r4-stale rows from the end) ---
-    "q45_json_array_containment",
-    "q46_backslash_literals",
-    "t26_lr_quality_envelope",
-    "m12_mpeg_matrix_inventory",
-    "q47_datepart_negidx_jsonb_merge",
-    "e20_byte_budget_shards",
-    "q48_dialect_fourth_wave",
-    "q49_dialect_fifth_wave",
-    "q50_composed_dialect",
+    # round-8 rotation (VERDICT r7 #2): the driver snapshot records the
+    # first 50 queries() entries. This front = ALL 43 rows last
+    # driver-checked in round 4 (the oldest staleness anywhere after
+    # the r7 rotation cleared the r3 backlog), then the seven rows that
+    # are new or newly-full-oracle this round (q51 typed semantics,
+    # q52 set-returning, q53 nested containment, m13 free-format MP3,
+    # and the three rows-only conversions d11/s05/s07). Every slot is
+    # full-oracle — zero rows-only entries remain anywhere.
+    # --- r4-checked rows, registry order ---
+    "a01_approx_count_distinct",
+    "a02_approx_percentile",
+    "a03_heavy_hitters",
+    "c03_text_normalization",
+    "d01_exact_dedup",
+    "d02_prefix_fingerprint",
+    "d03_ngram_jaccard_pairs",
+    "d05_simhash_neardups",
+    "d07_embedding_neardups",
+    "d12_ppjoin_pairs",
+    "e01_csv_inference_roundtrip",
+    "e03_append_antijoin",
+    "e10_groupwise_dedup",
+    "i01_group_join_agg",
+    "i02_three_way_join",
+    "i05_normalized_lookup",
+    "i06_pagination",
+    "i08_multiway_join_revenue",
+    "m02_audio_wav_features",
+    "m03_video_frame_sampling",
+    "m05_audio_neardups",
+    "p03_curate_round4",
+    "p04_curate_normalized",
+    "q08_window",
+    "q09_date_functions",
+    "q10_string_functions",
+    "q26_point_radius_haversine",
+    "r01_zonal_sum_groupby",
+    "r04_threshold_filter",
+    "r06_isoweek",
+    "r08_derived_layer_calc",
+    "s01_cosine_topk",
+    "s03_ann_lsh_topk",
+    "s08_ivf_recall_gate",
+    "st08_media_stream_dedup",
+    "t01_token_count",
+    "t02_quality_signals",
+    "t03_lang_profile",
+    "t04_language_id_confusion",
+    "t15_bm25_search",
+    "t16_epoch_shuffle",
+    "t18_corpus_report",
+    "t19_vocabulary_stats",
+    # --- round-8 new gates + rows-only conversions ---
+    "q51_typed_semantics",
+    "q52_set_returning",
+    "q53_nested_containment",
+    "m13_free_format_mp3",
+    "d11_semantic_dedup",
+    "s05_ivf_topk",
+    "s07_pq_topk",
 ]
 
 
@@ -8490,7 +8487,32 @@ def _q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"jsonb_array_elements_text({planted}) AS val "
         "FROM data WHERE event_id % 30 = 0",
     )
-    return r1.union(r2).union(r3).union(r4)
+    # round-8 widenings: PG ≥10 LOCKSTEP for multiple unnests (rows =
+    # longest, shorter null-padded — arrays_zip + inline), and DYNAMIC
+    # generate_series steps (sign checked at runtime)
+    r5 = execute_on_dataframe(
+        spark,
+        ev,
+        "SELECT 'lockstep' AS arm, event_id, "
+        "unnest(string_to_array(event_type || '-x' "
+        "|| CAST(event_id % 3 AS VARCHAR), '-')) AS a1, "
+        "unnest(string_to_array(CAST(event_id % 5 AS VARCHAR), '-')) AS a2 "
+        "FROM data WHERE event_id % 40 = 0",
+    ).select(
+        "arm",
+        "event_id",
+        F.concat_ws(
+            "/", F.coalesce("a1", F.lit("~")), F.coalesce("a2", F.lit("~"))
+        ).alias("val"),
+    )
+    r6 = execute_on_dataframe(
+        spark,
+        ev,
+        "SELECT 'dynstep' AS arm, event_id, "
+        "generate_series(1, 6, CAST(event_id % 3 AS INT) + 1) AS val "
+        "FROM data WHERE event_id % 45 = 0",
+    ).withColumn("val", F.col("val").cast("string"))
+    return r1.union(r2).union(r3).union(r4).union(r5).union(r6)
 
 
 _SPECS.append(
@@ -8518,7 +8540,23 @@ _SPECS.append(
             "event_id, CAST(event_id % 5 AS VARCHAR) AS e0, "
             "event_type AS e1, CAST(NULL AS VARCHAR) AS e2 "
             "FROM events WHERE event_id % 30 = 0), "
-            "unnest([e0, e1, e2]) AS u(v)"
+            "unnest([e0, e1, e2]) AS u(v) "
+            "UNION ALL "
+            # lockstep replay from the planting rule: row 0 pairs the
+            # event type with the single-element second array; row 1
+            # pairs 'xN' with the null pad
+            "SELECT 'lockstep' AS arm, event_id, "
+            "event_type || '/' || CAST(event_id % 5 AS VARCHAR) AS val "
+            "FROM events WHERE event_id % 40 = 0 "
+            "UNION ALL "
+            "SELECT 'lockstep' AS arm, event_id, "
+            "'x' || CAST(event_id % 3 AS VARCHAR) || '/~' AS val "
+            "FROM events WHERE event_id % 40 = 0 "
+            "UNION ALL "
+            "SELECT 'dynstep' AS arm, event_id, CAST(g AS VARCHAR) AS val "
+            "FROM (SELECT event_id, "
+            "unnest(generate_series(1, 6, event_id % 3 + 1)) AS g "
+            "FROM events WHERE event_id % 45 = 0)"
         ),
         survey_ref="Q11 set-returning functions: unnest → explode, "
         "generate_series → guarded sequence (empty on wrong-sign "
@@ -8819,6 +8857,108 @@ _SPECS.append(
         "MPEG-1 Layer III header walk, ID3v1/v2 + Xing/VBRI handling, "
         "exact byte/duration accounting; PCM decode stays the documented "
         "ISO-11172-3 Huffman-table seam)",
+    )
+)
+
+
+def _m13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 free-format MP3 inside the hard gate (VERDICT r7 #9
+    stretch — llmops/mp3.py): per selected doc, a planted FREE-FORMAT
+    stream (bitrate index 0 — the header signals no length; the walker
+    derives the constant frame size from the first next-sync scan,
+    the standard decoder recipe). Profiles cover Layer III (MPEG-1/2/
+    2.5) and Layer I's 4-byte padding slots; per-doc base length,
+    frame count, padding pattern, and ID3 tags all derive from doc_id
+    arithmetic, so the oracle recomputes every output — including the
+    padding-slot byte accounting — in DuckDB from the planting rule."""
+    from gfw_data_api_spark.llmops.mp3 import build_mp3, mp3_stream_info
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 4)
+        .select("doc_id")
+    )
+    profiles = [
+        ("1", 3, 44100),
+        ("1", 1, 32000),
+        ("2", 3, 16000),
+        ("2.5", 3, 11025),
+    ]
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                version, layer, rate = profiles[d % 4]
+                n = 3 + d % 4
+                base = 150 + (d % 7) * 30
+                pads = [(d + j) % 2 for j in range(n)]
+                rows["doc_id"].append(d)
+                rows["payload"].append(
+                    bytearray(
+                        build_mp3(
+                            [0] * n,
+                            sample_rate=rate,
+                            version=version,
+                            layer=layer,
+                            mono=True,
+                            pad_mask=pads,
+                            free_frame_len=base,
+                            id3v2_bytes=25 if d % 2 else 0,
+                            id3v1=d % 3 == 0,
+                            fill_seed=d,
+                        )
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    info = mp3_stream_info(payloads)
+    return info.select(
+        "doc_id",
+        "mpeg_version",
+        "layer",
+        "n_frames",
+        "free_frame_bytes",
+        "audio_bytes",
+        "duration_us",
+        (F.col("sum_kbps") == 0).alias("sum_kbps_zero"),
+        (~F.col("is_vbr")).alias("constant_rate"),
+    )
+
+
+_SPECS.append(
+    QuerySpec(
+        name="m13_free_format_mp3",
+        spark_fn=_m13,
+        oracle=(
+            "WITH sel AS (SELECT doc_id, 3 + doc_id % 4 AS n, "
+            "doc_id % 4 AS p, 150 + (doc_id % 7) * 30 AS base "
+            "FROM documents WHERE doc_id % 9 = 4) "
+            "SELECT doc_id, "
+            "CASE p WHEN 0 THEN '1' WHEN 1 THEN '1' WHEN 2 THEN '2' "
+            "ELSE '2.5' END AS mpeg_version, "
+            "CAST(CASE p WHEN 1 THEN 1 ELSE 3 END AS BIGINT) AS layer, "
+            "CAST(n AS BIGINT) AS n_frames, "
+            "CAST(base AS BIGINT) AS free_frame_bytes, "
+            # padding slots: (d+j)%2 over j<n sets floor(n/2) + odd-n
+            # correction when d is odd; Layer I slots are 4 bytes
+            "CAST(n * base + (CASE p WHEN 1 THEN 4 ELSE 1 END) * "
+            "(n // 2 + (n % 2) * (doc_id % 2)) AS BIGINT) AS audio_bytes, "
+            "CAST(n * (CASE p WHEN 0 THEN 1152 WHEN 1 THEN 384 "
+            "ELSE 576 END) * 1000000 // (CASE p WHEN 0 THEN 44100 "
+            "WHEN 1 THEN 32000 WHEN 2 THEN 16000 ELSE 11025 END) "
+            "AS BIGINT) AS duration_us, "
+            "TRUE AS sum_kbps_zero, TRUE AS constant_rate "
+            "FROM sel"
+        ),
+        survey_ref="multimodal audio: free-format MP3 frame walking "
+        "(llmops/mp3.py _free_format_base_length — next-sync length "
+        "derivation, padding-slot accounting; closes the last common "
+        "loud-reject in wild audio)",
     )
 )
 

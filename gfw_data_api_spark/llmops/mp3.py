@@ -111,11 +111,18 @@ def _id3v2_size(data: bytes) -> int:
     return 10 + size + (10 if flags & 0x10 else 0)
 
 
-def parse_frame_header(data: bytes, pos: int) -> dict:
+def parse_frame_header(data: bytes, pos: int, free_length: int | None = None) -> dict:
     """Parse one 32-bit MPEG audio frame header at ``pos`` — any of
-    MPEG-1/2/2.5 × Layers I/II/III. Raises on the reserved codes and
-    free-format bitrate — silently skipping bytes is how corrupt
-    corpora hide."""
+    MPEG-1/2/2.5 × Layers I/II/III. Raises on the reserved codes.
+
+    Free-format bitrate (index 0): the header carries no length, so a
+    bare header parse raises — but :func:`parse_mp3` derives the
+    stream's constant frame length from the first next-sync scan
+    (round-8, VERDICT r7 #9) and passes it as ``free_length`` (the
+    PADDING-EXCLUDED base length); the frame then reports
+    ``bitrate_kbps`` 0 and ``length = free_length + padding·slot``
+    (slot = 4 bytes for Layer I, 1 otherwise, like the tabled
+    formula)."""
     if pos + 4 > len(data):
         raise ValueError("truncated MP3: header runs past end of payload")
     b0, b1, b2, b3 = data[pos : pos + 4]
@@ -132,8 +139,16 @@ def parse_frame_header(data: bytes, pos: int) -> dict:
     group = "1" if version == "1" else "2"
     crc = (b1 & 0x1) == 0  # protection bit 0 → 16-bit CRC follows header
     bitrate_idx = (b2 >> 4) & 0xF
-    if bitrate_idx == 0:
-        raise NotImplementedError("free-format bitrate outside subset")
+    if bitrate_idx == 0 and free_length is None:
+        raise NotImplementedError(
+            "free-format bitrate needs the stream-derived frame length "
+            "(parse_mp3 provides it)"
+        )
+    if bitrate_idx != 0 and free_length is not None:
+        raise ValueError(
+            f"tabled bitrate inside a free-format stream at byte {pos} "
+            "(free format must be constant — corrupt MP3)"
+        )
     if bitrate_idx == 0xF:
         raise ValueError(f"invalid MP3 bitrate index 15 at byte {pos}")
     rate_idx = (b2 >> 2) & 0x3
@@ -141,7 +156,7 @@ def parse_frame_header(data: bytes, pos: int) -> dict:
         raise ValueError(f"reserved MP3 sample-rate index at byte {pos}")
     padding = (b2 >> 1) & 0x1
     mode = (b3 >> 6) & 0x3
-    kbps = _BITRATES[(group, layer)][bitrate_idx]
+    kbps = 0 if bitrate_idx == 0 else _BITRATES[(group, layer)][bitrate_idx]
     rate = _SAMPLE_RATES_V[version][rate_idx]
     if layer == 3:
         # Layer III side info (after the optional CRC) — where the
@@ -152,6 +167,10 @@ def parse_frame_header(data: bytes, pos: int) -> dict:
         )
     else:
         side = 0  # Layers I/II carry no Layer-III side info
+    if bitrate_idx == 0:
+        length = free_length + padding * (4 if layer == 1 else 1)
+    else:
+        length = frame_length(kbps, rate, padding, version, layer)
     return {
         "version": version,
         "layer": layer,
@@ -160,7 +179,7 @@ def parse_frame_header(data: bytes, pos: int) -> dict:
         "sample_rate": rate,
         "padding": padding,
         "channel_mode": _CHANNEL_MODES[mode],
-        "length": frame_length(kbps, rate, padding, version, layer),
+        "length": length,
         "samples": samples_per_frame(version, layer),
         "side_info": side,
     }
@@ -211,8 +230,21 @@ def parse_mp3(data: bytes) -> dict:
     first = None
     vbr = False
     xing = None
+    # free-format stream (bitrate index 0 in the first header): the
+    # spec signals NO length — decoders derive the constant frame size
+    # by scanning for the next sync whose header matches the first
+    # (round-8). Padding still adds one slot per flagged frame, so the
+    # scan result minus frame-0's padding slot is the base length.
+    free_base: int | None = None
+    if (
+        end - start >= 4
+        and data[start] == 0xFF
+        and (data[start + 1] & 0xE0) == 0xE0
+        and (data[start + 2] >> 4) & 0xF == 0
+    ):
+        free_base = _free_format_base_length(data, start, end)
     while pos < end:
-        hdr = parse_frame_header(data, pos)
+        hdr = parse_frame_header(data, pos, free_length=free_base)
         if pos + hdr["length"] > end:
             raise ValueError(
                 f"truncated MP3: frame {n} declares {hdr['length']} bytes "
@@ -248,7 +280,42 @@ def parse_mp3(data: bytes) -> dict:
         "sum_kbps": sum_kbps,
         "audio_bytes": pos - start,
         "xing_frames": xing,
+        "free_frame_bytes": free_base,
     }
+
+
+def _free_format_base_length(data: bytes, start: int, end: int) -> int:
+    """Constant frame length of a free-format stream: distance from
+    the first header to the NEXT sync whose header fields match it
+    (the standard decoder recipe — ISO 11172-3 leaves the length
+    unsignaled), minus frame 0's padding slot. Raises when no second
+    matching sync exists inside the spec's ceiling — one ambiguous
+    frame must not pass as parsed audio."""
+    b1, b2, b3 = data[start + 1], data[start + 2], data[start + 3]
+    pad0 = (b2 >> 1) & 0x1
+    layer = _LAYERS[(b1 >> 1) & 0x3]
+    slot = 4 if layer == 1 else 1
+    # spec ceiling: free-format bitrate may legally reach 448 kbps —
+    # bound the scan at the longest legal frame plus one padding slot
+    vbits = (b1 >> 3) & 0x3
+    version = _VERSIONS[vbits]
+    rate = _SAMPLE_RATES_V[version][(b2 >> 2) & 0x3]
+    limit = min(end, start + frame_length(448, rate, 1, version, layer) + slot)
+    j = start + 4
+    while j + 4 <= limit:
+        if (
+            data[j] == 0xFF
+            and (data[j + 1] & 0xE0) == 0xE0
+            and data[j + 1] == b1  # version/layer/protection match
+            and (data[j + 2] & 0xFC) == (b2 & 0xFC)  # bitrate=0 + rate match
+            and (data[j + 3] & 0xC0) == (b3 & 0xC0)  # channel mode match
+        ):
+            return j - start - pad0 * slot
+        j += 1
+    raise ValueError(
+        "free-format MP3: no second matching sync within the legal "
+        "frame-length ceiling (single-frame or corrupt stream)"
+    )
 
 
 def decode_mp3(data: bytes):  # pragma: no cover - documented seam
@@ -281,6 +348,7 @@ def build_mp3(
     fill_seed: int = 0,
     version: str = "1",
     layer: int = 3,
+    free_frame_len: int | None = None,
 ) -> bytes:
     """Fixture builder: a syntactically-exact MPEG audio stream (any
     version × layer; default MPEG-1 Layer III) with the requested
@@ -303,7 +371,14 @@ def build_mp3(
     brtable = _BITRATES[(group, layer)]
     for j, kbps in enumerate(frame_kbps):
         pad = pad_mask[j] if pad_mask else 0
-        bidx = brtable.index(kbps)
+        # kbps 0 = free format (round-8): bitrate index 0 in the header,
+        # frame bytes come from free_frame_len (+ padding slot)
+        if kbps == 0:
+            if free_frame_len is None:
+                raise ValueError("free-format frames need free_frame_len")
+            bidx = 0
+        else:
+            bidx = brtable.index(kbps)
         b0 = 0xFF
         b1 = (
             0xE0
@@ -316,7 +391,10 @@ def build_mp3(
         frame = bytearray([b0, b1, b2, b3])
         if with_crc:
             frame += bytes([(fill_seed + j) % 251, (fill_seed + j + 1) % 251])
-        total = frame_length(kbps, sample_rate, pad, version, layer)
+        if kbps == 0:
+            total = free_frame_len + pad * (4 if layer == 1 else 1)
+        else:
+            total = frame_length(kbps, sample_rate, pad, version, layer)
         if layer == 3:
             side = (17 if mono else 32) if version == "1" else (9 if mono else 17)
             frame += bytes(side)  # zeroed side info (no bit reservoir)
@@ -349,6 +427,7 @@ MP3_INFO_SCHEMA = T.StructType(
         T.StructField("sum_kbps", T.LongType()),
         T.StructField("audio_bytes", T.LongType()),
         T.StructField("xing_frames", T.LongType()),
+        T.StructField("free_frame_bytes", T.LongType()),
     ]
 )
 

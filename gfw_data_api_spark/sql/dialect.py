@@ -3093,6 +3093,81 @@ _SELECT_LIST_BOUNDARY = {
 }
 
 
+def _translate_lockstep_unnest(sql, tokens, depths, calls):
+    """``SELECT unnest(a), unnest(b) …`` → one
+    ``inline(arrays_zip(a, b)) AS (n1, n2)`` generator — arrays_zip
+    null-pads to the longest array, which IS PG's lockstep rule."""
+    items = []  # (call_idx, arg_text, alias, item_end_tok)
+    for i in calls:
+        fname = tokens[i].value.lower()
+        if fname != "unnest" or depths[i] != 0:
+            raise ValueError(
+                "multiple set-returning functions translate only as "
+                "consecutive bare unnest() SELECT items (PG lockstep "
+                "via arrays_zip); mixing other SRFs is outside the subset"
+            )
+        prev = tokens[i - 1]
+        if not (
+            prev.upper in ("SELECT", "DISTINCT")
+            or (prev.kind == "PUNCT" and prev.value == ",")
+        ):
+            raise ValueError(
+                "lockstep unnest() items must be bare SELECT items"
+            )
+        close = _primary_end(tokens, i)
+        if close is None:
+            raise ValueError("unbalanced unnest() call")
+        args = _args_spans(tokens, i + 2, close - 1) if close - 1 >= i + 2 else []
+        texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        if len(texts) != 1:
+            raise ValueError(
+                "multi-argument unnest is outside the translatable subset"
+            )
+        alias = None
+        end = close
+        nxt = tokens[close + 1] if close + 1 < len(tokens) else None
+        if nxt is not None and nxt.kind == "IDENT" and nxt.upper == "AS":
+            alias_tok = tokens[close + 2]
+            alias = (
+                f'`{alias_tok.value}`' if alias_tok.kind == "QIDENT" else alias_tok.value
+            )
+            end = close + 2
+        elif nxt is not None and (
+            nxt.kind == "QIDENT"
+            or (nxt.kind == "IDENT" and nxt.upper not in _OPERAND_BOUNDARY)
+        ):
+            alias = f"`{nxt.value}`" if nxt.kind == "QIDENT" else nxt.value
+            end = close + 1
+        items.append((i, texts[0], alias or "unnest", end))
+    # consecutiveness: exactly one comma between item i's end and the
+    # next call's start
+    for k in range(len(items) - 1):
+        end = items[k][3]
+        nxt_call = items[k + 1][0]
+        if not (
+            nxt_call == end + 2
+            and tokens[end + 1].kind == "PUNCT"
+            and tokens[end + 1].value == ","
+        ):
+            raise ValueError(
+                "lockstep unnest() items must be CONSECUTIVE in the "
+                "SELECT list (PG evaluates them in lockstep; scattered "
+                "items are outside the subset)"
+            )
+    first_start = tokens[items[0][0]].start
+    last_end = tokens[items[-1][3]].end
+    gen = (
+        "inline(arrays_zip("
+        + ", ".join(t for _, t, _, _ in items)
+        + ")) AS ("
+        + ", ".join(a for _, _, a, _ in items)
+        + ")"
+    )
+    out = f"{sql[:first_start]}{gen}{sql[last_end:]}"
+    # re-run the scan: validates nothing else remains and returns
+    return translate_set_returning(out)
+
+
 def translate_set_returning(sql: str) -> str:
     """Rewrite the SRF subset above; raise ValueError outside it."""
     while True:
@@ -3120,10 +3195,11 @@ def translate_set_returning(sql: str) -> str:
         if not calls:
             return sql
         if len(calls) > 1:
-            raise ValueError(
-                "only one set-returning function per statement is in the "
-                "translatable subset (PG evaluates several in lockstep)"
-            )
+            # PG ≥10 evaluates several SRFs in LOCKSTEP (rows = longest,
+            # shorter ones null-padded) — exactly arrays_zip + inline
+            # (probed). Translatable subset: all of them unnest, as
+            # CONSECUTIVE bare SELECT items; anything else rejects.
+            return _translate_lockstep_unnest(sql, tokens, depths, calls)
         i = calls[0]
         fname = tokens[i].value.lower()
         if depths[i] != 0:
@@ -3177,27 +3253,22 @@ def translate_set_returning(sql: str) -> str:
                     f"ELSE slice(sequence(({a}), ({a})), 1, 0) END)"
                 )
             elif len(arg_texts) == 3:
+                # dynamic steps too (round-8 widening): the sign is
+                # checked AT RUNTIME — wrong-sign bounds give PG's zero
+                # rows (Spark's sequence would raise), and step 0 raises
+                # like PG (assert_true inside a lazy CASE arm)
                 a, b, step = arg_texts
-                s, e = args[2]
-                neg = False
-                if (
-                    tokens[s].kind == "OP"
-                    and tokens[s].value == "-"
-                    and e == s + 1
-                    and tokens[e].kind == "NUMBER"
-                ):
-                    neg = True
-                elif not (s == e and tokens[s].kind == "NUMBER"):
-                    raise ValueError(
-                        "generate_series step must be a literal (PG's "
-                        "wrong-sign-step → empty semantics need its sign "
-                        "at translate time)"
-                    )
-                cond = f"({a}) >= ({b})" if neg else f"({a}) <= ({b})"
+                empty = f"slice(sequence(({a}), ({a})), 1, 0)"
                 gen = (
-                    f"explode(CASE WHEN {cond} "
+                    f"explode(CASE "
+                    f"WHEN ({step}) = 0 THEN CASE WHEN assert_true("
+                    f"false, 'generate_series step must not be zero') "
+                    f"IS NULL THEN {empty} END "
+                    f"WHEN ({step}) > 0 AND ({a}) <= ({b}) "
                     f"THEN sequence(({a}), ({b}), ({step})) "
-                    f"ELSE slice(sequence(({a}), ({a})), 1, 0) END)"
+                    f"WHEN ({step}) < 0 AND ({a}) >= ({b}) "
+                    f"THEN sequence(({a}), ({b}), ({step})) "
+                    f"ELSE {empty} END)"
                 )
             else:
                 raise ValueError("generate_series takes 2 or 3 arguments")
@@ -3319,6 +3390,7 @@ def _top_level_split(tokens, lo, hi):
     caller then types the span as unknown."""
     ops = []
     depth = 0
+    case_depth = 0
     k = lo
     while k <= hi:
         t = tokens[k]
@@ -3328,6 +3400,13 @@ def _top_level_split(tokens, lo, hi):
             depth -= 1
             if depth < 0:
                 return None
+        elif depth == 0 and t.kind == "IDENT" and t.upper == "CASE":
+            # CASE…END is an opaque primary for splitting purposes
+            # (its arms are typed by _operand_type)
+            case_depth += 1
+        elif depth == 0 and case_depth > 0:
+            if t.kind == "IDENT" and t.upper == "END":
+                case_depth -= 1
         elif depth == 0:
             if t.kind == "OP" and t.value in ("+", "-", "*", "/", "%"):
                 # unary sign (start of span or right after an operator)
@@ -3350,7 +3429,7 @@ def _top_level_split(tokens, lo, hi):
             elif t.kind == "IDENT" and t.upper in _OPERAND_BOUNDARY:
                 return None
         k += 1
-    return ops if depth == 0 else None
+    return ops if depth == 0 and case_depth == 0 else None
 
 
 def _fold_types(left: str, op: str, right: str) -> str:
@@ -3487,6 +3566,56 @@ def _operand_type(tokens, lo, hi, coltypes) -> str:
         and tokens[hi].value == ")"
     ):
         return _span_type(tokens, lo + 1, hi - 1, coltypes)
+    # CASE…END: fold the THEN/ELSE arm types (PG types the CASE from
+    # its result arms; a bare NULL arm is typeless and skipped)
+    if (
+        first.kind == "IDENT"
+        and first.upper == "CASE"
+        and tokens[hi].kind == "IDENT"
+        and tokens[hi].upper == "END"
+    ):
+        arms = []
+        pd = cd = 0
+        arm_start = None
+        k = lo + 1
+        while k <= hi:
+            t = tokens[k]
+            if t.kind == "PUNCT" and t.value == "(":
+                pd += 1
+            elif t.kind == "PUNCT" and t.value == ")":
+                pd -= 1
+            elif pd == 0 and t.kind == "IDENT":
+                if t.upper == "CASE":
+                    cd += 1
+                elif cd > 0:
+                    if t.upper == "END":
+                        cd -= 1
+                elif t.upper in ("THEN", "ELSE", "WHEN", "END"):
+                    if arm_start is not None:
+                        arms.append((arm_start, k - 1))
+                        arm_start = None
+                    if t.upper in ("THEN", "ELSE"):
+                        arm_start = k + 1
+            k += 1
+        acc = None
+        for s, e in arms:
+            if s > e:
+                return "unknown"
+            if s == e and tokens[s].kind == "IDENT" and tokens[s].upper == "NULL":
+                continue
+            t = _span_type(tokens, s, e, coltypes)
+            if acc is None:
+                acc = t
+            elif t != acc:
+                if acc in _INTEGRAL_CATS and t in _INTEGRAL_CATS:
+                    acc = _INTEGRAL_CATS[
+                        max(_INTEGRAL_CATS.index(acc), _INTEGRAL_CATS.index(t))
+                    ]
+                else:
+                    return "unknown"
+            if acc == "unknown":
+                return "unknown"
+        return acc or "unknown"
     # function call
     if (
         first.kind == "IDENT"

@@ -1656,12 +1656,13 @@ class TestSetReturningFunctions:
     def test_rejections(self):
         import pytest as _pt
 
+        # NB: multiple consecutive unnests (lockstep) and dynamic
+        # generate_series steps TRANSLATE since the round-8 widenings —
+        # see TestSrfRound8Widenings
         for bad in (
-            "SELECT unnest(a), unnest(b) FROM t",
             "SELECT 1 + unnest(a) FROM t",
             "SELECT a FROM t WHERE unnest(b) = 1",
             "SELECT abs(unnest(a)) FROM t",
-            "SELECT generate_series(1, n, k) FROM t",
             "SELECT (SELECT unnest(a) FROM t) FROM t",
             "SELECT unnest(a) FROM t GROUP BY unnest(a)",
         ):
@@ -1828,3 +1829,117 @@ class TestNestedJsonbContainment:
             if bool(row[f"r{i}"]) != bool(want):
                 mism.append(f"{h} @> {n}: spark={row[f'r{i}']} duck={want}")
         assert not mism, "\n".join(mism[:10])
+
+
+class TestTypedOpsCaseInference:
+    """Round-8 follow-on: CASE…END types from its THEN/ELSE arms, so
+    the conditional-ratio idiom sum(CASE WHEN … THEN 1 ELSE 0 END) /
+    count(*) gets PG's truncating division."""
+
+    CT = {"a": "int", "b": "bigint", "x": "double", "bl": "bool",
+          "d1": "date", "d2": "date"}
+
+    def t(self, sql):
+        from gfw_data_api_spark.sql.dialect import translate_typed_ops
+
+        return translate_typed_ops(sql, self.CT)
+
+    def test_conditional_ratio_rewrites(self):
+        out = self.t(
+            "SELECT sum(CASE WHEN bl THEN 1 ELSE 0 END) / count(*) FROM t"
+        )
+        assert "div" in out
+
+    def test_case_arm_folding(self):
+        assert "div" in self.t("SELECT CASE WHEN bl THEN a ELSE b END / 2 FROM t")
+        assert "div" in self.t("SELECT CASE WHEN bl THEN 1 END / 2 FROM t")
+        assert "div" in self.t(
+            "SELECT CASE WHEN bl THEN a ELSE NULL END / 2 FROM t"
+        )
+        assert "div" in self.t("SELECT CASE a WHEN 1 THEN 2 ELSE 3 END / 2 FROM t")
+        # nested CASE arms fold too
+        assert "div" in self.t(
+            "SELECT CASE WHEN bl THEN CASE WHEN a > 1 THEN 1 ELSE 2 END "
+            "ELSE 3 END / 2 FROM t"
+        )
+
+    def test_mixed_arms_stay_untouched(self):
+        sql = "SELECT CASE WHEN bl THEN a ELSE x END / 2 FROM t"
+        assert self.t(sql) == sql
+
+    def test_date_case_minus(self):
+        out = self.t("SELECT CASE WHEN bl THEN d1 ELSE d2 END - d2 FROM t")
+        assert out == "SELECT datediff(CASE WHEN bl THEN d1 ELSE d2 END, d2) FROM t"
+
+    def test_conditional_ratio_value(self, spark):
+        from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+        df = spark.sql(
+            "SELECT explode(sequence(1, 10)) AS k"
+        ).selectExpr("k", "k % 3 = 0 AS hit")
+        row = execute_on_dataframe(
+            spark,
+            df,
+            "SELECT sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*) AS frac "
+            "FROM t",
+        ).collect()[0]
+        # PG: 3/10 with int8 division = 0 (truncating), not 0.3
+        assert row.frac == 0
+
+
+class TestSrfRound8Widenings:
+    """Lockstep multi-unnest (PG ≥10: rows = longest, null-padded —
+    arrays_zip + inline) and dynamic generate_series steps (runtime
+    sign guard; step 0 raises like PG)."""
+
+    def test_lockstep_translation(self):
+        out = to_spark_sql(
+            "SELECT unnest(ARRAY[1,2,3]) AS u, unnest(ARRAY['a','b']) AS v FROM t"
+        )
+        assert "inline(arrays_zip(" in out and "AS (u, v)" in out
+
+    def test_lockstep_values_null_pad(self, spark):
+        rows = run_pg_sql(
+            spark,
+            "SELECT unnest(ARRAY[1,2,3]) AS u, unnest(ARRAY['a','b']) AS v",
+        ).collect()
+        assert [(r.u, r.v) for r in rows] == [(1, "a"), (2, "b"), (3, None)]
+
+    def test_lockstep_rejections(self):
+        import pytest as _pt
+
+        for bad in (
+            "SELECT unnest(a), x, unnest(b) FROM t",      # scattered
+            "SELECT unnest(a), generate_series(1, 3) FROM t",  # mixed
+            "SELECT unnest(a, b), unnest(c) FROM t",      # multi-arg
+        ):
+            with _pt.raises(ValueError):
+                to_spark_sql(bad)
+
+    def test_dynamic_step_values(self, spark):
+        spark.sql("SELECT explode(sequence(1, 6)) AS n").createOrReplaceTempView(
+            "gfw_dynstep_t"
+        )
+        rows = run_pg_sql(
+            spark, "SELECT n, generate_series(1, n, n) AS g FROM gfw_dynstep_t"
+        ).collect()
+        assert sorted((r.n, r.g) for r in rows) == [
+            (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1)
+        ]
+        # wrong-sign dynamic → PG's zero rows (Spark sequence would raise)
+        assert (
+            run_pg_sql(
+                spark, "SELECT generate_series(5, 1, n) AS g FROM gfw_dynstep_t"
+            ).count()
+            == 0
+        )
+
+    def test_zero_step_raises_at_runtime(self, spark):
+        import pytest as _pt
+
+        spark.sql("SELECT 1 AS n").createOrReplaceTempView("gfw_zstep_t")
+        with _pt.raises(Exception, match="step must not be zero"):
+            run_pg_sql(
+                spark,
+                "SELECT generate_series(1, 3, n - n) AS g FROM gfw_zstep_t",
+            ).collect()

@@ -746,6 +746,15 @@ class TypedGen:
             # decimal cast shares PG's rounding)
             form = self.r.choice(["dc::bigint", "CAST(dc AS BIGINT)"])
             return form, "CAST(dc AS BIGINT)"
+        if arm == 9 and self.r.random() < 0.6:
+            # CASE arm folding: conditional int selection / divisor
+            a1, a2 = self.int_operand(), self.int_operand()
+            d = self.divisor()
+            case = f"CASE WHEN bl THEN {a1} ELSE {a2} END"
+            return (
+                f"{case} / {d}",
+                f"(({case}) - (({case}) % ({d}))) // ({d})",
+            )
         # negative control: mixed-type division keeps float math
         # (dc excluded: decimal-division RESULT SCALE is engine-specific
         # — Spark fixes 6 fraction digits, PG/DuckDB don't — a display

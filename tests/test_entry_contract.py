@@ -17,18 +17,13 @@ def test_queries_and_oracles_aligned(spark):
     assert len(queries) >= 40
     # every oracle key must have a query
     assert set(oracles) <= set(queries)
-    # rows-only entries are the deliberate, documented ones
-    rows_only = set(queries) - set(oracles)
     # d04/d05 (portable md5 hash families), t04 (integer-reduced
     # argmax), s03/d07 (inlined hyperplane literals) left this set in
-    # round 3; a01/a02 left in round 4 (sketch gated by an error-bound
-    # boolean the oracle checks as TRUE). What remains is driver-trained
-    # model state that no SQL engine can reproduce.
-    assert rows_only == {
-        "d11_semantic_dedup",          # driver-trained k-means cells
-        "s05_ivf_topk",                # driver-trained k-means centroids
-        "s07_pq_topk",                 # driver-trained PQ codebooks
-    }
+    # round 3; a01/a02 left in round 4 (error-bound booleans); the
+    # final three — d11 (planted exact clones), s05 (full-probe ≡
+    # brute force), s07 (snapped-corpus ADC envelope) — left in round
+    # 8 (VERDICT r7 #3). EVERY entry now carries a full DuckDB oracle.
+    assert set(queries) == set(oracles)
 
 
 def test_driver_snapshot_slots_are_full_oracle():

@@ -86,10 +86,17 @@ def test_out_of_subset_profiles_reject_loudly():
     reserved_l[1] = reserved_l[1] & ~0x06  # layer bits 00
     with pytest.raises(ValueError, match="reserved MPEG layer"):
         parse_mp3(bytes(reserved_l))
+    # free format TRANSLATES since round 8 — but a single-frame free
+    # stream has no second sync to derive the length from, and a bare
+    # header parse without stream context still refuses
     free = bytearray(hdr)
     free[2] = free[2] & 0x0F  # bitrate index 0 = free format
-    with pytest.raises(NotImplementedError, match="free-format"):
+    with pytest.raises(ValueError, match="no second matching sync"):
         parse_mp3(bytes(free))
+    from gfw_data_api_spark.llmops.mp3 import parse_frame_header
+
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_frame_header(bytes(free), 0)
 
 
 def test_full_version_layer_matrix_round_trips():
@@ -159,3 +166,48 @@ def test_mp3_stream_info_plumbing(spark):
     assert got[2].n_frames == 2 and got[2].is_vbr is True
     assert got[2].channel_mode == "mono" and got[2].xing_frames == 2
     assert got[2].duration_us == 2 * 1152 * 1_000_000 // 32000
+
+
+class TestFreeFormat:
+    """Round-8 free-format bitrate (VERDICT r7 #9): the header signals
+    no length, so the walker derives the constant frame size from the
+    first next-sync scan — the standard decoder recipe."""
+
+    def test_round_trip_with_padding(self):
+        pads = [0, 1, 0, 0, 1, 1, 0]
+        blob = build_mp3(
+            [0] * 7, pad_mask=pads, free_frame_len=300,
+            id3v2_bytes=40, id3v1=True,
+        )
+        info = parse_mp3(blob)
+        assert info["free_frame_bytes"] == 300
+        assert info["n_frames"] == 7
+        assert info["audio_bytes"] == 300 * 7 + sum(pads)
+        assert info["sum_kbps"] == 0 and info["is_vbr"] is False
+
+    def test_layer1_four_byte_slots(self):
+        blob = build_mp3(
+            [0] * 5, pad_mask=[1, 0, 1, 0, 0], free_frame_len=480,
+            layer=1, sample_rate=32000,
+        )
+        info = parse_mp3(blob)
+        assert info["free_frame_bytes"] == 480
+        assert info["audio_bytes"] == 480 * 5 + 2 * 4
+
+    def test_mpeg2_mono_crc(self):
+        blob = build_mp3(
+            [0] * 4, free_frame_len=120, version="2",
+            sample_rate=22050, mono=True, with_crc=True,
+        )
+        info = parse_mp3(blob)
+        assert info["free_frame_bytes"] == 120
+        assert info["channel_mode"] == "mono"
+        assert info["total_samples"] == 4 * 576
+
+    def test_tabled_stream_reports_none(self):
+        assert parse_mp3(build_mp3([128, 128]))["free_frame_bytes"] is None
+
+    def test_mixed_free_and_tabled_rejects(self):
+        blob = build_mp3([0] * 2, free_frame_len=200) + build_mp3([128])
+        with pytest.raises(ValueError, match="tabled bitrate inside"):
+            parse_mp3(blob)
