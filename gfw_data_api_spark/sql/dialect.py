@@ -3468,6 +3468,24 @@ def _span_type(tokens, lo, hi, coltypes) -> str:
         lo += 1
     if lo > hi:
         return "unknown"
+    # aggregate FILTER suffix: `agg(…) FILTER (WHERE …)` types as the
+    # aggregate itself (the clause filters rows, not the result type)
+    if tokens[hi].kind == "PUNCT" and tokens[hi].value == ")":
+        depth_f = 0
+        for k in range(hi, lo - 1, -1):
+            t = tokens[k]
+            if t.kind == "PUNCT" and t.value == ")":
+                depth_f += 1
+            elif t.kind == "PUNCT" and t.value == "(":
+                depth_f -= 1
+                if depth_f == 0:
+                    if (
+                        k - 1 > lo
+                        and tokens[k - 1].kind == "IDENT"
+                        and tokens[k - 1].upper == "FILTER"
+                    ):
+                        return _span_type(tokens, lo, k - 2, coltypes)
+                    break
     ops = _top_level_split(tokens, lo, hi)
     if ops is None:
         return "unknown"
@@ -3708,6 +3726,20 @@ def _left_primary(tokens, k):
     if lstart is None:
         return None
     lstart = _absorb_cast_left(tokens, lstart)
+    # aggregate FILTER clause: `agg(…) FILTER (WHERE …)` is ONE operand
+    # — _primary_start stops at the FILTER group's paren (FILTER is a
+    # boundary keyword), so walk back across the suffix to the call
+    while (
+        lstart >= 2
+        and tokens[lstart].kind == "PUNCT"
+        and tokens[lstart].value == "("
+        and tokens[lstart - 1].kind == "IDENT"
+        and tokens[lstart - 1].upper == "FILTER"
+    ):
+        p = _primary_start(tokens, lstart - 2)
+        if p is None:
+            break
+        lstart = _absorb_cast_left(tokens, p)
     # typed literal: DATE '…' / TIMESTAMP '…' — absorb the keyword
     if (
         lstart >= 1
@@ -3732,7 +3764,20 @@ def _right_primary(tokens, k):
     rend = _primary_end(tokens, k)
     if rend is None:
         return None
-    return _absorb_cast_right(tokens, rend)
+    rend = _absorb_cast_right(tokens, rend)
+    # aggregate FILTER suffix: absorb `FILTER ( … )` forward
+    while (
+        rend + 2 < len(tokens)
+        and tokens[rend + 1].kind == "IDENT"
+        and tokens[rend + 1].upper == "FILTER"
+        and tokens[rend + 2].kind == "PUNCT"
+        and tokens[rend + 2].value == "("
+    ):
+        close = _primary_end(tokens, rend + 2)
+        if close is None:
+            break
+        rend = _absorb_cast_right(tokens, close)
+    return rend
 
 
 _MULT_CHAIN_OPS = ("*", "/", "%")
@@ -3751,6 +3796,15 @@ def _rewrite_int_division(sql: str, coltypes) -> str:
                 continue
             rend = _right_primary(tokens, i + 1)
             if rend is None:
+                continue
+            # PG ^ (float8 power) binds TIGHTER than / — a trailing
+            # `^` means the real operand is the power expression
+            # (double), so the division must stay float
+            if (
+                rend + 1 < len(tokens)
+                and tokens[rend + 1].kind == "OP"
+                and tokens[rend + 1].value == "^"
+            ):
                 continue
             if _span_type(tokens, i + 1, rend, coltypes) not in _INTEGRAL_CATS:
                 continue
@@ -3772,6 +3826,14 @@ def _rewrite_int_division(sql: str, coltypes) -> str:
                 if p is None:
                     break
                 lstart = p
+            # ^ before the chain start: the real left operand is the
+            # power expression (float8 in PG) — keep float division
+            if (
+                lstart > 0
+                and tokens[lstart - 1].kind == "OP"
+                and tokens[lstart - 1].value == "^"
+            ):
+                continue
             if _span_type(tokens, lstart, i - 1, coltypes) not in _INTEGRAL_CATS:
                 continue
             hit = t
@@ -3793,6 +3855,14 @@ def _rewrite_date_minus(sql: str, coltypes) -> str:
                 continue
             rend = _right_primary(tokens, i + 1)
             if rend is None:
+                continue
+            # ^ binds tighter in PG — a power-adjacent operand is not
+            # the subtraction operand (see _rewrite_int_division)
+            if (
+                rend + 1 < len(tokens)
+                and tokens[rend + 1].kind == "OP"
+                and tokens[rend + 1].value == "^"
+            ) or (tokens[i - 1].kind == "OP" and tokens[i - 1].value == "^"):
                 continue
             if _span_type(tokens, i + 1, rend, coltypes) != "date":
                 continue

@@ -1943,3 +1943,68 @@ class TestSrfRound8Widenings:
                 spark,
                 "SELECT generate_series(1, 3, n - n) AS g FROM gfw_zstep_t",
             ).collect()
+
+
+class TestTypedOpsFilterClause:
+    """Round-8 follow-on: `agg(…) FILTER (WHERE …)` types as the
+    aggregate, so filtered-count ratios get PG's truncating division."""
+
+    CT = {"a": "int", "bl": "bool", "x": "double", "d1": "date", "d2": "date"}
+
+    def t(self, sql):
+        from gfw_data_api_spark.sql.dialect import translate_typed_ops
+
+        return translate_typed_ops(sql, self.CT)
+
+    def test_filter_ratio_rewrites(self):
+        assert "div" in self.t(
+            "SELECT count(*) FILTER (WHERE bl) / count(*) FROM t"
+        )
+        assert "div" in self.t("SELECT sum(a) FILTER (WHERE bl) / 2 FROM t")
+
+    def test_filter_avg_stays(self):
+        sql = "SELECT avg(a) FILTER (WHERE bl) / 2 FROM t"
+        assert self.t(sql) == sql
+
+    def test_filter_date_minus_both_sides(self):
+        assert (
+            self.t("SELECT max(d1) FILTER (WHERE bl) - min(d2) FROM t")
+            == "SELECT datediff(max(d1) FILTER (WHERE bl), min(d2)) FROM t"
+        )
+        assert (
+            self.t("SELECT d1 - max(d2) FILTER (WHERE bl) FROM t")
+            == "SELECT datediff(d1, max(d2) FILTER (WHERE bl)) FROM t"
+        )
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+        df = spark.sql("SELECT explode(sequence(1, 10)) AS k").selectExpr(
+            "k", "k % 3 = 0 AS hit", "DATE '2024-01-01' + k AS d"
+        )
+        row = execute_on_dataframe(
+            spark,
+            df,
+            "SELECT count(*) FILTER (WHERE hit) / count(*) AS frac, "
+            "CAST(max(d) FILTER (WHERE hit) - min(d) AS BIGINT) AS span "
+            "FROM t",
+        ).collect()[0]
+        # PG: 3/10 truncates to 0; dates 2024-01-10 (k=9 hit) - 2024-01-02
+        assert row.frac == 0
+        assert row.span == 8
+
+
+def test_typed_div_respects_caret_precedence():
+    """PG ^ (float8 power) binds tighter than / — power-adjacent
+    operands must keep float division (the ^ translation to POWER runs
+    in a LATER pass, so the typed pass sees the raw operator)."""
+    from gfw_data_api_spark.sql.dialect import translate_typed_ops
+
+    ct = {"a": "int", "b": "bigint"}
+    for sql in (
+        "SELECT a ^ 2 / b FROM t",
+        "SELECT a / b ^ 2 FROM t",
+        "SELECT a ^ 2 * 3 / b FROM t",
+    ):
+        assert translate_typed_ops(sql, ct) == sql
+    assert "div" in translate_typed_ops("SELECT 3 * a / b FROM t", ct)
