@@ -8630,6 +8630,74 @@ _SPECS.append(
 )
 
 
+def _q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 breadth: SQL-standard (s1,e1) OVERLAPS (s2,e2) — PG
+    evaluates it, Spark's parser rejects the row form — plus PG's
+    num_nonnulls/num_nulls. The translation spells out the standard's
+    half-open rule (pairs normalize; equal endpoints mean that single
+    instant; otherwise s1 < e2 AND s2 < e1); the oracle recomputes the
+    SAME documented rule independently in DuckDB (which has no
+    OVERLAPS), with derived per-row intervals so all three CASE arms
+    fire across the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 90).cast("int"),
+        ).alias("ed"),
+        "o_orderpriority",
+    )
+    sql = (
+        "SELECT o_orderkey, "
+        "(od, ed) OVERLAPS (DATE '1995-01-01', DATE '1996-01-01') AS in95, "
+        "(ed, od) OVERLAPS (DATE '1996-06-01', DATE '1997-06-01') AS swapped, "
+        "(od, od) OVERLAPS (od, ed) AS self_point, "
+        "num_nonnulls(nullif(o_orderkey % 3, 0), o_orderpriority, NULL) "
+        "AS nn, "
+        "num_nulls(nullif(o_orderkey % 7, 1), od) AS nnl "
+        "FROM data ORDER BY o_orderkey"
+    )
+    return execute_on_dataframe(spark, df, sql)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q54_overlaps_null_counters",
+        spark_fn=_q54,
+        oracle=(
+            "WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, "
+            "CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 AS INTEGER) "
+            "AS ed, o_orderpriority FROM orders) "
+            "SELECT o_orderkey, "
+            # ed >= od by construction; [od, ed) vs [s, e) half-open,
+            # point when od = ed (the standard's rule, spelled out)
+            "CASE WHEN od = ed THEN DATE '1995-01-01' <= od "
+            "AND od < DATE '1996-01-01' "
+            "ELSE od < DATE '1996-01-01' AND DATE '1995-01-01' < ed END "
+            "AS in95, "
+            "CASE WHEN od = ed THEN DATE '1996-06-01' <= od "
+            "AND od < DATE '1997-06-01' "
+            "ELSE od < DATE '1997-06-01' AND DATE '1996-06-01' < ed END "
+            "AS swapped, "
+            # a point at the start of [od, ed) overlaps, and two equal
+            # points coincide — provably TRUE for every row
+            "TRUE AS self_point, "
+            "CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 2 END AS INTEGER) "
+            "AS nn, "
+            "CAST(CASE WHEN o_orderkey % 7 = 1 THEN 1 ELSE 0 END AS INTEGER) "
+            "AS nnl "
+            "FROM d ORDER BY o_orderkey"
+        ),
+        survey_ref="Q11 dialect breadth: SQL-standard OVERLAPS row "
+        "predicate (half-open + point rules spelled out; "
+        "sql/dialect.py translate_row_overlaps) and PG "
+        "num_nonnulls/num_nulls (translate_null_counters)",
+    )
+)
+
+
 _SPECS.append(
     QuerySpec(
         name="q45_json_array_containment",

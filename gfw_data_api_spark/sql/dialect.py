@@ -3168,6 +3168,98 @@ def _translate_lockstep_unnest(sql, tokens, depths, calls):
     return translate_set_returning(out)
 
 
+def translate_row_overlaps(sql: str) -> str:
+    """SQL-standard ``(s1, e1) OVERLAPS (s2, e2)`` (PG supports it;
+    Spark's parser rejects the row syntax) → the standard's half-open
+    interval rule spelled out: each pair normalizes (swap so start ≤
+    end), a pair with equal endpoints means that single instant, and
+    otherwise ``[s, e)`` intervals overlap iff ``s1 < e2 AND s2 < e1``.
+    Probed against PG's documented examples. NULL endpoints are outside
+    the subset (PG has determinable-with-NULL cases; the emitted CASE
+    just yields NULL)."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if t.kind == "IDENT" and t.upper == "OVERLAPS" and 0 < i < len(tokens) - 1:
+                at = i
+                break
+        if at is None:
+            return sql
+        if not (
+            tokens[at - 1].kind == "PUNCT"
+            and tokens[at - 1].value == ")"
+            and tokens[at + 1].kind == "PUNCT"
+            and tokens[at + 1].value == "("
+        ):
+            raise ValueError(
+                "OVERLAPS needs (start, end) row constructors on both sides"
+            )
+        # left row: walk back to the matching (
+        depth = 0
+        lopen = None
+        for j in range(at - 1, -1, -1):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == ")":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == "(":
+                depth -= 1
+                if depth == 0:
+                    lopen = j
+                    break
+        rclose = _primary_end(tokens, at + 1)
+        if lopen is None or rclose is None:
+            raise ValueError("unbalanced OVERLAPS row constructor")
+        largs = _args_spans(tokens, lopen + 1, at - 2)
+        rargs = _args_spans(tokens, at + 2, rclose - 1)
+        if len(largs) != 2 or len(rargs) != 2:
+            raise ValueError("OVERLAPS takes (start, end) pairs on both sides")
+        a, b = (sql[tokens[s].start : tokens[e].end] for s, e in largs)
+        c, d = (sql[tokens[s].start : tokens[e].end] for s, e in rargs)
+        ls, le = f"least(({a}), ({b}))", f"greatest(({a}), ({b}))"
+        rs, re_ = f"least(({c}), ({d}))", f"greatest(({c}), ({d}))"
+        repl = (
+            f"(CASE WHEN {ls} = {le} AND {rs} = {re_} THEN {ls} = {rs} "
+            f"WHEN {ls} = {le} THEN {rs} <= {ls} AND {ls} < {re_} "
+            f"WHEN {rs} = {re_} THEN {ls} <= {rs} AND {rs} < {le} "
+            f"ELSE {ls} < {re_} AND {rs} < {le} END)"
+        )
+        sql = f"{sql[:tokens[lopen].start]}{repl}{sql[tokens[rclose].end:]}"
+
+
+def translate_null_counters(sql: str) -> str:
+    """PG ``num_nonnulls(v1, …)`` / ``num_nulls(v1, …)`` → a sum of
+    per-argument CASE terms (argument types may be mixed, so an array
+    spelling is unavailable)."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() in ("num_nonnulls", "num_nulls")
+                and i + 1 < len(tokens)
+                and tokens[i + 1].kind == "PUNCT"
+                and tokens[i + 1].value == "("
+            ):
+                hit = i
+                break
+        if hit is None:
+            return sql
+        close = _primary_end(tokens, hit)
+        if close is None:
+            raise ValueError(f"unbalanced {tokens[hit].value}() call")
+        args = _args_spans(tokens, hit + 2, close - 1) if close - 1 >= hit + 2 else []
+        texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        if not texts:
+            raise ValueError(f"{tokens[hit].value}() needs at least one argument")
+        null_is = "NOT NULL" if tokens[hit].value.lower() == "num_nonnulls" else "NULL"
+        terms = " + ".join(
+            f"CASE WHEN ({t}) IS {null_is} THEN 1 ELSE 0 END" for t in texts
+        )
+        sql = f"{sql[:tokens[hit].start]}({terms}){sql[tokens[close].end:]}"
+
+
 def translate_set_returning(sql: str) -> str:
     """Rewrite the SRF subset above; raise ValueError outside it."""
     while True:
@@ -4014,6 +4106,8 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_json_contains(sql)
     sql = translate_jsonb_concat(sql)  # before pg_casts eats ::jsonb
     sql = translate_set_returning(sql)  # after json ops; emits explode()
+    sql = translate_row_overlaps(sql)
+    sql = translate_null_counters(sql)
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
     sql = translate_agg_order_by(sql)

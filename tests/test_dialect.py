@@ -2008,3 +2008,66 @@ def test_typed_div_respects_caret_precedence():
     ):
         assert translate_typed_ops(sql, ct) == sql
     assert "div" in translate_typed_ops("SELECT 3 * a / b FROM t", ct)
+
+
+class TestOverlapsAndNullCounters:
+    """Round-8 breadth: SQL-standard (s1,e1) OVERLAPS (s2,e2) — Spark's
+    parser rejects the row form — and PG's num_nonnulls/num_nulls.
+    Expectations are PG's documented half-open/point rules."""
+
+    def test_overlaps_documented_examples(self, spark):
+        cases = [
+            ("(DATE '2001-02-16', DATE '2001-12-21') OVERLAPS "
+             "(DATE '2001-10-30', DATE '2002-10-30')", True),
+            ("(DATE '2001-02-16', DATE '2001-12-21') OVERLAPS "
+             "(DATE '2002-10-30', DATE '2002-10-31')", False),
+            # half-open: shared endpoint does not overlap
+            ("(DATE '2001-10-29', DATE '2001-10-30') OVERLAPS "
+             "(DATE '2001-10-30', DATE '2001-10-31')", False),
+            # a point at an interval's START overlaps; at its END not
+            ("(DATE '2001-10-30', DATE '2001-10-30') OVERLAPS "
+             "(DATE '2001-10-30', DATE '2001-10-31')", True),
+            ("(DATE '2001-10-30', DATE '2001-10-30') OVERLAPS "
+             "(DATE '2001-10-29', DATE '2001-10-30')", False),
+            # pairs normalize (swap) like PG
+            ("(DATE '2001-12-21', DATE '2001-02-16') OVERLAPS "
+             "(DATE '2001-10-30', DATE '2002-10-30')", True),
+        ]
+        items = ", ".join(f"({e}) AS r{i}" for i, (e, _) in enumerate(cases))
+        row = run_pg_sql(spark, f"SELECT {items}").collect()[0]
+        assert [row[f"r{i}"] for i in range(len(cases))] == [w for _, w in cases]
+
+    def test_null_counters(self, spark):
+        row = run_pg_sql(
+            spark,
+            "SELECT num_nonnulls(1, NULL, 'x') AS a, "
+            "num_nulls(1, NULL, 3) AS b, num_nonnulls(NULL) AS c",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == (2, 1, 0)
+
+    def test_through_guarded_path(self, spark):
+        from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+        df = spark.sql(
+            "SELECT explode(sequence(1, 5)) AS k"
+        ).selectExpr("k", "DATE '2024-01-01' + k AS d")
+        rows = execute_on_dataframe(
+            spark,
+            df,
+            "SELECT k, (d, d + 10) OVERLAPS "
+            "(DATE '2024-01-08', DATE '2024-01-09') AS hit, "
+            "num_nonnulls(nullif(k, 3), d) AS nn "
+            "FROM t ORDER BY k",
+        ).collect()
+        assert [(r.k, r.hit, r.nn) for r in rows] == [
+            (1, True, 2), (2, True, 2), (3, True, 1), (4, True, 2),
+            (5, True, 2),
+        ]
+
+    def test_malformed_overlaps_rejects(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="OVERLAPS"):
+            to_spark_sql("SELECT a OVERLAPS (c, d) FROM t")
+        with _pt.raises(ValueError, match="pairs"):
+            to_spark_sql("SELECT (a, b, x) OVERLAPS (c, d) FROM t")
