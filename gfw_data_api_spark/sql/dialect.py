@@ -2482,10 +2482,16 @@ def translate_substr_positional(sql: str) -> str:
         if len_text is None:
             repl = f"substring({s_text}, {clamped})"
         else:
+            # a runtime-negative LENGTH raises like PG (round-8; was a
+            # documented ''-divergence) — eff < 0 from start-clamping
+            # alone stays '' (PG: positions off the string's left edge)
             eff = f"({start_text}) + ({len_text}) - {clamped}"
             repl = (
                 f"substring({s_text}, {clamped}, "
-                f"CASE WHEN ({eff}) < 0 THEN 0 ELSE ({eff}) END)"
+                f"CASE WHEN ({len_text}) < 0 THEN CASE WHEN assert_true("
+                f"false, 'negative substring length not allowed') IS NULL "
+                f"THEN 0 END "
+                f"WHEN ({eff}) < 0 THEN 0 ELSE ({eff}) END)"
             )
         sql = f"{sql[:tokens[i].start]}{repl}{sql[tokens[close].end:]}"
 
@@ -3210,6 +3216,16 @@ def translate_row_overlaps(sql: str) -> str:
         rclose = _primary_end(tokens, at + 1)
         if lopen is None or rclose is None:
             raise ValueError("unbalanced OVERLAPS row constructor")
+        if (
+            lopen > 0
+            and tokens[lopen - 1].kind == "IDENT"
+            and tokens[lopen - 1].upper not in _OPERAND_BOUNDARY
+        ):
+            # `foo(a, b) OVERLAPS …` — a call, not a row constructor;
+            # PG rejects this shape too
+            raise ValueError(
+                "OVERLAPS needs (start, end) row constructors on both sides"
+            )
         largs = _args_spans(tokens, lopen + 1, at - 2)
         rargs = _args_spans(tokens, at + 2, rclose - 1)
         if len(largs) != 2 or len(rargs) != 2:

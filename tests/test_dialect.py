@@ -2071,3 +2071,32 @@ class TestOverlapsAndNullCounters:
             to_spark_sql("SELECT a OVERLAPS (c, d) FROM t")
         with _pt.raises(ValueError, match="pairs"):
             to_spark_sql("SELECT (a, b, x) OVERLAPS (c, d) FROM t")
+
+
+def test_dynamic_negative_substring_length_raises(spark):
+    """Round-8: a runtime-computed negative LENGTH raises like PG
+    (was a documented ''-divergence); clamp-derived empty strings and
+    NULL lengths keep PG's values."""
+    import pytest as _pt
+
+    spark.sql(
+        "SELECT 2 AS n, -3 AS m, CAST(NULL AS INT) AS nl"
+    ).createOrReplaceTempView("gfw_substr_t")
+    row = run_pg_sql(
+        spark,
+        "SELECT substr('abc', 0, n) AS a, substr('abcdef', n, 3) AS b, "
+        "substr('abc', -1, 1) AS c, substr('abc', 1, nl) AS d "
+        "FROM gfw_substr_t",
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == ("a", "bcd", "", None)
+    with _pt.raises(Exception, match="negative substring length"):
+        run_pg_sql(
+            spark, "SELECT substr('abc', 1, m) AS x FROM gfw_substr_t"
+        ).collect()
+
+
+def test_overlaps_function_call_left_rejects():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="row constructors"):
+        to_spark_sql("SELECT foo(a, b) OVERLAPS (c, d) FROM t")
