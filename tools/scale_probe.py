@@ -162,6 +162,24 @@ def main():
             )
             noop(run_pg_sql(spark, sql))
 
+        def _q52_shape(d):
+            from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+            d.createOrReplaceTempView("probe_q52")
+            sql = (
+                "SELECT doc_id, "
+                "unnest(string_to_array(lang || '-x' "
+                "|| CAST(doc_id % 7 AS VARCHAR), '-')) AS tok "
+                "FROM probe_q52"
+            )
+            noop(run_pg_sql(spark, sql))
+            sql2 = (
+                "SELECT doc_id, jsonb_array_elements_text("
+                "'[' || CAST(doc_id % 5 AS VARCHAR) || ', \"' || lang "
+                "|| '\", null]') AS v FROM probe_q52"
+            )
+            noop(run_pg_sql(spark, sql2))
+
         def synth_images(d):
             # one unique 8x9 PNG per doc (unique → ~no near-dup pairs, so
             # the probe times decode+hash+band-join, not pair output)
@@ -359,6 +377,10 @@ def main():
             # (escapedStringLiterals parse + fix_unlexable_literals
             # re-emission + PG regex translation), per-row regex work
             "q46_literal_shape": lambda d: _q46_shape(d),
+            # round-8 SRF translation output shapes (q52): explode over
+            # split / guarded sequence / array<variant> transform —
+            # row-EXPANDING map-side generators, no shuffle
+            "q52_srf_shape": lambda d: _q52_shape(d),
         }
         emb_ops = {
             "s01_cosine_topk": lambda d: noop(
