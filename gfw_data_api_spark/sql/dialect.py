@@ -3474,6 +3474,10 @@ _FN_CATEGORY = {
     "sign": "decimal",
     "random": "double",
     "year": "int", "month": "int", "day": "int",  # shared spellings
+    # window functions (PG return types)
+    "row_number": "bigint", "rank": "bigint", "dense_rank": "bigint",
+    "ntile": "int",
+    "percent_rank": "double", "cume_dist": "double",
 }
 
 
@@ -3576,8 +3580,8 @@ def _span_type(tokens, lo, hi, coltypes) -> str:
         lo += 1
     if lo > hi:
         return "unknown"
-    # aggregate FILTER suffix: `agg(…) FILTER (WHERE …)` types as the
-    # aggregate itself (the clause filters rows, not the result type)
+    # FILTER/OVER suffixes: `agg(…) FILTER (…) OVER (… | name)` types
+    # as the aggregate itself (the clauses scope rows, not the type)
     if tokens[hi].kind == "PUNCT" and tokens[hi].value == ")":
         depth_f = 0
         for k in range(hi, lo - 1, -1):
@@ -3590,10 +3594,18 @@ def _span_type(tokens, lo, hi, coltypes) -> str:
                     if (
                         k - 1 > lo
                         and tokens[k - 1].kind == "IDENT"
-                        and tokens[k - 1].upper == "FILTER"
+                        and tokens[k - 1].upper in ("FILTER", "OVER")
                     ):
                         return _span_type(tokens, lo, k - 2, coltypes)
                     break
+    elif (
+        hi - 1 > lo
+        and tokens[hi].kind in ("IDENT", "QIDENT")
+        and tokens[hi - 1].kind == "IDENT"
+        and tokens[hi - 1].upper == "OVER"
+    ):
+        # named window: `fn(…) OVER w`
+        return _span_type(tokens, lo, hi - 2, coltypes)
     ops = _top_level_split(tokens, lo, hi)
     if ops is None:
         return "unknown"
@@ -3796,7 +3808,10 @@ def _operand_type(tokens, lo, hi, coltypes) -> str:
             if argts[0] == "decimal":
                 return "decimal"
             return "unknown"
-        if fname in ("min", "max", "abs", "nullif"):
+        if fname in (
+            "min", "max", "abs", "nullif",
+            "lag", "lead", "first_value", "last_value",
+        ):
             return argts[0]
         if fname in ("coalesce", "greatest", "least"):
             acc = argts[0]
@@ -3834,17 +3849,28 @@ def _left_primary(tokens, k):
     if lstart is None:
         return None
     lstart = _absorb_cast_left(tokens, lstart)
-    # aggregate FILTER clause: `agg(…) FILTER (WHERE …)` is ONE operand
-    # — _primary_start stops at the FILTER group's paren (FILTER is a
-    # boundary keyword), so walk back across the suffix to the call
-    while (
-        lstart >= 2
-        and tokens[lstart].kind == "PUNCT"
-        and tokens[lstart].value == "("
-        and tokens[lstart - 1].kind == "IDENT"
-        and tokens[lstart - 1].upper == "FILTER"
-    ):
-        p = _primary_start(tokens, lstart - 2)
+    # FILTER/OVER suffixes: `agg(…) FILTER (WHERE …) OVER (… | name)`
+    # is ONE operand — _primary_start stops at the suffix (FILTER/OVER
+    # are boundary keywords), so walk back across them to the call
+    while True:
+        if (
+            lstart >= 2
+            and tokens[lstart].kind == "PUNCT"
+            and tokens[lstart].value == "("
+            and tokens[lstart - 1].kind == "IDENT"
+            and tokens[lstart - 1].upper in ("FILTER", "OVER")
+        ):
+            back = lstart - 2  # paren window/filter form
+        elif (
+            lstart >= 2
+            and tokens[lstart].kind == "IDENT"
+            and tokens[lstart - 1].kind == "IDENT"
+            and tokens[lstart - 1].upper == "OVER"
+        ):
+            back = lstart - 2  # named window: OVER w
+        else:
+            break
+        p = _primary_start(tokens, back)
         if p is None:
             break
         lstart = _absorb_cast_left(tokens, p)
@@ -3873,18 +3899,19 @@ def _right_primary(tokens, k):
     if rend is None:
         return None
     rend = _absorb_cast_right(tokens, rend)
-    # aggregate FILTER suffix: absorb `FILTER ( … )` forward
-    while (
-        rend + 2 < len(tokens)
-        and tokens[rend + 1].kind == "IDENT"
-        and tokens[rend + 1].upper == "FILTER"
-        and tokens[rend + 2].kind == "PUNCT"
-        and tokens[rend + 2].value == "("
-    ):
-        close = _primary_end(tokens, rend + 2)
-        if close is None:
+    # FILTER/OVER suffixes: absorb `FILTER (…)` and `OVER (… | name)`
+    while rend + 2 < len(tokens) and tokens[rend + 1].kind == "IDENT":
+        kw = tokens[rend + 1].upper
+        nxt = tokens[rend + 2]
+        if kw in ("FILTER", "OVER") and nxt.kind == "PUNCT" and nxt.value == "(":
+            close = _primary_end(tokens, rend + 2)
+            if close is None:
+                break
+            rend = _absorb_cast_right(tokens, close)
+        elif kw == "OVER" and nxt.kind in ("IDENT", "QIDENT"):
+            rend = rend + 2  # named window
+        else:
             break
-        rend = _absorb_cast_right(tokens, close)
     return rend
 
 

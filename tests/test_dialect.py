@@ -2100,3 +2100,70 @@ def test_overlaps_function_call_left_rejects():
 
     with _pt.raises(ValueError, match="row constructors"):
         to_spark_sql("SELECT foo(a, b) OVERLAPS (c, d) FROM t")
+
+
+class TestTypedOpsWindowClause:
+    """Round-8 follow-on: `fn(…) OVER (… | name)` types as the function
+    (PG window-fn return types included), so running-ratio idioms like
+    sum(x) OVER w / count(*) OVER w get PG's truncating division."""
+
+    CT = {"a": "int", "b": "bigint", "bl": "bool", "d1": "date",
+          "d2": "date", "x": "double"}
+
+    def t(self, sql):
+        from gfw_data_api_spark.sql.dialect import translate_typed_ops
+
+        return translate_typed_ops(sql, self.CT)
+
+    def test_running_ratio_rewrites(self):
+        assert "div" in self.t(
+            "SELECT sum(a) OVER w / count(*) OVER w FROM t "
+            "WINDOW w AS (PARTITION BY b)"
+        )
+        assert "div" in self.t(
+            "SELECT sum(a) OVER (PARTITION BY b) / "
+            "count(*) OVER (PARTITION BY b) FROM t"
+        )
+        assert "div" in self.t(
+            "SELECT row_number() OVER w / 2 FROM t WINDOW w AS (ORDER BY a)"
+        )
+        assert "div" in self.t(
+            "SELECT count(*) FILTER (WHERE bl) OVER w / count(*) OVER w "
+            "FROM t WINDOW w AS (PARTITION BY b)"
+        )
+
+    def test_non_integral_window_stays(self):
+        for sql in (
+            "SELECT avg(a) OVER w / 2 FROM t WINDOW w AS (ORDER BY a)",
+            "SELECT sum(x) OVER w / 2 FROM t WINDOW w AS (ORDER BY a)",
+        ):
+            assert self.t(sql) == sql
+
+    def test_windowed_date_minus(self):
+        assert "datediff" in self.t(
+            "SELECT max(d1) OVER w - min(d2) OVER w FROM t "
+            "WINDOW w AS (PARTITION BY b)"
+        )
+        assert "datediff" in self.t(
+            "SELECT lag(d1) OVER w - d2 FROM t WINDOW w AS (ORDER BY a)"
+        )
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+        df = spark.sql("SELECT explode(sequence(1, 9)) AS k").selectExpr(
+            "k", "k % 2 AS grp"
+        )
+        rows = execute_on_dataframe(
+            spark,
+            df,
+            "SELECT k, sum(k) OVER w / count(*) OVER w AS run_mean "
+            "FROM t WINDOW w AS (PARTITION BY grp ORDER BY k) ORDER BY k",
+        ).collect()
+        # PG: running sum / running count with int8 division truncates
+        got = [(r.k, r.run_mean) for r in rows]
+        # odd ks: 1,3,5,7,9 cumulative means 1,2,3,4,5; even: 2,3,4,5
+        assert got == [
+            (1, 1), (2, 2), (3, 2), (4, 3), (5, 3), (6, 4), (7, 4),
+            (8, 5), (9, 5),
+        ]
