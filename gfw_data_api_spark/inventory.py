@@ -8388,8 +8388,18 @@ def _q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(price AS INT) AS price_rint2, "
         "price / 4 AS quarter, "
         "CAST((SELECT sum(lk) / count(*) FROM data) AS BIGINT) "
-        "AS corpus_mean "
-        "FROM data ORDER BY o_orderkey"
+        "AS corpus_mean, "
+        # round-8 follow-ons: CASE arms, FILTER clauses, and OVER
+        # windows all type through to PG's truncating division
+        "CAST(CASE WHEN is_urgent THEN lk ELSE sm END / 5 AS BIGINT) "
+        "AS case_div, "
+        # (Spark cannot execute FILTER+OVER combined; the CASE-sum
+        # spelling is PG-identical for a filtered count)
+        "CAST(sum(CASE WHEN is_urgent THEN 1 ELSE 0 END) OVER w "
+        "/ count(*) OVER w AS BIGINT) AS urgent_frac, "
+        "CAST(sum(lk) OVER w / count(*) OVER w AS BIGINT) AS run_mean "
+        "FROM data WINDOW w AS (PARTITION BY sm ORDER BY o_orderkey) "
+        "ORDER BY o_orderkey"
     )
     return execute_on_dataframe(spark, df, sql)
 
@@ -8406,7 +8416,11 @@ _SPECS.append(
             "CAST(o_orderdate AS DATE) - CAST(o_orderkey % 300 AS INTEGER) "
             "AS sd, "
             "o_orderpriority = '1-URGENT' AS is_urgent, "
-            "o_totalprice AS price FROM orders) "
+            "o_totalprice AS price FROM orders), "
+            "w AS (SELECT *, "
+            "sum(CASE WHEN is_urgent THEN 1 ELSE 0 END) OVER win AS uf_n, "
+            "count(*) OVER win AS n_w, sum(lk) OVER win AS s_w "
+            "FROM d WINDOW win AS (PARTITION BY sm ORDER BY o_orderkey)) "
             "SELECT o_orderkey, "
             "CAST((lk - (lk % 7)) // 7 AS BIGINT) AS div7, "
             "CAST((lk - (lk % (-5))) // (-5) AS BIGINT) AS divneg, "
@@ -8419,8 +8433,13 @@ _SPECS.append(
             "CAST(round_even(price, 0) AS INTEGER) AS price_rint2, "
             "price / 4 AS quarter, "
             "(SELECT CAST((sum(lk) - (sum(lk) % count(*))) // count(*) "
-            "AS BIGINT) FROM d) AS corpus_mean "
-            "FROM d ORDER BY o_orderkey"
+            "AS BIGINT) FROM w) AS corpus_mean, "
+            "CAST(((CASE WHEN is_urgent THEN lk ELSE sm END) - "
+            "((CASE WHEN is_urgent THEN lk ELSE sm END) % 5)) // 5 "
+            "AS BIGINT) AS case_div, "
+            "CAST((uf_n - (uf_n % n_w)) // n_w AS BIGINT) AS urgent_frac, "
+            "CAST((s_w - (s_w % n_w)) // n_w AS BIGINT) AS run_mean "
+            "FROM w ORDER BY o_orderkey"
         ),
         survey_ref="Q11 typed dialect semantics: schema-aware int/int "
         "truncating division, date - date integer days, bool::int, "
