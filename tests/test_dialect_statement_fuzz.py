@@ -93,6 +93,40 @@ def _statements(rng: random.Random):
             )
             yield i, pg_sql, dk_sql, [True, True, px]
             continue
+        if shape < 0.52 and rng.random() < 0.45:
+            # round-8 TYPED shape: int/int division through the guarded
+            # path's schema-aware pass (doc_id/n_chars are BIGINT) —
+            # the DuckDB twin spells PG's toward-zero rule exactly
+            dv = rng.choice(["7", "13", "(doc_id % 5 + 2)"])
+            num = rng.choice(["n_chars", "doc_id", "(n_chars - 40)"])
+            win = ""
+            expr_pg = f"{num} / {dv}"
+            expr_dk = f"(({num}) - (({num}) % ({dv}))) // ({dv})"
+            if rng.random() < 0.4:
+                # windowed running ratio (OVER-clause typing). NB the
+                # summed expression is CAST to int4: PG's sum(int8) is
+                # NUMERIC (exact division + half-away cast — the first
+                # draft's int8 twin was WRONG and this fuzz caught it;
+                # the dialect had it right), sum(int4) is int8 and
+                # truncates
+                win = " WINDOW w AS (PARTITION BY lang ORDER BY doc_id)"
+                s = "sum(CAST(doc_id % 50 AS INT)) OVER w"
+                expr_pg = f"{s} / count(*) OVER w"
+                expr_dk = (
+                    f"({s} - ({s} % count(*) OVER w)) // count(*) OVER w"
+                )
+            pg_sql = (
+                f"SELECT doc_id, CAST({expr_pg} AS BIGINT) AS c0 "
+                f"FROM data WHERE {w_pg}{win} ORDER BY doc_id"
+            )
+            dk_sql = (
+                f"SELECT doc_id, CAST({expr_dk} AS BIGINT) AS c0 "
+                f"FROM documents WHERE {w_dk}"
+                f"{win.replace(' WINDOW w AS', ' WINDOW w AS')} "
+                f"ORDER BY doc_id"
+            )
+            yield i, pg_sql, dk_sql, [True]
+            continue
         if shape < 0.52:
             # PG pagination spellings: OFFSET n ROWS FETCH FIRST k ROWS
             # ONLY (translate_fetch_first) vs plain LIMIT/OFFSET
