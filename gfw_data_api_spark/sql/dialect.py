@@ -3468,8 +3468,8 @@ _FN_CATEGORY = {
     "octet_length": "int", "bit_length": "int", "strpos": "int",
     "position": "int", "ascii": "int", "cardinality": "int",
     "width_bucket": "int",
-    "extract": "decimal", "date_part": "decimal",  # PG: numeric
-    "avg": "decimal",
+    "extract": "decimal",  # PG >= 14: numeric
+    "date_part": "double",  # PG: double precision (unlike extract)
     "div": "decimal",  # PG div() returns numeric
     "sign": "decimal",
     "random": "double",
@@ -3807,6 +3807,16 @@ def _operand_type(tokens, lo, hi, coltypes) -> str:
                 return "double"
             if argts[0] == "decimal":
                 return "decimal"
+            return "unknown"
+        if fname == "avg":
+            # PG: avg(int*/numeric) → numeric; avg(float4/float8) →
+            # double precision (NOT numeric — r8-ADVICE: routing
+            # CAST(avg(dbl) AS INT) through HALF_UP round diverged
+            # from PG's float8 half-even).
+            if argts[0] in ("smallint", "int", "bigint", "decimal"):
+                return "decimal"
+            if argts[0] in ("double", "float"):
+                return "double"
             return "unknown"
         if fname in (
             "min", "max", "abs", "nullif",

@@ -2167,3 +2167,61 @@ class TestTypedOpsWindowClause:
             (1, 1), (2, 2), (3, 2), (4, 3), (5, 3), (6, 4), (7, 4),
             (8, 5), (9, 5),
         ]
+
+
+class TestAvgDatePartReturnTypes:
+    """Round-9 (r8-ADVICE medium): avg types structurally like sum —
+    avg(float4/float8) is DOUBLE PRECISION in PG, so CAST(avg(dbl) AS
+    INT) must take the half-even rint route, not HALF_UP round.
+    date_part returns double precision (only extract is numeric in
+    PG >= 14)."""
+
+    CT = {"a": "int", "b": "bigint", "x": "double", "f": "float",
+          "dec": "decimal", "d1": "date"}
+
+    def t(self, sql):
+        from gfw_data_api_spark.sql.dialect import translate_typed_ops
+
+        return translate_typed_ops(sql, self.CT)
+
+    def test_avg_double_casts_half_even(self):
+        out = self.t("SELECT CAST(avg(x) AS INT) FROM t")
+        assert "rint(avg(x))" in out and "round(" not in out
+        out = self.t("SELECT avg(f)::int FROM t")
+        assert "rint(avg(f))" in out
+        # integral/decimal args keep the numeric HALF_UP route
+        out = self.t("SELECT CAST(avg(a) AS INT) FROM t")
+        assert "round(avg(a), 0)" in out
+        out = self.t("SELECT CAST(avg(dec) AS INT) FROM t")
+        assert "round(avg(dec), 0)" in out
+
+    def test_date_part_casts_half_even(self):
+        out = self.t("SELECT CAST(date_part('epoch', d1) AS BIGINT) FROM t")
+        assert "rint(" in out and "round(" not in out
+        # extract stays numeric (PG >= 14) → HALF_UP round route
+        out = self.t("SELECT CAST(extract(epoch FROM d1) AS BIGINT) FROM t")
+        assert "round(" in out and "rint(" not in out
+
+    def test_avg_division_still_untouched(self):
+        # avg never yields an integral category — / never rewrites
+        for sql in (
+            "SELECT avg(a) / 2 FROM t",
+            "SELECT avg(x) / 2 FROM t",
+        ):
+            assert self.t(sql) == sql
+
+    def test_values_half_even(self, spark):
+        # PG: avg of (2,3) = 2.5 float8 → ::int gives 2 (half-even),
+        # while numeric 2.5 → 3 (half-away). Both in one statement.
+        from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+        df = spark.sql("SELECT * FROM VALUES (2, 2.0D), (3, 3.0D) t(a, x)")
+        row = execute_on_dataframe(
+            spark,
+            df,
+            "SELECT avg(x)::int AS fe, avg(a)::int AS ne, "
+            "date_part('epoch', DATE '1970-01-02')::int AS ep FROM t",
+        ).collect()[0]
+        assert row.fe == 2       # float8 half-even
+        assert row.ne == 3       # numeric half-away
+        assert row.ep == 86400

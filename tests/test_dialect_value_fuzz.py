@@ -709,7 +709,21 @@ class TypedGen:
         )
 
     def pick(self):
-        arm = self.r.randrange(10)
+        arm = self.r.randrange(12)
+        if arm == 10:  # r9: avg(float8) is DOUBLE in PG → cast half-EVEN
+            # (windowed so the fuzz stays per-row; duck dbl→int is
+            # half-even natively, an independent route)
+            return (
+                "CAST(avg(xf) OVER (PARTITION BY bl) AS BIGINT)",
+                "CAST(avg(xf) OVER (PARTITION BY bl) AS BIGINT)",
+            )
+        if arm == 11:  # r9: avg(int) is NUMERIC in PG → cast half-AWAY
+            col = self.r.choice(["ia", "sm"])
+            v = f"avg({col}) OVER (PARTITION BY bl)"
+            return (
+                f"CAST({v} AS BIGINT)",
+                f"CAST(trunc({v} + 0.5 * sign({v})) AS BIGINT)",
+            )
         if arm <= 1:  # int / int → toward-zero
             a, b = self.int_operand(), self.divisor()
             return f"{a} / {b}", f"(({a}) - (({a}) % ({b}))) // ({b})"
