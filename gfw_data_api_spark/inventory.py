@@ -4900,6 +4900,69 @@ _SPECS.append(
 )
 
 
+def _r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster query paths are deliberately TYPE-BLIND (float division):
+    the reference ships raster SQL out-of-process to a NumPy evaluator
+    (queries.py:586-597) where ``/`` is NumPy true division — float —
+    while the tabular path evaluates in Postgres with typed (truncating
+    int/int) division. This gate pins the asymmetry end-to-end through
+    the REAL zonal path (registry → ingest → query_raster): an
+    integer-coded layer's ``sum(layer)/count(*)`` AND ``count(*)/2``
+    over an ODD pixel count (221) must both keep their fractional part.
+    docs/PARITY.md 'typed semantics' section records the decision."""
+    import numpy as np
+
+    from gfw_data_api_spark.catalog.registry import Registry
+    from gfw_data_api_spark.raster.grid import Grid
+    from gfw_data_api_spark.raster.ingest import ingest_raster_tiles
+    from gfw_data_api_spark.raster.zonal import query_raster
+
+    grid = Grid.parse("10/40")
+    idx = np.arange(1600, dtype=np.int64).reshape(40, 40)
+    vals = (idx * 7 % 97 + 1).astype(np.float64)
+    registry = Registry(tempfile.mkdtemp(prefix="gfw_r13_"))
+    ingest_raster_tiles(
+        registry, spark, "planted", "v1", grid, "code", {"10N_000E": vals}
+    )
+    geometry = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.5, 0.5], [4.75, 0.5], [4.75, 3.75], [0.5, 3.75], [0.5, 0.5]]
+        ],
+    }
+    sql = (
+        "SELECT count(*) AS n_pixels, "
+        "sum(planted__code) / count(*) AS mean_code, "
+        "count(*) / 2 AS half_n FROM data"
+    )
+    return query_raster(spark, registry, "planted", "v1", sql, geometry)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="r13_raster_float_division",
+        spark_fn=_r13,
+        oracle=(
+            # pixel centers on the x.125 grid, box corners on x.25/x.75 —
+            # strict-inequality membership is exact rational arithmetic;
+            # DuckDB's `/` on integers is float division, same as NumPy
+            "WITH px AS (SELECT ((i % 40) + 0.5) * 0.25 AS lon, "
+            "10.0 - (CAST(floor(i / 40) AS BIGINT) + 0.5) * 0.25 AS lat, "
+            "(i * 7) % 97 + 1 AS v FROM range(0, 1600) t(i)), "
+            "m AS (SELECT v FROM px WHERE lon > 0.5 AND lon < 4.75 "
+            "AND lat > 0.5 AND lat < 3.75) "
+            "SELECT count(*) AS n_pixels, "
+            "CAST(sum(v) AS DOUBLE) / count(*) AS mean_code, "
+            "CAST(count(*) AS DOUBLE) / 2 AS half_n FROM m"
+        ),
+        survey_ref="Raster dialect float-division semantics pinned "
+        "(raster/zonal.py query_raster type-blind by design; reference "
+        "queries.py:586-597 ships SQL to the NumPy Lambda where / is "
+        "true division — deliberate asymmetry vs the typed tabular path)",
+    )
+)
+
+
 def _pr01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 rasterize inside the hard gate: 25 planted axis-aligned
     rectangles (corners on the 0.5° grid, derived from nation keys) burned

@@ -144,7 +144,11 @@ def batch_query(
     tagged.createOrReplaceTempView(view)
     try:
         bound = bind_from(validated, view)
-        bound = to_spark_sql(bound)
+        # DELIBERATELY type-blind, same as zonal.query_raster: raster SQL
+        # matches the reference's NumPy Lambda float semantics
+        # (queries.py:586-597), not Postgres typed division. See
+        # docs/PARITY.md 'typed semantics' + the r13 gate.
+        bound = to_spark_sql(bound, column_types=None)
         # inject feature_id into SELECT and GROUP BY
         bound = re.sub(r"(?i)^select\s", "SELECT feature_id, ", bound, count=1)
         if re.search(r"(?i)\bgroup\s+by\b", bound):

@@ -304,9 +304,14 @@ def query_raster(
     df.createOrReplaceTempView(view)
     try:
         bound = bind_from(validated, view)
+        # DELIBERATELY type-blind (no column_types): the reference ships
+        # raster SQL out-of-process to a NumPy evaluator
+        # (queries.py:586-597) where / is true division — float — unlike
+        # the Postgres-typed tabular path (operators/query.py). Pinned by
+        # the r13 gate + docs/PARITY.md 'typed semantics'.
         # parse under the dialect's literal contract (dialect.py)
         with pg_literal_parsing(spark):
-            result = spark.sql(to_spark_sql(bound))
+            result = spark.sql(to_spark_sql(bound, column_types=None))
             result.schema
         return result
     finally:

@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PG error parity (x/0, int overflow, invalid ::int casts RAISE
+        # like Postgres) must not ride on Spark's version default —
+        # pinned here and re-checked at every guarded execution
+        # (dialect.pg_literal_parsing). The dialect opts back into
+        # NULL-semantics deliberately per-site via try_cast/try_*.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

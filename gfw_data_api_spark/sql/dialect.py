@@ -31,6 +31,26 @@ from contextlib import contextmanager
 from gfw_data_api_spark.sql.tokenizer import tokenize
 
 _ESCAPED_LITERALS_CONF = "spark.sql.parser.escapedStringLiterals"
+_ANSI_CONF = "spark.sql.ansi.enabled"
+
+
+def _require_ansi(spark) -> None:
+    """PG error parity (division by zero, overflow, invalid casts all
+    RAISE in Postgres) rests on Spark's ANSI mode. Spark 4 defaults it
+    on, but a session that turned it off would silently convert PG
+    errors into NULLs — the silent-divergence class this engine rejects
+    loudly. Enforced at the shared execution chokepoint, matching the
+    policy in docs/PARITY.md."""
+    try:
+        val = spark.conf.get(_ANSI_CONF)
+    except Exception:  # pragma: no cover - conf always readable on 3.x+
+        return
+    if str(val).lower() != "true":
+        raise ValueError(
+            "gfw_data_api_spark requires spark.sql.ansi.enabled=true "
+            "(PG error parity: x/0, overflow and bad casts must raise); "
+            f"session has {_ANSI_CONF}={val!r}"
+        )
 
 # Refcount for concurrent pg_literal_parsing windows on one session
 # (ADVICE r7): the conf is session-global, so with overlapping guarded
@@ -52,6 +72,7 @@ def pg_literal_parsing(spark):
     nest instead of racing; only PARSE time matters, so the window is
     the ``spark.sql(...)`` call plus schema analysis."""
     key = id(spark)
+    _require_ansi(spark)
     with _literal_conf_lock:
         state = _literal_conf_state.get(key)
         if state is None:

@@ -855,3 +855,123 @@ def test_typed_value_fuzz(spark):
         f"{len(failures)} typed value mismatches out of {N_TYPED}:\n"
         + "\n---\n".join(failures[:30])
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 ERROR-PARITY fuzz (VERDICT r8 #3): where PG RAISES, the engine
+# must raise too — never silently yield NULL. Rests on ANSI mode, now
+# pinned in session.py and enforced at pg_literal_parsing. DuckDB twins
+# raise for the cast/overflow classes; DuckDB itself DIVERGES from PG on
+# division/modulo by zero (returns NULL — probed), so those atoms pin
+# PG's documented behavior directly (div-by-zero raises, SQLSTATE 22012).
+# ---------------------------------------------------------------------------
+
+# (pg_expr, duck_expr or None when DuckDB diverges from PG)
+ERROR_ATOMS = [
+    # division by zero — int, typed-rewritten int (div), float, decimal
+    ("ia / 0", None),
+    ("ib / 0", None),
+    ("sm / 0", None),
+    ("7 / 0", None),
+    ("ia / (ia - ia)", None),
+    ("sum(ia) / (count(*) - count(*))", None),
+    ("xf / 0", None),
+    ("xf / 0.0", None),
+    ("xf / (xf - xf)", None),
+    ("dc / 0", None),
+    ("(ia + ib) / 0", None),
+    ("CASE WHEN bl THEN ia ELSE ib END / 0", None),
+    # modulo by zero
+    ("ia % 0", None),
+    ("ib % 0", None),
+    ("mod(ia, 0)", None),
+    ("ia % (sm - sm)", None),
+    # invalid string → numeric casts (both spellings; DuckDB raises too)
+    ("'abc'::int", "CAST('abc' AS INTEGER)"),
+    ("'abc'::bigint", "CAST('abc' AS BIGINT)"),
+    ("'12x'::int", "CAST('12x' AS INTEGER)"),
+    ("''::int", "CAST('' AS INTEGER)"),
+    ("'1e'::numeric", "CAST('1e' AS DECIMAL(18,3))"),
+    ("'abc'::float8", "CAST('abc' AS DOUBLE)"),
+    ("CAST('abc' AS INT)", "CAST('abc' AS INTEGER)"),
+    ("CAST('' AS SMALLINT)", "CAST('' AS SMALLINT)"),
+    ("'not-a-date'::date", "CAST('not-a-date' AS DATE)"),
+    ("CAST('2024-13-40' AS DATE)", "CAST('2024-13-40' AS DATE)"),
+    # numeric overflow — int4/int2 range, arithmetic overflow
+    ("'99999999999'::int", "CAST('99999999999' AS INTEGER)"),
+    ("'40000'::smallint", "CAST('40000' AS SMALLINT)"),
+    ("CAST(9999999999999 AS INT)", "CAST(9999999999999 AS INTEGER)"),
+    ("2147483647 + ia * 0 + 1", None),  # PG int4+int4 overflows; duck promotes
+    ("9223372036854775807 + ib * 0 + 1",
+     "9223372036854775807 + ib * 0 + 1"),
+    ("abs(-9223372036854775807 - 1 + ib * 0)",
+     "abs(-9223372036854775807 - 1 + ib * 0)"),
+    # decimal target too small
+    ("CAST(12345.67 AS DECIMAL(4,2))", "CAST(12345.67 AS DECIMAL(4,2))"),
+    ("1234567.89::numeric(5,1)", "CAST(1234567.89 AS DECIMAL(5,1))"),
+]
+
+
+def test_error_parity_fuzz(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"rid": [0, 1, 2], "ia": [3, -4, 5], "ib": [7, 8, -9],
+         "sm": [1, 2, 3], "xf": [1.5, -2.5, 3.5], "bl": [True, False, True]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    sdf = (
+        sdf.withColumn("ia", F.col("ia").cast("int"))
+        .withColumn("sm", F.col("sm").cast("smallint"))
+        .withColumn("dc", F.col("xf").cast("decimal(12,1)"))
+    )
+    sdf.createOrReplaceTempView("err_fuzz_t")
+    ct = {"rid": "bigint", "ia": "int", "ib": "bigint", "sm": "smallint",
+          "xf": "double", "bl": "bool", "dc": "decimal"}
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    con.execute(
+        "CREATE TABLE t AS SELECT rid, CAST(ia AS INTEGER) AS ia, ib, "
+        "CAST(sm AS SMALLINT) AS sm, xf, bl, "
+        "CAST(xf AS DECIMAL(12,1)) AS dc FROM pdf"
+    )
+    failures = []
+    for pg_expr, duck_expr in ERROR_ATOMS:
+        spark_sql = to_spark_sql(
+            f"SELECT ({pg_expr}) AS c FROM err_fuzz_t", column_types=ct
+        )
+        raised = False
+        try:
+            with pg_literal_parsing(spark):
+                df = spark.sql(spark_sql)
+                df.collect()
+        except Exception:
+            raised = True
+        if not raised:
+            failures.append(f"Spark did NOT raise (PG does): {pg_expr}")
+        if duck_expr is not None:
+            draised = False
+            try:
+                con.sql(f"SELECT ({duck_expr}) AS c FROM t").fetchall()
+            except Exception:
+                draised = True
+            if not draised:
+                failures.append(f"DuckDB twin did not raise: {duck_expr}")
+    assert not failures, "\n".join(failures)
+
+
+def test_ansi_mode_enforced(spark):
+    """A session with ANSI off must be rejected LOUDLY at the guarded
+    execution chokepoint — PG error parity never silently degrades."""
+    import pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(ValueError, match="ansi"):
+            with pg_literal_parsing(spark):
+                pass
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
