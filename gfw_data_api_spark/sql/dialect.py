@@ -3409,9 +3409,23 @@ def translate_set_returning(sql: str) -> str:
                 if fname.endswith("_text")
                 else "to_json(__gfw_x)"
             )
+            # PG RAISES on a non-array argument ("cannot extract
+            # elements from a scalar/an object"); from_json alone would
+            # yield NULL → explode → silent row-drop. Loud-raise arm
+            # (same assert_true-in-lazy-CASE recipe as generate_series
+            # step 0); SQL NULL input keeps PG's zero rows, while a
+            # json null SCALAR raises like any other scalar in PG.
+            arg = arg_texts[0]
+            arr = f"from_json(({arg}), 'array<variant>')"
+            empty = "slice(array(''), 1, 0)"
             gen = (
-                f"explode(transform(from_json(({arg_texts[0]}), "
-                f"'array<variant>'), __gfw_x -> {elem}))"
+                f"explode(CASE "
+                f"WHEN ({arg}) IS NULL "
+                f"THEN CAST(NULL AS ARRAY<STRING>) "
+                f"WHEN {arr} IS NULL THEN CASE WHEN assert_true("
+                f"false, '{fname} must be applied to a json array') "
+                f"IS NULL THEN {empty} END "
+                f"ELSE transform({arr}, __gfw_x -> {elem}) END)"
             )
         # alias: keep a user AS/bare alias, else add PG's default name
         nxt = tokens[close + 1] if close + 1 < len(tokens) else None

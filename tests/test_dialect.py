@@ -2225,3 +2225,46 @@ class TestAvgDatePartReturnTypes:
         assert row.fe == 2       # float8 half-even
         assert row.ne == 3       # numeric half-away
         assert row.ep == 86400
+
+
+class TestJsonbArrayElementsNonArrayRaises:
+    """Round-9 (VERDICT r8 #4): PG errors on jsonb_array_elements of a
+    non-array ('cannot extract elements from a scalar/an object'); the
+    former translation silently dropped the row. Now an assert_true
+    lazy-CASE arm raises at runtime; SQL NULL keeps PG's zero rows."""
+
+    def _run(self, spark, view_rows, sql):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        vals = ", ".join(f"({v})" for v in view_rows)
+        spark.sql(f"SELECT * FROM VALUES {vals} t(j)").createOrReplaceTempView(
+            "jsrf_t"
+        )
+        return run_pg_sql(spark, sql).collect()
+
+    def test_arrays_still_explode_null_drops(self, spark):
+        rows = self._run(
+            spark,
+            ["'[1,2]'", "'[\"a\"]'", "CAST(NULL AS STRING)"],
+            "SELECT jsonb_array_elements_text(j) FROM jsrf_t",
+        )
+        assert [r[0] for r in rows] == ["1", "2", "a"]
+
+    def test_object_scalar_and_json_null_raise(self, spark):
+        import pytest
+
+        for bad in ["'{\"a\":1}'", "'5'", "'\"s\"'", "'null'"]:
+            with pytest.raises(Exception, match="json array"):
+                self._run(
+                    spark, [bad],
+                    "SELECT jsonb_array_elements(j) FROM jsrf_t",
+                )
+
+    def test_raise_is_lazy_no_false_trigger(self, spark):
+        # all-array inputs must not evaluate the raising arm
+        rows = self._run(
+            spark,
+            ["'[1]'", "'[2,3]'"],
+            "SELECT jsonb_array_elements(j) AS e FROM jsrf_t",
+        )
+        assert sorted(r[0] for r in rows) == ["1", "2", "3"]
