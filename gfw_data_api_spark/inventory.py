@@ -1146,10 +1146,19 @@ def _s05(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ivf.train_ivf(emb, nlist=8, iters=3)
     indexed = ivf.build_ivf_index(emb, centroids)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # r9 (r8-ADVICE): rank the GATE on the ROUNDED cosine with a vec_id
+    # tiebreak, identically to the oracle — a pair of vectors agreeing
+    # to 6dp but differing at ~1e-7 between the two engines' summation
+    # orders must not flip the LIMIT boundary. Fetch 20 through the
+    # production path, then deterministically keep 10.
     out = ivf.ivf_topk(
-        indexed.filter(F.col("vec_id") != 0), centroids, query, k=10, nprobe=8
+        indexed.filter(F.col("vec_id") != 0), centroids, query, k=20, nprobe=8
     )
-    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    return (
+        out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 _SPECS.append(
@@ -1165,9 +1174,11 @@ _SPECS.append(
             "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qe, q.qe))), 6) "
             "AS cosine "
             "FROM embeddings e, q WHERE e.vec_id != 0 "
-            "ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+            # rank on the ROUNDED cosine + vec_id, same as the gate —
+            # unrounded cross-engine 1e-7 noise must not flip the LIMIT
+            "ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
             "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
-            "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qe, q.qe))) "
+            "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qe, q.qe))), 6) "
             "DESC, e.vec_id LIMIT 10"
         ),
         survey_ref="similarity: IVF-Flat ANN (k-means cells + nprobe "

@@ -2128,8 +2128,10 @@ def _variant_containment_probe(vexpr: str, needle, depth: int, op: str) -> str:
     needles require each pair contained at the key (partial match,
     extra haystack keys fine), array needles require every element
     contained in SOME haystack element, scalars compare with
-    kind-guarded jsonb equality. Bounded at needle depth
-    ``_MAX_CONTAINMENT_DEPTH``; deeper needles raise loudly."""
+    kind-guarded jsonb equality. Bound: the needle may nest up to 3
+    container levels BELOW the top (``_MAX_CONTAINMENT_DEPTH = 4``
+    counting the whole needle as depth 1); deeper needles raise
+    loudly."""
     if isinstance(needle, (dict, list)) and depth > _MAX_CONTAINMENT_DEPTH:
         raise ValueError(
             f"{op}: needle nests deeper than {_MAX_CONTAINMENT_DEPTH} "
@@ -2209,7 +2211,9 @@ def _containment_conditions(col_text: str, literal: str, op: str) -> str:
     PG jsonb containment compares VALUES with jsonb equality: numbers
     numerically (5 contains 5.0), strings/booleans/nulls by kind.
     Nested object/array needle values recurse through
-    :func:`_variant_containment_probe` (round-8, bounded depth 3);
+    :func:`_variant_containment_probe` (round-8; needles may nest up
+    to 3 container levels below the top — _MAX_CONTAINMENT_DEPTH = 4
+    counting the needle itself);
     scalar top-level needles still raise (PG's array-contains-scalar
     exception is top-level-only and stays out of the subset)."""
     import json
@@ -2272,7 +2276,8 @@ def translate_json_contains(sql: str) -> str:
     translate to per-element ``exists`` probes over
     ``from_json(col, 'array<variant>')`` with an is-array guard
     (round-7 widening); nested object/array needle values recurse up
-    to depth 3 (round-8 — _variant_containment_probe). Containment
+    to 3 container levels below the top (_MAX_CONTAINMENT_DEPTH = 4
+    counting the needle itself — _variant_containment_probe). Containment
     between two dynamic columns and deeper nesting still raise
     loudly."""
     while True:
@@ -3201,9 +3206,11 @@ def translate_row_overlaps(sql: str) -> str:
     interval rule spelled out: each pair normalizes (swap so start ≤
     end), a pair with equal endpoints means that single instant, and
     otherwise ``[s, e)`` intervals overlap iff ``s1 < e2 AND s2 < e1``.
-    Probed against PG's documented examples. NULL endpoints are outside
-    the subset (PG has determinable-with-NULL cases; the emitted CASE
-    just yields NULL)."""
+    Probed against PG's documented examples. NULL endpoints follow PG's
+    full truth table (timestamp_overlaps: a pair with a NULL start takes
+    the non-null endpoint as its start; a determinate TRUE/FALSE is
+    returned when one known endpoint decides the answer, NULL only when
+    it genuinely cannot) — r8-ADVICE closed the silent NULL-collapse."""
     while True:
         tokens = tokenize(sql)
         at = None
@@ -3253,13 +3260,47 @@ def translate_row_overlaps(sql: str) -> str:
             raise ValueError("OVERLAPS takes (start, end) pairs on both sides")
         a, b = (sql[tokens[s].start : tokens[e].end] for s, e in largs)
         c, d = (sql[tokens[s].start : tokens[e].end] for s, e in rargs)
-        ls, le = f"least(({a}), ({b}))", f"greatest(({a}), ({b}))"
-        rs, re_ = f"least(({c}), ({d}))", f"greatest(({c}), ({d}))"
+        # PG's normalization: a pair with a NULL start takes the
+        # non-null endpoint as its start and a NULL end; otherwise
+        # start/end sort. Both-NULL pairs fall through to NULL via the
+        # start-IS-NULL arm below.
+        ls = (
+            f"(CASE WHEN ({a}) IS NULL THEN ({b}) "
+            f"WHEN ({b}) IS NULL THEN ({a}) "
+            f"ELSE least(({a}), ({b})) END)"
+        )
+        le = (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+            f"ELSE greatest(({a}), ({b})) END)"
+        )
+        rs = (
+            f"(CASE WHEN ({c}) IS NULL THEN ({d}) "
+            f"WHEN ({d}) IS NULL THEN ({c}) "
+            f"ELSE least(({c}), ({d})) END)"
+        )
+        re_ = (
+            f"(CASE WHEN ({c}) IS NULL OR ({d}) IS NULL THEN NULL "
+            f"ELSE greatest(({c}), ({d})) END)"
+        )
+        # PG's decision table (half-open [s, e); equal-endpoint pair =
+        # single instant): when the starts differ, the later start
+        # against the other pair's end decides; a needed-but-NULL end
+        # yields NULL, an unneeded one doesn't.
         repl = (
-            f"(CASE WHEN {ls} = {le} AND {rs} = {re_} THEN {ls} = {rs} "
-            f"WHEN {ls} = {le} THEN {rs} <= {ls} AND {ls} < {re_} "
-            f"WHEN {rs} = {re_} THEN {ls} <= {rs} AND {rs} < {le} "
-            f"ELSE {ls} < {re_} AND {rs} < {le} END)"
+            f"(CASE "
+            f"WHEN {ls} IS NULL OR {rs} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN {ls} > {rs} THEN CASE "
+            f"WHEN {re_} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN {ls} < {re_} THEN TRUE "
+            f"WHEN {le} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE FALSE END "
+            f"WHEN {ls} < {rs} THEN CASE "
+            f"WHEN {le} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN {rs} < {le} THEN TRUE "
+            f"WHEN {re_} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE FALSE END "
+            f"ELSE CASE WHEN {le} IS NULL OR {re_} IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) ELSE TRUE END END)"
         )
         sql = f"{sql[:tokens[lopen].start]}{repl}{sql[tokens[rclose].end:]}"
 

@@ -2268,3 +2268,37 @@ class TestJsonbArrayElementsNonArrayRaises:
             "SELECT jsonb_array_elements(j) AS e FROM jsrf_t",
         )
         assert sorted(r[0] for r in rows) == ["1", "2", "3"]
+
+
+class TestOverlapsNullTruthTable:
+    """Round-9 (r8-ADVICE): OVERLAPS with NULL endpoints follows PG's
+    timestamp_overlaps decision table — determinate TRUE when a known
+    endpoint settles it, NULL only when it genuinely cannot."""
+
+    def _o(self, spark, a, b, c, d):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        f = lambda v: "CAST(NULL AS INT)" if v is None else str(v)
+        return run_pg_sql(
+            spark,
+            f"SELECT ({f(a)}, {f(b)}) OVERLAPS ({f(c)}, {f(d)}) AS o",
+        ).collect()[0][0]
+
+    def test_determinate_true_with_null_end(self, spark):
+        assert self._o(spark, 5, None, 2, 8) is True
+        assert self._o(spark, None, 5, 2, 8) is True  # null start swaps
+        assert self._o(spark, 2, 8, 5, None) is True  # symmetric
+
+    def test_null_when_undecidable(self, spark):
+        assert self._o(spark, 5, None, 6, 8) is None
+        assert self._o(spark, 2, None, 5, 8) is None
+        assert self._o(spark, 5, None, 5, 8) is None   # equal starts
+        assert self._o(spark, None, None, 1, 5) is None
+        assert self._o(spark, 1, 5, None, None) is None
+
+    def test_non_null_regression(self, spark):
+        assert self._o(spark, 1, 5, 4, 8) is True
+        assert self._o(spark, 1, 4, 4, 8) is False     # half-open
+        assert self._o(spark, 3, 3, 1, 5) is True      # instant inside
+        assert self._o(spark, 1, 5, 5, 5) is False     # instant at end
+        assert self._o(spark, 5, 1, 8, 4) is True      # unsorted pairs
