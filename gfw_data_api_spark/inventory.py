@@ -8661,6 +8661,115 @@ _SPECS.append(
 )
 
 
+def _q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 SRF breadth (VERDICT r8 #9): WITH ORDINALITY and the
+    multi-array lockstep ``unnest(a, b)`` spelling. Both are PG's
+    FROM-clause forms admitted as SELECT-list extensions (PG rejects
+    the select-list spelling outright, so accepting them cannot
+    silently change a PG-valid query — docs/PARITY.md round-9):
+
+    - unnest(arr) WITH ORDINALITY → 1-based BIGINT `ordinality` after
+      the value column (inline over an indexed transform);
+    - generate_series(a, b) WITH ORDINALITY — ordinality differs from
+      the value (series starts at 3);
+    - jsonb_array_elements_text(j) WITH ORDINALITY over a planted
+      [num, "str", null] array;
+    - unnest(a, b) (single call, two arrays) → lockstep null-padding
+      to the longest array via arrays_zip.
+
+    DuckDB replays each arm with a range() subscript join — list
+    indexing past the end yields NULL, which IS the lockstep pad."""
+    ev = load_table(spark, sf_dir, "events")
+
+    r1 = execute_on_dataframe(
+        spark,
+        ev,
+        "SELECT 'ord' AS arm, event_id, "
+        "unnest(string_to_array(event_type || '-x' "
+        "|| CAST(event_id % 3 AS VARCHAR), '-')) WITH ORDINALITY "
+        "FROM data WHERE event_id % 20 = 0",
+    ).selectExpr(
+        "arm", "event_id", "CAST(unnest AS STRING) AS val", "ordinality AS ord"
+    )
+    r2 = execute_on_dataframe(
+        spark,
+        ev,
+        "SELECT 'gsord' AS arm, event_id, "
+        "generate_series(3, 3 + event_id % 3) WITH ORDINALITY "
+        "FROM data WHERE event_id % 25 = 0",
+    ).selectExpr(
+        "arm", "event_id", "CAST(generate_series AS STRING) AS val",
+        "ordinality AS ord",
+    )
+    planted = (
+        "'[' || CAST(event_id % 5 AS VARCHAR) || ', \"' "
+        "|| event_type || '\", null]'"
+    )
+    r3 = execute_on_dataframe(
+        spark,
+        ev,
+        f"SELECT 'jord' AS arm, event_id, "
+        f"jsonb_array_elements_text({planted}) WITH ORDINALITY "
+        "FROM data WHERE event_id % 30 = 0",
+    ).selectExpr("arm", "event_id", "value AS val", "ordinality AS ord")
+    r4 = execute_on_dataframe(
+        spark,
+        ev,
+        "SELECT 'multi' AS arm, event_id, "
+        "unnest(string_to_array(event_type || '-x' "
+        "|| CAST(event_id % 3 AS VARCHAR), '-'), "
+        "string_to_array(CAST(event_id % 5 AS VARCHAR), '-')) "
+        "FROM data WHERE event_id % 40 = 0",
+    ).selectExpr(
+        "arm", "event_id",
+        "concat_ws('/', coalesce(unnest, '~'), coalesce(unnest_1, '~')) AS val",
+        "CAST(0 AS BIGINT) AS ord",
+    )
+    return r1.union(r2).union(r3).union(r4)
+
+
+_SPECS.append(
+    QuerySpec(
+        name="q55_srf_ordinality",
+        spark_fn=_q55,
+        oracle=(
+            "SELECT 'ord' AS arm, event_id, a[CAST(i AS INT)] AS val, "
+            "i AS ord FROM (SELECT event_id, string_split(event_type "
+            "|| '-x' || CAST(event_id % 3 AS VARCHAR), '-') AS a "
+            "FROM events WHERE event_id % 20 = 0), "
+            "range(1, 3) t(i) WHERE i <= len(a) "
+            "UNION ALL "
+            "SELECT 'gsord' AS arm, event_id, "
+            "CAST(2 + i AS VARCHAR) AS val, i AS ord "
+            "FROM events, range(1, 4) t(i) "
+            "WHERE event_id % 25 = 0 AND i <= 1 + event_id % 3 "
+            "UNION ALL "
+            "SELECT 'jord' AS arm, event_id, v AS val, ord FROM (SELECT "
+            "event_id, CAST(event_id % 5 AS VARCHAR) AS e0, "
+            "event_type AS e1, CAST(NULL AS VARCHAR) AS e2 "
+            "FROM events WHERE event_id % 30 = 0), "
+            "(VALUES (1), (2), (3)) p(ord), "
+            "LATERAL (SELECT CASE ord WHEN 1 THEN e0 WHEN 2 THEN e1 "
+            "ELSE e2 END AS v) "
+            "UNION ALL "
+            "SELECT 'multi' AS arm, event_id, "
+            "coalesce(a[CAST(i AS INT)], '~') || '/' || "
+            "coalesce(b[CAST(i AS INT)], '~') AS val, CAST(0 AS BIGINT) AS ord "
+            "FROM (SELECT event_id, string_split(event_type || '-x' "
+            "|| CAST(event_id % 3 AS VARCHAR), '-') AS a, "
+            "string_split(CAST(event_id % 5 AS VARCHAR), '-') AS b "
+            "FROM events WHERE event_id % 40 = 0), "
+            "range(1, 3) t(i) WHERE i <= greatest(len(a), len(b))"
+        ),
+        survey_ref="Q11 SRF breadth round-9: WITH ORDINALITY (1-based "
+        "bigint, value column first) + multi-array lockstep unnest(a, b) "
+        "(sql/dialect.py translate_set_returning; PG restricts both "
+        "spellings to the FROM clause — admitted here as documented "
+        "SELECT-list extensions, PARITY.md round-9)",
+    )
+)
+
+
 def _q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = (
         # PG semantics under test (round-8, VERDICT r7 #8): NESTED @>

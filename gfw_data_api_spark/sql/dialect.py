@@ -3407,18 +3407,62 @@ def translate_set_returning(sql: str) -> str:
             _args_spans(tokens, i + 2, close - 1) if close - 1 >= i + 2 else []
         )
         arg_texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        # round-9: optional WITH ORDINALITY suffix (PG's FROM-clause
+        # spelling, admitted here as a SELECT-list extension — PG itself
+        # rejects the spelling in a select list, so accepting it cannot
+        # silently change any PG-valid query; docs/PARITY.md round-9)
+        ord_end = close
+        with_ordinality = (
+            close + 2 < len(tokens)
+            and tokens[close + 1].kind == "IDENT"
+            and tokens[close + 1].upper == "WITH"
+            and tokens[close + 2].kind == "IDENT"
+            and tokens[close + 2].upper == "ORDINALITY"
+        )
+        if with_ordinality:
+            ord_end = close + 2
+        # (arr, elem-template on __gfw_x) per function; identity elems
+        # keep the plain explode fast path below
+        elem = "__gfw_x"
         if fname == "unnest":
-            if len(arg_texts) != 1:
-                raise ValueError(
-                    "multi-argument unnest (lockstep form) is outside the "
-                    "translatable subset"
+            if len(arg_texts) == 0:
+                raise ValueError("unnest takes at least one argument")
+            if len(arg_texts) > 1:
+                # PG's multi-array lockstep unnest (FROM-clause form,
+                # admitted as a SELECT-list extension): arrays_zip
+                # null-pads to the longest array — the lockstep rule
+                if with_ordinality:
+                    raise ValueError(
+                        "multi-argument unnest WITH ORDINALITY is outside "
+                        "the translatable subset"
+                    )
+                after = tokens[close + 1] if close + 1 < len(tokens) else None
+                if after is not None and (
+                    after.kind == "QIDENT"
+                    or (after.kind == "IDENT" and after.upper == "AS")
+                    or (
+                        after.kind == "IDENT"
+                        and after.upper not in _OPERAND_BOUNDARY
+                    )
+                ):
+                    raise ValueError(
+                        "multi-argument unnest produces several columns "
+                        "— a single alias cannot name them"
+                    )
+                names = ", ".join(
+                    "unnest" if k == 0 else f"unnest_{k}"
+                    for k in range(len(arg_texts))
                 )
-            gen = f"explode({arg_texts[0]})"
+                zipped = ", ".join(f"({t})" for t in arg_texts)
+                gen = f"inline(arrays_zip({zipped})) AS ({names})"
+                sql = f"{sql[:tokens[i].start]}{gen}{sql[tokens[close].end:]}"
+                continue
+            arr = f"({arg_texts[0]})"
         elif fname == "generate_series":
             if len(arg_texts) == 2:
                 a, b = arg_texts
-                gen = (
-                    f"explode(CASE WHEN ({a}) <= ({b}) "
+                arr = (
+                    f"(CASE WHEN ({a}) <= ({b}) "
                     f"THEN sequence(({a}), ({b})) "
                     f"ELSE slice(sequence(({a}), ({a})), 1, 0) END)"
                 )
@@ -3429,8 +3473,8 @@ def translate_set_returning(sql: str) -> str:
                 # like PG (assert_true inside a lazy CASE arm)
                 a, b, step = arg_texts
                 empty = f"slice(sequence(({a}), ({a})), 1, 0)"
-                gen = (
-                    f"explode(CASE "
+                arr = (
+                    f"(CASE "
                     f"WHEN ({step}) = 0 THEN CASE WHEN assert_true("
                     f"false, 'generate_series step must not be zero') "
                     f"IS NULL THEN {empty} END "
@@ -3457,27 +3501,50 @@ def translate_set_returning(sql: str) -> str:
             # step 0); SQL NULL input keeps PG's zero rows, while a
             # json null SCALAR raises like any other scalar in PG.
             arg = arg_texts[0]
-            arr = f"from_json(({arg}), 'array<variant>')"
+            parsed = f"from_json(({arg}), 'array<variant>')"
             empty = "slice(array(''), 1, 0)"
-            gen = (
-                f"explode(CASE "
+            arr = (
+                f"(CASE "
                 f"WHEN ({arg}) IS NULL "
                 f"THEN CAST(NULL AS ARRAY<STRING>) "
-                f"WHEN {arr} IS NULL THEN CASE WHEN assert_true("
+                f"WHEN {parsed} IS NULL THEN CASE WHEN assert_true("
                 f"false, '{fname} must be applied to a json array') "
                 f"IS NULL THEN {empty} END "
-                f"ELSE transform({arr}, __gfw_x -> {elem}) END)"
+                f"ELSE transform({parsed}, __gfw_x -> {elem}) END)"
             )
+            # the raise-arm transform already applied the element
+            # template; downstream the elements are plain strings
+            elem = "__gfw_x"
         # alias: keep a user AS/bare alias, else add PG's default name
-        nxt = tokens[close + 1] if close + 1 < len(tokens) else None
-        has_alias = nxt is not None and (
-            (nxt.kind == "IDENT" and nxt.upper == "AS")
-            or (nxt.kind == "IDENT" and nxt.upper not in _OPERAND_BOUNDARY)
-            or nxt.kind == "QIDENT"
-        )
-        if not has_alias:
-            gen += f" AS {_SRF_NAMES[fname]}"
-        sql = f"{sql[:tokens[i].start]}{gen}{sql[tokens[close].end:]}"
+        nxt = tokens[ord_end + 1] if ord_end + 1 < len(tokens) else None
+        alias = None
+        if nxt is not None:
+            if nxt.kind == "IDENT" and nxt.upper == "AS":
+                if ord_end + 2 < len(tokens):
+                    atok = tokens[ord_end + 2]
+                    alias = f"`{atok.value}`" if atok.kind == "QIDENT" else atok.value
+            elif nxt.kind == "QIDENT":
+                alias = f"`{nxt.value}`"
+            elif nxt.kind == "IDENT" and nxt.upper not in _OPERAND_BOUNDARY:
+                alias = nxt.value
+        if with_ordinality:
+            # PG's WITH ORDINALITY: 1-based BIGINT position column named
+            # `ordinality`, AFTER the value column. A user alias names
+            # the value column (keep it out of the rewritten span — the
+            # struct fields carry both names).
+            name = alias or _SRF_NAMES[fname]
+            span_hi = tokens[ord_end + (2 if alias and nxt.upper == "AS" else (1 if alias else 0))].end
+            gen = (
+                f"inline(transform({arr}, (__gfw_x, __gfw_i) -> "
+                f"struct({elem} AS {name}, "
+                f"CAST(__gfw_i + 1 AS BIGINT) AS ordinality)))"
+            )
+            sql = f"{sql[:tokens[i].start]}{gen}{sql[span_hi:]}"
+        else:
+            gen = f"explode({arr})"
+            if alias is None:
+                gen += f" AS {_SRF_NAMES[fname]}"
+            sql = f"{sql[:tokens[i].start]}{gen}{sql[tokens[close].end:]}"
 
 
 # ---------------------------------------------------------------------------

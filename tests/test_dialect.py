@@ -1647,7 +1647,7 @@ class TestSetReturningFunctions:
 
     def test_translations(self):
         out = to_spark_sql("SELECT unnest(ARRAY['a','b']) FROM t")
-        assert "explode(array('a','b')) AS unnest" in out
+        assert "explode((array('a','b'))) AS unnest" in out
         out = to_spark_sql("SELECT generate_series(1, 5) FROM t")
         assert "sequence((1), (5))" in out and "AS generate_series" in out
         out = to_spark_sql("SELECT jsonb_array_elements(j) AS e FROM t")
@@ -2302,3 +2302,52 @@ class TestOverlapsNullTruthTable:
         assert self._o(spark, 3, 3, 1, 5) is True      # instant inside
         assert self._o(spark, 1, 5, 5, 5) is False     # instant at end
         assert self._o(spark, 5, 1, 8, 4) is True      # unsorted pairs
+
+
+class TestSrfOrdinalityAndMultiArg:
+    """Round-9 SRF breadth (VERDICT r8 #9): WITH ORDINALITY and
+    multi-array unnest(a, b) — PG's FROM-clause spellings admitted as
+    SELECT-list extensions (PG rejects them in a select list, so no
+    PG-valid query changes meaning; PARITY.md round-9)."""
+
+    def test_translations(self):
+        out = to_spark_sql("SELECT unnest(a) WITH ORDINALITY FROM t")
+        assert "inline(transform((a)" in out
+        # the +1 cast may route through the generic DECIMAL cast pass
+        # (exact for integers) — assert the column, not the spelling
+        assert "AS ordinality" in out and "__gfw_i + 1" in out
+        out = to_spark_sql("SELECT unnest(a) WITH ORDINALITY AS v FROM t")
+        assert "AS v" in out and "AS ordinality" in out
+        out = to_spark_sql("SELECT unnest(a, b) FROM t")
+        assert "inline(arrays_zip((a), (b))) AS (unnest, unnest_1)" in out
+
+    def test_rejections(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="ORDINALITY"):
+            to_spark_sql("SELECT unnest(a, b) WITH ORDINALITY FROM t")
+        with _pt.raises(ValueError, match="alias"):
+            to_spark_sql("SELECT unnest(a, b) AS x FROM t")
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT array(10, 20, 30) AS a, array('x', 'y') AS b"
+        ).createOrReplaceTempView("srf_ord_t")
+        rows = run_pg_sql(
+            spark, "SELECT unnest(a) WITH ORDINALITY FROM srf_ord_t"
+        ).collect()
+        assert [tuple(r) for r in rows] == [(10, 1), (20, 2), (30, 3)]
+        rows = run_pg_sql(
+            spark, "SELECT unnest(a, b) FROM srf_ord_t"
+        ).collect()
+        # lockstep: shorter array null-pads to the longest
+        assert [tuple(r) for r in rows] == [
+            (10, "x"), (20, "y"), (30, None),
+        ]
+        rows = run_pg_sql(
+            spark,
+            "SELECT generate_series(5, 7) WITH ORDINALITY FROM srf_ord_t",
+        ).collect()
+        assert [tuple(r) for r in rows] == [(5, 1), (6, 2), (7, 3)]
