@@ -3527,13 +3527,34 @@ def translate_set_returning(sql: str) -> str:
                 alias = f"`{nxt.value}`"
             elif nxt.kind == "IDENT" and nxt.upper not in _OPERAND_BOUNDARY:
                 alias = nxt.value
+        # the item must END here: a trailing operator (`unnest(a) / 2`)
+        # means the SRF sits inside an expression — reject with the
+        # subset error instead of a confusing downstream parse failure
+        item_end = ord_end
+        if alias is not None:
+            item_end = ord_end + (
+                2 if (nxt.kind == "IDENT" and nxt.upper == "AS") else 1
+            )
+        trailing = tokens[item_end + 1] if item_end + 1 < len(tokens) else None
+        if trailing is not None and not (
+            (trailing.kind == "PUNCT" and trailing.value == ",")
+            or (
+                trailing.kind == "IDENT"
+                and trailing.upper in _SELECT_LIST_BOUNDARY
+            )
+            or (trailing.kind == "IDENT" and trailing.upper == "FROM")
+        ):
+            raise ValueError(
+                f"{fname}() is only translatable as a bare SELECT item "
+                "(no surrounding expression)"
+            )
         if with_ordinality:
             # PG's WITH ORDINALITY: 1-based BIGINT position column named
             # `ordinality`, AFTER the value column. A user alias names
             # the value column (keep it out of the rewritten span — the
             # struct fields carry both names).
             name = alias or _SRF_NAMES[fname]
-            span_hi = tokens[ord_end + (2 if alias and nxt.upper == "AS" else (1 if alias else 0))].end
+            span_hi = tokens[item_end].end
             gen = (
                 f"inline(transform({arr}, (__gfw_x, __gfw_i) -> "
                 f"struct({elem} AS {name}, "

@@ -24,8 +24,8 @@ import pytest
 
 from tests.test_dialect_value_fuzz import Gen, _same
 
-N_STATEMENTS = 110  # + N_API_STATEMENTS routed through the WSGI app
-N_API_STATEMENTS = 20
+N_STATEMENTS = 140  # + N_API_STATEMENTS routed through the WSGI app
+N_API_STATEMENTS = 26
 SEED = 977
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T1", "/root/testdata/sf0.001")
@@ -147,6 +147,86 @@ def _statements(rng: random.Random):
             )
             yield i, pg_sql, dk_sql, [ex]
             continue
+        if shape < 0.64:
+            # round-9 SRF×typed interaction shape (VERDICT r8 #6): a
+            # set-returning item NEXT TO typed int division in one
+            # statement — the typed pass runs first on the PG text, the
+            # SRF pass after; both must compose. Two arms:
+            if rng.random() < 0.5:
+                # generate_series beside a typed ratio; empty series
+                # (doc_id % 3 = 0) drops the row in BOTH engines
+                dv = rng.choice(["7", "11", "(doc_id % 5 + 2)"])
+                pg_sql = (
+                    f"SELECT doc_id, n_chars / {dv} AS c0, "
+                    f"generate_series(1, CAST(doc_id % 3 AS INT)) AS g "
+                    f"FROM data WHERE {w_pg} ORDER BY doc_id, g"
+                )
+                dk_sql = (
+                    f"SELECT doc_id, ((n_chars - (n_chars % ({dv}))) // "
+                    f"({dv})) AS c0, "
+                    f"unnest(generate_series(1, CAST(doc_id % 3 AS INT))) "
+                    f"AS g "
+                    f"FROM documents WHERE {w_dk} ORDER BY doc_id, g"
+                )
+                yield i, pg_sql, dk_sql, [True, True]
+            else:
+                # unnest WITH ORDINALITY over a planted 2-element array
+                # beside typed division; the duck twin replays the two
+                # positions as a union (langs carry no '-')
+                pg_sql = (
+                    f"SELECT doc_id, doc_id / 13 AS c0, "
+                    f"unnest(string_to_array(lang || '-' "
+                    f"|| CAST(doc_id % 7 AS VARCHAR), '-')) "
+                    f"WITH ORDINALITY "
+                    f"FROM data WHERE {w_pg} ORDER BY doc_id, ordinality"
+                )
+                dk_sql = (
+                    f"SELECT doc_id, ((doc_id - (doc_id % 13)) // 13) "
+                    f"AS c0, u AS unnest, o AS ordinality FROM ("
+                    f"SELECT doc_id, lang AS u, CAST(1 AS BIGINT) AS o "
+                    f"FROM documents WHERE {w_dk} "
+                    f"UNION ALL "
+                    f"SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS u, "
+                    f"CAST(2 AS BIGINT) AS o "
+                    f"FROM documents WHERE {w_dk}) "
+                    f"ORDER BY doc_id, ordinality"
+                )
+                yield i, pg_sql, dk_sql, [True, True, True]
+            continue
+        if shape < 0.76:
+            # round-9 containment-inside-CASE shape: nested @> probes as
+            # CASE predicates (q53 pins fixed samples; this walks the
+            # space). DuckDB's json_contains shares PG's recursive
+            # containment rules (probed in round 8).
+            hay = (
+                "('{\"k\": ' || CAST(doc_id % 5 AS VARCHAR) "
+                "|| ', \"tags\": [1, {\"lvl\": ' "
+                "|| CAST(doc_id % 3 AS VARCHAR) || '}]}')"
+            )
+            needles = [
+                '{"k": %d}' % rng.randint(0, 5),
+                '{"tags": [1]}',
+                '{"tags": [{"lvl": %d}]}' % rng.randint(0, 3),
+                '{"k": %d, "tags": [{"lvl": %d}]}'
+                % (rng.randint(0, 4), rng.randint(0, 2)),
+            ]
+            n1, n2 = rng.sample(needles, 2)
+            pg_sql = (
+                f"SELECT doc_id, CASE "
+                f"WHEN {hay} @> '{n1}' THEN 'first' "
+                f"WHEN {hay} @> '{n2}' THEN 'second' "
+                f"ELSE 'none' END AS c0 "
+                f"FROM data WHERE {w_pg} ORDER BY doc_id"
+            )
+            dk_sql = (
+                f"SELECT doc_id, CASE "
+                f"WHEN json_contains({hay}, '{n1}') THEN 'first' "
+                f"WHEN json_contains({hay}, '{n2}') THEN 'second' "
+                f"ELSE 'none' END AS c0 "
+                f"FROM documents WHERE {w_dk} ORDER BY doc_id"
+            )
+            yield i, pg_sql, dk_sql, [True]
+            continue
         items_pg, items_dk = [], []
         kinds = []
         for j in range(rng.randint(1, 3)):
@@ -259,6 +339,15 @@ def test_statement_fuzz_through_api_layer(spark, tmp_path):
     for i in range(N_API_STATEMENTS):
         e_pg, e_dk, _, ex = gen.num(2) if rng.random() < 0.5 else gen.string(2)
         w_pg, w_dk, _, _ = gen.boolean(2)
+        # round-9 (VERDICT r8 #6): every third statement carries a
+        # NON-ASCII literal through the whole URL → WSGI → guard →
+        # literal contract → JSON response path (UTF-8 must survive
+        # percent-encoding and the ensure_ascii-free serializer)
+        if i % 3 == 0:
+            na = rng.choice(["Łódź", "café", "naïve→20°"])
+            e_pg = f"lang || '-{na}'"
+            e_dk = f"lang || '-{na}'"
+            ex = True
         pg_sql = (
             f"SELECT doc_id, ({e_pg}) AS c0 FROM data "
             f"WHERE {w_pg} ORDER BY doc_id LIMIT 80"
