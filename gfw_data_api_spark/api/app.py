@@ -148,8 +148,14 @@ def _task_payload(task) -> dict:
 def _row_value(value):
     import datetime
 
+    from gfw_data_api_spark.operators.downloads import (
+        _interval_to_pg_text,
+    )
+
     if isinstance(value, (bytes, bytearray)):
         return value.hex()
+    if isinstance(value, datetime.timedelta):
+        return _interval_to_pg_text(value)
     if isinstance(value, (datetime.datetime, datetime.date)):
         return value.isoformat()
     return value

