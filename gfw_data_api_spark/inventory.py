@@ -3311,66 +3311,66 @@ _SPECS.append(
 # design — xxhash64/approx families) go last so no capped slot is spent on
 # a weaker rows-only row.
 _DRIVER_FRONT: list[str] = [
-    # round-8 rotation (VERDICT r7 #2): the driver snapshot records the
-    # first 50 queries() entries. This front = ALL 43 rows last
-    # driver-checked in round 4 (the oldest staleness anywhere after
-    # the r7 rotation cleared the r3 backlog), then the seven rows that
-    # are new or newly-full-oracle this round (q51 typed semantics,
-    # q52 set-returning, q53 nested containment, m13 free-format MP3,
-    # and the three rows-only conversions d11/s05/s07). Every slot is
-    # full-oracle — zero rows-only entries remain anywhere.
-    # --- r4-checked rows, registry order ---
-    "a01_approx_count_distinct",
-    "a02_approx_percentile",
-    "a03_heavy_hitters",
-    "c03_text_normalization",
-    "d01_exact_dedup",
-    "d02_prefix_fingerprint",
-    "d03_ngram_jaccard_pairs",
-    "d05_simhash_neardups",
-    "d07_embedding_neardups",
-    "d12_ppjoin_pairs",
-    "e01_csv_inference_roundtrip",
-    "e03_append_antijoin",
-    "e10_groupwise_dedup",
-    "i01_group_join_agg",
-    "i02_three_way_join",
-    "i05_normalized_lookup",
-    "i06_pagination",
-    "i08_multiway_join_revenue",
-    "m02_audio_wav_features",
-    "m03_video_frame_sampling",
-    "m05_audio_neardups",
-    "p03_curate_round4",
-    "p04_curate_normalized",
-    "q08_window",
-    "q09_date_functions",
-    "q10_string_functions",
-    "q26_point_radius_haversine",
-    "r01_zonal_sum_groupby",
-    "r04_threshold_filter",
-    "r06_isoweek",
-    "r08_derived_layer_calc",
-    "s01_cosine_topk",
-    "s03_ann_lsh_topk",
-    "s08_ivf_recall_gate",
-    "st08_media_stream_dedup",
-    "t01_token_count",
-    "t02_quality_signals",
-    "t03_lang_profile",
-    "t04_language_id_confusion",
-    "t15_bm25_search",
-    "t16_epoch_shuffle",
-    "t18_corpus_report",
-    "t19_vocabulary_stats",
-    # --- round-8 new gates + rows-only conversions ---
-    "q51_typed_semantics",
-    "q52_set_returning",
-    "q53_nested_containment",
-    "m13_free_format_mp3",
-    "d11_semantic_dedup",
-    "s05_ivf_topk",
-    "s07_pq_topk",
+    # round-9 rotation (VERDICT r8 #2): the driver snapshot records the
+    # first 50 queries() entries. This front = the three rows with NO
+    # driver evidence yet (q54 landed after the r8 snapshot was cut;
+    # q55 SRF ordinality/lockstep and r13 raster float-division are new
+    # this round), then 47 of the 50 rows last checked in round 5 —
+    # the oldest staleness anywhere. The three remaining r5 rows
+    # (t20_perplexity_buckets, t21_sequence_packing, t22_script_signals)
+    # head the round-10 rotation. Every slot is full-oracle.
+    # --- never driver-checked ---
+    "q54_overlaps_null_counters",
+    "q55_srf_ordinality",
+    "r13_raster_float_division",
+    # --- r5-checked rows, VERDICT r8 order ---
+    "a04_count_min_sketch",
+    "b02_bpe_encode",
+    "c04_html_extract",
+    "c05_robots_filter",
+    "d06_winnowing_fingerprints",
+    "d13_incremental_dedup",
+    "d14_paragraph_dedup",
+    "e02_partition_mapping",
+    "e11_gfw_area_geodesic",
+    "e12_web_mercator_forward",
+    "e13_grid_1x1_export",
+    "e14_jsonl_ingest",
+    "e15_warc_ingest",
+    "g01_pagerank",
+    "i07_exact_id_lookup",
+    "m01_media_content_keys",
+    "m07_progressive_jpeg_decode",
+    "m08_gif_decode_contract",
+    "m09_mel_tone_gate",
+    "pr01_rasterize_modes",
+    "pr02_band_algebra",
+    "pr03_mercator_warp",
+    "pr04_downsample_pyramid",
+    "pr06_colormap_symbology",
+    "pr07_exact_histogram",
+    "q11_case_expr",
+    "q12_alias_table",
+    "q13_jsonb_extract",
+    "q14_pg_casts",
+    "q15_window_frame",
+    "q16_date_between_pipeline",
+    "q17_rollup",
+    "q27_spatial_filter_box",
+    "q28_window_breadth",
+    "q29_scalar_subquery",
+    "r07_pixel_area",
+    "r09_geometry_clip",
+    "r10_batch_list_query",
+    "r11_version_overrides",
+    "s02_embedding_norms",
+    "s04_blocked_cosine_pairs",
+    "s09_hybrid_rrf_search",
+    "s10_pq_recall_gate",
+    "st01_tumbling_window",
+    "st02_session_windows",
+    "st09_jsonl_stream_monitor",
+    "t05_quality_ratios",
 ]
 
 
