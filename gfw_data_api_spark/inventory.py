@@ -3316,12 +3316,14 @@ _DRIVER_FRONT: list[str] = [
     # driver evidence yet (q54 landed after the r8 snapshot was cut;
     # q55 SRF ordinality/lockstep and r13 raster float-division are new
     # this round), then 47 of the 50 rows last checked in round 5 —
-    # the oldest staleness anywhere. The three remaining r5 rows
-    # (t20_perplexity_buckets, t21_sequence_packing, t22_script_signals)
-    # head the round-10 rotation. Every slot is full-oracle.
+    # the oldest staleness anywhere. The four remaining r5 rows
+    # (t05_quality_ratios, t20_perplexity_buckets, t21_sequence_packing,
+    # t22_script_signals) head the round-10 rotation. Every slot is
+    # full-oracle.
     # --- never driver-checked ---
     "q54_overlaps_null_counters",
     "q55_srf_ordinality",
+    "q56_array_functions",
     "r13_raster_float_division",
     # --- r5-checked rows, VERDICT r8 order ---
     "a04_count_min_sketch",
@@ -3370,7 +3372,6 @@ _DRIVER_FRONT: list[str] = [
     "st01_tumbling_window",
     "st02_session_windows",
     "st09_jsonl_stream_monitor",
-    "t05_quality_ratios",
 ]
 
 
@@ -8766,6 +8767,58 @@ _SPECS.append(
         "(sql/dialect.py translate_set_returning; PG restricts both "
         "spellings to the FROM clause — admitted here as documented "
         "SELECT-list extensions, PARITY.md round-9)",
+    )
+)
+
+
+_Q56_SQL = (
+    # Round-9 array-function surface (silent-divergence fixes):
+    # array_position absent -> NULL (Spark/DuckDB both say 0 —
+    # nullif'd on both sides), array_length of an EMPTY array ->
+    # NULL (PG rule; size/len give 0), array_cat with a NULL side
+    # keeps the other side (PG; concat is NULL-poisoning), strpos
+    # is locate with reversed args. Arrays planted from event_type.
+    "SELECT event_id, "
+    "array_position(string_to_array(event_type || '-x', '-'), 'x') "
+    "AS pos_hit, "
+    "array_position(string_to_array(event_type || '-x', '-'), 'zz') "
+    "AS pos_miss, "
+    "array_length(string_to_array(event_type, '-'), 1) AS len_one, "
+    "array_length(string_to_array('', '-'), 1) AS len_empty, "
+    "array_to_string(array_cat("
+    "CASE WHEN event_id % 5 = 0 THEN NULL "
+    "ELSE string_to_array(event_type, '-') END, "
+    "string_to_array('x-y', '-')), '/') AS cat_null_arm, "
+    "strpos(event_type, 'ck') AS sp_hit, "
+    "strpos(event_type, 'zz') AS sp_miss "
+    "FROM events WHERE event_id % 15 = 0"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q56_array_functions",
+        spark_fn=_guarded("events", _Q56_SQL),
+        oracle=(
+            "SELECT event_id, "
+            "CAST(nullif(list_position(string_split(event_type || '-x', "
+            "'-'), 'x'), 0) AS BIGINT) AS pos_hit, "
+            "CAST(nullif(list_position(string_split(event_type || '-x', "
+            "'-'), 'zz'), 0) AS BIGINT) AS pos_miss, "
+            "CAST(nullif(len(string_split(event_type, '-')), 0) "
+            "AS BIGINT) AS len_one, "
+            "CAST(NULL AS BIGINT) AS len_empty, "
+            "array_to_string(list_concat("
+            "CASE WHEN event_id % 5 = 0 THEN NULL "
+            "ELSE string_split(event_type, '-') END, "
+            "string_split('x-y', '-')), '/') AS cat_null_arm, "
+            "CAST(strpos(event_type, 'ck') AS BIGINT) AS sp_hit, "
+            "CAST(strpos(event_type, 'zz') AS BIGINT) AS sp_miss "
+            "FROM events WHERE event_id % 15 = 0"
+        ),
+        survey_ref="Q11 round-9 array/string surface: array_position "
+        "NULL-on-absent, array_length NULL-on-empty, null-aware "
+        "array_cat, strpos (sql/dialect.py translate_pg_functions "
+        "round-9 loop)",
     )
 )
 

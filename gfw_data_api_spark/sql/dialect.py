@@ -1337,6 +1337,92 @@ def translate_pg_functions(sql: str) -> str:
         )
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
+        # round-9 array/uuid surface (silent-divergence fixes + cheap
+        # renames; values probed against PG's documented behavior):
+        #   array_position(a, v)  Spark returns 0 when absent, PG NULL
+        #                         → nullif(..., 0). 3-arg start form
+        #                         raises (Spark has no equivalent).
+        #   strpos(s, sub)        PG name; Spark spells it locate with
+        #                         the arguments REVERSED.
+        #   array_length(a, 1)    PG returns NULL for empty arrays
+        #                         (size gives 0) → nullif(size(a), 0);
+        #                         only literal dimension 1 translates.
+        #   array_cat(a, b)       PG treats a NULL side as absent
+        #                         (array_cat(NULL, b) = b); Spark's
+        #                         concat is NULL-poisoning → CASE.
+        #   gen_random_uuid()     → uuid() (both random v4 text).
+        tokens = tokenize(sql)
+        at = None
+        fname = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower()
+                in (
+                    "array_position",
+                    "strpos",
+                    "array_length",
+                    "array_cat",
+                    "gen_random_uuid",
+                )
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                if (
+                    t.value.lower() == "array_position"
+                    and i >= 2
+                    and tokens[i - 1].value == "("
+                    and tokens[i - 2].kind == "IDENT"
+                    and tokens[i - 2].value.lower() == "nullif"
+                ):
+                    continue  # already rewritten (rescan terminator)
+                at = i
+                fname = t.value.lower()
+                break
+        if at is None:
+            break
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError(f"unbalanced {fname}(...)")
+        args = (
+            _args_spans(tokens, at + 2, close - 1)
+            if close - 1 >= at + 2
+            else []
+        )
+        texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        if fname == "array_position":
+            if len(texts) != 2:
+                raise ValueError(
+                    "array_position with a start index is outside the "
+                    "translatable subset"
+                )
+            repl = f"nullif(array_position(({texts[0]}), ({texts[1]})), 0)"
+        elif fname == "strpos":
+            if len(texts) != 2:
+                raise ValueError("strpos takes exactly (string, substring)")
+            repl = f"locate(({texts[1]}), ({texts[0]}))"
+        elif fname == "array_length":
+            if len(texts) != 2 or texts[1].strip() != "1":
+                raise ValueError(
+                    "array_length translates only for literal dimension 1 "
+                    "(arrays here are one-dimensional)"
+                )
+            repl = f"nullif(size(({texts[0]})), 0)"
+        elif fname == "array_cat":
+            if len(texts) != 2:
+                raise ValueError("array_cat takes exactly two arrays")
+            a, b = texts
+            repl = (
+                f"(CASE WHEN ({a}) IS NULL THEN ({b}) "
+                f"WHEN ({b}) IS NULL THEN ({a}) "
+                f"ELSE concat(({a}), ({b})) END)"
+            )
+        else:  # gen_random_uuid
+            if texts:
+                raise ValueError("gen_random_uuid takes no arguments")
+            repl = "uuid()"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
         tokens = tokenize(sql)
         at = None
         for i, t in enumerate(tokens):

@@ -2351,3 +2351,55 @@ class TestSrfOrdinalityAndMultiArg:
             "SELECT generate_series(5, 7) WITH ORDINALITY FROM srf_ord_t",
         ).collect()
         assert [tuple(r) for r in rows] == [(5, 1), (6, 2), (7, 3)]
+
+
+class TestArrayFunctionSurface:
+    """Round-9 array/string surface: translations that fix SILENT
+    divergences in functions Spark shares by name (array_position
+    0-vs-NULL) plus PG names Spark lacks (strpos, array_length,
+    array_cat, gen_random_uuid)."""
+
+    def test_translations(self):
+        out = to_spark_sql("SELECT array_position(a, 5) FROM t")
+        assert "nullif(array_position((a), (5)), 0)" in out
+        out = to_spark_sql("SELECT strpos(s, 'x') FROM t")
+        assert "locate(('x'), (s))" in out
+        out = to_spark_sql("SELECT array_length(a, 1) FROM t")
+        assert "nullif(size((a)), 0)" in out
+        out = to_spark_sql("SELECT array_cat(a, b) FROM t")
+        assert "concat((a), (b))" in out and "IS NULL" in out
+        out = to_spark_sql("SELECT gen_random_uuid() FROM t")
+        assert "uuid()" in out
+
+    def test_rejections(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="start index"):
+            to_spark_sql("SELECT array_position(a, 5, 2) FROM t")
+        with _pt.raises(ValueError, match="dimension 1"):
+            to_spark_sql("SELECT array_length(a, 2) FROM t")
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT array(1, 2, 3) AS arr, "
+            "CAST(array() AS array<int>) AS emp, "
+            "CAST(NULL AS array<int>) AS na, 'abcbc' AS s"
+        ).createOrReplaceTempView("arr_fn_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT array_position(arr, 9) AS p_miss, "
+            "array_position(arr, 2) AS p_hit, "
+            "array_length(arr, 1) AS l3, "
+            "array_length(emp, 1) AS l_empty, "
+            "array_length(na, 1) AS l_null, "
+            "strpos(s, 'bc') AS sp, strpos(s, 'zz') AS sp0, "
+            "array_to_string(array_cat(na, arr), ',') AS cat_l, "
+            "array_to_string(array_cat(arr, na), ',') AS cat_r "
+            "FROM arr_fn_t",
+        ).collect()[0]
+        assert row.p_miss is None and row.p_hit == 2     # PG NULL-on-absent
+        assert row.l3 == 3 and row.l_empty is None and row.l_null is None
+        assert row.sp == 2 and row.sp0 == 0
+        assert row.cat_l == "1,2,3" and row.cat_r == "1,2,3"
