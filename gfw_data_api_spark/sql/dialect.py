@@ -1337,6 +1337,30 @@ def translate_pg_functions(sql: str) -> str:
         )
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
+        # PG single-argument log(x) is BASE 10; Spark's is natural log
+        # — silently different values. → log10. (Two-argument
+        # log(b, x) agrees in both engines and passes through; ln is
+        # natural in both.)
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "LOG"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                close = _primary_end(tokens, i)
+                if close is None:
+                    raise ValueError("unbalanced log(...)")
+                args = _args_spans(tokens, i + 2, close - 1)
+                if len(args) == 1:
+                    at = i
+                    break
+        if at is None:
+            break
+        sql = f"{sql[:tokens[at].start]}log10{sql[tokens[at].end:]}"
+    while True:
         # round-9 array/uuid surface (silent-divergence fixes + cheap
         # renames; values probed against PG's documented behavior):
         #   array_position(a, v)  Spark returns 0 when absent, PG NULL
@@ -3723,6 +3747,7 @@ _FN_CATEGORY = {
     "div": "decimal",  # PG div() returns numeric
     "sign": "decimal",
     "random": "double",
+    "rint": "double", "log10": "double",  # our own emissions
     "year": "int", "month": "int", "day": "int",  # shared spellings
     # window functions (PG return types)
     "row_number": "bigint", "rank": "bigint", "dense_rank": "bigint",
@@ -4293,6 +4318,42 @@ def _rewrite_date_minus(sql: str, coltypes) -> str:
             return sql
 
 
+def _rewrite_typed_round(sql: str, coltypes) -> str:
+    """PG ``round(float8)`` rounds HALF-EVEN (rint; the known PG gotcha
+    vs numeric's half-away), Spark's round is HALF_UP for every type —
+    silently different at exact halves. Single-argument round over a
+    known double/float operand → ``rint``; decimal/unknown operands
+    keep Spark round (HALF_UP = PG numeric). Integral operands are
+    identity in both engines. 2-arg round of a float is a PG ERROR
+    (no round(float8, int) exists) — left untouched as an extension."""
+    while True:
+        tokens = tokenize(sql)
+        changed = False
+        for i, t in enumerate(tokens):
+            if not (
+                t.kind == "IDENT"
+                and t.upper == "ROUND"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                continue
+            close = _primary_end(tokens, i)
+            if close is None:
+                continue
+            args = _args_spans(tokens, i + 2, close - 1)
+            if len(args) != 1:
+                continue
+            s0, e0 = args[0]
+            if _span_type(tokens, s0, e0, coltypes) not in ("double", "float"):
+                continue
+            inner = sql[tokens[s0].start : tokens[e0].end]
+            sql = f"{sql[:tokens[i].start]}rint({inner}){sql[tokens[close].end:]}"
+            changed = True
+            break
+        if not changed:
+            return sql
+
+
 def _rewrite_typed_casts(sql: str, coltypes) -> str:
     """Type-aware int-cast routes (both cast spellings):
 
@@ -4396,6 +4457,7 @@ def translate_typed_ops(sql: str, column_types: dict[str, str] | None) -> str:
     if column_types is None:
         return sql
     coltypes = {k.lower(): v for k, v in column_types.items()}
+    sql = _rewrite_typed_round(sql, coltypes)
     sql = _rewrite_typed_casts(sql, coltypes)
     sql = _rewrite_date_minus(sql, coltypes)
     return _rewrite_int_division(sql, coltypes)

@@ -2403,3 +2403,56 @@ class TestArrayFunctionSurface:
         assert row.l3 == 3 and row.l_empty is None and row.l_null is None
         assert row.sp == 2 and row.sp0 == 0
         assert row.cat_l == "1,2,3" and row.cat_r == "1,2,3"
+
+
+class TestLogAndTypedRound:
+    """Round-9 silent-divergence fixes in the shared-name surface:
+    PG log(x) is BASE 10 (Spark: natural) and PG round(float8) is
+    HALF-EVEN (the classic numeric-vs-float8 PG gotcha; Spark rounds
+    HALF_UP for every type)."""
+
+    def test_log_translation(self):
+        assert "log10(x)" in to_spark_sql("SELECT log(x) FROM t")
+        # 2-arg log agrees in both engines — untouched
+        out = to_spark_sql("SELECT log(2, x) FROM t")
+        assert "log(2, x)" in out and "log10" not in out
+        # ln stays natural
+        assert "ln(x)" in to_spark_sql("SELECT ln(x) FROM t")
+
+    def test_typed_round_translation(self):
+        from gfw_data_api_spark.sql.dialect import translate_typed_ops
+
+        CT = {"xf": "double", "dc": "decimal", "ia": "int"}
+        assert translate_typed_ops("SELECT round(xf) FROM t", CT) == (
+            "SELECT rint(xf) FROM t"
+        )
+        # numeric operand keeps HALF_UP round (PG numeric is half-away)
+        assert translate_typed_ops("SELECT round(dc) FROM t", CT) == (
+            "SELECT round(dc) FROM t"
+        )
+        # 2-arg round untouched (PG has no round(float8, int))
+        assert translate_typed_ops("SELECT round(xf, 2) FROM t", CT) == (
+            "SELECT round(xf, 2) FROM t"
+        )
+        # aggregate return types flow through (avg(double) is double)
+        assert "rint(avg(xf))" in translate_typed_ops(
+            "SELECT round(avg(xf)) FROM t", CT
+        )
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.operators.query import execute_on_dataframe
+
+        df = spark.sql(
+            "SELECT CAST(2.5 AS DOUBLE) AS xf, "
+            "CAST(2.5 AS DECIMAL(5,1)) AS dc, 100 AS ia"
+        )
+        row = execute_on_dataframe(
+            spark,
+            df,
+            "SELECT round(xf) AS fe, round(dc) AS na, log(ia) AS lg, "
+            "ln(ia) AS nat FROM data",
+        ).collect()[0]
+        assert row.fe == 2.0      # float8: half-even
+        assert int(row.na) == 3   # numeric: half-away
+        assert row.lg == 2.0      # PG log = base 10
+        assert abs(row.nat - 4.605170185988092) < 1e-12

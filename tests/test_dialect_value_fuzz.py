@@ -709,7 +709,11 @@ class TypedGen:
         )
 
     def pick(self):
-        arm = self.r.randrange(12)
+        arm = self.r.randrange(13)
+        if arm == 12:  # r9: round(float8) is HALF-EVEN in PG (rint),
+            # not Spark's HALF_UP; xf lands on exact .5 halves. DuckDB
+            # round(double) is half-away — round_even is the twin.
+            return "round(xf)", "round_even(xf, 0)"
         if arm == 10:  # r9: avg(float8) is DOUBLE in PG → cast half-EVEN
             # (windowed so the fuzz stays per-row; duck dbl→int is
             # half-even natively, an independent route)
