@@ -8790,7 +8790,11 @@ _Q56_SQL = (
     "ELSE string_to_array(event_type, '-') END, "
     "string_to_array('x-y', '-')), '/') AS cat_null_arm, "
     "strpos(event_type, 'ck') AS sp_hit, "
-    "strpos(event_type, 'zz') AS sp_miss "
+    "strpos(event_type, 'zz') AS sp_miss, "
+    # concat() skips NULL args in PG (and DuckDB) — Spark's NULL-
+    # poisoning concat is rewritten to concat_ws('')
+    "concat(CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'L-' END, "
+    "event_type) AS cc "
     "FROM events WHERE event_id % 15 = 0"
 )
 
@@ -8812,7 +8816,9 @@ _SPECS.append(
             "ELSE string_split(event_type, '-') END, "
             "string_split('x-y', '-')), '/') AS cat_null_arm, "
             "CAST(strpos(event_type, 'ck') AS BIGINT) AS sp_hit, "
-            "CAST(strpos(event_type, 'zz') AS BIGINT) AS sp_miss "
+            "CAST(strpos(event_type, 'zz') AS BIGINT) AS sp_miss, "
+            "concat(CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'L-' END, "
+            "event_type) AS cc "
             "FROM events WHERE event_id % 15 = 0"
         ),
         survey_ref="Q11 round-9 array/string surface: array_position "

@@ -4463,9 +4463,35 @@ def translate_typed_ops(sql: str, column_types: dict[str, str] | None) -> str:
     return _rewrite_int_division(sql, coltypes)
 
 
+def translate_concat_nullskip(sql: str) -> str:
+    """PG ``concat(...)`` SKIPS NULL arguments (concat('a', NULL) =
+    'a'); Spark's concat NULL-poisons — silently different. PG concat
+    is text-typed always, and ``concat_ws('', ...)`` is exactly its
+    skip-NULLs text semantics. MUST run before any pass that emits a
+    Spark ``concat(`` itself (json ops, array_cat, literal splicing) —
+    those emissions want Spark semantics and stay untouched. The
+    ``||`` operator NULL-poisons in BOTH engines and is not affected."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() == "concat"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        sql = f"{sql[:tokens[at].start]}concat_ws('', {sql[tokens[at + 1].end:]}"
+
+
 def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     """All PG→Spark surface translations."""
     sql = translate_typed_ops(sql, column_types)  # schema-aware, PG-typed
+    sql = translate_concat_nullskip(sql)  # before passes that EMIT concat(
     sql = translate_json_ops(sql)  # first: later passes emit -> lambdas
     sql = translate_json_exists(sql)  # before array_literal: eats ARRAY[..]
     sql = translate_json_contains(sql)

@@ -2456,3 +2456,32 @@ class TestLogAndTypedRound:
         assert int(row.na) == 3   # numeric: half-away
         assert row.lg == 2.0      # PG log = base 10
         assert abs(row.nat - 4.605170185988092) < 1e-12
+
+
+class TestConcatNullSkip:
+    """Round-9: PG concat() SKIPS NULL arguments; Spark's NULL-poisons.
+    Translated to concat_ws('') BEFORE the passes that emit Spark
+    concat( themselves (json ops, array_cat) so emissions keep Spark
+    semantics."""
+
+    def test_translation(self):
+        assert to_spark_sql("SELECT concat(a, b) FROM t") == (
+            "SELECT concat_ws('', a, b) FROM t"
+        )
+        # concat_ws passes through; emitted concat( survives:
+        out = to_spark_sql("SELECT array_cat(a, b) FROM t")
+        assert "concat((a), (b))" in out
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT 'a' AS s, CAST(NULL AS STRING) AS ns, 3 AS n"
+        ).createOrReplaceTempView("concat_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT concat(s, ns, 'z') AS a, concat(n, ns, s) AS b, "
+            "concat(ns, ns) AS c, s || ns AS d FROM concat_t",
+        ).collect()[0]
+        assert row.a == "az" and row.b == "3a" and row.c == ""
+        assert row.d is None  # the || operator NULL-poisons in BOTH
