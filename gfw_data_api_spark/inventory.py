@@ -3316,14 +3316,15 @@ _DRIVER_FRONT: list[str] = [
     # driver evidence yet (q54 landed after the r8 snapshot was cut;
     # q55 SRF ordinality/lockstep and r13 raster float-division are new
     # this round), then 47 of the 50 rows last checked in round 5 —
-    # the oldest staleness anywhere. The four remaining r5 rows
-    # (t05_quality_ratios, t20_perplexity_buckets, t21_sequence_packing,
-    # t22_script_signals) head the round-10 rotation. Every slot is
-    # full-oracle.
+    # the oldest staleness anywhere. The five remaining r5 rows
+    # (st09_jsonl_stream_monitor, t05_quality_ratios,
+    # t20_perplexity_buckets, t21_sequence_packing, t22_script_signals)
+    # head the round-10 rotation. Every slot is full-oracle.
     # --- never driver-checked ---
     "q54_overlaps_null_counters",
     "q55_srf_ordinality",
     "q56_array_functions",
+    "q57_json_introspection",
     "r13_raster_float_division",
     # --- r5-checked rows, VERDICT r8 order ---
     "a04_count_min_sketch",
@@ -3371,7 +3372,6 @@ _DRIVER_FRONT: list[str] = [
     "s10_pq_recall_gate",
     "st01_tumbling_window",
     "st02_session_windows",
-    "st09_jsonl_stream_monitor",
 ]
 
 
@@ -8825,6 +8825,52 @@ _SPECS.append(
         "NULL-on-absent, array_length NULL-on-empty, null-aware "
         "array_cat, strpos (sql/dialect.py translate_pg_functions "
         "round-9 loop)",
+    )
+)
+
+
+_Q57_SQL = (
+    # Round-9 breadth batch 2: regexp_split_to_array (regex split with
+    # PG's kept trailing empties), jsonb_typeof over every kind, and
+    # jsonb_array_length — planted json text derives from event fields
+    "SELECT event_id, "
+    "array_to_string(regexp_split_to_array("
+    "event_type || '-' || CAST(event_id % 100 AS VARCHAR) || '-x', "
+    "'[-0-9]+'), '/') AS sp, "
+    "jsonb_typeof(CASE event_id % 5 "
+    "WHEN 0 THEN '{\"k\": ' || CAST(event_id % 7 AS VARCHAR) || '}' "
+    "WHEN 1 THEN '[1, 2]' WHEN 2 THEN '\"' || event_type || '\"' "
+    "WHEN 3 THEN CAST(event_id % 9 AS VARCHAR) ELSE 'true' END) AS jt, "
+    "jsonb_array_length('[' || CAST(event_id % 4 AS VARCHAR) || ', 7]') "
+    "AS jl "
+    "FROM events WHERE event_id % 15 = 0"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q57_json_introspection",
+        spark_fn=_guarded("events", _Q57_SQL),
+        oracle=(
+            "SELECT event_id, "
+            "array_to_string(regexp_split_to_array("
+            "event_type || '-' || CAST(event_id % 100 AS VARCHAR) "
+            "|| '-x', '[-0-9]+'), '/') AS sp, "
+            # DuckDB json_type names -> PG jsonb_typeof names
+            "CASE json_type(CASE event_id % 5 "
+            "WHEN 0 THEN '{\"k\": ' || CAST(event_id % 7 AS VARCHAR) || '}' "
+            "WHEN 1 THEN '[1, 2]' WHEN 2 THEN '\"' || event_type || '\"' "
+            "WHEN 3 THEN CAST(event_id % 9 AS VARCHAR) ELSE 'true' END) "
+            "WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' "
+            "WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean' "
+            "WHEN 'NULL' THEN 'null' ELSE 'number' END AS jt, "
+            "CAST(json_array_length('[' || CAST(event_id % 4 AS VARCHAR) "
+            "|| ', 7]') AS INT) AS jl "
+            "FROM events WHERE event_id % 15 = 0"
+        ),
+        survey_ref="Q11 round-9 batch 2: regexp_split_to_array, "
+        "jsonb_typeof, jsonb_array_length (sql/dialect.py "
+        "translate_pg_functions; emissions that used Spark's native "
+        "json_* spellings now use from_json probes)",
     )
 )
 

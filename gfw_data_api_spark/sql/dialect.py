@@ -841,9 +841,12 @@ def translate_jsonb_concat(sql: str) -> str:
             f"__gfw_e -> NOT array_contains(map_keys({my}), __gfw_e.key)), "
             f"map_entries({my})), {_JSONB_MERGE_CMP})))"
         )
+        # object guard via the map parse (NULL for non-objects) — NOT
+        # Spark's json_object_keys spelling, which the round-9 SRF pass
+        # owns for PG's set-returning json_object_keys
         repl = (
-            f"(CASE WHEN json_object_keys({lhs}) IS NOT NULL "
-            f"AND json_object_keys({rhs}) IS NOT NULL THEN {merged} "
+            f"(CASE WHEN {mx} IS NOT NULL "
+            f"AND {my} IS NOT NULL THEN {merged} "
             f"ELSE raise_error('jsonb || translates only object || object "
             f"(array/scalar concatenation is outside the subset)') END)"
         )
@@ -1445,6 +1448,121 @@ def translate_pg_functions(sql: str) -> str:
             if texts:
                 raise ValueError("gen_random_uuid takes no arguments")
             repl = "uuid()"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
+        # round-9 breadth batch 2 (all loud UNRESOLVED before this —
+        # no silent risk; semantics probed against PG's documented
+        # rules):
+        #   regexp_split_to_array(s, 'pat' [, 'i']) → split (Spark's
+        #     split IS regex, limit -1 keeps trailing empties like PG;
+        #     POSIX classes spliced for literal patterns)
+        #   jsonb_typeof(j) → first-char sniff CASE (canonical jsonb:
+        #     object/array/string/boolean/null/number)
+        #   jsonb_array_length/json_array_length → size(from_json)
+        #     with PG's RAISE on non-array (assert_true arm)
+        #   encode(x, 'hex') → lower(hex(x)) (PG hex is lowercase);
+        #     decode(s, 'hex') → unhex(s); other formats raise
+        #     (base64: PG wraps lines at 76 chars, Spark doesn't)
+        tokens = tokenize(sql)
+        at = None
+        fname = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower()
+                in (
+                    "regexp_split_to_array",
+                    "jsonb_typeof",
+                    "json_typeof",
+                    "jsonb_array_length",
+                    "json_array_length",
+                    "encode",
+                    "decode",
+                )
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                fname = t.value.lower()
+                break
+        if at is None:
+            break
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError(f"unbalanced {fname}(...)")
+        args = (
+            _args_spans(tokens, at + 2, close - 1)
+            if close - 1 >= at + 2
+            else []
+        )
+        texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        if fname == "regexp_split_to_array":
+            if len(texts) not in (2, 3):
+                raise ValueError(
+                    "regexp_split_to_array takes (string, pattern [, flags])"
+                )
+            s_expr = texts[0]
+            pat_span = args[1]
+            prefix = ""
+            if len(texts) == 3:
+                ftoks = tokens[args[2][0] : args[2][1] + 1]
+                if len(ftoks) != 1 or ftoks[0].kind != "STRING" or ftoks[0].value not in ("", "i"):
+                    raise ValueError(
+                        "regexp_split_to_array flags: only 'i' translates"
+                    )
+                prefix = "(?i)" if ftoks[0].value == "i" else ""
+            ptoks = tokens[pat_span[0] : pat_span[1] + 1]
+            if len(ptoks) == 1 and ptoks[0].kind == "STRING":
+                lit = _translate_posix_classes(ptoks[0].value)
+                lit = (prefix + lit).replace("'", "''")
+                pat = f"'{lit}'"
+            else:
+                if prefix:
+                    raise ValueError(
+                        "regexp_split_to_array flags need a literal pattern"
+                    )
+                pat = sql[tokens[pat_span[0]].start : tokens[pat_span[1]].end]
+            repl = f"split(({s_expr}), {pat}, -1)"
+        elif fname in ("jsonb_typeof", "json_typeof"):
+            if len(texts) != 1:
+                raise ValueError(f"{fname} takes exactly one argument")
+            j = texts[0]
+            c = f"substring(ltrim(({j})), 1, 1)"
+            repl = (
+                f"(CASE WHEN ({j}) IS NULL THEN CAST(NULL AS STRING) "
+                f"WHEN {c} = '{{' THEN 'object' "
+                f"WHEN {c} = '[' THEN 'array' "
+                f"WHEN {c} = '\"' THEN 'string' "
+                f"WHEN {c} IN ('t', 'f') THEN 'boolean' "
+                f"WHEN {c} = 'n' THEN 'null' "
+                f"ELSE 'number' END)"
+            )
+        elif fname in ("jsonb_array_length", "json_array_length"):
+            if len(texts) != 1:
+                raise ValueError(f"{fname} takes exactly one argument")
+            j = texts[0]
+            parsed = f"from_json(({j}), 'array<variant>')"
+            repl = (
+                f"(CASE WHEN ({j}) IS NULL THEN CAST(NULL AS INT) "
+                f"WHEN {parsed} IS NULL THEN CASE WHEN assert_true("
+                f"false, '{fname}: cannot get array length of a "
+                f"non-array') IS NULL THEN 0 END "
+                f"ELSE size({parsed}) END)"
+            )
+        else:  # encode / decode
+            if len(texts) != 2:
+                raise ValueError(f"{fname} takes exactly (value, format)")
+            ftoks = tokens[args[1][0] : args[1][1] + 1]
+            if len(ftoks) != 1 or ftoks[0].kind != "STRING" or ftoks[0].value != "hex":
+                raise ValueError(
+                    f"{fname}: only the 'hex' format translates "
+                    "(PG base64 wraps lines at 76 chars; escape format "
+                    "has no Spark twin)"
+                )
+            if fname == "encode":
+                repl = f"lower(hex(({texts[0]})))"
+            else:
+                repl = f"unhex(({texts[0]}))"
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
         tokens = tokenize(sql)
@@ -2087,9 +2205,13 @@ def translate_json_ops(sql: str) -> str:
         lstart = _absorb_operand_left(tokens, lstart)
         lhs = sql[tokens[lstart].start : tokens[at - 1].end]
         if neg_n is not None:
+            # size(from_json) rather than Spark's json_array_length:
+            # the round-9 pg_functions loop owns the json_array_length
+            # SPELLING (PG raise-on-non-array semantics) and must not
+            # rewrite this emission
             path_expr = (
-                f"concat('$[', CAST(json_array_length({lhs}) - {neg_n} "
-                f"AS STRING), ']')"
+                f"concat('$[', CAST(size(from_json({lhs}, "
+                f"'array<variant>')) - {neg_n} AS STRING), ']')"
             )
             if _JSON_OPS[op]:
                 repl = f"get_json_object({lhs}, {path_expr})"
@@ -2149,11 +2271,16 @@ def _json_has_key(lhs: str, key: str) -> str:
     # while json.dumps' default \uXXXX escaping would never match it
     jlit = json.dumps(key, ensure_ascii=False).replace("'", "''")
     klit = key.replace("'", "''")
+    # object/array guards via from_json parses (NULL for the wrong
+    # kind) — NOT Spark's json_object_keys/json_array_length
+    # spellings, which the round-9 passes own for PG's functions of
+    # those names
     return (
         f"coalesce(CASE "
-        f"WHEN json_object_keys({lhs}) IS NOT NULL "
-        f"THEN array_contains(json_object_keys({lhs}), '{klit}') "
-        f"WHEN json_array_length({lhs}) IS NOT NULL "
+        f"WHEN from_json({lhs}, 'map<string, variant>') IS NOT NULL "
+        f"THEN array_contains("
+        f"map_keys(from_json({lhs}, 'map<string, variant>')), '{klit}') "
+        f"WHEN from_json({lhs}, 'array<variant>') IS NOT NULL "
         f"THEN exists(from_json({lhs}, 'array<variant>'), "
         f"__gfw_x -> to_json(__gfw_x) = '{jlit}') "
         f"ELSE to_json(try_parse_json({lhs})) = '{jlit}' END, false)"
@@ -2284,10 +2411,12 @@ def _array_containment_conditions(col_text: str, arr: list, op: str) -> str:
     Needle elements must be scalars — nested needles raise."""
     import json
 
-    # haystack must be a JSON array: json_array_length is NULL for
-    # objects, scalars, and invalid JSON (IS NOT NULL is two-valued)
-    conds = [f"json_array_length({col_text}) IS NOT NULL"]
+    # haystack must be a JSON array: the from_json array parse is NULL
+    # for objects, scalars, and invalid JSON (IS NOT NULL two-valued).
+    # NOT Spark's json_array_length spelling — the round-9 pg_functions
+    # loop owns that name for PG's raising jsonb_array_length.
     elems = f"from_json({col_text}, 'array<variant>')"
+    conds = [f"{elems} IS NOT NULL"]
     for val in arr:
         if isinstance(val, bool):
             probe = f"to_json(__gfw_x) = '{'true' if val else 'false'}'"
@@ -3227,6 +3356,11 @@ _SRF_NAMES = {
     "json_array_elements": "value",
     "jsonb_array_elements_text": "value",
     "json_array_elements_text": "value",
+    # round-9: object-keys SRFs (PG default column name = fn name);
+    # jsonb_ sorts keys in jsonb's canonical length-then-bytewise
+    # order, json_ keeps document order
+    "jsonb_object_keys": "jsonb_object_keys",
+    "json_object_keys": "json_object_keys",
 }
 
 _SELECT_LIST_BOUNDARY = {
@@ -3596,6 +3730,35 @@ def translate_set_returning(sql: str) -> str:
                 )
             else:
                 raise ValueError("generate_series takes 2 or 3 arguments")
+        elif fname.endswith("_object_keys"):
+            if len(arg_texts) != 1:
+                raise ValueError(f"{fname} takes exactly one argument")
+            # PG raises on a non-object ("cannot call … on a scalar /
+            # an array") — same assert_true arm as the array SRFs.
+            # jsonb canonical key order is length-then-bytewise (the
+            # comparator below; bytewise approximated by Spark string
+            # order — exact for ASCII keys); json_ keeps document
+            # order. NB json (non-b) duplicate keys are deduplicated
+            # by the map parse — a documented boundary.
+            arg = arg_texts[0]
+            parsed = f"from_json(({arg}), 'map<string, variant>')"
+            keys = f"map_keys({parsed})"
+            if fname.startswith("jsonb"):
+                keys = (
+                    f"array_sort({keys}, (l, r) -> CASE "
+                    f"WHEN length(l) < length(r) THEN -1 "
+                    f"WHEN length(l) > length(r) THEN 1 "
+                    f"WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END)"
+                )
+            empty = "slice(array(''), 1, 0)"
+            arr = (
+                f"(CASE "
+                f"WHEN ({arg}) IS NULL THEN CAST(NULL AS ARRAY<STRING>) "
+                f"WHEN {parsed} IS NULL THEN CASE WHEN assert_true("
+                f"false, '{fname} must be applied to a json object') "
+                f"IS NULL THEN {empty} END "
+                f"ELSE {keys} END)"
+            )
         else:
             if len(arg_texts) != 1:
                 raise ValueError(f"{fname} takes exactly one argument")

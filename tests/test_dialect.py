@@ -2485,3 +2485,74 @@ class TestConcatNullSkip:
         ).collect()[0]
         assert row.a == "az" and row.b == "3a" and row.c == ""
         assert row.d is None  # the || operator NULL-poisons in BOTH
+
+
+class TestJsonIntrospectionSurface:
+    """Round-9 breadth batch 2: regexp_split_to_array, jsonb_typeof,
+    jsonb/json_array_length (PG raise on non-array), the object-keys
+    SRFs (jsonb_ in canonical length-then-byte order), encode/decode
+    hex. All were loud UNRESOLVED before — no silent risk — and the
+    emissions that previously used Spark's native json_object_keys/
+    json_array_length spellings (jsonb ||, ? operators, @> guards) now
+    use from_json probes so these passes own the PG names."""
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT '{\"bb\": 1, \"a\": 2}' AS j, '[3,1,2]' AS ja, "
+            "'a-b--c-' AS s, unhex('00ff10') AS hx"
+        ).createOrReplaceTempView("jintro_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT array_to_string(regexp_split_to_array(s, '-+'), '/') "
+            "AS sp, jsonb_typeof(j) AS tj, jsonb_typeof(ja) AS ta, "
+            "jsonb_typeof('-4.5') AS tn, jsonb_typeof('true') AS tb, "
+            "jsonb_array_length(ja) AS al, encode(hx, 'hex') AS hex, "
+            "length(decode('00ff10', 'hex')) AS dl FROM jintro_t",
+        ).collect()[0]
+        assert row.sp == "a/b/c/"   # trailing empty kept, like PG
+        assert (row.tj, row.ta, row.tn, row.tb) == (
+            "object", "array", "number", "boolean"
+        )
+        assert row.al == 3 and row.hex == "00ff10" and row.dl == 3
+
+    def test_object_keys_srf(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT '{\"bb\": 1, \"a\": 2, \"ccc\": 3}' AS j"
+        ).createOrReplaceTempView("jkeys_t")
+        rows = run_pg_sql(
+            spark, "SELECT jsonb_object_keys(j) FROM jkeys_t"
+        ).collect()
+        # jsonb canonical order: length first, then bytewise
+        assert [r[0] for r in rows] == ["a", "bb", "ccc"]
+        rows = run_pg_sql(
+            spark, "SELECT json_object_keys(j) FROM jkeys_t"
+        ).collect()
+        assert [r[0] for r in rows] == ["bb", "a", "ccc"]  # document order
+        rows = run_pg_sql(
+            spark,
+            "SELECT jsonb_object_keys(j) WITH ORDINALITY FROM jkeys_t",
+        ).collect()
+        assert [tuple(r) for r in rows] == [("a", 1), ("bb", 2), ("ccc", 3)]
+
+    def test_raises_like_pg(self, spark):
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT '[1]' AS ja, '5' AS js").createOrReplaceTempView(
+            "jraise_t"
+        )
+        with _pt.raises(Exception, match="non-array"):
+            run_pg_sql(
+                spark, "SELECT jsonb_array_length('{\"a\":1}') FROM jraise_t"
+            ).collect()
+        with _pt.raises(Exception, match="json object"):
+            run_pg_sql(
+                spark, "SELECT jsonb_object_keys(ja) FROM jraise_t"
+            ).collect()
+        with _pt.raises(ValueError, match="hex"):
+            run_pg_sql(spark, "SELECT encode(ja, 'base64') FROM jraise_t")
