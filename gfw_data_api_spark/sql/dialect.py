@@ -1391,6 +1391,7 @@ def translate_pg_functions(sql: str) -> str:
                     "array_length",
                     "array_cat",
                     "gen_random_uuid",
+                    "chr",
                 )
                 and i + 1 < len(tokens)
                 and tokens[i + 1].value == "("
@@ -1443,6 +1444,21 @@ def translate_pg_functions(sql: str) -> str:
                 f"(CASE WHEN ({a}) IS NULL THEN ({b}) "
                 f"WHEN ({b}) IS NULL THEN ({a}) "
                 f"ELSE concat(({a}), ({b})) END)"
+            )
+        elif fname == "chr":
+            # PG chr() is the UNICODE code point (chr(955) = 'λ');
+            # Spark's chr folds modulo 256 — silently different beyond
+            # ASCII. Java's %c is the code-point conversion and raises
+            # on invalid points like PG; chr(0) needs its own arm (a
+            # valid code point, but PG forbids the null character).
+            if len(texts) != 1:
+                raise ValueError("chr takes exactly one argument")
+            x = texts[0]
+            repl = (
+                f"(CASE WHEN ({x}) = 0 THEN CASE WHEN assert_true("
+                f"false, 'null character not permitted') IS NULL "
+                f"THEN '' END "
+                f"ELSE format_string('%c', CAST(({x}) AS INT)) END)"
             )
         else:  # gen_random_uuid
             if texts:
@@ -1656,6 +1672,91 @@ def _java_replacement(repl: str, shift: int) -> str:
         out.append(c)
         i += 1
     return "".join(out)
+
+
+_MATH_DOMAIN_FNS = frozenset(
+    ("sqrt", "ln", "log10", "log", "acos", "asin", "power")
+)
+
+
+def translate_math_domain(sql: str) -> str:
+    """PG RAISES on math domain errors — ``sqrt(-1)``, ``ln(0)``,
+    ``acos(2)``, ``power(0, -1)``, negative base to a fractional power
+    — where Spark silently yields NaN / NULL / Infinity. Wrap the
+    domain check in a lazy CASE with an assert_true raise arm (the
+    generate_series-step-0 recipe). Runs AFTER translate_pg_functions
+    (single-arg log is already log10) and after the caret pass (PG
+    ``^`` emits power, which shares PG's domain rules).
+
+    Scan order: rightmost-first with a moving left boundary — the
+    emitted ELSE re-contains the function name, and inner calls sit to
+    the right of their enclosing call, so each rewrite only ever looks
+    strictly left of the last one. NULL inputs fall through every
+    domain arm to the function itself (PG: NULL in, NULL out)."""
+    boundary = None
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() in _MATH_DOMAIN_FNS
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+                and (boundary is None or t.start < boundary)
+            ):
+                at = i  # keep scanning: we want the RIGHTMOST
+        if at is None:
+            return sql
+        fname = tokens[at].value.lower()
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError(f"unbalanced {fname}(...)")
+        args = (
+            _args_spans(tokens, at + 2, close - 1)
+            if close - 1 >= at + 2
+            else []
+        )
+        texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        call = sql[tokens[at].start : tokens[close].end]
+        boundary = tokens[at].start
+        arms = []
+        if fname == "sqrt" and len(texts) == 1:
+            arms = [(f"({texts[0]}) < 0",
+                     "cannot take square root of a negative number")]
+        elif fname in ("ln", "log10") and len(texts) == 1:
+            arms = [(f"({texts[0]}) <= 0",
+                     "cannot take logarithm of zero or a negative number")]
+        elif fname == "log" and len(texts) == 2:
+            b, x = texts
+            arms = [
+                (f"({b}) <= 0 OR ({x}) <= 0",
+                 "cannot take logarithm of zero or a negative number"),
+                (f"({b}) = 1", "division by zero"),
+            ]
+        elif fname in ("acos", "asin") and len(texts) == 1:
+            arms = [(f"abs({texts[0]}) > 1", "input is out of range")]
+        elif fname == "power" and len(texts) == 2:
+            x, y = texts
+            arms = [
+                (f"({x}) = 0 AND ({y}) < 0",
+                 "zero raised to a negative power is undefined"),
+                (f"({x}) < 0 AND ({y}) != floor({y})",
+                 "a negative number raised to a non-integer power "
+                 "yields a complex result"),
+            ]
+        if not arms:
+            continue  # wrong arity — leave for Spark's own analyzer
+        # the dummy MUST be non-NULL: with every CASE outcome NULL,
+        # Catalyst folds the whole CASE to NULL and silently drops the
+        # assert_true (probed) — 0.0 never materializes, the raise wins
+        when = " ".join(
+            f"WHEN {cond} THEN CASE WHEN assert_true(false, '{msg}') "
+            f"IS NULL THEN CAST(0 AS DOUBLE) END"
+            for cond, msg in arms
+        )
+        repl = f"(CASE {when} ELSE {call} END)"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
 
 
 def translate_regexp_replace(sql: str) -> str:
@@ -4676,6 +4777,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_regex_ops(sql)
     sql = translate_similar_to(sql)
     sql = translate_pg_functions(sql)
+    sql = translate_math_domain(sql)  # after log→log10 and ^→power
     sql = translate_regexp_replace(sql)
     sql = translate_substring_regex(sql)
     sql = translate_substr_positional(sql)  # after regex form is consumed

@@ -2556,3 +2556,47 @@ class TestJsonIntrospectionSurface:
             ).collect()
         with _pt.raises(ValueError, match="hex"):
             run_pg_sql(spark, "SELECT encode(ja, 'base64') FROM jraise_t")
+
+
+class TestMathDomainErrors:
+    """Round-9: PG RAISES on math domain errors where Spark silently
+    yields NaN/NULL/Infinity — sqrt(-1), ln(0), log(-1), acos(2),
+    power(0, -1), negative^fractional (the caret pass emits power, so
+    ^ shares the rules), log base 1, chr(0), chr beyond ASCII
+    (Spark chr folds mod 256; PG chr is the Unicode code point)."""
+
+    def _run(self, spark, sql):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT -1.0 AS neg, 0.0 AS zero, 2.0 AS two, 4.0 AS four"
+        ).createOrReplaceTempView("math_t")
+        return run_pg_sql(spark, sql).collect()
+
+    def test_domain_errors_raise(self, spark):
+        import pytest as _pt
+
+        for sql, msg in [
+            ("SELECT sqrt(neg) FROM math_t", "square root"),
+            ("SELECT ln(zero) FROM math_t", "logarithm"),
+            ("SELECT log(neg) FROM math_t", "logarithm"),
+            ("SELECT acos(two) FROM math_t", "out of range"),
+            ("SELECT power(zero, -2) FROM math_t", "negative power"),
+            ("SELECT (0 - two) ^ 0.5 FROM math_t", "complex"),
+            ("SELECT log(1, four) FROM math_t", "division by zero"),
+            ("SELECT chr(0) FROM math_t", "null character"),
+        ]:
+            with _pt.raises(Exception, match=msg):
+                self._run(spark, sql)
+
+    def test_valid_domain_untouched(self, spark):
+        rows = self._run(
+            spark,
+            "SELECT sqrt(four) AS a, sqrt(sqrt(16.0)) AS b, "
+            "power(neg, 2) AS c, log(2, 8.0) AS d, acos(1.0) AS e, "
+            "sqrt(CAST(NULL AS DOUBLE)) AS f, two ^ 3 AS g, "
+            "chr(955) AS h FROM math_t",
+        )
+        r = rows[0]
+        assert (r.a, r.b, r.c, r.d, r.e) == (2.0, 2.0, 1.0, 3.0, 0.0)
+        assert r.f is None and r.g == 8.0 and r.h == "λ"

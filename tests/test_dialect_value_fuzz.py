@@ -913,6 +913,19 @@ ERROR_ATOMS = [
     # decimal target too small
     ("CAST(12345.67 AS DECIMAL(4,2))", "CAST(12345.67 AS DECIMAL(4,2))"),
     ("1234567.89::numeric(5,1)", "CAST(1234567.89 AS DECIMAL(5,1))"),
+    # round-9 math domain errors (PG raises; Spark alone would give
+    # NaN/NULL/Infinity — translate_math_domain's assert arms)
+    ("sqrt(0.0 - xf * xf - 1)", None),
+    ("ln(xf - xf)", None),
+    ("ln(0.0 - abs(xf) - 1)", None),
+    ("log(0.0 - abs(xf) - 1)", None),
+    ("acos(abs(xf) + 2)", None),
+    ("asin(0.0 - abs(xf) - 2)", None),
+    ("power(xf - xf, -2)", None),
+    ("power(0.0 - abs(xf) - 1, 0.5)", None),
+    ("(0.0 - abs(xf) - 1) ^ 0.5", None),
+    ("log(1, abs(xf) + 2)", None),
+    ("chr(ia - ia)", None),
 ]
 
 
