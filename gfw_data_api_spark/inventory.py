@@ -8842,7 +8842,10 @@ _Q57_SQL = (
     "WHEN 1 THEN '[1, 2]' WHEN 2 THEN '\"' || event_type || '\"' "
     "WHEN 3 THEN CAST(event_id % 9 AS VARCHAR) ELSE 'true' END) AS jt, "
     "jsonb_array_length('[' || CAST(event_id % 4 AS VARCHAR) || ', 7]') "
-    "AS jl "
+    "AS jl, "
+    # PG date_trunc units Spark lacks; centuries start at xxx1 in PG
+    "date_trunc('decade', ts) AS dec_t, "
+    "date_trunc('century', ts) AS cen_t "
     "FROM events WHERE event_id % 15 = 0"
 )
 
@@ -8864,7 +8867,12 @@ _SPECS.append(
             "WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean' "
             "WHEN 'NULL' THEN 'null' ELSE 'number' END AS jt, "
             "CAST(json_array_length('[' || CAST(event_id % 4 AS VARCHAR) "
-            "|| ', 7]') AS INT) AS jl "
+            "|| ', 7]') AS INT) AS jl, "
+            # DuckDB decade agrees with PG; DuckDB centuries start at
+            # xx00 (PG: xx01) so the oracle replays PG's documented rule
+            "CAST(date_trunc('decade', ts) AS TIMESTAMP) AS dec_t, "
+            "make_timestamp(CAST(floor((year(ts) - 1) / 100) * 100 + 1 "
+            "AS BIGINT), 1, 1, 0, 0, 0) AS cen_t "
             "FROM events WHERE event_id % 15 = 0"
         ),
         survey_ref="Q11 round-9 batch 2: regexp_split_to_array, "

@@ -1466,6 +1466,65 @@ def translate_pg_functions(sql: str) -> str:
             repl = "uuid()"
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
+        # PG date_trunc units Spark lacks (decade/century/millennium —
+        # Spark returns NULL SILENTLY for unknown units, and PG
+        # centuries/millennia start at year xxx1), plus loud rejection
+        # of units Spark would NULL out: PG raises 'unit not
+        # recognized'. Spellings are PG's documented set (note the
+        # PLURAL microseconds/milliseconds); the unit must be literal.
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() == "date_trunc"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+                and i + 2 < len(tokens)
+                and tokens[i + 2].kind == "STRING"
+                and tokens[i + 2].value.lower()
+                not in (
+                    "second", "minute", "hour", "day", "week", "month",
+                    "quarter", "year",
+                    # our own emissions (Spark spellings) — rescan stop
+                    "microsecond", "millisecond",
+                )
+            ):
+                at = i
+                break
+        if at is None:
+            break
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError("unbalanced date_trunc(...)")
+        args = _args_spans(tokens, at + 2, close - 1)
+        if len(args) != 2:
+            raise ValueError("date_trunc takes (unit, source)")
+        unit = tokens[at + 2].value.lower()
+        x = sql[tokens[args[1][0]].start : tokens[args[1][1]].end]
+        if unit == "microseconds":
+            repl = f"date_trunc('MICROSECOND', {x})"
+        elif unit == "milliseconds":
+            repl = f"date_trunc('MILLISECOND', {x})"
+        elif unit in ("decade", "century", "millennium"):
+            span = {"century": 100, "millennium": 1000}.get(unit)
+            if span is None:  # decades start at year xxx0
+                y = f"CAST(floor(year({x}) / 10) * 10 AS INT)"
+            else:  # PG centuries/millennia start at year xxx1
+                y = (
+                    f"CAST(floor((year({x}) - 1) / {span}) * {span} "
+                    f"+ 1 AS INT)"
+                )
+            repl = f"make_timestamp({y}, 1, 1, 0, 0, 0)"
+        else:
+            raise ValueError(
+                f"date_trunc: unit '{unit}' is not recognized (PG "
+                "units: microseconds, milliseconds, second, minute, "
+                "hour, day, week, month, quarter, year, decade, "
+                "century, millennium)"
+            )
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
         # round-9 breadth batch 2 (all loud UNRESOLVED before this —
         # no silent risk; semantics probed against PG's documented
         # rules):

@@ -2600,3 +2600,42 @@ class TestMathDomainErrors:
         r = rows[0]
         assert (r.a, r.b, r.c, r.d, r.e) == (2.0, 2.0, 1.0, 3.0, 0.0)
         assert r.f is None and r.g == 8.0 and r.h == "λ"
+
+
+class TestDateTruncWidening:
+    """Round-9: Spark date_trunc returns NULL SILENTLY for unknown
+    units — PG's decade/century/millennium (and PG's plural
+    microseconds/milliseconds spellings) were silent NULLs, and
+    PG-invalid units silently NULLed instead of raising."""
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT timestamp '2024-03-17 10:30:45.123456' AS ts, "
+            "timestamp '2000-06-01 00:00:00' AS y2k"
+        ).createOrReplaceTempView("dtr_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT date_trunc('decade', ts) AS de, "
+            "date_trunc('century', ts) AS ce, "
+            "date_trunc('century', y2k) AS ce2, "
+            "date_trunc('millennium', ts) AS mi, "
+            "date_trunc('milliseconds', ts) AS ms FROM dtr_t",
+        ).collect()[0]
+        import datetime as dt
+
+        assert row.de == dt.datetime(2020, 1, 1)
+        assert row.ce == dt.datetime(2001, 1, 1)   # 21st century
+        assert row.ce2 == dt.datetime(1901, 1, 1)  # 2000 is the 20th!
+        assert row.mi == dt.datetime(2001, 1, 1)
+        assert row.ms.microsecond == 123000
+
+    def test_unknown_units_raise(self, spark):
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import to_spark_sql
+
+        for bad in ("bogus", "mon", "yyyy", "dd"):
+            with _pt.raises(ValueError, match="not recognized"):
+                to_spark_sql(f"SELECT date_trunc('{bad}', ts) FROM t")
