@@ -8794,7 +8794,10 @@ _Q56_SQL = (
     # concat() skips NULL args in PG (and DuckDB) — Spark's NULL-
     # poisoning concat is rewritten to concat_ws('')
     "concat(CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'L-' END, "
-    "event_type) AS cc "
+    "event_type) AS cc, "
+    # gcd/lcm (bounded Euclid fold) + quote_literal (doubled quotes)
+    "gcd(event_id % 48, 18) AS g, lcm(event_id % 7 + 1, 6) AS l, "
+    "quote_literal(event_type || '_q') AS ql "
     "FROM events WHERE event_id % 15 = 0"
 )
 
@@ -8818,7 +8821,11 @@ _SPECS.append(
             "CAST(strpos(event_type, 'ck') AS BIGINT) AS sp_hit, "
             "CAST(strpos(event_type, 'zz') AS BIGINT) AS sp_miss, "
             "concat(CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'L-' END, "
-            "event_type) AS cc "
+            "event_type) AS cc, "
+            "gcd(event_id % 48, 18) AS g, "
+            "lcm(event_id % 7 + 1, 6) AS l, "
+            "chr(39) || replace(event_type || '_q', chr(39), "
+            "chr(39) || chr(39)) || chr(39) AS ql "
             "FROM events WHERE event_id % 15 = 0"
         ),
         survey_ref="Q11 round-9 array/string surface: array_position "

@@ -1466,6 +1466,66 @@ def translate_pg_functions(sql: str) -> str:
             repl = "uuid()"
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
+        # PG gcd/lcm (int families; Spark has neither): bounded Euclid
+        # as a JVM-side aggregate fold — 92 iterations cover the
+        # Fibonacci worst case for 64-bit inputs, and the fold
+        # short-circuits to identity once b = 0. lcm = |a div g| * |b|
+        # (ANSI multiply raises on overflow exactly where PG raises).
+        # Fractional (numeric) inputs raise at the BIGINT cast — PG's
+        # numeric gcd is out of the subset, loudly. quote_literal
+        # doubles embedded quotes like PG (NULL in → NULL out; use PG
+        # quote_nullable for the 'NULL' spelling, out of subset).
+        tokens = tokenize(sql)
+        at = None
+        fname = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() in ("gcd", "lcm", "quote_literal")
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                fname = t.value.lower()
+                break
+        if at is None:
+            break
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError(f"unbalanced {fname}(...)")
+        args = _args_spans(tokens, at + 2, close - 1) if close - 1 >= at + 2 else []
+        texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        if fname == "quote_literal":
+            if len(texts) != 1:
+                raise ValueError("quote_literal takes exactly one argument")
+            x = texts[0]
+            repl = (
+                f"('''' || replace(CAST(({x}) AS STRING), "
+                f"'''', '''''') || '''')"
+            )
+        else:
+            if len(texts) != 2:
+                raise ValueError(f"{fname} takes exactly two arguments")
+            x, y = texts
+            g = (
+                f"aggregate(sequence(1, 92), "
+                f"named_struct('a', abs(CAST(({x}) AS BIGINT)), "
+                f"'b', abs(CAST(({y}) AS BIGINT))), "
+                f"(__gfw_acc, __gfw_i) -> CASE WHEN __gfw_acc.b = 0 "
+                f"THEN __gfw_acc ELSE named_struct('a', __gfw_acc.b, "
+                f"'b', __gfw_acc.a % __gfw_acc.b) END, "
+                f"__gfw_acc -> __gfw_acc.a)"
+            )
+            if fname == "gcd":
+                repl = f"({g})"
+            else:
+                repl = (
+                    f"(CASE WHEN ({g}) = 0 THEN CAST(0 AS BIGINT) "
+                    f"ELSE abs(abs(CAST(({x}) AS BIGINT)) div ({g}) "
+                    f"* abs(CAST(({y}) AS BIGINT))) END)"
+                )
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
         # PG date_trunc units Spark lacks (decade/century/millennium —
         # Spark returns NULL SILENTLY for unknown units, and PG
         # centuries/millennia start at year xxx1), plus loud rejection

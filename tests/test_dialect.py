@@ -2639,3 +2639,42 @@ class TestDateTruncWidening:
         for bad in ("bogus", "mon", "yyyy", "dd"):
             with _pt.raises(ValueError, match="not recognized"):
                 to_spark_sql(f"SELECT date_trunc('{bad}', ts) FROM t")
+
+
+class TestGcdLcmQuoteLiteral:
+    """Round-9: PG gcd/lcm (Spark lacks both) as a bounded Euclid
+    aggregate fold — 92 iterations cover the 64-bit Fibonacci worst
+    case, short-circuiting once b = 0; lcm multiplies under ANSI so
+    overflow raises exactly where PG raises. quote_literal doubles
+    embedded quotes; NULL in, NULL out."""
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT 12 AS a, 18 AS b, CAST(NULL AS INT) AS n, "
+            "'O''Hara' AS s"
+        ).createOrReplaceTempView("gcd_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT gcd(a, b) AS g1, gcd(0, 0) AS g0, gcd(-a, b) AS gn, "
+            "gcd(b, gcd(a, 30)) AS gg, lcm(4, 6) AS l1, lcm(0, 5) AS l0, "
+            "lcm(-4, 6) AS ln2, gcd(n, b) AS gnull, "
+            "quote_literal(s) AS ql, quote_literal(42) AS qn, "
+            "quote_literal(n) AS qnull FROM gcd_t",
+        ).collect()[0]
+        assert (row.g1, row.g0, row.gn, row.gg) == (6, 0, 6, 6)
+        assert (row.l1, row.l0, row.ln2) == (12, 0, 12)
+        assert row.gnull is None and row.qnull is None
+        assert row.ql == "'O''Hara'" and row.qn == "'42'"
+
+    def test_lcm_overflow_raises(self, spark):
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        with _pt.raises(Exception):
+            run_pg_sql(
+                spark,
+                "SELECT lcm(9223372036854775807, 9223372036854775806) AS x",
+            ).collect()
