@@ -1466,6 +1466,57 @@ def translate_pg_functions(sql: str) -> str:
             repl = "uuid()"
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
+        # PG named-notation make_interval(days => 3, hours => 2) →
+        # Spark positional (both engines share the exact 7-slot
+        # signature years/months/weeks/days/hours/mins/secs; Spark
+        # rejects named arguments for it). Positional calls and
+        # mixed/unknown names pass through / raise via Spark.
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() == "make_interval"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+                and i + 4 < len(tokens)
+                and tokens[i + 2].kind == "IDENT"
+                and tokens[i + 3].kind == "OP"
+                and tokens[i + 3].value == "="
+                and tokens[i + 4].kind == "OP"
+                and tokens[i + 4].value == ">"
+            ):
+                at = i
+                break
+        if at is None:
+            break
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError("unbalanced make_interval(...)")
+        args = _args_spans(tokens, at + 2, close - 1)
+        slots = ["0"] * 7
+        order = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
+        for s0, e0 in args:
+            if not (
+                tokens[s0].kind == "IDENT"
+                and s0 + 2 <= e0
+                and tokens[s0 + 1].kind == "OP"
+                and tokens[s0 + 1].value == "="
+                and tokens[s0 + 2].kind == "OP"
+                and tokens[s0 + 2].value == ">"
+                and tokens[s0].value.lower() in order
+            ):
+                raise ValueError(
+                    "make_interval: mixing positional and named "
+                    "arguments (or an unknown name) is outside the "
+                    "translatable subset"
+                )
+            slots[order.index(tokens[s0].value.lower())] = sql[
+                tokens[s0 + 3].start : tokens[e0].end
+            ]
+        repl = f"make_interval({', '.join(slots)})"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
         # PG gcd/lcm (int families; Spark has neither): bounded Euclid
         # as a JVM-side aggregate fold — 92 iterations cover the
         # Fibonacci worst case for 64-bit inputs, and the fold

@@ -2678,3 +2678,38 @@ class TestGcdLcmQuoteLiteral:
                 spark,
                 "SELECT lcm(9223372036854775807, 9223372036854775806) AS x",
             ).collect()
+
+
+class TestMakeIntervalNamedArgs:
+    """Round-9: PG named notation make_interval(days => 3) → Spark
+    positional (identical 7-slot signature; Spark rejects named args).
+    Fully positional calls pass through untouched."""
+
+    def test_translation(self):
+        out = to_spark_sql(
+            "SELECT make_interval(days => 3, hours => 2) FROM t"
+        )
+        assert "make_interval(0, 0, 0, 3, 2, 0, 0)" in out
+        out = to_spark_sql("SELECT make_interval(1, 2) FROM t")
+        assert "make_interval(1, 2)" in out
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("mi_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT timestamp '2024-01-01' + make_interval(days => 3) "
+            "AS d, CAST(make_interval(hours => 5, mins => 30) "
+            "AS STRING) AS s FROM mi_t",
+        ).collect()[0]
+        import datetime as dt
+
+        assert row.d == dt.datetime(2024, 1, 4)
+        assert row.s == "5 hours 30 minutes"
+
+    def test_named_after_positional_rejects(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="make_interval"):
+            to_spark_sql("SELECT make_interval(days => 2, 3) FROM t")
