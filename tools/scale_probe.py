@@ -162,6 +162,21 @@ def main():
             )
             noop(run_pg_sql(spark, sql))
 
+        def _q9r_shape(d):
+            from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+            d.createOrReplaceTempView("probe_q9r")
+            sql = (
+                "SELECT doc_id, sqrt(abs(n_chars) + 1.0) AS s, "
+                "ln(n_chars + 1.5) AS l, "
+                "gcd(doc_id % 48, n_chars % 36 + 1) AS g, "
+                "lcm(doc_id % 6 + 1, 4) AS m, "
+                "chr(65 + CAST(doc_id % 26 AS INT)) AS c, "
+                "round(n_chars / 7.0) AS r "
+                "FROM probe_q9r"
+            )
+            noop(run_pg_sql(spark, sql))
+
         def _q52_shape(d):
             from gfw_data_api_spark.sql.dialect import run_pg_sql
 
@@ -381,6 +396,10 @@ def main():
             # split / guarded sequence / array<variant> transform —
             # row-EXPANDING map-side generators, no shuffle
             "q52_srf_shape": lambda d: _q52_shape(d),
+            # round-9 guarded-path shape: math-domain assert CASEs,
+            # the gcd Euclid fold, unicode chr, typed round — all
+            # map-only codegen, should scale exactly linearly
+            "q9r_mathgcd_shape": lambda d: _q9r_shape(d),
         }
         emb_ops = {
             "s01_cosine_topk": lambda d: noop(
