@@ -152,9 +152,11 @@ def _row_value(value):
         _interval_to_pg_text,
     )
 
+    from gfw_data_api_spark.compat import YearMonthInterval
+
     if isinstance(value, (bytes, bytearray)):
         return value.hex()
-    if isinstance(value, datetime.timedelta):
+    if isinstance(value, (datetime.timedelta, YearMonthInterval)):
         return _interval_to_pg_text(value)
     if isinstance(value, (datetime.datetime, datetime.date)):
         return value.isoformat()

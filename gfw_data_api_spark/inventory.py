@@ -3311,67 +3311,67 @@ _SPECS.append(
 # design — xxhash64/approx families) go last so no capped slot is spent on
 # a weaker rows-only row.
 _DRIVER_FRONT: list[str] = [
-    # round-9 rotation (VERDICT r8 #2): the driver snapshot records the
-    # first 50 queries() entries. This front = the three rows with NO
-    # driver evidence yet (q54 landed after the r8 snapshot was cut;
-    # q55 SRF ordinality/lockstep and r13 raster float-division are new
-    # this round), then 47 of the 50 rows last checked in round 5 —
-    # the oldest staleness anywhere. The five remaining r5 rows
-    # (st09_jsonl_stream_monitor, t05_quality_ratios,
-    # t20_perplexity_buckets, t21_sequence_packing, t22_script_signals)
-    # head the round-10 rotation. Every slot is full-oracle.
+    # round-10 rotation (VERDICT r9 #2): the driver snapshot records
+    # the first 50 queries() entries. This front = the new round-10
+    # gate (no driver evidence yet), the five remaining r5-stale rows,
+    # then 44 of the 47 rows last checked in round 6 — the oldest
+    # staleness anywhere (union of all CORRECTNESS_r0*). The three
+    # spilled r6 rows (ts04_interarrival_stats,
+    # ts05_resample_interpolate, w03_weighted_sample) head the
+    # round-11 rotation. Every slot is full-oracle.
     # --- never driver-checked ---
-    "q54_overlaps_null_counters",
-    "q55_srf_ordinality",
-    "q56_array_functions",
-    "q57_json_introspection",
-    "r13_raster_float_division",
-    # --- r5-checked rows, VERDICT r8 order ---
-    "a04_count_min_sketch",
-    "b02_bpe_encode",
-    "c04_html_extract",
-    "c05_robots_filter",
-    "d06_winnowing_fingerprints",
-    "d13_incremental_dedup",
-    "d14_paragraph_dedup",
-    "e02_partition_mapping",
-    "e11_gfw_area_geodesic",
-    "e12_web_mercator_forward",
-    "e13_grid_1x1_export",
-    "e14_jsonl_ingest",
-    "e15_warc_ingest",
-    "g01_pagerank",
-    "i07_exact_id_lookup",
-    "m01_media_content_keys",
-    "m07_progressive_jpeg_decode",
-    "m08_gif_decode_contract",
-    "m09_mel_tone_gate",
-    "pr01_rasterize_modes",
-    "pr02_band_algebra",
-    "pr03_mercator_warp",
-    "pr04_downsample_pyramid",
-    "pr06_colormap_symbology",
-    "pr07_exact_histogram",
-    "q11_case_expr",
-    "q12_alias_table",
-    "q13_jsonb_extract",
-    "q14_pg_casts",
-    "q15_window_frame",
-    "q16_date_between_pipeline",
-    "q17_rollup",
-    "q27_spatial_filter_box",
-    "q28_window_breadth",
-    "q29_scalar_subquery",
-    "r07_pixel_area",
-    "r09_geometry_clip",
-    "r10_batch_list_query",
-    "r11_version_overrides",
-    "s02_embedding_norms",
-    "s04_blocked_cosine_pairs",
-    "s09_hybrid_rrf_search",
-    "s10_pq_recall_gate",
-    "st01_tumbling_window",
-    "st02_session_windows",
+    "q58_round10_defects",
+    # --- r5-checked rows (the last five) ---
+    "st09_jsonl_stream_monitor",
+    "t05_quality_ratios",
+    "t20_perplexity_buckets",
+    "t21_sequence_packing",
+    "t22_script_signals",
+    # --- r6-checked rows (44 of 47; sorted) ---
+    "b03_token_id_encoding",
+    "c06_keyword_blocklist",
+    "c07_mojibake_repair",
+    "c08_blocklist_aho_corasick",
+    "d15_semantic_dedup_envelope",
+    "d16_exact_substring_dedup",
+    "e16_geostore_inheritance",
+    "e17_feature_info_selection",
+    "e18_vector_export_roundtrip",
+    "e19_webdataset_roundtrip",
+    "m10_mp3_frame_inventory",
+    "m11_adts_frame_inventory",
+    "p05_curate_crawl",
+    "q30_filter_clause_breadth",
+    "q31_dialect_pg_operators",
+    "q32_dialect_extract_fields",
+    "q33_dialect_string_breadth",
+    "q34_dialect_distinct_on",
+    "q35_ordered_set_aggs",
+    "q36_agg_order_by",
+    "q37_parameterized_casts",
+    "q38_array_any_all",
+    "q39_regexp_replace_pg",
+    "q40_template_parse",
+    "q41_json_operators",
+    "q42_json_key_exists",
+    "q43_json_containment",
+    "q44_substring_regex",
+    "s11_hard_negatives",
+    "st03_sliding_window",
+    "st04_stream_first_occurrence",
+    "st05_stream_static_enrich",
+    "st06_stream_stream_join",
+    "st07_stream_dedup",
+    "t11_domain_mixture",
+    "t12_gopher_rules",
+    "t13_containment_pairs",
+    "t14_group_cap_sample",
+    "t23_compression_ratio",
+    "t24_quality_classifier",
+    "t25_fim_transform",
+    "ts01_asof_join",
+    "ts02_interval_join",
+    "ts03_resample_locf",
 ]
 
 
@@ -8886,6 +8886,68 @@ _SPECS.append(
         "jsonb_typeof, jsonb_array_length (sql/dialect.py "
         "translate_pg_functions; emissions that used Spark's native "
         "json_* spellings now use from_json probes)",
+    )
+)
+
+
+_Q58_SQL = (
+    # Round-10 defect batch (VERDICT r9 #1 + ADVICE): ::bytea with
+    # PG's INPUT-parser semantics (text → UTF-8 octets, \x hex
+    # literal → unhex; unknown cast types now reject loudly — the
+    # negative arm is unit-tested), strict chr(NULL), quote_literal
+    # backslash doubling + E'...' form, make_interval through the
+    # typed Spark constructors (collectible AND comparable), and
+    # array_length(a, dim != 1) = NULL exact parity.
+    "SELECT event_id, "
+    "encode(event_type::bytea, 'hex') AS name_hex, "
+    "encode('\\x41 42'::bytea, 'hex') AS hexlit, "
+    "quote_literal(event_type || '_q') AS ql, "
+    "quote_literal(chr(92) || event_type) AS qlb, "
+    "chr(CASE WHEN event_id % 4 = 0 THEN NULL "
+    "ELSE 65 + CAST(event_id % 26 AS INT) END) AS chr_arm, "
+    "array_length(string_to_array(event_type, '-'), 2) AS len_dim2, "
+    "CASE WHEN make_interval(days => 2, hours => 3) = "
+    "make_interval(hours => 51) THEN 1 ELSE 0 END AS mi_eq, "
+    "CASE WHEN make_interval(years => 1) > "
+    "make_interval(months => CAST(event_id % 14 AS INT)) "
+    "THEN 1 ELSE 0 END AS mi_ym, "
+    "CASE WHEN make_interval(mins => CAST(event_id % 90 AS INT)) > "
+    "make_interval(hours => 1) THEN 1 ELSE 0 END AS mi_dt "
+    "FROM events WHERE event_id % 15 = 0"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q58_round10_defects",
+        spark_fn=_guarded("events", _Q58_SQL),
+        oracle=(
+            "SELECT event_id, "
+            "lower(hex(encode(event_type))) AS name_hex, "
+            # replayed constant: PG encode('\x41 42'::bytea,'hex')
+            "'4142' AS hexlit, "
+            "chr(39) || replace(event_type || '_q', chr(39), "
+            "chr(39) || chr(39)) || chr(39) AS ql, "
+            # input contains a backslash -> E'...' with backslashes
+            # doubled (event_type has no quotes/backslashes itself)
+            "'E' || chr(39) || chr(92) || chr(92) || event_type "
+            "|| chr(39) AS qlb, "
+            "CASE WHEN event_id % 4 = 0 THEN NULL "
+            "ELSE chr(CAST(65 + event_id % 26 AS INT)) END AS chr_arm, "
+            "CAST(NULL AS INT) AS len_dim2, "
+            "CASE WHEN to_days(2) + to_hours(3) = to_hours(51) "
+            "THEN 1 ELSE 0 END AS mi_eq, "
+            "CASE WHEN to_years(1) > "
+            "to_months(CAST(event_id % 14 AS INT)) "
+            "THEN 1 ELSE 0 END AS mi_ym, "
+            "CASE WHEN to_minutes(CAST(event_id % 90 AS INT)) > "
+            "to_hours(1) THEN 1 ELSE 0 END AS mi_dt "
+            "FROM events WHERE event_id % 15 = 0"
+        ),
+        survey_ref="Q11 round-10 defect batch: bytea casts, unknown-"
+        "cast rejection, chr NULL strictness, quote_literal backslash "
+        "rule, make_interval typed constructors, array_length dim!=1 "
+        "(sql/dialect.py translate_pg_casts/_bytea_cast_sql + "
+        "make_interval classify; compat.py YearMonthInterval shim)",
     )
 )
 

@@ -98,8 +98,21 @@ def rows_to_csv(df: DataFrame, delimiter: str = ",") -> str:
     buf = io.StringIO()
     writer = csv.writer(buf, delimiter=DELIMITERS.get(delimiter, delimiter), quoting=csv.QUOTE_NONNUMERIC)
     writer.writerow(df.columns)
+    import datetime
+
+    from gfw_data_api_spark.compat import YearMonthInterval
+
     for row in _guard_collect(df, "rows_to_csv", "write_csv"):
-        writer.writerow([row[c] for c in df.columns])
+        writer.writerow(
+            [
+                _interval_to_pg_text(v)
+                if isinstance(
+                    v := row[c], (datetime.timedelta, YearMonthInterval)
+                )
+                else v
+                for c in df.columns
+            ]
+        )
     return buf.getvalue()
 
 
@@ -110,8 +123,18 @@ def _interval_to_pg_text(td) -> str:
     day part omitted when zero, the time part omitted when zero and a
     day part exists. Keeps ``timestamp - timestamp`` download columns
     engine-portable (docs/PARITY.md interval-rendering note; Spark's
-    own rendering is ``INTERVAL '1 02:00:00' DAY TO SECOND``)."""
-    total_us = round(td.total_seconds() * 1_000_000)
+    own rendering is ``INTERVAL '1 02:00:00' DAY TO SECOND``).
+    Year-month intervals (collected via the compat shim) render as
+    '1 year 2 mons'."""
+    from gfw_data_api_spark.compat import YearMonthInterval
+
+    if isinstance(td, YearMonthInterval):
+        return td.pg_text()
+    # Integer arithmetic — td.total_seconds() goes through float64 and
+    # loses microsecond exactness beyond ~2^53 us (~285 years).
+    import datetime
+
+    total_us = td // datetime.timedelta(microseconds=1)
     sign = "-" if total_us < 0 else ""
     total_us = abs(total_us)
     days, rem = divmod(total_us, 86_400_000_000)
@@ -141,11 +164,15 @@ def rows_to_csv_rows(columns: list[str], rows, delimiter: str = ",") -> str:
         buf, delimiter=DELIMITERS.get(delimiter, delimiter), quoting=csv.QUOTE_NONNUMERIC
     )
     writer.writerow(columns)
+    from gfw_data_api_spark.compat import YearMonthInterval
+
     for row in rows:
         writer.writerow(
             [
                 _interval_to_pg_text(v)
-                if isinstance(v := row[c], datetime.timedelta)
+                if isinstance(
+                    v := row[c], (datetime.timedelta, YearMonthInterval)
+                )
                 else v
                 for c in columns
             ]

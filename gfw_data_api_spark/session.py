@@ -22,6 +22,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+from gfw_data_api_spark import compat
+
+compat.install()  # YearMonthIntervalType collection shim (see compat.py)
+
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 

@@ -135,7 +135,70 @@ PG_TO_SPARK_TYPES: dict[str, str] = {
     "timestamp": "TIMESTAMP",
     "timestamptz": "TIMESTAMP",
     "time": "STRING",
+    # PG text→bytea goes through the bytea INPUT parser: a leading \x
+    # means hex octets, otherwise the escape format (plain chars =
+    # their UTF-8 bytes; backslash sequences raise here, loudly).
+    # Spark's string→BINARY cast is plain UTF-8, so literal \x forms
+    # are special-cased in translate_pg_casts.
+    "bytea": "BINARY",
 }
+
+
+def _bytea_cast_sql(operand: str, literal_value: str | None) -> str:
+    """``expr::bytea`` → Spark. PG text→bytea runs the bytea INPUT
+    parser (PG docs §8.4): a leading ``\\x`` means hex octets
+    (whitespace permitted between digit pairs), anything else is the
+    escape format where plain characters are their UTF-8 bytes and
+    backslash sequences encode octets. Spark's string→BINARY cast is
+    plain UTF-8, exact for the no-backslash escape-format case; the
+    hex form maps to ``unhex``; backslash escape sequences raise
+    loudly (PG's legacy octal escapes have no single-expression Spark
+    twin — use ``decode(..., 'hex')``).
+
+    ``literal_value`` is the unquoted string when the operand is a
+    single literal — resolved at translation time, including exact
+    digit-pair validation. Non-literal operands get a runtime CASE
+    with the same three arms."""
+    if literal_value is not None:
+        v = literal_value
+        if v.startswith("\\x"):
+            for chunk in v[2:].split():
+                if len(chunk) % 2 or not all(
+                    c in "0123456789abcdefABCDEF" for c in chunk
+                ):
+                    raise ValueError(
+                        "bytea hex literal: invalid hexadecimal data "
+                        f"in '{v}' (digit pairs, whitespace between "
+                        "pairs only)"
+                    )
+            hexpart = "".join(v[2:].split())
+            return f"unhex('{hexpart}')"
+        if "\\" in v:
+            raise ValueError(
+                "bytea escape-format literal with backslash sequences "
+                "is outside the translatable subset; use the \\x hex "
+                "form or decode(..., 'hex')"
+            )
+        return f"CAST({operand} AS BINARY)"
+    s = f"CAST(({operand}) AS STRING)"
+    hexarm = f"unhex(replace(substring({s}, 3), ' ', ''))"
+    # assert arms: the dummy THEN value must be NON-NULL — an inner
+    # CASE whose every outcome is NULL gets constant-folded by
+    # Catalyst and the assert_true silently dropped (same recipe as
+    # translate_math_domain).
+    return (
+        f"(CASE WHEN ({operand}) IS NULL THEN CAST(NULL AS BINARY) "
+        f"WHEN left({s}, 2) = '\\x' THEN "
+        f"CASE WHEN {hexarm} IS NULL THEN "
+        f"CASE WHEN assert_true(false, 'bytea: invalid hexadecimal "
+        f"data') IS NULL THEN CAST('' AS BINARY) END "
+        f"ELSE {hexarm} END "
+        f"WHEN instr({s}, '\\') > 0 THEN "
+        f"CASE WHEN assert_true(false, 'bytea: escape-format input "
+        f"with backslashes is outside the translatable subset; use "
+        f"the \\x hex form') IS NULL THEN CAST('' AS BINARY) END "
+        f"ELSE CAST(({operand}) AS BINARY) END)"
+    )
 
 
 def translate_pg_casts(sql: str) -> str:
@@ -199,7 +262,16 @@ def translate_pg_casts(sql: str) -> str:
             if well_formed:
                 type_args = vals
                 type_end_idx = k2
-        spark_type = PG_TO_SPARK_TYPES.get(type_name, type_name.upper())
+        if type_name not in PG_TO_SPARK_TYPES:
+            # Unknown PG type names used to fall through to Spark's
+            # parser (CAST(x AS REGCLASS) → opaque ParseException).
+            # Reject loudly, naming the vocabulary.
+            raise ValueError(
+                f"::{type_name} cast outside the translatable subset; "
+                "supported cast targets: "
+                + ", ".join(sorted(PG_TO_SPARK_TYPES))
+            )
+        spark_type = PG_TO_SPARK_TYPES[type_name]
         wrap = None  # (prefix, suffix) around CAST(op AS STRING)
         if type_args is None and type_name in ("char", "bpchar"):
             # PG: bare char/bpchar means char(1) — truncate AND pad —
@@ -272,6 +344,13 @@ def translate_pg_casts(sql: str) -> str:
 
         operand = sql[start : prev.end]
         end = tokens[type_end_idx].end
+        if type_name == "bytea":
+            cast_sql = _bytea_cast_sql(
+                operand,
+                prev.value if (prev.kind == "STRING" and start == prev.start) else None,
+            )
+            sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
+            continue
         if wrap is None and spark_type in ("SMALLINT", "INT", "BIGINT"):
             # PG numeric→int rounds HALF AWAY FROM ZERO (2.5::int = 3);
             # Spark's cast TRUNCATES. Route through DECIMAL(38,10) —
@@ -1403,7 +1482,23 @@ def translate_pg_functions(sql: str) -> str:
                     and tokens[i - 2].kind == "IDENT"
                     and tokens[i - 2].value.lower() == "nullif"
                 ):
-                    continue  # already rewritten (rescan terminator)
+                    # Rescan terminator for our own emission
+                    # nullif(array_position(...), 0) — but ONLY when
+                    # the enclosing nullif's second argument is the
+                    # literal 0 we emit. A user-written
+                    # nullif(array_position(a, v), X) with X != 0
+                    # still needs the inner rewrite (PG returns NULL
+                    # when absent; Spark returns 0).
+                    nclose = _primary_end(tokens, i - 2)
+                    if nclose is not None:
+                        nargs = _args_spans(tokens, i, nclose - 1)
+                        if (
+                            len(nargs) == 2
+                            and nargs[1][0] == nargs[1][1]
+                            and tokens[nargs[1][0]].kind == "NUMBER"
+                            and tokens[nargs[1][0]].value == "0"
+                        ):
+                            continue  # already rewritten
                 at = i
                 fname = t.value.lower()
                 break
@@ -1430,12 +1525,22 @@ def translate_pg_functions(sql: str) -> str:
                 raise ValueError("strpos takes exactly (string, substring)")
             repl = f"locate(({texts[1]}), ({texts[0]}))"
         elif fname == "array_length":
-            if len(texts) != 2 or texts[1].strip() != "1":
+            if len(texts) != 2:
                 raise ValueError(
-                    "array_length translates only for literal dimension 1 "
-                    "(arrays here are one-dimensional)"
+                    "array_length takes exactly (array, dimension)"
                 )
-            repl = f"nullif(size(({texts[0]})), 0)"
+            dim = texts[1].strip()
+            if dim == "1":
+                repl = f"nullif(size(({texts[0]})), 0)"
+            elif re.fullmatch(r"-?\d+", dim):
+                # PG: arrays here are one-dimensional, and
+                # array_length(a, d) for any d ≠ 1 is simply NULL.
+                repl = "CAST(NULL AS INT)"
+            else:
+                raise ValueError(
+                    "array_length translates only for a literal "
+                    "dimension (arrays here are one-dimensional)"
+                )
         elif fname == "array_cat":
             if len(texts) != 2:
                 raise ValueError("array_cat takes exactly two arrays")
@@ -1454,8 +1559,11 @@ def translate_pg_functions(sql: str) -> str:
             if len(texts) != 1:
                 raise ValueError("chr takes exactly one argument")
             x = texts[0]
+            # NULL arm first: format_string('%c', NULL) renders Java
+            # Formatter's literal "null"; PG chr is strict.
             repl = (
-                f"(CASE WHEN ({x}) = 0 THEN CASE WHEN assert_true("
+                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) "
+                f"WHEN ({x}) = 0 THEN CASE WHEN assert_true("
                 f"false, 'null character not permitted') IS NULL "
                 f"THEN '' END "
                 f"ELSE format_string('%c', CAST(({x}) AS INT)) END)"
@@ -1466,11 +1574,28 @@ def translate_pg_functions(sql: str) -> str:
             repl = "uuid()"
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
-        # PG named-notation make_interval(days => 3, hours => 2) →
-        # Spark positional (both engines share the exact 7-slot
-        # signature years/months/weeks/days/hours/mins/secs; Spark
-        # rejects named arguments for it). Positional calls and
-        # mixed/unknown names pass through / raise via Spark.
+        # PG make_interval (named OR positional; both engines share
+        # the exact 7-slot signature years/months/weeks/days/hours/
+        # mins/secs, but Spark rejects named arguments). Spark's
+        # make_interval returns the legacy CalendarIntervalType, which
+        # WORKS consumed (ts + iv, casts) but CRASHES at PySpark
+        # collection ([NOT_IMPLEMENTED] CalendarIntervalType.
+        # fromInternal) when bare-projected — and CalendarInterval
+        # cannot be CAST to the ANSI interval types (probed:
+        # DATATYPE_MISMATCH). Classify the slots and emit the typed
+        # constructors instead:
+        #   years/months literal-zero → make_dt_interval(weeks*7 +
+        #     days, hours, mins, secs) — DayTimeIntervalType, collects
+        #     as timedelta;
+        #   weeks..secs literal-zero  → make_ym_interval(years,
+        #     months) — YearMonthIntervalType;
+        #   genuinely mixed → loud (PG's mixed interval spans both
+        #     ANSI families; add the two pieces to the consumer:
+        #     (ts + make_interval(years => 1)) + make_interval(days
+        #     => 2)).
+        # The serializer (_interval_to_pg_text) then renders collected
+        # values PG-style. Rescan terminates because the emissions
+        # are different identifiers.
         tokens = tokenize(sql)
         at = None
         for i, t in enumerate(tokens):
@@ -1479,12 +1604,6 @@ def translate_pg_functions(sql: str) -> str:
                 and t.value.lower() == "make_interval"
                 and i + 1 < len(tokens)
                 and tokens[i + 1].value == "("
-                and i + 4 < len(tokens)
-                and tokens[i + 2].kind == "IDENT"
-                and tokens[i + 3].kind == "OP"
-                and tokens[i + 3].value == "="
-                and tokens[i + 4].kind == "OP"
-                and tokens[i + 4].value == ">"
             ):
                 at = i
                 break
@@ -1493,28 +1612,64 @@ def translate_pg_functions(sql: str) -> str:
         close = _primary_end(tokens, at)
         if close is None:
             raise ValueError("unbalanced make_interval(...)")
-        args = _args_spans(tokens, at + 2, close - 1)
+        args = (
+            _args_spans(tokens, at + 2, close - 1)
+            if close - 1 >= at + 2
+            else []
+        )
         slots = ["0"] * 7
         order = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
-        for s0, e0 in args:
-            if not (
+        named_seen = False
+        for pos, (s0, e0) in enumerate(args):
+            is_named = (
                 tokens[s0].kind == "IDENT"
                 and s0 + 2 <= e0
                 and tokens[s0 + 1].kind == "OP"
                 and tokens[s0 + 1].value == "="
                 and tokens[s0 + 2].kind == "OP"
                 and tokens[s0 + 2].value == ">"
-                and tokens[s0].value.lower() in order
-            ):
-                raise ValueError(
-                    "make_interval: mixing positional and named "
-                    "arguments (or an unknown name) is outside the "
-                    "translatable subset"
-                )
-            slots[order.index(tokens[s0].value.lower())] = sql[
-                tokens[s0 + 3].start : tokens[e0].end
-            ]
-        repl = f"make_interval({', '.join(slots)})"
+            )
+            if is_named:
+                named_seen = True
+                if tokens[s0].value.lower() not in order:
+                    raise ValueError(
+                        "make_interval: unknown named argument "
+                        f"'{tokens[s0].value}' (expected one of "
+                        f"{', '.join(order)})"
+                    )
+                slots[order.index(tokens[s0].value.lower())] = sql[
+                    tokens[s0 + 3].start : tokens[e0].end
+                ]
+            else:
+                if named_seen or pos >= 7:
+                    raise ValueError(
+                        "make_interval: positional arguments after "
+                        "named ones (or more than 7) are outside the "
+                        "translatable subset"
+                    )
+                slots[pos] = sql[tokens[s0].start : tokens[e0].end]
+        dt_zero = slots[0].strip() == "0" and slots[1].strip() == "0"
+        ym_only = all(s.strip() == "0" for s in slots[2:])
+        if dt_zero:
+            days = (
+                slots[3]
+                if slots[2].strip() == "0"
+                else f"({slots[2]}) * 7 + ({slots[3]})"
+            )
+            repl = (
+                f"make_dt_interval({days}, {slots[4]}, {slots[5]}, "
+                f"{slots[6]})"
+            )
+        elif ym_only:
+            repl = f"make_ym_interval({slots[0]}, {slots[1]})"
+        else:
+            raise ValueError(
+                "make_interval mixing year/month slots with day-time "
+                "slots is outside the translatable subset (the two "
+                "ANSI interval families cannot combine in one value); "
+                "add them to the consumer separately, e.g. (ts + "
+                "make_interval(years => 1)) + make_interval(days => 2)"
+            )
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
         # PG gcd/lcm (int families; Spark has neither): bounded Euclid
@@ -1550,9 +1705,18 @@ def translate_pg_functions(sql: str) -> str:
             if len(texts) != 1:
                 raise ValueError("quote_literal takes exactly one argument")
             x = texts[0]
+            # PG also doubles backslashes and emits the E'...' form
+            # when the input contains any backslash:
+            # quote_literal('a\b') = E'a\\b'. The emitted '\' /'\\'
+            # literals are LITERAL backslashes (escapedStringLiterals
+            # is pinned on for translated SQL).
+            s = f"CAST(({x}) AS STRING)"
+            q = f"replace({s}, '''', '''''')"
+            qb = f"replace(replace({s}, '\\', '\\\\'), '''', '''''')"
             repl = (
-                f"('''' || replace(CAST(({x}) AS STRING), "
-                f"'''', '''''') || '''')"
+                f"(CASE WHEN instr({s}, '\\') > 0 "
+                f"THEN 'E''' || {qb} || '''' "
+                f"ELSE '''' || {q} || '''' END)"
             )
         else:
             if len(texts) != 2:
@@ -4178,6 +4342,10 @@ _FN_CATEGORY = {
     "width_bucket": "int",
     "extract": "decimal",  # PG >= 14: numeric
     "date_part": "double",  # PG: double precision (unlike extract)
+    # round-10: PG gcd/lcm return the integer family (our emission is
+    # a BIGINT Euclid fold) — without this, gcd(a, b) / 3 kept Spark's
+    # float division where PG truncates
+    "gcd": "bigint", "lcm": "bigint",
     "div": "decimal",  # PG div() returns numeric
     "sign": "decimal",
     "random": "double",
@@ -4901,10 +5069,17 @@ def translate_concat_nullskip(sql: str) -> str:
     """PG ``concat(...)`` SKIPS NULL arguments (concat('a', NULL) =
     'a'); Spark's concat NULL-poisons — silently different. PG concat
     is text-typed always, and ``concat_ws('', ...)`` is exactly its
-    skip-NULLs text semantics. MUST run before any pass that emits a
-    Spark ``concat(`` itself (json ops, array_cat, literal splicing) —
-    those emissions want Spark semantics and stay untouched. The
-    ``||`` operator NULL-poisons in BOTH engines and is not affected."""
+    skip-NULLs text semantics — EXCEPT that concat_ws FLATTENS
+    array<string> arguments (concat_ws('', array('a','b'), 'z') =
+    'abz' where PG renders the array as text), so every argument is
+    wrapped in CAST(... AS STRING): identical for scalars (concat_ws
+    casts implicitly with the same rules) and element-preserving for
+    arrays. Residual (documented in PARITY): Spark renders an array
+    cast as '[a, b]' where PG renders '{a,b}'. MUST run before any
+    pass that emits a Spark ``concat(`` itself (json ops, array_cat,
+    literal splicing) — those emissions want Spark semantics and stay
+    untouched. The ``||`` operator NULL-poisons in BOTH engines and
+    is not affected."""
     while True:
         tokens = tokenize(sql)
         at = None
@@ -4919,7 +5094,22 @@ def translate_concat_nullskip(sql: str) -> str:
                 break
         if at is None:
             return sql
-        sql = f"{sql[:tokens[at].start]}concat_ws('', {sql[tokens[at + 1].end:]}"
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError("unbalanced concat(...)")
+        args = (
+            _args_spans(tokens, at + 2, close - 1)
+            if close - 1 >= at + 2
+            else []
+        )
+        texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
+        if not texts:
+            raise ValueError("concat takes at least one argument")
+        wrapped = ", ".join(f"CAST(({t}) AS STRING)" for t in texts)
+        sql = (
+            f"{sql[:tokens[at].start]}concat_ws('', {wrapped})"
+            f"{sql[tokens[close].end:]}"
+        )
 
 
 def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:

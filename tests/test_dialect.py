@@ -2376,8 +2376,11 @@ class TestArrayFunctionSurface:
 
         with _pt.raises(ValueError, match="start index"):
             to_spark_sql("SELECT array_position(a, 5, 2) FROM t")
-        with _pt.raises(ValueError, match="dimension 1"):
-            to_spark_sql("SELECT array_length(a, 2) FROM t")
+        with _pt.raises(ValueError, match="literal"):
+            to_spark_sql("SELECT array_length(a, d) FROM t")
+        # literal dim != 1 is exact parity: PG returns NULL on 1-D arrays
+        out = to_spark_sql("SELECT array_length(a, 2) FROM t")
+        assert "CAST(NULL AS INT)" in out
 
     def test_values(self, spark):
         from gfw_data_api_spark.sql.dialect import run_pg_sql
@@ -2466,7 +2469,8 @@ class TestConcatNullSkip:
 
     def test_translation(self):
         assert to_spark_sql("SELECT concat(a, b) FROM t") == (
-            "SELECT concat_ws('', a, b) FROM t"
+            "SELECT concat_ws('', CAST((a) AS STRING), "
+            "CAST((b) AS STRING)) FROM t"
         )
         # concat_ws passes through; emitted concat( survives:
         out = to_spark_sql("SELECT array_cat(a, b) FROM t")
@@ -2681,17 +2685,24 @@ class TestGcdLcmQuoteLiteral:
 
 
 class TestMakeIntervalNamedArgs:
-    """Round-9: PG named notation make_interval(days => 3) → Spark
-    positional (identical 7-slot signature; Spark rejects named args).
-    Fully positional calls pass through untouched."""
+    """Round-9/10: PG make_interval (named or positional; identical
+    7-slot signature, Spark rejects named args) → the typed Spark
+    constructors make_dt_interval / make_ym_interval, so a BARE
+    projection is collectible (Spark's own make_interval returns the
+    legacy CalendarIntervalType which dies at PySpark collection with
+    [NOT_IMPLEMENTED] fromInternal — round-9 probe finding). Mixed
+    year-month + day-time slots reject loudly (the two ANSI interval
+    families cannot combine in one value)."""
 
     def test_translation(self):
         out = to_spark_sql(
             "SELECT make_interval(days => 3, hours => 2) FROM t"
         )
-        assert "make_interval(0, 0, 0, 3, 2, 0, 0)" in out
+        assert "make_dt_interval(3, 2, 0, 0)" in out
         out = to_spark_sql("SELECT make_interval(1, 2) FROM t")
-        assert "make_interval(1, 2)" in out
+        assert "make_ym_interval(1, 2)" in out
+        out = to_spark_sql("SELECT make_interval(weeks => 1, days => 2) FROM t")
+        assert "make_dt_interval((1) * 7 + (2), 0, 0, 0)" in out
 
     def test_values(self, spark):
         from gfw_data_api_spark.sql.dialect import run_pg_sql
@@ -2706,10 +2717,210 @@ class TestMakeIntervalNamedArgs:
         import datetime as dt
 
         assert row.d == dt.datetime(2024, 1, 4)
-        assert row.s == "5 hours 30 minutes"
+        # Spark's ANSI day-time interval rendering (PG text rendering
+        # happens in the serializers; docs/PARITY.md)
+        assert row.s == "INTERVAL '0 05:30:00' DAY TO SECOND"
+
+    def test_bare_projection_collects(self, spark):
+        """The round-9 defect: a PG-valid bare make_interval projection
+        crashed at PySpark collection."""
+        import datetime as dt
+
+        from gfw_data_api_spark.compat import YearMonthInterval
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("mi_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT make_interval(days => 2, hours => 3) AS dt_iv, "
+            "make_interval(years => 1, months => 2) AS ym_iv, "
+            "make_interval(secs => 1.5) AS frac FROM mi_t",
+        ).collect()[0]
+        assert row.dt_iv == dt.timedelta(days=2, hours=3)
+        assert row.ym_iv == YearMonthInterval(14)
+        assert row.frac == dt.timedelta(seconds=1.5)
+
+    def test_bare_projection_renders_pg_style(self, spark):
+        """Through the real serializers: rows_to_csv + the API's
+        _row_value render PG IntervalStyle text."""
+        from gfw_data_api_spark.api.app import _row_value
+        from gfw_data_api_spark.operators.downloads import rows_to_csv
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("mi_t")
+        df = run_pg_sql(
+            spark,
+            "SELECT make_interval(days => 2, hours => 3) AS a, "
+            "make_interval(years => 1, months => 2) AS b, "
+            "make_interval(years => -1) AS c, "
+            "make_interval() AS z FROM mi_t",
+        )
+        csv_text = rows_to_csv(df)
+        assert '"2 days 03:00:00","1 year 2 mons","-1 years","00:00:00"' in csv_text
+        row = df.collect()[0]
+        assert _row_value(row.b) == "1 year 2 mons"
+        assert _row_value(row.z) == "00:00:00"
+
+    def test_mixed_families_reject(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="make_interval mixing"):
+            to_spark_sql(
+                "SELECT make_interval(years => 1, days => 2) FROM t"
+            )
 
     def test_named_after_positional_rejects(self):
         import pytest as _pt
 
         with _pt.raises(ValueError, match="make_interval"):
             to_spark_sql("SELECT make_interval(days => 2, 3) FROM t")
+
+    def test_unknown_named_arg_rejects(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="unknown named argument"):
+            to_spark_sql("SELECT make_interval(decades => 1) FROM t")
+
+
+class TestRound10DefectBatch:
+    """Round-10 probe-found defects + r9 ADVICE items, value-pinned.
+
+    - unknown PG cast types reject loudly naming the vocabulary
+      (previously CAST(x AS REGCLASS) fell through to an opaque Spark
+      ParseException) — reference passes casts through to PG
+      (app/utils/query_helpers.py pass-through casts);
+    - ::bytea maps to BINARY with PG's bytea INPUT semantics (hex
+      \\x form → unhex; plain text → UTF-8; escape sequences loud);
+    - chr(NULL) is strict NULL (format_string rendered 'null');
+    - quote_literal doubles backslashes and emits E'...' like PG;
+    - user-written nullif(array_position(a, v), X != 0) still gets
+      the inner 0→NULL rewrite (the rescan terminator used to skip
+      ANY nullif-enclosed call).
+    """
+
+    def test_unknown_cast_rejects_named(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="::regclass cast outside"):
+            to_spark_sql("SELECT n::regclass FROM t")
+        with _pt.raises(ValueError, match="supported cast targets"):
+            to_spark_sql("SELECT 'abc'::point FROM t")
+
+    def test_bytea_literal_translations(self):
+        out = to_spark_sql("SELECT '\\x41 42'::bytea FROM t")
+        assert "unhex('4142')" in out
+        out = to_spark_sql("SELECT 'abc'::bytea FROM t")
+        assert "CAST('abc' AS BINARY)" in out
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="invalid hexadecimal"):
+            to_spark_sql("SELECT '\\x4G'::bytea FROM t")
+        with _pt.raises(ValueError, match="escape-format"):
+            to_spark_sql("SELECT 'a\\000b'::bytea FROM t")
+
+    def test_bytea_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT 'plain' AS txt, 'a' || chr(92) || 'b' AS bs, "
+            "concat(chr(92), 'x4142') AS hx"
+        ).createOrReplaceTempView("bytea_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT encode('abc'::bytea, 'hex') AS a, "
+            "encode('\\x41 42'::bytea, 'hex') AS b, "
+            "encode(txt::bytea, 'hex') AS c, "
+            "encode(hx::bytea, 'hex') AS d, "
+            "encode(CAST('abc' AS BYTEA), 'hex') AS e FROM bytea_t",
+        ).collect()[0]
+        assert row.a == "616263"
+        assert row.b == "4142"
+        assert row.c == "706c61696e"
+        assert row.d == "4142"  # runtime \x form through the CASE
+        assert row.e == "616263"  # ANSI CAST spelling routes the same
+
+    def test_bytea_runtime_escape_raises(self, spark):
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT 'a' || chr(92) || 'b' AS bs"
+        ).createOrReplaceTempView("bytea_e_t")
+        with _pt.raises(Exception, match="escape-format"):
+            run_pg_sql(spark, "SELECT bs::bytea FROM bytea_e_t").collect()
+
+    def test_chr_null_strict(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT CAST(NULL AS INT) AS n"
+        ).createOrReplaceTempView("chrn_t")
+        row = run_pg_sql(
+            spark, "SELECT chr(n) AS c, chr(65) AS a FROM chrn_t"
+        ).collect()[0]
+        assert row.c is None and row.a == "A"
+
+    def test_quote_literal_backslash(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT 'a' || chr(92) || 'b' AS bs, "
+            "'O' || chr(39) || chr(92) || 'x' AS both"
+        ).createOrReplaceTempView("ql_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT quote_literal(bs) AS a, quote_literal('plain') AS b, "
+            "quote_literal(both) AS c FROM ql_t",
+        ).collect()[0]
+        assert row.a == "E'a\\\\b'"  # PG: quote_literal('a\b') = E'a\\b'
+        assert row.b == "'plain'"
+        assert row.c == "E'O''\\\\x'"  # quotes doubled too
+
+    def test_concat_array_not_flattened(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT array('p', 'q') AS arr"
+        ).createOrReplaceTempView("cat_arr_t")
+        row = run_pg_sql(
+            spark, "SELECT concat(arr, 'z') AS c FROM cat_arr_t"
+        ).collect()[0]
+        # Spark's array rendering ('[p, q]'), NOT element flattening
+        # 'pqz'. Residual vs PG's '{p,q}' documented in PARITY.
+        assert row.c == "[p, q]z"
+
+    def test_user_nullif_array_position(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        out = to_spark_sql("SELECT nullif(array_position(a, v), 2) FROM t")
+        assert "nullif(nullif(array_position((a), (v)), 0), 2)" in out
+        spark.sql(
+            "SELECT array('p', 'q') AS arr"
+        ).createOrReplaceTempView("nap_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT nullif(array_position(arr, 'zz'), 2) AS missing, "
+            "nullif(array_position(arr, 'q'), 2) AS hit2, "
+            "nullif(array_position(arr, 'p'), 0) AS user0 FROM nap_t",
+        ).collect()[0]
+        # PG: absent → array_position NULL → nullif NULL (Spark used
+        # to leak 0 here); found-at-2 → nullif(2,2) = NULL; user's
+        # explicit nullif(..., 0) keeps working.
+        assert row.missing is None
+        assert row.hit2 is None
+        assert row.user0 == 1
+
+    def test_array_length_dim_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT array(1, 2) AS arr"
+        ).createOrReplaceTempView("ald_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT array_length(arr, 1) AS l1, "
+            "array_length(arr, 2) AS l2, "
+            "array_length(arr, -1) AS lm FROM ald_t",
+        ).collect()[0]
+        assert row.l1 == 2 and row.l2 is None and row.lm is None

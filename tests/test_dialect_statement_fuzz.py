@@ -24,7 +24,7 @@ import pytest
 
 from tests.test_dialect_value_fuzz import Gen, _same
 
-N_STATEMENTS = 140  # + N_API_STATEMENTS routed through the WSGI app
+N_STATEMENTS = 170  # + N_API_STATEMENTS routed through the WSGI app
 N_API_STATEMENTS = 26
 SEED = 977
 
@@ -35,11 +35,15 @@ STR_COLS = ["lang", "text"]
 
 
 def _statements(rng: random.Random):
-    """Five statement shapes (VERDICT r7 #5): projection+WHERE+ORDER,
-    grouped aggregate (now with a HAVING arm), window functions over a
-    WINDOW clause, PG FETCH/OFFSET pagination, and — in the separate
-    API test below — the same projection shape routed through the WSGI
-    query endpoint."""
+    """Nine statement shapes (VERDICT r7 #5, r8 #6, r9 #5):
+    projection+WHERE+ORDER, grouped aggregate (with a HAVING arm),
+    window functions over a WINDOW clause, typed int division
+    (plain + windowed), PG FETCH/OFFSET pagination, SRF×typed
+    composition, math-domain assert-CASEs inside FILTER aggregates +
+    gcd under typed division, date_trunc units feeding GROUP BY with
+    make_interval consumed in WHERE, containment-inside-CASE, and —
+    in the separate API test below — the projection shape routed
+    through the WSGI query endpoint."""
     gen = Gen(rng, num_cols=NUM_COLS, str_cols=STR_COLS)
     for i in range(N_STATEMENTS):
         w_pg, w_dk, _, _ = gen.boolean(2)
@@ -193,7 +197,85 @@ def _statements(rng: random.Random):
                 )
                 yield i, pg_sql, dk_sql, [True, True, True]
             continue
-        if shape < 0.76:
+        if shape < 0.70:
+            # round-10 shape (VERDICT r9 #5a): math-domain assert-CASE
+            # emissions INSIDE windowed and FILTER aggregates — the
+            # translate_math_domain raise arms must neither const-fold
+            # away nor raise spuriously when the domain is guarded, and
+            # gcd under typed division must truncate like PG (the
+            # _FN_CATEGORY entry added this round).
+            g = rng.choice(["18", "24", "(doc_id % 30 + 1)"])
+            dv = rng.choice(["3", "5"])
+            thr = rng.randint(2, 6)
+            flt = (
+                f"count(*) FILTER (WHERE sqrt(CAST(doc_id % 50 AS "
+                f"DOUBLE)) > {thr}) AS nf, "
+            )
+            ml = "max(ln(CAST(n_chars + 1 AS DOUBLE)))"
+            pg_sql = (
+                f"SELECT lang, {flt}"
+                f"CAST(sum(gcd(doc_id % 48, {g}) / {dv}) AS BIGINT) "
+                f"AS sg, "
+                f"round(CAST({ml} AS NUMERIC), 6) AS ml "
+                f"FROM data WHERE {w_pg} GROUP BY lang ORDER BY lang"
+            )
+            gg = f"gcd(doc_id % 48, {g})"
+            dk_sql = (
+                f"SELECT lang, {flt}"
+                f"CAST(sum(({gg} - ({gg} % {dv})) // {dv}) AS BIGINT) "
+                f"AS sg, "
+                f"round(CAST({ml} AS DECIMAL(38, 10)), 6) AS ml "
+                f"FROM documents WHERE {w_dk} GROUP BY lang ORDER BY lang"
+            )
+            yield i, pg_sql, dk_sql, [True, True, False]
+            continue
+        if shape < 0.74:
+            # round-10 shape (VERDICT r9 #5b): date_trunc's round-9
+            # units feeding GROUP BY, with make_interval CONSUMED in
+            # the WHERE clause (ts + make_dt_interval < ts — the typed
+            # constructors must compose with comparisons and grouping).
+            unit = rng.choice(["decade", "century", "year"])
+            nd = rng.randint(10, 40)
+            span = rng.choice(["3000", "9000"])
+            bucket_pg = (
+                f"CAST(date_trunc('{unit}', date '1961-03-01' + "
+                f"CAST(doc_id % {span} AS INT)) AS DATE)"
+            )
+            if unit == "century":
+                # PG centuries start at xxx1; DuckDB's at xx00 —
+                # replay PG's rule (the q57 oracle recipe)
+                d = (
+                    f"(date '1961-03-01' + CAST(doc_id % {span} AS INT))"
+                )
+                bucket_dk = (
+                    f"make_date(CAST(floor((year({d}) - 1) / 100) * 100 "
+                    f"+ 1 AS INT), 1, 1)"
+                )
+            else:
+                bucket_dk = bucket_pg
+            mi_pg = (
+                f"timestamp '2001-01-01 00:00:00' + "
+                f"make_interval(days => CAST(doc_id % {nd} AS INT), "
+                f"hours => 3)"
+            )
+            mi_dk = (
+                f"timestamp '2001-01-01 00:00:00' + "
+                f"to_days(CAST(doc_id % {nd} AS INT)) + to_hours(3)"
+            )
+            cut = f"timestamp '2001-01-{rng.randint(10, 28)} 00:00:00'"
+            pg_sql = (
+                f"SELECT {bucket_pg} AS b, count(*) AS n "
+                f"FROM data WHERE {w_pg} AND {mi_pg} < {cut} "
+                f"GROUP BY 1 ORDER BY 1"
+            )
+            dk_sql = (
+                f"SELECT {bucket_dk} AS b, count(*) AS n "
+                f"FROM documents WHERE {w_dk} AND {mi_dk} < {cut} "
+                f"GROUP BY 1 ORDER BY 1"
+            )
+            yield i, pg_sql, dk_sql, [True]
+            continue
+        if shape < 0.80:
             # round-9 containment-inside-CASE shape: nested @> probes as
             # CASE predicates (q53 pins fixed samples; this walks the
             # space). DuckDB's json_contains shares PG's recursive

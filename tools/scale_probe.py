@@ -177,6 +177,77 @@ def main():
             )
             noop(run_pg_sql(spark, sql))
 
+        def _q55_shape(d):
+            # round-9 SRF lockstep: multi-array unnest(a, b) →
+            # arrays_zip + explode, WITH ORDINALITY — over arrays built
+            # from real text (~tens of elements), row-expanding map
+            from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+            d.createOrReplaceTempView("probe_q55")
+            # multi-arg lockstep and WITH ORDINALITY are separate
+            # statements (their combination is a documented rejection)
+            sql = (
+                "SELECT doc_id, "
+                "unnest(string_to_array(text, ' '), "
+                "string_to_array(lang || '-' || CAST(n_chars AS "
+                "VARCHAR), '-')) "
+                "FROM probe_q55"
+            )
+            noop(run_pg_sql(spark, sql))
+            sql2 = (
+                "SELECT doc_id, "
+                "unnest(string_to_array(text, ' ')) WITH ORDINALITY "
+                "FROM probe_q55"
+            )
+            noop(run_pg_sql(spark, sql2))
+
+        def _q57_shape(d):
+            # round-9 batch-2 emissions: regexp_split_to_array (regex
+            # split keeping trailing empties), jsonb_typeof first-char
+            # sniff, jsonb_array_length from_json probe, date_trunc
+            # decade/century arithmetic — all map-only codegen
+            from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+            d.createOrReplaceTempView("probe_q57")
+            sql = (
+                "SELECT doc_id, "
+                "array_length(regexp_split_to_array(text, "
+                "'[aeiou0-9]+'), 1) AS nsplit, "
+                "jsonb_typeof(CASE doc_id % 5 "
+                "WHEN 0 THEN '{\"k\": 1}' WHEN 1 THEN '[1, 2]' "
+                "WHEN 2 THEN '\"' || lang || '\"' "
+                "WHEN 3 THEN CAST(doc_id % 9 AS VARCHAR) "
+                "ELSE 'true' END) AS jt, "
+                "jsonb_array_length('[' || CAST(doc_id % 4 AS VARCHAR) "
+                "|| ', 7]') AS jl, "
+                "date_trunc('decade', timestamp '2001-03-04 05:06:07' "
+                "+ make_interval(days => CAST(doc_id % 900 AS INT))) "
+                "AS dec_t "
+                "FROM probe_q57"
+            )
+            noop(run_pg_sql(spark, sql))
+
+        def _q10r_shape(d):
+            # round-10 emissions: bytea runtime CASE (hex sniff +
+            # UTF-8 cast), quote_literal backslash/E-form CASE,
+            # make_interval typed-constructor comparisons, chr NULL
+            # guard — map-only codegen over real text
+            from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+            d.createOrReplaceTempView("probe_q10r")
+            sql = (
+                "SELECT doc_id, "
+                "encode(lang::bytea, 'hex') AS hex_rt, "
+                "quote_literal(substring(text, 1, 40)) AS ql, "
+                "chr(CASE WHEN doc_id % 31 = 0 THEN NULL "
+                "ELSE 65 + CAST(doc_id % 26 AS INT) END) AS c, "
+                "CASE WHEN make_interval(mins => CAST(doc_id % 90 AS "
+                "INT)) > make_interval(hours => 1) THEN 1 ELSE 0 END "
+                "AS mi "
+                "FROM probe_q10r"
+            )
+            noop(run_pg_sql(spark, sql))
+
         def _q52_shape(d):
             from gfw_data_api_spark.sql.dialect import run_pg_sql
 
@@ -400,6 +471,12 @@ def main():
             # the gcd Euclid fold, unicode chr, typed round — all
             # map-only codegen, should scale exactly linearly
             "q9r_mathgcd_shape": lambda d: _q9r_shape(d),
+            # round-9 gate shapes not yet probed (VERDICT r9 #7)
+            "q55_srf_lockstep": lambda d: _q55_shape(d),
+            "q57_introspection": lambda d: _q57_shape(d),
+            # round-10 emissions (bytea, quote_literal E-form,
+            # make_interval constructors, chr NULL guard)
+            "q10r_defect_shape": lambda d: _q10r_shape(d),
         }
         emb_ops = {
             "s01_cosine_topk": lambda d: noop(
