@@ -155,7 +155,8 @@ def _row_value(value):
     from gfw_data_api_spark.compat import YearMonthInterval
 
     if isinstance(value, (bytes, bytearray)):
-        return value.hex()
+        # PG's bytea text output format: hex with the \x prefix
+        return "\\x" + bytes(value).hex()
     if isinstance(value, (datetime.timedelta, YearMonthInterval)):
         return _interval_to_pg_text(value)
     if isinstance(value, (datetime.datetime, datetime.date)):

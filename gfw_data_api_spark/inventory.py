@@ -8912,7 +8912,13 @@ _Q58_SQL = (
     "make_interval(months => CAST(event_id % 14 AS INT)) "
     "THEN 1 ELSE 0 END AS mi_ym, "
     "CASE WHEN make_interval(mins => CAST(event_id % 90 AS INT)) > "
-    "make_interval(hours => 1) THEN 1 ELSE 0 END AS mi_dt "
+    "make_interval(hours => 1) THEN 1 ELSE 0 END AS mi_dt, "
+    # '...'::interval literals parse at translation into the typed
+    # constructors (round-10 follow-up; PG word form incl. 'mons')
+    "CASE WHEN '36 hours'::interval > make_interval(days => 1) "
+    "THEN 1 ELSE 0 END AS ivl, "
+    "CASE WHEN '14 mons'::interval = "
+    "make_interval(years => 1, months => 2) THEN 1 ELSE 0 END AS ivm "
     "FROM events WHERE event_id % 15 = 0"
 )
 
@@ -8940,7 +8946,11 @@ _SPECS.append(
             "to_months(CAST(event_id % 14 AS INT)) "
             "THEN 1 ELSE 0 END AS mi_ym, "
             "CASE WHEN to_minutes(CAST(event_id % 90 AS INT)) > "
-            "to_hours(1) THEN 1 ELSE 0 END AS mi_dt "
+            "to_hours(1) THEN 1 ELSE 0 END AS mi_dt, "
+            "CASE WHEN INTERVAL '36 hours' > to_days(1) "
+            "THEN 1 ELSE 0 END AS ivl, "
+            "CASE WHEN INTERVAL '14 months' = "
+            "to_years(1) + to_months(2) THEN 1 ELSE 0 END AS ivm "
             "FROM events WHERE event_id % 15 = 0"
         ),
         survey_ref="Q11 round-10 defect batch: bytea casts, unknown-"

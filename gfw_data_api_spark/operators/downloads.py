@@ -102,17 +102,16 @@ def rows_to_csv(df: DataFrame, delimiter: str = ",") -> str:
 
     from gfw_data_api_spark.compat import YearMonthInterval
 
+    def _csv_value(v):
+        if isinstance(v, (datetime.timedelta, YearMonthInterval)):
+            return _interval_to_pg_text(v)
+        if isinstance(v, (bytes, bytearray)):
+            # PG's bytea text output format: hex with the \x prefix
+            return "\\x" + bytes(v).hex()
+        return v
+
     for row in _guard_collect(df, "rows_to_csv", "write_csv"):
-        writer.writerow(
-            [
-                _interval_to_pg_text(v)
-                if isinstance(
-                    v := row[c], (datetime.timedelta, YearMonthInterval)
-                )
-                else v
-                for c in df.columns
-            ]
-        )
+        writer.writerow([_csv_value(row[c]) for c in df.columns])
     return buf.getvalue()
 
 
@@ -166,14 +165,17 @@ def rows_to_csv_rows(columns: list[str], rows, delimiter: str = ",") -> str:
     writer.writerow(columns)
     from gfw_data_api_spark.compat import YearMonthInterval
 
+    def _cv(v):
+        if isinstance(v, (datetime.timedelta, YearMonthInterval)):
+            return _interval_to_pg_text(v)
+        if isinstance(v, (bytes, bytearray)):
+            return "\\x" + bytes(v).hex()  # PG bytea text output
+        return v
+
     for row in rows:
         writer.writerow(
             [
-                _interval_to_pg_text(v)
-                if isinstance(
-                    v := row[c], (datetime.timedelta, YearMonthInterval)
-                )
-                else v
+                _cv(row[c])
                 for c in columns
             ]
         )

@@ -144,6 +144,135 @@ PG_TO_SPARK_TYPES: dict[str, str] = {
 }
 
 
+_INTERVAL_UNIT_MONTHS = {
+    "mon": 1, "mons": 1, "month": 1, "months": 1,
+    "y": 12, "yr": 12, "yrs": 12, "year": 12, "years": 12,
+    "decade": 120, "decades": 120,
+    "century": 1200, "centuries": 1200,
+    "millennium": 12000, "millenniums": 12000, "millennia": 12000,
+}
+_INTERVAL_UNIT_MICROS = {
+    "us": 1, "microsecond": 1, "microseconds": 1,
+    "ms": 1000, "millisecond": 1000, "milliseconds": 1000,
+    "s": 1_000_000, "sec": 1_000_000, "secs": 1_000_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "min": 60_000_000, "mins": 60_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "h": 3_600_000_000, "hr": 3_600_000_000, "hrs": 3_600_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "d": 86_400_000_000, "day": 86_400_000_000, "days": 86_400_000_000,
+    "w": 604_800_000_000, "week": 604_800_000_000,
+    "weeks": 604_800_000_000,
+}
+_INTERVAL_TIME_RE = re.compile(
+    r"^([+-]?)(\d+):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,6}))?)?$"
+)
+_INTERVAL_NUM_RE = re.compile(r"^[+-]?\d+(\.\d+)?$")
+
+
+def _parse_pg_interval(text: str) -> tuple[int, int]:
+    """Parse a literal PG interval string (the ``'2 days 03:00:00'``
+    word form; PG docs §8.5.4) into ``(months, total_micros)``.
+    Fractional day-time quantities spill downward exactly like PG
+    ('1.5 days' = 1 day 12:00:00); fractional months/years and the
+    ISO-8601 'P...' form stay loud. A trailing 'ago' negates
+    everything (PG). Raises ValueError on anything unrecognized."""
+    toks = text.strip().lower().split()
+    if not toks:
+        raise ValueError("interval literal: empty string")
+    if toks and toks[0].startswith("p"):
+        raise ValueError(
+            "interval literal: ISO-8601 'P...' form is outside the "
+            "translatable subset (use the word form: '1 year 2 days')"
+        )
+    negate = False
+    if toks and toks[-1] == "ago":
+        negate = True
+        toks = toks[:-1]
+    months = 0
+    micros = 0.0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        m = _INTERVAL_TIME_RE.match(t)
+        if m:
+            sign = -1 if m.group(1) == "-" else 1
+            hh, mm = int(m.group(2)), int(m.group(3))
+            ss = int(m.group(4) or 0)
+            frac = (m.group(5) or "").ljust(6, "0")
+            us = int(frac) if frac else 0
+            micros += sign * (
+                hh * 3_600_000_000 + mm * 60_000_000
+                + ss * 1_000_000 + us
+            )
+            i += 1
+            continue
+        if _INTERVAL_NUM_RE.match(t):
+            if i + 1 >= len(toks):
+                raise ValueError(
+                    f"interval literal: number '{t}' has no unit"
+                )
+            unit = toks[i + 1]
+            if unit in _INTERVAL_UNIT_MONTHS:
+                if "." in t:
+                    raise ValueError(
+                        "interval literal: fractional month/year "
+                        "quantities are outside the translatable subset"
+                    )
+                months += int(t) * _INTERVAL_UNIT_MONTHS[unit]
+            elif unit in _INTERVAL_UNIT_MICROS:
+                micros += float(t) * _INTERVAL_UNIT_MICROS[unit]
+            else:
+                raise ValueError(
+                    f"interval literal: unknown unit '{unit}'"
+                )
+            i += 2
+            continue
+        raise ValueError(f"interval literal: unrecognized token '{t}'")
+    total_us = int(round(micros))
+    if negate:
+        months, total_us = -months, -total_us
+    return months, total_us
+
+
+def _single_string_literal(expr_text: str) -> str | None:
+    """The unquoted value when ``expr_text`` is exactly one string
+    literal, optionally parenthesized (the ANSI ``CAST(x AS t)`` route
+    rewrites to ``(x)::t``), else None."""
+    toks = tokenize(expr_text)
+    while (
+        len(toks) >= 3
+        and toks[0].kind == "PUNCT" and toks[0].value == "("
+        and toks[-1].kind == "PUNCT" and toks[-1].value == ")"
+    ):
+        toks = toks[1:-1]
+    if len(toks) == 1 and toks[0].kind == "STRING":
+        return toks[0].value
+    return None
+
+
+def _interval_cast_sql(literal_value: str) -> str:
+    """``'...'::interval`` with a literal string → the typed Spark
+    constructors (same classification as make_interval: the two ANSI
+    interval families cannot combine in one value)."""
+    months, total_us = _parse_pg_interval(literal_value)
+    if months and total_us:
+        raise ValueError(
+            "interval literal mixing year/month with day-time "
+            "quantities is outside the translatable subset (the two "
+            "ANSI interval families cannot combine in one value)"
+        )
+    if months:
+        return f"make_ym_interval(0, {months})"
+    days, rem = divmod(abs(total_us), 86_400_000_000)
+    sign = "-" if total_us < 0 else ""
+    secs = rem / 1_000_000
+    return (
+        f"make_dt_interval({sign}{days}, 0, 0, "
+        f"{sign}{secs:.6f})"
+    )
+
+
 def _bytea_cast_sql(operand: str, literal_value: str | None) -> str:
     """``expr::bytea`` → Spark. PG text→bytea runs the bytea INPUT
     parser (PG docs §8.4): a leading ``\\x`` means hex octets
@@ -262,16 +391,16 @@ def translate_pg_casts(sql: str) -> str:
             if well_formed:
                 type_args = vals
                 type_end_idx = k2
-        if type_name not in PG_TO_SPARK_TYPES:
+        if type_name not in PG_TO_SPARK_TYPES and type_name != "interval":
             # Unknown PG type names used to fall through to Spark's
             # parser (CAST(x AS REGCLASS) → opaque ParseException).
             # Reject loudly, naming the vocabulary.
             raise ValueError(
                 f"::{type_name} cast outside the translatable subset; "
-                "supported cast targets: "
+                "supported cast targets: interval (literal strings), "
                 + ", ".join(sorted(PG_TO_SPARK_TYPES))
             )
-        spark_type = PG_TO_SPARK_TYPES[type_name]
+        spark_type = PG_TO_SPARK_TYPES.get(type_name, "")
         wrap = None  # (prefix, suffix) around CAST(op AS STRING)
         if type_args is None and type_name in ("char", "bpchar"):
             # PG: bare char/bpchar means char(1) — truncate AND pad —
@@ -344,10 +473,25 @@ def translate_pg_casts(sql: str) -> str:
 
         operand = sql[start : prev.end]
         end = tokens[type_end_idx].end
+        if type_name == "interval":
+            # '2 days 03:00:00'::interval — an everyday PG idiom. The
+            # literal parses AT TRANSLATION into the typed constructors
+            # (collectible, comparable — see the make_interval pass);
+            # computed operands stay loud (PG's interval input parser
+            # at runtime has no Spark twin; use make_interval).
+            lit = _single_string_literal(operand)
+            if lit is None:
+                raise ValueError(
+                    "::interval casts translate only for literal "
+                    "strings; use make_interval(...) for computed "
+                    "intervals"
+                )
+            cast_sql = _interval_cast_sql(lit)
+            sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
+            continue
         if type_name == "bytea":
             cast_sql = _bytea_cast_sql(
-                operand,
-                prev.value if (prev.kind == "STRING" and start == prev.start) else None,
+                operand, _single_string_literal(operand)
             )
             sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
             continue
@@ -3317,7 +3461,14 @@ def translate_cast_type_names(sql: str) -> str:
             if type_tok.kind != "IDENT":
                 continue
             if type_tok.value.lower() not in PG_TO_SPARK_TYPES:
-                continue
+                # bare CAST(x AS INTERVAL) routes to the ::interval
+                # literal translation; qualified ANSI interval types
+                # (INTERVAL DAY TO SECOND) pass through to Spark
+                if not (
+                    type_tok.value.lower() == "interval"
+                    and as_idx + 2 == close
+                ):
+                    continue
             hit = (i, as_idx, close)
             break
         if hit is None:

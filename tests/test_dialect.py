@@ -2924,3 +2924,77 @@ class TestRound10DefectBatch:
             "array_length(arr, -1) AS lm FROM ald_t",
         ).collect()[0]
         assert row.l1 == 2 and row.l2 is None and row.lm is None
+
+
+class TestIntervalLiteralCast:
+    """Round-10: '2 days 03:00:00'::interval (and bare CAST(x AS
+    INTERVAL)) parse AT TRANSLATION into the typed constructors —
+    collectible and comparable, PG word-form units incl. 'mons',
+    fractional day-time spill-down, trailing 'ago'. Mixed families,
+    ISO-8601 'P...', fractional months, unknown units, and computed
+    operands all reject loudly."""
+
+    def test_translation(self):
+        out = to_spark_sql("SELECT '2 days 03:00:00'::interval FROM t")
+        assert "make_dt_interval(2, 0, 0, 10800.000000)" in out
+        out = to_spark_sql("SELECT '1 year 2 mons'::interval FROM t")
+        assert "make_ym_interval(0, 14)" in out
+        out = to_spark_sql("SELECT CAST('45 minutes' AS INTERVAL) FROM t")
+        assert "make_dt_interval(0, 0, 0, 2700.000000)" in out
+        # qualified ANSI interval types pass through untouched
+        out = to_spark_sql(
+            "SELECT CAST(ts - ts AS INTERVAL DAY TO SECOND) FROM t"
+        )
+        assert "INTERVAL DAY TO SECOND" in out
+
+    def test_values(self, spark):
+        import datetime as dt
+
+        from gfw_data_api_spark.compat import YearMonthInterval
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("ivl_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT timestamp '2024-01-01' + '2 days 03:00:00'::interval "
+            "AS a, '90 minutes'::interval AS b, "
+            "'1.5 days'::interval AS c, '2 days ago'::interval AS d, "
+            "'1 year 2 mons'::interval AS e, "
+            "'-01:30:00'::interval AS f, "
+            "CASE WHEN '36 hours'::interval > '1 day'::interval "
+            "THEN 1 ELSE 0 END AS g FROM ivl_t",
+        ).collect()[0]
+        assert row.a == dt.datetime(2024, 1, 3, 3)
+        assert row.b == dt.timedelta(minutes=90)
+        assert row.c == dt.timedelta(days=1, hours=12)
+        assert row.d == dt.timedelta(days=-2)
+        assert row.e == YearMonthInterval(14)
+        assert row.f == dt.timedelta(minutes=-90)
+        assert row.g == 1
+
+    def test_rejections(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="mixing year/month"):
+            to_spark_sql("SELECT '1 year 2 days'::interval FROM t")
+        with _pt.raises(ValueError, match="ISO-8601"):
+            to_spark_sql("SELECT 'P1Y2M'::interval FROM t")
+        with _pt.raises(ValueError, match="fractional month"):
+            to_spark_sql("SELECT '1.5 years'::interval FROM t")
+        with _pt.raises(ValueError, match="unknown unit"):
+            to_spark_sql("SELECT '3 fortnights'::interval FROM t")
+        with _pt.raises(ValueError, match="literal strings"):
+            to_spark_sql("SELECT (s || ' days')::interval FROM t")
+
+    def test_bytea_serializes_pg_style(self, spark):
+        """PG's bytea text OUTPUT is hex with the \\x prefix — through
+        the API _row_value and the CSV writer."""
+        from gfw_data_api_spark.api.app import _row_value
+        from gfw_data_api_spark.operators.downloads import rows_to_csv
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("byser_t")
+        df = run_pg_sql(spark, "SELECT 'ab'::bytea AS b FROM byser_t")
+        row = df.collect()[0]
+        assert _row_value(row.b) == "\\x6162"
+        assert '"\\x6162"' in rows_to_csv(df)
