@@ -8962,6 +8962,37 @@ _SPECS.append(
 )
 
 
+_Q59_SQL = (
+    # Round-10: the date-spine idiom — generate_series over timestamps
+    # with a literal-interval step (classified at translation: sign +
+    # family known, bounds CAST to TIMESTAMP, stop-inclusive like PG).
+    "SELECT event_id, generate_series("
+    "date_trunc('day', ts), "
+    "date_trunc('day', ts) + make_interval(days => "
+    "CAST(event_id % 2 + 1 AS INT)), "
+    "'12 hours'::interval) AS spine "
+    "FROM events WHERE event_id % 40 = 0"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q59_timestamp_series",
+        spark_fn=_guarded("events", _Q59_SQL),
+        oracle=(
+            "SELECT event_id, unnest(generate_series("
+            "date_trunc('day', ts), "
+            "date_trunc('day', ts) + to_days(CAST(event_id % 2 + 1 "
+            "AS INT)), "
+            "INTERVAL '12 hours')) AS spine "
+            "FROM events WHERE event_id % 40 = 0"
+        ),
+        survey_ref="Q11 round-10: timestamp generate_series with "
+        "literal-interval steps (sql/dialect.py "
+        "translate_set_returning 3-arg interval branch)",
+    )
+)
+
+
 def _q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = (
         # PG semantics under test (round-8, VERDICT r7 #8): NESTED @>

@@ -4297,23 +4297,62 @@ def translate_set_returning(sql: str) -> str:
                     f"ELSE slice(sequence(({a}), ({a})), 1, 0) END)"
                 )
             elif len(arg_texts) == 3:
-                # dynamic steps too (round-8 widening): the sign is
-                # checked AT RUNTIME — wrong-sign bounds give PG's zero
-                # rows (Spark's sequence would raise), and step 0 raises
-                # like PG (assert_true inside a lazy CASE arm)
                 a, b, step = arg_texts
-                empty = f"slice(sequence(({a}), ({a})), 1, 0)"
-                arr = (
-                    f"(CASE "
-                    f"WHEN ({step}) = 0 THEN CASE WHEN assert_true("
-                    f"false, 'generate_series step must not be zero') "
-                    f"IS NULL THEN {empty} END "
-                    f"WHEN ({step}) > 0 AND ({a}) <= ({b}) "
-                    f"THEN sequence(({a}), ({b}), ({step})) "
-                    f"WHEN ({step}) < 0 AND ({a}) >= ({b}) "
-                    f"THEN sequence(({a}), ({b}), ({step})) "
-                    f"ELSE {empty} END)"
-                )
+                # timestamp series (round-10): a literal-interval step
+                # ('1 day'::interval / INTERVAL '1 day') classifies AT
+                # TRANSLATION — sign and family are known, so the
+                # emission is a direct sequence() over CAST(ts) bounds
+                # (PG's generate_series(date, ...) also returns
+                # timestamps). Spark's sequence is stop-inclusive like
+                # PG. Zero steps raise here (PG raises at runtime).
+                step_lit = None
+                st = step.strip()
+                if st.lower().endswith("::interval"):
+                    step_lit = _single_string_literal(
+                        st[: -len("::interval")]
+                    )
+                elif st.upper().startswith("INTERVAL"):
+                    step_lit = _single_string_literal(st[len("INTERVAL") :])
+                if step_lit is not None:
+                    months, us = _parse_pg_interval(step_lit)
+                    if months and us:
+                        raise ValueError(
+                            "generate_series interval step mixing "
+                            "year/month with day-time quantities is "
+                            "outside the translatable subset"
+                        )
+                    if months == 0 and us == 0:
+                        raise ValueError(
+                            "generate_series step must not be zero"
+                        )
+                    ivl = _interval_cast_sql(step_lit)
+                    ta = f"CAST(({a}) AS TIMESTAMP)"
+                    tb = f"CAST(({b}) AS TIMESTAMP)"
+                    empty = f"slice(sequence({ta}, {ta}, {ivl}), 1, 0)"
+                    cmp = "<=" if (months + us) > 0 else ">="
+                    arr = (
+                        f"(CASE WHEN {ta} {cmp} {tb} "
+                        f"THEN sequence({ta}, {tb}, {ivl}) "
+                        f"ELSE {empty} END)"
+                    )
+                else:
+                    # dynamic numeric steps (round-8 widening): the
+                    # sign is checked AT RUNTIME — wrong-sign bounds
+                    # give PG's zero rows (Spark's sequence would
+                    # raise), and step 0 raises like PG (assert_true
+                    # inside a lazy CASE arm)
+                    empty = f"slice(sequence(({a}), ({a})), 1, 0)"
+                    arr = (
+                        f"(CASE "
+                        f"WHEN ({step}) = 0 THEN CASE WHEN assert_true("
+                        f"false, 'generate_series step must not be zero') "
+                        f"IS NULL THEN {empty} END "
+                        f"WHEN ({step}) > 0 AND ({a}) <= ({b}) "
+                        f"THEN sequence(({a}), ({b}), ({step})) "
+                        f"WHEN ({step}) < 0 AND ({a}) >= ({b}) "
+                        f"THEN sequence(({a}), ({b}), ({step})) "
+                        f"ELSE {empty} END)"
+                    )
             else:
                 raise ValueError("generate_series takes 2 or 3 arguments")
         elif fname.endswith("_object_keys"):

@@ -3054,3 +3054,72 @@ class TestTokenizerRegexEquivalence:
                 _tokenize_reference(bad)
             assert str(e_new.value) == str(e_ref.value), bad
             assert e_new.value.index == e_ref.value.index, bad
+
+
+class TestTimestampGenerateSeries:
+    """Round-10: generate_series(ts, ts, '1 day'::interval) — the
+    date-spine idiom. A literal-interval step classifies at
+    translation (sign + family known), bounds CAST to TIMESTAMP (PG's
+    date overload also returns timestamps), stop-inclusive like PG."""
+
+    def test_values(self, spark):
+        import datetime as dt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("gs_t")
+        rows = run_pg_sql(
+            spark,
+            "SELECT generate_series(timestamp '2024-01-01', "
+            "timestamp '2024-01-04', '1 day'::interval) AS d FROM gs_t",
+        ).collect()
+        assert [r.d for r in rows] == [
+            dt.datetime(2024, 1, 1) + dt.timedelta(days=i) for i in range(4)
+        ]
+        rows = run_pg_sql(
+            spark,
+            "SELECT generate_series(timestamp '2024-01-10', "
+            "timestamp '2024-01-08', INTERVAL '-1 day') AS d FROM gs_t",
+        ).collect()
+        assert len(rows) == 3 and rows[-1].d == dt.datetime(2024, 1, 8)
+        # month step is calendar-aware; date bounds promote to ts
+        rows = run_pg_sql(
+            spark,
+            "SELECT generate_series(date '2024-01-31', "
+            "date '2024-04-30', '1 mon'::interval) AS d FROM gs_t",
+        ).collect()
+        assert [r.d for r in rows] == [
+            dt.datetime(2024, 1, 31),
+            dt.datetime(2024, 2, 29),
+            dt.datetime(2024, 3, 31),
+            dt.datetime(2024, 4, 30),
+        ]
+        # wrong-sign bounds -> zero rows (PG)
+        rows = run_pg_sql(
+            spark,
+            "SELECT generate_series(timestamp '2024-01-05', "
+            "timestamp '2024-01-01', '1 day'::interval) AS d FROM gs_t",
+        ).collect()
+        assert rows == []
+        # 30-minute sub-day step
+        rows = run_pg_sql(
+            spark,
+            "SELECT generate_series(timestamp '2024-01-01 00:00:00', "
+            "timestamp '2024-01-01 01:00:00', '30 minutes'::interval) "
+            "AS d FROM gs_t",
+        ).collect()
+        assert len(rows) == 3
+
+    def test_rejections(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="must not be zero"):
+            to_spark_sql(
+                "SELECT generate_series(timestamp '2024-01-01', "
+                "timestamp '2024-01-02', '0 days'::interval) FROM t"
+            )
+        with _pt.raises(ValueError, match="mixing"):
+            to_spark_sql(
+                "SELECT generate_series(timestamp '2024-01-01', "
+                "timestamp '2024-06-02', '1 mon 1 day'::interval) FROM t"
+            )
