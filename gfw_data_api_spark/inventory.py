@@ -8970,7 +8970,11 @@ _Q59_SQL = (
     "date_trunc('day', ts), "
     "date_trunc('day', ts) + make_interval(days => "
     "CAST(event_id % 2 + 1 AS INT)), "
-    "'12 hours'::interval) AS spine "
+    "'12 hours'::interval) AS spine, "
+    # PG 14 date_bin: 45-minute buckets aligned at a non-midnight
+    # origin (floors toward -infinity; exact integer micros)
+    "date_bin('45 minutes', ts, timestamp '2001-01-01 00:07:30') "
+    "AS bucket "
     "FROM events WHERE event_id % 40 = 0"
 )
 
@@ -8983,7 +8987,9 @@ _SPECS.append(
             "date_trunc('day', ts), "
             "date_trunc('day', ts) + to_days(CAST(event_id % 2 + 1 "
             "AS INT)), "
-            "INTERVAL '12 hours')) AS spine "
+            "INTERVAL '12 hours')) AS spine, "
+            "time_bucket(INTERVAL '45 minutes', ts, "
+            "timestamp '2001-01-01 00:07:30') AS bucket "
             "FROM events WHERE event_id % 40 = 0"
         ),
         survey_ref="Q11 round-10: timestamp generate_series with "

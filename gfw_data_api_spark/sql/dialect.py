@@ -1831,7 +1831,8 @@ def translate_pg_functions(sql: str) -> str:
         for i, t in enumerate(tokens):
             if (
                 t.kind == "IDENT"
-                and t.value.lower() in ("gcd", "lcm", "quote_literal")
+                and t.value.lower()
+                in ("gcd", "lcm", "quote_literal", "date_bin")
                 and i + 1 < len(tokens)
                 and tokens[i + 1].value == "("
             ):
@@ -1845,7 +1846,72 @@ def translate_pg_functions(sql: str) -> str:
             raise ValueError(f"unbalanced {fname}(...)")
         args = _args_spans(tokens, at + 2, close - 1) if close - 1 >= at + 2 else []
         texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
-        if fname == "quote_literal":
+        if fname == "date_bin":
+            # PG 14 date_bin(stride, source, origin): bin source into
+            # stride-width buckets aligned at origin, flooring toward
+            # -infinity. A LITERAL day-time stride resolves to
+            # microseconds at translation; the emission is exact
+            # integer arithmetic (pmod gives the floored remainder for
+            # negative deltas too). PG itself rejects month/year
+            # strides; zero/negative strides raise like PG; computed
+            # strides stay loud.
+            if len(texts) != 3:
+                raise ValueError(
+                    "date_bin takes exactly (stride, source, origin)"
+                )
+            st = texts[0].strip()
+            # earlier passes already rewrote '…'::interval /
+            # make_interval(...) strides into the typed constructors —
+            # recognize our own literal emissions alongside bare
+            # string-literal strides (PG coerces those to interval)
+            months, stride_us = 0, None
+            m_dt = re.fullmatch(
+                r"make_dt_interval\((-?\d+),\s*(-?\d+),\s*(-?\d+),"
+                r"\s*(-?\d+(?:\.\d+)?)\)",
+                st,
+            )
+            if m_dt:
+                stride_us = int(
+                    round(
+                        (
+                            int(m_dt.group(1)) * 86_400
+                            + int(m_dt.group(2)) * 3_600
+                            + int(m_dt.group(3)) * 60
+                            + float(m_dt.group(4))
+                        )
+                        * 1_000_000
+                    )
+                )
+            elif re.fullmatch(
+                r"make_ym_interval\((-?\d+),\s*(-?\d+)\)", st
+            ):
+                months = 1  # any ym stride: PG rejects below
+            else:
+                lit = (
+                    _single_string_literal(st[len("INTERVAL") :])
+                    if st.upper().startswith("INTERVAL")
+                    else _single_string_literal(st)
+                )
+                if lit is None:
+                    raise ValueError(
+                        "date_bin translates only for a literal "
+                        "interval stride"
+                    )
+                months, stride_us = _parse_pg_interval(lit)
+            if months:
+                raise ValueError(
+                    "date_bin: timestamps cannot be binned into "
+                    "intervals containing months or years"
+                )
+            if stride_us <= 0:
+                raise ValueError("date_bin: stride must be greater than zero")
+            src = f"unix_micros(CAST(({texts[1]}) AS TIMESTAMP))"
+            org = f"unix_micros(CAST(({texts[2]}) AS TIMESTAMP))"
+            repl = (
+                f"timestamp_micros({org} + ({src} - {org}) "
+                f"- pmod({src} - {org}, {stride_us}))"
+            )
+        elif fname == "quote_literal":
             if len(texts) != 1:
                 raise ValueError("quote_literal takes exactly one argument")
             x = texts[0]

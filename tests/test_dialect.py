@@ -3123,3 +3123,45 @@ class TestTimestampGenerateSeries:
                 "SELECT generate_series(timestamp '2024-01-01', "
                 "timestamp '2024-06-02', '1 mon 1 day'::interval) FROM t"
             )
+
+
+class TestDateBin:
+    """Round-10: PG 14 date_bin(stride, source, origin) — stride-width
+    buckets aligned at origin, floored toward -infinity. Values are
+    PostgreSQL's own documentation examples."""
+
+    def test_values(self, spark):
+        import datetime as dt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("db_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT date_bin('15 minutes', timestamp '2020-02-11 "
+            "15:44:17', timestamp '2001-01-01') AS a, "
+            "date_bin('15 minutes', timestamp '2020-02-11 15:44:17', "
+            "timestamp '2001-01-01 00:02:30') AS b, "
+            # pre-origin source must floor toward -infinity
+            "date_bin('1 day'::interval, timestamp '2000-12-30 23:00:00', "
+            "timestamp '2001-01-01') AS c FROM db_t",
+        ).collect()[0]
+        assert row.a == dt.datetime(2020, 2, 11, 15, 30)
+        assert row.b == dt.datetime(2020, 2, 11, 15, 32, 30)
+        assert row.c == dt.datetime(2000, 12, 30)
+
+    def test_rejections(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="months or years"):
+            to_spark_sql(
+                "SELECT date_bin('1 mon', ts, timestamp '2001-01-01') FROM t"
+            )
+        with _pt.raises(ValueError, match="greater than zero"):
+            to_spark_sql(
+                "SELECT date_bin('0 hours', ts, timestamp '2001-01-01') FROM t"
+            )
+        with _pt.raises(ValueError, match="literal interval"):
+            to_spark_sql(
+                "SELECT date_bin(s, ts, timestamp '2001-01-01') FROM t"
+            )
