@@ -5331,41 +5331,62 @@ def translate_concat_nullskip(sql: str) -> str:
     wrapped in CAST(... AS STRING): identical for scalars (concat_ws
     casts implicitly with the same rules) and element-preserving for
     arrays. Residual (documented in PARITY): Spark renders an array
-    cast as '[a, b]' where PG renders '{a,b}'. MUST run before any
-    pass that emits a Spark ``concat(`` itself (json ops, array_cat,
-    literal splicing) — those emissions want Spark semantics and stay
-    untouched. The ``||`` operator NULL-poisons in BOTH engines and
-    is not affected."""
+    cast as '[a, b]' where PG renders '{a,b}'. User ``concat_ws(sep,
+    ...)`` (round-10) gets the same CAST-each-argument treatment — PG
+    renders an array argument as text while Spark's concat_ws flattens
+    it WITH the separator; the scalar NULL-skip semantics already
+    agree. MUST run before any pass that emits a Spark ``concat(``
+    itself (json ops, array_cat, literal splicing) — those emissions
+    want Spark semantics and stay untouched; this pass's own
+    concat_ws emissions are skipped via a processed-site counter. The
+    ``||`` operator NULL-poisons in BOTH engines and is not
+    affected."""
+    processed = 0
     while True:
         tokens = tokenize(sql)
         at = None
+        fname = None
+        seen = 0
         for i, t in enumerate(tokens):
             if (
                 t.kind == "IDENT"
-                and t.value.lower() == "concat"
+                and t.value.lower() in ("concat", "concat_ws")
                 and i + 1 < len(tokens)
                 and tokens[i + 1].value == "("
             ):
+                seen += 1
+                if seen <= processed:
+                    continue
                 at = i
+                fname = t.value.lower()
                 break
         if at is None:
             return sql
         close = _primary_end(tokens, at)
         if close is None:
-            raise ValueError("unbalanced concat(...)")
+            raise ValueError(f"unbalanced {fname}(...)")
         args = (
             _args_spans(tokens, at + 2, close - 1)
             if close - 1 >= at + 2
             else []
         )
         texts = [sql[tokens[s].start : tokens[e].end] for s, e in args if s <= e]
-        if not texts:
-            raise ValueError("concat takes at least one argument")
-        wrapped = ", ".join(f"CAST(({t}) AS STRING)" for t in texts)
-        sql = (
-            f"{sql[:tokens[at].start]}concat_ws('', {wrapped})"
-            f"{sql[tokens[close].end:]}"
-        )
+        if fname == "concat_ws":
+            if len(texts) < 2:
+                raise ValueError(
+                    "concat_ws takes a separator and at least one value"
+                )
+            wrapped = ", ".join(
+                f"CAST(({t}) AS STRING)" for t in texts[1:]
+            )
+            repl = f"concat_ws(({texts[0]}), {wrapped})"
+        else:
+            if not texts:
+                raise ValueError("concat takes at least one argument")
+            wrapped = ", ".join(f"CAST(({t}) AS STRING)" for t in texts)
+            repl = f"concat_ws('', {wrapped})"
+        processed += 1
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
 
 
 def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:

@@ -3165,3 +3165,18 @@ class TestDateBin:
             to_spark_sql(
                 "SELECT date_bin(s, ts, timestamp '2001-01-01') FROM t"
             )
+
+    def test_user_concat_ws_array_not_flattened(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT array('p', 'q') AS arr, CAST(NULL AS STRING) AS ns"
+        ).createOrReplaceTempView("cws_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT concat_ws('-', arr, 'z') AS a, "
+            "concat_ws('-', 'x', ns, 'y') AS b FROM cws_t",
+        ).collect()[0]
+        # without the CAST wrap Spark flattens: 'p-q-z'
+        assert row.a == "[p, q]-z"
+        assert row.b == "x-y"  # NULL-skip agrees in both engines
