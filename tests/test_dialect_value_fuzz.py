@@ -270,7 +270,30 @@ class Gen:
     def string(self, depth):
         if depth <= 0:
             return self.str_atom()
-        pick = self.r.randrange(15)
+        pick = self.r.randrange(16)
+        if pick == 15:  # round-10 bytea: encode(text::bytea/hex lit)
+            if self.r.random() < 0.5:
+                # backslash-free literal only: PG ITSELF raises on a
+                # stray backslash in bytea input (escape format) — our
+                # loud arm matches PG, but DuckDB's encode() does not
+                s = self.r.choice(
+                    [x for x in STR_POOL if "\\" not in x] or ["abc"]
+                )
+                return (
+                    f"encode(({q(s)})::bytea, 'hex')",
+                    f"lower(hex(encode(({q(s)}))))",
+                    "STR",
+                    True,
+                )
+            hx = "".join(
+                self.r.choice("0123456789abcdef") for _ in range(6)
+            )
+            return (
+                f"encode('\\x{hx}'::bytea, 'hex')",
+                q(hx),
+                "STR",
+                True,
+            )
         if pick == 0:
             a_pg, a_dk, _, _ = self.string(depth - 1)
             b_pg, b_dk, _, _ = self.string(depth - 1)
@@ -447,7 +470,24 @@ class Gen:
 
     # ---------------- booleans ----------------
     def boolean(self, depth):
-        pick = self.r.randrange(8)
+        pick = self.r.randrange(9)
+        if pick == 8:  # round-10 interval comparisons (typed ctors)
+            n1, n2 = self.r.randint(1, 90), self.r.randint(1, 90)
+            u1 = self.r.choice(["mins", "hours", "days"])
+            u2 = self.r.choice(["mins", "hours", "days"])
+            pg_units = {"mins": "minutes", "hours": "hours", "days": "days"}
+            dk_fn = {"mins": "to_minutes", "hours": "to_hours", "days": "to_days"}
+            op = self.r.choice(["<", "<=", "=", ">", ">="])
+            if self.r.random() < 0.5:
+                lhs_pg = f"'{n1} {pg_units[u1]}'::interval"
+            else:
+                lhs_pg = f"make_interval({u1} => {n1})"
+            return (
+                f"({lhs_pg} {op} make_interval({u2} => {n2}))",
+                f"({dk_fn[u1]}({n1}) {op} {dk_fn[u2]}({n2}))",
+                "BOOL",
+                True,
+            )
         if pick == 0:
             a_pg, a_dk, _, _ = self.num(depth - 1)
             b_pg, b_dk, _, _ = self.num(depth - 1)
