@@ -8797,7 +8797,10 @@ _Q56_SQL = (
     "event_type) AS cc, "
     # gcd/lcm (bounded Euclid fold) + quote_literal (doubled quotes)
     "gcd(event_id % 48, 18) AS g, lcm(event_id % 7 + 1, 6) AS l, "
-    "quote_literal(event_type || '_q') AS ql "
+    "quote_literal(event_type || '_q') AS ql, "
+    # round-10: PG LIKE-operator spellings
+    "event_type ~~ 'c%' AS lk, event_type ~~* 'C%' AS ilk, "
+    "event_type !~~ '%out' AS nlk "
     "FROM events WHERE event_id % 15 = 0"
 )
 
@@ -8825,7 +8828,9 @@ _SPECS.append(
             "gcd(event_id % 48, 18) AS g, "
             "lcm(event_id % 7 + 1, 6) AS l, "
             "chr(39) || replace(event_type || '_q', chr(39), "
-            "chr(39) || chr(39)) || chr(39) AS ql "
+            "chr(39) || chr(39)) || chr(39) AS ql, "
+            "event_type LIKE 'c%' AS lk, event_type ILIKE 'C%' AS ilk, "
+            "event_type NOT LIKE '%out' AS nlk "
             "FROM events WHERE event_id % 15 = 0"
         ),
         survey_ref="Q11 round-9 array/string surface: array_position "

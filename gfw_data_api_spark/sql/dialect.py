@@ -843,6 +843,31 @@ def _translate_posix_classes(pat: str) -> str:
     return re.sub(r"\[:(\^?[a-z]+):\]", sub, pat)
 
 
+def translate_like_ops(sql: str) -> str:
+    """PG's LIKE-operator spellings — ``~~`` (LIKE), ``!~~`` (NOT
+    LIKE), ``~~*`` (ILIKE), ``!~~*`` (NOT ILIKE). Straight keyword
+    substitution is exact: the operators share LIKE's precedence and
+    both engines default to backslash escaping. Runs BEFORE
+    translate_regex_ops so the ``~`` regex family never sees them
+    (round-10; previously an opaque Spark ParseException)."""
+    mapping = {
+        "~~": " LIKE ",
+        "!~~": " NOT LIKE ",
+        "~~*": " ILIKE ",
+        "!~~*": " NOT ILIKE ",
+    }
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for t in tokens:
+            if t.kind == "OP" and t.value in mapping:
+                hit = t
+                break
+        if hit is None:
+            return sql
+        sql = f"{sql[:hit.start]}{mapping[hit.value]}{sql[hit.end:]}"
+
+
 def translate_regex_ops(sql: str) -> str:
     """PG regex-match operators → Spark RLIKE. ``a ~ p`` matches
     anywhere, exactly RLIKE's contract; ``~*`` folds case via an
@@ -5411,6 +5436,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_extract(sql)
     sql = translate_between_symmetric(sql)
     sql = translate_caret_power(sql)
+    sql = translate_like_ops(sql)  # before the ~ regex family
     sql = translate_regex_ops(sql)
     sql = translate_similar_to(sql)
     sql = translate_pg_functions(sql)

@@ -24,7 +24,8 @@ import re
 
 _MULTI_OPS = (
     "::", "<=", ">=", "<>", "!=", "||", "->>", "->", "#>>", "#>",
-    "~*", "!~*", "!~", "?|", "?&", "@>", "<@",
+    "!~~*", "!~~", "~~*", "~~",  # PG LIKE-operator spellings (before
+    "~*", "!~*", "!~", "?|", "?&", "@>", "<@",  # their ~ prefixes)
 )
 _SINGLE_OPS = set("+-*/%<>=~^&|#?@!")
 _PUNCT = set("(),;.[]:")
@@ -91,7 +92,7 @@ _TOKEN_RE = re.compile(
     | (?P<param>\$\d+)
     | (?P<num>(?:\d|\.\d)[0-9.]*(?:[eE][+-]?[0-9.]*)?)
     | (?P<ident>[^\W\d][\w$]*)
-    | (?P<mop>::|<=|>=|<>|!=|\|\||->>|->|\#>>|\#>|~\*|!~\*|!~|\?\||\?&|@>|<@)
+    | (?P<mop>::|<=|>=|<>|!=|\|\||->>|->|\#>>|\#>|!~~\*|!~~|~~\*|~~|~\*|!~\*|!~|\?\||\?&|@>|<@)
     | (?P<punct>[(),;.\[\]:])
     | (?P<sop>[-+*/%<>=~^&|\#?@!])
     """,

@@ -3021,6 +3021,7 @@ class TestTokenizerRegexEquivalence:
             "SELECT 'it''s' || '\\x41' AS s, \"we\"\"ird\" FROM t",
             "SELECT a::numeric(10,2), b ->> 'k', c #>> '{a,0}' FROM t",
             "SELECT x !~* 'pat', y ?| array['a'], z <@ w, 1.2.3e4.5 FROM t",
+            "SELECT a ~~ 'x%', b !~~ 'y_', c ~~* 'Z%', d !~~* 'w%' FROM t",
             "SELECT $1, $23, _id$x, café, 1e, 1e+, .5, 5., -- line\n 7",
             "SELECT /* block\ncomment */ `back``tick`, a[2], b:c FROM t",
             "SELECT 1<=2, 3>=4, 5<>6, 7!=8, a||b, j->'k', j#>'{p}' FROM t",
@@ -3180,3 +3181,34 @@ class TestDateBin:
         # without the CAST wrap Spark flattens: 'p-q-z'
         assert row.a == "[p, q]-z"
         assert row.b == "x-y"  # NULL-skip agrees in both engines
+
+
+class TestLikeOperatorSpellings:
+    """Round-10: PG's LIKE-operator spellings ~~ / !~~ / ~~* / !~~*
+    (previously an opaque Spark ParseException; keyword substitution
+    is exact — shared precedence, shared backslash escape)."""
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 'abc' AS s").createOrReplaceTempView("lk_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT s ~~ 'a%' AS a, s !~~ 'a%' AS b, "
+            "s ~~* 'A%' AS c, s !~~* 'A%' AS d, "
+            "s ~~ '_b_' AS e FROM lk_t",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d, row.e) == (
+            True, False, True, False, True,
+        )
+
+    def test_does_not_shadow_regex_ops(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 'abc' AS s").createOrReplaceTempView("lk2_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT s ~ '^a' AS a, s !~ '^b' AS b, s ~* '^A' AS c "
+            "FROM lk2_t",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == (True, True, True)
