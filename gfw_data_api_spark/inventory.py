@@ -8800,7 +8800,13 @@ _Q56_SQL = (
     "quote_literal(event_type || '_q') AS ql, "
     # round-10: PG LIKE-operator spellings
     "event_type ~~ 'c%' AS lk, event_type ~~* 'C%' AS ilk, "
-    "event_type !~~ '%out' AS nlk "
+    "event_type !~~ '%out' AS nlk, "
+    # round-10: array-literal casts (the ANY('{...}'::text[]) idiom)
+    "array_to_string('{L, M, \"x y\"}'::text[], '.') AS arrlit, "
+    "array_position('{10,20,30}'::int[], CAST(event_id % 40 AS INT)) "
+    "AS arrpos, "
+    "CASE WHEN event_type = ANY('{click, view}'::text[]) "
+    "THEN 1 ELSE 0 END AS arrany "
     "FROM events WHERE event_id % 15 = 0"
 )
 
@@ -8830,7 +8836,12 @@ _SPECS.append(
             "chr(39) || replace(event_type || '_q', chr(39), "
             "chr(39) || chr(39)) || chr(39) AS ql, "
             "event_type LIKE 'c%' AS lk, event_type ILIKE 'C%' AS ilk, "
-            "event_type NOT LIKE '%out' AS nlk "
+            "event_type NOT LIKE '%out' AS nlk, "
+            "array_to_string(['L', 'M', 'x y'], '.') AS arrlit, "
+            "CAST(nullif(list_position([10, 20, 30], "
+            "CAST(event_id % 40 AS INT)), 0) AS BIGINT) AS arrpos, "
+            "CASE WHEN event_type IN ('click', 'view') "
+            "THEN 1 ELSE 0 END AS arrany "
             "FROM events WHERE event_id % 15 = 0"
         ),
         survey_ref="Q11 round-9 array/string surface: array_position "

@@ -235,6 +235,88 @@ def _parse_pg_interval(text: str) -> tuple[int, int]:
     return months, total_us
 
 
+def _parse_pg_array_literal(s: str) -> list[str | None]:
+    """Parse a PG 1-D array INPUT literal (``'{a, "b,c", NULL}'`` —
+    PG docs §8.15.2) into element strings (None = NULL). Supported:
+    comma separation, double-quoted elements with backslash escapes,
+    unquoted elements (trimmed; bare NULL is the null value). Loud:
+    multidimensional literals, unterminated quotes, empty unquoted
+    elements (PG errors on those too)."""
+    t = s.strip()
+    if not (t.startswith("{") and t.endswith("}")):
+        raise ValueError(
+            "array literal must be brace-delimited ('{a,b}')"
+        )
+    inner = t[1:-1]
+    if inner.strip() == "":
+        return []
+    elems: list[tuple[str, str, bool]] = []  # (unquoted, quoted, had)
+    ubuf: list[str] = []
+    qbuf: list[str] = []
+    quoted = False
+    had_quote = False
+    i, n = 0, len(inner)
+    while i < n:
+        c = inner[i]
+        if quoted:
+            if c == "\\":
+                if i + 1 >= n:
+                    raise ValueError("dangling backslash in array literal")
+                qbuf.append(inner[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                quoted = False
+                i += 1
+                continue
+            qbuf.append(c)
+            i += 1
+            continue
+        if c == '"':
+            quoted = True
+            had_quote = True
+            i += 1
+            continue
+        if c == ",":
+            elems.append(("".join(ubuf), "".join(qbuf), had_quote))
+            ubuf, qbuf, had_quote = [], [], False
+            i += 1
+            continue
+        if c == "{":
+            raise ValueError(
+                "multidimensional array literals are outside the "
+                "translatable subset"
+            )
+        ubuf.append(c)
+        i += 1
+    if quoted:
+        raise ValueError("unterminated quoted element in array literal")
+    elems.append(("".join(ubuf), "".join(qbuf), had_quote))
+    vals: list[str | None] = []
+    for raw_u, raw_q, hq in elems:
+        if hq:
+            # PG ignores whitespace around a quoted element and
+            # errors on any other adjacent unquoted characters
+            if raw_u.strip() != "":
+                raise ValueError(
+                    "malformed array literal: junk adjacent to a "
+                    "quoted element"
+                )
+            vals.append(raw_q)
+            continue
+        v = raw_u.strip()
+        if v.upper() == "NULL":
+            vals.append(None)
+        elif v == "":
+            raise ValueError(
+                "empty unquoted element in array literal (PG errors "
+                "here too; quote it for an empty string)"
+            )
+        else:
+            vals.append(v)
+    return vals
+
+
 def _single_string_literal(expr_text: str) -> str | None:
     """The unquoted value when ``expr_text`` is exactly one string
     literal, optionally parenthesized (the ANSI ``CAST(x AS t)`` route
@@ -391,6 +473,20 @@ def translate_pg_casts(sql: str) -> str:
             if well_formed:
                 type_args = vals
                 type_end_idx = k2
+        # array types: '{a,b}'::text[] — capture the element-type text
+        # (with any (p,s) args) before consuming the brackets
+        elem_type_text = sql[
+            tokens[cast_at + 1].start : tokens[type_end_idx].end
+        ]
+        is_array_type = (
+            type_end_idx + 2 < len(tokens)
+            and tokens[type_end_idx + 1].kind == "PUNCT"
+            and tokens[type_end_idx + 1].value == "["
+            and tokens[type_end_idx + 2].kind == "PUNCT"
+            and tokens[type_end_idx + 2].value == "]"
+        )
+        if is_array_type:
+            type_end_idx += 2
         if type_name not in PG_TO_SPARK_TYPES and type_name != "interval":
             # Unknown PG type names used to fall through to Spark's
             # parser (CAST(x AS REGCLASS) → opaque ParseException).
@@ -473,6 +569,48 @@ def translate_pg_casts(sql: str) -> str:
 
         operand = sql[start : prev.end]
         end = tokens[type_end_idx].end
+        if is_array_type:
+            # PG array INPUT literal → Spark array(...) of per-element
+            # casts, which the rescan of this same loop translates
+            # (so numeric rounding, varchar truncation, bytea and
+            # interval element semantics all apply uniformly).
+            lit = _single_string_literal(operand)
+            if lit is None:
+                # computed operand (ARRAY[...] constructor, a column,
+                # string_to_array, ...): element-wise cast — the
+                # emitted ::type inside the lambda re-translates on
+                # rescan with the full per-type semantics
+                cast_sql = (
+                    f"transform(({operand}), "
+                    f"__gfw_e -> __gfw_e::{elem_type_text})"
+                )
+                sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
+                continue
+            elems = _parse_pg_array_literal(lit)
+            if not elems:
+                if not spark_type:
+                    raise ValueError(
+                        "empty interval-array literals are outside "
+                        "the translatable subset"
+                    )
+                cast_sql = f"CAST(array() AS ARRAY<{spark_type}>)"
+            else:
+                parts = []
+                for e in elems:
+                    if e is None:
+                        if type_name == "interval":
+                            raise ValueError(
+                                "NULL elements in interval-array "
+                                "literals are outside the "
+                                "translatable subset"
+                            )
+                        parts.append(f"NULL::{elem_type_text}")
+                    else:
+                        esc = e.replace("'", "''")
+                        parts.append(f"'{esc}'::{elem_type_text}")
+                cast_sql = f"array({', '.join(parts)})"
+            sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
+            continue
         if type_name == "interval":
             # '2 days 03:00:00'::interval — an everyday PG idiom. The
             # literal parses AT TRANSLATION into the typed constructors

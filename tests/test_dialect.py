@@ -3212,3 +3212,66 @@ class TestLikeOperatorSpellings:
             "FROM lk2_t",
         ).collect()[0]
         assert (row.a, row.b, row.c) == (True, True, True)
+
+
+class TestArrayLiteralCast:
+    """Round-10: PG array-literal casts '{a,b}'::type[] — the
+    everyday `= ANY('{en,fr}'::text[])` idiom. Literal operands parse
+    PG's array INPUT format at translation (quoted elements with
+    backslash escapes, whitespace rules, bare NULL); computed operands
+    (ARRAY[...], columns, string_to_array) get an element-wise
+    transform cast. Per-element semantics come from the rescan of the
+    normal ::type translation (numeric rounding, varchar truncation,
+    bytea, interval)."""
+
+    def test_values(self, spark):
+        from decimal import Decimal
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 'en' AS lang").createOrReplaceTempView("al_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT array_to_string('{en, fr, \"x y\"}'::text[], '/') "
+            "AS a, "
+            "'{1, 2, 3}'::int[] AS b, "
+            "'{2.5, 3.5}'::numeric(10,1)[] AS c, "
+            "'{1, NULL, 3}'::int[] AS d, "
+            "array_length('{}'::int[], 1) AS e, "
+            "lang = ANY('{en,fr}'::text[]) AS f, "
+            "ARRAY[1, 2]::text[] AS g, "
+            "string_to_array('1-2', '-')::int[] AS h FROM al_t",
+        ).collect()[0]
+        assert row.a == "en/fr/x y"
+        assert row.b == [1, 2, 3]
+        assert row.c == [Decimal("2.5"), Decimal("3.5")]
+        assert row.d == [1, None, 3]
+        assert row.e is None  # PG: array_length of empty = NULL
+        assert row.f is True
+        assert row.g == ["1", "2"]
+        assert row.h == [1, 2]
+
+    def test_parser_escapes(self):
+        from gfw_data_api_spark.sql.dialect import _parse_pg_array_literal
+
+        assert _parse_pg_array_literal('{"a\\"b", "c\\\\d"}') == [
+            'a"b', "c\\d"
+        ]
+        assert _parse_pg_array_literal('{ x , "y z" }') == ["x", "y z"]
+        assert _parse_pg_array_literal("{NULL, null, \"NULL\"}") == [
+            None, None, "NULL"
+        ]
+
+    def test_rejections(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="multidimensional"):
+            to_spark_sql("SELECT '{{1},{2}}'::int[] FROM t")
+        with _pt.raises(ValueError, match="empty unquoted"):
+            to_spark_sql("SELECT '{a,,b}'::text[] FROM t")
+        with _pt.raises(ValueError, match="unterminated quoted"):
+            to_spark_sql("SELECT '{\"a}'::text[] FROM t")
+        with _pt.raises(ValueError, match="junk adjacent"):
+            to_spark_sql("SELECT '{x\"a\"}'::text[] FROM t")
+        with _pt.raises(ValueError, match="brace-delimited"):
+            to_spark_sql("SELECT 'nope'::text[] FROM t")
