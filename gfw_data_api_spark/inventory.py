@@ -9015,6 +9015,54 @@ _SPECS.append(
 )
 
 
+_Q60_SQL = (
+    # Round-10: PG row-constructor comparisons — the keyset-pagination
+    # WHERE shape plus projected three-valued arms (a NULL pair before
+    # a deciding pair yields NULL, PG's rule; Spark's native struct
+    # ordering is nulls-first and diverges silently).
+    "SELECT event_id, event_type, "
+    "CASE WHEN (event_type, event_id % 7) < ('purchase', 3) "
+    "THEN 1 ELSE 0 END AS lt, "
+    "CASE WHEN (event_id % 5, event_id % 3) IN ((0, 0), (1, 2), (4, 1)) "
+    "THEN 1 ELSE 0 END AS inr, "
+    "CASE WHEN (nullif(event_id % 4, 2), event_id % 3) < (1, 9) "
+    "THEN 1 WHEN NOT ((nullif(event_id % 4, 2), event_id % 3) < (1, 9)) "
+    "THEN 0 ELSE -1 END AS ltnull "
+    "FROM events "
+    "WHERE (event_type, event_id % 10) >= ('click', 4) "
+    "AND event_id % 15 = 0 ORDER BY event_id"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q60_row_comparisons",
+        spark_fn=_guarded("events", _Q60_SQL),
+        oracle=(
+            # the oracle spells PG's lexicographic expansion explicitly
+            "SELECT event_id, event_type, "
+            "CASE WHEN event_type < 'purchase' OR (event_type = "
+            "'purchase' AND event_id % 7 < 3) THEN 1 ELSE 0 END AS lt, "
+            "CASE WHEN (event_id % 5 = 0 AND event_id % 3 = 0) "
+            "OR (event_id % 5 = 1 AND event_id % 3 = 2) "
+            "OR (event_id % 5 = 4 AND event_id % 3 = 1) "
+            "THEN 1 ELSE 0 END AS inr, "
+            "CASE WHEN nullif(event_id % 4, 2) < 1 OR "
+            "(nullif(event_id % 4, 2) = 1 AND event_id % 3 < 9) "
+            "THEN 1 WHEN NOT (nullif(event_id % 4, 2) < 1 OR "
+            "(nullif(event_id % 4, 2) = 1 AND event_id % 3 < 9)) "
+            "THEN 0 ELSE -1 END AS ltnull "
+            "FROM events "
+            "WHERE (event_type > 'click' OR (event_type = 'click' "
+            "AND event_id % 10 >= 4)) "
+            "AND event_id % 15 = 0 ORDER BY event_id"
+        ),
+        survey_ref="Q11 round-10: row-constructor comparisons with "
+        "PG three-valued lexicographic semantics "
+        "(sql/dialect.py translate_row_comparisons)",
+    )
+)
+
+
 def _q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = (
         # PG semantics under test (round-8, VERDICT r7 #8): NESTED @>

@@ -4259,6 +4259,221 @@ def _translate_lockstep_unnest(sql, tokens, depths, calls):
     return translate_set_returning(out)
 
 
+_ROW_CMP_OPS = ("<", "<=", ">", ">=", "=", "<>", "!=")
+# keywords that may legitimately precede a bare row constructor's "("
+_ROW_CTX_KEYWORDS = {
+    "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN", "ELSE",
+    "SELECT", "HAVING", "BY", "ROW", "IN", "END", "DISTINCT",
+}
+
+
+def _row_group(tokens, open_idx, sql):
+    """Parse a parenthesized TOP-LEVEL comma list starting at
+    tokens[open_idx] == '(' → (close_idx, [element texts]) or None
+    when it is not a bare row constructor (no top-level comma, a
+    scalar subquery, or a function-call argument list)."""
+    if not (
+        tokens[open_idx].kind == "PUNCT" and tokens[open_idx].value == "("
+    ):
+        return None
+    depth = 0
+    close = None
+    for j in range(open_idx, len(tokens)):
+        t = tokens[j]
+        if t.kind == "PUNCT" and t.value == "(":
+            depth += 1
+        elif t.kind == "PUNCT" and t.value == ")":
+            depth -= 1
+            if depth == 0:
+                close = j
+                break
+    if close is None or close == open_idx + 1:
+        return None
+    if tokens[open_idx + 1].upper == "SELECT":
+        return None  # scalar subquery
+    spans = _args_spans(tokens, open_idx + 1, close - 1)
+    if len(spans) < 2:
+        return None  # no top-level comma: a scalar paren group
+    texts = [sql[tokens[s].start : tokens[e].end] for s, e in spans]
+    return close, texts
+
+
+def _row_ctor_start(tokens, open_idx):
+    """Whether tokens[open_idx] == '(' begins a BARE row constructor
+    (optionally spelled ROW(...)): the preceding token must not make
+    it a function call / subscript. Returns the constructor's first
+    token index (the ROW keyword if present) or None."""
+    k = open_idx - 1
+    if k >= 0 and tokens[k].kind == "IDENT" and tokens[k].upper == "ROW":
+        k -= 1
+        start = open_idx - 1
+    else:
+        start = open_idx
+    if k < 0:
+        return start
+    p = tokens[k]
+    if p.kind in ("NUMBER", "STRING", "QIDENT", "PARAM"):
+        return None
+    if p.kind == "PUNCT" and p.value in (")", "]", "."):
+        return None
+    if p.kind == "IDENT" and p.upper not in _ROW_CTX_KEYWORDS:
+        return None  # function call f(...)
+    return start
+
+
+def _lex_expansion(ls, rs, op):
+    """PG row-comparison semantics, exactly as PG defines them:
+    ``=`` is pairwise AND, ``<>`` pairwise OR, and the order operators
+    are the lexicographic expansion — three-valued logic included
+    (a NULL pair before a deciding pair yields NULL)."""
+    if op == "=":
+        return "(" + " AND ".join(
+            f"({l}) = ({r})" for l, r in zip(ls, rs)
+        ) + ")"
+    if op in ("<>", "!="):
+        return "(" + " OR ".join(
+            f"({l}) <> ({r})" for l, r in zip(ls, rs)
+        ) + ")"
+
+    def rec(i):
+        if i == len(ls) - 1:
+            return f"({ls[i]}) {op} ({rs[i]})"
+        return (
+            f"({ls[i]}) {'<' if op.startswith('<') else '>'} ({rs[i]}) "
+            f"OR (({ls[i]}) = ({rs[i]}) AND ({rec(i + 1)}))"
+        )
+
+    return f"({rec(0)})"
+
+
+def translate_row_comparisons(sql: str) -> str:
+    """PG row-constructor comparisons — ``(a, b) < (c, d)``,
+    ``ROW(a, b) = ...``, ``(a, b) IN ((1, 2), (3, 4))`` (keyset
+    pagination's everyday shapes). Spark compares structs with
+    nulls-FIRST ordering and null-insensitive (in)equality, silently
+    diverging from PG's three-valued rules (probed: ``(1, NULL) <
+    (1, 3)`` is TRUE in Spark, NULL in PG; ``(1, NULL) = (1, 3)`` is
+    FALSE in Spark, NULL in PG). Expand to PG's own definition:
+    pairwise AND / OR for =/<>, the lexicographic expansion for the
+    order operators, OR-of-equalities for IN (NOT IN negates).
+    Emitted comparisons are scalar, so the rescan terminates."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        for i, t in enumerate(tokens):
+            is_cmp = t.kind == "OP" and t.value in _ROW_CMP_OPS
+            is_in = t.kind == "IDENT" and t.upper == "IN"
+            if not (is_cmp or is_in):
+                continue
+            # left side: a ')' closing a bare row constructor
+            # (for IN, an interposed NOT: ``(a, b) NOT IN (...)``)
+            k = i - 1
+            neg_in = False
+            if (
+                is_in
+                and k >= 0
+                and tokens[k].kind == "IDENT"
+                and tokens[k].upper == "NOT"
+            ):
+                neg_in = True
+                k -= 1
+            if k < 0 or not (
+                tokens[k].kind == "PUNCT" and tokens[k].value == ")"
+            ):
+                continue
+            depth = 0
+            lopen = None
+            for j in range(k, -1, -1):
+                tj = tokens[j]
+                if tj.kind == "PUNCT" and tj.value == ")":
+                    depth += 1
+                elif tj.kind == "PUNCT" and tj.value == "(":
+                    depth -= 1
+                    if depth == 0:
+                        lopen = j
+                        break
+            if lopen is None:
+                continue
+            lstart = _row_ctor_start(tokens, lopen)
+            if lstart is None:
+                continue
+            lrow = _row_group(tokens, lopen, sql)
+            if lrow is None:
+                continue
+            _, ltexts = lrow
+            if is_cmp:
+                ropen = i + 1
+                if (
+                    ropen < len(tokens)
+                    and tokens[ropen].kind == "IDENT"
+                    and tokens[ropen].upper == "ROW"
+                ):
+                    ropen += 1
+                rrow = (
+                    _row_group(tokens, ropen, sql)
+                    if ropen < len(tokens)
+                    else None
+                )
+                if rrow is None or len(rrow[1]) != len(ltexts):
+                    continue
+                rclose, rtexts = rrow
+                repl = _lex_expansion(ltexts, rtexts, t.value)
+                sql = (
+                    f"{sql[:tokens[lstart].start]}{repl}"
+                    f"{sql[tokens[rclose].end:]}"
+                )
+                hit = True
+                break
+            # IN / NOT IN over a list of row constructors
+            lopen2 = i + 1
+            if not (
+                lopen2 < len(tokens)
+                and tokens[lopen2].kind == "PUNCT"
+                and tokens[lopen2].value == "("
+            ):
+                continue
+            depth = 0
+            lclose2 = None
+            for j in range(lopen2, len(tokens)):
+                tj = tokens[j]
+                if tj.kind == "PUNCT" and tj.value == "(":
+                    depth += 1
+                elif tj.kind == "PUNCT" and tj.value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        lclose2 = j
+                        break
+            if lclose2 is None:
+                continue
+            if tokens[lopen2 + 1].upper == "SELECT":
+                continue  # subquery form — guard policy handles it
+            item_spans = _args_spans(tokens, lopen2 + 1, lclose2 - 1)
+            alts = []
+            ok = True
+            for s0, e0 in item_spans:
+                s1 = s0
+                if tokens[s1].kind == "IDENT" and tokens[s1].upper == "ROW":
+                    s1 += 1
+                item = _row_group(tokens, s1, sql)
+                if item is None or len(item[1]) != len(ltexts):
+                    ok = False
+                    break
+                alts.append(_lex_expansion(ltexts, item[1], "="))
+            if not ok or not alts:
+                continue
+            repl = "(" + " OR ".join(alts) + ")"
+            if neg_in:
+                repl = f"(NOT {repl})"
+            sql = (
+                f"{sql[:tokens[lstart].start]}{repl}"
+                f"{sql[tokens[lclose2].end:]}"
+            )
+            hit = True
+            break
+        if hit is None:
+            return sql
+
+
 def translate_row_overlaps(sql: str) -> str:
     """SQL-standard ``(s1, e1) OVERLAPS (s2, e2)`` (PG supports it;
     Spark's parser rejects the row syntax) → the standard's half-open
@@ -5562,6 +5777,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_jsonb_concat(sql)  # before pg_casts eats ::jsonb
     sql = translate_set_returning(sql)  # after json ops; emits explode()
     sql = translate_row_overlaps(sql)
+    sql = translate_row_comparisons(sql)  # after OVERLAPS eats its pairs
     sql = translate_null_counters(sql)
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)

@@ -3275,3 +3275,56 @@ class TestArrayLiteralCast:
             to_spark_sql("SELECT '{x\"a\"}'::text[] FROM t")
         with _pt.raises(ValueError, match="brace-delimited"):
             to_spark_sql("SELECT 'nope'::text[] FROM t")
+
+
+class TestRowComparisons:
+    """Round-10: PG row-constructor comparisons (keyset pagination).
+    Spark's struct ordering is nulls-FIRST and its struct equality
+    null-insensitive — probed silent divergences: (1,NULL) < (1,3) is
+    TRUE in Spark / NULL in PG; (1,NULL) = (1,3) FALSE / NULL. The
+    translation expands to PG's own lexicographic definition."""
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT 1 AS a, 3 AS b, CAST(NULL AS INT) AS n"
+        ).createOrReplaceTempView("rowcmp_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT (a, b) < (2, 1) AS t1, "
+            "(a, n) < (1, 3) AS tie_null, "
+            "(a, n) < (2, 3) AS decided, "
+            "(a, n) = (1, 3) AS eq_null, "
+            "(a, n) <> (2, 3) AS ne_decided, "
+            "ROW(a, b) <= ROW(1, 3) AS rowkw, "
+            "(a, b) IN ((9, 9), (1, 3)) AS inr, "
+            "(a, n) IN ((1, 3)) AS in_null, "
+            "(a, b) NOT IN ((9, 9)) AS notin, "
+            "(a, b, a) < (1, 3, 2) AS three, "
+            "a IN (1, 2) AS scalar_in, "
+            "nullif(a, b) = 1 AS fn_args, "
+            "(a) < (b) AS scalar_paren FROM rowcmp_t",
+        ).collect()[0]
+        assert row.t1 is True
+        assert row.tie_null is None      # PG: NULL (Spark alone: True)
+        assert row.decided is True
+        assert row.eq_null is None       # PG: NULL (Spark alone: False)
+        assert row.ne_decided is True
+        assert row.rowkw is True
+        assert row.inr is True
+        assert row.in_null is None
+        assert row.notin is True
+        assert row.three is True
+        assert row.scalar_in is True     # scalar forms untouched
+        assert row.fn_args is True
+        assert row.scalar_paren is True
+
+    def test_translation_shape(self):
+        out = to_spark_sql("SELECT (a, b) < (c, d) FROM t")
+        assert "OR ((a) = (c) AND ((b) < (d)))" in out
+        out = to_spark_sql("SELECT (a, b) = (c, d) FROM t")
+        assert "(a) = (c) AND (b) = (d)" in out
+        # function calls and subqueries are never mistaken for rows
+        out = to_spark_sql("SELECT nullif(a, b) = 1 FROM t")
+        assert "nullif(a, b) = 1" in out
