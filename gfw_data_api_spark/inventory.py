@@ -8990,7 +8990,11 @@ _Q59_SQL = (
     # PG 14 date_bin: 45-minute buckets aligned at a non-midnight
     # origin (floors toward -infinity; exact integer micros)
     "date_bin('45 minutes', ts, timestamp '2001-01-01 00:07:30') "
-    "AS bucket "
+    "AS bucket, "
+    # AT TIME ZONE with a fixed offset (deterministic; the oracle
+    # replays the arithmetic) + epoch of an interval literal
+    "ts AT TIME ZONE '+05:30' AS utc_of_local, "
+    "extract(epoch from '90 minutes'::interval) AS ep_iv "
     "FROM events WHERE event_id % 40 = 0"
 )
 
@@ -9005,7 +9009,9 @@ _SPECS.append(
             "AS INT)), "
             "INTERVAL '12 hours')) AS spine, "
             "time_bucket(INTERVAL '45 minutes', ts, "
-            "timestamp '2001-01-01 00:07:30') AS bucket "
+            "timestamp '2001-01-01 00:07:30') AS bucket, "
+            "ts - INTERVAL '5 hours 30 minutes' AS utc_of_local, "
+            "CAST(5400 AS DOUBLE) AS ep_iv "
             "FROM events WHERE event_id % 40 = 0"
         ),
         survey_ref="Q11 round-10: timestamp generate_series with "

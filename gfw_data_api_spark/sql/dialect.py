@@ -981,6 +981,126 @@ def _translate_posix_classes(pat: str) -> str:
     return re.sub(r"\[:(\^?[a-z]+):\]", sub, pat)
 
 
+def translate_at_time_zone(sql: str) -> str:
+    """PG ``expr AT TIME ZONE zone`` (previously an opaque Spark
+    ParseException). The engine stores PG ``timestamp`` (no tz) under
+    a pinned-UTC session, so:
+
+    - ``timestamp AT TIME ZONE z`` → timestamptz, i.e. the UTC
+      instant of the z-local wall time, rendered in the UTC session →
+      ``to_utc_timestamp(expr, z)``;
+    - applied to a value that IS already our timestamptz emission
+      (chained ``ts AT TIME ZONE 'a' AT TIME ZONE 'b'``) → PG's
+      timestamptz rule, the z-local wall time →
+      ``from_utc_timestamp(expr, z)``.
+
+    The leftmost (innermost) site rewrites first, so chains resolve
+    with PG's left-associative typing. Typed-literal operands
+    (``timestamp '...'``) absorb their keyword."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "AT"
+                and i + 2 < len(tokens)
+                and tokens[i + 1].upper == "TIME"
+                and tokens[i + 2].upper == "ZONE"
+                and i > 0
+                and i + 3 < len(tokens)
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        # zone operand: the next primary (literal / ident / call /
+        # paren group)
+        z = at + 3
+        if tokens[z].kind in ("STRING", "QIDENT", "NUMBER", "PARAM"):
+            zend = z
+        elif tokens[z].kind == "IDENT":
+            zend = _primary_end(tokens, z)
+            if zend is None:
+                zend = z
+        elif tokens[z].kind == "PUNCT" and tokens[z].value == "(":
+            depth = 0
+            zend = None
+            for j in range(z, len(tokens)):
+                if tokens[j].kind == "PUNCT" and tokens[j].value == "(":
+                    depth += 1
+                elif tokens[j].kind == "PUNCT" and tokens[j].value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        zend = j
+                        break
+            if zend is None:
+                raise ValueError("unbalanced zone expression after AT TIME ZONE")
+        else:
+            raise ValueError(
+                "AT TIME ZONE needs a zone expression (literal, "
+                "column, or parenthesized expression)"
+            )
+        zone = sql[tokens[z].start : tokens[zend].end]
+        # timestamp operand: the previous primary
+        k = at - 1
+        prev = tokens[k]
+        if prev.kind in ("NUMBER", "STRING", "QIDENT"):
+            start = prev.start
+            # absorb a typed-literal keyword (timestamp '...', etc.)
+            if (
+                prev.kind == "STRING"
+                and k >= 1
+                and tokens[k - 1].kind == "IDENT"
+                and tokens[k - 1].upper in ("TIMESTAMP", "DATE", "TIME")
+            ):
+                start = tokens[k - 1].start
+        elif prev.kind == "IDENT":
+            start = prev.start
+            while (
+                k >= 2
+                and tokens[k - 1].kind == "PUNCT"
+                and tokens[k - 1].value == "."
+                and tokens[k - 2].kind in ("IDENT", "QIDENT")
+            ):
+                k -= 2
+                start = tokens[k].start
+        elif prev.kind == "PUNCT" and prev.value == ")":
+            depth = 0
+            j = k
+            while j >= 0:
+                if tokens[j].kind == "PUNCT" and tokens[j].value == ")":
+                    depth += 1
+                elif tokens[j].kind == "PUNCT" and tokens[j].value == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                raise ValueError("unbalanced expression before AT TIME ZONE")
+            if (
+                j > 0
+                and tokens[j - 1].kind == "IDENT"
+                and tokens[j - 1].upper not in _OPERAND_BOUNDARY
+                and not _is_infix_div(tokens, j - 1)
+            ):
+                j -= 1
+            start = tokens[j].start
+        else:
+            raise ValueError(
+                "AT TIME ZONE needs a simple timestamp operand "
+                "(parenthesize the expression)"
+            )
+        operand = sql[start : prev.end]
+        fn = (
+            "from_utc_timestamp"
+            if operand.lstrip().startswith("to_utc_timestamp(")
+            else "to_utc_timestamp"
+        )
+        repl = f"{fn}(({operand}), {zone})"
+        sql = f"{sql[:start]}{repl}{sql[tokens[zend].end:]}"
+
+
 def translate_like_ops(sql: str) -> str:
     """PG's LIKE-operator spellings — ``~~`` (LIKE), ``!~~`` (NOT
     LIKE), ``~~*`` (ILIKE), ``!~~*`` (NOT ILIKE). Straight keyword
@@ -1370,10 +1490,27 @@ def translate_extract(sql: str) -> str:
                     ):
                         return sql
                     expr = sql[tokens[from_idx].end : tokens[close].start].strip()
-                    sql = (
-                        f"{sql[:t.start]}CAST(CAST(({expr}) AS TIMESTAMP) AS DOUBLE)"
-                        f"{sql[tokens[close].end:]}"
-                    )
+                    # interval operands (round-10): the typed interval
+                    # constructors — which '...'::interval and
+                    # make_interval now produce — cast to DECIMAL as
+                    # exact total seconds; PG's epoch-of-interval
+                    # counts a month as 30 days. The timestamp cast
+                    # would fail on them with an opaque analysis error.
+                    if expr.startswith("make_dt_interval("):
+                        repl = (
+                            f"CAST(CAST(({expr}) AS DECIMAL(28,6)) "
+                            f"AS DOUBLE)"
+                        )
+                    elif expr.startswith("make_ym_interval("):
+                        repl = (
+                            f"CAST(CAST(({expr}) AS INT) * 2592000.0 "
+                            f"AS DOUBLE)"
+                        )
+                    else:
+                        repl = (
+                            f"CAST(CAST(({expr}) AS TIMESTAMP) AS DOUBLE)"
+                        )
+                    sql = f"{sql[:t.start]}{repl}{sql[tokens[close].end:]}"
                 changed = True
                 break
         if not changed:
@@ -5788,6 +5925,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_pg_casts(sql)
     sql = translate_date_part(sql)  # → EXTRACT, handled next
     sql = translate_extract(sql)
+    sql = translate_at_time_zone(sql)  # after casts resolve operands
     sql = translate_between_symmetric(sql)
     sql = translate_caret_power(sql)
     sql = translate_like_ops(sql)  # before the ~ regex family

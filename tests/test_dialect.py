@@ -3328,3 +3328,45 @@ class TestRowComparisons:
         # function calls and subqueries are never mistaken for rows
         out = to_spark_sql("SELECT nullif(a, b) = 1 FROM t")
         assert "nullif(a, b) = 1" in out
+
+
+class TestAtTimeZoneAndIntervalEpoch:
+    """Round-10: AT TIME ZONE (previously an opaque ParseException)
+    and extract(epoch FROM interval) (previously an opaque analysis
+    error). Session is pinned UTC: timestamp AT TIME ZONE z is the
+    UTC instant of the z-local wall time (to_utc_timestamp); applied
+    to our own timestamptz emission (a chain) it is the z-local wall
+    time (from_utc_timestamp) — PG's left-associative typing."""
+
+    def test_values(self, spark):
+        import datetime as dt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT timestamp '2024-01-01 12:00:00' AS ts"
+        ).createOrReplaceTempView("attz_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT ts AT TIME ZONE 'America/New_York' AS a, "
+            "timestamp '2024-06-01 00:00:00' AT TIME ZONE "
+            "'Europe/Paris' AS b, "
+            "ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS c, "
+            "(ts + make_interval(hours => 1)) AT TIME ZONE 'UTC' AS d, "
+            "extract(epoch from '1 day 1 hour'::interval) AS e, "
+            "extract(epoch from '1.5 seconds'::interval) AS f, "
+            "extract(epoch from '2 mons'::interval) AS g FROM attz_t",
+        ).collect()[0]
+        assert row.a == dt.datetime(2024, 1, 1, 17)   # NY winter = UTC-5
+        assert row.b == dt.datetime(2024, 5, 31, 22)  # Paris DST = UTC+2
+        assert row.c == dt.datetime(2024, 1, 1, 21)   # Tokyo wall time
+        assert row.d == dt.datetime(2024, 1, 1, 13)
+        assert row.e == 90000.0
+        assert row.f == 1.5
+        assert row.g == 5184000.0  # PG: a month counts as 30 days
+
+    def test_zone_rejection(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="zone expression"):
+            to_spark_sql("SELECT ts AT TIME ZONE + FROM t")
