@@ -3311,67 +3311,68 @@ _SPECS.append(
 # design — xxhash64/approx families) go last so no capped slot is spent on
 # a weaker rows-only row.
 _DRIVER_FRONT: list[str] = [
-    # round-10 rotation (VERDICT r9 #2): the driver snapshot records
-    # the first 50 queries() entries. This front = the new round-10
-    # gate (no driver evidence yet), the five remaining r5-stale rows,
-    # then 44 of the 47 rows last checked in round 6 — the oldest
-    # staleness anywhere (union of all CORRECTNESS_r0*). The three
-    # spilled r6 rows (ts04_interarrival_stats,
-    # ts05_resample_interpolate, w03_weighted_sample) head the
-    # round-11 rotation. Every slot is full-oracle.
+    # round-11 rotation (VERDICT r10 #3): the driver snapshot records
+    # the first 50 queries() entries. This front = the three rows with
+    # NO driver evidence yet (q59/q60 landed after the r10 snapshot;
+    # q61 is new this round), the three r6-stale rows round 9 spilled
+    # (ts04/ts05/w03), all 40 rows last checked in round 7 — the
+    # oldest staleness anywhere (union of all CORRECTNESS_r0*) — and
+    # the first four r8-stale rows in r8-snapshot order. Every slot
+    # is full-oracle.
     # --- never driver-checked ---
-    "q58_round10_defects",
-    # --- r5-checked rows (the last five) ---
-    "st09_jsonl_stream_monitor",
-    "t05_quality_ratios",
-    "t20_perplexity_buckets",
-    "t21_sequence_packing",
-    "t22_script_signals",
-    # --- r6-checked rows (44 of 47; sorted) ---
-    "b03_token_id_encoding",
-    "c06_keyword_blocklist",
-    "c07_mojibake_repair",
-    "c08_blocklist_aho_corasick",
-    "d15_semantic_dedup_envelope",
-    "d16_exact_substring_dedup",
-    "e16_geostore_inheritance",
-    "e17_feature_info_selection",
-    "e18_vector_export_roundtrip",
-    "e19_webdataset_roundtrip",
-    "m10_mp3_frame_inventory",
-    "m11_adts_frame_inventory",
-    "p05_curate_crawl",
-    "q30_filter_clause_breadth",
-    "q31_dialect_pg_operators",
-    "q32_dialect_extract_fields",
-    "q33_dialect_string_breadth",
-    "q34_dialect_distinct_on",
-    "q35_ordered_set_aggs",
-    "q36_agg_order_by",
-    "q37_parameterized_casts",
-    "q38_array_any_all",
-    "q39_regexp_replace_pg",
-    "q40_template_parse",
-    "q41_json_operators",
-    "q42_json_key_exists",
-    "q43_json_containment",
-    "q44_substring_regex",
-    "s11_hard_negatives",
-    "st03_sliding_window",
-    "st04_stream_first_occurrence",
-    "st05_stream_static_enrich",
-    "st06_stream_stream_join",
-    "st07_stream_dedup",
-    "t11_domain_mixture",
-    "t12_gopher_rules",
-    "t13_containment_pairs",
-    "t14_group_cap_sample",
-    "t23_compression_ratio",
-    "t24_quality_classifier",
-    "t25_fim_transform",
-    "ts01_asof_join",
-    "ts02_interval_join",
-    "ts03_resample_locf",
+    "q59_timestamp_series",
+    "q60_row_comparisons",
+    "q61_interval_epoch_zones",
+    # --- r6-checked rows (the last three) ---
+    "ts04_interarrival_stats",
+    "ts05_resample_interpolate",
+    "w03_weighted_sample",
+    # --- r7-checked rows (all 40; sorted) ---
+    "b01_bpe_pair_stats",
+    "c01_token_chunks",
+    "c02_pii_redaction",
+    "ca01_continuous_aggregate",
+    "d04_minhash_lsh_neardups",
+    "d08_benchmark_decontamination",
+    "d09_dedup_clusters",
+    "d10_repeated_segment_removal",
+    "dq01_constraint_audit",
+    "e04_merge_upsert",
+    "e05_scd2_intervals",
+    "e20_byte_budget_shards",
+    "m04_perceptual_neardups",
+    "m06_video_remux_dedup",
+    "m12_mpeg_matrix_inventory",
+    "p01_curate_corpus",
+    "p02_curate_round3",
+    "q18_percentiles",
+    "q20_salted_skew_agg",
+    "q22_topk_per_group",
+    "q23_pivot_conditional_agg",
+    "q24_skew_hybrid_join",
+    "q25_blocked_fuzzy_match",
+    "q45_json_array_containment",
+    "q46_backslash_literals",
+    "q47_datepart_negidx_jsonb_merge",
+    "q48_dialect_fourth_wave",
+    "q49_dialect_fifth_wave",
+    "q50_composed_dialect",
+    "s06_int8_quantization",
+    "t06_tfidf_top_terms",
+    "t07_repetition_signals",
+    "t08_hash_split",
+    "t09_stratified_sample",
+    "t10_bigram_lm",
+    "t17_kneser_ney_lm",
+    "t26_lr_quality_envelope",
+    "u01_url_canonicalization",
+    "w01_importance_weights",
+    "w02_temperature_mixture",
+    # --- r8-checked rows (first 4 in r8-snapshot order) ---
+    "a01_approx_count_distinct",
+    "a02_approx_percentile",
+    "a03_heavy_hitters",
+    "c03_text_normalization",
 ]
 
 
@@ -8991,9 +8992,11 @@ _Q59_SQL = (
     # origin (floors toward -infinity; exact integer micros)
     "date_bin('45 minutes', ts, timestamp '2001-01-01 00:07:30') "
     "AS bucket, "
-    # AT TIME ZONE with a fixed offset (deterministic; the oracle
-    # replays the arithmetic) + epoch of an interval literal
-    "ts AT TIME ZONE '+05:30' AS utc_of_local, "
+    # AT TIME ZONE on a named fixed-offset IANA zone (round-11: the
+    # r10 '+05:30' arm replayed its own arithmetic in the oracle;
+    # DuckDB's ICU timezone() is an independent engine) + epoch of an
+    # interval literal with DuckDB's NATIVE extract(epoch) as twin
+    "ts AT TIME ZONE 'Asia/Kolkata' AS utc_of_local, "
     "extract(epoch from '90 minutes'::interval) AS ep_iv "
     "FROM events WHERE event_id % 40 = 0"
 )
@@ -9010,8 +9013,9 @@ _SPECS.append(
             "INTERVAL '12 hours')) AS spine, "
             "time_bucket(INTERVAL '45 minutes', ts, "
             "timestamp '2001-01-01 00:07:30') AS bucket, "
-            "ts - INTERVAL '5 hours 30 minutes' AS utc_of_local, "
-            "CAST(5400 AS DOUBLE) AS ep_iv "
+            "timezone('UTC', timezone('Asia/Kolkata', ts)) "
+            "AS utc_of_local, "
+            "extract(epoch from to_minutes(90)) AS ep_iv "
             "FROM events WHERE event_id % 40 = 0"
         ),
         survey_ref="Q11 round-10: timestamp generate_series with "
@@ -9065,6 +9069,55 @@ _SPECS.append(
         survey_ref="Q11 round-10: row-constructor comparisons with "
         "PG three-valued lexicographic semantics "
         "(sql/dialect.py translate_row_comparisons)",
+    )
+)
+
+
+_Q61_SQL = (
+    # Round-11 (verdict #1/#2): epoch of year-month intervals under
+    # PG's interval_part rule — whole years at 365.25 days, residual
+    # months at 30, C-truncating split for negatives — and the zone-
+    # spelling convention matrix for AT TIME ZONE. Every oracle arm
+    # below is the NATIVE DuckDB engine (extract(epoch from interval),
+    # ICU timezone()), never a replay of our own arithmetic.
+    "SELECT event_id, "
+    "extract(epoch from make_interval(months => "
+    "CAST(event_id % 30 - 5 AS INT))) AS ep_dyn, "
+    "extract(epoch from '2 years 3 mons'::interval) AS ep_y, "
+    "extract(epoch from '14 months ago'::interval) AS ep_ago, "
+    # POSIX spelling: PG reads 'UTC+5' WEST-positive (the translation
+    # flips the sign for Java); twin = tzdb's Etc/GMT+5, which keeps
+    # the POSIX convention in both engines
+    "ts AT TIME ZONE 'UTC+5' AS tz_posix, "
+    # abbreviation: PG's Default table is FIXED -8 for PST year-round;
+    # both Java SHORT_IDS and DuckDB's own ICU 'PST' are DST-aware
+    # Los Angeles, so the twin is the equivalent fixed zone Etc/GMT+8
+    "ts AT TIME ZONE 'PST' AS tz_abbr, "
+    # parenthesized chain (ADVICE r10): PG types it identically to the
+    # bare chain — outer application must read the inner timestamptz
+    "(ts AT TIME ZONE 'UTC') AT TIME ZONE 'Japan' AS tz_chain "
+    "FROM events WHERE event_id % 40 = 0"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q61_interval_epoch_zones",
+        spark_fn=_guarded("events", _Q61_SQL),
+        oracle=(
+            "SELECT event_id, "
+            "extract(epoch from to_months(CAST(event_id % 30 - 5 "
+            "AS INT))) AS ep_dyn, "
+            "extract(epoch from interval '2 years 3 months') AS ep_y, "
+            "extract(epoch from to_months(-14)) AS ep_ago, "
+            "timezone('UTC', timezone('Etc/GMT+5', ts)) AS tz_posix, "
+            "timezone('UTC', timezone('Etc/GMT+8', ts)) AS tz_abbr, "
+            "timezone('Japan', timezone('UTC', ts)) AS tz_chain "
+            "FROM events WHERE event_id % 40 = 0"
+        ),
+        survey_ref="Q11 round-11: PG epoch-of-interval 365.25-day-year "
+        "rule + AT TIME ZONE zone-spelling matrix (sql/dialect.py "
+        "translate_extract epoch arm, _pg_zone_to_spark; native "
+        "DuckDB twins, no replayed arithmetic)",
     )
 )
 

@@ -981,6 +981,123 @@ def _translate_posix_classes(pat: str) -> str:
     return re.sub(r"\[:(\^?[a-z]+):\]", sub, pat)
 
 
+# PG's default timezone-abbreviation table (share/timezone/tznames/
+# Default) resolves these spellings to FIXED offsets; Spark's
+# getZoneId applies Java's ZoneId.SHORT_IDS instead (PST →
+# America/Los_Angeles, BST → Asia/Dhaka, IST → Asia/Kolkata, AST →
+# America/Anchorage — DST-aware or continent-hopped), so passing an
+# abbreviation through verbatim is a SILENT divergence. Values are the
+# Spark zone strings we emit (fixed offsets; matched case-insensitively
+# like PG's abbrev lookup).
+_PG_TZ_ABBREVS: dict[str, str] = {
+    "UT": "UTC", "UTC": "UTC", "GMT": "UTC", "Z": "UTC",
+    "ZULU": "UTC", "UCT": "UTC",
+    "EST": "-05:00", "EDT": "-04:00",
+    "CST": "-06:00", "CDT": "-05:00",
+    "MST": "-07:00", "MDT": "-06:00",
+    "PST": "-08:00", "PDT": "-07:00",
+    "AKST": "-09:00", "AKDT": "-08:00",
+    "HST": "-10:00",
+    "AST": "-04:00", "ADT": "-03:00",   # Atlantic (Java: Anchorage!)
+    "NST": "-03:30", "NDT": "-02:30",
+    "WET": "+00:00", "WEST": "+01:00",
+    "CET": "+01:00", "CEST": "+02:00",
+    "EET": "+02:00", "EEST": "+03:00",
+    "BST": "+01:00",  # British Summer Time (Java: Asia/Dhaka!)
+    "IST": "+02:00",  # Israel Standard Time per PG Default
+    #                   (the India file overrides to +05:30; Java:
+    #                   Asia/Kolkata — all three disagree)
+    "JST": "+09:00", "KST": "+09:00",
+    "AWST": "+08:00", "ACST": "+09:30", "ACDT": "+10:30",
+    "AEST": "+10:00", "AEDT": "+11:00",
+    "NZST": "+12:00", "NZDT": "+13:00",
+}
+
+# All-uppercase legacy tz-database top-level names that are NOT PG
+# abbreviations: both engines fall through to the same tz database for
+# these, so verbatim passthrough is exact.
+_TZDB_UPPER_PASSTHROUGH = frozenset({"GB", "NZ", "PRC", "ROC", "ROK"})
+
+_ISO_ZONE_OFFSET_RE = re.compile(r"[+-]\d{1,2}(?::\d{2}){0,2}")
+_POSIX_ZONE_OFFSET_RE = re.compile(
+    r"(?:UTC|GMT|UT)([+-])(\d{1,2})(?::(\d{2}))?", re.IGNORECASE
+)
+
+
+def _pg_zone_to_spark(zone: str) -> str:
+    """PG zone-string spelling → the Spark/Java zone string with the
+    same meaning. PG resolves AT TIME ZONE text through its
+    abbreviation table, then the tz database, then POSIX TZ rules
+    (``timestamp_zone`` → ``DecodeTimezoneName``); Java's ZoneId has
+    different conventions for two whole spelling classes:
+
+    - ``UTC+5`` / ``GMT-3`` POSIX specs: positive means WEST of
+      Greenwich in PG, EAST in Java → we flip the sign and emit a bare
+      offset.
+    - abbreviations: PG's table is fixed offsets; Java SHORT_IDS maps
+      some to DST-aware regions → we emit the PG fixed offset, and
+      reject all-uppercase abbreviation-shaped spellings outside the
+      table rather than risk the SHORT_IDS trap.
+    - bare ISO offsets (``+05:30``): east-positive in BOTH (PG ≥ 16
+      ``DecodeTimezoneName`` ISO rule; older PG rejects the spelling,
+      so no PG-valid query changes meaning) → passthrough.
+    - IANA names (with ``/``, incl. ``Etc/GMT+5``'s deliberate POSIX
+      sign) and mixed-case legacy names (``Japan``): both engines read
+      the same tz database → passthrough; unknown names raise loudly
+      in Spark.
+    """
+    s = zone.strip()
+    if not s:
+        raise ValueError("AT TIME ZONE got an empty zone string")
+    if _ISO_ZONE_OFFSET_RE.fullmatch(s):
+        return s
+    m = _POSIX_ZONE_OFFSET_RE.fullmatch(s)
+    if m:
+        sign, hh, mm = m.group(1), int(m.group(2)), int(m.group(3) or 0)
+        if hh == 0 and mm == 0:
+            return "UTC"
+        flipped = "-" if sign == "+" else "+"
+        return f"{flipped}{hh:02d}:{mm:02d}"
+    up = s.upper()
+    if up in _PG_TZ_ABBREVS:
+        return _PG_TZ_ABBREVS[up]
+    if "/" in s:
+        return s
+    if s.isalpha() and s == up and len(s) <= 5:
+        if up in _TZDB_UPPER_PASSTHROUGH:
+            return s
+        raise ValueError(
+            f"time zone abbreviation '{s}' is outside the translated "
+            "PG abbreviation table (supported: "
+            f"{', '.join(sorted(_PG_TZ_ABBREVS))}); Java's SHORT_IDS "
+            "would silently resolve it to a different zone than "
+            "PostgreSQL's fixed-offset abbreviation table"
+        )
+    return s
+
+
+def _strip_outer_parens(text: str) -> str:
+    """Peel balanced outermost parens (tokenizer-aware, so parens
+    inside string literals never confuse the depth count)."""
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        toks = tokenize(t)
+        depth = 0
+        closes_at_end = False
+        for i, tk in enumerate(toks):
+            if tk.kind == "PUNCT" and tk.value == "(":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == ")":
+                depth -= 1
+                if depth == 0:
+                    closes_at_end = i == len(toks) - 1
+                    break
+        if not closes_at_end:
+            break
+        t = t[1:-1].strip()
+    return t
+
+
 def translate_at_time_zone(sql: str) -> str:
     """PG ``expr AT TIME ZONE zone`` (previously an opaque Spark
     ParseException). The engine stores PG ``timestamp`` (no tz) under
@@ -1042,6 +1159,15 @@ def translate_at_time_zone(sql: str) -> str:
                 "column, or parenthesized expression)"
             )
         zone = sql[tokens[z].start : tokens[zend].end]
+        if zend == z and tokens[z].kind == "STRING":
+            # literal zone: translate the PG spelling conventions
+            # (abbreviations, POSIX sign-flips) to Java's; a
+            # non-literal zone passes through and assumes IANA names
+            # (documented in PARITY.md)
+            mapped = _pg_zone_to_spark(tokens[z].value)
+            if "'" in mapped:
+                raise ValueError("zone string cannot contain quotes")
+            zone = f"'{mapped}'"
         # timestamp operand: the previous primary
         k = at - 1
         prev = tokens[k]
@@ -1092,9 +1218,13 @@ def translate_at_time_zone(sql: str) -> str:
                 "(parenthesize the expression)"
             )
         operand = sql[start : prev.end]
+        # paren-unwrap before the chain check: PG treats
+        # (ts AT TIME ZONE 'a') AT TIME ZONE 'b' identically to the
+        # unparenthesized chain, so a wrapped inner emission must
+        # still be recognized as our timestamptz
         fn = (
             "from_utc_timestamp"
-            if operand.lstrip().startswith("to_utc_timestamp(")
+            if _strip_outer_parens(operand).startswith("to_utc_timestamp(")
             else "to_utc_timestamp"
         )
         repl = f"{fn}(({operand}), {zone})"
@@ -1419,6 +1549,110 @@ def translate_between_symmetric(sql: str) -> str:
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[hi_end].end:]}"
 
 
+def _rewrite_make_interval(sql: str) -> str:
+    """PG make_interval (named OR positional; both engines share
+    the exact 7-slot signature years/months/weeks/days/hours/mins/
+    secs, but Spark rejects named arguments). Spark's make_interval
+    returns the legacy CalendarIntervalType, which WORKS consumed
+    (ts + iv, casts) but CRASHES at PySpark collection
+    ([NOT_IMPLEMENTED] CalendarIntervalType.fromInternal) when
+    bare-projected — and CalendarInterval cannot be CAST to the ANSI
+    interval types (probed: DATATYPE_MISMATCH). Classify the slots
+    and emit the typed constructors instead:
+
+    - years/months literal-zero → make_dt_interval(weeks*7 + days,
+      hours, mins, secs) — DayTimeIntervalType, collects as
+      timedelta;
+    - weeks..secs literal-zero → make_ym_interval(years, months) —
+      YearMonthIntervalType;
+    - genuinely mixed → loud (PG's mixed interval spans both ANSI
+      families; add the two pieces to the consumer: (ts +
+      make_interval(years => 1)) + make_interval(days => 2)).
+
+    The serializer (_interval_to_pg_text) then renders collected
+    values PG-style. Rescan terminates because the emissions are
+    different identifiers. Called from translate_pg_functions AND
+    from translate_extract's epoch arm (extract(epoch FROM
+    make_interval(...)) must classify BEFORE the epoch pass, which
+    runs earlier in the pipeline)."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() == "make_interval"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                break
+        if at is None:
+            return sql
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError("unbalanced make_interval(...)")
+        args = (
+            _args_spans(tokens, at + 2, close - 1)
+            if close - 1 >= at + 2
+            else []
+        )
+        slots = ["0"] * 7
+        order = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
+        named_seen = False
+        for pos, (s0, e0) in enumerate(args):
+            is_named = (
+                tokens[s0].kind == "IDENT"
+                and s0 + 2 <= e0
+                and tokens[s0 + 1].kind == "OP"
+                and tokens[s0 + 1].value == "="
+                and tokens[s0 + 2].kind == "OP"
+                and tokens[s0 + 2].value == ">"
+            )
+            if is_named:
+                named_seen = True
+                if tokens[s0].value.lower() not in order:
+                    raise ValueError(
+                        "make_interval: unknown named argument "
+                        f"'{tokens[s0].value}' (expected one of "
+                        f"{', '.join(order)})"
+                    )
+                slots[order.index(tokens[s0].value.lower())] = sql[
+                    tokens[s0 + 3].start : tokens[e0].end
+                ]
+            else:
+                if named_seen or pos >= 7:
+                    raise ValueError(
+                        "make_interval: positional arguments after "
+                        "named ones (or more than 7) are outside the "
+                        "translatable subset"
+                    )
+                slots[pos] = sql[tokens[s0].start : tokens[e0].end]
+        dt_zero = slots[0].strip() == "0" and slots[1].strip() == "0"
+        ym_only = all(s.strip() == "0" for s in slots[2:])
+        if dt_zero:
+            days = (
+                slots[3]
+                if slots[2].strip() == "0"
+                else f"({slots[2]}) * 7 + ({slots[3]})"
+            )
+            repl = (
+                f"make_dt_interval({days}, {slots[4]}, {slots[5]}, "
+                f"{slots[6]})"
+            )
+        elif ym_only:
+            repl = f"make_ym_interval({slots[0]}, {slots[1]})"
+        else:
+            raise ValueError(
+                "make_interval mixing year/month slots with day-time "
+                "slots is outside the translatable subset (the two "
+                "ANSI interval families cannot combine in one value); "
+                "add them to the consumer separately, e.g. (ts + "
+                "make_interval(years => 1)) + make_interval(days => 2)"
+            )
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+
+
 def translate_extract(sql: str) -> str:
     """PG EXTRACT fields Spark lacks or numbers differently:
 
@@ -1490,21 +1724,33 @@ def translate_extract(sql: str) -> str:
                     ):
                         return sql
                     expr = sql[tokens[from_idx].end : tokens[close].start].strip()
-                    # interval operands (round-10): the typed interval
-                    # constructors — which '...'::interval and
+                    # interval operands (round-10/11): the typed
+                    # interval constructors — which '...'::interval and
                     # make_interval now produce — cast to DECIMAL as
                     # exact total seconds; PG's epoch-of-interval
-                    # counts a month as 30 days. The timestamp cast
-                    # would fail on them with an opaque analysis error.
+                    # (interval_part, DTK_EPOCH) counts each WHOLE year
+                    # as 365.25 days and only the residual months at 30
+                    # days, with C-style truncating division/modulo for
+                    # negatives (DuckDB's native epoch agrees:
+                    # '-14 months' → -36741600). Spark's DIV / % are
+                    # also truncate-toward-zero / dividend-signed, so
+                    # the arithmetic maps 1:1. The timestamp cast would
+                    # fail on intervals with an opaque analysis error.
+                    if expr.startswith("make_interval("):
+                        # the make_interval pass runs LATER in the
+                        # pipeline; classify it now so the epoch arm
+                        # dispatches on the typed constructor
+                        expr = _rewrite_make_interval(expr)
                     if expr.startswith("make_dt_interval("):
                         repl = (
                             f"CAST(CAST(({expr}) AS DECIMAL(28,6)) "
                             f"AS DOUBLE)"
                         )
                     elif expr.startswith("make_ym_interval("):
+                        months = f"CAST(({expr}) AS INT)"
                         repl = (
-                            f"CAST(CAST(({expr}) AS INT) * 2592000.0 "
-                            f"AS DOUBLE)"
+                            f"CAST(({months} DIV 12) * 31557600.0"
+                            f" + ({months} % 12) * 2592000.0 AS DOUBLE)"
                         )
                     else:
                         repl = (
@@ -2017,104 +2263,7 @@ def translate_pg_functions(sql: str) -> str:
                 raise ValueError("gen_random_uuid takes no arguments")
             repl = "uuid()"
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
-    while True:
-        # PG make_interval (named OR positional; both engines share
-        # the exact 7-slot signature years/months/weeks/days/hours/
-        # mins/secs, but Spark rejects named arguments). Spark's
-        # make_interval returns the legacy CalendarIntervalType, which
-        # WORKS consumed (ts + iv, casts) but CRASHES at PySpark
-        # collection ([NOT_IMPLEMENTED] CalendarIntervalType.
-        # fromInternal) when bare-projected — and CalendarInterval
-        # cannot be CAST to the ANSI interval types (probed:
-        # DATATYPE_MISMATCH). Classify the slots and emit the typed
-        # constructors instead:
-        #   years/months literal-zero → make_dt_interval(weeks*7 +
-        #     days, hours, mins, secs) — DayTimeIntervalType, collects
-        #     as timedelta;
-        #   weeks..secs literal-zero  → make_ym_interval(years,
-        #     months) — YearMonthIntervalType;
-        #   genuinely mixed → loud (PG's mixed interval spans both
-        #     ANSI families; add the two pieces to the consumer:
-        #     (ts + make_interval(years => 1)) + make_interval(days
-        #     => 2)).
-        # The serializer (_interval_to_pg_text) then renders collected
-        # values PG-style. Rescan terminates because the emissions
-        # are different identifiers.
-        tokens = tokenize(sql)
-        at = None
-        for i, t in enumerate(tokens):
-            if (
-                t.kind == "IDENT"
-                and t.value.lower() == "make_interval"
-                and i + 1 < len(tokens)
-                and tokens[i + 1].value == "("
-            ):
-                at = i
-                break
-        if at is None:
-            break
-        close = _primary_end(tokens, at)
-        if close is None:
-            raise ValueError("unbalanced make_interval(...)")
-        args = (
-            _args_spans(tokens, at + 2, close - 1)
-            if close - 1 >= at + 2
-            else []
-        )
-        slots = ["0"] * 7
-        order = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
-        named_seen = False
-        for pos, (s0, e0) in enumerate(args):
-            is_named = (
-                tokens[s0].kind == "IDENT"
-                and s0 + 2 <= e0
-                and tokens[s0 + 1].kind == "OP"
-                and tokens[s0 + 1].value == "="
-                and tokens[s0 + 2].kind == "OP"
-                and tokens[s0 + 2].value == ">"
-            )
-            if is_named:
-                named_seen = True
-                if tokens[s0].value.lower() not in order:
-                    raise ValueError(
-                        "make_interval: unknown named argument "
-                        f"'{tokens[s0].value}' (expected one of "
-                        f"{', '.join(order)})"
-                    )
-                slots[order.index(tokens[s0].value.lower())] = sql[
-                    tokens[s0 + 3].start : tokens[e0].end
-                ]
-            else:
-                if named_seen or pos >= 7:
-                    raise ValueError(
-                        "make_interval: positional arguments after "
-                        "named ones (or more than 7) are outside the "
-                        "translatable subset"
-                    )
-                slots[pos] = sql[tokens[s0].start : tokens[e0].end]
-        dt_zero = slots[0].strip() == "0" and slots[1].strip() == "0"
-        ym_only = all(s.strip() == "0" for s in slots[2:])
-        if dt_zero:
-            days = (
-                slots[3]
-                if slots[2].strip() == "0"
-                else f"({slots[2]}) * 7 + ({slots[3]})"
-            )
-            repl = (
-                f"make_dt_interval({days}, {slots[4]}, {slots[5]}, "
-                f"{slots[6]})"
-            )
-        elif ym_only:
-            repl = f"make_ym_interval({slots[0]}, {slots[1]})"
-        else:
-            raise ValueError(
-                "make_interval mixing year/month slots with day-time "
-                "slots is outside the translatable subset (the two "
-                "ANSI interval families cannot combine in one value); "
-                "add them to the consumer separately, e.g. (ts + "
-                "make_interval(years => 1)) + make_interval(days => 2)"
-            )
-        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    sql = _rewrite_make_interval(sql)
     while True:
         # PG gcd/lcm (int families; Spark has neither): bounded Euclid
         # as a JVM-side aggregate fold — 92 iterations cover the
