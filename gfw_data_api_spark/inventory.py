@@ -3323,6 +3323,7 @@ _DRIVER_FRONT: list[str] = [
     "q59_timestamp_series",
     "q60_row_comparisons",
     "q61_interval_epoch_zones",
+    "q62_age_function",
     # --- r6-checked rows (the last three) ---
     "ts04_interarrival_stats",
     "ts05_resample_interpolate",
@@ -3368,11 +3369,10 @@ _DRIVER_FRONT: list[str] = [
     "u01_url_canonicalization",
     "w01_importance_weights",
     "w02_temperature_mixture",
-    # --- r8-checked rows (first 4 in r8-snapshot order) ---
+    # --- r8-checked rows (first 3 in r8-snapshot order) ---
     "a01_approx_count_distinct",
     "a02_approx_percentile",
     "a03_heavy_hitters",
-    "c03_text_normalization",
 ]
 
 
@@ -9118,6 +9118,52 @@ _SPECS.append(
         "rule + AT TIME ZONE zone-spelling matrix (sql/dialect.py "
         "translate_extract epoch arm, _pg_zone_to_spark; native "
         "DuckDB twins, no replayed arithmetic)",
+    )
+)
+
+
+_Q62_SQL = (
+    # Round-11 (verdict #4): two-argument age() — PG's justified
+    # year-month/day/time decomposition rendered postgres-style.
+    # Arms cover both directions (sign), a month-end borrow over the
+    # lesser operand's month length, microsecond time parts with
+    # trailing-zero trimming, and the zero interval.
+    "SELECT event_id, "
+    "age(ts, timestamp '2023-06-15 12:30:45') AS fwd, "
+    "age(timestamp '2023-06-15 12:30:45', ts) AS rev, "
+    "age(date_trunc('day', ts), ts) AS tod, "
+    "age(ts, ts) AS zero "
+    "FROM events WHERE event_id % 40 = 0"
+)
+
+# DuckDB's native age() implements PG's timestamp_age algorithm; the
+# twin normalizes only the two rendering spellings that differ:
+# 'month(s)' → 'mon(s)', and DuckDB's |value|-pluralization → PG's
+# value != 1 rule ('-1 year' → '-1 years').
+_Q62_NORM = (
+    "regexp_replace(replace(CAST(age({a}, {b}) AS VARCHAR), "
+    "' month', ' mon'), '-1 (year|mon|day)( |$)', '-1 \\1s\\2', 'g')"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q62_age_function",
+        spark_fn=_guarded("events", _Q62_SQL),
+        oracle=(
+            "SELECT event_id, "
+            + _Q62_NORM.format(a="ts", b="timestamp '2023-06-15 12:30:45'")
+            + " AS fwd, "
+            + _Q62_NORM.format(a="timestamp '2023-06-15 12:30:45'", b="ts")
+            + " AS rev, "
+            + _Q62_NORM.format(a="date_trunc('day', ts)", b="ts")
+            + " AS tod, "
+            + _Q62_NORM.format(a="ts", b="ts")
+            + " AS zero "
+            "FROM events WHERE event_id % 40 = 0"
+        ),
+        survey_ref="Q11 round-11: age() two-argument translation "
+        "(sql/dialect.py _age_sql; DuckDB native age() twin, "
+        "spelling-normalized only)",
     )
 )
 

@@ -2850,6 +2850,36 @@ class TestRound10DefectBatch:
         with _pt.raises(Exception, match="escape-format"):
             run_pg_sql(spark, "SELECT bs::bytea FROM bytea_e_t").collect()
 
+    def test_bytea_hex_whitespace_and_odd_digits(self, spark):
+        """Round-11 (ADVICE r10): PG's hex_decode skips ANY whitespace
+        between digits (even mid-pair: '\\xF F' is 0x0F) and raises on
+        an odd TOTAL digit count — Spark's bare unhex would silently
+        left-pad instead."""
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        # literal arms
+        out = to_spark_sql("SELECT '\\x41\t4 2'::bytea FROM t")
+        assert "unhex('4142')" in out
+        out = to_spark_sql("SELECT '\\xF F'::bytea FROM t")
+        assert "unhex('FF')" in out
+        with _pt.raises(ValueError, match="odd number of digits"):
+            to_spark_sql("SELECT '\\x414'::bytea FROM t")
+        # runtime arms
+        spark.sql(
+            "SELECT concat(chr(92), 'x41', chr(9), '42') AS ws, "
+            "concat(chr(92), 'xF') AS odd"
+        ).createOrReplaceTempView("bytea_w_t")
+        row = run_pg_sql(
+            spark, "SELECT encode(ws::bytea, 'hex') AS w FROM bytea_w_t"
+        ).collect()[0]
+        assert row.w == "4142"
+        with _pt.raises(Exception, match="odd number of digits"):
+            run_pg_sql(
+                spark, "SELECT odd::bytea FROM bytea_w_t"
+            ).collect()
+
     def test_chr_null_strict(self, spark):
         from gfw_data_api_spark.sql.dialect import run_pg_sql
 
@@ -3430,3 +3460,118 @@ class TestAtTimeZoneAndIntervalEpoch:
             # MET: dynamic in PG's table, SHORT_IDS-adjacent shape —
             # outside the verified subset, loud by policy
             to_spark_sql("SELECT ts AT TIME ZONE 'MET' FROM t")
+
+
+class TestAge:
+    """Round-11 (VERDICT r10 #4): two-argument age() renders PG's
+    justified interval as postgres-style text. The differential
+    oracle is DuckDB's native age() — it implements PG's
+    timestamp_age algorithm — normalized for the two spelling
+    differences (DuckDB 'month(s)' vs PG 'mon(s)'; DuckDB pluralizes
+    by |value|, PG by value != 1, so '-1 year' → '-1 years')."""
+
+    @staticmethod
+    def _pairs():
+        import datetime as dt
+
+        bases = [
+            dt.datetime(2024, 2, 29, 12, 0, 0),
+            dt.datetime(2024, 3, 1, 0, 0, 0),
+            dt.datetime(2023, 12, 31, 23, 59, 59),
+            dt.datetime(2024, 1, 31, 6, 30, 15),
+            dt.datetime(2023, 2, 28, 13, 30, 45),
+            dt.datetime(2000, 2, 29, 0, 0, 1),
+            dt.datetime(1999, 12, 31, 23, 0, 0),
+            dt.datetime(2024, 5, 31, 10, 0, 0, 500000),
+            dt.datetime(2024, 4, 30, 10, 0, 0, 123450),
+            dt.datetime(2021, 7, 4, 1, 2, 3),
+        ]
+        offsets = [
+            dt.timedelta(0),
+            dt.timedelta(seconds=1),
+            dt.timedelta(days=1),
+            dt.timedelta(days=28),
+            dt.timedelta(days=31, hours=5),
+            dt.timedelta(days=365),
+            dt.timedelta(days=366, hours=23, minutes=59),
+            dt.timedelta(days=400, microseconds=250000),
+            dt.timedelta(days=1461),
+            dt.timedelta(days=59, seconds=86399),
+        ]
+        pairs = []
+        for b in bases:
+            for o in offsets:
+                pairs.append((b + o, b))
+                pairs.append((b, b + o))
+        return pairs
+
+    def test_differential_vs_duckdb(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        pairs = self._pairs()
+        pdf = pd.DataFrame(
+            {
+                "pid": range(len(pairs)),
+                "t1": [p[0] for p in pairs],
+                "t2": [p[1] for p in pairs],
+            }
+        )
+        spark.createDataFrame(pdf).createOrReplaceTempView("age_t")
+        got = {
+            r.pid: r.a
+            for r in run_pg_sql(
+                spark, "SELECT pid, age(t1, t2) AS a FROM age_t"
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("age_t", pdf)
+        want = {
+            pid: a
+            for pid, a in con.sql(
+                "SELECT pid, regexp_replace(replace(CAST(age(t1, t2) "
+                "AS VARCHAR), ' month', ' mon'), "
+                "'-1 (year|mon|day)( |$)', '-1 \\1s\\2', 'g') AS a "
+                "FROM age_t"
+            ).fetchall()
+        }
+        assert len(got) == len(pairs)
+        mismatches = {
+            k: (got[k], want[k]) for k in want if got[k] != want[k]
+        }
+        assert not mismatches, mismatches
+
+    def test_one_arg_is_loud(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="one-argument"):
+            to_spark_sql("SELECT age(ts) FROM t")
+
+
+class TestFullTextSearchRejection:
+    """Round-11 (verdict r10 #7): the tsvector/tsquery family gets a
+    NAMED rejection instead of Spark's opaque unresolved-function
+    error — the reference admits FTS via PG pass-through, so the
+    no-go must be explicit and actionable."""
+
+    def test_named_rejection(self):
+        import pytest as _pt
+
+        for q in (
+            "SELECT to_tsvector('english', body) FROM t",
+            "SELECT plainto_tsquery('tree cover') FROM t",
+            "SELECT body_tsv @@ to_tsquery('a & b') FROM t",
+            "SELECT x @@ y FROM t",
+            "SELECT ts_rank(v, q) FROM t",
+        ):
+            with _pt.raises(ValueError, match="full-text search"):
+                to_spark_sql(q)
+
+    def test_no_false_positives(self):
+        # a column merely NAMED like an FTS function, and the @>
+        # containment operator, are untouched
+        assert "to_tsvector" in to_spark_sql("SELECT to_tsvector FROM t")
+        out = to_spark_sql('SELECT j @> \'{"a": 1}\' FROM t')
+        assert "@@" not in out
