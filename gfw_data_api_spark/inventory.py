@@ -8807,7 +8807,22 @@ _Q56_SQL = (
     "array_position('{10,20,30}'::int[], CAST(event_id % 40 AS INT)) "
     "AS arrpos, "
     "CASE WHEN event_type = ANY('{click, view}'::text[]) "
-    "THEN 1 ELSE 0 END AS arrany "
+    "THEN 1 ELSE 0 END AS arrany, "
+    # round-11 (verdict r10 #8/#9 + probe-found subscripts):
+    # NULL-delimiter per-char split, multidim literal + 1-based
+    # subscripting (PG: 0/negative/out-of-range → NULL), and
+    # interval→text postgres-style rendering
+    "array_to_string(string_to_array(event_type, NULL), '.') AS chars, "
+    "('{{10,20},{30,40}}'::int[][])[2][1] AS md, "
+    "string_to_array(event_type || '-z', '-')"
+    "[CAST(event_id % 4 AS INT)] AS sub, "
+    # hours stay < 24: PG/DuckDB render '30 hours' un-normalized
+    # ('30:00:00') where DayTimeIntervalType normalizes — the
+    # documented PARITY residual; the sub-day subset matches exactly
+    "make_interval(hours => CAST(event_id % 24 AS INT), "
+    "mins => CAST(event_id % 50 AS INT))::text AS ivtx, "
+    "make_interval(days => 2, hours => 3)::text AS ivdt, "
+    "'14 months ago'::interval::text AS ymtx "
     "FROM events WHERE event_id % 15 = 0"
 )
 
@@ -8842,7 +8857,26 @@ _SPECS.append(
             "CAST(nullif(list_position([10, 20, 30], "
             "CAST(event_id % 40 AS INT)), 0) AS BIGINT) AS arrpos, "
             "CASE WHEN event_type IN ('click', 'view') "
-            "THEN 1 ELSE 0 END AS arrany "
+            "THEN 1 ELSE 0 END AS arrany, "
+            # DuckDB: string_split on '' is per-char; nested list
+            # literals index 1-based with NULL OOB (zero guarded —
+            # DuckDB [0] is NULL like PG, negatives are python-style
+            # so the arm avoids them); native interval rendering
+            # normalized for the two spelling gaps (months→mons,
+            # -1 plural)
+            "array_to_string(string_split(event_type, ''), '.') "
+            "AS chars, "
+            "[[10,20],[30,40]][2][1] AS md, "
+            "CASE WHEN event_id % 4 < 1 THEN NULL ELSE "
+            "string_split(event_type || '-z', '-')"
+            "[CAST(event_id % 4 AS INT)] END AS sub, "
+            "CAST(to_hours(CAST(event_id % 24 AS INT)) "
+            "+ to_minutes(CAST(event_id % 50 AS INT)) AS VARCHAR) "
+            "AS ivtx, "
+            "CAST(to_days(2) + to_hours(3) AS VARCHAR) AS ivdt, "
+            "regexp_replace(replace(CAST(to_months(-14) AS VARCHAR), "
+            "' month', ' mon'), '-1 (year|mon|day)( |$)', "
+            "'-1 \\1s\\2', 'g') AS ymtx "
             "FROM events WHERE event_id % 15 = 0"
         ),
         survey_ref="Q11 round-9 array/string surface: array_position "

@@ -235,86 +235,134 @@ def _parse_pg_interval(text: str) -> tuple[int, int]:
     return months, total_us
 
 
-def _parse_pg_array_literal(s: str) -> list[str | None]:
-    """Parse a PG 1-D array INPUT literal (``'{a, "b,c", NULL}'`` —
-    PG docs §8.15.2) into element strings (None = NULL). Supported:
-    comma separation, double-quoted elements with backslash escapes,
-    unquoted elements (trimmed; bare NULL is the null value). Loud:
-    multidimensional literals, unterminated quotes, empty unquoted
-    elements (PG errors on those too)."""
+def _parse_pg_array_literal(s: str) -> list:
+    """Parse a PG array INPUT literal (``'{a, "b,c", NULL}'``,
+    ``'{{1,2},{3,4}}'`` — PG docs §8.15.2) into (possibly nested)
+    element lists: str elements, None = NULL, list = sub-array.
+    Supported: comma separation, double-quoted elements with
+    backslash escapes, unquoted elements (trimmed; bare NULL is the
+    null value), and — round-11 — multidimensional literals parsed
+    recursively with PG's rectangularity rule (sibling sub-arrays
+    must match in length and nesting depth; PG raises
+    'multidimensional arrays must have sub-arrays with matching
+    dimensions'). Loud: unterminated quotes, empty unquoted elements,
+    ragged or scalar/sub-array-mixed dimensions, empty sub-arrays
+    (all PG errors too)."""
     t = s.strip()
     if not (t.startswith("{") and t.endswith("}")):
         raise ValueError(
             "array literal must be brace-delimited ('{a,b}')"
         )
-    inner = t[1:-1]
-    if inner.strip() == "":
-        return []
-    elems: list[tuple[str, str, bool]] = []  # (unquoted, quoted, had)
-    ubuf: list[str] = []
-    qbuf: list[str] = []
-    quoted = False
-    had_quote = False
-    i, n = 0, len(inner)
-    while i < n:
-        c = inner[i]
-        if quoted:
-            if c == "\\":
-                if i + 1 >= n:
-                    raise ValueError("dangling backslash in array literal")
-                qbuf.append(inner[i + 1])
-                i += 2
-                continue
-            if c == '"':
-                quoted = False
+    n = len(t)
+
+    def parse_group(i: int) -> tuple[list, int]:
+        # t[i] == '{' on entry
+        i += 1
+        items: list = []
+        expect = True  # an element must come next
+        saw_any = False
+        while i < n:
+            c = t[i]
+            if c.isspace():
                 i += 1
                 continue
-            qbuf.append(c)
-            i += 1
-            continue
-        if c == '"':
-            quoted = True
-            had_quote = True
-            i += 1
-            continue
-        if c == ",":
-            elems.append(("".join(ubuf), "".join(qbuf), had_quote))
-            ubuf, qbuf, had_quote = [], [], False
-            i += 1
-            continue
-        if c == "{":
-            raise ValueError(
-                "multidimensional array literals are outside the "
-                "translatable subset"
-            )
-        ubuf.append(c)
-        i += 1
-    if quoted:
-        raise ValueError("unterminated quoted element in array literal")
-    elems.append(("".join(ubuf), "".join(qbuf), had_quote))
-    vals: list[str | None] = []
-    for raw_u, raw_q, hq in elems:
-        if hq:
-            # PG ignores whitespace around a quoted element and
-            # errors on any other adjacent unquoted characters
-            if raw_u.strip() != "":
+            if c == "}":
+                if expect and saw_any:
+                    raise ValueError(
+                        "empty unquoted element in array literal (PG "
+                        "errors here too; quote it for an empty "
+                        "string)"
+                    )
+                return items, i + 1
+            if not expect:
+                if c == ",":
+                    expect = True
+                    i += 1
+                    continue
                 raise ValueError(
                     "malformed array literal: junk adjacent to a "
                     "quoted element"
                 )
-            vals.append(raw_q)
-            continue
-        v = raw_u.strip()
-        if v.upper() == "NULL":
-            vals.append(None)
-        elif v == "":
-            raise ValueError(
-                "empty unquoted element in array literal (PG errors "
-                "here too; quote it for an empty string)"
-            )
-        else:
-            vals.append(v)
-    return vals
+            saw_any = True
+            if c == "{":
+                sub, i = parse_group(i)
+                items.append(sub)
+                expect = False
+                continue
+            if c == '"':
+                buf: list[str] = []
+                i += 1
+                closed = False
+                while i < n:
+                    ch = t[i]
+                    if ch == "\\":
+                        if i + 1 >= n:
+                            raise ValueError(
+                                "dangling backslash in array literal"
+                            )
+                        buf.append(t[i + 1])
+                        i += 2
+                        continue
+                    if ch == '"':
+                        closed = True
+                        i += 1
+                        break
+                    buf.append(ch)
+                    i += 1
+                if not closed:
+                    raise ValueError(
+                        "unterminated quoted element in array literal"
+                    )
+                items.append("".join(buf))
+                expect = False
+                continue
+            # unquoted element
+            ubuf: list[str] = []
+            while i < n and t[i] not in ",}":
+                if t[i] in '{"':
+                    raise ValueError(
+                        "malformed array literal: junk adjacent to a "
+                        "quoted element"
+                    )
+                ubuf.append(t[i])
+                i += 1
+            v = "".join(ubuf).strip()
+            if v == "":
+                raise ValueError(
+                    "empty unquoted element in array literal (PG "
+                    "errors here too; quote it for an empty string)"
+                )
+            items.append(None if v.upper() == "NULL" else v)
+            expect = False
+        raise ValueError("unterminated array literal")
+
+    items, end = parse_group(0)
+    if t[end:].strip():
+        raise ValueError(
+            "malformed array literal: junk after the closing brace"
+        )
+
+    def shape(x) -> tuple:
+        if not isinstance(x, list):
+            return ()
+        if not x:
+            return (0,)
+        subs = [shape(e) for e in x]
+        if any(isinstance(e, list) for e in x):
+            if not all(isinstance(e, list) for e in x) or len(set(subs)) != 1:
+                raise ValueError(
+                    "multidimensional arrays must have sub-arrays "
+                    "with matching dimensions (PG errors here too)"
+                )
+        return (len(x),) + subs[0]
+
+    shp = shape(items)
+    if len(shp) > 1 and 0 in shp[1:]:
+        raise ValueError(
+            "empty sub-arrays in multidimensional array literals are "
+            "outside the translatable subset"
+        )
+    return items
 
 
 def _single_string_literal(expr_text: str) -> str | None:
@@ -426,6 +474,63 @@ def _bytea_cast_sql(operand: str, literal_value: str | None) -> str:
     )
 
 
+def _interval_text_sql(inner: str) -> str:
+    """``<typed interval constructor>::text`` → PG's postgres-style
+    rendering IN-SQL, mirroring the collected-value serializer
+    (_interval_to_pg_text / compat.YearMonthInterval.pg_text):
+    '1 year 2 mons', '2 days 03:00:00', per-component signs on
+    negatives ('-1 days -02:00:00'), plural unless the printed value
+    is exactly 1, trailing-zero-trimmed microseconds, '00:00:00' for
+    zero. The r10 'interval representation residual' (PARITY) applies
+    unchanged: values render NORMALIZED ('26 hours' → '1 day
+    02:00:00') because DayTimeIntervalType stores one total-micros
+    count."""
+    if inner.startswith("make_ym_interval("):
+        m = f"CAST(({inner}) AS INT)"
+        neg = f"({m} < 0)"
+        yy = f"(abs({m}) DIV 12)"
+        mm = f"(abs({m}) % 12)"
+        sgn = f"(CASE WHEN {neg} THEN '-' ELSE '' END)"
+        yp = (
+            f"(CASE WHEN {yy} = 0 THEN NULL ELSE concat({sgn}, "
+            f"CAST({yy} AS STRING), ' year', CASE WHEN {yy} = 1 AND "
+            f"NOT {neg} THEN '' ELSE 's' END) END)"
+        )
+        mp = (
+            f"(CASE WHEN {mm} = 0 THEN NULL ELSE concat({sgn}, "
+            f"CAST({mm} AS STRING), ' mon', CASE WHEN {mm} = 1 AND "
+            f"NOT {neg} THEN '' ELSE 's' END) END)"
+        )
+        return (
+            f"(CASE WHEN {m} = 0 THEN '00:00:00' ELSE "
+            f"concat_ws(' ', {yp}, {mp}) END)"
+        )
+    us = f"CAST(CAST(({inner}) AS DECIMAL(28,6)) * 1000000 AS BIGINT)"
+    neg = f"({us} < 0)"
+    aus = f"abs({us})"
+    days = f"({aus} DIV 86400000000L)"
+    rem = f"({aus} % 86400000000L)"
+    sgn = f"(CASE WHEN {neg} THEN '-' ELSE '' END)"
+    dp = (
+        f"(CASE WHEN {days} = 0 THEN NULL ELSE concat({sgn}, "
+        f"CAST({days} AS STRING), ' day', CASE WHEN {days} = 1 AND "
+        f"NOT {neg} THEN '' ELSE 's' END) END)"
+    )
+    hh = f"lpad(CAST({rem} DIV 3600000000L AS STRING), 2, '0')"
+    mi = f"lpad(CAST(({rem} % 3600000000L) DIV 60000000L AS STRING), 2, '0')"
+    ss = f"lpad(CAST(({rem} % 60000000L) DIV 1000000L AS STRING), 2, '0')"
+    frac = (
+        f"(CASE WHEN {rem} % 1000000L = 0 THEN '' ELSE concat('.', "
+        f"TRIM(TRAILING '0' FROM lpad(CAST({rem} % 1000000L AS "
+        f"STRING), 6, '0'))) END)"
+    )
+    tp = (
+        f"(CASE WHEN {rem} = 0 AND {days} != 0 THEN NULL ELSE "
+        f"concat({sgn}, {hh}, ':', {mi}, ':', {ss}, {frac}) END)"
+    )
+    return f"concat_ws(' ', {dp}, {tp})"
+
+
 def translate_pg_casts(sql: str) -> str:
     """Rewrite every ``operand::type`` into ``CAST(operand AS type)``.
 
@@ -492,14 +597,18 @@ def translate_pg_casts(sql: str) -> str:
         elem_type_text = sql[
             tokens[cast_at + 1].start : tokens[type_end_idx].end
         ]
-        is_array_type = (
+        is_array_type = False
+        # PG ignores the NUMBER of bracket pairs (int[] ≡ int[][]);
+        # the literal's own nesting decides dimensionality — consume
+        # every trailing [] pair (round-11)
+        while (
             type_end_idx + 2 < len(tokens)
             and tokens[type_end_idx + 1].kind == "PUNCT"
             and tokens[type_end_idx + 1].value == "["
             and tokens[type_end_idx + 2].kind == "PUNCT"
             and tokens[type_end_idx + 2].value == "]"
-        )
-        if is_array_type:
+        ):
+            is_array_type = True
             type_end_idx += 2
         if type_name not in PG_TO_SPARK_TYPES and type_name != "interval":
             # Unknown PG type names used to fall through to Spark's
@@ -609,22 +718,40 @@ def translate_pg_casts(sql: str) -> str:
                     )
                 cast_sql = f"CAST(array() AS ARRAY<{spark_type}>)"
             else:
-                parts = []
-                for e in elems:
-                    if e is None:
-                        if type_name == "interval":
-                            raise ValueError(
-                                "NULL elements in interval-array "
-                                "literals are outside the "
-                                "translatable subset"
-                            )
-                        parts.append(f"NULL::{elem_type_text}")
-                    else:
-                        esc = e.replace("'", "''")
-                        parts.append(f"'{esc}'::{elem_type_text}")
-                cast_sql = f"array({', '.join(parts)})"
+
+                def _emit_elems(es: list) -> str:
+                    parts = []
+                    for e in es:
+                        if isinstance(e, list):
+                            parts.append(_emit_elems(e))
+                        elif e is None:
+                            if type_name == "interval":
+                                raise ValueError(
+                                    "NULL elements in interval-array "
+                                    "literals are outside the "
+                                    "translatable subset"
+                                )
+                            parts.append(f"NULL::{elem_type_text}")
+                        else:
+                            esc = e.replace("'", "''")
+                            parts.append(f"'{esc}'::{elem_type_text}")
+                    return f"array({', '.join(parts)})"
+
+                cast_sql = _emit_elems(elems)
             sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
             continue
+        if type_name == "text":
+            # interval→text (round-11, verdict r10 #9): constructor-
+            # typed operands render PG-style in-SQL, matching the
+            # serializers. make_interval(...) classifies first (its
+            # own pass runs later in the pipeline).
+            inner = _strip_outer_parens(operand)
+            if inner.startswith("make_interval("):
+                inner = _rewrite_make_interval(inner)
+            if inner.startswith(("make_dt_interval(", "make_ym_interval(")):
+                cast_sql = _interval_text_sql(inner)
+                sql = f"{sql[:start]}{cast_sql}{sql[end:]}"
+                continue
         if type_name == "interval":
             # '2 days 03:00:00'::interval — an everyday PG idiom. The
             # literal parses AT TRANSLATION into the typed constructors
@@ -1346,6 +1473,113 @@ def _operand_scan_end(tokens, k):
         last = j
         j += 1
     return last
+
+
+def translate_array_subscript(sql: str) -> str:
+    """PG array subscripts are 1-BASED with NULL for any out-of-range
+    (including zero and negative) index; Spark's native ``a[i]`` is
+    0-based and ``element_at(a, -1)`` is the LAST element — both
+    silent divergences (probed). ``expr[i]`` therefore becomes
+    ``CASE WHEN i < 1 THEN NULL ELSE try_element_at(expr, i) END``
+    (try_element_at is 1-based and NULL out-of-range, but RAISES on
+    literal zero and counts from the end for negatives — the guard
+    closes both). Runs AFTER translate_pg_casts so type brackets
+    (``::int[]``) and ``ARRAY[...]`` constructors are already
+    consumed. PG slice syntax (``a[1:3]``) raises a named error;
+    non-default lower bounds ('[0:2]={...}' literals) are outside the
+    subset (PARITY)."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if not (t.kind == "PUNCT" and t.value == "["):
+                continue
+            if i == 0:
+                continue
+            prev = tokens[i - 1]
+            # a subscript follows a completed primary; ARRAY[ is the
+            # constructor spelling (consumed earlier, but guard
+            # anyway)
+            if prev.kind == "IDENT" and prev.upper == "ARRAY":
+                continue
+            if not (
+                prev.kind in ("IDENT", "QIDENT")
+                or (prev.kind == "PUNCT" and prev.value in (")", "]"))
+            ):
+                continue
+            at = i
+            break
+        if at is None:
+            return sql
+        depth = 0
+        close = None
+        colon = None
+        for j in range(at, len(tokens)):
+            tk = tokens[j]
+            if tk.kind == "PUNCT" and tk.value == "[":
+                depth += 1
+            elif tk.kind == "PUNCT" and tk.value == "]":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif depth == 1 and tk.value == ":" and tk.kind in ("OP", "PUNCT"):
+                colon = j
+        if close is None:
+            raise ValueError("unbalanced array subscript")
+        if colon is not None:
+            raise ValueError(
+                "array slice syntax (a[lo:hi]) is outside the "
+                "translatable subset; subscript single elements or "
+                "use slice()-style arithmetic instead"
+            )
+        if close == at + 1:
+            raise ValueError("empty array subscript")
+        idx = sql[tokens[at + 1].start : tokens[close - 1].end]
+        # operand: walk back over the previous primary
+        k = at - 1
+        prev = tokens[k]
+        if prev.kind in ("IDENT", "QIDENT"):
+            start = prev.start
+            while (
+                k >= 2
+                and tokens[k - 1].kind == "PUNCT"
+                and tokens[k - 1].value == "."
+                and tokens[k - 2].kind in ("IDENT", "QIDENT")
+            ):
+                k -= 2
+                start = tokens[k].start
+        else:  # ')' or ']' — balanced group (function call, paren,
+            # or a preceding subscript we already rewrote)
+            opener = "(" if prev.value == ")" else "["
+            closer = prev.value
+            depth = 0
+            j = k
+            while j >= 0:
+                if tokens[j].kind == "PUNCT" and tokens[j].value == closer:
+                    depth += 1
+                elif tokens[j].kind == "PUNCT" and tokens[j].value == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                raise ValueError("unbalanced expression before subscript")
+            if (
+                closer == ")"
+                and j > 0
+                and tokens[j - 1].kind == "IDENT"
+                and tokens[j - 1].upper not in _OPERAND_BOUNDARY
+                and not _is_infix_div(tokens, j - 1)
+            ):
+                j -= 1  # function call: include the name
+            start = tokens[j].start
+        operand = sql[start : prev.end]
+        repl = (
+            f"(CASE WHEN ({idx}) < 1 THEN NULL ELSE "
+            f"try_element_at(({operand}), CAST(({idx}) AS INT)) END)"
+        )
+        sql = f"{sql[:start]}{repl}{sql[tokens[close].end:]}"
 
 
 def translate_date_part(sql: str) -> str:
@@ -2724,6 +2958,23 @@ def translate_pg_functions(sql: str) -> str:
         if close is None or len(commas) != 1:
             raise ValueError("string_to_array takes exactly (expr, 'delimiter')")
         delim_toks = tokens[commas[0] + 1 : close]
+        if (
+            len(delim_toks) == 1
+            and delim_toks[0].kind == "IDENT"
+            and delim_toks[0].upper == "NULL"
+        ):
+            # PG: a NULL delimiter splits the string into its
+            # individual CHARACTERS (round-11, verdict r10 #8);
+            # split on the empty regex is exactly per-character in
+            # Spark (no trailing empty element)
+            s_expr = sql[tokens[at + 2].start : tokens[commas[0] - 1].end]
+            repl = (
+                f"CASE WHEN ({s_expr}) = '' THEN "
+                f"CAST(array() AS array<string>) "
+                f"ELSE split({s_expr}, '') END"
+            )
+            sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+            continue
         if len(delim_toks) != 1 or delim_toks[0].kind != "STRING":
             raise ValueError(
                 "string_to_array requires a string-literal delimiter "
@@ -6257,6 +6508,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_any_all(sql)
     sql = translate_cast_type_names(sql)
     sql = translate_pg_casts(sql)
+    sql = translate_array_subscript(sql)  # after casts eat type [] pairs
     sql = translate_date_part(sql)  # → EXTRACT, handled next
     sql = translate_extract(sql)
     sql = translate_at_time_zone(sql)  # after casts resolve operands

@@ -3295,8 +3295,17 @@ class TestArrayLiteralCast:
     def test_rejections(self):
         import pytest as _pt
 
-        with _pt.raises(ValueError, match="multidimensional"):
-            to_spark_sql("SELECT '{{1},{2}}'::int[] FROM t")
+        # round-11: uniform multidim literals now PARSE; ragged,
+        # scalar-mixed, and empty-sub-array shapes stay loud (PG
+        # errors on the first two as well)
+        out = to_spark_sql("SELECT '{{1},{2}}'::int[] FROM t")
+        assert out.count("array(array(") == 1
+        with _pt.raises(ValueError, match="matching dimensions"):
+            to_spark_sql("SELECT '{{1,2},{3}}'::int[] FROM t")
+        with _pt.raises(ValueError, match="matching dimensions"):
+            to_spark_sql("SELECT '{1,{2}}'::int[] FROM t")
+        with _pt.raises(ValueError, match="empty sub-arrays"):
+            to_spark_sql("SELECT '{{}}'::int[] FROM t")
         with _pt.raises(ValueError, match="empty unquoted"):
             to_spark_sql("SELECT '{a,,b}'::text[] FROM t")
         with _pt.raises(ValueError, match="unterminated quoted"):
@@ -3548,6 +3557,102 @@ class TestAge:
 
         with _pt.raises(ValueError, match="one-argument"):
             to_spark_sql("SELECT age(ts) FROM t")
+
+
+class TestRound11ArraysAndIntervalText:
+    """Round-11 stretches (verdict r10 #8/#9) plus the probe-found
+    subscript divergence: PG array subscripts are 1-based with NULL
+    for zero/negative/out-of-range (Spark's a[i] is 0-based and
+    element_at(-1) counts from the END — both silent)."""
+
+    def test_subscript_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 'a-b-c' AS s, 2 AS i").createOrReplaceTempView(
+            "sub_t"
+        )
+        row = run_pg_sql(
+            spark,
+            "SELECT string_to_array(s, '-')[1] AS one, "
+            "string_to_array(s, '-')[i] AS dyn, "
+            "string_to_array(s, '-')[0] AS zero, "
+            "string_to_array(s, '-')[-1] AS negidx, "
+            "string_to_array(s, '-')[9] AS oob, "
+            "('{{10,20},{30,40}}'::int[][])[2][1] AS md FROM sub_t",
+        ).collect()[0]
+        assert row.one == "a"
+        assert row.dyn == "b"
+        assert row.zero is None     # PG: subscript 0 → NULL
+        assert row.negidx is None   # PG: negative subscript → NULL
+        assert row.oob is None
+        assert row.md == 30
+
+    def test_slice_is_loud(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="slice"):
+            to_spark_sql("SELECT a[1:3] FROM t")
+
+    def test_string_to_array_null_delimiter(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT 'abc' AS s, '' AS e, CAST(NULL AS STRING) AS n"
+        ).createOrReplaceTempView("stan_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT string_to_array(s, NULL) AS chars, "
+            "string_to_array(e, NULL) AS empty, "
+            "string_to_array(n, NULL) AS isnull FROM stan_t",
+        ).collect()[0]
+        assert row.chars == ["a", "b", "c"]
+        assert row.empty == []
+        assert row.isnull is None
+
+    def test_multidim_literal_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS one").createOrReplaceTempView("md_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT '{{1,2},{3,4}}'::int[][] AS m, "
+            "'{{\"a b\", NULL}, {\"c\", d}}'::text[][] AS s FROM md_t",
+        ).collect()[0]
+        assert row.m == [[1, 2], [3, 4]]
+        assert row.s == [["a b", None], ["c", "d"]]
+
+    def test_interval_text_rendering(self, spark):
+        """Pins PG's postgres-style interval_out for the constructor-
+        typed subset; values cross-checked against PG's rendering
+        rules (EncodeInterval) — '1 day' with no time part, trailing-
+        zero-trimmed fractions, per-component signs, '00:00:00' zero,
+        and the documented ≥24h normalization residual."""
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS one").createOrReplaceTempView("ivtx_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT '2 days 3 hours'::interval::text AS a, "
+            "'90 minutes ago'::interval::text AS b, "
+            "'14 months'::interval::text AS c, "
+            "'14 months ago'::interval::text AS d, "
+            "'0 days'::interval::text AS e, "
+            "'26 hours'::interval::text AS f, "
+            "'1 day'::interval::text AS g, "
+            "'1.5 seconds ago'::interval::text AS h, "
+            "make_interval(months => 12)::text AS i, "
+            "CAST('2 days'::interval AS TEXT) AS j FROM ivtx_t",
+        ).collect()[0]
+        assert row.a == "2 days 03:00:00"
+        assert row.b == "-01:30:00"
+        assert row.c == "1 year 2 mons"
+        assert row.d == "-1 years -2 mons"
+        assert row.e == "00:00:00"
+        assert row.f == "1 day 02:00:00"  # normalized (PARITY residual)
+        assert row.g == "1 day"
+        assert row.h == "-00:00:01.5"
+        assert row.i == "1 year"
+        assert row.j == "2 days"
 
 
 class TestFullTextSearchRejection:

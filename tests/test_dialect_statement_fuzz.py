@@ -24,7 +24,7 @@ import pytest
 
 from tests.test_dialect_value_fuzz import Gen, _same
 
-N_STATEMENTS = 170  # + N_API_STATEMENTS routed through the WSGI app
+N_STATEMENTS = 200  # + N_API_STATEMENTS routed through the WSGI app
 N_API_STATEMENTS = 26
 SEED = 977
 
@@ -308,6 +308,137 @@ def _statements(rng: random.Random):
                 f"FROM documents WHERE {w_dk} ORDER BY doc_id"
             )
             yield i, pg_sql, dk_sql, [True]
+            continue
+        if shape < 0.85:
+            # round-11 shape (VERDICT r10 #6a): epoch of year-month
+            # intervals (the 365.25-day-year fix) over mixed spellings
+            # beside AT TIME ZONE — chained, POSIX/abbrev/IANA zones —
+            # feeding date_trunc + GROUP BY. DuckDB twins are all
+            # NATIVE (to_months epoch, ICU timezone round trips).
+            months = f"CAST(doc_id % 30 - {rng.randint(3, 8)} AS INT)"
+            ep_lit_pg, ep_lit_dk = rng.choice(
+                [
+                    ("'14 months'", "to_months(14)"),
+                    ("'2 years 3 mons'", "interval '2 years 3 months'"),
+                    ("'400 days ago'", "-to_days(400)"),
+                    ("'36 hours'", "to_hours(36)"),
+                ]
+            )
+            ts_pg = (
+                "(timestamp '2024-03-01 00:00:00' + "
+                "make_interval(hours => CAST(doc_id % 96 AS INT)))"
+            )
+            ts_dk = (
+                "(timestamp '2024-03-01 00:00:00' + "
+                "to_hours(CAST(doc_id % 96 AS INT)))"
+            )
+            if rng.random() < 0.4:
+                attz_pg = f"({ts_pg} AT TIME ZONE 'UTC') AT TIME ZONE 'Japan'"
+                attz_dk = f"timezone('Japan', timezone('UTC', {ts_dk}))"
+            else:
+                zone_pg, dk_zone = rng.choice(
+                    [
+                        ("'Asia/Kolkata'", "Asia/Kolkata"),
+                        ("'UTC+5'", "Etc/GMT+5"),
+                        ("'PST'", "Etc/GMT+8"),
+                    ]
+                )
+                attz_pg = f"{ts_pg} AT TIME ZONE {zone_pg}"
+                attz_dk = f"timezone('UTC', timezone('{dk_zone}', {ts_dk}))"
+            pg_sql = (
+                f"SELECT CAST(date_trunc('day', {attz_pg}) AS DATE) AS b, "
+                f"count(*) AS n, "
+                f"CAST(sum(extract(epoch from make_interval(months => "
+                f"{months}))) AS BIGINT) AS se, "
+                f"CAST(min(extract(epoch from {ep_lit_pg}::interval)) "
+                f"AS BIGINT) AS me "
+                f"FROM data WHERE {w_pg} GROUP BY 1 ORDER BY 1"
+            )
+            dk_sql = (
+                f"SELECT CAST(date_trunc('day', {attz_dk}) AS DATE) AS b, "
+                f"count(*) AS n, "
+                f"CAST(sum(extract(epoch from to_months({months}))) "
+                f"AS BIGINT) AS se, "
+                f"CAST(min(extract(epoch from {ep_lit_dk})) AS BIGINT) "
+                f"AS me "
+                f"FROM documents WHERE {w_dk} GROUP BY 1 ORDER BY 1"
+            )
+            yield i, pg_sql, dk_sql, [True, True, True]
+            continue
+        if shape < 0.90:
+            # round-11 shape (VERDICT r10 #6b): date_bin with sources
+            # BEFORE the origin (floor toward -infinity, not toward
+            # zero) and DST-free odd origins; DuckDB's time_bucket
+            # implements PG's rule including odd origins (probed r10).
+            stride = rng.choice(["45 minutes", "90 seconds", "7 hours"])
+            origin = rng.choice(
+                [
+                    "2001-01-01 00:07:30",
+                    "1999-12-31 23:59:00",
+                    "2024-02-29 01:02:03",
+                ]
+            )
+            base = rng.choice(
+                ["2000-12-25 00:00:00", "2024-03-01 12:00:00"]
+            )
+            src_pg = (
+                f"(timestamp '{base}' + make_interval(mins => "
+                f"CAST(doc_id % 5000 AS INT)))"
+            )
+            src_dk = (
+                f"(timestamp '{base}' + to_minutes("
+                f"CAST(doc_id % 5000 AS INT)))"
+            )
+            pg_sql = (
+                f"SELECT date_bin('{stride}', {src_pg}, "
+                f"timestamp '{origin}') AS b, count(*) AS n "
+                f"FROM data WHERE {w_pg} GROUP BY 1 ORDER BY 1"
+            )
+            dk_sql = (
+                f"SELECT time_bucket(INTERVAL '{stride}', {src_dk}, "
+                f"timestamp '{origin}') AS b, count(*) AS n "
+                f"FROM documents WHERE {w_dk} GROUP BY 1 ORDER BY 1"
+            )
+            yield i, pg_sql, dk_sql, [True]
+            continue
+        if shape < 0.95:
+            # round-11 shape (VERDICT r10 #6c): the q60 keyset-
+            # pagination surface as a fuzz shape — row-constructor
+            # comparisons with NULL-bearing elements in WHERE and a
+            # projected three-valued truth-table arm; the DuckDB twin
+            # spells PG's lexicographic expansion explicitly.
+            lang_lit = rng.choice(["de", "en", "fr", "ja", "pt"])
+            k = rng.randint(0, 6)
+            thr = rng.randint(0, 4)
+            na = f"nullif(doc_id % 7, {k})"
+            m5, m3 = rng.randint(0, 4), rng.randint(0, 2)
+            pg_sql = (
+                f"SELECT doc_id, CASE "
+                f"WHEN (lang, {na}) < ('{lang_lit}', {thr}) THEN 1 "
+                f"WHEN NOT ((lang, {na}) < ('{lang_lit}', {thr})) THEN 0 "
+                f"ELSE -1 END AS tv, "
+                f"CASE WHEN (doc_id % 5, doc_id % 3) IN "
+                f"(({m5}, {m3}), (1, 2)) THEN 1 ELSE 0 END AS inr "
+                f"FROM data "
+                f"WHERE (lang, {na}) >= ('{lang_lit}', {thr}) "
+                f"AND {w_pg} ORDER BY doc_id"
+            )
+            lt = (
+                f"(lang < '{lang_lit}' OR (lang = '{lang_lit}' "
+                f"AND {na} < {thr}))"
+            )
+            dk_sql = (
+                f"SELECT doc_id, CASE WHEN {lt} THEN 1 "
+                f"WHEN NOT {lt} THEN 0 ELSE -1 END AS tv, "
+                f"CASE WHEN (doc_id % 5 = {m5} AND doc_id % 3 = {m3}) "
+                f"OR (doc_id % 5 = 1 AND doc_id % 3 = 2) "
+                f"THEN 1 ELSE 0 END AS inr "
+                f"FROM documents "
+                f"WHERE (lang > '{lang_lit}' OR (lang = '{lang_lit}' "
+                f"AND {na} >= {thr})) "
+                f"AND {w_dk} ORDER BY doc_id"
+            )
+            yield i, pg_sql, dk_sql, [True, True]
             continue
         items_pg, items_dk = [], []
         kinds = []
