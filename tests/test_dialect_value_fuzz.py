@@ -144,7 +144,46 @@ class Gen:
     def num(self, depth):
         if depth <= 0:
             return self.r.choice([self.int_atom, self.dec_atom])()
-        pick = self.r.randrange(13)
+        pick = self.r.randrange(14)
+        if pick == 13:
+            # round-11 (VERDICT r10 #1): epoch of intervals — year-
+            # month spellings 0–30 months, negatives, 'ago' forms,
+            # both the literal and make_interval routes; DuckDB's
+            # NATIVE extract(epoch from interval) is the twin (it
+            # implements PG's 365.25-day-year + truncating-split
+            # rule; values are integral so exact compare holds)
+            if self.r.random() < 0.6:
+                m = self.r.randint(-30, 30)
+                ago = self.r.random() < 0.3 and m > 0
+                eff = -m if ago else m
+                if self.r.random() < 0.5:
+                    spell = f"'{m} months ago'" if ago else f"'{m} months'"
+                    pg = f"extract(epoch from {spell}::interval)"
+                else:
+                    et = f"({eff})" if eff < 0 else str(eff)
+                    pg = (
+                        f"extract(epoch from make_interval("
+                        f"months => {et}))"
+                    )
+                dt = f"({eff})" if eff < 0 else str(eff)
+                return (
+                    pg,
+                    f"extract(epoch from to_months({dt}))",
+                    "NUM",
+                    True,
+                )
+            n = self.r.randint(-500, 500)
+            slot, dk_fn = self.r.choice(
+                [("mins", "to_minutes"), ("hours", "to_hours"),
+                 ("days", "to_days")]
+            )
+            nt = f"({n})" if n < 0 else str(n)
+            return (
+                f"extract(epoch from make_interval({slot} => {nt}))",
+                f"extract(epoch from {dk_fn}({nt}))",
+                "NUM",
+                True,
+            )
         if pick <= 2:  # arithmetic
             a_pg, a_dk, _, ax = self.num(depth - 1)
             b_pg, b_dk, _, bx = self.num(depth - 1)
