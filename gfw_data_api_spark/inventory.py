@@ -3324,6 +3324,7 @@ _DRIVER_FRONT: list[str] = [
     "q60_row_comparisons",
     "q61_interval_epoch_zones",
     "q62_age_function",
+    "q63_breadth_round11",
     # --- r6-checked rows (the last three) ---
     "ts04_interarrival_stats",
     "ts05_resample_interpolate",
@@ -3369,10 +3370,9 @@ _DRIVER_FRONT: list[str] = [
     "u01_url_canonicalization",
     "w01_importance_weights",
     "w02_temperature_mixture",
-    # --- r8-checked rows (first 3 in r8-snapshot order) ---
+    # --- r8-checked rows (first 2 in r8-snapshot order) ---
     "a01_approx_count_distinct",
     "a02_approx_percentile",
-    "a03_heavy_hitters",
 ]
 
 
@@ -9198,6 +9198,66 @@ _SPECS.append(
         survey_ref="Q11 round-11: age() two-argument translation "
         "(sql/dialect.py _age_sql; DuckDB native age() twin, "
         "spelling-normalized only)",
+    )
+)
+
+
+_Q63_SQL = (
+    # Round-11 breadth batch: format() with PG's NULL-renders-empty
+    # rule (probe-found: Java's Formatter printed literal 'null' —
+    # the chr() trap again), justify_hours (identity on the
+    # total-micros representation, rendered PG-style through ::text),
+    # isfinite, split_part incl. PG 14 negative positions,
+    # width_bucket (Spark-native, PG-compatible), and
+    # to_timestamp(epoch seconds).
+    "SELECT event_id, "
+    "format('%s|%s', nullif(event_id % 4, 2), event_type) AS fmt, "
+    "justify_hours(make_interval(hours => "
+    "CAST(event_id % 60 AS INT)))::text AS jh, "
+    "isfinite(ts) AS fin, "
+    "split_part(event_type, 'c', 2) AS sp, "
+    "split_part(event_type || '-x-y', '-', -1) AS spn, "
+    "CAST(width_bucket(CAST(event_id % 23 AS DOUBLE), 0, 20, 4) "
+    "AS INT) AS wb, "
+    "to_timestamp(1700000000 + event_id % 1000) AS tts "
+    "FROM events WHERE event_id % 40 = 0"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q63_breadth_round11",
+        spark_fn=_guarded("events", _Q63_SQL),
+        oracle=(
+            "SELECT event_id, "
+            # format %s: PG renders NULL as '' — spelled as concat
+            # with coalesce (a rendering shim, not a replay of the
+            # engine's arithmetic)
+            "concat(coalesce(CAST(nullif(event_id % 4, 2) AS VARCHAR), "
+            "''), '|', event_type) AS fmt, "
+            # justified hours: native DuckDB rendering of the
+            # explicitly-justified value (DuckDB has no justify_hours;
+            # its interval keeps 50h un-normalized)
+            "CAST(to_days(CAST(event_id % 60 AS INT) // 24) "
+            "+ to_hours(CAST(event_id % 60 AS INT) % 24) AS VARCHAR) "
+            "AS jh, "
+            "isfinite(ts) AS fin, "
+            "split_part(event_type, 'c', 2) AS sp, "
+            "split_part(event_type || '-x-y', '-', -1) AS spn, "
+            # width_bucket: DuckDB lacks it — PG's formula (lo < hi,
+            # in-range floor((x-lo)/(hi-lo)*n)+1, below → 0,
+            # at-or-above hi → n+1)
+            "CASE WHEN event_id % 23 >= 20 THEN 5 "
+            "WHEN event_id % 23 < 0 THEN 0 "
+            "ELSE CAST(floor((event_id % 23) / 20.0 * 4) + 1 AS INT) "
+            "END AS wb, "
+            "timezone('UTC', to_timestamp(1700000000 + event_id % "
+            "1000)) AS tts "
+            "FROM events WHERE event_id % 40 = 0"
+        ),
+        survey_ref="Q11 round-11 breadth: format NULL rule, "
+        "justify_hours, isfinite, split_part negatives, width_bucket, "
+        "to_timestamp epoch (sql/dialect.py translate_pg_functions "
+        "round-11 loop)",
     )
 )
 

@@ -746,6 +746,16 @@ def translate_pg_casts(sql: str) -> str:
             # serializers. make_interval(...) classifies first (its
             # own pass runs later in the pipeline).
             inner = _strip_outer_parens(operand)
+            while inner.startswith("justify_hours(") and inner.endswith(")"):
+                # identity on our representation (the justify pass
+                # runs later in the pipeline) — peel it so the
+                # constructor beneath still renders PG-style
+                toks_j = tokenize(inner)
+                if _primary_end(toks_j, 0) != len(toks_j) - 1:
+                    break
+                inner = _strip_outer_parens(
+                    inner[len("justify_hours(") : -1]
+                )
             if inner.startswith("make_interval("):
                 inner = _rewrite_make_interval(inner)
             if inner.startswith(("make_dt_interval(", "make_ym_interval(")):
@@ -2255,6 +2265,76 @@ def translate_pg_functions(sql: str) -> str:
             repl = f"TRIM({side} {chars} FROM {s_text})"
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
+        # Round-11 interval/time odds and ends:
+        # - justify_hours: folds 24 h blocks into days. Our
+        #   DayTimeIntervalType stores ONE total-microsecond count, so
+        #   the day/hour split exists only at rendering — which already
+        #   normalizes — making justify_hours the IDENTITY on every
+        #   representable value (exact; PG's result compares equal).
+        # - justify_days / justify_interval: fold 30-day blocks into
+        #   MONTHS — the result mixes the two ANSI interval families,
+        #   which no single Spark value holds → named rejection.
+        # - timeofday(): wall-clock text → named rejection (the guard
+        #   rejects the clock value functions for the same reason).
+        # - isfinite(x): PG's ±infinity timestamps are unrepresentable
+        #   here ('infinity'::timestamp raises at the ANSI cast), so
+        #   every non-NULL value is finite; NULL stays NULL (PG).
+        tokens = tokenize(sql)
+        at = None
+        fname = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower()
+                in (
+                    "justify_hours",
+                    "justify_days",
+                    "justify_interval",
+                    "timeofday",
+                    "isfinite",
+                )
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                fname = t.value.lower()
+                break
+        if at is None:
+            break
+        if fname in ("justify_days", "justify_interval"):
+            raise ValueError(
+                f"{fname}() folds day counts into months, mixing the "
+                "year-month and day-time interval families — no "
+                "single Spark value holds both (justify_hours is "
+                "supported; it is exact here)"
+            )
+        if fname == "timeofday":
+            raise ValueError(
+                "timeofday() reads the server wall clock — "
+                "nondeterministic under the guarded surface (the "
+                "clock value functions are rejected for the same "
+                "reason); use a literal timestamp"
+            )
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError(f"unbalanced {fname}(...)")
+        args = (
+            _args_spans(tokens, at + 2, close - 1)
+            if close - 1 >= at + 2
+            else []
+        )
+        if len(args) != 1:
+            raise ValueError(f"{fname} takes exactly one argument")
+        x = sql[tokens[args[0][0]].start : tokens[args[0][1]].end]
+        if fname == "justify_hours":
+            repl = f"({x})"
+        else:  # isfinite
+            repl = (
+                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE true END)"
+            )
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
         # PG format(template, args...) → Spark format_string for the
         # %s / %% subset (PG's %I/%L/positional %n$ raise — they need
         # identifier/literal quoting no Spark function provides)
@@ -2284,7 +2364,20 @@ def translate_pg_functions(sql: str) -> str:
                 "format() specifiers beyond %s / %% are outside the "
                 "translatable subset (PG %I/%L need SQL quoting)"
             )
-        sql = f"{sql[:tokens[at].start]}format_string{sql[tokens[at].end:]}"
+        # round-11 (probe-found): PG renders a NULL %s argument as an
+        # EMPTY string; Java's Formatter (format_string) prints the
+        # literal 'null' — the same trap that bit chr() in round 10.
+        # Each argument gets coalesce(CAST(.. AS STRING), '').
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError("unbalanced format(...)")
+        args = _args_spans(tokens, at + 2, close - 1)
+        parts = [sql[tokens[args[0][0]].start : tokens[args[0][1]].end]]
+        for s0, e0 in args[1:]:
+            a_text = sql[tokens[s0].start : tokens[e0].end]
+            parts.append(f"coalesce(CAST(({a_text}) AS STRING), '')")
+        repl = f"format_string({', '.join(parts)})"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
     while True:
         # PG to_hex prints LOWERCASE hex; Spark's hex() is uppercase.
         # (Boundary, documented: PG's int4 to_hex(-1) is the 32-bit

@@ -3655,6 +3655,54 @@ class TestRound11ArraysAndIntervalText:
         assert row.j == "2 days"
 
 
+class TestRound11Breadth:
+    """format() NULL rule, justify family, isfinite, timeofday."""
+
+    def test_format_null_renders_empty(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT CAST(NULL AS INT) AS n"
+        ).createOrReplaceTempView("fmt_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT format('%s|%s', n, 'a') AS a, "
+            "format('x%%y') AS b FROM fmt_t",
+        ).collect()[0]
+        assert row.a == "|a"   # PG: NULL under %s is EMPTY, not 'null'
+        assert row.b == "x%y"
+
+    def test_justify_and_isfinite(self, spark):
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT timestamp '2024-01-01' AS ts, CAST(NULL AS INT) AS n"
+        ).createOrReplaceTempView("jst_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT justify_hours('27 hours'::interval)::text AS a, "
+            "justify_hours(make_interval(hours => 50))::text AS b, "
+            "CASE WHEN justify_hours('25 hours'::interval) = "
+            "'1 day 1 hour'::interval THEN 1 ELSE 0 END AS c, "
+            "isfinite(ts) AS f, isfinite(n + NULL) AS fn FROM jst_t",
+        ).collect()[0]
+        assert row.a == "1 day 03:00:00"
+        assert row.b == "2 days 02:00:00"
+        assert row.c == 1
+        assert row.f is True
+        assert row.fn is None
+        with _pt.raises(ValueError, match="families"):
+            to_spark_sql("SELECT justify_days('35 days'::interval) FROM t")
+        with _pt.raises(ValueError, match="families"):
+            to_spark_sql(
+                "SELECT justify_interval('1 mon -1 hour'::interval) FROM t"
+            )
+        with _pt.raises(ValueError, match="wall clock"):
+            to_spark_sql("SELECT timeofday() FROM t")
+
+
 class TestFullTextSearchRejection:
     """Round-11 (verdict r10 #7): the tsvector/tsquery family gets a
     NAMED rejection instead of Spark's opaque unresolved-function
