@@ -3325,6 +3325,7 @@ _DRIVER_FRONT: list[str] = [
     "q61_interval_epoch_zones",
     "q62_age_function",
     "q63_breadth_round11",
+    "q64_agg_breadth",
     # --- r6-checked rows (the last three) ---
     "ts04_interarrival_stats",
     "ts05_resample_interpolate",
@@ -3370,9 +3371,8 @@ _DRIVER_FRONT: list[str] = [
     "u01_url_canonicalization",
     "w01_importance_weights",
     "w02_temperature_mixture",
-    # --- r8-checked rows (first 2 in r8-snapshot order) ---
+    # --- r8-checked row (first in r8-snapshot order) ---
     "a01_approx_count_distinct",
-    "a02_approx_percentile",
 ]
 
 
@@ -9258,6 +9258,65 @@ _SPECS.append(
         "justify_hours, isfinite, split_part negatives, width_bucket, "
         "to_timestamp epoch (sql/dialect.py translate_pg_functions "
         "round-11 loop)",
+    )
+)
+
+
+_Q64_SQL = (
+    # Round-11 aggregate breadth: array_agg/json_agg KEEP NULLs (PG;
+    # Spark's native collect silently drops them — probe-found, fixed
+    # via the struct wrapper), json_agg ordered + FILTER forms,
+    # bool/bit reductions, corr, and string_agg's null-skipping with
+    # an internal ORDER BY.
+    "SELECT event_type, "
+    "json_agg(nullif(event_id % 7, 3) ORDER BY event_id) AS ja, "
+    "json_agg(event_id % 11 ORDER BY event_id DESC) "
+    "FILTER (WHERE event_id % 3 = 0) AS jf, "
+    "bool_and(event_id % 2 = 0) AS ba, "
+    "bool_or(event_id % 97 = 0) AS bo, "
+    "CAST(bit_and(event_id % 16) AS BIGINT) AS bnd, "
+    "CAST(bit_or(event_id % 16) AS BIGINT) AS bor, "
+    "CAST(round(CAST(corr(event_id % 50, event_id % 30) AS NUMERIC), 6) "
+    "AS DOUBLE PRECISION) AS cr, "
+    "string_agg(nullif(CAST(event_id % 5 AS VARCHAR), '3'), '|' "
+    "ORDER BY event_id) AS sa "
+    "FROM events WHERE event_id % 37 = 0 "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q64_agg_breadth",
+        spark_fn=_guarded("events", _Q64_SQL),
+        oracle=(
+            "SELECT event_type, "
+            # DuckDB's json_group_array is a macro (no ORDER BY /
+            # FILTER modifiers) — render the compact json text from
+            # the native list() aggregate instead
+            "'[' || array_to_string(list_transform("
+            "list(nullif(event_id % 7, 3) ORDER BY event_id), "
+            "__e -> coalesce(CAST(__e AS VARCHAR), 'null')), ',') "
+            "|| ']' AS ja, "
+            "'[' || array_to_string(list_transform("
+            "list(event_id % 11 ORDER BY event_id DESC) "
+            "FILTER (WHERE event_id % 3 = 0), "
+            "__e -> coalesce(CAST(__e AS VARCHAR), 'null')), ',') "
+            "|| ']' AS jf, "
+            "bool_and(event_id % 2 = 0) AS ba, "
+            "bool_or(event_id % 97 = 0) AS bo, "
+            "CAST(bit_and(event_id % 16) AS BIGINT) AS bnd, "
+            "CAST(bit_or(event_id % 16) AS BIGINT) AS bor, "
+            "CAST(round(CAST(corr(event_id % 50, event_id % 30) "
+            "AS DECIMAL(38,10)), 6) AS DOUBLE) AS cr, "
+            "string_agg(nullif(CAST(event_id % 5 AS VARCHAR), '3'), "
+            "'|' ORDER BY event_id) AS sa "
+            "FROM events WHERE event_id % 37 = 0 "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        survey_ref="Q11 round-11 aggregate breadth: array_agg/json_agg "
+        "NULL retention, bool_/bit_ reductions, corr, ordered "
+        "string_agg (sql/dialect.py translate_json_agg + the "
+        "array_agg struct wrapper)",
     )
 )
 

@@ -1407,6 +1407,120 @@ def translate_like_ops(sql: str) -> str:
         sql = f"{sql[:hit.start]}{mapping[hit.value]}{sql[hit.end:]}"
 
 
+def translate_json_agg(sql: str) -> str:
+    """PG ``json_agg(x)`` / ``jsonb_agg(x)`` → ``to_json(array_agg(
+    x))`` — rewritten BEFORE translate_agg_order_by so an internal
+    ORDER BY rides the existing array_agg machinery, and before the
+    plain-array_agg NULL fix so NULL elements survive (PG includes
+    them as JSON null). Text output is COMPACT Spark JSON — the same
+    documented convention the jsonb ``||``/builder surface uses (PG
+    renders '[1, 2]' with spaces; PARITY). ``json_object_agg`` raises
+    a named error: PG keeps DUPLICATE keys in the json text, which no
+    Spark map/object emission reproduces."""
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        fname = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower()
+                in ("json_agg", "jsonb_agg", "json_object_agg",
+                    "jsonb_object_agg")
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                at = i
+                fname = t.value.lower()
+                break
+        if at is None:
+            return sql
+        if fname in ("json_object_agg", "jsonb_object_agg"):
+            raise ValueError(
+                f"{fname}() is outside the translatable subset: PG "
+                "keeps duplicate keys in the aggregated json text, "
+                "which no Spark map emission reproduces; build "
+                "per-row objects and json_agg them, or aggregate "
+                "upstream"
+            )
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError(f"unbalanced {fname}(...)")
+        inner = sql[tokens[at + 2].start : tokens[close - 1].end]
+        # keep a FILTER (WHERE ...) suffix attached to the aggregate
+        end = close
+        if (
+            close + 1 < len(tokens)
+            and tokens[close + 1].kind == "IDENT"
+            and tokens[close + 1].upper == "FILTER"
+            and close + 2 < len(tokens)
+            and tokens[close + 2].value == "("
+        ):
+            fend = _primary_end(tokens, close + 1)
+            if fend is not None:
+                end = fend
+        filt = sql[tokens[close].end : tokens[end].end]
+        repl = f"to_json(array_agg({inner}){filt})"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[end].end:]}"
+
+
+# PG 15 named regex functions that share Spark's name and semantics
+# for the 2-argument form: (string, pattern) with anywhere-match /
+# count / 1-based position (0 = no match) / first-match-or-NULL.
+# PG's extra positional arguments (start, N, flags, subexpr) have no
+# Spark twin and raise; POSIX [[:class:]] atoms in LITERAL patterns
+# splice to Java \p forms exactly like the ~ operator family.
+_NAMED_REGEX_FNS = ("regexp_like", "regexp_count", "regexp_instr",
+                    "regexp_substr")
+
+
+def translate_named_regex_fns(sql: str) -> str:
+    done: set[tuple[int, str]] = set()
+    while True:
+        tokens = tokenize(sql)
+        at = None
+        fname = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() in _NAMED_REGEX_FNS
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                close = _primary_end(tokens, i)
+                if close is None:
+                    raise ValueError(f"unbalanced {t.value}(...)")
+                args = _args_spans(tokens, i + 2, close - 1)
+                if len(args) != 2:
+                    raise ValueError(
+                        f"{t.value.lower()} translates only the "
+                        "2-argument (string, pattern) form; PG's "
+                        "start/N/flags/subexpr arguments have no "
+                        "Spark twin (fold flags into the pattern, "
+                        "e.g. '(?i)...')"
+                    )
+                s0, e0 = args[1]
+                if (
+                    s0 == e0
+                    and tokens[s0].kind == "STRING"
+                    and "[:" in tokens[s0].value
+                    and (tokens[s0].start, tokens[s0].value) not in done
+                ):
+                    at = s0
+                    fname = t.value
+                    break
+        if at is None:
+            return sql
+        converted = _translate_posix_classes(tokens[at].value)
+        if converted == tokens[at].value:
+            # '[:' present but not a POSIX class atom — nothing to
+            # splice; remember the site so the rescan terminates
+            done.add((tokens[at].start, tokens[at].value))
+            continue
+        lit = converted.replace("'", "''")
+        sql = f"{sql[:tokens[at].start]}'{lit}'{sql[tokens[at].end:]}"
+
+
 def translate_regex_ops(sql: str) -> str:
     """PG regex-match operators → Spark RLIKE. ``a ~ p`` matches
     anywhere, exactly RLIKE's contract; ``~*`` folds case via an
@@ -2264,6 +2378,82 @@ def translate_pg_functions(sql: str) -> str:
             chars = sql[tokens[comma + 1].start : tokens[close - 1].end]
             repl = f"TRIM({side} {chars} FROM {s_text})"
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
+        # Round-11 (probe-found silent divergence): PG array_agg KEEPS
+        # NULL values; Spark's array_agg/collect_list silently DROPS
+        # them. Bare and DISTINCT calls route through a struct wrapper
+        # (structs are never null) — the same recipe the ORDER BY form
+        # has used since round 9. Skips our own emissions (inner
+        # named_struct) so the rescan terminates.
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.upper == "ARRAY_AGG"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+                and not (
+                    i + 2 < len(tokens)
+                    and tokens[i + 2].kind == "IDENT"
+                    and tokens[i + 2].value.lower() == "named_struct"
+                )
+                and not (
+                    i + 3 < len(tokens)
+                    and tokens[i + 2].kind == "IDENT"
+                    and tokens[i + 2].upper == "DISTINCT"
+                    and tokens[i + 3].kind == "IDENT"
+                    and tokens[i + 3].value.lower() == "named_struct"
+                )
+            ):
+                at = i
+                break
+        if at is None:
+            break
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError("unbalanced array_agg(...)")
+        inner_start = at + 2
+        distinct = ""
+        if (
+            tokens[inner_start].kind == "IDENT"
+            and tokens[inner_start].upper == "DISTINCT"
+        ):
+            distinct = "DISTINCT "
+            inner_start += 1
+        inner = sql[tokens[inner_start].start : tokens[close - 1].end]
+        # a FILTER (WHERE ...) suffix must stay attached to the
+        # aggregate INSIDE the transform wrapper
+        end = close
+        if (
+            close + 1 < len(tokens)
+            and tokens[close + 1].kind == "IDENT"
+            and tokens[close + 1].upper == "FILTER"
+            and close + 2 < len(tokens)
+            and tokens[close + 2].value == "("
+        ):
+            fend = _primary_end(tokens, close + 1)
+            if fend is not None:
+                end = fend
+        if (
+            end + 1 < len(tokens)
+            and tokens[end + 1].kind == "IDENT"
+            and tokens[end + 1].upper == "OVER"
+            and end + 2 < len(tokens)
+        ):
+            # window form: OVER w | OVER (...) rides inside too
+            if tokens[end + 2].kind in ("IDENT", "QIDENT"):
+                end = end + 2
+            elif tokens[end + 2].value == "(":
+                oend = _primary_end(tokens, end + 1)
+                if oend is not None:
+                    end = oend
+        filt = sql[tokens[close].end : tokens[end].end]
+        repl = (
+            f"transform(array_agg({distinct}named_struct('v', "
+            f"({inner}))){filt}, __ag -> __ag.v)"
+        )
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[end].end:]}"
     while True:
         # Round-11 interval/time odds and ends:
         # - justify_hours: folds 24 h blocks into days. Our
@@ -4762,10 +4952,27 @@ def translate_agg_order_by(sql: str) -> str:
                 flag = "IS NULL" if base_last else "IS NOT NULL"
                 fields.append(f"'n{idx}', ({key}) {flag}, 'o{idx}', {key}")
             struct_sql = f"named_struct({', '.join(fields)}, 'v', {value})"
-            sorted_sql = f"array_sort(array_agg({struct_sql}))"
+            # a FILTER (WHERE ...) suffix must attach to the aggregate
+            # INSIDE the transform wrapper (round-11: surfaced by the
+            # json_agg ... FILTER composition)
+            end = close
+            if (
+                close + 1 < len(tokens)
+                and tokens[close + 1].kind == "IDENT"
+                and tokens[close + 1].upper == "FILTER"
+                and close + 2 < len(tokens)
+                and tokens[close + 2].value == "("
+            ):
+                fend = _primary_end(tokens, close + 1)
+                if fend is not None:
+                    end = fend
+            filt = sql[tokens[close].end : tokens[end].end]
+            sorted_sql = f"array_sort(array_agg({struct_sql}){filt})"
             if desc:
                 sorted_sql = f"reverse({sorted_sql})"
             repl = f"transform({sorted_sql}, s -> s.v)"
+            sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[end].end:]}"
+            continue
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
 
 
@@ -6596,6 +6803,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_null_counters(sql)
     sql = translate_distinct_on(sql)
     sql = translate_to_char(sql)
+    sql = translate_json_agg(sql)  # → array_agg, handled next
     sql = translate_agg_order_by(sql)
     sql = translate_array_literal(sql)
     sql = translate_any_all(sql)
@@ -6608,6 +6816,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_between_symmetric(sql)
     sql = translate_caret_power(sql)
     sql = translate_like_ops(sql)  # before the ~ regex family
+    sql = translate_named_regex_fns(sql)
     sql = translate_regex_ops(sql)
     sql = translate_similar_to(sql)
     sql = translate_pg_functions(sql)

@@ -472,7 +472,12 @@ class TestAggOrderBy:
         out = translate_pg_functions(
             "SELECT array_to_string(array_agg(v), ',') FROM t"
         )
-        assert out == "SELECT array_join(array_agg(v), ',') FROM t"
+        # round-11: bare array_agg routes through the NULL-keeping
+        # struct wrapper (PG keeps NULL elements; Spark's drops them)
+        assert out == (
+            "SELECT array_join(transform(array_agg(named_struct('v', "
+            "(v))), __ag -> __ag.v), ',') FROM t"
+        )
 
 
 class TestParameterizedCasts:
@@ -3701,6 +3706,94 @@ class TestRound11Breadth:
             )
         with _pt.raises(ValueError, match="wall clock"):
             to_spark_sql("SELECT timeofday() FROM t")
+
+
+class TestRound11Aggregates:
+    """array_agg/json_agg NULL retention (PG keeps NULLs; Spark's
+    native collect drops them — probe-found silent divergence), the
+    json_agg family, and POSIX classes in named regex functions."""
+
+    @staticmethod
+    def _view(spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1,'b',2),(2,'a',4),(3,'c',6),"
+            "(4,NULL,8) AS t(id, s, v)"
+        ).createOrReplaceTempView("r11agg_t")
+
+    def test_array_agg_keeps_nulls(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        self._view(spark)
+        row = run_pg_sql(
+            spark,
+            "SELECT array_agg(s ORDER BY id) AS o, "
+            "array_agg(s) FILTER (WHERE v > 2) AS f, "
+            "array_agg(DISTINCT v % 4) AS d FROM r11agg_t",
+        ).collect()[0]
+        assert row.o == ["b", "a", "c", None]
+        # element order of an UNORDERED aggregate is unspecified in
+        # both engines — compare as a multiset
+        assert sorted(row.f, key=lambda x: (x is None, x)) == [
+            "a", "c", None,
+        ]
+        assert sorted(row.d) == [0, 2]
+
+    def test_array_agg_window_keeps_nulls(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        self._view(spark)
+        rows = run_pg_sql(
+            spark,
+            "SELECT id, array_agg(s) OVER (ORDER BY id) AS w "
+            "FROM r11agg_t ORDER BY id",
+        ).collect()
+        assert rows[-1].w == ["b", "a", "c", None]
+
+    def test_json_agg_family(self, spark):
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        self._view(spark)
+        row = run_pg_sql(
+            spark,
+            "SELECT json_agg(s) AS a, "
+            "json_agg(v ORDER BY v DESC) AS o, "
+            "jsonb_agg(s) FILTER (WHERE s IS NOT NULL) AS f "
+            "FROM r11agg_t",
+        ).collect()[0]
+        # compact Spark JSON (the documented jsonb text convention);
+        # NULL elements survive as json null
+        assert sorted(row.a[1:-1].split(",")) == sorted(
+            ['"b"', '"a"', '"c"', "null"]
+        )
+        assert row.o == "[8,6,4,2]"
+        assert sorted(row.f[1:-1].split(",")) == ['"a"', '"b"', '"c"']
+        with _pt.raises(ValueError, match="duplicate keys"):
+            to_spark_sql("SELECT json_object_agg(s, v) FROM t")
+
+    def test_named_regex_posix_classes(self, spark):
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        self._view(spark)
+        row = run_pg_sql(
+            spark,
+            "SELECT regexp_like('ab', '[[:alpha:]]+') AS a, "
+            "regexp_count('a1b22c', '[[:digit:]]+') AS c, "
+            "regexp_instr('aXb', 'X') AS i, "
+            "regexp_substr('a12b', '[[:digit:]]+') AS s, "
+            "regexp_substr('ab', '[0-9]') AS miss FROM r11agg_t "
+            "LIMIT 1",
+        ).collect()[0]
+        assert row.a is True
+        assert row.c == 2
+        assert row.i == 2
+        assert row.s == "12"
+        assert row.miss is None
+        with _pt.raises(ValueError, match="2-argument"):
+            to_spark_sql("SELECT regexp_count(x, 'y', 3) FROM t")
 
 
 class TestFullTextSearchRejection:
