@@ -9219,7 +9219,12 @@ _Q63_SQL = (
     "split_part(event_type || '-x-y', '-', -1) AS spn, "
     "CAST(width_bucket(CAST(event_id % 23 AS DOUBLE), 0, 20, 4) "
     "AS INT) AS wb, "
-    "to_timestamp(1700000000 + event_id % 1000) AS tts "
+    "to_timestamp(1700000000 + event_id % 1000) AS tts, "
+    # round-11 batch 2: degree trig (radians composition; float
+    # column → tolerant compare) and the PG 11 core SHA digests
+    "sind(CAST(event_id % 360 AS DOUBLE)) AS snd, "
+    "atan2d(CAST(event_id % 7 AS DOUBLE), 2) AS at2, "
+    "encode(sha256(event_type), 'hex') AS sh "
     "FROM events WHERE event_id % 40 = 0"
 )
 
@@ -9251,7 +9256,10 @@ _SPECS.append(
             "ELSE CAST(floor((event_id % 23) / 20.0 * 4) + 1 AS INT) "
             "END AS wb, "
             "timezone('UTC', to_timestamp(1700000000 + event_id % "
-            "1000)) AS tts "
+            "1000)) AS tts, "
+            "sin(radians(CAST(event_id % 360 AS DOUBLE))) AS snd, "
+            "degrees(atan2(CAST(event_id % 7 AS DOUBLE), 2)) AS at2, "
+            "sha256(event_type) AS sh "
             "FROM events WHERE event_id % 40 = 0"
         ),
         survey_ref="Q11 round-11 breadth: format NULL rule, "

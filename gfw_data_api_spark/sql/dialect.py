@@ -2455,6 +2455,61 @@ def translate_pg_functions(sql: str) -> str:
         )
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[end].end:]}"
     while True:
+        # Round-11: PG degree-based trig (PG 12) and the core SHA
+        # digests (PG 11). Degree trig emits radians composition;
+        # residual documented in PARITY: PG special-cases exact
+        # anchor angles (sind(30) = 0.5 exactly, tand(90) =
+        # Infinity) where the float composition is a last-ulp off /
+        # finite-huge. sha224/256/384/512 return bytea in PG → BINARY
+        # via unhex(sha2(...)); text inputs hash their UTF-8 bytes in
+        # both engines (the ::bytea text rule).
+        tokens = tokenize(sql)
+        at = None
+        fname = None
+        deg_fwd = {"sind": "sin", "cosd": "cos", "tand": "tan",
+                   "cotd": "cot"}
+        deg_inv = {"asind": "asin", "acosd": "acos", "atand": "atan"}
+        shas = {"sha224": "224", "sha256": "256", "sha384": "384",
+                "sha512": "512"}
+        for i, t in enumerate(tokens):
+            low = t.value.lower() if t.kind == "IDENT" else ""
+            if (
+                low in deg_fwd
+                or low in deg_inv
+                or low in shas
+                or low == "atan2d"
+            ) and i + 1 < len(tokens) and tokens[i + 1].value == "(":
+                at = i
+                fname = low
+                break
+        if at is None:
+            break
+        close = _primary_end(tokens, at)
+        if close is None:
+            raise ValueError(f"unbalanced {fname}(...)")
+        args = (
+            _args_spans(tokens, at + 2, close - 1)
+            if close - 1 >= at + 2
+            else []
+        )
+        want = 2 if fname == "atan2d" else 1
+        if len(args) != want:
+            raise ValueError(
+                f"{fname} takes exactly {want} argument"
+                + ("s" if want > 1 else "")
+            )
+        a0 = sql[tokens[args[0][0]].start : tokens[args[0][1]].end]
+        if fname == "atan2d":
+            a1 = sql[tokens[args[1][0]].start : tokens[args[1][1]].end]
+            repl = f"degrees(atan2(({a0}), ({a1})))"
+        elif fname in deg_fwd:
+            repl = f"{deg_fwd[fname]}(radians(({a0})))"
+        elif fname in deg_inv:
+            repl = f"degrees({deg_inv[fname]}(({a0})))"
+        else:
+            repl = f"unhex(sha2(({a0}), {shas[fname]}))"
+        sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[close].end:]}"
+    while True:
         # Round-11 interval/time odds and ends:
         # - justify_hours: folds 24 h blocks into days. Our
         #   DayTimeIntervalType stores ONE total-microsecond count, so

@@ -3796,6 +3796,44 @@ class TestRound11Aggregates:
             to_spark_sql("SELECT regexp_count(x, 'y', 3) FROM t")
 
 
+class TestDegreeTrigAndSha:
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS one").createOrReplaceTempView("dts_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT sind(30) AS a, cosd(60) AS b, tand(45) AS c, "
+            "atand(1) AS d, atan2d(1, 1) AS e, asind(1) AS f, "
+            "encode(sha256('abc'), 'hex') AS h256, "
+            "encode(sha512('abc'::bytea), 'hex') AS h512, "
+            "encode(sha224('abc'), 'hex') AS h224 FROM dts_t",
+        ).collect()[0]
+        # radians-composition residual: last-ulp neighbors at exact
+        # anchors (PG special-cases these to 0.5 etc. — PARITY)
+        assert abs(row.a - 0.5) < 1e-15
+        assert abs(row.b - 0.5) < 1e-15
+        assert abs(row.c - 1.0) < 1e-15
+        assert row.d == 45.0
+        assert row.e == 45.0
+        assert row.f == 90.0
+        # FIPS 180 known-answer values (PG returns the same bytea)
+        assert row.h256 == (
+            "ba7816bf8f01cfea414140de5dae2223"
+            "b00361a396177a9cb410ff61f20015ad"
+        )
+        assert row.h224.startswith("23097d22")
+        assert row.h512.startswith("ddaf35a1")
+
+    def test_arity_loud(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="exactly 1"):
+            to_spark_sql("SELECT sind(1, 2) FROM t")
+        with _pt.raises(ValueError, match="exactly 2"):
+            to_spark_sql("SELECT atan2d(1) FROM t")
+
+
 class TestFullTextSearchRejection:
     """Round-11 (verdict r10 #7): the tsvector/tsquery family gets a
     NAMED rejection instead of Spark's opaque unresolved-function
