@@ -3326,6 +3326,7 @@ _DRIVER_FRONT: list[str] = [
     "q62_age_function",
     "q63_breadth_round11",
     "q64_agg_breadth",
+    "q65_grouping_sets",
     # --- r6-checked rows (the last three) ---
     "ts04_interarrival_stats",
     "ts05_resample_interpolate",
@@ -3371,8 +3372,6 @@ _DRIVER_FRONT: list[str] = [
     "u01_url_canonicalization",
     "w01_importance_weights",
     "w02_temperature_mixture",
-    # --- r8-checked row (first in r8-snapshot order) ---
-    "a01_approx_count_distinct",
 ]
 
 
@@ -9325,6 +9324,45 @@ _SPECS.append(
         "NULL retention, bool_/bit_ reductions, corr, ordered "
         "string_agg (sql/dialect.py translate_json_agg + the "
         "array_agg struct wrapper)",
+    )
+)
+
+
+_Q65_SQL = (
+    # Round-11: GROUPING SETS — Spark-native with identical semantics
+    # (probed: ROLLUP/CUBE sugar too); PG's multi-argument
+    # grouping(a, b) bitmask maps to Spark's grouping_id (MSB-first
+    # in both, DuckDB concurring). Subtotal rows carry NULL keys,
+    # exercising the NULLS-placement translation in ORDER BY.
+    "SELECT event_type, event_id % 3 AS p3, "
+    "CAST(grouping(event_type, event_id % 3) AS INT) AS g, "
+    "CAST(grouping(event_type) AS INT) AS g1, "
+    "count(*) AS n, "
+    "CAST(sum(event_id % 7) AS BIGINT) AS s "
+    "FROM events WHERE event_id % 21 = 0 "
+    "GROUP BY GROUPING SETS ((event_type, event_id % 3), "
+    "(event_type), ()) "
+    "ORDER BY event_type, p3, g"
+)
+
+_SPECS.append(
+    QuerySpec(
+        name="q65_grouping_sets",
+        spark_fn=_guarded("events", _Q65_SQL),
+        oracle=(
+            "SELECT event_type, event_id % 3 AS p3, "
+            "CAST(grouping(event_type, event_id % 3) AS INT) AS g, "
+            "CAST(grouping(event_type) AS INT) AS g1, "
+            "count(*) AS n, "
+            "CAST(sum(event_id % 7) AS BIGINT) AS s "
+            "FROM events WHERE event_id % 21 = 0 "
+            "GROUP BY GROUPING SETS ((event_type, event_id % 3), "
+            "(event_type), ()) "
+            "ORDER BY event_type NULLS LAST, p3 NULLS LAST, g"
+        ),
+        survey_ref="Q6 round-11: GROUPING SETS + grouping()/"
+        "grouping_id bitmask (native Spark; sql/dialect.py "
+        "multi-arg grouping rename)",
     )
 )
 

@@ -2455,6 +2455,32 @@ def translate_pg_functions(sql: str) -> str:
         )
         sql = f"{sql[:tokens[at].start]}{repl}{sql[tokens[end].end:]}"
     while True:
+        # PG's multi-argument grouping(a, b, ...) returns the
+        # same MSB-first bitmask as Spark's grouping_id(a, b, ...)
+        # (probed against DuckDB's grouping, which shares PG's
+        # convention); Spark's own grouping() is single-argument
+        # only. GROUPING SETS / ROLLUP / CUBE themselves are
+        # Spark-native with identical semantics — no rewrite.
+        tokens = tokenize(sql)
+        at = None
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "IDENT"
+                and t.value.lower() == "grouping"
+                and i + 1 < len(tokens)
+                and tokens[i + 1].value == "("
+            ):
+                close = _primary_end(tokens, i)
+                if close is None:
+                    raise ValueError("unbalanced grouping(...)")
+                args = _args_spans(tokens, i + 2, close - 1)
+                if len(args) >= 2:
+                    at = i
+                    break
+        if at is None:
+            break
+        sql = f"{sql[:tokens[at].start]}grouping_id{sql[tokens[at].end:]}"
+    while True:
         # Round-11: PG degree-based trig (PG 12) and the core SHA
         # digests (PG 11). Degree trig emits radians composition;
         # residual documented in PARITY: PG special-cases exact
@@ -6843,9 +6869,57 @@ def _reject_fulltext_search(sql: str) -> None:
             )
 
 
+def _reject_unsupported_frames(sql: str) -> None:
+    """Window-frame features Spark lacks get NAMED rejections instead
+    of opaque ParseExceptions (round-11): PG 11's GROUPS frame mode
+    (peer-group offsets) and the frame EXCLUDE clause (CURRENT ROW /
+    GROUP / TIES). Only flagged INSIDE an OVER (...) group, so columns
+    named 'groups'/'exclude' elsewhere are untouched. ROWS and RANGE
+    frames (including PG 11 RANGE offsets) are Spark-native and pass
+    through."""
+    tokens = tokenize(sql)
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.kind == "IDENT"
+            and t.upper == "OVER"
+            and i + 1 < n
+            and tokens[i + 1].kind == "PUNCT"
+            and tokens[i + 1].value == "("
+        ):
+            close = _primary_end(tokens, i)
+            if close is None:
+                i += 1
+                continue
+            for j in range(i + 2, close):
+                tk = tokens[j]
+                if tk.kind != "IDENT":
+                    continue
+                if tk.upper == "GROUPS":
+                    raise ValueError(
+                        "the GROUPS window frame mode (peer-group "
+                        "offsets, PG 11) has no Spark twin; use ROWS "
+                        "or RANGE frames"
+                    )
+                if tk.upper == "EXCLUDE":
+                    raise ValueError(
+                        "the window frame EXCLUDE clause (EXCLUDE "
+                        "CURRENT ROW / GROUP / TIES, PG 11) has no "
+                        "Spark twin; subtract the excluded rows "
+                        "explicitly (e.g. sum(...) OVER w - CASE "
+                        "WHEN ... END)"
+                    )
+            i = close + 1
+            continue
+        i += 1
+
+
 def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     """All PG→Spark surface translations."""
     _reject_fulltext_search(sql)  # named error, not Spark's opaque one
+    _reject_unsupported_frames(sql)
     sql = translate_typed_ops(sql, column_types)  # schema-aware, PG-typed
     sql = translate_concat_nullskip(sql)  # before passes that EMIT concat(
     sql = translate_json_ops(sql)  # first: later passes emit -> lambdas

@@ -3796,6 +3796,57 @@ class TestRound11Aggregates:
             to_spark_sql("SELECT regexp_count(x, 'y', 3) FROM t")
 
 
+class TestGroupingSetsAndFrames:
+    """Round-11: GROUPING SETS/ROLLUP/CUBE are Spark-native with PG
+    semantics; multi-arg grouping() renames to grouping_id (same
+    MSB-first bitmask, DuckDB concurring); GROUPS frames and frame
+    EXCLUDE get named rejections instead of opaque parser errors."""
+
+    def test_rollup_cube_grouping(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT * FROM VALUES ('a',1),('a',2),('b',1) AS t(k, p)"
+        ).createOrReplaceTempView("gsr_t")
+        rows = run_pg_sql(
+            spark,
+            "SELECT k, p, CAST(grouping(k, p) AS INT) AS g, "
+            "count(*) AS n FROM gsr_t GROUP BY CUBE (k, p) "
+            "ORDER BY g, k, p",
+        ).collect()
+        # g=0 detail rows, g=1 p-subtotals, g=2 k-subtotals, g=3 total
+        by_g = {}
+        for r in rows:
+            by_g.setdefault(r.g, []).append(r)
+        assert len(by_g[0]) == 3
+        assert len(by_g[1]) == 2
+        assert len(by_g[2]) == 2
+        assert by_g[3][0].n == 3
+        rows2 = run_pg_sql(
+            spark,
+            "SELECT k, count(*) AS n FROM gsr_t "
+            "GROUP BY ROLLUP (k) ORDER BY k",
+        ).collect()
+        assert len(rows2) == 3  # a, b, grand total
+
+    def test_frame_rejections(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="GROUPS window frame"):
+            to_spark_sql(
+                "SELECT sum(v) OVER (ORDER BY k GROUPS BETWEEN 1 "
+                "PRECEDING AND CURRENT ROW) FROM t"
+            )
+        with _pt.raises(ValueError, match="EXCLUDE"):
+            to_spark_sql(
+                "SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 "
+                "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
+            )
+        # columns merely named like the keywords stay fine
+        out = to_spark_sql("SELECT groups, exclude FROM t WHERE groups BETWEEN 1 AND 2")
+        assert "groups" in out
+
+
 class TestDegreeTrigAndSha:
     def test_values(self, spark):
         from gfw_data_api_spark.sql.dialect import run_pg_sql
