@@ -100,12 +100,28 @@ _TOKEN_RE = re.compile(
 )
 
 
-def tokenize(sql: str) -> list[Token]:
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def tokenize(sql: str) -> tuple[Token, ...]:
     """Regex-scanner tokenizer (round-10: the per-character loop was
     97% of translation latency — ~97 tokenizations per statement
     through the pass pipeline's rescan loops). Token-for-token
     identical to :func:`_tokenize_reference`; the differential test in
-    tests/test_dialect.py walks every gate SQL plus edge corpora."""
+    tests/test_dialect.py walks every gate SQL plus edge corpora.
+
+    Round-11: MEMOIZED and returning an immutable tuple — the pass
+    pipeline re-tokenizes the same unchanged statement text dozens of
+    times (each pass's rescan loop starts with tokenize; most find
+    nothing to rewrite), which dominated translation latency again
+    once the big age()/interval emissions grew statements to tens of
+    kilobytes. No caller mutates the token sequence (audited); the
+    cache key is the SQL text itself."""
+    return tuple(_tokenize_impl(sql))
+
+
+def _tokenize_impl(sql: str) -> list[Token]:
     tokens: list[Token] = []
     i, n = 0, len(sql)
     append = tokens.append

@@ -3072,7 +3072,8 @@ class TestTokenizerRegexEquivalence:
         )
 
         for sql in self._corpus():
-            assert tokenize(sql) == _tokenize_reference(sql), sql
+            # round-11: tokenize returns a memoized TUPLE
+            assert list(tokenize(sql)) == _tokenize_reference(sql), sql
 
     def test_error_parity(self):
         import pytest as _pt

@@ -52,6 +52,13 @@ def main() -> None:
     for name, sql in sorted(sqls.items()):
         best = float("inf")
         for _ in range(reps):
+            # round-11: tokenize is memoized — clear per rep so the
+            # bench reports COLD translation latency (the cache is a
+            # real win for repeated identical statements, but this
+            # tool's budget tracks the first-translation path)
+            from gfw_data_api_spark.sql.tokenizer import tokenize
+
+            tokenize.cache_clear()
             t0 = time.perf_counter()
             to_spark_sql(sql, column_types=coltypes)
             best = min(best, (time.perf_counter() - t0) * 1000)
