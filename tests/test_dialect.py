@@ -3830,6 +3830,21 @@ class TestGroupingSetsAndFrames:
         ).collect()
         assert len(rows2) == 3  # a, b, grand total
 
+    def test_empty_input_residual_pinned(self, spark):
+        """Fuzz-found residual (PARITY): PG emits the ()-set row with
+        count 0 over an EMPTY input; Spark emits nothing. Pinned so a
+        future Spark version closing the gap is noticed."""
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT 1 AS x WHERE false").createOrReplaceTempView(
+            "gse_t"
+        )
+        rows = run_pg_sql(
+            spark,
+            "SELECT x, count(*) AS n FROM gse_t GROUP BY CUBE (x)",
+        ).collect()
+        assert rows == []  # PG would return [(NULL, 0)]
+
     def test_frame_rejections(self):
         import pytest as _pt
 

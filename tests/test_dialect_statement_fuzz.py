@@ -401,6 +401,41 @@ def _statements(rng: random.Random):
             )
             yield i, pg_sql, dk_sql, [True]
             continue
+        if shape < 0.93:
+            # round-11 shape: GROUPING SETS / ROLLUP / CUBE with
+            # grouping()/grouping_id bitmasks and translated
+            # expressions inside the aggregates — Spark-native
+            # machinery, DuckDB twin identical modulo the grouping
+            # rename and explicit NULLS placement
+            n_pg, n_dk, _, nx = gen.num(1)
+            form = rng.choice(
+                [
+                    "GROUPING SETS ((lang, doc_id % 3), (lang), ())",
+                    "ROLLUP (lang, doc_id % 3)",
+                    "CUBE (lang, doc_id % 3)",
+                ]
+            )
+            # the OR arm keeps the filtered input NON-empty: over an
+            # empty input PG (and DuckDB) still emit the ()-set row
+            # where Spark emits nothing — the documented
+            # empty-input-grouping-sets residual (PARITY; pinned in
+            # TestGroupingSetsAndFrames)
+            pg_sql = (
+                f"SELECT lang, doc_id % 3 AS p3, "
+                f"CAST(grouping(lang, doc_id % 3) AS INT) AS g, "
+                f"count(*) AS n, min(({n_pg})) AS mn FROM data "
+                f"WHERE ({w_pg}) OR doc_id = 0 GROUP BY {form} "
+                f"ORDER BY lang, p3, g"
+            )
+            dk_sql = (
+                f"SELECT lang, doc_id % 3 AS p3, "
+                f"CAST(grouping(lang, doc_id % 3) AS INT) AS g, "
+                f"count(*) AS n, min(({n_dk})) AS mn FROM documents "
+                f"WHERE ({w_dk}) OR doc_id = 0 GROUP BY {form} "
+                f"ORDER BY lang NULLS LAST, p3 NULLS LAST, g"
+            )
+            yield i, pg_sql, dk_sql, [True, True, True, nx]
+            continue
         if shape < 0.95:
             # round-11 shape (VERDICT r10 #6c): the q60 keyset-
             # pagination surface as a fuzz shape — row-constructor
