@@ -1382,6 +1382,62 @@ def translate_at_time_zone(sql: str) -> str:
         sql = f"{sql[:start]}{repl}{sql[tokens[zend].end:]}"
 
 
+def translate_unary_math_ops(sql: str) -> str:
+    """PG's prefix math-operator spellings — ``@ x`` (absolute
+    value), ``|/ x`` (square root), ``||/ x`` (cube root) — translate
+    to abs/sqrt/cbrt over the following primary (round-11; previously
+    opaque parse errors). ``|/`` and ``||/`` are recognized as
+    ADJACENT ``|``/``||`` + ``/`` token pairs (the tokenizer has no
+    multi-op entry for them); sqrt routes through the math-domain
+    function so ``|/ -1`` raises like PG. The postfix/prefix
+    factorial operators (``!``/``!!``) were REMOVED in PG 14 and stay
+    out (use factorial())."""
+    while True:
+        tokens = tokenize(sql)
+        hit = None
+        fn = None
+        rstart = None
+        for i, t in enumerate(tokens):
+            if t.kind != "OP" or t.value not in ("@", "|", "||"):
+                continue
+            if t.value in ("|", "||"):
+                if not (
+                    i + 1 < len(tokens)
+                    and tokens[i + 1].kind == "OP"
+                    and tokens[i + 1].value == "/"
+                    and tokens[i + 1].start == t.end
+                ):
+                    continue
+                operand_at = i + 2
+                fname = "sqrt" if t.value == "|" else "cbrt"
+            else:
+                operand_at = i + 1
+                fname = "abs"
+            # prefix position: expression start, after an operator,
+            # an opening paren, or a comma — never after a completed
+            # operand (there ``@``/``|`` would be a binary use)
+            if i > 0:
+                prev = tokens[i - 1]
+                if prev.kind in ("NUMBER", "STRING", "QIDENT", "PARAM"):
+                    continue
+                if prev.kind == "PUNCT" and prev.value in (")", "]"):
+                    continue
+                if prev.kind == "IDENT" and prev.upper not in _OPERAND_BOUNDARY:
+                    continue
+            if operand_at >= len(tokens):
+                continue
+            hit, fn, rstart = i, fname, operand_at
+            break
+        if hit is None:
+            return sql
+        rend = _primary_end(tokens, rstart)
+        if rend is None:
+            rend = rstart
+        operand = sql[tokens[rstart].start : tokens[rend].end]
+        repl = f"{fn}(({operand}))"
+        sql = f"{sql[:tokens[hit].start]}{repl}{sql[tokens[rend].end:]}"
+
+
 def translate_like_ops(sql: str) -> str:
     """PG's LIKE-operator spellings — ``~~`` (LIKE), ``!~~`` (NOT
     LIKE), ``~~*`` (ILIKE), ``!~~*`` (NOT ILIKE). Straight keyword
@@ -6944,6 +7000,7 @@ def to_spark_sql(sql: str, column_types: dict[str, str] | None = None) -> str:
     sql = translate_at_time_zone(sql)  # after casts resolve operands
     sql = translate_between_symmetric(sql)
     sql = translate_caret_power(sql)
+    sql = translate_unary_math_ops(sql)  # @ / |/ / ||/ prefixes
     sql = translate_like_ops(sql)  # before the ~ regex family
     sql = translate_named_regex_fns(sql)
     sql = translate_regex_ops(sql)

@@ -3863,6 +3863,41 @@ class TestGroupingSetsAndFrames:
         assert "groups" in out
 
 
+class TestUnaryMathOps:
+    """Round-11: PG's prefix operator spellings @ (abs), |/ (sqrt),
+    ||/ (cbrt) — previously opaque parse errors. String || stays
+    untouched (a completed operand precedes it)."""
+
+    def test_values(self, spark):
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql(
+            "SELECT -5 AS m, 'a' AS s, 'b' AS t"
+        ).createOrReplaceTempView("umo_t")
+        row = run_pg_sql(
+            spark,
+            "SELECT @ m AS a, @ (-7.5) AS a2, |/ 25 AS sq, "
+            "||/ 27 AS cb, |/ (m * m) AS sq2, "
+            "s || t AS cc, s || '-' || t AS cc2 FROM umo_t",
+        ).collect()[0]
+        assert row.a == 5
+        assert float(row.a2) == 7.5
+        assert row.sq == 5.0
+        assert row.cb == 3.0
+        assert row.sq2 == 5.0
+        assert row.cc == "ab"
+        assert row.cc2 == "a-b"
+
+    def test_sqrt_domain_raises(self, spark):
+        import pytest as _pt
+
+        from gfw_data_api_spark.sql.dialect import run_pg_sql
+
+        spark.sql("SELECT -5 AS m").createOrReplaceTempView("umo2_t")
+        with _pt.raises(Exception, match="square root"):
+            run_pg_sql(spark, "SELECT |/ (m) FROM umo2_t").collect()
+
+
 class TestDegreeTrigAndSha:
     def test_values(self, spark):
         from gfw_data_api_spark.sql.dialect import run_pg_sql
