@@ -2926,7 +2926,12 @@ _SPECS.append(
 def _q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.operators.linkage import blocked_fuzzy_match
 
-    supp = load_table(spark, sf_dir, "supplier")
+    # fanout: the verify stage (native levenshtein inside the block
+    # join) is compute-bound and the single-row-group parquet would
+    # otherwise run it as ONE task — the probe side of the broadcast
+    # block join keeps the scan's partitioning, so the repartition buys
+    # full-core parallelism (guide §2.5 input skew / §6 split sizing)
+    supp = load_table(spark, sf_dir, "supplier", fanout=True)
     return blocked_fuzzy_match(supp, "s_suppkey", "s_name", max_distance=1).select(
         "id_a", "id_b", "distance"
     )
@@ -8064,7 +8069,12 @@ def _q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props @> '[\"click\"]' AS object_haystack "
         "FROM data WHERE event_type IN ('click', 'view') ORDER BY event_id"
     )
-    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+    # fanout: five variant-parse containment probes per row are
+    # compute-bound, and the single-row-group events parquet would run
+    # them as ONE task (guide §2.5/§6)
+    return execute_on_dataframe(
+        spark, load_table(spark, sf_dir, "events", fanout=True), sql
+    )
 
 
 _Q45_ELEMS = (

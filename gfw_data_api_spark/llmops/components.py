@@ -113,23 +113,26 @@ def connected_components(
     order-independent hash both unchanged), which on the converged
     star graph means every node points directly at its component min.
     """
-    edges = _canon_edges(pairs, src, dst).localCheckpoint()
-    if not edges.head(1):
+    # LAZY localCheckpoint (optimization round 12): the signature
+    # aggregate right below is the round's ONE driver action — it
+    # materializes and caches the checkpointed RDD as a side effect, so
+    # each round pays a single job instead of an eager checkpoint job
+    # PLUS a signature job over the same data. The empty-graph test
+    # rides the same aggregate (count == 0) instead of a head(1) action.
+    edges = _canon_edges(pairs, src, dst).localCheckpoint(eager=False)
+    sig = _signature(edges)
+    if sig[0] == 0:
         schema = edges.schema
         return pairs.sparkSession.createDataFrame([], schema).select(
             F.col("hi").alias("node"), F.col("lo").alias("component")
         )
-    sig = _signature(edges)
-    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     for _ in range(max_iterations):
-        # size each round's shuffle to the live edge count (the graph
-        # shrinks toward stars): tiny rounds run as a few tasks instead
-        # of paying full-width scheduling latency, huge rounds still fan
-        # out to the cluster
-        width = max(1, min(parallelism, sig[0] // 50_000 + 1))
-        nxt = (
-            _small_star(_large_star(edges)).repartition(width).localCheckpoint()
-        )
+        # no explicit repartition between rounds: AQE's partition
+        # coalescing already right-sizes each round's shuffles from
+        # runtime statistics (the old fixed repartition(width) was an
+        # EXTRA round-robin exchange — plus its sort-before-repartition
+        # pass — per round, guide §2.4/§2.5)
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         nxt_sig = _signature(nxt)
         edges, prev_sig, sig = nxt, sig, nxt_sig
         if nxt_sig == prev_sig:

@@ -84,13 +84,43 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank needs at least one edge")
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    e_deg = _persist_replacing(e.join(outdeg, "src"), "pagerank_edges")
-    dangling = _persist_replacing(
-        nodes.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti"),
-        "pagerank_dangling",
+    # Superstep shape (optimization round 12, guide §2.4 "remove
+    # shuffles outright"): the old loop spent 6 exchanges per
+    # iteration — a dangling join + aggregate + its broadcast, the
+    # contribution join + aggregation, and a nodes left-join to re-seed
+    # missing destinations. Two structural changes cut that to 4:
+    #
+    # 1. every node gets one synthetic SELF row (_self=true, zero
+    #    contribution), so the contribution aggregation's group set IS
+    #    the full node set — the per-iteration nodes⋈contribs left
+    #    join (one broadcast/shuffle exchange) disappears. The 0.0
+    #    term is exact: sum(s ∪ {0.0}) == sum(s) in IEEE for the
+    #    positive partial sums here, and a destination with no real
+    #    in-edges yields 0.0 exactly as coalesce(NULL, 0.0) did.
+    # 2. rank rows CARRY the node's dangling flag (computed once at
+    #    setup), so the dangling mass is a filter+aggregate on the
+    #    checkpointed rank table — the per-iteration ranks⋈dangling
+    #    join (another broadcast exchange) disappears. The summed
+    #    multiset of ranks is unchanged.
+    e_all = _persist_replacing(
+        e.join(outdeg, "src")
+        .select("src", "dst", "_deg", F.lit(False).alias("_self"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(1).cast("bigint").alias("_deg"),
+                F.lit(True).alias("_self"),
+            )
+        ),
+        "pagerank_edges",
     )
     base = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.join(
+        outdeg.withColumnRenamed("src", "node"), "node", "left"
+    ).select(
+        "node", F.lit(1.0 / n).alias("rank"), F.col("_deg").isNull().alias("_dang")
+    )
     for t in range(iters):
         # lineage MUST be cut periodically: ranks_t appears twice in
         # ranks_{t+1}'s logical plan (contribution join + dangling
@@ -106,27 +136,30 @@ def pagerank(
         # pays the 16× plan) — every-2 is the default. Cutting at the
         # END of the body (below) never wastes a job on the trivial
         # initial ranks and always returns a truncated final plan.
-        dangling_share = ranks.join(dangling, "node").agg(
+        dangling_share = ranks.filter(F.col("_dang")).agg(
             (F.coalesce(F.sum("rank"), F.lit(0.0)) / n).alias("_dm_n")
         )
         contribs = (
-            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            e_all.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
-            .withColumnRenamed("dst", "node")
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling_share))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm_n"))
-                ).alias("rank"),
+            .agg(
+                F.sum(
+                    F.when(F.col("_self"), F.lit(0.0)).otherwise(
+                        F.col("rank") / F.col("_deg")
+                    )
+                ).alias("_c"),
+                # exactly one _self row per destination carries the
+                # node's own flag; non-self rows contribute NULL
+                F.max(F.when(F.col("_self"), F.col("_dang"))).alias("_dang"),
             )
+        )
+        ranks = contribs.crossJoin(F.broadcast(dangling_share)).select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base) + F.lit(damping) * (F.col("_c") + F.col("_dm_n"))
+            ).alias("rank"),
+            "_dang",
         )
         if (t + 1) % checkpoint_every == 0 or t == iters - 1:
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("node", "rank")

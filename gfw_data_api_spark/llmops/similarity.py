@@ -319,6 +319,11 @@ def semantic_dedup(
     from gfw_data_api_spark.llmops.ivf import build_ivf_index, train_ivf
 
     centroids = train_ivf(df, nlist=nlist, emb_col=emb_col, seed=seed)
+    # NOT persisted although three plan branches read it (pair join ×2 +
+    # survivor anti-join): an optimization-round A/B measured persist()
+    # 36% SLOWER here (d11 3.75 s → 5.09 s) — columnar-caching the
+    # 64-float embedding column costs more than re-running the Arrow
+    # assignment pass per branch at every tested scale
     indexed = build_ivf_index(df, centroids, emb_col=emb_col)
     pairs = blocked_cosine_pairs(
         indexed,
