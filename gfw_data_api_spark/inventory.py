@@ -8246,7 +8246,11 @@ def _q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|| '{\"zz\": 1}'::jsonb) AS merged "
         "FROM data WHERE event_type = 'click' ORDER BY event_id"
     )
-    return execute_on_dataframe(spark, load_table(spark, sf_dir, "events"), sql)
+    # fanout: per-row jsonb merge/extract + date_part over the
+    # single-row-group events scan is compute-bound (the q45 finding)
+    return execute_on_dataframe(
+        spark, load_table(spark, sf_dir, "events", fanout=True), sql
+    )
 
 
 _SPECS.append(
