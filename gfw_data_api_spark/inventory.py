@@ -2558,16 +2558,20 @@ def _s07(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(v)
         for v in snapped.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    out = pq_topk(encode_pq(snapped, books), books, query, k=10)
+    # carry the snapped embedding through the TakeOrdered (k=10 rows)
+    # instead of re-joining ``snapped`` by id — the join re-ran the
+    # whole encode+snap subtree (a full-corpus Arrow pass) just to
+    # fetch 10 winners' vectors (optimization round 12, guide §4.1)
+    out = pq_topk(
+        encode_pq(snapped, books), books, query, k=10, carry_cols=["embedding"]
+    )
     qlit = F.array(*[F.lit(v) for v in query])
     exact = F.aggregate(
         F.zip_with(F.col("embedding"), qlit, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    rows = out.join(snapped, "vec_id").select(
-        "vec_id", "adc_dist", exact.alias("exact_dist")
-    )
+    rows = out.select("vec_id", "adc_dist", exact.alias("exact_dist"))
     # top-1 facts fold into the same aggregation (struct min is the
     # (dist, id) lexicographic rank-1) — one agg, no 1-row join
     best = F.min(F.struct("adc_dist", "vec_id"))

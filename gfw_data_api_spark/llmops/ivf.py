@@ -50,7 +50,14 @@ def _assign_cell(emb: Column, centroids: np.ndarray) -> Column:
         scores = -2.0 * (x @ c.T) + c_sq
         return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
 
-    return nearest(emb)
+    # The function is pure, but letting the optimizer treat it as
+    # deterministic makes it DUPLICATE the evaluation whenever a filter
+    # references the cell column (join-key isnotnull constraints, probe
+    # cell pruning): the filter is pushed below the projection with its
+    # own ArrowEvalPython copy, so every row pays the BLAS pass twice
+    # (guide §4.4 — observed in the d11/d15/s05/s08 plans). Marking it
+    # non-deterministic pins a single evaluation; results are unchanged.
+    return nearest.asNondeterministic()(emb)
 
 
 def train_ivf(

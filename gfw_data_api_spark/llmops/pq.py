@@ -118,6 +118,7 @@ def pq_topk(
     k: int = 10,
     code_col: str = "pq_codes",
     id_col: str = "vec_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """ADC top-k: smallest approximate squared L2 distance to ``query``.
 
@@ -125,6 +126,12 @@ def pq_topk(
     inlined as a nested array literal; scoring is
     ``sum_j table[j][code_j]`` — `aggregate` over a sequence, pure
     Catalyst, whole-stage-codegen'd, no Python in the scan.
+
+    ``carry_cols`` rides extra columns of ``encoded`` through the
+    TakeOrdered (k rows, so the width is driver-bounded): a caller that
+    needs a payload column of the winners selects it here instead of
+    re-joining the corpus — re-attaching by id re-runs the whole encode
+    subtree for k rows (optimization round 12, guide §2.3/§3.3).
     """
     books = codebooks.astype(np.float64)
     m, ksub, dsub = books.shape
@@ -142,7 +149,7 @@ def pq_topk(
         + F.element_at(F.element_at(adc, j + 1), F.element_at(F.col(code_col), j + 1) + 1),
     )
     return (
-        encoded.select(id_col, dist.alias("adc_dist"))
+        encoded.select(id_col, dist.alias("adc_dist"), *(carry_cols or []))
         .orderBy(F.asc("adc_dist"), id_col)
         .limit(k)
     )

@@ -335,9 +335,15 @@ def semantic_dedup(
         guard="plan",
     )
     # id_a < id_b in every pair → dropping all id_b keeps exactly one
-    # representative (the minimum id) of every duplicate chain
+    # representative (the minimum id) of every duplicate chain. The
+    # anti-join probes ``df`` rather than ``indexed``: the survivor rows
+    # never need the cell column (it was dropped on return), and probing
+    # the pre-assignment table removes a whole Arrow assignment pass
+    # from the plan (optimization round 12, guide §4.1 — the third
+    # ArrowEvalPython branch existed only to compute a column that was
+    # immediately discarded).
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return indexed.join(drop, id_col, "left_anti").drop("ivf_cell")
+    return df.join(drop, id_col, "left_anti")
 
 
 def reciprocal_rank_fusion(
