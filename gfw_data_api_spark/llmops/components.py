@@ -62,11 +62,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
     mins = mins.select("u", F.least("_mn", "u").alias("m"))
+    # No .distinct() here (optimization round 12, guide §2.4): the only
+    # consumer is _small_star, whose min aggregation is duplicate-
+    # insensitive and whose own final .distinct() canonicalizes the
+    # round's output — the dedup exchange on (hi, lo) every round bought
+    # nothing. Duplicate (v, m) rows (same edge reached via different
+    # centers) ride two map-side-combined aggregations instead.
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-        .distinct()
     )
 
 
