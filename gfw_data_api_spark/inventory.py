@@ -7516,6 +7516,14 @@ _SPECS.append(
             "to_char(l_shipdate, 'YYYY-MM-DD') AS ship_day "
             "FROM data "
             "ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber",
+            # fanout: the DISTINCT ON rewrite's map-side Sort +
+            # WindowGroupLimit(partial) run on the scan's partitioning —
+            # one task on the single-row-group testdata file (r12
+            # profile: the 600k-row sort IS the query). 32 map tasks
+            # each keep ≤1 row per group, so the final window sees ≤96
+            # rows; ties are impossible (orderkey, linenumber) is the
+            # table key, so the kept row is partitioning-independent.
+            fanout=True,
         ),
         oracle=(
             # DuckDB implements PG's DISTINCT ON natively — the oracle
