@@ -2553,7 +2553,15 @@ def _s07(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    snapped = enc.select("vec_id", snap_col.alias("embedding"))
+    # the snapped row KEEPS its pq_codes: re-encoding a snapped vector
+    # provably returns the same code (each subvector IS a codebook entry,
+    # so its nearest entry is itself at distance 0; duplicate entries
+    # would yield an identical ADC table row either way), so the second
+    # full-corpus encode pass the old ``encode_pq(snapped, books)`` paid
+    # was a no-op Arrow round-trip (optimization round 13, guide §4.1 —
+    # ArrowEvalPython 2→1 in the plan). The encode machinery under test
+    # still runs: ``enc`` above is the production encode of the corpus.
+    snapped = enc.select("vec_id", "pq_codes", snap_col.alias("embedding"))
     query = [
         float(v)
         for v in snapped.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -2562,9 +2570,7 @@ def _s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-joining ``snapped`` by id — the join re-ran the
     # whole encode+snap subtree (a full-corpus Arrow pass) just to
     # fetch 10 winners' vectors (optimization round 12, guide §4.1)
-    out = pq_topk(
-        encode_pq(snapped, books), books, query, k=10, carry_cols=["embedding"]
-    )
+    out = pq_topk(snapped, books, query, k=10, carry_cols=["embedding"])
     qlit = F.array(*[F.lit(v) for v in query])
     exact = F.aggregate(
         F.zip_with(F.col("embedding"), qlit, lambda x, y: (x - y) * (x - y)),

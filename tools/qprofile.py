@@ -93,8 +93,12 @@ def main() -> None:
                     path = os.path.join(
                         args.explain_dir, f"{name}_{args.suffix}.txt"
                     )
-                    # executed df → final adaptive plan (plan_audit.py
-                    # convention); the noop write above already ran it
+                    # a noop WRITE executes a separate QueryExecution, so
+                    # this df's own plan would still print isFinalPlan=false
+                    # — run collect() on the df itself (the plan_audit.py
+                    # convention) so the dump shows the final adaptive plan
+                    # (ADVICE r12). The collect runs outside the timed span.
+                    df.collect()
                     buf = io.StringIO()
                     with redirect_stdout(buf):
                         df.explain("formatted")
