@@ -37,6 +37,16 @@ def _assign_cell(emb: Column, centroids: np.ndarray) -> Column:
     distance expressions was measured ~10× slower at nlist=8, dim=64:
     dense linear algebra is the one hot path where the vectorized pandas
     UDF beats codegen.)
+
+    CONTRACT (ADVICE r12): the returned expression is marked
+    ``asNondeterministic()`` (see below), which Catalyst only accepts
+    inside Project/Filter/Aggregate/Window operators. Consume the cell
+    through a projected COLUMN (``build_ivf_index`` does exactly this);
+    never inline ``_assign_cell(...)`` directly in a join condition,
+    sort key, or grouping expression — that raises an
+    AnalysisException. tests/test_plans.py pins the single-evaluation
+    plan shape so a refactor can't silently reintroduce the double
+    Arrow pass.
     """
     c = centroids.astype(np.float64)
     c_sq = (c * c).sum(axis=1)

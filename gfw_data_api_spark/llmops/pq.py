@@ -133,6 +133,12 @@ def pq_topk(
     re-joining the corpus — re-attaching by id re-runs the whole encode
     subtree for k rows (optimization round 12, guide §2.3/§3.3).
     """
+    clashes = [c for c in (carry_cols or []) if c in (id_col, "adc_dist")]
+    if clashes:
+        raise ValueError(
+            f"carry_cols {clashes} collide with the result columns "
+            f"({id_col!r}, 'adc_dist') — pick distinct source columns"
+        )
     books = codebooks.astype(np.float64)
     m, ksub, dsub = books.shape
     q = np.asarray(query, dtype=np.float64)

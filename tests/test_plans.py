@@ -245,6 +245,44 @@ def test_bigram_lm_joins_model_once(spark, sf_dir):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
 
+def test_ivf_assignment_evaluates_once_under_filter(spark, sf_dir):
+    """The IVF cell-assignment pandas UDF must evaluate ONCE even when a
+    filter references the cell column (guide §4.4; optimization r12).
+    The ``asNondeterministic`` pin on ``_assign_cell`` is what prevents
+    Catalyst from pushing a duplicated ArrowEvalPython below the filter
+    — a refactor that drops the pin reintroduces a full BLAS pass per
+    consumer filter and fails here (ADVICE r12)."""
+    from gfw_data_api_spark.llmops import ivf
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_ivf(emb, nlist=4, iters=2)
+    probed = ivf.build_ivf_index(emb, centroids).filter(
+        F.col("ivf_cell").isin([0, 1])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_pq_carry_cols_rejects_result_column_collisions(spark, sf_dir):
+    """carry_cols entries that shadow the result columns (id_col or the
+    adc_dist alias) must fail loudly at call time, not with an opaque
+    analysis error (ADVICE r12)."""
+    import numpy as np
+
+    from gfw_data_api_spark.llmops.pq import pq_topk
+
+    books = np.zeros((2, 2, 2))
+    books[:, 1, :] = 1.0
+    enc = spark.createDataFrame(
+        [(1, [0, 1]), (2, [1, 0])], "vec_id bigint, pq_codes array<int>"
+    )
+    with pytest.raises(ValueError, match="carry_cols.*collide"):
+        pq_topk(enc, books, [0.0, 0.0, 0.0, 0.0], k=1, carry_cols=["adc_dist"])
+    with pytest.raises(ValueError, match="carry_cols.*collide"):
+        pq_topk(enc, books, [0.0, 0.0, 0.0, 0.0], k=1, carry_cols=["vec_id"])
+
+
 def test_inventory_wide_plan_shape_gate(spark, sf_dir):
     """Every declared inventory query must be free of the three
     plan-level scale killers: CartesianProduct, BroadcastNestedLoopJoin,
