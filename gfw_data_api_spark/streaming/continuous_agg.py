@@ -67,7 +67,19 @@ class ContinuousAggregate:
         """Merge a new batch into the store; returns affected date keys."""
         partials = self._partials(new_events).persist()
         try:
-            dates = [str(r["bucket_date"]) for r in partials.select("bucket_date").distinct().collect()]
+            # ONE map-side-combined aggregate to a single tiny partition —
+            # this action also materializes the persisted partials. The
+            # old select().distinct().collect() paid a hash exchange on
+            # bucket_date plus a separate AQE stage for the same driver
+            # traffic (optimization round 13, guide §2.3 "aggregate before
+            # you shuffle"; interleaved A/B on ca01: median 3.68 -> 3.43 s).
+            # collect_set state stays bounded at the distinct-date count.
+            dates = [
+                str(d)
+                for d in partials.agg(
+                    F.collect_set("bucket_date").alias("_dates")
+                ).collect()[0]["_dates"]
+            ]
             if not dates:
                 return []
             merged = partials
