@@ -3847,17 +3847,25 @@ def _a03(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfw_data_api_spark.operators.sketches import heavy_hitters
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.filter(F.col("lang").isNotNull()).count()
     capacity = 64
-    bound = n // (capacity + 1)
+    # n (for the n // (capacity+1) undercount bound) folds in-plan as a
+    # 1-row aggregate crossJoin (the t18/t19 convention) instead of a
+    # serial count() action — the bound stays exact integer arithmetic
+    # (`div`), and the only driver action left is the query itself
+    nrow = docs.filter(F.col("lang").isNotNull()).agg(F.count("*").alias("_n"))
     out = heavy_hitters(docs, "lang", capacity=capacity, top_k=10)
-    return out.select(
-        F.col("value").alias("lang"),
-        "exact_count",
-        (F.col("est_count") <= F.col("exact_count")).alias("never_overcounts"),
-        (F.col("exact_count") - F.col("est_count") <= F.lit(bound)).alias(
-            "undercount_in_bound"
-        ),
+    return (
+        out.crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("value").alias("lang"),
+            "exact_count",
+            (F.col("est_count") <= F.col("exact_count")).alias("never_overcounts"),
+            (
+                F.col("exact_count") - F.col("est_count")
+                <= F.expr(f"_n div {capacity + 1}")
+            ).alias("undercount_in_bound"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("lang"))
     )
 
 

@@ -247,14 +247,15 @@ def tfidf_top_terms(
 
     Shape at scale: one explode + two hash aggregations (term frequency
     per doc, document frequency per term), a broadcast-sized term-df
-    join, and a per-doc window for the top-k. N_docs is one count() job
-    (a scalar). Ranking is by INTEGER term frequency (ties by term), so
-    result membership is exact across engines; the float only appears in
-    the reported score.
+    join, and a per-doc window for the top-k. N_docs folds in-plan as a
+    1-row aggregate crossJoin (no separate count() driver action).
+    Ranking is by INTEGER term frequency (ties by term), so result
+    membership is exact across engines; the float only appears in the
+    reported score.
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    n_docs = df.agg(F.count("*").cast("double").alias("_ndocs"))
     tok = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
@@ -266,12 +267,13 @@ def tfidf_top_terms(
         tf.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col("_id").alias(id_col),
             "term",
             "tf",
             "df",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+            F.round(F.col("tf") * F.log(F.col("_ndocs") / F.col("df")), 6).alias("tfidf"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
@@ -298,8 +300,9 @@ def bm25_search(
     aggregate bounded by |query| rows that AQE broadcasts back, and a
     per-doc sum + TakeOrdered for the top-k. Document length rides the
     grouping key (constant per doc), so no separate length join. N and
-    avgdl are one scalar aggregation job, same pattern as
-    :func:`tfidf_top_terms`'s ``count()``.
+    avgdl fold in-plan as a 1-row aggregate crossJoin (same pattern as
+    :func:`tfidf_top_terms`) — the only eager driver work left is a
+    1-row emptiness probe for the empty-corpus ValueError.
 
     Ranking is by the 6-decimal-rounded score (then id), keeping result
     membership deterministic across engines: the only cross-engine float
@@ -310,10 +313,15 @@ def bm25_search(
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
         "_id", F.size("_toks").alias("_dl"), F.col("_toks")
     )
-    n_docs, total_dl = base.agg(F.count("*"), F.sum("_dl")).first()
-    if not n_docs:
+    if df.isEmpty():
         raise ValueError("bm25_search: empty corpus")
-    avgdl = float(total_dl) / float(n_docs)
+    # N and avgdl as a 1-row aggregate (broadcast back below): identical
+    # IEEE arithmetic to the old driver-side floats — count/sum cast to
+    # double, then the same divisions — with no blocking scalar job
+    scalars = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_dl").cast("double") / F.count("*").cast("double")).alias("_avgdl"),
+    )
 
     from gfw_data_api_spark.llmops.dedup import _persist_replacing
 
@@ -332,14 +340,15 @@ def bm25_search(
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.lit(avgdl)))
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / F.col("_avgdl")))
     )
     return (
         tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(scalars))
         .withColumn("_score", idf * tf_part)
         .groupBy("_id")
         .agg(F.round(F.sum("_score"), 6).alias("bm25"))

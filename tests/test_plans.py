@@ -313,6 +313,10 @@ def test_inventory_wide_plan_shape_gate(spark, sf_dir):
         "r10_batch_list_query": ("BroadcastNestedLoopJoin", "bbox range-join against the feature list, bounded by MAX_BATCH_FEATURES=100 (raster/batch.py)"),
         "r11_version_overrides": ("BroadcastNestedLoopJoin", "inherits r10's bounded feature-list range-join (raster/batch.py)"),
         "a04_count_min_sketch": ("BroadcastNestedLoopJoin", "1-row corpus-total join for the error-bound boolean (t19 convention)"),
+        "a03_heavy_hitters": ("BroadcastNestedLoopJoin", "1-row non-null-row-count join for the MG undercount bound (t19 convention; replaced a serial count() action)"),
+        "t06_tfidf_top_terms": ("BroadcastNestedLoopJoin", "1-row n_docs join for the IDF normalizer (replaced a serial count() action)"),
+        "t15_bm25_search": ("BroadcastNestedLoopJoin", "1-row N/avgdl scalar join for BM25 (replaced a serial scalar-agg action)"),
+        "s09_hybrid_rrf_search": ("BroadcastNestedLoopJoin", "inherits t15's 1-row N/avgdl scalar join on the lexical arm"),
     }
 
     bad: dict[str, list[str]] = {}
@@ -380,6 +384,10 @@ def test_inventory_broadcast_hint_gate(spark, sf_dir):
         "g01_pagerank": "1-row dangling-mass-share aggregate per superstep (llmops/graph.py)",
         "e20_byte_budget_shards": "bucket-offset table guarded to ≤10M rows "
         "(llmops/export.py assign_byte_shards — buckets = maxid/bucket_width)",
+        "a03_heavy_hitters": "1-row non-null-row-count aggregate (MG undercount bound)",
+        "t06_tfidf_top_terms": "1-row n_docs aggregate (IDF normalizer)",
+        "t15_bm25_search": "1-row N/avgdl scalar aggregate (BM25 constants)",
+        "s09_hybrid_rrf_search": "inherits t15's 1-row N/avgdl scalar aggregate",
     }
 
     offenders: dict[str, int] = {}
