@@ -668,32 +668,34 @@ def winnowing_fingerprints(
     the document, guaranteeing shared substrings of length ≥ k+window-1
     produce a shared fingerprint.
 
-    Explode + a rows-between window min + distinct — one shuffle on the
-    doc id; matching documents share fingerprint rows for an inverted-
-    index join exactly like the shingle index.
+    ZERO-shuffle shape: the rolling window min and the per-doc distinct
+    never need state from another row, so both compute map-side — the
+    k-gram hashes as one ``transform`` (materialized once per row so the
+    sliding mins read an attribute, not a re-evaluated hash), each
+    position's min as ``array_min(slice(...))`` (slice truncates at the
+    end exactly like the old ROWS BETWEEN CURRENT AND window-1 FOLLOWING
+    frame), and the dedup as ``array_distinct`` before the single output
+    explode. Replaces the explode → per-doc window → distinct plan (two
+    exchanges over the full gram table; each input row is one document,
+    the per-doc operator convention).
     """
-    from pyspark.sql import Window
-
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(shingles_col(F.col(text_col), k)).alias("_pos", "_g"),
-    )
     if use_md5:
         # md5-derived 60-bit hash: slower than xxhash64 but computable in
         # external engines too (used by the DuckDB oracle pair)
-        gram_hash = F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("bigint")
+        gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(  # noqa: E731
+            "bigint"
+        )
     else:
-        gram_hash = F.xxhash64("_g")
-    grams = grams.withColumn("_h", gram_hash)
-    w = (
-        Window.partitionBy("_id")
-        .orderBy("_pos")
-        .rowsBetween(Window.currentRow, window - 1)
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731 — HOF needs 1-arg fn
+    hashes = F.transform(shingles_col(F.col(text_col), k), gram_hash)
+    base = df.select(F.col(id_col).alias("_id"), hashes.alias("_h"))
+    mins = F.transform(
+        F.col("_h"),
+        lambda x, i: F.array_min(F.slice(F.col("_h"), i + F.lit(1), F.lit(window))),
     )
-    return (
-        grams.withColumn("_min", F.min("_h").over(w))
-        .select(F.col("_id").alias(id_col), F.col("_min").alias("fingerprint"))
-        .distinct()
+    return base.select(
+        F.col("_id").alias(id_col),
+        F.explode(F.array_distinct(mins)).alias("fingerprint"),
     )
 
 
