@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 
 from gfw_data_api_spark.llmops.sampling import hash_bucket
 from gfw_data_api_spark.llmops.text import (
+    _max_multiplicity,
     quality_signals,
-    repetition_signals,
     tokens_col,
 )
 
@@ -63,18 +63,50 @@ def featurize(
 ) -> DataFrame:
     """Attach FEATURE_COLS (all native expressions) + an MLlib vector.
 
-    Per-row signals come from ``quality_signals``; the Gopher repetition
-    fractions are per-doc aggregates joined back on ``id_col``.
+    ONE narrow map over the corpus: ``quality_signals``' ratios and the
+    Gopher repetition fractions are all per-row expressions (the
+    fractions inline ``text._max_multiplicity`` — the same sorted-array
+    fold ``repetition_signals`` uses — instead of computing that
+    DataFrame and joining it back on ``id_col``, which made corpus-scale
+    scoring pay a corpus-scale shuffle). NULL-text rows keep the old
+    join-miss semantics: both fractions coalesce to 0.0.
     """
     from pyspark.ml.feature import VectorAssembler
 
-    sig = quality_signals(df, text_col)
-    rep = repetition_signals(df, text_col=text_col, id_col=id_col).select(
-        id_col, "top_word_frac", "top_bigram_frac"
+    sig = quality_signals(df, text_col).withColumn(
+        "_t_feat", tokens_col(F.col(text_col))
     )
+    sig = sig.withColumn(
+        "_b_feat",
+        F.expr(
+            "transform(slice(_t_feat, 1, greatest(size(_t_feat) - 1, 0)), "
+            "(x, i) -> concat(x, ' ', _t_feat[i + 1]))"
+        ),
+    )
+    n_words = F.size("_t_feat").cast("bigint")
+    n_bigrams = F.size("_b_feat").cast("bigint")
     sig = (
-        sig.join(rep, id_col, "left")
-        .na.fill({"top_word_frac": 0.0, "top_bigram_frac": 0.0})
+        sig.withColumn(
+            "top_word_frac",
+            F.coalesce(
+                F.round(_max_multiplicity(F.col("_t_feat")) / n_words, 6),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.coalesce(
+                F.round(
+                    F.when(
+                        n_bigrams > 0,
+                        _max_multiplicity(F.col("_b_feat")) / n_bigrams,
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .drop("_t_feat", "_b_feat")
         .withColumn("n_chars_sig", F.col("n_chars_sig").cast("double"))
         .withColumn("n_tokens_sig", F.col("n_tokens_sig").cast("double"))
     )
