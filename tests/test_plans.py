@@ -245,6 +245,48 @@ def test_bigram_lm_joins_model_once(spark, sf_dir):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
 
+def test_repetition_signals_is_map_side(spark, sf_dir):
+    """repetition_signals computes per-document state that never leaves
+    the row (optimization r13): the plan must stay a single narrow map —
+    no Exchange beyond load_table's scan fanout, no join, no explode.
+    A refactor back to the explode → groupBy chains costs 4 exchanges
+    per call AND re-inflates every iteration of the t26 LR envelope."""
+    from gfw_data_api_spark.llmops.text import repetition_signals
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
+    plan = plan_of(spark, repetition_signals(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Generate" not in plan, plan
+
+
+def test_winnowing_is_map_side(spark, sf_dir):
+    """winnowing_fingerprints' rolling min and per-doc dedup are per-row
+    (optimization r13): no Exchange, no Window — only the final output
+    explode (one Generate)."""
+    from gfw_data_api_spark.llmops.dedup import winnowing_fingerprints
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
+    plan = plan_of(spark, winnowing_fingerprints(docs, k=5, window=4))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_featurize_has_no_join(spark, sf_dir):
+    """classifier.featurize must stay ONE narrow map (optimization r13):
+    the repetition fractions inline the sorted-array fold instead of
+    joining repetition_signals back on doc_id — a regression here makes
+    corpus-scale scoring pay a corpus-scale shuffle."""
+    from gfw_data_api_spark.llmops.classifier import featurize
+    from gfw_data_api_spark.sources.tabular import load_table
+
+    docs = load_table(spark, sf_dir, "documents", fanout=False)
+    plan = plan_of(spark, featurize(docs))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_ivf_assignment_evaluates_once_under_filter(spark, sf_dir):
     """The IVF cell-assignment pandas UDF must evaluate ONCE even when a
     filter references the cell column (guide §4.4; optimization r12).
